@@ -4,28 +4,28 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.operators.AsOfJoin
 
 /** Relational operator coverage (SURVEY.md §2, relational block).
   *
   * Every query is a declarative DataFrame plan — Catalyst handles
   * pushdown/pruning/join selection; comments note the scale-relevant
-  * physical shape we expect (verified via .explain in specs/bench).
+  * physical shape (verified via .explain in specs/bench).
   *
-  * Oracle parity rules (SURVEY.md §5): aggregates over doubles are
-  * rounded identically on both sides; every computed column is
-  * aliased identically in the SQL twin in [[Relational.oracles]].
+  * Oracle parity rules (SURVEY.md §5): double aggregates rounded
+  * identically on both sides; identical aliases; deterministic total
+  * ordering on every result.
   */
 object Relational {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** round(x, 2) helper matching DuckDB ROUND(x, 2) on doubles. */
   private def r2(c: Column): Column = round(c, 2)
 
   // --- q1_pricing: TPC-H Q1-style scan + groupBy multi-agg.
-  // Scale: single shuffle on (returnflag, linestatus) — 6 groups —
-  // with map-side partial aggregation; scan reads only 7 columns.
+  // Scale: one shuffle onto 6 groups with map-side partial agg; the
+  // scan reads only the 7 referenced columns (column pruning).
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
@@ -56,9 +56,451 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // --- q3_priority: TPC-H Q3-style 3-way join + agg + top-k.
+  // Scale: customer filter first (selective), join orders then
+  // lineitem on keys (shuffle joins on orderkey — the natural
+  // co-partitioning); final top-10 is TakeOrderedAndProject (per-
+  // partition heap + driver merge of k, no global sort).
+  def q3Priority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-03-15").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3PrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // --- q5_region_rev: TPC-H Q5-style 6-way star join.
+  // Scale: region/nation/supplier/customer are dims → broadcast;
+  // only the orders⨝lineitem fact join shuffles, keyed on orderkey.
+  def q5RegionRev(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5RegionRevSql: String =
+    """SELECT r_name, n_name,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // --- q_pushdown: selective filter + narrow projection; the whole
+  // predicate and the 4-column read-schema must reach the parquet
+  // scan (PushedFilters / ReadSchema in .explain).
+  def qPushdown(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 49 &&
+        col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-02-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), r2(col("l_extendedprice")).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val qPushdownSql: String =
+    """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |WHERE l_quantity > 49
+      |  AND l_shipdate >= TIMESTAMP '2000-01-01'
+      |  AND l_shipdate < TIMESTAMP '2000-02-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- q_topk: ORDER BY + LIMIT → TakeOrderedAndProject (bounded
+  // per-partition heaps, no global sort — survives any scale).
+  def qTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), r2(col("o_totalprice")).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(15)
+
+  val qTopkSql: String =
+    """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+      |FROM orders
+      |ORDER BY price DESC, o_orderkey
+      |LIMIT 15""".stripMargin
+
+  // --- q_distinct: exact distinct aggregates (expand + two-phase agg).
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --- q_window: rank + running sum per customer. One shuffle on
+  // o_custkey serves both window functions (same partitioning);
+  // total order inside the frame via (o_orderdate, o_orderkey).
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("running_spend", r2(sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, rn, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |    ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |  FROM orders) x
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // --- q_semi_anti: left-semi (EXISTS) + left-anti (NOT EXISTS),
+  // aggregated per market segment. Both sides of the distinct-custkey
+  // build are small relative to the fact table → broadcastable.
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val any = o.select(col("o_custkey")).distinct()
+    val withUrgent = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_urgent"))
+    val noOrders = c.join(any, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_no_orders"))
+    val total = c.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    total
+      .join(withUrgent, Seq("c_mktsegment"), "left")
+      .join(noOrders, Seq("c_mktsegment"), "left")
+      .na.fill(0, Seq("n_with_urgent", "n_no_orders"))
+      .select(col("c_mktsegment"), col("n_with_urgent"), col("n_no_orders"), col("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(u.o_custkey) AS n_with_urgent,
+      |  COUNT(*) - COUNT(a.o_custkey) AS n_no_orders,
+      |  COUNT(*) AS n_customers
+      |FROM customer
+      |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') u
+      |  ON c_custkey = u.o_custkey
+      |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) a
+      |  ON c_custkey = a.o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // --- q_rollup: hierarchical aggregate (year → priority) via ROLLUP
+  // (Expand + single agg shuffle; grouping-set NULLs ordered first).
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .rollup(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("total"))
+      .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))
+
+  val qRollupSql: String =
+    """SELECT EXTRACT(YEAR FROM o_orderdate)::INT AS o_year, o_orderpriority,
+      |  COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_year, o_orderpriority)
+      |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // --- q_pivot: conditional aggregation / pivot with explicit pivot
+  // values (no extra pass to discover them — required at scale).
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy(col("o_year"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("1-URGENT", "p_urgent")
+      .withColumnRenamed("2-HIGH", "p_high")
+      .withColumnRenamed("3-MEDIUM", "p_medium")
+      .withColumnRenamed("4-NOT SPECIFIED", "p_notspec")
+      .withColumnRenamed("5-LOW", "p_low")
+      .orderBy(col("o_year"))
+
+  val qPivotSql: String =
+    """SELECT EXTRACT(YEAR FROM o_orderdate)::INT AS o_year,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+      |FROM orders
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // --- q_subquery: orders 1.5× above their customer's average
+  // (correlated scalar subquery ≡ self-join against a groupBy —
+  // expressed as the join, which is what Catalyst decorrelates to).
+  def qSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val avgPer = o.groupBy(col("o_custkey").as("k"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    o.join(avgPer, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_big_orders"), r2(sum(col("o_totalprice"))).as("big_total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qSubquerySql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_big_orders,
+      |  ROUND(SUM(o_totalprice), 2) AS big_total
+      |FROM orders o
+      |JOIN (SELECT o_custkey AS k, AVG(o_totalprice) AS avg_price
+      |      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+      |JOIN customer ON o.o_custkey = c_custkey
+      |WHERE o_totalprice > avg_price * 1.5
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // --- q_setops: INTERSECT / EXCEPT / UNION over user-id sets
+  // (hash-partitioned set ops; each is one shuffle on user_id).
+  def qSetops(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def users(tpe: String) = e.filter(col("event_type") === tpe).select(col("user_id"))
+    users("click").intersect(users("purchase"))
+      .except(users("error"))
+      .union(users("signup").filter(col("user_id") < 5)).distinct()
+      .orderBy(col("user_id"))
+  }
+
+  val qSetopsSql: String =
+    """SELECT DISTINCT user_id FROM (
+      |  (SELECT user_id FROM events WHERE event_type = 'click'
+      |   INTERSECT
+      |   SELECT user_id FROM events WHERE event_type = 'purchase')
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error'
+      |  UNION
+      |  SELECT user_id FROM events WHERE event_type = 'signup' AND user_id < 5
+      |) ORDER BY user_id""".stripMargin
+
+  // --- q_asof_join: for each purchase, the most recent click at or
+  // before it by the same user. DuckDB oracle uses native ASOF JOIN;
+  // our implementation is the scalable union+window plan (one shuffle
+  // on user_id, no range-explosion) — see operators/AsOfJoin.scala.
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+        col("value").as("click_value"))
+    AsOfJoin.leftAsOf(purchases, clicks,
+        partitionKeys = Seq("user_id"), timeCol = "ts",
+        rightTieBreak = Seq("click_id"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("click_id"), r2(col("click_value")).as("click_value"))
+      .filter(col("click_id").isNotNull)
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS ts_us,
+      |  c.event_id AS click_id, ROUND(c.value, 2) AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click') WHERE rn = 1) c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // --- q_range_join: click→purchase conversion pairs within 10
+  // minutes, same user. Equi-key on user_id keeps this a hash/SMJ
+  // join with a residual range predicate — never a cross product.
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    a.join(b, Seq("user_id"))
+      .filter(col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r2(avg(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1000000L)
+          .as("avg_gap_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT a.user_id, COUNT(*) AS n_pairs,
+      |  ROUND(AVG(EPOCH_US(b.ts) - EPOCH_US(a.ts)) / 1000000, 2) AS avg_gap_sec
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  // --- q_dates: calendar extraction + day bucketing.
+  def qDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        r2(sum(col("value"))).as("total_value"))
+      .withColumn("dom", dayofmonth(to_date(col("day"))))
+      .select(col("day"), col("dom"), col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("day"))
+
+  val qDatesSql: String =
+    """SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+      |  EXTRACT(DAY FROM ts)::INT AS dom,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  ROUND(SUM(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day""".stripMargin
+
+  // --- q_strings: string/regex functions over documents.
+  def qStrings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tokens", regexp_count(col("text"), lit("[a-z]+")))
+      .withColumn("has_spark", col("text").contains("spark").cast("int"))
+      .groupBy(upper(col("source")).as("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        r2(avg(col("n_tokens"))).as("avg_tokens"),
+        sum(col("has_spark")).as("n_spark"),
+        max(length(col("text"))).cast("bigint").as("max_len"))
+      .orderBy(col("src"))
+
+  val qStringsSql: String =
+    """SELECT UPPER(source) AS src, COUNT(*) AS n_docs,
+      |  ROUND(AVG(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+'))), 2) AS avg_tokens,
+      |  CAST(SUM(CASE WHEN CONTAINS(text, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_spark,
+      |  MAX(LENGTH(text)) AS max_len
+      |FROM documents
+      |GROUP BY UPPER(source)
+      |ORDER BY src""".stripMargin
+
+  // --- q_props_extract: semi-structured extraction from the JSON
+  // props column (get_json_object — codegen'd JSON path eval).
+  def qPropsExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(avg(col("k"))).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val qPropsExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(AVG(CAST(REGEXP_EXTRACT(props, '([0-9]+)', 1) AS INT)), 2) AS avg_k,
+      |  MIN(CAST(REGEXP_EXTRACT(props, '([0-9]+)', 1) AS INT)) AS min_k,
+      |  MAX(CAST(REGEXP_EXTRACT(props, '([0-9]+)', 1) AS INT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q_approx: sketch aggregates (HLL++, approximate quantiles).
+  // No DuckDB oracle — sketch internals differ; rows-only check.
+  def qApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing" -> q1Pricing)
+    "q1_pricing" -> q1Pricing,
+    "q3_priority" -> q3Priority,
+    "q5_region_rev" -> q5RegionRev,
+    "q_pushdown" -> qPushdown,
+    "q_topk" -> qTopk,
+    "q_distinct" -> qDistinct,
+    "q_window" -> qWindow,
+    "q_semi_anti" -> qSemiAnti,
+    "q_rollup" -> qRollup,
+    "q_pivot" -> qPivot,
+    "q_subquery" -> qSubquery,
+    "q_setops" -> qSetops,
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
+    "q_dates" -> qDates,
+    "q_strings" -> qStrings,
+    "q_props_extract" -> qPropsExtract,
+    "q_approx" -> qApprox)
 
   val oracles: Map[String, String] = Map(
-    "q1_pricing" -> q1PricingSql)
+    "q1_pricing" -> q1PricingSql,
+    "q3_priority" -> q3PrioritySql,
+    "q5_region_rev" -> q5RegionRevSql,
+    "q_pushdown" -> qPushdownSql,
+    "q_topk" -> qTopkSql,
+    "q_distinct" -> qDistinctSql,
+    "q_window" -> qWindowSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_rollup" -> qRollupSql,
+    "q_pivot" -> qPivotSql,
+    "q_subquery" -> qSubquerySql,
+    "q_setops" -> qSetopsSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_dates" -> qDatesSql,
+    "q_strings" -> qStringsSql,
+    "q_props_extract" -> qPropsExtractSql)
 }

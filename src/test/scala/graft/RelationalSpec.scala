@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared query runs and yields rows at sf0.001") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val empties = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // q_pushdown's selective filter may legitimately return 0 at the
+    // smallest sf; everything else must produce rows.
+    assert(empties.toSet.subsetOf(Set("q_pushdown")), s"empty results: $empties")
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val rowsOnly = Set("q_approx")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries missing oracle SQL: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("q1 pushes filter and prunes columns at the parquet scan") {
+    val plan = SparkEntry.queries("q1_pricing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("l_orderkey"), "read schema not pruned (l_orderkey present)")
+  }
+
+  test("q5 broadcasts the dimension tables") {
+    val plan = SparkEntry.queries("q5_region_rev")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$plan")
+  }
+}
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.AsOfJoin
+
+  test("leftAsOf picks the latest right row at-or-before, per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      ("u1", 100L, "L1"), ("u1", 205L, "L2"), ("u2", 50L, "L3"),
+      ("u3", 10L, "L4") // no right rows for u3 → null payload
+    ).toDF("k", "t", "lval")
+    val right = Seq(
+      ("u1", 100L, "R@100"), ("u1", 90L, "R@90"), ("u1", 200L, "R@200"),
+      ("u2", 50L, "R@50a"), ("u2", 50L, "R@50b")
+    ).toDF("k", "t", "rval")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", Seq("rval"))
+      .select("k", "t", "lval", "rval").as[(String, Long, String, String)]
+      .collect().toSet
+    assert(out === Set(
+      ("u1", 100L, "L1", "R@100"),  // inclusive: equal ts matches
+      ("u1", 205L, "L2", "R@200"),  // latest ≤ 205
+      ("u2", 50L, "L3", "R@50b"),   // tie at same ts → largest tiebreak
+      ("u3", 10L, "L4", null)))     // no match → null
+  }
+
+  test("leftAsOf costs a single shuffle on the partition keys") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("a", 1L, "x")).toDF("k", "t", "lv")
+    val right = Seq(("a", 1L, "y")).toDF("k", "t", "rv")
+    val plan = AsOfJoin.leftAsOf(left, right, Seq("k"), "t")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"expected ≤1 shuffle, got $shuffles:\n$plan")
+  }
+}
