@@ -1,0 +1,191 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.{AvroSchema, Tables}
+import graft.writer.{BlockWriter, Compactor}
+import graft.streaming.StreamWriter
+
+/** Reference-derived write/ingest path coverage (SURVEY.md §2).
+  *
+  * These queries exercise the library's write side (BlockWriter /
+  * Compactor / StreamWriter / AvroSchema) end-to-end inside a query:
+  * write to a temp lake layout, read back, and reduce to a DataFrame
+  * whose oracle is computable directly from the source table —
+  * so the DuckDB gate checks layout row-counts, file bounds, and
+  * within-file ordering, not just query algebra.
+  */
+object WritePath {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // --- ingest_schema: the reference's schema-enforced ingest
+  // (goavro codec semantics: null-unions + defaults; main.go:20-42).
+  // Events are rendered to JSON lines (absent fields where null),
+  // parsed back through the Avro-derived StructType, and defaults
+  // filled — all codegen'd expressions, no UDF.
+  def ingestSchema(s: SparkSession, dir: String): DataFrame = {
+    val payload = to_json(struct(
+      col("user_id").cast("string").as("user_id"),
+      unix_micros(col("ts")).as("timestamp"),
+      r2(col("value")).as("latitude"),
+      (-r2(col("value"))).as("longitude"),
+      when(col("event_type") === "click", lit("web")).as("source"),
+      array(col("event_type")).as("features"),
+      when(col("value") > 50, r2(col("value") / 10)).as("speed")))
+    val rec = AvroSchema.ingestJson(payload, AvroSchema.locationSchemaJson)
+    t(s, dir, "events")
+      .select(rec.as("r"))
+      .select(col("r.*"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        r2(avg(col("latitude"))).as("avg_lat"),
+        count(col("speed")).as("n_speed"),
+        min(col("timestamp")).as("min_ts_us"),
+        max(col("timestamp")).as("max_ts_us"),
+        sum(size(col("features"))).cast("bigint").as("n_features"))
+      .orderBy(col("source"))
+  }
+
+  val ingestSchemaSql: String =
+    """SELECT CASE WHEN event_type = 'click' THEN 'web' ELSE 'device' END AS source,
+      |  COUNT(*) AS n,
+      |  ROUND(AVG(ROUND(value, 2)), 2) AS avg_lat,
+      |  CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_speed,
+      |  MIN(EPOCH_US(ts)) AS min_ts_us,
+      |  MAX(EPOCH_US(ts)) AS max_ts_us,
+      |  COUNT(*) AS n_features
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY source""".stripMargin
+
+  // --- block_assign: BlockManager's block assignment (main.go:73-87):
+  // per partition value, key-ordered, ≤16-row blocks. One window
+  // shuffle on user_id; the oracle replays it as SQL window algebra.
+  def blockAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("block_id",
+        BlockWriter.blockId("user_id", Seq(col("ts"), col("event_id")), 16))
+      .groupBy(col("user_id"), col("block_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy(col("user_id"), col("block_id"))
+
+  val blockAssignSql: String =
+    """SELECT user_id, CAST(FLOOR((rn - 1) / 16) AS BIGINT) AS block_id,
+      |  COUNT(*) AS n_rows, MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+      |FROM (SELECT user_id, EPOCH_US(ts) AS ts_us,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |GROUP BY 1, 2
+      |ORDER BY user_id, block_id""".stripMargin
+
+  /** Read back a BlockWriter layout and reduce to per-partition
+    * invariants: row count, file count, and within-file key-order
+    * violations (must be 0 — files are key-sorted by construction).
+    */
+  private def readBackStats(s: SparkSession, path: String, maxPerFile: Int): DataFrame = {
+    val back = s.read.parquet(path)
+      .withColumn("f", col("_metadata.file_path"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    // within-file physical order: rows of one file are contiguous and
+    // in-order under monotonically_increasing_id within a scan split.
+    val wf = Window.partitionBy(col("f")).orderBy(monotonically_increasing_id())
+    back
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(wf))
+      .withColumn("viol", when(col("prev_ts") > col("ts_us"), 1L).otherwise(0L))
+      .groupBy(col("user_id").cast("bigint").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files"),
+        sum(col("viol")).as("violations"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private def statsOracle(maxPerFileExpr: String): String =
+    s"""SELECT user_id, COUNT(*) AS n_rows,
+       |  $maxPerFileExpr AS n_files,
+       |  CAST(0 AS BIGINT) AS violations,
+       |  MIN(EPOCH_US(ts)) AS min_ts_us, MAX(EPOCH_US(ts)) AS max_ts_us
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // --- partitioned_write: full BlockWriter round-trip. The oracle
+  // pins the file-count law (ceil(rows/maxRecordsPerFile) per
+  // partition — one task owns a partition value after the hash
+  // repartition) and zero sort violations.
+  def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_pw_")
+    BlockWriter.write(t(s, dir, "events"), out,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 32))
+    readBackStats(s, out, 32)
+  }
+
+  val partitionedWriteSql: String =
+    statsOracle("CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)")
+
+  // --- compaction: scatter tiny blocks (≤16 rows), then Compactor
+  // rewrites each partition to a single key-sorted file.
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    val small = tmp("graft_small_")
+    val compacted = tmp("graft_compacted_")
+    BlockWriter.write(t(s, dir, "events"), small,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 16))
+    Compactor.compact(s, small, compacted,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1 << 22))
+    readBackStats(s, compacted, 1 << 22)
+  }
+
+  val compactionSql: String = statsOracle("CAST(1 AS BIGINT)")
+
+  // --- stream_write: the reference's streaming pipeline shape
+  // (FileStreamAdapter → BlockManager → storage): Structured
+  // Streaming file source → partitioned file sink, drained
+  // synchronously with AvailableNow. Oracle checks exactly-once
+  // delivery (per-user counts and ts bounds match the source).
+  def streamWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_stream_out_")
+    val ck = tmp("graft_stream_ck_")
+    StreamWriter.runOnce(s, s"$dir/events.parquet", out, ck,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096))
+    s.read.parquet(out)
+      .groupBy(col("user_id").cast("bigint").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamWriteSql: String =
+    """SELECT user_id, COUNT(*) AS n_rows,
+      |  MIN(EPOCH_US(ts)) AS min_ts_us, MAX(EPOCH_US(ts)) AS max_ts_us
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_schema" -> ingestSchema,
+    "block_assign" -> blockAssign,
+    "partitioned_write" -> partitionedWrite,
+    "compaction" -> compaction,
+    "stream_write" -> streamWrite)
+
+  val oracles: Map[String, String] = Map(
+    "ingest_schema" -> ingestSchemaSql,
+    "block_assign" -> blockAssignSql,
+    "partitioned_write" -> partitionedWriteSql,
+    "compaction" -> compactionSql,
+    "stream_write" -> streamWriteSql)
+}

@@ -1,0 +1,53 @@
+package graft.writer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's write path, Spark-idiomatic (reference
+  * main.go:48-87: BlockManager + FilesystemStorageAdapter — buffer
+  * rows per PartitionColumn, order by KeyColumn, flush blocks of
+  * ≤ MaxSize rows as snappy columnar files under
+  * `basePath/partition=<value>/`).
+  *
+  * Spark realization: `repartition(partitionCol)` co-locates each
+  * partition value on one task (ONE shuffle, hash-distributed across
+  * executors — no driver-side block table, unlike the reference's
+  * in-memory BlockManager map, so partition-value cardinality is
+  * unbounded at 100 TB); `sortWithinPartitions(partition, key)` makes
+  * every output file key-ordered; `maxRecordsPerFile` enforces the
+  * MaxSize row bound WITHOUT any centralized accounting; dynamic
+  * `partitionBy` lays out `partition=<value>/` dirs. MaxAge has no
+  * batch meaning — the streaming analog lives in
+  * [[graft.streaming.StreamWriter]] (trigger interval = MaxAge).
+  */
+object BlockWriter {
+
+  final case class Config(
+      partitionCol: String,
+      keyCol: String,
+      maxRecordsPerFile: Int = 4096, // reference MaxSize (main.go:78)
+      compression: String = "snappy", // reference CompressionName (main.go:53)
+      format: String = "parquet")
+
+  /** Block id a row lands in: per-partition, key-ordered, ≤maxSize
+    * rows per block — exactly the reference BlockManager's assignment.
+    * Pure window arithmetic → whole-stage codegen, one shuffle.
+    */
+  def blockId(partitionCol: String, orderCols: Seq[Column], maxSize: Int): Column = {
+    val w = Window.partitionBy(col(partitionCol)).orderBy(orderCols: _*)
+    floor((row_number().over(w) - lit(1)) / lit(maxSize))
+  }
+
+  /** Write `df` as a partitioned, key-sorted, size-bounded file set. */
+  def write(df: DataFrame, basePath: String, cfg: Config): Unit =
+    df.repartition(col(cfg.partitionCol))
+      .sortWithinPartitions(col(cfg.partitionCol), col(cfg.keyCol))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
+      .option("compression", cfg.compression)
+      .partitionBy(cfg.partitionCol)
+      .format(cfg.format)
+      .save(basePath)
+}
