@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical tuned session builder for the engine.
+  *
+  * Every conf the engine depends on is set HERE, at construction —
+  * not as a side effect of some loader call — so any code path
+  * (batch, streaming, tests) sees the same session semantics
+  * regardless of call order:
+  *
+  *  - `nanosAsLong`: the driver's events.parquet carries
+  *    TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+  *    reading nanos as long lets [[graft.sources.Tables]] restore
+  *    microsecond timestamps deterministically (DuckDB-equivalent
+  *    ns→µs truncation).
+  *  - UTC session timezone: oracle parity for all date/ts functions.
+  *  - shuffle.partitions = cores (local mode); AQE coalesces further
+  *    at runtime, and on a real cluster this would be set to
+  *    2-3× total executor cores.
+  */
+object GraftSession {
+
+  /** Apply graft's required confs to any builder. */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.parquet.compression.codec", "snappy")
+
+  /** A tuned local[n] session (bench / verify / tests). */
+  def local(cpus: String): SparkSession = {
+    val s = tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

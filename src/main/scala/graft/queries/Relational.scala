@@ -445,11 +445,14 @@ object Relational {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  // Oracle regex is anchored on the "k" key (structurally equivalent
+  // to the Spark side's $.k JSON path) — robust to extra numeric
+  // fields appearing in props.
   val qPropsExtractSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  ROUND(AVG(CAST(REGEXP_EXTRACT(props, '([0-9]+)', 1) AS INT)), 2) AS avg_k,
-      |  MIN(CAST(REGEXP_EXTRACT(props, '([0-9]+)', 1) AS INT)) AS min_k,
-      |  MAX(CAST(REGEXP_EXTRACT(props, '([0-9]+)', 1) AS INT)) AS max_k
+      |  ROUND(AVG(CAST(REGEXP_EXTRACT(props, '"k":\s*([0-9]+)', 1) AS INT)), 2) AS avg_k,
+      |  MIN(CAST(REGEXP_EXTRACT(props, '"k":\s*([0-9]+)', 1) AS INT)) AS min_k,
+      |  MAX(CAST(REGEXP_EXTRACT(props, '"k":\s*([0-9]+)', 1) AS INT)) AS max_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -98,9 +98,13 @@ object WritePath {
     val back = s.read.parquet(path)
       .withColumn("f", col("_metadata.file_path"))
       .withColumn("ts_us", unix_micros(col("ts")))
-    // within-file physical order: rows of one file are contiguous and
-    // in-order under monotonically_increasing_id within a scan split.
-    val wf = Window.partitionBy(col("f")).orderBy(monotonically_increasing_id())
+    // within-file physical order: a file large enough to span several
+    // scan splits yields one monotonically_increasing_id run PER
+    // split, so order by (split byte offset, id) — splits are ordered
+    // by _metadata.file_block_start within a file, and rows are
+    // in-order under the id within a split. Correct at any file size.
+    val wf = Window.partitionBy(col("f"))
+      .orderBy(col("_metadata.file_block_start"), monotonically_increasing_id())
     back
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(wf))
       .withColumn("viol", when(col("prev_ts") > col("ts_us"), 1L).otherwise(0L))
@@ -158,7 +162,8 @@ object WritePath {
   def streamWrite(s: SparkSession, dir: String): DataFrame = {
     val out = tmp("graft_stream_out_")
     val ck = tmp("graft_stream_ck_")
-    StreamWriter.runOnce(s, s"$dir/events.parquet", out, ck,
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    StreamWriter.runOnce(s, staged, out, ck,
       BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096))
     s.read.parquet(out)
       .groupBy(col("user_id").cast("bigint").as("user_id"))

@@ -14,11 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the vectorized
-    // reader rejects; read nanos as long and restore micros precision
-    // (floor ns→us, matching DuckDB's ns→us truncation).
+  /** events.parquet carries TIMESTAMP(NANOS) which the vectorized
+    * reader rejects; read nanos as long and restore micros precision
+    * (floor ns→us, matching DuckDB's ns→us truncation). The conf is
+    * also set at session construction by [[graft.GraftSession]]; it is
+    * (re)set here immediately before the raw read so `load` stays
+    * correct on a caller-supplied session too.
+    */
+  def ensureParquetConfs(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensureParquetConfs(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>

@@ -22,22 +22,28 @@ import graft.writer.BlockWriter
   */
 object StreamWriter {
 
-  /** Stream every file under `inGlob` into a partitioned lake layout
-    * at `outPath`, synchronously (AvailableNow = drain everything,
-    * then stop — deterministic for verification; swap the trigger for
+  /** Stream every file under `inDir` (a DIRECTORY — the streaming
+    * file source requires one; stage single files into a dir first,
+    * see [[stageDir]]) into a partitioned lake layout at `outPath`,
+    * synchronously (AvailableNow = drain everything, then stop —
+    * deterministic for verification; swap the trigger for
     * `ProcessingTime(maxAgeMs)` in a live deployment).
     */
   def runOnce(
       spark: SparkSession,
-      inGlob: String,
+      inDir: String,
       outPath: String,
       checkpoint: String,
       cfg: BlockWriter.Config,
       maxAgeMs: Long = 60000L): Unit = {
+    // source tables may carry TIMESTAMP(NANOS); this conf must be live
+    // BEFORE the schema probe below — do not rely on an earlier
+    // Tables.load having set it on this session.
+    graft.sources.Tables.ensureParquetConfs(spark)
     // schema must be known up front for a streaming file source; probe
     // it with a batch read (cheap: footer only).
-    val schema = spark.read.parquet(inGlob).schema
-    val in = spark.readStream.schema(schema).parquet(inGlob)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir)
     val restored = // same ns→µs restore as Tables.load
       if (schema.fieldNames.contains("ts") &&
           schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -55,5 +61,17 @@ object StreamWriter {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Stage a single parquet file under a fresh directory so it is a
+    * valid streaming-file-source basePath. Cheap (one local copy);
+    * in a real deployment the ingest path is already a directory of
+    * arriving files, exactly like the reference's input stream.
+    */
+  def stageDir(file: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_")
+    val src = java.nio.file.Paths.get(file)
+    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+    dir.toString
   }
 }
