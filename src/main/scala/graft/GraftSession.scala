@@ -27,6 +27,18 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
+    // Local-FS write-path tuning (file-count-heavy lake layouts):
+    // RawLocalFileSystem skips the client-side .crc shadow file per
+    // output file (halves file ops; parquet has its own page CRCs),
+    // and commit algorithm v2 moves task outputs to the final
+    // location at task commit instead of a serial driver-side rename
+    // pass at job commit. On a real cluster the equivalents are the
+    // S3A/ABFS zero-rename committers.
+    .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    .config("spark.sql.parquet.output.committer.class",
+      "org.apache.parquet.hadoop.ParquetOutputCommitter")
+    .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
 
   /** A tuned local[n] session (bench / verify / tests). */
   def local(cpus: String): SparkSession = {

@@ -14,15 +14,15 @@ import org.apache.spark.sql.SparkSession
 object Compactor {
 
   /** Rewrite `inPath` (a BlockWriter layout) into `outPath` with a
-    * larger per-file row bound. Returns the compacted row count.
+    * larger per-file row bound. Callers verify by reading `outPath`;
+    * no extra verification scan here.
     */
   def compact(
       spark: SparkSession,
       inPath: String,
       outPath: String,
-      cfg: BlockWriter.Config): Long = {
+      cfg: BlockWriter.Config): Unit = {
     val df = spark.read.format(cfg.format).load(inPath)
     BlockWriter.write(df, outPath, cfg)
-    spark.read.format(cfg.format).load(outPath).count()
   }
 }
