@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+class TextFnsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def one(colExpr: org.apache.spark.sql.Column, text: String): Any = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text").select(colExpr.as("v")).head().get(0)
+  }
+
+  test("words splits on whitespace, drops empties") {
+    assert(one(size(TextFns.words(col("text"))), "  a  b\tc \n d ") === 4)
+    assert(one(size(TextFns.words(col("text"))), "") === 0)
+  }
+
+  test("bpe token count: letter runs, digit runs, single symbols") {
+    assert(one(TextFns.bpeTokenCount(col("text")), "ab12 cd!") === 4) // ab|12|cd|!
+  }
+
+  test("langPredict: zh wins on CJK, und on all-zero, fixed tie order") {
+    val df = {
+      val s = spark
+      import s.implicits._
+      Seq(("x", "查询 的 数据"), ("y", "zzz qqq"), ("z", "the der le el"))
+        .toDF("id", "text")
+    }
+    val ws = TextFns.words(col("text"))
+    val out = df.select(col("id"), TextFns.langPredict(
+      TextFns.stopwordHits(ws, "en").cast("bigint"),
+      TextFns.stopwordHits(ws, "de").cast("bigint"),
+      TextFns.stopwordHits(ws, "fr").cast("bigint"),
+      TextFns.stopwordHits(ws, "es").cast("bigint"),
+      TextFns.cjkCount(col("text")).cast("bigint")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("x") === "zh")
+    assert(out("y") === "und")
+    assert(out("z") === "en") // 4-way tie resolves by priority order
+  }
+
+  test("fingerprint is order-sensitive") {
+    val ab = one(TextFns.fingerprint(TextFns.words(col("text"))), "alpha beta")
+    val ba = one(TextFns.fingerprint(TextFns.words(col("text"))), "beta alpha")
+    assert(ab !== ba)
+  }
+
+  test("hash60 is non-negative and stable") {
+    val h1 = one(TextFns.hash60(col("text")), "spark").asInstanceOf[Long]
+    val h2 = one(TextFns.hash60(col("text")), "spark").asInstanceOf[Long]
+    assert(h1 === h2 && h1 >= 0L)
+  }
+}

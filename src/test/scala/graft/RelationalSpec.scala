@@ -4,12 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = GraftSession.tune(SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+    .config("spark.ui.enabled", "false"))
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
 }
@@ -80,6 +79,22 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("u1", 205L, "L2", "R@200"),  // latest ≤ 205
       ("u2", 50L, "L3", "R@50b"),   // tie at same ts → largest tiebreak
       ("u3", 10L, "L4", null)))     // no match → null
+  }
+
+  test("leftAsOf carries right payload atomically (no cross-row stitching)") {
+    val s = spark
+    import s.implicits._
+    // Right rows with complementary nulls: naive per-column carry
+    // would stitch p1 from t=100 with p2 from t=200.
+    val left = Seq(("u1", 250L, "L")).toDF("k", "t", "lval")
+    val right = Seq(
+      ("u1", 100L, Option("a1"), Option.empty[String]),
+      ("u1", 200L, Option.empty[String], Option("b2"))
+    ).toDF("k", "t", "p1", "p2")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "t")
+      .select("p1", "p2").as[(Option[String], Option[String])].collect().toSeq
+    assert(out === Seq((None, Some("b2"))),
+      "payload must come from the single latest right row")
   }
 
   test("leftAsOf costs a single shuffle on the partition keys") {
