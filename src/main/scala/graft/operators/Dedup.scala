@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Document deduplication primitives: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. All candidate generation is shuffle-on-bucket
+  * (band key / posting list) so cost is O(N·bands + collisions) at
+  * 100 TB — never an O(N²) cross join. Signatures are md5-derived
+  * (SURVEY.md §5) so DuckDB oracles replay identical arithmetic.
+  */
+object Dedup {
+
+  /** Word k-shingles, in document order (with multiplicity). */
+  def shingleSeq(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - lit(k)),
+        i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct word k-shingles (the shingle SET for Jaccard). */
+  def shingleSet(ws: Column, k: Int): Column = array_distinct(shingleSeq(ws, k))
+
+  /** MinHash signature element i: min over the shingle set of a
+    * salted 60-bit hash. One pass per doc, map-side.
+    */
+  def minhashSig(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => TextFns.hash60(concat(lit(s"$i|"), s))))
+
+  /** LSH band key: md5 over `r` consecutive signature values
+    * (sig columns named s0..s{n-1}, band b covers s[b*r..b*r+r-1]).
+    */
+  def bandKey(b: Int, r: Int): Column =
+    md5(concat_ws(",", (0 until r).map(j => col(s"s${b * r + j}").cast("string")): _*))
+
+  /** `bits`-wide SimHash over a (multiplicity-preserving) feature
+    * hash array: bit b is set iff more feature hashes have bit b set
+    * than unset. Evaluated per static bit with codegen'd shifts; the
+    * hash array is materialized once per row (non-cheap expression —
+    * Catalyst keeps the projection boundary, no 48× md5 recompute).
+    */
+  def simhash(featureHashes: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      when(lit(2) * size(filter(featureHashes,
+        h => shiftright(h, b) % lit(2L) === lit(1L))) - size(featureHashes) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact Jaccard (basis points, integer-exact) of two array sets. */
+  def jaccardBp(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("bigint")
+    val uni = size(array_union(a, b)).cast("bigint")
+    ((inter * lit(10000L) - ((inter * lit(10000L)) % uni)) / uni).cast("bigint")
+  }
+
+  /** Candidate pairs from an exploded (doc_id, bucket-cols) table:
+    * docs sharing a bucket, each unordered pair once. The self-join
+    * shuffles on the bucket key only — embarrassingly parallel.
+    */
+  def candidatePairs(buckets: DataFrame, docCol: String, bucketCols: Seq[String]): DataFrame = {
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+      col(s"a.$docCol") < col(s"b.$docCol")
+    a.join(b, cond)
+      .select(col(s"a.$docCol").as("doc_a"), col(s"b.$docCol").as("doc_b"))
+      .distinct()
+  }
+}

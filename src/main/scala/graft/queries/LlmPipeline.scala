@@ -171,15 +171,205 @@ object LlmPipeline {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ===================== deduplication =====================
+  import graft.operators.Dedup
+
+  /** DuckDB twin of Dedup.shingleSeq (1-indexed lists). */
+  private def shSeqSql(k: Int): String = {
+    val parts = (0 until k).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+      .mkString("||' '||")
+    s"CASE WHEN len(ws) >= $k THEN list_transform(generate_series(1, len(ws)-${k - 1}), i -> $parts) ELSE [] END"
+  }
+
+  // --- dedup_exact: hash-groupBy on whitespace-normalized text.
+  // One shuffle on the 128-bit text hash; at 100 TB the group key is
+  // uniform so no skew, and the verify-free exactness makes this the
+  // first, cheapest dedup pass of a pipeline.
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+    t(s, dir, "documents")
+      .withColumn("h", h)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"))
+      .withColumn("n_dup", col("n_docs") - col("n_unique"))
+      .orderBy(col("source"))
+  }
+
+  val dedupExactSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_dup
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  private val MH_HASHES = 12
+  private val MH_BANDS = 4
+  private val MH_ROWS = 3 // MH_BANDS * MH_ROWS == MH_HASHES
+
+  // --- dedup_minhash: shingle → salted-min signature → LSH band
+  // buckets → candidate pairs → exact-Jaccard verify. Signatures are
+  // one map-side pass; the only shuffle carries (doc, band-key) rows;
+  // verification joins only colliding docs — O(N·bands + collisions).
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Dedup.shingleSet(TextFns.words(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = base.select(
+      Seq(col("doc_id"), col("sh")) ++
+        (0 until MH_HASHES).map(i => Dedup.minhashSig(col("sh"), i).as(s"s$i")): _*)
+    val bandStructs = (0 until MH_BANDS).map(b =>
+      struct(lit(b).as("band"), Dedup.bandKey(b, MH_ROWS).as("bk")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    Dedup.candidatePairs(bands, "doc_id", Seq("band", "bk"))
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.jaccardBp(col("sha"), col("shb")).as("jacc_bp"))
+      .filter(col("jacc_bp") >= 5000)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashSql: String = {
+    val sigExprs = (0 until MH_HASHES).map(i =>
+      s"list_min(list_transform(sh, s -> ${hash60Sql(s"'$i|'||s")})) AS s$i").mkString(",\n    ")
+    val bandCases = (0 until MH_BANDS).map { b =>
+      val cat = (0 until MH_ROWS).map(j => s"s${b * MH_ROWS + j}::VARCHAR").mkString("||','||")
+      s"WHEN ${b} THEN md5($cat)"
+    }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(${shSeqSql(3)}) AS sh FROM w),
+       |base AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, sh,
+       |    $sigExprs
+       |  FROM base),
+       |bands AS (SELECT doc_id, b.band, CASE b.band $bandCases END AS bk
+       |  FROM sig, (SELECT unnest([${(0 until MH_BANDS).mkString(",")}]) AS band) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST((len(list_intersect(x.sh, y.sh)) * 10000) // len(list_distinct(x.sh || y.sh)) AS BIGINT) AS jacc_bp
+       |FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
+       |WHERE (len(list_intersect(x.sh, y.sh)) * 10000) // len(list_distinct(x.sh || y.sh)) >= 5000
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val SH_BITS = 48
+  private val SH_BAND_BITS = 12
+  private val SH_MAX_HAMMING = 6
+
+  // --- dedup_simhash: 48-bit shingle SimHash, 12-bit band join,
+  // hamming-distance verify via bit_count(xor). Signature is one
+  // map-side pass (feature hashes materialized once per row); the
+  // shuffle carries only (doc, band) rows.
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Dedup.shingleSeq(TextFns.words(col("text")), 3).as("feats"))
+      .filter(size(col("feats")) > 0)
+      .withColumn("whs", transform(col("feats"), f => TextFns.hash60(f)))
+      .withColumn("sig", Dedup.simhash(col("whs"), SH_BITS))
+      .select("doc_id", "sig")
+    val bandStructs = (0 until SH_BITS / SH_BAND_BITS).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * SH_BAND_BITS)
+          .bitwiseAND(lit((1L << SH_BAND_BITS) - 1)).as("bk")))
+    val bands = base
+      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bk").as("bk"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= SH_MAX_HAMMING)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupSimhashSql: String = {
+    val sigTerms = (0 until SH_BITS).map(bi =>
+      s"(CASE WHEN 2*len(list_filter(whs, h -> (h >> $bi) & 1 = 1)) - len(whs) > 0 THEN (1::BIGINT << $bi) ELSE 0::BIGINT END)")
+      .mkString("\n    + ")
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |f0 AS (SELECT doc_id, ${shSeqSql(3)} AS feats FROM w),
+       |f AS (SELECT doc_id, feats FROM f0 WHERE len(feats) > 0),
+       |wh AS (SELECT doc_id, list_transform(feats, s -> ${hash60Sql("s")}) AS whs FROM f),
+       |sig AS (SELECT doc_id, $sigTerms AS sig FROM wh),
+       |bands AS (SELECT doc_id, sig, b.band, (sig >> ($SH_BAND_BITS * b.band)) & ${(1L << SH_BAND_BITS) - 1} AS bk
+       |  FROM sig, (SELECT unnest([${(0 until SH_BITS / SH_BAND_BITS).mkString(",")}]) AS band) b)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $SH_MAX_HAMMING
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- ngram_jaccard: similarity join via inverted posting lists
+  // with a document-frequency cap: ubiquitous grams generate no
+  // candidates (they carry no discrimination), so the join cost is
+  // bounded by Σ_g df(g)² over RARE grams only; exact Jaccard then
+  // verifies candidates on full gram sets. Textbook scalable
+  // set-similarity join shape.
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cap = math.max(50L, docs.count() / 50)
+    val base = docs
+      .select(col("doc_id"),
+        Dedup.shingleSet(TextFns.words(col("text")), 2).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val posting = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val rare = posting.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+    val capped = posting.join(rare.select("gram"), "gram")
+    Dedup.candidatePairs(capped, "doc_id", Seq("gram"))
+      .join(base.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.jaccardBp(col("ga"), col("gb")).as("jacc_bp"))
+      .filter(col("jacc_bp") >= 3000)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |g0 AS (SELECT doc_id, list_distinct(${shSeqSql(2)}) AS grams FROM w),
+       |g AS (SELECT doc_id, grams FROM g0 WHERE len(grams) > 0),
+       |p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |rare AS (SELECT gram FROM p GROUP BY gram
+       |  HAVING count(*) <= greatest(50, (SELECT count(*) FROM documents) // 50)),
+       |pc AS (SELECT p.doc_id, p.gram FROM p JOIN rare USING (gram)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pc a JOIN pc b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST((len(list_intersect(x.grams, y.grams)) * 10000) // len(list_distinct(x.grams || y.grams)) AS BIGINT) AS jacc_bp
+       |FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b
+       |WHERE (len(list_intersect(x.grams, y.grams)) * 10000) // len(list_distinct(x.grams || y.grams)) >= 3000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "ngram_jaccard" -> ngramJaccard)
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "ngram_jaccard" -> ngramJaccardSql)
 }
