@@ -353,6 +353,200 @@ object LlmPipeline {
        |WHERE (len(list_intersect(x.grams, y.grams)) * 10000) // len(list_distinct(x.grams || y.grams)) >= 3000
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ===================== similarity search =====================
+  import graft.functions.VectorFns
+
+  private val DIM = 64
+  private val LSH_BITS = 16
+  private val LSH_BAND_BITS = 4
+  private val ANN_K = 10
+
+  /** DuckDB twin of VectorFns.dot: sequential left fold, so doubles
+    * match Spark's `aggregate` bit-for-bit. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $DIM), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  /** Embeddings with precomputed norm (shared base for vector ops). */
+  private def embBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), VectorFns.toD(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+
+  private val embBaseSql =
+    s"""SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
+       |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  /** Hyperplane literals as a DuckDB VALUES list (j, hp). */
+  private def hpValuesSql: String =
+    (0 until LSH_BITS).map { j =>
+      val arr = VectorFns.hyperplaneInts(j, DIM).map(k => s"$k/1000.0").mkString("[", ", ", "]")
+      s"($j, $arr)"
+    }.mkString(",\n    ")
+
+  // --- embed_neardup: blocked exact cosine near-dup pairs. Blocking
+  // key = label (a cluster id in a real pipeline): the all-pairs
+  // comparison runs only WITHIN blocks, turning O(N²) into
+  // Σ_block O(n_b²) — the standard blocked similarity join. One
+  // shuffle on the blocking key.
+  def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label").cast("bigint").as("label"), col("vec_a"), col("vec_b"),
+        VectorFns.cosineBp(col("va"), col("vb"), col("na"), col("nb")).as("cos_bp"))
+      .filter(col("cos_bp") >= 3000)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embedNeardupSql: String =
+    s"""WITH n AS ($embBaseSql)
+       |SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) >= 3000
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // --- ann_topk: exact top-k cosine neighbors for a query set —
+  // the correctness baseline for ANN. The query side is broadcast
+  // (tiny), so the scan side streams once with NO shuffle; per-query
+  // ranking shuffles only (q, candidate) rows.
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        VectorFns.cosineBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annTopkSql: String =
+    s"""WITH n AS ($embBaseSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, n.vec_id AS n_id,
+       |    CAST(floor(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM n JOIN q ON n.vec_id <> q.q_id
+       |)
+       |SELECT q_id, n_id, cos_bp, rank FROM (
+       |  SELECT q_id, n_id, cos_bp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+
+  // --- ann_lsh: the ANN scale path — random-hyperplane sign
+  // signatures, banded bucket join to generate candidates, exact
+  // re-rank of candidates only. At 100 TB the bucket join replaces
+  // the full scan per query; recall/cost tunes via bands×bits.
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+      .withColumn("sig", VectorFns.lshSignature(col("v"), DIM, LSH_BITS))
+    val bandStructs = (0 until LSH_BITS / LSH_BAND_BITS).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * LSH_BAND_BITS)
+          .bitwiseAND(lit((1L << LSH_BAND_BITS) - 1)).as("bk")))
+    val bands = e
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("vec_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    val qBands = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("band"), col("bk"))
+    val cand = bands.join(broadcast(qBands),
+      Seq("band", "bk")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineBp(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annLshSql: String = {
+    val nBands = LSH_BITS / LSH_BAND_BITS
+    val mask = (1L << LSH_BAND_BITS) - 1
+    s"""WITH n AS ($embBaseSql),
+       |hp(j, hp) AS (VALUES
+       |    $hpValuesSql),
+       |sig AS (
+       |  SELECT n.vec_id, CAST(SUM(CASE WHEN ${dotSql("n.v", "hp.hp")} > 0
+       |    THEN (1::BIGINT << hp.j) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM n, hp GROUP BY n.vec_id
+       |),
+       |bands AS (
+       |  SELECT vec_id, b.band, (sig >> ($LSH_BAND_BITS * b.band)) & $mask AS bk
+       |  FROM sig, (SELECT unnest([${(0 until nBands).mkString(",")}]) AS band) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS n_id
+       |  FROM bands x JOIN bands q ON x.band = q.band AND x.bk = q.bk
+       |  WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+       |),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand JOIN n a ON a.vec_id = cand.q_id JOIN n b ON b.vec_id = cand.n_id
+       |)
+       |SELECT q_id, n_id, cos_bp, rank FROM (
+       |  SELECT q_id, n_id, cos_bp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ===================== multimodal =====================
+  import graft.multimodal.Multimodal
+
+  // --- mm_features: opaque binary payloads + typed metadata through
+  // the batched per-partition decode stub, reduced to per-source
+  // stats. The decode is a deterministic fake (see Multimodal); the
+  // Spark-side plumbing — binary column, typed Dataset, mapPartitions
+  // batch shape — is the real article.
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import Multimodal._
+    val assets = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+      .as[MmAsset](assetEnc)
+    Multimodal.features(assets).toDF()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        min(col("width")).as("min_w"),
+        max(col("width")).as("max_w"),
+        sum(col("frames")).as("sum_frames"),
+        countDistinct(col("fp")).as("n_fp"))
+      .orderBy(col("source"))
+  }
+
+  val mmFeaturesSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    octet_length(encode(text)) AS n_bytes,
+       |    ${hash60Sql("text")} % 640 AS width,
+       |    (${hash60Sql("text")} // 640) % 480 AS height,
+       |    octet_length(encode(text)) % 30 AS frames,
+       |    ${hash60Sql("text")} % 1000000007 AS fp
+       |  FROM documents
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+       |  MIN(width) AS min_w, MAX(width) AS max_w,
+       |  CAST(SUM(frames) AS BIGINT) AS sum_frames, COUNT(DISTINCT fp) AS n_fp
+       |FROM f
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
@@ -361,7 +555,11 @@ object LlmPipeline {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
-    "ngram_jaccard" -> ngramJaccard)
+    "ngram_jaccard" -> ngramJaccard,
+    "embed_neardup" -> embedNeardup,
+    "ann_topk" -> annTopk,
+    "ann_lsh" -> annLsh,
+    "mm_features" -> mmFeatures)
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -371,5 +569,9 @@ object LlmPipeline {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "ngram_jaccard" -> ngramJaccardSql)
+    "ngram_jaccard" -> ngramJaccardSql,
+    "embed_neardup" -> embedNeardupSql,
+    "ann_topk" -> annTopkSql,
+    "ann_lsh" -> annLshSql,
+    "mm_features" -> mmFeaturesSql)
 }
