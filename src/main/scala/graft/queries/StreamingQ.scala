@@ -1,0 +1,95 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Tables
+import graft.streaming.{Sessionize, StreamWriter}
+
+/** Streaming analytics over the events table (SURVEY.md §2):
+  * watermarked tumbling-window aggregation through a REAL
+  * Structured Streaming query (file source → memory sink, drained
+  * with AvailableNow for determinism), and gap sessionization via the
+  * native session_window operator.
+  */
+object StreamingQ {
+
+  private val memId = new AtomicInteger(0)
+
+  // --- stream_window_agg: tumbling 1-hour windows per event_type,
+  // computed by an actual streaming query with a watermark. Complete
+  // output mode + AvailableNow = deterministic full drain; the oracle
+  // replays the same bucketing in batch SQL. In production the sink
+  // is a partitioned parquet/Kafka sink in append mode; the agg state
+  // and shuffle shape are identical.
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val schema = s.read.parquet(staged).schema
+    val in = s.readStream.schema(schema).parquet(staged)
+    val restored =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val name = s"graft_swa_${memId.incrementAndGet()}"
+    val q = restored
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("win_us"), col("event_type"))
+  }
+
+  val streamWindowAggSql: String =
+    """SELECT (EPOCH_US(ts) // 3600000000) * 3600000000 AS win_us,
+      |  event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win_us, event_type""".stripMargin
+
+  // --- sessionize: 24h-gap sessions per user via the native
+  // session_window operator (one shuffle on user_id; identical
+  // operator serves streaming). Oracle = classic SQL gap/island.
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Tables.load(s, dir, "events"), "24 hours")
+      .orderBy(col("user_id"), col("start_us"))
+
+  val sessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, EPOCH_US(ts) AS ts_us, value,
+      |    CASE WHEN EPOCH_US(ts) - lag(EPOCH_US(ts))
+      |        OVER (PARTITION BY user_id ORDER BY ts) > 86400000000
+      |      OR lag(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, ts_us, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, MIN(ts_us) AS start_us,
+      |  MAX(ts_us) + 86400000000 AS end_us,
+      |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      |FROM numbered
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> streamWindowAgg,
+    "sessionize" -> sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> streamWindowAggSql,
+    "sessionize" -> sessionizeSql)
+}
