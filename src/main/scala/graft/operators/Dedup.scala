@@ -12,7 +12,15 @@ import graft.functions.TextFns
   */
 object Dedup {
 
-  /** Word k-shingles, in document order (with multiplicity). */
+  /** Word k-shingles, in document order (with multiplicity).
+    *
+    * PERF: `ws` must be a BOUND column (materialized via a prior
+    * `withColumn`), not an inline expression tree. The lambda
+    * references `ws` per shingle element; an inline tree (e.g.
+    * `TextFns.words(col("text"))`) would be re-evaluated on every
+    * `element_at` access — O(words²) per document (measured 10×
+    * slowdown on the sf0.1 corpus).
+    */
   def shingleSeq(ws: Column, k: Int): Column =
     when(size(ws) >= k,
       transform(sequence(lit(0), size(ws) - lit(k)),
@@ -21,6 +29,23 @@ object Dedup {
 
   /** Distinct word k-shingles (the shingle SET for Jaccard). */
   def shingleSet(ws: Column, k: Int): Column = array_distinct(shingleSeq(ws, k))
+
+  /** documents-style frame → (idCol, shingle column), words
+    * materialized first (see shingleSeq perf note).
+    *
+    * The k-word minimum is enforced BELOW the shingle projection, on
+    * the cheap word count: a `size(sh) > 0` filter above it would be
+    * pushed down with the whole shingle expression substituted into
+    * the predicate and re-evaluated per row (measured 50× slower).
+    * Rows that survive the gate always yield ≥1 shingle.
+    */
+  def withShingles(df: DataFrame, textCol: String, k: Int, distinct: Boolean,
+      idCols: Seq[String], outCol: String): DataFrame = {
+    val sh = if (distinct) shingleSet(col("__ws"), k) else shingleSeq(col("__ws"), k)
+    df.withColumn("__ws", graft.functions.TextFns.words(col(textCol)))
+      .filter(size(col("__ws")) >= k)
+      .select(idCols.map(col) :+ sh.as(outCol): _*)
+  }
 
   /** MinHash signature element i: min over the shingle set of a
     * salted 60-bit hash. One pass per doc, map-side.

@@ -213,18 +213,21 @@ object LlmPipeline {
   // one map-side pass; the only shuffle carries (doc, band-key) rows;
   // verification joins only colliding docs — O(N·bands + collisions).
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
-      .select(col("doc_id"),
-        Dedup.shingleSet(TextFns.words(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // base is reused by the signature pass and both verify joins —
+    // cache it so the (non-trivial) shingling runs once.
+    val base = Dedup.withShingles(t(s, dir, "documents"), "text", 3,
+      distinct = true, Seq("doc_id"), "sh").cache()
     val sigs = base.select(
       Seq(col("doc_id"), col("sh")) ++
         (0 until MH_HASHES).map(i => Dedup.minhashSig(col("sh"), i).as(s"s$i")): _*)
     val bandStructs = (0 until MH_BANDS).map(b =>
       struct(lit(b).as("band"), Dedup.bandKey(b, MH_ROWS).as("bk")))
+    // bands self-joins for candidate pairs — cache to avoid running
+    // the 12-hash signature pass twice.
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+      .cache()
     Dedup.candidatePairs(bands, "doc_id", Seq("band", "bk"))
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -267,10 +270,8 @@ object LlmPipeline {
   // map-side pass (feature hashes materialized once per row); the
   // shuffle carries only (doc, band) rows.
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
-      .select(col("doc_id"),
-        Dedup.shingleSeq(TextFns.words(col("text")), 3).as("feats"))
-      .filter(size(col("feats")) > 0)
+    val base = Dedup.withShingles(t(s, dir, "documents"), "text", 3,
+      distinct = false, Seq("doc_id"), "feats")
       .withColumn("whs", transform(col("feats"), f => TextFns.hash60(f)))
       .withColumn("sig", Dedup.simhash(col("whs"), SH_BITS))
       .select("doc_id", "sig")
@@ -278,9 +279,12 @@ object LlmPipeline {
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * SH_BAND_BITS)
           .bitwiseAND(lit((1L << SH_BAND_BITS) - 1)).as("bk")))
+    // cached: the signature pass would otherwise run twice for the
+    // candidate self-join.
     val bands = base
       .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bk").as("bk"))
+      .cache()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -319,15 +323,15 @@ object LlmPipeline {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val cap = math.max(50L, docs.count() / 50)
-    val base = docs
-      .select(col("doc_id"),
-        Dedup.shingleSet(TextFns.words(col("text")), 2).as("grams"))
-      .filter(size(col("grams")) > 0)
+    // cached: gram sets feed the posting list AND both verify joins.
+    val base = Dedup.withShingles(docs, "text", 2,
+      distinct = true, Seq("doc_id"), "grams").cache()
     val posting = base.select(col("doc_id"), explode(col("grams")).as("gram"))
     val rare = posting.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
-    val capped = posting.join(rare.select("gram"), "gram")
+    // cached: the capped posting list self-joins for candidates.
+    val capped = posting.join(rare.select("gram"), "gram").cache()
     Dedup.candidatePairs(capped, "doc_id", Seq("gram"))
       .join(base.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
@@ -366,11 +370,16 @@ object LlmPipeline {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $DIM), i -> $a[i] * $b[i])), (x, y) -> x + y)"
 
-  /** Embeddings with precomputed norm (shared base for vector ops). */
+  /** Embeddings with precomputed norm (shared base for vector ops).
+    * Cached: every vector op self-joins or reuses this frame, and
+    * Spark's plan-canonicalized cache shares ONE materialization
+    * across embed_neardup / ann_topk / ann_lsh in a session.
+    */
   private def embBase(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), VectorFns.toD(col("embedding")).as("v"))
       .withColumn("nrm", VectorFns.norm(col("v")))
+      .cache()
 
   private val embBaseSql =
     s"""SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
