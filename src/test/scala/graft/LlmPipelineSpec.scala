@@ -54,3 +54,40 @@ class TextFnsSpec extends AnyFunSuite {
     assert(h1 === h2 && h1 >= 0L)
   }
 }
+
+/** Scale-shape assertions: the plans the 100 TB design depends on. */
+class PipelinePlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("text ops prune the documents scan to the needed columns") {
+    val p = plan("text_tokens")
+    assert(p.contains("ReadSchema") && !p.contains("lang"),
+      s"text_tokens should not read lang:\n${p.take(2000)}")
+  }
+
+  test("dedup candidate generation never cross-joins") {
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cross-joins:\n${p.take(2000)}")
+    }
+  }
+
+  test("ann_topk broadcasts the query side (scan streams once)") {
+    val p = plan("ann_topk")
+    assert(p.contains("Broadcast"), s"query side not broadcast:\n${p.take(2000)}")
+  }
+
+  test("exact dedup is a single hash aggregate, no sort-based agg") {
+    val p = plan("dedup_exact")
+    assert(p.contains("HashAggregate"), s"expected hash agg:\n${p.take(2000)}")
+  }
+
+  test("sessionize shuffles once on the user key") {
+    val p = plan("sessionize")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles:\n${p.take(3000)}")
+  }
+}
