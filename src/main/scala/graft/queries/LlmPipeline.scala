@@ -212,7 +212,11 @@ object LlmPipeline {
   // buckets → candidate pairs → exact-Jaccard verify. Signatures are
   // one map-side pass; the only shuffle carries (doc, band-key) rows;
   // verification joins only colliding docs — O(N·bands + collisions).
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash near-dup pairs (doc_a, doc_b, jacc_bp ≥ 5000) — the
+    * shared engine behind dedup_minhash / dedup_retention /
+    * dedup_clusters.
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // base is reused by the signature pass and both verify joins —
     // cache it so the (non-trivial) shingling runs once.
     val base = Dedup.withShingles(t(s, dir, "documents"), "text", 3,
@@ -234,32 +238,39 @@ object LlmPipeline {
       .select(col("doc_a"), col("doc_b"),
         Dedup.jaccardBp(col("sha"), col("shb")).as("jacc_bp"))
       .filter(col("jacc_bp") >= 5000)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val dedupMinhashSql: String = {
+  /** dedupMinhashSql minus the trailing ORDER BY, as a CTE body. */
+  private val minhashPairsSqlBody: String = {
     val sigExprs = (0 until MH_HASHES).map(i =>
       s"list_min(list_transform(sh, s -> ${hash60Sql(s"'$i|'||s")})) AS s$i").mkString(",\n    ")
     val bandCases = (0 until MH_BANDS).map { b =>
       val cat = (0 until MH_ROWS).map(j => s"s${b * MH_ROWS + j}::VARCHAR").mkString("||','||")
       s"WHEN ${b} THEN md5($cat)"
     }.mkString(" ")
-    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+    s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
        |sh0 AS (SELECT doc_id, list_distinct(${shSeqSql(3)}) AS sh FROM w),
-       |base AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       |mbase AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh,
        |    $sigExprs
-       |  FROM base),
+       |  FROM mbase),
        |bands AS (SELECT doc_id, b.band, CASE b.band $bandCases END AS bk
        |  FROM sig, (SELECT unnest([${(0 until MH_BANDS).mkString(",")}]) AS band) b),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST((len(list_intersect(x.sh, y.sh)) * 10000) // len(list_distinct(x.sh || y.sh)) AS BIGINT) AS jacc_bp
-       |FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
-       |WHERE (len(list_intersect(x.sh, y.sh)) * 10000) // len(list_distinct(x.sh || y.sh)) >= 5000
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |    CAST((len(list_intersect(x.sh, y.sh)) * 10000) // len(list_distinct(x.sh || y.sh)) AS BIGINT) AS jacc_bp
+       |  FROM cand JOIN mbase x ON x.doc_id = doc_a JOIN mbase y ON y.doc_id = doc_b
+       |  WHERE (len(list_intersect(x.sh, y.sh)) * 10000) // len(list_distinct(x.sh || y.sh)) >= 5000)""".stripMargin
   }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupMinhashSql: String =
+    s"""WITH $minhashPairsSqlBody
+       |SELECT doc_a, doc_b, jacc_bp FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val SH_BITS = 48
   private val SH_BAND_BITS = 12
@@ -356,6 +367,113 @@ object LlmPipeline {
        |FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b
        |WHERE (len(list_intersect(x.grams, y.grams)) * 10000) // len(list_distinct(x.grams || y.grams)) >= 3000
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- dedup_retention: the greedy keep-policy applied after
+  // near-dup pair detection — drop the higher doc_id of every pair,
+  // report per-language corpus shrinkage. One anti-join on the
+  // (small) drop list; at 100 TB the drop list broadcast-joins.
+  def dedupRetention(s: SparkSession, dir: String): DataFrame = {
+    val drops = minhashPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    t(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("text"))).cast("bigint").as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val dedupRetentionSql: String =
+    s"""WITH $minhashPairsSqlBody,
+       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(length(text)) AS BIGINT) AS kept_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // --- dedup_clusters: connected components over the near-dup pair
+  // graph (transitive closure — A~B, B~C ⇒ {A,B,C} share a cluster),
+  // by iterative min-label propagation: each round every node takes
+  // the min label in its neighborhood; fixpoint = components. Each
+  // round is one shuffle-join; rounds ≤ graph diameter. This is the
+  // standard distributed CC shape (GraphX/GraphFrames) — no driver
+  // state beyond the convergence counter. The oracle unrolls the
+  // propagation 8 rounds (component diameters here are ≤ 3; the
+  // Spark side iterates to true fixpoint regardless).
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b").cache()
+    // adjacency with self-loops, both directions
+    val adj = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .union(pairs.select(col("doc_a").as("node"), col("doc_a").as("nbr")))
+      .union(pairs.select(col("doc_b").as("node"), col("doc_b").as("nbr")))
+      .distinct().cache()
+    var labels = adj.groupBy(col("node")).agg(min(col("nbr")).as("label")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"l$r AS (SELECT adj.node, min(l${r - 1}.label) AS label FROM adj JOIN l${r - 1} ON l${r - 1}.node = adj.nbr GROUP BY adj.node)"
+    }.mkString(",\n")
+    s"""WITH $minhashPairsSqlBody,
+       |e AS (SELECT doc_a, doc_b FROM pairs),
+       |adj AS (
+       |  SELECT doc_a AS node, doc_b AS nbr FROM e
+       |  UNION SELECT doc_b, doc_a FROM e
+       |  UNION SELECT doc_a, doc_a FROM e
+       |  UNION SELECT doc_b, doc_b FROM e),
+       |l0 AS (SELECT node, min(nbr) AS label FROM adj GROUP BY node),
+       |$rounds
+       |SELECT node AS doc_id, label AS cluster_id FROM l8
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- sample_stratified: deterministic per-language hash sampling —
+  // the rebalancing step of a training-data mixer. Keep-decision is
+  // pure per-row arithmetic (hash60(salt||text) bucket < per-lang
+  // rate): reproducible across runs/engines, no RNG state, map-side
+  // at any scale.
+  private val sampleRates: Map[String, Int] = // percent per language
+    Map("en" -> 20, "de" -> 60, "fr" -> 60, "es" -> 60, "zh" -> 80)
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = TextFns.hash60(concat(lit("smp|"), col("text"))) % 100
+    val rate = sampleRates.foldLeft(lit(0)) { case (c, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(c)
+    }
+    t(s, dir, "documents")
+      .withColumn("keep", bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleStratifiedSql: String = {
+    val rateCase = sampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN ${hash60Sql("'smp|'||text")} % 100 < (CASE $rateCase ELSE 0 END)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
 
   // ===================== similarity search =====================
   import graft.functions.VectorFns
@@ -565,6 +683,9 @@ object LlmPipeline {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
+    "dedup_retention" -> dedupRetention,
+    "dedup_clusters" -> dedupClusters,
+    "sample_stratified" -> sampleStratified,
     "embed_neardup" -> embedNeardup,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
@@ -579,6 +700,9 @@ object LlmPipeline {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "dedup_retention" -> dedupRetentionSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "embed_neardup" -> embedNeardupSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
