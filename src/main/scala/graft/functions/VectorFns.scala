@@ -32,6 +32,14 @@ object VectorFns {
   def cosineBp(a: Column, b: Column, normA: Column, normB: Column): Column =
     floor(cosine(a, b, normA, normB) * lit(10000)).cast("bigint")
 
+  /** Same value via the native [[CosineSim]] expression (fused
+    * single-pass codegen loop — the pair-scoring hot path). Bit-equal
+    * to the composed form: identical IEEE op order. Requires
+    * [[graft.plans.GraftExtensions]] registration.
+    */
+  def cosineBpNative(a: Column, b: Column): Column =
+    floor(call_function("graft_cosine", a, b) * lit(10000)).cast("bigint")
+
   /** Deterministic pseudo-random hyperplane component numerators
     * (denominator 1000): md5-derived integers in [-1000, 1000],
     * identical formula on the oracle side. Computed in Scala (they

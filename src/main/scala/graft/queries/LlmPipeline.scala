@@ -493,11 +493,12 @@ object LlmPipeline {
     * Spark's plan-canonicalized cache shares ONE materialization
     * across embed_neardup / ann_topk / ann_lsh in a session.
     */
-  private def embBase(s: SparkSession, dir: String): DataFrame =
+  private def embBase(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s) // graft_cosine, idempotent
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), VectorFns.toD(col("embedding")).as("v"))
-      .withColumn("nrm", VectorFns.norm(col("v")))
       .cache()
+  }
 
   private val embBaseSql =
     s"""SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
@@ -517,12 +518,12 @@ object LlmPipeline {
   // shuffle on the blocking key.
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = embBase(s, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label").cast("bigint").as("label"), col("vec_a"), col("vec_b"),
-        VectorFns.cosineBp(col("va"), col("vb"), col("na"), col("nb")).as("cos_bp"))
+        VectorFns.cosineBpNative(col("va"), col("vb")).as("cos_bp"))
       .filter(col("cos_bp") >= 3000)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -542,10 +543,10 @@ object LlmPipeline {
   def annTopk(s: SparkSession, dir: String): DataFrame = {
     val e = embBase(s, dir)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        VectorFns.cosineBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+        VectorFns.cosineBpNative(col("qv"), col("v")).as("cos_bp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -588,10 +589,10 @@ object LlmPipeline {
       Seq("band", "bk")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id")).distinct()
     val scored = cand
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
-      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn")), "n_id")
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
       .select(col("q_id"), col("n_id"),
-        VectorFns.cosineBp(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_bp"))
+        VectorFns.cosineBpNative(col("qv"), col("nv")).as("cos_bp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))

@@ -48,4 +48,25 @@ class VectorFnsSpec extends AnyFunSuite {
     assert(h1 === h2)
     assert(h1.forall(k => k >= -1000 && k <= 1000))
   }
+
+  test("native graft_cosine is bit-equal to the composed zip_with form") {
+    graft.plans.GraftExtensions.register(spark)
+    val e = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), VectorFns.toD(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(500)
+    val diff = pairs.select(
+      call_function("graft_cosine", col("va"), col("vb")).as("native"),
+      VectorFns.cosine(col("va"), col("vb"),
+        VectorFns.norm(col("va")), VectorFns.norm(col("vb"))).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(diff === 0L)
+  }
+
+  test("graft_cosine resolves in plain SQL via the session extension") {
+    val n = spark.sql(
+      "SELECT graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c").head().getDouble(0)
+    assert(n === 1.0)
+  }
 }
