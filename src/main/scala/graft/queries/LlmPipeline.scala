@@ -413,8 +413,12 @@ object LlmPipeline {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val next = adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+      var next = adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
         .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
+      // periodic lineage truncation: each round's plan references the
+      // previous round's, so long chains (big diameters) would make
+      // planning itself the bottleneck.
+      if (rounds % 8 == 7) next = next.localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
