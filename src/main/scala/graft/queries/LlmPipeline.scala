@@ -171,6 +171,146 @@ object LlmPipeline {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // --- text_repetition: boilerplate/repetition signals — distinct
+  // -word ratio, top-word share, duplicated-bigram share. Standard
+  // LLM-corpus quality gates (Gopher-style repetition filters); all
+  // map-side integer arithmetic on a materialized token array.
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = col("__ws")
+    val n = size(ws).cast("bigint")
+    val nDist = size(array_distinct(ws)).cast("bigint")
+    val topFreq = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w)))).cast("bigint")
+    val g2 = col("__g2")
+    val n2 = size(g2).cast("bigint")
+    val n2Dist = size(array_distinct(g2)).cast("bigint")
+    t(s, dir, "documents")
+      .withColumn("__ws", TextFns.words(col("text")))
+      .filter(size(col("__ws")) >= 2)
+      .withColumn("__g2", graft.operators.Dedup.shingleSeq(col("__ws"), 2))
+      .select(
+        col("doc_id"),
+        n.as("n_words"),
+        idiv(nDist * lit(10000L), n).as("distinct_bp"),
+        idiv(topFreq * lit(10000L), n).as("top_word_bp"),
+        idiv((n2 - n2Dist) * lit(10000L), n2).as("dup_2gram_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |f AS (SELECT doc_id, ws, ${shSeqSql(2)} AS g2 FROM w WHERE len(ws) >= 2)
+       |SELECT doc_id,
+       |  len(ws) AS n_words,
+       |  (len(list_distinct(ws)) * 10000) // len(ws) AS distinct_bp,
+       |  (CAST(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) AS BIGINT) * 10000) // len(ws) AS top_word_bp,
+       |  ((len(g2) - len(list_distinct(g2))) * 10000) // len(g2) AS dup_2gram_bp
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+
+  // --- decontaminate: eval-set decontamination — flag training docs
+  // sharing ≥ threshold 3-grams with a probe (benchmark) set. Probe
+  // grams broadcast (eval sets are tiny vs the corpus); the check is
+  // a posting-list join + per-doc count, map-heavy at any scale.
+  private val DECON_PROBE_DOCS = 5
+  private val DECON_MIN_HITS = 3
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.operators.Dedup.withShingles(t(s, dir, "documents"), "text", 3,
+      distinct = true, Seq("doc_id"), "grams")
+    val probe = grams.filter(col("doc_id") < DECON_PROBE_DOCS)
+      .select(explode(col("grams")).as("gram")).distinct()
+    grams.filter(col("doc_id") >= DECON_PROBE_DOCS)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(probe), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= DECON_MIN_HITS)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |g AS (SELECT doc_id, list_distinct(${shSeqSql(3)}) AS grams FROM w WHERE len(ws) >= 3),
+       |probe AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < $DECON_PROBE_DOCS),
+       |p AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= $DECON_PROBE_DOCS)
+       |SELECT doc_id, COUNT(*) AS n_hits
+       |FROM p JOIN probe USING (gram)
+       |GROUP BY doc_id
+       |HAVING COUNT(*) >= $DECON_MIN_HITS
+       |ORDER BY doc_id""".stripMargin
+
+  // --- text_chunk: fixed-size token chunking (sequence prep for
+  // training). Chunks materialize from one array slice expression and
+  // a posexplode — no shuffle until the caller needs one.
+  private val CHUNK_TOKENS = 64
+
+  def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val nChunks = ceil(size(col("__ws")) / lit(CHUNK_TOKENS.toDouble)).cast("int")
+    t(s, dir, "documents")
+      .withColumn("__ws", TextFns.words(col("text")))
+      .filter(size(col("__ws")) >= 1)
+      .withColumn("__chunks", transform(sequence(lit(0), nChunks - 1),
+        i => slice(col("__ws"), i * lit(CHUNK_TOKENS) + lit(1), lit(CHUNK_TOKENS))))
+      .select(col("doc_id"), posexplode(col("__chunks")).as(Seq("chunk_idx", "toks")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        size(col("toks")).cast("bigint").as("n_tok"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val textChunkSql: String =
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 1),
+       |c AS (SELECT doc_id, i - 1 AS chunk_idx, ws[(i-1)*$CHUNK_TOKENS+1 : least(i*$CHUNK_TOKENS, len(ws))] AS toks
+       |  FROM f, LATERAL unnest(generate_series(1, CAST(ceil(len(ws) / $CHUNK_TOKENS.0) AS BIGINT))) t(i))
+       |SELECT doc_id, chunk_idx, len(toks) AS n_tok,
+       |  toks[1] AS first_tok, toks[len(toks)] AS last_tok
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --- seq_pack: greedy sequential packing of chunks into
+  // fixed-token training sequences, sharded so the running total is a
+  // per-shard window (parallel at scale; a global cumsum would be a
+  // single-partition anti-pattern).
+  private val PACK_BUDGET = 1024
+  private val PACK_SHARDS = 16
+
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val chunks = textChunk(s, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"))
+      .withColumn("shard", (col("doc_id") % PACK_SHARDS).cast("bigint"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", ((col("cum") - col("n_tok")) / lit(PACK_BUDGET.toLong)).cast("bigint"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("sum_tok"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  val seqPackSql: String =
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 1),
+       |c AS (SELECT doc_id, i - 1 AS chunk_idx,
+       |    least(i*$CHUNK_TOKENS, len(ws)) - (i-1)*$CHUNK_TOKENS AS n_tok
+       |  FROM f, LATERAL unnest(generate_series(1, CAST(ceil(len(ws) / $CHUNK_TOKENS.0) AS BIGINT))) t(i)),
+       |sh AS (SELECT doc_id, chunk_idx, n_tok, doc_id % $PACK_SHARDS AS shard FROM c),
+       |cum AS (SELECT shard, doc_id, chunk_idx, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sh)
+       |SELECT shard, CAST((cum - n_tok) // $PACK_BUDGET AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_chunks, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       |  COUNT(DISTINCT doc_id) AS n_docs
+       |FROM cum
+       |GROUP BY shard, pack_id
+       |ORDER BY shard, pack_id""".stripMargin
+
   // ===================== deduplication =====================
   import graft.operators.Dedup
 
@@ -684,6 +824,10 @@ object LlmPipeline {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_fingerprint" -> textFingerprint,
+    "text_repetition" -> textRepetition,
+    "decontaminate" -> decontaminate,
+    "text_chunk" -> textChunk,
+    "seq_pack" -> seqPack,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -701,6 +845,10 @@ object LlmPipeline {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_repetition" -> textRepetitionSql,
+    "decontaminate" -> decontaminateSql,
+    "text_chunk" -> textChunkSql,
+    "seq_pack" -> seqPackSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,

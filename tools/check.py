@@ -37,6 +37,8 @@ for name in sorted(os.listdir(out)):
     schema = list(sd.columns) == list(od.columns)
     # value compare: stringify and sort rows (driver hashes sorted values)
     def canon(df):
+        if len(df) == 0:
+            return []
         return sorted(df.astype(str).apply("|".join, axis=1).tolist())
     hashm = rows and schema and canon(sd) == canon(od)
     status = "OK " if (rows and schema and hashm) else "FAIL"
