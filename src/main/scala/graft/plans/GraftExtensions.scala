@@ -13,8 +13,10 @@ import graft.functions.CosineSim
   * session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectOptimizerRule(FuseCosine)
+  }
 }
 
 object GraftExtensions {

@@ -64,6 +64,19 @@ class VectorFnsSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("FuseCosine rewrites the composed zip_with form to the native expression") {
+    val e = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), VectorFns.toD(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val composed = a.join(b, col("ia") < col("ib"))
+      .select(VectorFns.cosine(col("va"), col("vb"),
+        VectorFns.norm(col("va")), VectorFns.norm(col("vb"))).as("c"))
+    val optimized = composed.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_cosine"),
+      s"composed cosine not fused:\n${optimized.take(2000)}")
+  }
+
   test("graft_cosine resolves in plain SQL via the session extension") {
     val n = spark.sql(
       "SELECT graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c").head().getDouble(0)
