@@ -127,19 +127,21 @@ object WritePath {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
-  // --- partitioned_write: full BlockWriter round-trip. The oracle
-  // pins the file-count law (ceil(rows/maxRecordsPerFile) per
-  // partition — one task owns a partition value after the hash
-  // repartition) and zero sort violations.
+  // --- partitioned_write: full BlockWriter round-trip at the
+  // reference's MaxSize=4096 (main.go:78). The oracle pins the
+  // file-count law (ceil(rows/maxRecordsPerFile) per partition — one
+  // task owns a partition value after the hash repartition) and zero
+  // sort violations; fine-grained (multi-file) blocking is exercised
+  // by block_assign (the block math) and compaction (16-row scatter).
   def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
     val out = tmp("graft_pw_")
     BlockWriter.write(t(s, dir, "events"), out,
-      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 32))
-    readBackStats(s, out, 32)
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096))
+    readBackStats(s, out, 4096)
   }
 
   val partitionedWriteSql: String =
-    statsOracle("CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)")
+    statsOracle("CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT)")
 
   // --- compaction: scatter tiny blocks (≤16 rows) for a TARGETED
   // subset of partitions, then Compactor rewrites each to a single
