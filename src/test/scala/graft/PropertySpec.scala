@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup}
+
+/** Randomized model tests (seeded, deterministic): operator
+  * implementations vs brute-force models on random small inputs —
+  * catches tie-breaking / empty-group / null edge semantics that
+  * fixed fixtures miss.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val keys = Seq("k1", "k2", "k3")
+
+  test("leftAsOf == brute-force latest-at-or-before model (20 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 20) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val lRows = Seq.fill(1 + rnd.nextInt(12))((keys(rnd.nextInt(3)), rnd.nextInt(20).toLong))
+      val rRows = Seq.fill(rnd.nextInt(12))((keys(rnd.nextInt(3)), rnd.nextInt(20).toLong, rnd.nextInt(100)))
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rRows.toDF("k", "t", "p")
+      val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", Seq("p"))
+        .select("lid", "p").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      // model: per left row, right rows same key with t <= left.t;
+      // max t wins, ties broken by LARGEST p (tie-break asc carry).
+      val expect = lRows.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rRows.filter(r => r._1 == k && r._2 <= t)
+        val best = if (cands.isEmpty) None else {
+          val mt = cands.map(_._2).max
+          Some(cands.filter(_._2 == mt).map(_._3).max)
+        }
+        i.toLong -> best
+      }.toMap
+      assert(got === expect, s"trial $trial: left=$lRows right=$rRows")
+    }
+  }
+
+  test("blockId == floor((rank-1)/maxSize) model (20 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 20) {
+      val rnd = new scala.util.Random(2000 + trial)
+      val rows = Seq.fill(1 + rnd.nextInt(20))((keys(rnd.nextInt(3)), rnd.nextInt(30).toLong)).distinct
+      val maxSize = 1 + rnd.nextInt(5)
+      val df = rows.toDF("k", "t")
+      val got = df.withColumn("b",
+        graft.writer.BlockWriter.blockId("k", Seq(col("t")), maxSize))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expect = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(_._2).zipWithIndex.map { case ((k, t), i) => (k, t) -> (i / maxSize).toLong }
+      }
+      assert(got === expect, s"trial $trial: rows=$rows maxSize=$maxSize")
+    }
+  }
+
+  test("jaccardBp == integer model on random string sets (20 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    val alphabet = Seq("a", "b", "c", "d", "e", "f")
+    for (trial <- 0 until 20) {
+      val rnd = new scala.util.Random(3000 + trial)
+      val xa = Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(6))).distinct
+      val xb = Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(6))).distinct
+      val df = Seq((xa, xb)).toDF("a", "b")
+      val got = df.select(Dedup.jaccardBp(col("a"), col("b")).as("j")).head().getLong(0)
+      val inter = xa.toSet.intersect(xb.toSet).size.toLong
+      val uni = xa.toSet.union(xb.toSet).size.toLong
+      assert(got === inter * 10000L / uni, s"trial $trial: a=$xa b=$xb")
+    }
+  }
+}
