@@ -17,8 +17,15 @@ object TextFns {
 
   /** 60-bit non-negative hash of a string: first 15 hex digits of
     * md5, as a BIGINT. DuckDB twin: ('0x'||substr(md5(x),1,15))::BIGINT.
+    * Uses the native [[Hash60]] expression (digest bytes → long, no
+    * hex-string round-trip; ~3× on signature passes). Requires
+    * [[graft.plans.GraftExtensions]] registration — Tables.load and
+    * GraftSession both ensure it.
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = call_function("graft_hash60", c)
+
+  /** The composed-functions form (spec-checked equal to [[hash60]]). */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
   /** Whitespace tokenization of trimmed text (empty-safe). */

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, Hash60}
 
 /** Session extension registering graft's native expressions with the
   * SQL function registry, so `spark.sql("... graft_cosine(a, b) ...")`
@@ -14,22 +14,29 @@ import graft.functions.CosineSim
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(FuseCosine)
   }
 }
 
 object GraftExtensions {
-  private val cosineDescriptor = (
-    FunctionIdentifier("graft_cosine"),
-    new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-    (children: Seq[Expression]) => {
-      require(children.size == 2, "graft_cosine(arrayA, arrayB)")
-      CosineSim(children.head, children(1))
-    })
+  private val descriptors = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine(arrayA, arrayB)")
+        CosineSim(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_hash60(str)")
+        Hash60(children.head)
+      }))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -21,8 +21,12 @@ object Tables {
     * (re)set here immediately before the raw read so `load` stays
     * correct on a caller-supplied session too.
     */
-  def ensureParquetConfs(spark: SparkSession): Unit =
+  def ensureParquetConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // graft's native SQL functions ride along on any session that
+    // reads the source tables (idempotent).
+    graft.plans.GraftExtensions.register(spark)
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     ensureParquetConfs(spark)

@@ -49,9 +49,23 @@ class TextFnsSpec extends AnyFunSuite {
   }
 
   test("hash60 is non-negative and stable") {
+    graft.plans.GraftExtensions.register(spark)
     val h1 = one(TextFns.hash60(col("text")), "spark").asInstanceOf[Long]
     val h2 = one(TextFns.hash60(col("text")), "spark").asInstanceOf[Long]
     assert(h1 === h2 && h1 >= 0L)
+  }
+
+  test("native hash60 equals the composed conv(substr(md5)) form") {
+    graft.plans.GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val strs = Seq.fill(200)(rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString)
+    val diff = strs.toDF("x").select(
+      TextFns.hash60(col("x")).as("native"),
+      TextFns.hash60Composed(col("x")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(diff === 0L)
   }
 }
 
