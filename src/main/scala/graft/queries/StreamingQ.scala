@@ -57,6 +57,47 @@ object StreamingQ {
       |GROUP BY 1, 2
       |ORDER BY win_us, event_type""".stripMargin
 
+  // --- stream_dedup: stateful streaming deduplication — the
+  // exactly-once ingest guard (at-least-once sources replay rows;
+  // dropDuplicates keyed on event_id with a watermark bounds the
+  // dedup state instead of letting it grow forever). Oracle = batch
+  // DISTINCT ON the same key.
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val schema = s.read.parquet(staged).schema
+    val in = s.readStream.schema(schema).parquet(staged)
+    val restored =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val name = s"graft_sdd_${memId.incrementAndGet()}"
+    val q = restored
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), // (distinct aggs unsupported in streaming)
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("event_type"), col("n"), col("min_user"), col("max_user"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(user_id) AS min_user, MAX(user_id) AS max_user
+      |FROM (SELECT DISTINCT ON (event_id) event_id, event_type, user_id FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- sessionize: 24h-gap sessions per user via the native
   // session_window operator (one shuffle on user_id; identical
   // operator serves streaming). Oracle = classic SQL gap/island.
@@ -87,9 +128,11 @@ object StreamingQ {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
+    "stream_dedup" -> streamDedup,
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
+    "stream_dedup" -> streamDedupSql,
     "sessionize" -> sessionizeSql)
 }
