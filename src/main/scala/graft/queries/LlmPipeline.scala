@@ -777,6 +777,99 @@ object LlmPipeline {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // --- ann_ivf: the IVF (inverted-file) ANN variant — vectors are
+  // assigned to the nearest of K fixed centroids map-side (argmax
+  // over K cosines, no shuffle); queries probe the nearest NPROBE
+  // cells and re-rank exact cosines over cell members only. Centroids
+  // here are a deterministic stand-in (first K vectors) for a trained
+  // codebook; swap in k-means output without touching the plan.
+  private val IVF_K = 16
+  private val IVF_NPROBE = 2
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val cents = e.filter(col("vec_id") < IVF_K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // cell assignment: argmax over centroid cosines, tie → lowest cid
+    // (struct max orders by cos then -cid). Centroid set is broadcast
+    // as plan literals-by-join: a 16-row broadcast.
+    val scoredCells = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        VectorFns.cosineBpNative(col("v"), col("cv")).as("c"),
+        col("cid"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c").desc, col("cid"))
+    val cells = scoredCells
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val qProbe = scoredCells.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= IVF_NPROBE)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = cells.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("nv")).as("cos_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH n AS ($embBaseSql),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $IVF_K),
+       |sc AS (
+       |  SELECT n.vec_id,
+       |    CAST(floor(${dotSql("n.v", "cents.cv")} / (sqrt(${dotSql("n.v", "n.v")}) * sqrt(${dotSql("cents.cv", "cents.cv")})) * 10000) AS BIGINT) AS c,
+       |    cents.cid
+       |  FROM n, cents
+       |),
+       |ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn FROM sc),
+       |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS q_id, cid AS cell FROM ranked WHERE rn <= $IVF_NPROBE AND vec_id < 10),
+       |cand AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       |  FROM cells c JOIN qprobe q ON c.cell = q.cell WHERE c.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand JOIN n a ON a.vec_id = cand.q_id JOIN n b ON b.vec_id = cand.n_id
+       |)
+       |SELECT q_id, n_id, cos_bp, rank FROM (
+       |  SELECT q_id, n_id, cos_bp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+
+  // --- text_ngram_freq: corpus-level n-gram frequencies, global
+  // top-k — corpus statistics for vocabulary/contamination analysis.
+  // Posting explode + partial-agg groupBy + TakeOrdered top-k (heap
+  // merge, no global sort).
+  def textNgramFreq(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.withShingles(t(s, dir, "documents"), "text", 2,
+      distinct = false, Seq("doc_id"), "grams")
+      .select(explode(col("grams")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(50)
+
+  val textNgramFreqSql: String =
+    s"""SELECT gram, COUNT(*) AS n
+       |FROM (
+       |  SELECT unnest(${shSeqSql(2)}) AS gram
+       |  FROM (SELECT $wsSql AS ws FROM documents)
+       |  WHERE len(ws) >= 2)
+       |GROUP BY gram
+       |ORDER BY n DESC, gram
+       |LIMIT 50""".stripMargin
+
   // ===================== multimodal =====================
   import graft.multimodal.Multimodal
 
@@ -838,6 +931,8 @@ object LlmPipeline {
     "embed_neardup" -> embedNeardup,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
+    "text_ngram_freq" -> textNgramFreq,
     "mm_features" -> mmFeatures)
 
   val oracles: Map[String, String] = Map(
@@ -859,5 +954,7 @@ object LlmPipeline {
     "embed_neardup" -> embedNeardupSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
+    "text_ngram_freq" -> textNgramFreqSql,
     "mm_features" -> mmFeaturesSql)
 }

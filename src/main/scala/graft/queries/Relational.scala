@@ -335,6 +335,31 @@ object Relational {
   // before it by the same user. DuckDB oracle uses native ASOF JOIN;
   // our implementation is the scalable union+window plan (one shuffle
   // on user_id, no range-explosion) — see operators/AsOfJoin.scala.
+  // --- q_cube: CUBE hierarchy agg (all grouping-set combinations)
+  // with grouping_id disambiguation — complements q_rollup. Same
+  // single-shuffle partial-agg shape; the cube expansion is map-side.
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n"),
+        r2(sum(col("l_quantity"))).as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
+  val qCubeSql: String =
+    """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  COALESCE(l_returnflag, '<all>') AS rf,
+      |  COALESCE(l_linestatus, '<all>') AS ls,
+      |  COUNT(*) AS n,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, rf, ls""".stripMargin
+
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val purchases = e.filter(col("event_type") === "purchase")
@@ -478,6 +503,7 @@ object Relational {
     "q_window" -> qWindow,
     "q_semi_anti" -> qSemiAnti,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_pivot" -> qPivot,
     "q_subquery" -> qSubquery,
     "q_setops" -> qSetops,
@@ -498,6 +524,7 @@ object Relational {
     "q_window" -> qWindowSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
     "q_subquery" -> qSubquerySql,
     "q_setops" -> qSetopsSql,
