@@ -912,6 +912,46 @@ object LlmPipeline {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // --- mm_frames: the video-frame-sampling pattern — each asset
+  // expands to a strided frame index set (stub "frames" derived from
+  // byte length), per-frame features from the deterministic decode,
+  // reduced per asset. Shape: one posexplode, no shuffle until the
+  // final agg; a real decoder drops into the frame lambda.
+  private val FRAME_STRIDE = 5
+
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = (octet_length(col("text")) % 30).cast("int")
+    val h = TextFns.hash60(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), nFrames.as("n_frames"), h.as("h"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("source"), col("n_frames"), col("h"),
+        posexplode(sequence(lit(0), col("n_frames") - 1, lit(FRAME_STRIDE)))
+          .as(Seq("sample_idx", "frame_no")))
+      .withColumn("frame_feat", (col("h") + col("frame_no") * lit(2654435761L)) % lit(1000003L))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).cast("bigint").as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("frame_feat")).as("feat_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmFramesSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, octet_length(encode(text)) % 30 AS n_frames,
+       |    ${hash60Sql("text")} AS h
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, n_frames, f.frame_no,
+       |    (h + f.frame_no * 2654435761) % 1000003 AS frame_feat
+       |  FROM a, LATERAL unnest(generate_series(0, n_frames - 1, $FRAME_STRIDE)) f(frame_no)
+       |  WHERE n_frames > 0)
+       |SELECT doc_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       |  COUNT(*) AS n_sampled, CAST(SUM(frame_feat) AS BIGINT) AS feat_sum
+       |FROM fr
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
@@ -933,7 +973,8 @@ object LlmPipeline {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "text_ngram_freq" -> textNgramFreq,
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -956,5 +997,6 @@ object LlmPipeline {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "text_ngram_freq" -> textNgramFreqSql,
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_frames" -> mmFramesSql)
 }

@@ -190,17 +190,86 @@ object WritePath {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // --- upsert_merge: merge-on-read upsert — a base layout plus an
+  // updates batch, resolved to latest-version-per-key at read time
+  // (union + row_number dedup, one shuffle on the key), then
+  // compacted back to a clean layout. The lake-writer companion to
+  // CDC ingest; works identically whether the "read" happens at query
+  // time (MoR) or in a rewrite job (CoW, as here).
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // deterministic updates batch: every 7th event gets value+1000, v=1
+    val updates = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + 1000.0)
+    val merged = ev.withColumn("v", lit(0))
+      .unionByName(updates.withColumn("v", lit(1)))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("v").desc)
+    val resolved = merged
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "v")
+    resolved
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r2(sum(col("value"))).as("sum_value"),
+        sum(when(col("value") > 1000.0, 1L).otherwise(0L)).as("n_updated"))
+      .orderBy(col("event_type"))
+  }
+
+  val upsertMergeSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(SUM(CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END), 2) AS sum_value,
+      |  CAST(SUM(CASE WHEN (CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END) > 1000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- schema_evolution: a lake layout written in two generations —
+  // the second adds a column — read back with mergeSchema, old files
+  // null-filling the new column. The schema-drift behavior every
+  // long-lived ingest pipeline depends on.
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_se_")
+    val ev = t(s, dir, "events")
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.mode("overwrite").parquet(s"$out/gen=0")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("value"),
+        upper(col("event_type")).as("etype"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("gen").cast("bigint").as("gen"))
+      .agg(count(lit(1)).as("n"),
+        count(col("etype")).as("n_etype"),
+        countDistinct(col("etype")).as("etype_card"))
+      .orderBy(col("gen"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT event_id % 2 AS gen, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_etype,
+      |  CAST(CASE WHEN event_id % 2 = 1 THEN COUNT(DISTINCT upper(event_type)) ELSE 0 END AS BIGINT) AS etype_card
+      |FROM events
+      |GROUP BY event_id % 2
+      |ORDER BY gen""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_schema" -> ingestSchema,
     "block_assign" -> blockAssign,
     "partitioned_write" -> partitionedWrite,
     "compaction" -> compaction,
-    "stream_write" -> streamWrite)
+    "stream_write" -> streamWrite,
+    "upsert_merge" -> upsertMerge,
+    "schema_evolution" -> schemaEvolution)
 
   val oracles: Map[String, String] = Map(
     "ingest_schema" -> ingestSchemaSql,
     "block_assign" -> blockAssignSql,
     "partitioned_write" -> partitionedWriteSql,
     "compaction" -> compactionSql,
-    "stream_write" -> streamWriteSql)
+    "stream_write" -> streamWriteSql,
+    "upsert_merge" -> upsertMergeSql,
+    "schema_evolution" -> schemaEvolutionSql)
 }
