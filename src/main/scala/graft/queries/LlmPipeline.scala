@@ -852,8 +852,11 @@ object LlmPipeline {
   // Posting explode + partial-agg groupBy + TakeOrdered top-k (heap
   // merge, no global sort).
   def textNgramFreq(s: SparkSession, dir: String): DataFrame =
+    // cached before the explode: Generate inlines a computed array
+    // child and re-evaluates it per OUTPUT row (measured 6×); an
+    // attribute child (cache/exchange boundary) evaluates once.
     graft.operators.Dedup.withShingles(t(s, dir, "documents"), "text", 2,
-      distinct = false, Seq("doc_id"), "grams")
+      distinct = false, Seq("doc_id"), "grams").cache()
       .select(explode(col("grams")).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
