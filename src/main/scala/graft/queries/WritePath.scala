@@ -24,8 +24,31 @@ object WritePath {
 
   private def r2(c: Column): Column = round(c, 2)
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Temp lake layouts are deleted at JVM exit (they must outlive the
+    * query's lazy read-back, so in-query deletion isn't possible) —
+    * repeated verify/bench runs would otherwise strand thousands of
+    * small files in /tmp.
+    */
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
+  /** Eager recursive delete for dirs whose consumers have finished. */
+  private def rmNow(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
 
   // --- ingest_schema: the reference's schema-enforced ingest
   // (goavro codec semantics: null-unions + defaults; main.go:20-42).
@@ -158,6 +181,7 @@ object WritePath {
       BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 16))
     Compactor.compact(s, small, compacted,
       BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1 << 22))
+    rmNow(small) // scatter files are consumed by the (eager) compact
     readBackStats(s, compacted, 1 << 22)
   }
 

@@ -72,6 +72,13 @@ object StreamWriter {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_")
     val src = java.nio.file.Paths.get(file)
     java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
     dir.toString
   }
 }
