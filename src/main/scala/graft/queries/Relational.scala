@@ -335,6 +335,54 @@ object Relational {
   // before it by the same user. DuckDB oracle uses native ASOF JOIN;
   // our implementation is the scalable union+window plan (one shuffle
   // on user_id, no range-explosion) — see operators/AsOfJoin.scala.
+  // --- q_window_range: RANGE-framed window — trailing 7-day sum /
+  // count per user over event time (the feature-engineering moving
+  // aggregate). The frame is on the integer µs timestamp so both
+  // engines bound it identically; one shuffle on user_id.
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-sevenDaysUs, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d", r2(sum(col("value")).over(w)))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_7d"), col("sum_7d"))
+      .orderBy(col("event_id"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT event_id, user_id, EPOCH_US(ts) AS ts_us,
+      |  COUNT(*) OVER w AS n_7d,
+      |  ROUND(SUM(value) OVER w, 2) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // --- q_percentile: exact quantiles (linear interpolation — the
+  // deterministic complement to q_approx's sketches). Exact
+  // percentile is a per-group sort; at scale you reach for the
+  // sketch, which is why both live in the inventory.
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val qPercentileSql: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q_cube: CUBE hierarchy agg (all grouping-set combinations)
   // with grouping_id disambiguation — complements q_rollup. Same
   // single-shuffle partial-agg shape; the cube expansion is map-side.
@@ -504,6 +552,8 @@ object Relational {
     "q_semi_anti" -> qSemiAnti,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
+    "q_window_range" -> qWindowRange,
+    "q_percentile" -> qPercentile,
     "q_pivot" -> qPivot,
     "q_subquery" -> qSubquery,
     "q_setops" -> qSetops,
@@ -525,6 +575,8 @@ object Relational {
     "q_semi_anti" -> qSemiAntiSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_window_range" -> qWindowRangeSql,
+    "q_percentile" -> qPercentileSql,
     "q_pivot" -> qPivotSql,
     "q_subquery" -> qSubquerySql,
     "q_setops" -> qSetopsSql,
