@@ -335,6 +335,87 @@ object Relational {
   // before it by the same user. DuckDB oracle uses native ASOF JOIN;
   // our implementation is the scalable union+window plan (one shuffle
   // on user_id, no range-explosion) — see operators/AsOfJoin.scala.
+  // --- q_skew_agg: two-phase SALTED aggregation over a pathological
+  // key (event_type: 5 values × 100k rows → 5 hot reducers). Phase 1
+  // aggregates on (key, salt) — 16× the parallelism — phase 2 merges
+  // the 16 partials per key. Identical semantics to a plain groupBy
+  // (the oracle IS the plain groupBy); the pattern is what survives a
+  // 100× scale-up where one hot key would OOM a reducer. (AQE skew
+  // handling covers joins; skewed aggregation needs this manual form.)
+  private val SALT_BUCKETS = 16
+
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val salted = t(s, dir, "events")
+      .withColumn("salt", pmod(hash(col("event_id")), lit(SALT_BUCKETS)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n_p"), sum(col("value")).as("sum_p"),
+        min(col("value")).as("min_p"), max(col("value")).as("max_p"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_p")).as("n"),
+        r2(sum(col("sum_p"))).as("sum_value"),
+        r2(min(col("min_p"))).as("min_value"),
+        r2(max(col("max_p"))).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSkewAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(SUM(value), 2) AS sum_value,
+      |  ROUND(MIN(value), 2) AS min_value,
+      |  ROUND(MAX(value), 2) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q_bucket_join: co-located join via bucketed tables — both
+  // sides written bucketBy(8, orderkey) + sortBy, so the join reads
+  // bucket-aligned files and needs NO shuffle exchange (spec asserts
+  // it). This is the pre-partitioning strategy for repeated fact-fact
+  // joins at 100 TB: pay the layout once, join shuffle-free forever.
+  // External-table paths keep the warehouse out of the working dir.
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = tmpDir("graft_bli_")
+    val ord = tmpDir("graft_bord_")
+    s.sql("DROP TABLE IF EXISTS graft_li_b")
+    s.sql("DROP TABLE IF EXISTS graft_ord_b")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", li).saveAsTable("graft_li_b")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", ord).saveAsTable("graft_ord_b")
+    s.table("graft_li_b")
+      .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
+  val qBucketJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // --- q_window_range: RANGE-framed window — trailing 7-day sum /
   // count per user over event time (the feature-engineering moving
   // aggregate). The frame is on the integer µs timestamp so both
@@ -554,6 +635,8 @@ object Relational {
     "q_cube" -> qCube,
     "q_window_range" -> qWindowRange,
     "q_percentile" -> qPercentile,
+    "q_skew_agg" -> qSkewAgg,
+    "q_bucket_join" -> qBucketJoin,
     "q_pivot" -> qPivot,
     "q_subquery" -> qSubquery,
     "q_setops" -> qSetops,
@@ -577,6 +660,8 @@ object Relational {
     "q_cube" -> qCubeSql,
     "q_window_range" -> qWindowRangeSql,
     "q_percentile" -> qPercentileSql,
+    "q_skew_agg" -> qSkewAggSql,
+    "q_bucket_join" -> qBucketJoinSql,
     "q_pivot" -> qPivotSql,
     "q_subquery" -> qSubquerySql,
     "q_setops" -> qSetopsSql,

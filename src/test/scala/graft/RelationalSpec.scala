@@ -49,6 +49,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
+  test("q_bucket_join joins bucket-aligned tables without a shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_bucket_join")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the join itself must consume bucketed scans directly — the only
+      // hash exchange allowed is the one feeding the final aggregation.
+      val joinSection = plan.split("SortMergeJoin").last
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle its inputs:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_topk plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q_topk")(spark, sf)
       .queryExecution.executedPlan.toString
