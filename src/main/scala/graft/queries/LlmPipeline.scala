@@ -245,9 +245,10 @@ object LlmPipeline {
   // a posexplode — no shuffle until the caller needs one.
   private val CHUNK_TOKENS = 64
 
-  def textChunk(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc fixed-size chunks of any (doc_id, text) frame. */
+  private def chunksOf(docs: DataFrame): DataFrame = {
     val nChunks = ceil(size(col("__ws")) / lit(CHUNK_TOKENS.toDouble)).cast("int")
-    t(s, dir, "documents")
+    docs
       .withColumn("__ws", TextFns.words(col("text")))
       .filter(size(col("__ws")) >= 1)
       .withColumn("__chunks", transform(sequence(lit(0), nChunks - 1),
@@ -257,8 +258,11 @@ object LlmPipeline {
         size(col("toks")).cast("bigint").as("n_tok"),
         element_at(col("toks"), 1).as("first_tok"),
         element_at(col("toks"), -1).as("last_tok"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    chunksOf(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
 
   val textChunkSql: String =
     s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
@@ -277,21 +281,26 @@ object LlmPipeline {
   private val PACK_BUDGET = 1024
   private val PACK_SHARDS = 16
 
-  def seqPack(s: SparkSession, dir: String): DataFrame = {
-    val chunks = textChunk(s, dir)
-      .select(col("doc_id"), col("chunk_idx"), col("n_tok"))
+  /** Pack chunk rows (doc_id, chunk_idx, n_tok) into sharded
+    * fixed-token sequences; returns per-chunk pack assignment. */
+  private def packedOf(chunks: DataFrame): DataFrame = {
+    val sharded = chunks
       .withColumn("shard", (col("doc_id") % PACK_SHARDS).cast("bigint"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_idx"))
-    chunks
+    sharded
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("pack_id", ((col("cum") - col("n_tok")) / lit(PACK_BUDGET.toLong)).cast("bigint"))
+  }
+
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    packedOf(chunksOf(t(s, dir, "documents"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok")))
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("n_tok")).as("sum_tok"),
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("shard"), col("pack_id"))
-  }
 
   val seqPackSql: String =
     s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
@@ -617,6 +626,92 @@ object LlmPipeline {
        |FROM documents
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
+  }
+
+  // --- pipeline_e2e: the whole training-data pipeline as ONE
+  // composed query — quality gate → near-dup drop (MinHash pairs) →
+  // per-language stratified sample → fixed-token chunking → sharded
+  // sequence packing — reduced to per-shard pack statistics. Each
+  // stage is the same operator the standalone queries use; the
+  // composition shows they fuse into a single lazy plan a user can
+  // run end-to-end. Oracle replays every stage in SQL.
+  private val E2E_QUALITY_MIN = 6000
+
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // quality gate (same integer-bp formula as text_quality)
+    val ws = TextFns.words(col("text"))
+    val nTok = greatest(size(ws), lit(1)).cast("bigint")
+    val nChar = greatest(length(col("text")), lit(1)).cast("bigint")
+    val punctBp = idiv(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("bigint") * lit(10000L), nChar)
+    val alphaBp = idiv(regexp_count(col("text"), lit("[A-Za-z]")).cast("bigint") * lit(10000L), nChar)
+    val stopBp = idiv(TextFns.stopwordHits(ws, "en").cast("bigint") * lit(10000L), nTok)
+    val lenBp = least(lit(10000L), size(ws).cast("bigint") * lit(100L))
+    val qualityBp = idiv(lit(3L) * alphaBp + lit(3L) * (lit(10000L) - punctBp)
+      + lit(2L) * lenBp + lit(2L) * stopBp, lit(10L))
+    // stratified sample predicate (fresh salt vs sample_stratified)
+    val bucket = TextFns.hash60(concat(lit("e2e|"), col("text"))) % 100
+    val rate = sampleRates.foldLeft(lit(0)) { case (c, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(c)
+    }
+    val drops = minhashPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    val kept = docs
+      .filter(qualityBp >= E2E_QUALITY_MIN)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("text"))
+    packedOf(chunksOf(kept).select(col("doc_id"), col("chunk_idx"), col("n_tok")))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("pack_id")).as("n_packs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("sum_tok"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("shard"))
+  }
+
+  val pipelineE2eSql: String = {
+    val rateCase = sampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""WITH $minhashPairsSqlBody,
+       |qm AS (
+       |  SELECT doc_id, lang, text,
+       |    greatest(len(ws2), 1) AS n_tok1,
+       |    greatest(length(text), 1) AS n_char1,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+       |    len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+       |    len(list_filter(ws2, w -> list_contains(${stopArr("en")}, lower(w)))) AS stops,
+       |    len(ws2) AS n_tokens
+       |  FROM (SELECT doc_id, lang, text, $wsSql AS ws2 FROM documents)
+       |),
+       |qbp AS (
+       |  SELECT doc_id, lang, text,
+       |    (3 * ((alpha * 10000) // n_char1)
+       |     + 3 * (10000 - ((punct * 10000) // n_char1))
+       |     + 2 * least(10000, n_tokens * 100)
+       |     + 2 * ((stops * 10000) // n_tok1)) // 10 AS quality_bp
+       |  FROM qm
+       |),
+       |kept AS (
+       |  SELECT doc_id, text FROM qbp
+       |  WHERE quality_bp >= $E2E_QUALITY_MIN
+       |    AND doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+       |    AND ${hash60Sql("'e2e|'||text")} % 100 < (CASE $rateCase ELSE 0 END)
+       |),
+       |kws AS (SELECT doc_id, $wsSql AS ws FROM kept),
+       |kc AS (SELECT doc_id, i - 1 AS chunk_idx,
+       |    least(i*$CHUNK_TOKENS, len(ws)) - (i-1)*$CHUNK_TOKENS AS n_tok
+       |  FROM (SELECT doc_id, ws FROM kws WHERE len(ws) >= 1),
+       |    LATERAL unnest(generate_series(1, CAST(ceil(len(ws) / $CHUNK_TOKENS.0) AS BIGINT))) t(i)),
+       |cum AS (SELECT doc_id % $PACK_SHARDS AS shard, doc_id, chunk_idx, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY doc_id % $PACK_SHARDS ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM kc)
+       |SELECT shard, COUNT(DISTINCT (cum - n_tok) // $PACK_BUDGET) AS n_packs,
+       |  COUNT(*) AS n_chunks, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       |  COUNT(DISTINCT doc_id) AS n_docs
+       |FROM cum
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
   }
 
   // ===================== similarity search =====================
@@ -971,6 +1066,7 @@ object LlmPipeline {
     "dedup_retention" -> dedupRetention,
     "dedup_clusters" -> dedupClusters,
     "sample_stratified" -> sampleStratified,
+    "pipeline_e2e" -> pipelineE2e,
     "embed_neardup" -> embedNeardup,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
@@ -995,6 +1091,7 @@ object LlmPipeline {
     "dedup_retention" -> dedupRetentionSql,
     "dedup_clusters" -> dedupClustersSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "pipeline_e2e" -> pipelineE2eSql,
     "embed_neardup" -> embedNeardupSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
