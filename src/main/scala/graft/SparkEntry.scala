@@ -5,9 +5,13 @@ import graft.queries.{LlmPipeline, Relational, StreamingQ, WritePath}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end training-data pipeline exercises the
+    * whole engine: text quality scoring, MinHash+LSH dedup,
+    * stratified sampling, chunking, sequence packing.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+    LlmPipeline.pipelineE2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
