@@ -379,18 +379,21 @@ object Relational {
     val ord = tmpDir("graft_bord_")
     s.sql("DROP TABLE IF EXISTS graft_li_b")
     s.sql("DROP TABLE IF EXISTS graft_ord_b")
-    // repartition on the bucket column with numPartitions = bucket
-    // count (same murmur3 hash) so each task holds exactly one
-    // bucket: 8 files per table instead of tasks×8.
+    // repartition on the bucket column with numPartitions a MULTIPLE
+    // of the bucket count (same murmur3 hash, so hash%32=p implies
+    // hash%8=p%8): every task holds rows of exactly one bucket —
+    // one file per task instead of tasks×buckets — at full
+    // parallelism (multiple files per bucket are fine for bucketed
+    // reads).
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .repartition(8, col("l_orderkey"))
+      .repartition(32, col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", li).saveAsTable("graft_li_b")
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
-      .repartition(8, col("o_orderkey"))
+      .repartition(32, col("o_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", ord).saveAsTable("graft_ord_b")
