@@ -4,8 +4,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    // Untimed warmup: JIT/codegen/scan-machinery init is session cost,
+    // not operator cost — without it the alphabetically-first query
+    // absorbs several seconds of one-time setup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    graft.sources.Tables.load(spark, sfDir, "region").count()
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) order so per-query timings are comparable
+    // across rounds — Map iteration order is arbitrary.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         errors += name
@@ -16,7 +23,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -66,6 +66,13 @@ object Dedup {
     * Catalyst keeps the projection boundary, no 48× md5 recompute).
     */
   def simhash(featureHashes: Column, bits: Int): Column =
+    call_function("graft_simhash", featureHashes, lit(bits))
+
+  /** The composed-functions SimHash (spec-checked equal to [[simhash]];
+    * the native expression is one fused pass instead of `bits` filter
+    * passes each materializing an array).
+    */
+  def simhashComposed(featureHashes: Column, bits: Int): Column =
     (0 until bits).map { b =>
       when(lit(2) * size(filter(featureHashes,
         h => shiftright(h, b) % lit(2L) === lit(1L))) - size(featureHashes) > 0,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, Hash60}
+import graft.functions.{CosineSim, Hash60, SimHash}
 
 /** Session extension registering graft's native expressions with the
   * SQL function registry, so `spark.sql("... graft_cosine(a, b) ...")`
@@ -32,6 +32,17 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_hash60(str)")
         Hash60(children.head)
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_simhash(array<bigint>, bits)")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash bits must be an int literal, got $other")
+        }
+        SimHash(children.head, bits)
       }))
 
   /** Register on an already-built session (idempotent). */

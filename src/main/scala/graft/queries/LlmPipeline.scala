@@ -216,8 +216,12 @@ object LlmPipeline {
   private val DECON_MIN_HITS = 3
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // cached before the explodes: Generate inlines a computed array
+    // child and re-evaluates it per OUTPUT row (O(grams²) per doc —
+    // measured 20×); a cache boundary makes `grams` an attribute, and
+    // the probe and corpus sides share the one materialization.
     val grams = graft.operators.Dedup.withShingles(t(s, dir, "documents"), "text", 3,
-      distinct = true, Seq("doc_id"), "grams")
+      distinct = true, Seq("doc_id"), "grams").cache()
     val probe = grams.filter(col("doc_id") < DECON_PROBE_DOCS)
       .select(explode(col("grams")).as("gram")).distinct()
     grams.filter(col("doc_id") >= DECON_PROBE_DOCS)
@@ -558,7 +562,16 @@ object LlmPipeline {
       .union(pairs.select(col("doc_a").as("node"), col("doc_a").as("nbr")))
       .union(pairs.select(col("doc_b").as("node"), col("doc_b").as("nbr")))
       .distinct().cache()
+    // Convergence check rides on monotonicity: every node's label is
+    // min over a neighborhood that includes itself (self-loops), so
+    // labels never increase and Σlabel strictly decreases until the
+    // fixpoint — one scalar aggregate per round (which also
+    // materializes the round's cache), no per-round diff join.
+    // Decimal sum: overflow-proof at any node count.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
     var labels = adj.groupBy(col("node")).agg(min(col("nbr")).as("label")).cache()
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -568,11 +581,11 @@ object LlmPipeline {
       // previous round's, so long chains (big diameters) would make
       // planning itself the bottleneck.
       if (rounds % 8 == 7) next = next.localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -405,17 +405,7 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  private def tmpDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }
-    p.toString
-  }
+  private def tmpDir(prefix: String): String = graft.util.Scratch.dir(prefix)
 
   val qBucketJoinSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n,

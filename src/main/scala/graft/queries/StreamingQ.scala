@@ -41,6 +41,7 @@ object StreamingQ {
       .format("memory")
       .queryName(name)
       .outputMode("complete")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_swa_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -83,6 +84,7 @@ object StreamingQ {
       .format("memory")
       .queryName(name)
       .outputMode("complete")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_sdd_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

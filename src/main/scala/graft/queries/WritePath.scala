@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -24,31 +23,13 @@ object WritePath {
 
   private def r2(c: Column): Column = round(c, 2)
 
-  /** Temp lake layouts are deleted at JVM exit (they must outlive the
-    * query's lazy read-back, so in-query deletion isn't possible) —
-    * repeated verify/bench runs would otherwise strand thousands of
-    * small files in /tmp.
+  /** Ephemeral lake layouts live on [[graft.util.Scratch]] (RAM-backed
+    * locally, object store on a cluster), deleted at JVM exit.
     */
-  private def tmp(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }
-    p.toString
-  }
+  private def tmp(prefix: String): String = graft.util.Scratch.dir(prefix)
 
   /** Eager recursive delete for dirs whose consumers have finished. */
-  private def rmNow(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(new java.io.File(path))
-  }
+  private def rmNow(path: String): Unit = graft.util.Scratch.rmNow(path)
 
   // --- ingest_schema: the reference's schema-enforced ingest
   // (goavro codec semantics: null-unions + defaults; main.go:20-42).

@@ -69,16 +69,9 @@ object StreamWriter {
     * arriving files, exactly like the reference's input stream.
     */
   def stageDir(file: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_")
+    val dir = graft.util.Scratch.dir("graft_stream_in_")
     val src = java.nio.file.Paths.get(file)
-    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }
-    dir.toString
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(dir).resolve(src.getFileName))
+    dir
   }
 }

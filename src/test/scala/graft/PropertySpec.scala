@@ -59,6 +59,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_simhash == composed simhash (20 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 20) {
+      val rnd = new scala.util.Random(4000 + trial)
+      val hs = Seq.fill(rnd.nextInt(30))(rnd.nextLong() & 0xfffffffffffffL)
+      val bits = 1 + rnd.nextInt(48)
+      val df = Seq(Tuple1(hs)).toDF("whs")
+      val row = df.select(
+        Dedup.simhash(col("whs"), bits).as("nat"),
+        Dedup.simhashComposed(col("whs"), bits).as("comp")).head()
+      assert(row.getLong(0) === row.getLong(1), s"trial $trial: bits=$bits hs=$hs")
+    }
+  }
+
   test("jaccardBp == integer model on random string sets (20 seeded trials)") {
     val s = spark
     import s.implicits._
