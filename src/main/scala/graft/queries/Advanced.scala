@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Round-3 operator block: lake-layout optimization (Z-order),
+  * iterative ML (integer-exact k-means), text relevance (tf-icf),
+  * redaction, CDC snapshot diff, collocations, histograms.
+  *
+  * Determinism rules follow SURVEY.md §5: every pseudo-random or
+  * floating step is replaced by md5-derived or integer arithmetic so
+  * the DuckDB oracles replay bit-identical values.
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  /** Integer floor division on non-negative operands (bigint). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - (a % b)) / b).cast("bigint")
+
+  // --- zorder_layout: Z-order (Morton) clustering — the data-lake
+  // layout optimization for multi-dimensional pruning. Dimension
+  // buckets (event day, value/2) interleave bit-by-bit into a 16-bit
+  // z-value; files laid out in z order are tight in BOTH dimensions,
+  // so min/max file stats prune 2-D predicates. The query reduces the
+  // layout to per-z-bucket extents — the tightness the pruning relies
+  // on — as pure integer arithmetic (oracle-exact). In production the
+  // dimension buckets come from table min/max stats; fixed constants
+  // here keep the query stats-free. Scale: map-side z computation +
+  // one agg shuffle; the physical write rides BlockWriter with z as
+  // the sort key (spec-asserted).
+  private val Z_DIM_BITS = 8
+
+  /** Bit-interleave two `Z_DIM_BITS`-bit bigint columns: a's bit b →
+    * even position 2b, b's bit → odd position 2b+1.
+    */
+  def zInterleave(a: Column, b: Column): Column =
+    (0 until Z_DIM_BITS).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _).cast("bigint")
+
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("(unix_micros(ts) div 86400000000) % 256").cast("bigint")
+    val vb = least(lit(255L), floor(col("value") / 2).cast("bigint"))
+    t(s, dir, "events")
+      .withColumn("day", day)
+      .withColumn("vb", vb)
+      .withColumn("z", zInterleave(col("day"), col("vb")))
+      .withColumn("zbucket", shiftright(col("z"), 6).cast("bigint"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        min(col("vb")).as("min_vb"), max(col("vb")).as("max_vb"))
+      .orderBy(col("zbucket"))
+  }
+
+  val zorderLayoutSql: String = {
+    val terms = (0 until Z_DIM_BITS).map { i =>
+      s"(((day >> $i) & 1) << ${2 * i}) + (((vb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH dims AS (
+       |  SELECT (EPOCH_US(ts) // 86400000000) % 256 AS day,
+       |    least(255, CAST(floor(value / 2) AS BIGINT)) AS vb
+       |  FROM events),
+       |z AS (SELECT day, vb, ($terms) AS z FROM dims)
+       |SELECT z >> 6 AS zbucket, COUNT(*) AS n,
+       |  MIN(day) AS min_day, MAX(day) AS max_day,
+       |  MIN(vb) AS min_vb, MAX(vb) AS max_vb
+       |FROM z
+       |GROUP BY zbucket
+       |ORDER BY zbucket""".stripMargin
+  }
+
+  // --- kmeans_embed: Lloyd's k-means over the embeddings table —
+  // 2 iterations from a deterministic seed codebook (first K
+  // vectors), squared-Euclidean assignment, centroid update by
+  // per-dimension mean. ALL arithmetic is scaled-integer (components
+  // ×1e6 → bigint; means via floor division), so iterations are
+  // order-independent and the oracle replays them exactly — the
+  // standard trick for reproducible distributed k-means (float sums
+  // are partial-order-dependent). Scale: assignment is a broadcast
+  // cross join (K rows) + map-side argmin; the update is one shuffle
+  // on (cluster, dim) — no driver-side state beyond K centroids.
+  private val KM_K = 8
+  private val KM_ITERS = 2
+
+  def kmeansEmbed(s: SparkSession, dir: String): DataFrame = {
+    val toInt6 = transform(col("embedding").cast("array<double>"),
+      x => floor(x * lit(1000000.0) + lit(0.5)).cast("bigint"))
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), toInt6.as("vi")).cache()
+    val d2 = aggregate(
+      zip_with(col("vi"), col("ci"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+
+    var cents = base.filter(col("vec_id") < KM_K)
+      .select(col("vec_id").cast("bigint").as("cid"), col("vi").as("ci"))
+    var assigned: DataFrame = null
+    for (iter <- 1 to KM_ITERS) {
+      assigned = base.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      if (iter < KM_ITERS) {
+        cents = assigned.join(base, "vec_id")
+          .select(col("cid"), posexplode(col("vi")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("bigint").as("cv"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            e => e.getField("cv")).as("ci"))
+      }
+    }
+    assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
+  val kmeansEmbedSql: String = {
+    def d2(v: String, c: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+    s"""WITH b AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vi
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, vi AS ci FROM b WHERE vec_id < $KM_K),
+       |d1 AS (SELECT b.vec_id, c0.cid, ${d2("b.vi", "c0.ci")} AS d2 FROM b, c0),
+       |a1 AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u AS (SELECT a1.cid, t.i AS pos,
+       |    CAST(FLOOR(SUM(b.vi[t.i])::DOUBLE / COUNT(*)) AS BIGINT) AS cv
+       |  FROM a1 JOIN b USING (vec_id), range(1, 65) t(i)
+       |  GROUP BY a1.cid, t.i),
+       |c1 AS (SELECT cid, list(cv ORDER BY pos) AS ci FROM u GROUP BY cid),
+       |d2r AS (SELECT b.vec_id, c1.cid, ${d2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |a2 AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2r)
+       |  WHERE rn = 1)
+       |SELECT cid, COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS inertia
+       |FROM a2
+       |GROUP BY cid
+       |ORDER BY cid""".stripMargin
+  }
+
+  // --- tfidf_topk: per-document top terms by tf·icf relevance.
+  // The idf factor is the integer rational N·10000/df (an inverse
+  // collection frequency) rather than ln(N/df): monotone in df, and
+  // integer-exact across engines — a float log's last-ulp differences
+  // would poison hash comparison (SURVEY.md §5). Scale: tf is one
+  // shuffle on (doc, word); df one on word; the df side of the join
+  // is the vocabulary — orders smaller than the corpus.
+  private val TFIDF_TOPK = 3
+
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    // cached before the explode (Generate would re-derive the words
+    // array per output row otherwise).
+    val words = docs
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws")).cache()
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .withColumn("score", idiv(col("tf") * lit(10000L) * lit(nDocs), col("df")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= TFIDF_TOPK)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTopkSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       |scored AS (
+       |  SELECT doc_id, tf.word, tf, df,
+       |    (tf * 10000 * (SELECT COUNT(*) FROM documents)) // df AS score
+       |  FROM tf JOIN df USING (word))
+       |SELECT doc_id, rank, word, tf, CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TFIDF_TOPK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // --- pii_scrub: pattern redaction — the PII-scrub mechanism every
+  // training corpus passes through (emails/phones/ids in production;
+  // a term pattern here, since the synthetic corpus has no digits).
+  // The checksum over the SCRUBBED text proves the rewrite itself
+  // matches across engines, not just the hit counts. Map-side only.
+  private val SCRUB_PATTERN = "\\b(customer|user|key)\\b"
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(col("text"), SCRUB_PATTERN, "[REDACTED]")
+    t(s, dir, "documents")
+      .withColumn("n_hits", regexp_count(col("text"), lit(SCRUB_PATTERN)).cast("bigint"))
+      .withColumn("ck", TextFns.hash60(scrubbed) % lit(1000000007L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_hits")).as("n_hits"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("ck")).as("scrub_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val piiScrubSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '$SCRUB_PATTERN'))) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN len(regexp_extract_all(text, '$SCRUB_PATTERN')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       |  CAST(SUM(('0x'||substr(md5(regexp_replace(text, '$SCRUB_PATTERN', '[REDACTED]', 'g')),1,15))::BIGINT % 1000000007) AS BIGINT) AS scrub_checksum
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // --- cdc_diff: snapshot differencing — classify every key as
+  // insert/update/delete/same between two table generations (the
+  // read side of CDC; upsert_merge is the write side). One full-outer
+  // join on the key; both snapshots derive deterministically from
+  // events so the oracle replays them. Scale: single key-shuffle,
+  // arbitrarily wide tables diff by comparing a row checksum instead
+  // of each column.
+  def cdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+    val oldSnap = ev.select(col("event_id").as("k"), col("value").as("v_old"))
+    val newSnap = ev.filter(col("event_id") % 11 =!= 0)
+      .select(col("event_id").as("k"),
+        when(col("event_id") % 7 === 0, col("value") + 100).otherwise(col("value")).as("v_new"))
+      .unionByName(ev.filter(col("event_id") % 13 === 0)
+        .select((col("event_id") + 10000000L).as("k"), (col("value") * 2).as("v_new")))
+    oldSnap.join(newSnap, Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("v_new").isNull, "delete")
+          .when(col("v_old").isNull, "insert")
+          .when(col("v_new") =!= col("v_old"), "update")
+          .otherwise("same"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+        r2(sum(coalesce(col("v_new"), col("v_old")))).as("sum_value"))
+      .orderBy(col("change"))
+  }
+
+  val cdcDiffSql: String =
+    """WITH old_snap AS (SELECT event_id AS k, value AS v_old FROM events),
+      |new_snap AS (
+      |  SELECT event_id AS k,
+      |    CASE WHEN event_id % 7 = 0 THEN value + 100 ELSE value END AS v_new
+      |  FROM events WHERE event_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT event_id + 10000000 AS k, value * 2 AS v_new
+      |  FROM events WHERE event_id % 13 = 0)
+      |SELECT CASE WHEN v_new IS NULL THEN 'delete'
+      |            WHEN v_old IS NULL THEN 'insert'
+      |            WHEN v_new <> v_old THEN 'update'
+      |            ELSE 'same' END AS change,
+      |  COUNT(*) AS n,
+      |  ROUND(SUM(COALESCE(v_new, v_old)), 2) AS sum_value
+      |FROM old_snap FULL OUTER JOIN new_snap USING (k)
+      |GROUP BY 1
+      |ORDER BY change""".stripMargin
+
+  // --- colloc_dice: bigram collocation mining by Dice coefficient
+  // (2·c_xy / (c_x + c_y)) — integer-exact association scoring for
+  // vocabulary/phrase analysis (the integer-stable stand-in for PMI,
+  // which needs a log). Scale: unigram + bigram counts are partial-agg
+  // shuffles; the score join keys on words (vocabulary-sized).
+  private val DICE_MIN_PAIR = 20
+  private val DICE_TOPK = 25
+
+  def collocDice(s: SparkSession, dir: String): DataFrame = {
+    // cached: explode children must be attributes (Generate inlining).
+    val base = t(s, dir, "documents")
+      .withColumn("__ws", TextFns.words(col("text")))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), col("__ws"),
+        graft.operators.Dedup.shingleSeq(col("__ws"), 2).as("__g2"))
+      .cache()
+    val uni = base.select(explode(col("__ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = base.select(explode(col("__g2")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= DICE_MIN_PAIR)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .withColumn("dice_bp", idiv(lit(2L) * col("c_xy") * lit(10000L), col("c_x") + col("c_y")))
+      .select(col("g").as("bigram"), col("c_xy"), col("c_x"), col("c_y"), col("dice_bp"))
+      .orderBy(col("dice_bp").desc, col("bigram"))
+      .limit(DICE_TOPK)
+  }
+
+  val collocDiceSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+       |uni AS (SELECT unnest(ws) AS word FROM f),
+       |uc AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+       |bi AS (SELECT unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i]||' '||ws[i+1])) AS g FROM f),
+       |bc AS (SELECT g, COUNT(*) AS c_xy FROM bi GROUP BY g HAVING COUNT(*) >= $DICE_MIN_PAIR)
+       |SELECT g AS bigram, c_xy, x.c AS c_x, y.c AS c_y,
+       |  (2 * c_xy * 10000) // (x.c + y.c) AS dice_bp
+       |FROM bc
+       |JOIN uc x ON x.word = string_split(g, ' ')[1]
+       |JOIN uc y ON y.word = string_split(g, ' ')[2]
+       |ORDER BY dice_bp DESC, bigram
+       |LIMIT $DICE_TOPK""".stripMargin
+
+  // --- q_histogram: fixed-width histogram with share-of-total — the
+  // profiling primitive behind data-quality dashboards. Binning is
+  // map-side; the share joins the 20-row aggregate against its own
+  // window total (post-agg, so the unpartitioned window is over a
+  // constant-size frame at any data scale).
+  private val HIST_BIN_WIDTH = 25
+  private val HIST_MAX_BIN = 19
+
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val bin = least(lit(HIST_MAX_BIN.toLong),
+      floor(col("value") / HIST_BIN_WIDTH).cast("bigint"))
+    val agg = t(s, dir, "events")
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        r2(min(col("value"))).as("lo"),
+        r2(max(col("value"))).as("hi"))
+    agg
+      .withColumn("share_bp", idiv(col("n") * lit(10000L),
+        sum(col("n")).over(Window.partitionBy())))
+      .select(col("bin"), col("n"), col("lo"), col("hi"), col("share_bp"))
+      .orderBy(col("bin"))
+  }
+
+  val qHistogramSql: String =
+    s"""WITH b AS (
+       |  SELECT least($HIST_MAX_BIN, CAST(floor(value / $HIST_BIN_WIDTH) AS BIGINT)) AS bin, value
+       |  FROM events),
+       |agg AS (
+       |  SELECT bin, COUNT(*) AS n, ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+       |  FROM b GROUP BY bin)
+       |SELECT bin, n, lo, hi,
+       |  CAST((n * 10000) // (SUM(n) OVER ()) AS BIGINT) AS share_bp
+       |FROM agg
+       |ORDER BY bin""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_layout" -> zorderLayout,
+    "kmeans_embed" -> kmeansEmbed,
+    "tfidf_topk" -> tfidfTopk,
+    "pii_scrub" -> piiScrub,
+    "cdc_diff" -> cdcDiff,
+    "colloc_dice" -> collocDice,
+    "q_histogram" -> qHistogram)
+
+  val oracles: Map[String, String] = Map(
+    "zorder_layout" -> zorderLayoutSql,
+    "kmeans_embed" -> kmeansEmbedSql,
+    "tfidf_topk" -> tfidfTopkSql,
+    "pii_scrub" -> piiScrubSql,
+    "cdc_diff" -> cdcDiffSql,
+    "colloc_dice" -> collocDiceSql,
+    "q_histogram" -> qHistogramSql)
+}

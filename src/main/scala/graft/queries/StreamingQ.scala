@@ -100,6 +100,49 @@ object StreamingQ {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- stream_enrich: stream-static enrichment join — the streaming
+  // ingest pattern that decorates an event stream with a broadcast
+  // dimension (here nation, keyed by a deterministic user_id mapping)
+  // before aggregating. The static side is planned per micro-batch as
+  // a broadcast hash join: no state, no stream-side shuffle for the
+  // join itself. Oracle = the identical batch join.
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val schema = s.read.parquet(staged).schema
+    val in = s.readStream.schema(schema).parquet(staged)
+    val restored =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val nation = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("bigint").as("nkey"), col("n_name"))
+    val name = s"graft_sen_${memId.incrementAndGet()}"
+    val q = restored
+      .withColumn("nkey", pmod(col("user_id"), lit(25L)))
+      .join(broadcast(nation), "nkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_sen_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("n_name"), col("n"), col("sum_value"))
+      .orderBy(col("n_name"))
+  }
+
+  val streamEnrichSql: String =
+    """SELECT n_name, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      |FROM events
+      |JOIN nation ON n_nationkey = user_id % 25
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   // --- sessionize: 24h-gap sessions per user via the native
   // session_window operator (one shuffle on user_id; identical
   // operator serves streaming). Oracle = classic SQL gap/island.
@@ -131,10 +174,12 @@ object StreamingQ {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup" -> streamDedup,
+    "stream_enrich" -> streamEnrich,
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_enrich" -> streamEnrichSql,
     "sessionize" -> sessionizeSql)
 }

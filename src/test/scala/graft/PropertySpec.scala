@@ -74,6 +74,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zInterleave == bit-interleave model (20 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    def model(a: Long, b: Long): Long =
+      (0 until 8).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val rnd = new scala.util.Random(5000)
+    val pairs = Seq.fill(20)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.queries.Advanced.zInterleave(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((a, b) <- pairs)
+      assert(got((a, b)) === model(a, b), s"a=$a b=$b")
+  }
+
   test("jaccardBp == integer model on random string sets (20 seeded trials)") {
     val s = spark
     import s.implicits._
