@@ -6,19 +6,49 @@ object Bench {
     val spark = GraftSession.local(cpus)
     // Untimed warmup: JIT/codegen/scan-machinery init is session cost,
     // not operator cost — without it the alphabetically-first query
-    // absorbs several seconds of one-time setup.
+    // absorbs several seconds of one-time setup. Exercise each
+    // executor-machinery family once (agg, window, broadcast join,
+    // higher-order funcs, generate, parquet footers) on tiny inputs.
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.sources.Tables.load(spark, sfDir, "region").count()
+    graft.sources.Tables.load(spark, sfDir, "documents").count()
+    graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    locally {
+      import org.apache.spark.sql.functions._
+      val base = spark.range(100).select(col("id"), (col("id") % 5).as("k"),
+        transform(sequence(lit(0), lit(3)), i => i + col("id")).as("arr"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("id"))
+      base.withColumn("rn", row_number().over(win))
+        .join(broadcast(base.groupBy(col("k")).agg(count(lit(1)).as("n"))), "k")
+        .select(col("rn"), col("n"),
+          aggregate(col("arr"), lit(0L), (a, x) => a + x).as("s"),
+          explode(col("arr")).as("x"))
+        .count()
+      spark.catalog.clearCache()
+    }
     val errors = scala.collection.mutable.ListBuffer[String]()
     // deterministic (sorted) order so per-query timings are comparable
     // across rounds — Map iteration order is arbitrary.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter (local dev loop)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         errors += name
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // every query is timed self-contained under cold caches: release
+      // the query's scratch caches (and anything else cached) so no
+      // timing depends on bench order, and a long-lived session never
+      // accumulates storage memory across queries.
+      graft.util.QueryScratch.release(spark)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

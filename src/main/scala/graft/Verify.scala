@@ -36,6 +36,10 @@ object Verify {
         failures(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
       }
+      // per-query scratch caches die with the query (cache hygiene —
+      // same contract Bench applies).
+      graft.util.QueryScratch.release(spark)
+      spark.catalog.clearCache()
     }
     val failJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")

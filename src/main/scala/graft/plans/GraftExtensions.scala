@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, Hash60, SimHash}
+import graft.functions.{CosineSim, Hash60, IntL2, SimHash}
 
 /** Session extension registering graft's native expressions with the
   * SQL function registry, so `spark.sql("... graft_cosine(a, b) ...")`
@@ -32,6 +32,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_hash60(str)")
         Hash60(children.head)
+      }),
+    (FunctionIdentifier("graft_d2i"),
+      new ExpressionInfo(classOf[IntL2].getName, "graft_d2i"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_d2i(arrayA, arrayB)")
+        IntL2(children.head, children(1))
       }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),

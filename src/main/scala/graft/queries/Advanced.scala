@@ -89,53 +89,79 @@ object Advanced {
   // are partial-order-dependent). Scale: assignment is a broadcast
   // cross join (K rows) + map-side argmin; the update is one shuffle
   // on (cluster, dim) — no driver-side state beyond K centroids.
-  private val KM_K = 8
+  private[queries] val KM_K = 8
   private val KM_ITERS = 2
 
-  def kmeansEmbed(s: SparkSession, dir: String): DataFrame = {
-    val toInt6 = transform(col("embedding").cast("array<double>"),
+  /** Embedding components → scaled-int (×1e6, half-up) bigint array. */
+  private[queries] def kmIntVec(emb: Column): Column =
+    transform(emb.cast("array<double>"),
       x => floor(x * lit(1000000.0) + lit(0.5)).cast("bigint"))
-    val base = t(s, dir, "embeddings")
-      .select(col("vec_id"), toInt6.as("vi")).cache()
-    val d2 = aggregate(
-      zip_with(col("vi"), col("ci"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cid").asc)
 
-    var cents = base.filter(col("vec_id") < KM_K)
+  /** Integer squared-Euclidean distance of two int-vector columns —
+    * the native [[graft.functions.IntL2]] expression (fused codegen
+    * loop; the zip_with+aggregate composition is CodegenFallback and
+    * evaluates interpreted on the N×K assignment hot path). Requires
+    * [[graft.plans.GraftExtensions]] registration (Tables.load does).
+    */
+  private[queries] def kmD2(vi: Column, ci: Column): Column =
+    call_function("graft_d2i", vi, ci)
+
+  /** Nearest-centroid assignment of `base` (vec_id, vi) against a
+    * centroid frame (cid, ci) → (vec_id, cid, d2). Argmin via a
+    * struct-min AGGREGATE (lexicographic (d2, cid): nearest centroid,
+    * ties → lowest cid) — map-side partial aggregation, no shuffle+
+    * sort of the N×K scored frame (a `row_number` window would sort).
+    */
+  private[queries] def kmAssign(base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(kmD2(col("vi"), col("ci")).as("d2"), col("cid").as("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("dc"))
+      .select(col("vec_id"), col("dc.cid").as("cid"), col("dc.d2").as("d2"))
+
+  /** Centroids after `updates` Lloyd update steps from the first-K
+    * seed codebook — (cid, ci), ci scaled-int. The shared trainer
+    * behind kmeans_embed and ann_ivf's codebook; all-integer, so
+    * results are partition-order-independent and oracle-exact.
+    */
+  private[queries] def kmCentroids(base: DataFrame, k: Int, updates: Int): DataFrame = {
+    var cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").cast("bigint").as("cid"), col("vi").as("ci"))
-    var assigned: DataFrame = null
-    for (iter <- 1 to KM_ITERS) {
-      assigned = base.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), d2.as("d2"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .drop("rn")
-      if (iter < KM_ITERS) {
-        cents = assigned.join(base, "vec_id")
-          .select(col("cid"), posexplode(col("vi")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("bigint").as("cv"))
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-            e => e.getField("cv")).as("ci"))
-      }
+    for (_ <- 1 to updates) {
+      cents = kmAssign(base, cents).join(base, "vec_id")
+        .select(col("cid"), posexplode(col("vi")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("bigint").as("cv"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          e => e.getField("cv")).as("ci"))
     }
-    assigned
+    cents
+  }
+
+  def kmeansEmbed(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.QueryScratch.cached(t(s, dir, "embeddings")
+      .select(col("vec_id"), kmIntVec(col("embedding")).as("vi")))
+    kmAssign(base, kmCentroids(base, KM_K, KM_ITERS - 1))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
       .orderBy(col("cid"))
   }
 
-  val kmeansEmbedSql: String = {
-    def d2(v: String, c: String) =
-      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
-    s"""WITH b AS (
+  private[queries] def kmSqlD2(v: String, c: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+
+  /** CTEs `b` (int base), `c0` (seed), `d1`/`a1` (first assignment),
+    * `u`/`c1` (one Lloyd update → trained K=[[KM_K]] centroids) —
+    * the SQL replay of [[kmCentroids]](_, KM_K, 1), shared by the
+    * kmeans_embed and ann_ivf oracles.
+    */
+  private[queries] val kmCentroidSqlCtes: String =
+    s"""b AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vi
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, vi AS ci FROM b WHERE vec_id < $KM_K),
-       |d1 AS (SELECT b.vec_id, c0.cid, ${d2("b.vi", "c0.ci")} AS d2 FROM b, c0),
+       |d1 AS (SELECT b.vec_id, c0.cid, ${kmSqlD2("b.vi", "c0.ci")} AS d2 FROM b, c0),
        |a1 AS (SELECT vec_id, cid, d2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
        |  WHERE rn = 1),
@@ -143,8 +169,11 @@ object Advanced {
        |    CAST(FLOOR(SUM(b.vi[t.i])::DOUBLE / COUNT(*)) AS BIGINT) AS cv
        |  FROM a1 JOIN b USING (vec_id), range(1, 65) t(i)
        |  GROUP BY a1.cid, t.i),
-       |c1 AS (SELECT cid, list(cv ORDER BY pos) AS ci FROM u GROUP BY cid),
-       |d2r AS (SELECT b.vec_id, c1.cid, ${d2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |c1 AS (SELECT cid, list(cv ORDER BY pos) AS ci FROM u GROUP BY cid)""".stripMargin
+
+  val kmeansEmbedSql: String =
+    s"""WITH $kmCentroidSqlCtes,
+       |d2r AS (SELECT b.vec_id, c1.cid, ${kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
        |a2 AS (SELECT vec_id, cid, d2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2r)
        |  WHERE rn = 1)
@@ -152,7 +181,6 @@ object Advanced {
        |FROM a2
        |GROUP BY cid
        |ORDER BY cid""".stripMargin
-  }
 
   // --- tfidf_topk: per-document top terms by tf·icf relevance.
   // The idf factor is the integer rational N·10000/df (an inverse
@@ -165,11 +193,13 @@ object Advanced {
 
   def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count()
+    // N derived INSIDE the plan (single-row agg broadcast onto the
+    // vocabulary-sized score join) — no driver count() pre-pass.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // cached before the explode (Generate would re-derive the words
     // array per output row otherwise).
-    val words = docs
-      .select(col("doc_id"), TextFns.words(col("text")).as("ws")).cache()
+    val words = graft.util.QueryScratch.cached(docs
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws")))
       .select(col("doc_id"), explode(col("ws")).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -178,7 +208,8 @@ object Advanced {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
     tf.join(df, "word")
-      .withColumn("score", idiv(col("tf") * lit(10000L) * lit(nDocs), col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", idiv(col("tf") * lit(10000L) * col("n_docs"), col("df")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= TFIDF_TOPK)
       .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"), col("score"))
@@ -252,8 +283,13 @@ object Advanced {
           .when(col("v_new") =!= col("v_old"), "update")
           .otherwise("same"))
       .groupBy(col("change"))
+      // scaled-integer sum (SURVEY §5): a float SUM is
+      // accumulation-order-dependent, so ROUND(SUM(double)) could flip
+      // at a .005 boundary between engines; per-row floor(x*100+.5)
+      // on bit-identical doubles then an integer SUM never does.
       .agg(count(lit(1)).as("n"),
-        r2(sum(coalesce(col("v_new"), col("v_old")))).as("sum_value"))
+        sum(floor(coalesce(col("v_new"), col("v_old")) * 100 + 0.5))
+          .cast("bigint").as("sum_value_x100"))
       .orderBy(col("change"))
   }
 
@@ -271,7 +307,7 @@ object Advanced {
       |            WHEN v_new <> v_old THEN 'update'
       |            ELSE 'same' END AS change,
       |  COUNT(*) AS n,
-      |  ROUND(SUM(COALESCE(v_new, v_old)), 2) AS sum_value
+      |  CAST(SUM(CAST(FLOOR(COALESCE(v_new, v_old) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
       |FROM old_snap FULL OUTER JOIN new_snap USING (k)
       |GROUP BY 1
       |ORDER BY change""".stripMargin
@@ -286,12 +322,11 @@ object Advanced {
 
   def collocDice(s: SparkSession, dir: String): DataFrame = {
     // cached: explode children must be attributes (Generate inlining).
-    val base = t(s, dir, "documents")
+    val base = graft.util.QueryScratch.cached(t(s, dir, "documents")
       .withColumn("__ws", TextFns.words(col("text")))
       .filter(size(col("__ws")) >= 2)
       .select(col("doc_id"), col("__ws"),
-        graft.operators.Dedup.shingleSeq(col("__ws"), 2).as("__g2"))
-      .cache()
+        graft.operators.Dedup.shingleSeq(col("__ws"), 2).as("__g2")))
     val uni = base.select(explode(col("__ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val bi = base.select(explode(col("__g2")).as("g"))

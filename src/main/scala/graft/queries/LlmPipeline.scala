@@ -179,8 +179,12 @@ object LlmPipeline {
     val ws = col("__ws")
     val n = size(ws).cast("bigint")
     val nDist = size(array_distinct(ws)).cast("bigint")
-    val topFreq = array_max(transform(array_distinct(ws),
-      w => size(filter(ws, x => x === w)))).cast("bigint")
+    // top-word frequency as the longest run in the SORTED token array
+    // — one O(n log n) sort + one linear fold per document. (The naive
+    // distinct×filter form is O(distinct·n): quadratic on long
+    // repetitive documents, exactly the ones this signal exists to
+    // catch. PropertySpec pins equality on a long repetitive doc.)
+    val topFreq = topRunLength(ws)
     val g2 = col("__g2")
     val n2 = size(g2).cast("bigint")
     val n2Dist = size(array_distinct(g2)).cast("bigint")
@@ -196,6 +200,21 @@ object LlmPipeline {
         idiv((n2 - n2Dist) * lit(10000L), n2).as("dup_2gram_bp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Longest run length in sort order = max element multiplicity.
+    * Sentinel "" is safe: words are non-empty by construction.
+    */
+  private[graft] def topRunLength(ws: Column): Column =
+    aggregate(
+      array_sort(ws),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")).cast("bigint")
 
   val textRepetitionSql: String =
     s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
@@ -216,19 +235,25 @@ object LlmPipeline {
   private val DECON_MIN_HITS = 3
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    // cached before the explodes: Generate inlines a computed array
-    // child and re-evaluates it per OUTPUT row (O(grams²) per doc —
-    // measured 20×); a cache boundary makes `grams` an attribute, and
-    // the probe and corpus sides share the one materialization.
-    val grams = graft.operators.Dedup.withShingles(t(s, dir, "documents"), "text", 3,
-      distinct = true, Seq("doc_id"), "grams").cache()
-    val probe = grams.filter(col("doc_id") < DECON_PROBE_DOCS)
-      .select(explode(col("grams")).as("gram")).distinct()
-    grams.filter(col("doc_id") >= DECON_PROBE_DOCS)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(probe), "gram")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"))
+    // The probe (eval-set) gram SET reduces to a single array row and
+    // broadcasts; each corpus doc then counts hits as ONE map-side
+    // `array_intersect` — no corpus-side explode (a Generate whose
+    // child is the computed shingle array re-derives it per output
+    // gram — measured quadratic on long docs), no shuffle at all
+    // before the (tiny) flagged result. At 100 TB this is a pure
+    // streaming pass over the corpus against an eval-set broadcast.
+    val docs = t(s, dir, "documents")
+    val probeArr = graft.operators.Dedup.withShingles(
+      docs.filter(col("doc_id") < DECON_PROBE_DOCS), "text", 3,
+      distinct = true, Seq("doc_id"), "grams")
+      .select(explode(col("grams")).as("gram"))
+      .agg(collect_set(col("gram")).as("pg"))
+    graft.operators.Dedup.withShingles(
+      docs.filter(col("doc_id") >= DECON_PROBE_DOCS), "text", 3,
+      distinct = true, Seq("doc_id"), "grams")
+      .crossJoin(broadcast(probeArr))
+      .select(col("doc_id"),
+        size(array_intersect(col("grams"), col("pg"))).cast("bigint").as("n_hits"))
       .filter(col("n_hits") >= DECON_MIN_HITS)
       .orderBy(col("doc_id"))
   }
@@ -371,20 +396,23 @@ object LlmPipeline {
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // base is reused by the signature pass and both verify joins —
-    // cache it so the (non-trivial) shingling runs once.
-    val base = Dedup.withShingles(t(s, dir, "documents"), "text", 3,
-      distinct = true, Seq("doc_id"), "sh").cache()
+    // cache it so the (non-trivial) shingling + per-gram base hash run
+    // once. Query-scoped: the consumer releases it after the terminal
+    // action.
+    val base = graft.util.QueryScratch.cached(
+      Dedup.withShingles(t(s, dir, "documents"), "text", 3,
+        distinct = true, Seq("doc_id"), "sh")
+        .withColumn("whs", transform(col("sh"), g => TextFns.hash60(g))))
     val sigs = base.select(
       Seq(col("doc_id"), col("sh")) ++
-        (0 until MH_HASHES).map(i => Dedup.minhashSig(col("sh"), i).as(s"s$i")): _*)
+        (0 until MH_HASHES).map(i => Dedup.minhashSig(col("whs"), i).as(s"s$i")): _*)
     val bandStructs = (0 until MH_BANDS).map(b =>
       struct(lit(b).as("band"), Dedup.bandKey(b, MH_ROWS).as("bk")))
     // bands self-joins for candidate pairs — cache to avoid running
     // the 12-hash signature pass twice.
-    val bands = sigs
+    val bands = graft.util.QueryScratch.cached(sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
-      .cache()
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk")))
     Dedup.candidatePairs(bands, "doc_id", Seq("band", "bk"))
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -396,14 +424,16 @@ object LlmPipeline {
   /** dedupMinhashSql minus the trailing ORDER BY, as a CTE body. */
   private val minhashPairsSqlBody: String = {
     val sigExprs = (0 until MH_HASHES).map(i =>
-      s"list_min(list_transform(sh, s -> ${hash60Sql(s"'$i|'||s")})) AS s$i").mkString(",\n    ")
+      s"list_min(list_transform(whs, h -> (${Dedup.mhA(i)} * (h % ${Dedup.MH_P}) + ${Dedup.mhB(i)}) % ${Dedup.MH_P})) AS s$i")
+      .mkString(",\n    ")
     val bandCases = (0 until MH_BANDS).map { b =>
       val cat = (0 until MH_ROWS).map(j => s"s${b * MH_ROWS + j}::VARCHAR").mkString("||','||")
       s"WHEN ${b} THEN md5($cat)"
     }.mkString(" ")
     s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
        |sh0 AS (SELECT doc_id, list_distinct(${shSeqSql(3)}) AS sh FROM w),
-       |mbase AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       |mbase AS (SELECT doc_id, sh, list_transform(sh, s -> ${hash60Sql("s")}) AS whs
+       |  FROM sh0 WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh,
        |    $sigExprs
        |  FROM mbase),
@@ -445,10 +475,9 @@ object LlmPipeline {
           .bitwiseAND(lit((1L << SH_BAND_BITS) - 1)).as("bk")))
     // cached: the signature pass would otherwise run twice for the
     // candidate self-join.
-    val bands = base
+    val bands = graft.util.QueryScratch.cached(base
       .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bk").as("bk"))
-      .cache()
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bk").as("bk")))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -486,16 +515,20 @@ object LlmPipeline {
   // set-similarity join shape.
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cap = math.max(50L, docs.count() / 50)
+    // df cap = max(50, N/50), derived INSIDE the plan (single-row agg
+    // broadcast-joined onto the vocabulary) — no driver-side count()
+    // pre-pass scanning the table an extra time.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // cached: gram sets feed the posting list AND both verify joins.
-    val base = Dedup.withShingles(docs, "text", 2,
-      distinct = true, Seq("doc_id"), "grams").cache()
+    val base = graft.util.QueryScratch.cached(Dedup.withShingles(docs, "text", 2,
+      distinct = true, Seq("doc_id"), "grams"))
     val posting = base.select(col("doc_id"), explode(col("grams")).as("gram"))
     val rare = posting.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(50L), idiv(col("n_docs"), lit(50L))))
     // cached: the capped posting list self-joins for candidates.
-    val capped = posting.join(rare.select("gram"), "gram").cache()
+    val capped = graft.util.QueryScratch.cached(posting.join(rare.select("gram"), "gram"))
     Dedup.candidatePairs(capped, "doc_id", Seq("gram"))
       .join(base.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
@@ -555,39 +588,47 @@ object LlmPipeline {
   // propagation 8 rounds (component diameters here are ≤ 3; the
   // Spark side iterates to true fixpoint regardless).
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b").cache()
+    val pairs = graft.util.QueryScratch.cached(
+      minhashPairs(s, dir).select("doc_a", "doc_b"))
     // adjacency with self-loops, both directions
-    val adj = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-      .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-      .union(pairs.select(col("doc_a").as("node"), col("doc_a").as("nbr")))
-      .union(pairs.select(col("doc_b").as("node"), col("doc_b").as("nbr")))
-      .distinct().cache()
+    val adj = graft.util.QueryScratch.cached(
+      pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+        .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+        .union(pairs.select(col("doc_a").as("node"), col("doc_a").as("nbr")))
+        .union(pairs.select(col("doc_b").as("node"), col("doc_b").as("nbr")))
+        .distinct())
     // Convergence check rides on monotonicity: every node's label is
     // min over a neighborhood that includes itself (self-loops), so
     // labels never increase and Σlabel strictly decreases until the
-    // fixpoint — one scalar aggregate per round (which also
-    // materializes the round's cache), no per-round diff join.
+    // fixpoint — one scalar aggregate per check, no per-round diff
+    // join. TWO propagation rounds run per check: fixed per-job
+    // overhead (scheduling, not data) dominates each round at small
+    // scale, so halving the action count halves the dominant cost;
+    // the price is at most one redundant round after the fixpoint.
     // Decimal sum: overflow-proof at any node count.
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    def propagate(l: DataFrame): DataFrame =
+      adj.join(l.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
     var labels = adj.groupBy(col("node")).agg(min(col("nbr")).as("label")).cache()
     var prevSum = labelSum(labels)
     var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      var next = adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
-        .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
+    var checks = 0
+    while (!converged && checks < 25) {
+      var next = propagate(propagate(labels)).cache()
       // periodic lineage truncation: each round's plan references the
       // previous round's, so long chains (big diameters) would make
       // planning itself the bottleneck.
-      if (rounds % 8 == 7) next = next.localCheckpoint()
+      if (checks % 4 == 3) next = next.localCheckpoint()
       val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      rounds += 1
+      checks += 1
     }
+    graft.util.QueryScratch.register(labels)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -747,9 +788,8 @@ object LlmPipeline {
     */
   private def embBase(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(s) // graft_cosine, idempotent
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), VectorFns.toD(col("embedding")).as("v"))
-      .cache()
+    graft.util.QueryScratch.cached(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), VectorFns.toD(col("embedding")).as("v")))
   }
 
   private val embBaseSql =
@@ -885,33 +925,34 @@ object LlmPipeline {
        |ORDER BY q_id, rank""".stripMargin
   }
 
-  // --- ann_ivf: the IVF (inverted-file) ANN variant — vectors are
-  // assigned to the nearest of K fixed centroids map-side (argmax
-  // over K cosines, no shuffle); queries probe the nearest NPROBE
-  // cells and re-rank exact cosines over cell members only. Centroids
-  // here are a deterministic stand-in (first K vectors) for a trained
-  // codebook; swap in k-means output without touching the plan.
-  private val IVF_K = 16
+  // --- ann_ivf: the IVF (inverted-file) ANN variant — a TRAINED
+  // K-cell codebook (the same integer k-means as kmeans_embed, one
+  // Lloyd update from the first-K seed), cell assignment by integer
+  // squared-Euclidean argmin as a struct-min AGGREGATE (map-side
+  // partial agg — no shuffle+sort of the N×K scored frame); queries
+  // probe the nearest NPROBE cells and re-rank exact cosines over
+  // cell members only. Training is deterministic end-to-end, so the
+  // oracle replays it in SQL.
   private val IVF_NPROBE = 2
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embBase(s, dir)
-    val cents = e.filter(col("vec_id") < IVF_K)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // cell assignment: argmax over centroid cosines, tie → lowest cid
-    // (struct max orders by cos then -cid). Centroid set is broadcast
-    // as plan literals-by-join: a 16-row broadcast.
-    val scoredCells = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        VectorFns.cosineBpNative(col("v"), col("cv")).as("c"),
-        col("cid"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("c").desc, col("cid"))
-    val cells = scoredCells
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
-    val qProbe = scoredCells.filter(col("vec_id") < 10)
-      .withColumn("rn", row_number().over(wAssign))
+    val viBase = e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi"))
+    // cached: the K-row codebook broadcasts into BOTH the full cell
+    // assignment and the query probe — without it each broadcast
+    // would re-run the training plan.
+    val cents = graft.util.QueryScratch.cached(
+      Advanced.kmCentroids(viBase, Advanced.KM_K, 1))
+    val cells = Advanced.kmAssign(viBase, cents)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // query probes: nearest NPROBE cells per query vec — the window
+    // sorts 10×K rows (the query side), never the corpus.
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val qProbe = viBase.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), Advanced.kmD2(col("vi"), col("ci")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= IVF_NPROBE)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
     val cand = cells.join(broadcast(qProbe), Seq("cell"))
@@ -931,22 +972,17 @@ object LlmPipeline {
 
   val annIvfSql: String =
     s"""WITH n AS ($embBaseSql),
-       |cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $IVF_K),
-       |sc AS (
-       |  SELECT n.vec_id,
-       |    CAST(floor(${dotSql("n.v", "cents.cv")} / (sqrt(${dotSql("n.v", "n.v")}) * sqrt(${dotSql("cents.cv", "cents.cv")})) * 10000) AS BIGINT) AS c,
-       |    cents.cid
-       |  FROM n, cents
-       |),
-       |ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn FROM sc),
+       |${Advanced.kmCentroidSqlCtes},
+       |dv AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dv),
        |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
        |qprobe AS (SELECT vec_id AS q_id, cid AS cell FROM ranked WHERE rn <= $IVF_NPROBE AND vec_id < 10),
        |cand AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
        |  FROM cells c JOIN qprobe q ON c.cell = q.cell WHERE c.vec_id <> q.q_id),
        |scored AS (
        |  SELECT cand.q_id, cand.n_id,
-       |    CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
-       |  FROM cand JOIN n a ON a.vec_id = cand.q_id JOIN n b ON b.vec_id = cand.n_id
+       |    CAST(floor(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand JOIN n x ON x.vec_id = cand.q_id JOIN n y ON y.vec_id = cand.n_id
        |)
        |SELECT q_id, n_id, cos_bp, rank FROM (
        |  SELECT q_id, n_id, cos_bp,
@@ -963,8 +999,9 @@ object LlmPipeline {
     // cached before the explode: Generate inlines a computed array
     // child and re-evaluates it per OUTPUT row (measured 6×); an
     // attribute child (cache/exchange boundary) evaluates once.
-    graft.operators.Dedup.withShingles(t(s, dir, "documents"), "text", 2,
-      distinct = false, Seq("doc_id"), "grams").cache()
+    graft.util.QueryScratch.cached(
+      graft.operators.Dedup.withShingles(t(s, dir, "documents"), "text", 2,
+        distinct = false, Seq("doc_id"), "grams"))
       .select(explode(col("grams")).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))

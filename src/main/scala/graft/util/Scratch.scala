@@ -5,25 +5,36 @@ import java.nio.file.{Files, Path, Paths}
 /** Ephemeral scratch-space allocator for test/bench lake layouts,
   * staged streaming inputs, and streaming checkpoints.
   *
-  * Local runs prefer a RAM-backed root (`/dev/shm`) when present:
-  * these artifacts are transient by construction (created, read back,
-  * deleted within one JVM), and on a single node their cost is
-  * dominated by file create/rename syscalls rather than by the
-  * engine's own work. On a real cluster the same paths are object
-  * store URIs (S3A/ABFS with zero-rename committers) — the operator
-  * plans are identical; only the scheme changes. Override with
-  * `GRAFT_SCRATCH=/path` to force a specific root (e.g. real disk).
+  * Local runs prefer a RAM-backed root (`/dev/shm`) when it is
+  * writable AND has headroom (containers commonly mount a 64 MB shm,
+  * where lake layouts would ENOSPC): these artifacts are transient by
+  * construction (created, read back, deleted within one JVM), and on
+  * a single node their cost is dominated by file create/rename
+  * syscalls rather than by the engine's own work. This allocator
+  * returns local filesystem paths; deploying the write path against
+  * an object store means swapping it for a URI-returning strategy
+  * (S3A/ABFS + zero-rename committers) — the operator plans built on
+  * top are unchanged. Override with `GRAFT_SCRATCH=/path` to force a
+  * specific root (e.g. real disk).
   */
 object Scratch {
+
+  /** Minimum usable space to prefer /dev/shm over java.io.tmpdir. */
+  private val ShmMinBytes = 4L << 30
+
+  private def usableBytes(p: Path): Long =
+    try Files.getFileStore(p).getUsableSpace catch { case _: Exception => 0L }
 
   lazy val root: Path = {
     val base = sys.env.get("GRAFT_SCRATCH").map(Paths.get(_)).getOrElse {
       val shm = Paths.get("/dev/shm")
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      if (Files.isDirectory(shm) && Files.isWritable(shm) &&
+        usableBytes(shm) >= ShmMinBytes) shm
       else Paths.get(System.getProperty("java.io.tmpdir"))
     }
     val r = base.resolve("graft-scratch")
     Files.createDirectories(r)
+    System.err.println(s"[graft] scratch root: $r (usable ${usableBytes(r) >> 20} MB)")
     r
   }
 

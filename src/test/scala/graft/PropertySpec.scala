@@ -64,7 +64,10 @@ class PropertySpec extends AnyFunSuite {
     import s.implicits._
     for (trial <- 0 until 20) {
       val rnd = new scala.util.Random(4000 + trial)
-      val hs = Seq.fill(rnd.nextInt(30))(rnd.nextLong() & 0xfffffffffffffL)
+      // UNMASKED longs: negative hashes (bit 63 set) are exactly where
+      // arithmetic-shift semantics would diverge from the native
+      // expression's logical shift — keep them in the test domain.
+      val hs = Seq.fill(rnd.nextInt(30))(rnd.nextLong())
       val bits = 1 + rnd.nextInt(48)
       val df = Seq(Tuple1(hs)).toDF("whs")
       val row = df.select(
@@ -89,6 +92,42 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     for ((a, b) <- pairs)
       assert(got((a, b)) === model(a, b), s"a=$a b=$b")
+  }
+
+  test("native graft_d2i == composed zip_with/aggregate L2² (20 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    for (trial <- 0 until 20) {
+      val rnd = new scala.util.Random(7000 + trial)
+      val n = 1 + rnd.nextInt(64)
+      val a = Seq.fill(n)(rnd.nextInt(2000000).toLong - 1000000L)
+      val b = Seq.fill(n)(rnd.nextInt(2000000).toLong - 1000000L)
+      val row = Seq((a, b)).toDF("a", "b").select(
+        call_function("graft_d2i", col("a"), col("b")).as("nat"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("comp")).head()
+      assert(row.getLong(0) === row.getLong(1), s"trial $trial")
+    }
+  }
+
+  test("topRunLength == max word multiplicity, incl. a long repetitive doc") {
+    val s = spark
+    import s.implicits._
+    val alphabet = Seq("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(6000)
+    // 20 random docs + 1 long repetitive doc (the quadratic-blowup
+    // case the linear run-length form exists for).
+    val docs = Seq.fill(20)(Seq.fill(1 + rnd.nextInt(30))(alphabet(rnd.nextInt(5)))) :+
+      Seq.fill(5000)(alphabet(rnd.nextInt(2)))
+    val got = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("id", "ws")
+      .select(col("id"), graft.queries.LlmPipeline.topRunLength(col("ws")).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((d, i) <- docs.zipWithIndex) {
+      val expect = d.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(i.toLong) === expect, s"doc $i")
+    }
   }
 
   test("jaccardBp == integer model on random string sets (20 seeded trials)") {
