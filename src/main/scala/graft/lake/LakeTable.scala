@@ -1,0 +1,160 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.writer.BlockWriter
+
+/** Minimal lake-table metadata layer over the BlockWriter layout —
+  * the read-side half of the reference's write-side lake (reference
+  * main.go:48-56 lays out partitioned, key-sorted, size-bounded
+  * files; the manifest/snapshot metadata of its `iceberg-core`
+  * dependency is what turns a file pile into a TABLE). Two core
+  * capabilities, reproduced honestly with no table-format dependency:
+  *
+  *  - '''Snapshots / time travel''': every commit writes an immutable
+  *    JSON manifest (complete file list + per-file column stats) and
+  *    atomically advances a snapshot pointer. Readers resolve a
+  *    manifest, never a directory listing — commits are atomic
+  *    (readers see the old or the new snapshot, nothing in between)
+  *    and any historical snapshot stays readable.
+  *  - '''Stats-based file pruning''': per-file min/max column stats
+  *    recorded at commit time let a reader skip every file whose
+  *    value ranges cannot satisfy a predicate — the read-side payoff
+  *    that Z-order clustering (zorder_layout) exists to maximize.
+  *
+  * Data files are FLAT ([[BlockWriter.writeFlat]]): partition values
+  * stay as table columns and layout is tracked only through the
+  * manifest — the Iceberg model, where partitioning is metadata, not
+  * directory names. At cluster scale the same manifests live on the
+  * object store and the pointer swap maps to a conditional-put /
+  * catalog CAS; the layer's plans are unchanged.
+  */
+object LakeTable {
+
+  final case class ColStats(min: Long, max: Long)
+  final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
+  final case class Manifest(snapshotId: Int, parentId: Int, files: Seq[FileEntry])
+
+  // ---------------- commit ----------------
+
+  /** Append `df` as a new snapshot: write a fresh file set under
+    * `data/s<id>/`, record per-file row counts and min/max stats for
+    * `statCols` (integer-valued columns), write the manifest, and
+    * atomically advance the snapshot pointer. Returns the snapshot id.
+    *
+    * The stats scan reads back only what this commit wrote (one pass,
+    * grouped by file) — the Spark analog of a writer reporting
+    * per-file stats to the table commit.
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      cfg: BlockWriter.Config, statCols: Seq[String],
+      rangeCluster: Boolean = false): Int = {
+    val parent = currentSnapshot(root)
+    val snap = parent + 1
+    val dataDir = s"$root/data/s$snap"
+    BlockWriter.writeFlat(df, dataDir, cfg, rangeCluster)
+    val aggCols = count(lit(1)).cast("bigint").as("rows") +:
+      statCols.flatMap(c => Seq(
+        min(col(c).cast("bigint")).as(s"min_$c"),
+        max(col(c).cast("bigint")).as(s"max_$c")))
+    val entries = spark.read.parquet(dataDir)
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect() // one row per written file — commit-time stats only
+      .map { r =>
+        FileEntry(r.getString(0), r.getLong(1),
+          statCols.zipWithIndex.map { case (c, i) =>
+            c -> ColStats(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
+          }.toMap)
+      }.toSeq.sortBy(_.path)
+    val files = (if (parent > 0) manifest(root, parent).files else Nil) ++ entries
+    val meta = Paths.get(root, "meta")
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve(s"manifest-$snap.json"),
+      manifestJson(Manifest(snap, parent, files)))
+    val tmp = meta.resolve(s"_current.tmp$snap")
+    Files.writeString(tmp, snap.toString)
+    Files.move(tmp, meta.resolve("_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  // ---------------- read ----------------
+
+  /** Latest committed snapshot id, 0 if the table has no commits. */
+  def currentSnapshot(root: String): Int = {
+    val p = Paths.get(root, "meta", "_current")
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 0
+  }
+
+  /** Read the table as of `asOf` (default: current snapshot) — the
+    * file list comes from that snapshot's manifest, so the read is
+    * immune to concurrent commits and later file additions.
+    */
+  def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
+    spark.read.parquet(m.files.map(_.path): _*)
+  }
+
+  /** Stats-pruned read: keep only files whose [min,max] stat ranges
+    * intersect EVERY predicate interval, then apply the row-level
+    * predicates to the survivors. Returns (rows, filesTouched,
+    * filesTotal) — correctness never depends on pruning (row filters
+    * re-check), pruning only bounds IO.
+    */
+  def prunedRead(spark: SparkSession, root: String,
+      preds: Map[String, (Long, Long)], asOf: Option[Int] = None): (DataFrame, Int, Int) = {
+    val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
+    val keep = m.files.filter(f => preds.forall { case (c, (lo, hi)) =>
+      f.stats.get(c).forall(st => st.min <= hi && st.max >= lo)
+    })
+    // empty survivor set: read the full list (filters still yield 0
+    // rows) — avoids the no-path read edge while staying correct.
+    val paths = if (keep.nonEmpty) keep.map(_.path) else m.files.map(_.path)
+    val base = spark.read.parquet(paths: _*)
+    val filtered = preds.foldLeft(base) { case (d, (c, (lo, hi))) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+    (filtered, keep.size, m.files.size)
+  }
+
+  // ---------------- manifest (de)serialization ----------------
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def manifestJson(m: Manifest): String = {
+    val fs = m.files.map { f =>
+      val st = f.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+        s""""${esc(c)}":{"min":${cs.min},"max":${cs.max}}"""
+      }.mkString(",")
+      s"""{"path":"${esc(f.path)}","rows":${f.rows},"stats":{$st}}"""
+    }.mkString(",")
+    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"files":[$fs]}"""
+  }
+
+  /** Load a snapshot's manifest (Jackson tree read — jackson-databind
+    * ships with Spark).
+    */
+  def manifest(root: String, snap: Int): Manifest = {
+    require(snap > 0, s"no snapshot $snap (table has ${currentSnapshot(root)})")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(Paths.get(root, "meta", s"manifest-$snap.json")))
+    val files = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      node.get("files").elements()).asScala.map { f =>
+      val statsNode = f.get("stats")
+      val stats = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        statsNode.fieldNames()).asScala.map { c =>
+        c -> ColStats(statsNode.get(c).get("min").asLong(),
+          statsNode.get(c).get("max").asLong())
+      }.toMap
+      FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
+    }.toSeq
+    Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(), files)
+  }
+}

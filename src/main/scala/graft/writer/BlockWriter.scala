@@ -60,4 +60,39 @@ object BlockWriter {
       .format(cfg.format)
       .save(basePath)
   }
+
+  /** Same clustering (partition-value co-location, key order, size
+    * bound) as [[write]], but FLAT: partition values stay as table
+    * columns instead of hive `partition=<value>/` directory names.
+    * This is the layout mode for manifest-tracked tables
+    * ([[graft.lake.LakeTable]]) — the Iceberg model, where partition
+    * structure is table METADATA, not paths, so readers never depend
+    * on directory listings.
+    *
+    * `rangeCluster = true` switches the shuffle to RANGE partitioning
+    * on the key (sampled bounds) + key sort, producing GLOBALLY
+    * key-ordered files whose per-file key extents are disjoint and
+    * tight — the rewrite shape of OPTIMIZE/ZORDER maintenance jobs.
+    * A hash repartition would scatter each key range across every
+    * task, giving every file near-full-span min/max stats and
+    * defeating stats pruning.
+    */
+  def writeFlat(df: DataFrame, basePath: String, cfg: Config,
+      rangeCluster: Boolean = false): Unit = {
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val clustered =
+      if (rangeCluster)
+        df.repartitionByRange(parallelism, col(cfg.keyCol))
+          .sortWithinPartitions(col(cfg.keyCol))
+      else
+        df.repartition(parallelism, col(cfg.partitionCol))
+          .sortWithinPartitions(col(cfg.partitionCol), col(cfg.keyCol))
+    clustered
+      .write
+      .mode("errorifexists")
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
+      .option("compression", cfg.compression)
+      .format(cfg.format)
+      .save(basePath)
+  }
 }
