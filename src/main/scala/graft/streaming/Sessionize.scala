@@ -39,6 +39,50 @@ object Sessionize {
   implicit val longEnc: Encoder[Long] = Encoders.scalaLong
   implicit val stateEnc: Encoder[List[Ev]] = Encoders.kryo[List[Ev]]
 
+  /** Streaming-incremental custom-state sessionizer: the open tail
+    * session lives in `GroupState` across micro-batches; a session
+    * emits exactly once — either when a later event overshoots the
+    * gap, or when the event-time watermark passes its end
+    * (EventTimeTimeout flush, the state-eviction path). Append-mode
+    * output. The input stream must carry `withWatermark` upstream.
+    * [[sessionsCustomState]] remains the batch drainer — batch
+    * execution has no watermark to flush tail sessions with.
+    */
+  def sessionsStreaming(events: Dataset[Ev], gapUs: Long): Dataset[Sess] =
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], Sess](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          def r2(x: Double): Double =
+            BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          def toSess(es: List[Ev]): Sess =
+            Sess(uid, es.head.ts_us, es.last.ts_us + gapUs,
+              es.size.toLong, r2(es.map(_.value).sum))
+          val pending = if (state.exists) state.get else Nil
+          if (state.hasTimedOut) {
+            // watermark passed pending.last + gap: the session can no
+            // longer grow — flush it and drop the state row.
+            state.remove()
+            if (pending.nonEmpty) Iterator.single(toSess(pending)) else Iterator.empty
+          } else {
+            val all = (pending ++ evs).sortBy(_.ts_us)
+            val closed = scala.collection.mutable.ListBuffer[List[Ev]]()
+            var cur = List.empty[Ev]
+            all.foreach { e =>
+              if (cur.nonEmpty && e.ts_us - cur.last.ts_us > gapUs) {
+                closed += cur
+                cur = Nil
+              }
+              cur = cur :+ e
+            }
+            if (cur.nonEmpty) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last.ts_us / 1000 + gapUs / 1000)
+            } else state.remove()
+            closed.iterator.map(toSess)
+          }
+      }
+
   /** Custom-state sessionizer over a typed Dataset. In batch mode
     * each key's iterator is complete, so all sessions emit in one
     * call; end_us matches session_window (last event + gap).

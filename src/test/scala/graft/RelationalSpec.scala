@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
@@ -62,6 +63,35 @@ class RelationalSpec extends AnyFunSuite {
       assert(!joinSection.contains("Exchange hashpartitioning"),
         s"bucketed join should not shuffle its inputs:\n${plan.take(3000)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_approx sketches land within tolerance of exact answers") {
+    // the driver gate is exact-match so q_approx is rows-only there;
+    // this spec IS its correctness check — a tolerance oracle against
+    // the exact distinct counts and quantiles on the same grouping.
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val approx = SparkEntry.queries("q_approx")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (aParts, aP50, aP99)) <- approx) {
+      val (eParts, eP50, eP99, lo, hi) = exact(k)
+      // HLL++ at rsd=0.01: allow 5% (≈5 sigma)
+      assert(math.abs(aParts - eParts) <= math.max(1L, (eParts * 0.05).toLong),
+        s"$k: approx_count_distinct $aParts vs exact $eParts")
+      // percentile_approx at accuracy=1000: allow 2% of the value range
+      val tol = math.max((hi - lo) * 0.02, 1e-6)
+      assert(math.abs(aP50 - eP50) <= tol, s"$k: p50 $aP50 vs $eP50 (tol $tol)")
+      assert(math.abs(aP99 - eP99) <= tol, s"$k: p99 $aP99 vs $eP99 (tol $tol)")
+    }
   }
 
   test("q_topk plans as TakeOrderedAndProject (no global sort)") {

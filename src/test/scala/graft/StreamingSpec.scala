@@ -8,6 +8,109 @@ import graft.streaming.Sessionize
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
+  /** Stage DataFrames as one parquet file each under a fresh dir,
+    * with strictly increasing modification times — the streaming file
+    * source (maxFilesPerTrigger=1) then replays them as ordered
+    * micro-batches.
+    */
+  private def stageBatches(prefix: String,
+      batches: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val inDir = graft.util.Scratch.dir(prefix)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmpOut = graft.util.Scratch.dir(s"${prefix}tmp_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(inDir, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      graft.util.Scratch.rmNow(tmpOut)
+    }
+    inDir
+  }
+
+  test("append-mode watermark: windows finalize once, late rows drop, state stays bounded") {
+    val s = spark
+    import s.implicits._
+    def batch(hours: Seq[Int]) = hours.toDF("h")
+      .select(expr("timestamp_millis(h * 3600000L)").as("ts"))
+    // b0: on-time hours 0..2; b1 jumps event time to 10-11 (advances
+    // the watermark past the early windows); b2 carries a LATE hour-0
+    // row (far below the watermark) plus one on-time row.
+    val inDir = stageBatches("graft_wm_", Seq(
+      batch(Seq(0, 1, 2)), batch(Seq(10, 11)), batch(Seq(0, 11))))
+    val schema = s.read.parquet(inDir).schema
+    val name = s"graft_wm_sink_${System.nanoTime()}"
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_wm_ck_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .select((unix_micros(col("w.start")) / 3600000000L).cast("long").as("h"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    // exactly the finalized windows, each emitted once, with counts
+    // UNCHANGED by the late replay of hour 0
+    assert(out === Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"sink: $out")
+    val progresses = q.recentProgress.toSeq.flatMap(_.stateOperators)
+    assert(progresses.map(_.numRowsDroppedByWatermark).sum >= 1,
+      "the late hour-0 row must be dropped by the watermark")
+    // state eviction: only the not-yet-final windows (hours 10, 11)
+    // remain; the early windows were emitted AND evicted
+    assert(progresses.last.numRowsTotal <= 2,
+      s"state not bounded: ${progresses.last.numRowsTotal} rows")
+  }
+
+  test("custom-state sessionizer runs incrementally across micro-batches") {
+    val s = spark
+    import s.implicits._
+    import Sessionize._
+    // +24h base: epoch-0 event times collide with the initial
+    // watermark's strict > filter and would be dropped as late.
+    def evBatch(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "h")
+      .select(col("user_id"), expr("timestamp_millis((h + 24) * 3600000L)").as("ts"))
+    // u1 session [0,1] closed by its 10:00 event (batch 1); u1 [10]
+    // closed by its 20:00 event (batch 2); u2 [0,1] has no later
+    // events — closed by the WATERMARK TIMEOUT path; u1's open tail
+    // [20] is correctly held back (watermark never passes its end).
+    val inDir = stageBatches("graft_sst_", Seq(
+      evBatch(Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L))),
+      evBatch(Seq((1L, 10L))),
+      evBatch(Seq((1L, 20L)))))
+    val schema = s.read.parquet(inDir).schema
+    val gapUs = 2L * 3600L * 1000000L
+    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      // the watermark-tagged ts column must flow into the stateful
+      // operator (event-time timeout requires it); the Ev encoder
+      // binds by name and ignores the extra column.
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(1.0).as("value"), col("ts"))
+      .as[Ev](evEnc)
+    val name = s"graft_sst_sink_${System.nanoTime()}"
+    val q = Sessionize.sessionsStreaming(src, gapUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_sst_ck_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = s.table(name).as[Sess](sessEnc).collect()
+      .map(x => (x.user_id, x.start_us / 3600000000L - 24L,
+        x.end_us / 3600000000L - 24L, x.n_events)).toSet
+    assert(got === Set(
+      (1L, 0L, 3L, 2L),   // closed by a later event past the gap
+      (1L, 10L, 12L, 1L), // closed by the next batch's event
+      (2L, 0L, 3L, 2L)),  // closed by event-time timeout (eviction)
+      s"got: $got")
+  }
+
   test("custom-state sessionizer matches native session_window") {
     val ev = Tables.load(spark, sf, "events")
     val typed = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
