@@ -40,8 +40,9 @@ object LakeTable {
 
   /** Append `df` as a new snapshot: write a fresh file set under
     * `data/s<id>/`, record per-file row counts and min/max stats for
-    * `statCols` (integer-valued columns), write the manifest, and
-    * atomically advance the snapshot pointer. Returns the snapshot id.
+    * `statCols` (integer-valued columns), write the manifest
+    * (= parent file list + the new files), and atomically advance the
+    * snapshot pointer. Returns the snapshot id.
     *
     * The stats scan reads back only what this commit wrote (one pass,
     * grouped by file) — the Spark analog of a writer reporting
@@ -49,7 +50,25 @@ object LakeTable {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
-      rangeCluster: Boolean = false): Int = {
+      rangeCluster: Boolean = false): Int =
+    writeSnapshot(spark, root, df, cfg, statCols, rangeCluster, replace = false)
+
+  /** Rewrite commit (copy-on-write maintenance): the new snapshot's
+    * file list is EXACTLY the files written here — the parent's files
+    * are retired from the current view but remain on disk and remain
+    * referenced by earlier manifests, so time travel to pre-rewrite
+    * snapshots keeps working. This is the mechanism behind compaction
+    * (same rows, fewer/bigger files) and copy-on-write DELETE (same
+    * files minus the deleted rows).
+    */
+  def rewrite(spark: SparkSession, root: String, df: DataFrame,
+      cfg: BlockWriter.Config, statCols: Seq[String],
+      rangeCluster: Boolean = false): Int =
+    writeSnapshot(spark, root, df, cfg, statCols, rangeCluster, replace = true)
+
+  private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
+      cfg: BlockWriter.Config, statCols: Seq[String],
+      rangeCluster: Boolean, replace: Boolean): Int = {
     val parent = currentSnapshot(root)
     val snap = parent + 1
     val dataDir = s"$root/data/s$snap"
@@ -68,11 +87,12 @@ object LakeTable {
             c -> ColStats(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
           }.toMap)
       }.toSeq.sortBy(_.path)
-    val files = (if (parent > 0) manifest(root, parent).files else Nil) ++ entries
+    val inherited =
+      if (replace || parent == 0) Nil else manifest(root, parent).files
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
     Files.writeString(meta.resolve(s"manifest-$snap.json"),
-      manifestJson(Manifest(snap, parent, files)))
+      manifestJson(Manifest(snap, parent, inherited ++ entries)))
     val tmp = meta.resolve(s"_current.tmp$snap")
     Files.writeString(tmp, snap.toString)
     Files.move(tmp, meta.resolve("_current"),

@@ -119,11 +119,87 @@ object Lake {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // --- lake_compact: small-file compaction as a REWRITE commit —
+  // the table is seeded as a scatter of tiny files, then rewritten
+  // into task-sized files; the new manifest lists only the compacted
+  // files while snapshot 1 keeps reading the scatter (time travel
+  // across maintenance). The query reads BOTH snapshots and reduces
+  // each to the same aggregate — proving the rewrite preserved
+  // content exactly; LakeSpec asserts the file count actually shrank.
+  private def sumValX100 = sum(floor(col("value") * 100 + 0.5)).cast("bigint")
+
+  def lakeCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_lc_")
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    LakeTable.commit(s, root, ev,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 64), Seq("event_id"))
+    LakeTable.rewrite(s, root, LakeTable.read(s, root, Some(1)),
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1 << 20), Seq("event_id"))
+    LakeTable.read(s, root, Some(1)).withColumn("snap", lit(1L))
+      .unionByName(LakeTable.read(s, root, Some(2)).withColumn("snap", lit(2L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeCompactSql: String =
+    """WITH sub AS (SELECT event_id, event_type, value FROM events WHERE event_id % 7 = 0),
+      |snaps AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, * FROM sub
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, * FROM sub)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
+  // --- lake_delete: copy-on-write DELETE — snapshot 2 rewrites the
+  // table minus the deleted keys; snapshot 1 still reads the
+  // pre-delete data. The CRUD completion of the lake layer: append
+  // (snapshot_read), compact (lake_compact), delete (here) — all the
+  // same manifest mechanism.
+  def lakeDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_ld_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id"))
+    LakeTable.rewrite(s, root,
+      LakeTable.read(s, root, Some(1)).filter(col("event_id") % 10 =!= 0), cfg,
+      Seq("event_id"))
+    LakeTable.read(s, root, Some(1)).withColumn("snap", lit(1L))
+      .unionByName(LakeTable.read(s, root, Some(2)).withColumn("snap", lit(2L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeDeleteSql: String =
+    """WITH snaps AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 10 <> 0)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_read" -> snapshotRead,
-    "prune_scan" -> pruneScan)
+    "prune_scan" -> pruneScan,
+    "lake_compact" -> lakeCompact,
+    "lake_delete" -> lakeDelete)
 
   val oracles: Map[String, String] = Map(
     "snapshot_read" -> snapshotReadSql,
-    "prune_scan" -> pruneScanSql)
+    "prune_scan" -> pruneScanSql,
+    "lake_compact" -> lakeCompactSql,
+    "lake_delete" -> lakeDeleteSql)
 }

@@ -395,16 +395,20 @@ object LlmPipeline {
     * dedup_clusters.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // base is reused by the signature pass and both verify joins —
-    // cache it so the (non-trivial) shingling + per-gram base hash run
-    // once. Query-scoped: the consumer releases it after the terminal
-    // action.
+    // Grams are HASHED once map-side and the strings dropped — the
+    // cached base carries only (doc_id, 60-bit gram-hash set). Both
+    // the signature pass and the exact-Jaccard verify work on the
+    // hash sets (Broder's original shingle-hashing; the DuckDB oracle
+    // replays the identical hashing, and at 60 bits collisions are
+    // negligible). Long arrays cache smaller and compare faster than
+    // gram strings. Query-scoped cache: released by the consumer.
     val base = graft.util.QueryScratch.cached(
       Dedup.withShingles(t(s, dir, "documents"), "text", 3,
         distinct = true, Seq("doc_id"), "sh")
-        .withColumn("whs", transform(col("sh"), g => TextFns.hash60(g))))
+        .select(col("doc_id"),
+          array_distinct(transform(col("sh"), g => TextFns.hash60(g))).as("whs")))
     val sigs = base.select(
-      Seq(col("doc_id"), col("sh")) ++
+      Seq(col("doc_id"), col("whs")) ++
         (0 until MH_HASHES).map(i => Dedup.minhashSig(col("whs"), i).as(s"s$i")): _*)
     val bandStructs = (0 until MH_BANDS).map(b =>
       struct(lit(b).as("band"), Dedup.bandKey(b, MH_ROWS).as("bk")))
@@ -414,8 +418,8 @@ object LlmPipeline {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk")))
     Dedup.candidatePairs(bands, "doc_id", Seq("band", "bk"))
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("whs").as("sha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("whs").as("shb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         Dedup.jaccardBp(col("sha"), col("shb")).as("jacc_bp"))
       .filter(col("jacc_bp") >= 5000)
@@ -432,9 +436,9 @@ object LlmPipeline {
     }.mkString(" ")
     s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
        |sh0 AS (SELECT doc_id, list_distinct(${shSeqSql(3)}) AS sh FROM w),
-       |mbase AS (SELECT doc_id, sh, list_transform(sh, s -> ${hash60Sql("s")}) AS whs
+       |mbase AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${hash60Sql("s")})) AS whs
        |  FROM sh0 WHERE len(sh) > 0),
-       |sig AS (SELECT doc_id, sh,
+       |sig AS (SELECT doc_id,
        |    $sigExprs
        |  FROM mbase),
        |bands AS (SELECT doc_id, b.band, CASE b.band $bandCases END AS bk
@@ -442,9 +446,9 @@ object LlmPipeline {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |pairs AS (SELECT doc_a, doc_b,
-       |    CAST((len(list_intersect(x.sh, y.sh)) * 10000) // len(list_distinct(x.sh || y.sh)) AS BIGINT) AS jacc_bp
+       |    CAST((len(list_intersect(x.whs, y.whs)) * 10000) // len(list_distinct(x.whs || y.whs)) AS BIGINT) AS jacc_bp
        |  FROM cand JOIN mbase x ON x.doc_id = doc_a JOIN mbase y ON y.doc_id = doc_b
-       |  WHERE (len(list_intersect(x.sh, y.sh)) * 10000) // len(list_distinct(x.sh || y.sh)) >= 5000)""".stripMargin
+       |  WHERE (len(list_intersect(x.whs, y.whs)) * 10000) // len(list_distinct(x.whs || y.whs)) >= 5000)""".stripMargin
   }
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =

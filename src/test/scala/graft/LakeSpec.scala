@@ -56,6 +56,27 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("rewrite commit: compaction shrinks the file list, old snapshot intact") {
+    val root = graft.util.Scratch.dir("graft_lakespec_c_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    LakeTable.commit(spark, root, ev,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 16), Seq("event_id"))
+    val before = LakeTable.manifest(root, 1).files.size
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root, Some(1)),
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1 << 20), Seq("event_id"))
+    val after = LakeTable.manifest(root, 2).files.size
+    assert(after < before / 2, s"compaction: $before files -> $after files")
+    // content preserved exactly; pre-compaction snapshot still readable
+    assert(LakeTable.read(spark, root, Some(2)).count() === ev.count())
+    assert(LakeTable.read(spark, root, Some(1)).count() === ev.count())
+    // rewrite manifests do NOT inherit parent files
+    val s2paths = LakeTable.manifest(root, 2).files.map(_.path).toSet
+    val s1paths = LakeTable.manifest(root, 1).files.map(_.path).toSet
+    assert(s2paths.intersect(s1paths).isEmpty, "rewrite must retire parent files")
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("prune_scan touches files proportional to the predicate window, not the table") {
     // the query-level artifact: the same layout prune_scan builds, at
     // its production file size — record the prune ratio holds there too
