@@ -34,7 +34,8 @@ object LakeTable {
 
   final case class ColStats(min: Long, max: Long)
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
-  final case class Manifest(snapshotId: Int, parentId: Int, files: Seq[FileEntry])
+  final case class Manifest(snapshotId: Int, parentId: Int, files: Seq[FileEntry],
+      note: String = "")
 
   // ---------------- commit ----------------
 
@@ -50,8 +51,9 @@ object LakeTable {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
-      rangeCluster: Boolean = false): Int =
-    writeSnapshot(spark, root, df, cfg, statCols, rangeCluster, replace = false)
+      rangeCluster: Boolean = false, note: String = ""): Int =
+    writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
+      replace = false, note = note)
 
   /** Rewrite commit (copy-on-write maintenance): the new snapshot's
     * file list is EXACTLY the files written here — the parent's files
@@ -64,11 +66,12 @@ object LakeTable {
   def rewrite(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean = false): Int =
-    writeSnapshot(spark, root, df, cfg, statCols, rangeCluster, replace = true)
+    writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
+      replace = true, note = "")
 
   private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
-      rangeCluster: Boolean, replace: Boolean): Int = {
+      rangeCluster: Boolean, replace: Boolean, note: String): Int = {
     val parent = currentSnapshot(root)
     val snap = parent + 1
     val dataDir = s"$root/data/s$snap"
@@ -92,7 +95,7 @@ object LakeTable {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
     Files.writeString(meta.resolve(s"manifest-$snap.json"),
-      manifestJson(Manifest(snap, parent, inherited ++ entries)))
+      manifestJson(Manifest(snap, parent, inherited ++ entries, note)))
     val tmp = meta.resolve(s"_current.tmp$snap")
     Files.writeString(tmp, snap.toString)
     Files.move(tmp, meta.resolve("_current"),
@@ -155,7 +158,7 @@ object LakeTable {
       }.mkString(",")
       s"""{"path":"${esc(f.path)}","rows":${f.rows},"stats":{$st}}"""
     }.mkString(",")
-    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"files":[$fs]}"""
+    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"note":"${esc(m.note)}","files":[$fs]}"""
   }
 
   /** Load a snapshot's manifest (Jackson tree read — jackson-databind
@@ -175,6 +178,7 @@ object LakeTable {
       }.toMap
       FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
     }.toSeq
-    Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(), files)
+    Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(), files,
+      if (node.has("note")) node.get("note").asText() else "")
   }
 }

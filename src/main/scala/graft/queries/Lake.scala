@@ -191,13 +191,49 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- stream_lake: streaming ingest INTO the manifest-tracked
+  // table — the reference's whole pipeline (file stream → block
+  // writer → iceberg commit; main.go:62-115) in one operator. The
+  // source is staged as 3 files replayed as 3 micro-batches, each
+  // becoming one ATOMIC lake commit (idempotent by batch id); the
+  // result reads the final snapshot and pins n_commits = 3, so the
+  // oracle checks exactly-once delivery AND the per-batch commit
+  // cadence.
+  def streamLake(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_sl_")
+    val staged = tmp("graft_sl_in_")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    val n = graft.streaming.LakeStream.runOnceToLake(s, staged, root,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096),
+      Seq("event_id", "user_id"))
+    LakeTable.read(s, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("n_commits", lit(n.toLong))
+      .orderBy(col("event_type"))
+  }
+
+  val streamLakeSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(3 AS BIGINT) AS n_commits
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_lake" -> streamLake,
     "snapshot_read" -> snapshotRead,
     "prune_scan" -> pruneScan,
     "lake_compact" -> lakeCompact,
     "lake_delete" -> lakeDelete)
 
   val oracles: Map[String, String] = Map(
+    "stream_lake" -> streamLakeSql,
     "snapshot_read" -> snapshotReadSql,
     "prune_scan" -> pruneScanSql,
     "lake_compact" -> lakeCompactSql,

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.lake.LakeTable
+import graft.writer.BlockWriter
+
+/** Streaming ingest INTO a manifest-tracked lake table — the full
+  * replica of the reference pipeline (main.go:62-115: file stream →
+  * BlockManager → iceberg-core storage): every micro-batch becomes
+  * ONE atomic lake commit (files + stats + manifest + pointer swap),
+  * so downstream readers always see a consistent snapshot and can
+  * time-travel the ingest history batch by batch.
+  *
+  * Exactly-once: `foreachBatch` is at-least-once under retries, so
+  * the commit is made idempotent by recording the batch id in the
+  * manifest note — a replayed batch whose id is already the head
+  * commit is skipped. This is the same recipe Iceberg's own streaming
+  * writers use (commit metadata carries the checkpoint epoch).
+  */
+object LakeStream {
+
+  /** Drain `inDir` (a directory of arriving files) into the lake
+    * table at `root`, one atomic commit per micro-batch; returns the
+    * number of commits. `maxFilesPerTrigger=1` makes each staged file
+    * one batch — the MaxAge/MaxSize flush cadence of the reference,
+    * with AvailableNow standing in for the wall-clock trigger.
+    */
+  def runOnceToLake(
+      spark: SparkSession,
+      inDir: String,
+      root: String,
+      cfg: BlockWriter.Config,
+      statCols: Seq[String],
+      maxFilesPerTrigger: Int = 1,
+      checkpoint: String = null): Int = {
+    graft.sources.Tables.ensureParquetConfs(spark)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
+    val restored =
+      if (schema.fieldNames.contains("ts") &&
+          schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val q = restored.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val head = LakeTable.currentSnapshot(root)
+        val done = head > 0 && LakeTable.manifest(root, head).note == s"batch-$id"
+        if (!done && !batch.isEmpty)
+          LakeTable.commit(spark, root, batch.toDF(), cfg, statCols,
+            note = s"batch-$id"): Unit
+      }
+      .option("checkpointLocation",
+        Option(checkpoint).getOrElse(graft.util.Scratch.dir("graft_lake_ck_")))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    LakeTable.currentSnapshot(root)
+  }
+}

@@ -77,6 +77,32 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("streaming ingest commits one snapshot per micro-batch, idempotently") {
+    val root = graft.util.Scratch.dir("graft_lakespec_sl_")
+    val staged = graft.util.Scratch.dir("graft_lakespec_slin_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    ev.repartition(3).write.mode("overwrite").parquet(staged)
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    val ck = graft.util.Scratch.dir("graft_lakespec_slck_")
+    val n = graft.streaming.LakeStream.runOnceToLake(spark, staged, root, cfg,
+      Seq("event_id"), checkpoint = ck)
+    assert(n === 3, s"expected one commit per staged file, got $n")
+    // commit cadence: each snapshot notes its batch id, file lists grow
+    assert((1 to 3).map(i => LakeTable.manifest(root, i).note) === Seq("batch-0", "batch-1", "batch-2"))
+    val counts = (1 to 3).map(i => LakeTable.read(spark, root, Some(i)).count())
+    assert(counts.last === ev.count())
+    assert(counts(0) < counts(1) && counts(1) < counts(2), s"snapshots must grow: $counts")
+    // exactly-once: restarting the same checkpointed query re-reads
+    // nothing (file-source log) and the note guard covers foreachBatch
+    // retries — either way the table must not double-commit.
+    val before = LakeTable.currentSnapshot(root)
+    val again = graft.streaming.LakeStream.runOnceToLake(spark, staged, root, cfg,
+      Seq("event_id"), checkpoint = ck)
+    assert(again === before, "restarting a drained query must not double-commit")
+    graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(staged)
+  }
+
   test("prune_scan touches files proportional to the predicate window, not the table") {
     // the query-level artifact: the same layout prune_scan builds, at
     // its production file size — record the prune ratio holds there too
