@@ -47,6 +47,12 @@ class LakeSpec extends AnyFunSuite {
     assert(total >= 20, s"expected a multi-file layout, got $total files")
     assert(touched <= total / 4,
       s"z-order + stats should skip most files: touched $touched of $total")
+    // the surviving files are still row-filtered AT THE SCAN: the
+    // interval predicates must reach the parquet reader
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(day)") ||
+      plan.contains("GreaterThanOrEqual(day"),
+      s"prune predicates not pushed to scan:\n${plan.take(1500)}")
     // pruning must not change results: same rows as the full-scan path
     val full = LakeTable.read(spark, root)
       .filter(col("day").between(graft.queries.Lake.PRUNE_DAY._1, graft.queries.Lake.PRUNE_DAY._2) &&
