@@ -610,15 +610,37 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   // --- q_approx: sketch aggregates (HLL++, approximate quantiles).
-  // No DuckDB oracle — sketch internals differ; rows-only check.
+  // Sketch internals can't hash-match a different engine, so the
+  // TOLERANCE CHECK runs inside the query: each group carries the
+  // exact answers plus booleans asserting the sketches landed within
+  // their error bounds (HLL++ rsd=0.01 → 5%; percentile_approx
+  // accuracy=1000 → 2% of the value range). The DuckDB oracle replays
+  // the exact columns and pins the booleans TRUE — a drifting sketch
+  // flips a flag and fails the hash compare. Sketches stay in the
+  // plan (partial-aggregated, mergeable — the 100 TB shape); the
+  // exact twins exist to judge them.
   def qApprox(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        countDistinct(col("l_partkey")).as("parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50e"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .select(col("l_returnflag"), col("parts"),
+        (abs(col("ap") - col("parts")) <=
+          greatest(lit(1L), (col("parts") * 5 - (col("parts") * 5) % 100) / 100)).as("cd_ok"),
+        (abs(col("p50a") - col("p50e")) <= (col("hi") - col("lo")) * 0.02).as("p50_ok"))
       .orderBy(col("l_returnflag"))
+
+  val qApproxSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS parts,
+      |  TRUE AS cd_ok, TRUE AS p50_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
@@ -667,5 +689,6 @@ object Relational {
     "q_range_join" -> qRangeJoinSql,
     "q_dates" -> qDatesSql,
     "q_strings" -> qStringsSql,
-    "q_props_extract" -> qPropsExtractSql)
+    "q_props_extract" -> qPropsExtractSql,
+    "q_approx" -> qApproxSql)
 }
