@@ -94,8 +94,15 @@ object LakeTable {
       if (replace || parent == 0) Nil else manifest(root, parent).files
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
+    // Optimistic concurrency (the Iceberg commit protocol): the
+    // manifest is created with CREATE_NEW, so two committers racing
+    // for the same snapshot id cannot both win — the loser gets
+    // FileAlreadyExistsException and must re-resolve the head and
+    // retry (re-validating against the new parent). On an object
+    // store this maps to conditional-put / catalog CAS.
     Files.writeString(meta.resolve(s"manifest-$snap.json"),
-      manifestJson(Manifest(snap, parent, inherited ++ entries, note)))
+      manifestJson(Manifest(snap, parent, inherited ++ entries, note)),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     val tmp = meta.resolve(s"_current.tmp$snap")
     Files.writeString(tmp, snap.toString)
     Files.move(tmp, meta.resolve("_current"),

@@ -615,8 +615,12 @@ object LlmPipeline {
     def propagate(l: DataFrame): DataFrame =
       adj.join(l.withColumnRenamed("node", "nbr"), "nbr")
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-    var labels = adj.groupBy(col("node")).agg(min(col("nbr")).as("label")).cache()
-    var prevSum = labelSum(labels)
+    // initial labels stay lazy (referenced once by the first check's
+    // chain); the first labelSum seeds the convergence baseline, so no
+    // separate init action runs.
+    var labels = adj.groupBy(col("node")).agg(min(col("nbr")).as("label"))
+    var prevCached: DataFrame = null
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var checks = 0
     while (!converged && checks < 25) {
@@ -626,9 +630,10 @@ object LlmPipeline {
       // planning itself the bottleneck.
       if (checks % 4 == 3) next = next.localCheckpoint()
       val s = labelSum(next)
-      labels.unpersist()
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = next
       labels = next
-      converged = s.compareTo(prevSum) == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       checks += 1
     }

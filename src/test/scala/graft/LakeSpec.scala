@@ -83,6 +83,23 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("optimistic concurrency: a racing committer cannot overwrite a won snapshot") {
+    val root = graft.util.Scratch.dir("graft_lakespec_occ_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(100)
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
+    // another committer already claimed snapshot 2 (CREATE_NEW wins)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "meta", "manifest-2.json"), "{}")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
+    }
+    // the pointer still names the last WON commit
+    assert(LakeTable.currentSnapshot(root) === 1)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("streaming ingest commits one snapshot per micro-batch, idempotently") {
     val root = graft.util.Scratch.dir("graft_lakespec_sl_")
     val staged = graft.util.Scratch.dir("graft_lakespec_slin_")
