@@ -395,7 +395,81 @@ object Advanced {
        |FROM agg
        |ORDER BY bin""".stripMargin
 
+  // --- domain_mix: training-mixture re-weighting — the step that
+  // turns observed per-language token shares into the sampling
+  // weights needed to hit a target mixture (uniform here). All
+  // integer basis points: share_bp = lang tokens / total (window over
+  // the 5-row aggregate — constant-size frame at any data scale),
+  // weight_bp = target/actual upsampling factor. One partial-agg
+  // shuffle on lang; the token count is a map-side size().
+  private val MIX_TARGET_BP = 2000L // uniform over the 5 languages
+
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "documents")
+      .withColumn("n_tok", size(TextFns.words(col("text"))).cast("bigint"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    agg
+      .withColumn("share_bp", idiv(col("n_tokens") * lit(10000L),
+        sum(col("n_tokens")).over(Window.partitionBy())))
+      .withColumn("weight_bp", idiv(lit(MIX_TARGET_BP) * lit(10000L), col("share_bp")))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("share_bp"), col("weight_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val domainMixSql: String =
+    s"""WITH a AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |sh AS (SELECT lang, n_docs, n_tokens,
+       |    (n_tokens * 10000) // (SUM(n_tokens) OVER ()) AS share_bp FROM a)
+       |SELECT lang, n_docs, n_tokens, CAST(share_bp AS BIGINT) AS share_bp,
+       |  CAST(($MIX_TARGET_BP * 10000) // share_bp AS BIGINT) AS weight_bp
+       |FROM sh
+       |ORDER BY lang""".stripMargin
+
+  // --- embed_quality: embedding hygiene gate — per-label counts of
+  // vectors whose scaled-int squared norm deviates from the unit
+  // sphere beyond a threshold (dead/exploded embeddings are the
+  // classic upstream-encoder failure). All integer arithmetic on the
+  // ×1e6 components (n2 exact), map-side + one partial-agg shuffle.
+  private val EQ_UNIT_N2 = 1000000000000L // (1e6)² — unit norm, scaled
+  private val EQ_DEV_MAX = 1000000L
+
+  def embedQuality(s: SparkSession, dir: String): DataFrame = {
+    val n2 = aggregate(transform(col("embedding").cast("array<double>"),
+      x => floor(x * lit(1000000.0) + lit(0.5)).cast("bigint")),
+      lit(0L), (acc, v) => acc + v * v)
+    val dev = abs(n2 - lit(EQ_UNIT_N2))
+    t(s, dir, "embeddings")
+      .select(col("label").cast("bigint").as("label"), dev.as("dev"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > EQ_DEV_MAX, 1L).otherwise(0L)).as("n_outlier"),
+        max(col("dev")).as("max_dev"),
+        idiv(sum(col("dev")), count(lit(1))).as("avg_dev"))
+      .orderBy(col("label"))
+  }
+
+  val embedQualitySql: String =
+    s"""WITH d AS (
+       |  SELECT label,
+       |    abs(CAST(list_sum(list_transform(embedding,
+       |      x -> CAST(FLOOR(x::DOUBLE * 1000000 + 0.5) AS BIGINT) * CAST(FLOOR(x::DOUBLE * 1000000 + 0.5) AS BIGINT))) AS BIGINT)
+       |      - $EQ_UNIT_N2) AS dev
+       |  FROM embeddings)
+       |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN dev > $EQ_DEV_MAX THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier,
+       |  MAX(dev) AS max_dev,
+       |  CAST(SUM(dev) // COUNT(*) AS BIGINT) AS avg_dev
+       |FROM d
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_mix" -> domainMix,
+    "embed_quality" -> embedQuality,
     "zorder_layout" -> zorderLayout,
     "kmeans_embed" -> kmeansEmbed,
     "tfidf_topk" -> tfidfTopk,
@@ -405,6 +479,8 @@ object Advanced {
     "q_histogram" -> qHistogram)
 
   val oracles: Map[String, String] = Map(
+    "domain_mix" -> domainMixSql,
+    "embed_quality" -> embedQualitySql,
     "zorder_layout" -> zorderLayoutSql,
     "kmeans_embed" -> kmeansEmbedSql,
     "tfidf_topk" -> tfidfTopkSql,
