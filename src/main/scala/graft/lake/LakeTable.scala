@@ -149,6 +149,31 @@ object LakeTable {
     (filtered, keep.size, m.files.size)
   }
 
+  // ---------------- maintenance ----------------
+
+  /** Expire snapshots older than `keepFrom`: delete data files that
+    * are referenced ONLY by expired manifests (a rewrite retires
+    * files from the current view but they stay on disk until expiry —
+    * this is what reclaims them), then drop the expired manifests.
+    * Time travel to snapshots ≥ `keepFrom` keeps working; earlier
+    * snapshots become unreadable by design. Returns the number of
+    * data files deleted.
+    */
+  def expire(root: String, keepFrom: Int): Int = {
+    val head = currentSnapshot(root)
+    require(keepFrom >= 1 && keepFrom <= head, s"keepFrom $keepFrom out of [1, $head]")
+    val keep = (keepFrom to head).flatMap(i => manifest(root, i).files.map(_.path)).toSet
+    val expired = (1 until keepFrom).flatMap(i => manifest(root, i).files.map(_.path)).toSet
+    val orphans = expired -- keep
+    orphans.foreach { p =>
+      Files.deleteIfExists(Paths.get(new java.net.URI(p).getPath)): Unit
+    }
+    (1 until keepFrom).foreach { i =>
+      Files.deleteIfExists(Paths.get(root, "meta", s"manifest-$i.json")): Unit
+    }
+    orphans.size
+  }
+
   // ---------------- manifest (de)serialization ----------------
 
   private def esc(s: String): String = s.flatMap {

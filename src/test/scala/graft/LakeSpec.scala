@@ -126,6 +126,50 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(staged)
   }
 
+  test("expire reclaims only files unreachable from kept snapshots") {
+    val root = graft.util.Scratch.dir("graft_lakespec_ex_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    // snapshot 2 REWRITES the table — snapshot 1's files become
+    // reclaimable once snapshot 1 expires
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root, Some(1)), cfg, Seq("event_id"))
+    val rowsBefore = LakeTable.read(spark, root).count()
+    val s1Files = LakeTable.manifest(root, 1).files.map(_.path)
+    val deleted = LakeTable.expire(root, keepFrom = 2)
+    assert(deleted === s1Files.size, s"expected all ${s1Files.size} retired files reclaimed, got $deleted")
+    s1Files.foreach { p =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(new java.net.URI(p).getPath)), s"orphan not deleted: $p")
+    }
+    // the kept snapshot is untouched and fully readable
+    assert(LakeTable.read(spark, root).count() === rowsBefore)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "meta", "manifest-1.json")), "expired manifest must drop")
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("manifest JSON round-trips, including paths needing escapes") {
+    val root = graft.util.Scratch.dir("graft_lakespec_js_")
+    // write through the real commit path, then re-read and compare
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(50)
+    LakeTable.commit(spark, root, ev,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096),
+      Seq("event_id", "user_id"), note = "quote\" back\\slash\ttab")
+    val m = LakeTable.manifest(root, 1)
+    assert(m.note === "quote\" back\\slash\ttab")
+    assert(m.files.nonEmpty)
+    m.files.foreach { f =>
+      assert(f.rows > 0)
+      assert(f.stats.keySet === Set("event_id", "user_id"))
+      f.stats.values.foreach(st => assert(st.min <= st.max))
+    }
+    assert(m.files.map(_.rows).sum === 50)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("prune_scan touches files proportional to the predicate window, not the table") {
     // the query-level artifact: the same layout prune_scan builds, at
     // its production file size — record the prune ratio holds there too
