@@ -394,29 +394,39 @@ object LlmPipeline {
     * shared engine behind dedup_minhash / dedup_retention /
     * dedup_clusters.
     */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Grams are HASHED once map-side and the strings dropped — the
-    // cached base carries only (doc_id, 60-bit gram-hash set). Both
-    // the signature pass and the exact-Jaccard verify work on the
-    // hash sets (Broder's original shingle-hashing; the DuckDB oracle
-    // replays the identical hashing, and at 60 bits collisions are
-    // negligible). Long arrays cache smaller and compare faster than
-    // gram strings. Query-scoped cache: released by the consumer.
-    val base = graft.util.QueryScratch.cached(
+  /** Documents → (doc_id, 60-bit gram-hash SET). Grams are hashed
+    * once map-side and the strings dropped — both the signature pass
+    * and the exact-Jaccard verify work on the hash sets (Broder's
+    * original shingle-hashing; the oracle replays the identical
+    * hashing, and at 60 bits collisions are negligible). Long arrays
+    * cache smaller and compare faster than gram strings.
+    * Query-scoped cache: released by the consumer.
+    */
+  private def mhBase(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryScratch.cached(
       Dedup.withShingles(t(s, dir, "documents"), "text", 3,
         distinct = true, Seq("doc_id"), "sh")
         .select(col("doc_id"),
           array_distinct(transform(col("sh"), g => TextFns.hash60(g))).as("whs")))
+
+  /** (doc_id, band, bk) LSH band keys from the hashed-gram base —
+    * one map-side signature pass; cached because candidate joins
+    * consume it from both sides.
+    */
+  private def mhBands(base: DataFrame): DataFrame = {
     val sigs = base.select(
       Seq(col("doc_id"), col("whs")) ++
         (0 until MH_HASHES).map(i => Dedup.minhashSig(col("whs"), i).as(s"s$i")): _*)
     val bandStructs = (0 until MH_BANDS).map(b =>
       struct(lit(b).as("band"), Dedup.bandKey(b, MH_ROWS).as("bk")))
-    // bands self-joins for candidate pairs — cache to avoid running
-    // the 12-hash signature pass twice.
-    val bands = graft.util.QueryScratch.cached(sigs
+    graft.util.QueryScratch.cached(sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk")))
+  }
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = mhBase(s, dir)
+    val bands = mhBands(base)
     Dedup.candidatePairs(bands, "doc_id", Seq("band", "bk"))
       .join(base.select(col("doc_id").as("doc_a"), col("whs").as("sha")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("whs").as("shb")), "doc_b")
@@ -425,8 +435,34 @@ object LlmPipeline {
       .filter(col("jacc_bp") >= 5000)
   }
 
-  /** dedupMinhashSql minus the trailing ORDER BY, as a CTE body. */
-  private val minhashPairsSqlBody: String = {
+  // --- dedup_incremental: the CONTINUOUS-INGEST dedup shape — an
+  // incoming batch (doc_id % 10 == 0 stands in for today's crawl)
+  // probes the EXISTING corpus band index asymmetrically: batch bands
+  // broadcast against the corpus index, so there is no batch×batch or
+  // corpus×corpus self-join and the per-batch cost is O(batch·bands +
+  // collisions) regardless of corpus size — the shape that keeps
+  // nightly dedup from rescanning 100 TB.
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = mhBase(s, dir)
+    val bands = mhBands(base)
+    val isBatch = col("doc_id") % 10 === 0
+    val cand = bands.filter(!isBatch)
+      .join(broadcast(bands.filter(isBatch)
+        .select(col("doc_id").as("batch_doc"), col("band"), col("bk"))),
+        Seq("band", "bk"))
+      .select(col("batch_doc"), col("doc_id").as("corpus_doc")).distinct()
+    cand
+      .join(base.select(col("doc_id").as("batch_doc"), col("whs").as("sha")), "batch_doc")
+      .join(base.select(col("doc_id").as("corpus_doc"), col("whs").as("shb")), "corpus_doc")
+      .select(col("batch_doc"), col("corpus_doc"),
+        Dedup.jaccardBp(col("sha"), col("shb")).as("jacc_bp"))
+      .filter(col("jacc_bp") >= 5000)
+      .orderBy(col("batch_doc"), col("corpus_doc"))
+  }
+
+  /** Shared CTEs `w, sh0, mbase, sig, bands` — the SQL replay of
+    * [[mhBase]] + [[mhBands]]. */
+  private val mhSqlCommon: String = {
     val sigExprs = (0 until MH_HASHES).map(i =>
       s"list_min(list_transform(whs, h -> (${Dedup.mhA(i)} * (h % ${Dedup.MH_P}) + ${Dedup.mhB(i)}) % ${Dedup.MH_P})) AS s$i")
       .mkString(",\n    ")
@@ -442,14 +478,31 @@ object LlmPipeline {
        |    $sigExprs
        |  FROM mbase),
        |bands AS (SELECT doc_id, b.band, CASE b.band $bandCases END AS bk
-       |  FROM sig, (SELECT unnest([${(0 until MH_BANDS).mkString(",")}]) AS band) b),
+       |  FROM sig, (SELECT unnest([${(0 until MH_BANDS).mkString(",")}]) AS band) b)""".stripMargin
+  }
+
+  private def jaccSql(x: String, y: String): String =
+    s"(len(list_intersect($x.whs, $y.whs)) * 10000) // len(list_distinct($x.whs || $y.whs))"
+
+  /** dedupMinhashSql minus the trailing ORDER BY, as a CTE body. */
+  private val minhashPairsSqlBody: String =
+    s"""$mhSqlCommon,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |pairs AS (SELECT doc_a, doc_b,
-       |    CAST((len(list_intersect(x.whs, y.whs)) * 10000) // len(list_distinct(x.whs || y.whs)) AS BIGINT) AS jacc_bp
+       |    CAST(${jaccSql("x", "y")} AS BIGINT) AS jacc_bp
        |  FROM cand JOIN mbase x ON x.doc_id = doc_a JOIN mbase y ON y.doc_id = doc_b
-       |  WHERE (len(list_intersect(x.whs, y.whs)) * 10000) // len(list_distinct(x.whs || y.whs)) >= 5000)""".stripMargin
-  }
+       |  WHERE ${jaccSql("x", "y")} >= 5000)""".stripMargin
+
+  val dedupIncrementalSql: String =
+    s"""WITH $mhSqlCommon,
+       |cand AS (SELECT DISTINCT bt.doc_id AS batch_doc, c.doc_id AS corpus_doc
+       |  FROM bands bt JOIN bands c ON bt.band = c.band AND bt.bk = c.bk
+       |  WHERE bt.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+       |SELECT batch_doc, corpus_doc, CAST(${jaccSql("x", "y")} AS BIGINT) AS jacc_bp
+       |FROM cand JOIN mbase x ON x.doc_id = batch_doc JOIN mbase y ON y.doc_id = corpus_doc
+       |WHERE ${jaccSql("x", "y")} >= 5000
+       |ORDER BY batch_doc, corpus_doc""".stripMargin
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -1120,6 +1173,7 @@ object LlmPipeline {
     "seq_pack" -> seqPack,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_retention" -> dedupRetention,
@@ -1145,6 +1199,7 @@ object LlmPipeline {
     "seq_pack" -> seqPackSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_retention" -> dedupRetentionSql,
