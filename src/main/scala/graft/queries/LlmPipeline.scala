@@ -712,6 +712,59 @@ object LlmPipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- graph_rank: scaled-integer PageRank over the near-dup graph —
+  // centrality picks the CANONICAL document of each duplicate cluster
+  // (the standard alternative to "keep lowest id" retention). Two
+  // iterations, all integer arithmetic (per-edge share = r/deg floor
+  // division, damping 0.85 as ×8500/10000), so results are partition-
+  // order-independent and the oracle unrolls the same two steps.
+  // Scale: one shuffle per iteration on the destination node; edge
+  // contributions partial-aggregate map-side.
+  private val PR_ITERS = 2
+
+  def graphRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.util.QueryScratch.cached(
+      minhashPairs(s, dir).select("doc_a", "doc_b"))
+    val edges = graft.util.QueryScratch.cached(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("src").as("node"), lit(10000L).as("r"))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), idiv(col("r"), col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      rank = deg.select(col("src").as("node"))
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(1500L) + idiv(lit(8500L) * coalesce(col("cs"), lit(0L)), lit(10000L))).as("r"))
+    }
+    rank.join(deg.withColumnRenamed("src", "node"), "node")
+      .select(col("node").as("doc_id"), col("deg"), col("r").as("rank_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val graphRankSql: String = {
+    def step(prev: String, c: String, out: String) =
+      s"""$c AS (SELECT dst, CAST(SUM($prev.r // deg.deg) AS BIGINT) AS cs
+         |  FROM edges JOIN $prev ON $prev.node = edges.src JOIN deg USING (src) GROUP BY dst),
+         |$out AS (SELECT deg.src AS node, 1500 + (8500 * COALESCE(cs, 0)) // 10000 AS r
+         |  FROM deg LEFT JOIN $c ON $c.dst = deg.src)""".stripMargin
+    s"""WITH $minhashPairsSqlBody,
+       |e AS (SELECT doc_a, doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM e UNION SELECT doc_b, doc_a FROM e),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, 10000::BIGINT AS r FROM deg),
+       |${step("r0", "c1", "r1")},
+       |${step("r1", "c2", "r2")}
+       |SELECT r2.node AS doc_id, deg.deg AS deg, CAST(r2.r AS BIGINT) AS rank_bp
+       |FROM r2 JOIN deg ON deg.src = r2.node
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- sample_stratified: deterministic per-language hash sampling —
   // the rebalancing step of a training-data mixer. Keep-decision is
   // pure per-row arithmetic (hash60(salt||text) bucket < per-lang
@@ -1178,6 +1231,7 @@ object LlmPipeline {
     "ngram_jaccard" -> ngramJaccard,
     "dedup_retention" -> dedupRetention,
     "dedup_clusters" -> dedupClusters,
+    "graph_rank" -> graphRank,
     "sample_stratified" -> sampleStratified,
     "pipeline_e2e" -> pipelineE2e,
     "embed_neardup" -> embedNeardup,
@@ -1204,6 +1258,7 @@ object LlmPipeline {
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_retention" -> dedupRetentionSql,
     "dedup_clusters" -> dedupClustersSql,
+    "graph_rank" -> graphRankSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "embed_neardup" -> embedNeardupSql,

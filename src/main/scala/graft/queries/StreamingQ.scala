@@ -143,6 +143,59 @@ object StreamingQ {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // --- stream_join: watermarked stream-stream interval join — the
+  // attribution pattern (each purchase joined to the same user's
+  // clicks in the preceding 24 h). Both sides carry watermarks and
+  // the join condition carries an event-time range, so the state
+  // store retains only a bounded 24h+delay window per side — the
+  // shape that lets two infinite streams join with finite memory.
+  // Inner-join matches emit as found (append mode). Oracle = the
+  // identical batch interval join at µs precision.
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val schema = s.read.parquet(staged).schema
+    val in = s.readStream.schema(schema).parquet(staged)
+    val restored =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val clicks = restored.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = restored.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val name = s"graft_ssj_${memId.incrementAndGet()}"
+    val q = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_ssj_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val streamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  EPOCH_US(p.ts) - EPOCH_US(c.ts) AS gap_us
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND EPOCH_US(c.ts) >= EPOCH_US(p.ts) - 86400000000
+      |  AND EPOCH_US(c.ts) <= EPOCH_US(p.ts)
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   // --- sessionize: 24h-gap sessions per user via the native
   // session_window operator (one shuffle on user_id; identical
   // operator serves streaming). Oracle = classic SQL gap/island.
@@ -175,11 +228,13 @@ object StreamingQ {
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,
+    "stream_join" -> streamJoin,
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_enrich" -> streamEnrichSql,
+    "stream_join" -> streamJoinSql,
     "sessionize" -> sessionizeSql)
 }
