@@ -567,6 +567,35 @@ object Relational {
       |ORDER BY day""".stripMargin
 
   // --- q_strings: string/regex functions over documents.
+  // --- q_sql_api: the SQL front door — the engine's tables registered
+  // as views and queried through spark.sql TEXT (TPC-H Q6 shape:
+  // selective scan + single aggregate). Proves a reference user can
+  // bring plain SQL, with the same Catalyst plan (pushdown, pruning,
+  // partial agg) as the DataFrame API; graft's native functions are
+  // SQL-callable through the same session extension.
+  def qSqlApi(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_x100,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(graft_hash60(CAST(l_orderkey AS STRING)) % 1000003) AS BIGINT) AS key_ck
+        |FROM lineitem_v
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val qSqlApiSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_x100,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT % 1000003) AS BIGINT) AS key_ck
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def qStrings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("n_tokens", regexp_count(col("text"), lit("[a-z]+")))
@@ -664,6 +693,7 @@ object Relational {
     "q_range_join" -> qRangeJoin,
     "q_dates" -> qDates,
     "q_strings" -> qStrings,
+    "q_sql_api" -> qSqlApi,
     "q_props_extract" -> qPropsExtract,
     "q_approx" -> qApprox)
 
@@ -689,6 +719,7 @@ object Relational {
     "q_range_join" -> qRangeJoinSql,
     "q_dates" -> qDatesSql,
     "q_strings" -> qStringsSql,
+    "q_sql_api" -> qSqlApiSql,
     "q_props_extract" -> qPropsExtractSql,
     "q_approx" -> qApproxSql)
 }
