@@ -35,7 +35,7 @@ object LakeTable {
   final case class ColStats(min: Long, max: Long)
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
   final case class Manifest(snapshotId: Int, parentId: Int, files: Seq[FileEntry],
-      note: String = "")
+      note: String = "", schemaJson: String = "")
 
   // ---------------- commit ----------------
 
@@ -74,6 +74,17 @@ object LakeTable {
       rangeCluster: Boolean, replace: Boolean, note: String): Int = {
     val parent = currentSnapshot(root)
     val snap = parent + 1
+    // Schema enforcement (the reference's schema-driven ingest, at
+    // table granularity): an APPEND must match the table schema
+    // exactly — a drifting producer fails at commit time instead of
+    // silently writing files a fixed-schema reader would mask out.
+    // Rewrites may change the schema (that is how evolution ships).
+    if (!replace && parent > 0) {
+      val expect = manifest(root, parent).schemaJson
+      val got = df.schema.json
+      require(expect.isEmpty || expect == got,
+        s"append schema mismatch for $root: table has $expect, batch has $got")
+    }
     val dataDir = s"$root/data/s$snap"
     BlockWriter.writeFlat(df, dataDir, cfg, rangeCluster)
     val aggCols = count(lit(1)).cast("bigint").as("rows") +:
@@ -101,7 +112,7 @@ object LakeTable {
     // retry (re-validating against the new parent). On an object
     // store this maps to conditional-put / catalog CAS.
     Files.writeString(meta.resolve(s"manifest-$snap.json"),
-      manifestJson(Manifest(snap, parent, inherited ++ entries, note)),
+      manifestJson(Manifest(snap, parent, inherited ++ entries, note, df.schema.json)),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     val tmp = meta.resolve(s"_current.tmp$snap")
     Files.writeString(tmp, snap.toString)
@@ -190,7 +201,7 @@ object LakeTable {
       }.mkString(",")
       s"""{"path":"${esc(f.path)}","rows":${f.rows},"stats":{$st}}"""
     }.mkString(",")
-    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"note":"${esc(m.note)}","files":[$fs]}"""
+    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"note":"${esc(m.note)}","schema":"${esc(m.schemaJson)}","files":[$fs]}"""
   }
 
   /** Load a snapshot's manifest (Jackson tree read — jackson-databind
@@ -211,6 +222,7 @@ object LakeTable {
       FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
     }.toSeq
     Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(), files,
-      if (node.has("note")) node.get("note").asText() else "")
+      if (node.has("note")) node.get("note").asText() else "",
+      if (node.has("schema")) node.get("schema").asText() else "")
   }
 }

@@ -150,6 +150,26 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("append with a drifted schema is rejected at commit time; rewrite may evolve it") {
+    val root = graft.util.Scratch.dir("graft_lakespec_sc_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(100)
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
+    val drifted = ev.withColumn("extra", lit(1L))
+    intercept[IllegalArgumentException] {
+      LakeTable.commit(spark, root, drifted, cfg, Seq("event_id"))
+    }
+    assert(LakeTable.currentSnapshot(root) === 1, "failed append must not advance the table")
+    // schema evolution ships as a REWRITE — allowed, and appends then
+    // enforce the new schema
+    LakeTable.rewrite(spark, root, drifted, cfg, Seq("event_id"))
+    LakeTable.commit(spark, root, drifted, cfg, Seq("event_id"))
+    assert(LakeTable.currentSnapshot(root) === 3)
+    assert(LakeTable.read(spark, root).columns.contains("extra"))
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("manifest JSON round-trips, including paths needing escapes") {
     val root = graft.util.Scratch.dir("graft_lakespec_js_")
     // write through the real commit path, then re-read and compare

@@ -77,6 +77,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhashSig == affine-rehash model over hashed grams (20 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 20) {
+      val rnd = new scala.util.Random(8000 + trial)
+      val whs = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong() & ((1L << 60) - 1))
+      val i = rnd.nextInt(12)
+      val got = Seq(Tuple1(whs)).toDF("whs")
+        .select(Dedup.minhashSig(col("whs"), i).as("m")).head().getLong(0)
+      val expect = whs.map(h =>
+        (Dedup.mhA(i) * (h % Dedup.MH_P) + Dedup.mhB(i)) % Dedup.MH_P).min
+      assert(got === expect, s"trial $trial i=$i")
+    }
+  }
+
   test("zInterleave == bit-interleave model (20 seeded trials)") {
     val s = spark
     import s.implicits._
