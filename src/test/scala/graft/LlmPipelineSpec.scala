@@ -4,6 +4,33 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("decontaminate is a broadcast probe: no corpus-side shuffle before the flag filter") {
+    val plan = SparkEntry.queries("decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // probe side is a single-row array broadcast (nested-loop on a
+    // 1-row build side); the corpus side must not hash-shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"probe not broadcast:\n${plan.take(1500)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 0, s"corpus side must not shuffle, found $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("dedup_incremental broadcasts the batch bands against the corpus index") {
+    val plan = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"batch side not broadcast:\n${plan.take(1500)}")
+  }
+
+  test("ann_topk streams the corpus once: broadcast query side, no scan shuffle") {
+    val plan = SparkEntry.queries("ann_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n${plan.take(1500)}")
+  }
+}
+
 class TextFnsSpec extends AnyFunSuite {
   import TestSpark._
 
