@@ -72,6 +72,61 @@ object WritePath {
       |GROUP BY 1
       |ORDER BY source""".stripMargin
 
+  // --- ingest_avro: the reference's BINARY wire format end-to-end —
+  // events rendered as minimal producer records, encoded to real Avro
+  // binary (writer schema WITHOUT the defaulted fields), decoded
+  // against the full Location schema so Avro's own schema resolution
+  // fills source="device" and the null-union defaults, then reduced.
+  // Encode and decode both run as one-codec-per-partition
+  // mapPartitions — distributed, no driver involvement. The oracle
+  // replays the payload arithmetic straight from events; the
+  // default-filled columns (constant source, all-null accuracy) prove
+  // the resolution actually ran.
+  def ingestAvro(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AvroBinary
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val wireEnc: Encoder[AvroBinary.Wire] = Encoders.product[AvroBinary.Wire]
+    implicit val locEnc: Encoder[AvroBinary.Loc] = Encoders.product[AvroBinary.Loc]
+    implicit val bytesEnc: Encoder[Array[Byte]] = Encoders.BINARY
+    val writerJson = AvroBinary.writerSchemaJson
+    val readerJson = AvroSchema.locationSchemaJson
+    val wire = t(s, dir, "events")
+      .select(
+        array(col("event_type")).as("features"),
+        r2(col("value")).as("latitude"),
+        (-r2(col("value"))).as("longitude"),
+        when(col("value") > 50, r2(col("value") / 10)).as("speed"),
+        unix_micros(col("ts")).as("timestamp"),
+        col("user_id").cast("string").as("user_id"))
+      .as[AvroBinary.Wire]
+    val encoded = wire.mapPartitions(rows =>
+      AvroBinary.encodePartition(rows, writerJson))
+    val decoded = encoded.mapPartitions(bs =>
+      AvroBinary.decodePartition(bs, writerJson, readerJson))
+    decoded.toDF()
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        r2(avg(col("latitude"))).as("avg_lat"),
+        count(col("speed")).as("n_speed"),
+        count(col("accuracy")).as("n_accuracy"),
+        min(col("timestamp")).as("min_ts_us"),
+        max(col("timestamp")).as("max_ts_us"),
+        sum(size(col("features"))).cast("bigint").as("n_features"))
+      .orderBy(col("source"))
+  }
+
+  val ingestAvroSql: String =
+    """SELECT 'device' AS source,
+      |  COUNT(*) AS n,
+      |  ROUND(AVG(ROUND(value, 2)), 2) AS avg_lat,
+      |  CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_speed,
+      |  CAST(0 AS BIGINT) AS n_accuracy,
+      |  MIN(EPOCH_US(ts)) AS min_ts_us,
+      |  MAX(EPOCH_US(ts)) AS max_ts_us,
+      |  COUNT(*) AS n_features
+      |FROM events""".stripMargin
+
   // --- block_assign: BlockManager's block assignment (main.go:73-87):
   // per partition value, key-ordered, ≤16-row blocks. One window
   // shuffle on user_id; the oracle replays it as SQL window algebra.
@@ -262,6 +317,7 @@ object WritePath {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_schema" -> ingestSchema,
+    "ingest_avro" -> ingestAvro,
     "block_assign" -> blockAssign,
     "partitioned_write" -> partitionedWrite,
     "compaction" -> compaction,
@@ -271,6 +327,7 @@ object WritePath {
 
   val oracles: Map[String, String] = Map(
     "ingest_schema" -> ingestSchemaSql,
+    "ingest_avro" -> ingestAvroSql,
     "block_assign" -> blockAssignSql,
     "partitioned_write" -> partitionedWriteSql,
     "compaction" -> compactionSql,
