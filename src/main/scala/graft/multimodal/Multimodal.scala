@@ -49,4 +49,33 @@ object Multimodal {
 
   def features(assets: Dataset[MmAsset]): Dataset[MmFeatures] =
     assets.mapPartitions(decodeBatch)(featEnc)
+
+  /** Features + aspect-fit resize target. */
+  final case class MmResized(
+      doc_id: Long, source: String, width: Long, height: Long,
+      out_w: Long, out_h: Long)
+
+  implicit val resizedEnc: Encoder[MmResized] = Encoders.product[MmResized]
+
+  /** Aspect-fit resize into a `boxW`×`boxH` target, ALL-INTEGER
+    * rational arithmetic (w·boxH ≤ h·boxW decides the binding axis;
+    * the free axis floor-scales) — deterministic across engines, no
+    * float rounding. Zero dims clamp to 1 (the stub's h%640 can be 0;
+    * a real decoder never emits it). This is the preprocessing step a
+    * vision pipeline runs between decode and feature extraction; a
+    * real implementation swaps the arithmetic for the actual pixel
+    * resample with identical geometry.
+    */
+  def resizeBatch(it: Iterator[MmFeatures], boxW: Long, boxH: Long): Iterator[MmResized] =
+    it.map { f =>
+      val w = math.max(1L, f.width)
+      val h = math.max(1L, f.height)
+      val (ow, oh) =
+        if (w * boxH <= h * boxW) (w * boxH / h, boxH)
+        else (boxW, h * boxW / w)
+      MmResized(f.doc_id, f.source, w, h, ow, oh)
+    }
+
+  def resized(assets: Dataset[MmAsset], boxW: Long, boxH: Long): Dataset[MmResized] =
+    features(assets).mapPartitions(it => resizeBatch(it, boxW, boxH))(resizedEnc)
 }

@@ -1175,6 +1175,49 @@ object LlmPipeline {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // --- mm_resize: decode → aspect-fit resize → reduce, the standard
+  // vision-pipeline preprocessing chain, through the same batched
+  // mapPartitions plumbing as mm_features. Resize geometry is
+  // all-integer rational arithmetic (binding axis by cross-product
+  // compare, free axis floor-scales), so the oracle replays it
+  // exactly; out dims never exceed the 224-box and preserve aspect.
+  private val MM_BOX = 224L
+
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import Multimodal._
+    val assets = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+      .as[MmAsset](assetEnc)
+    Multimodal.resized(assets, MM_BOX, MM_BOX).toDF()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("out_w")).as("sum_w"),
+        sum(col("out_h")).as("sum_h"),
+        sum(when(col("out_w") === MM_BOX || col("out_h") === MM_BOX, 1L)
+          .otherwise(0L)).as("n_at_box"))
+      .orderBy(col("source"))
+  }
+
+  val mmResizeSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    greatest(1, ${hash60Sql("text")} % 640) AS w,
+       |    greatest(1, (${hash60Sql("text")} // 640) % 480) AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT source,
+       |    CASE WHEN w * $MM_BOX <= h * $MM_BOX THEN (w * $MM_BOX) // h ELSE $MM_BOX END AS out_w,
+       |    CASE WHEN w * $MM_BOX <= h * $MM_BOX THEN $MM_BOX ELSE (h * $MM_BOX) // w END AS out_h
+       |  FROM d)
+       |SELECT source, COUNT(*) AS n,
+       |  CAST(SUM(out_w) AS BIGINT) AS sum_w,
+       |  CAST(SUM(out_h) AS BIGINT) AS sum_h,
+       |  CAST(SUM(CASE WHEN out_w = $MM_BOX OR out_h = $MM_BOX THEN 1 ELSE 0 END) AS BIGINT) AS n_at_box
+       |FROM r
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // --- mm_frames: the video-frame-sampling pattern — each asset
   // expands to a strided frame index set (stub "frames" derived from
   // byte length), per-frame features from the deterministic decode,
@@ -1240,6 +1283,7 @@ object LlmPipeline {
     "ann_ivf" -> annIvf,
     "text_ngram_freq" -> textNgramFreq,
     "mm_features" -> mmFeatures,
+    "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
@@ -1267,5 +1311,6 @@ object LlmPipeline {
     "ann_ivf" -> annIvfSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "mm_features" -> mmFeaturesSql,
+    "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql)
 }
