@@ -145,6 +145,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("resizeBatch: aspect-fit geometry bounds and ratio (100 seeded trials)") {
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(9000)
+    val feats = Seq.fill(100)(Multimodal.MmFeatures(0L, "s", 0L,
+      width = rnd.nextInt(641).toLong, height = rnd.nextInt(481).toLong, 0L, 0L))
+    val out = Multimodal.resizeBatch(feats.iterator, 224L, 224L).toSeq
+    for (r <- out) {
+      assert(r.out_w <= 224L && r.out_h <= 224L, s"exceeds box: $r")
+      assert(r.out_w == 224L || r.out_h == 224L, s"not fit to box: $r")
+      assert(r.out_w >= 1L && r.out_h >= 1L, s"degenerate: $r")
+      // aspect preserved within floor rounding: out_w/out_h ≈ w/h
+      assert(math.abs(r.out_w * r.height - r.out_h * r.width) <=
+        math.max(r.width, r.height), s"aspect drifted: $r")
+    }
+  }
+
   test("jaccardBp == integer model on random string sets (20 seeded trials)") {
     val s = spark
     import s.implicits._
