@@ -122,7 +122,11 @@ object StreamingQ {
       .withColumn("nkey", pmod(col("user_id"), lit(25L)))
       .join(broadcast(nation), "nkey")
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      // scaled-int sum (SURVEY §5): per-row floor(x*100+.5) then an
+      // integer SUM is accumulation-order-independent, unlike
+      // ROUND(SUM(double)) at a .005 boundary.
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("sum_value_x100"))
       .writeStream
       .format("memory")
       .queryName(name)
@@ -132,12 +136,13 @@ object StreamingQ {
       .start()
     q.awaitTermination()
     s.table(name)
-      .select(col("n_name"), col("n"), col("sum_value"))
+      .select(col("n_name"), col("n"), col("sum_value_x100"))
       .orderBy(col("n_name"))
   }
 
   val streamEnrichSql: String =
-    """SELECT n_name, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    """SELECT n_name, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
       |FROM events
       |JOIN nation ON n_nationkey = user_id % 25
       |GROUP BY n_name
