@@ -170,6 +170,36 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("lake lifecycle: append ×2 → compact → CoW delete → expire → read, one table") {
+    val root = graft.util.Scratch.dir("graft_lakespec_lc2_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 64)
+    val big = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root), big, Seq("event_id"))
+    LakeTable.rewrite(spark, root,
+      LakeTable.read(spark, root).filter(col("event_id") % 10 =!= 0), big, Seq("event_id"))
+    assert(LakeTable.currentSnapshot(root) === 4)
+    val expectFinal = ev.filter(col("event_id") % 10 =!= 0).count()
+    assert(LakeTable.read(spark, root).count() === expectFinal)
+    // history intact pre-expiry: snap2 full, snap3 compacted-full
+    assert(LakeTable.read(spark, root, Some(2)).count() === ev.count())
+    assert(LakeTable.read(spark, root, Some(3)).count() === ev.count())
+    // expire everything before the delete snapshot
+    val reclaimed = LakeTable.expire(root, keepFrom = 4)
+    assert(reclaimed > 0)
+    // the current view is untouched; a stats-pruned read stays exact
+    assert(LakeTable.read(spark, root).count() === expectFinal)
+    val (rows, touched, total) = LakeTable.prunedRead(spark, root,
+      Map("event_id" -> (0L, 100L)))
+    assert(touched <= total)
+    assert(rows.count() ===
+      LakeTable.read(spark, root).filter(col("event_id").between(0, 100)).count())
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("manifest JSON round-trips, including paths needing escapes") {
     val root = graft.util.Scratch.dir("graft_lakespec_js_")
     // write through the real commit path, then re-read and compare
