@@ -1,15 +1,16 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
 import graft.writer.BlockWriter
 
 /** Minimal lake-table metadata layer over the BlockWriter layout —
   * the read-side half of the reference's write-side lake (reference
   * main.go:48-56 lays out partitioned, key-sorted, size-bounded
   * files; the manifest/snapshot metadata of its `iceberg-core`
-  * dependency is what turns a file pile into a TABLE). Two core
+  * dependency is what turns a file pile into a TABLE). Core
   * capabilities, reproduced honestly with no table-format dependency:
   *
   *  - '''Snapshots / time travel''': every commit writes an immutable
@@ -19,35 +20,69 @@ import graft.writer.BlockWriter
   *    (readers see the old or the new snapshot, nothing in between)
   *    and any historical snapshot stays readable.
   *  - '''Stats-based file pruning''': per-file min/max column stats
-  *    recorded at commit time let a reader skip every file whose
-  *    value ranges cannot satisfy a predicate — the read-side payoff
-  *    that Z-order clustering (zorder_layout) exists to maximize.
+  *    (integer-valued AND string/timestamp columns) recorded at
+  *    commit time let a reader skip every file whose value ranges
+  *    cannot satisfy a predicate — the read-side payoff that Z-order
+  *    clustering (zorder_layout) exists to maximize.
+  *  - '''Optimistic concurrency with retry''': data files are staged
+  *    under a commit-unique directory FIRST; only the manifest
+  *    CREATE_NEW binds them to a snapshot id. A committer that loses
+  *    the CAS re-resolves the head, re-validates its batch against
+  *    the new parent (schema, inherited file list) and retries — so
+  *    two concurrent appenders both land, in some serial order.
+  *  - '''Merge-on-read DELETE''': a delete commit adds an equality-
+  *    delete file (key values) to the manifest and rewrites NOTHING —
+  *    readers anti-join the (small, broadcast) delete keys against
+  *    data files committed before the delete (sequence-number
+  *    ordering, the Iceberg v2 rule). At 100 TB this is the
+  *    difference between a metadata-sized DELETE and a full rewrite;
+  *    copy-on-write [[rewrite]] remains the compaction path that
+  *    folds accumulated deletes back into data files.
   *
   * Data files are FLAT ([[BlockWriter.writeFlat]]): partition values
   * stay as table columns and layout is tracked only through the
   * manifest — the Iceberg model, where partitioning is metadata, not
   * directory names. At cluster scale the same manifests live on the
-  * object store and the pointer swap maps to a conditional-put /
-  * catalog CAS; the layer's plans are unchanged.
+  * object store: staging dirs become object-key prefixes, the
+  * manifest CREATE_NEW maps to a conditional-put / catalog CAS, and
+  * the plans built on top are unchanged.
   */
 object LakeTable {
 
-  final case class ColStats(min: Long, max: Long)
-  final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
+  /** Per-file min/max for one column. `kind` is "i" (long-valued:
+    * integers, timestamps as epoch micros, dates as epoch days) or
+    * "s" (strings, compared lexicographically).
+    */
+  final case class ColStats(min: Long, max: Long, kind: String = "i",
+      minS: String = "", maxS: String = "")
+  /** `seq` = snapshot id that ADDED the file (data sequence number):
+    * equality deletes apply only to files with a strictly smaller seq.
+    */
+  final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
+      seq: Int = 0)
+  /** An equality-delete file: parquet of distinct `keyCol` values;
+    * applies to data files with seq < this.seq.
+    */
+  final case class DeleteEntry(path: String, keyCol: String, rows: Long, seq: Int)
   final case class Manifest(snapshotId: Int, parentId: Int, files: Seq[FileEntry],
-      note: String = "", schemaJson: String = "")
+      deletes: Seq[DeleteEntry] = Nil, note: String = "", schemaJson: String = "")
+
+  /** Bounded CAS retries for a commit racing other committers. */
+  private val MaxCommitRetries = 20
 
   // ---------------- commit ----------------
 
-  /** Append `df` as a new snapshot: write a fresh file set under
-    * `data/s<id>/`, record per-file row counts and min/max stats for
-    * `statCols` (integer-valued columns), write the manifest
-    * (= parent file list + the new files), and atomically advance the
-    * snapshot pointer. Returns the snapshot id.
+  /** Append `df` as a new snapshot: stage a fresh file set under a
+    * commit-unique `data/<token>/` dir, record per-file row counts
+    * and min/max stats for `statCols`, then bind the staged files to
+    * the next snapshot id with a CREATE_NEW manifest (retrying
+    * against a re-resolved head on CAS loss). Returns the snapshot id.
     *
-    * The stats scan reads back only what this commit wrote (one pass,
-    * grouped by file) — the Spark analog of a writer reporting
-    * per-file stats to the table commit.
+    * The stats scan reads back only what this commit staged (one
+    * pass, grouped by file) — the Spark analog of a writer reporting
+    * per-file stats to the table commit — and is scoped to the
+    * staging dir, so a concurrent committer's files can never leak
+    * into this commit's manifest.
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
@@ -59,9 +94,11 @@ object LakeTable {
     * file list is EXACTLY the files written here — the parent's files
     * are retired from the current view but remain on disk and remain
     * referenced by earlier manifests, so time travel to pre-rewrite
-    * snapshots keeps working. This is the mechanism behind compaction
-    * (same rows, fewer/bigger files) and copy-on-write DELETE (same
-    * files minus the deleted rows).
+    * snapshots keeps working. Accumulated equality deletes are folded
+    * in (the rewrite reads the delete-applied view upstream) and the
+    * new manifest carries none. This is the mechanism behind
+    * compaction (same rows, fewer/bigger files) and copy-on-write
+    * DELETE (same files minus the deleted rows).
     */
   def rewrite(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
@@ -69,112 +106,260 @@ object LakeTable {
     writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
       replace = true, note = "")
 
+  /** Merge-on-read DELETE: commit `keys` (one column, the equality
+    * key) as a delete file — NO data files are written or rewritten.
+    * Readers of this and later snapshots anti-join the keys against
+    * data files older than this commit; a later append may re-insert
+    * a deleted key and is unaffected (sequence-number rule). Returns
+    * the snapshot id.
+    */
+  def deleteWhere(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame): Int = {
+    val staging = stagingDir(root)
+    // delete keys are small by design (a DELETE's predicate result,
+    // not a table) — a handful of files regardless of cluster size.
+    keys.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode("errorifexists").parquet(staging)
+    val entries = spark.read.parquet(staging)
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(count(lit(1)).cast("bigint").as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    casLoop(root) { parent =>
+      val pm = if (parent > 0) Some(manifest(root, parent)) else None
+      require(pm.nonEmpty, s"deleteWhere on empty table $root")
+      val snap = parent + 1
+      Manifest(snap, parent, pm.get.files,
+        pm.get.deletes ++ entries.map { case (p, n) => DeleteEntry(p, keyCol, n, snap) },
+        note = "", schemaJson = pm.get.schemaJson)
+    }
+  }
+
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Commit-unique staging dir: files live here forever (no rename —
+    * the manifest, not the path, binds them to a snapshot), so the
+    * scheme maps 1:1 onto write-once object keys.
+    */
+  private def stagingDir(root: String): String =
+    s"$root/data/c${System.nanoTime()}-${stageCounter.incrementAndGet()}"
+
   private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean, replace: Boolean, note: String): Int = {
-    val parent = currentSnapshot(root)
-    val snap = parent + 1
-    // Schema enforcement (the reference's schema-driven ingest, at
-    // table granularity): an APPEND must match the table schema
-    // exactly — a drifting producer fails at commit time instead of
-    // silently writing files a fixed-schema reader would mask out.
-    // Rewrites may change the schema (that is how evolution ships).
-    if (!replace && parent > 0) {
-      val expect = manifest(root, parent).schemaJson
-      val got = df.schema.json
-      require(expect.isEmpty || expect == got,
-        s"append schema mismatch for $root: table has $expect, batch has $got")
+    val staging = stagingDir(root)
+    BlockWriter.writeFlat(df, staging, cfg, rangeCluster)
+    val entries = scanStats(spark, staging, df, statCols)
+    casLoop(root) { parent =>
+      // Schema enforcement (the reference's schema-driven ingest, at
+      // table granularity): an APPEND must match the table schema
+      // exactly — a drifting producer fails at commit time instead of
+      // silently writing files a fixed-schema reader would mask out.
+      // Re-checked on every retry against the RE-RESOLVED parent
+      // (the racing winner may have evolved the schema).
+      // Rewrites may change the schema (that is how evolution ships).
+      if (!replace && parent > 0) {
+        val expect = manifest(root, parent).schemaJson
+        val got = df.schema.json
+        require(expect.isEmpty || expect == got,
+          s"append schema mismatch for $root: table has $expect, batch has $got")
+      }
+      val snap = parent + 1
+      val pm = if (replace || parent == 0) None else Some(manifest(root, parent))
+      Manifest(snap, parent,
+        pm.map(_.files).getOrElse(Nil) ++ entries.map(_.copy(seq = snap)),
+        pm.map(_.deletes).getOrElse(Nil), note, df.schema.json)
     }
-    val dataDir = s"$root/data/s$snap"
-    BlockWriter.writeFlat(df, dataDir, cfg, rangeCluster)
+  }
+
+  /** One read-back pass over the staging dir → per-file row counts and
+    * typed min/max stats (long for integer/timestamp/date columns,
+    * lexicographic for strings).
+    */
+  private def scanStats(spark: SparkSession, staging: String, df: DataFrame,
+      statCols: Seq[String]): Seq[FileEntry] = {
+    val kinds: Seq[(String, String, Column => Column)] = statCols.map { c =>
+      df.schema(c).dataType match {
+        case StringType => (c, "s", (x: Column) => x)
+        case TimestampType => (c, "i", (x: Column) => unix_micros(x))
+        case DateType => (c, "i", (x: Column) => datediff(x, to_date(lit("1970-01-01"))).cast("bigint"))
+        case _ => (c, "i", (x: Column) => x.cast("bigint"))
+      }
+    }
     val aggCols = count(lit(1)).cast("bigint").as("rows") +:
-      statCols.flatMap(c => Seq(
-        min(col(c).cast("bigint")).as(s"min_$c"),
-        max(col(c).cast("bigint")).as(s"max_$c")))
-    val entries = spark.read.parquet(dataDir)
+      kinds.flatMap { case (c, _, f) => Seq(
+        min(f(col(c))).as(s"min_$c"), max(f(col(c))).as(s"max_$c")) }
+    spark.read.parquet(staging)
       .groupBy(col("_metadata.file_path").as("path"))
       .agg(aggCols.head, aggCols.tail: _*)
-      .collect() // one row per written file — commit-time stats only
+      .collect() // one row per staged file — commit-time stats only
       .map { r =>
         FileEntry(r.getString(0), r.getLong(1),
-          statCols.zipWithIndex.map { case (c, i) =>
-            c -> ColStats(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
+          kinds.zipWithIndex.map { case ((c, k, _), i) =>
+            c -> (if (k == "s")
+              ColStats(0, 0, "s", r.getString(2 + 2 * i), r.getString(3 + 2 * i))
+            else ColStats(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
           }.toMap)
       }.toSeq.sortBy(_.path)
-    val inherited =
-      if (replace || parent == 0) Nil else manifest(root, parent).files
+  }
+
+  /** The commit CAS: build the manifest against the current head and
+    * CREATE_NEW it; on collision (another committer won that id)
+    * re-resolve and rebuild — the staged data files never move, so a
+    * retry costs one manifest rebuild, not a data rewrite. On an
+    * object store this maps to conditional-put / catalog CAS.
+    */
+  private def casLoop(root: String)(build: Int => Manifest): Int = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
-    // Optimistic concurrency (the Iceberg commit protocol): the
-    // manifest is created with CREATE_NEW, so two committers racing
-    // for the same snapshot id cannot both win — the loser gets
-    // FileAlreadyExistsException and must re-resolve the head and
-    // retry (re-validating against the new parent). On an object
-    // store this maps to conditional-put / catalog CAS.
-    Files.writeString(meta.resolve(s"manifest-$snap.json"),
-      manifestJson(Manifest(snap, parent, inherited ++ entries, note, df.schema.json)),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    val tmp = meta.resolve(s"_current.tmp$snap")
-    Files.writeString(tmp, snap.toString)
-    Files.move(tmp, meta.resolve("_current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    snap
+    var attempt = 0
+    while (true) {
+      val parent = currentSnapshot(root)
+      val m = build(parent)
+      try {
+        Files.writeString(meta.resolve(s"manifest-${m.snapshotId}.json"),
+          manifestJson(m), java.nio.file.StandardOpenOption.CREATE_NEW)
+        advancePointer(meta, m.snapshotId)
+        return m.snapshotId
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxCommitRetries)
+            throw new IllegalStateException(
+              s"commit to $root lost the CAS $MaxCommitRetries times; giving up")
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Monotonic pointer advance. The manifest CREATE_NEW is the real
+    * commit; the pointer is a derived head hint, so a laggard loser
+    * must never move it backwards. The JVM lock covers in-process
+    * racers; cross-process, [[currentSnapshot]]'s forward walk makes a
+    * stale pointer harmless (an object-store port does a conditional
+    * put keyed on the old value instead).
+    */
+  private val pointerLock = new Object
+  private def advancePointer(meta: Path, snap: Int): Unit = pointerLock.synchronized {
+    val cur = pointerValue(meta)
+    if (snap > cur) {
+      val tmp = meta.resolve(s"_current.tmp$snap")
+      Files.writeString(tmp, snap.toString)
+      Files.move(tmp, meta.resolve("_current"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def pointerValue(meta: Path): Int = {
+    val p = meta.resolve("_current")
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 0
   }
 
   // ---------------- read ----------------
 
-  /** Latest committed snapshot id, 0 if the table has no commits. */
+  /** Latest committed snapshot id, 0 if the table has no commits.
+    * The pointer is a hint: every existing manifest IS a won commit
+    * (CREATE_NEW), so the head is found by walking forward from the
+    * pointer — correct even if a racing committer's pointer write
+    * lags its manifest.
+    */
   def currentSnapshot(root: String): Int = {
-    val p = Paths.get(root, "meta", "_current")
-    if (Files.exists(p)) Files.readString(p).trim.toInt else 0
+    val meta = Paths.get(root, "meta")
+    var s = pointerValue(meta)
+    while (Files.exists(meta.resolve(s"manifest-${s + 1}.json"))) s += 1
+    s
   }
 
   /** Read the table as of `asOf` (default: current snapshot) — the
     * file list comes from that snapshot's manifest, so the read is
-    * immune to concurrent commits and later file additions.
+    * immune to concurrent commits and later file additions. Equality
+    * deletes are applied per the sequence rule: a delete drops rows
+    * only from data files committed BEFORE it.
     */
   def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
-    spark.read.parquet(m.files.map(_.path): _*)
+    readFiles(spark, m, m.files)
+  }
+
+  private def readFiles(spark: SparkSession, m: Manifest,
+      files: Seq[FileEntry]): DataFrame = {
+    if (m.deletes.isEmpty)
+      spark.read.parquet(files.map(_.path): _*)
+    else {
+      // Group data files by the set of deletes that apply (in
+      // practice: by data seq) — each group is one scan with its
+      // broadcast anti-joins; commits are few, so the union is short.
+      files.groupBy(f => m.deletes.filter(_.seq > f.seq).map(_.path))
+        .toSeq.sortBy(_._2.head.path)
+        .map { case (_, fs) =>
+          val dels = m.deletes.filter(_.seq > fs.head.seq)
+          dels.groupBy(_.keyCol).toSeq.sortBy(_._1)
+            .foldLeft(spark.read.parquet(fs.map(_.path): _*)) {
+              case (d, (kc, entries)) =>
+                d.join(broadcast(spark.read.parquet(entries.map(_.path): _*)
+                  .select(col(kc)).distinct()), Seq(kc), "left_anti")
+            }
+        }.reduce(_ unionByName _)
+    }
   }
 
   /** Stats-pruned read: keep only files whose [min,max] stat ranges
-    * intersect EVERY predicate interval, then apply the row-level
-    * predicates to the survivors. Returns (rows, filesTouched,
-    * filesTotal) — correctness never depends on pruning (row filters
-    * re-check), pruning only bounds IO.
+    * intersect EVERY predicate interval — `preds` over long-valued
+    * stats (integers; timestamps in epoch micros), `strPreds` over
+    * string stats (lexicographic; equality = (v, v)) — then apply the
+    * row-level predicates to the survivors. Returns (rows,
+    * filesTouched, filesTotal) — correctness never depends on pruning
+    * (row filters re-check), pruning only bounds IO.
     */
   def prunedRead(spark: SparkSession, root: String,
-      preds: Map[String, (Long, Long)], asOf: Option[Int] = None): (DataFrame, Int, Int) = {
+      preds: Map[String, (Long, Long)],
+      strPreds: Map[String, (String, String)] = Map.empty,
+      asOf: Option[Int] = None): (DataFrame, Int, Int) = {
     val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
-    val keep = m.files.filter(f => preds.forall { case (c, (lo, hi)) =>
-      f.stats.get(c).forall(st => st.min <= hi && st.max >= lo)
-    })
+    val keep = m.files.filter { f =>
+      preds.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall(st => st.kind != "i" || (st.min <= hi && st.max >= lo))
+      } && strPreds.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall(st =>
+          st.kind != "s" || (st.minS <= hi && st.maxS >= lo))
+      }
+    }
     // empty survivor set: read the full list (filters still yield 0
     // rows) — avoids the no-path read edge while staying correct.
-    val paths = if (keep.nonEmpty) keep.map(_.path) else m.files.map(_.path)
-    val base = spark.read.parquet(paths: _*)
-    val filtered = preds.foldLeft(base) { case (d, (c, (lo, hi))) =>
+    val chosen = if (keep.nonEmpty) keep else m.files
+    val base = readFiles(spark, m, chosen)
+    val schema = base.schema
+    def rowExpr(c: String): Column = schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast("bigint")
+      case _ => col(c)
+    }
+    val f1 = preds.foldLeft(base) { case (d, (c, (lo, hi))) =>
+      d.filter(rowExpr(c) >= lo && rowExpr(c) <= hi)
+    }
+    val f2 = strPreds.foldLeft(f1) { case (d, (c, (lo, hi))) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
-    (filtered, keep.size, m.files.size)
+    (f2, keep.size, m.files.size)
   }
 
   // ---------------- maintenance ----------------
 
-  /** Expire snapshots older than `keepFrom`: delete data files that
-    * are referenced ONLY by expired manifests (a rewrite retires
-    * files from the current view but they stay on disk until expiry —
-    * this is what reclaims them), then drop the expired manifests.
-    * Time travel to snapshots ≥ `keepFrom` keeps working; earlier
-    * snapshots become unreadable by design. Returns the number of
-    * data files deleted.
+  /** Expire snapshots older than `keepFrom`: delete data AND delete
+    * files that are referenced ONLY by expired manifests (a rewrite
+    * retires files from the current view but they stay on disk until
+    * expiry — this is what reclaims them), then drop the expired
+    * manifests. Time travel to snapshots ≥ `keepFrom` keeps working;
+    * earlier snapshots become unreadable by design. Returns the
+    * number of files deleted.
     */
   def expire(root: String, keepFrom: Int): Int = {
     val head = currentSnapshot(root)
     require(keepFrom >= 1 && keepFrom <= head, s"keepFrom $keepFrom out of [1, $head]")
-    val keep = (keepFrom to head).flatMap(i => manifest(root, i).files.map(_.path)).toSet
-    val expired = (1 until keepFrom).flatMap(i => manifest(root, i).files.map(_.path)).toSet
+    def paths(m: Manifest): Seq[String] =
+      m.files.map(_.path) ++ m.deletes.map(_.path)
+    val keep = (keepFrom to head).flatMap(i => paths(manifest(root, i))).toSet
+    val expired = (1 until keepFrom).flatMap(i => paths(manifest(root, i))).toSet
     val orphans = expired -- keep
     orphans.foreach { p =>
       Files.deleteIfExists(Paths.get(new java.net.URI(p).getPath)): Unit
@@ -183,6 +368,52 @@ object LakeTable {
       Files.deleteIfExists(Paths.get(root, "meta", s"manifest-$i.json")): Unit
     }
     orphans.size
+  }
+
+  /** Orphan-file sweep (Iceberg's remove_orphan_files): delete data
+    * files that NO live manifest references — the residue of aborted
+    * commits (staged data whose committer died or exhausted its CAS
+    * retries). `olderThanMs` guards against racing an in-flight
+    * commit whose files are staged but whose manifest isn't written
+    * yet. Returns the number of files deleted.
+    */
+  def removeOrphans(root: String, olderThanMs: Long = 0L): Int = {
+    val head = currentSnapshot(root)
+    val live = (1 to head).filter(i =>
+        Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
+      .flatMap { i =>
+        val m = manifest(root, i)
+        m.files.map(_.path) ++ m.deletes.map(_.path)
+      }
+      .map(p => Paths.get(new java.net.URI(p).getPath).toRealPath().toString)
+      .toSet
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var removed = 0
+    val walk = Files.walk(dataRoot)
+    try {
+      walk.filter(p => Files.isRegularFile(p)).forEach { p =>
+        val real = p.toRealPath().toString
+        if (!live.contains(real) && Files.getLastModifiedTime(p).toMillis <= cutoff) {
+          Files.deleteIfExists(p)
+          removed += 1
+        }
+      }
+    } finally walk.close()
+    // drop now-empty staging dirs (cosmetic on a filesystem; object
+    // stores have no dirs to clean)
+    val dirs = Files.walk(dataRoot)
+    try {
+      dirs.sorted(java.util.Comparator.reverseOrder())
+        .filter(p => Files.isDirectory(p) && p != dataRoot)
+        .forEach { p =>
+          val s = Files.list(p)
+          val empty = try !s.findFirst().isPresent finally s.close()
+          if (empty) Files.deleteIfExists(p): Unit
+        }
+    } finally dirs.close()
+    removed
   }
 
   // ---------------- manifest (de)serialization ----------------
@@ -196,12 +427,18 @@ object LakeTable {
 
   private def manifestJson(m: Manifest): String = {
     val fs = m.files.map { f =>
-      val st = f.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
-        s""""${esc(c)}":{"min":${cs.min},"max":${cs.max}}"""
+      val st = f.stats.toSeq.sortBy(_._1).map {
+        case (c, cs) if cs.kind == "s" =>
+          s""""${esc(c)}":{"kind":"s","min":"${esc(cs.minS)}","max":"${esc(cs.maxS)}"}"""
+        case (c, cs) =>
+          s""""${esc(c)}":{"min":${cs.min},"max":${cs.max}}"""
       }.mkString(",")
-      s"""{"path":"${esc(f.path)}","rows":${f.rows},"stats":{$st}}"""
+      s"""{"path":"${esc(f.path)}","rows":${f.rows},"seq":${f.seq},"stats":{$st}}"""
     }.mkString(",")
-    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"note":"${esc(m.note)}","schema":"${esc(m.schemaJson)}","files":[$fs]}"""
+    val ds = m.deletes.map { d =>
+      s"""{"path":"${esc(d.path)}","key":"${esc(d.keyCol)}","rows":${d.rows},"seq":${d.seq}}"""
+    }.mkString(",")
+    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"note":"${esc(m.note)}","schema":"${esc(m.schemaJson)}","files":[$fs],"deletes":[$ds]}"""
   }
 
   /** Load a snapshot's manifest (Jackson tree read — jackson-databind
@@ -216,12 +453,23 @@ object LakeTable {
       val statsNode = f.get("stats")
       val stats = scala.jdk.CollectionConverters.IteratorHasAsScala(
         statsNode.fieldNames()).asScala.map { c =>
-        c -> ColStats(statsNode.get(c).get("min").asLong(),
-          statsNode.get(c).get("max").asLong())
+        val sn = statsNode.get(c)
+        c -> (if (sn.has("kind") && sn.get("kind").asText() == "s")
+          ColStats(0, 0, "s", sn.get("min").asText(), sn.get("max").asText())
+        else ColStats(sn.get("min").asLong(), sn.get("max").asLong()))
       }.toMap
-      FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
+      FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
+        if (f.has("seq")) f.get("seq").asInt() else 0)
     }.toSeq
+    val deletes =
+      if (!node.has("deletes")) Nil
+      else scala.jdk.CollectionConverters.IteratorHasAsScala(
+        node.get("deletes").elements()).asScala.map { d =>
+        DeleteEntry(d.get("path").asText(), d.get("key").asText(),
+          d.get("rows").asLong(), d.get("seq").asInt())
+      }.toSeq
     Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(), files,
+      deletes,
       if (node.has("note")) node.get("note").asText() else "",
       if (node.has("schema")) node.get("schema").asText() else "")
   }

@@ -191,6 +191,74 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- lake_delete_mor: MERGE-ON-READ delete — the v2 counterpart of
+  // lake_delete. The delete commit writes only a (broadcast-sized)
+  // equality-delete file; NO data file is rewritten (LakeSpec asserts
+  // the manifest's data-file list is unchanged). Readers anti-join
+  // the delete keys against data files older than the delete — at
+  // 100 TB this is a metadata-sized DELETE where copy-on-write would
+  // rewrite the table. Snapshot 1 still reads the pre-delete view, so
+  // the oracle shape matches lake_delete exactly.
+  def lakeDeleteMor(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_ldm_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id"))
+    LakeTable.deleteWhere(s, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.read(s, root, Some(1)).withColumn("snap", lit(1L))
+      .unionByName(LakeTable.read(s, root, Some(2)).withColumn("snap", lit(2L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeDeleteMorSql: String =
+    """WITH snaps AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 10 <> 0)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
+  // --- prune_scan_str: stats pruning on a NON-INTEGER predicate —
+  // the manifest tracks string min/max (event_type) alongside
+  // timestamp micros, and an equality predicate on the clustering
+  // string prunes every file of the other types before any IO
+  // (LakeSpec asserts touched ≪ total). The layout hash-clusters on
+  // event_type with ts as the in-file sort key, so string stats are
+  // point ranges (min = max) for all but partition-boundary files.
+  // Row filters re-check survivors — exactness never rides on stats.
+  def pruneScanStr(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_pss_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    LakeTable.commit(s, root, ev,
+      BlockWriter.Config("event_type", "ts", maxRecordsPerFile = 1024),
+      Seq("event_type", "ts", "event_id"))
+    val (rows, _, _) = LakeTable.prunedRead(s, root, Map.empty,
+      strPreds = Map("event_type" -> ("click", "click")))
+    rows
+      .withColumn("day", expr("(unix_micros(ts) div 86400000000) % 256").cast("bigint"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  val pruneScanStrSql: String =
+    """SELECT (EPOCH_US(ts) // 86400000000) % 256 AS day, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE event_type = 'click'
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   // --- stream_lake: streaming ingest INTO the manifest-tracked
   // table — the reference's whole pipeline (file stream → block
   // writer → iceberg commit; main.go:62-115) in one operator. The
@@ -230,12 +298,16 @@ object Lake {
     "snapshot_read" -> snapshotRead,
     "prune_scan" -> pruneScan,
     "lake_compact" -> lakeCompact,
-    "lake_delete" -> lakeDelete)
+    "lake_delete" -> lakeDelete,
+    "lake_delete_mor" -> lakeDeleteMor,
+    "prune_scan_str" -> pruneScanStr)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
     "snapshot_read" -> snapshotReadSql,
     "prune_scan" -> pruneScanSql,
     "lake_compact" -> lakeCompactSql,
-    "lake_delete" -> lakeDeleteSql)
+    "lake_delete" -> lakeDeleteSql,
+    "lake_delete_mor" -> lakeDeleteMorSql,
+    "prune_scan_str" -> pruneScanStrSql)
 }

@@ -83,20 +83,116 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
-  test("optimistic concurrency: a racing committer cannot overwrite a won snapshot") {
+  test("optimistic concurrency: two racing committers both land via CAS retry") {
     val root = graft.util.Scratch.dir("graft_lakespec_occ_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
-      .select(col("event_id"), col("user_id"), col("ts")).limit(100)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 8 === 7), cfg, Seq("event_id"))
+    // 2 threads × 3 commits of disjoint slices, racing on the CAS:
+    // every commit must land (losers re-resolve the head and retry —
+    // data is staged per commit, so a retry never rewrites files).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (0 until 6).map { k =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = LakeTable.commit(spark, root,
+          ev.filter(col("event_id") % 8 === k), cfg, Seq("event_id"))
+      })
+    }
+    val snaps = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // all 6 succeeded with distinct snapshot ids forming 2..7
+    assert(snaps.toSet === (2 to 7).toSet, s"snapshots: $snaps")
+    assert(LakeTable.currentSnapshot(root) === 7)
+    // the manifest chain is a single line: parent = snap - 1
+    (1 to 7).foreach(i => assert(LakeTable.manifest(root, i).parentId === i - 1))
+    // exactly-once content: union of the 7 committed slices (k=6 was
+    // never written), nothing dropped or doubled
+    val expect = ev.filter(col("event_id") % 8 =!= 6).count()
+    assert(LakeTable.read(spark, root).count() === expect)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("merge-on-read delete: no data files written; sequence rule respects later appends") {
+    val root = graft.util.Scratch.dir("graft_lakespec_mor_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
     val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
     LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
-    // another committer already claimed snapshot 2 (CREATE_NEW wins)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "meta", "manifest-2.json"), "{}")
-    intercept[java.nio.file.FileAlreadyExistsException] {
-      LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
-    }
-    // the pointer still names the last WON commit
-    assert(LakeTable.currentSnapshot(root) === 1)
+    val m1 = LakeTable.manifest(root, 1)
+    LakeTable.deleteWhere(spark, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    val m2 = LakeTable.manifest(root, 2)
+    // THE MoR property: the delete commit added zero data files
+    assert(m2.files === m1.files, "delete commit must not write data files")
+    assert(m2.deletes.nonEmpty && m2.deletes.forall(_.seq === 2))
+    // reads: snapshot 2 excludes the keys, snapshot 1 is untouched
+    val expectKept = ev.filter(col("event_id") % 10 =!= 0).count()
+    assert(LakeTable.read(spark, root, Some(2)).count() === expectKept)
+    assert(LakeTable.read(spark, root, Some(1)).count() === ev.count())
+    // sequence rule: an append AFTER the delete re-inserting deleted
+    // keys is NOT affected by the older delete file
+    val reinsert = ev.filter(col("event_id") % 20 === 0)
+    LakeTable.commit(spark, root, reinsert, cfg, Seq("event_id"))
+    assert(LakeTable.read(spark, root, Some(3)).count() === expectKept + reinsert.count())
+    // copy-on-write rewrite folds the deletes away
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root), cfg, Seq("event_id"))
+    val m4 = LakeTable.manifest(root, 4)
+    assert(m4.deletes.isEmpty, "rewrite must fold equality deletes into data files")
+    assert(LakeTable.read(spark, root, Some(4)).count() === expectKept + reinsert.count())
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("string + timestamp manifest stats prune on non-integer predicates") {
+    val root = graft.util.Scratch.dir("graft_lakespec_str_")
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    LakeTable.commit(spark, root, ev,
+      BlockWriter.Config("event_type", "ts", maxRecordsPerFile = 256),
+      Seq("event_type", "ts"))
+    val m = LakeTable.manifest(root, 1)
+    assert(m.files.forall(_.stats("event_type").kind == "s"))
+    assert(m.files.forall(f => f.stats("event_type").minS <= f.stats("event_type").maxS))
+    // string equality predicate: only the 'click' files survive
+    val (rows, touched, total) = LakeTable.prunedRead(spark, root, Map.empty,
+      strPreds = Map("event_type" -> ("click", "click")))
+    assert(total >= 10, s"expected a multi-file layout, got $total")
+    assert(touched <= total / 2, s"string stats should prune: touched $touched of $total")
+    assert(rows.count() === ev.filter(col("event_type") === "click").count())
+    // timestamp stats are epoch micros; a narrow ts window prunes too
+    // (files are ts-sorted within each event_type cluster)
+    val Array(lo, hi) = ev.selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))")
+      .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val mid = lo + (hi - lo) / 2
+    val narrowHi = mid + (hi - lo) / 16
+    val (tsRows, tsTouched, tsTotal) = LakeTable.prunedRead(spark, root,
+      Map("ts" -> (mid, narrowHi)))
+    assert(tsTouched < tsTotal, s"ts stats should prune: $tsTouched/$tsTotal")
+    assert(tsRows.count() ===
+      ev.filter(unix_micros(col("ts")).between(mid, narrowHi)).count())
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("removeOrphans reclaims aborted-commit residue, never live files") {
+    val root = graft.util.Scratch.dir("graft_lakespec_orph_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(200)
+    LakeTable.commit(spark, root, ev,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096), Seq("event_id"))
+    val before = LakeTable.read(spark, root).count()
+    // an aborted commit: staged data that never got a manifest (the
+    // crash-between-stage-and-CAS window, or an exhausted CAS retry)
+    ev.limit(10).write.parquet(s"$root/data/c0-aborted")
+    val staged = new java.io.File(s"$root/data/c0-aborted").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(staged > 0)
+    val removed = LakeTable.removeOrphans(root)
+    assert(removed >= staged, s"sweep must reclaim the aborted stage (got $removed)")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data/c0-aborted")),
+      "emptied staging dir should be dropped")
+    // live data untouched, table still fully readable
+    assert(LakeTable.read(spark, root).count() === before)
+    // idempotent: nothing left to sweep
+    assert(LakeTable.removeOrphans(root) === 0)
     graft.util.Scratch.rmNow(root)
   }
 
