@@ -28,7 +28,12 @@ object BlockWriter {
       keyCol: String,
       maxRecordsPerFile: Int = 4096, // reference MaxSize (main.go:78)
       compression: String = "snappy", // reference CompressionName (main.go:53)
-      format: String = "parquet")
+      format: String = "parquet",
+      // write fan-out; None = the session's shuffle parallelism.
+      // Callers that know the input volume derive this instead of
+      // paying full-cluster task/file overhead on small layouts
+      // (and full parallelism remains the default at scale).
+      parallelism: Option[Int] = None)
 
   /** Block id a row lands in: per-partition, key-ordered, ≤maxSize
     * rows per block — exactly the reference BlockManager's assignment.
@@ -49,7 +54,8 @@ object BlockWriter {
     * full cluster parallelism regardless of shuffle byte size.
     */
   def write(df: DataFrame, basePath: String, cfg: Config): Unit = {
-    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parallelism = cfg.parallelism
+      .getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
     df.repartition(parallelism, col(cfg.partitionCol))
       .sortWithinPartitions(col(cfg.partitionCol), col(cfg.keyCol))
       .write
@@ -79,7 +85,8 @@ object BlockWriter {
     */
   def writeFlat(df: DataFrame, basePath: String, cfg: Config,
       rangeCluster: Boolean = false): Unit = {
-    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parallelism = cfg.parallelism
+      .getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
     val clustered =
       if (rangeCluster)
         df.repartitionByRange(parallelism, col(cfg.keyCol))

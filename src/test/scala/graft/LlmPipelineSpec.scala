@@ -132,3 +132,65 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles:\n${p.take(3000)}")
   }
 }
+
+/** The materialized MinHash index artifact: built once, probed by the
+  * whole near-dup family, honest about what the incremental path
+  * recomputes (the batch) and what it reads (the corpus).
+  */
+class MinhashIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.MinhashIndex
+
+  test("index content equals the from-scratch signature pipeline") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val fresh = MinhashIndex.bandsOf(MinhashIndex.baseOf(docs))
+    val persisted = MinhashIndex.fullBands(spark, sf)
+    assert(persisted.count() === fresh.count())
+    assert(persisted.exceptAll(fresh).count() === 0L)
+    assert(fresh.exceptAll(persisted).count() === 0L)
+  }
+
+  test("corpus partition (snapshot 1) excludes the incoming batch") {
+    val corpus = MinhashIndex.corpusBands(spark, sf)
+    assert(corpus.filter(MinhashIndex.batchPred).count() === 0L)
+    // and the full view (snapshot 2) contains it
+    assert(MinhashIndex.fullBands(spark, sf)
+      .filter(MinhashIndex.batchPred).count() > 0L)
+  }
+
+  test("dedup_incremental reads the persisted index; only the batch is computed") {
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    // structural audit of the cache-substituted logical plan: cached
+    // frames are LEAVES here, so a relation we collect is a relation
+    // the query would actually (re)scan.
+    val rels = df.queryExecution.withCachedData.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.toString
+        }
+    }
+    // corpus side comes from the index artifact's parquet files
+    // (base + bands = at least 2 index reads)
+    val idxReads = rels.count(_.contains("graft_mhidx_"))
+    assert(idxReads >= 2,
+      s"corpus side must read the persisted index, saw relations:\n${rels.mkString("\n")}")
+    // the raw documents table feeds AT MOST the batch branch — the
+    // corpus signature pipeline must not be re-derived from it
+    val docScans = rels.count(_.contains("documents"))
+    assert(docScans <= 1,
+      s"corpus recompute detected ($docScans documents scans):\n${rels.mkString("\n")}")
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("minhash consumers share the artifact: dedup_minhash plan reads it") {
+    val p = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_mhidx_") || p.contains("InMemoryTableScan"),
+      s"dedup_minhash should consume the materialized index:\n${p.take(2000)}")
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
+}
