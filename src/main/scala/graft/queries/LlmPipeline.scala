@@ -705,11 +705,19 @@ object LlmPipeline {
     var converged = false
     var checks = 0
     while (!converged && checks < 25) {
-      var next = propagate(propagate(labels)).cache()
+      val propagated = propagate(propagate(labels)).cache()
       // periodic lineage truncation: each round's plan references the
       // previous round's, so long chains (big diameters) would make
-      // planning itself the bottleneck.
-      if (checks % 4 == 3) next = next.localCheckpoint()
+      // planning itself the bottleneck. localCheckpoint is EAGER, so
+      // the pre-checkpoint cache can be dropped immediately — holding
+      // only `next` would leak the cached pre-checkpoint frame until
+      // session cache-clear.
+      val next =
+        if (checks % 4 == 3) {
+          val cp = propagated.localCheckpoint()
+          propagated.unpersist()
+          cp
+        } else propagated
       val s = labelSum(next)
       if (prevCached != null) prevCached.unpersist()
       prevCached = next

@@ -52,7 +52,10 @@ object WritePath {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n"),
-        r2(avg(col("latitude"))).as("avg_lat"),
+        // scaled-int sum (SURVEY §5): a double AVG is accumulation-
+        // order-dependent and can flip at a rounding boundary between
+        // Spark's partition-merge order and DuckDB's
+        sum(floor(col("latitude") * 100 + 0.5)).cast("bigint").as("sum_lat_x100"),
         count(col("speed")).as("n_speed"),
         min(col("timestamp")).as("min_ts_us"),
         max(col("timestamp")).as("max_ts_us"),
@@ -63,7 +66,7 @@ object WritePath {
   val ingestSchemaSql: String =
     """SELECT CASE WHEN event_type = 'click' THEN 'web' ELSE 'device' END AS source,
       |  COUNT(*) AS n,
-      |  ROUND(AVG(ROUND(value, 2)), 2) AS avg_lat,
+      |  CAST(SUM(CAST(FLOOR(ROUND(value, 2) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_lat_x100,
       |  CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_speed,
       |  MIN(EPOCH_US(ts)) AS min_ts_us,
       |  MAX(EPOCH_US(ts)) AS max_ts_us,
@@ -107,7 +110,8 @@ object WritePath {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n"),
-        r2(avg(col("latitude"))).as("avg_lat"),
+        // scaled-int sum — same oracle-parity rule as ingest_schema
+        sum(floor(col("latitude") * 100 + 0.5)).cast("bigint").as("sum_lat_x100"),
         count(col("speed")).as("n_speed"),
         count(col("accuracy")).as("n_accuracy"),
         min(col("timestamp")).as("min_ts_us"),
@@ -119,7 +123,7 @@ object WritePath {
   val ingestAvroSql: String =
     """SELECT 'device' AS source,
       |  COUNT(*) AS n,
-      |  ROUND(AVG(ROUND(value, 2)), 2) AS avg_lat,
+      |  CAST(SUM(CAST(FLOOR(ROUND(value, 2) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_lat_x100,
       |  CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_speed,
       |  CAST(0 AS BIGINT) AS n_accuracy,
       |  MIN(EPOCH_US(ts)) AS min_ts_us,
@@ -154,25 +158,62 @@ object WritePath {
     * violations (must be 0 — files are key-sorted by construction).
     */
   private def readBackStats(s: SparkSession, path: String, maxPerFile: Int): DataFrame = {
+    import s.implicits._
     val back = s.read.parquet(path)
       .withColumn("f", col("_metadata.file_path"))
       .withColumn("ts_us", unix_micros(col("ts")))
-    // within-file physical order: a file large enough to span several
-    // scan splits yields one monotonically_increasing_id run PER
-    // split, so order by (split byte offset, id) — splits are ordered
-    // by _metadata.file_block_start within a file, and rows are
-    // in-order under the id within a split. Correct at any file size.
-    val wf = Window.partitionBy(col("f"))
-      .orderBy(col("_metadata.file_block_start"), monotonically_increasing_id())
+    // Within-file physical order, audited WITHOUT a full-table
+    // shuffle: rows of one (file, split) arrive contiguously and
+    // in file order inside a scan partition, so adjacent-pair
+    // inversions are counted in a single streaming pass over two
+    // columns (zero shuffle); cross-split order is then checked from
+    // the per-split [min,max] ts extents (splits are disjoint byte
+    // ranges, ordered by block start — a sorted file has
+    // non-overlapping, ascending extents). The split frame is
+    // file-count-sized, so the ordering window below is over
+    // metadata-scale data. (The previous implementation lag-windowed
+    // every ROW — a full-table shuffle just to compute the oracle's
+    // zero; at 100 TB the audit cost would have rivaled the write.)
+    val splitStats = back
+      .select(col("f"), col("_metadata.file_block_start").as("bs"), col("ts_us"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Long)]
+        var file: String = null
+        var bs = 0L; var inv = 0L; var lo = 0L; var hi = 0L; var prev = 0L
+        def flush(): Unit =
+          if (file != null) out += ((file, bs, inv, lo, hi))
+        for ((f, b, ts) <- it) {
+          if (file == null || file != f || bs != b) {
+            flush(); file = f; bs = b; inv = 0L; lo = ts; hi = ts; prev = ts
+          } else {
+            if (ts < prev) inv += 1
+            if (ts < lo) lo = ts
+            if (ts > hi) hi = ts
+            prev = ts
+          }
+        }
+        flush()
+        out.iterator
+      }.toDF("f", "bs", "inv", "lo", "hi")
+    val wf = Window.partitionBy(col("f")).orderBy(col("bs"))
+    val perUserViol = splitStats
+      .withColumn("prev_hi", lag(col("hi"), 1).over(wf))
+      .withColumn("cross", when(col("prev_hi") > col("lo"), 1L).otherwise(0L))
+      .withColumn("user_id", regexp_extract(col("f"), "user_id=([^/]+)", 1).cast("bigint"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("inv") + col("cross")).as("violations"))
     back
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(wf))
-      .withColumn("viol", when(col("prev_ts") > col("ts_us"), 1L).otherwise(0L))
       .groupBy(col("user_id").cast("bigint").as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("f")).as("n_files"),
-        sum(col("viol")).as("violations"),
         min(col("ts_us")).as("min_ts_us"),
         max(col("ts_us")).as("max_ts_us"))
+      .join(perUserViol, Seq("user_id"), "left")
+      .withColumn("violations", coalesce(col("violations"), lit(0L)))
+      .select(col("user_id"), col("n_rows"), col("n_files"), col("violations"),
+        col("min_ts_us"), col("max_ts_us"))
       .orderBy(col("user_id"))
   }
 

@@ -77,7 +77,12 @@ object Sessionize {
             }
             if (cur.nonEmpty) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur.last.ts_us / 1000 + gapUs / 1000)
+              // round the µs→ms conversion UP: a floor-truncated
+              // timeout can fire ~2 ms before last+gap, flushing the
+              // session early and splitting an event at exactly
+              // last+gap (which the `> gapUs` test keeps in-session)
+              // into a spurious new session.
+              state.setTimeoutTimestamp((cur.last.ts_us + gapUs + 999L) / 1000L)
             } else state.remove()
             closed.iterator.map(toSess)
           }
