@@ -99,12 +99,19 @@ object LakeTable {
     * new manifest carries none. This is the mechanism behind
     * compaction (same rows, fewer/bigger files) and copy-on-write
     * DELETE (same files minus the deleted rows).
+    *
+    * `basis` (when given) is the snapshot the rewritten content was
+    * READ from: if the head moved past it by commit time (a
+    * concurrent append landed), the rewrite would silently drop that
+    * append's rows — so it fails with ConcurrentModificationException
+    * instead, and the caller re-runs compaction on the new head
+    * (Iceberg's REPLACE validation).
     */
   def rewrite(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
-      rangeCluster: Boolean = false): Int =
+      rangeCluster: Boolean = false, basis: Option[Int] = None): Int =
     writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
-      replace = true, note = "")
+      replace = true, note = "", basis = basis)
 
   /** Merge-on-read DELETE: commit `keys` (one column, the equality
     * key) as a delete file — NO data files are written or rewritten.
@@ -146,11 +153,19 @@ object LakeTable {
 
   private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
-      rangeCluster: Boolean, replace: Boolean, note: String): Int = {
+      rangeCluster: Boolean, replace: Boolean, note: String,
+      basis: Option[Int] = None): Int = {
     val staging = stagingDir(root)
     BlockWriter.writeFlat(df, staging, cfg, rangeCluster)
     val entries = scanStats(spark, staging, df, statCols)
     casLoop(root) { parent =>
+      // REPLACE validation: a rewrite whose basis snapshot is no
+      // longer the head would retire files whose rows it never read —
+      // fail it rather than drop a concurrent append.
+      if (replace && basis.exists(_ != parent))
+        throw new java.util.ConcurrentModificationException(
+          s"rewrite of $root based on snapshot ${basis.get} but head is $parent; " +
+            "re-run the rewrite against the current head")
       // Schema enforcement (the reference's schema-driven ingest, at
       // table granularity): an APPEND must match the table schema
       // exactly — a drifting producer fails at commit time instead of

@@ -308,13 +308,29 @@ object LlmPipeline {
   // per-shard window (parallel at scale; a global cumsum would be a
   // single-partition anti-pattern).
   private val PACK_BUDGET = 1024
+  // shard-count law: max(16, docs/2000) — the floor keeps small runs
+  // parallel, the ratio keeps per-shard window state bounded as the
+  // corpus grows (at 100 TB the shard count scales with input volume
+  // instead of freezing reducer parallelism at a compile-time 16).
+  // Derived IN-PLAN (single-row agg broadcast) and replayed verbatim
+  // by the oracles, since shard is an output grouping key.
   private val PACK_SHARDS = 16
+  private val PACK_DOCS_PER_SHARD = 2000L
+
+  /** DuckDB twin of the shard-count law over chunk CTE `src`. */
+  private def shardSql(src: String): String =
+    s"greatest($PACK_SHARDS, (SELECT COUNT(DISTINCT doc_id) FROM $src) // $PACK_DOCS_PER_SHARD)"
 
   /** Pack chunk rows (doc_id, chunk_idx, n_tok) into sharded
     * fixed-token sequences; returns per-chunk pack assignment. */
   private def packedOf(chunks: DataFrame): DataFrame = {
+    val nDocs = chunks.agg(countDistinct(col("doc_id")).as("__n_docs"))
     val sharded = chunks
-      .withColumn("shard", (col("doc_id") % PACK_SHARDS).cast("bigint"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__n_shards",
+        greatest(lit(PACK_SHARDS.toLong), idiv(col("__n_docs"), lit(PACK_DOCS_PER_SHARD))))
+      .withColumn("shard", (col("doc_id") % col("__n_shards")).cast("bigint"))
+      .drop("__n_docs", "__n_shards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_idx"))
     sharded
@@ -337,7 +353,7 @@ object LlmPipeline {
        |c AS (SELECT doc_id, i - 1 AS chunk_idx,
        |    least(i*$CHUNK_TOKENS, len(ws)) - (i-1)*$CHUNK_TOKENS AS n_tok
        |  FROM f, LATERAL unnest(generate_series(1, CAST(ceil(len(ws) / $CHUNK_TOKENS.0) AS BIGINT))) t(i)),
-       |sh AS (SELECT doc_id, chunk_idx, n_tok, doc_id % $PACK_SHARDS AS shard FROM c),
+       |sh AS (SELECT doc_id, chunk_idx, n_tok, doc_id % ${shardSql("c")} AS shard FROM c),
        |cum AS (SELECT shard, doc_id, chunk_idx, n_tok,
        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -907,8 +923,8 @@ object LlmPipeline {
        |    least(i*$CHUNK_TOKENS, len(ws)) - (i-1)*$CHUNK_TOKENS AS n_tok
        |  FROM (SELECT doc_id, ws FROM kws WHERE len(ws) >= 1),
        |    LATERAL unnest(generate_series(1, CAST(ceil(len(ws) / $CHUNK_TOKENS.0) AS BIGINT))) t(i)),
-       |cum AS (SELECT doc_id % $PACK_SHARDS AS shard, doc_id, chunk_idx, n_tok,
-       |    SUM(n_tok) OVER (PARTITION BY doc_id % $PACK_SHARDS ORDER BY doc_id, chunk_idx
+       |cum AS (SELECT doc_id % ${shardSql("kc")} AS shard, doc_id, chunk_idx, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY doc_id % ${shardSql("kc")} ORDER BY doc_id, chunk_idx
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM kc)
        |SELECT shard, COUNT(DISTINCT (cum - n_tok) // $PACK_BUDGET) AS n_packs,

@@ -342,11 +342,17 @@ object Relational {
   // (the oracle IS the plain groupBy); the pattern is what survives a
   // 100× scale-up where one hot key would OOM a reducer. (AQE skew
   // handling covers joins; skewed aggregation needs this manual form.)
-  private val SALT_BUCKETS = 16
+  // salt fan-out follows the session's reducer parallelism (floored
+  // at 16): a compile-time constant would freeze the hot key's
+  // aggregation parallelism regardless of cluster size. The salt is
+  // re-aggregated away in the second stage, so the derivation never
+  // touches the result (or the oracle).
+  private def saltBuckets(s: SparkSession): Int =
+    math.max(16, s.sessionState.conf.numShufflePartitions)
 
   def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
     val salted = t(s, dir, "events")
-      .withColumn("salt", pmod(hash(col("event_id")), lit(SALT_BUCKETS)))
+      .withColumn("salt", pmod(hash(col("event_id")), lit(saltBuckets(s))))
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("n_p"), sum(col("value")).as("sum_p"),
         min(col("value")).as("min_p"), max(col("value")).as("max_p"))

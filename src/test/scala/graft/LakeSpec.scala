@@ -296,6 +296,63 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("chaos: appends race a basis-validated compaction; expire preserves the survivors") {
+    val root = graft.util.Scratch.dir("graft_lakespec_chaos_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val small = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 64)
+    val big = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 6 === 0), small, Seq("event_id"))
+    // appender: 5 more disjoint slices, sequentially, racing the compactor
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = (1 to 5).foreach { k =>
+        LakeTable.commit(spark, root,
+          ev.filter(col("event_id") % 6 === k), small, Seq("event_id")): Unit
+      }
+    })
+    // compactor: rewrite the head it READ, with basis validation — a
+    // concurrent append moves the head and the rewrite must fail and
+    // re-run instead of silently dropping the append
+    @volatile var conflicts = 0
+    @volatile var compactions = 0
+    val compactor = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = (1 to 4).foreach { _ =>
+        val head = LakeTable.currentSnapshot(root)
+        val content = LakeTable.read(spark, root, Some(head))
+        try {
+          LakeTable.rewrite(spark, root, content, big, Seq("event_id"), basis = Some(head))
+          compactions += 1
+        } catch {
+          case _: java.util.ConcurrentModificationException => conflicts += 1
+        }
+        Thread.sleep(50)
+      }
+    })
+    appender.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    compactor.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    // every append survived whatever interleaving happened
+    val expect = ev.filter(col("event_id") % 6 <= 5).count()
+    assert(LakeTable.read(spark, root).count() === expect,
+      s"content lost under race (compactions=$compactions conflicts=$conflicts)")
+    // one final quiesced compaction always applies cleanly
+    val head = LakeTable.currentSnapshot(root)
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root, Some(head)), big,
+      Seq("event_id"), basis = Some(head))
+    assert(LakeTable.read(spark, root).count() === expect)
+    // expire history; current content and pruned reads stay exact
+    val reclaimed = LakeTable.expire(root, keepFrom = LakeTable.currentSnapshot(root))
+    assert(reclaimed > 0)
+    assert(LakeTable.read(spark, root).count() === expect)
+    val (rows, touched, total) = LakeTable.prunedRead(spark, root,
+      Map("event_id" -> (0L, 500L)))
+    assert(touched <= total)
+    assert(rows.count() ===
+      LakeTable.read(spark, root).filter(col("event_id").between(0, 500)).count())
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("manifest JSON round-trips, including paths needing escapes") {
     val root = graft.util.Scratch.dir("graft_lakespec_js_")
     // write through the real commit path, then re-read and compare

@@ -111,6 +111,73 @@ class StreamingSpec extends AnyFunSuite {
       s"got: $got")
   }
 
+  /** Append one parquet file to a live source dir (current mtime —
+    * the running stream discovers it on its next trigger).
+    */
+  private def stageLive(inDir: String, i: Int,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmpOut = graft.util.Scratch.dir("graft_live_tmp_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(inDir, f"b$i%02d.parquet"))
+    graft.util.Scratch.rmNow(tmpOut)
+  }
+
+  private def awaitCount(read: => Long, expect: Long, timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (read != expect) {
+      assert(System.currentTimeMillis() < deadline,
+        s"timed out waiting for $expect rows (have $read)")
+      Thread.sleep(100)
+    }
+  }
+
+  test("MaxAge as a clock: processing-time trigger flushes mid-stream, before the source drains") {
+    // The reference's BlockManager flushes a block when it turns
+    // MaxAge old even while the stream keeps producing (main.go:75).
+    // Here the trigger interval is the MaxAge analog: files staged
+    // over wall-clock time must flush in SEPARATE commits, each
+    // before the source is exhausted — not one drain at the end —
+    // and every flushed file must respect MaxSize.
+    val s = spark
+    val ev = Tables.load(s, sf, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val slices = (0 until 3).map(k => ev.filter(col("event_id") % 3 === k))
+    val counts = slices.map(_.count())
+    val inDir = graft.util.Scratch.dir("graft_age_in_")
+    val outDir = graft.util.Scratch.dir("graft_age_out_") + "/sink"
+    stageLive(inDir, 0, slices(0))
+    val schema = s.read.parquet(inDir).schema
+    val q = s.readStream.schema(schema).parquet(inDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_age_ck_"))
+      .option("maxRecordsPerFile", 64L)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      def sinkCount: Long =
+        try s.read.parquet(outDir).count() catch { case _: Exception => 0L }
+      // batch 0 flushes on the trigger clock while batches 1 and 2
+      // are still in the future — age forces the flush, not drain
+      awaitCount(sinkCount, counts(0), 30000)
+      stageLive(inDir, 1, slices(1))
+      awaitCount(sinkCount, counts(0) + counts(1), 30000)
+      stageLive(inDir, 2, slices(2))
+      awaitCount(sinkCount, counts.sum, 30000)
+      // >= 3 distinct non-empty commits: one per staged file's age window
+      val flushes = q.recentProgress.count(_.numInputRows > 0)
+      assert(flushes >= 3, s"expected >=3 age-driven flushes, got $flushes")
+      // MaxSize holds for every flushed file
+      val maxRows = s.read.parquet(outDir)
+        .groupBy(col("_metadata.file_path")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxRows <= 64, s"file exceeded MaxSize: $maxRows rows")
+    } finally q.stop()
+  }
+
   test("custom-state sessionizer matches native session_window") {
     val ev = Tables.load(spark, sf, "events")
     val typed = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
