@@ -323,7 +323,11 @@ object LlmPipeline {
 
   /** Pack chunk rows (doc_id, chunk_idx, n_tok) into sharded
     * fixed-token sequences; returns per-chunk pack assignment. */
-  private def packedOf(chunks: DataFrame): DataFrame = {
+  private def packedOf(chunksIn: DataFrame): DataFrame = {
+    // the shard-count agg and the packing window both consume the
+    // chunk frame; cache it (query-scoped) so the tokenize+chunk
+    // explode runs once, not once per consumer.
+    val chunks = graft.util.QueryScratch.cached(chunksIn)
     val nDocs = chunks.agg(countDistinct(col("doc_id")).as("__n_docs"))
     val sharded = chunks
       .crossJoin(broadcast(nDocs))
