@@ -50,11 +50,45 @@ import graft.writer.BlockWriter
 object LakeTable {
 
   /** Per-file min/max for one column. `kind` is "i" (long-valued:
-    * integers, timestamps as epoch micros, dates as epoch days) or
-    * "s" (strings, compared lexicographically).
+    * integers, timestamps as epoch micros, dates as epoch days), "s"
+    * (strings, compared lexicographically) or "b" (bloom-only).
+    * `bloom`, when non-empty, is a base64 [[java.util.BitSet]] — a
+    * per-file membership filter for POINT predicates on columns whose
+    * min/max are useless under the file's clustering (a
+    * high-cardinality key scattered across every file spans the whole
+    * domain in every file). Iceberg tracks the same thing as parquet
+    * bloom filters / puffin blobs.
     */
   final case class ColStats(min: Long, max: Long, kind: String = "i",
-      minS: String = "", maxS: String = "")
+      minS: String = "", maxS: String = "", bloom: String = "")
+
+  /** Bloom geometry: m bits / k probes sized for maxRecordsPerFile ≈
+    * 4096 rows (fp ≈ 0.2%; 8 KB per file per column). Positions are
+    * md5-derived (the repo's oracle-determinism convention) so the
+    * DRIVER can replay them for probe values without an engine round
+    * trip; a production build would swap in xxhash64 on both sides.
+    */
+  private val BloomM = 1 << 16
+  private val BloomK = 4
+
+  private def bloomPosExpr(c: Column, i: Int): Column =
+    pmod(conv(substring(md5(concat(c.cast("string"), lit(s":$i"))), 1, 15), 16, 10)
+      .cast("bigint"), lit(BloomM.toLong))
+
+  private def bloomPos(v: String, i: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$v:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % BloomM).toInt
+  }
+
+  /** May `v` be present in the file this bloom was built from? False
+    * means DEFINITELY absent (prune); true is probabilistic.
+    */
+  def bloomMayContain(b64: String, v: String): Boolean = {
+    val bits = java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
+    (0 until BloomK).forall(i => bits.get(bloomPos(v, i)))
+  }
   /** `seq` = snapshot id that ADDED the file (data sequence number):
     * equality deletes apply only to files with a strictly smaller seq.
     */
@@ -86,9 +120,10 @@ object LakeTable {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
-      rangeCluster: Boolean = false, note: String = ""): Int =
+      rangeCluster: Boolean = false, note: String = "",
+      bloomCols: Seq[String] = Nil): Int =
     writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
-      replace = false, note = note)
+      replace = false, note = note, bloomCols = bloomCols)
 
   /** Rewrite commit (copy-on-write maintenance): the new snapshot's
     * file list is EXACTLY the files written here — the parent's files
@@ -154,10 +189,10 @@ object LakeTable {
   private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean, replace: Boolean, note: String,
-      basis: Option[Int] = None): Int = {
+      basis: Option[Int] = None, bloomCols: Seq[String] = Nil): Int = {
     val staging = stagingDir(root)
     BlockWriter.writeFlat(df, staging, cfg, rangeCluster)
-    val entries = scanStats(spark, staging, df, statCols)
+    val entries = scanStats(spark, staging, df, statCols, bloomCols)
     casLoop(root) { parent =>
       // REPLACE validation: a rewrite whose basis snapshot is no
       // longer the head would retire files whose rows it never read —
@@ -187,12 +222,16 @@ object LakeTable {
     }
   }
 
-  /** One read-back pass over the staging dir → per-file row counts and
+  /** One read-back pass over the staging dir → per-file row counts,
     * typed min/max stats (long for integer/timestamp/date columns,
-    * lexicographic for strings).
+    * lexicographic for strings) and, for `bloomCols`, per-file bloom
+    * bitmaps (each row contributes k set-bit positions; the per-file
+    * position sets are bounded by k·maxRecordsPerFile and assembled
+    * into bitsets driver-side alongside the rest of the commit-time
+    * stats).
     */
   private def scanStats(spark: SparkSession, staging: String, df: DataFrame,
-      statCols: Seq[String]): Seq[FileEntry] = {
+      statCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val kinds: Seq[(String, String, Column => Column)] = statCols.map { c =>
       df.schema(c).dataType match {
         case StringType => (c, "s", (x: Column) => x)
@@ -201,20 +240,34 @@ object LakeTable {
         case _ => (c, "i", (x: Column) => x.cast("bigint"))
       }
     }
-    val aggCols = count(lit(1)).cast("bigint").as("rows") +:
+    val aggCols = (count(lit(1)).cast("bigint").as("rows") +:
       kinds.flatMap { case (c, _, f) => Seq(
-        min(f(col(c))).as(s"min_$c"), max(f(col(c))).as(s"max_$c")) }
+        min(f(col(c))).as(s"min_$c"), max(f(col(c))).as(s"max_$c")) }) ++
+      bloomCols.flatMap(c => (0 until BloomK).map(i =>
+        collect_set(bloomPosExpr(col(c), i)).as(s"bl_${c}_$i")))
+    val bloomBase = 2 + 2 * kinds.size
     spark.read.parquet(staging)
       .groupBy(col("_metadata.file_path").as("path"))
       .agg(aggCols.head, aggCols.tail: _*)
       .collect() // one row per staged file — commit-time stats only
       .map { r =>
-        FileEntry(r.getString(0), r.getLong(1),
-          kinds.zipWithIndex.map { case ((c, k, _), i) =>
-            c -> (if (k == "s")
-              ColStats(0, 0, "s", r.getString(2 + 2 * i), r.getString(3 + 2 * i))
-            else ColStats(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
-          }.toMap)
+        val base = kinds.zipWithIndex.map { case ((c, k, _), i) =>
+          c -> (if (k == "s")
+            ColStats(0, 0, "s", r.getString(2 + 2 * i), r.getString(3 + 2 * i))
+          else ColStats(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
+        }.toMap
+        val blooms = bloomCols.zipWithIndex.map { case (c, j) =>
+          val bits = new java.util.BitSet(BloomM)
+          (0 until BloomK).foreach { i =>
+            r.getSeq[Long](bloomBase + j * BloomK + i).foreach(p => bits.set(p.toInt))
+          }
+          c -> java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+        }.toMap
+        val stats = (base.keySet ++ blooms.keySet).map { c =>
+          c -> base.getOrElse(c, ColStats(0, 0, "b"))
+            .copy(bloom = blooms.getOrElse(c, ""))
+        }.toMap
+        FileEntry(r.getString(0), r.getLong(1), stats)
       }.toSeq.sortBy(_.path)
   }
 
@@ -329,7 +382,8 @@ object LakeTable {
   def prunedRead(spark: SparkSession, root: String,
       preds: Map[String, (Long, Long)],
       strPreds: Map[String, (String, String)] = Map.empty,
-      asOf: Option[Int] = None): (DataFrame, Int, Int) = {
+      asOf: Option[Int] = None,
+      pointPreds: Map[String, Seq[String]] = Map.empty): (DataFrame, Int, Int) = {
     val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
     val keep = m.files.filter { f =>
       preds.forall { case (c, (lo, hi)) =>
@@ -337,6 +391,12 @@ object LakeTable {
       } && strPreds.forall { case (c, (lo, hi)) =>
         f.stats.get(c).forall(st =>
           st.kind != "s" || (st.minS <= hi && st.maxS >= lo))
+      } && pointPreds.forall { case (c, vs) =>
+        // `col IN (vs)` may match this file iff ANY probe value passes
+        // the file's bloom; a missing bloom keeps the file (pruning
+        // only ever bounds IO).
+        f.stats.get(c).forall(st =>
+          st.bloom.isEmpty || vs.exists(v => bloomMayContain(st.bloom, v)))
       }
     }
     // empty survivor set: read the full list (filters still yield 0
@@ -355,7 +415,10 @@ object LakeTable {
     val f2 = strPreds.foldLeft(f1) { case (d, (c, (lo, hi))) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
-    (f2, keep.size, m.files.size)
+    val f3 = pointPreds.foldLeft(f2) { case (d, (c, vs)) =>
+      d.filter(col(c).cast("string").isin(vs: _*))
+    }
+    (f3, keep.size, m.files.size)
   }
 
   // ---------------- maintenance ----------------
@@ -442,11 +505,15 @@ object LakeTable {
 
   private def manifestJson(m: Manifest): String = {
     val fs = m.files.map { f =>
-      val st = f.stats.toSeq.sortBy(_._1).map {
-        case (c, cs) if cs.kind == "s" =>
-          s""""${esc(c)}":{"kind":"s","min":"${esc(cs.minS)}","max":"${esc(cs.maxS)}"}"""
-        case (c, cs) =>
-          s""""${esc(c)}":{"min":${cs.min},"max":${cs.max}}"""
+      val st = f.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+        // base64 is JSON-safe; bloom rides any kind
+        val bl = if (cs.bloom.isEmpty) "" else s""","bloom":"${cs.bloom}""""
+        if (cs.kind == "s")
+          s""""${esc(c)}":{"kind":"s","min":"${esc(cs.minS)}","max":"${esc(cs.maxS)}"$bl}"""
+        else if (cs.kind == "b")
+          s""""${esc(c)}":{"kind":"b"$bl}"""
+        else
+          s""""${esc(c)}":{"min":${cs.min},"max":${cs.max}$bl}"""
       }.mkString(",")
       s"""{"path":"${esc(f.path)}","rows":${f.rows},"seq":${f.seq},"stats":{$st}}"""
     }.mkString(",")
@@ -469,9 +536,15 @@ object LakeTable {
       val stats = scala.jdk.CollectionConverters.IteratorHasAsScala(
         statsNode.fieldNames()).asScala.map { c =>
         val sn = statsNode.get(c)
-        c -> (if (sn.has("kind") && sn.get("kind").asText() == "s")
-          ColStats(0, 0, "s", sn.get("min").asText(), sn.get("max").asText())
-        else ColStats(sn.get("min").asLong(), sn.get("max").asLong()))
+        val bloom = if (sn.has("bloom")) sn.get("bloom").asText() else ""
+        val kind = if (sn.has("kind")) sn.get("kind").asText() else "i"
+        c -> (kind match {
+          case "s" => ColStats(0, 0, "s", sn.get("min").asText(),
+            sn.get("max").asText(), bloom)
+          case "b" => ColStats(0, 0, "b", bloom = bloom)
+          case _ => ColStats(sn.get("min").asLong(), sn.get("max").asLong(),
+            bloom = bloom)
+        })
       }.toMap
       FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
         if (f.has("seq")) f.get("seq").asInt() else 0)

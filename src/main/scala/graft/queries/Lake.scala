@@ -259,6 +259,77 @@ object Lake {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  // --- prune_scan_point: BLOOM-filter point-lookup pruning — the
+  // stats family's third member (integer ranges, string ranges, and
+  // now point membership). The layout clusters on user_id, so every
+  // file's event_id min/max spans nearly the whole domain and range
+  // stats prune NOTHING for an `event_id IN (…)` probe; the per-file
+  // bloom bitmaps recorded at commit time prune all but the files
+  // that (probably) hold a probed key (LakeSpec asserts touched ≪
+  // total AND that min/max alone would have kept every file). Row
+  // filters re-check survivors, so bloom false positives cost IO,
+  // never correctness. The probe keys derive from MAX(event_id) —
+  // the keys a point-lookup caller holds; replayed by the oracle.
+  def pruneScanPoint(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_psp_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    LakeTable.commit(s, root, ev,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096),
+      Seq("event_id"), bloomCols = Seq("event_id"))
+    val maxId = ev.agg(max(col("event_id"))).first().getLong(0) // 1-row agg
+    val probes = Seq(maxId / 2, maxId / 3, maxId / 5).distinct.map(_.toString)
+    val (rows, _, _) = LakeTable.prunedRead(s, root, Map.empty,
+      pointPreds = Map("event_id" -> probes))
+    rows.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("value_x100"))
+      .orderBy(col("event_id"))
+  }
+
+  val pruneScanPointSql: String =
+    """WITH m AS (SELECT MAX(event_id) AS mx FROM events)
+      |SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type,
+      |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_x100
+      |FROM events, m
+      |WHERE event_id IN (mx // 2, mx // 3, mx // 5)
+      |ORDER BY event_id""".stripMargin
+
+  // --- lake_evolve: PARTITION-SPEC EVOLUTION — because layout is
+  // manifest metadata (flat files + per-file stats), a table can
+  // change its clustering between commits with NO rewrite of history:
+  // gen 1 is user-clustered (the point-lookup era), gen 2 is
+  // day-clustered (the time-range era), same schema. A day-range read
+  // prunes gen-2 files tightly while gen-1 files all survive (their
+  // day extents are wide) — old data stays correct, new data gets the
+  // new layout's pruning, exactly Iceberg's partition-evolution
+  // contract. LakeSpec asserts the per-generation pruning asymmetry.
+  def lakeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_le_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("day", expr("(unix_micros(ts) div 86400000000) % 256").cast("bigint"))
+    val stat = Seq("day", "user_id", "event_id")
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0),
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1024), stat)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 1),
+      BlockWriter.Config("day", "ts", maxRecordsPerFile = 1024), stat)
+    val (rows, _, _) = LakeTable.prunedRead(s, root, Map("day" -> PRUNE_DAY))
+    rows.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  val lakeEvolveSql: String =
+    s"""SELECT (EPOCH_US(ts) // 86400000000) % 256 AS day, COUNT(*) AS n,
+       |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events
+       |WHERE (EPOCH_US(ts) // 86400000000) % 256 BETWEEN ${PRUNE_DAY._1} AND ${PRUNE_DAY._2}
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
   // --- stream_lake: streaming ingest INTO the manifest-tracked
   // table — the reference's whole pipeline (file stream → block
   // writer → iceberg commit; main.go:62-115) in one operator. The
@@ -300,7 +371,9 @@ object Lake {
     "lake_compact" -> lakeCompact,
     "lake_delete" -> lakeDelete,
     "lake_delete_mor" -> lakeDeleteMor,
-    "prune_scan_str" -> pruneScanStr)
+    "prune_scan_str" -> pruneScanStr,
+    "prune_scan_point" -> pruneScanPoint,
+    "lake_evolve" -> lakeEvolve)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -309,5 +382,7 @@ object Lake {
     "lake_compact" -> lakeCompactSql,
     "lake_delete" -> lakeDeleteSql,
     "lake_delete_mor" -> lakeDeleteMorSql,
-    "prune_scan_str" -> pruneScanStrSql)
+    "prune_scan_str" -> pruneScanStrSql,
+    "prune_scan_point" -> pruneScanPointSql,
+    "lake_evolve" -> lakeEvolveSql)
 }

@@ -373,6 +373,70 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("bloom point pruning skips files range stats cannot") {
+    val root = graft.util.Scratch.dir("graft_lakespec_bl_")
+    // user-clustered layout at sf0.01 (~10k events): every file's
+    // event_id [min,max] spans nearly the whole id domain, so range
+    // stats keep everything; the bloom must do the pruning.
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    LakeTable.commit(spark, root, ev,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1024),
+      Seq("event_id"), bloomCols = Seq("event_id"))
+    val probe = ev.agg(max(col("event_id"))).first().getLong(0) / 2
+    val m = LakeTable.manifest(root, 1)
+    assert(m.files.size >= 8, s"expected a multi-file layout, got ${m.files.size}")
+    // every bloom col carries a bitmap, and range stats alone would
+    // keep (nearly) every file for this probe
+    m.files.foreach(f => assert(f.stats("event_id").bloom.nonEmpty))
+    val rangeKept = m.files.count { f =>
+      val st = f.stats("event_id"); st.min <= probe && st.max >= probe }
+    assert(rangeKept >= m.files.size - 1,
+      s"range stats were expected to be useless here, kept $rangeKept/${m.files.size}")
+    val (rows, touched, total) = LakeTable.prunedRead(spark, root, Map.empty,
+      pointPreds = Map("event_id" -> Seq(probe.toString)))
+    assert(touched <= total / 4,
+      s"bloom should prune most files for a single key: touched $touched of $total")
+    // correctness never rides on the bloom: the survivors re-check rows
+    assert(rows.count() === ev.filter(col("event_id") === probe).count())
+    // definitely-absent probe: bloom may false-positive a few files
+    // but must never produce rows
+    val (absent, touchedAbs, _) = LakeTable.prunedRead(spark, root, Map.empty,
+      pointPreds = Map("event_id" -> Seq("-12345")))
+    assert(touchedAbs <= total / 4 && absent.count() === 0)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("partition evolution: gen-2 layout prunes tightly, gen-1 stays readable") {
+    val root = graft.util.Scratch.dir("graft_lakespec_ev_")
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("day", expr("(unix_micros(ts) div 86400000000) % 256").cast("bigint"))
+    val stat = Seq("day", "event_id")
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0),
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 512), stat)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1),
+      BlockWriter.Config("day", "ts", maxRecordsPerFile = 512), stat)
+    val (lo, hi) = graft.queries.Lake.PRUNE_DAY
+    val m = LakeTable.manifest(root, 2)
+    val (gen1, gen2) = m.files.partition(_.seq == 1)
+    assert(gen1.nonEmpty && gen2.nonEmpty)
+    def kept(fs: Seq[LakeTable.FileEntry]) = fs.count { f =>
+      val st = f.stats("day"); st.min <= hi && st.max >= lo }
+    // old layout: day extents are wide, (almost) every gen-1 file
+    // survives — a small boundary file can have a narrow extent;
+    // new layout: only the day-window's files do
+    assert(kept(gen1) >= gen1.size * 3 / 4,
+      s"user-clustered files should mostly survive a day predicate: ${kept(gen1)}/${gen1.size}")
+    assert(kept(gen2) <= gen2.size / 2,
+      s"evolved layout should prune: kept ${kept(gen2)} of ${gen2.size}")
+    val (rows, touched, total) = LakeTable.prunedRead(spark, root, Map("day" -> (lo, hi)))
+    assert(touched === kept(gen1) + kept(gen2) && touched < total)
+    // exactness across both generations
+    assert(rows.count() === ev.filter(col("day").between(lo, hi)).count())
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("prune_scan touches files proportional to the predicate window, not the table") {
     // the query-level artifact: the same layout prune_scan builds, at
     // its production file size — record the prune ratio holds there too
