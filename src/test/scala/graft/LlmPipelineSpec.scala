@@ -193,4 +193,34 @@ class MinhashIndexSpec extends AnyFunSuite {
     graft.util.QueryScratch.release(spark)
     spark.catalog.clearCache()
   }
+
+  test("index maintenance: MoR delete retires a doc's bands without a rewrite") {
+    // a doc leaves the corpus (takedown, re-crawl): the index drops
+    // its bands with ONE metadata-sized delete commit per table — no
+    // signature recompute, no file rewrite. Built on a spec-local
+    // index so the session-shared artifact stays immutable.
+    import graft.lake.LakeTable
+    import graft.writer.BlockWriter
+    val root = graft.util.Scratch.dir("graft_mhdel_") + "/bands"
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 100)
+    val cfg = BlockWriter.Config("doc_id", "doc_id", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(spark, root,
+      MinhashIndex.bandsOf(MinhashIndex.baseOf(docs)), cfg, Seq("doc_id"))
+    val gone = 42L
+    val before = LakeTable.read(spark, root)
+      .filter(col("doc_id") === gone).count()
+    assert(before > 0, "doc 42 should have band rows before the delete")
+    val snap = LakeTable.deleteWhere(spark, root, "doc_id",
+      spark.range(1).select(lit(gone).as("doc_id")))
+    // the delete commit wrote no data files (same file list as parent)
+    assert(LakeTable.manifest(root, snap).files.map(_.path).toSet ===
+      LakeTable.manifest(root, snap - 1).files.map(_.path).toSet)
+    // current view: the doc can no longer pair with anything
+    assert(LakeTable.read(spark, root)
+      .filter(col("doc_id") === gone).count() === 0L)
+    // time travel: the pre-delete index is intact
+    assert(LakeTable.read(spark, root, Some(snap - 1))
+      .filter(col("doc_id") === gone).count() === before)
+  }
 }
