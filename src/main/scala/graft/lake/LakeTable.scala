@@ -98,8 +98,12 @@ object LakeTable {
     * applies to data files with seq < this.seq.
     */
   final case class DeleteEntry(path: String, keyCol: String, rows: Long, seq: Int)
+  /** `tsMs` = wall-clock commit time (metadata only — never query
+    * output), enabling AS-OF-TIMESTAMP travel.
+    */
   final case class Manifest(snapshotId: Int, parentId: Int, files: Seq[FileEntry],
-      deletes: Seq[DeleteEntry] = Nil, note: String = "", schemaJson: String = "")
+      deletes: Seq[DeleteEntry] = Nil, note: String = "", schemaJson: String = "",
+      tsMs: Long = 0L)
 
   /** Bounded CAS retries for a commit racing other committers. */
   private val MaxCommitRetries = 20
@@ -285,8 +289,11 @@ object LakeTable {
       val parent = currentSnapshot(root)
       val m = build(parent)
       try {
+        // commit wall-clock, stamped at the CAS attempt — metadata
+        // for AS-OF-TIMESTAMP travel, never query output
+        val stamped = m.copy(tsMs = System.currentTimeMillis())
         Files.writeString(meta.resolve(s"manifest-${m.snapshotId}.json"),
-          manifestJson(m), java.nio.file.StandardOpenOption.CREATE_NEW)
+          manifestJson(stamped), java.nio.file.StandardOpenOption.CREATE_NEW)
         advancePointer(meta, m.snapshotId)
         return m.snapshotId
       } catch {
@@ -347,6 +354,40 @@ object LakeTable {
   def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
     readFiles(spark, m, m.files)
+  }
+
+  /** Largest snapshot committed at or before `tsMs` — AS OF TIMESTAMP
+    * travel (manifest walk; snapshot count is metadata-scale).
+    */
+  def snapshotAsOfTime(root: String, tsMs: Long): Int = {
+    val hits = (1 to currentSnapshot(root)).filter { i =>
+      Files.exists(Paths.get(root, "meta", s"manifest-$i.json")) &&
+        manifest(root, i).tsMs <= tsMs
+    }
+    require(hits.nonEmpty, s"no snapshot of $root at or before epoch-ms $tsMs")
+    hits.max
+  }
+
+  def readAsOfTime(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    read(spark, root, Some(snapshotAsOfTime(root, tsMs)))
+
+  /** Metadata-only snapshot history (Iceberg's `snapshots` metadata
+    * table): one row per live manifest, computed entirely from
+    * manifests — zero data-file IO regardless of table size.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rows = (1 to currentSnapshot(root))
+      .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
+      .map { i =>
+        val m = manifest(root, i)
+        (m.snapshotId.toLong, m.parentId.toLong, m.tsMs,
+          m.files.size.toLong, m.files.count(_.seq == i).toLong,
+          m.files.map(_.rows).sum, m.files.filter(_.seq == i).map(_.rows).sum,
+          m.deletes.size.toLong, m.deletes.map(_.rows).sum, m.note)
+      }
+    import spark.implicits._
+    rows.toDF("snap", "parent", "ts_ms", "n_files", "n_added_files",
+      "n_rows", "n_added_rows", "n_delete_files", "n_delete_keys", "note")
   }
 
   private def readFiles(spark: SparkSession, m: Manifest,
@@ -520,7 +561,7 @@ object LakeTable {
     val ds = m.deletes.map { d =>
       s"""{"path":"${esc(d.path)}","key":"${esc(d.keyCol)}","rows":${d.rows},"seq":${d.seq}}"""
     }.mkString(",")
-    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"note":"${esc(m.note)}","schema":"${esc(m.schemaJson)}","files":[$fs],"deletes":[$ds]}"""
+    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"ts_ms":${m.tsMs},"note":"${esc(m.note)}","schema":"${esc(m.schemaJson)}","files":[$fs],"deletes":[$ds]}"""
   }
 
   /** Load a snapshot's manifest (Jackson tree read — jackson-databind
@@ -559,6 +600,7 @@ object LakeTable {
     Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(), files,
       deletes,
       if (node.has("note")) node.get("note").asText() else "",
-      if (node.has("schema")) node.get("schema").asText() else "")
+      if (node.has("schema")) node.get("schema").asText() else "",
+      if (node.has("ts_ms")) node.get("ts_ms").asLong() else 0L)
   }
 }

@@ -330,6 +330,47 @@ object Lake {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // --- lake_history: the snapshot-history METADATA table (Iceberg's
+  // `snapshots`): append → append → MoR delete, then one row per
+  // snapshot computed purely from manifests — zero data-file IO, so
+  // at 100 TB this answers "what happened to this table" from a few
+  // KB of metadata. The oracle replays the manifest bookkeeping laws
+  // (cumulative/added row counts from the commit predicates; the
+  // delete commit carries exactly one delete file holding the
+  // distinct deleted keys and adds no data rows). Wall-clock and
+  // layout-dependent columns (ts_ms, file counts) are metadata the
+  // API exposes but the deterministic gate cannot pin — file-count
+  // laws are spec-asserted instead (LakeSpec, partitioned_write).
+  def lakeHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_lh_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    LakeTable.deleteWhere(s, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.history(s, root)
+      .select(col("snap"), col("parent"), col("n_rows"), col("n_added_rows"),
+        col("n_delete_files"), col("n_delete_keys"))
+      .orderBy(col("snap"))
+  }
+
+  val lakeHistorySql: String =
+    """WITH ec AS (SELECT COUNT(*) AS n FROM events WHERE event_id % 2 = 0),
+      |oc AS (SELECT COUNT(*) AS n FROM events WHERE event_id % 2 = 1),
+      |dk AS (SELECT COUNT(DISTINCT event_id) AS k FROM events WHERE event_id % 10 = 0)
+      |SELECT CAST(1 AS BIGINT) AS snap, CAST(0 AS BIGINT) AS parent,
+      |  ec.n AS n_rows, ec.n AS n_added_rows,
+      |  CAST(0 AS BIGINT) AS n_delete_files, CAST(0 AS BIGINT) AS n_delete_keys
+      |FROM ec
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), ec.n + oc.n, oc.n,
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM ec, oc
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), ec.n + oc.n, CAST(0 AS BIGINT),
+      |  CAST(1 AS BIGINT), dk.k FROM ec, oc, dk
+      |ORDER BY snap""".stripMargin
+
   // --- stream_lake: streaming ingest INTO the manifest-tracked
   // table — the reference's whole pipeline (file stream → block
   // writer → iceberg commit; main.go:62-115) in one operator. The
@@ -373,7 +414,8 @@ object Lake {
     "lake_delete_mor" -> lakeDeleteMor,
     "prune_scan_str" -> pruneScanStr,
     "prune_scan_point" -> pruneScanPoint,
-    "lake_evolve" -> lakeEvolve)
+    "lake_evolve" -> lakeEvolve,
+    "lake_history" -> lakeHistory)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -384,5 +426,6 @@ object Lake {
     "lake_delete_mor" -> lakeDeleteMorSql,
     "prune_scan_str" -> pruneScanStrSql,
     "prune_scan_point" -> pruneScanPointSql,
-    "lake_evolve" -> lakeEvolveSql)
+    "lake_evolve" -> lakeEvolveSql,
+    "lake_history" -> lakeHistorySql)
 }

@@ -353,6 +353,31 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("AS OF TIMESTAMP resolves the snapshot committed at or before the time") {
+    val root = graft.util.Scratch.dir("graft_lakespec_ts_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(100)
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    val between = System.currentTimeMillis()
+    Thread.sleep(20) // separate the two commits' wall-clock stamps
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    assert(LakeTable.snapshotAsOfTime(root, between) === 1)
+    assert(LakeTable.snapshotAsOfTime(root, System.currentTimeMillis()) === 2)
+    assert(LakeTable.readAsOfTime(spark, root, between)
+      .filter(col("event_id") % 2 === 1).count() === 0)
+    intercept[IllegalArgumentException] {
+      LakeTable.snapshotAsOfTime(root, 0L) // before the first commit
+    }
+    // history: metadata-only accounting matches the commits
+    val h = LakeTable.history(spark, root).orderBy(col("snap")).collect()
+    assert(h.length === 2)
+    assert(h(0).getAs[Long]("n_added_rows") +
+      h(1).getAs[Long]("n_added_rows") === h(1).getAs[Long]("n_rows"))
+    assert(h.forall(_.getAs[Long]("ts_ms") > 0L))
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("manifest JSON round-trips, including paths needing escapes") {
     val root = graft.util.Scratch.dir("graft_lakespec_js_")
     // write through the real commit path, then re-read and compare
