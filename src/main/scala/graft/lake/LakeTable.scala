@@ -3,7 +3,7 @@ package graft.lake
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, StringType, StructType, TimestampType}
 import graft.writer.BlockWriter
 
 /** Minimal lake-table metadata layer over the BlockWriter layout —
@@ -181,6 +181,42 @@ object LakeTable {
     }
   }
 
+  /** Merge-on-read UPSERT (MERGE INTO, the Iceberg v2 write shape):
+    * ONE atomic commit that adds `updates` as new data files AND an
+    * equality-delete file of their keys. The sequence rule does the
+    * rest — the delete (seq = this commit) masks matching rows only
+    * in OLDER files, never in the rows added here — so readers see
+    * exactly "old minus updated keys, plus updates", and nothing is
+    * rewritten. Compaction ([[rewrite]]) later folds the masks in.
+    */
+  def merge(spark: SparkSession, root: String, keyCol: String,
+      updates: DataFrame, cfg: BlockWriter.Config,
+      statCols: Seq[String]): Int = {
+    val dataStaging = stagingDir(root)
+    BlockWriter.writeFlat(updates, dataStaging, cfg)
+    val entries = scanStats(spark, dataStaging, updates, statCols)
+    val delStaging = stagingDir(root)
+    updates.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode("errorifexists").parquet(delStaging)
+    val delEntries = spark.read.parquet(delStaging)
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(count(lit(1)).cast("bigint").as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    casLoop(root) { parent =>
+      require(parent > 0, s"merge into empty table $root")
+      val pm = manifest(root, parent)
+      val expect = pm.schemaJson
+      require(expect.isEmpty || expect == updates.schema.json,
+        s"merge schema mismatch for $root: table has $expect, updates have ${updates.schema.json}")
+      val snap = parent + 1
+      Manifest(snap, parent,
+        pm.files ++ entries.map(_.copy(seq = snap)),
+        pm.deletes ++ delEntries.map { case (p, n) => DeleteEntry(p, keyCol, n, snap) },
+        note = "", schemaJson = pm.schemaJson)
+    }
+  }
+
   private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Commit-unique staging dir: files live here forever (no rename —
@@ -206,17 +242,31 @@ object LakeTable {
           s"rewrite of $root based on snapshot ${basis.get} but head is $parent; " +
             "re-run the rewrite against the current head")
       // Schema enforcement (the reference's schema-driven ingest, at
-      // table granularity): an APPEND must match the table schema
-      // exactly — a drifting producer fails at commit time instead of
-      // silently writing files a fixed-schema reader would mask out.
-      // Re-checked on every retry against the RE-RESOLVED parent
-      // (the racing winner may have evolved the schema).
-      // Rewrites may change the schema (that is how evolution ships).
+      // table granularity): an APPEND must carry every table column
+      // at its exact type — a drifting producer fails at commit time
+      // instead of silently writing files a fixed-schema reader would
+      // mask out. ADDITIVE evolution is allowed without a rewrite:
+      // new columns may appear if nullable (old files null-fill at
+      // read via the manifest schema); the manifest then records the
+      // widened schema, which later appends must carry. Re-checked on
+      // every retry against the RE-RESOLVED parent (the racing winner
+      // may have evolved the schema). Rewrites may reshape freely.
       if (!replace && parent > 0) {
-        val expect = manifest(root, parent).schemaJson
-        val got = df.schema.json
-        require(expect.isEmpty || expect == got,
-          s"append schema mismatch for $root: table has $expect, batch has $got")
+        val expectJson = manifest(root, parent).schemaJson
+        if (expectJson.nonEmpty) {
+          val expect = DataType.fromJson(expectJson).asInstanceOf[StructType]
+          val got = df.schema
+          val broken = expect.fields.filterNot(f =>
+            got.exists(g => g.name == f.name && g.dataType == f.dataType))
+          require(broken.isEmpty,
+            s"append schema mismatch for $root: dropped/retyped columns " +
+              broken.map(_.name).mkString(", "))
+          val added = got.fields.filterNot(g => expect.exists(_.name == g.name))
+          require(added.forall(_.nullable),
+            s"append to $root adds non-nullable columns " +
+              added.filterNot(_.nullable).map(_.name).mkString(", ") +
+              "; old files cannot satisfy them — make them nullable or rewrite")
+        }
       }
       val snap = parent + 1
       val pm = if (replace || parent == 0) None else Some(manifest(root, parent))
@@ -392,8 +442,15 @@ object LakeTable {
 
   private def readFiles(spark: SparkSession, m: Manifest,
       files: Seq[FileEntry]): DataFrame = {
+    // read under the SNAPSHOT's schema (the Iceberg rule): files
+    // committed before an additive evolution lack the new columns
+    // and null-fill them — no mergeSchema footer sweep needed.
+    def rd(paths: Seq[String]): DataFrame =
+      (if (m.schemaJson.nonEmpty)
+        spark.read.schema(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+      else spark.read).parquet(paths: _*)
     if (m.deletes.isEmpty)
-      spark.read.parquet(files.map(_.path): _*)
+      rd(files.map(_.path))
     else {
       // Group data files by the set of deletes that apply (in
       // practice: by data seq) — each group is one scan with its
@@ -403,7 +460,7 @@ object LakeTable {
         .map { case (_, fs) =>
           val dels = m.deletes.filter(_.seq > fs.head.seq)
           dels.groupBy(_.keyCol).toSeq.sortBy(_._1)
-            .foldLeft(spark.read.parquet(fs.map(_.path): _*)) {
+            .foldLeft(rd(fs.map(_.path))) {
               case (d, (kc, entries)) =>
                 d.join(broadcast(spark.read.parquet(entries.map(_.path): _*)
                   .select(col(kc)).distinct()), Seq(kc), "left_anti")

@@ -330,6 +330,46 @@ object Lake {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // --- lake_merge_mor: atomic MERGE-ON-READ UPSERT (MERGE INTO, the
+  // v2 write shape): updated rows land as new data files AND an
+  // equality-delete file of their keys in ONE commit — the sequence
+  // rule masks only the OLD versions, so readers see exactly
+  // old-minus-updated-keys plus updates, with nothing rewritten. At
+  // 100 TB an update touching 0.01% of rows costs that 0.01% (plus a
+  // key list), not a table rewrite. Snapshot 1 still reads the
+  // pre-merge table; the oracle replays both views.
+  def lakeMergeMor(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_lm_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id"))
+    LakeTable.merge(s, root, "event_id",
+      ev.filter(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") + lit(1000.0d)),
+      cfg, Seq("event_id"))
+    LakeTable.read(s, root, Some(1)).withColumn("snap", lit(1L))
+      .unionByName(LakeTable.read(s, root, Some(2)).withColumn("snap", lit(2L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeMergeMorSql: String =
+    """WITH merged AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END AS value
+      |  FROM events),
+      |snaps AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_type, value FROM merged)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   // --- lake_history: the snapshot-history METADATA table (Iceberg's
   // `snapshots`): append → append → MoR delete, then one row per
   // snapshot computed purely from manifests — zero data-file IO, so
@@ -415,7 +455,8 @@ object Lake {
     "prune_scan_str" -> pruneScanStr,
     "prune_scan_point" -> pruneScanPoint,
     "lake_evolve" -> lakeEvolve,
-    "lake_history" -> lakeHistory)
+    "lake_history" -> lakeHistory,
+    "lake_merge_mor" -> lakeMergeMor)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -427,5 +468,6 @@ object Lake {
     "prune_scan_str" -> pruneScanStrSql,
     "prune_scan_point" -> pruneScanPointSql,
     "lake_evolve" -> lakeEvolveSql,
-    "lake_history" -> lakeHistorySql)
+    "lake_history" -> lakeHistorySql,
+    "lake_merge_mor" -> lakeMergeMorSql)
 }

@@ -353,6 +353,62 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("additive schema evolution: nullable column appends without rewrite, old files null-fill") {
+    val root = graft.util.Scratch.dir("graft_lakespec_ae_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(100)
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    val oldFiles = LakeTable.manifest(root, 1).files.map(_.path).toSet
+    // nullable add (when(...) keeps the column nullable) — legal append
+    val widened = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("score", when(col("event_id") % 3 === 0, col("event_id") * 2))
+    LakeTable.commit(spark, root, widened, cfg, Seq("event_id"))
+    val m2 = LakeTable.manifest(root, 2)
+    assert(oldFiles.subsetOf(m2.files.map(_.path).toSet), "no rewrite on evolution")
+    val cur = LakeTable.read(spark, root)
+    assert(cur.columns.contains("score"))
+    // pre-evolution rows read null-filled under the widened schema
+    assert(cur.filter(col("event_id") % 2 === 0 && col("score").isNotNull).count() === 0)
+    assert(cur.filter(col("score").isNotNull).count() ===
+      widened.filter(col("score").isNotNull).count())
+    // snapshot 1 still reads under ITS schema — no score column
+    assert(!LakeTable.read(spark, root, Some(1)).columns.contains("score"))
+    // appends must now carry the widened schema; dropping it is rejected
+    intercept[IllegalArgumentException] {
+      LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    }
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("atomic MoR merge: one commit upserts without rewriting old files") {
+    val root = graft.util.Scratch.dir("graft_lakespec_mg_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1024)
+    LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
+    val n = ev.count()
+    val parentFiles = LakeTable.manifest(root, 1).files.map(_.path).toSet
+    // shift the updated rows' user_id so the update is observable
+    val updates = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("user_id", col("user_id") + lit(1000000L))
+    val snap = LakeTable.merge(spark, root, "event_id", updates, cfg, Seq("event_id"))
+    val m = LakeTable.manifest(root, snap)
+    // old files untouched; updates arrived as NEW files in the same commit
+    assert(parentFiles.subsetOf(m.files.map(_.path).toSet))
+    assert(m.files.count(_.seq == snap) > 0)
+    assert(m.deletes.size === 1 && m.deletes.head.seq === snap)
+    // reader view: same cardinality (every key existed), updated rows visible
+    val cur = LakeTable.read(spark, root)
+    assert(cur.count() === n)
+    assert(cur.filter(col("event_id") % 7 === 0 && col("user_id") < 1000000L)
+      .count() === 0, "old versions of updated rows must be masked")
+    // pre-merge snapshot unaffected
+    assert(LakeTable.read(spark, root, Some(1))
+      .filter(col("user_id") >= 1000000L).count() === 0)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("AS OF TIMESTAMP resolves the snapshot committed at or before the time") {
     val root = graft.util.Scratch.dir("graft_lakespec_ts_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
