@@ -421,6 +421,39 @@ object LakeTable {
   def readAsOfTime(spark: SparkSession, root: String, tsMs: Long): DataFrame =
     read(spark, root, Some(snapshotAsOfTime(root, tsMs)))
 
+  /** Incremental APPEND scan (Iceberg's incremental read; the lake as
+    * a CDC/stream source): rows ADDED by snapshots in
+    * (`fromSnap`, `toSnap`] — exactly the data files whose sequence
+    * number falls in the range, resolved from the manifest with no
+    * directory listing and no re-read of older data. A downstream
+    * consumer that checkpoints its last-seen snapshot id gets
+    * exactly-once incremental consumption; deletes are a different
+    * changelog (append-scan semantics, as in Iceberg's
+    * `incremental-from-snapshot` scans).
+    */
+  def incrementalRead(spark: SparkSession, root: String, fromSnap: Int,
+      toSnap: Int): DataFrame = {
+    val head = currentSnapshot(root)
+    require(fromSnap >= 0 && toSnap <= head && fromSnap <= toSnap,
+      s"incremental range ($fromSnap, $toSnap] out of [0, $head]")
+    val m = manifest(root, toSnap)
+    val added = m.files.filter(f => f.seq > fromSnap && f.seq <= toSnap)
+    if (added.isEmpty) spark.emptyDataFrame
+    else readFiles(spark, m.copy(deletes = Nil), added)
+  }
+
+  /** Time-based retention: expire every snapshot whose commit time is
+    * at or before `cutoffMs` (the head always survives). Returns the
+    * number of files reclaimed.
+    */
+  def expireOlderThan(root: String, cutoffMs: Long): Int = {
+    val head = currentSnapshot(root)
+    val keepFrom = (1 to head)
+      .find(i => manifest(root, i).tsMs > cutoffMs)
+      .getOrElse(head)
+    if (keepFrom <= 1) 0 else expire(root, keepFrom)
+  }
+
   /** Metadata-only snapshot history (Iceberg's `snapshots` metadata
     * table): one row per live manifest, computed entirely from
     * manifests — zero data-file IO regardless of table size.

@@ -330,6 +330,38 @@ object Lake {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // --- lake_incremental: the lake as a CDC/STREAM SOURCE — an
+  // incremental append scan reads only the rows ADDED by snapshots in
+  // (from, to], resolved from manifest sequence numbers with no
+  // directory listing and no re-read of older data. Three commits
+  // land thirds of the events table; "changes since snapshot 1" must
+  // be exactly generations 2+3. This is how a downstream consumer
+  // tails the table with a checkpointed snapshot id — at 100 TB each
+  // poll costs the new data, never the table. The oracle replays the
+  // generation predicates.
+  def lakeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_li_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    (0 to 2).foreach(g => LakeTable.commit(s, root,
+      ev.filter(col("event_id") % 3 === g), cfg, Seq("event_id")))
+    LakeTable.incrementalRead(s, root, 1, 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeIncrementalSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE event_id % 3 IN (1, 2)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- lake_merge_mor: atomic MERGE-ON-READ UPSERT (MERGE INTO, the
   // v2 write shape): updated rows land as new data files AND an
   // equality-delete file of their keys in ONE commit — the sequence
@@ -456,7 +488,8 @@ object Lake {
     "prune_scan_point" -> pruneScanPoint,
     "lake_evolve" -> lakeEvolve,
     "lake_history" -> lakeHistory,
-    "lake_merge_mor" -> lakeMergeMor)
+    "lake_merge_mor" -> lakeMergeMor,
+    "lake_incremental" -> lakeIncremental)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -469,5 +502,6 @@ object Lake {
     "prune_scan_point" -> pruneScanPointSql,
     "lake_evolve" -> lakeEvolveSql,
     "lake_history" -> lakeHistorySql,
-    "lake_merge_mor" -> lakeMergeMorSql)
+    "lake_merge_mor" -> lakeMergeMorSql,
+    "lake_incremental" -> lakeIncrementalSql)
 }

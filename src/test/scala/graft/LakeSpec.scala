@@ -434,6 +434,37 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("incremental read returns exactly the snapshot range's additions; time-based expiry") {
+    val root = graft.util.Scratch.dir("graft_lakespec_inc_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(300)
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    (0 to 2).foreach(g => LakeTable.commit(spark, root,
+      ev.filter(col("event_id") % 3 === g), cfg, Seq("event_id")))
+    // (1, 3] = generations 2 and 3 only
+    val inc = LakeTable.incrementalRead(spark, root, 1, 3)
+    assert(inc.filter(col("event_id") % 3 === 0).count() === 0)
+    assert(inc.count() === ev.filter(col("event_id") % 3 =!= 0).count())
+    // (2, 3] = generation 3; (3, 3] = nothing
+    assert(LakeTable.incrementalRead(spark, root, 2, 3).count() ===
+      ev.filter(col("event_id") % 3 === 2).count())
+    assert(LakeTable.incrementalRead(spark, root, 3, 3).count() === 0)
+    // a consumer bounded by an older to-snapshot never sees later data
+    assert(LakeTable.incrementalRead(spark, root, 0, 1).count() ===
+      ev.filter(col("event_id") % 3 === 0).count())
+    // time-based retention: everything committed so far is expirable
+    // except the head, which always survives. Append-only history
+    // shares every file with the head, so expiry drops MANIFESTS
+    // (time travel) but reclaims no files — only rewrite-retired
+    // files are reclaimable (covered by the expire spec above).
+    val reclaimed = LakeTable.expireOlderThan(root, System.currentTimeMillis())
+    assert(reclaimed === 0)
+    assert(LakeTable.read(spark, root).count() === ev.count(),
+      "head snapshot must stay fully readable after time-based expiry")
+    intercept[Exception] { LakeTable.manifest(root, 1) }
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("manifest JSON round-trips, including paths needing escapes") {
     val root = graft.util.Scratch.dir("graft_lakespec_js_")
     // write through the real commit path, then re-read and compare
