@@ -14,11 +14,14 @@ import graft.writer.BlockWriter
   * capabilities, reproduced honestly with no table-format dependency:
   *
   *  - '''Snapshots / time travel''': every commit writes an immutable
-  *    JSON manifest (complete file list + per-file column stats) and
-  *    atomically advances a snapshot pointer. Readers resolve a
-  *    manifest, never a directory listing — commits are atomic
-  *    (readers see the old or the new snapshot, nothing in between)
-  *    and any historical snapshot stays readable.
+  *    part file (ITS added files/deletes + per-file column stats) and
+  *    a manifest listing snapshot metadata plus the ordered part
+  *    paths — the Iceberg manifest-list shape, so commit metadata IO
+  *    is O(added + commits), never O(table files) — then atomically
+  *    advances a snapshot pointer. Readers resolve a manifest, never
+  *    a directory listing — commits are atomic (readers see the old
+  *    or the new snapshot, nothing in between) and any historical
+  *    snapshot stays readable.
   *  - '''Stats-based file pruning''': per-file min/max column stats
   *    (integer-valued AND string/timestamp columns) recorded at
   *    commit time let a reader skip every file whose value ranges
@@ -233,7 +236,7 @@ object LakeTable {
     val staging = stagingDir(root)
     BlockWriter.writeFlat(df, staging, cfg, rangeCluster)
     val entries = scanStats(spark, staging, df, statCols, bloomCols)
-    casLoop(root) { parent =>
+    casLoop(root, replace) { parent =>
       // REPLACE validation: a rewrite whose basis snapshot is no
       // longer the head would retire files whose rows it never read —
       // fail it rather than drop a concurrent append.
@@ -330,20 +333,42 @@ object LakeTable {
     * re-resolve and rebuild — the staged data files never move, so a
     * retry costs one manifest rebuild, not a data rewrite. On an
     * object store this maps to conditional-put / catalog CAS.
+    *
+    * METADATA SCALING (the Iceberg manifest-list shape): the builder
+    * returns the RESOLVED view, but what lands on disk is
+    * incremental — this commit's added files/deletes go into an
+    * immutable `part-<token>.json`, and `manifest-N.json` records
+    * only snapshot metadata plus the ordered PART PATH LIST
+    * (parent's parts + the new one; just the new one for a REPLACE).
+    * Commit IO is O(added + commits), never O(table files): at 100 TB
+    * with millions of live files an append writes KBs of metadata,
+    * not a GB file inventory. A losing CAS attempt orphans its part
+    * file (the part embeds the attempted seq, so it cannot be
+    * reused); [[removeOrphans]] sweeps those.
     */
-  private def casLoop(root: String)(build: Int => Manifest): Int = {
+  private def casLoop(root: String, replace: Boolean = false)
+      (build: Int => Manifest): Int = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
     var attempt = 0
     while (true) {
       val parent = currentSnapshot(root)
       val m = build(parent)
+      val added = m.files.filter(_.seq == m.snapshotId)
+      val addedDeletes = m.deletes.filter(_.seq == m.snapshotId)
+      val parentParts: Seq[String] =
+        if (replace || parent == 0) Nil else rawParts(root, parent)
+      val partPath = meta.resolve(
+        s"part-${System.nanoTime()}-${stageCounter.incrementAndGet()}.json")
       try {
+        Files.writeString(partPath, partJson(added, addedDeletes),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         // commit wall-clock, stamped at the CAS attempt — metadata
         // for AS-OF-TIMESTAMP travel, never query output
-        val stamped = m.copy(tsMs = System.currentTimeMillis())
         Files.writeString(meta.resolve(s"manifest-${m.snapshotId}.json"),
-          manifestJson(stamped), java.nio.file.StandardOpenOption.CREATE_NEW)
+          manifestJson(m.copy(tsMs = System.currentTimeMillis()),
+            parentParts :+ partPath.toString),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         advancePointer(meta, m.snapshotId)
         return m.snapshotId
       } catch {
@@ -573,6 +598,10 @@ object LakeTable {
     orphans.foreach { p =>
       Files.deleteIfExists(Paths.get(new java.net.URI(p).getPath)): Unit
     }
+    // metadata parts referenced only by expired manifests go with them
+    val keptParts = (keepFrom to head).flatMap(i => rawParts(root, i)).toSet
+    ((1 until keepFrom).flatMap(i => rawParts(root, i)).toSet -- keptParts)
+      .foreach(p => Files.deleteIfExists(Paths.get(p)): Unit)
     (1 until keepFrom).foreach { i =>
       Files.deleteIfExists(Paths.get(root, "meta", s"manifest-$i.json")): Unit
     }
@@ -622,6 +651,24 @@ object LakeTable {
           if (empty) Files.deleteIfExists(p): Unit
         }
     } finally dirs.close()
+    // metadata parts no live manifest references — the residue of a
+    // losing CAS attempt (its part was written, its manifest never
+    // landed). Same age guard as data files.
+    val liveParts = (1 to head)
+      .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
+      .flatMap(i => rawParts(root, i))
+      .map(p => Paths.get(p).toRealPath().toString).toSet
+    val metaDir = Paths.get(root, "meta")
+    val partWalk = Files.list(metaDir)
+    try {
+      partWalk.filter(p => p.getFileName.toString.startsWith("part-")).forEach { p =>
+        if (!liveParts.contains(p.toRealPath().toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff) {
+          Files.deleteIfExists(p)
+          removed += 1
+        }
+      }
+    } finally partWalk.close()
     removed
   }
 
@@ -634,8 +681,9 @@ object LakeTable {
     case c => c.toString
   }
 
-  private def manifestJson(m: Manifest): String = {
-    val fs = m.files.map { f =>
+  /** One commit's incremental metadata: its added files + deletes. */
+  private def partJson(files: Seq[FileEntry], deletes: Seq[DeleteEntry]): String = {
+    val fs = files.map { f =>
       val st = f.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
         // base64 is JSON-safe; bloom rides any kind
         val bl = if (cs.bloom.isEmpty) "" else s""","bloom":"${cs.bloom}""""
@@ -648,47 +696,77 @@ object LakeTable {
       }.mkString(",")
       s"""{"path":"${esc(f.path)}","rows":${f.rows},"seq":${f.seq},"stats":{$st}}"""
     }.mkString(",")
-    val ds = m.deletes.map { d =>
+    val ds = deletes.map { d =>
       s"""{"path":"${esc(d.path)}","key":"${esc(d.keyCol)}","rows":${d.rows},"seq":${d.seq}}"""
     }.mkString(",")
-    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"ts_ms":${m.tsMs},"note":"${esc(m.note)}","schema":"${esc(m.schemaJson)}","files":[$fs],"deletes":[$ds]}"""
+    s"""{"files":[$fs],"deletes":[$ds]}"""
   }
 
-  /** Load a snapshot's manifest (Jackson tree read — jackson-databind
-    * ships with Spark).
+  /** Snapshot metadata + the ordered part-path list — O(commits),
+    * independent of table file count.
     */
-  def manifest(root: String, snap: Int): Manifest = {
-    require(snap > 0, s"no snapshot $snap (table has ${currentSnapshot(root)})")
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(Files.readString(Paths.get(root, "meta", s"manifest-$snap.json")))
-    val files = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      node.get("files").elements()).asScala.map { f =>
-      val statsNode = f.get("stats")
-      val stats = scala.jdk.CollectionConverters.IteratorHasAsScala(
-        statsNode.fieldNames()).asScala.map { c =>
-        val sn = statsNode.get(c)
-        val bloom = if (sn.has("bloom")) sn.get("bloom").asText() else ""
-        val kind = if (sn.has("kind")) sn.get("kind").asText() else "i"
-        c -> (kind match {
-          case "s" => ColStats(0, 0, "s", sn.get("min").asText(),
-            sn.get("max").asText(), bloom)
-          case "b" => ColStats(0, 0, "b", bloom = bloom)
-          case _ => ColStats(sn.get("min").asLong(), sn.get("max").asLong(),
-            bloom = bloom)
-        })
-      }.toMap
-      FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
-        if (f.has("seq")) f.get("seq").asInt() else 0)
-    }.toSeq
-    val deletes =
-      if (!node.has("deletes")) Nil
-      else scala.jdk.CollectionConverters.IteratorHasAsScala(
-        node.get("deletes").elements()).asScala.map { d =>
+  private def manifestJson(m: Manifest, parts: Seq[String]): String = {
+    val ps = parts.map(p => s""""${esc(p)}"""").mkString(",")
+    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"ts_ms":${m.tsMs},"note":"${esc(m.note)}","schema":"${esc(m.schemaJson)}","parts":[$ps]}"""
+  }
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def asScala[T](it: java.util.Iterator[T]) =
+    scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+
+  /** Immutable-part cache: a part is written once (CREATE_NEW) and
+    * never modified, so parsed content is cacheable for the JVM
+    * lifetime; entries are metadata-sized.
+    */
+  private val partCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[FileEntry], Seq[DeleteEntry])]()
+
+  private def loadPart(path: String): (Seq[FileEntry], Seq[DeleteEntry]) =
+    partCache.computeIfAbsent(path, { p =>
+      val node = mapper.readTree(Files.readString(Paths.get(p)))
+      val files = asScala(node.get("files").elements()).map { f =>
+        val statsNode = f.get("stats")
+        val stats = asScala(statsNode.fieldNames()).map { c =>
+          val sn = statsNode.get(c)
+          val bloom = if (sn.has("bloom")) sn.get("bloom").asText() else ""
+          val kind = if (sn.has("kind")) sn.get("kind").asText() else "i"
+          c -> (kind match {
+            case "s" => ColStats(0, 0, "s", sn.get("min").asText(),
+              sn.get("max").asText(), bloom)
+            case "b" => ColStats(0, 0, "b", bloom = bloom)
+            case _ => ColStats(sn.get("min").asLong(), sn.get("max").asLong(),
+              bloom = bloom)
+          })
+        }.toMap
+        FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
+          if (f.has("seq")) f.get("seq").asInt() else 0)
+      }.toSeq
+      val deletes = asScala(node.get("deletes").elements()).map { d =>
         DeleteEntry(d.get("path").asText(), d.get("key").asText(),
           d.get("rows").asLong(), d.get("seq").asInt())
       }.toSeq
-    Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(), files,
-      deletes,
+      (files, deletes)
+    })
+
+  /** A snapshot's raw part-path list (commit-count-sized). */
+  private def rawParts(root: String, snap: Int): Seq[String] = {
+    val node = mapper.readTree(
+      Files.readString(Paths.get(root, "meta", s"manifest-$snap.json")))
+    asScala(node.get("parts").elements()).map(_.asText()).toSeq
+  }
+
+  /** Load a snapshot's RESOLVED manifest: snapshot metadata from
+    * `manifest-<snap>.json`, file/delete inventory concatenated from
+    * its immutable parts (each parsed once per JVM).
+    */
+  def manifest(root: String, snap: Int): Manifest = {
+    require(snap > 0, s"no snapshot $snap (table has ${currentSnapshot(root)})")
+    val node = mapper.readTree(
+      Files.readString(Paths.get(root, "meta", s"manifest-$snap.json")))
+    val parts = asScala(node.get("parts").elements()).map(_.asText()).toSeq
+      .map(loadPart)
+    Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(),
+      parts.flatMap(_._1), parts.flatMap(_._2),
       if (node.has("note")) node.get("note").asText() else "",
       if (node.has("schema")) node.get("schema").asText() else "",
       if (node.has("ts_ms")) node.get("ts_ms").asLong() else 0L)

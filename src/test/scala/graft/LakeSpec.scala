@@ -434,6 +434,32 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("commit metadata is incremental: an append writes O(added), not the file inventory") {
+    val root = graft.util.Scratch.dir("graft_lakespec_ml_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // many-file first commit, then a tiny append
+    LakeTable.commit(spark, root, ev,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 64), Seq("event_id"))
+    val n1 = LakeTable.manifest(root, 1).files.size
+    assert(n1 >= 15, s"expected a many-file layout, got $n1")
+    LakeTable.commit(spark, root, ev.limit(10),
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096), Seq("event_id"))
+    val m2 = java.nio.file.Paths.get(root, "meta", "manifest-2.json")
+    val m2Json = java.nio.file.Files.readString(m2)
+    // the manifest lists part paths + snapshot metadata only — no
+    // per-file entries, and a size independent of snapshot 1's
+    // file count (schema + 2 part paths)
+    assert(!m2Json.contains("\"stats\""), "manifest must not embed file entries")
+    assert(java.nio.file.Files.size(m2) < 4096,
+      s"commit metadata should be O(added+commits), got ${java.nio.file.Files.size(m2)} bytes")
+    // the resolved view is still the full inventory
+    val r2 = LakeTable.manifest(root, 2)
+    assert(r2.files.size > n1)
+    assert(r2.files.count(_.seq == 2) >= 1)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("incremental read returns exactly the snapshot range's additions; time-based expiry") {
     val root = graft.util.Scratch.dir("graft_lakespec_inc_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
