@@ -178,6 +178,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: batches probe the persisted index, survivors commit, index grows") {
+    import graft.lake.LakeTable
+    import graft.operators.MinhashIndex
+    import graft.streaming.DedupStream
+    import graft.writer.BlockWriter
+    val docs = Tables.load(spark, sf, "documents")
+    // spec-local index seeded with the CORPUS partition (the shared
+    // session artifact stays immutable); batches then append to it
+    val bandsRoot = graft.util.Scratch.dir("graft_ddst_idx_")
+    val resultsRoot = graft.util.Scratch.dir("graft_ddst_res_")
+    val cfg = BlockWriter.Config("doc_id", "doc_id", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(spark, bandsRoot,
+      MinhashIndex.corpusBands(spark, sf), cfg, Seq("doc_id"))
+    // three arriving batches (thirds of the incoming-batch docs),
+    // staged with distinct mtimes so the file source's oldest-first
+    // order is deterministic — the fold oracle replays the same order
+    val inDir = graft.util.Scratch.dir("graft_ddst_in_")
+    val files = (0 until 3).map { i =>
+      val part = docs.filter(MinhashIndex.batchPred &&
+        (col("doc_id") / 10) % 3 === i.toLong)
+      val tmp = graft.util.Scratch.dir(s"graft_ddst_t${i}_")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"b$i.parquet")
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (3 - i) * 60000L))
+      dst.toString
+    }
+    val (resCommits, idxCommits) = DedupStream.runOnceDedupToLake(
+      spark, inDir, resultsRoot, bandsRoot, cfg)
+    // one commit per surviving batch on BOTH tables (idempotent notes)
+    assert(resCommits >= 1 && idxCommits === resCommits + 1)
+    (1 to resCommits).foreach { s =>
+      assert(LakeTable.manifest(resultsRoot, s).note.startsWith("batch-"))
+    }
+    // equivalence with the batch-mode fold over the same file order
+    val expected = DedupStream.batchFold(spark, files,
+      LakeTable.read(spark, bandsRoot, Some(1)))
+    val got = LakeTable.read(spark, resultsRoot)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expected)
+    // the index grew by exactly the survivors' bands
+    val idxDocs = LakeTable.read(spark, bandsRoot)
+      .select("doc_id").filter(MinhashIndex.batchPred).distinct().count()
+    assert(idxDocs === expected.size.toLong)
+    spark.catalog.clearCache()
+  }
+
   test("custom-state sessionizer matches native session_window") {
     val ev = Tables.load(spark, sf, "events")
     val typed = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
