@@ -560,6 +560,85 @@ object LlmPipeline {
        |SELECT doc_a, doc_b, jacc_bp FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- dedup_substring: exact shared-SUBSTRING detection (the
+  // suffix-array dedup of Lee et al., "Deduplicating Training Data
+  // Makes Language Models Better", re-expressed as a distributed
+  // posting join): every K-token window is hashed WITH its position;
+  // windows matching across two docs at a constant offset (pa - pb)
+  // are consecutive exactly when they extend one shared span, so a
+  // gaps-and-islands pass over the matched positions recovers every
+  // MAXIMAL shared span exactly. One shuffle on the gram hash (df-
+  // capped posting list — a window seen in > DF docs is boilerplate,
+  // the standard suffix-pipeline filter), one window over matched
+  // pairs grouped by (a, b, offset): candidate volume is Σ df² over
+  // informative grams, never all-pairs. Reports pairs sharing a span
+  // of ≥ MIN_RUN tokens — the memorization-grade overlap a training
+  // pipeline cuts at the span level.
+  private val SS_K = 8
+  private val SS_MIN_RUN = 12
+  private val SS_MAX_DF = 32
+
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    // cache BEFORE the posexplode: Generate re-evaluates a computed
+    // array child per OUTPUT row (the textNgramFreq pathology —
+    // O(tokens²) string builds per doc); an attribute child (cache
+    // boundary) builds each doc's shingle array once.
+    val shf = graft.util.QueryScratch.cached(
+      Dedup.withShingles(t(s, dir, "documents"), "text", SS_K, distinct = false,
+        Seq("doc_id"), "sh"))
+    val occ = graft.util.QueryScratch.cached(
+      shf.select(col("doc_id"), posexplode(col("sh")).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
+          TextFns.hash60(col("g")).as("h")))
+    val informative = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SS_MAX_DF)
+    val p = pruneOcc(occ, informative)
+    val m = p.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(p.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy(col("pa"))
+    m.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("isl"))
+      .agg(count(lit(1)).as("ng"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("ng")) + lit(SS_K - 1L)).cast("bigint").as("max_run"),
+        sum(col("ng")).cast("bigint").as("n_gram_matches"))
+      .filter(col("max_run") >= SS_MIN_RUN)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def pruneOcc(occ: DataFrame, informative: DataFrame): DataFrame =
+    occ.join(informative.select("h"), Seq("h"), "left_semi")
+
+  val dedupSubstringSql: String = {
+    val gram = (0 until SS_K).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+      .mkString("||' '||")
+    s"""WITH t AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |o AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash60Sql(s"($gram)")} AS h
+       |  FROM t, LATERAL unnest(generate_series(1, len(ws)-${SS_K - 1})) s(i)
+       |  WHERE len(ws) >= $SS_K),
+       |k AS (SELECT h FROM o GROUP BY h
+       |      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SS_MAX_DF),
+       |p AS (SELECT o.* FROM o JOIN k USING (h)),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |        a.pos - b.pos AS d
+       |      FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (SELECT doc_a, doc_b, d, pa,
+       |        pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) AS isl
+       |      FROM m),
+       |runs AS (SELECT doc_a, doc_b, d, isl, COUNT(*) AS ng
+       |         FROM r GROUP BY doc_a, doc_b, d, isl)
+       |SELECT doc_a, doc_b, CAST(MAX(ng) + ${SS_K - 1} AS BIGINT) AS max_run,
+       |  CAST(SUM(ng) AS BIGINT) AS n_gram_matches
+       |FROM runs GROUP BY doc_a, doc_b
+       |HAVING MAX(ng) + ${SS_K - 1} >= $SS_MIN_RUN
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val SH_BITS = 48
   private val SH_BAND_BITS = 12
   private val SH_MAX_HAMMING = 6
@@ -1328,6 +1407,7 @@ object LlmPipeline {
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_substring" -> dedupSubstring,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_retention" -> dedupRetention,
     "dedup_clusters" -> dedupClusters,
@@ -1357,6 +1437,7 @@ object LlmPipeline {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_substring" -> dedupSubstringSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_retention" -> dedupRetentionSql,
     "dedup_clusters" -> dedupClustersSql,
