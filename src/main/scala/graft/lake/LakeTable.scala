@@ -97,10 +97,14 @@ object LakeTable {
     */
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
       seq: Int = 0)
-  /** An equality-delete file: parquet of distinct `keyCol` values;
-    * applies to data files with seq < this.seq.
+  /** A delete file; applies to data files with seq < this.seq.
+    * `kind` "eq": parquet of distinct `keyCol` values (equality
+    * delete). `kind` "pos": parquet of (path, idx) row coordinates
+    * (positional delete — row-targeted, so it can remove ONE copy of
+    * a duplicated key where an equality delete would remove all).
     */
-  final case class DeleteEntry(path: String, keyCol: String, rows: Long, seq: Int)
+  final case class DeleteEntry(path: String, keyCol: String, rows: Long, seq: Int,
+      kind: String = "eq")
   /** `tsMs` = wall-clock commit time (metadata only — never query
     * output), enabling AS-OF-TIMESTAMP travel.
     */
@@ -218,6 +222,44 @@ object LakeTable {
         pm.deletes ++ delEntries.map { case (p, n) => DeleteEntry(p, keyCol, n, snap) },
         note = "", schemaJson = pm.schemaJson)
     }
+  }
+
+  /** POSITIONAL merge-on-read DELETE (Iceberg v2's second delete
+    * mode): `positions` is a (path, idx) frame of row coordinates —
+    * obtain it by filtering a [[withRowCoords]] read. Row-targeted,
+    * so it deletes exactly the addressed rows: one copy of a
+    * duplicated key survives where an equality delete would drop
+    * every copy. Commits only the (small) coordinate file; no data
+    * files are written or rewritten.
+    */
+  def deletePositions(spark: SparkSession, root: String,
+      positions: DataFrame): Int = {
+    val staging = stagingDir(root)
+    positions.select(col("path"), col("idx")).coalesce(1)
+      .write.mode("errorifexists").parquet(staging)
+    val entries = spark.read.parquet(staging)
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(count(lit(1)).cast("bigint").as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    casLoop(root) { parent =>
+      require(parent > 0, s"deletePositions on empty table $root")
+      val pm = manifest(root, parent)
+      val snap = parent + 1
+      Manifest(snap, parent, pm.files,
+        pm.deletes ++ entries.map { case (p, n) =>
+          DeleteEntry(p, "", n, snap, kind = "pos") },
+        note = "", schemaJson = pm.schemaJson)
+    }
+  }
+
+  /** A read decorated with each row's (path, idx) delete coordinates
+    * — the address space [[deletePositions]] consumes.
+    */
+  def withRowCoords(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
+    readFiles(spark, m, m.files, coords = true)
   }
 
   private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -499,7 +541,7 @@ object LakeTable {
   }
 
   private def readFiles(spark: SparkSession, m: Manifest,
-      files: Seq[FileEntry]): DataFrame = {
+      files: Seq[FileEntry], coords: Boolean = false): DataFrame = {
     // read under the SNAPSHOT's schema (the Iceberg rule): files
     // committed before an additive evolution lack the new columns
     // and null-fill them — no mergeSchema footer sweep needed.
@@ -507,8 +549,16 @@ object LakeTable {
       (if (m.schemaJson.nonEmpty)
         spark.read.schema(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
       else spark.read).parquet(paths: _*)
+    val needCoords = coords || m.deletes.exists(_.kind == "pos")
+    def rdc(paths: Seq[String]): DataFrame =
+      if (!needCoords) rd(paths)
+      else rd(paths)
+        .withColumn("path", col("_metadata.file_path"))
+        .withColumn("idx", col("_metadata.row_index"))
+    def strip(d: DataFrame): DataFrame =
+      if (needCoords && !coords) d.drop("path", "idx") else d
     if (m.deletes.isEmpty)
-      rd(files.map(_.path))
+      strip(rdc(files.map(_.path)))
     else {
       // Group data files by the set of deletes that apply (in
       // practice: by data seq) — each group is one scan with its
@@ -517,12 +567,19 @@ object LakeTable {
         .toSeq.sortBy(_._2.head.path)
         .map { case (_, fs) =>
           val dels = m.deletes.filter(_.seq > fs.head.seq)
-          dels.groupBy(_.keyCol).toSeq.sortBy(_._1)
-            .foldLeft(rd(fs.map(_.path))) {
+          val (posDels, eqDels) = dels.partition(_.kind == "pos")
+          val afterEq = eqDels.groupBy(_.keyCol).toSeq.sortBy(_._1)
+            .foldLeft(rdc(fs.map(_.path))) {
               case (d, (kc, entries)) =>
                 d.join(broadcast(spark.read.parquet(entries.map(_.path): _*)
                   .select(col(kc)).distinct()), Seq(kc), "left_anti")
             }
+          // positional masks anti-join on the row coordinates
+          strip(if (posDels.isEmpty) afterEq
+          else afterEq.join(
+            broadcast(spark.read.parquet(posDels.map(_.path): _*)
+              .select(col("path"), col("idx")).distinct()),
+            Seq("path", "idx"), "left_anti"))
         }.reduce(_ unionByName _)
     }
   }
@@ -697,7 +754,7 @@ object LakeTable {
       s"""{"path":"${esc(f.path)}","rows":${f.rows},"seq":${f.seq},"stats":{$st}}"""
     }.mkString(",")
     val ds = deletes.map { d =>
-      s"""{"path":"${esc(d.path)}","key":"${esc(d.keyCol)}","rows":${d.rows},"seq":${d.seq}}"""
+      s"""{"path":"${esc(d.path)}","key":"${esc(d.keyCol)}","rows":${d.rows},"seq":${d.seq},"kind":"${d.kind}"}"""
     }.mkString(",")
     s"""{"files":[$fs],"deletes":[$ds]}"""
   }
@@ -743,7 +800,8 @@ object LakeTable {
       }.toSeq
       val deletes = asScala(node.get("deletes").elements()).map { d =>
         DeleteEntry(d.get("path").asText(), d.get("key").asText(),
-          d.get("rows").asLong(), d.get("seq").asInt())
+          d.get("rows").asLong(), d.get("seq").asInt(),
+          if (d.has("kind")) d.get("kind").asText() else "eq")
       }.toSeq
       (files, deletes)
     })

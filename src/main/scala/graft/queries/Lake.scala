@@ -330,6 +330,40 @@ object Lake {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // --- lake_delete_pos: POSITIONAL merge-on-read delete — the v2
+  // delete family's second mode. The delete commit stores row
+  // COORDINATES (file, row-index) instead of key values, so it can
+  // target exact rows (one copy of a duplicated key) and applies by
+  // a broadcast anti-join on (path, idx). Same two-snapshot oracle
+  // shape as lake_delete_mor: snapshot 1 = pre-delete, snapshot 2 =
+  // table minus the addressed rows; no data file rewritten.
+  def lakeDeletePos(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_ldp_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id"))
+    LakeTable.deletePositions(s, root,
+      LakeTable.withRowCoords(s, root).filter(col("event_id") % 10 === 0))
+    LakeTable.read(s, root, Some(1)).withColumn("snap", lit(1L))
+      .unionByName(LakeTable.read(s, root, Some(2)).withColumn("snap", lit(2L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeDeletePosSql: String =
+    """WITH snaps AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 10 <> 0)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   // --- lake_incremental: the lake as a CDC/STREAM SOURCE — an
   // incremental append scan reads only the rows ADDED by snapshots in
   // (from, to], resolved from manifest sequence numbers with no
@@ -489,7 +523,8 @@ object Lake {
     "lake_evolve" -> lakeEvolve,
     "lake_history" -> lakeHistory,
     "lake_merge_mor" -> lakeMergeMor,
-    "lake_incremental" -> lakeIncremental)
+    "lake_incremental" -> lakeIncremental,
+    "lake_delete_pos" -> lakeDeletePos)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -503,5 +538,6 @@ object Lake {
     "lake_evolve" -> lakeEvolveSql,
     "lake_history" -> lakeHistorySql,
     "lake_merge_mor" -> lakeMergeMorSql,
-    "lake_incremental" -> lakeIncrementalSql)
+    "lake_incremental" -> lakeIncrementalSql,
+    "lake_delete_pos" -> lakeDeletePosSql)
 }

@@ -381,6 +381,38 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("positional delete targets exact rows: one copy of a duplicated key survives") {
+    val root = graft.util.Scratch.dir("graft_lakespec_pd_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(100)
+    // a table with every key DUPLICATED — the case equality deletes
+    // cannot express (they would drop both copies)
+    val doubled = ev.withColumn("copy", lit(0L))
+      .unionByName(ev.withColumn("copy", lit(1L)))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, doubled, cfg, Seq("event_id"))
+    val n = doubled.count()
+    val parentFiles = LakeTable.manifest(root, 1).files.map(_.path).toSet
+    // address ONLY the copy=1 rows of every 5th key
+    val snap = LakeTable.deletePositions(spark, root,
+      LakeTable.withRowCoords(spark, root)
+        .filter(col("event_id") % 5 === 0 && col("copy") === 1L))
+    val m = LakeTable.manifest(root, snap)
+    assert(m.files.map(_.path).toSet === parentFiles, "no data files rewritten")
+    assert(m.deletes.size === 1 && m.deletes.head.kind === "pos")
+    val cur = LakeTable.read(spark, root)
+    val targeted = doubled.filter(col("event_id") % 5 === 0 && col("copy") === 1L).count()
+    assert(cur.count() === n - targeted)
+    // the OTHER copy of every targeted key is still there
+    assert(cur.filter(col("event_id") % 5 === 0 && col("copy") === 0L).count() ===
+      doubled.filter(col("event_id") % 5 === 0 && col("copy") === 0L).count())
+    // pre-delete snapshot intact; coordinates remain addressable
+    assert(LakeTable.read(spark, root, Some(1)).count() === n)
+    assert(!LakeTable.read(spark, root).columns.contains("path"),
+      "coordinate columns must not leak into plain reads")
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("atomic MoR merge: one commit upserts without rewriting old files") {
     val root = graft.util.Scratch.dir("graft_lakespec_mg_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
