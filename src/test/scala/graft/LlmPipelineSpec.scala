@@ -29,6 +29,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n${plan.take(1500)}")
   }
+
+  test("dedup_substring is a posting join: hash-keyed joins only, no cartesian product") {
+    val plan = SparkEntry.queries("dedup_substring")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"substring matching must join on the gram hash, not cross:\n${plan.take(2000)}")
+    // the df-cap prunes postings before the pair join
+    assert(plan.contains("LeftSemi"), s"df-cap semi join missing:\n${plan.take(2000)}")
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
 }
 
 class TextFnsSpec extends AnyFunSuite {
