@@ -237,14 +237,30 @@ object LakeTable {
     val staging = stagingDir(root)
     positions.select(col("path"), col("idx")).coalesce(1)
       .write.mode("errorifexists").parquet(staging)
-    val entries = spark.read.parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val entries = staged
       .groupBy(col("_metadata.file_path").as("path"))
       .agg(count(lit(1)).cast("bigint").as("rows"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // data files the coordinates address (file-count-bounded)
+    val referenced = staged.select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSet
     casLoop(root) { parent =>
       require(parent > 0, s"deletePositions on empty table $root")
       val pm = manifest(root, parent)
+      // Coordinates are PATH-BOUND: if a concurrent rewrite retired
+      // any addressed file by commit time, applying this delete would
+      // silently no-op on the rewritten rows — fail it instead, like
+      // rewrite's own basis validation (the caller re-derives
+      // coordinates against the new head and retries).
+      val live = pm.files.map(_.path).toSet
+      val dangling = referenced -- live
+      if (dangling.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"positional delete addresses ${dangling.size} file(s) no longer " +
+            s"in $root's head snapshot (a rewrite landed); re-derive the " +
+            "coordinates against the current head")
       val snap = parent + 1
       Manifest(snap, parent, pm.files,
         pm.deletes ++ entries.map { case (p, n) =>

@@ -410,6 +410,17 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, root, Some(1)).count() === n)
     assert(!LakeTable.read(spark, root).columns.contains("path"),
       "coordinate columns must not leak into plain reads")
+    // path-bound coordinates must not survive a rewrite: stale
+    // positions fail loudly instead of silently no-oping
+    val stale = LakeTable.withRowCoords(spark, root)
+      .filter(col("event_id") % 5 === 1).collect() // materialize coords
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root), cfg, Seq("event_id"))
+    import spark.implicits._
+    val staleDf = stale.map(r => (r.getAs[String]("path"), r.getAs[Long]("idx")))
+      .toSeq.toDF("path", "idx")
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTable.deletePositions(spark, root, staleDf)
+    }
     graft.util.Scratch.rmNow(root)
   }
 
