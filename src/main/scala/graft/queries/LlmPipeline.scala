@@ -149,6 +149,102 @@ object LlmPipeline {
        |FROM bp
        |ORDER BY doc_id""".stripMargin
 
+  // --- text_gopher: the Gopher document-quality rules (Rae et al.
+  // 2021, "Scaling Language Models", App. A1.1) — the de-facto
+  // standard rule filter every web-scale training corpus applies
+  // before dedup/classification: word-count bounds, mean word
+  // length, symbol-to-word ratio, bullet/ellipsis line ratios,
+  // alphabetic-word fraction, and a mandatory-stopword floor.
+  // Distinct from text_quality's composed score: these are the
+  // named pass/fail gates. Map-side only (zero shuffles); ratios
+  // are integer basis points so both engines agree exactly.
+  private val GOPHER_MIN_WORDS = 40L
+  private val GOPHER_MAX_WORDS = 100000L
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def textGopher(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val nTok1 = greatest(size(ws), lit(1)).cast("bigint")
+    val lines = split(col("text"), "\n")
+    val nLine1 = greatest(size(lines), lit(1)).cast("bigint")
+    val wlenSum = aggregate(ws, lit(0L), (a, w) => a + length(w))
+    val symbols = regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast("bigint")
+    val bullets = size(filter(lines, l => l.rlike("^[-*•]"))).cast("bigint")
+    val ellipses = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("bigint")
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("bigint")
+    val wsLower = transform(ws, w => lower(w))
+    val stopHits = gopherStops
+      .map(sw => when(array_contains(wsLower, sw), 1L).otherwise(lit(0L)))
+      .reduce(_ + _)
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(ws).cast("bigint").as("n_words"),
+        idiv(wlenSum * lit(100L), nTok1).as("avg_wlen_x100"),
+        idiv(symbols * lit(10000L), nTok1).as("symbol_bp"),
+        idiv(bullets * lit(10000L), nLine1).as("bullet_bp"),
+        idiv(ellipses * lit(10000L), nLine1).as("ellipsis_bp"),
+        idiv(alphaWords * lit(10000L), nTok1).as("alpha_word_bp"),
+        stopHits.as("stop_hits"))
+      // per-rule verdicts, not just the conjunction: a filter REPORT
+      // names which gate failed (and on a non-English synthetic
+      // corpus the stopword gate fails everything — the individual
+      // flags are what still discriminates)
+      .withColumn("r_words",
+        col("n_words") >= GOPHER_MIN_WORDS && col("n_words") <= GOPHER_MAX_WORDS)
+      .withColumn("r_wlen",
+        col("avg_wlen_x100") >= 300L && col("avg_wlen_x100") <= 1000L)
+      .withColumn("r_symbol", col("symbol_bp") <= 1000L)
+      .withColumn("r_lines",
+        col("bullet_bp") <= 9000L && col("ellipsis_bp") <= 3000L)
+      .withColumn("r_alpha", col("alpha_word_bp") >= 8000L)
+      .withColumn("r_stop", col("stop_hits") >= 2L)
+      .withColumn("pass",
+        col("r_words") && col("r_wlen") && col("r_symbol") &&
+          col("r_lines") && col("r_alpha") && col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textGopherSql: String = {
+    val stopList = gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wsSql AS ws, string_split(text, chr(10)) AS ls
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(ws) AS n_words,
+       |    greatest(len(ws), 1) AS n_tok1,
+       |    greatest(len(ls), 1) AS n_line1,
+       |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS wlen_sum,
+       |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbols,
+       |    len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS bullets,
+       |    len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS ellipses,
+       |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+       |    len(list_filter($stopList, sw -> list_contains(list_transform(ws, w -> lower(w)), sw))) AS stop_hits
+       |  FROM base
+       |), bp AS (
+       |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |    (wlen_sum * 100) // n_tok1 AS avg_wlen_x100,
+       |    (symbols * 10000) // n_tok1 AS symbol_bp,
+       |    (bullets * 10000) // n_line1 AS bullet_bp,
+       |    (ellipses * 10000) // n_line1 AS ellipsis_bp,
+       |    (alpha_words * 10000) // n_tok1 AS alpha_word_bp,
+       |    CAST(stop_hits AS BIGINT) AS stop_hits
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, avg_wlen_x100, symbol_bp, bullet_bp,
+       |  ellipsis_bp, alpha_word_bp, stop_hits,
+       |  (n_words >= $GOPHER_MIN_WORDS AND n_words <= $GOPHER_MAX_WORDS) AS r_words,
+       |  (avg_wlen_x100 BETWEEN 300 AND 1000) AS r_wlen,
+       |  (symbol_bp <= 1000) AS r_symbol,
+       |  (bullet_bp <= 9000 AND ellipsis_bp <= 3000) AS r_lines,
+       |  (alpha_word_bp >= 8000) AS r_alpha,
+       |  (stop_hits >= 2) AS r_stop,
+       |  (r_words AND r_wlen AND r_symbol AND r_lines AND r_alpha AND r_stop) AS pass
+       |FROM bp
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- text_fingerprint: order-sensitive polynomial rolling hash of
   // the word-hash sequence — a compact document identity for
   // shard-local exact dedup and incremental re-crawl detection.
@@ -1241,6 +1337,70 @@ object LlmPipeline {
        |WHERE rank <= $ANN_K
        |ORDER BY q_id, rank""".stripMargin
 
+  // --- dedup_semantic: SemDedup-style semantic deduplication
+  // (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication") — the embedding-space
+  // analogue of MinHash: cluster the corpus with the TRAINED k-means
+  // codebook (the same integer codebook as kmeans_embed / ann_ivf —
+  // one training pays for three operators), score exact cosines only
+  // WITHIN a cluster (clustering bounds the quadratic to O(Σ n_c²);
+  // at scale K grows with N so n_c stays bounded), and within each
+  // duplicate pair drop the vector CLOSER to its centroid — keeping
+  // the cluster-edge representative, the paper's keep policy.
+  // Scale: codebook broadcast is K rows; the pair join shuffles on
+  // cid only; everything downstream is integer/fold-deterministic.
+  private val SEM_TAU_BP = 3000L
+
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val viBase = e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi"))
+    val cents = graft.util.QueryScratch.cached(
+      Advanced.kmCentroids(viBase, Advanced.KM_K, 1))
+    val asg = Advanced.kmAssign(viBase, cents)
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+    val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
+      col("d2").as("d2_a"), col("v").as("va"))
+    val b = asg.select(col("cid"), col("vec_id").as("vec_b"),
+      col("d2").as("d2_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_bp", VectorFns.cosineBpNative(col("va"), col("vb")))
+      .filter(col("cos_bp") >= SEM_TAU_BP)
+    // the pair's loser — the vector closer to its centroid (smaller
+    // d2; ties → larger vec_id) is the redundant "core" copy
+    val loser = when(col("d2_a") < col("d2_b"), col("vec_a"))
+      .when(col("d2_a") > col("d2_b"), col("vec_b"))
+      .otherwise(greatest(col("vec_a"), col("vec_b")))
+    pairs.select(col("cid"), loser.as("vec_id"), col("cos_bp"))
+      .groupBy(col("cid"), col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cos_bp")).as("max_cos_bp"))
+      .orderBy(col("cid"), col("vec_id"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH n AS ($embBaseSql),
+       |${Advanced.kmCentroidSqlCtes},
+       |dv AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |asg AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dv)
+       |  WHERE rn = 1),
+       |ev AS (SELECT a.vec_id, a.cid, a.d2, n.v, n.nrm FROM asg a JOIN n ON n.vec_id = a.vec_id),
+       |p AS (
+       |  SELECT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b, x.d2 AS d2_a, y.d2 AS d2_b,
+       |    CAST(floor(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM ev x JOIN ev y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |l AS (
+       |  SELECT cid,
+       |    CASE WHEN d2_a < d2_b THEN vec_a
+       |         WHEN d2_a > d2_b THEN vec_b
+       |         ELSE greatest(vec_a, vec_b) END AS vec_id,
+       |    cos_bp
+       |  FROM p WHERE cos_bp >= $SEM_TAU_BP)
+       |SELECT cid, vec_id, COUNT(*) AS n_dups, CAST(MAX(cos_bp) AS BIGINT) AS max_cos_bp
+       |FROM l
+       |GROUP BY cid, vec_id
+       |ORDER BY cid, vec_id""".stripMargin
+
   // --- text_ngram_freq: corpus-level n-gram frequencies, global
   // top-k — corpus statistics for vocabulary/contamination analysis.
   // Posting explode + partial-agg groupBy + TakeOrdered top-k (heap
@@ -1397,6 +1557,7 @@ object LlmPipeline {
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
+    "text_gopher" -> textGopher,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "decontaminate" -> decontaminate,
@@ -1418,6 +1579,7 @@ object LlmPipeline {
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "dedup_semantic" -> dedupSemantic,
     "text_ngram_freq" -> textNgramFreq,
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
@@ -1427,6 +1589,7 @@ object LlmPipeline {
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
+    "text_gopher" -> textGopherSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
@@ -1448,6 +1611,7 @@ object LlmPipeline {
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql,

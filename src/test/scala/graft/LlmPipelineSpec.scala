@@ -142,6 +142,48 @@ class PipelinePlanSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles:\n${p.take(3000)}")
   }
+
+  test("text_gopher is map-side only: zero hash shuffles, pruned scan") {
+    val p = plan("text_gopher")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 0, s"rule filter must not shuffle, got $shuffles:\n${p.take(3000)}")
+    assert(p.contains("ReadSchema") && !p.contains("lang") && !p.contains("source"),
+      s"text_gopher should read only doc_id+text:\n${p.take(2000)}")
+  }
+
+  test("dedup_semantic blocks on clusters: no cartesian pair generation") {
+    val p = plan("dedup_semantic")
+    // the K-row codebook broadcasts (BroadcastNestedLoopJoin is that
+    // broadcast, not an N×N cross); the pair join itself must be
+    // hash-keyed on the cluster id
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must join on cid, not cross:\n${p.take(2000)}")
+  }
+
+  test("dedup_semantic losers genuinely have a near-duplicate partner") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosBp(a: Array[Double], b: Array[Double]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 10000).toLong
+    val res = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val u = r.getAs[Long]("vec_id"); val m = r.getAs[Long]("max_cos_bp")
+      assert(m >= 3000L, s"vec $u reported below threshold: $m")
+      // the cluster partner that achieved max_cos_bp must exist in
+      // the global corpus with exactly that floored cosine
+      val hit = embs.exists { case (v, bv) => v != u && cosBp(embs(u), bv) == m }
+      assert(hit, s"vec $u: no partner with cos_bp == $m exists")
+    }
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
 }
 
 /** The materialized MinHash index artifact: built once, probed by the
