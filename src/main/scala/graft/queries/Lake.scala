@@ -511,8 +511,93 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- lake_format_read: the registered DataSource front door —
+  // `spark.read.format("graft-lake")` with time travel by option and
+  // a filter whose pushdown translates to manifest-stats pruning
+  // (LakeSourceProvider). Semantics must be indistinguishable from
+  // LakeTable.read: snapshot 1 sees only generation 1, the head sees
+  // both, the event_type equality is answered exactly through the
+  // prune-then-refilter path.
+  def lakeFormatRead(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_fmt_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg,
+      Seq("event_id", "user_id", "event_type"))
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 1), cfg,
+      Seq("event_id", "user_id", "event_type"))
+    val s1 = s.read.format("graft-lake").option("snapshot", "1").load(root)
+      .withColumn("snap", lit(1L))
+    val head = s.read.format("graft-lake").load(root)
+      .withColumn("snap", lit(2L))
+    s1.unionByName(head)
+      .filter(col("event_type") === "click")
+      .groupBy(col("snap"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("snap"))
+  }
+
+  val lakeFormatReadSql: String =
+    """WITH u AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_id, event_type, value
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_id, event_type, value FROM events)
+      |SELECT snap, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u
+      |WHERE event_type = 'click'
+      |GROUP BY snap
+      |ORDER BY snap""".stripMargin
+
+  // --- lake_stream_read: the lake as a STREAMING source —
+  // `spark.readStream.format("graft-lake")` tails the commit log
+  // (offset = snapshot id, micro-batch = incrementalRead of the
+  // appended files). Two drain cycles with a commit between them:
+  // the second run must deliver ONLY the new snapshot (the
+  // checkpoint carries the offset), so the sink holds every event
+  // exactly once — n_events == n proves no re-read and no loss.
+  def lakeStreamRead(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_lsr_")
+    val sink = tmp("graft_lsr_sink_")
+    val ckpt = tmp("graft_lsr_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake").load(root)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    drain()
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    drain()
+    s.read.parquet(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeStreamReadSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  COUNT(DISTINCT event_id) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_lake" -> streamLake,
+    "lake_format_read" -> lakeFormatRead,
+    "lake_stream_read" -> lakeStreamRead,
     "snapshot_read" -> snapshotRead,
     "prune_scan" -> pruneScan,
     "lake_compact" -> lakeCompact,
@@ -528,6 +613,8 @@ object Lake {
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
+    "lake_format_read" -> lakeFormatReadSql,
+    "lake_stream_read" -> lakeStreamReadSql,
     "snapshot_read" -> snapshotReadSql,
     "prune_scan" -> pruneScanSql,
     "lake_compact" -> lakeCompactSql,

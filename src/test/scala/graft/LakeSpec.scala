@@ -629,3 +629,84 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 }
+
+/** The registered DataSource: spark.read/readStream.format("graft-lake"). */
+class LakeDataSourceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1024)
+
+  test("format batch read equals LakeTable.read, head and AS OF") {
+    val root = graft.util.Scratch.dir("graft_ds_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg,
+      Seq("event_id", "user_id", "event_type"))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1), cfg,
+      Seq("event_id", "user_id", "event_type"))
+    val head = spark.read.format("graft-lake").load(root)
+    assert(head.count() === ev.count())
+    assert(head.columns.sorted === LakeTable.read(spark, root).columns.sorted)
+    val s1 = spark.read.format("graft-lake").option("snapshot", "1").load(root)
+    assert(s1.count() === ev.filter(col("event_id") % 2 === 0).count())
+    assert(s1.filter(col("event_id") % 2 === 1).count() === 0,
+      "AS OF 1 must not see generation-2 rows")
+    // filters through the format path stay exact (they are re-applied
+    // on rows; pruning only bounds IO)
+    val n = head.filter(col("event_id") >= 100 && col("event_id") < 200
+      && col("event_type") === "click").count()
+    val expect = ev.filter(col("event_id") >= 100 && col("event_id") < 200
+      && col("event_type") === "click").count()
+    assert(n === expect)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("pushed filters translate to manifest pruning bounds") {
+    import org.apache.spark.sql.sources._
+    val (ints, strs, points) = graft.sources.LakeRelation.translateFilters(Seq(
+      GreaterThanOrEqual("event_id", 100L),
+      LessThan("event_id", 200L),
+      And(EqualTo("event_type", "click"), GreaterThan("user_id", 5)),
+      In("lang", Array("en", "de")),
+      IsNotNull("event_id"),                   // unsupported: ignored
+      EqualTo("value", 1.5)))                  // non-int: ignored
+    assert(ints("event_id") === (100L, 200L))  // strict bound relaxes, stays a superset
+    assert(ints("user_id") === (5L, Long.MaxValue))
+    assert(strs("event_type") === ("click", "click"))
+    assert(points("event_type") === Seq("click"))
+    assert(points("lang") === Seq("en", "de"))
+    assert(!ints.contains("value"))
+  }
+
+  test("streaming source tails commits exactly once across restarts") {
+    val root = graft.util.Scratch.dir("graft_dss_")
+    val sink = graft.util.Scratch.dir("graft_dss_sink_")
+    val ckpt = graft.util.Scratch.dir("graft_dss_ck_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val nEven = ev.filter(col("event_id") % 2 === 0).count()
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    drain()
+    assert(spark.read.parquet(sink).count() === nEven,
+      "first drain must deliver exactly snapshot 1")
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    drain()
+    val out = spark.read.parquet(sink)
+    assert(out.count() === ev.count(),
+      "second drain must deliver ONLY snapshot 2 (no re-read, no loss)")
+    assert(out.select(col("event_id")).distinct().count() === ev.count(),
+      "every event exactly once across restarts")
+    // draining again with no new commits delivers nothing
+    drain()
+    assert(spark.read.parquet(sink).count() === ev.count())
+    graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(sink); graft.util.Scratch.rmNow(ckpt)
+  }
+}
