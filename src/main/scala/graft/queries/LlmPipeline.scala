@@ -245,6 +245,98 @@ object LlmPipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- bpe_train: byte-pair-encoding merge learning (Sennrich et
+  // al. 2016) — the tokenizer-training pillar of an LLM data
+  // pipeline, distributed the way every production BPE trainer is:
+  // over the WORD-FREQUENCY VOCABULARY (orders smaller than the
+  // corpus; pair counts weight by word frequency), never the raw
+  // text. Each round: count adjacent symbol pairs (one vocab-scale
+  // shuffle), take the top pair (TakeOrdered, deterministic
+  // count-desc/pair-asc tiebreak), merge it greedily left-to-right
+  // in every word. The merge is a literal string replace over a
+  // delimiter-wrapped symbol sequence (each symbol wrapped in the 0x1F unit separator
+  // on both sides), which makes "replace leftmost non-overlapping"
+  // EXACTLY greedy single-pass BPE — and both engines' replace()
+  // share that semantic, so the oracle replays training verbatim.
+  // The top-pair frame is a 1-row broadcast into the merge (no
+  // driver collect).
+  private val BPE_MERGES = 3
+  private val BPE_SEP = "\u001f"
+
+  /** Wrapped-symbol sequence: every symbol as ␟sym␟, concatenated.
+    * Wrapping each symbol with its OWN delimiters (not shared ones)
+    * keeps adjacent same-pair merges independent: ␟a␟␟a␟␟a␟␟a␟ →
+    * ␟aa␟␟aa␟ in one pass, and a search ␟l␟␟r␟ can never match a
+    * symbol-internal substring.
+    */
+  private def bpeSyms(seq: Column): Column =
+    filter(split(seq, BPE_SEP), x => length(x) > 0)
+
+  private def bpePairs(seqs: DataFrame): DataFrame = {
+    val sy = bpeSyms(col("seq"))
+    val k = greatest(size(sy) - 1, lit(0))
+    seqs.select(col("freq"),
+        explode(zip_with(slice(sy, lit(1), k), slice(sy, lit(2), k),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+  }
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val sep = lit(BPE_SEP)
+    val vocab = t(s, dir, "documents")
+      .select(explode(TextFns.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var cur = graft.util.QueryScratch.cached(vocab.select(
+      array_join(transform(sequence(lit(1), length(col("word"))),
+        i => concat(sep, col("word").substr(i, lit(1)), sep)), "").as("seq"),
+      col("freq")))
+    val tops = (1 to BPE_MERGES).map { k =>
+      val top = graft.util.QueryScratch.cached(
+        bpePairs(cur).orderBy(col("n").desc, col("l"), col("r")).limit(1))
+      cur = graft.util.QueryScratch.cached(cur.crossJoin(broadcast(top))
+        .select(call_function("replace", col("seq"),
+          concat(sep, col("l"), sep, sep, col("r"), sep),
+          concat(sep, col("l"), col("r"), sep)).as("seq"), col("freq")))
+      top.select(lit(k.toLong).as("rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("n"))
+    }
+    tops.reduce(_ unionByName _).orderBy(col("rank"))
+  }
+
+  val bpeTrainSql: String = {
+    def pairs(src: String, p: String, t: String) =
+      s"""$p AS (
+         |  SELECT sym[i] AS l, sym[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT list_filter(string_split(seq, chr(31)), x -> len(x) > 0) AS sym, freq FROM $src),
+         |    LATERAL unnest(generate_series(1, len(sym) - 1)) t(i)
+         |  GROUP BY 1, 2),
+         |$t AS (SELECT l, r, n FROM $p ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+    def merged(src: String, t: String, out: String) =
+      s"""$out AS (
+         |  SELECT replace(seq, chr(31)||$t.l||chr(31)||chr(31)||$t.r||chr(31),
+         |    chr(31)||$t.l||$t.r||chr(31)) AS seq, freq
+         |  FROM $src, $t)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT word, COUNT(*) AS freq
+       |  FROM (SELECT unnest($wsSql) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS (
+       |  SELECT array_to_string(list_transform(generate_series(1, length(word)),
+       |    i -> chr(31) || word[i] || chr(31)), '') AS seq, freq
+       |  FROM v),
+       |${pairs("s0", "p1", "t1")},
+       |${merged("s0", "t1", "s1")},
+       |${pairs("s1", "p2", "t2")},
+       |${merged("s1", "t2", "s2")},
+       |${pairs("s2", "p3", "t3")}
+       |SELECT rank, l, r, l || r AS merged, n FROM (
+       |  SELECT CAST(1 AS BIGINT) AS rank, l, r, n FROM t1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), l, r, n FROM t2
+       |  UNION ALL SELECT CAST(3 AS BIGINT), l, r, n FROM t3)
+       |ORDER BY rank""".stripMargin
+  }
+
   // --- text_fingerprint: order-sensitive polynomial rolling hash of
   // the word-hash sequence — a compact document identity for
   // shard-local exact dedup and incremental re-crawl detection.
@@ -1558,6 +1650,7 @@ object LlmPipeline {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,
+    "bpe_train" -> bpeTrain,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "decontaminate" -> decontaminate,
@@ -1590,6 +1683,7 @@ object LlmPipeline {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_gopher" -> textGopherSql,
+    "bpe_train" -> bpeTrainSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,

@@ -160,6 +160,26 @@ class PipelinePlanSpec extends AnyFunSuite {
       s"pair generation must join on cid, not cross:\n${p.take(2000)}")
   }
 
+  test("bpe_train learns BPE invariants: concat merges, monotone counts, no pair twice") {
+    val res = SparkEntry.queries("bpe_train")(spark, sf).collect()
+    assert(res.length === 3)
+    assert(res.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    res.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("l") + r.getAs[String]("r"))
+      assert(r.getAs[Long]("n") > 0L)
+    }
+    // a merge removes every occurrence of its pair and any pair it
+    // creates counts no more than the pair it replaced — so the top
+    // count never increases across rounds, and no pair tops twice
+    val ns = res.map(_.getAs[Long]("n")).toSeq
+    assert(ns === ns.sorted.reverse, s"counts must be non-increasing: $ns")
+    val pairs = res.map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSet
+    assert(pairs.size === 3, s"a merged-away pair re-topped: $pairs")
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
+
   test("dedup_semantic losers genuinely have a near-duplicate partner") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
