@@ -199,6 +199,10 @@ object LakeTable {
   def merge(spark: SparkSession, root: String, keyCol: String,
       updates: DataFrame, cfg: BlockWriter.Config,
       statCols: Seq[String]): Int = {
+    val reservedM = updates.schema.fieldNames.filter(n => n == CoordPath || n == CoordIdx)
+    require(reservedM.isEmpty,
+      s"table columns ${reservedM.mkString(", ")} collide with the reserved " +
+        "row-coordinate names; rename them before committing")
     val dataStaging = stagingDir(root)
     BlockWriter.writeFlat(updates, dataStaging, cfg)
     val entries = scanStats(spark, dataStaging, updates, statCols)
@@ -225,17 +229,17 @@ object LakeTable {
   }
 
   /** POSITIONAL merge-on-read DELETE (Iceberg v2's second delete
-    * mode): `positions` is a (path, idx) frame of row coordinates —
-    * obtain it by filtering a [[withRowCoords]] read. Row-targeted,
-    * so it deletes exactly the addressed rows: one copy of a
-    * duplicated key survives where an equality delete would drop
-    * every copy. Commits only the (small) coordinate file; no data
-    * files are written or rewritten.
+    * mode): `positions` is a ([[CoordPath]], [[CoordIdx]]) frame of
+    * row coordinates — obtain it by filtering a [[withRowCoords]]
+    * read. Row-targeted, so it deletes exactly the addressed rows:
+    * one copy of a duplicated key survives where an equality delete
+    * would drop every copy. Commits only the (small) coordinate file;
+    * no data files are written or rewritten.
     */
   def deletePositions(spark: SparkSession, root: String,
       positions: DataFrame): Int = {
     val staging = stagingDir(root)
-    positions.select(col("path"), col("idx")).coalesce(1)
+    positions.select(col(CoordPath), col(CoordIdx)).coalesce(1)
       .write.mode("errorifexists").parquet(staging)
     val staged = spark.read.parquet(staging)
     val entries = staged
@@ -244,7 +248,7 @@ object LakeTable {
       .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
     // data files the coordinates address (file-count-bounded)
-    val referenced = staged.select(col("path")).distinct()
+    val referenced = staged.select(col(CoordPath)).distinct()
       .collect().map(_.getString(0)).toSet
     casLoop(root) { parent =>
       require(parent > 0, s"deletePositions on empty table $root")
@@ -269,8 +273,17 @@ object LakeTable {
     }
   }
 
-  /** A read decorated with each row's (path, idx) delete coordinates
-    * — the address space [[deletePositions]] consumes.
+  /** Reserved coordinate-column names. Underscore-prefixed so a table
+    * whose OWN schema has `path`/`idx` columns is never silently
+    * overwritten by the delete plumbing; commit-time schema
+    * enforcement rejects tables that try to claim them.
+    */
+  val CoordPath = "_graft_file_path"
+  val CoordIdx = "_graft_row_idx"
+
+  /** A read decorated with each row's ([[CoordPath]], [[CoordIdx]])
+    * delete coordinates — the address space [[deletePositions]]
+    * consumes.
     */
   def withRowCoords(spark: SparkSession, root: String,
       asOf: Option[Int] = None): DataFrame = {
@@ -291,6 +304,10 @@ object LakeTable {
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean, replace: Boolean, note: String,
       basis: Option[Int] = None, bloomCols: Seq[String] = Nil): Int = {
+    val reserved = df.schema.fieldNames.filter(n => n == CoordPath || n == CoordIdx)
+    require(reserved.isEmpty,
+      s"table columns ${reserved.mkString(", ")} collide with the reserved " +
+        "row-coordinate names; rename them before committing")
     val staging = stagingDir(root)
     BlockWriter.writeFlat(df, staging, cfg, rangeCluster)
     val entries = scanStats(spark, staging, df, statCols, bloomCols)
@@ -521,8 +538,15 @@ object LakeTable {
       s"incremental range ($fromSnap, $toSnap] out of [0, $head]")
     val m = manifest(root, toSnap)
     val added = m.files.filter(f => f.seq > fromSnap && f.seq <= toSnap)
-    if (added.isEmpty) spark.emptyDataFrame
-    else readFiles(spark, m.copy(deletes = Nil), added)
+    if (added.isEmpty) {
+      // a delete-only / metadata-only range still needs the TABLE
+      // schema — a schema-less emptyDataFrame would blow up a stream
+      // consumer's select() over it
+      val schema =
+        if (m.schemaJson.nonEmpty) DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        else readFiles(spark, m, m.files).schema
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else readFiles(spark, m.copy(deletes = Nil), added)
   }
 
   /** Time-based retention: expire every snapshot whose commit time is
@@ -531,7 +555,11 @@ object LakeTable {
     */
   def expireOlderThan(root: String, cutoffMs: Long): Int = {
     val head = currentSnapshot(root)
+    // a prior expiry already removed manifests below its keepFrom —
+    // walk only the manifests that still exist, or the second
+    // retention run dies on NoSuchFileException
     val keepFrom = (1 to head)
+      .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
       .find(i => manifest(root, i).tsMs > cutoffMs)
       .getOrElse(head)
     if (keepFrom <= 1) 0 else expire(root, keepFrom)
@@ -569,10 +597,10 @@ object LakeTable {
     def rdc(paths: Seq[String]): DataFrame =
       if (!needCoords) rd(paths)
       else rd(paths)
-        .withColumn("path", col("_metadata.file_path"))
-        .withColumn("idx", col("_metadata.row_index"))
+        .withColumn(CoordPath, col("_metadata.file_path"))
+        .withColumn(CoordIdx, col("_metadata.row_index"))
     def strip(d: DataFrame): DataFrame =
-      if (needCoords && !coords) d.drop("path", "idx") else d
+      if (needCoords && !coords) d.drop(CoordPath, CoordIdx) else d
     if (m.deletes.isEmpty)
       strip(rdc(files.map(_.path)))
     else {
@@ -594,8 +622,8 @@ object LakeTable {
           strip(if (posDels.isEmpty) afterEq
           else afterEq.join(
             broadcast(spark.read.parquet(posDels.map(_.path): _*)
-              .select(col("path"), col("idx")).distinct()),
-            Seq("path", "idx"), "left_anti"))
+              .select(col(CoordPath), col(CoordIdx)).distinct()),
+            Seq(CoordPath, CoordIdx), "left_anti"))
         }.reduce(_ unionByName _)
     }
   }
@@ -665,15 +693,19 @@ object LakeTable {
     require(keepFrom >= 1 && keepFrom <= head, s"keepFrom $keepFrom out of [1, $head]")
     def paths(m: Manifest): Seq[String] =
       m.files.map(_.path) ++ m.deletes.map(_.path)
+    // manifests below an earlier expiry's keepFrom are already gone —
+    // only the surviving ones contribute expired paths
+    val gone = (1 until keepFrom)
+      .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
     val keep = (keepFrom to head).flatMap(i => paths(manifest(root, i))).toSet
-    val expired = (1 until keepFrom).flatMap(i => paths(manifest(root, i))).toSet
+    val expired = gone.flatMap(i => paths(manifest(root, i))).toSet
     val orphans = expired -- keep
     orphans.foreach { p =>
       Files.deleteIfExists(Paths.get(new java.net.URI(p).getPath)): Unit
     }
     // metadata parts referenced only by expired manifests go with them
     val keptParts = (keepFrom to head).flatMap(i => rawParts(root, i)).toSet
-    ((1 until keepFrom).flatMap(i => rawParts(root, i)).toSet -- keptParts)
+    (gone.flatMap(i => rawParts(root, i)).toSet -- keptParts)
       .foreach(p => Files.deleteIfExists(Paths.get(p)): Unit)
     (1 until keepFrom).foreach { i =>
       Files.deleteIfExists(Paths.get(root, "meta", s"manifest-$i.json")): Unit

@@ -416,11 +416,65 @@ class LakeSpec extends AnyFunSuite {
       .filter(col("event_id") % 5 === 1).collect() // materialize coords
     LakeTable.rewrite(spark, root, LakeTable.read(spark, root), cfg, Seq("event_id"))
     import spark.implicits._
-    val staleDf = stale.map(r => (r.getAs[String]("path"), r.getAs[Long]("idx")))
-      .toSeq.toDF("path", "idx")
+    val staleDf = stale.map(r => (r.getAs[String](LakeTable.CoordPath),
+        r.getAs[Long](LakeTable.CoordIdx)))
+      .toSeq.toDF(LakeTable.CoordPath, LakeTable.CoordIdx)
     intercept[java.util.ConcurrentModificationException] {
       LakeTable.deletePositions(spark, root, staleDf)
     }
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("tables owning 'path'/'idx' columns survive positional deletes; reserved names rejected") {
+    val root = graft.util.Scratch.dir("graft_lakespec_pc_")
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"p$i", i * 2)).toDF("event_id", "path", "idx")
+    val cfg = BlockWriter.Config("event_id", "event_id", maxRecordsPerFile = 16)
+    LakeTable.commit(spark, root, df, cfg, Seq("event_id"))
+    LakeTable.deletePositions(spark, root,
+      LakeTable.withRowCoords(spark, root).filter(col("event_id") % 5 === 0))
+    val cur = LakeTable.read(spark, root)
+    assert(cur.columns.toSeq === Seq("event_id", "path", "idx"),
+      "user columns named path/idx must pass through untouched")
+    assert(cur.count() === 40)
+    // the user's own path values are intact, not overwritten by file paths
+    assert(cur.filter(col("path") ===
+      concat(lit("p"), col("event_id").cast("string"))).count() === 40)
+    intercept[IllegalArgumentException] {
+      LakeTable.commit(spark, graft.util.Scratch.dir("graft_lakespec_pc2_"),
+        df.withColumnRenamed("path", LakeTable.CoordPath), cfg, Seq("event_id"))
+    }
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("delete-only commits in a tailed range yield an EMPTY typed frame, not a schema-less one") {
+    val root = graft.util.Scratch.dir("graft_lakespec_inc0_")
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, i % 4)).toDF("event_id", "k")
+    val cfg = BlockWriter.Config("k", "event_id", maxRecordsPerFile = 16)
+    LakeTable.commit(spark, root, df, cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, root, "event_id", df.filter(col("event_id") <= 5))
+    // range (1, 2] added no data files — only a delete
+    val inc = LakeTable.incrementalRead(spark, root, 1, 2)
+    assert(inc.schema.fieldNames.toSeq === Seq("event_id", "k"),
+      "empty incremental batch must carry the table schema")
+    assert(inc.select(col("event_id")).count() === 0)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("time-based retention survives repeated invocation after manifests are expired") {
+    val root = graft.util.Scratch.dir("graft_lakespec_exp2_")
+    import spark.implicits._
+    val cfg = BlockWriter.Config("k", "event_id", maxRecordsPerFile = 16)
+    (1 to 3).foreach { g =>
+      LakeTable.commit(spark, root,
+        Seq((g.toLong, g.toLong)).toDF("event_id", "k"), cfg, Seq("event_id"))
+    }
+    val cutoff = LakeTable.manifest(root, 2).tsMs
+    assert(LakeTable.expireOlderThan(root, cutoff) >= 0)
+    // manifests 1..2 are gone now; a second retention run must not throw
+    assert(LakeTable.expireOlderThan(root, System.currentTimeMillis()) >= 0)
+    assert(LakeTable.read(spark, root).count() === 3)
     graft.util.Scratch.rmNow(root)
   }
 
