@@ -35,7 +35,8 @@ import graft.writer.BlockWriter
   *    two concurrent appenders both land, in some serial order.
   *  - '''Merge-on-read DELETE''': a delete commit adds an equality-
   *    delete file (key values) to the manifest and rewrites NOTHING —
-  *    readers anti-join the (small, broadcast) delete keys against
+  *    readers anti-join the delete keys (broadcast when the manifest
+  *    says they're small, shuffle anti-join for bulk deletes) against
   *    data files committed before the delete (sequence-number
   *    ordering, the Iceberg v2 rule). At 100 TB this is the
   *    difference between a metadata-sized DELETE and a full rewrite;
@@ -168,16 +169,8 @@ object LakeTable {
     */
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
       keys: DataFrame): Int = {
-    val staging = stagingDir(root)
-    // delete keys are small by design (a DELETE's predicate result,
-    // not a table) — a handful of files regardless of cluster size.
-    keys.select(col(keyCol)).distinct().coalesce(1)
-      .write.mode("errorifexists").parquet(staging)
-    val entries = spark.read.parquet(staging)
-      .groupBy(col("_metadata.file_path").as("path"))
-      .agg(count(lit(1)).cast("bigint").as("rows"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val (_, entries) = stageDeleteFrame(spark, root,
+      keys.select(col(keyCol)).distinct())
     casLoop(root) { parent =>
       val pm = if (parent > 0) Some(manifest(root, parent)) else None
       require(pm.nonEmpty, s"deleteWhere on empty table $root")
@@ -206,14 +199,8 @@ object LakeTable {
     val dataStaging = stagingDir(root)
     BlockWriter.writeFlat(updates, dataStaging, cfg)
     val entries = scanStats(spark, dataStaging, updates, statCols)
-    val delStaging = stagingDir(root)
-    updates.select(col(keyCol)).distinct().coalesce(1)
-      .write.mode("errorifexists").parquet(delStaging)
-    val delEntries = spark.read.parquet(delStaging)
-      .groupBy(col("_metadata.file_path").as("path"))
-      .agg(count(lit(1)).cast("bigint").as("rows"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val (_, delEntries) = stageDeleteFrame(spark, root,
+      updates.select(col(keyCol)).distinct())
     casLoop(root) { parent =>
       require(parent > 0, s"merge into empty table $root")
       val pm = manifest(root, parent)
@@ -238,18 +225,11 @@ object LakeTable {
     */
   def deletePositions(spark: SparkSession, root: String,
       positions: DataFrame): Int = {
-    val staging = stagingDir(root)
-    positions.select(col(CoordPath), col(CoordIdx)).coalesce(1)
-      .write.mode("errorifexists").parquet(staging)
-    val staged = spark.read.parquet(staging)
-    val entries = staged
-      .groupBy(col("_metadata.file_path").as("path"))
-      .agg(count(lit(1)).cast("bigint").as("rows"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val (staging, entries) = stageDeleteFrame(spark, root,
+      positions.select(col(CoordPath), col(CoordIdx)))
     // data files the coordinates address (file-count-bounded)
-    val referenced = staged.select(col(CoordPath)).distinct()
-      .collect().map(_.getString(0)).toSet
+    val referenced = spark.read.parquet(staging).select(col(CoordPath))
+      .distinct().collect().map(_.getString(0)).toSet
     casLoop(root) { parent =>
       require(parent > 0, s"deletePositions on empty table $root")
       val pm = manifest(root, parent)
@@ -289,6 +269,52 @@ object LakeTable {
       asOf: Option[Int] = None): DataFrame = {
     val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
     readFiles(spark, m, m.files, coords = true)
+  }
+
+  /** Delete payloads past this many rows per file fan out across
+    * tasks instead of funneling through one writer — a bulk DELETE
+    * (1% of 100 TB is ~1 B keys) must parallelize like any other
+    * write, while a takedown-sized one stays a single tiny file.
+    */
+  val DeleteFileRowsKey = "spark.graft.lake.deleteFileRows"
+  private val DefaultDeleteFileRows = 1L << 21
+
+  /** Read-side strategy pivot: delete files whose recorded row count
+    * (summed per applicable group) exceeds this are anti-joined with
+    * a SHUFFLE join instead of a broadcast — the manifest already
+    * knows the size, so a bulk delete never OOMs the driver/executors
+    * on a forced broadcast.
+    */
+  val BroadcastDeleteRowsKey = "spark.graft.lake.broadcastDeleteRows"
+  private val DefaultBroadcastDeleteRows = 4L << 20
+
+  private def confLong(spark: SparkSession, key: String, dflt: Long): Long =
+    spark.conf.getOption(key).map(_.trim.toLong).getOrElse(dflt)
+
+  /** Stage a delete-payload frame (equality keys or positional
+    * coordinates) and report its per-file row counts. The write fans
+    * out to ⌈rows / deleteFileRows⌉ tasks (capped at the session's
+    * shuffle parallelism); the payload is persisted across the
+    * count + write pair so the dedup shuffle runs once.
+    */
+  private def stageDeleteFrame(spark: SparkSession, root: String,
+      payload: DataFrame): (String, Seq[(String, Long)]) = {
+    val staging = stagingDir(root)
+    val fileRows = confLong(spark, DeleteFileRowsKey, DefaultDeleteFileRows)
+    val p = payload.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = p.count()
+      val parts = math.max(1L, math.min(
+        spark.sessionState.conf.numShufflePartitions.toLong,
+        (n + fileRows - 1) / fileRows)).toInt
+      p.coalesce(parts).write.mode("errorifexists").parquet(staging)
+    } finally p.unpersist()
+    val entries = spark.read.parquet(staging)
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(count(lit(1)).cast("bigint").as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    (staging, entries)
   }
 
   private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -604,9 +630,17 @@ object LakeTable {
     if (m.deletes.isEmpty)
       strip(rdc(files.map(_.path)))
     else {
+      // Anti-join side strategy: the manifest records every delete
+      // file's row count, so the plan picks broadcast for
+      // takedown-sized deletes and a shuffle anti-join for bulk ones
+      // — a 1%-of-100-TB delete must never ride a broadcast.
+      val bcastRows = confLong(spark, BroadcastDeleteRowsKey,
+        DefaultBroadcastDeleteRows)
+      def hinted(keys: DataFrame, rows: Long): DataFrame =
+        if (rows <= bcastRows) broadcast(keys) else keys
       // Group data files by the set of deletes that apply (in
       // practice: by data seq) — each group is one scan with its
-      // broadcast anti-joins; commits are few, so the union is short.
+      // anti-joins; commits are few, so the union is short.
       files.groupBy(f => m.deletes.filter(_.seq > f.seq).map(_.path))
         .toSeq.sortBy(_._2.head.path)
         .map { case (_, fs) =>
@@ -615,14 +649,16 @@ object LakeTable {
           val afterEq = eqDels.groupBy(_.keyCol).toSeq.sortBy(_._1)
             .foldLeft(rdc(fs.map(_.path))) {
               case (d, (kc, entries)) =>
-                d.join(broadcast(spark.read.parquet(entries.map(_.path): _*)
-                  .select(col(kc)).distinct()), Seq(kc), "left_anti")
+                d.join(hinted(spark.read.parquet(entries.map(_.path): _*)
+                  .select(col(kc)).distinct(), entries.map(_.rows).sum),
+                  Seq(kc), "left_anti")
             }
           // positional masks anti-join on the row coordinates
           strip(if (posDels.isEmpty) afterEq
           else afterEq.join(
-            broadcast(spark.read.parquet(posDels.map(_.path): _*)
-              .select(col(CoordPath), col(CoordIdx)).distinct()),
+            hinted(spark.read.parquet(posDels.map(_.path): _*)
+              .select(col(CoordPath), col(CoordIdx)).distinct(),
+              posDels.map(_.rows).sum),
             Seq(CoordPath, CoordIdx), "left_anti"))
         }.reduce(_ unionByName _)
     }

@@ -225,6 +225,51 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- lake_delete_bulk: BULK merge-on-read delete — the scale path
+  // of lake_delete_mor. A takedown-sized delete broadcasts its keys;
+  // a bulk DELETE (here 75% of the table; 1% of 100 TB in
+  // production) must not: the write fans the key files out across
+  // tasks (no single-writer funnel) and the read side picks a SHUFFLE
+  // anti-join because the manifest's recorded delete rows exceed the
+  // broadcast budget — LakeSpec pins both plan shapes. Thresholds are
+  // forced down here so sf-scale data exercises the exact plan a
+  // 100-TB delete takes; they are restored before returning (the
+  // strategy is baked into the DataFrame at construction).
+  def lakeDeleteBulk(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_ldb_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id"))
+    val prevFile = s.conf.getOption(LakeTable.DeleteFileRowsKey)
+    val prevBc = s.conf.getOption(LakeTable.BroadcastDeleteRowsKey)
+    s.conf.set(LakeTable.DeleteFileRowsKey, "2048")
+    s.conf.set(LakeTable.BroadcastDeleteRowsKey, "0")
+    try {
+      LakeTable.deleteWhere(s, root, "event_id",
+        ev.filter(col("event_id") % 4 =!= 3))
+      LakeTable.read(s, root, Some(2))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    } finally {
+      prevFile.fold(s.conf.unset(LakeTable.DeleteFileRowsKey))(
+        v => s.conf.set(LakeTable.DeleteFileRowsKey, v))
+      prevBc.fold(s.conf.unset(LakeTable.BroadcastDeleteRowsKey))(
+        v => s.conf.set(LakeTable.BroadcastDeleteRowsKey, v))
+    }
+  }
+
+  val lakeDeleteBulkSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events
+      |WHERE event_id % 4 = 3
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- prune_scan_str: stats pruning on a NON-INTEGER predicate —
   // the manifest tracks string min/max (event_type) alongside
   // timestamp micros, and an equality predicate on the clustering
@@ -609,7 +654,8 @@ object Lake {
     "lake_history" -> lakeHistory,
     "lake_merge_mor" -> lakeMergeMor,
     "lake_incremental" -> lakeIncremental,
-    "lake_delete_pos" -> lakeDeletePos)
+    "lake_delete_pos" -> lakeDeletePos,
+    "lake_delete_bulk" -> lakeDeleteBulk)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -626,5 +672,6 @@ object Lake {
     "lake_history" -> lakeHistorySql,
     "lake_merge_mor" -> lakeMergeMorSql,
     "lake_incremental" -> lakeIncrementalSql,
-    "lake_delete_pos" -> lakeDeletePosSql)
+    "lake_delete_pos" -> lakeDeletePosSql,
+    "lake_delete_bulk" -> lakeDeleteBulkSql)
 }

@@ -425,6 +425,51 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("bulk MoR delete: fanned-out delete files and a shuffle anti-join read plan") {
+    val root = graft.util.Scratch.dir("graft_lakespec_ldb_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(LakeTable.DeleteFileRowsKey, "128")
+    spark.conf.set(LakeTable.BroadcastDeleteRowsKey, "0")
+    // disable size-based auto-broadcast so the plan shows exactly what
+    // the manifest-driven hint decided
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      LakeTable.deleteWhere(spark, root, "event_id",
+        ev.filter(col("event_id") % 4 =!= 3))
+      val m = LakeTable.manifest(root, 2)
+      assert(m.files.map(_.path).toSet ===
+        LakeTable.manifest(root, 1).files.map(_.path).toSet,
+        "MoR: no data files rewritten")
+      assert(m.deletes.size > 1,
+        s"bulk delete keys fanned out across files, got ${m.deletes.size}")
+      // bulk: recorded delete rows exceed the broadcast budget → no
+      // broadcast hint → shuffle anti-join
+      val bulkPlan = LakeTable.read(spark, root).queryExecution.sparkPlan.toString
+      assert(!bulkPlan.contains("BroadcastHashJoin"),
+        s"bulk delete must not broadcast:\n$bulkPlan")
+      assert(bulkPlan.contains("SortMergeJoin") || bulkPlan.contains("ShuffledHashJoin"),
+        s"expected a shuffle anti-join:\n$bulkPlan")
+      // takedown-sized budget: same table, hint flips to broadcast
+      // even with size-based auto-broadcast off
+      spark.conf.unset(LakeTable.BroadcastDeleteRowsKey)
+      val smallPlan = LakeTable.read(spark, root).queryExecution.sparkPlan.toString
+      assert(smallPlan.contains("BroadcastHashJoin"),
+        s"manifest-sized delete under budget must broadcast:\n$smallPlan")
+      // correctness is identical either way
+      assert(LakeTable.read(spark, root).count() ===
+        ev.filter(col("event_id") % 4 === 3).count())
+    } finally {
+      spark.conf.unset(LakeTable.DeleteFileRowsKey)
+      spark.conf.unset(LakeTable.BroadcastDeleteRowsKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("tables owning 'path'/'idx' columns survive positional deletes; reserved names rejected") {
     val root = graft.util.Scratch.dir("graft_lakespec_pc_")
     import spark.implicits._
