@@ -462,11 +462,15 @@ object LlmPipeline {
   // a posexplode — no shuffle until the caller needs one.
   private val CHUNK_TOKENS = 64
 
-  /** Per-doc fixed-size chunks of any (doc_id, text) frame. */
+  /** Per-doc fixed-size chunks of any (doc_id, text) frame — or of a
+    * frame already carrying a `__ws` token array (an upstream stage
+    * that tokenized for its own purposes passes it through instead of
+    * paying the split twice).
+    */
   private def chunksOf(docs: DataFrame): DataFrame = {
     val nChunks = ceil(size(col("__ws")) / lit(CHUNK_TOKENS.toDouble)).cast("int")
-    docs
-      .withColumn("__ws", TextFns.words(col("text")))
+    (if (docs.columns.contains("__ws")) docs
+     else docs.withColumn("__ws", TextFns.words(col("text"))))
       .filter(size(col("__ws")) >= 1)
       .withColumn("__chunks", transform(sequence(lit(0), nChunks - 1),
         i => slice(col("__ws"), i * lit(CHUNK_TOKENS) + lit(1), lit(CHUNK_TOKENS))))
@@ -1131,8 +1135,22 @@ object LlmPipeline {
 
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // quality gate (same integer-bp formula as text_quality)
-    val ws = TextFns.words(col("text"))
+    // stratified sample predicate (fresh salt vs sample_stratified).
+    // Evaluated FIRST: one hash per row is an order of magnitude
+    // cheaper than the quality gate's regex/tokenize passes, and the
+    // per-language rates drop most rows — the gate then only pays for
+    // sample survivors. Independent per-row predicates commute, so
+    // the result is unchanged.
+    val bucket = TextFns.hash60(concat(lit("e2e|"), col("text"))) % 100
+    val rate = sampleRates.foldLeft(lit(0)) { case (c, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(c)
+    }
+    // quality gate (same integer-bp formula as text_quality) over the
+    // shared tokenization `__ws`, which [[chunksOf]] reuses — the
+    // whitespace tokenizer runs once per surviving doc, not twice
+    val sampled = docs.filter(bucket < rate)
+      .withColumn("__ws", TextFns.words(col("text")))
+    val ws = col("__ws")
     val nTok = greatest(size(ws), lit(1)).cast("bigint")
     val nChar = greatest(length(col("text")), lit(1)).cast("bigint")
     val punctBp = idiv(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("bigint") * lit(10000L), nChar)
@@ -1141,17 +1159,11 @@ object LlmPipeline {
     val lenBp = least(lit(10000L), size(ws).cast("bigint") * lit(100L))
     val qualityBp = idiv(lit(3L) * alphaBp + lit(3L) * (lit(10000L) - punctBp)
       + lit(2L) * lenBp + lit(2L) * stopBp, lit(10L))
-    // stratified sample predicate (fresh salt vs sample_stratified)
-    val bucket = TextFns.hash60(concat(lit("e2e|"), col("text"))) % 100
-    val rate = sampleRates.foldLeft(lit(0)) { case (c, (l, r)) =>
-      when(col("lang") === l, lit(r)).otherwise(c)
-    }
     val drops = minhashPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
-    val kept = docs
+    val kept = sampled
       .filter(qualityBp >= E2E_QUALITY_MIN)
       .join(drops, Seq("doc_id"), "left_anti")
-      .filter(bucket < rate)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("__ws"))
     packedOf(chunksOf(kept).select(col("doc_id"), col("chunk_idx"), col("n_tok")))
       .groupBy(col("shard"))
       .agg(countDistinct(col("pack_id")).as("n_packs"),
