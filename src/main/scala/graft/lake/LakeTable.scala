@@ -160,6 +160,25 @@ object LakeTable {
     writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
       replace = true, note = "", basis = basis)
 
+  /** MoR-DEBT COMPACTION: fold every accumulated delete file back
+    * into the data files. Reads the current delete-applied view and
+    * commits it as a [[rewrite]] — the new snapshot's manifest lists
+    * only the rewritten files and carries NO delete entries, so
+    * subsequent reads are mask-free scans again. Basis-validated:
+    * a concurrent append landing mid-compaction fails the commit
+    * rather than being silently dropped. This is the maintenance
+    * counterweight to [[deleteWhere]]/[[merge]]/[[deletePositions]]:
+    * MoR keeps each DELETE metadata-sized; periodic folding bounds
+    * the anti-join debt readers pay. Returns the new snapshot id.
+    */
+  def foldDeletes(spark: SparkSession, root: String,
+      cfg: BlockWriter.Config, statCols: Seq[String],
+      rangeCluster: Boolean = false): Int = {
+    val head = currentSnapshot(root)
+    rewrite(spark, root, read(spark, root, Some(head)), cfg, statCols,
+      rangeCluster, basis = Some(head))
+  }
+
   /** Merge-on-read DELETE: commit `keys` (one column, the equality
     * key) as a delete file — NO data files are written or rewritten.
     * Readers of this and later snapshots anti-join the keys against

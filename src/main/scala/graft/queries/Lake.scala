@@ -270,6 +270,49 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- lake_rewrite: MoR-DEBT COMPACTION — the maintenance sweep
+  // that pays down merge-on-read deletes. Snapshot 2 carries an
+  // equality-delete mask (metadata-sized DELETE); foldDeletes then
+  // rewrites the delete-applied view as snapshot 3, whose manifest
+  // lists only fresh data files and NO delete entries — readers are
+  // back to mask-free scans. The query reads BOTH snapshots (they
+  // must agree exactly: mask-fold equivalence) joined with the
+  // history metadata showing the delete debt retire (1 delete file /
+  // k keys at snap 2 → 0 / 0 at snap 3). At 100 TB this bounds the
+  // anti-join work readers pay between compactions.
+  def lakeRewrite(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_lrw_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id"))
+    LakeTable.deleteWhere(s, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.foldDeletes(s, root, cfg, Seq("event_id"))
+    val content = LakeTable.read(s, root, Some(2)).withColumn("snap", lit(2L))
+      .unionByName(LakeTable.read(s, root, Some(3)).withColumn("snap", lit(3L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+    val meta = LakeTable.history(s, root)
+      .select(col("snap"), col("n_delete_files"), col("n_delete_keys"))
+    content.join(broadcast(meta), Seq("snap"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeRewriteSql: String =
+    """WITH live AS (SELECT event_type, value FROM events WHERE event_id % 10 <> 0),
+      |dk AS (SELECT COUNT(DISTINCT event_id) AS k FROM events WHERE event_id % 10 = 0),
+      |snaps AS (
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_type, value FROM live
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT) AS snap, event_type, value FROM live)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  CASE WHEN snap = 2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_delete_files,
+      |  CASE WHEN snap = 2 THEN dk.k ELSE CAST(0 AS BIGINT) END AS n_delete_keys
+      |FROM snaps, dk
+      |GROUP BY snap, event_type, dk.k
+      |ORDER BY snap, event_type""".stripMargin
+
   // --- prune_scan_str: stats pruning on a NON-INTEGER predicate —
   // the manifest tracks string min/max (event_type) alongside
   // timestamp micros, and an equality predicate on the clustering
@@ -655,7 +698,8 @@ object Lake {
     "lake_merge_mor" -> lakeMergeMor,
     "lake_incremental" -> lakeIncremental,
     "lake_delete_pos" -> lakeDeletePos,
-    "lake_delete_bulk" -> lakeDeleteBulk)
+    "lake_delete_bulk" -> lakeDeleteBulk,
+    "lake_rewrite" -> lakeRewrite)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -673,5 +717,6 @@ object Lake {
     "lake_merge_mor" -> lakeMergeMorSql,
     "lake_incremental" -> lakeIncrementalSql,
     "lake_delete_pos" -> lakeDeletePosSql,
-    "lake_delete_bulk" -> lakeDeleteBulkSql)
+    "lake_delete_bulk" -> lakeDeleteBulkSql,
+    "lake_rewrite" -> lakeRewriteSql)
 }

@@ -259,9 +259,17 @@ object LlmPipeline {
   // EXACTLY greedy single-pass BPE — and both engines' replace()
   // share that semantic, so the oracle replays training verbatim.
   // The top-pair frame is a 1-row broadcast into the merge (no
-  // driver collect).
-  private val BPE_MERGES = 3
-  private val BPE_SEP = "\u001f"
+  // driver collect). A real tokenizer run is tens of thousands of
+  // rounds, so the loop is production-shaped: every BPE_CKPT rounds
+  // the vocab frame is CHECKPOINTED (reliable checkpoint to the
+  // session's checkpoint dir — a DFS path on a cluster), truncating
+  // lineage so round N's plan never embeds rounds 1..N-1; without
+  // this, plan depth grows linearly with rounds and analysis /
+  // task-serialization cost quadratically. LlmPipelineSpec pins the
+  // bounded-lineage law.
+  private[graft] val BPE_MERGES = 32
+  private[graft] val BPE_CKPT = 8
+  private[graft] val BPE_SEP = "\u001f"
 
   /** Wrapped-symbol sequence: every symbol as ␟sym␟, concatenated.
     * Wrapping each symbol with its OWN delimiters (not shared ones)
@@ -282,58 +290,96 @@ object LlmPipeline {
       .agg(sum(col("freq")).as("n"))
   }
 
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The merge loop over a prepared (seq, freq) vocabulary frame.
+    * Returns (merge table, final vocab frame) — the latter so the
+    * spec can assert the checkpointed plan stays depth-bounded.
+    * Requires a checkpoint dir on the SparkContext.
+    */
+  private[graft] def bpeTrainLoop(s: SparkSession, seq0: DataFrame,
+      merges: Int): (DataFrame, DataFrame) = {
     val sep = lit(BPE_SEP)
-    val vocab = t(s, dir, "documents")
-      .select(explode(TextFns.words(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var cur = graft.util.QueryScratch.cached(vocab.select(
-      array_join(transform(sequence(lit(1), length(col("word"))),
-        i => concat(sep, col("word").substr(i, lit(1)), sep)), "").as("seq"),
-      col("freq")))
-    val tops = (1 to BPE_MERGES).map { k =>
-      val top = graft.util.QueryScratch.cached(
-        bpePairs(cur).orderBy(col("n").desc, col("l"), col("r")).limit(1))
+    var cur = graft.util.QueryScratch.cached(seq0)
+    val tops = (1 to merges).map { k =>
+      // the 1-row winner is localCheckpoint'ed EAGERLY: without this,
+      // round k's plan embeds round k-1's plan twice (merge input +
+      // top-pair subquery) and plan size goes EXPONENTIAL in k — at
+      // 32 rounds the per-action plan description alone is GBs. As a
+      // leaf, each round adds O(1) plan nodes. Still no driver
+      // collect: the row stays on the executors.
+      val top = bpePairs(cur).orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).localCheckpoint()
       cur = graft.util.QueryScratch.cached(cur.crossJoin(broadcast(top))
         .select(call_function("replace", col("seq"),
           concat(sep, col("l"), sep, sep, col("r"), sep),
           concat(sep, col("l"), col("r"), sep)).as("seq"), col("freq")))
+      // periodic RELIABLE checkpoint of the vocab frame: the linear
+      // join chain since the last checkpoint is rewritten as a
+      // materialized leaf, so plan depth — and with it analysis and
+      // task-serialization cost per round — stays bounded by
+      // BPE_CKPT however many rounds a production run does
+      if (k % BPE_CKPT == 0 && k < merges)
+        cur = graft.util.QueryScratch.register(cur.checkpoint())
       top.select(lit(k.toLong).as("rank"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("n"))
     }
-    tops.reduce(_ unionByName _).orderBy(col("rank"))
+    (tops.reduce(_ unionByName _).orderBy(col("rank")), cur)
+  }
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val sep = lit(BPE_SEP)
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(graft.util.Scratch.dir("graft_bpe_ck_"))
+    val vocab = t(s, dir, "documents")
+      .select(explode(TextFns.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val seq0 = vocab.select(
+      array_join(transform(sequence(lit(1), length(col("word"))),
+        i => concat(sep, col("word").substr(i, lit(1)), sep)), "").as("seq"),
+      col("freq"))
+    bpeTrainLoop(s, seq0, BPE_MERGES)._1
   }
 
   val bpeTrainSql: String = {
+    // every round CTE is MATERIALIZED: each s_k is referenced twice
+    // (next round's pair count + next merge), so the default inlining
+    // would re-expand the whole round chain per reference —
+    // exponential plan size in rounds, the oracle-side twin of the
+    // plan blowup the engine-side localCheckpoint prevents
     def pairs(src: String, p: String, t: String) =
-      s"""$p AS (
+      s"""$p AS MATERIALIZED (
          |  SELECT sym[i] AS l, sym[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
          |  FROM (SELECT list_filter(string_split(seq, chr(31)), x -> len(x) > 0) AS sym, freq FROM $src),
          |    LATERAL unnest(generate_series(1, len(sym) - 1)) t(i)
          |  GROUP BY 1, 2),
-         |$t AS (SELECT l, r, n FROM $p ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+         |$t AS MATERIALIZED (SELECT l, r, n FROM $p ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
     def merged(src: String, t: String, out: String) =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT replace(seq, chr(31)||$t.l||chr(31)||chr(31)||$t.r||chr(31),
          |    chr(31)||$t.l||$t.r||chr(31)) AS seq, freq
          |  FROM $src, $t)""".stripMargin
-    s"""WITH v AS (
+    // one (pairs, top, merge) CTE round per learned merge; the last
+    // round skips the merge (its output vocab is never read)
+    val rounds = (1 to BPE_MERGES).map { k =>
+      val prev = s"s${k - 1}"
+      if (k < BPE_MERGES)
+        pairs(prev, s"p$k", s"t$k") + ",\n" + merged(prev, s"t$k", s"s$k")
+      else pairs(prev, s"p$k", s"t$k")
+    }.mkString(",\n")
+    val unioned = (1 to BPE_MERGES).map(k =>
+      if (k == 1) s"  SELECT CAST(1 AS BIGINT) AS rank, l, r, n FROM t1"
+      else s"  UNION ALL SELECT CAST($k AS BIGINT), l, r, n FROM t$k")
+      .mkString("\n")
+    s"""WITH v AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS freq
        |  FROM (SELECT unnest($wsSql) AS word FROM documents)
        |  GROUP BY word),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT array_to_string(list_transform(generate_series(1, length(word)),
        |    i -> chr(31) || word[i] || chr(31)), '') AS seq, freq
        |  FROM v),
-       |${pairs("s0", "p1", "t1")},
-       |${merged("s0", "t1", "s1")},
-       |${pairs("s1", "p2", "t2")},
-       |${merged("s1", "t2", "s2")},
-       |${pairs("s2", "p3", "t3")}
+       |$rounds
        |SELECT rank, l, r, l || r AS merged, n FROM (
-       |  SELECT CAST(1 AS BIGINT) AS rank, l, r, n FROM t1
-       |  UNION ALL SELECT CAST(2 AS BIGINT), l, r, n FROM t2
-       |  UNION ALL SELECT CAST(3 AS BIGINT), l, r, n FROM t3)
+       |$unioned)
        |ORDER BY rank""".stripMargin
   }
 

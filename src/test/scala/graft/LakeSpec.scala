@@ -142,6 +142,43 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("foldDeletes: mask-fold equivalence, delete entries retired, basis-validated") {
+    val root = graft.util.Scratch.dir("graft_lakespec_fold_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.deletePositions(spark, root,
+      LakeTable.withRowCoords(spark, root).filter(col("event_id") % 10 === 1))
+    val masked = LakeTable.read(spark, root, Some(3))
+      .orderBy(col("event_id")).collect()
+    val s4 = LakeTable.foldDeletes(spark, root, cfg, Seq("event_id"))
+    assert(s4 === 4)
+    // mask-fold equivalence: the folded snapshot reads EXACTLY the
+    // masked view, row for row (both delete kinds folded)
+    val folded = LakeTable.read(spark, root, Some(4))
+      .orderBy(col("event_id")).collect()
+    assert(folded.toSeq === masked.toSeq)
+    // the new manifest carries no delete entries and only fresh files
+    val m4 = LakeTable.manifest(root, 4)
+    assert(m4.deletes.isEmpty, "foldDeletes must retire every delete entry")
+    assert(m4.files.forall(_.seq === 4), "folded snapshot lists only rewritten files")
+    // history shows the debt retire: 2 delete files at snap 3, 0 after
+    val h = LakeTable.history(spark, root)
+      .select(col("snap"), col("n_delete_files")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(3L) === 2L && h(4L) === 0L, s"history delete accounting: $h")
+    // basis validation: an append racing the compaction fails the
+    // fold instead of being silently dropped
+    LakeTable.commit(spark, root, ev.limit(5), cfg, Seq("event_id"))
+    val racer = LakeTable.read(spark, root, Some(4))
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTable.rewrite(spark, root, racer, cfg, Seq("event_id"), basis = Some(4))
+    }
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("string + timestamp manifest stats prune on non-integer predicates") {
     val root = graft.util.Scratch.dir("graft_lakespec_str_")
     val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")

@@ -160,22 +160,59 @@ class PipelinePlanSpec extends AnyFunSuite {
       s"pair generation must join on cid, not cross:\n${p.take(2000)}")
   }
 
-  test("bpe_train learns BPE invariants: concat merges, monotone counts, no pair twice") {
+  test("bpe_train learns BPE invariants: concat merges, monotone counts") {
     val res = SparkEntry.queries("bpe_train")(spark, sf).collect()
-    assert(res.length === 3)
-    assert(res.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    assert(res.length === graft.queries.LlmPipeline.BPE_MERGES)
+    assert(res.map(_.getAs[Long]("rank")).toSeq ===
+      (1 to graft.queries.LlmPipeline.BPE_MERGES).map(_.toLong))
     res.foreach { r =>
       assert(r.getAs[String]("merged") ===
         r.getAs[String]("l") + r.getAs[String]("r"))
       assert(r.getAs[Long]("n") > 0L)
     }
-    // a merge removes every occurrence of its pair and any pair it
-    // creates counts no more than the pair it replaced — so the top
-    // count never increases across rounds, and no pair tops twice
+    // a merge removes every occurrence of its pair, and any pair it
+    // creates occurs no more often than the adjacency it replaced —
+    // so the top count never increases across rounds. (A pair CAN
+    // legitimately re-top after later merges rebuild its left symbol,
+    // so no set-cardinality assertion here.)
     val ns = res.map(_.getAs[Long]("n")).toSeq
     assert(ns === ns.sorted.reverse, s"counts must be non-increasing: $ns")
-    val pairs = res.map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSet
-    assert(pairs.size === 3, s"a merged-away pair re-topped: $pairs")
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("bpe_train lineage is bounded: periodic checkpoints keep the plan depth-flat") {
+    import graft.queries.LlmPipeline
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(graft.util.Scratch.dir("graft_bpeck_spec_"))
+    val s = spark
+    import s.implicits._
+    // deterministic two-letter vocabulary rich enough that 2×CKPT
+    // merge rounds never run out of pairs
+    val words = (0 until 48).map { i =>
+      val w = Integer.toBinaryString(64 + i).replace('0', 'a').replace('1', 'b')
+      (w + w, (i % 7 + 1).toLong)
+    }
+    val seq0 = words.toDF("word", "freq").select(
+      array_join(transform(sequence(lit(1), length(col("word"))),
+        i => concat(lit(""), col("word").substr(i, lit(1)), lit(""))), "")
+        .as("seq"),
+      col("freq"))
+    val rounds = LlmPipeline.BPE_CKPT * 2
+    val (tops, fin) = LlmPipeline.bpeTrainLoop(spark, seq0, rounds)
+    assert(tops.collect().length === rounds)
+    // the final vocab LINEAGE (analyzed plan, before cache
+    // substitution) must hang off the LAST checkpoint, not the full
+    // merge history: node count stays bounded by the rounds since
+    // that checkpoint, and the checkpoint's LogicalRDD leaf is the
+    // deepest ancestor
+    val plan = fin.queryExecution.analyzed
+    val nodes = plan.collect { case n => n }.size
+    assert(nodes < 8 * (LlmPipeline.BPE_CKPT + 1),
+      s"lineage not truncated ($nodes nodes)")
+    assert(plan.collectLeaves().forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      "non-materialized leaf in lineage: " +
+        plan.collectLeaves().map(_.getClass.getSimpleName).mkString(", "))
     graft.util.QueryScratch.release(spark)
     spark.catalog.clearCache()
   }
