@@ -95,9 +95,13 @@ object LakeTable {
   }
   /** `seq` = snapshot id that ADDED the file (data sequence number):
     * equality deletes apply only to files with a strictly smaller seq.
+    * `bytes` = on-disk size recorded at commit time so scan planning
+    * (split sizing, join-side statistics) never stats the filesystem;
+    * -1 on manifests written before the field existed (readers fall
+    * back to a stat).
     */
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
-      seq: Int = 0)
+      seq: Int = 0, bytes: Long = -1L)
   /** A delete file; applies to data files with seq < this.seq.
     * `kind` "eq": parquet of distinct `keyCol` values (equality
     * delete). `kind` "pos": parquet of (path, idx) row coordinates
@@ -417,11 +421,12 @@ object LakeTable {
         case _ => (c, "i", (x: Column) => x.cast("bigint"))
       }
     }
-    val aggCols = (count(lit(1)).cast("bigint").as("rows") +:
+    val aggCols = ((count(lit(1)).cast("bigint").as("rows") +:
       kinds.flatMap { case (c, _, f) => Seq(
         min(f(col(c))).as(s"min_$c"), max(f(col(c))).as(s"max_$c")) }) ++
       bloomCols.flatMap(c => (0 until BloomK).map(i =>
-        collect_set(bloomPosExpr(col(c), i)).as(s"bl_${c}_$i")))
+        collect_set(bloomPosExpr(col(c), i)).as(s"bl_${c}_$i")))) :+
+      max(col("_metadata.file_size")).cast("bigint").as("bytes")
     val bloomBase = 2 + 2 * kinds.size
     spark.read.parquet(staging)
       .groupBy(col("_metadata.file_path").as("path"))
@@ -444,7 +449,8 @@ object LakeTable {
           c -> base.getOrElse(c, ColStats(0, 0, "b"))
             .copy(bloom = blooms.getOrElse(c, ""))
         }.toMap
-        FileEntry(r.getString(0), r.getLong(1), stats)
+        FileEntry(r.getString(0), r.getLong(1), stats,
+          bytes = r.getLong(bloomBase + bloomCols.size * BloomK))
       }.toSeq.sortBy(_.path)
   }
 
@@ -691,13 +697,16 @@ object LakeTable {
     * filesTouched, filesTotal) — correctness never depends on pruning
     * (row filters re-check), pruning only bounds IO.
     */
-  def prunedRead(spark: SparkSession, root: String,
+  /** The manifest-stats file filter shared by [[prunedRead]] and the
+    * DataSource scan planner: keep only files whose recorded ranges /
+    * blooms can satisfy every predicate. Pruning is an IO bound, never
+    * an answer — callers re-apply the row-level predicates.
+    */
+  private[graft] def filesMatching(files: Seq[FileEntry],
       preds: Map[String, (Long, Long)],
-      strPreds: Map[String, (String, String)] = Map.empty,
-      asOf: Option[Int] = None,
-      pointPreds: Map[String, Seq[String]] = Map.empty): (DataFrame, Int, Int) = {
-    val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
-    val keep = m.files.filter { f =>
+      strPreds: Map[String, (String, String)],
+      pointPreds: Map[String, Seq[String]]): Seq[FileEntry] =
+    files.filter { f =>
       preds.forall { case (c, (lo, hi)) =>
         f.stats.get(c).forall(st => st.kind != "i" || (st.min <= hi && st.max >= lo))
       } && strPreds.forall { case (c, (lo, hi)) =>
@@ -711,6 +720,14 @@ object LakeTable {
           st.bloom.isEmpty || vs.exists(v => bloomMayContain(st.bloom, v)))
       }
     }
+
+  def prunedRead(spark: SparkSession, root: String,
+      preds: Map[String, (Long, Long)],
+      strPreds: Map[String, (String, String)] = Map.empty,
+      asOf: Option[Int] = None,
+      pointPreds: Map[String, Seq[String]] = Map.empty): (DataFrame, Int, Int) = {
+    val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
+    val keep = filesMatching(m.files, preds, strPreds, pointPreds)
     // empty survivor set: read the full list (filters still yield 0
     // rows) — avoids the no-path read edge while staying correct.
     val chosen = if (keep.nonEmpty) keep else m.files
@@ -854,7 +871,7 @@ object LakeTable {
         else
           s""""${esc(c)}":{"min":${cs.min},"max":${cs.max}$bl}"""
       }.mkString(",")
-      s"""{"path":"${esc(f.path)}","rows":${f.rows},"seq":${f.seq},"stats":{$st}}"""
+      s"""{"path":"${esc(f.path)}","rows":${f.rows},"seq":${f.seq},"bytes":${f.bytes},"stats":{$st}}"""
     }.mkString(",")
     val ds = deletes.map { d =>
       s"""{"path":"${esc(d.path)}","key":"${esc(d.keyCol)}","rows":${d.rows},"seq":${d.seq},"kind":"${d.kind}"}"""
@@ -899,7 +916,8 @@ object LakeTable {
           })
         }.toMap
         FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
-          if (f.has("seq")) f.get("seq").asInt() else 0)
+          if (f.has("seq")) f.get("seq").asInt() else 0,
+          if (f.has("bytes")) f.get("bytes").asLong() else -1L)
       }.toSeq
       val deletes = asScala(node.get("deletes").elements()).map { d =>
         DeleteEntry(d.get("path").asText(), d.get("key").asText(),

@@ -1,0 +1,139 @@
+package org.apache.spark.sql.graftshim
+
+import scala.collection.mutable.LinkedHashMap
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Bridge into Spark's `private[sql]` file-source internals for the
+  * graft-lake DataSource V2 implementation — the same trick Spark's
+  * own external connectors use (see [[StreamShim]]): the object sits
+  * in an `org.apache.spark.sql.*` subpackage purely to satisfy
+  * `private[sql]` scopes. Everything reached here is stock Spark
+  * machinery (the vectorized parquet scan, the catalyst→source filter
+  * translator); the lake logic itself lives in `graft.sources`.
+  */
+object DsV2Shim {
+
+  /** The reserved column name that makes Spark's parquet readers emit
+    * each row's ACTUAL parquet row index (row-group aware, so it is
+    * correct even under split files and row-group skipping) — the
+    * hook the `_metadata.row_index` machinery itself rides on.
+    * Positional-delete application reads it, then projects it away.
+    */
+  def rowIndexCol: String = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** Catalyst predicate → translatable v1 filters (the public
+    * `sources.Filter` shapes manifest pruning understands).
+    */
+  def toV1Filters(exprs: Seq[Expression]): Seq[Filter] =
+    exprs.flatMap(e =>
+      DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+
+  /** Re-point a planned parquet scan at a different file set and/or
+    * read schema (used per delete-group and per micro-batch — the
+    * scan is a case class, so this is a metadata-only copy). The
+    * hadoop Configuration is CLONED: `createReaderFactory` writes the
+    * requested read schema into it, and in local mode `broadcast`
+    * hands executors the original object — two scan copies sharing
+    * one mutable conf would clobber each other's reader schemas.
+    */
+  def withFiles(scan: ParquetScan, spark: SparkSession,
+      files: Seq[(String, Long)]): ParquetScan =
+    scan.copy(fileIndex = new ManifestFileIndex(spark, files),
+      hadoopConf = new org.apache.hadoop.conf.Configuration(scan.hadoopConf))
+
+  def withFilesAndSchema(scan: ParquetScan, spark: SparkSession,
+      files: Seq[(String, Long)], readSchema: StructType): ParquetScan =
+    scan.copy(fileIndex = new ManifestFileIndex(spark, files),
+      hadoopConf = new org.apache.hadoop.conf.Configuration(scan.hadoopConf),
+      readDataSchema = readSchema)
+
+  /** Executor-side projection dropping the helper columns a
+    * delete-applying reader appended: the output row is the first
+    * `baseLen` fields of the augmented row.
+    */
+  def prefixProjection(augmented: StructType, baseLen: Int): UnsafeProjection =
+    UnsafeProjection.create(augmented.fields.take(baseLen).zipWithIndex.map {
+      case (f, i) => BoundReference(i, f.dataType, f.nullable): Expression
+    }.toIndexedSeq)
+}
+
+/** A [[PartitioningAwareFileIndex]] served straight from the lake
+  * manifest: no directory listing, no filesystem stats — the manifest
+  * already records every live file's path and size (the Iceberg
+  * model: metadata IO is O(manifest), never O(listing)). Partition
+  * values are table columns in graft-lake (flat layout), so the
+  * partition spec is always empty and file skipping happens upstream
+  * via manifest stats instead of directory pruning.
+  */
+final class ManifestFileIndex(spark: SparkSession, files: Seq[(String, Long)])
+    extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+
+  private val statuses: Seq[(Path, FileStatus)] = files.map { case (p, len) =>
+    val path = new Path(p)
+    // block size chosen so maxPartitionBytes, not fake block
+    // boundaries, drives split planning
+    (path, new FileStatus(len, false, 1, 128L << 20, 0L, path))
+  }
+
+  override def rootPaths: Seq[Path] = statuses.map(_._1.getParent).distinct
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+  override val leafFiles: LinkedHashMap[Path, FileStatus] = {
+    val m = LinkedHashMap.empty[Path, FileStatus]
+    statuses.foreach { case (p, s) => m += p -> s }
+    m
+  }
+  override val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_._1.getParent).map { case (d, fs) => d -> fs.map(_._2).toArray }
+  /** The default resolves through root-path re-qualification — serve
+    * the manifest list verbatim instead (this is what `listFiles`
+    * consumes when the partition spec is empty).
+    */
+  override def allFiles(): Seq[FileStatus] = statuses.map(_._2)
+  override def refresh(): Unit = ()
+}
+
+/** The lake's ScanBuilder: delegates pushdown negotiation verbatim to
+  * Spark's own [[ParquetScanBuilder]] (column pruning, parquet filter
+  * pushdown) while capturing the pushed predicates in v1 form for
+  * manifest-stats pruning; `finish` (supplied by the lake layer)
+  * prunes the file set and wraps the resulting [[ParquetScan]] with
+  * merge-on-read delete application. Lives in the shim package only
+  * because [[SupportsPushDownCatalystFilters]] — the interface
+  * Spark's pushdown rule negotiates with — is `private[sql]`.
+  */
+final class DelegatedScanBuilder(
+    spark: SparkSession,
+    dataSchema: StructType,
+    options: CaseInsensitiveStringMap,
+    allFiles: Seq[(String, Long)],
+    finish: (ParquetScan, Seq[Filter]) => Scan)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private val inner =
+    ParquetScanBuilder(spark, new ManifestFileIndex(spark, allFiles),
+      dataSchema, dataSchema, options)
+  private var pushedV1: Seq[Filter] = Nil
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedV1 = DsV2Shim.toV1Filters(filters)
+    inner.pushFilters(filters)
+  }
+  override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def build(): Scan = finish(inner.build(), pushedV1)
+}

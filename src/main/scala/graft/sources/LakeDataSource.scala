@@ -1,80 +1,182 @@
 package graft.sources
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.graftshim.StreamShim
-import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
-import graft.lake.LakeTable
+import java.util.OptionalLong
 
-/** The lake's Spark DataSource registration — the standard front door
-  * a reference user expects (they read the reference's tables with
-  * `spark.read.format("iceberg")`; ours read with
-  * `spark.read.format("graft-lake")`, see reference main.go:48-56 for
-  * the table layout this serves).
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graftshim.{DelegatedScanBuilder, DsV2Shim, StreamShim}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.lake.LakeTable
+import graft.lake.LakeTable.{DeleteEntry, FileEntry, Manifest}
+import graft.writer.BlockWriter
+
+/** The lake's Spark DataSource **V2** registration — the standard
+  * front door a reference user expects (they read/write the
+  * reference's tables with `spark.read/write.format("iceberg")`; ours
+  * with `"graft-lake"`, see reference main.go:48-56 for the table
+  * layout this serves).
   *
-  * Batch: `spark.read.format("graft-lake").load(root)` resolves the
-  * head manifest; `.option("snapshot", n)` time-travels, and
-  * `.option("asOfTimestampMs", ts)` resolves AS OF TIMESTAMP. Filters
-  * Catalyst pushes into [[LakeRelation.buildScan]] are translated to
-  * manifest-stats pruning (integer/string min-max, bloom point
-  * lookups) so a selective predicate plans a scan over only the
-  * surviving files — the same metadata skip Iceberg does — while the
-  * parquet reader below still gets the row-level pushdown.
+  * Batch read: `spark.read.format("graft-lake").load(root)` resolves
+  * the head manifest; `.option("snapshot", n)` time-travels and
+  * `.option("asOfTimestampMs", ts)` resolves AS OF TIMESTAMP. The
+  * scan is a genuine DSv2 `BatchScan` that DELEGATES partition
+  * reading to Spark's own vectorized parquet machinery — columnar
+  * batches, whole-stage codegen above, filter/column pushdown — while
+  * the file list comes from a [[org.apache.spark.sql.graftshim.ManifestFileIndex]]
+  * (no directory listing; manifest-recorded sizes) pruned by
+  * manifest min/max/bloom stats against the pushed predicates.
   *
-  * Streaming: `spark.readStream.format("graft-lake").load(root)`
-  * tails the commit log. The offset IS the snapshot id: each
-  * micro-batch reads exactly the data files appended by snapshots in
-  * `(lastSeen, head]` via [[LakeTable.incrementalRead]] — no
-  * directory listing, no re-read of older data — and the checkpoint
-  * makes consumption exactly-once across restarts.
+  * Merge-on-read deletes are applied PER READER (the Iceberg model):
+  * data files are grouped by the delete files that apply to them
+  * (sequence-number rule), clean groups keep the zero-overhead
+  * columnar path, and dirty groups read row-wise with the delete
+  * payload hash-probed per executor ([[DeleteSideCache]] — loaded
+  * once per JVM, never via the driver). Positional deletes ride the
+  * parquet row-index column, so they are exact even under split files
+  * and row-group skipping. The per-executor set is bounded by the
+  * table's delete debt; [[LakeTable.foldDeletes]] is the maintenance
+  * bound, and the Scala path ([[LakeTable.read]]) remains the
+  * shuffle-anti-join alternative for bulk-delete analytics.
+  *
+  * Batch write: `df.write.format("graft-lake").mode("append"|
+  * "overwrite").save(root)` — the official `V1Write` bridge onto the
+  * staged-commit OCC path ([[LakeTable.commit]]/[[LakeTable.rewrite]]):
+  * executors write the data files in parallel, the driver commits the
+  * manifest. Options: `partitionCol`, `keyCol`, `maxRecordsPerFile`,
+  * `stats` (comma-separated stat columns; default = every atomic
+  * column), `bloom` (comma-separated bloom columns).
+  *
+  * Streaming: `readStream.format("graft-lake")` tails the commit log
+  * (offset = snapshot id, one micro-batch per appended file set) via
+  * a DSv2 [[MicroBatchStream]]; `writeStream.format("graft-lake")`
+  * lands one atomic, batch-id-idempotent commit per micro-batch
+  * ([[GraftStreamSink]]) — exactly-once end to end.
   */
-class LakeSourceProvider extends RelationProvider
-    with DataSourceRegister with StreamSourceProvider {
+class LakeSourceProvider extends TableProvider
+    with DataSourceRegister with StreamSinkProvider {
 
   override def shortName(): String = "graft-lake"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-lake: a path is required (.load(root))"))
+  override def supportsExternalMetadata(): Boolean = true
 
-  override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
-    val root = rootOf(parameters)
-    val asOf = parameters.get("snapshot").map(_.trim.toInt)
-      .orElse(parameters.get("asOfTimestampMs").map(ts =>
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-lake: a path is required (.load(root) / .save(root))"))
+
+  private def asOf(options: CaseInsensitiveStringMap, root: String): Option[Int] =
+    Option(options.get("snapshot")).map(_.trim.toInt)
+      .orElse(Option(options.get("asOfTimestampMs")).map(ts =>
         LakeTable.snapshotAsOfTime(root, ts.trim.toLong)))
-    new LakeRelation(sqlContext, root, asOf)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = rootOf(options)
+    val snap = asOf(options, root).getOrElse(LakeTable.currentSnapshot(root))
+    if (snap <= 0) new StructType() // new table: the write carries the schema
+    else GraftLakeTable.schemaOf(SparkSession.active, root, snap)
   }
 
-  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      LakeTable.read(sqlContext.sparkSession, rootOf(parameters)).schema))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val root = rootOf(options)
+    new GraftLakeTable(SparkSession.active, root, asOf(options, root),
+      Option(schema).filter(_.fields.nonEmpty))
+  }
 
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    val root = rootOf(parameters)
-    new LakeStreamSource(sqlContext.sparkSession, root,
-      schema.getOrElse(LakeTable.read(sqlContext.sparkSession, root).schema))
+  /** v1 streaming sink — the documented DSv2 fallback for a
+    * `TableProvider` without STREAMING_WRITE (Spark's
+    * `DataStreamWriter` routes here), giving the sink the whole
+    * micro-batch frame so each batch is ONE atomic lake commit.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake sink: a path is required"))
+    new GraftStreamSink(sqlContext.sparkSession, root,
+      new CaseInsensitiveStringMap(parameters.asJava))
   }
 }
 
-object LakeRelation {
+object GraftLakeTable {
+  private[sources] def schemaOf(spark: SparkSession, root: String, snap: Int): StructType = {
+    val m = LakeTable.manifest(root, snap)
+    if (m.schemaJson.nonEmpty) DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    else LakeTable.read(spark, root, Some(snap)).schema
+  }
+}
 
-  /** Translate Catalyst's pushed filters into the manifest-pruning
-    * predicate maps of [[LakeTable.prunedRead]]:
-    * integer range bounds, string range bounds, and bloom point
-    * probes. Pruning only ever bounds IO — a conservative superset is
-    * always safe (Spark re-applies every filter on the rows, see
-    * [[LakeRelation.unhandledFilters]]) — so strict bounds relax to
-    * inclusive ones and unsupported filters are simply not pruned on.
-    */
-  private[graft] def translateFilters(filters: Seq[Filter])
+/** One lake table at one (optional) snapshot. Capabilities cover
+  * batch read (DSv2 columnar scan), micro-batch streaming read,
+  * and batch write via the V1 bridge (ACCEPT_ANY_SCHEMA defers
+  * schema enforcement to the commit layer, which validates appends
+  * against the manifest schema — including on new tables, where no
+  * table schema exists yet for Spark to check against).
+  */
+class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
+    providedSchema: Option[StructType]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private lazy val snap: Int = asOf.getOrElse(LakeTable.currentSnapshot(root))
+
+  override def name(): String =
+    s"graft-lake.`$root`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def schema(): StructType =
+    providedSchema.getOrElse {
+      require(snap > 0, s"graft-lake table $root has no committed snapshots")
+      GraftLakeTable.schemaOf(spark, root, snap)
+    }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(snap > 0, s"graft-lake table $root has no committed snapshots")
+    val m = LakeTable.manifest(root, snap)
+    val tableSchema = schema()
+    new DelegatedScanBuilder(spark, tableSchema, options,
+      m.files.map(f => (f.path, GraftScan.bytesOf(f))),
+      (pscan, pushed) => new GraftScan(spark, root, m, tableSchema, pscan, pushed))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(spark, root, info)
+}
+
+/** Pushed-filter → manifest-stat predicate translation (integer and
+  * string range bounds, bloom point probes). Pruning only ever bounds
+  * IO — a conservative superset is always safe (Spark re-applies
+  * every filter above the scan) — so strict bounds relax to inclusive
+  * ones and unsupported shapes are simply not pruned on.
+  */
+object LakeFilters {
+
+  private[graft] def translate(filters: Seq[Filter])
       : (Map[String, (Long, Long)], Map[String, (String, String)], Map[String, Seq[String]]) = {
     def num(v: Any): Option[Long] = v match {
       case n: Long => Some(n)
@@ -118,66 +220,449 @@ object LakeRelation {
   }
 }
 
-class LakeRelation(override val sqlContext: SQLContext, root: String,
-    asOf: Option[Int]) extends BaseRelation with PrunedFilteredScan {
+/** Per-group merge-on-read delete payload, serialized to executors.
+  * `eqs` = equality deletes (augmented-row ordinal of the key column,
+  * an accessor tag, and the delete-file paths); `posFiles` =
+  * positional-delete files whose (path, row-index) coordinates are
+  * probed against the parquet row index at `rowIdxOrd`. `augSchema`
+  * is what the inner parquet readers emit; rows project back to its
+  * first `baseLen` fields.
+  */
+private[sources] final case class EqDeleteSpec(ord: Int, tag: String, files: Seq[String])
+private[sources] final case class GroupDeleteSpec(
+    eqs: Seq[EqDeleteSpec], posFiles: Seq[String], rowIdxOrd: Int,
+    augSchema: StructType, baseLen: Int)
 
-  private def spark: SparkSession = sqlContext.sparkSession
+private[sources] final case class TaggedPartition(tag: Int, inner: FilePartition)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
 
-  override val schema: StructType = LakeTable.read(spark, root, asOf).schema
+object GraftScan {
+  private[sources] def bytesOf(f: FileEntry): Long =
+    if (f.bytes >= 0) f.bytes
+    else java.nio.file.Files.size(
+      java.nio.file.Paths.get(new java.net.URI(f.path).getPath))
 
-  /** Every filter is re-applied by Spark above this scan: the
-    * translation below is an IO bound (file skip), not an answer.
+  /** InternalRow accessor tag for an equality-delete key column. The
+    * unsupported types are rejected at PLAN time with a pointer to
+    * the paths that do handle them.
     */
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
-
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
-    val (intPreds, strPreds, pointPreds) =
-      LakeRelation.translateFilters(filters.toSeq)
-    // only prune on columns the manifest actually tracks AND whose
-    // row-filter re-application is type-sound (prunedRead also
-    // filters rows; restricting to tracked columns keeps that exact)
-    val tracked = LakeTable.manifest(root,
-      asOf.getOrElse(LakeTable.currentSnapshot(root)))
-      .files.headOption.map(_.stats.keySet).getOrElse(Set.empty)
-    val (df, _, _) = LakeTable.prunedRead(spark, root,
-      intPreds.filter(kv => tracked(kv._1)),
-      strPreds.filter(kv => tracked(kv._1)),
-      asOf,
-      pointPreds.filter(kv => tracked(kv._1)))
-    df.select(requiredColumns.map(col).toSeq: _*).rdd
+  private[sources] def keyTag(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType | DateType => "int"
+    case ShortType => "short"
+    case ByteType => "byte"
+    case StringType => "string"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "bool"
+    case other => throw new UnsupportedOperationException(
+      s"graft-lake format read cannot apply equality deletes keyed on " +
+        s"$other; read via LakeTable.read or fold the deletes " +
+        "(LakeTable.foldDeletes) first")
   }
 }
 
-/** v1 streaming source over the lake commit log: offset = snapshot
-  * id; batch (`from`, `to`] = the data files those commits appended.
+/** The lake's DSv2 scan: ONE logical `BatchScan` whose partitions are
+  * planned by Spark's parquet scan over the manifest-pruned file
+  * list, grouped by applicable merge-on-read deletes (sequence rule).
+  * Groups with no deletes keep the columnar fast path untouched.
   */
-class LakeStreamSource(spark: SparkSession, root: String,
-    override val schema: StructType) extends Source {
+final class GraftScan(spark: SparkSession, root: String, m: Manifest,
+    tableSchema: StructType, template: ParquetScan, pushed: Seq[Filter])
+  extends Scan with Batch with SupportsReportStatistics {
 
-  private def snapOf(o: OffsetV1): Int = o match {
-    case LongOffset(n) => n.toInt
-    case s: SerializedOffset => s.json.trim.toInt
-    case other => other.json.trim.toInt
+  /** Manifest-stats pruning on the pushed predicates, restricted to
+    * columns the manifest actually tracks.
+    */
+  private[graft] val survivors: Seq[FileEntry] = {
+    val tracked = m.files.headOption.map(_.stats.keySet).getOrElse(Set.empty[String])
+    val (intP, strP, pointP) = LakeFilters.translate(pushed)
+    LakeTable.filesMatching(m.files,
+      intP.filter(kv => tracked(kv._1)),
+      strP.filter(kv => tracked(kv._1)),
+      pointP.filter(kv => tracked(kv._1)))
+  }
+  private[graft] def totalFiles: Int = m.files.size
+
+  override def readSchema(): StructType = template.readDataSchema
+
+  override def description(): String =
+    s"GraftLakeScan root=$root snapshot=${m.snapshotId} " +
+      s"files=${survivors.size}/$totalFiles deleteFiles=${m.deletes.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${readSchema().catalogString}"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(1L, survivors.map(GraftScan.bytesOf).sum))
+    override def numRows(): OptionalLong =
+      OptionalLong.of(survivors.map(_.rows).sum)
   }
 
-  override def getOffset: Option[OffsetV1] = {
-    val head = LakeTable.currentSnapshot(root)
-    if (head <= 0) None else Some(LongOffset(head.toLong))
+  override def toBatch: Batch = this
+
+  /** Data-file groups by the delete set that applies to them (same
+    * grouping as the Scala read path): commits are few, so the group
+    * count is small. Each group gets its own delegated parquet scan;
+    * dirty groups read an AUGMENTED schema (missing key columns, the
+    * parquet row index) that the delete-filtering reader projects
+    * away.
+    */
+  private lazy val groups: Seq[(ParquetScan, Option[GroupDeleteSpec])] = {
+    val base = template.readDataSchema
+    survivors.groupBy(f => m.deletes.filter(_.seq > f.seq).map(_.path))
+      .toSeq.sortBy(_._2.head.path)
+      .map { case (_, fs) =>
+        val dels: Seq[DeleteEntry] = m.deletes.filter(_.seq > fs.head.seq)
+        val files = fs.map(f => (f.path, GraftScan.bytesOf(f)))
+        if (dels.isEmpty)
+          (DsV2Shim.withFiles(template, spark, files), None)
+        else {
+          val (posDels, eqDels) = dels.partition(_.kind == "pos")
+          var aug = base
+          val eqs = eqDels.groupBy(_.keyCol).toSeq.sortBy(_._1).map {
+            case (kc, entries) =>
+              val ord = aug.fieldNames.indexOf(kc) match {
+                case -1 =>
+                  aug = aug.add(tableSchema(kc)); aug.length - 1
+                case i => i
+              }
+              EqDeleteSpec(ord, GraftScan.keyTag(tableSchema(kc).dataType),
+                entries.map(_.path))
+          }
+          val rowIdxOrd =
+            if (posDels.isEmpty) -1
+            // nullable: the column is absent from the FILES (the
+            // reader's row-index generator back-fills it after the
+            // batch is read), and a required-but-missing column fails
+            // the vectorized reader's schema check
+            else { aug = aug.add(StructField(DsV2Shim.rowIndexCol, LongType, nullable = true)); aug.length - 1 }
+          val spec = GroupDeleteSpec(eqs, posDels.map(_.path), rowIdxOrd,
+            aug, base.length)
+          (DsV2Shim.withFilesAndSchema(template, spark, files, aug), Some(spec))
+        }
+      }
   }
 
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(snapOf).getOrElse(0)
-    val to = snapOf(end)
-    val cols = schema.fieldNames.map(col).toSeq
-    val batch =
-      if (from >= to)
-        spark.createDataFrame(
-          new java.util.ArrayList[Row](), schema)
-      else
-        LakeTable.incrementalRead(spark, root, from, to).select(cols: _*)
-    StreamShim.asStreamingFrame(batch)
+  override def planInputPartitions(): Array[InputPartition] = {
+    var i = -1
+    groups.zipWithIndex.flatMap { case ((ps, spec), tag) =>
+      val parts = ps.planInputPartitions().map(_.asInstanceOf[FilePartition])
+      val shaped =
+        if (spec.exists(_.posFiles.nonEmpty))
+          // one PartitionedFile per partition so each reader knows its
+          // rows' file coordinate (splits of one file are still fine:
+          // the parquet row index is file-global)
+          parts.flatMap(fp => fp.files.map { pf =>
+            i += 1; FilePartition(i, Array(pf))
+          })
+        else parts.map { fp => i += 1; FilePartition(i, fp.files) }
+      shaped.map(fp => TaggedPartition(tag, fp): InputPartition)
+    }.toArray
   }
 
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(
+      groups.map(_._1.createReaderFactory()).toArray,
+      groups.map(_._2).toArray)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(spark, root, template)
+}
+
+/** Delegates each partition to its group's parquet reader factory:
+  * clean groups keep columnar batches end to end; dirty groups read
+  * row-wise through [[DeleteFilterReader]].
+  */
+final class GraftReaderFactory(inner: Array[PartitionReaderFactory],
+    specs: Array[Option[GroupDeleteSpec]]) extends PartitionReaderFactory {
+
+  // Spark requires every partition of one scan to agree on columnar
+  // vs row output — so the scan is columnar only when NO group has
+  // deletes (any dirty group forces the whole scan row-wise; folding
+  // deletes restores the columnar path).
+  private val allClean = specs.forall(_.isEmpty)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val t = partition.asInstanceOf[TaggedPartition]
+    allClean && inner(t.tag).supportColumnarReads(t.inner)
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val t = partition.asInstanceOf[TaggedPartition]
+    inner(t.tag).createColumnarReader(t.inner)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val t = partition.asInstanceOf[TaggedPartition]
+    val r = inner(t.tag).createReader(t.inner)
+    specs(t.tag) match {
+      case None => r
+      case Some(spec) =>
+        val filePath =
+          if (spec.posFiles.isEmpty) ""
+          else t.inner.files.head.filePath.toPath.toString
+        new DeleteFilterReader(r, spec, filePath)
+    }
+  }
+}
+
+/** Row-wise reader applying a group's merge-on-read deletes: equality
+  * keys hash-probed against the per-executor [[DeleteSideCache]],
+  * positional coordinates probed against the parquet row index, and
+  * the augmented helper columns projected away. SQL anti-join null
+  * semantics: a null key never matches, so null-keyed rows survive
+  * and null delete keys delete nothing.
+  */
+final class DeleteFilterReader(inner: PartitionReader[InternalRow],
+    spec: GroupDeleteSpec, filePath: String)
+  extends PartitionReader[InternalRow] {
+
+  private val eqs = spec.eqs.toArray
+  private val eqSets: Array[java.util.HashSet[AnyRef]] =
+    eqs.map(e => DeleteSideCache.keySet(e.files, e.tag))
+  private val posSet: java.util.HashSet[java.lang.Long] =
+    if (spec.posFiles.isEmpty) null
+    else DeleteSideCache.positions(spec.posFiles)
+      .getOrDefault(filePath, DeleteSideCache.noPositions)
+  private val project = DsV2Shim.prefixProjection(spec.augSchema, spec.baseLen)
+  private var cur: InternalRow = _
+
+  private def keyOf(r: InternalRow, ord: Int, tag: String): AnyRef = tag match {
+    case "long" => java.lang.Long.valueOf(r.getLong(ord))
+    case "int" => java.lang.Long.valueOf(r.getInt(ord).toLong)
+    case "short" => java.lang.Long.valueOf(r.getShort(ord).toLong)
+    case "byte" => java.lang.Long.valueOf(r.getByte(ord).toLong)
+    case "string" => r.getUTF8String(ord).toString
+    case "double" => java.lang.Double.valueOf(r.getDouble(ord))
+    case "float" => java.lang.Double.valueOf(r.getFloat(ord).toDouble)
+    case _ => java.lang.Boolean.valueOf(r.getBoolean(ord))
+  }
+
+  private def deleted(r: InternalRow): Boolean = {
+    var i = 0
+    while (i < eqs.length) {
+      val e = eqs(i)
+      if (!r.isNullAt(e.ord) && eqSets(i).contains(keyOf(r, e.ord, e.tag)))
+        return true
+      i += 1
+    }
+    posSet != null && posSet.contains(java.lang.Long.valueOf(r.getLong(spec.rowIdxOrd)))
+  }
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      if (!deleted(r)) { cur = r; return true }
+    }
+    false
+  }
+  override def get(): InternalRow = project(cur)
+  override def close(): Unit = inner.close()
+}
+
+/** Executor-resident delete-payload cache: each JVM loads a delete
+  * file set ONCE (plain parquet-mr read — no Spark session on the
+  * executor path) and every task on that executor probes the shared
+  * hash set. This is Iceberg's delete-application model; memory is
+  * bounded by the table's outstanding delete debt, which
+  * [[LakeTable.foldDeletes]] compaction bounds operationally. Entries
+  * are keyed by the immutable delete-file paths, so staleness is
+  * impossible (lake files are write-once).
+  */
+object DeleteSideCache {
+  import LakeTable.{CoordIdx, CoordPath}
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  val noPositions = new java.util.HashSet[java.lang.Long]()
+
+  def keySet(files: Seq[String], tag: String): java.util.HashSet[AnyRef] =
+    cache.computeIfAbsent("eq:" + files.sorted.mkString(";"),
+      _ => loadKeys(files)).asInstanceOf[java.util.HashSet[AnyRef]]
+
+  def positions(files: Seq[String])
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] =
+    cache.computeIfAbsent("pos:" + files.sorted.mkString(";"),
+      _ => loadPositions(files))
+      .asInstanceOf[java.util.HashMap[String, java.util.HashSet[java.lang.Long]]]
+
+  private def open(f: String): ParquetReader[org.apache.parquet.example.data.Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(f))
+      .withConf(new Configuration()).build()
+
+  /** Values normalized to the same boxing [[DeleteFilterReader.keyOf]]
+    * produces: integer family → Long, float family → Double.
+    */
+  private def loadKeys(files: Seq[String]): java.util.HashSet[AnyRef] = {
+    val set = new java.util.HashSet[AnyRef]()
+    files.foreach { f =>
+      val reader = open(f)
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount(0) > 0) {
+            val prim = g.getType.getType(0).asPrimitiveType().getPrimitiveTypeName
+            set.add(prim match {
+              case PrimitiveTypeName.INT64 => java.lang.Long.valueOf(g.getLong(0, 0))
+              case PrimitiveTypeName.INT32 => java.lang.Long.valueOf(g.getInteger(0, 0).toLong)
+              case PrimitiveTypeName.BINARY => g.getString(0, 0)
+              case PrimitiveTypeName.DOUBLE => java.lang.Double.valueOf(g.getDouble(0, 0))
+              case PrimitiveTypeName.FLOAT => java.lang.Double.valueOf(g.getFloat(0, 0).toDouble)
+              case PrimitiveTypeName.BOOLEAN => java.lang.Boolean.valueOf(g.getBoolean(0, 0))
+              case other => throw new UnsupportedOperationException(
+                s"graft-lake: unsupported equality-delete key physical type $other")
+            })
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    set
+  }
+
+  private def loadPositions(files: Seq[String])
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {
+    val byFile = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+    files.foreach { f =>
+      val reader = open(f)
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val pi = g.getType.getFieldIndex(CoordPath)
+          val ii = g.getType.getFieldIndex(CoordIdx)
+          val p = g.getString(pi, 0)
+          byFile.computeIfAbsent(p, _ => new java.util.HashSet[java.lang.Long]())
+            .add(java.lang.Long.valueOf(g.getLong(ii, 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    byFile
+  }
+}
+
+/** DSv2 micro-batch source over the commit log: offset = snapshot id,
+  * batch (`from`, `to`] = exactly the data files those commits
+  * appended (append-scan semantics, as in Iceberg's incremental
+  * scans) — no directory listing, no re-read of older data, and the
+  * checkpointed offset makes consumption exactly-once across
+  * restarts. Partitions are planned by re-pointing the negotiated
+  * parquet scan at the added files.
+  */
+final case class GraftOffset(snap: Int) extends Offset {
+  override def json(): String = snap.toString
+}
+
+final class GraftMicroBatchStream(spark: SparkSession, root: String,
+    template: ParquetScan) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = GraftOffset(0)
+  override def latestOffset(): Offset =
+    GraftOffset(LakeTable.currentSnapshot(root))
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].snap
+    val to = end.asInstanceOf[GraftOffset].snap
+    if (to <= from) Array.empty
+    else {
+      val m = LakeTable.manifest(root, to)
+      val added = m.files.filter(f => f.seq > from && f.seq <= to)
+      DsV2Shim.withFiles(template, spark,
+        added.map(f => (f.path, GraftScan.bytesOf(f)))).planInputPartitions()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    template.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Batch write via the official V1 bridge: the commit layer already
+  * does a distributed staged write + driver-side manifest CAS, which
+  * is exactly the split DSv2 writes want — `V1Write` hands it the
+  * materialized frame without re-implementing an executor-side
+  * parquet writer. `overwrite` maps to a basis-validated REWRITE
+  * (truncate-and-load as one atomic snapshot; history preserved).
+  */
+final class GraftWriteBuilder(spark: SparkSession, root: String,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var overwriteAll = false
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+        LakeFormatWrite.write(spark, root, data, info.options(),
+          overwriteAll || overwrite)
+    }
+  }
+}
+
+private[sources] object LakeFormatWrite {
+
+  private def atomicStatCols(schema: StructType): Seq[String] =
+    schema.fields.collect {
+      case f if (f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             TimestampType | DateType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+
+  private[sources] def config(options: CaseInsensitiveStringMap,
+      schema: StructType): (BlockWriter.Config, Seq[String], Seq[String]) = {
+    val partitionCol = Option(options.get("partitioncol"))
+      .getOrElse(schema.fieldNames.head)
+    val keyCol = Option(options.get("keycol")).getOrElse(partitionCol)
+    val maxRecords = Option(options.get("maxrecordsperfile"))
+      .map(_.trim.toInt).getOrElse(4096)
+    val stats = Option(options.get("stats"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(atomicStatCols(schema))
+    val bloom = Option(options.get("bloom"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    (BlockWriter.Config(partitionCol, keyCol, maxRecords), stats, bloom)
+  }
+
+  def write(spark: SparkSession, root: String, data: DataFrame,
+      options: CaseInsensitiveStringMap, overwrite: Boolean): Unit = {
+    val (cfg, stats, bloom) = config(options, data.schema)
+    val head = LakeTable.currentSnapshot(root)
+    if (overwrite && head > 0)
+      LakeTable.rewrite(spark, root, data, cfg, stats, basis = Some(head)): Unit
+    else
+      LakeTable.commit(spark, root, data, cfg, stats, bloomCols = bloom): Unit
+  }
+}
+
+/** v1 streaming sink: every micro-batch is ONE atomic lake commit,
+  * made idempotent by recording the batch id in the manifest note — a
+  * replayed batch whose id is already the head commit is skipped (the
+  * recipe Iceberg's streaming writers use; same contract as
+  * [[graft.streaming.LakeStream]], now behind
+  * `writeStream.format("graft-lake")`).
+  */
+final class GraftStreamSink(spark: SparkSession, root: String,
+    options: CaseInsensitiveStringMap) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val head = LakeTable.currentSnapshot(root)
+    if (head > 0 && LakeTable.manifest(root, head).note == s"batch-$batchId") return
+    // re-plan the micro-batch frame as a batch frame (the plan's RDD
+    // feeds the write; ForeachBatchSink does the same re-wrap)
+    val batch = StreamShim.asBatchFrame(data)
+    val (cfg, stats, bloom) = LakeFormatWrite.config(options, data.schema)
+    if (!batch.isEmpty)
+      LakeTable.commit(spark, root, batch, cfg, stats, bloomCols = bloom,
+        note = s"batch-$batchId"): Unit
+  }
+
+  override def toString: String = s"GraftLakeSink[$root]"
 }

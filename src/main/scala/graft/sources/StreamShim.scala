@@ -28,4 +28,16 @@ object StreamShim {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** The inverse re-wrap, for a v1 `Sink.addBatch`: the micro-batch
+    * frame Spark hands the sink is tagged streaming (so `.write` on
+    * it is rejected); re-planting its executed RDD in a BATCH frame
+    * lets the lake's ordinary commit path consume it —
+    * `ForeachBatchSink` does exactly this re-wrap.
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[ClassicDataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+import graft.sources.GraftScan
+import graft.writer.BlockWriter
+
+/** The graft-lake DataSource V2 front door: the scan must be a real
+  * DSv2 BatchScan (columnar parquet underneath, codegen above),
+  * pushed filters must prune files through the manifest stats, and
+  * merge-on-read deletes must be applied exactly — all
+  * indistinguishable from the Scala read path's results.
+  */
+class DsV2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1024)
+
+  private def events: DataFrame =
+    graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+
+  private def graftScanOf(df: DataFrame): GraftScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "plan has no DSv2 BatchScan node:\n" +
+      df.queryExecution.executedPlan.toString)
+    scans.collectFirst { case g: GraftScan => g }
+      .getOrElse(fail(s"BatchScan is not a GraftScan: ${scans.head.getClass}"))
+  }
+
+  // normalize column order before comparing: the Scala read path's
+  // anti-join hoists the join key to the front, the format path keeps
+  // table schema order — both are the same relation
+  private def sorted(df: DataFrame): Seq[String] =
+    df.select(df.columns.sorted.toSeq.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("format read is a DSv2 BatchScan with codegen above and matches LakeTable.read") {
+    val root = graft.util.Scratch.dir("graft_v2_")
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id", "event_type"))
+    val byFormat = spark.read.format("graft-lake").load(root)
+    graftScanOf(byFormat): Unit
+    // whole-stage codegen survives above the scan (columnar batches →
+    // ColumnarToRow feeds a codegen stage)
+    // the `*(n)` prefix is the tree-string rendering of a
+    // WholeStageCodegen stage wrapping the node
+    val planStr = byFormat.filter(col("value") > 10)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("*(1) Filter"), planStr)
+    assert(sorted(byFormat) === sorted(LakeTable.read(spark, root)))
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("pushed filters prune files via manifest stats; snapshot option time-travels") {
+    val root = graft.util.Scratch.dir("graft_v2p_")
+    // range-cluster on event_id so per-file min/max are tight
+    LakeTable.commit(spark, root,
+      events.orderBy(col("event_id")),
+      BlockWriter.Config("user_id", "event_id", maxRecordsPerFile = 256),
+      Seq("event_id"), rangeCluster = true)
+    val filtered = spark.read.format("graft-lake").load(root)
+      .filter(col("event_id") <= 100)
+    val scan = graftScanOf(filtered)
+    assert(scan.survivors.size < scan.totalFiles,
+      s"expected pruning: ${scan.survivors.size}/${scan.totalFiles}")
+    val expect = events.filter(col("event_id") <= 100)
+    assert(sorted(filtered) === sorted(expect))
+    // time travel by option: append a second generation, snapshot 1 is stable
+    val n1 = spark.read.format("graft-lake").load(root).count()
+    LakeTable.commit(spark, root, events.limit(10),
+      BlockWriter.Config("user_id", "event_id", maxRecordsPerFile = 256), Seq("event_id"))
+    assert(spark.read.format("graft-lake").option("snapshot", "1").load(root).count() === n1)
+    assert(spark.read.format("graft-lake").load(root).count() === n1 + 10)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("format read applies equality deletes (sequence rule: later appends survive)") {
+    val root = graft.util.Scratch.dir("graft_v2eq_")
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, root, "user_id",
+      events.select(col("user_id")).distinct().limit(5))
+    // re-insert one deleted user AFTER the delete: the new rows must survive
+    val delUsers = LakeTable.manifest(root, 2).deletes
+    assert(delUsers.nonEmpty)
+    val reinserted = events.limit(7)
+    LakeTable.commit(spark, root, reinserted, cfg, Seq("event_id"))
+    val byFormat = spark.read.format("graft-lake").load(root)
+    assert(sorted(byFormat) === sorted(LakeTable.read(spark, root)))
+    // and the delete really removed rows
+    assert(byFormat.count() < events.count() + 7)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("format read applies positional deletes exactly (one copy of a dup survives)") {
+    val root = graft.util.Scratch.dir("graft_v2pos_")
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
+    LakeTable.deletePositions(spark, root,
+      LakeTable.withRowCoords(spark, root).filter(col("event_id") % 10 === 3))
+    val byFormat = spark.read.format("graft-lake").load(root)
+    assert(sorted(byFormat) === sorted(LakeTable.read(spark, root)))
+    assert(byFormat.filter(col("event_id") % 10 === 3).count() === 0)
+    assert(byFormat.count() === events.filter(col("event_id") % 10 =!= 3).count())
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("format read applies mixed eq+pos deletes with pruning and column pruning") {
+    val root = graft.util.Scratch.dir("graft_v2mix_")
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id", "event_type"))
+    LakeTable.deleteWhere(spark, root, "event_type",
+      spark.createDataFrame(Seq(Tuple1("click"))).toDF("event_type"))
+    LakeTable.deletePositions(spark, root,
+      LakeTable.withRowCoords(spark, root).filter(col("event_id") % 7 === 2))
+    val byFormat = spark.read.format("graft-lake").load(root)
+      .filter(col("event_id") > 50)
+      .select(col("event_id"), col("value")) // prunes away both key columns
+    val expect = LakeTable.read(spark, root)
+      .filter(col("event_id") > 50)
+      .select(col("event_id"), col("value"))
+    assert(sorted(byFormat) === sorted(expect))
+    assert(byFormat.count() > 0)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("format write: append + overwrite round-trip, distributed commit") {
+    val root = graft.util.Scratch.dir("graft_v2w_")
+    events.limit(100).write.format("graft-lake")
+      .option("partitionCol", "user_id").option("keyCol", "ts")
+      .option("stats", "event_id,user_id").mode("append").save(root)
+    events.limit(100).write.format("graft-lake")
+      .option("partitionCol", "user_id").option("keyCol", "ts")
+      .mode("append").save(root)
+    assert(LakeTable.currentSnapshot(root) === 2)
+    assert(spark.read.format("graft-lake").load(root).count() === 200)
+    // overwrite = one atomic rewrite snapshot; history preserved
+    events.limit(30).write.format("graft-lake")
+      .option("partitionCol", "user_id").mode("overwrite").save(root)
+    assert(LakeTable.currentSnapshot(root) === 3)
+    assert(spark.read.format("graft-lake").load(root).count() === 30)
+    assert(spark.read.format("graft-lake").option("snapshot", "2").load(root).count() === 200)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("streaming sink is exactly-once: a re-drained source adds no duplicate commits") {
+    val root = graft.util.Scratch.dir("graft_v2sink_")
+    val inDir = graft.util.Scratch.dir("graft_v2sink_in_")
+    val ckpt = graft.util.Scratch.dir("graft_v2sink_ck_")
+    events.limit(60).coalesce(2).write.mode("overwrite").parquet(inDir)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(events.schema).parquet(inDir)
+        .writeStream.format("graft-lake")
+        .option("path", root)
+        .option("partitionCol", "user_id").option("keyCol", "ts")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val n1 = spark.read.format("graft-lake").load(root).count()
+    assert(n1 === 60)
+    drain() // nothing new: no data, no commit
+    assert(spark.read.format("graft-lake").load(root).count() === 60)
+    graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(inDir); graft.util.Scratch.rmNow(ckpt)
+  }
+
+  test("micro-batch stream read delivers each commit exactly once across restarts") {
+    val root = graft.util.Scratch.dir("graft_v2mbs_")
+    val sink = graft.util.Scratch.dir("graft_v2mbs_sink_")
+    val ckpt = graft.util.Scratch.dir("graft_v2mbs_ck_")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(spark, root, events.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    drain()
+    LakeTable.commit(spark, root, events.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    drain()
+    val got = spark.read.parquet(sink)
+    assert(got.count() === events.count())
+    assert(got.select(countDistinct(col("event_id"))).head.getLong(0) === events.count())
+    graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(sink); graft.util.Scratch.rmNow(ckpt)
+  }
+
+  test("join statistics: a small lake table broadcasts") {
+    val root = graft.util.Scratch.dir("graft_v2bc_")
+    LakeTable.commit(spark, root, events.limit(50), cfg, Seq("event_id"))
+    val dim = spark.read.format("graft-lake").load(root)
+      .select(col("event_id"), col("event_type"))
+    val joined = events.join(dim, Seq("event_id"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr)
+    graft.util.Scratch.rmNow(root)
+  }
+}

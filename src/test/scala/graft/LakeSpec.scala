@@ -799,7 +799,7 @@ class LakeDataSourceSpec extends AnyFunSuite {
 
   test("pushed filters translate to manifest pruning bounds") {
     import org.apache.spark.sql.sources._
-    val (ints, strs, points) = graft.sources.LakeRelation.translateFilters(Seq(
+    val (ints, strs, points) = graft.sources.LakeFilters.translate(Seq(
       GreaterThanOrEqual("event_id", 100L),
       LessThan("event_id", 200L),
       And(EqualTo("event_type", "click"), GreaterThan("user_id", 5)),
