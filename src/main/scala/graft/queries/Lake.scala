@@ -682,6 +682,97 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- lake_format_write: the registered WRITE front door —
+  // `df.write.format("graft-lake")` with append and overwrite modes
+  // (V1Write bridge onto the staged-commit OCC path: executors write
+  // the files, the driver commits the manifest). Two appends build
+  // the full table; an overwrite then replaces it with the hot subset
+  // as ONE atomic rewrite snapshot, and time travel by option still
+  // reads the pre-overwrite generation — the oracle recomputes both
+  // views from the source table.
+  def lakeFormatWrite(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_fmtw_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format("graft-lake")
+        .option("partitionCol", "user_id").option("keyCol", "ts")
+        .option("stats", "event_id,user_id,event_type")
+        .mode(mode).save(root)
+    write(ev.filter(col("event_id") % 2 === 0), "append")
+    write(ev.filter(col("event_id") % 2 === 1), "append")
+    write(ev.filter(col("value") > 100), "overwrite")
+    val full = s.read.format("graft-lake").option("snapshot", "2").load(root)
+      .withColumn("gen", lit("full"))
+    val hot = s.read.format("graft-lake").load(root)
+      .withColumn("gen", lit("hot"))
+    full.unionByName(hot)
+      .groupBy(col("gen"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("gen"), col("event_type"))
+  }
+
+  val lakeFormatWriteSql: String =
+    """WITH u AS (
+      |  SELECT 'full' AS gen, event_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT 'hot' AS gen, event_id, event_type, value FROM events WHERE value > 100)
+      |SELECT gen, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u
+      |GROUP BY gen, event_type
+      |ORDER BY gen, event_type""".stripMargin
+
+  // --- q_sql_lake: lake tables NAMEABLE IN SQL through the
+  // TableCatalog (GraftCatalog): CTAS creates + seeds the table,
+  // INSERT INTO commits through Spark's column alignment + the OCC
+  // path, VERSION AS OF time-travels by name. Snapshot 1 must see
+  // only the CTAS generation, the head both — the same isolation
+  // contract as snapshot_read, now proven through the SQL front door.
+  def qSqlLake(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    // unique per invocation: the catalog root is JVM-stable, so a
+    // rerun in the same session must not collide with its past self
+    val tbl = s"graft.q.ev_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sql_lake")
+    s.sql(s"""CREATE TABLE $tbl AS
+             |SELECT event_id, user_id, event_type, value
+             |FROM ev_sql_lake WHERE event_id % 2 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT event_id, user_id, event_type, value
+             |FROM ev_sql_lake WHERE event_id % 2 = 1""".stripMargin)
+    s.sql(s"""SELECT snap, event_type, n, sum_value_x100, min_id, max_id FROM (
+             |  SELECT CAST(1 AS BIGINT) AS snap, event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |    MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |  FROM $tbl VERSION AS OF 1 GROUP BY event_type
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT) AS snap, event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |    MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |  FROM $tbl GROUP BY event_type)
+             |ORDER BY snap, event_type""".stripMargin)
+  }
+
+  val qSqlLakeSql: String =
+    """WITH u AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_id, event_type, value
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_id, event_type, value FROM events)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_lake" -> streamLake,
     "lake_format_read" -> lakeFormatRead,
@@ -699,7 +790,9 @@ object Lake {
     "lake_incremental" -> lakeIncremental,
     "lake_delete_pos" -> lakeDeletePos,
     "lake_delete_bulk" -> lakeDeleteBulk,
-    "lake_rewrite" -> lakeRewrite)
+    "lake_rewrite" -> lakeRewrite,
+    "lake_format_write" -> lakeFormatWrite,
+    "q_sql_lake" -> qSqlLake)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -718,5 +811,7 @@ object Lake {
     "lake_incremental" -> lakeIncrementalSql,
     "lake_delete_pos" -> lakeDeletePosSql,
     "lake_delete_bulk" -> lakeDeleteBulkSql,
-    "lake_rewrite" -> lakeRewriteSql)
+    "lake_rewrite" -> lakeRewriteSql,
+    "lake_format_write" -> lakeFormatWriteSql,
+    "q_sql_lake" -> qSqlLakeSql)
 }

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.LakeTable
+
+/** A Spark `TableCatalog` over a directory of graft-lake tables, so
+  * lake tables are NAMEABLE in SQL — the front door the reference
+  * user's `spark.sql("SELECT … FROM catalog.db.t")` expects next to
+  * the format API:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.root", "/lake")
+  * spark.sql("CREATE TABLE graft.db.t AS SELECT …")       // CTAS
+  * spark.sql("INSERT INTO graft.db.t SELECT …")           // OCC commit
+  * spark.sql("SELECT * FROM graft.db.t VERSION AS OF 1")  // time travel
+  * spark.sql("SELECT * FROM graft.db.t TIMESTAMP AS OF …")
+  * }}}
+  *
+  * Identifier → path mapping is `root/<namespace…>/<name>`; a table
+  * IS its directory (manifest + data files), so the catalog itself is
+  * stateless — on a cluster the same layout lives on the object
+  * store, and the only catalog state that would need a real service
+  * is the commit CAS ([[LakeTable]] scaladoc). `CREATE TABLE` records
+  * the declared schema in a pending file that the first commit's
+  * manifest supersedes; an empty created table reads as zero rows of
+  * that schema.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): Path =
+    Paths.get(root, ident.namespace() :+ ident.name(): _*)
+
+  private def isTable(p: Path): Boolean = Files.isDirectory(p.resolve("meta")) ||
+    Files.isRegularFile(p.resolve("meta/_schema.json"))
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = Paths.get(root, namespace: _*)
+    if (!Files.isDirectory(ns)) Array.empty
+    else {
+      val s = Files.list(ns)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]]
+        .asScala.filter(isTable)
+        .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+      finally s.close()
+    }
+  }
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+
+  private def load(ident: Identifier, asOf: Option[Int]): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val pendingPath = dir.resolve("meta").resolve("_schema.json")
+    val pending =
+      if (LakeTable.currentSnapshot(dir.toString) == 0 && Files.exists(pendingPath))
+        Some(DataType.fromJson(Files.readString(pendingPath)).asInstanceOf[StructType])
+      else None
+    new GraftLakeTable(spark, dir.toString, asOf, pending)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL `VERSION AS OF <snapshot>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.trim.toInt))
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark passes epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, Some(LakeTable.snapshotAsOfTime(dirOf(ident).toString,
+      timestampMicros / 1000L)))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(dir.resolve("meta"))
+    Files.writeString(dir.resolve("meta").resolve("_schema.json"), schema.json)
+    new GraftLakeTable(spark, dir.toString, None, Some(schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-lake schema evolution goes through commits (LakeTable.commit " +
+        "with an evolved frame), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) false
+    else {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p): Unit })
+      finally walk.close()
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = dirOf(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to): Unit
+  }
+}

@@ -149,15 +149,25 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
       GraftLakeTable.schemaOf(spark, root, snap)
     }
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    // A brand-new table has no committed schema to validate against —
+    // the first commit's frame defines it. EXISTING tables get
+    // Spark's full append validation and INSERT column alignment
+    // (plus the commit layer's own enforcement underneath).
+    if (snap == 0) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(snap > 0, s"graft-lake table $root has no committed snapshots")
-    val m = LakeTable.manifest(root, snap)
+    // snap == 0: a CREATE TABLE'd-but-never-written table reads as
+    // zero rows of its declared schema
+    val m =
+      if (snap > 0) LakeTable.manifest(root, snap)
+      else LakeTable.Manifest(0, 0, Nil, schemaJson = schema().json)
     val tableSchema = schema()
     new DelegatedScanBuilder(spark, tableSchema, options,
       m.files.map(f => (f.path, GraftScan.bytesOf(f))),

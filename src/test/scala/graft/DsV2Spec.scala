@@ -191,6 +191,38 @@ class DsV2Spec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(sink); graft.util.Scratch.rmNow(ckpt)
   }
 
+  test("SQL catalog: CTAS, INSERT alignment, VERSION AS OF, join with a view") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat_spec").toString)
+    events.createOrReplaceTempView("ev_src")
+    spark.sql("DROP TABLE IF EXISTS graft.db.t")
+    spark.sql(
+      "CREATE TABLE graft.db.t AS SELECT event_id, user_id, value FROM ev_src WHERE event_id < 100")
+    assert(spark.sql("SELECT count(*) FROM graft.db.t").head.getLong(0) === 100)
+    // INSERT INTO an existing table goes through Spark's column
+    // alignment + the OCC commit; VERSION AS OF pins snapshot 1
+    spark.sql(
+      "INSERT INTO graft.db.t SELECT event_id, user_id, value FROM ev_src WHERE event_id >= 100")
+    assert(spark.sql("SELECT count(*) FROM graft.db.t").head.getLong(0) === events.count())
+    assert(spark.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 1").head.getLong(0) === 100)
+    // joins with non-lake relations by name; the lake side is a DSv2 scan
+    val joined = spark.sql(
+      """SELECT e.event_type, count(*) AS n
+        |FROM graft.db.t AS t JOIN ev_src AS e ON t.event_id = e.event_id
+        |GROUP BY e.event_type""".stripMargin)
+    assert(joined.count() > 0)
+    // empty CREATE TABLE reads as zero rows of the declared schema
+    spark.sql("DROP TABLE IF EXISTS graft.db.empty")
+    spark.sql("CREATE TABLE graft.db.empty (a BIGINT, b STRING)")
+    val empty = spark.sql("SELECT a, b FROM graft.db.empty")
+    assert(empty.schema.fieldNames.toSeq === Seq("a", "b") && empty.count() === 0)
+    spark.sql("DROP TABLE graft.db.t")
+    spark.sql("DROP TABLE graft.db.empty")
+    assert(spark.sql("SHOW TABLES IN graft.db").count() === 0)
+  }
+
   test("join statistics: a small lake table broadcasts") {
     val root = graft.util.Scratch.dir("graft_v2bc_")
     LakeTable.commit(spark, root, events.limit(50), cfg, Seq("event_id"))
