@@ -48,6 +48,15 @@ object Bench {
       // accumulates storage memory across queries.
       graft.util.QueryScratch.release(spark)
       spark.catalog.clearCache()
+      // single-JVM benchmarking quirk: dead broadcast/shuffle/RDD
+      // state is reclaimed by the ContextCleaner only when the JVM
+      // GARBAGE-COLLECTS the referencing objects — under a large heap
+      // that can be never, so MapOutputTracker/BlockManager
+      // bookkeeping grows across ~100 queries and late queries pay a
+      // growing planning+scheduling tax (measured 3.7s → 27.6s on
+      // pipeline_e2e by bench tail). An explicit GC per query keeps
+      // every timing self-contained, cold-cache AND clean-tracker.
+      System.gc()
       name -> dt
     }
     // millisecond precision keeps the one-line JSON compact enough to

@@ -183,6 +183,17 @@ object LakeTable {
       rangeCluster, basis = Some(head))
   }
 
+  /** TRUNCATE: one metadata-only commit whose file list is empty —
+    * no data IO at any table size. Previous snapshots stay readable
+    * (time travel) until expiry reclaims them, like any rewrite.
+    */
+  def truncate(root: String): Int =
+    casLoop(root, replace = true) { parent =>
+      require(parent > 0, s"truncate of empty table $root")
+      Manifest(parent + 1, parent, Nil, Nil, note = "truncate",
+        schemaJson = manifest(root, parent).schemaJson)
+    }
+
   /** Merge-on-read DELETE: commit `keys` (one column, the equality
     * key) as a delete file — NO data files are written or rewritten.
     * Readers of this and later snapshots anti-join the keys against

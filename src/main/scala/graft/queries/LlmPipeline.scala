@@ -306,8 +306,9 @@ object LlmPipeline {
       // 32 rounds the per-action plan description alone is GBs. As a
       // leaf, each round adds O(1) plan nodes. Still no driver
       // collect: the row stays on the executors.
-      val top = bpePairs(cur).orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).localCheckpoint()
+      val top = graft.util.QueryScratch.register(
+        bpePairs(cur).orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).localCheckpoint())
       cur = graft.util.QueryScratch.cached(cur.crossJoin(broadcast(top))
         .select(call_function("replace", col("seq"),
           concat(sep, col("l"), sep, sep, col("r"), sep),

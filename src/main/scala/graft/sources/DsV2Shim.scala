@@ -6,8 +6,9 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
@@ -119,9 +120,10 @@ final class DelegatedScanBuilder(
     dataSchema: StructType,
     options: CaseInsensitiveStringMap,
     allFiles: Seq[(String, Long)],
+    aggPushdown: Boolean,
     finish: (ParquetScan, Seq[Filter]) => Scan)
   extends ScanBuilder with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val inner =
     ParquetScanBuilder(spark, new ManifestFileIndex(spark, allFiles),
@@ -135,5 +137,16 @@ final class DelegatedScanBuilder(
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
+
+  /** MIN/MAX/COUNT answered from parquet FOOTERS (zero data IO) —
+    * forwarded to the parquet builder only for snapshots with no
+    * outstanding deletes (a footer count cannot subtract masked
+    * rows). Activates under spark.sql.parquet.aggregatePushdown.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggPushdown && inner.supportCompletePushDown(agg)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    aggPushdown && inner.pushAggregation(agg)
+
   override def build(): Scan = finish(inner.build(), pushedV1)
 }

@@ -11,14 +11,15 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftshim.{DelegatedScanBuilder, DsV2Shim, StreamShim}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
@@ -136,7 +137,7 @@ object GraftLakeTable {
   */
 class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     providedSchema: Option[StructType]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
 
   private lazy val snap: Int = asOf.getOrElse(LakeTable.currentSnapshot(root))
 
@@ -171,11 +172,67 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     val tableSchema = schema()
     new DelegatedScanBuilder(spark, tableSchema, options,
       m.files.map(f => (f.path, GraftScan.bytesOf(f))),
+      aggPushdown = m.deletes.isEmpty,
       (pscan, pushed) => new GraftScan(spark, root, m, tableSchema, pscan, pushed))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(spark, root, info)
+
+  // ---- SQL DELETE FROM / TRUNCATE TABLE (SupportsDelete) ----
+  //
+  // DELETE FROM t WHERE p runs as a POSITIONAL merge-on-read delete:
+  // the matching rows' (file, row-index) coordinates become one
+  // metadata-sized delete commit — no data files rewritten, arbitrary
+  // predicate supported. TRUNCATE (and an unconditioned DELETE) is a
+  // metadata-only empty-rewrite commit.
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && snap > 0 &&
+      filters.forall(f => FilterToColumn.translate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val conds = filters.toSeq.flatMap(FilterToColumn.translate)
+    if (conds.isEmpty) { LakeTable.truncate(root); return }
+    val coords = LakeTable.withRowCoords(spark, root)
+      .filter(conds.reduce(_ && _))
+      .select(col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+    // a DELETE matching nothing is a no-op, not an empty commit
+    if (!coords.isEmpty) LakeTable.deletePositions(spark, root, coords): Unit
+  }
+
+  override def truncateTable(): Boolean = { LakeTable.truncate(root); true }
+}
+
+/** v1 `Filter` → `Column` for row-level DELETE conditions. Total on
+  * the filter shapes Spark can produce for flat schemas; `None` makes
+  * `canDeleteWhere` refuse (Spark then reports the condition as
+  * unsupported instead of silently deleting the wrong rows).
+  */
+object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** Pushed-filter → manifest-stat predicate translation (integer and
@@ -224,6 +281,18 @@ object LakeFilters {
       case LessThanOrEqual(a, v) => num(v).foreach(n => boundInt(a, None, Some(n)))
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         points += a -> vs.map(_.asInstanceOf[String]).toSeq.distinct
+        // a range bound over the point set prunes on min/max stats
+        // where no bloom exists — conservative superset, always safe
+        // (conjunction with any existing bound, NOT boundStr, whose
+        // per-value equality semantics would empty the range)
+        val ss = vs.map(_.asInstanceOf[String])
+        val (l0, h0) = strB.getOrElse(a, (ss.min, ss.max))
+        strB += a -> (Ordering[String].max(l0, ss.min), Ordering[String].min(h0, ss.max))
+      case In(a, vs) if vs.nonEmpty && vs.forall(v => num(v).isDefined) =>
+        // numeric IN-sets (including runtime join-key filters) prune
+        // as the range [min, max] of the probe values
+        val ns = vs.flatMap(num)
+        boundInt(a, Some(ns.min), Some(ns.max))
       case _ => () // unsupported shape: no pruning for it, never wrong
     }
     (intB, strB, points)
@@ -278,23 +347,55 @@ object GraftScan {
   * planned by Spark's parquet scan over the manifest-pruned file
   * list, grouped by applicable merge-on-read deletes (sequence rule).
   * Groups with no deletes keep the columnar fast path untouched.
+  * Implements runtime (join-driven) file pruning: a broadcast-join
+  * key set arriving at execution time re-prunes the planned files
+  * through the same manifest stats — the lake-native analog of
+  * dynamic partition pruning.
   */
 final class GraftScan(spark: SparkSession, root: String, m: Manifest,
     tableSchema: StructType, template: ParquetScan, pushed: Seq[Filter])
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
-  /** Manifest-stats pruning on the pushed predicates, restricted to
-    * columns the manifest actually tracks.
-    */
-  private[graft] val survivors: Seq[FileEntry] = {
-    val tracked = m.files.headOption.map(_.stats.keySet).getOrElse(Set.empty[String])
-    val (intP, strP, pointP) = LakeFilters.translate(pushed)
-    LakeTable.filesMatching(m.files,
+  private val tracked: Set[String] =
+    m.files.headOption.map(_.stats.keySet).getOrElse(Set.empty[String])
+
+  private def prune(files: Seq[FileEntry], filters: Seq[Filter]): Seq[FileEntry] = {
+    val (intP, strP, pointP) = LakeFilters.translate(filters)
+    LakeTable.filesMatching(files,
       intP.filter(kv => tracked(kv._1)),
       strP.filter(kv => tracked(kv._1)),
       pointP.filter(kv => tracked(kv._1)))
   }
+
+  /** Manifest-stats pruning on the statically pushed predicates. */
+  private[graft] val survivors: Seq[FileEntry] = prune(m.files, pushed)
   private[graft] def totalFiles: Int = m.files.size
+
+  /** Post-runtime-filter file set (starts at the static survivors). */
+  @volatile private var planned: Seq[FileEntry] = survivors
+  private[graft] def plannedFiles: Seq[FileEntry] = planned
+
+  private val aggPushed: Boolean = template.pushedAggregate.nonEmpty
+
+  // ---- runtime filtering (SupportsRuntimeFiltering) ----
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggPushed) Array.empty
+    else {
+      // only columns surviving column pruning: Spark resolves these
+      // against the scan OUTPUT, and a pruned-away column would fail
+      // analysis of the runtime-filter subquery
+      val out = readSchema().fieldNames.toSet
+      tracked.toArray.sorted.filter(out).map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(c))
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    // narrowing by join keys is sound with deletes (masked rows can
+    // only shrink the result further) but NOT under a complete
+    // aggregate pushdown, whose footer answer must cover every file
+    if (!aggPushed) planned = prune(planned, filters.toIndexedSeq)
 
   override def readSchema(): StructType = template.readDataSchema
 
@@ -302,6 +403,7 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
     s"GraftLakeScan root=$root snapshot=${m.snapshotId} " +
       s"files=${survivors.size}/$totalFiles deleteFiles=${m.deletes.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (aggPushed) "PushedAggregation: true, " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -318,17 +420,23 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
     * count is small. Each group gets its own delegated parquet scan;
     * dirty groups read an AUGMENTED schema (missing key columns, the
     * parquet row index) that the delete-filtering reader projects
-    * away.
+    * away. Built from the UNPRUNED file list so group indexes are
+    * STABLE: the reader factory and a runtime-narrowed partition
+    * plan must agree on them.
     */
-  private lazy val groups: Seq[(ParquetScan, Option[GroupDeleteSpec])] = {
+  private case class Group(scan: ParquetScan, spec: Option[GroupDeleteSpec],
+      paths: Set[String])
+
+  private lazy val groups: Seq[Group] = {
     val base = template.readDataSchema
-    survivors.groupBy(f => m.deletes.filter(_.seq > f.seq).map(_.path))
+    m.files.groupBy(f => m.deletes.filter(_.seq > f.seq).map(_.path))
       .toSeq.sortBy(_._2.head.path)
       .map { case (_, fs) =>
         val dels: Seq[DeleteEntry] = m.deletes.filter(_.seq > fs.head.seq)
         val files = fs.map(f => (f.path, GraftScan.bytesOf(f)))
+        val paths = fs.map(_.path).toSet
         if (dels.isEmpty)
-          (DsV2Shim.withFiles(template, spark, files), None)
+          Group(DsV2Shim.withFiles(template, spark, files), None, paths)
         else {
           val (posDels, eqDels) = dels.partition(_.kind == "pos")
           var aug = base
@@ -351,32 +459,40 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
             else { aug = aug.add(StructField(DsV2Shim.rowIndexCol, LongType, nullable = true)); aug.length - 1 }
           val spec = GroupDeleteSpec(eqs, posDels.map(_.path), rowIdxOrd,
             aug, base.length)
-          (DsV2Shim.withFilesAndSchema(template, spark, files, aug), Some(spec))
+          Group(DsV2Shim.withFilesAndSchema(template, spark, files, aug),
+            Some(spec), paths)
         }
       }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val current = planned
     var i = -1
-    groups.zipWithIndex.flatMap { case ((ps, spec), tag) =>
-      val parts = ps.planInputPartitions().map(_.asInstanceOf[FilePartition])
-      val shaped =
-        if (spec.exists(_.posFiles.nonEmpty))
-          // one PartitionedFile per partition so each reader knows its
-          // rows' file coordinate (splits of one file are still fine:
-          // the parquet row index is file-global)
-          parts.flatMap(fp => fp.files.map { pf =>
-            i += 1; FilePartition(i, Array(pf))
-          })
-        else parts.map { fp => i += 1; FilePartition(i, fp.files) }
-      shaped.map(fp => TaggedPartition(tag, fp): InputPartition)
+    groups.zipWithIndex.flatMap { case (g, tag) =>
+      val keep = current.filter(f => g.paths(f.path))
+      if (keep.isEmpty) Nil
+      else {
+        val parts = DsV2Shim.withFiles(g.scan, spark,
+            keep.map(f => (f.path, GraftScan.bytesOf(f))))
+          .planInputPartitions().map(_.asInstanceOf[FilePartition])
+        val shaped =
+          if (g.spec.exists(_.posFiles.nonEmpty))
+            // one PartitionedFile per partition so each reader knows
+            // its rows' file coordinate (splits of one file are still
+            // fine: the parquet row index is file-global)
+            parts.flatMap(fp => fp.files.map { pf =>
+              i += 1; FilePartition(i, Array(pf))
+            })
+          else parts.map { fp => i += 1; FilePartition(i, fp.files) }
+        shaped.map(fp => TaggedPartition(tag, fp): InputPartition)
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
-      groups.map(_._1.createReaderFactory()).toArray,
-      groups.map(_._2).toArray)
+      groups.map(_.scan.createReaderFactory()).toArray,
+      groups.map(_.spec).toArray)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(spark, root, template)

@@ -195,32 +195,116 @@ class DsV2Spec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.root",
-      graft.util.Scratch.root.resolve("sqlcat_spec").toString)
+      graft.util.Scratch.root.resolve("sqlcat").toString)
     events.createOrReplaceTempView("ev_src")
-    spark.sql("DROP TABLE IF EXISTS graft.db.t")
+    // unique per run: the catalog root is a JVM-stable scratch dir
+    // shared with q_sql_lake, so names must not collide across
+    // concurrent suites or stale runs
+    val T = s"graft.db.t_${System.nanoTime()}"
     spark.sql(
-      "CREATE TABLE graft.db.t AS SELECT event_id, user_id, value FROM ev_src WHERE event_id < 100")
-    assert(spark.sql("SELECT count(*) FROM graft.db.t").head.getLong(0) === 100)
+      s"CREATE TABLE $T AS SELECT event_id, user_id, value FROM ev_src WHERE event_id < 100")
+    assert(spark.sql(s"SELECT count(*) FROM $T").head.getLong(0) === 100)
     // INSERT INTO an existing table goes through Spark's column
     // alignment + the OCC commit; VERSION AS OF pins snapshot 1
     spark.sql(
-      "INSERT INTO graft.db.t SELECT event_id, user_id, value FROM ev_src WHERE event_id >= 100")
-    assert(spark.sql("SELECT count(*) FROM graft.db.t").head.getLong(0) === events.count())
-    assert(spark.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 1").head.getLong(0) === 100)
+      s"INSERT INTO $T SELECT event_id, user_id, value FROM ev_src WHERE event_id >= 100")
+    assert(spark.sql(s"SELECT count(*) FROM $T").head.getLong(0) === events.count())
+    assert(spark.sql(s"SELECT count(*) FROM $T VERSION AS OF 1").head.getLong(0) === 100)
     // joins with non-lake relations by name; the lake side is a DSv2 scan
     val joined = spark.sql(
-      """SELECT e.event_type, count(*) AS n
-        |FROM graft.db.t AS t JOIN ev_src AS e ON t.event_id = e.event_id
+      s"""SELECT e.event_type, count(*) AS n
+        |FROM $T AS t JOIN ev_src AS e ON t.event_id = e.event_id
         |GROUP BY e.event_type""".stripMargin)
     assert(joined.count() > 0)
     // empty CREATE TABLE reads as zero rows of the declared schema
-    spark.sql("DROP TABLE IF EXISTS graft.db.empty")
-    spark.sql("CREATE TABLE graft.db.empty (a BIGINT, b STRING)")
-    val empty = spark.sql("SELECT a, b FROM graft.db.empty")
+    val E = s"graft.db.e_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $E (a BIGINT, b STRING)")
+    val empty = spark.sql(s"SELECT a, b FROM $E")
     assert(empty.schema.fieldNames.toSeq === Seq("a", "b") && empty.count() === 0)
-    spark.sql("DROP TABLE graft.db.t")
-    spark.sql("DROP TABLE graft.db.empty")
-    assert(spark.sql("SHOW TABLES IN graft.db").count() === 0)
+    spark.sql(s"DROP TABLE $T")
+    spark.sql(s"DROP TABLE $E")
+    val names = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet
+    assert(!names.contains(T.split('.').last) && !names.contains(E.split('.').last))
+  }
+
+  test("SQL DELETE FROM is a positional MoR commit; TRUNCATE is metadata-only") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    events.createOrReplaceTempView("ev_src")
+    val D = s"graft.db.d_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $D AS SELECT event_id, user_id, event_type, value FROM ev_src")
+    val total = events.count()
+    val clicks = events.filter(col("event_type") === "click").count()
+    spark.sql(s"DELETE FROM $D WHERE event_type = 'click'")
+    assert(spark.sql(s"SELECT count(*) FROM $D").head.getLong(0) === total - clicks)
+    // the delete was MoR: snapshot 2 carries a delete file, data files unchanged
+    val root = graft.util.Scratch.root
+      .resolve("sqlcat/db/" + D.split('.').last).toString
+    val m = graft.lake.LakeTable.manifest(root, 2)
+    assert(m.deletes.nonEmpty && m.deletes.forall(_.kind == "pos"))
+    assert(m.files.map(_.path) === graft.lake.LakeTable.manifest(root, 1).files.map(_.path))
+    // a DELETE matching nothing commits nothing
+    spark.sql(s"DELETE FROM $D WHERE event_type = 'no_such_type'")
+    assert(graft.lake.LakeTable.currentSnapshot(root) === 2)
+    // TRUNCATE: metadata-only empty rewrite; history stays readable
+    spark.sql(s"TRUNCATE TABLE $D")
+    assert(spark.sql(s"SELECT count(*) FROM $D").head.getLong(0) === 0)
+    assert(spark.sql(s"SELECT count(*) FROM $D VERSION AS OF 1").head.getLong(0) === total)
+    assert(graft.lake.LakeTable.manifest(root, 3).files.isEmpty)
+    spark.sql(s"DROP TABLE $D")
+  }
+
+  test("aggregate pushdown answers MIN/MAX/COUNT from footers on clean snapshots only") {
+    val root = graft.util.Scratch.dir("graft_v2agg_")
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.format("graft-lake").load(root)
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+      val planStr = agg.queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedAggregation"), planStr)
+      val r = agg.head
+      assert(r.getLong(0) === events.count() && r.getLong(1) === 0L)
+      // a snapshot with outstanding deletes must NOT push aggregates
+      LakeTable.deleteWhere(spark, root, "event_type",
+        spark.createDataFrame(Seq(Tuple1("click"))).toDF("event_type"))
+      val agg2 = spark.read.format("graft-lake").load(root)
+        .agg(count(lit(1)).as("n"))
+      assert(!agg2.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      assert(agg2.head.getLong(0) ===
+        events.filter(col("event_type") =!= "click").count())
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("runtime join filters re-prune files through manifest stats") {
+    val root = graft.util.Scratch.dir("graft_v2rf_")
+    LakeTable.commit(spark, root,
+      events.orderBy(col("event_id")),
+      BlockWriter.Config("user_id", "event_id", maxRecordsPerFile = 128),
+      Seq("event_id"), rangeCluster = true)
+    val fact = spark.read.format("graft-lake").load(root)
+    // a tiny dim whose join keys cover only the low end of event_id:
+    // the runtime IN-set filter must prune high-key files
+    val dim = events.filter(col("event_id") < 40)
+      .select(col("event_id"), col("event_type").as("t2"))
+    val joined = fact.join(dim, Seq("event_id"))
+    val expect = events.filter(col("event_id") < 40).count()
+    assert(joined.count() === expect)
+    // the scan object records the runtime narrowing (best-effort
+    // assertion: locate the GraftScan in the final adaptive plan)
+    val scans = joined.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b.scan)
+    }.flatten.collect { case g: graft.sources.GraftScan => g }
+    scans.headOption.foreach { g =>
+      assert(g.plannedFiles.size <= g.survivors.size)
+      info(s"runtime pruning: ${g.plannedFiles.size}/${g.survivors.size} files planned")
+    }
+    graft.util.Scratch.rmNow(root)
   }
 
   test("join statistics: a small lake table broadcasts") {
