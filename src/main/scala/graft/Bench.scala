@@ -33,6 +33,7 @@ object Bench {
     // optional comma-separated query filter (local dev loop)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -54,9 +55,12 @@ object Bench {
       // that can be never, so MapOutputTracker/BlockManager
       // bookkeeping grows across ~100 queries and late queries pay a
       // growing planning+scheduling tax (measured 3.7s → 27.6s on
-      // pipeline_e2e by bench tail). An explicit GC per query keeps
-      // every timing self-contained, cold-cache AND clean-tracker.
-      System.gc()
+      // pipeline_e2e by bench tail). PERIODIC explicit GC bounds that
+      // drift; per-query GC would instead bleed the cleaner's RPC
+      // work into every following query (a measured ~30% tax on the
+      // mid-weight lake queries).
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
       name -> dt
     }
     // millisecond precision keeps the one-line JSON compact enough to
