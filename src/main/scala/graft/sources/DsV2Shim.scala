@@ -61,6 +61,14 @@ object DsV2Shim {
       hadoopConf = new org.apache.hadoop.conf.Configuration(scan.hadoopConf),
       readDataSchema = readSchema)
 
+  /** Materialize a (metadata-scale) frame as the InternalRow array a
+    * DSv2 `LocalScan` serves — the executed plan's collect, so the
+    * rows are already safe copies.
+    */
+  def internalRows(df: org.apache.spark.sql.DataFrame): Array[InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.executeCollect()
+
   /** Executor-side projection dropping the helper columns a
     * delete-applying reader appended: the output row is the first
     * `baseLen` fields of the augmented row.

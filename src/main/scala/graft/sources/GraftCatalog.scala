@@ -75,13 +75,44 @@ class GraftCatalog extends TableCatalog {
 
   private def load(ident: Identifier, asOf: Option[Int]): Table = {
     val dir = dirOf(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.history`
+      // resolves here with namespace [ns, t] and name "history" —
+      // when the namespace path IS a lake table, serve its metadata
+      // (manifest-only; zero data-file IO at any table size).
+      if (ident.namespace().nonEmpty) {
+        val pDir = Paths.get(root, ident.namespace(): _*)
+        if (isTable(pDir) && LakeTable.currentSnapshot(pDir.toString) > 0) {
+          val t = pDir.toString
+          ident.name() match {
+            case "history" =>
+              return new GraftMetadataTable(s"$t#history",
+                LakeTable.history(spark, t))
+            case "files" =>
+              return new GraftMetadataTable(s"$t#files", filesDf(t))
+            case _ => ()
+          }
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val pendingPath = dir.resolve("meta").resolve("_schema.json")
     val pending =
       if (LakeTable.currentSnapshot(dir.toString) == 0 && Files.exists(pendingPath))
         Some(DataType.fromJson(Files.readString(pendingPath)).asInstanceOf[StructType])
       else None
     new GraftLakeTable(spark, dir.toString, asOf, pending)
+  }
+
+  /** The head snapshot's file inventory (Iceberg's `files` metadata
+    * table): one row per live data file straight from the manifest.
+    */
+  private def filesDf(table: String) = {
+    val m = LakeTable.manifest(table, LakeTable.currentSnapshot(table))
+    val s = spark
+    import s.implicits._
+    m.files.map(f => (f.path, f.rows, f.bytes, f.seq.toLong, f.stats.size.toLong))
+      .toDF("path", "rows", "bytes", "seq", "n_stat_cols")
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -128,5 +159,29 @@ class GraftCatalog extends TableCatalog {
     if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to): Unit
+  }
+}
+
+/** A read-only table over a driver-computed metadata frame, served
+  * through a DSv2 `LocalScan` (the rows are manifest-derived and
+  * metadata-scale by construction — snapshot history, file
+  * inventory).
+  */
+class GraftMetadataTable(name0: String, df: org.apache.spark.sql.DataFrame)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.util.{CaseInsensitiveStringMap => CIMap}
+
+  override def name(): String = name0
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CIMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        org.apache.spark.sql.graftshim.DsV2Shim.internalRows(df)
+      override def readSchema(): StructType = df.schema
+    }
   }
 }

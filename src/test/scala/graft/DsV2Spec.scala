@@ -256,6 +256,25 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $D")
   }
 
+  test("metadata tables: SELECT from t.history and t.files by name") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    events.createOrReplaceTempView("ev_src")
+    val M = s"graft.db.m_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $M AS SELECT event_id, user_id, value FROM ev_src WHERE event_id < 500")
+    spark.sql(s"INSERT INTO $M SELECT event_id, user_id, value FROM ev_src WHERE event_id >= 500")
+    val hist = spark.sql(s"SELECT snap, n_added_rows FROM $M.history ORDER BY snap")
+    assert(hist.count() === 2)
+    assert(hist.collect().map(_.getLong(1)).sum === events.count())
+    val files = spark.sql(s"SELECT path, rows, bytes FROM $M.files")
+    assert(files.count() > 0)
+    assert(files.collect().forall(r => r.getLong(2) > 0), "manifest-recorded bytes")
+    assert(files.select(sum(col("rows"))).head.getLong(0) === events.count())
+    spark.sql(s"DROP TABLE $M")
+  }
+
   test("aggregate pushdown answers MIN/MAX/COUNT from footers on clean snapshots only") {
     val root = graft.util.Scratch.dir("graft_v2agg_")
     LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
