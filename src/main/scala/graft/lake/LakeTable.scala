@@ -287,6 +287,64 @@ object LakeTable {
     }
   }
 
+  /** POSITION-DELTA commit (the write half of SQL UPDATE / MERGE INTO
+    * / arbitrary-predicate DELETE): executors have already staged
+    * `dataFiles` (inserted/updated rows, table schema) and
+    * `deleteFiles` (([[CoordPath]], [[CoordIdx]]) coordinates of the
+    * replaced rows); this binds BOTH to ONE atomic snapshot — the
+    * Iceberg position-delta write shape, where an UPDATE touching
+    * 0.01% of a 100 TB table costs 0.01%, not a rewrite.
+    *
+    * `basis` = the snapshot the coordinates were read from. Snapshot
+    * isolation: the commit fails if a rewrite retired any addressed
+    * file, or if ANY delete landed after `basis` (the update's values
+    * were computed from rows that may since be masked). Concurrent
+    * APPENDs commute and are allowed.
+    */
+  def commitDelta(spark: SparkSession, root: String, basis: Int,
+      dataFiles: Seq[(String, Long)], deleteFiles: Seq[(String, Long)],
+      statCols: Seq[String], note: String = ""): Int = {
+    require(basis > 0, s"delta commit against empty table $root")
+    val entries =
+      if (dataFiles.isEmpty) Nil
+      else scanStatsPaths(spark, dataFiles.map(_._1),
+        read(spark, root, Some(basis)), statCols)
+    val referenced: Set[String] =
+      if (deleteFiles.isEmpty) Set.empty
+      else spark.read.parquet(deleteFiles.map(_._1): _*)
+        .select(col(CoordPath)).distinct()
+        .collect().map(_.getString(0)).toSet
+    casLoop(root) { parent =>
+      val pm = manifest(root, parent)
+      val live = pm.files.map(_.path).toSet
+      val dangling = referenced -- live
+      if (dangling.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"delta commit addresses ${dangling.size} file(s) no longer in " +
+            s"$root's head snapshot (a rewrite landed); re-run against the head")
+      if (pm.deletes.exists(_.seq > basis))
+        throw new java.util.ConcurrentModificationException(
+          s"delta commit based on snapshot $basis of $root but a delete " +
+            "landed since; re-run against the head")
+      val snap = parent + 1
+      Manifest(snap, parent,
+        pm.files ++ entries.map(_.copy(seq = snap)),
+        pm.deletes ++ deleteFiles.map { case (p, n) =>
+          DeleteEntry(p, "", n, snap, kind = "pos") },
+        note, pm.schemaJson)
+    }
+  }
+
+  /** A commit-unique staging directory under `root` for out-of-band
+    * writers (the DSv2 delta write stages its task files here before
+    * [[commitDelta]] binds them).
+    */
+  private[graft] def newStagingDir(root: String): String = {
+    val dir = stagingDir(root)
+    Files.createDirectories(Paths.get(dir))
+    dir
+  }
+
   /** Reserved coordinate-column names. Underscore-prefixed so a table
     * whose OWN schema has `path`/`idx` columns is never silently
     * overwritten by the delete plumbing; commit-time schema
@@ -423,7 +481,12 @@ object LakeTable {
     * stats).
     */
   private def scanStats(spark: SparkSession, staging: String, df: DataFrame,
-      statCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+      statCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] =
+    scanStatsPaths(spark, Seq(staging), df, statCols, bloomCols)
+
+  private def scanStatsPaths(spark: SparkSession, paths: Seq[String],
+      df: DataFrame, statCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val kinds: Seq[(String, String, Column => Column)] = statCols.map { c =>
       df.schema(c).dataType match {
         case StringType => (c, "s", (x: Column) => x)
@@ -439,7 +502,7 @@ object LakeTable {
         collect_set(bloomPosExpr(col(c), i)).as(s"bl_${c}_$i")))) :+
       max(col("_metadata.file_size")).cast("bigint").as("bytes")
     val bloomBase = 2 + 2 * kinds.size
-    spark.read.parquet(staging)
+    spark.read.parquet(paths: _*)
       .groupBy(col("_metadata.file_path").as("path"))
       .agg(aggCols.head, aggCols.tail: _*)
       .collect() // one row per staged file — commit-time stats only

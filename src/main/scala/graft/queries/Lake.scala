@@ -773,6 +773,97 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- q_sql_update: SQL UPDATE on a lake table — the DSv2
+  // POSITION-DELTA row-level path (SupportsRowLevelOperations +
+  // SupportsDelta): the scan emits each candidate row's
+  // (_graft_file_path, _graft_row_idx) metadata columns as the row
+  // id, executors stage the updated rows as new data files and the
+  // old coordinates as a positional-delete payload, and ONE atomic
+  // merge-on-read commit binds both — no data file is rewritten, so
+  // an UPDATE touching 0.01% of 100 TB costs 0.01%. The predicate
+  // here (event_id % 3) is deliberately NOT v1-Filter-translatable,
+  // so the metadata-only SupportsDelete shortcut cannot serve it.
+  def qSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.upd_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sql_update")
+    s.sql(s"CREATE TABLE $tbl AS SELECT * FROM ev_sql_update")
+    s.sql(s"""UPDATE $tbl SET value = value + 1000
+             |WHERE event_type = 'click' AND event_id % 3 = 0""".stripMargin)
+    s.sql(s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM $tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val qSqlUpdateSql: String =
+    """WITH u AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_type = 'click' AND event_id % 3 = 0
+      |         THEN value + 1000 ELSE value END AS value
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q_sql_merge: SQL MERGE INTO on a lake table — all three
+  // clause kinds through the same position-delta write (matched
+  // DELETE, matched UPDATE referencing source columns, NOT MATCHED
+  // INSERT *), landing as ONE atomic snapshot. Target = even events,
+  // source = every third event: the overlap exercises matched rows,
+  // the odd thirds the inserts; the oracle replays the merge
+  // algebra with a left join.
+  def qSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.mrg_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sql_merge")
+    s.sql(s"CREATE TABLE $tbl AS SELECT * FROM ev_sql_merge WHERE event_id % 2 = 0")
+    s.sql(s"""MERGE INTO $tbl AS tgt
+             |USING (SELECT * FROM ev_sql_merge WHERE event_id % 3 = 0) AS src
+             |ON tgt.event_id = src.event_id
+             |WHEN MATCHED AND tgt.event_type = 'view' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET value = src.value * 2
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM $tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val qSqlMergeSql: String =
+    """WITH tgt AS (
+      |  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0),
+      |src AS (
+      |  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0),
+      |merged AS (
+      |  SELECT t.event_id,
+      |         t.event_type,
+      |         CASE WHEN s.event_id IS NOT NULL THEN s.value * 2
+      |              ELSE t.value END AS value
+      |  FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
+      |  WHERE NOT (s.event_id IS NOT NULL AND t.event_type = 'view')
+      |  UNION ALL
+      |  SELECT s.event_id, s.event_type, s.value
+      |  FROM src s LEFT JOIN tgt t ON s.event_id = t.event_id
+      |  WHERE t.event_id IS NULL)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM merged
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_lake" -> streamLake,
     "lake_format_read" -> lakeFormatRead,
@@ -792,7 +883,9 @@ object Lake {
     "lake_delete_bulk" -> lakeDeleteBulk,
     "lake_rewrite" -> lakeRewrite,
     "lake_format_write" -> lakeFormatWrite,
-    "q_sql_lake" -> qSqlLake)
+    "q_sql_lake" -> qSqlLake,
+    "q_sql_update" -> qSqlUpdate,
+    "q_sql_merge" -> qSqlMerge)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -813,5 +906,7 @@ object Lake {
     "lake_delete_bulk" -> lakeDeleteBulkSql,
     "lake_rewrite" -> lakeRewriteSql,
     "lake_format_write" -> lakeFormatWriteSql,
-    "q_sql_lake" -> qSqlLakeSql)
+    "q_sql_lake" -> qSqlLakeSql,
+    "q_sql_update" -> qSqlUpdateSql,
+    "q_sql_merge" -> qSqlMergeSql)
 }

@@ -77,6 +77,85 @@ object DsV2Shim {
     UnsafeProjection.create(augmented.fields.take(baseLen).zipWithIndex.map {
       case (f, i) => BoundReference(i, f.dataType, f.nullable): Expression
     }.toIndexedSeq)
+
+  /** Executor-side projection mapping an augmented parquet row to the
+    * scan's requested output: `outMap(i)` is the augmented-row ordinal
+    * serving output field i, or -1 for the row's (constant) file path
+    * — the coordinate-emitting read that serves `_graft_file_path` /
+    * `_graft_row_idx` metadata columns.
+    */
+  def mappedProjection(augmented: StructType, outMap: Seq[Int],
+      filePath: String): UnsafeProjection =
+    UnsafeProjection.create(outMap.map { ord =>
+      if (ord < 0)
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(filePath),
+          org.apache.spark.sql.types.StringType): Expression
+      else {
+        val f = augmented.fields(ord)
+        BoundReference(ord, f.dataType, f.nullable): Expression
+      }
+    }.toIndexedSeq)
+
+  // ---- executor-side parquet writing (the delta-write data path) ----
+
+  /** The hadoop conf a task-side parquet writer needs, prepared
+    * driver-side from the session (the same keys Spark's own
+    * `ParquetUtils.prepareWrite` pins before handing the conf to
+    * write tasks).
+    */
+  def writeConf(spark: SparkSession): org.apache.hadoop.conf.Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val sqlConf = spark.sessionState.conf
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION, "snappy")
+    conf
+  }
+
+  /** A task-side writer of [[InternalRow]]s to one parquet file —
+    * Spark's own [[org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter]]
+    * (full Catalyst type fidelity: the files read back exactly like
+    * any Spark-written parquet) behind a fabricated task context.
+    */
+  def newRowWriter(path: String, schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    ParquetWriteSupport.setSchema(schema, c)
+    c.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[ParquetWriteSupport].getName)
+    val id = new TaskAttemptID(new TaskID(new JobID("graft-delta", 0),
+      TaskType.MAP, 0), 0)
+    new ParquetOutputWriter(path,
+      new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(c, id))
+  }
+}
+
+/** Java-serializable hadoop `Configuration` carrier (the conf rides
+  * the writer factory from driver to executors).
+  */
+final class ConfBox(@transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = conf.write(out)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
 }
 
 /** A [[PartitioningAwareFileIndex]] served straight from the lake
@@ -129,7 +208,8 @@ final class DelegatedScanBuilder(
     options: CaseInsensitiveStringMap,
     allFiles: Seq[(String, Long)],
     aggPushdown: Boolean,
-    finish: (ParquetScan, Seq[Filter]) => Scan)
+    coordNames: Set[String],
+    finish: (ParquetScan, Seq[Filter], Option[StructType]) => Scan)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -137,14 +217,24 @@ final class DelegatedScanBuilder(
     ParquetScanBuilder(spark, new ManifestFileIndex(spark, allFiles),
       dataSchema, dataSchema, options)
   private var pushedV1: Seq[Filter] = Nil
+  private var requested: Option[StructType] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedV1 = DsV2Shim.toV1Filters(filters)
     inner.pushFilters(filters)
   }
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(requiredSchema)
+
+  /** Row-coordinate METADATA columns (`_graft_file_path` /
+    * `_graft_row_idx`) are stripped before delegating — the parquet
+    * builder prunes to the data fields; the lake layer's scan emits
+    * the coordinates itself (`finish` sees the full requested schema).
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requested = Some(requiredSchema)
+    inner.pruneColumns(StructType(
+      requiredSchema.fields.filterNot(f => coordNames(f.name))))
+  }
 
   /** MIN/MAX/COUNT answered from parquet FOOTERS (zero data IO) —
     * forwarded to the parquet builder only for snapshots with no
@@ -156,5 +246,7 @@ final class DelegatedScanBuilder(
   override def pushAggregation(agg: Aggregation): Boolean =
     aggPushdown && inner.pushAggregation(agg)
 
-  override def build(): Scan = finish(inner.build(), pushedV1)
+  override def build(): Scan =
+    finish(inner.build(), pushedV1,
+      requested.filter(_.fields.exists(f => coordNames(f.name))))
 }

@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -126,6 +126,14 @@ object GraftLakeTable {
     if (m.schemaJson.nonEmpty) DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     else LakeTable.read(spark, root, Some(snap)).schema
   }
+
+  private[sources] def metaCol(name0: String, dt: DataType,
+      comment0: String): MetadataColumn = new MetadataColumn {
+    override def name(): String = name0
+    override def dataType(): DataType = dt
+    override def isNullable: Boolean = false
+    override def comment(): String = comment0
+  }
 }
 
 /** One lake table at one (optional) snapshot. Capabilities cover
@@ -137,7 +145,8 @@ object GraftLakeTable {
   */
 class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     providedSchema: Option[StructType]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
 
   private lazy val snap: Int = asOf.getOrElse(LakeTable.currentSnapshot(root))
 
@@ -173,8 +182,20 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     new DelegatedScanBuilder(spark, tableSchema, options,
       m.files.map(f => (f.path, GraftScan.bytesOf(f))),
       aggPushdown = m.deletes.isEmpty,
-      (pscan, pushed) => new GraftScan(spark, root, m, tableSchema, pscan, pushed))
+      Set(LakeTable.CoordPath, LakeTable.CoordIdx),
+      (pscan, pushed, requested) =>
+        new GraftScan(spark, root, m, tableSchema, pscan, pushed, requested))
   }
+
+  /** Row-coordinate METADATA columns: every scan can serve each row's
+    * (file path, parquet row index) — the address space positional
+    * deletes and the SQL UPDATE/MERGE delta writes target.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    GraftLakeTable.metaCol(LakeTable.CoordPath, StringType,
+      "data file holding the row"),
+    GraftLakeTable.metaCol(LakeTable.CoordIdx, LongType,
+      "parquet row index of the row within its file"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(spark, root, info)
@@ -202,6 +223,22 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
   }
 
   override def truncateTable(): Boolean = { LakeTable.truncate(root); true }
+
+  // ---- SQL UPDATE / MERGE INTO / non-translatable DELETE ----
+  //
+  // The position-delta row-level operation ([[GraftDeltaOperation]]):
+  // scan emits row coordinates, write stages new data + positional
+  // deletes, commit is one atomic merge-on-read snapshot. (A DELETE
+  // whose predicate translates still takes the metadata-only
+  // SupportsDelete path above — Spark's optimizer prefers it.)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"cannot run row-level ${info.command()} against a time-travel view of $root")
+    () => new GraftDeltaOperation(spark, this, info.command())
+  }
 }
 
 /** v1 `Filter` → `Column` for row-level DELETE conditions. Total on
@@ -310,7 +347,10 @@ object LakeFilters {
 private[sources] final case class EqDeleteSpec(ord: Int, tag: String, files: Seq[String])
 private[sources] final case class GroupDeleteSpec(
     eqs: Seq[EqDeleteSpec], posFiles: Seq[String], rowIdxOrd: Int,
-    augSchema: StructType, baseLen: Int)
+    augSchema: StructType, baseLen: Int,
+    // coordinate-emitting output: augmented-row ordinal per output
+    // field, -1 = the partition's (constant) file path
+    outMap: Option[Seq[Int]] = None)
 
 private[sources] final case class TaggedPartition(tag: Int, inner: FilePartition)
     extends InputPartition {
@@ -353,9 +393,14 @@ object GraftScan {
   * dynamic partition pruning.
   */
 final class GraftScan(spark: SparkSession, root: String, m: Manifest,
-    tableSchema: StructType, template: ParquetScan, pushed: Seq[Filter])
+    tableSchema: StructType, template: ParquetScan, pushed: Seq[Filter],
+    // full requested schema when row-coordinate metadata columns
+    // (`_graft_file_path`/`_graft_row_idx`) are among the output
+    requested: Option[StructType] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
+
+  private val coordsRequested: Boolean = requested.isDefined
 
   private val tracked: Set[String] =
     m.files.headOption.map(_.stats.keySet).getOrElse(Set.empty[String])
@@ -397,7 +442,9 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
     // aggregate pushdown, whose footer answer must cover every file
     if (!aggPushed) planned = prune(planned, filters.toIndexedSeq)
 
-  override def readSchema(): StructType = template.readDataSchema
+  override def readSchema(): StructType =
+    if (aggPushed) template.readDataSchema
+    else requested.getOrElse(template.readDataSchema)
 
   override def description(): String =
     s"GraftLakeScan root=$root snapshot=${m.snapshotId} " +
@@ -435,7 +482,7 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
         val dels: Seq[DeleteEntry] = m.deletes.filter(_.seq > fs.head.seq)
         val files = fs.map(f => (f.path, GraftScan.bytesOf(f)))
         val paths = fs.map(_.path).toSet
-        if (dels.isEmpty)
+        if (dels.isEmpty && !coordsRequested)
           Group(DsV2Shim.withFiles(template, spark, files), None, paths)
         else {
           val (posDels, eqDels) = dels.partition(_.kind == "pos")
@@ -450,15 +497,22 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
               EqDeleteSpec(ord, GraftScan.keyTag(tableSchema(kc).dataType),
                 entries.map(_.path))
           }
+          val needRowIdx = posDels.nonEmpty ||
+            requested.exists(_.fieldNames.contains(LakeTable.CoordIdx))
           val rowIdxOrd =
-            if (posDels.isEmpty) -1
+            if (!needRowIdx) -1
             // nullable: the column is absent from the FILES (the
             // reader's row-index generator back-fills it after the
             // batch is read), and a required-but-missing column fails
             // the vectorized reader's schema check
             else { aug = aug.add(StructField(DsV2Shim.rowIndexCol, LongType, nullable = true)); aug.length - 1 }
+          val outMap = requested.map(_.fields.map { f =>
+            if (f.name == LakeTable.CoordPath) -1
+            else if (f.name == LakeTable.CoordIdx) rowIdxOrd
+            else aug.fieldNames.indexOf(f.name)
+          }.toSeq)
           val spec = GroupDeleteSpec(eqs, posDels.map(_.path), rowIdxOrd,
-            aug, base.length)
+            aug, base.length, outMap)
           Group(DsV2Shim.withFilesAndSchema(template, spark, files, aug),
             Some(spec), paths)
         }
@@ -476,7 +530,7 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
             keep.map(f => (f.path, GraftScan.bytesOf(f))))
           .planInputPartitions().map(_.asInstanceOf[FilePartition])
         val shaped =
-          if (g.spec.exists(_.posFiles.nonEmpty))
+          if (g.spec.exists(s => s.posFiles.nonEmpty || s.outMap.isDefined))
             // one PartitionedFile per partition so each reader knows
             // its rows' file coordinate (splits of one file are still
             // fine: the parquet row index is file-global)
@@ -528,7 +582,7 @@ final class GraftReaderFactory(inner: Array[PartitionReaderFactory],
       case None => r
       case Some(spec) =>
         val filePath =
-          if (spec.posFiles.isEmpty) ""
+          if (spec.posFiles.isEmpty && spec.outMap.isEmpty) ""
           else t.inner.files.head.filePath.toPath.toString
         new DeleteFilterReader(r, spec, filePath)
     }
@@ -553,7 +607,10 @@ final class DeleteFilterReader(inner: PartitionReader[InternalRow],
     if (spec.posFiles.isEmpty) null
     else DeleteSideCache.positions(spec.posFiles)
       .getOrDefault(filePath, DeleteSideCache.noPositions)
-  private val project = DsV2Shim.prefixProjection(spec.augSchema, spec.baseLen)
+  private val project = spec.outMap match {
+    case Some(m) => DsV2Shim.mappedProjection(spec.augSchema, m, filePath)
+    case None => DsV2Shim.prefixProjection(spec.augSchema, spec.baseLen)
+  }
   private var cur: InternalRow = _
 
   private def keyOf(r: InternalRow, ord: Int, tag: String): AnyRef = tag match {

@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.OutputWriter
+import org.apache.spark.sql.graftshim.{ConfBox, DsV2Shim}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.LakeTable
+
+/** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE` on lake
+  * tables — the DSv2 POSITION-DELTA row-level operation (Iceberg's
+  * merge-on-read write shape, which its `iceberg-core` dependency
+  * gives the reference's tables; see reference main.go:48-56):
+  *
+  *  - the SCAN is the table's own coordinate-emitting scan — each
+  *    candidate row carries its (`_graft_file_path`,
+  *    `_graft_row_idx`) metadata columns, which Spark's row-level
+  *    rewrite rules project as the row id (manifest-stats pruning
+  *    still bounds the candidate files to the condition);
+  *  - the WRITE is a delta: executors stage replacement/inserted rows
+  *    as ordinary data files and the replaced rows' coordinates as a
+  *    positional-delete payload, in parallel, with no driver
+  *    funneling;
+  *  - the COMMIT binds both to ONE atomic snapshot
+  *    ([[LakeTable.commitDelta]]), basis-validated for snapshot
+  *    isolation. Nothing is rewritten: an UPDATE touching 0.01% of a
+  *    100 TB table costs 0.01%. [[LakeTable.foldDeletes]] remains the
+  *    maintenance path that bounds accumulated delete debt.
+  *
+  * UPDATEs are represented as delete + reinsert
+  * (`representUpdateAsDeleteAndInsert`), so the writer only ever
+  * appends — updated rows simply land in new files while their old
+  * coordinates are masked.
+  */
+final class GraftDeltaOperation(spark: SparkSession, table: GraftLakeTable,
+    cmd: Command) extends RowLevelOperation with SupportsDelta {
+
+  /** The snapshot the candidate rows are read from; the commit
+    * validates against it (snapshot isolation).
+    */
+  private[sources] val basis: Int = LakeTable.currentSnapshot(table.root)
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(spark, table.root, basis, info, cmd)
+    }
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(LakeTable.CoordPath),
+    Expressions.column(LakeTable.CoordIdx))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def description(): String =
+    s"GraftPositionDelta[${cmd.toString.toLowerCase}] basis=$basis"
+}
+
+/** One SQL row-level statement's write: task writers stage files
+  * under a commit-unique dir, the driver commit is one atomic
+  * manifest CAS over exactly the task-reported files (a speculative
+  * or retried task's abandoned files are never picked up).
+  */
+final class GraftDeltaWrite(spark: SparkSession, root: String, basis: Int,
+    info: LogicalWriteInfo, cmd: Command) extends DeltaWrite {
+
+  override def description(): String = s"GraftDeltaWrite[$root]"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val staging = LakeTable.newStagingDir(root)
+
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory =
+      GraftDeltaWriterFactory(staging, info.schema(),
+        new ConfBox(DsV2Shim.writeConf(spark)))
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val ms = messages.collect { case m: GraftDeltaMessage => m }
+      val dataFiles = ms.flatMap(_.dataFiles).toSeq.sortBy(_._1)
+      val deleteFiles = ms.flatMap(_.deleteFiles).toSeq.sortBy(_._1)
+      if (dataFiles.isEmpty && deleteFiles.isEmpty) return // matched nothing
+      val statCols = info.schema().fields.collect {
+        case f if (f.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType | StringType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.DateType => true
+          case _ => false
+        }) => f.name
+      }.toSeq
+      LakeTable.commitDelta(spark, root, basis, dataFiles, deleteFiles,
+        statCols, note = s"sql-${cmd.toString.toLowerCase}"): Unit
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.collect { case m: GraftDeltaMessage => m }.foreach { m =>
+        (m.dataFiles ++ m.deleteFiles).foreach { case (p, _) =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+            new java.net.URI(p).getPath)): Unit
+        }
+      }
+  }
+}
+
+private[sources] final case class GraftDeltaMessage(
+    dataFiles: Seq[(String, Long)], deleteFiles: Seq[(String, Long)])
+  extends WriterCommitMessage
+
+private[sources] final case class GraftDeltaWriterFactory(staging: String,
+    rowSchema: StructType, conf: ConfBox) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaRowWriter(staging, rowSchema, conf, partitionId, taskId)
+}
+
+/** Per-task delta writer: inserted rows stream to a data parquet
+  * file, deleted rows' (path, idx) ids to a positional-delete parquet
+  * file — both created lazily (a task that only deletes writes no
+  * data file and vice versa), both named by (partition, task) so a
+  * retried attempt never collides.
+  */
+final class GraftDeltaRowWriter(staging: String, rowSchema: StructType,
+    conf: ConfBox, partitionId: Int, taskId: Long)
+  extends DeltaWriter[InternalRow] {
+
+  private val delSchema = StructType(Seq(
+    StructField(LakeTable.CoordPath, StringType, nullable = false),
+    StructField(LakeTable.CoordIdx, LongType, nullable = false)))
+
+  private var dataWriter: OutputWriter = _
+  private var delWriter: OutputWriter = _
+  private var dataRows = 0L
+  private var delRows = 0L
+  private val dataPath = s"$staging/delta-d-$partitionId-$taskId.parquet"
+  private val delPath = s"$staging/delta-x-$partitionId-$taskId.parquet"
+
+  override def insert(row: InternalRow): Unit = {
+    if (dataWriter == null)
+      dataWriter = DsV2Shim.newRowWriter(dataPath, rowSchema, conf.value)
+    dataWriter.write(row)
+    dataRows += 1
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    if (delWriter == null)
+      delWriter = DsV2Shim.newRowWriter(delPath, delSchema, conf.value)
+    delWriter.write(id)
+    delRows += 1
+  }
+
+  // unreachable under representUpdateAsDeleteAndInsert, but total
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    close()
+    GraftDeltaMessage(
+      if (dataRows > 0) Seq((dataPath, dataRows)) else Nil,
+      if (delRows > 0) Seq((delPath, delRows)) else Nil)
+  }
+
+  override def abort(): Unit = {
+    close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dataPath)): Unit
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(delPath)): Unit
+  }
+
+  override def close(): Unit = {
+    if (dataWriter != null) { dataWriter.close(); dataWriter = null }
+    if (delWriter != null) { delWriter.close(); delWriter = null }
+  }
+}

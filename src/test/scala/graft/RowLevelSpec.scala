@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+import graft.writer.BlockWriter
+
+/** SQL row-level operations on lake tables: coordinate metadata
+  * columns, UPDATE, MERGE INTO, and arbitrary-predicate DELETE via
+  * the DSv2 position-delta path (`SupportsRowLevelOperations` +
+  * `SupportsDelta`) — every mutation is ONE atomic merge-on-read
+  * commit (new data files + a positional-delete file), never a
+  * data-file rewrite.
+  */
+class RowLevelSpec extends AnyFunSuite {
+
+  import TestSpark.spark
+
+  private lazy val cfg = BlockWriter.Config("user_id", "event_id", 4096)
+
+  private def events = {
+    val s = spark
+    import s.implicits._
+    (0 until 2000).map(i =>
+      (i.toLong, (i % 7).toLong, s"t${i % 5}", i * 1.5, (i % 97).toLong))
+      .toDF("event_id", "user_id", "event_type", "value", "day")
+  }
+
+  test("metadata columns: _graft_file_path/_graft_row_idx through the format read") {
+    val root = graft.util.Scratch.dir("graft_rl_meta_")
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id", "user_id"))
+    val df = spark.read.format("graft-lake").load(root)
+      .select(col("event_id"), col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+    assert(df.count() === 2000)
+    // coordinates address distinct rows and agree with withRowCoords
+    assert(df.select(col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+      .distinct().count() === 2000)
+    val viaScala = LakeTable.withRowCoords(spark, root)
+      .select(col("event_id"), col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+    assert(df.exceptAll(viaScala).isEmpty && viaScala.exceptAll(df).isEmpty)
+  }
+
+  private def catalogTable(prefix: String): (String, String) = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    events.createOrReplaceTempView(s"${prefix}_src")
+    val t = s"graft.db.${prefix}_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t AS SELECT * FROM ${prefix}_src")
+    (t, s"${prefix}_src")
+  }
+
+  test("SQL UPDATE runs as one atomic position-delta commit") {
+    val (t, _) = catalogTable("rl_upd")
+    val filesBefore = spark.sql(s"SELECT path FROM $t.files")
+      .collect().map(_.getString(0)).toSet
+    val histBefore = spark.sql(s"SELECT count(*) FROM $t.history").head.getLong(0)
+
+    spark.sql(s"UPDATE $t SET value = value * 2, event_type = 'boosted' " +
+      "WHERE user_id = 3 AND day % 2 = 1")
+
+    val expect = events
+      .withColumn("value", when(col("user_id") === 3 && col("day") % 2 === 1,
+        col("value") * 2).otherwise(col("value")))
+      .withColumn("event_type", when(col("user_id") === 3 && col("day") % 2 === 1,
+        lit("boosted")).otherwise(col("event_type")))
+    val got = spark.table(t)
+    assert(got.count() === 2000)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+
+    // merge-on-read shape: pre-update files untouched, ONE new commit
+    val filesAfter = spark.sql(s"SELECT path FROM $t.files")
+      .collect().map(_.getString(0)).toSet
+    assert(filesBefore.subsetOf(filesAfter), "UPDATE must not rewrite data files")
+    val histAfter = spark.sql(s"SELECT count(*) FROM $t.history").head.getLong(0)
+    assert(histAfter === histBefore + 1, "UPDATE must be ONE atomic commit")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL MERGE INTO: matched update, not-matched insert, matched delete") {
+    val (t, _) = catalogTable("rl_mrg")
+    val s = spark
+    import s.implicits._
+    // source: updates for user 1, inserts beyond the key space,
+    // deletes for event_type t4 of user 2
+    val source = (0 until 2500).map(i =>
+      (i.toLong, (i % 7).toLong, s"t${i % 5}", i * 10.0, (i % 97).toLong))
+      .toDF("event_id", "user_id", "event_type", "value", "day")
+    source.createOrReplaceTempView("rl_mrg_updates")
+
+    spark.sql(s"""
+      MERGE INTO $t AS tgt
+      USING rl_mrg_updates AS src
+      ON tgt.event_id = src.event_id
+      WHEN MATCHED AND src.user_id = 2 AND src.event_type = 't4' THEN DELETE
+      WHEN MATCHED AND src.user_id = 1 THEN UPDATE SET value = src.value
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+
+    val got = spark.table(t)
+    val expect = events
+      .filter(!(col("user_id") === 2 && col("event_type") === "t4"))
+      .withColumn("value", when(col("user_id") === 1, col("event_id") * 10.0)
+        .otherwise(col("value")))
+      .unionAll(source.filter(col("event_id") >= 2000))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL DELETE with a non-translatable predicate takes the delta path") {
+    val (t, _) = catalogTable("rl_del")
+    // day % 3 is not a v1 Filter shape, so SupportsDelete refuses and
+    // the row-level position-delta path must serve it
+    spark.sql(s"DELETE FROM $t WHERE day % 3 = 2 AND event_type IN ('t1','t3')")
+    val got = spark.table(t)
+    val expect = events.filter(
+      !(col("day") % 3 === 2 && col("event_type").isin("t1", "t3")))
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("UPDATE matching no rows commits nothing") {
+    val (t, _) = catalogTable("rl_noop")
+    val histBefore = spark.sql(s"SELECT count(*) FROM $t.history").head.getLong(0)
+    spark.sql(s"UPDATE $t SET value = 0 WHERE event_id = -1")
+    val histAfter = spark.sql(s"SELECT count(*) FROM $t.history").head.getLong(0)
+    assert(histAfter === histBefore, "no-match UPDATE must not add a snapshot")
+    assert(spark.table(t).count() === 2000)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("delta commit keeps snapshot isolation after UPDATE + foldDeletes") {
+    val (t, _) = catalogTable("rl_fold")
+    val root = spark.sql(s"SELECT path FROM $t.files").head.getString(0)
+      .replaceFirst("^file:", "").replaceFirst("/data/c[^/]*/.*$", "")
+    spark.sql(s"UPDATE $t SET value = -1 WHERE user_id = 5")
+    val before = spark.table(t).orderBy("event_id").collect()
+    // fold the delete debt back into data files; content must not move
+    LakeTable.foldDeletes(spark, root, cfg, Seq("event_id", "user_id")): Unit
+    val after = spark.table(t).orderBy("event_id").collect()
+    assert(before.sameElements(after),
+      "foldDeletes must preserve the delta-updated content")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("metadata columns respect merge-on-read deletes") {
+    val root = graft.util.Scratch.dir("graft_rl_metadel_")
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id", "user_id"))
+    val s = spark
+    import s.implicits._
+    LakeTable.deleteWhere(spark, root, "user_id", Seq(3L).toDF("user_id")): Unit
+    val df = spark.read.format("graft-lake").load(root)
+      .select(col("user_id"), col(LakeTable.CoordPath))
+    assert(df.filter(col("user_id") === 3).count() === 0)
+    assert(df.count() === events.filter(col("user_id") =!= 3).count())
+  }
+}
