@@ -100,8 +100,16 @@ object LakeTable {
     * -1 on manifests written before the field existed (readers fall
     * back to a stat).
     */
+  /** `bucket` = the hash-bucket every row of the file belongs to
+    * (pmod(murmur3(partitionCol), nBuckets) — [[graft.writer.BlockWriter.writeFlat]]
+    * co-locates each bucket on one write task, so a file never
+    * straddles buckets), or -1 when unknown (range-clustered
+    * rewrites, delta-written files). Recorded so scans can report
+    * KeyGroupedPartitioning and joins of co-bucketed tables skip
+    * both shuffles (storage-partitioned join).
+    */
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
-      seq: Int = 0, bytes: Long = -1L)
+      seq: Int = 0, bytes: Long = -1L, bucket: Int = -1)
   /** A delete file; applies to data files with seq < this.seq.
     * `kind` "eq": parquet of distinct `keyCol` values (equality
     * delete). `kind` "pos": parquet of (path, idx) row coordinates
@@ -113,9 +121,14 @@ object LakeTable {
   /** `tsMs` = wall-clock commit time (metadata only — never query
     * output), enabling AS-OF-TIMESTAMP travel.
     */
+  /** `bucketCol`/`nBuckets` = the table's current hash-bucket layout
+    * spec (empty/0 when none or mixed): valid for storage-partitioned
+    * planning only while EVERY live file carries a bucket id under
+    * this spec.
+    */
   final case class Manifest(snapshotId: Int, parentId: Int, files: Seq[FileEntry],
       deletes: Seq[DeleteEntry] = Nil, note: String = "", schemaJson: String = "",
-      tsMs: Long = 0L)
+      tsMs: Long = 0L, bucketCol: String = "", nBuckets: Int = 0)
 
   /** Bounded CAS retries for a commit racing other committers. */
   private val MaxCommitRetries = 20
@@ -211,7 +224,8 @@ object LakeTable {
       val snap = parent + 1
       Manifest(snap, parent, pm.get.files,
         pm.get.deletes ++ entries.map { case (p, n) => DeleteEntry(p, keyCol, n, snap) },
-        note = "", schemaJson = pm.get.schemaJson)
+        note = "", schemaJson = pm.get.schemaJson,
+        bucketCol = pm.get.bucketCol, nBuckets = pm.get.nBuckets)
     }
   }
 
@@ -232,7 +246,10 @@ object LakeTable {
         "row-coordinate names; rename them before committing")
     val dataStaging = stagingDir(root)
     BlockWriter.writeFlat(updates, dataStaging, cfg)
-    val entries = scanStats(spark, dataStaging, updates, statCols)
+    val mergeSpec = Some((cfg.partitionCol, cfg.parallelism
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)))
+    val entries = scanStats(spark, dataStaging, updates, statCols,
+      bucketOf = mergeSpec)
     val (_, delEntries) = stageDeleteFrame(spark, root,
       updates.select(col(keyCol)).distinct())
     casLoop(root) { parent =>
@@ -242,10 +259,13 @@ object LakeTable {
       require(expect.isEmpty || expect == updates.schema.json,
         s"merge schema mismatch for $root: table has $expect, updates have ${updates.schema.json}")
       val snap = parent + 1
+      val (bCol, bN) =
+        if (mergeSpec.contains((pm.bucketCol, pm.nBuckets))) (pm.bucketCol, pm.nBuckets)
+        else ("", 0)
       Manifest(snap, parent,
         pm.files ++ entries.map(_.copy(seq = snap)),
         pm.deletes ++ delEntries.map { case (p, n) => DeleteEntry(p, keyCol, n, snap) },
-        note = "", schemaJson = pm.schemaJson)
+        note = "", schemaJson = pm.schemaJson, bucketCol = bCol, nBuckets = bN)
     }
   }
 
@@ -283,7 +303,8 @@ object LakeTable {
       Manifest(snap, parent, pm.files,
         pm.deletes ++ entries.map { case (p, n) =>
           DeleteEntry(p, "", n, snap, kind = "pos") },
-        note = "", schemaJson = pm.schemaJson)
+        note = "", schemaJson = pm.schemaJson,
+        bucketCol = pm.bucketCol, nBuckets = pm.nBuckets)
     }
   }
 
@@ -327,11 +348,15 @@ object LakeTable {
           s"delta commit based on snapshot $basis of $root but a delete " +
             "landed since; re-run against the head")
       val snap = parent + 1
+      // delta-written files carry no bucket: the spec stays (future
+      // compaction restores it) but SPJ reporting self-disables while
+      // any live file is unbucketed
       Manifest(snap, parent,
         pm.files ++ entries.map(_.copy(seq = snap)),
         pm.deletes ++ deleteFiles.map { case (p, n) =>
           DeleteEntry(p, "", n, snap, kind = "pos") },
-        note, pm.schemaJson)
+        note, pm.schemaJson,
+        bucketCol = pm.bucketCol, nBuckets = pm.nBuckets)
     }
   }
 
@@ -344,6 +369,35 @@ object LakeTable {
     Files.createDirectories(Paths.get(dir))
     dir
   }
+
+  /** ADDITIVE schema evolution as a METADATA-ONLY commit (SQL
+    * `ALTER TABLE … ADD COLUMNS`): the new manifest carries the
+    * widened schema over the UNCHANGED file list — zero data IO at
+    * any table size; existing files null-fill the new columns at
+    * read via the manifest schema, exactly like an evolved append
+    * ([[commit]]'s additive-evolution rule). Only nullable additions
+    * are representable without touching data, so anything else is
+    * rejected here.
+    */
+  def evolveSchema(root: String, newSchema: StructType): Int =
+    casLoop(root) { parent =>
+      require(parent > 0, s"schema evolution on empty table $root")
+      val pm = manifest(root, parent)
+      val expect = DataType.fromJson(pm.schemaJson).asInstanceOf[StructType]
+      val broken = expect.fields.filterNot(f =>
+        newSchema.exists(g => g.name == f.name && g.dataType == f.dataType))
+      require(broken.isEmpty,
+        s"schema evolution of $root may only ADD columns; dropped/retyped: " +
+          broken.map(_.name).mkString(", "))
+      val added = newSchema.fields.filterNot(g => expect.exists(_.name == g.name))
+      require(added.forall(_.nullable),
+        s"evolution of $root adds non-nullable columns " +
+          added.filterNot(_.nullable).map(_.name).mkString(", ") +
+          "; existing files cannot satisfy them")
+      Manifest(parent + 1, parent, pm.files, pm.deletes,
+        note = "evolve-schema", schemaJson = newSchema.json,
+        bucketCol = pm.bucketCol, nBuckets = pm.nBuckets)
+    }
 
   /** Reserved coordinate-column names. Underscore-prefixed so a table
     * whose OWN schema has `path`/`idx` columns is never silently
@@ -428,7 +482,14 @@ object LakeTable {
         "row-coordinate names; rename them before committing")
     val staging = stagingDir(root)
     BlockWriter.writeFlat(df, staging, cfg, rangeCluster)
-    val entries = scanStats(spark, staging, df, statCols, bloomCols)
+    // the hash-bucket layout this write produced (mirrors writeFlat's
+    // repartition): recorded per file + as the manifest spec so scans
+    // can report KeyGroupedPartitioning (storage-partitioned joins)
+    val spec: Option[(String, Int)] =
+      if (rangeCluster) None
+      else Some((cfg.partitionCol, cfg.parallelism
+        .getOrElse(spark.sessionState.conf.numShufflePartitions)))
+    val entries = scanStats(spark, staging, df, statCols, bloomCols, spec)
     casLoop(root, replace) { parent =>
       // REPLACE validation: a rewrite whose basis snapshot is no
       // longer the head would retire files whose rows it never read —
@@ -447,6 +508,7 @@ object LakeTable {
       // widened schema, which later appends must carry. Re-checked on
       // every retry against the RE-RESOLVED parent (the racing winner
       // may have evolved the schema). Rewrites may reshape freely.
+      var storedSchema = df.schema
       if (!replace && parent > 0) {
         val expectJson = manifest(root, parent).schemaJson
         if (expectJson.nonEmpty) {
@@ -462,13 +524,31 @@ object LakeTable {
             s"append to $root adds non-nullable columns " +
               added.filterNot(_.nullable).map(_.name).mkString(", ") +
               "; old files cannot satisfy them — make them nullable or rewrite")
+          // an append never NARROWS nullability: a non-null batch (a
+          // VALUES insert, a filtered frame) does not make a nullable
+          // table column required — older files still hold nulls
+          storedSchema = StructType(got.fields.map { f =>
+            expect.find(_.name == f.name) match {
+              case Some(pf) => f.copy(nullable = pf.nullable || f.nullable)
+              case None => f
+            }
+          })
         }
       }
       val snap = parent + 1
       val pm = if (replace || parent == 0) None else Some(manifest(root, parent))
+      // bucket spec survives only while every commit agrees on it
+      val (bCol, bN) = pm match {
+        case None => spec.getOrElse(("", 0))
+        case Some(p) if p.files.isEmpty => spec.getOrElse(("", 0))
+        case Some(p) if spec.contains((p.bucketCol, p.nBuckets)) =>
+          (p.bucketCol, p.nBuckets)
+        case _ => ("", 0)
+      }
       Manifest(snap, parent,
         pm.map(_.files).getOrElse(Nil) ++ entries.map(_.copy(seq = snap)),
-        pm.map(_.deletes).getOrElse(Nil), note, df.schema.json)
+        pm.map(_.deletes).getOrElse(Nil), note, storedSchema.json,
+        bucketCol = bCol, nBuckets = bN)
     }
   }
 
@@ -481,12 +561,14 @@ object LakeTable {
     * stats).
     */
   private def scanStats(spark: SparkSession, staging: String, df: DataFrame,
-      statCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] =
-    scanStatsPaths(spark, Seq(staging), df, statCols, bloomCols)
+      statCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bucketOf: Option[(String, Int)] = None): Seq[FileEntry] =
+    scanStatsPaths(spark, Seq(staging), df, statCols, bloomCols, bucketOf)
 
   private def scanStatsPaths(spark: SparkSession, paths: Seq[String],
       df: DataFrame, statCols: Seq[String],
-      bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+      bloomCols: Seq[String] = Nil,
+      bucketOf: Option[(String, Int)] = None): Seq[FileEntry] = {
     val kinds: Seq[(String, String, Column => Column)] = statCols.map { c =>
       df.schema(c).dataType match {
         case StringType => (c, "s", (x: Column) => x)
@@ -495,12 +577,20 @@ object LakeTable {
         case _ => (c, "i", (x: Column) => x.cast("bigint"))
       }
     }
-    val aggCols = ((count(lit(1)).cast("bigint").as("rows") +:
+    // the file's hash bucket: writeFlat co-locates one bucket per
+    // write task, so min==max by construction — recorded for
+    // storage-partitioned planning; disagreement (a foreign layout)
+    // degrades to "unknown" (-1), never to a wrong report
+    val bucketExprs = bucketOf.toSeq.flatMap { case (c, n) => Seq(
+      min(pmod(hash(col(c)), lit(n))).cast("bigint").as("bucket_min"),
+      max(pmod(hash(col(c)), lit(n))).cast("bigint").as("bucket_max")) }
+    val aggCols = (((count(lit(1)).cast("bigint").as("rows") +:
       kinds.flatMap { case (c, _, f) => Seq(
         min(f(col(c))).as(s"min_$c"), max(f(col(c))).as(s"max_$c")) }) ++
       bloomCols.flatMap(c => (0 until BloomK).map(i =>
         collect_set(bloomPosExpr(col(c), i)).as(s"bl_${c}_$i")))) :+
-      max(col("_metadata.file_size")).cast("bigint").as("bytes")
+      max(col("_metadata.file_size")).cast("bigint").as("bytes")) ++
+      bucketExprs
     val bloomBase = 2 + 2 * kinds.size
     spark.read.parquet(paths: _*)
       .groupBy(col("_metadata.file_path").as("path"))
@@ -523,8 +613,14 @@ object LakeTable {
           c -> base.getOrElse(c, ColStats(0, 0, "b"))
             .copy(bloom = blooms.getOrElse(c, ""))
         }.toMap
+        val bytesIdx = bloomBase + bloomCols.size * BloomK
+        val bucket = bucketOf match {
+          case Some(_) if r.getLong(bytesIdx + 1) == r.getLong(bytesIdx + 2) =>
+            r.getLong(bytesIdx + 1).toInt
+          case _ => -1
+        }
         FileEntry(r.getString(0), r.getLong(1), stats,
-          bytes = r.getLong(bloomBase + bloomCols.size * BloomK))
+          bytes = r.getLong(bytesIdx), bucket = bucket)
       }.toSeq.sortBy(_.path)
   }
 
@@ -945,7 +1041,7 @@ object LakeTable {
         else
           s""""${esc(c)}":{"min":${cs.min},"max":${cs.max}$bl}"""
       }.mkString(",")
-      s"""{"path":"${esc(f.path)}","rows":${f.rows},"seq":${f.seq},"bytes":${f.bytes},"stats":{$st}}"""
+      s"""{"path":"${esc(f.path)}","rows":${f.rows},"seq":${f.seq},"bytes":${f.bytes},"bucket":${f.bucket},"stats":{$st}}"""
     }.mkString(",")
     val ds = deletes.map { d =>
       s"""{"path":"${esc(d.path)}","key":"${esc(d.keyCol)}","rows":${d.rows},"seq":${d.seq},"kind":"${d.kind}"}"""
@@ -958,7 +1054,7 @@ object LakeTable {
     */
   private def manifestJson(m: Manifest, parts: Seq[String]): String = {
     val ps = parts.map(p => s""""${esc(p)}"""").mkString(",")
-    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"ts_ms":${m.tsMs},"note":"${esc(m.note)}","schema":"${esc(m.schemaJson)}","parts":[$ps]}"""
+    s"""{"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},"ts_ms":${m.tsMs},"note":"${esc(m.note)}","bucket_col":"${esc(m.bucketCol)}","n_buckets":${m.nBuckets},"schema":"${esc(m.schemaJson)}","parts":[$ps]}"""
   }
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -991,7 +1087,8 @@ object LakeTable {
         }.toMap
         FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
           if (f.has("seq")) f.get("seq").asInt() else 0,
-          if (f.has("bytes")) f.get("bytes").asLong() else -1L)
+          if (f.has("bytes")) f.get("bytes").asLong() else -1L,
+          if (f.has("bucket")) f.get("bucket").asInt() else -1)
       }.toSeq
       val deletes = asScala(node.get("deletes").elements()).map { d =>
         DeleteEntry(d.get("path").asText(), d.get("key").asText(),
@@ -1022,6 +1119,8 @@ object LakeTable {
       parts.flatMap(_._1), parts.flatMap(_._2),
       if (node.has("note")) node.get("note").asText() else "",
       if (node.has("schema")) node.get("schema").asText() else "",
-      if (node.has("ts_ms")) node.get("ts_ms").asLong() else 0L)
+      if (node.has("ts_ms")) node.get("ts_ms").asLong() else 0L,
+      if (node.has("bucket_col")) node.get("bucket_col").asText() else "",
+      if (node.has("n_buckets")) node.get("n_buckets").asInt() else 0)
   }
 }

@@ -864,6 +864,56 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q_spj: STORAGE-PARTITIONED JOIN — two lake tables co-bucketed
+  // on the join key (the manifest records each file's hash bucket and
+  // the layout spec at commit time; the scan reports
+  // KeyGroupedPartitioning(bucket(n, key)) and the catalog serves the
+  // bucket function) join with ZERO shuffles on either side. At
+  // 100 TB this is the fact-fact join path: no exchange, no spill —
+  // the write-time clustering is the shuffle, paid once. The spec
+  // (RowLevelSpec) pins the shuffle-free plan and its negative
+  // control; this query gates the RESULT against the oracle.
+  def qSpj(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val lt = s"graft.q.spjl_${System.nanoTime()}"
+    val rt = s"graft.q.spjr_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_spj")
+    s.sql(s"CREATE TABLE $lt AS SELECT user_id, event_id, event_type, value FROM ev_spj")
+    s.sql(s"""CREATE TABLE $rt AS
+             |SELECT user_id, CAST(user_id % 7 AS BIGINT) AS segment
+             |FROM (SELECT DISTINCT user_id FROM ev_spj)""".stripMargin)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    val out = tmp("graft_spj_out_")
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // materialized under the SPJ confs (a lazily-returned plan
+      // would re-plan under restored confs)
+      s.sql(s"""SELECT r.segment, l.event_type, COUNT(*) AS n,
+               |  CAST(SUM(CAST(FLOOR(l.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+               |FROM $lt l JOIN $rt r ON l.user_id = r.user_id
+               |GROUP BY r.segment, l.event_type""".stripMargin)
+        .write.mode("overwrite").parquet(out)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    s.read.parquet(out).orderBy(col("segment"), col("event_type"))
+  }
+
+  val qSpjSql: String =
+    """SELECT CAST(user_id % 7 AS BIGINT) AS segment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_lake" -> streamLake,
     "lake_format_read" -> lakeFormatRead,
@@ -885,7 +935,8 @@ object Lake {
     "lake_format_write" -> lakeFormatWrite,
     "q_sql_lake" -> qSqlLake,
     "q_sql_update" -> qSqlUpdate,
-    "q_sql_merge" -> qSqlMerge)
+    "q_sql_merge" -> qSqlMerge,
+    "q_spj" -> qSpj)
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
@@ -908,5 +959,6 @@ object Lake {
     "lake_format_write" -> lakeFormatWriteSql,
     "q_sql_lake" -> qSqlLakeSql,
     "q_sql_update" -> qSqlUpdateSql,
-    "q_sql_merge" -> qSqlMergeSql)
+    "q_sql_merge" -> qSqlMergeSql,
+    "q_spj" -> qSpjSql)
 }

@@ -97,6 +97,17 @@ object DsV2Shim {
       }
     }.toIndexedSeq)
 
+  /** Spark's shuffle hash, exactly as `repartition(n, col)` computes
+    * it (Murmur3, seed 42) — the storage-partitioned `bucket` function
+    * must agree with the layout the write shuffle produced.
+    */
+  def murmur3(value: Any, dt: org.apache.spark.sql.types.DataType): Long =
+    org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(value, dt, 42L)
+
+  def v2BucketingEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
+
   // ---- executor-side parquet writing (the delta-write data path) ----
 
   /** The hadoop conf a task-side parquet writer needs, prepared

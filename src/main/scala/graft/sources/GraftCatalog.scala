@@ -35,7 +35,8 @@ import graft.lake.LakeTable
   * manifest supersedes; an empty created table reads as zero rows of
   * that schema.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -135,10 +136,42 @@ class GraftCatalog extends TableCatalog {
     new GraftLakeTable(spark, dir.toString, None, Some(schema))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-lake schema evolution goes through commits (LakeTable.commit " +
-        "with an evolved frame), not ALTER TABLE")
+  /** SQL `ALTER TABLE … ADD COLUMNS` — additive evolution as a
+    * metadata-only commit ([[LakeTable.evolveSchema]]); anything that
+    * would require rewriting data (drop/rename/retype) is rejected.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val t = dir.toString
+    val current =
+      if (LakeTable.currentSnapshot(t) > 0)
+        DataType.fromJson(LakeTable.manifest(t,
+          LakeTable.currentSnapshot(t)).schemaJson).asInstanceOf[StructType]
+      else DataType.fromJson(Files.readString(
+        dir.resolve("meta").resolve("_schema.json"))).asInstanceOf[StructType]
+    val evolved = changes.foldLeft(current) {
+      case (schema, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "graft-lake ALTER TABLE supports only top-level ADD COLUMNS")
+        require(add.isNullable,
+          s"added column ${add.fieldNames().head} must be nullable: existing " +
+            "files cannot back-fill a required column")
+        schema.add(StructType(Seq.empty).add(add.fieldNames().head,
+          add.dataType(), nullable = true,
+          Option(add.comment()).getOrElse("")).fields.head)
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"graft-lake ALTER TABLE supports ADD COLUMNS only (got $other); " +
+            "drop/rename/retype require a rewrite commit")
+    }
+    if (LakeTable.currentSnapshot(t) > 0)
+      LakeTable.evolveSchema(t, evolved): Unit
+    else
+      Files.writeString(dir.resolve("meta").resolve("_schema.json"),
+        evolved.json): Unit
+    load(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -159,6 +192,63 @@ class GraftCatalog extends TableCatalog {
     if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to): Unit
+  }
+
+  // ---- FunctionCatalog: the `bucket` transform scans report ----
+  //
+  // Storage-partitioned planning resolves a scan's reported
+  // `bucket(n, col)` through the table's catalog; serving the
+  // function here is what lets two co-bucketed lake tables join with
+  // ZERO shuffles (Spark verifies both sides bind the same canonical
+  // function with the same bucket count).
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** The lake's hash-bucket function: `pmod(murmur3(col), n)` — BY
+  * CONSTRUCTION the assignment `BlockWriter.writeFlat`'s
+  * `repartition(n, col)` shuffle produced, so the reported layout and
+  * the function Spark binds for storage-partitioned planning can
+  * never disagree.
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): graft-lake hash bucket, pmod(murmur3(col), n)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, col); got ${inputType.catalogString}")
+    val dt = inputType.fields(1).dataType
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+           DateType | TimestampType => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft bucket does not support $other keys")
+    }
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket(${dt.simpleString})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v = input.get(1, dt)
+        val h = org.apache.spark.sql.graftshim.DsV2Shim.murmur3(v, dt)
+        (((h % n) + n) % n).toInt
+      }
+    }
   }
 }
 

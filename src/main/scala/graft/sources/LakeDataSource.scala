@@ -352,9 +352,15 @@ private[sources] final case class GroupDeleteSpec(
     // field, -1 = the partition's (constant) file path
     outMap: Option[Seq[Int]] = None)
 
-private[sources] final case class TaggedPartition(tag: Int, inner: FilePartition)
-    extends InputPartition {
+private[sources] final case class TaggedPartition(tag: Int, inner: FilePartition,
+    bucket: Int = -1) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
+  // consulted only when the scan reports KeyGroupedPartitioning (all
+  // planned files bucketed under one spec); -1 otherwise, ignored
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
 }
 
 object GraftScan {
@@ -398,9 +404,35 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
     // (`_graft_file_path`/`_graft_row_idx`) are among the output
     requested: Option[StructType] = None)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val coordsRequested: Boolean = requested.isDefined
+
+  /** STORAGE-PARTITIONED layout report: valid when the manifest
+    * carries a bucket spec and EVERY live file is bucketed under it
+    * (delta-written files clear this until compaction re-buckets).
+    * Two lake tables co-bucketed on the join key then join with ZERO
+    * shuffles — at 100 TB, the difference between a fact-fact join
+    * being feasible and not.
+    */
+  private lazy val spjSpec: Option[(String, Int)] =
+    if (m.bucketCol.nonEmpty && m.nBuckets > 0 && !coordsRequested &&
+        !aggPushed && m.files.forall(_.bucket >= 0) &&
+        DsV2Shim.v2BucketingEnabled)
+      Some((m.bucketCol, m.nBuckets))
+    else None
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjSpec match {
+      case Some((c, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          planned.map(_.bucket).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   private val tracked: Set[String] =
     m.files.headOption.map(_.stats.keySet).getOrElse(Set.empty[String])
@@ -521,13 +553,19 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val current = planned
+    val spj = spjSpec.isDefined
     var i = -1
     groups.zipWithIndex.flatMap { case (g, tag) =>
       val keep = current.filter(f => g.paths(f.path))
-      if (keep.isEmpty) Nil
-      else {
+      // under a bucket-spec report every partition must be keyed by
+      // ONE bucket, so files are planned per bucket within the group
+      val byBucket: Seq[(Int, Seq[FileEntry])] =
+        if (keep.isEmpty) Nil
+        else if (spj) keep.groupBy(_.bucket).toSeq.sortBy(_._1)
+        else Seq((-1, keep))
+      byBucket.flatMap { case (bucket, fs) =>
         val parts = DsV2Shim.withFiles(g.scan, spark,
-            keep.map(f => (f.path, GraftScan.bytesOf(f))))
+            fs.map(f => (f.path, GraftScan.bytesOf(f))))
           .planInputPartitions().map(_.asInstanceOf[FilePartition])
         val shaped =
           if (g.spec.exists(s => s.posFiles.nonEmpty || s.outMap.isDefined))
@@ -538,7 +576,7 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
               i += 1; FilePartition(i, Array(pf))
             })
           else parts.map { fp => i += 1; FilePartition(i, fp.files) }
-        shaped.map(fp => TaggedPartition(tag, fp): InputPartition)
+        shaped.map(fp => TaggedPartition(tag, fp, bucket): InputPartition)
       }
     }.toArray
   }

@@ -146,6 +146,108 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves metadata-only; old rows null-fill") {
+    val (t, _) = catalogTable("rl_alter")
+    val filesBefore = spark.sql(s"SELECT path FROM $t.files")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE, label STRING)")
+    // metadata-only: same files, one more snapshot, old rows null
+    val filesAfter = spark.sql(s"SELECT path FROM $t.files")
+      .collect().map(_.getString(0)).toSet
+    assert(filesAfter === filesBefore, "ADD COLUMNS must not touch data files")
+    val got = spark.table(t)
+    assert(got.columns.takeRight(2).toSeq === Seq("score", "label"))
+    assert(got.filter(col("score").isNotNull || col("label").isNotNull).count() === 0)
+    // new appends may now carry the added columns
+    spark.sql(s"INSERT INTO $t VALUES (9999, 1, 'tX', 1.0, 3, 0.5, 'good')")
+    assert(spark.table(t).filter(col("label") === "good").count() === 1)
+    // rename/drop are rejected, not silently mangled
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN day") }
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("storage-partitioned join: co-bucketed lake tables join with zero shuffles") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val s = spark
+    import s.implicits._
+    val left = (0 until 4000).map(i => (i.toLong % 251, i.toLong, i * 1.5))
+      .toDF("user_id", "event_id", "value")
+    val right = (0 until 500).map(i => (i.toLong % 251, s"seg${i % 9}"))
+      .toDF("user_id", "segment").distinct()
+    left.createOrReplaceTempView("spj_left_src")
+    right.createOrReplaceTempView("spj_right_src")
+    val lt = s"graft.db.spjl_${System.nanoTime()}"
+    val rt = s"graft.db.spjr_${System.nanoTime()}"
+    // CTAS through the catalog: both writes bucket by the leading
+    // column (user_id) with the session's shuffle parallelism
+    spark.sql(s"CREATE TABLE $lt AS SELECT * FROM spj_left_src")
+    spark.sql(s"CREATE TABLE $rt AS SELECT * FROM spj_right_src")
+
+    val expected = spark.sql(
+      """SELECT l.user_id, count(*) AS n, sum(l.value) AS sv
+        |FROM spj_left_src l JOIN spj_right_src r ON l.user_id = r.user_id
+        |GROUP BY l.user_id""".stripMargin).collect().sortBy(_.getLong(0))
+
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.sql(
+        s"""SELECT l.user_id, count(*) AS n, sum(l.value) AS sv
+           |FROM $lt l JOIN $rt r ON l.user_id = r.user_id
+           |GROUP BY l.user_id""".stripMargin)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the join itself must be shuffle-free (the groupBy above it
+      // reuses the same clustering only on single-key grouping; we
+      // assert the JOIN sides specifically)
+      val smj = joined.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "expected a sort-merge join:\n" +
+        joined.queryExecution.executedPlan.toString)
+      val shufflesUnderJoin = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shufflesUnderJoin.isEmpty,
+        s"storage-partitioned join must not shuffle either side " +
+          s"(found ${shuffles.size} shuffles in plan):\n" +
+          joined.queryExecution.executedPlan.toString)
+      val got = joined.collect().sortBy(_.getLong(0))
+      assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+        expected.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    }
+    // negative control: with v2 bucketing off the same join shuffles
+    // both sides — proving the zero-shuffle plan above came from the
+    // reported storage partitioning, not an accident of the data
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.sql(
+        s"SELECT count(*) FROM $lt l JOIN $rt r ON l.user_id = r.user_id")
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty, "control: bucketing off must shuffle")
+    }
+    spark.sql(s"DROP TABLE $lt")
+    spark.sql(s"DROP TABLE $rt")
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("metadata columns respect merge-on-read deletes") {
     val root = graft.util.Scratch.dir("graft_rl_metadel_")
     LakeTable.commit(spark, root, events, cfg, Seq("event_id", "user_id"))
