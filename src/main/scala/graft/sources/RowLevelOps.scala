@@ -126,40 +126,64 @@ private[sources] final case class GraftDeltaWriterFactory(staging: String,
     new GraftDeltaRowWriter(staging, rowSchema, conf, partitionId, taskId)
 }
 
-/** Per-task delta writer: inserted rows stream to a data parquet
-  * file, deleted rows' (path, idx) ids to a positional-delete parquet
-  * file — both created lazily (a task that only deletes writes no
-  * data file and vice versa), both named by (partition, task) so a
-  * retried attempt never collides.
+/** Per-task delta writer: inserted rows stream to data parquet files,
+  * deleted rows' (path, idx) ids to positional-delete parquet files —
+  * created lazily (a task that only deletes writes no data file and
+  * vice versa), named by (partition, task) so a retried attempt never
+  * collides, and ROLLED every [[GraftDeltaRowWriter.RollRows]] rows so
+  * a task inserting billions of rows (a bulk MERGE at 100 TB) never
+  * funnels them into one unbounded file.
   */
+object GraftDeltaRowWriter {
+  /** Rows per staged file before rolling to the next. */
+  val RollRows: Long = 1L << 20
+}
+
 final class GraftDeltaRowWriter(staging: String, rowSchema: StructType,
     conf: ConfBox, partitionId: Int, taskId: Long)
   extends DeltaWriter[InternalRow] {
+
+  import GraftDeltaRowWriter.RollRows
 
   private val delSchema = StructType(Seq(
     StructField(LakeTable.CoordPath, StringType, nullable = false),
     StructField(LakeTable.CoordIdx, LongType, nullable = false)))
 
-  private var dataWriter: OutputWriter = _
-  private var delWriter: OutputWriter = _
-  private var dataRows = 0L
-  private var delRows = 0L
-  private val dataPath = s"$staging/delta-d-$partitionId-$taskId.parquet"
-  private val delPath = s"$staging/delta-x-$partitionId-$taskId.parquet"
+  /** One rolled file stream (data or delete payload). */
+  private final class Rolled(kind: String, schema: StructType) {
+    private var writer: OutputWriter = _
+    private var rowsInFile = 0L
+    private var curPath: String = _
+    var files: List[(String, Long)] = Nil
 
-  override def insert(row: InternalRow): Unit = {
-    if (dataWriter == null)
-      dataWriter = DsV2Shim.newRowWriter(dataPath, rowSchema, conf.value)
-    dataWriter.write(row)
-    dataRows += 1
+    def write(row: InternalRow): Unit = {
+      if (writer == null) {
+        curPath = s"$staging/delta-$kind-$partitionId-$taskId-${files.size}.parquet"
+        writer = DsV2Shim.newRowWriter(curPath, schema, conf.value)
+        rowsInFile = 0L
+      }
+      writer.write(row)
+      rowsInFile += 1
+      if (rowsInFile >= RollRows) closeCurrent()
+    }
+
+    def closeCurrent(): Unit = if (writer != null) {
+      writer.close()
+      files = (curPath, rowsInFile) :: files
+      writer = null
+    }
+
+    def deleteAll(): Unit = files.foreach { case (p, _) =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit
+    }
   }
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    if (delWriter == null)
-      delWriter = DsV2Shim.newRowWriter(delPath, delSchema, conf.value)
-    delWriter.write(id)
-    delRows += 1
-  }
+  private val data = new Rolled("d", rowSchema)
+  private val dels = new Rolled("x", delSchema)
+
+  override def insert(row: InternalRow): Unit = data.write(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = dels.write(id)
 
   // unreachable under representUpdateAsDeleteAndInsert, but total
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
@@ -169,19 +193,17 @@ final class GraftDeltaRowWriter(staging: String, rowSchema: StructType,
 
   override def commit(): WriterCommitMessage = {
     close()
-    GraftDeltaMessage(
-      if (dataRows > 0) Seq((dataPath, dataRows)) else Nil,
-      if (delRows > 0) Seq((delPath, delRows)) else Nil)
+    GraftDeltaMessage(data.files.reverse, dels.files.reverse)
   }
 
   override def abort(): Unit = {
     close()
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dataPath)): Unit
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(delPath)): Unit
+    data.deleteAll()
+    dels.deleteAll()
   }
 
   override def close(): Unit = {
-    if (dataWriter != null) { dataWriter.close(); dataWriter = null }
-    if (delWriter != null) { delWriter.close(); delWriter = null }
+    data.closeCurrent()
+    dels.closeCurrent()
   }
 }

@@ -239,6 +239,42 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $rt")
   }
 
+  test("bucket report also eliminates the aggregation shuffle, and survives MoR deletes") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val s = spark
+    import s.implicits._
+    (0 until 4000).map(i => (i.toLong % 251, i.toLong, i * 1.5))
+      .toDF("user_id", "event_id", "value")
+      .createOrReplaceTempView("spjagg_src")
+    val t = s"graft.db.spja_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t AS SELECT * FROM spjagg_src")
+    def shufflesOf(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // groupBy the bucket column: each key lives wholly in one
+      // partition, so partial+final aggregate fuse with NO exchange
+      assert(shufflesOf(s"SELECT user_id, sum(value) FROM $t GROUP BY user_id") === 0,
+        "bucket-keyed aggregation must not shuffle")
+      val expect = spark.sql(s"SELECT sum(value) FROM $t WHERE user_id <> 7")
+        .head.getDouble(0)
+      // an equality MoR delete only masks rows inside files — buckets
+      // are untouched, so the shuffle-free plan must survive it
+      spark.sql(s"DELETE FROM $t WHERE user_id = 7")
+      assert(shufflesOf(s"SELECT user_id, sum(value) FROM $t GROUP BY user_id") === 0,
+        "bucket-keyed aggregation must stay shuffle-free under MoR deletes")
+      val got = spark.sql(s"SELECT sum(value) FROM $t").head.getDouble(0)
+      assert(math.abs(got - expect) < 1e-6)
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
