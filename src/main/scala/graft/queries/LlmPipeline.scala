@@ -1704,7 +1704,102 @@ object LlmPipeline {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- text_unigram_lm: CORPUS-TRAINED unigram language-model
+  // scoring — the perplexity-filter shape (CCNet/KenLM gates) in
+  // integer-exact form: the LM is the corpus token-frequency table
+  // (one shuffle, map-side combined), each document then scores by
+  // the MEAN CORPUS FREQUENCY of its tokens. log-probability is
+  // monotone in frequency, so rarity ranking and filtering by mean
+  // frequency select exactly the same documents as mean surprisal —
+  // without cross-engine float-log hazards. At 100 TB the vocabulary
+  // join is a standard shuffled join on the token key (partial
+  // aggregation bounds the shuffle at distinct-token cardinality);
+  // no all-pairs stage anywhere.
+  def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.words(col("text"))).as("tok"))
+    val lm = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    toks.join(lm, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(col("c")).cast("bigint").as("sum_tok_count"))
+      .withColumn("mean_count_x100",
+        idiv(col("sum_tok_count") * lit(100L), col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tok_count"),
+        col("mean_count_x100"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textUnigramLmSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($wsSql) AS tok FROM documents
+       |), lm AS (
+       |  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(c) AS BIGINT) AS sum_tok_count,
+       |  (CAST(SUM(c) AS BIGINT) * 100) // COUNT(*) AS mean_count_x100
+       |FROM toks JOIN lm USING (tok)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // --- text_quality_clf: a CALIBRATED quality classifier — a linear
+  // model over engineered features (alpha/punct/stopword ratios,
+  // length) whose decision threshold is LEARNED from the corpus (the
+  // mean logit), not hard-coded: the fastText-style quality-gate
+  // shape. The calibration is one scalar aggregate broadcast back
+  // over the scoring pass — at 100 TB that is a metadata-sized
+  // exchange, and scoring itself is pure map-side codegen.
+  def textQualityClf(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val nTok = greatest(size(ws), lit(1)).cast("bigint")
+    val nChar = greatest(length(col("text")), lit(1)).cast("bigint")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("bigint")
+    val alpha = regexp_count(col("text"), lit("[A-Za-z]")).cast("bigint")
+    val stops = TextFns.stopwordHits(ws, "en").cast("bigint")
+    val logit = lit(3L) * idiv(alpha * lit(10000L), nChar) +
+      lit(2L) * idiv(stops * lit(10000L), nTok) -
+      lit(3L) * idiv(punct * lit(10000L), nChar) +
+      least(lit(10000L), size(ws).cast("bigint") * lit(100L)) - lit(15000L)
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), logit.as("logit_bp"))
+    val threshold = scored.agg(
+      idiv(sum(col("logit_bp")), count(lit(1))).as("thr"))
+    scored.crossJoin(broadcast(threshold))
+      .select(col("doc_id"), col("logit_bp"), col("thr"),
+        (col("logit_bp") > col("thr")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualityClfSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    greatest(len($wsSql), 1) AS n_tok1,
+       |    len($wsSql) AS n_tokens,
+       |    greatest(length(text), 1) AS n_char1,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+       |    len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+       |    len(list_filter($wsSql, w -> list_contains(${stopArr("en")}, lower(w)))) AS stops
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id,
+       |    3 * ((alpha * 10000) // n_char1) +
+       |    2 * ((stops * 10000) // n_tok1) -
+       |    3 * ((punct * 10000) // n_char1) +
+       |    least(10000, n_tokens * 100) - 15000 AS logit_bp
+       |  FROM m
+       |), cal AS (
+       |  SELECT CAST(SUM(logit_bp) AS BIGINT) // COUNT(*) AS thr FROM scored
+       |)
+       |SELECT doc_id, logit_bp, thr,
+       |  CAST(logit_bp > thr AS INT) AS keep
+       |FROM scored, cal
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_lm" -> textUnigramLm,
+    "text_quality_clf" -> textQualityClf,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
@@ -1741,6 +1836,8 @@ object LlmPipeline {
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
+    "text_unigram_lm" -> textUnigramLmSql,
+    "text_quality_clf" -> textQualityClfSql,
     "text_gopher" -> textGopherSql,
     "bpe_train" -> bpeTrainSql,
     "text_fingerprint" -> textFingerprintSql,
