@@ -370,6 +370,54 @@ object LakeTable {
     dir
   }
 
+  /** Append PRE-STAGED data files as one snapshot (the DSv2
+    * streaming-write epoch commit): executors have already written
+    * `files` (table schema); this validates the schema against the
+    * head (same rules as an append commit — first commit defines the
+    * schema, later ones must carry it, additive evolution allowed),
+    * records per-file stats in one read-back pass over exactly those
+    * files, and binds them with the CAS. Returns the snapshot id, or
+    * -1 when the head already carries `note` (an idempotent replay).
+    */
+  def commitStaged(spark: SparkSession, root: String,
+      files: Seq[(String, Long)], schema: StructType,
+      statCols: Seq[String], note: String): Int = {
+    val head = currentSnapshot(root)
+    if (head > 0 && note.nonEmpty && manifest(root, head).note == note) return -1
+    val df = spark.read.schema(schema).parquet(files.map(_._1): _*)
+    val entries = scanStatsPaths(spark, files.map(_._1), df, statCols)
+    casLoop(root) { parent =>
+      var stored = schema
+      if (parent > 0) {
+        val expectJson = manifest(root, parent).schemaJson
+        if (expectJson.nonEmpty) {
+          val expect = DataType.fromJson(expectJson).asInstanceOf[StructType]
+          val broken = expect.fields.filterNot(f =>
+            schema.exists(g => g.name == f.name && g.dataType == f.dataType))
+          require(broken.isEmpty,
+            s"staged append schema mismatch for $root: dropped/retyped " +
+              broken.map(_.name).mkString(", "))
+          val added = schema.fields.filterNot(g => expect.exists(_.name == g.name))
+          require(added.forall(_.nullable),
+            s"staged append to $root adds non-nullable columns")
+          stored = StructType(schema.fields.map { f =>
+            expect.find(_.name == f.name) match {
+              case Some(pf) => f.copy(nullable = pf.nullable || f.nullable)
+              case None => f
+            }
+          })
+        }
+      }
+      val snap = parent + 1
+      val pm = if (parent == 0) None else Some(manifest(root, parent))
+      Manifest(snap, parent,
+        pm.map(_.files).getOrElse(Nil) ++ entries.map(_.copy(seq = snap)),
+        pm.map(_.deletes).getOrElse(Nil), note, stored.json,
+        bucketCol = pm.map(_.bucketCol).getOrElse(""),
+        nBuckets = pm.map(_.nBuckets).getOrElse(0))
+    }
+  }
+
   /** ADDITIVE schema evolution as a METADATA-ONLY commit (SQL
     * `ALTER TABLE … ADD COLUMNS`): the new manifest carries the
     * widened schema over the UNCHANGED file list — zero data IO at

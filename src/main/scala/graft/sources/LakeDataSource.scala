@@ -163,7 +163,7 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
     // A brand-new table has no committed schema to validate against —
     // the first commit's frame defines it. EXISTING tables get
     // Spark's full append validation and INSERT column alignment
@@ -823,6 +823,12 @@ final class GraftWriteBuilder(spark: SparkSession, root: String,
         LakeFormatWrite.write(spark, root, data, info.options(),
           overwriteAll || overwrite)
     }
+    // `writeStream.toTable("graft.db.t")`: one epoch = one atomic,
+    // epoch-id-idempotent snapshot (task writers stage rolled files,
+    // the driver binds them — see [[GraftStreamingWrite]])
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(spark, root, info)
   }
 }
 

@@ -120,6 +120,74 @@ private[sources] final case class GraftDeltaMessage(
     dataFiles: Seq[(String, Long)], deleteFiles: Seq[(String, Long)])
   extends WriterCommitMessage
 
+/** DSv2 STREAMING write (`writeStream.toTable("graft.db.t")` /
+  * `.format("graft-lake")` via the capability path): each epoch's
+  * task writers stage rolled parquet files in parallel, the driver
+  * binds them as ONE snapshot per epoch, idempotent by the epoch id
+  * recorded in the manifest note — a replayed epoch after restart
+  * sees its own note at the head and skips (exactly-once end to end,
+  * the same contract as the v1 sink path).
+  */
+final class GraftStreamingWrite(spark: SparkSession, root: String,
+    info: LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+  import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo}
+
+  private val staging = LakeTable.newStagingDir(root)
+
+  override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    GraftStreamWriterFactory(staging, info.schema(),
+      new ConfBox(DsV2Shim.writeConf(spark)))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case m: GraftDeltaMessage => m }
+      .flatMap(_.dataFiles).toSeq.sortBy(_._1)
+    if (files.isEmpty) return
+    val statCols = info.schema().fields.collect {
+      case f if (f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType | StringType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+    LakeTable.commitStaged(spark, root, files, info.schema(), statCols,
+      note = s"batch-$epochId"): Unit
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftDeltaMessage => m }.foreach(
+      _.dataFiles.foreach { case (p, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit
+      })
+}
+
+private[sources] final case class GraftStreamWriterFactory(staging: String,
+    rowSchema: StructType, conf: ConfBox)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val out = new Rolled(staging,
+        s"ep$epochId-$partitionId-$taskId", rowSchema, conf)
+      override def write(row: InternalRow): Unit = out.write(row)
+      override def commit(): WriterCommitMessage = {
+        out.closeCurrent()
+        GraftDeltaMessage(out.files.reverse, Nil)
+      }
+      override def abort(): Unit = { out.closeCurrent(); out.deleteAll() }
+      override def close(): Unit = out.closeCurrent()
+    }
+}
+
 private[sources] final case class GraftDeltaWriterFactory(staging: String,
     rowSchema: StructType, conf: ConfBox) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -139,47 +207,54 @@ object GraftDeltaRowWriter {
   val RollRows: Long = 1L << 20
 }
 
+/** One rolled staged-parquet stream: lazily opens
+  * `<staging>/<stem>-<k>.parquet`, rolls to the next file every
+  * [[GraftDeltaRowWriter.RollRows]] rows — task-side writing stays
+  * size-bounded at any input volume.
+  */
+private[sources] final class Rolled(staging: String, stem: String,
+    schema: StructType, conf: ConfBox) {
+  import GraftDeltaRowWriter.RollRows
+
+  private var writer: OutputWriter = _
+  private var rowsInFile = 0L
+  private var curPath: String = _
+  var files: List[(String, Long)] = Nil
+
+  def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      curPath = s"$staging/$stem-${files.size}.parquet"
+      writer = DsV2Shim.newRowWriter(curPath, schema, conf.value)
+      rowsInFile = 0L
+    }
+    writer.write(row)
+    rowsInFile += 1
+    if (rowsInFile >= RollRows) closeCurrent()
+  }
+
+  def closeCurrent(): Unit = if (writer != null) {
+    writer.close()
+    files = (curPath, rowsInFile) :: files
+    writer = null
+  }
+
+  def deleteAll(): Unit = files.foreach { case (p, _) =>
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit
+  }
+}
+
 final class GraftDeltaRowWriter(staging: String, rowSchema: StructType,
     conf: ConfBox, partitionId: Int, taskId: Long)
   extends DeltaWriter[InternalRow] {
-
-  import GraftDeltaRowWriter.RollRows
 
   private val delSchema = StructType(Seq(
     StructField(LakeTable.CoordPath, StringType, nullable = false),
     StructField(LakeTable.CoordIdx, LongType, nullable = false)))
 
-  /** One rolled file stream (data or delete payload). */
-  private final class Rolled(kind: String, schema: StructType) {
-    private var writer: OutputWriter = _
-    private var rowsInFile = 0L
-    private var curPath: String = _
-    var files: List[(String, Long)] = Nil
-
-    def write(row: InternalRow): Unit = {
-      if (writer == null) {
-        curPath = s"$staging/delta-$kind-$partitionId-$taskId-${files.size}.parquet"
-        writer = DsV2Shim.newRowWriter(curPath, schema, conf.value)
-        rowsInFile = 0L
-      }
-      writer.write(row)
-      rowsInFile += 1
-      if (rowsInFile >= RollRows) closeCurrent()
-    }
-
-    def closeCurrent(): Unit = if (writer != null) {
-      writer.close()
-      files = (curPath, rowsInFile) :: files
-      writer = null
-    }
-
-    def deleteAll(): Unit = files.foreach { case (p, _) =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit
-    }
-  }
-
-  private val data = new Rolled("d", rowSchema)
-  private val dels = new Rolled("x", delSchema)
+  private val data = new Rolled(staging, s"delta-d-$partitionId-$taskId",
+    rowSchema, conf)
+  private val dels = new Rolled(staging, s"delta-x-$partitionId-$taskId",
+    delSchema, conf)
 
   override def insert(row: InternalRow): Unit = data.write(row)
 

@@ -275,6 +275,43 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("writeStream.toTable lands one idempotent snapshot per epoch") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val t = s"graft.db.stw_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t (event_id BIGINT, user_id BIGINT, value DOUBLE)")
+    val src = graft.util.Scratch.dir("graft_stw_src_")
+    val ckpt = graft.util.Scratch.dir("graft_stw_ck_")
+    events.select("event_id", "user_id", "value")
+      .filter(col("event_id") < 1000).write.parquet(s"$src/b0")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(s"$src/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.table(t).count() === 1000)
+    // second batch: only the new files are committed (offset tracking
+    // upstream, epoch-idempotent commit downstream)
+    events.select("event_id", "user_id", "value")
+      .filter(col("event_id") >= 1000).write.parquet(s"$src/b1")
+    drain()
+    assert(spark.table(t).count() === 2000)
+    val hist = spark.sql(s"SELECT snap, note FROM $t.history ORDER BY snap").collect()
+    assert(hist.forall(_.getString(1).startsWith("batch-")),
+      "every streaming commit carries its epoch id")
+    assert(spark.table(t).select(sum(col("value"))).head.getDouble(0) ===
+      events.select(sum(col("value"))).head.getDouble(0))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
