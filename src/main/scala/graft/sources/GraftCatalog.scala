@@ -112,8 +112,9 @@ class GraftCatalog extends TableCatalog
     val m = LakeTable.manifest(table, LakeTable.currentSnapshot(table))
     val s = spark
     import s.implicits._
-    m.files.map(f => (f.path, f.rows, f.bytes, f.seq.toLong, f.stats.size.toLong))
-      .toDF("path", "rows", "bytes", "seq", "n_stat_cols")
+    m.files.map(f => (f.path, f.rows, f.bytes, f.seq.toLong,
+        f.stats.size.toLong, f.bucket))
+      .toDF("path", "rows", "bytes", "seq", "n_stat_cols", "bucket")
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
