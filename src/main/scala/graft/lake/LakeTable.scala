@@ -207,6 +207,26 @@ object LakeTable {
         schemaJson = manifest(root, parent).schemaJson)
     }
 
+  /** ROLLBACK: restore the current view to snapshot `toSnap` as ONE
+    * new commit whose manifest re-references the TARGET's immutable
+    * part files — no data IO and O(1) new metadata at any table size.
+    * History stays append-only: the rolled-past snapshots remain in
+    * the log and time-travelable until expiry, and the rollback
+    * itself is a snapshot (so it can in turn be rolled back). The
+    * target's schema and bucket layout are restored with its files:
+    * reads, pruning, and storage-partitioned planning behave exactly
+    * as they did at `toSnap`.
+    */
+  def rollback(root: String, toSnap: Int): Int =
+    casLoop(root, replace = true, partsFrom = Some(toSnap)) { parent =>
+      require(toSnap >= 1 && toSnap <= parent,
+        s"rollback target $toSnap outside [1, $parent] for $root")
+      val tm = manifest(root, toSnap)
+      Manifest(parent + 1, parent, tm.files, tm.deletes,
+        note = s"rollback-$toSnap", schemaJson = tm.schemaJson,
+        bucketCol = tm.bucketCol, nBuckets = tm.nBuckets)
+    }
+
   /** Merge-on-read DELETE: commit `keys` (one column, the equality
     * key) as a delete file — NO data files are written or rewritten.
     * Readers of this and later snapshots anti-join the keys against
@@ -690,7 +710,8 @@ object LakeTable {
     * file (the part embeds the attempted seq, so it cannot be
     * reused); [[removeOrphans]] sweeps those.
     */
-  private def casLoop(root: String, replace: Boolean = false)
+  private def casLoop(root: String, replace: Boolean = false,
+      partsFrom: Option[Int] = None)
       (build: Int => Manifest): Int = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
@@ -700,8 +721,13 @@ object LakeTable {
       val m = build(parent)
       val added = m.files.filter(_.seq == m.snapshotId)
       val addedDeletes = m.deletes.filter(_.seq == m.snapshotId)
-      val parentParts: Seq[String] =
-        if (replace || parent == 0) Nil else rawParts(root, parent)
+      // partsFrom (rollback): the new manifest re-references another
+      // snapshot's immutable part list instead of the parent's — the
+      // inventory is inherited wholesale, nothing is re-serialized.
+      val parentParts: Seq[String] = partsFrom match {
+        case Some(src) => rawParts(root, src)
+        case None => if (replace || parent == 0) Nil else rawParts(root, parent)
+      }
       val partPath = meta.resolve(
         s"part-${System.nanoTime()}-${stageCounter.incrementAndGet()}.json")
       try {

@@ -565,6 +565,46 @@ object Lake {
       |  CAST(1 AS BIGINT), dk.k FROM ec, oc, dk
       |ORDER BY snap""".stripMargin
 
+  // --- lake_rollback: ROLLBACK TO SNAPSHOT — operational undo as one
+  // metadata-only commit that re-references the target snapshot's
+  // part files (no data IO, O(1) new metadata at any table size).
+  // Build: commit two-thirds (snap 1) → MoR-delete every 10th key
+  // (snap 2) → append the last third (snap 3) → rollback to snap 1
+  // (snap 4). The head must read EXACTLY snapshot 1's content (delete
+  // undone, append gone), while snapshot 3 stays time-travelable —
+  // history is append-only, a rollback hides nothing. The oracle
+  // replays both views; the sequence rule matters in snap 3: the
+  // delete (seq 2) masks only seq-1 files, so appended rows keep
+  // their %10 keys.
+  def lakeRollback(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_rb_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 3 < 2), cfg, Seq("event_id"))
+    LakeTable.deleteWhere(s, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 3 === 2), cfg, Seq("event_id"))
+    LakeTable.rollback(root, 1)
+    LakeTable.read(s, root, Some(3)).withColumn("snap", lit(3L))
+      .unionByName(LakeTable.read(s, root).withColumn("snap", lit(4L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeRollbackSql: String =
+    """WITH snaps AS (
+      |  SELECT CAST(3 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE (event_id % 3 < 2 AND event_id % 10 <> 0) OR event_id % 3 = 2
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 3 < 2)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   // --- stream_lake: streaming ingest INTO the manifest-tracked
   // table — the reference's whole pipeline (file stream → block
   // writer → iceberg commit; main.go:62-115) in one operator. The
@@ -932,6 +972,7 @@ object Lake {
     "lake_delete_pos" -> lakeDeletePos,
     "lake_delete_bulk" -> lakeDeleteBulk,
     "lake_rewrite" -> lakeRewrite,
+    "lake_rollback" -> lakeRollback,
     "lake_format_write" -> lakeFormatWrite,
     "q_sql_lake" -> qSqlLake,
     "q_sql_update" -> qSqlUpdate,
@@ -956,6 +997,7 @@ object Lake {
     "lake_delete_pos" -> lakeDeletePosSql,
     "lake_delete_bulk" -> lakeDeleteBulkSql,
     "lake_rewrite" -> lakeRewriteSql,
+    "lake_rollback" -> lakeRollbackSql,
     "lake_format_write" -> lakeFormatWriteSql,
     "q_sql_lake" -> qSqlLakeSql,
     "q_sql_update" -> qSqlUpdateSql,

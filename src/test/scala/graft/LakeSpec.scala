@@ -845,4 +845,44 @@ class LakeDataSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === ev.count())
     graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(sink); graft.util.Scratch.rmNow(ckpt)
   }
+
+  test("rollback is metadata-only, restores the target view, and keeps history append-only") {
+    val root = graft.util.Scratch.dir("graft_lakespec_rb_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 3 < 2), cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 3 === 2), cfg, Seq("event_id"))
+    val n3 = LakeTable.read(spark, root).count()
+    def dataFiles(): Long = {
+      val d = java.nio.file.Paths.get(root, "data")
+      val st = java.nio.file.Files.walk(d)
+      try st.filter(p => p.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    val filesBefore = dataFiles()
+    val s4 = LakeTable.rollback(root, 1)
+    assert(s4 === 4)
+    // THE rollback property: zero data IO — no file added or removed
+    assert(dataFiles() === filesBefore, "rollback must not touch data files")
+    val m1 = LakeTable.manifest(root, 1)
+    val m4 = LakeTable.manifest(root, 4)
+    assert(m4.files === m1.files, "rollback manifest re-references the target's files")
+    assert(m4.deletes.isEmpty, "snapshot 1 carried no deletes, so neither may the rollback")
+    // head view == snapshot-1 view (delete undone, append gone)
+    assert(LakeTable.read(spark, root).count() === LakeTable.read(spark, root, Some(1)).count())
+    // history is append-only: the rolled-past head stays travelable
+    assert(LakeTable.read(spark, root, Some(3)).count() === n3)
+    assert(LakeTable.history(spark, root).count() === 4)
+    // a rollback commit adds no files with its own seq → incremental
+    // consumers tailing (3, 4] see an empty (typed) batch, not a replay
+    assert(LakeTable.incrementalRead(spark, root, 3, 4).count() === 0)
+    // rollback of the rollback restores the pre-rollback head
+    LakeTable.rollback(root, 3)
+    assert(LakeTable.read(spark, root).count() === n3)
+    // targets outside the committed range are rejected
+    intercept[IllegalArgumentException](LakeTable.rollback(root, 99))
+    graft.util.Scratch.rmNow(root)
+  }
 }
