@@ -312,6 +312,40 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("readStream.table tails a catalog table: by-name lake-to-lake pipeline, exactly-once") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val srcT = s"graft.db.srs_${System.nanoTime()}"
+    val dstT = s"graft.db.srd_${System.nanoTime()}"
+    events.createOrReplaceTempView("srs_src")
+    spark.sql(s"CREATE TABLE $srcT AS SELECT event_id, user_id, value FROM srs_src WHERE event_id < 1000")
+    spark.sql(s"CREATE TABLE $dstT (event_id BIGINT, user_id BIGINT, value DOUBLE)")
+    val ckpt = graft.util.Scratch.dir("graft_srs_ck_")
+    def drain(): Unit = {
+      val q = spark.readStream.table(srcT)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dstT)
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.table(dstT).count() === 1000,
+      "first drain delivers the CTAS snapshot")
+    spark.sql(s"INSERT INTO $srcT SELECT event_id, user_id, value FROM srs_src WHERE event_id >= 1000")
+    drain()
+    val n = events.count()
+    assert(spark.table(dstT).count() === n,
+      "second drain delivers ONLY the inserted snapshot (no re-read, no loss)")
+    assert(spark.table(dstT).select(col("event_id")).distinct().count() === n,
+      "every row exactly once across drains")
+    // no new commits → an extra drain moves nothing
+    drain()
+    assert(spark.table(dstT).count() === n)
+    spark.sql(s"DROP TABLE $srcT"); spark.sql(s"DROP TABLE $dstT")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
