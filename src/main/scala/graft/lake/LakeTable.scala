@@ -1009,25 +1009,83 @@ object LakeTable {
     require(keepFrom >= 1 && keepFrom <= head, s"keepFrom $keepFrom out of [1, $head]")
     def paths(m: Manifest): Seq[String] =
       m.files.map(_.path) ++ m.deletes.map(_.path)
+    // TAGGED snapshots are retention-pinned: they survive expiry (and
+    // keep their files) regardless of age, until the tag is dropped.
+    val tagged = tags(root).values.toSet
     // manifests below an earlier expiry's keepFrom are already gone —
     // only the surviving ones contribute expired paths
     val gone = (1 until keepFrom)
+      .filterNot(tagged.contains)
       .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
-    val keep = (keepFrom to head).flatMap(i => paths(manifest(root, i))).toSet
+    val keepSnaps = ((keepFrom to head) ++ tagged.filter(_ < keepFrom))
+      .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
+    val keep = keepSnaps.flatMap(i => paths(manifest(root, i))).toSet
     val expired = gone.flatMap(i => paths(manifest(root, i))).toSet
     val orphans = expired -- keep
     orphans.foreach { p =>
       Files.deleteIfExists(Paths.get(new java.net.URI(p).getPath)): Unit
     }
     // metadata parts referenced only by expired manifests go with them
-    val keptParts = (keepFrom to head).flatMap(i => rawParts(root, i)).toSet
+    val keptParts = keepSnaps.flatMap(i => rawParts(root, i)).toSet
     (gone.flatMap(i => rawParts(root, i)).toSet -- keptParts)
       .foreach(p => Files.deleteIfExists(Paths.get(p)): Unit)
-    (1 until keepFrom).foreach { i =>
+    gone.foreach { i =>
       Files.deleteIfExists(Paths.get(root, "meta", s"manifest-$i.json")): Unit
     }
     orphans.size
   }
+
+  // ---------------- refs (tags) ----------------
+
+  /** TAG a snapshot with a stable name (Iceberg's snapshot refs): one
+    * immutable metadata file pinning `snap`. A tag is a retention
+    * guarantee — [[expire]]/[[expireOlderThan]] keep tagged snapshots
+    * (manifest AND files) alive regardless of age until [[dropTag]] —
+    * so "the audited training-set cut" stays readable by name while
+    * routine retention reclaims everything around it. Re-tagging an
+    * existing name is rejected (tags are immutable; drop it first).
+    */
+  def tag(root: String, name: String, snap: Int): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+    val head = currentSnapshot(root)
+    require(snap >= 1 && snap <= head, s"tag target $snap outside [1, $head]")
+    require(Files.exists(Paths.get(root, "meta", s"manifest-$snap.json")),
+      s"snapshot $snap is already expired")
+    Files.createDirectories(refsDir(root))
+    Files.writeString(refsDir(root).resolve(s"tag-$name"), snap.toString,
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+  }
+
+  /** Drop a tag; returns whether it existed. The pinned snapshot
+    * becomes reclaimable by the next expiry (if otherwise out of
+    * retention).
+    */
+  def dropTag(root: String, name: String): Boolean =
+    Files.deleteIfExists(refsDir(root).resolve(s"tag-$name"))
+
+  /** All tags: name → snapshot id. */
+  def tags(root: String): Map[String, Int] = {
+    val d = refsDir(root)
+    if (!Files.isDirectory(d)) Map.empty
+    else {
+      val st = Files.list(d)
+      try asScala(st.iterator())
+        .filter(_.getFileName.toString.startsWith("tag-"))
+        .map(p => p.getFileName.toString.stripPrefix("tag-") ->
+          Files.readString(p).trim.toInt)
+        .toMap
+      finally st.close()
+    }
+  }
+
+  /** Time travel by tag name. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val snap = tags(root).getOrElse(name,
+      throw new NoSuchElementException(s"no tag '$name' on $root"))
+    read(spark, root, Some(snap))
+  }
+
+  private def refsDir(root: String): Path = Paths.get(root, "meta", "refs")
 
   /** Orphan-file sweep (Iceberg's remove_orphan_files): delete data
     * files that NO live manifest references — the residue of aborted

@@ -605,6 +605,44 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- lake_tag: SNAPSHOT TAGS — named refs as retention pins. Tag
+  // the first cut ("v1"), append the rest, compact (a rewrite that
+  // RETIRES every pre-compaction file from the current view), then
+  // expire everything below the head. Without the tag, snapshot 1's
+  // manifest and files are reclaimed; with it, `readTag("v1")` still
+  // reads the exact audited cut while routine retention swept the
+  // untagged middle generation. This is how a 100 TB training-set
+  // release stays pinned by name for years of table churn. The oracle
+  // replays both views; LakeSpec pins the reclamation asymmetry.
+  def lakeTag(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_tag_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.tag(root, "v1", 1)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    LakeTable.rewrite(s, root, LakeTable.read(s, root), cfg, Seq("event_id"))
+    LakeTable.expire(root, 3)
+    LakeTable.readTag(s, root, "v1").withColumn("snap", lit(1L))
+      .unionByName(LakeTable.read(s, root).withColumn("snap", lit(3L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeTagSql: String =
+    """WITH snaps AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT) AS snap, event_type, value FROM events)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   // --- stream_lake: streaming ingest INTO the manifest-tracked
   // table — the reference's whole pipeline (file stream → block
   // writer → iceberg commit; main.go:62-115) in one operator. The
@@ -973,6 +1011,7 @@ object Lake {
     "lake_delete_bulk" -> lakeDeleteBulk,
     "lake_rewrite" -> lakeRewrite,
     "lake_rollback" -> lakeRollback,
+    "lake_tag" -> lakeTag,
     "lake_format_write" -> lakeFormatWrite,
     "q_sql_lake" -> qSqlLake,
     "q_sql_update" -> qSqlUpdate,
@@ -998,6 +1037,7 @@ object Lake {
     "lake_delete_bulk" -> lakeDeleteBulkSql,
     "lake_rewrite" -> lakeRewriteSql,
     "lake_rollback" -> lakeRollbackSql,
+    "lake_tag" -> lakeTagSql,
     "lake_format_write" -> lakeFormatWriteSql,
     "q_sql_lake" -> qSqlLakeSql,
     "q_sql_update" -> qSqlUpdateSql,

@@ -91,6 +91,8 @@ class GraftCatalog extends TableCatalog
                 LakeTable.history(spark, t))
             case "files" =>
               return new GraftMetadataTable(s"$t#files", filesDf(t))
+            case "tags" =>
+              return new GraftMetadataTable(s"$t#tags", tagsDf(t))
             case _ => ()
           }
         }
@@ -115,6 +117,15 @@ class GraftCatalog extends TableCatalog
     m.files.map(f => (f.path, f.rows, f.bytes, f.seq.toLong,
         f.stats.size.toLong, f.bucket))
       .toDF("path", "rows", "bytes", "seq", "n_stat_cols", "bucket")
+  }
+
+  /** Named snapshot refs (`t.tags`): retention pins, from metadata. */
+  private def tagsDf(table: String) = {
+    val s = spark
+    import s.implicits._
+    LakeTable.tags(table).toSeq.sortBy(_._1)
+      .map { case (n, v) => (n, v.toLong) }
+      .toDF("name", "snap")
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)

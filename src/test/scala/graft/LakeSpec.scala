@@ -764,6 +764,79 @@ class LakeSpec extends AnyFunSuite {
     assert(touched < total, s"no pruning at all: $touched/$total")
     graft.util.Scratch.rmNow(root)
   }
+
+  test("tags pin snapshots through expiry; dropping the tag releases them") {
+    val root = graft.util.Scratch.dir("graft_lakespec_tag_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    val n1 = LakeTable.read(spark, root).count()
+    LakeTable.tag(root, "v1", 1)
+    assert(LakeTable.tags(root) === Map("v1" -> 1))
+    // tags are immutable refs: re-tagging the name is rejected
+    intercept[Exception](LakeTable.tag(root, "v1", 1))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    // compaction RETIRES both generations' files from the live view...
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root), cfg, Seq("event_id"))
+    // ...so expire(3) reclaims them — EXCEPT what the tag pins
+    LakeTable.expire(root, 3)
+    // the tagged cut still reads exactly; the untagged snapshot 2 is gone
+    assert(LakeTable.readTag(spark, root, "v1").count() === n1)
+    assert(LakeTable.read(spark, root, Some(1)).count() === n1)
+    intercept[Exception](LakeTable.read(spark, root, Some(2)).count())
+    assert(LakeTable.read(spark, root).count() === ev.count())
+    // dropping the tag releases the pin: the next expiry reclaims it
+    assert(LakeTable.dropTag(root, "v1"))
+    assert(!LakeTable.dropTag(root, "v1"))
+    LakeTable.expire(root, 3)
+    intercept[Exception](LakeTable.readTag(spark, root, "v1"))
+    intercept[Exception](LakeTable.read(spark, root, Some(1)).count())
+    // tagging an expired snapshot is rejected; head still healthy
+    intercept[IllegalArgumentException](LakeTable.tag(root, "v2", 2))
+    assert(LakeTable.read(spark, root).count() === ev.count())
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("rollback is metadata-only, restores the target view, and keeps history append-only") {
+    val root = graft.util.Scratch.dir("graft_lakespec_rb_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 3 < 2), cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 3 === 2), cfg, Seq("event_id"))
+    val n3 = LakeTable.read(spark, root).count()
+    def dataFiles(): Long = {
+      val d = java.nio.file.Paths.get(root, "data")
+      val st = java.nio.file.Files.walk(d)
+      try st.filter(p => p.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    val filesBefore = dataFiles()
+    val s4 = LakeTable.rollback(root, 1)
+    assert(s4 === 4)
+    // THE rollback property: zero data IO — no file added or removed
+    assert(dataFiles() === filesBefore, "rollback must not touch data files")
+    val m1 = LakeTable.manifest(root, 1)
+    val m4 = LakeTable.manifest(root, 4)
+    assert(m4.files === m1.files, "rollback manifest re-references the target's files")
+    assert(m4.deletes.isEmpty, "snapshot 1 carried no deletes, so neither may the rollback")
+    // head view == snapshot-1 view (delete undone, append gone)
+    assert(LakeTable.read(spark, root).count() === LakeTable.read(spark, root, Some(1)).count())
+    // history is append-only: the rolled-past head stays travelable
+    assert(LakeTable.read(spark, root, Some(3)).count() === n3)
+    assert(LakeTable.history(spark, root).count() === 4)
+    // a rollback commit adds no files with its own seq → incremental
+    // consumers tailing (3, 4] see an empty (typed) batch, not a replay
+    assert(LakeTable.incrementalRead(spark, root, 3, 4).count() === 0)
+    // rollback of the rollback restores the pre-rollback head
+    LakeTable.rollback(root, 3)
+    assert(LakeTable.read(spark, root).count() === n3)
+    // targets outside the committed range are rejected
+    intercept[IllegalArgumentException](LakeTable.rollback(root, 99))
+    graft.util.Scratch.rmNow(root)
+  }
 }
 
 /** The registered DataSource: spark.read/readStream.format("graft-lake"). */
@@ -844,45 +917,5 @@ class LakeDataSourceSpec extends AnyFunSuite {
     drain()
     assert(spark.read.parquet(sink).count() === ev.count())
     graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(sink); graft.util.Scratch.rmNow(ckpt)
-  }
-
-  test("rollback is metadata-only, restores the target view, and keeps history append-only") {
-    val root = graft.util.Scratch.dir("graft_lakespec_rb_")
-    val ev = graft.sources.Tables.load(spark, sf, "events")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
-    LakeTable.commit(spark, root, ev.filter(col("event_id") % 3 < 2), cfg, Seq("event_id"))
-    LakeTable.deleteWhere(spark, root, "event_id", ev.filter(col("event_id") % 10 === 0))
-    LakeTable.commit(spark, root, ev.filter(col("event_id") % 3 === 2), cfg, Seq("event_id"))
-    val n3 = LakeTable.read(spark, root).count()
-    def dataFiles(): Long = {
-      val d = java.nio.file.Paths.get(root, "data")
-      val st = java.nio.file.Files.walk(d)
-      try st.filter(p => p.toString.endsWith(".parquet")).count()
-      finally st.close()
-    }
-    val filesBefore = dataFiles()
-    val s4 = LakeTable.rollback(root, 1)
-    assert(s4 === 4)
-    // THE rollback property: zero data IO — no file added or removed
-    assert(dataFiles() === filesBefore, "rollback must not touch data files")
-    val m1 = LakeTable.manifest(root, 1)
-    val m4 = LakeTable.manifest(root, 4)
-    assert(m4.files === m1.files, "rollback manifest re-references the target's files")
-    assert(m4.deletes.isEmpty, "snapshot 1 carried no deletes, so neither may the rollback")
-    // head view == snapshot-1 view (delete undone, append gone)
-    assert(LakeTable.read(spark, root).count() === LakeTable.read(spark, root, Some(1)).count())
-    // history is append-only: the rolled-past head stays travelable
-    assert(LakeTable.read(spark, root, Some(3)).count() === n3)
-    assert(LakeTable.history(spark, root).count() === 4)
-    // a rollback commit adds no files with its own seq → incremental
-    // consumers tailing (3, 4] see an empty (typed) batch, not a replay
-    assert(LakeTable.incrementalRead(spark, root, 3, 4).count() === 0)
-    // rollback of the rollback restores the pre-rollback head
-    LakeTable.rollback(root, 3)
-    assert(LakeTable.read(spark, root).count() === n3)
-    // targets outside the committed range are rejected
-    intercept[IllegalArgumentException](LakeTable.rollback(root, 99))
-    graft.util.Scratch.rmNow(root)
   }
 }
