@@ -130,9 +130,17 @@ class GraftCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** SQL `VERSION AS OF <snapshot>`. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.trim.toInt))
+  /** SQL `VERSION AS OF <snapshot-or-tag>`: an integer names the
+    * snapshot directly; anything else resolves as a TAG name.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.trim
+    val snap =
+      if (v.forall(_.isDigit) && v.nonEmpty) v.toInt
+      else LakeTable.tags(dirOf(ident).toString).getOrElse(v,
+        throw new NoSuchTableException(ident))
+    load(ident, Some(snap))
+  }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark passes epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =

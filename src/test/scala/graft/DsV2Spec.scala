@@ -275,6 +275,28 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $M")
   }
 
+  test("VERSION AS OF resolves tag names; t.tags lists refs in SQL") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val catRoot = graft.util.Scratch.root.resolve("sqlcat")
+    spark.conf.set("spark.sql.catalog.graft.root", catRoot.toString)
+    events.createOrReplaceTempView("tg_src")
+    val name = s"tg_${System.nanoTime()}"
+    val T = s"graft.db.$name"
+    spark.sql(s"CREATE TABLE $T AS SELECT event_id, user_id, value FROM tg_src WHERE event_id < 500")
+    LakeTable.tag(catRoot.resolve("db").resolve(name).toString, "release-1", 1)
+    spark.sql(s"INSERT INTO $T SELECT event_id, user_id, value FROM tg_src WHERE event_id >= 500")
+    // tag name and snapshot number are interchangeable in SQL
+    assert(spark.sql(s"SELECT * FROM $T VERSION AS OF 'release-1'").count() === 500)
+    assert(spark.sql(s"SELECT * FROM $T VERSION AS OF 1").count() === 500)
+    assert(spark.table(T).count() === events.count())
+    val tags = spark.sql(s"SELECT name, snap FROM $T.tags").collect()
+    assert(tags.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("release-1", 1L)))
+    // an unknown ref is a missing-table error, not a silent full read
+    intercept[Exception](spark.sql(s"SELECT * FROM $T VERSION AS OF 'nope'").count())
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("aggregate pushdown answers MIN/MAX/COUNT from footers on clean snapshots only") {
     val root = graft.util.Scratch.dir("graft_v2agg_")
     LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
