@@ -309,10 +309,14 @@ object LlmPipeline {
       val top = graft.util.QueryScratch.register(
         bpePairs(cur).orderBy(col("n").desc, col("l"), col("r"))
           .limit(1).localCheckpoint())
+      // every non-seq column rides along untouched (freq always;
+      // `word` when the caller needs the word → final-segmentation
+      // mapping, e.g. bpe_encode)
+      val keep = cur.columns.filterNot(_ == "seq").map(col).toSeq
       cur = graft.util.QueryScratch.cached(cur.crossJoin(broadcast(top))
         .select(call_function("replace", col("seq"),
           concat(sep, col("l"), sep, sep, col("r"), sep),
-          concat(sep, col("l"), col("r"), sep)).as("seq"), col("freq")))
+          concat(sep, col("l"), col("r"), sep)).as("seq") +: keep: _*))
       // periodic RELIABLE checkpoint of the vocab frame: the linear
       // join chain since the last checkpoint is rewritten as a
       // materialized leaf, so plan depth — and with it analysis and
@@ -382,6 +386,82 @@ object LlmPipeline {
        |SELECT rank, l, r, l || r AS merged, n FROM (
        |$unioned)
        |ORDER BY rank""".stripMargin
+  }
+
+  // --- bpe_encode: APPLY the trained tokenizer — the other half of
+  // the BPE lifecycle (train learns merges; encode tokenizes the
+  // corpus with them). Production shape: the merges are applied to
+  // the WORD VOCABULARY once (same wrapped-symbol replace as
+  // training, so segmentation is exactly the greedy merge order),
+  // then each word's token count joins back to the corpus word
+  // occurrences — the expensive merge loop costs O(vocab), never
+  // O(corpus), and the per-doc reduction is one aggregation. At
+  // 100 TB the vocab frame is millions of rows against billions of
+  // documents; the join shuffles on `word` (or broadcasts when the
+  // vocab is small enough). Output: per-doc word and BPE-token
+  // counts — the sizing statistic every training-data pipeline
+  // needs (sequence packing, cost estimates, token budgets).
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val sep = lit(BPE_SEP)
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(graft.util.Scratch.dir("graft_bpe_ck_"))
+    val docs = t(s, dir, "documents")
+    val words = docs.select(col("doc_id"),
+      explode(TextFns.words(col("text"))).as("word"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val seq0 = vocab.select(col("word"),
+      array_join(transform(sequence(lit(1), length(col("word"))),
+        i => concat(sep, col("word").substr(i, lit(1)), sep)), "").as("seq"),
+      col("freq"))
+    val (_, finalVocab) = bpeTrainLoop(s, seq0, BPE_MERGES)
+    val wordTokens = finalVocab.select(col("word"),
+      size(bpeSyms(col("seq"))).cast("bigint").as("n_tok"))
+    words.join(wordTokens, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeEncodeSql: String = {
+    // the training replay carries `word` through every merge round so
+    // the final segmentation maps back to the vocabulary; same
+    // MATERIALIZED-per-round discipline as bpeTrainSql (each s_k is
+    // read twice — pair count and merge — and inlining would expand
+    // the chain exponentially)
+    def pairs(src: String, p: String, t: String) =
+      s"""$p AS MATERIALIZED (
+         |  SELECT sym[i] AS l, sym[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT list_filter(string_split(seq, chr(31)), x -> len(x) > 0) AS sym, freq FROM $src),
+         |    LATERAL unnest(generate_series(1, len(sym) - 1)) t(i)
+         |  GROUP BY 1, 2),
+         |$t AS MATERIALIZED (SELECT l, r, n FROM $p ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+    def merged(src: String, t: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT word, replace(seq, chr(31)||$t.l||chr(31)||chr(31)||$t.r||chr(31),
+         |    chr(31)||$t.l||$t.r||chr(31)) AS seq, freq
+         |  FROM $src, $t)""".stripMargin
+    val rounds = (1 to BPE_MERGES).map { k =>
+      pairs(s"s${k - 1}", s"p$k", s"t$k") + ",\n" + merged(s"s${k - 1}", s"t$k", s"s$k")
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS freq
+       |  FROM (SELECT unnest($wsSql) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, array_to_string(list_transform(generate_series(1, length(word)),
+       |    i -> chr(31) || word[i] || chr(31)), '') AS seq, freq
+       |  FROM v),
+       |$rounds,
+       |wt AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(seq, chr(31)), x -> len(x) > 0)) AS BIGINT) AS n_tok
+       |  FROM s$BPE_MERGES),
+       |dw AS (SELECT doc_id, unnest($wsSql) AS word FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM dw JOIN wt USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   // --- text_fingerprint: order-sensitive polynomial rolling hash of
@@ -1805,6 +1885,7 @@ object LlmPipeline {
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,
     "bpe_train" -> bpeTrain,
+    "bpe_encode" -> bpeEncode,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "decontaminate" -> decontaminate,
@@ -1840,6 +1921,7 @@ object LlmPipeline {
     "text_quality_clf" -> textQualityClfSql,
     "text_gopher" -> textGopherSql,
     "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
