@@ -429,6 +429,85 @@ object Advanced {
        |FROM sh
        |ORDER BY lang""".stripMargin
 
+  // --- sample_temperature: TEMPERATURE-SCALED mixture sampling (the
+  // mT5/XLM-R α-sampling shape, α = 1/2): raw per-language token
+  // masses are flattened as mass^α before normalizing, boosting
+  // low-resource slices without drowning the high-resource ones.
+  // Exactness across engines: α = 1/2 is floor(sqrt(bigint)) — IEEE
+  // sqrt is correctly rounded on both engines, so the integer result
+  // is deterministic; shares and boosts are integer basis points.
+  // Same plan shape as domain_mix: one partial-agg shuffle on lang,
+  // constant-size window over the 5-row aggregate.
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "documents")
+      .withColumn("n_tok", size(TextFns.words(col("text"))).cast("bigint"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val all = Window.partitionBy()
+    agg
+      .withColumn("scaled", floor(sqrt(col("n_tokens").cast("double"))).cast("bigint"))
+      .withColumn("share_bp", idiv(col("n_tokens") * lit(10000L),
+        sum(col("n_tokens")).over(all)))
+      .withColumn("samp_bp", idiv(col("scaled") * lit(10000L),
+        sum(col("scaled")).over(all)))
+      .withColumn("boost_bp", idiv(col("samp_bp") * lit(10000L), col("share_bp")))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("share_bp"), col("samp_bp"), col("boost_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH a AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |sc AS (SELECT lang, n_docs, n_tokens,
+      |    CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS scaled,
+      |    (n_tokens * 10000) // (SUM(n_tokens) OVER ()) AS share_bp FROM a),
+      |sp AS (SELECT *, (scaled * 10000) // (SUM(scaled) OVER ()) AS samp_bp FROM sc)
+      |SELECT lang, n_docs, n_tokens, CAST(share_bp AS BIGINT) AS share_bp,
+      |  CAST(samp_bp AS BIGINT) AS samp_bp,
+      |  CAST((samp_bp * 10000) // share_bp AS BIGINT) AS boost_bp
+      |FROM sp
+      |ORDER BY lang""".stripMargin
+
+  // --- stats_profile: dataset PROFILING (the ANALYZE primitive every
+  // pipeline runs before training): per-column null count, exact
+  // distinct count, lexicographic min/max, and mean value width. The
+  // distributed shape matters: rows are MELTED map-side into
+  // (column, value-as-string) pairs — ×k width, zero shuffles — then
+  // ONE aggregation groups by column name; no per-column distinct
+  // expansion, no k passes over the table, and the shuffle carries
+  // (column, value) pairs so partial aggregation compresses repeats.
+  // At 100 TB this profiles any width in a single scan + shuffle.
+  def statsProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val melted = t(s, dir, "documents").select(
+      explode(array(cols.map(c =>
+        struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.col").as("col"), col("kv.v").as("v"))
+    melted.groupBy(col("col"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        idiv(sum(length(col("v"))), count(col("v"))).as("avg_len"))
+      .orderBy(col("col"))
+  }
+
+  val statsProfileSql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val per = cols.map(c =>
+      s"""SELECT '$c' AS col, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT(v) AS n_null,
+         |  COUNT(DISTINCT v) AS n_distinct,
+         |  MIN(v) AS min_v, MAX(v) AS max_v,
+         |  CAST(SUM(len(v)) // COUNT(v) AS BIGINT) AS avg_len
+         |FROM (SELECT CAST($c AS VARCHAR) AS v FROM documents)""".stripMargin)
+    per.mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
+
   // --- embed_quality: embedding hygiene gate — per-label counts of
   // vectors whose scaled-int squared norm deviates from the unit
   // sphere beyond a threshold (dead/exploded embeddings are the
@@ -469,6 +548,8 @@ object Advanced {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_mix" -> domainMix,
+    "sample_temperature" -> sampleTemperature,
+    "stats_profile" -> statsProfile,
     "embed_quality" -> embedQuality,
     "zorder_layout" -> zorderLayout,
     "kmeans_embed" -> kmeansEmbed,
@@ -480,6 +561,8 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "domain_mix" -> domainMixSql,
+    "sample_temperature" -> sampleTemperatureSql,
+    "stats_profile" -> statsProfileSql,
     "embed_quality" -> embedQualitySql,
     "zorder_layout" -> zorderLayoutSql,
     "kmeans_embed" -> kmeansEmbedSql,
