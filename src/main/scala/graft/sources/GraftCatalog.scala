@@ -153,7 +153,45 @@ class GraftCatalog extends TableCatalog
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir.resolve("meta"))
     Files.writeString(dir.resolve("meta").resolve("_schema.json"), schema.json)
+    // DECLARED LAYOUT: `PARTITIONED BY (bucket(n, col))` pins the
+    // write clustering — every append shuffles on `col` into exactly
+    // `n` buckets, so the storage-partitioned-join spec holds by DDL
+    // instead of by column-order accident. `PARTITIONED BY (col)`
+    // pins the clustering column alone. Recorded once at create time;
+    // the write path reads it back (explicit write options override).
+    layoutOf(partitions, schema).foreach { case (c, n) =>
+      Files.writeString(dir.resolve("meta").resolve("_layout.json"),
+        s"""{"partition_col":"$c","n_buckets":$n}""")
+    }
     new GraftLakeTable(spark, dir.toString, None, Some(schema))
+  }
+
+  private def layoutOf(partitions: Array[Transform],
+      schema: StructType): Option[(String, Int)] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def colOf(t: Transform): String = {
+      val c = t.arguments.collectFirst {
+        case r: NamedReference => r.fieldNames.mkString(".")
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"partition transform $t names no column"))
+      require(schema.fieldNames.contains(c),
+        s"partition column $c not in table schema")
+      c
+    }
+    partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: V2Literal[_] => l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform $t carries no bucket count"))
+        require(n > 0, s"bucket count must be positive, got $n")
+        Some((colOf(t), n))
+      case Seq(t) if t.name == "identity" => Some((colOf(t), 0))
+      case other => throw new UnsupportedOperationException(
+        "graft-lake supports PARTITIONED BY (bucket(n, col)) or " +
+          s"PARTITIONED BY (col), got ${other.mkString(", ")}")
+    }
   }
 
   /** SQL `ALTER TABLE … ADD COLUMNS` — additive evolution as a

@@ -843,9 +843,24 @@ private[sources] object LakeFormatWrite {
       }) => f.name
     }.toSeq
 
+  /** The table's DDL-declared layout (`PARTITIONED BY (bucket(n, c))`
+    * → (c, n); `PARTITIONED BY (c)` → (c, 0)), if any.
+    */
+  private def declaredLayout(root: String): Option[(String, Int)] = {
+    val p = java.nio.file.Paths.get(root, "meta", "_layout.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      Some((node.get("partition_col").asText(), node.get("n_buckets").asInt()))
+    }
+  }
+
   private[sources] def config(options: CaseInsensitiveStringMap,
-      schema: StructType): (BlockWriter.Config, Seq[String], Seq[String]) = {
+      schema: StructType, root: String = ""): (BlockWriter.Config, Seq[String], Seq[String]) = {
+    val layout = if (root.nonEmpty) declaredLayout(root) else None
     val partitionCol = Option(options.get("partitioncol"))
+      .orElse(layout.map(_._1))
       .getOrElse(schema.fieldNames.head)
     val keyCol = Option(options.get("keycol")).getOrElse(partitionCol)
     val maxRecords = Option(options.get("maxrecordsperfile"))
@@ -855,12 +870,17 @@ private[sources] object LakeFormatWrite {
       .getOrElse(atomicStatCols(schema))
     val bloom = Option(options.get("bloom"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    (BlockWriter.Config(partitionCol, keyCol, maxRecords), stats, bloom)
+    // a declared bucket count pins the write fan-out — the
+    // storage-partitioned-join spec `bucket(n, col)` is then stable
+    // across appends by construction
+    val fanOut = layout.collect { case (c, n) if n > 0 && c == partitionCol => n }
+    (BlockWriter.Config(partitionCol, keyCol, maxRecords,
+      parallelism = fanOut), stats, bloom)
   }
 
   def write(spark: SparkSession, root: String, data: DataFrame,
       options: CaseInsensitiveStringMap, overwrite: Boolean): Unit = {
-    val (cfg, stats, bloom) = config(options, data.schema)
+    val (cfg, stats, bloom) = config(options, data.schema, root)
     val head = LakeTable.currentSnapshot(root)
     if (overwrite && head > 0)
       LakeTable.rewrite(spark, root, data, cfg, stats, basis = Some(head)): Unit
@@ -885,7 +905,7 @@ final class GraftStreamSink(spark: SparkSession, root: String,
     // re-plan the micro-batch frame as a batch frame (the plan's RDD
     // feeds the write; ForeachBatchSink does the same re-wrap)
     val batch = StreamShim.asBatchFrame(data)
-    val (cfg, stats, bloom) = LakeFormatWrite.config(options, data.schema)
+    val (cfg, stats, bloom) = LakeFormatWrite.config(options, data.schema, root)
     if (!batch.isEmpty)
       LakeTable.commit(spark, root, batch, cfg, stats, bloomCols = bloom,
         note = s"batch-$batchId"): Unit

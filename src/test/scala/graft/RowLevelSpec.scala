@@ -239,6 +239,62 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $rt")
   }
 
+  test("PARTITIONED BY (bucket(n, col)) declares the layout: DDL drives SPJ, not column order") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val s = spark
+    import s.implicits._
+    // bucket column is NOT the leading column on either side — only
+    // the DDL can produce the co-bucketed layout here
+    val left = (0 until 4000).map(i => (i.toLong, i.toLong % 97, i * 1.5))
+      .toDF("event_id", "user_id", "value")
+    val right = (0 until 300).map(i => (s"seg${i % 9}", i.toLong % 97))
+      .toDF("segment", "user_id").distinct()
+    left.createOrReplaceTempView("ddlb_left_src")
+    right.createOrReplaceTempView("ddlb_right_src")
+    val lt = s"graft.db.ddlbl_${System.nanoTime()}"
+    val rt = s"graft.db.ddlbr_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $lt PARTITIONED BY (bucket(8, user_id)) AS SELECT * FROM ddlb_left_src")
+    spark.sql(s"CREATE TABLE $rt PARTITIONED BY (bucket(8, user_id)) AS SELECT * FROM ddlb_right_src")
+    // the manifest carries the declared spec and every file a bucket < 8
+    val files = spark.sql(s"SELECT bucket FROM $lt.files").collect().map(_.getInt(0))
+    assert(files.forall(b => b >= 0 && b < 8), s"buckets: ${files.toSeq.distinct}")
+    // an INSERT without any options keeps the declared layout
+    spark.sql(s"INSERT INTO $lt SELECT event_id + 100000, user_id, value FROM ddlb_left_src WHERE event_id < 50")
+    val files2 = spark.sql(s"SELECT bucket FROM $lt.files").collect().map(_.getInt(0))
+    assert(files2.forall(b => b >= 0 && b < 8), "insert must keep the declared bucket spec")
+    val expected = spark.sql(
+      s"""SELECT r.segment, count(*) AS n
+         |FROM (SELECT * FROM ddlb_left_src UNION ALL
+         |      SELECT event_id + 100000, user_id, value FROM ddlb_left_src WHERE event_id < 50) l
+         |JOIN ddlb_right_src r ON l.user_id = r.user_id GROUP BY r.segment""".stripMargin)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.sql(
+        s"""SELECT r.segment, count(*) AS n
+           |FROM $lt l JOIN $rt r ON l.user_id = r.user_id
+           |GROUP BY r.segment""".stripMargin)
+      val smj = joined.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "expected a sort-merge join:\n" +
+        joined.queryExecution.executedPlan.toString)
+      val shufflesUnderJoin = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shufflesUnderJoin.isEmpty,
+        "DDL-bucketed tables must join shuffle-free:\n" +
+          joined.queryExecution.executedPlan.toString)
+      assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
+        expected.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    }
+    spark.sql(s"DROP TABLE $lt"); spark.sql(s"DROP TABLE $rt")
+  }
+
   test("bucket report also eliminates the aggregation shuffle, and survives MoR deletes") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
