@@ -218,7 +218,7 @@ object LakeTable {
     * as they did at `toSnap`.
     */
   def rollback(root: String, toSnap: Int): Int =
-    casLoop(root, replace = true, partsFrom = Some(toSnap)) { parent =>
+    casLoop(root, replace = true, partsFrom = Some((root, toSnap))) { parent =>
       require(toSnap >= 1 && toSnap <= parent,
         s"rollback target $toSnap outside [1, $parent] for $root")
       val tm = manifest(root, toSnap)
@@ -226,6 +226,119 @@ object LakeTable {
         note = s"rollback-$toSnap", schemaJson = tm.schemaJson,
         bucketCol = tm.bucketCol, nBuckets = tm.nBuckets)
     }
+
+  // ---------------- branches (write-audit-publish) ----------------
+
+  /** FORK the table into a named BRANCH: a child table at
+    * `root/branches/<name>` whose first snapshot re-references the
+    * head's part files — O(1) metadata, zero data IO. The branch is a
+    * full lake table (commits, deletes, merges, time travel all work
+    * against it via [[branchRoot]]); its staged data lands under the
+    * branch's own data dir, and the fork basis is recorded for
+    * [[publishBranch]]'s fast-forward validation. This is the
+    * write-audit-publish shape: land risky data on the branch, run
+    * audits against it, then publish atomically — readers of `root`
+    * never see unaudited rows.
+    */
+  def branch(root: String, name: String): Int = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
+    val head = currentSnapshot(root)
+    require(head > 0, s"branch of empty table $root")
+    val bRoot = branchRoot(root, name)
+    require(currentSnapshot(bRoot) == 0, s"branch '$name' already exists on $root")
+    val hm = manifest(root, head)
+    Files.createDirectories(Paths.get(bRoot, "meta"))
+    Files.writeString(Paths.get(bRoot, "meta", "_fork.json"),
+      s"""{"basis":$head}""")
+    casLoop(bRoot, partsFrom = Some((root, head))) { parent =>
+      require(parent == 0, s"branch '$name' raced its own creation")
+      Manifest(1, 0, hm.files, hm.deletes, note = s"fork-$head",
+        schemaJson = hm.schemaJson,
+        bucketCol = hm.bucketCol, nBuckets = hm.nBuckets)
+    }
+  }
+
+  /** A branch's table root — pass to any LakeTable API to operate on
+    * the branch.
+    */
+  def branchRoot(root: String, name: String): String =
+    s"$root/branches/$name"
+
+  /** All branches of `root` with their fork bases and heads. */
+  def branches(root: String): Map[String, (Int, Int)] = {
+    val d = Paths.get(root, "branches")
+    if (!Files.isDirectory(d)) Map.empty
+    else {
+      val st = Files.list(d)
+      try asScala(st.iterator())
+        .filter(p => Files.isDirectory(p.resolve("meta")))
+        .map { p =>
+          val name = p.getFileName.toString
+          name -> (forkBasis(p.toString), currentSnapshot(p.toString))
+        }.toMap
+      finally st.close()
+    }
+  }
+
+  private def forkBasis(bRoot: String): Int = {
+    val p = Paths.get(bRoot, "meta", "_fork.json")
+    if (!Files.exists(p)) 0
+    else mapper.readTree(Files.readString(p)).get("basis").asInt()
+  }
+
+  /** PUBLISH a branch: fast-forward `root`'s head to the branch's —
+    * ONE atomic commit re-referencing the branch's part files (zero
+    * data IO; the branch's staged files simply become reachable from
+    * the main chain, which is why [[dropBranch]] refuses to delete a
+    * published branch's directory). Snapshot-isolation validated: if
+    * the main head moved past the fork basis while the branch was
+    * open, the publish fails with ConcurrentModificationException
+    * instead of silently dropping the concurrent commits — re-branch
+    * from the new head and replay (Iceberg's fast-forward rule).
+    */
+  def publishBranch(root: String, name: String): Int = {
+    val bRoot = branchRoot(root, name)
+    val bHead = currentSnapshot(bRoot)
+    require(bHead > 0, s"no branch '$name' on $root")
+    val basis = forkBasis(bRoot)
+    val bm = manifest(bRoot, bHead)
+    casLoop(root, replace = true, partsFrom = Some((bRoot, bHead))) { parent =>
+      if (parent != basis)
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' forked at $basis but $root head is $parent; " +
+            "re-branch from the head and replay the branch commits")
+      Manifest(parent + 1, parent, bm.files, bm.deletes,
+        note = s"publish-$name-$bHead", schemaJson = bm.schemaJson,
+        bucketCol = bm.bucketCol, nBuckets = bm.nBuckets)
+    }
+  }
+
+  /** Drop a branch. Refuses (unless the branch was never published)
+    * to remove a directory whose data files the MAIN chain still
+    * references — a published branch's files are part of the table.
+    */
+  def dropBranch(root: String, name: String): Boolean = {
+    val bRoot = branchRoot(root, name)
+    val d = Paths.get(bRoot)
+    if (!Files.isDirectory(d)) return false
+    val bPath = d.toAbsolutePath.normalize
+    val head = currentSnapshot(root)
+    val referenced = (1 to head)
+      .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
+      .exists { i =>
+        val m = manifest(root, i)
+        (m.files.map(_.path) ++ m.deletes.map(_.path))
+          .exists(p => Paths.get(new java.net.URI(p).getPath).startsWith(bPath))
+      }
+    require(!referenced,
+      s"branch '$name' was published: its files are live in $root — " +
+        "expire the referencing snapshots before dropping the branch")
+    val walk = Files.walk(d)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p): Unit })
+    finally walk.close()
+    true
+  }
 
   /** Merge-on-read DELETE: commit `keys` (one column, the equality
     * key) as a delete file — NO data files are written or rewritten.
@@ -711,7 +824,7 @@ object LakeTable {
     * reused); [[removeOrphans]] sweeps those.
     */
   private def casLoop(root: String, replace: Boolean = false,
-      partsFrom: Option[Int] = None)
+      partsFrom: Option[(String, Int)] = None)
       (build: Int => Manifest): Int = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
@@ -719,13 +832,19 @@ object LakeTable {
     while (true) {
       val parent = currentSnapshot(root)
       val m = build(parent)
-      val added = m.files.filter(_.seq == m.snapshotId)
-      val addedDeletes = m.deletes.filter(_.seq == m.snapshotId)
-      // partsFrom (rollback): the new manifest re-references another
-      // snapshot's immutable part list instead of the parent's — the
-      // inventory is inherited wholesale, nothing is re-serialized.
+      // partsFrom (rollback/branch/publish): the new manifest
+      // re-references another snapshot's immutable part list — possibly
+      // from ANOTHER chain's meta dir — instead of the parent's; the
+      // inventory is inherited WHOLESALE, so nothing counts as added
+      // (a seq collision with the new snapshot id — e.g. branch-seq-2
+      // files under a main publish landing as snapshot 2 — must not
+      // re-serialize those files into a second part).
+      val added =
+        if (partsFrom.isDefined) Nil else m.files.filter(_.seq == m.snapshotId)
+      val addedDeletes =
+        if (partsFrom.isDefined) Nil else m.deletes.filter(_.seq == m.snapshotId)
       val parentParts: Seq[String] = partsFrom match {
-        case Some(src) => rawParts(root, src)
+        case Some((srcRoot, srcSnap)) => rawParts(srcRoot, srcSnap)
         case None => if (replace || parent == 0) Nil else rawParts(root, parent)
       }
       val partPath = meta.resolve(
@@ -1019,9 +1138,29 @@ object LakeTable {
       .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
     val keepSnaps = ((keepFrom to head) ++ tagged.filter(_ < keepFrom))
       .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
-    val keep = keepSnaps.flatMap(i => paths(manifest(root, i))).toSet
+    // open BRANCHES re-reference main-chain files (the fork inherits
+    // the basis's parts) — every branch-reachable path survives expiry
+    val branchKeep = branches(root).keys.flatMap { b =>
+      val bRoot = branchRoot(root, b)
+      (1 to currentSnapshot(bRoot))
+        .filter(i => Files.exists(Paths.get(bRoot, "meta", s"manifest-$i.json")))
+        .flatMap(i => paths(manifest(bRoot, i)))
+    }.toSet
+    val keep = keepSnaps.flatMap(i => paths(manifest(root, i))).toSet ++ branchKeep
     val expired = gone.flatMap(i => paths(manifest(root, i))).toSet
-    val orphans = expired -- keep
+    // OWNERSHIP RULE: a chain only ever deletes files under its own
+    // directory, and never under its branches/ subtree. A branch's
+    // manifests also reference the PARENT chain's files (fork
+    // inheritance) — expiring branch history must not reach into the
+    // parent; and the parent's expiry must not reclaim branch-staged
+    // files (published ones are live; unpublished ones belong to
+    // dropBranch).
+    val rootPath = Paths.get(root).toAbsolutePath.normalize
+    val branchesPath = rootPath.resolve("branches")
+    val orphans = (expired -- keep).filter { p =>
+      val fp = Paths.get(new java.net.URI(p).getPath)
+      fp.startsWith(rootPath) && !fp.startsWith(branchesPath)
+    }
     orphans.foreach { p =>
       Files.deleteIfExists(Paths.get(new java.net.URI(p).getPath)): Unit
     }

@@ -643,6 +643,50 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- lake_branch: WRITE-AUDIT-PUBLISH — the staging pattern for
+  // risky data at scale. Fork the table into a branch (O(1) metadata:
+  // the fork re-references the head's part files), land the new
+  // generation ON THE BRANCH, audit it there, MoR-delete the rows the
+  // audit rejects, then PUBLISH: one atomic fast-forward commit makes
+  // the audited branch head the main head. Readers of main never see
+  // unaudited rows — the query proves it by reading main's pre-publish
+  // snapshot (still only generation 1) next to the published head
+  // (gen 1 + audited gen 2). The oracle replays both views; the
+  // fast-forward race (main moved past the fork) is spec-pinned.
+  def lakeBranch(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_br_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.branch(root, "audit")
+    val bRoot = LakeTable.branchRoot(root, "audit")
+    LakeTable.commit(s, bRoot, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    // the audit rejects part of the NEW generation (odd ids ≡ 3 mod 5)
+    LakeTable.deleteWhere(s, bRoot, "event_id",
+      ev.filter(col("event_id") % 2 === 1 && col("event_id") % 5 === 3))
+    LakeTable.publishBranch(root, "audit")
+    LakeTable.read(s, root, Some(1)).withColumn("snap", lit(1L))
+      .unionByName(LakeTable.read(s, root).withColumn("snap", lit(2L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeBranchSql: String =
+    """WITH snaps AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 2 = 0
+      |     OR (event_id % 2 = 1 AND NOT event_id % 5 = 3))
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   // --- stream_lake: streaming ingest INTO the manifest-tracked
   // table — the reference's whole pipeline (file stream → block
   // writer → iceberg commit; main.go:62-115) in one operator. The
@@ -1012,6 +1056,7 @@ object Lake {
     "lake_rewrite" -> lakeRewrite,
     "lake_rollback" -> lakeRollback,
     "lake_tag" -> lakeTag,
+    "lake_branch" -> lakeBranch,
     "lake_format_write" -> lakeFormatWrite,
     "q_sql_lake" -> qSqlLake,
     "q_sql_update" -> qSqlUpdate,
@@ -1038,6 +1083,7 @@ object Lake {
     "lake_rewrite" -> lakeRewriteSql,
     "lake_rollback" -> lakeRollbackSql,
     "lake_tag" -> lakeTagSql,
+    "lake_branch" -> lakeBranchSql,
     "lake_format_write" -> lakeFormatWriteSql,
     "q_sql_lake" -> qSqlLakeSql,
     "q_sql_update" -> qSqlUpdateSql,

@@ -798,6 +798,60 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("branches: write-audit-publish, fast-forward validation, ownership-scoped reclamation") {
+    val root = graft.util.Scratch.dir("graft_lakespec_br_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    val nEven = ev.filter(col("event_id") % 2 === 0).count()
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.branch(root, "wap")
+    val bRoot = LakeTable.branchRoot(root, "wap")
+    // the fork is metadata-only: no data file was copied into the branch
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(bRoot, "data")) ||
+      { val st = java.nio.file.Files.walk(java.nio.file.Paths.get(bRoot, "data"))
+        try st.noneMatch(p => p.toString.endsWith(".parquet")) finally st.close() },
+      "fork must not copy data files")
+    assert(LakeTable.read(spark, bRoot).count() === nEven)
+    // write+audit on the branch: main readers see none of it
+    LakeTable.commit(spark, bRoot, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, bRoot, "event_id",
+      ev.filter(col("event_id") % 2 === 1 && col("event_id") % 5 === 3))
+    assert(LakeTable.currentSnapshot(root) === 1, "main must not advance while the branch is open")
+    assert(LakeTable.read(spark, root).count() === nEven)
+    // publish: one atomic fast-forward; main now reads the audited cut
+    val expect = ev.filter(col("event_id") % 2 === 0 ||
+      (col("event_id") % 2 === 1 && col("event_id") % 5 =!= 3)).count()
+    LakeTable.publishBranch(root, "wap")
+    assert(LakeTable.read(spark, root).count() === expect)
+    assert(LakeTable.branches(root).keySet === Set("wap"))
+    // a published branch's files are live in main: dropping it is refused
+    intercept[IllegalArgumentException](LakeTable.dropBranch(root, "wap"))
+    // fast-forward rule: a branch whose fork basis the main head has
+    // passed cannot publish (the concurrent commit would be dropped)
+    LakeTable.branch(root, "stale")
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1).limit(10),
+      cfg, Seq("event_id"))
+    intercept[java.util.ConcurrentModificationException](
+      LakeTable.publishBranch(root, "stale"))
+    // never-published branches drop cleanly
+    assert(LakeTable.dropBranch(root, "stale"))
+    assert(LakeTable.branches(root).keySet === Set("wap"))
+    // expiry protects files an OPEN branch references: rewrite main
+    // (retiring every live file), then expire — the branch fork still
+    // reads its snapshot because its referenced files survived
+    LakeTable.branch(root, "pinned")
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root), cfg, Seq("event_id"))
+    val head = LakeTable.currentSnapshot(root)
+    LakeTable.expire(root, head)
+    assert(LakeTable.read(spark, LakeTable.branchRoot(root, "pinned")).count() === expect + 10)
+    // dropping the open branch releases the pin; the next expiry reclaims
+    assert(LakeTable.dropBranch(root, "pinned"))
+    LakeTable.expire(root, head)
+    assert(LakeTable.read(spark, root).count() === expect + 10)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("rollback is metadata-only, restores the target view, and keeps history append-only") {
     val root = graft.util.Scratch.dir("graft_lakespec_rb_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
