@@ -93,6 +93,8 @@ class GraftCatalog extends TableCatalog
               return new GraftMetadataTable(s"$t#files", filesDf(t))
             case "tags" =>
               return new GraftMetadataTable(s"$t#tags", tagsDf(t))
+            case "branches" =>
+              return new GraftMetadataTable(s"$t#branches", branchesDf(t))
             case _ => ()
           }
         }
@@ -128,13 +130,31 @@ class GraftCatalog extends TableCatalog
       .toDF("name", "snap")
   }
 
+  /** Open branches (`t.branches`): fork basis + branch head. */
+  private def branchesDf(table: String) = {
+    val s = spark
+    import s.implicits._
+    LakeTable.branches(table).toSeq.sortBy(_._1)
+      .map { case (n, (basis, head)) => (n, basis.toLong, head.toLong) }
+      .toDF("name", "fork_basis", "head")
+  }
+
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** SQL `VERSION AS OF <snapshot-or-tag>`: an integer names the
-    * snapshot directly; anything else resolves as a TAG name.
+  /** SQL `VERSION AS OF <snapshot-or-ref>`: an integer names the
+    * snapshot directly; `branch:<name>` serves the BRANCH chain's
+    * head (audit queries run against the staged cut by name); any
+    * other string resolves as a TAG name.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = version.trim
+    if (v.startsWith("branch:")) {
+      val bRoot = LakeTable.branchRoot(dirOf(ident).toString,
+        v.stripPrefix("branch:"))
+      if (LakeTable.currentSnapshot(bRoot) == 0)
+        throw new NoSuchTableException(ident)
+      return new GraftLakeTable(spark, bRoot, None, None)
+    }
     val snap =
       if (v.forall(_.isDigit) && v.nonEmpty) v.toInt
       else LakeTable.tags(dirOf(ident).toString).getOrElse(v,

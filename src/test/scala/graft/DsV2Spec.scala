@@ -297,6 +297,35 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("SQL reads a branch by name: VERSION AS OF 'branch:x' and t.branches") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val catRoot = graft.util.Scratch.root.resolve("sqlcat")
+    spark.conf.set("spark.sql.catalog.graft.root", catRoot.toString)
+    events.createOrReplaceTempView("br_src")
+    val name = s"br_${System.nanoTime()}"
+    val T = s"graft.db.$name"
+    spark.sql(s"CREATE TABLE $T AS SELECT event_id, user_id, value FROM br_src WHERE event_id < 500")
+    val dir = catRoot.resolve("db").resolve(name).toString
+    LakeTable.branch(dir, "wap")
+    LakeTable.commit(spark,
+      LakeTable.branchRoot(dir, "wap"),
+      events.select(col("event_id"), col("user_id"), col("value"))
+        .filter(col("event_id") >= 500),
+      cfg, Seq("event_id"))
+    // main unchanged; the branch head is readable BY NAME in SQL
+    assert(spark.table(T).count() === 500)
+    assert(spark.sql(s"SELECT * FROM $T VERSION AS OF 'branch:wap'").count() === events.count())
+    val br = spark.sql(s"SELECT name, fork_basis, head FROM $T.branches").collect()
+    assert(br.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("wap", 1L, 2L)))
+    // publish, then the main table itself serves the audited cut
+    LakeTable.publishBranch(dir, "wap")
+    assert(spark.table(T).count() === events.count())
+    intercept[Exception](spark.sql(s"SELECT * FROM $T VERSION AS OF 'branch:none'").count())
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("aggregate pushdown answers MIN/MAX/COUNT from footers on clean snapshots only") {
     val root = graft.util.Scratch.dir("graft_v2agg_")
     LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
