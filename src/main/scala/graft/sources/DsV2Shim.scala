@@ -220,15 +220,27 @@ final class DelegatedScanBuilder(
     allFiles: Seq[(String, Long)],
     aggPushdown: Boolean,
     coordNames: Set[String],
-    finish: (ParquetScan, Seq[Filter], Option[StructType]) => Scan)
+    finish: (ParquetScan, Seq[Filter], Option[StructType], Option[Int]) => Scan)
   extends ScanBuilder with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private val inner =
     ParquetScanBuilder(spark, new ManifestFileIndex(spark, allFiles),
       dataSchema, dataSchema, options)
   private var pushedV1: Seq[Filter] = Nil
   private var requested: Option[StructType] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown: the lake scan can cap its PLANNED FILE LIST from
+    * manifest row counts (a `LIMIT 10` against 100 TB plans a file or
+    * two, not the table) — always PARTIAL, Spark keeps its limit
+    * operator, so the scan only needs to deliver at least `limit`
+    * rows when the cap applies (clean snapshot, no residual filters —
+    * enforced at plan time by [[GraftScan]]).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedV1 = DsV2Shim.toV1Filters(filters)
@@ -259,5 +271,5 @@ final class DelegatedScanBuilder(
 
   override def build(): Scan =
     finish(inner.build(), pushedV1,
-      requested.filter(_.fields.exists(f => coordNames(f.name))))
+      requested.filter(_.fields.exists(f => coordNames(f.name))), limit)
 }

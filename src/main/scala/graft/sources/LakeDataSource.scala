@@ -183,8 +183,9 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
       m.files.map(f => (f.path, GraftScan.bytesOf(f))),
       aggPushdown = m.deletes.isEmpty,
       Set(LakeTable.CoordPath, LakeTable.CoordIdx),
-      (pscan, pushed, requested) =>
-        new GraftScan(spark, root, m, tableSchema, pscan, pushed, requested))
+      (pscan, pushed, requested, limit) =>
+        new GraftScan(spark, root, m, tableSchema, pscan, pushed, requested,
+          limit))
   }
 
   /** Row-coordinate METADATA columns: every scan can serve each row's
@@ -402,7 +403,8 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
     tableSchema: StructType, template: ParquetScan, pushed: Seq[Filter],
     // full requested schema when row-coordinate metadata columns
     // (`_graft_file_path`/`_graft_row_idx`) are among the output
-    requested: Option[StructType] = None)
+    requested: Option[StructType] = None,
+    limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -445,8 +447,29 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
       pointP.filter(kv => tracked(kv._1)))
   }
 
-  /** Manifest-stats pruning on the statically pushed predicates. */
-  private[graft] val survivors: Seq[FileEntry] = prune(m.files, pushed)
+  /** Manifest-stats pruning on the statically pushed predicates,
+    * then the pushed-LIMIT file cap: on a CLEAN snapshot (no deletes)
+    * with NO residual filters, manifest row counts are exact, so the
+    * scan plans just enough files to cover the limit — a `LIMIT 10`
+    * against a 100 TB table reads one file. With filters or delete
+    * masks in play the counts are not exact and the cap is skipped
+    * (the limit is only ever partially pushed; Spark's own limit
+    * operator still applies).
+    */
+  private[graft] val survivors: Seq[FileEntry] = {
+    val pruned = prune(m.files, pushed)
+    limit match {
+      case Some(n) if pushed.isEmpty && m.deletes.isEmpty =>
+        val buf = Seq.newBuilder[FileEntry]
+        var acc = 0L
+        val it = pruned.iterator
+        while (acc < n && it.hasNext) {
+          val f = it.next(); buf += f; acc += f.rows
+        }
+        buf.result()
+      case _ => pruned
+    }
+  }
   private[graft] def totalFiles: Int = m.files.size
 
   /** Post-runtime-filter file set (starts at the static survivors). */

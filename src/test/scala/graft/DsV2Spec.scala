@@ -275,6 +275,36 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $M")
   }
 
+  test("LIMIT pushdown plans only enough files on a clean snapshot; never under filters/deletes") {
+    val root = graft.util.Scratch.dir("graft_v2lim_")
+    // many small files so the cap is observable
+    LakeTable.commit(spark, root, events,
+      BlockWriter.Config("user_id", "event_id", maxRecordsPerFile = 256),
+      Seq("event_id"))
+    val limited = spark.read.format("graft-lake").load(root).limit(10)
+    val scan = graftScanOf(limited)
+    assert(scan.survivors.size < scan.totalFiles,
+      s"LIMIT 10 should cap the planned files: ${scan.survivors.size}/${scan.totalFiles}")
+    assert(scan.survivors.map(_.rows).sum >= 10, "planned files must cover the limit")
+    assert(limited.count() === 10)
+    // a pushed filter makes manifest counts inexact → no cap
+    val filtered = spark.read.format("graft-lake").load(root)
+      .filter(col("value") > 50).limit(10)
+    val fscan = graftScanOf(filtered)
+    assert(fscan.survivors.size === fscan.totalFiles,
+      "row-filtered limits must not cap the file list")
+    assert(filtered.count() === math.min(10, events.filter(col("value") > 50).count()))
+    // outstanding deletes mask rows → no cap, and results respect the mask
+    LakeTable.deleteWhere(spark, root, "event_id",
+      events.select(col("event_id")).limit(500))
+    val afterDel = spark.read.format("graft-lake").load(root).limit(10)
+    val dscan = graftScanOf(afterDel)
+    assert(dscan.survivors.size === dscan.totalFiles,
+      "delete-masked snapshots must not cap the file list")
+    assert(afterDel.count() === 10)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("VERSION AS OF resolves tag names; t.tags lists refs in SQL") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
