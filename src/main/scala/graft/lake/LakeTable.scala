@@ -221,6 +221,8 @@ object LakeTable {
     casLoop(root, replace = true, partsFrom = Some((root, toSnap))) { parent =>
       require(toSnap >= 1 && toSnap <= parent,
         s"rollback target $toSnap outside [1, $parent] for $root")
+      require(Files.exists(Paths.get(root, "meta", s"manifest-$toSnap.json")),
+        s"rollback target $toSnap of $root is expired")
       val tm = manifest(root, toSnap)
       Manifest(parent + 1, parent, tm.files, tm.deletes,
         note = s"rollback-$toSnap", schemaJson = tm.schemaJson,

@@ -95,6 +95,8 @@ class GraftCatalog extends TableCatalog
               return new GraftMetadataTable(s"$t#tags", tagsDf(t))
             case "branches" =>
               return new GraftMetadataTable(s"$t#branches", branchesDf(t))
+            case "partitions" =>
+              return new GraftMetadataTable(s"$t#partitions", partitionsDf(t))
             case _ => ()
           }
         }
@@ -128,6 +130,23 @@ class GraftCatalog extends TableCatalog
     LakeTable.tags(table).toSeq.sortBy(_._1)
       .map { case (n, v) => (n, v.toLong) }
       .toDF("name", "snap")
+  }
+
+  /** Per-bucket layout accounting (`t.partitions`, Iceberg's
+    * `partitions` metadata table): file/row/byte totals per hash
+    * bucket straight from the manifest — the skew/health view a table
+    * operator checks before trusting a storage-partitioned plan.
+    * Unbucketed (or mixed-layout) tables report one bucket = -1 row.
+    */
+  private def partitionsDf(table: String) = {
+    val m = LakeTable.manifest(table, LakeTable.currentSnapshot(table))
+    val s = spark
+    import s.implicits._
+    m.files.groupBy(_.bucket).toSeq.sortBy(_._1)
+      .map { case (b, fs) =>
+        (b, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum)
+      }
+      .toDF("bucket", "n_files", "n_rows", "n_bytes")
   }
 
   /** Open branches (`t.branches`): fork basis + branch head. */

@@ -272,6 +272,10 @@ class DsV2Spec extends AnyFunSuite {
     assert(files.count() > 0)
     assert(files.collect().forall(r => r.getLong(2) > 0), "manifest-recorded bytes")
     assert(files.select(sum(col("rows"))).head.getLong(0) === events.count())
+    // t.partitions: per-bucket accounting sums to the table
+    val parts = spark.sql(s"SELECT bucket, n_files, n_rows, n_bytes FROM $M.partitions")
+    assert(parts.select(sum(col("n_rows"))).head.getLong(0) === events.count())
+    assert(parts.select(sum(col("n_files"))).head.getLong(0) === files.count())
     spark.sql(s"DROP TABLE $M")
   }
 
