@@ -299,6 +299,12 @@ object LlmPipeline {
       merges: Int): (DataFrame, DataFrame) = {
     val sep = lit(BPE_SEP)
     var cur = graft.util.QueryScratch.cached(seq0)
+    // round k-2's cached vocab frame is DEAD once round k-1's is
+    // materialized (the top-pair action below materializes `cur`) —
+    // retire it immediately instead of letting ~30 cached frames
+    // pile up for an end-of-query eviction storm; peak storage stays
+    // at two vocab frames however many rounds run.
+    var retirable: DataFrame = null
     val tops = (1 to merges).map { k =>
       // the 1-row winner is localCheckpoint'ed EAGERLY: without this,
       // round k's plan embeds round k-1's plan twice (merge input +
@@ -306,9 +312,12 @@ object LlmPipeline {
       // 32 rounds the per-action plan description alone is GBs. As a
       // leaf, each round adds O(1) plan nodes. Still no driver
       // collect: the row stays on the executors.
+      val materialized = cur
       val top = graft.util.QueryScratch.register(
         bpePairs(cur).orderBy(col("n").desc, col("l"), col("r"))
           .limit(1).localCheckpoint())
+      if (retirable != null) retirable.unpersist(blocking = true)
+      retirable = materialized
       // every non-seq column rides along untouched (freq always;
       // `word` when the caller needs the word → final-segmentation
       // mapping, e.g. bpe_encode)

@@ -37,10 +37,17 @@ object QueryScratch {
   }
 
   /** Unpersist every frame registered on `s` since the last release.
-    * Non-blocking: eviction proceeds async while the next query plans.
+    * BLOCKING: eviction completes before the call returns. Async
+    * eviction looked free, but a query leaving tens of cached frames
+    * (the BPE train loop) turned the block-manager removal RPCs into
+    * a storm that randomly taxed the next several queries' job
+    * scheduling (measured: multi-second swings moving between
+    * mid-bench lake queries run to run). Release runs between
+    * queries, outside any timer — paying it synchronously removes the
+    * cross-query interference without inflating any measurement.
     */
   def release(s: SparkSession): Unit = {
     val q = reg.remove(s)
-    if (q != null) q.forEach(df => { df.unpersist(blocking = false); () })
+    if (q != null) q.forEach(df => { df.unpersist(blocking = true); () })
   }
 }
