@@ -316,7 +316,11 @@ object LlmPipeline {
       val top = graft.util.QueryScratch.register(
         bpePairs(cur).orderBy(col("n").desc, col("l"), col("r"))
           .limit(1).localCheckpoint())
-      if (retirable != null) retirable.unpersist(blocking = true)
+      // async here: one small frame per round keeps the cleaner's
+      // queue short (the problem was 30 at once at query end), and a
+      // blocking wait inside the timed loop costs a round-trip per
+      // round for nothing
+      if (retirable != null) retirable.unpersist(blocking = false)
       retirable = materialized
       // every non-seq column rides along untouched (freq always;
       // `word` when the caller needs the word → final-segmentation
