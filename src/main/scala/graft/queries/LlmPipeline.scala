@@ -1714,6 +1714,106 @@ object LlmPipeline {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // --- mm_dedup: EXACT multimodal dedup — the first gate of any
+  // image/video pipeline: content-hash the opaque binary payload
+  // (md5 — no decode needed), group by hash, keep ONE canonical copy
+  // (min doc_id) across sources. Map-side hash + one shuffle on the
+  // digest; at 100 TB the shuffle carries 16-byte keys, never
+  // payloads. Payloads here are a 40-byte slice of text-as-binary so
+  // the synthetic corpus actually contains duplicates; the real
+  // article is the hash-group-keep shape over a binary column.
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 40).cast("binary").as("payload"))
+      .withColumn("h", md5(col("payload")))
+    val canon = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(canon, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("h")).as("n_content"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_in_dup_groups"))
+      .orderBy(col("source"))
+  }
+
+  val mmDedupSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, md5(substring(text, 1, 40)) AS h
+      |  FROM documents),
+      |c AS (SELECT h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |      FROM h GROUP BY h)
+      |SELECT source, COUNT(*) AS n,
+      |  COUNT(DISTINCT h.h) AS n_content,
+      |  CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups
+      |FROM h JOIN c USING (h)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // --- seq_curriculum: CURRICULUM SHARDING — order the corpus by the
+  // integer quality score and cut it into ntile shards, so training
+  // can feed easy/clean shards first (curriculum learning's data
+  // side). One window sort on (quality, doc_id) — the doc_id
+  // tiebreak makes tile assignment deterministic — then a per-shard
+  // reduction. At scale the global sort is a range-partitioned
+  // exchange, the same cost class as any ORDER BY write.
+  private val CURRICULUM_SHARDS = 8
+  def seqCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val nTok = greatest(size(ws), lit(1)).cast("bigint")
+    val nChar = greatest(length(col("text")), lit(1)).cast("bigint")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("bigint")
+    val alpha = regexp_count(col("text"), lit("[A-Za-z]")).cast("bigint")
+    val stops = TextFns.stopwordHits(ws, "en").cast("bigint")
+    val punctBp = idiv(punct * lit(10000L), nChar)
+    val alphaBp = idiv(alpha * lit(10000L), nChar)
+    val stopBp = idiv(stops * lit(10000L), nTok)
+    val lenBp = least(lit(10000L), size(ws).cast("bigint") * lit(100L))
+    val quality = idiv(lit(3L) * alphaBp + lit(3L) * (lit(10000L) - punctBp)
+      + lit(2L) * lenBp + lit(2L) * stopBp, lit(10L))
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), size(ws).cast("bigint").as("n_tokens"),
+        quality.as("quality_bp"))
+    scored
+      .withColumn("shard", ntile(CURRICULUM_SHARDS).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("quality_bp").desc, col("doc_id"))).cast("bigint"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("quality_bp")).as("min_q"), max(col("quality_bp")).as("max_q"))
+      .orderBy(col("shard"))
+  }
+
+  val seqCurriculumSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, $wsSql AS w, text FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    greatest(len(w), 1) AS n_tok, greatest(length(text), 1) AS n_char,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+       |    CAST(len(list_filter(w, x -> list_contains(${stopArr("en")}, lower(x)))) AS BIGINT) AS stops
+       |  FROM ws),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |    (3 * ((alpha * 10000) // n_char)
+       |     + 3 * (10000 - ((punct * 10000) // n_char))
+       |     + 2 * least(10000, n_tokens * 100)
+       |     + 2 * ((stops * 10000) // n_tok)) // 10 AS quality_bp
+       |  FROM m),
+       |t AS (
+       |  SELECT doc_id, n_tokens, quality_bp,
+       |    ntile($CURRICULUM_SHARDS) OVER (ORDER BY quality_bp DESC, doc_id) AS shard
+       |  FROM q)
+       |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(quality_bp) AS min_q, MAX(quality_bp) AS max_q
+       |FROM t
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   // --- mm_resize: decode → aspect-fit resize → reduce, the standard
   // vision-pipeline preprocessing chain, through the same batched
   // mapPartitions plumbing as mm_features. Resize geometry is
@@ -1924,6 +2024,8 @@ object LlmPipeline {
     "text_ngram_freq" -> textNgramFreq,
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
+    "mm_dedup" -> mmDedup,
+    "seq_curriculum" -> seqCurriculum,
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
@@ -1960,5 +2062,7 @@ object LlmPipeline {
     "text_ngram_freq" -> textNgramFreqSql,
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql,
+    "mm_dedup" -> mmDedupSql,
+    "seq_curriculum" -> seqCurriculumSql,
     "mm_frames" -> mmFramesSql)
 }
