@@ -36,10 +36,39 @@ import graft.lake.LakeTable
   * that schema.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  // ---- SQL CALL: table-maintenance procedures ----
+  //
+  // The operational verbs every lake needs — compaction, MoR-debt
+  // folding, retention, orphan sweep, rollback, tags, branch publish
+  // — as genuine Spark `ProcedureCatalog` procedures:
+  //   CALL graft.system.compact(table => 'db.t')
+  //   CALL graft.system.rollback('db.t', 1)
+  // Each returns a one-row result (new snapshot / reclaimed count)
+  // served through a LocalScan.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    GraftProcedures(this, ident.name())
+  }
+
+  /** Table-name argument (`'db.t'`) → directory under this catalog. */
+  private[sources] def tableDir(name: String): String = {
+    val parts = name.split('.')
+    val dir = Paths.get(root, parts: _*)
+    require(isTable(dir), s"no table '$name' in catalog $catalogName")
+    dir.toString
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -369,6 +398,122 @@ class GraftMetadataTable(name0: String, df: org.apache.spark.sql.DataFrame)
       override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
         org.apache.spark.sql.graftshim.DsV2Shim.internalRows(df)
       override def readSchema(): StructType = df.schema
+    }
+  }
+}
+
+/** The lake's SQL `CALL` surface ([[GraftCatalog.loadProcedure]]):
+  * every maintenance verb exposed as a Spark `ProcedureCatalog`
+  * procedure with a one-row result. Maintenance rewrites derive their
+  * layout the way the write path does (declared layout, else the
+  * leading column; stats on every atomic column), so a `CALL
+  * graft.system.compact('db.t')` lands a commit indistinguishable
+  * from the API path's.
+  */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private final case class Def(name: String, doc: String,
+      params: Seq[(String, org.apache.spark.sql.types.DataType)],
+      outName: String, outType: org.apache.spark.sql.types.DataType,
+      run: (GraftCatalog, InternalRow) => Any)
+
+  /** Maintenance-rewrite config: same derivation as the write path. */
+  private def rewriteCfg(dir: String): (graft.writer.BlockWriter.Config, Seq[String]) = {
+    val head = LakeTable.currentSnapshot(dir)
+    val schema = GraftLakeTable.schemaOf(SparkSession.active, dir, head)
+    val (cfg, stats, _) = LakeFormatWrite.config(
+      CaseInsensitiveStringMap.empty(), schema, dir)
+    (cfg, stats)
+  }
+
+  private def tbl(c: GraftCatalog, in: InternalRow): String =
+    c.tableDir(in.getUTF8String(0).toString)
+
+  private val defs: Seq[Def] = Seq(
+    Def("compact", "rewrite the head into task-sized files (folds MoR debt)",
+      Seq("table" -> StringType), "snapshot", IntegerType, (c, in) => {
+        val dir = tbl(c, in); val s = SparkSession.active
+        val head = LakeTable.currentSnapshot(dir)
+        val (cfg, stats) = rewriteCfg(dir)
+        LakeTable.rewrite(s, dir, LakeTable.read(s, dir, Some(head)), cfg, stats,
+          basis = Some(head))
+      }),
+    Def("fold_deletes", "fold accumulated delete files back into data files",
+      Seq("table" -> StringType), "snapshot", IntegerType, (c, in) => {
+        val dir = tbl(c, in)
+        val (cfg, stats) = rewriteCfg(dir)
+        LakeTable.foldDeletes(SparkSession.active, dir, cfg, stats)
+      }),
+    Def("expire_snapshots", "expire snapshots below keep_from; reclaim their files",
+      Seq("table" -> StringType, "keep_from" -> IntegerType),
+      "n_reclaimed", IntegerType,
+      (c, in) => LakeTable.expire(tbl(c, in), in.getInt(1))),
+    Def("expire_older_than", "time-based retention by commit wall-clock",
+      Seq("table" -> StringType, "cutoff_ms" -> LongType),
+      "n_reclaimed", IntegerType,
+      (c, in) => LakeTable.expireOlderThan(tbl(c, in), in.getLong(1))),
+    Def("remove_orphans", "delete files no live manifest references",
+      Seq("table" -> StringType), "n_removed", IntegerType,
+      (c, in) => LakeTable.removeOrphans(tbl(c, in))),
+    Def("rollback", "restore the current view to an earlier snapshot (metadata-only)",
+      Seq("table" -> StringType, "snapshot" -> IntegerType),
+      "snapshot", IntegerType,
+      (c, in) => LakeTable.rollback(tbl(c, in), in.getInt(1))),
+    Def("tag", "pin a snapshot under a stable name (retention pin)",
+      Seq("table" -> StringType, "name" -> StringType, "snapshot" -> IntegerType),
+      "snapshot", IntegerType, (c, in) => {
+        LakeTable.tag(tbl(c, in), in.getUTF8String(1).toString, in.getInt(2))
+        in.getInt(2)
+      }),
+    Def("drop_tag", "drop a tag; the pinned snapshot becomes reclaimable",
+      Seq("table" -> StringType, "name" -> StringType), "existed", BooleanType,
+      (c, in) => LakeTable.dropTag(tbl(c, in), in.getUTF8String(1).toString)),
+    Def("branch", "fork the head into a named branch (write-audit-publish)",
+      Seq("table" -> StringType, "name" -> StringType), "snapshot", IntegerType,
+      (c, in) => LakeTable.branch(tbl(c, in), in.getUTF8String(1).toString)),
+    Def("publish_branch", "fast-forward main to the audited branch head",
+      Seq("table" -> StringType, "name" -> StringType), "snapshot", IntegerType,
+      (c, in) => LakeTable.publishBranch(tbl(c, in), in.getUTF8String(1).toString)),
+    Def("drop_branch", "drop an unpublished branch and its staged files",
+      Seq("table" -> StringType, "name" -> StringType), "dropped", BooleanType,
+      (c, in) => LakeTable.dropBranch(tbl(c, in), in.getUTF8String(1).toString)))
+
+  def names: Seq[String] = defs.map(_.name)
+
+  def apply(cat: GraftCatalog, procName: String): UnboundProcedure = {
+    val d = defs.find(_.name == procName).getOrElse(
+      throw new NoSuchTableException(
+        Identifier.of(Array("system"), procName)))
+    new UnboundProcedure {
+      override def name(): String = d.name
+      override def description(): String = d.doc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = d.name
+        override def description(): String = d.doc
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          d.params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val v = d.run(cat, input) match {
+            case s: String => UTF8String.fromString(s)
+            case x => x
+          }
+          val outSchema = StructType(Seq(
+            org.apache.spark.sql.types.StructField(d.outName, d.outType, nullable = false)))
+          val scan: Scan = new LocalScan {
+            override def rows(): Array[InternalRow] =
+              Array(new GenericInternalRow(Array[Any](v)))
+            override def readSchema(): StructType = outSchema
+          }
+          java.util.Collections.singletonList(scan).iterator()
+        }
+      }
     }
   }
 }

@@ -360,6 +360,36 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("SQL CALL runs maintenance procedures: tag, rollback, compact, expire") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val catRoot = graft.util.Scratch.root.resolve("sqlcat")
+    spark.conf.set("spark.sql.catalog.graft.root", catRoot.toString)
+    events.createOrReplaceTempView("pr_src")
+    val name = s"pr_${System.nanoTime()}"
+    val T = s"graft.db.$name"
+    spark.sql(s"CREATE TABLE $T AS SELECT event_id, user_id, value FROM pr_src WHERE event_id < 500")
+    assert(spark.sql(s"CALL graft.system.tag('db.$name', 'v1', 1)")
+      .head.getInt(0) === 1)
+    spark.sql(s"INSERT INTO $T SELECT event_id, user_id, value FROM pr_src WHERE event_id >= 500")
+    // rollback by CALL: head view returns to the tagged cut
+    assert(spark.sql(s"CALL graft.system.rollback(table => 'db.$name', snapshot => 1)")
+      .head.getInt(0) === 3)
+    assert(spark.table(T).count() === 500)
+    // compact: one rewrite commit, content preserved
+    val snap = spark.sql(s"CALL graft.system.compact('db.$name')").head.getInt(0)
+    assert(snap === 4)
+    assert(spark.table(T).count() === 500)
+    // expire everything below the head; the tagged snapshot survives
+    assert(spark.sql(s"CALL graft.system.expire_snapshots('db.$name', 4)")
+      .head.getInt(0) >= 0)
+    assert(spark.sql(s"SELECT * FROM $T VERSION AS OF 'v1'").count() === 500)
+    intercept[Exception](spark.sql(s"SELECT * FROM $T VERSION AS OF 2").count())
+    // unknown procedure fails resolution
+    intercept[Exception](spark.sql(s"CALL graft.system.nonsense('db.$name')"))
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("aggregate pushdown answers MIN/MAX/COUNT from footers on clean snapshots only") {
     val root = graft.util.Scratch.dir("graft_v2agg_")
     LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
