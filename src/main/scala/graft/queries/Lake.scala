@@ -895,6 +895,57 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- q_sql_call: the whole OPERATIONAL LIFECYCLE through SQL CALL
+  // procedures (ProcedureCatalog): CTAS → CALL tag → INSERT → DELETE
+  // (position-delta MoR) → CALL fold_deletes (mask-fold equivalence:
+  // content must not move) → CALL rollback (head returns to the
+  // tagged cut). The result reads the pre-rollback head (snapshot 4)
+  // next to the post-rollback head — proving the fold preserved the
+  // delete semantics exactly and the rollback restored generation 1,
+  // all driven by name from SQL. The oracle replays both views.
+  def qSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val nm = s"ev_${System.nanoTime()}"
+    val tbl = s"graft.q.$nm"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sql_call")
+    s.sql(s"""CREATE TABLE $tbl AS
+             |SELECT event_id, user_id, event_type, value
+             |FROM ev_sql_call WHERE event_id % 2 = 0""".stripMargin)
+    s.sql(s"CALL graft.system.tag('q.$nm', 'v1', 1)")
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT event_id, user_id, event_type, value
+             |FROM ev_sql_call WHERE event_id % 2 = 1""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE event_id % 10 = 0")
+    s.sql(s"CALL graft.system.fold_deletes('q.$nm')")
+    s.sql(s"CALL graft.system.rollback('q.$nm', 1)")
+    s.sql(s"""SELECT snap, event_type, n, sum_value_x100 FROM (
+             |  SELECT CAST(4 AS BIGINT) AS snap, event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+             |  FROM $tbl VERSION AS OF 4 GROUP BY event_type
+             |  UNION ALL
+             |  SELECT CAST(5 AS BIGINT) AS snap, event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+             |  FROM $tbl GROUP BY event_type)
+             |ORDER BY snap, event_type""".stripMargin)
+  }
+
+  val qSqlCallSql: String =
+    """WITH u AS (
+      |  SELECT CAST(4 AS BIGINT) AS snap, event_type, value
+      |  FROM events WHERE event_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT CAST(5 AS BIGINT) AS snap, event_type, value
+      |  FROM events WHERE event_id % 2 = 0)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM u
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   // --- q_sql_update: SQL UPDATE on a lake table — the DSv2
   // POSITION-DELTA row-level path (SupportsRowLevelOperations +
   // SupportsDelta): the scan emits each candidate row's
@@ -1059,6 +1110,7 @@ object Lake {
     "lake_branch" -> lakeBranch,
     "lake_format_write" -> lakeFormatWrite,
     "q_sql_lake" -> qSqlLake,
+    "q_sql_call" -> qSqlCall,
     "q_sql_update" -> qSqlUpdate,
     "q_sql_merge" -> qSqlMerge,
     "q_spj" -> qSpj)
@@ -1086,6 +1138,7 @@ object Lake {
     "lake_branch" -> lakeBranchSql,
     "lake_format_write" -> lakeFormatWriteSql,
     "q_sql_lake" -> qSqlLakeSql,
+    "q_sql_call" -> qSqlCallSql,
     "q_sql_update" -> qSqlUpdateSql,
     "q_sql_merge" -> qSqlMergeSql,
     "q_spj" -> qSpjSql)
