@@ -29,4 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with caches + 32 concurrent parquet writers needs
   // headroom; a small heap makes the write-heavy queries GC-bound.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput collector: under G1, mixed-collection episodes landed
+  // multi-second stalls on runs of consecutive commit-heavy lake
+  // queries (full-bench totals swung 147 -> 187 s run to run, the
+  // spike moving between queries); ZGC's concurrent cycles stole CPU
+  // from the 32 compute threads (212 s). ParallelGC benches stable
+  // (146-155 s) with no stall episodes.
+  "-XX:+UseParallelGC",
 )
