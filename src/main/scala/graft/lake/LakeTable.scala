@@ -248,16 +248,27 @@ object LakeTable {
     require(head > 0, s"branch of empty table $root")
     val bRoot = branchRoot(root, name)
     require(currentSnapshot(bRoot) == 0, s"branch '$name' already exists on $root")
-    val hm = manifest(root, head)
-    Files.createDirectories(Paths.get(bRoot, "meta"))
-    Files.writeString(Paths.get(bRoot, "meta", "_fork.json"),
-      s"""{"basis":$head}""")
-    casLoop(bRoot, partsFrom = Some((root, head))) { parent =>
-      require(parent == 0, s"branch '$name' raced its own creation")
-      Manifest(1, 0, hm.files, hm.deletes, note = s"fork-$head",
-        schemaJson = hm.schemaJson,
-        bucketCol = hm.bucketCol, nBuckets = hm.nBuckets)
+    val bMeta = Paths.get(bRoot, "meta")
+    Files.createDirectories(bMeta)
+    Files.writeString(bMeta.resolve("_fork.json"), s"""{"basis":$head}""")
+    // the branch chain CONTINUES the parent's snapshot numbering: the
+    // fork is a verbatim copy of the head manifest (same id, same
+    // parts, same file seqs), and branch commits land at head+1,
+    // head+2, … — so sequence-number semantics (MoR delete scoping,
+    // incremental ranges, history accounting) are EXACT across the
+    // fork, and publish can replay branch commits onto main under
+    // their own ids. Restarting at 1 instead would make inherited
+    // seq-k files collide with branch snapshot k (deletes silently
+    // mis-scoped on any fork from head ≥ 2).
+    try
+      Files.copy(Paths.get(root, "meta", s"manifest-$head.json"),
+        bMeta.resolve(s"manifest-$head.json")): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"branch '$name' raced its own creation")
     }
+    advancePointer(bMeta, head)
+    head
   }
 
   /** A branch's table root — pass to any LakeTable API to operate on
@@ -288,31 +299,42 @@ object LakeTable {
     else mapper.readTree(Files.readString(p)).get("basis").asInt()
   }
 
-  /** PUBLISH a branch: fast-forward `root`'s head to the branch's —
-    * ONE atomic commit re-referencing the branch's part files (zero
-    * data IO; the branch's staged files simply become reachable from
-    * the main chain, which is why [[dropBranch]] refuses to delete a
-    * published branch's directory). Snapshot-isolation validated: if
-    * the main head moved past the fork basis while the branch was
-    * open, the publish fails with ConcurrentModificationException
-    * instead of silently dropping the concurrent commits — re-branch
-    * from the new head and replay (Iceberg's fast-forward rule).
+  /** PUBLISH a branch: fast-forward `root` by REPLAYING the branch's
+    * commits onto the main chain — each branch manifest (basis+1 …
+    * branch head) lands on main under ITS OWN snapshot id as an
+    * O(1)-metadata CAS-validated copy re-referencing the branch's
+    * part files. Because ids and sequence numbers are preserved
+    * verbatim (the fork continued the parent's numbering), MoR delete
+    * scoping, incremental ranges, streaming exactly-once, and history
+    * accounting on main are EXACTLY what a reader of the branch saw —
+    * no remapping, no data IO. The branch's staged files become
+    * reachable from main, which is why [[dropBranch]] refuses to
+    * delete a published branch's directory.
+    *
+    * Concurrency: each replayed commit CAS-requires main's head to be
+    * its parent, so a concurrent main commit fails the replay with
+    * ConcurrentModificationException at that point — the
+    * already-replayed prefix is a consistent fast-forward (each copied
+    * manifest is a complete valid commit); re-branch from the new
+    * head to continue.
     */
   def publishBranch(root: String, name: String): Int = {
     val bRoot = branchRoot(root, name)
     val bHead = currentSnapshot(bRoot)
     require(bHead > 0, s"no branch '$name' on $root")
     val basis = forkBasis(bRoot)
-    val bm = manifest(bRoot, bHead)
-    casLoop(root, replace = true, partsFrom = Some((bRoot, bHead))) { parent =>
-      if (parent != basis)
-        throw new java.util.ConcurrentModificationException(
-          s"branch '$name' forked at $basis but $root head is $parent; " +
-            "re-branch from the head and replay the branch commits")
-      Manifest(parent + 1, parent, bm.files, bm.deletes,
-        note = s"publish-$name-$bHead", schemaJson = bm.schemaJson,
-        bucketCol = bm.bucketCol, nBuckets = bm.nBuckets)
+    require(bHead > basis, s"branch '$name' has no commits to publish")
+    ((basis + 1) to bHead).foreach { k =>
+      val bm = manifest(bRoot, k)
+      casLoop(root, replace = true, partsFrom = Some((bRoot, k))) { parent =>
+        if (parent != k - 1)
+          throw new java.util.ConcurrentModificationException(
+            s"branch '$name' commit $k expects main head ${k - 1} but found " +
+              s"$parent; re-branch from the head and replay")
+        bm
+      }: Unit
     }
+    bHead
   }
 
   /** Drop a branch. Refuses (unless the branch was never published)
@@ -325,12 +347,17 @@ object LakeTable {
     if (!Files.isDirectory(d)) return false
     val bPath = d.toAbsolutePath.normalize
     val head = currentSnapshot(root)
+    // a published branch is live in main through BOTH its data/delete
+    // files and its metadata part files (the replayed manifests
+    // re-reference the branch's parts)
     val referenced = (1 to head)
       .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
       .exists { i =>
         val m = manifest(root, i)
-        (m.files.map(_.path) ++ m.deletes.map(_.path))
-          .exists(p => Paths.get(new java.net.URI(p).getPath).startsWith(bPath))
+        val files = (m.files.map(_.path) ++ m.deletes.map(_.path))
+          .map(p => Paths.get(new java.net.URI(p).getPath))
+        val parts = rawParts(root, i).map(p => Paths.get(p))
+        (files ++ parts).exists(_.normalize.startsWith(bPath))
       }
     require(!referenced,
       s"branch '$name' was published: its files are live in $root — " +
@@ -1140,14 +1167,17 @@ object LakeTable {
       .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
     val keepSnaps = ((keepFrom to head) ++ tagged.filter(_ < keepFrom))
       .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
-    // open BRANCHES re-reference main-chain files (the fork inherits
-    // the basis's parts) — every branch-reachable path survives expiry
-    val branchKeep = branches(root).keys.flatMap { b =>
+    // open BRANCHES re-reference main-chain files AND metadata parts
+    // (the fork inherits the basis's parts) — every branch-reachable
+    // path survives expiry
+    val branchSnaps = branches(root).keys.toSeq.flatMap { b =>
       val bRoot = branchRoot(root, b)
       (1 to currentSnapshot(bRoot))
         .filter(i => Files.exists(Paths.get(bRoot, "meta", s"manifest-$i.json")))
-        .flatMap(i => paths(manifest(bRoot, i)))
-    }.toSet
+        .map(i => (bRoot, i))
+    }
+    val branchKeep = branchSnaps.flatMap { case (b, i) => paths(manifest(b, i)) }.toSet
+    val branchKeepParts = branchSnaps.flatMap { case (b, i) => rawParts(b, i) }.toSet
     val keep = keepSnaps.flatMap(i => paths(manifest(root, i))).toSet ++ branchKeep
     val expired = gone.flatMap(i => paths(manifest(root, i))).toSet
     // OWNERSHIP RULE: a chain only ever deletes files under its own
@@ -1167,7 +1197,7 @@ object LakeTable {
       Files.deleteIfExists(Paths.get(new java.net.URI(p).getPath)): Unit
     }
     // metadata parts referenced only by expired manifests go with them
-    val keptParts = keepSnaps.flatMap(i => rawParts(root, i)).toSet
+    val keptParts = keepSnaps.flatMap(i => rawParts(root, i)).toSet ++ branchKeepParts
     (gone.flatMap(i => rawParts(root, i)).toSet -- keptParts)
       .foreach(p => Files.deleteIfExists(Paths.get(p)): Unit)
     gone.foreach { i =>
@@ -1188,6 +1218,11 @@ object LakeTable {
     */
   def tag(root: String, name: String, snap: Int): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+    // all-digit names are reserved for snapshot ids in `VERSION AS OF`
+    // — an all-digit tag would be unreachable there (silently shadowed
+    // by the snapshot number), so reject it at creation
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — indistinguishable from a snapshot id")
     val head = currentSnapshot(root)
     require(snap >= 1 && snap <= head, s"tag target $snap outside [1, $head]")
     require(Files.exists(Paths.get(root, "meta", s"manifest-$snap.json")),
@@ -1237,10 +1272,21 @@ object LakeTable {
     */
   def removeOrphans(root: String, olderThanMs: Long = 0L): Int = {
     val head = currentSnapshot(root)
-    val live = (1 to head).filter(i =>
+    // live = reachable from the MAIN chain or from any OPEN BRANCH
+    // chain (a branch's fork manifest references main-chain files that
+    // may no longer be referenced by any surviving main manifest)
+    val liveSnaps = (1 to head).filter(i =>
         Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
-      .flatMap { i =>
-        val m = manifest(root, i)
+      .map(i => (root, i)) ++
+      branches(root).keys.toSeq.flatMap { b =>
+        val bRoot = branchRoot(root, b)
+        (1 to currentSnapshot(bRoot))
+          .filter(i => Files.exists(Paths.get(bRoot, "meta", s"manifest-$i.json")))
+          .map(i => (bRoot, i))
+      }
+    val live = liveSnaps
+      .flatMap { case (r, i) =>
+        val m = manifest(r, i)
         m.files.map(_.path) ++ m.deletes.map(_.path)
       }
       .map(p => Paths.get(new java.net.URI(p).getPath).toRealPath().toString)
@@ -1274,9 +1320,8 @@ object LakeTable {
     // metadata parts no live manifest references — the residue of a
     // losing CAS attempt (its part was written, its manifest never
     // landed). Same age guard as data files.
-    val liveParts = (1 to head)
-      .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
-      .flatMap(i => rawParts(root, i))
+    val liveParts = liveSnaps
+      .flatMap { case (r, i) => rawParts(r, i) }
       .map(p => Paths.get(p).toRealPath().toString).toSet
     val metaDir = Paths.get(root, "meta")
     val partWalk = Files.list(metaDir)

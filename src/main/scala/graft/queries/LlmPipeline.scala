@@ -335,8 +335,16 @@ object LlmPipeline {
       // materialized leaf, so plan depth — and with it analysis and
       // task-serialization cost per round — stays bounded by
       // BPE_CKPT however many rounds a production run does
-      if (k % BPE_CKPT == 0 && k < merges)
+      if (k % BPE_CKPT == 0 && k < merges) {
+        val pre = cur
         cur = graft.util.QueryScratch.register(cur.checkpoint())
+        // the eager checkpoint materialized `pre` (and read through
+        // `retirable`): both cached frames are dead behind the new
+        // file-backed leaf — retire them now, not at end of query
+        pre.unpersist(blocking = false)
+        if (retirable != null) retirable.unpersist(blocking = false)
+        retirable = null
+      }
       top.select(lit(k.toLong).as("rank"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("n"))
     }

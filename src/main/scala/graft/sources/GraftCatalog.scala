@@ -62,9 +62,16 @@ class GraftCatalog extends TableCatalog
     GraftProcedures(this, ident.name())
   }
 
-  /** Table-name argument (`'db.t'`) → directory under this catalog. */
+  /** Table-name argument (`'db.t'`) → directory under this catalog.
+    * The raw CALL string bypasses Spark's identifier parsing, so each
+    * dotted segment is validated — a '/' or '..' segment would
+    * otherwise escape the catalog root and point maintenance
+    * procedures at directories the catalog does not own.
+    */
   private[sources] def tableDir(name: String): String = {
     val parts = name.split('.')
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"invalid table name '$name': expected dot-separated [A-Za-z0-9_-] segments")
     val dir = Paths.get(root, parts: _*)
     require(isTable(dir), s"no table '$name' in catalog $catalogName")
     dir.toString
@@ -203,8 +210,12 @@ class GraftCatalog extends TableCatalog
         throw new NoSuchTableException(ident)
       return new GraftLakeTable(spark, bRoot, None, None)
     }
+    // all-digit strings are snapshot ids ([[LakeTable.tag]] rejects
+    // all-digit tag names, so no tag can be shadowed); toInt guarded —
+    // an over-long digit string is a missing ref, not a crash
     val snap =
-      if (v.forall(_.isDigit) && v.nonEmpty) v.toInt
+      if (v.forall(_.isDigit) && v.nonEmpty)
+        scala.util.Try(v.toInt).getOrElse(throw new NoSuchTableException(ident))
       else LakeTable.tags(dirOf(ident).toString).getOrElse(v,
         throw new NoSuchTableException(ident))
     load(ident, Some(snap))

@@ -830,10 +830,16 @@ class LakeSpec extends AnyFunSuite {
     // fast-forward rule: a branch whose fork basis the main head has
     // passed cannot publish (the concurrent commit would be dropped)
     LakeTable.branch(root, "stale")
+    LakeTable.commit(spark, LakeTable.branchRoot(root, "stale"),
+      ev.limit(5), cfg, Seq("event_id"))
     LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1).limit(10),
       cfg, Seq("event_id"))
     intercept[java.util.ConcurrentModificationException](
       LakeTable.publishBranch(root, "stale"))
+    // an empty branch has nothing to publish
+    intercept[IllegalArgumentException](
+      { LakeTable.branch(root, "empty"); LakeTable.publishBranch(root, "empty") })
+    assert(LakeTable.dropBranch(root, "empty"))
     // never-published branches drop cleanly
     assert(LakeTable.dropBranch(root, "stale"))
     assert(LakeTable.branches(root).keySet === Set("wap"))
@@ -849,6 +855,43 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeTable.dropBranch(root, "pinned"))
     LakeTable.expire(root, head)
     assert(LakeTable.read(spark, root).count() === expect + 10)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("branch numbering continues the parent chain: seq semantics exact across fork and publish") {
+    val root = graft.util.Scratch.dir("graft_lakespec_brseq_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    // TWO main generations, so inherited files carry seq 1 AND 2 —
+    // a branch chain restarting at 1 would mis-scope deletes here
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    assert(LakeTable.branch(root, "b") === 2, "fork id = basis id")
+    val bRoot = LakeTable.branchRoot(root, "b")
+    // a branch MoR delete (lands at 3) must mask BOTH inherited
+    // generations (seq 1 and 2 < 3), exactly as it would on main
+    LakeTable.deleteWhere(spark, bRoot, "event_id",
+      ev.filter(col("event_id") % 10 === 0))
+    val kept = ev.filter(col("event_id") % 10 =!= 0).count()
+    assert(LakeTable.read(spark, bRoot).count() === kept,
+      "branch delete must scope over every inherited generation")
+    // a branch append (lands at 4) must NOT be masked by the older
+    // branch delete (sequence rule across the fork)
+    val reinsert = ev.filter(col("event_id") % 20 === 0)
+    LakeTable.commit(spark, bRoot, reinsert, cfg, Seq("event_id"))
+    assert(LakeTable.read(spark, bRoot).count() === kept + reinsert.count())
+    // publish replays commits 3 and 4 onto main under their own ids:
+    // incremental consumers see each range exactly — the delete-only
+    // commit adds nothing, the append exactly its rows
+    assert(LakeTable.publishBranch(root, "b") === 4)
+    assert(LakeTable.currentSnapshot(root) === 4)
+    assert(LakeTable.read(spark, root).count() === kept + reinsert.count())
+    assert(LakeTable.incrementalRead(spark, root, 2, 3).count() === 0,
+      "delete-only published commit must add no rows to a tailing consumer")
+    assert(LakeTable.incrementalRead(spark, root, 3, 4).count() === reinsert.count(),
+      "published append must appear in exactly its own range")
+    assert(LakeTable.history(spark, root).count() === 4)
     graft.util.Scratch.rmNow(root)
   }
 
