@@ -1727,13 +1727,14 @@ object LlmPipeline {
   // (md5 — no decode needed), group by hash, keep ONE canonical copy
   // (min doc_id) across sources. Map-side hash + one shuffle on the
   // digest; at 100 TB the shuffle carries 16-byte keys, never
-  // payloads. Payloads here are a 40-byte slice of text-as-binary so
-  // the synthetic corpus actually contains duplicates; the real
-  // article is the hash-group-keep shape over a binary column.
+  // payloads. The payload is the SAME binary-column construction
+  // mm_features ingests (text bytes standing in for image/audio
+  // content in this container), so the claim "hash the opaque binary
+  // payload" is literally what runs.
   def mmDedup(s: SparkSession, dir: String): DataFrame = {
     val hashed = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        substring(col("text"), 1, 40).cast("binary").as("payload"))
+        col("text").cast("binary").as("payload"))
       .withColumn("h", md5(col("payload")))
     val canon = hashed.groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -1748,7 +1749,7 @@ object LlmPipeline {
 
   val mmDedupSql: String =
     """WITH h AS (
-      |  SELECT doc_id, source, md5(substring(text, 1, 40)) AS h
+      |  SELECT doc_id, source, md5(text) AS h
       |  FROM documents),
       |c AS (SELECT h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |      FROM h GROUP BY h)
@@ -1763,11 +1764,17 @@ object LlmPipeline {
   // --- seq_curriculum: CURRICULUM SHARDING — order the corpus by the
   // integer quality score and cut it into ntile shards, so training
   // can feed easy/clean shards first (curriculum learning's data
-  // side). One window sort on (quality, doc_id) — the doc_id
-  // tiebreak makes tile assignment deterministic — then a per-shard
-  // reduction. At scale the global sort is a range-partitioned
-  // exchange, the same cost class as any ORDER BY write.
+  // side). An unpartitioned ntile window would plan Exchange
+  // SinglePartition (every row through one task), so the global rank
+  // is computed distributedly instead: a RANGE-partitioned exchange
+  // on (quality desc, doc_id) + in-partition sort (the same cost
+  // class as any ORDER BY write), per-partition row counts collected
+  // driver-side (metadata: one long per partition) to build global
+  // rank offsets, then tile assignment is pure map-side arithmetic —
+  // monotonically_increasing_id's in-partition counter plus the
+  // partition's offset reproduces ntile's row numbering exactly.
   private val CURRICULUM_SHARDS = 8
+  private val CURRICULUM_PARTS = 32
   def seqCurriculum(s: SparkSession, dir: String): DataFrame = {
     val ws = TextFns.words(col("text"))
     val nTok = greatest(size(ws), lit(1)).cast("bigint")
@@ -1784,10 +1791,39 @@ object LlmPipeline {
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), size(ws).cast("bigint").as("n_tokens"),
         quality.as("quality_bp"))
-    scored
-      .withColumn("shard", ntile(CURRICULUM_SHARDS).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("quality_bp").desc, col("doc_id"))).cast("bigint"))
+    // Materialization boundary: both the count pass and the rank pass
+    // must see the SAME physical partitioning and row order.
+    val ranged = graft.util.QueryScratch.cached(
+      scored.repartitionByRange(CURRICULUM_PARTS,
+          col("quality_bp").desc, col("doc_id"))
+        .sortWithinPartitions(col("quality_bp").desc, col("doc_id")))
+    val counts: Map[Int, Long] = ranged
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val offsets = Array.tabulate(CURRICULUM_PARTS) { i =>
+      (0 until i).map(j => counts.getOrElse(j, 0L)).sum
+    }
+    // Global 1-based rank: partition offset + the row's in-partition
+    // index (monotonically_increasing_id = pid<<33 | counter, counter
+    // following the cached in-partition sort order).
+    val pid = spark_partition_id()
+    val inPart = monotonically_increasing_id() -
+      shiftleft(pid.cast("bigint"), 33)
+    val rank = element_at(array(offsets.map(lit(_)): _*), pid + 1) +
+      inPart + lit(1L)
+    // ntile(n) over N rows: the first N%n tiles get N/n+1 rows, the
+    // rest N/n — replayed from the driver-known total.
+    val base = total / CURRICULUM_SHARDS
+    val rem = total % CURRICULUM_SHARDS
+    val shard: Column =
+      if (base == 0L) rank
+      else when(rank <= lit((base + 1L) * rem),
+          idiv(rank - 1L, lit(base + 1L)) + 1L)
+        .otherwise(lit(rem) +
+          idiv(rank - lit(rem * (base + 1L)) - 1L, lit(base)) + 1L)
+    ranged
+      .withColumn("shard", shard.cast("bigint"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("quality_bp")).as("min_q"), max(col("quality_bp")).as("max_q"))
@@ -1917,8 +1953,12 @@ object LlmPipeline {
   // aggregation bounds the shuffle at distinct-token cardinality);
   // no all-pairs stage anywhere.
   def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFns.words(col("text"))).as("tok"))
+    // Materialization boundary (§6 rule): the exploded token frame is
+    // referenced twice (LM training + scoring join); without it the
+    // tokenize+explode pipeline would run once per reference.
+    val toks = graft.util.QueryScratch.cached(
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("tok")))
     val lm = toks.groupBy(col("tok"))
       .agg(count(lit(1)).cast("bigint").as("c"))
     toks.join(lm, "tok")

@@ -217,6 +217,20 @@ class PipelinePlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("seq_curriculum ranks distributedly: no single-partition exchange") {
+    val df = SparkEntry.queries("seq_curriculum")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global rank must not funnel through one partition:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"no global window operator expected:\n${p.take(3000)}")
+    // the rank base is the range-partitioned cached frame
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the cached range-partitioned frame:\n${p.take(3000)}")
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
+
   test("dedup_semantic losers genuinely have a near-duplicate partner") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
