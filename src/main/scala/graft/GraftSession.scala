@@ -28,6 +28,9 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
+    // INT64 micros (not INT96) so commit-time stats collection can
+    // read timestamp min/max straight from parquet footers
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // Local-FS write-path tuning (file-count-heavy lake layouts):
     // RawLocalFileSystem skips the client-side .crc shadow file per
     // output file (halves file ops; parquet has its own page CRCs),

@@ -3,7 +3,7 @@ package graft.lake
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import graft.writer.BlockWriter
 
 /** Minimal lake-table metadata layer over the BlockWriter layout —
@@ -150,9 +150,10 @@ object LakeTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean = false, note: String = "",
-      bloomCols: Seq[String] = Nil): Int =
+      bloomCols: Seq[String] = Nil, skipIfEmpty: Boolean = false): Int =
     writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
-      replace = false, note = note, bloomCols = bloomCols)
+      replace = false, note = note, bloomCols = bloomCols,
+      skipIfEmpty = skipIfEmpty)
 
   /** Rewrite commit (copy-on-write maintenance): the new snapshot's
     * file list is EXACTLY the files written here — the parent's files
@@ -346,20 +347,7 @@ object LakeTable {
     val d = Paths.get(bRoot)
     if (!Files.isDirectory(d)) return false
     val bPath = d.toAbsolutePath.normalize
-    val head = currentSnapshot(root)
-    // a published branch is live in main through BOTH its data/delete
-    // files and its metadata part files (the replayed manifests
-    // re-reference the branch's parts)
-    val referenced = (1 to head)
-      .filter(i => Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
-      .exists { i =>
-        val m = manifest(root, i)
-        val files = (m.files.map(_.path) ++ m.deletes.map(_.path))
-          .map(p => Paths.get(new java.net.URI(p).getPath))
-        val parts = rawParts(root, i).map(p => Paths.get(p))
-        (files ++ parts).exists(_.normalize.startsWith(bPath))
-      }
-    require(!referenced,
+    require(!chainReferences(root, bPath),
       s"branch '$name' was published: its files are live in $root — " +
         "expire the referencing snapshots before dropping the branch")
     val walk = Files.walk(d)
@@ -367,6 +355,32 @@ object LakeTable {
       .forEach(p => { Files.deleteIfExists(p): Unit })
     finally walk.close()
     true
+  }
+
+  /** Does `chainRoot`'s surviving history reference any data/delete
+    * file or metadata part under `subtree`? A published branch is live
+    * in main through BOTH its data/delete files and its metadata parts
+    * (the replayed manifests re-reference the branch's parts).
+    */
+  private def chainReferences(chainRoot: String, subtree: Path): Boolean =
+    (1 to currentSnapshot(chainRoot))
+      .filter(i => Files.exists(Paths.get(chainRoot, "meta", s"manifest-$i.json")))
+      .exists { i =>
+        val m = manifest(chainRoot, i)
+        val files = (m.files.map(_.path) ++ m.deletes.map(_.path))
+          .map(p => Paths.get(new java.net.URI(p).getPath))
+        val parts = rawParts(chainRoot, i).map(p => Paths.get(p))
+        (files ++ parts).exists(_.toAbsolutePath.normalize.startsWith(subtree))
+      }
+
+  /** If `root` is a branch root (`<parent>/branches/<name>`), the
+    * parent chain's root.
+    */
+  private def parentChainOf(root: String): Option[String] = {
+    val p = Paths.get(root).toAbsolutePath.normalize
+    Option(p.getParent)
+      .filter(par => Option(par.getFileName).exists(_.toString == "branches"))
+      .flatMap(par => Option(par.getParent).map(_.toString))
   }
 
   /** Merge-on-read DELETE: commit `keys` (one column, the equality
@@ -378,14 +392,19 @@ object LakeTable {
     */
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
       keys: DataFrame): Int = {
+    // delete entries key by PHYSICAL name: parts are immutable and
+    // shared across manifests, so a later rename must not have to
+    // rewrite them (physical names never change once stamped)
+    val physKc = storedSchemaOf(root).filter(ColumnMapping.hasMapping)
+      .flatMap(s => ColumnMapping.toPhysical(s).get(keyCol)).getOrElse(keyCol)
     val (_, entries) = stageDeleteFrame(spark, root,
-      keys.select(col(keyCol)).distinct())
+      keys.select(col(keyCol).as(physKc)).distinct())
     casLoop(root) { parent =>
       val pm = if (parent > 0) Some(manifest(root, parent)) else None
       require(pm.nonEmpty, s"deleteWhere on empty table $root")
       val snap = parent + 1
       Manifest(snap, parent, pm.get.files,
-        pm.get.deletes ++ entries.map { case (p, n) => DeleteEntry(p, keyCol, n, snap) },
+        pm.get.deletes ++ entries.map { case (p, n) => DeleteEntry(p, physKc, n, snap) },
         note = "", schemaJson = pm.get.schemaJson,
         bucketCol = pm.get.bucketCol, nBuckets = pm.get.nBuckets)
     }
@@ -406,27 +425,51 @@ object LakeTable {
     require(reservedM.isEmpty,
       s"table columns ${reservedM.mkString(", ")} collide with the reserved " +
         "row-coordinate names; rename them before committing")
+    // column mapping: staged files and delete keys use PHYSICAL names
+    val parentMapped = storedSchemaOf(root).filter(ColumnMapping.hasMapping)
+    val physMap = parentMapped.map(ColumnMapping.toPhysical).getOrElse(Map.empty)
+    def phys(c: String) = physMap.getOrElse(c, c)
+    val updW =
+      if (parentMapped.isEmpty) updates
+      else updates.select(updates.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
+    val cfgW =
+      if (parentMapped.isEmpty) cfg
+      else cfg.copy(partitionCol = phys(cfg.partitionCol), keyCol = phys(cfg.keyCol))
     val dataStaging = stagingDir(root)
-    BlockWriter.writeFlat(updates, dataStaging, cfg)
+    BlockWriter.writeFlat(updW, dataStaging, cfgW)
     val mergeSpec = Some((cfg.partitionCol, cfg.parallelism
       .getOrElse(spark.sessionState.conf.numShufflePartitions)))
-    val entries = scanStats(spark, dataStaging, updates, statCols,
-      bucketOf = mergeSpec)
+    val entries = scanStats(spark, dataStaging, updW, statCols.map(phys),
+      bucketOf = mergeSpec.map { case (c, n) => (phys(c), n) })
     val (_, delEntries) = stageDeleteFrame(spark, root,
-      updates.select(col(keyCol)).distinct())
+      updates.select(col(keyCol).as(phys(keyCol))).distinct())
     casLoop(root) { parent =>
       require(parent > 0, s"merge into empty table $root")
       val pm = manifest(root, parent)
       val expect = pm.schemaJson
-      require(expect.isEmpty || expect == updates.schema.json,
-        s"merge schema mismatch for $root: table has $expect, updates have ${updates.schema.json}")
+      if (expect.nonEmpty) {
+        val expectS = DataType.fromJson(expect).asInstanceOf[StructType]
+        if (ColumnMapping.hasMapping(expectS) || parentMapped.isDefined) {
+          if (parentMapped.map(ColumnMapping.toPhysical).getOrElse(Map.empty) !=
+              ColumnMapping.toPhysical(expectS))
+            throw new java.util.ConcurrentModificationException(
+              s"column mapping of $root changed while this merge was " +
+                "staging; re-run against the current head")
+          val live = ColumnMapping.logicalClean(expectS)
+          require(live.fields.map(f => (f.name, f.dataType)).toSeq ==
+            updates.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+            s"merge schema mismatch for $root: table has ${live.json}, " +
+              s"updates have ${updates.schema.json}")
+        } else require(expect == updates.schema.json,
+          s"merge schema mismatch for $root: table has $expect, updates have ${updates.schema.json}")
+      }
       val snap = parent + 1
       val (bCol, bN) =
         if (mergeSpec.contains((pm.bucketCol, pm.nBuckets))) (pm.bucketCol, pm.nBuckets)
         else ("", 0)
       Manifest(snap, parent,
         pm.files ++ entries.map(_.copy(seq = snap)),
-        pm.deletes ++ delEntries.map { case (p, n) => DeleteEntry(p, keyCol, n, snap) },
+        pm.deletes ++ delEntries.map { case (p, n) => DeleteEntry(p, phys(keyCol), n, snap) },
         note = "", schemaJson = pm.schemaJson, bucketCol = bCol, nBuckets = bN)
     }
   }
@@ -488,10 +531,23 @@ object LakeTable {
       dataFiles: Seq[(String, Long)], deleteFiles: Seq[(String, Long)],
       statCols: Seq[String], note: String = ""): Int = {
     require(basis > 0, s"delta commit against empty table $root")
+    // staged delta files carry PHYSICAL names (the delta writer
+    // physicalizes its row schema) — stat keys and the type-lookup
+    // frame must match
+    val basisMapped = Option(manifest(root, basis).schemaJson).filter(_.nonEmpty)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .filter(ColumnMapping.hasMapping)
+    val physMap = basisMapped.map(ColumnMapping.toPhysical).getOrElse(Map.empty)
+    def phys(c: String) = physMap.getOrElse(c, c)
     val entries =
       if (dataFiles.isEmpty) Nil
-      else scanStatsPaths(spark, dataFiles.map(_._1),
-        read(spark, root, Some(basis)), statCols)
+      else {
+        val base = read(spark, root, Some(basis))
+        val baseW =
+          if (basisMapped.isEmpty) base
+          else base.select(base.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
+        scanStatsPaths(spark, dataFiles.map(_._1), baseW, statCols.map(phys))
+      }
     val referenced: Set[String] =
       if (deleteFiles.isEmpty) Set.empty
       else spark.read.parquet(deleteFiles.map(_._1): _*)
@@ -546,14 +602,30 @@ object LakeTable {
       statCols: Seq[String], note: String): Int = {
     val head = currentSnapshot(root)
     if (head > 0 && note.nonEmpty && manifest(root, head).note == note) return -1
-    val df = spark.read.schema(schema).parquet(files.map(_._1): _*)
-    val entries = scanStatsPaths(spark, files.map(_._1), df, statCols)
+    // staged files carry PHYSICAL names on a mapped table (the
+    // streaming writer factory physicalizes its row schema)
+    val parentMapped = storedSchemaOf(root).filter(ColumnMapping.hasMapping)
+    val physMap = parentMapped.map(ColumnMapping.toPhysical).getOrElse(Map.empty)
+    def phys(c: String) = physMap.getOrElse(c, c)
+    val readSchema =
+      if (parentMapped.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
+    val df = spark.read.schema(readSchema).parquet(files.map(_._1): _*)
+    val entries = scanStatsPaths(spark, files.map(_._1), df, statCols.map(phys))
     casLoop(root) { parent =>
       var stored = schema
       if (parent > 0) {
         val expectJson = manifest(root, parent).schemaJson
         if (expectJson.nonEmpty) {
           val expect = DataType.fromJson(expectJson).asInstanceOf[StructType]
+          if (ColumnMapping.hasMapping(expect) || parentMapped.isDefined) {
+            if (parentMapped.map(ColumnMapping.toPhysical).getOrElse(Map.empty) !=
+                ColumnMapping.toPhysical(expect))
+              throw new java.util.ConcurrentModificationException(
+                s"column mapping of $root changed while this epoch was " +
+                  "staging; re-run against the current head")
+            stored = ColumnMapping.mergeAppend(expect, schema, root)
+          } else {
           val broken = expect.fields.filterNot(f =>
             schema.exists(g => g.name == f.name && g.dataType == f.dataType))
           require(broken.isEmpty,
@@ -568,6 +640,7 @@ object LakeTable {
               case None => f
             }
           })
+          }
         }
       }
       val snap = parent + 1
@@ -608,6 +681,84 @@ object LakeTable {
         note = "evolve-schema", schemaJson = newSchema.json,
         bucketCol = pm.bucketCol, nBuckets = pm.nBuckets)
     }
+
+  /** The head snapshot's STORED schema (tombstones and mapping
+    * metadata included), None for an empty/schema-less table.
+    */
+  def storedSchemaOf(root: String): Option[StructType] = {
+    val head = currentSnapshot(root)
+    if (head == 0) None
+    else Option(manifest(root, head).schemaJson).filter(_.nonEmpty)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+  }
+
+  /** Rename a LOGICAL row schema to the table's PHYSICAL column names
+    * (identity for unmapped tables) — for out-of-band writers whose
+    * staged files the commit layer later binds.
+    */
+  def physicalizeSchema(root: String, s: StructType): StructType =
+    storedSchemaOf(root).filter(ColumnMapping.hasMapping).map { st =>
+      val pm = ColumnMapping.toPhysical(st)
+      StructType(s.fields.map(f => f.copy(name = pm.getOrElse(f.name, f.name))))
+    }.getOrElse(s)
+
+  /** A schema-transform commit (rename/drop): metadata-only, with the
+    * manifest-level bucket column following the column's LOGICAL name
+    * across the change (parts are untouched — their stats stay keyed
+    * by physical name, which rename/drop never alters).
+    */
+  private def alterSchema(root: String,
+      f: (Manifest, StructType) => StructType, note: String): Int =
+    casLoop(root) { parent =>
+      require(parent > 0, s"schema change on empty table $root")
+      val pm = manifest(root, parent)
+      require(pm.schemaJson.nonEmpty, s"table $root carries no schema")
+      val stored = DataType.fromJson(pm.schemaJson).asInstanceOf[StructType]
+      val next = f(pm, stored)
+      val bCol =
+        if (pm.bucketCol.isEmpty) ""
+        else stored.fields.find(_.name == pm.bucketCol)
+          .map(ColumnMapping.physicalName)
+          .flatMap(ph => ColumnMapping.toLogical(next).get(ph))
+          .getOrElse("")
+      Manifest(parent + 1, parent, pm.files, pm.deletes, note,
+        schemaJson = next.json,
+        bucketCol = bCol, nBuckets = if (bCol.isEmpty) 0 else pm.nBuckets)
+    }
+
+  /** `ALTER TABLE … RENAME COLUMN` as a METADATA-ONLY commit: the
+    * column's physical name (what every data file stores) is pinned
+    * via [[ColumnMapping]] and only the logical name moves — zero
+    * data IO at any table size; files written before the rename read
+    * under the new name through the mapping.
+    */
+  def renameColumn(root: String, from: String, to: String): Int = {
+    require(from != CoordPath && from != CoordIdx &&
+      to != CoordPath && to != CoordIdx,
+      "row-coordinate names are reserved")
+    alterSchema(root, (_, s) => ColumnMapping.rename(s, from, to),
+      note = s"rename-column:$from->$to")
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY commit: the field
+    * becomes a tombstone that keeps its physical name reserved (a
+    * later ADD COLUMN of the same name gets fresh storage — dropped
+    * bytes can never resurrect); data files keep the bytes until a
+    * rewrite purges them. Refused while an outstanding equality
+    * delete is keyed on the column — applying that delete requires
+    * reading it.
+    */
+  def dropColumn(root: String, name: String): Int =
+    alterSchema(root, { (pm, s) =>
+      val phys = s.fields.find(f => !ColumnMapping.isDropped(f) && f.name == name)
+        .map(ColumnMapping.physicalName)
+      phys.foreach { p =>
+        require(!pm.deletes.exists(d => d.kind == "eq" && d.keyCol == p),
+          s"cannot drop $name: outstanding equality deletes are keyed on " +
+            "it — fold deletes (compact) first")
+      }
+      ColumnMapping.drop(s, name)
+    }, note = s"drop-column:$name")
 
   /** Reserved coordinate-column names. Underscore-prefixed so a table
     * whose OWN schema has `path`/`idx` columns is never silently
@@ -665,11 +816,18 @@ object LakeTable {
         (n + fileRows - 1) / fileRows)).toInt
       p.coalesce(parts).write.mode("errorifexists").parquet(staging)
     } finally p.unpersist()
-    val entries = spark.read.parquet(staging)
-      .groupBy(col("_metadata.file_path").as("path"))
-      .agg(count(lit(1)).cast("bigint").as("rows"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // per-file row counts straight from the parquet footers — no
+    // read-back job over the payload just to count what was written
+    val entries = listParquet(Paths.get(staging)).map { fp =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(fp.toUri),
+          new org.apache.hadoop.conf.Configuration()))
+      val rows =
+        try asScala(r.getFooter.getBlocks.iterator()).map(_.getRowCount).sum
+        finally r.close()
+      (metadataPathString(fp), rows)
+    }.sortBy(_._1)
     (staging, entries)
   }
 
@@ -685,13 +843,28 @@ object LakeTable {
   private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean, replace: Boolean, note: String,
-      basis: Option[Int] = None, bloomCols: Seq[String] = Nil): Int = {
+      basis: Option[Int] = None, bloomCols: Seq[String] = Nil,
+      skipIfEmpty: Boolean = false): Int = {
     val reserved = df.schema.fieldNames.filter(n => n == CoordPath || n == CoordIdx)
     require(reserved.isEmpty,
       s"table columns ${reserved.mkString(", ")} collide with the reserved " +
         "row-coordinate names; rename them before committing")
+    // COLUMN MAPPING: a renamed/dropped table's data files store
+    // PHYSICAL names — translate the frame and every column-keyed
+    // knob before staging (identity for never-renamed tables). The
+    // commit re-checks the mapping against the re-resolved parent.
+    val parentMapped: Option[StructType] =
+      if (replace) None else storedSchemaOf(root).filter(ColumnMapping.hasMapping)
+    val physMap = parentMapped.map(ColumnMapping.toPhysical).getOrElse(Map.empty)
+    def phys(c: String) = physMap.getOrElse(c, c)
+    val dfW =
+      if (parentMapped.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
+    val cfgW =
+      if (parentMapped.isEmpty) cfg
+      else cfg.copy(partitionCol = phys(cfg.partitionCol), keyCol = phys(cfg.keyCol))
     val staging = stagingDir(root)
-    BlockWriter.writeFlat(df, staging, cfg, rangeCluster)
+    BlockWriter.writeFlat(dfW, staging, cfgW, rangeCluster)
     // the hash-bucket layout this write produced (mirrors writeFlat's
     // repartition): recorded per file + as the manifest spec so scans
     // can report KeyGroupedPartitioning (storage-partitioned joins)
@@ -699,7 +872,20 @@ object LakeTable {
       if (rangeCluster) None
       else Some((cfg.partitionCol, cfg.parallelism
         .getOrElse(spark.sessionState.conf.numShufflePartitions)))
-    val entries = scanStats(spark, staging, df, statCols, bloomCols, spec)
+    // stats/bloom keys and the bucket-spec column are PHYSICAL in the
+    // immutable parts; the manifest-level spec stays logical
+    val entries = scanStats(spark, staging, dfW, statCols.map(phys),
+      bloomCols.map(phys), spec.map { case (c, n) => (phys(c), n) })
+    // emptiness decided from the STAGED write's own entries — callers
+    // (the streaming sink) need not pre-execute the plan just to ask
+    // isEmpty, which would double per-epoch source work
+    if (skipIfEmpty && entries.forall(_.rows == 0L)) {
+      val walk = java.nio.file.Files.walk(Paths.get(staging))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p): Unit)
+      finally walk.close()
+      return currentSnapshot(root)
+    }
     casLoop(root, replace) { parent =>
       // REPLACE validation: a rewrite whose basis snapshot is no
       // longer the head would retire files whose rows it never read —
@@ -723,6 +909,18 @@ object LakeTable {
         val expectJson = manifest(root, parent).schemaJson
         if (expectJson.nonEmpty) {
           val expect = DataType.fromJson(expectJson).asInstanceOf[StructType]
+          if (ColumnMapping.hasMapping(expect) || parentMapped.isDefined) {
+            // the staged files were written under the mapping read
+            // BEFORE staging — if a rename/drop landed in between,
+            // their column names no longer match the table's physical
+            // layout, so fail the commit rather than stage wrong names
+            if (parentMapped.map(ColumnMapping.toPhysical).getOrElse(Map.empty) !=
+                ColumnMapping.toPhysical(expect))
+              throw new java.util.ConcurrentModificationException(
+                s"column mapping of $root changed while this append was " +
+                  "staging; re-run the append against the current head")
+            storedSchema = ColumnMapping.mergeAppend(expect, df.schema, root)
+          } else {
           val got = df.schema
           val broken = expect.fields.filterNot(f =>
             got.exists(g => g.name == f.name && g.dataType == f.dataType))
@@ -743,6 +941,7 @@ object LakeTable {
               case None => f
             }
           })
+          }
         }
       }
       val snap = parent + 1
@@ -775,10 +974,148 @@ object LakeTable {
       bucketOf: Option[(String, Int)] = None): Seq[FileEntry] =
     scanStatsPaths(spark, Seq(staging), df, statCols, bloomCols, bucketOf)
 
+  /** Thrown (and caught locally) when a stat is not footer-expressible. */
+  private object FooterBail extends scala.util.control.ControlThrowable
+
+  /** The exact string Spark's `_metadata.file_path` produces for a
+    * local file — manifest paths MUST be in this form because delta
+    * commits string-compare read-time coordinates against them.
+    */
+  private def metadataPathString(p: Path): String =
+    new org.apache.hadoop.fs.Path(p.toUri).toString
+
+  /** The hash bucket recorded in a staged file's PATH
+    * (`_graft_bucket=K/`), -1 when absent. [[BlockWriter.writeFlat]]
+    * writes the computed bucket VALUE as a partition directory, so the
+    * label is bucket-pure by construction — task ids are NOT sound for
+    * this (Catalyst elides the repartition exchange over an
+    * already-hash-partitioned child, and AQE may coalesce the
+    * surviving upstream shuffle, mixing buckets within one task).
+    */
+  private def bucketFromPath(p: Path, n: Int): Int =
+    Option(p.getParent).map(_.getFileName.toString)
+      .filter(_.startsWith(BlockWriter.BucketDir + "="))
+      .map(_.substring(BlockWriter.BucketDir.length + 1).toInt)
+      .filter(b => b >= 0 && b < n)
+      .getOrElse(-1)
+
+  /** Data files under a staging dir, descending into the one
+    * `_graft_bucket=K/` directory level hash-clustered writes produce.
+    */
+  private def listParquet(dir: Path): Seq[Path] = {
+    val walk = Files.walk(dir, 2)
+    try asScala(walk.iterator()).filter { f =>
+      val n = f.getFileName.toString
+      Files.isRegularFile(f) &&
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }.toSeq
+    finally walk.close()
+  }
+
+  /** FOOTER-ONLY commit stats: per-file row counts, byte sizes and
+    * min/max column stats read from the staged parquet files'
+    * FOOTERS — zero data-page IO, the way production table formats
+    * collect commit metrics (Iceberg reads writer-reported metrics;
+    * here the parquet footer IS the writer's report). The file's hash
+    * bucket is read from its `_graft_bucket=K/` path segment (see
+    * [[bucketFromPath]]).
+    *
+    * Returns None (caller falls back to the data-scan path) when any
+    * needed stat is not footer-expressible: a stat column of a
+    * non-footer type, INT96 timestamps, missing/oversized binary
+    * stats, or an all-null column.
+    */
+  private def footerStats(paths: Seq[String], schema: StructType,
+      statCols: Seq[String],
+      bucketOf: Option[(String, Int)]): Option[Seq[FileEntry]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def bail(): Nothing = throw FooterBail
+    try {
+      val kinds: Seq[(String, String)] = statCols.map { c =>
+        schema(c).dataType match {
+          case StringType => (c, "s")
+          case LongType | IntegerType | ShortType | ByteType |
+               TimestampType | DateType => (c, "i")
+          case _ => bail()
+        }
+      }
+      val files: Seq[Path] = paths.flatMap { p0 =>
+        val raw =
+          if (p0.contains(":")) Paths.get(new java.net.URI(p0).getPath)
+          else Paths.get(p0)
+        if (Files.isDirectory(raw)) listParquet(raw) else Seq(raw)
+      }
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val entries = files.map { fp =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(fp.toUri), conf))
+        val (rows, colStats) =
+          try {
+            val blocks = asScala(r.getFooter.getBlocks.iterator()).toSeq
+            val nRows = blocks.map(_.getRowCount).sum
+            val stats = kinds.map { case (c, k) =>
+              val chunks = blocks.map(b =>
+                asScala(b.getColumns.iterator())
+                  .find(_.getPath.toDotString == c).getOrElse(bail()))
+              val st = chunks.map(_.getStatistics)
+              if (st.exists(s => s == null || s.isEmpty)) bail()
+              val withVals = st.filter(_.hasNonNullValue)
+              if (withVals.isEmpty) bail()
+              val prim = chunks.head.getPrimitiveType
+              c -> (if (k == "s") {
+                if (prim.getPrimitiveTypeName != PrimitiveTypeName.BINARY) bail()
+                val mins = withVals.map(_.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                val maxs = withVals.map(_.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                ColStats(0, 0, "s", mins.min, maxs.max)
+              } else {
+                // INT96 timestamps carry no usable stats; micros only
+                // (the engine's sessions write TIMESTAMP_MICROS)
+                schema(c).dataType match {
+                  case TimestampType =>
+                    val ok = prim.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
+                      (prim.getLogicalTypeAnnotation match {
+                        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                        case _ => false
+                      })
+                    if (!ok) bail()
+                  case _ =>
+                    if (prim.getPrimitiveTypeName != PrimitiveTypeName.INT32 &&
+                      prim.getPrimitiveTypeName != PrimitiveTypeName.INT64) bail()
+                }
+                val mins = withVals.map(_.genericGetMin.asInstanceOf[Number].longValue)
+                val maxs = withVals.map(_.genericGetMax.asInstanceOf[Number].longValue)
+                ColStats(mins.min, maxs.max)
+              })
+            }.toMap
+            (nRows, stats)
+          } finally r.close()
+        val bucket = bucketOf match {
+          case Some((_, n)) => bucketFromPath(fp, n)
+          case None => -1
+        }
+        FileEntry(metadataPathString(fp), rows, colStats,
+          bytes = Files.size(fp), bucket = bucket)
+      }
+      Some(entries.sortBy(_.path))
+    } catch { case FooterBail => None }
+  }
+
   private def scanStatsPaths(spark: SparkSession, paths: Seq[String],
       df: DataFrame, statCols: Seq[String],
       bloomCols: Seq[String] = Nil,
       bucketOf: Option[(String, Int)] = None): Seq[FileEntry] = {
+    // blooms need real row values; everything else comes from footers
+    if (bloomCols.isEmpty)
+      footerStats(paths, df.schema, statCols, bucketOf) match {
+        case Some(es) => return es
+        case None => ()
+      }
     val kinds: Seq[(String, String, Column => Column)] = statCols.map { c =>
       df.schema(c).dataType match {
         case StringType => (c, "s", (x: Column) => x)
@@ -986,7 +1323,9 @@ object LakeTable {
       // schema — a schema-less emptyDataFrame would blow up a stream
       // consumer's select() over it
       val schema =
-        if (m.schemaJson.nonEmpty) DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        if (m.schemaJson.nonEmpty)
+          ColumnMapping.logicalClean(
+            DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
         else readFiles(spark, m, m.files).schema
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     } else readFiles(spark, m.copy(deletes = Nil), added)
@@ -1031,11 +1370,24 @@ object LakeTable {
       files: Seq[FileEntry], coords: Boolean = false): DataFrame = {
     // read under the SNAPSHOT's schema (the Iceberg rule): files
     // committed before an additive evolution lack the new columns
-    // and null-fill them — no mergeSchema footer sweep needed.
-    def rd(paths: Seq[String]): DataFrame =
-      (if (m.schemaJson.nonEmpty)
-        spark.read.schema(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-      else spark.read).parquet(paths: _*)
+    // and null-fill them — no mergeSchema footer sweep needed. A
+    // renamed/dropped table reads files under their PHYSICAL names
+    // (what every file stores, immutably) and presents the snapshot's
+    // LOGICAL names — rename/drop are pure metadata.
+    val stored: Option[StructType] =
+      if (m.schemaJson.isEmpty) None
+      else Some(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+    val mapped = stored.exists(ColumnMapping.hasMapping)
+    // physical → logical, for presenting equality-delete key columns
+    val logicalName: Map[String, String] =
+      if (mapped) ColumnMapping.toLogical(stored.get) else Map.empty
+    def rd(paths: Seq[String]): DataFrame = stored match {
+      case None => spark.read.parquet(paths: _*)
+      case Some(s) if !mapped => spark.read.schema(s).parquet(paths: _*)
+      case Some(s) =>
+        spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(paths: _*)
+          .toDF(ColumnMapping.logicalClean(s).fieldNames.toIndexedSeq: _*)
+    }
     val needCoords = coords || m.deletes.exists(_.kind == "pos")
     def rdc(paths: Seq[String]): DataFrame =
       if (!needCoords) rd(paths)
@@ -1066,9 +1418,13 @@ object LakeTable {
           val afterEq = eqDels.groupBy(_.keyCol).toSeq.sortBy(_._1)
             .foldLeft(rdc(fs.map(_.path))) {
               case (d, (kc, entries)) =>
+                // delete entries key by PHYSICAL name; the data frame
+                // presents logical names. Delete files hold exactly
+                // one column, so the rename is positional.
+                val kcOut = logicalName.getOrElse(kc, kc)
                 d.join(hinted(spark.read.parquet(entries.map(_.path): _*)
-                  .select(col(kc)).distinct(), entries.map(_.rows).sum),
-                  Seq(kc), "left_anti")
+                  .toDF(kcOut).distinct(), entries.map(_.rows).sum),
+                  Seq(kcOut), "left_anti")
             }
           // positional masks anti-join on the row coordinates
           strip(if (posDels.isEmpty) afterEq
@@ -1119,7 +1475,17 @@ object LakeTable {
       asOf: Option[Int] = None,
       pointPreds: Map[String, Seq[String]] = Map.empty): (DataFrame, Int, Int) = {
     val m = manifest(root, asOf.getOrElse(currentSnapshot(root)))
-    val keep = filesMatching(m.files, preds, strPreds, pointPreds)
+    // per-file stats key by PHYSICAL name; callers predicate on
+    // logical names
+    val physMap = Option(m.schemaJson).filter(_.nonEmpty)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .filter(ColumnMapping.hasMapping)
+      .map(ColumnMapping.toPhysical).getOrElse(Map.empty)
+    def phys(c: String) = physMap.getOrElse(c, c)
+    val keep = filesMatching(m.files,
+      preds.map { case (k, v) => phys(k) -> v },
+      strPreds.map { case (k, v) => phys(k) -> v },
+      pointPreds.map { case (k, v) => phys(k) -> v })
     // empty survivor set: read the full list (filters still yield 0
     // rows) — avoids the no-path read edge while staying correct.
     val chosen = if (keep.nonEmpty) keep else m.files
@@ -1155,6 +1521,15 @@ object LakeTable {
   def expire(root: String, keepFrom: Int): Int = {
     val head = currentSnapshot(root)
     require(keepFrom >= 1 && keepFrom <= head, s"keepFrom $keepFrom out of [1, $head]")
+    // expiring a PUBLISHED branch would reclaim data/parts the parent
+    // chain re-references (the ownership filter below deliberately
+    // permits deletion under this chain's own dir) — refuse, symmetric
+    // with dropBranch's guard on the other side of the relationship.
+    parentChainOf(root).foreach { pRoot =>
+      require(!chainReferences(pRoot, Paths.get(root).toAbsolutePath.normalize),
+        s"branch at $root was published: its files are live in $pRoot — " +
+          "expire the referencing snapshots there first")
+    }
     def paths(m: Manifest): Seq[String] =
       m.files.map(_.path) ++ m.deletes.map(_.path)
     // TAGGED snapshots are retention-pinned: they survive expiry (and
@@ -1197,9 +1572,16 @@ object LakeTable {
       Files.deleteIfExists(Paths.get(new java.net.URI(p).getPath)): Unit
     }
     // metadata parts referenced only by expired manifests go with them
+    // — under the SAME ownership rule as data files: a chain deletes
+    // only parts in its OWN meta dir. A branch chain's manifests also
+    // reference the parent's parts (fork inheritance), and the parent's
+    // reference branch parts after publish; neither may reach across.
+    val metaPath = rootPath.resolve("meta")
     val keptParts = keepSnaps.flatMap(i => rawParts(root, i)).toSet ++ branchKeepParts
     (gone.flatMap(i => rawParts(root, i)).toSet -- keptParts)
-      .foreach(p => Files.deleteIfExists(Paths.get(p)): Unit)
+      .map(p => Paths.get(p).toAbsolutePath.normalize)
+      .filter(_.startsWith(metaPath))
+      .foreach(p => Files.deleteIfExists(p): Unit)
     gone.foreach { i =>
       Files.deleteIfExists(Paths.get(root, "meta", s"manifest-$i.json")): Unit
     }

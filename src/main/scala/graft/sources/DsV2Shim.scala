@@ -220,10 +220,15 @@ final class DelegatedScanBuilder(
     allFiles: Seq[(String, Long)],
     aggPushdown: Boolean,
     coordNames: Set[String],
+    // logical → physical column names (column mapping); empty =
+    // identity. `dataSchema` is already physical when non-empty.
+    physMap: Map[String, String],
     finish: (ParquetScan, Seq[Filter], Option[StructType], Option[Int]) => Scan)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+
+  private def phys(c: String): String = physMap.getOrElse(c, c)
 
   private val inner =
     ParquetScanBuilder(spark, new ManifestFileIndex(spark, allFiles),
@@ -243,8 +248,16 @@ final class DelegatedScanBuilder(
   override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // manifest pruning consumes the LOGICAL filters (GraftScan
+    // translates stat keys itself); the parquet builder binds FILE
+    // columns, so its copy gets physical names (exprIds survive the
+    // rename, so Spark still binds any residual it hands back)
     pushedV1 = DsV2Shim.toV1Filters(filters)
-    inner.pushFilters(filters)
+    if (physMap.isEmpty) inner.pushFilters(filters)
+    else inner.pushFilters(filters.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if physMap.contains(a.name) => a.withName(physMap(a.name))
+    }))
   }
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
 
@@ -256,7 +269,8 @@ final class DelegatedScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit = {
     requested = Some(requiredSchema)
     inner.pruneColumns(StructType(
-      requiredSchema.fields.filterNot(f => coordNames(f.name))))
+      requiredSchema.fields.filterNot(f => coordNames(f.name))
+        .map(f => f.copy(name = phys(f.name)))))
   }
 
   /** MIN/MAX/COUNT answered from parquet FOOTERS (zero data IO) —

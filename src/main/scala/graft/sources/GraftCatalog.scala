@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.LakeTable
@@ -238,15 +238,26 @@ class GraftCatalog extends TableCatalog
     // instead of by column-order accident. `PARTITIONED BY (col)`
     // pins the clustering column alone. Recorded once at create time;
     // the write path reads it back (explicit write options override).
-    layoutOf(partitions, schema).foreach { case (c, n) =>
+    layoutOf(partitions, schema).foreach { case (c, n, tf) =>
       Files.writeString(dir.resolve("meta").resolve("_layout.json"),
-        s"""{"partition_col":"$c","n_buckets":$n}""")
+        s"""{"partition_col":"$c","n_buckets":$n,"transform":"$tf"}""")
     }
     new GraftLakeTable(spark, dir.toString, None, Some(schema))
   }
 
+  /** Temporal transform names accepted in `PARTITIONED BY` — the
+    * Iceberg layout family for event tables. The declared transform
+    * makes every append RANGE-CLUSTER on the raw column, so each
+    * file's min/max timestamp extent spans few periods and a
+    * time-range predicate prunes by manifest stats — the same pruning
+    * a hive `days=…/` directory layout buys, without coupling readers
+    * to paths (finer, in fact: file extents are tighter than a day
+    * when traffic is heavy).
+    */
+  private val TemporalTransforms = Set("days", "months", "hours", "years", "date")
+
   private def layoutOf(partitions: Array[Transform],
-      schema: StructType): Option[(String, Int)] = {
+      schema: StructType): Option[(String, Int, String)] = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
     def colOf(t: Transform): String = {
       val c = t.arguments.collectFirst {
@@ -265,48 +276,120 @@ class GraftCatalog extends TableCatalog
         }.getOrElse(throw new UnsupportedOperationException(
           s"bucket transform $t carries no bucket count"))
         require(n > 0, s"bucket count must be positive, got $n")
-        Some((colOf(t), n))
-      case Seq(t) if t.name == "identity" => Some((colOf(t), 0))
+        Some((colOf(t), n, "bucket"))
+      case Seq(t) if t.name == "identity" => Some((colOf(t), 0, "identity"))
+      case Seq(t) if TemporalTransforms(t.name) =>
+        val c = colOf(t)
+        val dt = schema(c).dataType
+        require(dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.DateType,
+          s"${t.name}($c) requires a timestamp/date column, got $dt")
+        Some((c, 0, t.name))
       case other => throw new UnsupportedOperationException(
-        "graft-lake supports PARTITIONED BY (bucket(n, col)) or " +
-          s"PARTITIONED BY (col), got ${other.mkString(", ")}")
+        "graft-lake supports PARTITIONED BY (bucket(n, col)), " +
+          "PARTITIONED BY (col), or a temporal transform " +
+          s"(days/months/hours/years), got ${other.mkString(", ")}")
     }
   }
 
-  /** SQL `ALTER TABLE … ADD COLUMNS` — additive evolution as a
-    * metadata-only commit ([[LakeTable.evolveSchema]]); anything that
-    * would require rewriting data (drop/rename/retype) is rejected.
+  /** SQL `ALTER TABLE` schema evolution — ALL metadata-only:
+    *  - `ADD COLUMNS`: the widened schema over the unchanged file list
+    *    ([[LakeTable.evolveSchema]]); old files null-fill at read.
+    *  - `RENAME COLUMN` / `DROP COLUMN`: field-id column mapping
+    *    ([[graft.lake.ColumnMapping]]) — the data files' PHYSICAL
+    *    column names never change; only the logical view moves. Zero
+    *    data IO at any table size; a later ADD of a dropped name gets
+    *    fresh storage, so stale bytes can never resurrect.
+    * Retype still requires a rewrite and is rejected.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val t = dir.toString
-    val current =
-      if (LakeTable.currentSnapshot(t) > 0)
-        DataType.fromJson(LakeTable.manifest(t,
-          LakeTable.currentSnapshot(t)).schemaJson).asInstanceOf[StructType]
-      else DataType.fromJson(Files.readString(
-        dir.resolve("meta").resolve("_schema.json"))).asInstanceOf[StructType]
-    val evolved = changes.foldLeft(current) {
-      case (schema, add: TableChange.AddColumn) =>
-        require(add.fieldNames().length == 1,
-          "graft-lake ALTER TABLE supports only top-level ADD COLUMNS")
-        require(add.isNullable,
-          s"added column ${add.fieldNames().head} must be nullable: existing " +
-            "files cannot back-fill a required column")
-        schema.add(StructType(Seq.empty).add(add.fieldNames().head,
-          add.dataType(), nullable = true,
-          Option(add.comment()).getOrElse("")).fields.head)
-      case (_, other) =>
-        throw new UnsupportedOperationException(
-          s"graft-lake ALTER TABLE supports ADD COLUMNS only (got $other); " +
-            "drop/rename/retype require a rewrite commit")
+    val committed = LakeTable.currentSnapshot(t) > 0
+    def addedField(add: TableChange.AddColumn): StructField = {
+      require(add.fieldNames().length == 1,
+        "graft-lake ALTER TABLE supports only top-level columns")
+      require(add.isNullable,
+        s"added column ${add.fieldNames().head} must be nullable: existing " +
+          "files cannot back-fill a required column")
+      StructType(Seq.empty).add(add.fieldNames().head, add.dataType(),
+        nullable = true, Option(add.comment()).getOrElse("")).fields.head
     }
-    if (LakeTable.currentSnapshot(t) > 0)
-      LakeTable.evolveSchema(t, evolved): Unit
-    else
+    def oneField(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"graft-lake ALTER TABLE supports only top-level $what")
+      names.head
+    }
+    // a rename/drop of the DECLARED layout column follows it / voids it
+    def adjustLayout(change: String => Option[String]): Unit = {
+      val p = dir.resolve("meta").resolve("_layout.json")
+      if (Files.exists(p)) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          Files.readString(p))
+        change(node.get("partition_col").asText()) match {
+          case Some(c) if c != node.get("partition_col").asText() =>
+            Files.writeString(p,
+              s"""{"partition_col":"$c","n_buckets":${node.get("n_buckets").asInt()}}"""): Unit
+          case Some(_) => ()
+          case None => Files.delete(p)
+        }
+      }
+    }
+    if (!committed) {
+      // declared-only table: no files exist yet, so rename/drop are
+      // plain rewrites of the pending schema — no mapping needed
+      val current = DataType.fromJson(Files.readString(
+        dir.resolve("meta").resolve("_schema.json"))).asInstanceOf[StructType]
+      val evolved = changes.foldLeft(current) {
+        case (schema, add: TableChange.AddColumn) => schema.add(addedField(add))
+        case (schema, rc: TableChange.RenameColumn) =>
+          val from = oneField(rc.fieldNames(), "RENAME COLUMN")
+          require(schema.fieldNames.contains(from), s"no column $from")
+          require(!schema.fieldNames.contains(rc.newName()),
+            s"column ${rc.newName()} already exists")
+          adjustLayout(c => Some(if (c == from) rc.newName() else c))
+          StructType(schema.fields.map(f =>
+            if (f.name == from) f.copy(name = rc.newName()) else f))
+        case (schema, dc: TableChange.DeleteColumn) =>
+          val name = oneField(dc.fieldNames(), "DROP COLUMN")
+          require(schema.fieldNames.contains(name), s"no column $name")
+          adjustLayout(c => if (c == name) None else Some(c))
+          StructType(schema.fields.filterNot(_.name == name))
+        case (_, other) =>
+          throw new UnsupportedOperationException(
+            s"graft-lake ALTER TABLE: unsupported change $other " +
+              "(retype requires a rewrite commit)")
+      }
       Files.writeString(dir.resolve("meta").resolve("_schema.json"),
         evolved.json): Unit
+      return load(ident, None)
+    }
+    // committed table: ADDs batch into one evolution commit (matching
+    // the pre-mapping behavior); each rename/drop is its own
+    // metadata-only commit through the mapping layer
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty) {
+      val stored = LakeTable.storedSchemaOf(t).getOrElse(
+        throw new IllegalStateException(s"table $t carries no schema"))
+      LakeTable.evolveSchema(t, adds.foldLeft(stored)((s, a) =>
+        graft.lake.ColumnMapping.add(s, addedField(a)))): Unit
+    }
+    changes.foreach {
+      case _: TableChange.AddColumn => () // batched above
+      case rc: TableChange.RenameColumn =>
+        val from = oneField(rc.fieldNames(), "RENAME COLUMN")
+        LakeTable.renameColumn(t, from, rc.newName()): Unit
+        adjustLayout(c => Some(if (c == from) rc.newName() else c))
+      case dc: TableChange.DeleteColumn =>
+        val name = oneField(dc.fieldNames(), "DROP COLUMN")
+        LakeTable.dropColumn(t, name): Unit
+        adjustLayout(c => if (c == name) None else Some(c))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-lake ALTER TABLE: unsupported change $other " +
+            "(retype requires a rewrite commit)")
+    }
     load(ident, None)
   }
 
@@ -434,13 +517,17 @@ private[sources] object GraftProcedures {
       outName: String, outType: org.apache.spark.sql.types.DataType,
       run: (GraftCatalog, InternalRow) => Any)
 
-  /** Maintenance-rewrite config: same derivation as the write path. */
-  private def rewriteCfg(dir: String): (graft.writer.BlockWriter.Config, Seq[String]) = {
+  /** Maintenance-rewrite config: same derivation as the write path
+    * (a declared temporal layout keeps range-clustering through
+    * compaction).
+    */
+  private def rewriteCfg(dir: String)
+      : (graft.writer.BlockWriter.Config, Seq[String], Boolean) = {
     val head = LakeTable.currentSnapshot(dir)
     val schema = GraftLakeTable.schemaOf(SparkSession.active, dir, head)
-    val (cfg, stats, _) = LakeFormatWrite.config(
+    val (cfg, stats, _, rc) = LakeFormatWrite.config(
       CaseInsensitiveStringMap.empty(), schema, dir)
-    (cfg, stats)
+    (cfg, stats, rc)
   }
 
   private def tbl(c: GraftCatalog, in: InternalRow): String =
@@ -451,15 +538,16 @@ private[sources] object GraftProcedures {
       Seq("table" -> StringType), "snapshot", IntegerType, (c, in) => {
         val dir = tbl(c, in); val s = SparkSession.active
         val head = LakeTable.currentSnapshot(dir)
-        val (cfg, stats) = rewriteCfg(dir)
+        val (cfg, stats, rc) = rewriteCfg(dir)
         LakeTable.rewrite(s, dir, LakeTable.read(s, dir, Some(head)), cfg, stats,
-          basis = Some(head))
+          rangeCluster = rc, basis = Some(head))
       }),
     Def("fold_deletes", "fold accumulated delete files back into data files",
       Seq("table" -> StringType), "snapshot", IntegerType, (c, in) => {
         val dir = tbl(c, in)
-        val (cfg, stats) = rewriteCfg(dir)
-        LakeTable.foldDeletes(SparkSession.active, dir, cfg, stats)
+        val (cfg, stats, rc) = rewriteCfg(dir)
+        LakeTable.foldDeletes(SparkSession.active, dir, cfg, stats,
+          rangeCluster = rc)
       }),
     Def("expire_snapshots", "expire snapshots below keep_from; reclaim their files",
       Seq("table" -> StringType, "keep_from" -> IntegerType),

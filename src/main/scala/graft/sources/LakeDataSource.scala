@@ -121,11 +121,21 @@ class LakeSourceProvider extends TableProvider
 }
 
 object GraftLakeTable {
-  private[sources] def schemaOf(spark: SparkSession, root: String, snap: Int): StructType = {
+  /** The snapshot's STORED schema: logical names + column-mapping
+    * metadata + drop tombstones.
+    */
+  private[sources] def storedSchemaAt(spark: SparkSession, root: String,
+      snap: Int): StructType = {
     val m = LakeTable.manifest(root, snap)
     if (m.schemaJson.nonEmpty) DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     else LakeTable.read(spark, root, Some(snap)).schema
   }
+
+  /** The user-visible schema (tombstones out, mapping metadata
+    * stripped — plan schemas never carry graft keys).
+    */
+  private[sources] def schemaOf(spark: SparkSession, root: String, snap: Int): StructType =
+    graft.lake.ColumnMapping.logicalClean(storedSchemaAt(spark, root, snap))
 
   private[sources] def metaCol(name0: String, dt: DataType,
       comment0: String): MetadataColumn = new MetadataColumn {
@@ -150,11 +160,25 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
 
   private lazy val snap: Int = asOf.getOrElse(LakeTable.currentSnapshot(root))
 
+  private[sources] def resolvedSnapshot: Int = snap
+
+  /** A CREATE TABLE'd-but-never-written table's declared schema
+    * (meta/_schema.json), for loads that bypass the catalog (the
+    * path-based DataSource).
+    */
+  private lazy val declaredSchema: Option[StructType] = {
+    val p = java.nio.file.Paths.get(root, "meta", "_schema.json")
+    if (snap == 0 && java.nio.file.Files.isRegularFile(p))
+      Some(org.apache.spark.sql.types.DataType
+        .fromJson(java.nio.file.Files.readString(p)).asInstanceOf[StructType])
+    else None
+  }
+
   override def name(): String =
     s"graft-lake.`$root`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
 
   override def schema(): StructType =
-    providedSchema.getOrElse {
+    providedSchema.orElse(declaredSchema).getOrElse {
       require(snap > 0, s"graft-lake table $root has no committed snapshots")
       GraftLakeTable.schemaOf(spark, root, snap)
     }
@@ -164,11 +188,15 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
-    // A brand-new table has no committed schema to validate against —
-    // the first commit's frame defines it. EXISTING tables get
-    // Spark's full append validation and INSERT column alignment
-    // (plus the commit layer's own enforcement underneath).
-    if (snap == 0) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    // A brand-new table with NO declared schema has nothing to
+    // validate against — the first commit's frame defines it. A
+    // CREATE TABLE'd table (providedSchema / meta/_schema.json) and
+    // every EXISTING table get Spark's full append validation and
+    // INSERT column alignment (plus the commit layer's own
+    // enforcement underneath) — the first INSERT must match the
+    // declared schema, not silently redefine it.
+    if (snap == 0 && providedSchema.isEmpty && declaredSchema.isEmpty)
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
 
@@ -178,13 +206,24 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     val m =
       if (snap > 0) LakeTable.manifest(root, snap)
       else LakeTable.Manifest(0, 0, Nil, schemaJson = schema().json)
-    val tableSchema = schema()
-    new DelegatedScanBuilder(spark, tableSchema, options,
+    val stored =
+      if (snap > 0) GraftLakeTable.storedSchemaAt(spark, root, snap)
+      else schema()
+    val mapped = graft.lake.ColumnMapping.hasMapping(stored)
+    // the delegated parquet machinery binds FILE columns → build it on
+    // the PHYSICAL schema; the scan presents logical names on top
+    val fileSchema =
+      if (mapped) graft.lake.ColumnMapping.physicalSchema(stored)
+      else graft.lake.ColumnMapping.logicalClean(stored)
+    new DelegatedScanBuilder(spark, fileSchema, options,
       m.files.map(f => (f.path, GraftScan.bytesOf(f))),
-      aggPushdown = m.deletes.isEmpty,
+      // footer aggregate answers bind by file column name — disabled
+      // under a mapping rather than risking a logical/physical mixup
+      aggPushdown = m.deletes.isEmpty && !mapped,
       Set(LakeTable.CoordPath, LakeTable.CoordIdx),
+      if (mapped) graft.lake.ColumnMapping.toPhysical(stored) else Map.empty,
       (pscan, pushed, requested, limit) =>
-        new GraftScan(spark, root, m, tableSchema, pscan, pushed, requested,
+        new GraftScan(spark, root, m, stored, pscan, pushed, requested,
           limit))
   }
 
@@ -288,6 +327,16 @@ object LakeFilters {
       case n: Int => Some(n.toLong)
       case n: Short => Some(n.toLong)
       case n: Byte => Some(n.toLong)
+      // temporal predicates prune against the same units the stats
+      // store: timestamps as epoch MICROS, dates as epoch DAYS
+      case t: java.sql.Timestamp =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+      case d: java.sql.Date =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+      case d: java.time.LocalDate =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong)
       case _ => None
     }
     def flat(f: Filter): Seq[Filter] = f match {
@@ -400,6 +449,8 @@ object GraftScan {
   * dynamic partition pruning.
   */
 final class GraftScan(spark: SparkSession, root: String, m: Manifest,
+    // the snapshot's STORED schema: logical names + column-mapping
+    // metadata + drop tombstones
     tableSchema: StructType, template: ParquetScan, pushed: Seq[Filter],
     // full requested schema when row-coordinate metadata columns
     // (`_graft_file_path`/`_graft_row_idx`) are among the output
@@ -410,6 +461,16 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val coordsRequested: Boolean = requested.isDefined
+
+  // column mapping: filters/output are LOGICAL; file columns and the
+  // per-file stat keys are PHYSICAL. Both maps empty = identity.
+  private val physOf: Map[String, String] =
+    if (graft.lake.ColumnMapping.hasMapping(tableSchema))
+      graft.lake.ColumnMapping.toPhysical(tableSchema)
+    else Map.empty
+  private val logOf: Map[String, String] =
+    physOf.map { case (l, p) => (p, l) }
+  private def phys(c: String): String = physOf.getOrElse(c, c)
 
   /** STORAGE-PARTITIONED layout report: valid when the manifest
     * carries a bucket spec and EVERY live file is bucketed under it
@@ -440,11 +501,12 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
     m.files.headOption.map(_.stats.keySet).getOrElse(Set.empty[String])
 
   private def prune(files: Seq[FileEntry], filters: Seq[Filter]): Seq[FileEntry] = {
+    // filters carry LOGICAL names; stats key by PHYSICAL name
     val (intP, strP, pointP) = LakeFilters.translate(filters)
     LakeTable.filesMatching(files,
-      intP.filter(kv => tracked(kv._1)),
-      strP.filter(kv => tracked(kv._1)),
-      pointP.filter(kv => tracked(kv._1)))
+      intP.map { case (k, v) => phys(k) -> v }.filter(kv => tracked(kv._1)),
+      strP.map { case (k, v) => phys(k) -> v }.filter(kv => tracked(kv._1)),
+      pointP.map { case (k, v) => phys(k) -> v }.filter(kv => tracked(kv._1)))
   }
 
   /** Manifest-stats pruning on the statically pushed predicates,
@@ -484,10 +546,10 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
     if (aggPushed) Array.empty
     else {
       // only columns surviving column pruning: Spark resolves these
-      // against the scan OUTPUT, and a pruned-away column would fail
-      // analysis of the runtime-filter subquery
+      // against the scan OUTPUT (logical names), and a pruned-away
+      // column would fail analysis of the runtime-filter subquery
       val out = readSchema().fieldNames.toSet
-      tracked.toArray.sorted.filter(out).map(c =>
+      tracked.toArray.map(p => logOf.getOrElse(p, p)).sorted.filter(out).map(c =>
         org.apache.spark.sql.connector.expressions.Expressions.column(c))
     }
 
@@ -499,7 +561,10 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
 
   override def readSchema(): StructType =
     if (aggPushed) template.readDataSchema
-    else requested.getOrElse(template.readDataSchema)
+    else requested.getOrElse(
+      if (logOf.isEmpty) template.readDataSchema
+      else StructType(template.readDataSchema.fields.map(f =>
+        f.copy(name = logOf.getOrElse(f.name, f.name)))))
 
   override def description(): String =
     s"GraftLakeScan root=$root snapshot=${m.snapshotId} " +
@@ -544,12 +609,19 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
           var aug = base
           val eqs = eqDels.groupBy(_.keyCol).toSeq.sortBy(_._1).map {
             case (kc, entries) =>
+              // kc is a PHYSICAL name; `aug` (the file read schema) is
+              // physical too, so the lookup and any added field stay
+              // in the physical domain
+              val kf = graft.lake.ColumnMapping.fieldByPhysical(tableSchema, kc)
+                .getOrElse(throw new IllegalStateException(
+                  s"equality-delete key $kc not in schema of $root"))
               val ord = aug.fieldNames.indexOf(kc) match {
                 case -1 =>
-                  aug = aug.add(tableSchema(kc)); aug.length - 1
+                  aug = aug.add(StructField(kc, kf.dataType, kf.nullable))
+                  aug.length - 1
                 case i => i
               }
-              EqDeleteSpec(ord, GraftScan.keyTag(tableSchema(kc).dataType),
+              EqDeleteSpec(ord, GraftScan.keyTag(kf.dataType),
                 entries.map(_.path))
           }
           val needRowIdx = posDels.nonEmpty ||
@@ -564,7 +636,7 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
           val outMap = requested.map(_.fields.map { f =>
             if (f.name == LakeTable.CoordPath) -1
             else if (f.name == LakeTable.CoordIdx) rowIdxOrd
-            else aug.fieldNames.indexOf(f.name)
+            else aug.fieldNames.indexOf(phys(f.name))
           }.toSeq)
           val spec = GroupDeleteSpec(eqs, posDels.map(_.path), rowIdxOrd,
             aug, base.length, outMap)
@@ -866,26 +938,40 @@ private[sources] object LakeFormatWrite {
       }) => f.name
     }.toSeq
 
-  /** The table's DDL-declared layout (`PARTITIONED BY (bucket(n, c))`
-    * → (c, n); `PARTITIONED BY (c)` → (c, 0)), if any.
+  /** The table's DDL-declared layout: (col, nBuckets, transform) —
+    * `PARTITIONED BY (bucket(n, c))` → (c, n, "bucket");
+    * `PARTITIONED BY (c)` → (c, 0, "identity"); a temporal transform
+    * (`days(ts)` etc.) → (ts, 0, "days").
     */
-  private def declaredLayout(root: String): Option[(String, Int)] = {
+  private def declaredLayout(root: String): Option[(String, Int, String)] = {
     val p = java.nio.file.Paths.get(root, "meta", "_layout.json")
     if (!java.nio.file.Files.exists(p)) None
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
-      Some((node.get("partition_col").asText(), node.get("n_buckets").asInt()))
+      Some((node.get("partition_col").asText(), node.get("n_buckets").asInt(),
+        if (node.has("transform")) node.get("transform").asText()
+        else if (node.get("n_buckets").asInt() > 0) "bucket" else "identity"))
     }
   }
 
+  private val temporal = Set("days", "months", "hours", "years", "date")
+
   private[sources] def config(options: CaseInsensitiveStringMap,
-      schema: StructType, root: String = ""): (BlockWriter.Config, Seq[String], Seq[String]) = {
+      schema: StructType, root: String = "")
+      : (BlockWriter.Config, Seq[String], Seq[String], Boolean) = {
     val layout = if (root.nonEmpty) declaredLayout(root) else None
+    // a TEMPORAL layout clusters every append by RANGE on the raw
+    // column: per-file time extents come out disjoint and tight, so a
+    // period predicate prunes via the manifest's min/max stats — the
+    // declared analog of the zorder_layout recipe
+    val rangeCluster = layout.exists(l => temporal(l._3))
     val partitionCol = Option(options.get("partitioncol"))
       .orElse(layout.map(_._1))
       .getOrElse(schema.fieldNames.head)
-    val keyCol = Option(options.get("keycol")).getOrElse(partitionCol)
+    val keyCol = Option(options.get("keycol"))
+      .orElse(layout.collect { case (c, _, tf) if temporal(tf) => c })
+      .getOrElse(partitionCol)
     val maxRecords = Option(options.get("maxrecordsperfile"))
       .map(_.trim.toInt).getOrElse(4096)
     val stats = Option(options.get("stats"))
@@ -896,19 +982,21 @@ private[sources] object LakeFormatWrite {
     // a declared bucket count pins the write fan-out — the
     // storage-partitioned-join spec `bucket(n, col)` is then stable
     // across appends by construction
-    val fanOut = layout.collect { case (c, n) if n > 0 && c == partitionCol => n }
+    val fanOut = layout.collect { case (c, n, "bucket") if n > 0 && c == partitionCol => n }
     (BlockWriter.Config(partitionCol, keyCol, maxRecords,
-      parallelism = fanOut), stats, bloom)
+      parallelism = fanOut), stats, bloom, rangeCluster)
   }
 
   def write(spark: SparkSession, root: String, data: DataFrame,
       options: CaseInsensitiveStringMap, overwrite: Boolean): Unit = {
-    val (cfg, stats, bloom) = config(options, data.schema, root)
+    val (cfg, stats, bloom, rc) = config(options, data.schema, root)
     val head = LakeTable.currentSnapshot(root)
     if (overwrite && head > 0)
-      LakeTable.rewrite(spark, root, data, cfg, stats, basis = Some(head)): Unit
+      LakeTable.rewrite(spark, root, data, cfg, stats, rangeCluster = rc,
+        basis = Some(head)): Unit
     else
-      LakeTable.commit(spark, root, data, cfg, stats, bloomCols = bloom): Unit
+      LakeTable.commit(spark, root, data, cfg, stats, rangeCluster = rc,
+        bloomCols = bloom): Unit
   }
 }
 
@@ -926,12 +1014,14 @@ final class GraftStreamSink(spark: SparkSession, root: String,
     val head = LakeTable.currentSnapshot(root)
     if (head > 0 && LakeTable.manifest(root, head).note == s"batch-$batchId") return
     // re-plan the micro-batch frame as a batch frame (the plan's RDD
-    // feeds the write; ForeachBatchSink does the same re-wrap)
+    // feeds the write; ForeachBatchSink does the same re-wrap).
+    // Emptiness is decided from the staged write's entries inside the
+    // commit (skipIfEmpty) — a pre-commit `batch.isEmpty` would run
+    // the whole micro-batch plan a second time.
     val batch = StreamShim.asBatchFrame(data)
-    val (cfg, stats, bloom) = LakeFormatWrite.config(options, data.schema, root)
-    if (!batch.isEmpty)
-      LakeTable.commit(spark, root, batch, cfg, stats, bloomCols = bloom,
-        note = s"batch-$batchId"): Unit
+    val (cfg, stats, bloom, rc) = LakeFormatWrite.config(options, data.schema, root)
+    LakeTable.commit(spark, root, batch, cfg, stats, rangeCluster = rc,
+      bloomCols = bloom, note = s"batch-$batchId", skipIfEmpty = true): Unit
   }
 
   override def toString: String = s"GraftLakeSink[$root]"

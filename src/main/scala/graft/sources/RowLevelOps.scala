@@ -42,9 +42,13 @@ final class GraftDeltaOperation(spark: SparkSession, table: GraftLakeTable,
     cmd: Command) extends RowLevelOperation with SupportsDelta {
 
   /** The snapshot the candidate rows are read from; the commit
-    * validates against it (snapshot isolation).
+    * validates against it (snapshot isolation). This is the TABLE's
+    * resolved snapshot — re-reading the head here would let a MoR
+    * delete that commits between table resolution and operation
+    * creation land with seq == basis and escape commitDelta's
+    * `seq > basis` conflict check, resurrecting just-deleted rows.
     */
-  private[sources] val basis: Int = LakeTable.currentSnapshot(table.root)
+  private[sources] val basis: Int = table.resolvedSnapshot
 
   override def command(): Command = cmd
 
@@ -83,7 +87,9 @@ final class GraftDeltaWrite(spark: SparkSession, root: String, basis: Int,
     private val staging = LakeTable.newStagingDir(root)
 
     override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory =
-      GraftDeltaWriterFactory(staging, info.schema(),
+      // staged data files store PHYSICAL column names (column mapping)
+      GraftDeltaWriterFactory(staging,
+        LakeTable.physicalizeSchema(root, info.schema()),
         new ConfBox(DsV2Shim.writeConf(spark)))
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -138,7 +144,9 @@ final class GraftStreamingWrite(spark: SparkSession, root: String,
 
   override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    GraftStreamWriterFactory(staging, info.schema(),
+    // staged data files store PHYSICAL column names (column mapping)
+    GraftStreamWriterFactory(staging,
+      LakeTable.physicalizeSchema(root, info.schema()),
       new ConfBox(DsV2Shim.writeConf(spark)))
 
   override def commit(epochId: Long,

@@ -67,13 +67,36 @@ object BlockWriter {
       .save(basePath)
   }
 
+  /** The hash-bucket directory column hash-clustered [[writeFlat]]
+    * staging writes under: `_graft_bucket=K/…`. The bucket id a file's
+    * rows hash to is encoded in its PATH — ground truth for the
+    * manifest's per-file bucket label (storage-partitioned joins pair
+    * partitions by it, so a wrong label is silently wrong data).
+    * Deriving it from the write task id instead is NOT sound: when the
+    * incoming frame is already hash-partitioned on the key (e.g. the
+    * output of a DISTINCT), Catalyst elides the repartition exchange
+    * and AQE may coalesce the surviving upstream shuffle — task ids
+    * then stop being bucket ids. `partitionBy` splits rows by the
+    * computed bucket VALUE regardless of task layout, so every file is
+    * bucket-pure by construction.
+    */
+  val BucketDir = "_graft_bucket"
+
+  /** `pmod(murmur3, n)` — exactly `repartition(n, col)`'s partition id
+    * ([[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]]),
+    * so co-bucketed tables agree with Spark's own `bucket(n, col)`
+    * storage-partitioned-join transform.
+    */
+  def bucketExpr(c: String, n: Int): Column = pmod(hash(col(c)), lit(n))
+
   /** Same clustering (partition-value co-location, key order, size
-    * bound) as [[write]], but FLAT: partition values stay as table
-    * columns instead of hive `partition=<value>/` directory names.
-    * This is the layout mode for manifest-tracked tables
-    * ([[graft.lake.LakeTable]]) — the Iceberg model, where partition
-    * structure is table METADATA, not paths, so readers never depend
-    * on directory listings.
+    * bound) as [[write]], but the table columns stay FLAT in the data
+    * files: the only directory level is the [[BucketDir]] hash bucket
+    * (dropped from file contents by `partitionBy`), which records each
+    * file's bucket in its path. Manifest-tracked tables
+    * ([[graft.lake.LakeTable]]) follow the Iceberg model — partition
+    * structure is table METADATA; readers get explicit file paths and
+    * never list directories.
     *
     * `rangeCluster = true` switches the shuffle to RANGE partitioning
     * on the key (sampled bounds) + key sort, producing GLOBALLY
@@ -87,19 +110,28 @@ object BlockWriter {
       rangeCluster: Boolean = false): Unit = {
     val parallelism = cfg.parallelism
       .getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
-    val clustered =
-      if (rangeCluster)
-        df.repartitionByRange(parallelism, col(cfg.keyCol))
-          .sortWithinPartitions(col(cfg.keyCol))
-      else
-        df.repartition(parallelism, col(cfg.partitionCol))
-          .sortWithinPartitions(col(cfg.partitionCol), col(cfg.keyCol))
-    clustered
-      .write
-      .mode("errorifexists")
-      .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
-      .option("compression", cfg.compression)
-      .format(cfg.format)
-      .save(basePath)
+    if (rangeCluster)
+      df.repartitionByRange(parallelism, col(cfg.keyCol))
+        .sortWithinPartitions(col(cfg.keyCol))
+        .write
+        .mode("errorifexists")
+        .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
+        .option("compression", cfg.compression)
+        .format(cfg.format)
+        .save(basePath)
+    else
+      df.withColumn(BucketDir, bucketExpr(cfg.partitionCol, parallelism))
+        .repartition(parallelism, col(cfg.partitionCol))
+        // bucket dir leads the sort so the file writer sees its
+        // required partition-column ordering already satisfied and
+        // preserves the (partition, key) order inside every file
+        .sortWithinPartitions(col(BucketDir), col(cfg.partitionCol), col(cfg.keyCol))
+        .write
+        .mode("errorifexists")
+        .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
+        .option("compression", cfg.compression)
+        .partitionBy(BucketDir)
+        .format(cfg.format)
+        .save(basePath)
   }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+import graft.writer.BlockWriter
+
+/** Field-id column mapping: RENAME/DROP COLUMN as metadata-only
+  * commits — pre-rename files read under the new name, dropped bytes
+  * never resurrect, stats pruning and deletes survive renames, and
+  * the SQL surface (ALTER TABLE / UPDATE) rides the same mechanism.
+  */
+class ColumnMappingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshTable(): (String, Long) = {
+    val root = graft.util.Scratch.dir("graft_cmspec_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val cfg = BlockWriter.Config("user_id", "event_id")
+    LakeTable.commit(spark, root, ev, cfg, Seq("event_id", "user_id"))
+    (root, ev.count())
+  }
+
+  test("rename is metadata-only and pre-rename files read under the new name") {
+    val (root, n) = freshTable()
+    val before = LakeTable.manifest(root, LakeTable.currentSnapshot(root))
+    val s = LakeTable.renameColumn(root, "user_id", "uid")
+    val after = LakeTable.manifest(root, s)
+    // zero data IO: the exact same file set, byte for byte
+    assert(after.files.map(f => (f.path, f.bytes)) ===
+      before.files.map(f => (f.path, f.bytes)))
+    val df = LakeTable.read(spark, root)
+    assert(df.columns.toSeq === Seq("event_id", "uid", "event_type"))
+    assert(df.count() === n)
+    // values came through the mapping, not null-filled
+    assert(df.filter(col("uid").isNull).count() === 0)
+    // the bucket spec followed the logical name
+    assert(after.bucketCol === "uid" && after.nBuckets === before.nBuckets)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("append after rename: new files store the physical name; stats prune across generations") {
+    val (root, n) = freshTable()
+    LakeTable.renameColumn(root, "event_id", "eid")
+    val more = graft.sources.Tables.load(spark, sf, "events")
+      .select((col("event_id") + 1000000).as("eid"), col("user_id"),
+        col("event_type"))
+    val cfg = BlockWriter.Config("user_id", "eid")
+    LakeTable.commit(spark, root, more, cfg, Seq("eid", "user_id"))
+    val df = LakeTable.read(spark, root)
+    assert(df.count() === 2 * n)
+    assert(df.filter(col("eid").isNull).count() === 0)
+    // new files' stats key by the PHYSICAL name of the renamed column
+    val m = LakeTable.manifest(root, LakeTable.currentSnapshot(root))
+    val gen2 = m.files.filter(_.seq == m.snapshotId)
+    assert(gen2.nonEmpty && gen2.forall(_.stats.contains("event_id")),
+      s"expected physical stat keys, got ${gen2.headOption.map(_.stats.keySet)}")
+    // pruning on the renamed column touches only one generation's files
+    val (pruned, touched, total) = LakeTable.prunedRead(spark, root,
+      Map("eid" -> ((1000000L, Long.MaxValue))))
+    assert(pruned.count() === n)
+    assert(touched < total, s"rename must not defeat pruning: $touched/$total")
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("equality deletes survive renames in both directions") {
+    val (root, n) = freshTable()
+    // delete BEFORE rename, keyed by the old name
+    val d1 = LakeTable.read(spark, root).select(col("event_id"))
+      .filter(col("event_id") % 10 === 0)
+    val nd1 = d1.count()
+    LakeTable.deleteWhere(spark, root, "event_id", d1)
+    LakeTable.renameColumn(root, "event_id", "eid")
+    val afterRename = LakeTable.read(spark, root)
+    assert(afterRename.count() === n - nd1)
+    // delete AFTER rename, keyed by the new name — same physical key
+    val d2 = afterRename.select(col("eid")).filter(col("eid") % 10 === 1)
+    val nd2 = d2.count()
+    LakeTable.deleteWhere(spark, root, "eid", d2)
+    assert(LakeTable.read(spark, root).count() === n - nd1 - nd2)
+    // both delete entries carry the one physical key name
+    val m = LakeTable.manifest(root, LakeTable.currentSnapshot(root))
+    assert(m.deletes.map(_.keyCol).distinct === Seq("event_id"))
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("drop is metadata-only; re-adding the name gets fresh storage (no resurrection)") {
+    val (root, n) = freshTable()
+    val filesBefore = LakeTable.manifest(root, LakeTable.currentSnapshot(root))
+      .files.map(_.path)
+    LakeTable.dropColumn(root, "event_type")
+    assert(LakeTable.read(spark, root).columns.toSeq === Seq("event_id", "user_id"))
+    // same files on disk — the bytes are just never projected again
+    val m1 = LakeTable.manifest(root, LakeTable.currentSnapshot(root))
+    assert(m1.files.map(_.path) === filesBefore)
+    // re-add the SAME name: old values must NOT come back
+    val stored = LakeTable.storedSchemaOf(root).get
+    LakeTable.evolveSchema(root, graft.lake.ColumnMapping.add(stored,
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val df = LakeTable.read(spark, root)
+    assert(df.columns.toSeq === Seq("event_id", "user_id", "event_type"))
+    assert(df.filter(col("event_type").isNotNull).count() === 0,
+      "dropped column's bytes resurrected under a re-added name")
+    assert(df.count() === n)
+    // time travel to the pre-drop snapshot still sees the original
+    val old = LakeTable.read(spark, root, Some(1))
+    assert(old.filter(col("event_type").isNull).count() === 0)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("drop refuses while an outstanding equality delete is keyed on the column") {
+    val (root, _) = freshTable()
+    LakeTable.deleteWhere(spark, root, "event_type",
+      LakeTable.read(spark, root).select(col("event_type")).limit(1))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.dropColumn(root, "event_type")
+    }
+    assert(e.getMessage.contains("outstanding equality deletes"))
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("SQL surface: ALTER TABLE RENAME/DROP COLUMN, reads, pruning plan, and UPDATE after rename") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("cmcat").toString)
+    val t = s"graft.cm.t_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 2, concat('x', id) FROM range(0, 1000)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO val")
+    // DSv2 read path: values through the mapping, filters pushed
+    val renamed = spark.sql(s"SELECT id, val FROM $t WHERE val >= 1000")
+    assert(renamed.count() === 500)
+    assert(renamed.filter(col("val").isNull).count() === 0)
+    // filter pushdown reaches the parquet scan under the PHYSICAL name
+    val plan = renamed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("v"),
+      s"expected pushed filter on the physical column:\n${plan.take(1200)}")
+    // row-level UPDATE through the delta write, post-rename
+    spark.sql(s"UPDATE $t SET val = -1 WHERE id < 10")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE val = -1")
+      .collect()(0).getLong(0) === 10)
+    assert(spark.table(t).count() === 1000)
+    // drop + re-add via SQL: no resurrection through the DSv2 reader
+    spark.sql(s"ALTER TABLE $t DROP COLUMN tag")
+    assert(spark.table(t).columns.toSeq === Seq("id", "val"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING)")
+    assert(spark.table(t).filter(col("tag").isNotNull).count() === 0)
+    // incremental append under the evolved schema still lands
+    spark.sql(s"INSERT INTO $t SELECT id, id, 'fresh' FROM range(1000, 1100)")
+    assert(spark.table(t).count() === 1100)
+    assert(spark.table(t).filter(col("tag") === "fresh").count() === 100)
+    spark.sql(s"DROP TABLE $t")
+  }
+}

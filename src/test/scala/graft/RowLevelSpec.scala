@@ -161,8 +161,11 @@ class RowLevelSpec extends AnyFunSuite {
     // new appends may now carry the added columns
     spark.sql(s"INSERT INTO $t VALUES (9999, 1, 'tX', 1.0, 3, 0.5, 'good')")
     assert(spark.table(t).filter(col("label") === "good").count() === 1)
-    // rename/drop are rejected, not silently mangled
-    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN day") }
+    // retype still requires a rewrite and is rejected, not silently
+    // mangled (rename/drop are now metadata-only — ColumnMappingSpec)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN day TYPE STRING")
+    }
     spark.sql(s"DROP TABLE $t")
   }
 
