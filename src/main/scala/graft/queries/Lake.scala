@@ -418,6 +418,67 @@ object Lake {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // --- lake_evolve_rename: FIELD-ID COLUMN MAPPING — rename and drop
+  // as METADATA-ONLY commits (LakeTable.renameColumn/dropColumn,
+  // the Iceberg/Delta column-mapping contract). Lifecycle: gen 1
+  // lands under the original names; `user_id` is renamed to `uid`
+  // (zero data IO — old files read through the mapping); gen 2
+  // appends under the new name (files store the PHYSICAL name);
+  // `event_type` is dropped and re-ADDED (the re-add gets FRESH
+  // storage: the dropped bytes never resurrect — every pre-drop row
+  // reads NULL); gen 3 appends with the re-added column populated.
+  // The oracle rebuilds the same lifecycle relationally from the raw
+  // events table. ColumnMappingSpec pins the mechanics (metadata-only
+  // commits, physical stat keys, pruning and deletes across renames).
+  def lakeEvolveRename(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_ler_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "event_id", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg,
+      Seq("event_id", "user_id"))
+    LakeTable.renameColumn(root, "user_id", "uid")
+    val cfg2 = BlockWriter.Config("uid", "event_id", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root,
+      ev.filter(col("event_id") % 2 === 1).withColumnRenamed("user_id", "uid"),
+      cfg2, Seq("event_id", "uid"))
+    LakeTable.dropColumn(root, "event_type")
+    LakeTable.evolveSchema(root, graft.lake.ColumnMapping.add(
+      LakeTable.storedSchemaOf(root).get,
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    LakeTable.commit(s, root,
+      ev.filter(col("event_id") < 100)
+        .select((col("event_id") + 10000000L).as("event_id"),
+          col("user_id").as("uid"), col("value"),
+          lit("fresh").as("event_type")),
+      cfg2, Seq("event_id", "uid"))
+    LakeTable.read(s, root)
+      .withColumn("gen",
+        when(col("event_id") >= 10000000L, lit(3L))
+          .when(col("event_id") % 2 === 0, lit(1L)).otherwise(lit(2L)))
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("uid")).cast("bigint").as("sum_uid"),
+        count(col("event_type")).as("n_tagged"))
+      .orderBy(col("gen"))
+  }
+
+  val lakeEvolveRenameSql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id AS uid, CAST(NULL AS VARCHAR) AS event_type
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id + 10000000, user_id, 'fresh'
+      |  FROM events WHERE event_id < 100)
+      |SELECT CAST(CASE WHEN event_id >= 10000000 THEN 3
+      |            WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS gen,
+      |  COUNT(*) AS n, CAST(SUM(uid) AS BIGINT) AS sum_uid,
+      |  COUNT(event_type) AS n_tagged
+      |FROM t
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // --- lake_delete_pos: POSITIONAL merge-on-read delete — the v2
   // delete family's second mode. The delete commit stores row
   // COORDINATES (file, row-index) instead of key values, so it can
@@ -1037,6 +1098,95 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q_sql_merge_nmbs: MERGE with the fourth clause family —
+  // `WHEN NOT MATCHED BY SOURCE` (Spark 3.4+'s completion of the
+  // ANSI MERGE matrix). Target rows with no source partner can be
+  // DELETEd or UPDATEd in the same atomic position-delta commit as
+  // the classic three clauses; the rewrite still touches only the
+  // affected rows' coordinates, never the table. The oracle replays
+  // the four-way algebra relationally.
+  def qSqlMergeNmbs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.mrgn_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sql_mergen")
+    s.sql(s"CREATE TABLE $tbl AS SELECT event_id, event_type, value FROM ev_sql_mergen WHERE event_id % 2 = 0")
+    s.sql(s"""MERGE INTO $tbl AS tgt
+             |USING (SELECT event_id, event_type, value FROM ev_sql_mergen
+             |       WHERE event_id % 3 = 0) AS src
+             |ON tgt.event_id = src.event_id
+             |WHEN MATCHED THEN UPDATE SET value = src.value * 2
+             |WHEN NOT MATCHED THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE AND tgt.event_type = 'error' THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE AND tgt.event_type = 'view'
+             |  THEN UPDATE SET value = 0""".stripMargin)
+    s.sql(s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM $tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val qSqlMergeNmbsSql: String =
+    """WITH tgt AS (
+      |  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0),
+      |src AS (
+      |  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0),
+      |merged AS (
+      |  SELECT event_id, event_type,
+      |         CASE WHEN event_id % 3 = 0 THEN value * 2
+      |              WHEN event_type = 'view' THEN 0
+      |              ELSE value END AS value
+      |  FROM tgt
+      |  WHERE NOT (event_id % 3 <> 0 AND event_type = 'error')
+      |  UNION ALL
+      |  SELECT event_id, event_type, value
+      |  FROM src WHERE event_id % 2 <> 0)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM merged
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- prune_scan_days: DECLARED TEMPORAL LAYOUT — `PARTITIONED BY
+  // (days(ts))` in DDL makes every append range-cluster on the raw
+  // timestamp, so per-file ts extents come out disjoint and tight and
+  // a time-window predicate prunes files via manifest stats — the
+  // Iceberg event-table layout, with the layout as table METADATA
+  // (declared once) rather than per-query writer discipline.
+  // DsV2Spec pins the file-skip ratio; this query gates the RESULT.
+  def pruneScanDays(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.psd_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_psd")
+    s.sql(s"CREATE TABLE $tbl PARTITIONED BY (days(ts)) AS SELECT * FROM ev_psd")
+    val b = s.sql("""SELECT min(ts) + INTERVAL 2 DAYS AS lo,
+                    |       min(ts) + INTERVAL 4 DAYS AS hi FROM ev_psd""".stripMargin)
+      .collect()(0)
+    s.table(tbl)
+      .where(col("ts") >= lit(b.getTimestamp(0)) && col("ts") < lit(b.getTimestamp(1)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("event_type"))
+  }
+
+  val pruneScanDaysSql: String =
+    """WITH b AS (SELECT MIN(ts) + INTERVAL 2 DAY AS lo,
+      |                  MIN(ts) + INTERVAL 4 DAY AS hi FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM events, b
+      |WHERE ts >= b.lo AND ts < b.hi
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q_spj: STORAGE-PARTITIONED JOIN — two lake tables co-bucketed
   // on the join key (the manifest records each file's hash bucket and
   // the layout spec at commit time; the scan reports
@@ -1099,6 +1249,7 @@ object Lake {
     "prune_scan_str" -> pruneScanStr,
     "prune_scan_point" -> pruneScanPoint,
     "lake_evolve" -> lakeEvolve,
+    "lake_evolve_rename" -> lakeEvolveRename,
     "lake_history" -> lakeHistory,
     "lake_merge_mor" -> lakeMergeMor,
     "lake_incremental" -> lakeIncremental,
@@ -1113,6 +1264,8 @@ object Lake {
     "q_sql_call" -> qSqlCall,
     "q_sql_update" -> qSqlUpdate,
     "q_sql_merge" -> qSqlMerge,
+    "q_sql_merge_nmbs" -> qSqlMergeNmbs,
+    "prune_scan_days" -> pruneScanDays,
     "q_spj" -> qSpj)
 
   val oracles: Map[String, String] = Map(
@@ -1127,6 +1280,7 @@ object Lake {
     "prune_scan_str" -> pruneScanStrSql,
     "prune_scan_point" -> pruneScanPointSql,
     "lake_evolve" -> lakeEvolveSql,
+    "lake_evolve_rename" -> lakeEvolveRenameSql,
     "lake_history" -> lakeHistorySql,
     "lake_merge_mor" -> lakeMergeMorSql,
     "lake_incremental" -> lakeIncrementalSql,
@@ -1141,5 +1295,7 @@ object Lake {
     "q_sql_call" -> qSqlCallSql,
     "q_sql_update" -> qSqlUpdateSql,
     "q_sql_merge" -> qSqlMergeSql,
+    "q_sql_merge_nmbs" -> qSqlMergeNmbsSql,
+    "prune_scan_days" -> pruneScanDaysSql,
     "q_spj" -> qSpjSql)
 }

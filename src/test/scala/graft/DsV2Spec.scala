@@ -451,4 +451,41 @@ class DsV2Spec extends AnyFunSuite {
     assert(planStr.contains("BroadcastHashJoin"), planStr)
     graft.util.Scratch.rmNow(root)
   }
+
+  test("PARTITIONED BY (days(ts)): a day-window predicate prunes most files") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val t = s"graft.psd.t_${System.nanoTime()}"
+    // sf0.01 (~10k rows) + a 32-way range write → ~32 files, enough
+    // for the skip ratio to be meaningful
+    val ev01 = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    ev01.createOrReplaceTempView("psd_events")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.sql(s"""CREATE TABLE $t PARTITIONED BY (days(ts))
+                   |AS SELECT * FROM psd_events""".stripMargin)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    val b = spark.sql("""SELECT min(ts) + INTERVAL 2 DAYS AS lo,
+                        |       min(ts) + INTERVAL 4 DAYS AS hi
+                        |FROM psd_events""".stripMargin).collect()(0)
+    val filtered = spark.table(t)
+      .where(col("ts") >= lit(b.getTimestamp(0)) && col("ts") < lit(b.getTimestamp(1)))
+    val scan = graftScanOf(filtered)
+    assert(scan.totalFiles >= 8,
+      s"expected a multi-file layout, got ${scan.totalFiles}")
+    assert(scan.survivors.size <= scan.totalFiles / 4,
+      s"declared days(ts) layout should skip most files for a 2-day " +
+        s"window: ${scan.survivors.size}/${scan.totalFiles}")
+    // pruning is an IO bound, never the answer: row-identical to the
+    // unpruned relation
+    val expect = ev01
+      .where(col("ts") >= lit(b.getTimestamp(0)) && col("ts") < lit(b.getTimestamp(1)))
+    assert(filtered.count() === expect.count())
+    assert(sorted(filtered) === sorted(expect))
+    spark.sql(s"DROP TABLE $t")
+  }
 }
