@@ -25,6 +25,12 @@ object GraftSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Parquet TIMESTAMP with isAdjustedToUTC=false (the driver's
+    // events.parquet as of round 8) must read as TimestampType, not
+    // TIMESTAMP_NTZ: the engine's temporal operators use unix_micros
+    // and with a UTC session the stored micros are the epoch micros —
+    // exactly DuckDB's reading of a naive timestamp.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.compression.codec", "snappy")

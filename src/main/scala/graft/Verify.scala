@@ -26,10 +26,23 @@ object Verify {
       case c => c.toString
     } + "\""
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Compare-boundary timestamp convention: the driver's testdata
+    // stores naive micros (isAdjustedToUTC=false) and DuckDB's oracle
+    // answers are naive timestamps. The engine reads them as
+    // TimestampType in a UTC session (identical micros), so a result
+    // column dumps as NTZ to present the SAME naive type to the
+    // driver's compare — value-preserving under the UTC session.
+    def naiveTs(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      d.schema.fields.foldLeft(d) { (acc, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          acc.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        else acc
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"

@@ -23,6 +23,10 @@ object Tables {
     */
   def ensureParquetConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Driver testdata now writes TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    // read it as TimestampType (UTC session ⇒ stored micros = epoch
+    // micros, DuckDB-equivalent) rather than TIMESTAMP_NTZ.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // graft's native SQL functions ride along on any session that
     // reads the source tables (idempotent).
     graft.plans.GraftExtensions.register(spark)
@@ -35,6 +39,12 @@ object Tables {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      // Defensive: if a caller-supplied session already read the file
+      // with NTZ inference on, normalize to TimestampType (UTC session
+      // ⇒ value-preserving on the underlying micros).
+      case (d, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+          .cast(org.apache.spark.sql.types.TimestampType))
       case (d, _) => d
     }
   }
