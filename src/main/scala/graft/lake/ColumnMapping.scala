@@ -29,6 +29,7 @@ private[graft] object ColumnMapping {
   val IdKey = "graft.id"
   val PhysKey = "graft.physical"
   val DroppedKey = "graft.dropped"
+  val WidenedKey = "graft.widened"
 
   def isDropped(f: StructField): Boolean =
     f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
@@ -51,10 +52,12 @@ private[graft] object ColumnMapping {
     StructType(logical(stored).fields.map(f => f.copy(metadata = strip(f.metadata))))
 
   private def strip(m: Metadata): Metadata = {
-    if (!m.contains(IdKey) && !m.contains(PhysKey) && !m.contains(DroppedKey)) m
+    if (!m.contains(IdKey) && !m.contains(PhysKey) && !m.contains(DroppedKey) &&
+      !m.contains(WidenedKey)) m
     else {
       val b = new MetadataBuilder().withMetadata(m)
       b.remove(IdKey); b.remove(PhysKey); b.remove(DroppedKey)
+      b.remove(WidenedKey)
       b.build()
     }
   }
@@ -142,6 +145,63 @@ private[graft] object ColumnMapping {
       } else f
     })
   }
+
+  /** Lossless type promotions the scan layer serves with ZERO data
+    * IO: Spark 4's vectorized parquet reader widens at decode time
+    * (INT32 pages → long/double vectors, FLOAT pages → double — the
+    * `IntegerToLong`/`IntegerToDouble`/`FloatToDouble` updaters), so
+    * a file written before the widen reads straight into the widened
+    * schema. This is Iceberg's safe-promotion set (int→long,
+    * float→double) plus int→double, which the reader also decodes
+    * exactly (every int is exactly representable in a double).
+    */
+  private val promotions: Map[org.apache.spark.sql.types.DataType,
+      Set[org.apache.spark.sql.types.DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      IntegerType -> Set(LongType, DoubleType),
+      FloatType -> Set(DoubleType))
+  }
+
+  def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    promotions.get(from).exists(_.contains(to))
+
+  /** ALTER COLUMN … TYPE as a METADATA-ONLY widen: only lossless
+    * promotions ([[canWiden]]) are accepted — anything else would
+    * need a data rewrite to stay readable. The field keeps its name,
+    * id and physical storage; old files decode into the widened type
+    * at scan (no mapping is created — names never move). The
+    * [[WidenedKey]] stamp records that files of a NARROWER physical
+    * type may exist, which the scan layer uses to keep footer-level
+    * shortcuts (aggregate pushdown) off typed footer stats.
+    */
+  def widen(stored: StructType, name: String,
+      to: org.apache.spark.sql.types.DataType): StructType = {
+    val live = logical(stored)
+    val f = live.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name to widen " +
+        s"(have ${live.fieldNames.mkString(", ")})"))
+    require(f.dataType != to, s"column $name already has type ${to.simpleString}")
+    require(canWiden(f.dataType, to),
+      s"cannot change type of $name: ${f.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a lossless widening (allowed: " +
+        "int->bigint, int->double, float->double); a narrowing/reshape " +
+        "requires a rewrite")
+    StructType(stored.fields.map { g =>
+      if (!isDropped(g) && g.name == name)
+        g.copy(dataType = to, metadata = new MetadataBuilder()
+          .withMetadata(g.metadata).putBoolean(WidenedKey, true).build())
+      else g
+    })
+  }
+
+  /** True once any live column has been widened — files of a narrower
+    * physical type may exist, so footer-typed shortcuts must re-check.
+    */
+  def hasWidening(stored: StructType): Boolean =
+    stored.fields.exists(f => !isDropped(f) &&
+      f.metadata.contains(WidenedKey) && f.metadata.getBoolean(WidenedKey))
 
   /** ADD COLUMN aware of retired physical names: a new column whose
     * name collides with ANY reserved physical name (live or

@@ -634,9 +634,12 @@ object LakeTable {
           val added = schema.fields.filterNot(g => expect.exists(_.name == g.name))
           require(added.forall(_.nullable),
             s"staged append to $root adds non-nullable columns")
+          // matched fields keep the PARENT's metadata (widened-column
+          // stamp survives staged appends, as in the inline path)
           stored = StructType(schema.fields.map { f =>
             expect.find(_.name == f.name) match {
-              case Some(pf) => f.copy(nullable = pf.nullable || f.nullable)
+              case Some(pf) =>
+                f.copy(nullable = pf.nullable || f.nullable, metadata = pf.metadata)
               case None => f
             }
           })
@@ -708,7 +711,8 @@ object LakeTable {
     * by physical name, which rename/drop never alters).
     */
   private def alterSchema(root: String,
-      f: (Manifest, StructType) => StructType, note: String): Int =
+      f: (Manifest, StructType) => StructType, note: String,
+      voidBucketFor: Option[String] = None): Int =
     casLoop(root) { parent =>
       require(parent > 0, s"schema change on empty table $root")
       val pm = manifest(root, parent)
@@ -716,7 +720,7 @@ object LakeTable {
       val stored = DataType.fromJson(pm.schemaJson).asInstanceOf[StructType]
       val next = f(pm, stored)
       val bCol =
-        if (pm.bucketCol.isEmpty) ""
+        if (pm.bucketCol.isEmpty || voidBucketFor.contains(pm.bucketCol)) ""
         else stored.fields.find(_.name == pm.bucketCol)
           .map(ColumnMapping.physicalName)
           .flatMap(ph => ColumnMapping.toLogical(next).get(ph))
@@ -759,6 +763,24 @@ object LakeTable {
       }
       ColumnMapping.drop(s, name)
     }, note = s"drop-column:$name")
+
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` as a METADATA-ONLY commit:
+    * only lossless widenings ([[ColumnMapping.canWiden]]) — existing
+    * files keep their narrower physical type and the vectorized
+    * parquet reader decodes them straight into the widened type at
+    * scan; later appends land in the widened type. Zero data IO at
+    * any table size. Widening the table's BUCKET column RETIRES the
+    * bucket spec: file bucket labels were computed with the old
+    * type's hash and `hash(5: int) != hash(5L)`, so keeping them
+    * would lie to storage-partitioned joins — wrong data, not slow
+    * data. The table stays fully correct, just SPJ-ineligible until
+    * a rewrite re-buckets it under the widened type.
+    */
+  def widenColumn(root: String,
+      name: String, to: org.apache.spark.sql.types.DataType): Int =
+    alterSchema(root, (_, s) => ColumnMapping.widen(s, name, to),
+      note = s"widen-column:$name:${to.simpleString}",
+      voidBucketFor = Some(name))
 
   /** Reserved coordinate-column names. Underscore-prefixed so a table
     * whose OWN schema has `path`/`idx` columns is never silently
@@ -934,10 +956,14 @@ object LakeTable {
               "; old files cannot satisfy them — make them nullable or rewrite")
           // an append never NARROWS nullability: a non-null batch (a
           // VALUES insert, a filtered frame) does not make a nullable
-          // table column required — older files still hold nulls
+          // table column required — older files still hold nulls.
+          // Matched fields keep the PARENT's metadata: the widened-
+          // column stamp (and any future marker) is a property of the
+          // table's file history, which an append can't reset.
           storedSchema = StructType(got.fields.map { f =>
             expect.find(_.name == f.name) match {
-              case Some(pf) => f.copy(nullable = pf.nullable || f.nullable)
+              case Some(pf) =>
+                f.copy(nullable = pf.nullable || f.nullable, metadata = pf.metadata)
               case None => f
             }
           })

@@ -479,6 +479,62 @@ object Lake {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // --- lake_evolve_widen: TYPE WIDENING as a METADATA-ONLY commit
+  // (LakeTable.widenColumn — Iceberg's safe-promotion evolution).
+  // Gen 1 lands with event_id as INT and value as FLOAT; one
+  // metadata commit widens them to BIGINT/DOUBLE (zero data IO —
+  // Spark's vectorized reader decodes the narrow pages straight into
+  // the widened vectors); gen 2 appends values only the WIDE types
+  // can hold (ids beyond int range). A single scan then reads both
+  // generations under the widened schema. The oracle replays the
+  // lifecycle relationally: gen 1 routed through REAL to pin the
+  // same float32 rounding the narrow files store.
+  // ColumnMappingSpec pins the mechanics (same files byte-for-byte
+  // after the widen, narrowing rejected, bucket-spec retirement,
+  // SQL ALTER COLUMN TYPE, pruning on the widened column).
+  def lakeEvolveWiden(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_lew_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "event_id", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root,
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").cast("int").as("event_id"), col("user_id"),
+          col("event_type"), col("value").cast("float").as("value")),
+      cfg, Seq("event_id", "user_id"))
+    LakeTable.widenColumn(root, "event_id", org.apache.spark.sql.types.LongType)
+    LakeTable.widenColumn(root, "value", org.apache.spark.sql.types.DoubleType)
+    LakeTable.commit(s, root,
+      ev.filter(col("event_id") % 2 === 1)
+        .select((col("event_id") + 3000000000L).as("event_id"), col("user_id"),
+          col("event_type"), col("value").cast("double").as("value")),
+      cfg, Seq("event_id", "user_id"))
+    LakeTable.read(s, root)
+      .withColumn("gen",
+        when(col("event_id") >= 3000000000L, lit(2L)).otherwise(lit(1L)))
+      .groupBy(col("gen"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).cast("bigint").as("sum_id"),
+        sumValX100.as("sum_value_x100"))
+      .orderBy(col("gen"), col("event_type"))
+  }
+
+  val lakeEvolveWidenSql: String =
+    """WITH t AS (
+      |  SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+      |    CAST(CAST(value AS REAL) AS DOUBLE) AS value
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id + 3000000000, event_type, CAST(value AS DOUBLE)
+      |  FROM events WHERE event_id % 2 = 1)
+      |SELECT CAST(CASE WHEN event_id >= 3000000000 THEN 2 ELSE 1 END AS BIGINT) AS gen,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM t
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // --- lake_delete_pos: POSITIONAL merge-on-read delete — the v2
   // delete family's second mode. The delete commit stores row
   // COORDINATES (file, row-index) instead of key values, so it can
@@ -1250,6 +1306,7 @@ object Lake {
     "prune_scan_point" -> pruneScanPoint,
     "lake_evolve" -> lakeEvolve,
     "lake_evolve_rename" -> lakeEvolveRename,
+    "lake_evolve_widen" -> lakeEvolveWiden,
     "lake_history" -> lakeHistory,
     "lake_merge_mor" -> lakeMergeMor,
     "lake_incremental" -> lakeIncremental,
@@ -1281,6 +1338,7 @@ object Lake {
     "prune_scan_point" -> pruneScanPointSql,
     "lake_evolve" -> lakeEvolveSql,
     "lake_evolve_rename" -> lakeEvolveRenameSql,
+    "lake_evolve_widen" -> lakeEvolveWidenSql,
     "lake_history" -> lakeHistorySql,
     "lake_merge_mor" -> lakeMergeMorSql,
     "lake_incremental" -> lakeIncrementalSql,

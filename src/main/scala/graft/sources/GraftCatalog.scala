@@ -300,7 +300,11 @@ class GraftCatalog extends TableCatalog
     *    column names never change; only the logical view moves. Zero
     *    data IO at any table size; a later ADD of a dropped name gets
     *    fresh storage, so stale bytes can never resurrect.
-    * Retype still requires a rewrite and is rejected.
+    *  - `ALTER COLUMN … TYPE`: lossless widening only (int→bigint,
+    *    int→double, float→double) — the vectorized reader decodes old
+    *    files' narrower pages straight into the widened type, so the
+    *    change is one metadata commit ([[LakeTable.widenColumn]]).
+    * Narrowing/reshaping still requires a rewrite and is rejected.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -356,10 +360,16 @@ class GraftCatalog extends TableCatalog
           require(schema.fieldNames.contains(name), s"no column $name")
           adjustLayout(c => if (c == name) None else Some(c))
           StructType(schema.fields.filterNot(_.name == name))
+        case (schema, ut: TableChange.UpdateColumnType) =>
+          // no files yet, but the same lossless-widening rule as the
+          // committed path — a declared table is still a contract
+          val name = oneField(ut.fieldNames(), "ALTER COLUMN")
+          graft.lake.ColumnMapping.widen(schema, name, ut.newDataType())
         case (_, other) =>
           throw new UnsupportedOperationException(
             s"graft-lake ALTER TABLE: unsupported change $other " +
-              "(retype requires a rewrite commit)")
+              "(only lossless type widening is metadata-representable; " +
+              "a narrowing/reshape requires a rewrite commit)")
       }
       Files.writeString(dir.resolve("meta").resolve("_schema.json"),
         evolved.json): Unit
@@ -385,10 +395,27 @@ class GraftCatalog extends TableCatalog
         val name = oneField(dc.fieldNames(), "DROP COLUMN")
         LakeTable.dropColumn(t, name): Unit
         adjustLayout(c => if (c == name) None else Some(c))
+      case ut: TableChange.UpdateColumnType =>
+        val name = oneField(ut.fieldNames(), "ALTER COLUMN")
+        // a DECLARED hash layout buckets every append by this column's
+        // typed hash — retire it alongside the manifest bucket spec
+        // (hash(int) != hash(bigint): keeping it would label future
+        // appends inconsistently with existing files). Identity and
+        // temporal layouts are VALUE-based and survive a widen.
+        val p = dir.resolve("meta").resolve("_layout.json")
+        if (Files.exists(p)) {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+            Files.readString(p))
+          if (node.get("partition_col").asText() == name &&
+              node.get("n_buckets").asInt() > 0)
+            Files.delete(p)
+        }
+        LakeTable.widenColumn(t, name, ut.newDataType()): Unit
       case other =>
         throw new UnsupportedOperationException(
           s"graft-lake ALTER TABLE: unsupported change $other " +
-            "(retype requires a rewrite commit)")
+            "(only lossless type widening is metadata-representable; " +
+            "a narrowing/reshape requires a rewrite commit)")
     }
     load(ident, None)
   }

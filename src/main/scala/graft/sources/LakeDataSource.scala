@@ -218,8 +218,12 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     new DelegatedScanBuilder(spark, fileSchema, options,
       m.files.map(f => (f.path, GraftScan.bytesOf(f))),
       // footer aggregate answers bind by file column name — disabled
-      // under a mapping rather than risking a logical/physical mixup
-      aggPushdown = m.deletes.isEmpty && !mapped,
+      // under a mapping rather than risking a logical/physical mixup,
+      // and on widened tables, whose older footers carry min/max in
+      // the NARROWER physical type (an int32 answer for a bigint
+      // column is a wrong-typed row, not a fast one)
+      aggPushdown = m.deletes.isEmpty && !mapped &&
+        !graft.lake.ColumnMapping.hasWidening(stored),
       Set(LakeTable.CoordPath, LakeTable.CoordIdx),
       if (mapped) graft.lake.ColumnMapping.toPhysical(stored) else Map.empty,
       (pscan, pushed, requested, limit) =>

@@ -154,4 +154,106 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(spark.table(t).filter(col("tag") === "fresh").count() === 100)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("widen is metadata-only; narrow files decode into the widened types") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val root = graft.util.Scratch.dir("graft_cmwiden_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id").cast("int").as("eid"), col("user_id"),
+        col("value").cast("float").as("v"))
+    val n = ev.count()
+    val preSum = ev.agg(sum(col("eid").cast("bigint"))).collect()(0).getLong(0)
+    val cfg = BlockWriter.Config("user_id", "eid")
+    LakeTable.commit(spark, root, ev, cfg, Seq("eid", "user_id"))
+    val before = LakeTable.manifest(root, LakeTable.currentSnapshot(root))
+    LakeTable.widenColumn(root, "eid", LongType)
+    val s2 = LakeTable.widenColumn(root, "v", DoubleType)
+    val after = LakeTable.manifest(root, s2)
+    // zero data IO: the exact same file set, byte for byte
+    assert(after.files.map(f => (f.path, f.bytes)) ===
+      before.files.map(f => (f.path, f.bytes)))
+    val df = LakeTable.read(spark, root)
+    assert(df.schema("eid").dataType === LongType)
+    assert(df.schema("v").dataType === DoubleType)
+    assert(df.count() === n)
+    // int32 pages decoded into long vectors, values intact
+    assert(df.agg(sum(col("eid"))).collect()(0).getLong(0) === preSum)
+    // an append in the widened types lands; both generations coexist
+    LakeTable.commit(spark, root,
+      ev.select((col("eid").cast("bigint") + 5000000000L).as("eid"),
+        col("user_id"), col("v").cast("double").as("v")),
+      cfg, Seq("eid", "user_id"))
+    val all2 = LakeTable.read(spark, root)
+    assert(all2.count() === 2 * n)
+    assert(all2.filter(col("eid") >= 5000000000L).count() === n)
+    // stats pruning on the widened column: a beyond-int predicate
+    // touches only the wide generation's files
+    val (pruned, touched, total) = LakeTable.prunedRead(spark, root,
+      Map("eid" -> (5000000000L, Long.MaxValue)))
+    assert(pruned.count() === n)
+    assert(touched < total, s"pruning never skipped a file ($touched/$total)")
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("widen rejects narrowing/reshapes; widening the bucket column retires the bucket spec") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = graft.util.Scratch.dir("graft_cmwidenrej_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id").cast("int").as("eid"),
+        col("user_id").cast("int").as("uid"), col("event_type"))
+    LakeTable.commit(spark, root, ev, BlockWriter.Config("uid", "eid"),
+      Seq("eid", "uid"))
+    // narrowing and reshaping are not metadata-representable
+    intercept[IllegalArgumentException] {
+      LakeTable.widenColumn(root, "event_type", LongType)
+    }
+    LakeTable.widenColumn(root, "eid", LongType)
+    intercept[IllegalArgumentException] {
+      LakeTable.widenColumn(root, "eid", IntegerType)
+    }
+    // the bucket column's hash is typed (hash(5: int) != hash(5L)):
+    // widening it retires the bucket spec rather than letting stale
+    // labels lie to storage-partitioned joins
+    assert(LakeTable.manifest(root, LakeTable.currentSnapshot(root))
+      .bucketCol === "uid")
+    val s3 = LakeTable.widenColumn(root, "uid", LongType)
+    val m3 = LakeTable.manifest(root, s3)
+    assert(m3.bucketCol === "" && m3.nBuckets === 0)
+    // reads stay correct; the widened bucket column serves values
+    val df = LakeTable.read(spark, root)
+    assert(df.schema("uid").dataType === LongType)
+    assert(df.filter(col("uid").isNull).count() === 0)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("SQL surface: ALTER COLUMN TYPE widens; filters push down over mixed-width files") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("cmcat").toString)
+    val t = s"graft.cm.w_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t (id INT, v FLOAT, tag STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 0.5, concat('x', id) FROM range(0, 1000)")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE DOUBLE")
+    assert(spark.table(t).schema("id").dataType === LongType)
+    assert(spark.table(t).schema("v").dataType === DoubleType)
+    // a narrowing ALTER is rejected
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE INT")
+    }
+    // beyond-int append through the widened schema
+    spark.sql(s"INSERT INTO $t SELECT id + 3000000000, id * 1.0, 'wide' " +
+      s"FROM range(0, 1000)")
+    assert(spark.table(t).count() === 2000)
+    // filter over BOTH generations: int32 pages and int64 pages serve
+    // the same bigint predicate
+    val q = spark.sql(s"SELECT id FROM $t WHERE id >= 500 AND id < 3000000500")
+    assert(q.count() === 1000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"expected pushed filter on the widened column:\n${plan.take(1200)}")
+    spark.sql(s"DROP TABLE $t")
+  }
 }
