@@ -1075,7 +1075,7 @@ object LakeTable {
         if (Files.isDirectory(raw)) listParquet(raw) else Seq(raw)
       }
       val conf = new org.apache.hadoop.conf.Configuration()
-      val entries = files.map { fp =>
+      def entryOf(fp: Path): FileEntry = {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(fp.toUri), conf))
         val (rows, colStats) =
@@ -1128,7 +1128,25 @@ object LakeTable {
         FileEntry(metadataPathString(fp), rows, colStats,
           bytes = Files.size(fp), bucket = bucket)
       }
-      Some(entries.sortBy(_.path))
+      // Footer reads are independent metadata IO — read them on a
+      // bounded pool instead of serially (a scatter commit stages
+      // thousands of small files; serial open/parse made the commit
+      // driver-bound). On a real cluster this whole path is the
+      // writer-task report (each task returns its own file's footer
+      // stats with the write), so the driver never walks files at all;
+      // locally the pool keeps commit latency footer-IO-bound.
+      val pool = new java.util.concurrent.ForkJoinPool(
+        math.min(32, math.max(4, Runtime.getRuntime.availableProcessors())))
+      val entries: Seq[Option[FileEntry]] =
+        try {
+          import scala.collection.parallel.CollectionConverters._
+          val pc = files.par
+          pc.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+          pc.map(fp => try Some(entryOf(fp)) catch { case FooterBail => None })
+            .seq.toSeq
+        } finally pool.shutdown()
+      if (entries.contains(None)) None
+      else Some(entries.flatten.sortBy(_.path))
     } catch { case FooterBail => None }
   }
 
