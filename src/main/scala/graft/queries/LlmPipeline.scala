@@ -294,61 +294,96 @@ object LlmPipeline {
     * Returns (merge table, final vocab frame) — the latter so the
     * spec can assert the checkpointed plan stays depth-bounded.
     * Requires a checkpoint dir on the SparkContext.
+    *
+    * Each round's winning pair is COLLECTED — one (l, r, count) row
+    * per round, metadata-scale like a manifest read, never corpus- or
+    * vocab-proportional — and inlined into the merge as string
+    * LITERALS. That keeps every round's plan a flat map over the
+    * cached vocab (no per-round broadcast exchange, no crossJoin
+    * node, O(1) plan growth), and the merge table itself is driver
+    * state the same way a tokenizer's merges.txt is. The vocab frame
+    * is repartitioned PROPORTIONALLY to its row count at loop entry:
+    * the word-frequency vocabulary is orders smaller than the corpus
+    * (dozens of partitions for millions of words), and running ~2×32
+    * round-jobs over corpus-parallelism task counts would be pure
+    * scheduler overhead — measured 3× on the bench corpus.
     */
   private[graft] def bpeTrainLoop(s: SparkSession, seq0: DataFrame,
       merges: Int): (DataFrame, DataFrame) = {
-    val sep = lit(BPE_SEP)
-    var cur = graft.util.QueryScratch.cached(seq0)
+    val staged = graft.util.QueryScratch.cached(seq0)
+    val vocabRows = staged.count()
+    val parts = math.max(1, math.min(200, ((vocabRows + 65535) / 65536L).toInt))
+    var cur = graft.util.QueryScratch.cached(staged.repartition(parts))
+    // Scope the loop's shuffle parallelism to the vocab size: every
+    // round shuffles the (pair, count) frame, which is
+    // vocab-proportional — corpus-level reduce parallelism (and the
+    // AQE coalesce round-trips that fix it up) is pure per-round
+    // scheduler latency × merges. Restored on exit.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try bpeTrainRounds(s, staged, cur, parts, merges)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def bpeTrainRounds(s: SparkSession, staged: DataFrame,
+      cur0: DataFrame, parts: Int, merges: Int): (DataFrame, DataFrame) = {
+    var cur = cur0
     // round k-2's cached vocab frame is DEAD once round k-1's is
     // materialized (the top-pair action below materializes `cur`) —
     // retire it immediately instead of letting ~30 cached frames
     // pile up for an end-of-query eviction storm; peak storage stays
     // at two vocab frames however many rounds run.
-    var retirable: DataFrame = null
-    val tops = (1 to merges).map { k =>
-      // the 1-row winner is localCheckpoint'ed EAGERLY: without this,
-      // round k's plan embeds round k-1's plan twice (merge input +
-      // top-pair subquery) and plan size goes EXPONENTIAL in k — at
-      // 32 rounds the per-action plan description alone is GBs. As a
-      // leaf, each round adds O(1) plan nodes. Still no driver
-      // collect: the row stays on the executors.
+    var retirable: DataFrame = staged
+    val tops = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
       val materialized = cur
-      val top = graft.util.QueryScratch.register(
-        bpePairs(cur).orderBy(col("n").desc, col("l"), col("r"))
-          .limit(1).localCheckpoint())
+      val win = bpePairs(cur).orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
       // async here: one small frame per round keeps the cleaner's
       // queue short (the problem was 30 at once at query end), and a
       // blocking wait inside the timed loop costs a round-trip per
       // round for nothing
-      if (retirable != null) retirable.unpersist(blocking = false)
+      if (retirable != null && (retirable ne materialized))
+        retirable.unpersist(blocking = false)
       retirable = materialized
-      // every non-seq column rides along untouched (freq always;
-      // `word` when the caller needs the word → final-segmentation
-      // mapping, e.g. bpe_encode)
-      val keep = cur.columns.filterNot(_ == "seq").map(col).toSeq
-      cur = graft.util.QueryScratch.cached(cur.crossJoin(broadcast(top))
-        .select(call_function("replace", col("seq"),
-          concat(sep, col("l"), sep, sep, col("r"), sep),
-          concat(sep, col("l"), col("r"), sep)).as("seq") +: keep: _*))
-      // periodic RELIABLE checkpoint of the vocab frame: the linear
-      // join chain since the last checkpoint is rewritten as a
-      // materialized leaf, so plan depth — and with it analysis and
-      // task-serialization cost per round — stays bounded by
-      // BPE_CKPT however many rounds a production run does
-      if (k % BPE_CKPT == 0 && k < merges) {
-        val pre = cur
-        cur = graft.util.QueryScratch.register(cur.checkpoint())
-        // the eager checkpoint materialized `pre` (and read through
-        // `retirable`): both cached frames are dead behind the new
-        // file-backed leaf — retire them now, not at end of query
-        pre.unpersist(blocking = false)
-        if (retirable != null) retirable.unpersist(blocking = false)
-        retirable = null
+      if (win.isEmpty) exhausted = true // single-symbol vocab: no pairs left
+      else {
+        val (l, r, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        tops += ((k.toLong, l, r, n))
+        // every non-seq column rides along untouched (freq always;
+        // `word` when the caller needs the word → final-segmentation
+        // mapping, e.g. bpe_encode)
+        val keep = cur.columns.filterNot(_ == "seq").map(col).toSeq
+        cur = graft.util.QueryScratch.cached(cur
+          .select(call_function("replace", col("seq"),
+            lit(BPE_SEP + l + BPE_SEP + BPE_SEP + r + BPE_SEP),
+            lit(BPE_SEP + l + r + BPE_SEP)).as("seq") +: keep: _*))
+        // periodic RELIABLE checkpoint of the vocab frame: the linear
+        // chain since the last checkpoint is rewritten as a
+        // materialized leaf, so plan depth — and with it analysis and
+        // task-serialization cost per round — stays bounded by
+        // BPE_CKPT however many rounds a production run does
+        if (k % BPE_CKPT == 0 && k < merges) {
+          val pre = cur
+          cur = graft.util.QueryScratch.register(cur.checkpoint())
+          // the eager checkpoint materialized `pre` (and read through
+          // `retirable`): both cached frames are dead behind the new
+          // file-backed leaf — retire them now, not at end of query
+          pre.unpersist(blocking = false)
+          if (retirable != null) retirable.unpersist(blocking = false)
+          retirable = null
+        }
       }
-      top.select(lit(k.toLong).as("rank"), col("l"), col("r"),
-        concat(col("l"), col("r")).as("merged"), col("n"))
+      k += 1
     }
-    (tops.reduce(_ unionByName _).orderBy(col("rank")), cur)
+    import s.implicits._
+    val mergeTable = tops.toSeq.toDF("rank", "l", "r", "n")
+      .select(col("rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("n"))
+      .orderBy(col("rank"))
+    (mergeTable, cur)
   }
 
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
@@ -427,8 +462,11 @@ object LlmPipeline {
     if (s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(graft.util.Scratch.dir("graft_bpe_ck_"))
     val docs = t(s, dir, "documents")
-    val words = docs.select(col("doc_id"),
-      explode(TextFns.words(col("text"))).as("word"))
+    // referenced twice (vocab build + the final per-doc join): cache
+    // so the corpus tokenize+explode runs once (§6 rule — Generate
+    // over a computed array re-evaluates per output row otherwise)
+    val words = graft.util.QueryScratch.cached(docs.select(col("doc_id"),
+      explode(TextFns.words(col("text"))).as("word")))
     val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val seq0 = vocab.select(col("word"),
       array_join(transform(sequence(lit(1), length(col("word"))),
