@@ -129,8 +129,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
 
-    // Full record to a file: immune to stdout truncation.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Full record to a file: immune to stdout truncation. A FILTERED
+    // run (SPARK_GRAFT_ONLY, the local dev loop) must not clobber the
+    // canonical full record — it lands in a scratch-named file unless
+    // the caller pointed SPARK_GRAFT_BENCH_OUT somewhere explicit.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
     val firstJson = firstPass.toSeq.map { case (k, v) => s""""$k":${s3(v)}""" }
       .mkString("{", ",", "}")
     val rerunJson = reruns.toSeq.map { case (k, v) => s""""$k":${s3(v)}""" }
