@@ -258,8 +258,11 @@ object LlmPipeline {
   // on both sides), which makes "replace leftmost non-overlapping"
   // EXACTLY greedy single-pass BPE — and both engines' replace()
   // share that semantic, so the oracle replays training verbatim.
-  // The top-pair frame is a 1-row broadcast into the merge (no
-  // driver collect). A real tokenizer run is tens of thousands of
+  // The winning pair is collected — ONE metadata-scale row per
+  // round, like a manifest read — and inlined into the merge as
+  // string literals (the merge table is driver state the way a
+  // tokenizer's merges.txt is; see bpeTrainLoop). A real tokenizer
+  // run is tens of thousands of
   // rounds, so the loop is production-shaped: every BPE_CKPT rounds
   // the vocab frame is CHECKPOINTED (reliable checkpoint to the
   // session's checkpoint dir — a DFS path on a cluster), truncating
