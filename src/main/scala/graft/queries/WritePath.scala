@@ -159,9 +159,16 @@ object WritePath {
     */
   private def readBackStats(s: SparkSession, path: String, maxPerFile: Int): DataFrame = {
     import s.implicits._
-    val back = s.read.parquet(path)
+    // Two consumers (the split-order audit and the per-user reduce)
+    // read the same four columns: cache ONE pruned pass over the
+    // file-count-heavy layout instead of paying the per-file open
+    // cost twice. The cache preserves intra-partition row order, so
+    // the contiguous-split invariant the audit relies on holds.
+    val back = graft.util.QueryScratch.cached(s.read.parquet(path)
       .withColumn("f", col("_metadata.file_path"))
       .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("f"), col("ts_us"),
+        col("_metadata.file_block_start").as("bs")))
     // Within-file physical order, audited WITHOUT a full-table
     // shuffle: rows of one (file, split) arrive contiguously and
     // in file order inside a scan partition, so adjacent-pair
@@ -175,7 +182,7 @@ object WritePath {
     // every ROW — a full-table shuffle just to compute the oracle's
     // zero; at 100 TB the audit cost would have rivaled the write.)
     val splitStats = back
-      .select(col("f"), col("_metadata.file_block_start").as("bs"), col("ts_us"))
+      .select(col("f"), col("bs"), col("ts_us"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer
