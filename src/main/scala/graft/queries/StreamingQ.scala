@@ -73,21 +73,31 @@ object StreamingQ {
         in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else in
     val name = s"graft_sdd_${memId.incrementAndGet()}"
-    val q = restored
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), // (distinct aggs unsupported in streaming)
-        min(col("user_id")).as("min_user"),
-        max(col("user_id")).as("max_user"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_sdd_"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Two stateful operators (dedup state + agg state) open and
+    // commit a state store per shuffle partition per micro-batch —
+    // the same state-volume-not-core-count rule as stream_join:
+    // partitions vastly outnumbering state rows is pure store
+    // open/commit overhead. Pinned into this query's fresh
+    // checkpoint; restored for the batch remainder of the session.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = restored
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), // (distinct aggs unsupported in streaming)
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_sdd_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
       .select(col("event_type"), col("n"), col("min_user"), col("max_user"))
       .orderBy(col("event_type"))
