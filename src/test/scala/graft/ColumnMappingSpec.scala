@@ -226,6 +226,38 @@ class ColumnMappingSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("equality deletes written before a widen still apply; widen composes with rename") {
+    import org.apache.spark.sql.types.LongType
+    val root = graft.util.Scratch.dir("graft_cmwideneq_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id").cast("int").as("eid"), col("user_id"),
+        col("event_type"))
+    val n = ev.count()
+    LakeTable.commit(spark, root, ev, BlockWriter.Config("user_id", "eid"),
+      Seq("eid", "user_id"))
+    // MoR equality delete keyed on the (still-int) column: the delete
+    // file stores int32 key values
+    val delKeys = ev.filter(col("eid") % 5 === 0).select(col("eid"))
+    val nDel = delKeys.count()
+    LakeTable.deleteWhere(spark, root, "eid", delKeys)
+    // widen AFTER the delete: the int-typed delete file must still
+    // mask rows when probed against the now-bigint column
+    LakeTable.widenColumn(root, "eid", LongType)
+    val df = LakeTable.read(spark, root)
+    assert(df.schema("eid").dataType === LongType)
+    assert(df.count() === n - nDel)
+    assert(df.filter(col("eid") % 5 === 0).count() === 0)
+    // rename the widened column: mapping metadata and the widened
+    // stamp ride together; values still served, delete still applied
+    LakeTable.renameColumn(root, "eid", "event_ref")
+    val df2 = LakeTable.read(spark, root)
+    assert(df2.schema("event_ref").dataType === LongType)
+    assert(df2.count() === n - nDel)
+    assert(graft.lake.ColumnMapping.hasWidening(
+      LakeTable.storedSchemaOf(root).get))
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("SQL surface: ALTER COLUMN TYPE widens; filters push down over mixed-width files") {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     spark.conf.set("spark.sql.catalog.graft",
