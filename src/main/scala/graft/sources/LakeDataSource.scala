@@ -361,11 +361,29 @@ object LakeFilters {
       val (l0, h0) = strB.getOrElse(c, (v, v))
       strB += c -> (Ordering[String].max(l0, v), Ordering[String].min(h0, v))
     }
+    // Bloom probes compare against the bloom built from
+    // `cast(col as string)` at commit time, so only value types whose
+    // toString IS that rendering may probe: integrals. Temporal
+    // predicates normalize to micros/days (num), which is NOT the
+    // column's string rendering — they prune by range only.
+    def intStr(v: Any): Option[String] = v match {
+      case n: Long => Some(n.toString)
+      case n: Int => Some(n.toString)
+      case n: Short => Some(n.toString)
+      case n: Byte => Some(n.toString)
+      case _ => None
+    }
     filters.flatMap(flat).foreach {
       case EqualTo(a, v: String) =>
         boundStr(a, v)
         points += a -> (points.getOrElse(a, Nil) :+ v).distinct
-      case EqualTo(a, v) => num(v).foreach(n => boundInt(a, Some(n), Some(n)))
+      case EqualTo(a, v) =>
+        num(v).foreach(n => boundInt(a, Some(n), Some(n)))
+        // point-lookup blooms prune scattered keys where min/max
+        // ranges span the whole domain (same conservative-superset
+        // rule as the string case: no bloom ⇒ file kept)
+        intStr(v).foreach(s =>
+          points += a -> (points.getOrElse(a, Nil) :+ s).distinct)
       case GreaterThan(a, v) => num(v).foreach(n => boundInt(a, Some(n), None))
       case GreaterThanOrEqual(a, v) => num(v).foreach(n => boundInt(a, Some(n), None))
       case LessThan(a, v) => num(v).foreach(n => boundInt(a, None, Some(n)))
@@ -381,9 +399,14 @@ object LakeFilters {
         strB += a -> (Ordering[String].max(l0, ss.min), Ordering[String].min(h0, ss.max))
       case In(a, vs) if vs.nonEmpty && vs.forall(v => num(v).isDefined) =>
         // numeric IN-sets (including runtime join-key filters) prune
-        // as the range [min, max] of the probe values
+        // as the range [min, max] of the probe values — plus bloom
+        // point probes when every value is integral (scattered keys
+        // under a foreign clustering leave min/max useless)
         val ns = vs.flatMap(num)
         boundInt(a, Some(ns.min), Some(ns.max))
+        val ss = vs.flatMap(intStr)
+        if (ss.length == vs.length)
+          points += a -> (points.getOrElse(a, Nil) ++ ss).distinct
       case _ => () // unsupported shape: no pruning for it, never wrong
     }
     (intB, strB, points)

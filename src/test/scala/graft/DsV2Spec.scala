@@ -413,6 +413,37 @@ class DsV2Spec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("numeric point probes prune by bloom through the DSv2 filter path") {
+    val root = graft.util.Scratch.dir("graft_v2bl_")
+    // cluster by user_id so every file's event_id [min,max] spans
+    // nearly the whole domain — range stats prune NOTHING for a
+    // point probe; the committed bloom is the only working pruner
+    LakeTable.commit(spark, root, events,
+      BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 64),
+      Seq("event_id", "user_id"), bloomCols = Seq("event_id"))
+    val total = LakeTable.manifest(root, LakeTable.currentSnapshot(root)).files.size
+    val mx = events.agg(max(col("event_id"))).first().getLong(0)
+    val probes = Seq(mx / 2, mx / 3, mx / 5).distinct
+    val fact = spark.read.format("graft-lake").load(root)
+    val q = fact.filter(col("event_id").isin(probes: _*))
+    assert(q.count() === events.filter(col("event_id").isin(probes: _*)).count())
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collect { case g: graft.sources.GraftScan => g }
+    assert(scans.nonEmpty)
+    assert(scans.head.survivors.size < total,
+      s"bloom did not prune: ${scans.head.survivors.size}/$total files")
+    info(s"bloom point pruning: ${scans.head.survivors.size}/$total files")
+    // single-key equality probes ride the same bloom
+    val q2 = fact.filter(col("event_id") === mx / 2)
+    assert(q2.count() === events.filter(col("event_id") === mx / 2).count())
+    val scans2 = q2.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collect { case g: graft.sources.GraftScan => g }
+    assert(scans2.head.survivors.size < total)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("runtime join filters re-prune files through manifest stats") {
     val root = graft.util.Scratch.dir("graft_v2rf_")
     LakeTable.commit(spark, root,
