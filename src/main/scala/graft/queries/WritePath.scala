@@ -363,9 +363,56 @@ object WritePath {
       |GROUP BY event_id % 2
       |ORDER BY gen""".stripMargin
 
+  // --- ingest_jsonl: the JSON-LINES interchange format — how raw
+  // crawl dumps and LLM corpora actually arrive (one JSON object per
+  // line, schema on read). The corpus is rendered to a JSONL layout
+  // (distributed text sink, one pass), then ingested back through the
+  // SCHEMA-ENFORCED json-lines source: an EXPLICIT StructType, so no
+  // inference pass over the data (at 100 TB, inference is a full
+  // extra scan) and a drifting producer surfaces as nulls under
+  // PERMISSIVE mode instead of poisoning the pipeline. The reduce
+  // proves the round trip is lossless, text bytes included
+  // (whitespace-token accounting survives JSON string escaping).
+  def ingestJsonl(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_jsonl_")
+    t(s, dir, "documents")
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    s.read.schema(schema).json(out)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(split(col("text"), " +"))).as("n_tokens"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val ingestJsonlSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_schema" -> ingestSchema,
     "ingest_avro" -> ingestAvro,
+    "ingest_jsonl" -> ingestJsonl,
     "block_assign" -> blockAssign,
     "partitioned_write" -> partitionedWrite,
     "compaction" -> compaction,
@@ -376,6 +423,7 @@ object WritePath {
   val oracles: Map[String, String] = Map(
     "ingest_schema" -> ingestSchemaSql,
     "ingest_avro" -> ingestAvroSql,
+    "ingest_jsonl" -> ingestJsonlSql,
     "block_assign" -> blockAssignSql,
     "partitioned_write" -> partitionedWriteSql,
     "compaction" -> compactionSql,
