@@ -164,8 +164,19 @@ private[graft] object ColumnMapping {
   }
 
   def canWiden(from: org.apache.spark.sql.types.DataType,
-      to: org.apache.spark.sql.types.DataType): Boolean =
-    promotions.get(from).exists(_.contains(to))
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.DecimalType
+    (from, to) match {
+      // decimal precision growth at UNCHANGED scale: every stored
+      // value is exactly representable in the wider precision, and
+      // the vectorized reader rescales narrow decimal pages at decode
+      // (the same safe promotion Iceberg allows). A scale change
+      // reshapes stored values — rejected.
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision > f.precision && t.scale == f.scale
+      case _ => promotions.get(from).exists(_.contains(to))
+    }
+  }
 
   /** ALTER COLUMN … TYPE as a METADATA-ONLY widen: only lossless
     * promotions ([[canWiden]]) are accepted — anything else would
@@ -186,8 +197,8 @@ private[graft] object ColumnMapping {
     require(canWiden(f.dataType, to),
       s"cannot change type of $name: ${f.dataType.simpleString} -> " +
         s"${to.simpleString} is not a lossless widening (allowed: " +
-        "int->bigint, int->double, float->double); a narrowing/reshape " +
-        "requires a rewrite")
+        "int->bigint, int->double, float->double, decimal precision " +
+        "growth at unchanged scale); a narrowing/reshape requires a rewrite")
     StructType(stored.fields.map { g =>
       if (!isDropped(g) && g.name == name)
         g.copy(dataType = to, metadata = new MetadataBuilder()

@@ -275,6 +275,22 @@ class ColumnMappingSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE INT")
     }
+    // decimal precision growth at unchanged scale is metadata-only;
+    // scale changes reshape stored values and are rejected
+    val td = s"graft.cm.d_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $td (k BIGINT, amt DECIMAL(10, 2))")
+    spark.sql(s"INSERT INTO $td SELECT id, CAST(id AS DECIMAL(10, 2)) / 4 FROM range(0, 100)")
+    spark.sql(s"ALTER TABLE $td ALTER COLUMN amt TYPE DECIMAL(22, 2)")
+    assert(spark.table(td).schema("amt").dataType ===
+      org.apache.spark.sql.types.DecimalType(22, 2))
+    spark.sql(s"INSERT INTO $td SELECT id, CAST(1e18 AS DECIMAL(22, 2)) + id FROM range(0, 10)")
+    assert(spark.table(td).count() === 110)
+    val sums = spark.table(td).agg(sum(col("amt"))).collect()(0)
+    assert(!sums.isNullAt(0))
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $td ALTER COLUMN amt TYPE DECIMAL(22, 4)")
+    }
+    spark.sql(s"DROP TABLE $td")
     // beyond-int append through the widened schema
     spark.sql(s"INSERT INTO $t SELECT id + 3000000000, id * 1.0, 'wide' " +
       s"FROM range(0, 1000)")
