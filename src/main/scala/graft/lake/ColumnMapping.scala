@@ -31,6 +31,48 @@ private[graft] object ColumnMapping {
   val DroppedKey = "graft.dropped"
   val WidenedKey = "graft.widened"
 
+  /** Spark's own column-default metadata keys (what
+    * `ResolveDefaultColumns` reads): CURRENT_DEFAULT is the WRITE
+    * default an INSERT that omits the column fills; EXISTS_DEFAULT is
+    * the Iceberg-style INITIAL default — the value served for rows in
+    * files written BEFORE the column existed (Spark's parquet reader
+    * fills it for file-missing columns, so a defaulted ADD COLUMN
+    * stays a metadata-only commit). These are Spark-standard keys, so
+    * they deliberately survive [[logicalClean]] — the engine's scan
+    * and INSERT resolution consume them from the presented schema.
+    */
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** True when any live column carries an initial default — files
+    * written before that column existed serve a non-null constant, so
+    * footer-stat shortcuts (aggregate pushdown) that would read
+    * "column absent" as "no rows" must stay off.
+    */
+  def hasInitialDefaults(stored: StructType): Boolean =
+    stored.fields.exists(f => !isDropped(f) && f.metadata.contains(ExistsDefaultKey))
+
+  /** `ALTER COLUMN … SET/DROP DEFAULT`: updates the WRITE default
+    * only. The initial (EXISTS) default is frozen at ADD COLUMN time
+    * — changing it would rewrite history for already-committed files.
+    */
+  def setCurrentDefault(stored: StructType, name: String,
+      sql: Option[String]): StructType = {
+    val live = logical(stored)
+    require(live.fieldNames.contains(name), s"no column $name " +
+      s"(have ${live.fieldNames.mkString(", ")})")
+    StructType(stored.fields.map { f =>
+      if (!isDropped(f) && f.name == name) {
+        val b = new MetadataBuilder().withMetadata(f.metadata)
+        sql match {
+          case Some(s) => b.putString(CurrentDefaultKey, s)
+          case None => b.remove(CurrentDefaultKey)
+        }
+        f.copy(metadata = b.build())
+      } else f
+    })
+  }
+
   def isDropped(f: StructField): Boolean =
     f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
 
@@ -188,7 +230,8 @@ private[graft] object ColumnMapping {
     * shortcuts (aggregate pushdown) off typed footer stats.
     */
   def widen(stored: StructType, name: String,
-      to: org.apache.spark.sql.types.DataType): StructType = {
+      to: org.apache.spark.sql.types.DataType,
+      stamp: Boolean = true): StructType = {
     val live = logical(stored)
     val f = live.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no column $name to widen " +
@@ -201,8 +244,10 @@ private[graft] object ColumnMapping {
         "growth at unchanged scale); a narrowing/reshape requires a rewrite")
     StructType(stored.fields.map { g =>
       if (!isDropped(g) && g.name == name)
-        g.copy(dataType = to, metadata = new MetadataBuilder()
-          .withMetadata(g.metadata).putBoolean(WidenedKey, true).build())
+        g.copy(dataType = to, metadata =
+          if (stamp) new MetadataBuilder()
+            .withMetadata(g.metadata).putBoolean(WidenedKey, true).build()
+          else g.metadata)
       else g
     })
   }

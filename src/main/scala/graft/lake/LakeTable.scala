@@ -1075,6 +1075,10 @@ object LakeTable {
         if (Files.isDirectory(raw)) listParquet(raw) else Seq(raw)
       }
       val conf = new org.apache.hadoop.conf.Configuration()
+      // force eager property loading: Configuration lazily parses its
+      // resource list on first get, which is not thread-safe — the
+      // pool below shares this instance across footer reads
+      conf.get("fs.defaultFS"): Unit
       def entryOf(fp: Path): FileEntry = {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(fp.toUri), conf))

@@ -362,9 +362,12 @@ class GraftCatalog extends TableCatalog
           StructType(schema.fields.filterNot(_.name == name))
         case (schema, ut: TableChange.UpdateColumnType) =>
           // no files yet, but the same lossless-widening rule as the
-          // committed path — a declared table is still a contract
+          // committed path — a declared table is still a contract.
+          // stamp=false: no narrow files can exist pre-commit, so a
+          // widened-marker would be inert, misleading state
           val name = oneField(ut.fieldNames(), "ALTER COLUMN")
-          graft.lake.ColumnMapping.widen(schema, name, ut.newDataType())
+          graft.lake.ColumnMapping.widen(schema, name, ut.newDataType(),
+            stamp = false)
         case (_, other) =>
           throw new UnsupportedOperationException(
             s"graft-lake ALTER TABLE: unsupported change $other " +
@@ -397,6 +400,9 @@ class GraftCatalog extends TableCatalog
         adjustLayout(c => if (c == name) None else Some(c))
       case ut: TableChange.UpdateColumnType =>
         val name = oneField(ut.fieldNames(), "ALTER COLUMN")
+        // validate-and-commit FIRST: a rejected widen (narrowing, or a
+        // non-widenable type) must leave table metadata untouched
+        LakeTable.widenColumn(t, name, ut.newDataType()): Unit
         // a DECLARED hash layout buckets every append by this column's
         // typed hash — retire it alongside the manifest bucket spec
         // (hash(int) != hash(bigint): keeping it would label future
@@ -410,7 +416,6 @@ class GraftCatalog extends TableCatalog
               node.get("n_buckets").asInt() > 0)
             Files.delete(p)
         }
-        LakeTable.widenColumn(t, name, ut.newDataType()): Unit
       case other =>
         throw new UnsupportedOperationException(
           s"graft-lake ALTER TABLE: unsupported change $other " +

@@ -304,4 +304,34 @@ class ColumnMappingSpec extends AnyFunSuite {
       s"expected pushed filter on the widened column:\n${plan.take(1200)}")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("rejected ALTER COLUMN TYPE leaves the declared hash layout intact") {
+    val catRoot = graft.util.Scratch.root.resolve("cmcat")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", catRoot.toString)
+    val name = s"lyt_${System.nanoTime()}"
+    val t = s"graft.cm.$name"
+    spark.sql(s"CREATE TABLE $t (id INT, v DOUBLE) PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 0.5 FROM range(0, 100)")
+    val layout = catRoot.resolve("cm").resolve(name)
+      .resolve("meta").resolve("_layout.json")
+    assert(java.nio.file.Files.exists(layout), s"missing $layout")
+    // a NARROWING alter on the declared bucket column must fail AND
+    // leave the declared layout untouched — failed DDL must not
+    // mutate table metadata (the pre-fix code deleted the layout
+    // before validation ran)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE STRING")
+    }
+    assert(java.nio.file.Files.exists(layout),
+      "rejected ALTER dropped the declared hash layout")
+    // a VALID widen of the bucket column still retires it (typed-hash
+    // bucket labels would lie under the widened type)
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE BIGINT")
+    assert(!java.nio.file.Files.exists(layout),
+      "valid widen of the bucket column should retire the declared layout")
+    assert(spark.table(t).count() === 100)
+    spark.sql(s"DROP TABLE $t")
+  }
 }
