@@ -676,9 +676,15 @@ object LakeTable {
         s"schema evolution of $root may only ADD columns; dropped/retyped: " +
           broken.map(_.name).mkString(", "))
       val added = newSchema.fields.filterNot(g => expect.exists(_.name == g.name))
-      require(added.forall(_.nullable),
-        s"evolution of $root adds non-nullable columns " +
-          added.filterNot(_.nullable).map(_.name).mkString(", ") +
+      // a non-nullable addition is representable iff it carries an
+      // initial default — existing files then serve the default, not
+      // an impossible non-null value out of nothing
+      require(added.forall(f => f.nullable ||
+          f.metadata.contains(ColumnMapping.ExistsDefaultKey)),
+        s"evolution of $root adds non-nullable columns without defaults " +
+          added.filterNot(f => f.nullable ||
+            f.metadata.contains(ColumnMapping.ExistsDefaultKey))
+            .map(_.name).mkString(", ") +
           "; existing files cannot satisfy them")
       Manifest(parent + 1, parent, pm.files, pm.deletes,
         note = "evolve-schema", schemaJson = newSchema.json,
@@ -781,6 +787,17 @@ object LakeTable {
     alterSchema(root, (_, s) => ColumnMapping.widen(s, name, to),
       note = s"widen-column:$name:${to.simpleString}",
       voidBucketFor = Some(name))
+
+  /** `ALTER TABLE … ALTER COLUMN … SET/DROP DEFAULT` as a
+    * METADATA-ONLY commit: changes the WRITE default future INSERTs
+    * fill when they omit the column. The INITIAL (exists) default —
+    * what pre-evolution files serve — is frozen at ADD COLUMN time,
+    * so this never rewrites history.
+    */
+  def updateColumnDefault(root: String, name: String,
+      sql: Option[String]): Int =
+    alterSchema(root, (_, s) => ColumnMapping.setCurrentDefault(s, name, sql),
+      note = s"set-default:$name:${sql.getOrElse("<none>")}")
 
   /** Reserved coordinate-column names. Underscore-prefixed so a table
     * whose OWN schema has `path`/`idx` columns is never silently
@@ -1192,10 +1209,14 @@ object LakeTable {
       .agg(aggCols.head, aggCols.tail: _*)
       .collect() // one row per staged file — commit-time stats only
       .map { r =>
-        val base = kinds.zipWithIndex.map { case ((c, k, _), i) =>
-          c -> (if (k == "s")
+        val base = kinds.zipWithIndex.flatMap { case ((c, k, _), i) =>
+          // an all-null column has no min/max — omit its stats entry
+          // (pruning keeps files with missing stats, so correctness
+          // is untouched; only the IO bound loosens)
+          if (r.isNullAt(2 + 2 * i)) None
+          else Some(c -> (if (k == "s")
             ColStats(0, 0, "s", r.getString(2 + 2 * i), r.getString(3 + 2 * i))
-          else ColStats(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
+          else ColStats(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))))
         }.toMap
         val blooms = bloomCols.zipWithIndex.map { case (c, j) =>
           val bits = new java.util.BitSet(BloomM)

@@ -535,6 +535,102 @@ object Lake {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // --- lake_evolve_default: COLUMN DEFAULT VALUES on evolution —
+  // `ALTER TABLE … ADD COLUMN … DEFAULT v` as a METADATA-ONLY commit
+  // (Iceberg v3 initial-defaults). Three generations exercise every
+  // semantic: gen 1 predates the column and serves the frozen INITIAL
+  // default at read (the parquet readers fill EXISTS_DEFAULT for
+  // file-missing columns — zero data rewritten); gen 2 stores
+  // explicit values incl. NULLs (stored values always win — defaults
+  // never overwrite a physically-present column); gen 3 OMITS the
+  // column in its INSERT and the session fills the WRITE default,
+  // which a SET DEFAULT changed to 'edge' beforehand — proving the
+  // write default moves while the initial default stays frozen.
+  // ColumnMappingSpec pins the mechanics (unchanged file list, both
+  // read paths, NULL preservation, frozen initial default).
+  def lakeEvolveDefault(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.evd_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_evolve_default")
+    s.sql(s"""CREATE TABLE $tbl AS
+             |SELECT event_id, user_id, event_type, value
+             |FROM ev_evolve_default WHERE event_id % 2 = 0""".stripMargin)
+    s.sql(s"ALTER TABLE $tbl ADD COLUMN source STRING DEFAULT 'device'")
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT event_id, user_id, event_type, value,
+             |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'api' END
+             |FROM ev_evolve_default WHERE event_id % 2 = 1""".stripMargin)
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN source SET DEFAULT 'edge'")
+    s.sql(s"""INSERT INTO $tbl (event_id, user_id, event_type, value)
+             |SELECT event_id + 10000000, user_id, event_type, value
+             |FROM ev_evolve_default
+             |WHERE event_id % 2 = 0 AND event_id % 5 = 0""".stripMargin)
+    s.sql(s"""SELECT COALESCE(source, 'none') AS source, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM $tbl
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)
+  }
+
+  val lakeEvolveDefaultSql: String =
+    """WITH u AS (
+      |  SELECT event_id, event_type, value, 'device' AS source
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id, event_type, value,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'api' END
+      |  FROM events WHERE event_id % 2 = 1
+      |  UNION ALL
+      |  SELECT event_id + 10000000, event_type, value, 'edge'
+      |  FROM events WHERE event_id % 2 = 0 AND event_id % 5 = 0)
+      |SELECT COALESCE(source, 'none') AS source, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- q_props_variant: SEMI-STRUCTURED columns as VARIANT (Spark
+  // 4's public shape for crawl/event metadata): `parse_json` ONCE at
+  // ingest stores the binary variant encoding in the lake table, and
+  // queries extract typed paths with `variant_get` — a vectorized
+  // binary-offset probe, not a per-row JSON re-parse (and never a
+  // UDF). The variant column round-trips parquet natively. The
+  // oracle replays the extraction over the raw JSON strings in
+  // DuckDB; q_props_extract remains the string-JSON baseline of the
+  // same aggregate, pinning both surfaces to one answer.
+  def qPropsVariant(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_qpv_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("parse_json(props)").as("props_v"))
+    val cfg = BlockWriter.Config("user_id", "event_id", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id", "user_id"))
+    LakeTable.read(s, root)
+      .withColumn("k", expr("CAST(variant_get(props_v, '$.k', 'int') AS INT)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 2).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).cast("bigint").as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPropsVariantSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 2) AS avg_k,
+      |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- lake_delete_pos: POSITIONAL merge-on-read delete — the v2
   // delete family's second mode. The delete commit stores row
   // COORDINATES (file, row-index) instead of key values, so it can
@@ -1154,6 +1250,62 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q_sql_merge_evolve: `MERGE … WITH SCHEMA EVOLUTION` — a
+  // source carrying a column the target lacks auto-ADDs it (Spark 4's
+  // public clause; the analyzer routes the addition through
+  // GraftCatalog.alterTable as the same METADATA-ONLY additive
+  // evolution ADD COLUMNS takes, gated on the table's
+  // AUTOMATIC_SCHEMA_EVOLUTION capability) and the merge then runs as
+  // the usual position-delta commit. Pre-merge rows that no clause
+  // touches serve NULL for the new column (additive-evolution
+  // null-fill); matched/inserted rows carry the source's values.
+  def qSqlMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.mrge_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sql_mergee")
+    s.sql(s"CREATE TABLE $tbl AS SELECT event_id, event_type, value " +
+      "FROM ev_sql_mergee WHERE event_id % 2 = 0")
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl AS tgt
+             |USING (SELECT event_id, event_type, value,
+             |         CONCAT('o', CAST(event_id % 4 AS STRING)) AS origin
+             |       FROM ev_sql_mergee WHERE event_id % 3 = 0) AS src
+             |ON tgt.event_id = src.event_id
+             |WHEN MATCHED THEN UPDATE SET value = src.value * 2, origin = src.origin
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"""SELECT COALESCE(origin, 'none') AS origin, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM $tbl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val qSqlMergeEvolveSql: String =
+    """WITH tgt AS (
+      |  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0),
+      |src AS (
+      |  SELECT event_id, event_type, value,
+      |    'o' || CAST(event_id % 4 AS VARCHAR) AS origin
+      |  FROM events WHERE event_id % 3 = 0),
+      |merged AS (
+      |  SELECT t.event_id, t.event_type,
+      |    CASE WHEN s.event_id IS NOT NULL THEN s.value * 2 ELSE t.value END AS value,
+      |    CASE WHEN s.event_id IS NOT NULL THEN s.origin ELSE NULL END AS origin
+      |  FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
+      |  UNION ALL
+      |  SELECT s.event_id, s.event_type, s.value, s.origin
+      |  FROM src s LEFT JOIN tgt t ON s.event_id = t.event_id
+      |  WHERE t.event_id IS NULL)
+      |SELECT COALESCE(origin, 'none') AS origin, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM merged
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // --- q_sql_merge_nmbs: MERGE with the fourth clause family —
   // `WHEN NOT MATCHED BY SOURCE` (Spark 3.4+'s completion of the
   // ANSI MERGE matrix). Target rows with no source partner can be
@@ -1307,6 +1459,7 @@ object Lake {
     "lake_evolve" -> lakeEvolve,
     "lake_evolve_rename" -> lakeEvolveRename,
     "lake_evolve_widen" -> lakeEvolveWiden,
+    "lake_evolve_default" -> lakeEvolveDefault,
     "lake_history" -> lakeHistory,
     "lake_merge_mor" -> lakeMergeMor,
     "lake_incremental" -> lakeIncremental,
@@ -1322,6 +1475,8 @@ object Lake {
     "q_sql_update" -> qSqlUpdate,
     "q_sql_merge" -> qSqlMerge,
     "q_sql_merge_nmbs" -> qSqlMergeNmbs,
+    "q_sql_merge_evolve" -> qSqlMergeEvolve,
+    "q_props_variant" -> qPropsVariant,
     "prune_scan_days" -> pruneScanDays,
     "q_spj" -> qSpj)
 
@@ -1339,6 +1494,7 @@ object Lake {
     "lake_evolve" -> lakeEvolveSql,
     "lake_evolve_rename" -> lakeEvolveRenameSql,
     "lake_evolve_widen" -> lakeEvolveWidenSql,
+    "lake_evolve_default" -> lakeEvolveDefaultSql,
     "lake_history" -> lakeHistorySql,
     "lake_merge_mor" -> lakeMergeMorSql,
     "lake_incremental" -> lakeIncrementalSql,
@@ -1354,6 +1510,8 @@ object Lake {
     "q_sql_update" -> qSqlUpdateSql,
     "q_sql_merge" -> qSqlMergeSql,
     "q_sql_merge_nmbs" -> qSqlMergeNmbsSql,
+    "q_sql_merge_evolve" -> qSqlMergeEvolveSql,
+    "q_props_variant" -> qPropsVariantSql,
     "prune_scan_days" -> pruneScanDaysSql,
     "q_spj" -> qSpjSql)
 }

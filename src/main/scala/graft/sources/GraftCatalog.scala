@@ -42,6 +42,20 @@ class GraftCatalog extends TableCatalog
   private var catalogName: String = _
   private var root: String = _
 
+  /** Column DEFAULT support: `CREATE TABLE (c T DEFAULT v)` and
+    * `ALTER TABLE … ADD COLUMN c T DEFAULT v` arrive with the default
+    * attached; the engine stores it as Spark's own
+    * CURRENT_DEFAULT/EXISTS_DEFAULT field metadata, which makes the
+    * feature metadata-only end to end — INSERT resolution fills the
+    * write default, and the parquet readers fill the initial default
+    * for files written before the column existed.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ---- SQL CALL: table-maintenance procedures ----
   //
   // The operational verbs every lake needs — compaction, MoR-debt
@@ -85,6 +99,14 @@ class GraftCatalog extends TableCatalog
   }
 
   override def name(): String = catalogName
+
+  /** The root this INSTANCE was pinned to at initialize time. Spark
+    * caches catalog plugins per session at first use — a later
+    * `spark.sql.catalog.<name>.root` conf change is silently ignored
+    * — so anything that derives filesystem paths for this catalog's
+    * tables must ask the live instance, never re-read the conf.
+    */
+  private[graft] def rootDir: String = root
 
   private def dirOf(ident: Identifier): Path =
     Paths.get(root, ident.namespace() :+ ident.name(): _*)
@@ -231,7 +253,20 @@ class GraftCatalog extends TableCatalog
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir.resolve("meta"))
-    Files.writeString(dir.resolve("meta").resolve("_schema.json"), schema.json)
+    // a from-birth DEFAULT column is a WRITE default only: every data
+    // file will physically carry the column, so the Iceberg-style
+    // initial default (EXISTS_DEFAULT — what pre-evolution files
+    // serve) can never apply. Dropping it here keeps footer-stat
+    // shortcuts (aggregate pushdown) available for such tables;
+    // ADD COLUMN … DEFAULT on a committed table is where the initial
+    // default genuinely arises.
+    val stored = StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(graft.lake.ColumnMapping.ExistsDefaultKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove(graft.lake.ColumnMapping.ExistsDefaultKey).build())
+    })
+    Files.writeString(dir.resolve("meta").resolve("_schema.json"), stored.json)
     // DECLARED LAYOUT: `PARTITIONED BY (bucket(n, col))` pins the
     // write clustering — every append shuffles on `col` into exactly
     // `n` buckets, so the storage-partitioned-join spec holds by DDL
@@ -242,7 +277,7 @@ class GraftCatalog extends TableCatalog
       Files.writeString(dir.resolve("meta").resolve("_layout.json"),
         s"""{"partition_col":"$c","n_buckets":$n,"transform":"$tf"}""")
     }
-    new GraftLakeTable(spark, dir.toString, None, Some(schema))
+    new GraftLakeTable(spark, dir.toString, None, Some(stored))
   }
 
   /** Temporal transform names accepted in `PARTITIONED BY` — the
@@ -314,11 +349,33 @@ class GraftCatalog extends TableCatalog
     def addedField(add: TableChange.AddColumn): StructField = {
       require(add.fieldNames().length == 1,
         "graft-lake ALTER TABLE supports only top-level columns")
-      require(add.isNullable,
-        s"added column ${add.fieldNames().head} must be nullable: existing " +
-          "files cannot back-fill a required column")
-      StructType(Seq.empty).add(add.fieldNames().head, add.dataType(),
-        nullable = true, Option(add.comment()).getOrElse("")).fields.head
+      val dv = Option(add.defaultValue())
+      require(add.isNullable || dv.isDefined,
+        s"added column ${add.fieldNames().head} must be nullable or carry " +
+          "a DEFAULT: existing files cannot back-fill a required column")
+      val base = StructType(Seq.empty).add(add.fieldNames().head,
+        add.dataType(), nullable = add.isNullable,
+        Option(add.comment()).getOrElse("")).fields.head
+      dv match {
+        case None => base
+        case Some(d) =>
+          // CURRENT_DEFAULT keeps the user's SQL text (what future
+          // INSERTs fill); EXISTS_DEFAULT is the FOLDED literal —
+          // the frozen initial default pre-evolution files serve.
+          // Rendering the folded literal through Catalyst pins the
+          // value even if the original expression is context-dependent.
+          val lit = Option(d.getValue).getOrElse(
+            throw new UnsupportedOperationException(
+              s"DEFAULT for ${base.name} does not fold to a literal"))
+          val folded = org.apache.spark.sql.catalyst.expressions.Literal(
+            lit.value, lit.dataType).sql
+          base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(base.metadata)
+            .putString(graft.lake.ColumnMapping.CurrentDefaultKey,
+              Option(d.getSql).getOrElse(folded))
+            .putString(graft.lake.ColumnMapping.ExistsDefaultKey, folded)
+            .build())
+      }
     }
     def oneField(names: Array[String], what: String): String = {
       require(names.length == 1,
@@ -368,6 +425,10 @@ class GraftCatalog extends TableCatalog
           val name = oneField(ut.fieldNames(), "ALTER COLUMN")
           graft.lake.ColumnMapping.widen(schema, name, ut.newDataType(),
             stamp = false)
+        case (schema, ud: TableChange.UpdateColumnDefaultValue) =>
+          val name = oneField(ud.fieldNames(), "ALTER COLUMN")
+          graft.lake.ColumnMapping.setCurrentDefault(schema, name,
+            Option(ud.newDefaultValue()).filter(_.nonEmpty))
         case (_, other) =>
           throw new UnsupportedOperationException(
             s"graft-lake ALTER TABLE: unsupported change $other " +
@@ -416,6 +477,10 @@ class GraftCatalog extends TableCatalog
               node.get("n_buckets").asInt() > 0)
             Files.delete(p)
         }
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        val name = oneField(ud.fieldNames(), "ALTER COLUMN")
+        LakeTable.updateColumnDefault(t, name,
+          Option(ud.newDefaultValue()).filter(_.nonEmpty)): Unit
       case other =>
         throw new UnsupportedOperationException(
           s"graft-lake ALTER TABLE: unsupported change $other " +

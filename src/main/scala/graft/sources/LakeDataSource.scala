@@ -187,7 +187,12 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      // `MERGE INTO … WITH SCHEMA EVOLUTION`: source columns absent
+      // from the target auto-ADD (the analyzer routes them through
+      // GraftCatalog.alterTable — the same metadata-only additive
+      // evolution ADD COLUMNS takes) before the position-delta write
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     // A brand-new table with NO declared schema has nothing to
     // validate against — the first commit's frame defines it. A
     // CREATE TABLE'd table (providedSchema / meta/_schema.json) and
@@ -219,11 +224,14 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
       m.files.map(f => (f.path, GraftScan.bytesOf(f))),
       // footer aggregate answers bind by file column name — disabled
       // under a mapping rather than risking a logical/physical mixup,
-      // and on widened tables, whose older footers carry min/max in
+      // on widened tables, whose older footers carry min/max in
       // the NARROWER physical type (an int32 answer for a bigint
-      // column is a wrong-typed row, not a fast one)
+      // column is a wrong-typed row, not a fast one), and on tables
+      // with initial-default columns, where files predating the
+      // column would contribute "absent" instead of the default
       aggPushdown = m.deletes.isEmpty && !mapped &&
-        !graft.lake.ColumnMapping.hasWidening(stored),
+        !graft.lake.ColumnMapping.hasWidening(stored) &&
+        !graft.lake.ColumnMapping.hasInitialDefaults(stored),
       Set(LakeTable.CoordPath, LakeTable.CoordIdx),
       if (mapped) graft.lake.ColumnMapping.toPhysical(stored) else Map.empty,
       (pscan, pushed, requested, limit) =>

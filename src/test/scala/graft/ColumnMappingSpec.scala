@@ -305,6 +305,49 @@ class ColumnMappingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("ADD COLUMN DEFAULT is metadata-only; initial default fills in both read paths") {
+    val catRoot = graft.util.Scratch.root.resolve("cmcat")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", catRoot.toString)
+    val name = s"dflt_${System.nanoTime()}"
+    val t = s"graft.cm.$name"
+    val root = TestSpark.graftCatRoot.resolve("cm").resolve(name).toString
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 0.5 FROM range(0, 100)")
+    val filesBefore = LakeTable.manifest(root, 1).files.map(_.path)
+    // evolution: defaulted column — METADATA-ONLY commit (same files)
+    spark.sql(s"ALTER TABLE $t ADD COLUMN source STRING DEFAULT 'device'")
+    val m2 = LakeTable.manifest(root, 2)
+    assert(m2.files.map(_.path) === filesBefore,
+      "defaulted ADD COLUMN must not touch data files")
+    // DSv2 read path: pre-evolution rows serve the initial default
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE source = 'device'")
+      .collect()(0).getLong(0) === 100)
+    // format read path (LakeTable.readFiles) agrees
+    assert(LakeTable.read(spark, root)
+      .filter(col("source") === "device").count() === 100)
+    // INSERT omitting the column fills the WRITE default physically
+    spark.sql(s"INSERT INTO $t (id, v) SELECT id + 100, 1.0 FROM range(0, 10)")
+    // INSERT with an explicit NULL stays NULL — defaults fill only
+    // file-MISSING columns, never stored values
+    spark.sql(s"INSERT INTO $t SELECT id + 200, 2.0, NULL FROM range(0, 5)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE source = 'device'")
+      .collect()(0).getLong(0) === 110)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE source IS NULL")
+      .collect()(0).getLong(0) === 5)
+    // SET DEFAULT changes the WRITE default; the INITIAL default for
+    // pre-evolution files stays frozen at 'device'
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN source SET DEFAULT 'edge'")
+    spark.sql(s"INSERT INTO $t (id, v) SELECT id + 300, 3.0 FROM range(0, 7)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE source = 'edge'")
+      .collect()(0).getLong(0) === 7)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE source = 'device'")
+      .collect()(0).getLong(0) === 110,
+      "changing the write default must not rewrite the frozen initial default")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("rejected ALTER COLUMN TYPE leaves the declared hash layout intact") {
     val catRoot = graft.util.Scratch.root.resolve("cmcat")
     spark.conf.set("spark.sql.catalog.graft",
@@ -314,7 +357,7 @@ class ColumnMappingSpec extends AnyFunSuite {
     val t = s"graft.cm.$name"
     spark.sql(s"CREATE TABLE $t (id INT, v DOUBLE) PARTITIONED BY (bucket(4, id))")
     spark.sql(s"INSERT INTO $t SELECT id, id * 0.5 FROM range(0, 100)")
-    val layout = catRoot.resolve("cm").resolve(name)
+    val layout = TestSpark.graftCatRoot.resolve("cm").resolve(name)
       .resolve("meta").resolve("_layout.json")
     assert(java.nio.file.Files.exists(layout), s"missing $layout")
     // a NARROWING alter on the declared bucket column must fail AND

@@ -240,8 +240,8 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $D WHERE event_type = 'click'")
     assert(spark.sql(s"SELECT count(*) FROM $D").head.getLong(0) === total - clicks)
     // the delete was MoR: snapshot 2 carries a delete file, data files unchanged
-    val root = graft.util.Scratch.root
-      .resolve("sqlcat/db/" + D.split('.').last).toString
+    val root = TestSpark.graftCatRoot
+      .resolve("db").resolve(D.split('.').last).toString
     val m = graft.lake.LakeTable.manifest(root, 2)
     assert(m.deletes.nonEmpty && m.deletes.forall(_.kind == "pos"))
     assert(m.files.map(_.path) === graft.lake.LakeTable.manifest(root, 1).files.map(_.path))
@@ -318,7 +318,8 @@ class DsV2Spec extends AnyFunSuite {
     val name = s"tg_${System.nanoTime()}"
     val T = s"graft.db.$name"
     spark.sql(s"CREATE TABLE $T AS SELECT event_id, user_id, value FROM tg_src WHERE event_id < 500")
-    LakeTable.tag(catRoot.resolve("db").resolve(name).toString, "release-1", 1)
+    LakeTable.tag(TestSpark.graftCatRoot.resolve("db").resolve(name).toString,
+      "release-1", 1)
     spark.sql(s"INSERT INTO $T SELECT event_id, user_id, value FROM tg_src WHERE event_id >= 500")
     // tag name and snapshot number are interchangeable in SQL
     assert(spark.sql(s"SELECT * FROM $T VERSION AS OF 'release-1'").count() === 500)
@@ -340,7 +341,7 @@ class DsV2Spec extends AnyFunSuite {
     val name = s"br_${System.nanoTime()}"
     val T = s"graft.db.$name"
     spark.sql(s"CREATE TABLE $T AS SELECT event_id, user_id, value FROM br_src WHERE event_id < 500")
-    val dir = catRoot.resolve("db").resolve(name).toString
+    val dir = TestSpark.graftCatRoot.resolve("db").resolve(name).toString
     LakeTable.branch(dir, "wap")
     LakeTable.commit(spark,
       LakeTable.branchRoot(dir, "wap"),

@@ -12,6 +12,18 @@ object TestSpark {
     .config("spark.ui.enabled", "false"))
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
+
+  /** The LIVE root of the pinned `graft` catalog instance. Spark
+    * caches catalog plugins per session at first use, so a later
+    * `spark.sql.catalog.graft.root` conf change is ignored — suites
+    * run concurrently in one shared session and race to pin it.
+    * Path assertions must therefore ask the instance, not the conf.
+    */
+  def graftCatRoot: java.nio.file.Path = {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    java.nio.file.Paths.get(cat.rootDir)
+  }
 }
 
 class RelationalSpec extends AnyFunSuite {
