@@ -221,6 +221,89 @@ object StreamingQ {
       |  AND EPOCH_US(c.ts) <= EPOCH_US(p.ts)
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // --- stream_join_outer: stream-stream LEFT OUTER interval join —
+  // purchases with NO qualifying prior click (the attribution
+  // question the inner join can't answer) emit with null click
+  // columns once the watermark passes their match window. Unmatched
+  // emission is WATERMARK-DRIVEN: a left row leaves state (and emits
+  // null-extended) only when no future right row could still match,
+  // so state on both sides stays bounded by the interval width — the
+  // 100 TB-stream shape. Two sentinel rows 26 h past the max event
+  // time drive the final watermark past every real row's window so
+  // the AvailableNow drain flushes ALL unmatched purchases (without
+  // them, rows near the stream's end would sit in state forever and
+  // the drain would under-report); the sentinels are excluded from
+  // the result by their negative user_id. Oracle = the same interval
+  // predicate as a batch LEFT JOIN.
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val batch = s.read.parquet(staged)
+    val schema = batch.schema
+    val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // sentinel ts = max + 26h in the STAGED unit (26h > the 24h
+    // interval + 1h watermark delay, so every real window closes)
+    val bump: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (tsIsLong) mx => mx + lit(26L * 3600L * 1000L * 1000L * 1000L)
+      else mx => mx + expr("INTERVAL 26 HOURS")
+    val mkSentinel = (etype: String, id: Long) => struct(
+      lit(id).as("event_id"), bump(col("mx")).as("ts"),
+      lit(-1L).as("user_id"), lit(etype).as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    batch.agg(max(col("ts")).as("mx"))
+      .select(explode(array(
+        mkSentinel("click", -1L), mkSentinel("purchase", -2L))).as("r"))
+      .select(schema.fieldNames.map(f => col(s"r.$f")).toIndexedSeq: _*)
+      .coalesce(1).write.mode("append").parquet(staged)
+    val in = s.readStream.schema(schema).parquet(staged)
+    val restored =
+      if (tsIsLong) in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val clicks = restored.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = restored.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val name = s"graft_ssjo_${memId.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_ssjo_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"), col("user_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+          lit(-1L)).as("gap_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val streamJoinOuterSql: String =
+    """SELECT p.event_id AS purchase_id,
+      |  COALESCE(c.event_id, -1) AS click_id, p.user_id,
+      |  COALESCE(EPOCH_US(p.ts) - EPOCH_US(c.ts), -1) AS gap_us
+      |FROM events p LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      |  AND EPOCH_US(c.ts) >= EPOCH_US(p.ts) - 86400000000
+      |  AND EPOCH_US(c.ts) <= EPOCH_US(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   // --- sessionize: 24h-gap sessions per user via the native
   // session_window operator (one shuffle on user_id; identical
   // operator serves streaming). Oracle = classic SQL gap/island.
@@ -254,6 +337,7 @@ object StreamingQ {
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,
     "stream_join" -> streamJoin,
+    "stream_join_outer" -> streamJoinOuter,
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
@@ -261,5 +345,6 @@ object StreamingQ {
     "stream_dedup" -> streamDedupSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_join" -> streamJoinSql,
+    "stream_join_outer" -> streamJoinOuterSql,
     "sessionize" -> sessionizeSql)
 }

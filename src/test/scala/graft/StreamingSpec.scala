@@ -240,6 +240,59 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(3), r.getDouble(4))).toSet
     assert(custom === native)
   }
+
+  test("outer interval join: unmatched rows flush on watermark, state stays bounded") {
+    val s = spark
+    import s.implicits._
+    // left (purchases): hours 0, 1, 30; right (clicks): a match for
+    // hour 1 only. The GLOBAL watermark is the MIN across both sides'
+    // watermarks, so far-future rows on BOTH sides (hour 90) are
+    // needed to push it past every real left row's window — the same
+    // two-sided sentinel shape stream_join_outer uses. A one-sided
+    // sentinel provably leaves the later left rows in state forever.
+    // +24h base: an epoch-0 event time sits AT the initial watermark
+    // and the strict late filter drops it (same gotcha as the
+    // sessionizer spec)
+    def mk(rows: Seq[(Long, Int)], tag: String) = rows.toDF("id", "h")
+      .select(col("id"), expr("timestamp_millis((h + 24) * 3600000L)").as("ts"),
+        lit(tag).as("side"), (col("id") % 2 === 0).as("grp"))
+    val inDir = stageBatches("graft_oj_", Seq(
+      mk(Seq((1L, 0), (2L, 1), (3L, 30)), "p"),
+      mk(Seq((100L, 1), (101L, 90)), "c"),
+      mk(Seq((9L, 90)), "p")))
+    val schema = s.read.parquet(inDir).schema
+    val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inDir)
+    val left = in.filter(col("side") === "p")
+      .select(col("id").as("p_id"), col("ts").as("p_ts"), col("grp").as("p_grp"))
+      .withWatermark("p_ts", "1 hour")
+    val right = in.filter(col("side") === "c")
+      .select(col("id").as("c_id"), col("ts").as("c_ts"), col("grp").as("c_grp"))
+      .withWatermark("c_ts", "1 hour")
+    val name = s"graft_oj_sink_${System.nanoTime()}"
+    val q = left.join(right,
+      col("p_grp") === col("c_grp") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+        col("c_ts") <= col("p_ts"), "leftOuter")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_oj_ck_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .filter(col("p_id") =!= 9L)
+      .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"))
+      .as[(Long, Long)].collect().toSet
+    // p1 and p3 never matched -> null-extended emission on watermark
+    // expiry; p2 matched click 100 within its window
+    assert(out === Set((1L, -1L), (2L, 100L), (3L, -1L)), s"sink: $out")
+    // bounded state: every left row whose window the watermark passed
+    // was EVICTED (emitted exactly once, matched or not) — only rows
+    // the watermark has not yet released may remain
+    val last = q.recentProgress.toSeq.flatMap(_.stateOperators).last
+    assert(last.numRowsTotal <= 2,
+      s"join state not bounded: ${last.numRowsTotal} rows")
+  }
 }
 
 class VectorFnsSpec extends AnyFunSuite {
@@ -303,4 +356,5 @@ class VectorFnsSpec extends AnyFunSuite {
       "SELECT graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c").head().getDouble(0)
     assert(n === 1.0)
   }
+
 }
