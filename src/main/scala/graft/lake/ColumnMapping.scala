@@ -30,6 +30,7 @@ private[graft] object ColumnMapping {
   val PhysKey = "graft.physical"
   val DroppedKey = "graft.dropped"
   val WidenedKey = "graft.widened"
+  val WidenedFromKey = "graft.widenedFrom"
 
   /** Spark's own column-default metadata keys (what
     * `ResolveDefaultColumns` reads): CURRENT_DEFAULT is the WRITE
@@ -95,11 +96,11 @@ private[graft] object ColumnMapping {
 
   private def strip(m: Metadata): Metadata = {
     if (!m.contains(IdKey) && !m.contains(PhysKey) && !m.contains(DroppedKey) &&
-      !m.contains(WidenedKey)) m
+      !m.contains(WidenedKey) && !m.contains(WidenedFromKey)) m
     else {
       val b = new MetadataBuilder().withMetadata(m)
       b.remove(IdKey); b.remove(PhysKey); b.remove(DroppedKey)
-      b.remove(WidenedKey)
+      b.remove(WidenedKey); b.remove(WidenedFromKey)
       b.build()
     }
   }
@@ -245,9 +246,15 @@ private[graft] object ColumnMapping {
     StructType(stored.fields.map { g =>
       if (!isDropped(g) && g.name == name)
         g.copy(dataType = to, metadata =
-          if (stamp) new MetadataBuilder()
-            .withMetadata(g.metadata).putBoolean(WidenedKey, true).build()
-          else g.metadata)
+          if (stamp) {
+            val b = new MetadataBuilder()
+              .withMetadata(g.metadata).putBoolean(WidenedKey, true)
+            // record the NARROW source type once (first widen wins):
+            // the scan layer keys footer-shortcut safety off it
+            if (!g.metadata.contains(WidenedFromKey))
+              b.putString(WidenedFromKey, g.dataType.simpleString)
+            b.build()
+          } else g.metadata)
       else g
     })
   }
@@ -258,6 +265,25 @@ private[graft] object ColumnMapping {
   def hasWidening(stored: StructType): Boolean =
     stored.fields.exists(f => !isDropped(f) &&
       f.metadata.contains(WidenedKey) && f.metadata.getBoolean(WidenedKey))
+
+  /** True when some widened column makes FOOTER AGGREGATE answers
+    * unsafe. Spark 4's parquet footer aggregation already promotes
+    * narrow INTEGRAL footer stats into the widened type exactly
+    * (int32 min/max → bigint/double answers), and refuses to push on
+    * a physical-decimal mismatch (clean fallback) — those widens keep
+    * the shortcut. A FLOAT→double widen is the exception: parquet
+    * writers record float bounds (min may be -0.0 for a file whose
+    * true min is +0.0), so the footer answer can differ bitwise from
+    * the data answer. Legacy widen stamps without a recorded source
+    * type are treated as unsafe.
+    */
+  def hasUnsafeAggWidening(stored: StructType): Boolean =
+    stored.fields.exists { f =>
+      !isDropped(f) &&
+        f.metadata.contains(WidenedKey) && f.metadata.getBoolean(WidenedKey) &&
+        (!f.metadata.contains(WidenedFromKey) ||
+          f.metadata.getString(WidenedFromKey) == "float")
+    }
 
   /** ADD COLUMN aware of retired physical names: a new column whose
     * name collides with ANY reserved physical name (live or

@@ -224,13 +224,13 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
       m.files.map(f => (f.path, GraftScan.bytesOf(f))),
       // footer aggregate answers bind by file column name — disabled
       // under a mapping rather than risking a logical/physical mixup,
-      // on widened tables, whose older footers carry min/max in
-      // the NARROWER physical type (an int32 answer for a bigint
-      // column is a wrong-typed row, not a fast one), and on tables
-      // with initial-default columns, where files predating the
-      // column would contribute "absent" instead of the default
+      // on float→double-widened tables (parquet float footer bounds
+      // are not exact mins — see ColumnMapping.hasUnsafeAggWidening;
+      // integral widens promote exactly and keep the shortcut), and
+      // on tables with initial-default columns, where files predating
+      // the column would contribute "absent" instead of the default
       aggPushdown = m.deletes.isEmpty && !mapped &&
-        !graft.lake.ColumnMapping.hasWidening(stored) &&
+        !graft.lake.ColumnMapping.hasUnsafeAggWidening(stored) &&
         !graft.lake.ColumnMapping.hasInitialDefaults(stored),
       Set(LakeTable.CoordPath, LakeTable.CoordIdx),
       if (mapped) graft.lake.ColumnMapping.toPhysical(stored) else Map.empty,

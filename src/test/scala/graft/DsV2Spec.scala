@@ -414,6 +414,48 @@ class DsV2Spec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("footer aggregates survive an integral widen over mixed-width generations") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val root = graft.util.Scratch.dir("graft_v2aggw_")
+    // gen 1: event_id as INT32 pages
+    LakeTable.commit(spark, root,
+      events.select(col("event_id").cast("int").as("event_id"), col("user_id"),
+        col("value")), cfg, Seq("event_id"))
+    LakeTable.widenColumn(root, "event_id", LongType)
+    // gen 2: beyond-int ids land as INT64 pages
+    LakeTable.commit(spark, root,
+      events.select((col("event_id") + 3000000000L).as("event_id"),
+        col("user_id"), col("value")), cfg, Seq("event_id"))
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.format("graft-lake").load(root)
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn"),
+          max(col("event_id")).as("mx"))
+      // an INT-widened table keeps the footer shortcut: Spark's
+      // footer aggregation promotes int32 stats into the widened
+      // type exactly, so the answer is footer-only AND exact
+      assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        agg.queryExecution.executedPlan.toString.take(800))
+      val r = agg.head
+      assert(r.getLong(0) === events.count() * 2)
+      assert(r.getLong(1) === 0L)
+      assert(r.getLong(2) === events.agg(max(col("event_id"))).head.getLong(0)
+        + 3000000000L)
+      // a FLOAT→double widen makes footer mins inexact (parquet float
+      // bounds may be -0.0 for a +0.0 min) — the shortcut stays off
+      val root2 = graft.util.Scratch.dir("graft_v2aggwf_")
+      LakeTable.commit(spark, root2,
+        events.select(col("event_id"), col("user_id"),
+          col("value").cast("float").as("value")), cfg, Seq("event_id"))
+      LakeTable.widenColumn(root2, "value", DoubleType)
+      val agg2 = spark.read.format("graft-lake").load(root2)
+        .agg(min(col("value")).as("mn"))
+      assert(!agg2.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      graft.util.Scratch.rmNow(root2)
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("numeric point probes prune by bloom through the DSv2 filter path") {
     val root = graft.util.Scratch.dir("graft_v2bl_")
     // cluster by user_id so every file's event_id [min,max] spans
