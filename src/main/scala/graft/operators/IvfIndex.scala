@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+import graft.writer.BlockWriter
+
+/** The MATERIALIZED IVF index — the production shape of inverted-file
+  * ANN, persisted as two manifest-tracked [[LakeTable]]s instead of
+  * retrained inside every consumer query (the [[MinhashIndex]]
+  * lifecycle, applied to the embedding space):
+  *
+  *  - `<root>/codebook` : (cid, ci) — the trained K-cell integer
+  *    k-means codebook ([[graft.queries.Advanced.kmCentroids]], one
+  *    Lloyd update from the first-K seed);
+  *  - `<root>/cells`    : (vec_id, cid, d2) — every corpus vector's
+  *    nearest-cell assignment (the inverted lists), with its integer
+  *    squared distance (dedup_semantic's keep-policy input).
+  *
+  * An offline job trains ONCE and commits both; every probe query
+  * (ann_ivf, dedup_semantic, kmeans_embed's reporting) then reads
+  * 8 codebook rows + the assignment table — zero k-means jobs in the
+  * probe path. At 100 TB this is exactly the artifact a production
+  * vector-search service maintains: codebook training is amortized
+  * over every query ever issued, and re-training is an explicit
+  * offline refresh, not a per-query tax.
+  *
+  * Determinism: training is all-integer (scaled ×1e6, floor), so the
+  * DuckDB oracles replay the identical arithmetic from the raw
+  * embeddings table — materialization changes WHERE the codebook is
+  * computed, never its values.
+  */
+object IvfIndex {
+
+  final case class Ref(root: String) {
+    def codebookPath: String = s"$root/codebook"
+    def cellsPath: String = s"$root/cells"
+  }
+
+  private val refs = new java.util.concurrent.ConcurrentHashMap[String, Ref]()
+  private val buildLock = new Object
+
+  private def refFor(dir: String): Ref =
+    refs.computeIfAbsent(dir, _ => Ref(graft.util.Scratch.dir("graft_ivfidx_")))
+
+  /** Assignment write fan-out derived from the input volume (same
+    * rule as [[MinhashIndex]]): one partition per ~8 MB of source
+    * embeddings, floored at 4, capped at session parallelism.
+    */
+  private def idxParallelism(s: SparkSession, dir: String): Int = {
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(dir, "embeddings.parquet"))
+      catch { case _: Exception => Long.MaxValue }
+    val cap = s.sessionState.conf.numShufflePartitions
+    math.min(cap.toLong, math.max(4L, bytes / (8L << 20))).toInt
+  }
+
+  /** Ensure the trained artifact exists — the "offline training job".
+    * Idempotent, session-memoized; `base` is only evaluated on the
+    * first call per corpus.
+    */
+  def ensure(s: SparkSession, dir: String, base: => DataFrame): Ref =
+    buildLock.synchronized {
+      val ref = refFor(dir)
+      if (LakeTable.currentSnapshot(ref.codebookPath) < 1) {
+        val b = base
+        LakeTable.commit(s, ref.codebookPath,
+          graft.queries.Advanced.kmCentroids(b, graft.queries.Advanced.KM_K, 1),
+          BlockWriter.Config("cid", "cid", maxRecordsPerFile = 1 << 20,
+            parallelism = Some(1)),
+          Seq("cid"))
+        // inverted lists assign against the PERSISTED codebook —
+        // training is not repeated
+        LakeTable.commit(s, ref.cellsPath,
+          graft.queries.Advanced.kmAssign(b, codebook(s, ref)),
+          BlockWriter.Config("cid", "vec_id", maxRecordsPerFile = 1 << 20,
+            parallelism = Some(idxParallelism(s, dir))),
+          Seq("vec_id", "cid"))
+      }
+      ref
+    }
+
+  /** The K-row trained codebook (cid, ci) — broadcast-sized. */
+  def codebook(s: SparkSession, ref: Ref): DataFrame =
+    LakeTable.read(s, ref.codebookPath)
+
+  /** The corpus inverted lists (vec_id, cid, d2). */
+  def cells(s: SparkSession, ref: Ref): DataFrame =
+    LakeTable.read(s, ref.cellsPath)
+}

@@ -89,11 +89,11 @@ object Advanced {
   // are partial-order-dependent). Scale: assignment is a broadcast
   // cross join (K rows) + map-side argmin; the update is one shuffle
   // on (cluster, dim) — no driver-side state beyond K centroids.
-  private[queries] val KM_K = 8
+  private[graft] val KM_K = 8
   private val KM_ITERS = 2
 
   /** Embedding components → scaled-int (×1e6, half-up) bigint array. */
-  private[queries] def kmIntVec(emb: Column): Column =
+  private[graft] def kmIntVec(emb: Column): Column =
     transform(emb.cast("array<double>"),
       x => floor(x * lit(1000000.0) + lit(0.5)).cast("bigint"))
 
@@ -103,7 +103,7 @@ object Advanced {
     * evaluates interpreted on the N×K assignment hot path). Requires
     * [[graft.plans.GraftExtensions]] registration (Tables.load does).
     */
-  private[queries] def kmD2(vi: Column, ci: Column): Column =
+  private[graft] def kmD2(vi: Column, ci: Column): Column =
     call_function("graft_d2i", vi, ci)
 
   /** Nearest-centroid assignment of `base` (vec_id, vi) against a
@@ -112,7 +112,7 @@ object Advanced {
     * ties → lowest cid) — map-side partial aggregation, no shuffle+
     * sort of the N×K scored frame (a `row_number` window would sort).
     */
-  private[queries] def kmAssign(base: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmAssign(base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         struct(kmD2(col("vi"), col("ci")).as("d2"), col("cid").as("cid")).as("dc"))
@@ -124,7 +124,7 @@ object Advanced {
     * behind kmeans_embed and ann_ivf's codebook; all-integer, so
     * results are partition-order-independent and oracle-exact.
     */
-  private[queries] def kmCentroids(base: DataFrame, k: Int, updates: Int): DataFrame = {
+  private[graft] def kmCentroids(base: DataFrame, k: Int, updates: Int): DataFrame = {
     var cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").cast("bigint").as("cid"), col("vi").as("ci"))
     for (_ <- 1 to updates) {
@@ -142,7 +142,11 @@ object Advanced {
   def kmeansEmbed(s: SparkSession, dir: String): DataFrame = {
     val base = graft.util.QueryScratch.cached(t(s, dir, "embeddings")
       .select(col("vec_id"), kmIntVec(col("embedding")).as("vi")))
-    kmAssign(base, kmCentroids(base, KM_K, KM_ITERS - 1))
+    // the report reads the PERSISTED assignment (operators/IvfIndex —
+    // the same trained artifact ann_ivf and dedup_semantic probe);
+    // training runs once per corpus, not once per consumer
+    val ref = graft.operators.IvfIndex.ensure(s, dir, base)
+    graft.operators.IvfIndex.cells(s, ref)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
       .orderBy(col("cid"))

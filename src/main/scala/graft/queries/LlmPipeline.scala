@@ -1577,12 +1577,13 @@ object LlmPipeline {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embBase(s, dir)
     val viBase = e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi"))
-    // cached: the K-row codebook broadcasts into BOTH the full cell
-    // assignment and the query probe — without it each broadcast
-    // would re-run the training plan.
-    val cents = graft.util.QueryScratch.cached(
-      Advanced.kmCentroids(viBase, Advanced.KM_K, 1))
-    val cells = Advanced.kmAssign(viBase, cents)
+    // the PERSISTED IVF artifact (operators/IvfIndex): codebook +
+    // inverted lists are trained/assigned once per corpus and
+    // committed as lake tables — the probe path below runs ZERO
+    // k-means jobs, it reads 8 codebook rows and the cell table.
+    val ref = graft.operators.IvfIndex.ensure(s, dir, viBase)
+    val cents = graft.operators.IvfIndex.codebook(s, ref)
+    val cells = graft.operators.IvfIndex.cells(s, ref)
       .select(col("vec_id"), col("cid").as("cell"))
     // query probes: nearest NPROBE cells per query vec — the window
     // sorts 10×K rows (the query side), never the corpus.
@@ -1647,9 +1648,10 @@ object LlmPipeline {
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = embBase(s, dir)
     val viBase = e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi"))
-    val cents = graft.util.QueryScratch.cached(
-      Advanced.kmCentroids(viBase, Advanced.KM_K, 1))
-    val asg = Advanced.kmAssign(viBase, cents)
+    // cluster blocking reads the PERSISTED assignment (same artifact
+    // as ann_ivf — one training pays for every consumer)
+    val ref = graft.operators.IvfIndex.ensure(s, dir, viBase)
+    val asg = graft.operators.IvfIndex.cells(s, ref)
       .join(e.select(col("vec_id"), col("v")), "vec_id")
     val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
       col("d2").as("d2_a"), col("v").as("va"))

@@ -318,6 +318,36 @@ class MinhashIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ann_ivf probes the persisted IVF artifact: no k-means in the probe path") {
+    // first call trains + commits the artifact (or finds it already
+    // committed); the SECOND call must be a pure probe
+    SparkEntry.queries("ann_ivf")(spark, sf).count()
+    graft.util.QueryScratch.release(spark)
+    val df = SparkEntry.queries("ann_ivf")(spark, sf)
+    val rels = df.queryExecution.withCachedData.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.toString
+        }
+    }
+    // the probe reads the committed codebook + cells tables …
+    assert(rels.count(_.contains("graft_ivfidx_")) >= 2,
+      s"probe must read the persisted IVF artifact, saw:\n${rels.mkString("\n")}")
+    // … and the artifact tables are committed exactly once (a second
+    // run trains nothing)
+    val ref = graft.operators.IvfIndex.ensure(spark, sf,
+      sys.error("ensure must not re-evaluate base once committed"))
+    assert(graft.lake.LakeTable.currentSnapshot(ref.codebookPath) === 1)
+    assert(graft.lake.LakeTable.currentSnapshot(ref.cellsPath) === 1)
+    // the k-means trainer is absent from the probe plan: no iterative
+    // posexplode/centroid-update aggregate over the corpus
+    assert(!df.queryExecution.optimizedPlan.toString.contains("posexplode"),
+      "probe path must not contain the centroid-update trainer")
+    graft.util.QueryScratch.release(spark)
+  }
+
   test("index maintenance: MoR delete retires a doc's bands without a rewrite") {
     // a doc leaves the corpus (takedown, re-crawl): the index drops
     // its bands with ONE metadata-sized delete commit per table — no
