@@ -150,10 +150,11 @@ object LakeTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean = false, note: String = "",
-      bloomCols: Seq[String] = Nil, skipIfEmpty: Boolean = false): Int =
+      bloomCols: Seq[String] = Nil, skipIfEmpty: Boolean = false,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Int =
     writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
       replace = false, note = note, bloomCols = bloomCols,
-      skipIfEmpty = skipIfEmpty)
+      skipIfEmpty = skipIfEmpty, clusterBy = clusterBy)
 
   /** Rewrite commit (copy-on-write maintenance): the new snapshot's
     * file list is EXACTLY the files written here — the parent's files
@@ -174,9 +175,10 @@ object LakeTable {
     */
   def rewrite(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
-      rangeCluster: Boolean = false, basis: Option[Int] = None): Int =
+      rangeCluster: Boolean = false, basis: Option[Int] = None,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Int =
     writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
-      replace = true, note = "", basis = basis)
+      replace = true, note = "", basis = basis, clusterBy = clusterBy)
 
   /** MoR-DEBT COMPACTION: fold every accumulated delete file back
     * into the data files. Reads the current delete-applied view and
@@ -191,10 +193,11 @@ object LakeTable {
     */
   def foldDeletes(spark: SparkSession, root: String,
       cfg: BlockWriter.Config, statCols: Seq[String],
-      rangeCluster: Boolean = false): Int = {
+      rangeCluster: Boolean = false,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Int = {
     val head = currentSnapshot(root)
     rewrite(spark, root, read(spark, root, Some(head)), cfg, statCols,
-      rangeCluster, basis = Some(head))
+      rangeCluster, basis = Some(head), clusterBy = clusterBy)
   }
 
   /** TRUNCATE: one metadata-only commit whose file list is empty —
@@ -883,7 +886,8 @@ object LakeTable {
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean, replace: Boolean, note: String,
       basis: Option[Int] = None, bloomCols: Seq[String] = Nil,
-      skipIfEmpty: Boolean = false): Int = {
+      skipIfEmpty: Boolean = false,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Int = {
     val reserved = df.schema.fieldNames.filter(n => n == CoordPath || n == CoordIdx)
     require(reserved.isEmpty,
       s"table columns ${reserved.mkString(", ")} collide with the reserved " +
@@ -896,19 +900,30 @@ object LakeTable {
       if (replace) None else storedSchemaOf(root).filter(ColumnMapping.hasMapping)
     val physMap = parentMapped.map(ColumnMapping.toPhysical).getOrElse(Map.empty)
     def phys(c: String) = physMap.getOrElse(c, c)
+    // a DERIVED cluster key (z-order): computed on the LOGICAL frame
+    // under a reserved transient name; BlockWriter range-clusters on
+    // it and drops it before the save, so it never reaches files or
+    // the table schema (df itself stays pristine for schema checks)
+    val dfC = clusterBy match {
+      case Some(e) => df.withColumn(BlockWriter.ClusterTmp, e)
+      case None => df
+    }
     val dfW =
-      if (parentMapped.isEmpty) df
-      else df.select(df.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
-    val cfgW =
+      if (parentMapped.isEmpty) dfC
+      else dfC.select(dfC.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
+    val cfgW0 =
       if (parentMapped.isEmpty) cfg
       else cfg.copy(partitionCol = phys(cfg.partitionCol), keyCol = phys(cfg.keyCol))
+    val cfgW =
+      if (clusterBy.isDefined) cfgW0.copy(keyCol = BlockWriter.ClusterTmp)
+      else cfgW0
     val staging = stagingDir(root)
-    BlockWriter.writeFlat(dfW, staging, cfgW, rangeCluster)
+    BlockWriter.writeFlat(dfW, staging, cfgW, rangeCluster || clusterBy.isDefined)
     // the hash-bucket layout this write produced (mirrors writeFlat's
     // repartition): recorded per file + as the manifest spec so scans
     // can report KeyGroupedPartitioning (storage-partitioned joins)
     val spec: Option[(String, Int)] =
-      if (rangeCluster) None
+      if (rangeCluster || clusterBy.isDefined) None
       else Some((cfg.partitionCol, cfg.parallelism
         .getOrElse(spark.sessionState.conf.numShufflePartitions)))
     // stats/bloom keys and the bucket-spec column are PHYSICAL in the

@@ -596,6 +596,51 @@ object Lake {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // --- prune_scan_z_ddl: DECLARED Z-ORDER LAYOUT — `CREATE TABLE …
+  // PARTITIONED BY (zorder(ts, user_id))` records 2-D clustering as
+  // table metadata (the way days(ts) declares temporal layout):
+  // every append range-clusters on the interleave of both columns'
+  // quantile buckets (operators/ZOrder), so per-file extents are
+  // tight in BOTH dims and a 2-D predicate prunes files via manifest
+  // min/max stats alone; `CALL compact` re-z-clusters. The z value
+  // itself is transport — computed for the write shuffle, dropped
+  // before the save, never part of the schema. DsV2Spec asserts the
+  // file-touch bound (≤ total/4 on a 2-D predicate); the oracle
+  // replays the predicate relationally (clustering changes layout,
+  // never answers).
+  def pruneScanZDdl(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.zdl_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_zddl")
+    s.sql(s"""CREATE TABLE $tbl (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+             |  event_type STRING, value DOUBLE)
+             |PARTITIONED BY (zorder(ts, user_id))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT event_id, ts, user_id, event_type, value FROM ev_zddl")
+    s.sql(s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM $tbl
+             |WHERE ts >= (SELECT MIN(ts) + INTERVAL 2 DAY FROM ev_zddl)
+             |  AND ts < (SELECT MIN(ts) + INTERVAL 4 DAY FROM ev_zddl)
+             |  AND user_id >= 10 AND user_id < 40
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val pruneScanZDdlSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events
+      |WHERE ts >= (SELECT MIN(ts) + INTERVAL 2 DAY FROM events)
+      |  AND ts < (SELECT MIN(ts) + INTERVAL 4 DAY FROM events)
+      |  AND user_id >= 10 AND user_id < 40
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q_props_variant: SEMI-STRUCTURED columns as VARIANT (Spark
   // 4's public shape for crawl/event metadata): `parse_json` ONCE at
   // ingest stores the binary variant encoding in the lake table, and
@@ -1477,6 +1522,7 @@ object Lake {
     "q_sql_merge_nmbs" -> qSqlMergeNmbs,
     "q_sql_merge_evolve" -> qSqlMergeEvolve,
     "q_props_variant" -> qPropsVariant,
+    "prune_scan_z_ddl" -> pruneScanZDdl,
     "prune_scan_days" -> pruneScanDays,
     "q_spj" -> qSpj)
 
@@ -1512,6 +1558,7 @@ object Lake {
     "q_sql_merge_nmbs" -> qSqlMergeNmbsSql,
     "q_sql_merge_evolve" -> qSqlMergeEvolveSql,
     "q_props_variant" -> qPropsVariantSql,
+    "prune_scan_z_ddl" -> pruneScanZDdlSql,
     "prune_scan_days" -> pruneScanDaysSql,
     "q_spj" -> qSpjSql)
 }

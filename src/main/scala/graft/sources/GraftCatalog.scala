@@ -320,10 +320,31 @@ class GraftCatalog extends TableCatalog
           dt == org.apache.spark.sql.types.DateType,
           s"${t.name}($c) requires a timestamp/date column, got $dt")
         Some((c, 0, t.name))
+      case Seq(t) if t.name == "zorder" =>
+        // DECLARED 2-D z-order clustering: every append (and CALL
+        // compact) range-clusters on the quantile-bucket interleave
+        // of both columns (operators/ZOrder) — multi-dimension
+        // pruning as DDL metadata
+        val cols = t.arguments.toSeq.collect {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames.mkString(".")
+        }
+        require(cols.length == 2, s"zorder takes exactly two columns, got $cols")
+        cols.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"zorder column $c not in table schema")
+          val dt = schema(c).dataType
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            dt == org.apache.spark.sql.types.TimestampType ||
+            dt == org.apache.spark.sql.types.DateType,
+            s"zorder($c) requires a numeric/timestamp/date column, got $dt")
+        }
+        Some((cols.mkString(","), 0, "zorder"))
       case other => throw new UnsupportedOperationException(
         "graft-lake supports PARTITIONED BY (bucket(n, col)), " +
-          "PARTITIONED BY (col), or a temporal transform " +
-          s"(days/months/hours/years), got ${other.mkString(", ")}")
+          "PARTITIONED BY (col), a temporal transform " +
+          "(days/months/hours/years), or zorder(a, b), " +
+          s"got ${other.mkString(", ")}")
     }
   }
 
@@ -382,18 +403,26 @@ class GraftCatalog extends TableCatalog
         s"graft-lake ALTER TABLE supports only top-level $what")
       names.head
     }
-    // a rename/drop of the DECLARED layout column follows it / voids it
+    // a rename/drop of a DECLARED layout column follows it / voids
+    // the layout. The declared column field may hold SEVERAL
+    // comma-joined columns (zorder) — each maps independently, and
+    // losing any one voids the whole layout.
     def adjustLayout(change: String => Option[String]): Unit = {
       val p = dir.resolve("meta").resolve("_layout.json")
       if (Files.exists(p)) {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
           Files.readString(p))
-        change(node.get("partition_col").asText()) match {
-          case Some(c) if c != node.get("partition_col").asText() =>
+        val cur = node.get("partition_col").asText()
+        val mapped = cur.split(',').toSeq.map(change)
+        if (mapped.exists(_.isEmpty)) Files.delete(p)
+        else {
+          val nw = mapped.flatten.mkString(",")
+          if (nw != cur) {
+            val tf = if (node.has("transform"))
+              s""","transform":"${node.get("transform").asText()}"""" else ""
             Files.writeString(p,
-              s"""{"partition_col":"$c","n_buckets":${node.get("n_buckets").asInt()}}"""): Unit
-          case Some(_) => ()
-          case None => Files.delete(p)
+              s"""{"partition_col":"$nw","n_buckets":${node.get("n_buckets").asInt()}$tf}"""): Unit
+          }
         }
       }
     }
@@ -619,12 +648,13 @@ private[sources] object GraftProcedures {
     * compaction).
     */
   private def rewriteCfg(dir: String)
-      : (graft.writer.BlockWriter.Config, Seq[String], Boolean) = {
+      : (graft.writer.BlockWriter.Config, Seq[String], Boolean,
+         Option[(String, String)]) = {
     val head = LakeTable.currentSnapshot(dir)
     val schema = GraftLakeTable.schemaOf(SparkSession.active, dir, head)
-    val (cfg, stats, _, rc) = LakeFormatWrite.config(
+    val (cfg, stats, _, rc, zc) = LakeFormatWrite.config(
       CaseInsensitiveStringMap.empty(), schema, dir)
-    (cfg, stats, rc)
+    (cfg, stats, rc, zc)
   }
 
   private def tbl(c: GraftCatalog, in: InternalRow): String =
@@ -635,16 +665,21 @@ private[sources] object GraftProcedures {
       Seq("table" -> StringType), "snapshot", IntegerType, (c, in) => {
         val dir = tbl(c, in); val s = SparkSession.active
         val head = LakeTable.currentSnapshot(dir)
-        val (cfg, stats, rc) = rewriteCfg(dir)
-        LakeTable.rewrite(s, dir, LakeTable.read(s, dir, Some(head)), cfg, stats,
-          rangeCluster = rc, basis = Some(head))
+        val (cfg, stats, rc, zc) = rewriteCfg(dir)
+        val data = LakeTable.read(s, dir, Some(head))
+        // a declared z layout survives compaction: the rewrite
+        // re-z-clusters the whole table
+        LakeTable.rewrite(s, dir, data, cfg, stats,
+          rangeCluster = rc, basis = Some(head),
+          clusterBy = LakeFormatWrite.zClusterOf(zc, data))
       }),
     Def("fold_deletes", "fold accumulated delete files back into data files",
       Seq("table" -> StringType), "snapshot", IntegerType, (c, in) => {
-        val dir = tbl(c, in)
-        val (cfg, stats, rc) = rewriteCfg(dir)
-        LakeTable.foldDeletes(SparkSession.active, dir, cfg, stats,
-          rangeCluster = rc)
+        val dir = tbl(c, in); val s = SparkSession.active
+        val (cfg, stats, rc, zc) = rewriteCfg(dir)
+        val data = LakeTable.read(s, dir)
+        LakeTable.foldDeletes(s, dir, cfg, stats,
+          rangeCluster = rc, clusterBy = LakeFormatWrite.zClusterOf(zc, data))
       }),
     Def("expire_snapshots", "expire snapshots below keep_from; reclaim their files",
       Seq("table" -> StringType, "keep_from" -> IntegerType),

@@ -994,14 +994,22 @@ private[sources] object LakeFormatWrite {
 
   private[sources] def config(options: CaseInsensitiveStringMap,
       schema: StructType, root: String = "")
-      : (BlockWriter.Config, Seq[String], Seq[String], Boolean) = {
+      : (BlockWriter.Config, Seq[String], Seq[String], Boolean, Option[(String, String)]) = {
     val layout = if (root.nonEmpty) declaredLayout(root) else None
     // a TEMPORAL layout clusters every append by RANGE on the raw
     // column: per-file time extents come out disjoint and tight, so a
     // period predicate prunes via the manifest's min/max stats — the
     // declared analog of the zorder_layout recipe
     val rangeCluster = layout.exists(l => temporal(l._3))
+    // a DECLARED z-order layout: both dims range-cluster via the
+    // interleaved quantile buckets (operators/ZOrder) — the caller
+    // builds the batch-derived cluster expression from these cols
+    val zCols: Option[(String, String)] = layout.collect {
+      case (c, _, "zorder") =>
+        val Array(a, b) = c.split(',');  (a, b)
+    }
     val partitionCol = Option(options.get("partitioncol"))
+      .orElse(zCols.map(_._1))
       .orElse(layout.map(_._1))
       .getOrElse(schema.fieldNames.head)
     val keyCol = Option(options.get("keycol"))
@@ -1019,19 +1027,26 @@ private[sources] object LakeFormatWrite {
     // across appends by construction
     val fanOut = layout.collect { case (c, n, "bucket") if n > 0 && c == partitionCol => n }
     (BlockWriter.Config(partitionCol, keyCol, maxRecords,
-      parallelism = fanOut), stats, bloom, rangeCluster)
+      parallelism = fanOut), stats, bloom, rangeCluster, zCols)
   }
+
+  /** The declared-z-order cluster expression for this batch (None
+    * when the table declares no z layout).
+    */
+  private[sources] def zClusterOf(zCols: Option[(String, String)],
+      data: DataFrame): Option[org.apache.spark.sql.Column] =
+    zCols.map { case (a, b) => graft.operators.ZOrder.zColumn(data, a, b) }
 
   def write(spark: SparkSession, root: String, data: DataFrame,
       options: CaseInsensitiveStringMap, overwrite: Boolean): Unit = {
-    val (cfg, stats, bloom, rc) = config(options, data.schema, root)
+    val (cfg, stats, bloom, rc, zc) = config(options, data.schema, root)
     val head = LakeTable.currentSnapshot(root)
     if (overwrite && head > 0)
       LakeTable.rewrite(spark, root, data, cfg, stats, rangeCluster = rc,
-        basis = Some(head)): Unit
+        basis = Some(head), clusterBy = zClusterOf(zc, data)): Unit
     else
       LakeTable.commit(spark, root, data, cfg, stats, rangeCluster = rc,
-        bloomCols = bloom): Unit
+        bloomCols = bloom, clusterBy = zClusterOf(zc, data)): Unit
   }
 }
 
@@ -1054,9 +1069,10 @@ final class GraftStreamSink(spark: SparkSession, root: String,
     // commit (skipIfEmpty) — a pre-commit `batch.isEmpty` would run
     // the whole micro-batch plan a second time.
     val batch = StreamShim.asBatchFrame(data)
-    val (cfg, stats, bloom, rc) = LakeFormatWrite.config(options, data.schema, root)
+    val (cfg, stats, bloom, rc, zc) = LakeFormatWrite.config(options, data.schema, root)
     LakeTable.commit(spark, root, batch, cfg, stats, rangeCluster = rc,
-      bloomCols = bloom, note = s"batch-$batchId", skipIfEmpty = true): Unit
+      bloomCols = bloom, note = s"batch-$batchId", skipIfEmpty = true,
+      clusterBy = LakeFormatWrite.zClusterOf(zc, batch)): Unit
   }
 
   override def toString: String = s"GraftLakeSink[$root]"

@@ -82,6 +82,12 @@ object BlockWriter {
     */
   val BucketDir = "_graft_bucket"
 
+  /** Reserved TRANSIENT column for a derived range-cluster key
+    * (z-order): present only between the cluster shuffle and the
+    * save — never written to files, never part of a table schema.
+    */
+  val ClusterTmp = "_graft_zcluster"
+
   /** `pmod(murmur3, n)` — exactly `repartition(n, col)`'s partition id
     * ([[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]]),
     * so co-bucketed tables agree with Spark's own `bucket(n, col)`
@@ -110,15 +116,21 @@ object BlockWriter {
       rangeCluster: Boolean = false): Unit = {
     val parallelism = cfg.parallelism
       .getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
-    if (rangeCluster)
-      df.repartitionByRange(parallelism, col(cfg.keyCol))
+    if (rangeCluster) {
+      val clustered = df.repartitionByRange(parallelism, col(cfg.keyCol))
         .sortWithinPartitions(col(cfg.keyCol))
+      // a DERIVED cluster key (z-order) is transport, not data: the
+      // projection drops it after the shuffle+sort, so files carry
+      // only table columns while keeping the clustered row order
+      (if (cfg.keyCol == BlockWriter.ClusterTmp)
+        clustered.drop(BlockWriter.ClusterTmp) else clustered)
         .write
         .mode("errorifexists")
         .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
         .option("compression", cfg.compression)
         .format(cfg.format)
         .save(basePath)
+    }
     else
       df.withColumn(BucketDir, bucketExpr(cfg.partitionCol, parallelism))
         .repartition(parallelism, col(cfg.partitionCol))

@@ -562,4 +562,48 @@ class DsV2Spec extends AnyFunSuite {
     assert(sorted(filtered) === sorted(expect))
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("PARTITIONED BY (zorder(ts, user_id)): a 2-D predicate prunes most files") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val t = s"graft.psd.z_${System.nanoTime()}"
+    val ev01 = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    ev01.createOrReplaceTempView("psz_events")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT,
+                   |  ts TIMESTAMP, event_type STRING, value DOUBLE)
+                   |PARTITIONED BY (zorder(ts, user_id))""".stripMargin)
+      spark.sql(s"INSERT INTO $t SELECT * FROM psz_events")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // the z column is transport only — never lands in files/schema
+    assert(!spark.table(t).schema.fieldNames.contains(
+      graft.writer.BlockWriter.ClusterTmp))
+    val b = spark.sql("""SELECT min(ts) + INTERVAL 2 DAYS AS lo,
+                        |       min(ts) + INTERVAL 4 DAYS AS hi
+                        |FROM psz_events""".stripMargin).collect()(0)
+    def twoD(rel: org.apache.spark.sql.DataFrame) = rel
+      .where(col("ts") >= lit(b.getTimestamp(0)) && col("ts") < lit(b.getTimestamp(1)) &&
+        col("user_id") >= 10 && col("user_id") < 40)
+    val filtered = twoD(spark.table(t))
+    val scan = graftScanOf(filtered)
+    assert(scan.totalFiles >= 8,
+      s"expected a multi-file layout, got ${scan.totalFiles}")
+    assert(scan.survivors.size <= scan.totalFiles / 4,
+      s"declared zorder layout should skip most files for a 2-D " +
+        s"predicate: ${scan.survivors.size}/${scan.totalFiles}")
+    assert(filtered.count() === twoD(ev01).count())
+    assert(sorted(filtered) === sorted(twoD(ev01)))
+    // CALL compact re-z-clusters: the bound still holds afterwards
+    spark.sql(s"CALL graft.system.compact('psd.${t.split('.').last}')")
+    val scan2 = graftScanOf(twoD(spark.table(t)))
+    assert(scan2.survivors.size <= scan2.totalFiles / 4,
+      s"z layout must survive compaction: ${scan2.survivors.size}/${scan2.totalFiles}")
+    assert(twoD(spark.table(t)).count() === twoD(ev01).count())
+    spark.sql(s"DROP TABLE $t")
+  }
 }
