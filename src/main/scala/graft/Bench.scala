@@ -54,6 +54,29 @@ object Bench {
     spark.catalog.clearCache()
   }
 
+  /** Environment self-diagnosis, taken once per measurement session:
+    * the host 1-minute load average plus a FIXED single-thread
+    * integer microbenchmark (2^25 xorshift rounds). The
+    * microbenchmark's wall time is a machine-speed constant — on a
+    * quiet host it is stable across sessions, so a session whose
+    * calibration runs 1.5×+ slower than the run's best was measured
+    * on a loaded machine and its query times are suspect. Recorded
+    * into BENCH_FULL.json so a contaminated record identifies
+    * itself instead of reading as a regression.
+    */
+  private def envProbe(): (Double, Double) = {
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 25)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    // keep the loop observable (defeats dead-code elimination)
+    if (x == 42L) System.err.println("[bench] calibration sentinel")
+    (load, ms)
+  }
+
   /** Run one query under cold caches and return (seconds, failed). */
   private def timeQuery(spark: SparkSession, sfDir: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -84,9 +107,13 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer[String]()
     val firstPass = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    all.grouped(GroupSize).foreach { group =>
+    val envs = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
+
+    all.grouped(GroupSize).zipWithIndex.foreach { case (group, gi) =>
       val spark = GraftSession.local(cpus)
       warmup(spark, sfDir)
+      val (load, calib) = envProbe()
+      envs += ((s"group-$gi", load, calib))
       group.foreach { case (name, fn) =>
         val (dt, failed) = timeQuery(spark, sfDir, fn, name)
         if (failed) errors += name
@@ -106,6 +133,8 @@ object Bench {
     if (rerunNames.nonEmpty) {
       val spark = GraftSession.local(cpus)
       warmup(spark, sfDir)
+      val (load, calib) = envProbe()
+      envs += (("rerun", load, calib))
       val byName = all.toMap
       rerunNames.foreach { name =>
         val (dt, failed) = timeQuery(spark, sfDir, byName(name), name)
@@ -127,7 +156,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // environment summary on the one-liner: worst observed load and
+    // the worst calibration DRIFT (worst session / best session) —
+    // a drift well above ~1.3 marks a record measured under outside
+    // CPU pressure
+    val envSummary =
+      if (envs.isEmpty) ""
+      else {
+        val calibs = envs.map(_._3)
+        s""","env":{"load_max":${s3(envs.map(_._2).max)},"calib_drift":${s3(calibs.max / math.max(1e-9, calibs.min))}}"""
+      }
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errJson$envSummary,"sf":"$sfDir"}"""
 
     // Full record to a file: immune to stdout truncation. A FILTERED
     // run (SPARK_GRAFT_ONLY, the local dev loop) must not clobber the
@@ -139,12 +178,16 @@ object Bench {
       .mkString("{", ",", "}")
     val rerunJson = reruns.toSeq.map { case (k, v) => s""""$k":${s3(v)}""" }
       .mkString("{", ",", "}")
+    val envJson = envs.map { case (tag, load, calib) =>
+      s"""{"session":"$tag","load_1m":${s3(load)},"calib_ms":${s3(calib)}}"""
+    }.mkString("[", ",", "]")
     val fileJson =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec",
          |"queries":$qs,
          |"first_pass":$firstJson,
          |"clean_rerun":$rerunJson,
          |"errors":$errJson,
+         |"env_sessions":$envJson$envSummary,
          |"group_size":$GroupSize,"sf":"$sfDir"}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
