@@ -223,7 +223,11 @@ final class DelegatedScanBuilder(
     // logical → physical column names (column mapping); empty =
     // identity. `dataSchema` is already physical when non-empty.
     physMap: Map[String, String],
-    finish: (ParquetScan, Seq[Filter], Option[StructType], Option[Int]) => Scan)
+    finish: (ParquetScan, Seq[Filter], Option[StructType], Option[Int]) => Scan,
+    // exact total row count from the MANIFEST, present only when the
+    // snapshot has no outstanding deletes (a manifest count cannot
+    // subtract masked rows) — serves bare COUNT(*) with ZERO IO
+    manifestRows: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -273,17 +277,52 @@ final class DelegatedScanBuilder(
         .map(f => f.copy(name = phys(f.name)))))
   }
 
+  /** True when `agg` is a bare unfiltered, ungrouped COUNT(*) the
+    * MANIFEST can answer exactly: the per-file row counts were
+    * recorded at commit time, so the count of a clean snapshot needs
+    * no IO at all — not even the footer reads the parquet agg
+    * pushdown would pay. At 100 TB this is the difference between an
+    * instant answer and opening a million footers. Unlike the footer
+    * path this needs no session conf and is immune to column
+    * mapping / type widening / initial defaults — row COUNTS are
+    * schema-agnostic.
+    */
+  private def manifestAnswerable(agg: Aggregation): Boolean =
+    manifestRows.isDefined && pushedV1.isEmpty && limit.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  private var countOnly: Boolean = false
+
   /** MIN/MAX/COUNT answered from parquet FOOTERS (zero data IO) —
     * forwarded to the parquet builder only for snapshots with no
     * outstanding deletes (a footer count cannot subtract masked
     * rows). Activates under spark.sql.parquet.aggregatePushdown.
+    * Bare COUNT(*) short-circuits further: the manifest answers it
+    * without touching a single file.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    aggPushdown && inner.supportCompletePushDown(agg)
+    manifestAnswerable(agg) ||
+      (aggPushdown && inner.supportCompletePushDown(agg))
   override def pushAggregation(agg: Aggregation): Boolean =
-    aggPushdown && inner.pushAggregation(agg)
+    if (manifestAnswerable(agg)) { countOnly = true; true }
+    else aggPushdown && inner.pushAggregation(agg)
 
   override def build(): Scan =
-    finish(inner.build(), pushedV1,
+    if (countOnly) new ManifestCountScan(manifestRows.get)
+    else finish(inner.build(), pushedV1,
       requested.filter(_.fields.exists(f => coordNames(f.name))), limit)
+}
+
+/** The one-row driver-side answer to a manifest-served COUNT(*). */
+final class ManifestCountScan(n: Long)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(org.apache.spark.sql.catalyst.InternalRow(n))
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def description(): String = s"GraftManifestCount[$n]"
 }

