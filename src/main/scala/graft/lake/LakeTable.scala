@@ -1035,6 +1035,20 @@ object LakeTable {
   /** Thrown (and caught locally) when a stat is not footer-expressible. */
   private object FooterBail extends scala.util.control.ControlThrowable
 
+  /** UTF-8 binary string ordering — the collation Spark's string
+    * min/max and parquet's UTF8 footer stats agree on. Folding with
+    * Java's UTF-16 `compareTo` instead would misorder supplementary
+    * characters, which is survivable for pruning bounds but not for
+    * an EXACT manifest-served MIN/MAX answer.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  private[graft] def utf8Min(a: String, b: String): String =
+    if (utf8Compare(a, b) <= 0) a else b
+  private[graft] def utf8Max(a: String, b: String): String =
+    if (utf8Compare(a, b) >= 0) a else b
+
   /** The exact string Spark's `_metadata.file_path` produces for a
     * local file — manifest paths MUST be in this form because delta
     * commits string-compare read-time coordinates against them.
@@ -1133,7 +1147,10 @@ object LakeTable {
                   .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
                 val maxs = withVals.map(_.genericGetMax
                   .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-                ColStats(0, 0, "s", mins.min, maxs.max)
+                // UTF-8 BINARY fold (what Spark's string ordering and
+                // parquet's UTF8 stat ordering both use) — Java's
+                // UTF-16 compareTo diverges on supplementary chars
+                ColStats(0, 0, "s", mins.reduce(utf8Min), maxs.reduce(utf8Max))
               } else {
                 // INT96 timestamps carry no usable stats; micros only
                 // (the engine's sessions write TIMESTAMP_MICROS)

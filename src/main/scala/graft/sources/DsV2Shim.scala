@@ -227,7 +227,12 @@ final class DelegatedScanBuilder(
     // exact total row count from the MANIFEST, present only when the
     // snapshot has no outstanding deletes (a manifest count cannot
     // subtract masked rows) — serves bare COUNT(*) with ZERO IO
-    manifestRows: Option[Long] = None)
+    manifestRows: Option[Long] = None,
+    // per-column manifest stats PRE-AGGREGATED over the snapshot's
+    // files, keyed by PHYSICAL column name: (kind, minL, maxL, minS,
+    // maxS). Present only for columns EVERY file carries a matching
+    // stat for — serves bare MIN/MAX with zero IO alongside COUNT(*)
+    manifestStats: Map[String, (String, Long, Long, String, String)] = Map.empty)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -277,52 +282,103 @@ final class DelegatedScanBuilder(
         .map(f => f.copy(name = phys(f.name)))))
   }
 
-  /** True when `agg` is a bare unfiltered, ungrouped COUNT(*) the
-    * MANIFEST can answer exactly: the per-file row counts were
-    * recorded at commit time, so the count of a clean snapshot needs
-    * no IO at all — not even the footer reads the parquet agg
-    * pushdown would pay. At 100 TB this is the difference between an
-    * instant answer and opening a million footers. Unlike the footer
-    * path this needs no session conf and is immune to column
-    * mapping / type widening / initial defaults — row COUNTS are
-    * schema-agnostic.
+  /** The manifest's answer to one aggregate expression, when it has
+    * one: (output type, internal value). COUNT(*) comes from
+    * commit-time per-file row counts; MIN/MAX come from per-file
+    * min/max stats pre-aggregated over the snapshot — both exact, so
+    * a bare `SELECT min(ts), max(ts), count(*) FROM t` (the
+    * freshness probe every pipeline runs) answers with ZERO file IO
+    * at any table size, no session conf, not even the footer reads
+    * the parquet agg pushdown would pay. Refused per-column unless
+    * EVERY file carries a matching stat (a defaulted column's
+    * pre-evolution files, all-null files, bloom-only entries and
+    * non-stat types all fall back to the scan); row counts are
+    * schema-agnostic, so COUNT(*) additionally survives column
+    * mapping / widening / defaults.
     */
-  private def manifestAnswerable(agg: Aggregation): Boolean =
-    manifestRows.isDefined && pushedV1.isEmpty && limit.isEmpty &&
-      agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  private def manifestAnswer(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[(org.apache.spark.sql.types.DataType, Any)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.FieldReference
+    import org.apache.spark.sql.types._
+    def colOf(x: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      x match {
+        case f: FieldReference if f.fieldNames.length == 1 =>
+          Some(phys(f.fieldNames.head))
+        case _ => None
+      }
+    def statOf(name: String, wantMin: Boolean): Option[(DataType, Any)] =
+      for {
+        field <- dataSchema.fields.find(_.name == name)
+        (kind, minL, maxL, minS, maxS) <- manifestStats.get(name)
+        v <- (field.dataType, kind) match {
+          case (LongType, "i") => Some(if (wantMin) minL else maxL)
+          case (IntegerType, "i") => Some(Int.box((if (wantMin) minL else maxL).toInt))
+          case (ShortType, "i") => Some(Short.box((if (wantMin) minL else maxL).toShort))
+          case (ByteType, "i") => Some(Byte.box((if (wantMin) minL else maxL).toByte))
+          // internal representations: micros for timestamps, days for
+          // dates — exactly what the manifest records
+          case (TimestampType, "i") => Some(if (wantMin) minL else maxL)
+          case (DateType, "i") => Some(Int.box((if (wantMin) minL else maxL).toInt))
+          case (StringType, "s") => Some(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (wantMin) minS else maxS))
+          case _ => None
+        }
+      } yield (field.dataType, v)
+    e match {
+      case _: CountStar => manifestRows.map(n => (LongType, n))
+      case m: Min => colOf(m.column).flatMap(statOf(_, wantMin = true))
+      case m: Max => colOf(m.column).flatMap(statOf(_, wantMin = false))
+      case _ => None
+    }
+  }
 
-  private var countOnly: Boolean = false
+  private def manifestAnswerable(agg: Aggregation): Boolean =
+    pushedV1.isEmpty && limit.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(e => manifestAnswer(e).isDefined)
+
+  private var manifestAgg: Option[Aggregation] = None
 
   /** MIN/MAX/COUNT answered from parquet FOOTERS (zero data IO) —
     * forwarded to the parquet builder only for snapshots with no
     * outstanding deletes (a footer count cannot subtract masked
     * rows). Activates under spark.sql.parquet.aggregatePushdown.
-    * Bare COUNT(*) short-circuits further: the manifest answers it
-    * without touching a single file.
+    * Bare MIN/MAX/COUNT(*) short-circuits further: the manifest
+    * answers them without touching a single file.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     manifestAnswerable(agg) ||
       (aggPushdown && inner.supportCompletePushDown(agg))
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (manifestAnswerable(agg)) { countOnly = true; true }
+    if (manifestAnswerable(agg)) { manifestAgg = Some(agg); true }
     else aggPushdown && inner.pushAggregation(agg)
 
   override def build(): Scan =
-    if (countOnly) new ManifestCountScan(manifestRows.get)
-    else finish(inner.build(), pushedV1,
-      requested.filter(_.fields.exists(f => coordNames(f.name))), limit)
+    manifestAgg match {
+      case Some(agg) =>
+        val answers = agg.aggregateExpressions.toIndexedSeq
+          .map(e => manifestAnswer(e).get)
+        new ManifestAggScan(answers)
+      case None => finish(inner.build(), pushedV1,
+        requested.filter(_.fields.exists(f => coordNames(f.name))), limit)
+    }
 }
 
-/** The one-row driver-side answer to a manifest-served COUNT(*). */
-final class ManifestCountScan(n: Long)
+/** The one-row driver-side answer to a manifest-served aggregation
+  * (COUNT(*) / MIN / MAX over a clean snapshot).
+  */
+final class ManifestAggScan(
+    answers: IndexedSeq[(org.apache.spark.sql.types.DataType, Any)])
   extends org.apache.spark.sql.connector.read.LocalScan {
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    Array(org.apache.spark.sql.catalyst.InternalRow(n))
-  override def readSchema(): StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("count(*)",
-      org.apache.spark.sql.types.LongType, nullable = false)))
-  override def description(): String = s"GraftManifestCount[$n]"
+    Array(org.apache.spark.sql.catalyst.InternalRow(answers.map(_._2): _*))
+  override def readSchema(): StructType = StructType(
+    answers.zipWithIndex.map { case ((dt, _), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable = false)
+    })
+  override def description(): String =
+    s"GraftManifestAgg[${answers.map(_._2).mkString(", ")}]"
 }

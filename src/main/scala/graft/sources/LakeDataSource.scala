@@ -137,6 +137,30 @@ object GraftLakeTable {
   private[sources] def schemaOf(spark: SparkSession, root: String, snap: Int): StructType =
     graft.lake.ColumnMapping.logicalClean(storedSchemaAt(spark, root, snap))
 
+  /** Snapshot-level MIN/MAX per stat column, folded over the
+    * manifest's per-file stats: kept only for columns EVERY file
+    * carries a matching typed stat for — a column any file lacks
+    * (post-evolution addition, all-null file, bloom-only entry)
+    * cannot answer an aggregate exactly and is dropped. Keys are
+    * PHYSICAL column names (what per-file stats use).
+    */
+  private[sources] def aggregatedStats(m: LakeTable.Manifest)
+      : Map[String, (String, Long, Long, String, String)] = {
+    val first = m.files.head.stats
+    first.keySet.flatMap { c =>
+      val per = m.files.map(_.stats.get(c))
+      val kind = first(c).kind
+      if (kind == "b" || per.exists(s => s.isEmpty || s.get.kind != kind)) None
+      else {
+        val all = per.map(_.get)
+        Some(c -> (if (kind == "s")
+          (kind, 0L, 0L, all.map(_.minS).reduce(LakeTable.utf8Min),
+            all.map(_.maxS).reduce(LakeTable.utf8Max))
+        else (kind, all.map(_.min).min, all.map(_.max).max, "", "")))
+      }
+    }.toMap
+  }
+
   private[sources] def metaCol(name0: String, dt: DataType,
       comment0: String): MetadataColumn = new MetadataColumn {
     override def name(): String = name0
@@ -241,7 +265,13 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
       // clean snapshot — exact regardless of mapping/widening/defaults
       manifestRows =
         if (m.deletes.isEmpty && m.snapshotId > 0)
-          Some(m.files.map(_.rows).sum) else None)
+          Some(m.files.map(_.rows).sum) else None,
+      // bare MIN/MAX answer from per-file manifest stats when EVERY
+      // file carries a matching stat for the column (pre-aggregated
+      // here once per scan build; metadata-scale)
+      manifestStats =
+        if (m.deletes.isEmpty && m.snapshotId > 0 && m.files.nonEmpty)
+          GraftLakeTable.aggregatedStats(m) else Map.empty)
   }
 
   /** Row-coordinate METADATA columns: every scan can serve each row's

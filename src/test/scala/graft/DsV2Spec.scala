@@ -393,7 +393,9 @@ class DsV2Spec extends AnyFunSuite {
 
   test("aggregate pushdown answers MIN/MAX/COUNT from footers on clean snapshots only") {
     val root = graft.util.Scratch.dir("graft_v2agg_")
-    LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
+    // stats only on user_id: event_id aggregates CANNOT ride the
+    // manifest (which would shadow the footer path under test)
+    LakeTable.commit(spark, root, events, cfg, Seq("user_id"))
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try {
       val agg = spark.read.format("graft-lake").load(root)
@@ -416,7 +418,7 @@ class DsV2Spec extends AnyFunSuite {
 
   test("bare COUNT(*) answers from the manifest: no file IO, no session conf") {
     val root = graft.util.Scratch.dir("graft_v2mc_")
-    LakeTable.commit(spark, root, events, cfg, Seq("event_id"))
+    LakeTable.commit(spark, root, events, cfg, Seq("event_id", "event_type"))
     // aggregatePushdown is OFF in this session — the manifest path
     // needs no conf: commit-time row counts are already exact
     val c = spark.read.format("graft-lake").load(root).agg(count(lit(1)).as("n"))
@@ -424,6 +426,22 @@ class DsV2Spec extends AnyFunSuite {
     assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
       s"bare COUNT(*) should plan zero file IO:\n${plan.take(800)}")
     assert(c.head.getLong(0) === events.count())
+    // the freshness probe: MIN/MAX over stat columns + COUNT(*) in
+    // one aggregation — still zero file IO, still exact
+    val fr = spark.read.format("graft-lake").load(root)
+      .agg(min(col("event_id")).as("mn"), max(col("event_id")).as("mx"),
+        min(col("event_type")).as("ts0"), count(lit(1)).as("n"))
+    val fplan = fr.queryExecution.executedPlan.toString
+    assert(fplan.contains("LocalTableScan") && !fplan.contains("BatchScan"),
+      s"manifest MIN/MAX should plan zero file IO:\n${fplan.take(800)}")
+    val r = fr.head
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === events.agg(max(col("event_id"))).head.getLong(0))
+    assert(r.getString(2) === events.agg(min(col("event_type"))).head.getString(0))
+    assert(r.getLong(3) === events.count())
+    // a non-stat column falls back to the scan
+    val nf = spark.read.format("graft-lake").load(root).agg(min(col("value")))
+    assert(nf.queryExecution.executedPlan.toString.contains("BatchScan"))
     // a FILTERED count cannot ride the manifest
     val cf = spark.read.format("graft-lake").load(root)
       .filter(col("event_type") === "click").agg(count(lit(1)).as("n"))
@@ -443,15 +461,17 @@ class DsV2Spec extends AnyFunSuite {
   test("footer aggregates survive an integral widen over mixed-width generations") {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val root = graft.util.Scratch.dir("graft_v2aggw_")
-    // gen 1: event_id as INT32 pages
+    // stats only on user_id so event_id aggregates exercise the
+    // FOOTER path (manifest stats would shadow it). Gen 1: event_id
+    // as INT32 pages
     LakeTable.commit(spark, root,
       events.select(col("event_id").cast("int").as("event_id"), col("user_id"),
-        col("value")), cfg, Seq("event_id"))
+        col("value")), cfg, Seq("user_id"))
     LakeTable.widenColumn(root, "event_id", LongType)
     // gen 2: beyond-int ids land as INT64 pages
     LakeTable.commit(spark, root,
       events.select((col("event_id") + 3000000000L).as("event_id"),
-        col("user_id"), col("value")), cfg, Seq("event_id"))
+        col("user_id"), col("value")), cfg, Seq("user_id"))
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try {
       val agg = spark.read.format("graft-lake").load(root)
