@@ -304,6 +304,82 @@ object StreamingQ {
       |WHERE p.event_type = 'purchase'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // --- stream_join_full: the FULL OUTER completion of the interval
+  // join matrix — one pass answers BOTH attribution complements:
+  // purchases with no prior click AND clicks that never converted.
+  // Same watermark-driven state eviction as the left-outer case
+  // (each side's unmatched rows emit null-extended exactly once when
+  // the global watermark passes their window), same two-sided drain
+  // sentinels; state stays interval-bounded on both sides.
+  def streamJoinFull(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val batch = s.read.parquet(staged)
+    val schema = batch.schema
+    val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val bump: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (tsIsLong) mx => mx + lit(26L * 3600L * 1000L * 1000L * 1000L)
+      else mx => mx + expr("INTERVAL 26 HOURS")
+    val mkSentinel = (etype: String, id: Long) => struct(
+      lit(id).as("event_id"), bump(col("mx")).as("ts"),
+      lit(-1L).as("user_id"), lit(etype).as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    batch.agg(max(col("ts")).as("mx"))
+      .select(explode(array(
+        mkSentinel("click", -1L), mkSentinel("purchase", -2L))).as("r"))
+      .select(schema.fieldNames.map(f => col(s"r.$f")).toIndexedSeq: _*)
+      .coalesce(1).write.mode("append").parquet(staged)
+    val in = s.readStream.schema(schema).parquet(staged)
+    val restored =
+      if (tsIsLong) in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val clicks = restored.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = restored.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val name = s"graft_ssjf_${memId.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("c_ts") <= col("p_ts"),
+        "fullOuter")
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_ssjf_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .filter(coalesce(col("user_id"), col("c_user")) >= 0)
+      .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+          lit(-1L)).as("gap_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val streamJoinFullSql: String =
+    """SELECT COALESCE(p.event_id, -1) AS purchase_id,
+      |  COALESCE(c.event_id, -1) AS click_id,
+      |  COALESCE(p.user_id, c.user_id) AS user_id,
+      |  COALESCE(EPOCH_US(p.ts) - EPOCH_US(c.ts), -1) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      |  AND EPOCH_US(c.ts) >= EPOCH_US(p.ts) - 86400000000
+      |  AND EPOCH_US(c.ts) <= EPOCH_US(p.ts)
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   // --- sessionize: 24h-gap sessions per user via the native
   // session_window operator (one shuffle on user_id; identical
   // operator serves streaming). Oracle = classic SQL gap/island.
@@ -338,6 +414,7 @@ object StreamingQ {
     "stream_enrich" -> streamEnrich,
     "stream_join" -> streamJoin,
     "stream_join_outer" -> streamJoinOuter,
+    "stream_join_full" -> streamJoinFull,
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
@@ -346,5 +423,6 @@ object StreamingQ {
     "stream_enrich" -> streamEnrichSql,
     "stream_join" -> streamJoinSql,
     "stream_join_outer" -> streamJoinOuterSql,
+    "stream_join_full" -> streamJoinFullSql,
     "sessionize" -> sessionizeSql)
 }
