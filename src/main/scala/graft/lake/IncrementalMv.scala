@@ -1,0 +1,107 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.writer.BlockWriter
+
+/** INCREMENTAL MATERIALIZED VIEW maintenance over a lake table — the
+  * aggregate-table pattern every warehouse pipeline ends in: the MV
+  * is itself a manifest-tracked lake table holding one row per group,
+  * and each refresh folds ONLY the base table's new rows into it.
+  *
+  * The refresh basis (the base snapshot the MV state reflects) rides
+  * the MV's manifest note, so the MV is self-describing: `refresh`
+  * reads the basis from the head commit, pulls the base's delta with
+  * [[LakeTable.incrementalRead]] (manifest-resolved — O(new data),
+  * never a base scan), partially aggregates it, and folds partials
+  * into the prior state with per-aggregate fold expressions. The fold
+  * is a groupBy over |MV| + |delta groups| rows — at a 100 TB base
+  * with a million-group MV, a refresh costs the new files plus a
+  * million-row shuffle, not a 100 TB scan.
+  *
+  * Only DISTRIBUTIVE aggregates fold (SUM, COUNT via sum-of-counts,
+  * MIN/MAX under append-only history). When the refresh range
+  * contains NON-APPEND commits (MoR deletes, merges, rewrites —
+  * anything that removed or replaced rows), per-group subtraction is
+  * unsound for min/max and unavailable for the general case, so
+  * refresh falls back to a FULL recompute from the base head —
+  * exactly Iceberg's materialized-view staleness rule (incremental
+  * only over append-only snapshot ranges). The chosen mode is
+  * recorded in the commit note (`mv-basis-N-incr` / `-full`).
+  *
+  * Aggregate spec: each [[Agg]] names an output column, gives the
+  * aggregate over the BASE rows (`delta`), and the fold over partial
+  * states (`fold` applied to the output column name) — e.g.
+  * `Agg("n", count(lit(1)), sum)` or `Agg("mx", max(col("v")), max)`.
+  */
+object IncrementalMv {
+
+  final case class Agg(name: String, delta: Column, fold: Column => Column)
+
+  private def basisOf(note: String): Option[Int] = {
+    val m = "^mv-basis-(\\d+)-(incr|full)$".r
+    note match { case m(n, _) => Some(n.toInt); case _ => None }
+  }
+
+  /** The basis snapshot the MV head reflects (fails on a non-MV table). */
+  def basis(mvRoot: String): Int = {
+    val head = LakeTable.currentSnapshot(mvRoot)
+    require(head > 0, s"$mvRoot has no MV state")
+    basisOf(LakeTable.manifest(mvRoot, head).note)
+      .getOrElse(sys.error(s"$mvRoot head commit carries no mv-basis note"))
+  }
+
+  private def state(spark: SparkSession, base: DataFrame,
+      group: Seq[String], aggs: Seq[Agg]): DataFrame =
+    base.groupBy(group.map(col): _*)
+      .agg(aggs.head.delta.as(aggs.head.name),
+        aggs.tail.map(a => a.delta.as(a.name)): _*)
+
+  /** Materialize the MV from the base head; returns the MV snapshot. */
+  def create(spark: SparkSession, baseRoot: String, mvRoot: String,
+      group: Seq[String], aggs: Seq[Agg], cfg: BlockWriter.Config): Int = {
+    val baseHead = LakeTable.currentSnapshot(baseRoot)
+    LakeTable.commit(spark,
+      mvRoot, state(spark, LakeTable.read(spark, baseRoot, Some(baseHead)), group, aggs),
+      cfg, group, note = s"mv-basis-$baseHead-full")
+  }
+
+  /** `true` iff every commit in (from, to] only ADDED data files —
+    * no deletes landed, no files were retired (pure appends; metadata
+    * commits are fine). Resolved from manifests alone.
+    */
+  private def appendOnly(root: String, from: Int, to: Int): Boolean =
+    ((from + 1) to to).forall { s =>
+      val m = LakeTable.manifest(root, s)
+      val pre = if (s == 1) Set.empty[String]
+        else LakeTable.manifest(root, s - 1).files.map(_.path).toSet
+      m.deletes.forall(_.seq != s) && (pre -- m.files.map(_.path)).isEmpty
+    }
+
+  /** Fold the base's changes since the recorded basis into the MV
+    * state as one rewrite commit; returns the new basis snapshot.
+    * Incremental when the range is append-only, full otherwise.
+    */
+  def refresh(spark: SparkSession, baseRoot: String, mvRoot: String,
+      group: Seq[String], aggs: Seq[Agg], cfg: BlockWriter.Config): Int = {
+    val from = basis(mvRoot)
+    val baseHead = LakeTable.currentSnapshot(baseRoot)
+    if (baseHead == from) return from
+    val incr = appendOnly(baseRoot, from, baseHead)
+    val next =
+      if (!incr) state(spark, LakeTable.read(spark, baseRoot, Some(baseHead)), group, aggs)
+      else {
+        val delta = state(spark,
+          LakeTable.incrementalRead(spark, baseRoot, from, baseHead), group, aggs)
+        LakeTable.read(spark, mvRoot).unionByName(delta)
+          .groupBy(group.map(col): _*)
+          .agg(aggs.head.fold(col(aggs.head.name)).as(aggs.head.name),
+            aggs.tail.map(a => a.fold(col(a.name)).as(a.name)): _*)
+      }
+    // the basis stamp rides the state commit itself — atomic: a
+    // reader never sees new state with an old basis or vice versa
+    LakeTable.rewrite(spark, mvRoot, next, cfg, group,
+      note = s"mv-basis-$baseHead-${if (incr) "incr" else "full"}")
+    baseHead
+  }
+}

@@ -176,9 +176,10 @@ object LakeTable {
   def rewrite(spark: SparkSession, root: String, df: DataFrame,
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean = false, basis: Option[Int] = None,
-      clusterBy: Option[org.apache.spark.sql.Column] = None): Int =
+      clusterBy: Option[org.apache.spark.sql.Column] = None,
+      note: String = ""): Int =
     writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
-      replace = true, note = "", basis = basis, clusterBy = clusterBy)
+      replace = true, note = note, basis = basis, clusterBy = clusterBy)
 
   /** MoR-DEBT COMPACTION: fold every accumulated delete file back
     * into the data files. Reads the current delete-applied view and
@@ -423,7 +424,7 @@ object LakeTable {
     */
   def merge(spark: SparkSession, root: String, keyCol: String,
       updates: DataFrame, cfg: BlockWriter.Config,
-      statCols: Seq[String]): Int = {
+      statCols: Seq[String], note: String = ""): Int = {
     val reservedM = updates.schema.fieldNames.filter(n => n == CoordPath || n == CoordIdx)
     require(reservedM.isEmpty,
       s"table columns ${reservedM.mkString(", ")} collide with the reserved " +
@@ -473,7 +474,7 @@ object LakeTable {
       Manifest(snap, parent,
         pm.files ++ entries.map(_.copy(seq = snap)),
         pm.deletes ++ delEntries.map { case (p, n) => DeleteEntry(p, phys(keyCol), n, snap) },
-        note = "", schemaJson = pm.schemaJson, bucketCol = bCol, nBuckets = bN)
+        note = note, schemaJson = pm.schemaJson, bucketCol = bCol, nBuckets = bN)
     }
   }
 
@@ -1430,6 +1431,106 @@ object LakeTable {
         else readFiles(spark, m, m.files).schema
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     } else readFiles(spark, m.copy(deletes = Nil), added)
+  }
+
+  /** CHANGE DATA FEED (the changelog read — Iceberg's
+    * `create_changelog_view`, Delta's CDF): every row-level change
+    * committed by snapshots in (`fromSnap`, `toSnap`], tagged with
+    * `_change_type` ('insert' | 'delete') and `_change_snap` (the
+    * committing snapshot id). An update (MERGE / position-delta
+    * UPDATE) appears as delete-of-the-old-version plus
+    * insert-of-the-new under the same `_change_snap` — the standard
+    * changelog encoding a downstream sink folds back into upserts.
+    *
+    * Cost model at scale: append / MoR-delete / merge / delta commits
+    * are attributed FROM THE MANIFEST and cost O(changed rows) —
+    * inserts read exactly the files the commit added, and deletes
+    * re-read only the pre-image rows the commit's delete files mask
+    * (semi-join of the parent view against the delete payload, with
+    * the same broadcast-vs-shuffle sizing as the read path). REPLACE
+    * commits (compaction, CoW rewrite, rollback, truncate) carry no
+    * row-level attribution in metadata, so they fall back to a
+    * multiset diff of the two adjacent snapshot views (EXCEPT ALL
+    * both ways): content-preserving maintenance yields ZERO change
+    * rows — at the price of a two-snapshot scan. This asymmetry is
+    * exactly why MoR deletes and a changelog consumer pair well at
+    * 100 TB, and mirrors Iceberg, whose changelog likewise cannot
+    * cheaply attribute overwrite snapshots. Every manifest in
+    * [fromSnap, toSnap] must still be live (not expired).
+    */
+  def changelogRead(spark: SparkSession, root: String, fromSnap: Int,
+      toSnap: Int): DataFrame = {
+    val head = currentSnapshot(root)
+    require(fromSnap >= 0 && toSnap <= head && fromSnap <= toSnap,
+      s"changelog range ($fromSnap, $toSnap] out of [0, $head]")
+    val CT = "_change_type"; val CS = "_change_snap"
+    def tag(d: DataFrame, kind: String, s: Int): DataFrame =
+      d.withColumn(CT, lit(kind)).withColumn(CS, lit(s))
+    val bcastRows = confLong(spark, BroadcastDeleteRowsKey,
+      DefaultBroadcastDeleteRows)
+    def hinted(keys: DataFrame, rows: Long): DataFrame =
+      if (rows <= bcastRows) broadcast(keys) else keys
+    val frames = ((fromSnap + 1) to toSnap).flatMap { s =>
+      val m = manifest(root, s)
+      val pre: Option[Manifest] = if (s == 1) None else Some(manifest(root, s - 1))
+      val retired = pre.exists(pm =>
+        (pm.files.map(_.path).toSet -- m.files.map(_.path)).nonEmpty)
+      if (retired) {
+        // replace-type commit: no row-level metadata attribution —
+        // diff the adjacent views (empty for pure maintenance)
+        val pv = readFiles(spark, pre.get, pre.get.files)
+        val post = readFiles(spark, m, m.files)
+        Seq(tag(post.exceptAll(pv), "insert", s),
+          tag(pv.exceptAll(post), "delete", s))
+      } else {
+        val added = m.files.filter(_.seq == s)
+        val ins =
+          if (added.isEmpty) Nil
+          else Seq(tag(readFiles(spark, m.copy(deletes = Nil), added), "insert", s))
+        val delsAtS = m.deletes.filter(_.seq == s)
+        val dels =
+          if (delsAtS.isEmpty || pre.isEmpty) Nil
+          else {
+            val pm = pre.get
+            val stored =
+              if (pm.schemaJson.isEmpty) None
+              else Some(DataType.fromJson(pm.schemaJson).asInstanceOf[StructType])
+            val logicalName: Map[String, String] = stored
+              .filter(ColumnMapping.hasMapping)
+              .map(ColumnMapping.toLogical).getOrElse(Map.empty)
+            val (posD, eqD) = delsAtS.partition(_.kind == "pos")
+            val eqFrames = eqD.groupBy(_.keyCol).toSeq.sortBy(_._1).map {
+              case (kc, entries) =>
+                val kcOut = logicalName.getOrElse(kc, kc)
+                readFiles(spark, pm, pm.files).join(
+                  hinted(spark.read.parquet(entries.map(_.path): _*)
+                    .toDF(kcOut).distinct(), entries.map(_.rows).sum),
+                  Seq(kcOut), "left_semi")
+            }
+            val posFrames =
+              if (posD.isEmpty) Nil
+              else Seq(readFiles(spark, pm, pm.files, coords = true).join(
+                hinted(spark.read.parquet(posD.map(_.path): _*)
+                  .select(col(CoordPath), col(CoordIdx)).distinct(),
+                  posD.map(_.rows).sum),
+                Seq(CoordPath, CoordIdx), "left_semi")
+                .drop(CoordPath, CoordIdx))
+            (eqFrames ++ posFrames).map(tag(_, "delete", s))
+          }
+        ins ++ dels
+      }
+    }
+    if (frames.isEmpty) {
+      val m = manifest(root, toSnap)
+      val schema =
+        if (m.schemaJson.nonEmpty)
+          ColumnMapping.logicalClean(
+            DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+        else readFiles(spark, m, m.files).schema
+      tag(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema), "insert", 0)
+        .limit(0)
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Time-based retention: expire every snapshot whose commit time is

@@ -742,6 +742,59 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- lake_cdf: CHANGE DATA FEED — the changelog read (Iceberg's
+  // create_changelog_view / Delta CDF): every row-level change in a
+  // snapshot range, tagged insert/delete with its committing
+  // snapshot; an update (MERGE) appears as delete-old + insert-new
+  // under one snap. The lifecycle exercises all attribution paths:
+  // two appends (manifest-attributed inserts), a MoR delete
+  // (pre-image semi-join against the delete payload), a foldDeletes
+  // REWRITE (replace-type maintenance — must contribute ZERO change
+  // rows via the view diff), then a MERGE (delete+insert pair). At
+  // 100 TB each non-replace commit's changelog costs O(its changed
+  // rows), resolved from the manifest — never a table scan; the
+  // oracle replays the five-commit change history relationally.
+  def lakeCdf(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_cdf_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    LakeTable.deleteWhere(s, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.foldDeletes(s, root, cfg, Seq("event_id"))
+    LakeTable.merge(s, root, "event_id",
+      ev.filter(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") + lit(1000.0d)),
+      cfg, Seq("event_id"))
+    LakeTable.changelogRead(s, root, 0, 5)
+      .select(col("_change_snap").cast("bigint").as("snap"),
+        col("_change_type").as("change"), col("event_type"), col("value"))
+      .groupBy(col("snap"), col("change"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("change"), col("event_type"))
+  }
+
+  val lakeCdfSql: String =
+    """WITH ch AS (
+      |  SELECT 1 AS snap, 'insert' AS change, event_type, value
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 2, 'insert', event_type, value FROM events WHERE event_id % 2 = 1
+      |  UNION ALL
+      |  SELECT 3, 'delete', event_type, value FROM events WHERE event_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 5, 'delete', event_type, value
+      |  FROM events WHERE event_id % 7 = 0 AND event_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT 5, 'insert', event_type, value + 1000
+      |  FROM events WHERE event_id % 7 = 0)
+      |SELECT CAST(snap AS BIGINT) AS snap, change, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM ch
+      |GROUP BY snap, change, event_type
+      |ORDER BY snap, change, event_type""".stripMargin
+
   // --- lake_merge_mor: atomic MERGE-ON-READ UPSERT (MERGE INTO, the
   // v2 write shape): updated rows land as new data files AND an
   // equality-delete file of their keys in ONE commit — the sequence
@@ -781,6 +834,61 @@ object Lake {
       |FROM snaps
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
+
+  // --- mv_refresh: INCREMENTAL MATERIALIZED-VIEW maintenance — the
+  // aggregate table every warehouse pipeline ends in, kept fresh by
+  // folding ONLY the base's new rows into the prior state
+  // (IncrementalMv: delta via manifest-resolved incrementalRead +
+  // distributive-aggregate fold; the refresh basis rides the MV
+  // commit note atomically). Stage 1 reads the MV after an
+  // APPEND-ONLY refresh (two new generations folded in — at 100 TB
+  // this costs the new files plus an |MV|-row shuffle, never a base
+  // scan); then a MoR delete lands on the base and stage 2 reads the
+  // MV after the refresh that must detect the non-append range and
+  // fall back to a full recompute (the Iceberg MV staleness rule —
+  // min/max can't be incrementally maintained through deletes). Both
+  // stages replayed relationally; the mode switching is spec-pinned.
+  def mvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val base = tmp("graft_mvb_")
+    val mv = tmp("graft_mv_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 4096)
+    import graft.lake.IncrementalMv
+    val aggs = Seq(
+      IncrementalMv.Agg("n", count(lit(1)), sum(_)),
+      IncrementalMv.Agg("sum_value_x100",
+        sum(floor(col("value") * 100 + 0.5)).cast("bigint"), c => sum(c).cast("bigint")),
+      IncrementalMv.Agg("min_id", min(col("event_id")), min(_)))
+    val group = Seq("event_type")
+    LakeTable.commit(s, base, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id"))
+    IncrementalMv.create(s, base, mv, group, aggs, mvCfg)
+    LakeTable.commit(s, base, ev.filter(col("event_id") % 3 === 1), cfg, Seq("event_id"))
+    LakeTable.commit(s, base, ev.filter(col("event_id") % 3 === 2), cfg, Seq("event_id"))
+    IncrementalMv.refresh(s, base, mv, group, aggs, mvCfg)
+    LakeTable.deleteWhere(s, base, "event_id", ev.filter(col("event_id") % 10 === 0))
+    IncrementalMv.refresh(s, base, mv, group, aggs, mvCfg)
+    LakeTable.read(s, mv, Some(2)).withColumn("stage", lit(1L))
+      .unionByName(LakeTable.read(s, mv, Some(3)).withColumn("stage", lit(2L)))
+      .orderBy(col("stage"), col("event_type"))
+  }
+
+  val mvRefreshSql: String =
+    """WITH s1 AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |    MIN(event_id) AS min_id
+      |  FROM events GROUP BY event_type),
+      |s2 AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |    MIN(event_id) AS min_id
+      |  FROM events WHERE event_id % 10 <> 0 GROUP BY event_type)
+      |SELECT CAST(1 AS BIGINT) AS stage, event_type, n, sum_value_x100, min_id FROM s1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS stage, event_type, n, sum_value_x100, min_id FROM s2
+      |ORDER BY stage, event_type""".stripMargin
 
   // --- lake_history: the snapshot-history METADATA table (Iceberg's
   // `snapshots`): append → append → MoR delete, then one row per
@@ -975,6 +1083,57 @@ object Lake {
       |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
       |  COUNT(DISTINCT user_id) AS n_users,
       |  CAST(3 AS BIGINT) AS n_commits
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- stream_upsert: CDC APPLY — the streaming half of the
+  // changelog lifecycle: a stream of change records lands on a lake
+  // table as one atomic MoR MERGE per micro-batch (new files + an
+  // equality-delete of the batch's keys in ONE commit), idempotent by
+  // batch id. Within a batch, duplicate change records for one key
+  // resolve latest-wins on the order column BEFORE the merge (the
+  // loser carries ts-1s and a decoy value — if resolution were
+  // missing or wrong, the decoy would surface in the sum). Across
+  // batches, latest-wins falls out of the sequence rule: each
+  // commit's delete masks only OLDER files. The staged CDC files are
+  // hash-partitioned BY KEY so every key's records share a batch —
+  // exactly how a real CDC feed shards by primary key to keep
+  // ordering per key. At 100 TB a batch touching 0.01% of rows costs
+  // 0.01%, never a rewrite. The oracle replays the net upsert result.
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_su_")
+    val staged = tmp("graft_su_in_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id"))
+    val winners0 = ev.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + lit(1000.0d))
+    val losers0 = ev.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + lit(500.0d))
+      .withColumn("ts", col("ts") - expr("INTERVAL 1 SECOND"))
+    val winners1 = ev.filter(col("event_id") % 3 === 1)
+      .withColumn("value", col("value") + lit(2000.0d))
+    winners0.unionByName(losers0).unionByName(winners1)
+      .repartition(3, col("event_id"))
+      .write.mode("overwrite").parquet(staged)
+    val head = graft.streaming.LakeStream.applyCdcToLake(
+      s, staged, root, "event_id", "ts", cfg, Seq("event_id"))
+    LakeTable.read(s, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .withColumn("n_commits", lit(head.toLong))
+      .orderBy(col("event_type"))
+  }
+
+  val streamUpsertSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(
+      |    (CASE WHEN event_id % 3 = 0 THEN value + 1000
+      |          WHEN event_id % 3 = 1 THEN value + 2000
+      |          ELSE value END) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  CAST(4 AS BIGINT) AS n_commits
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -1492,6 +1651,7 @@ object Lake {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_lake" -> streamLake,
+    "stream_upsert" -> streamUpsert,
     "lake_format_read" -> lakeFormatRead,
     "lake_stream_read" -> lakeStreamRead,
     "snapshot_read" -> snapshotRead,
@@ -1508,6 +1668,8 @@ object Lake {
     "lake_history" -> lakeHistory,
     "lake_merge_mor" -> lakeMergeMor,
     "lake_incremental" -> lakeIncremental,
+    "lake_cdf" -> lakeCdf,
+    "mv_refresh" -> mvRefresh,
     "lake_delete_pos" -> lakeDeletePos,
     "lake_delete_bulk" -> lakeDeleteBulk,
     "lake_rewrite" -> lakeRewrite,
@@ -1528,6 +1690,7 @@ object Lake {
 
   val oracles: Map[String, String] = Map(
     "stream_lake" -> streamLakeSql,
+    "stream_upsert" -> streamUpsertSql,
     "lake_format_read" -> lakeFormatReadSql,
     "lake_stream_read" -> lakeStreamReadSql,
     "snapshot_read" -> snapshotReadSql,
@@ -1544,6 +1707,8 @@ object Lake {
     "lake_history" -> lakeHistorySql,
     "lake_merge_mor" -> lakeMergeMorSql,
     "lake_incremental" -> lakeIncrementalSql,
+    "lake_cdf" -> lakeCdfSql,
+    "mv_refresh" -> mvRefreshSql,
     "lake_delete_pos" -> lakeDeletePosSql,
     "lake_delete_bulk" -> lakeDeleteBulkSql,
     "lake_rewrite" -> lakeRewriteSql,

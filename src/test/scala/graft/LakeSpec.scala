@@ -1015,4 +1015,124 @@ class LakeDataSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === ev.count())
     graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(sink); graft.util.Scratch.rmNow(ckpt)
   }
+
+  test("changelog read attributes inserts/deletes per snapshot; maintenance emits nothing") {
+    val root = graft.util.Scratch.dir("graft_cdf_spec_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, root, "event_id", ev.filter(col("event_id") % 10 === 0))
+    LakeTable.foldDeletes(spark, root, cfg, Seq("event_id"))
+    LakeTable.merge(spark, root, "event_id",
+      ev.filter(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") + lit(1000.0d)), cfg, Seq("event_id"))
+    val cl = LakeTable.changelogRead(spark, root, 0, 5).cache()
+    def n(snap: Int, kind: String): Long =
+      cl.filter(col("_change_snap") === snap && col("_change_type") === kind).count()
+    val nEven = ev.filter(col("event_id") % 2 === 0).count()
+    val nOdd = ev.filter(col("event_id") % 2 === 1).count()
+    val nTen = ev.filter(col("event_id") % 10 === 0).count()
+    val nSeven = ev.filter(col("event_id") % 7 === 0).count()
+    val nSevenLive = ev.filter(col("event_id") % 7 === 0 && col("event_id") % 10 =!= 0).count()
+    assert(n(1, "insert") === nEven && n(1, "delete") === 0L)
+    assert(n(2, "insert") === nOdd && n(2, "delete") === 0L)
+    assert(n(3, "insert") === 0L && n(3, "delete") === nTen,
+      "MoR delete commit must emit exactly the masked pre-image rows")
+    assert(n(4, "insert") === 0L && n(4, "delete") === 0L,
+      "foldDeletes is content-preserving maintenance — zero change rows")
+    assert(n(5, "insert") === nSeven && n(5, "delete") === nSevenLive,
+      "merge = delete-of-old-version + insert-of-new under one snap")
+    // conservation law: net changelog == final view cardinality
+    val ins = cl.filter(col("_change_type") === "insert").count()
+    val del = cl.filter(col("_change_type") === "delete").count()
+    assert(ins - del === LakeTable.read(spark, root).count())
+    cl.unpersist()
+    // an empty range still serves the table schema plus the tags
+    val empty = LakeTable.changelogRead(spark, root, 5, 5)
+    assert(empty.count() === 0L)
+    assert(empty.columns.contains("_change_type") && empty.columns.contains("event_id"))
+    // a delete-only range emits only delete rows
+    val d3 = LakeTable.changelogRead(spark, root, 2, 3)
+    assert(d3.filter(col("_change_type") === "insert").count() === 0L)
+    assert(d3.count() === nTen)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("CDC apply merges one atomic upsert per batch, idempotent under re-drain") {
+    val root = graft.util.Scratch.dir("graft_cdcapply_")
+    val staged = graft.util.Scratch.dir("graft_cdcapply_in_")
+    val ckpt = graft.util.Scratch.dir("graft_cdcapply_ck_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
+    // winner (+1000, original ts) and loser (+500, ts-1s) share a key
+    // — in-batch latest-wins must keep the winner; key-hash staging
+    // keeps each key's records in one batch
+    ev.filter(col("event_id") % 3 === 0).withColumn("value", col("value") + lit(1000.0d))
+      .unionByName(ev.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") + lit(500.0d))
+        .withColumn("ts", col("ts") - expr("INTERVAL 1 SECOND")))
+      .repartition(2, col("event_id"))
+      .write.mode("overwrite").parquet(staged)
+    val head = graft.streaming.LakeStream.applyCdcToLake(
+      spark, staged, root, "event_id", "ts", cfg, Seq("event_id"), checkpoint = ckpt)
+    assert(head === 3, "one base commit + one merge commit per batch")
+    val out = LakeTable.read(spark, root).cache()
+    assert(out.count() === ev.count(), "upsert preserves cardinality")
+    assert(out.select(col("event_id")).distinct().count() === ev.count(),
+      "no duplicate keys after merge")
+    val expect = ev.withColumn("value",
+      when(col("event_id") % 3 === 0, col("value") + lit(1000.0d)).otherwise(col("value")))
+    val expSum = expect.agg(sum(floor(col("value") * 100 + 0.5))).head().getLong(0)
+    val gotSum = out.agg(sum(floor(col("value") * 100 + 0.5))).head().getLong(0)
+    assert(gotSum === expSum,
+      "winner (+1000) must survive in-batch resolution — a +500 decoy means the order column was ignored")
+    out.unpersist()
+    // re-drain with the same checkpoint: no new batches, no new commits
+    val head2 = graft.streaming.LakeStream.applyCdcToLake(
+      spark, staged, root, "event_id", "ts", cfg, Seq("event_id"), checkpoint = ckpt)
+    assert(head2 === head, "re-drain must be a no-op")
+    graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(staged); graft.util.Scratch.rmNow(ckpt)
+  }
+
+  test("incremental MV folds append-only deltas, falls back to full on deletes") {
+    import graft.lake.IncrementalMv
+    val base = graft.util.Scratch.dir("graft_mv_spec_b_")
+    val mv = graft.util.Scratch.dir("graft_mv_spec_m_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 4096)
+    val aggs = Seq(
+      IncrementalMv.Agg("n", count(lit(1)), sum(_)),
+      IncrementalMv.Agg("min_id", min(col("event_id")), min(_)))
+    LakeTable.commit(spark, base, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id"))
+    IncrementalMv.create(spark, base, mv, Seq("event_type"), aggs, mvCfg)
+    assert(IncrementalMv.basis(mv) === 1)
+    // a refresh with nothing new is a no-op: no commit, basis unchanged
+    IncrementalMv.refresh(spark, base, mv, Seq("event_type"), aggs, mvCfg)
+    assert(LakeTable.currentSnapshot(mv) === 1, "no-op refresh must not commit")
+    LakeTable.commit(spark, base, ev.filter(col("event_id") % 3 === 1), cfg, Seq("event_id"))
+    LakeTable.commit(spark, base, ev.filter(col("event_id") % 3 === 2), cfg, Seq("event_id"))
+    IncrementalMv.refresh(spark, base, mv, Seq("event_type"), aggs, mvCfg)
+    // append-only range took the INCREMENTAL path (note-stamped)
+    assert(LakeTable.manifest(mv, LakeTable.currentSnapshot(mv)).note === "mv-basis-3-incr")
+    // incremental state == full recompute
+    val full = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"))
+    val got = LakeTable.read(spark, mv)
+    assert(got.exceptAll(full).count() === 0L && full.exceptAll(got).count() === 0L,
+      "incrementally-folded MV state must equal a full recompute")
+    // a MoR delete makes the range non-append-only: full fallback
+    LakeTable.deleteWhere(spark, base, "event_id", ev.filter(col("event_id") % 10 === 0))
+    IncrementalMv.refresh(spark, base, mv, Seq("event_type"), aggs, mvCfg)
+    assert(LakeTable.manifest(mv, LakeTable.currentSnapshot(mv)).note === "mv-basis-4-full",
+      "a delete in the range must force the full-recompute path (min/max can't fold through deletes)")
+    val fullAfter = ev.filter(col("event_id") % 10 =!= 0).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"))
+    val gotAfter = LakeTable.read(spark, mv)
+    assert(gotAfter.exceptAll(fullAfter).count() === 0L &&
+      fullAfter.exceptAll(gotAfter).count() === 0L)
+    graft.util.Scratch.rmNow(base); graft.util.Scratch.rmNow(mv)
+  }
 }
