@@ -1313,6 +1313,45 @@ object LlmPipeline {
        |ORDER BY lang""".stripMargin
   }
 
+  // --- domain_cap: PER-DOMAIN DOCUMENT CAPS — the Common-Crawl-style
+  // guard against a handful of mega-domains dominating the corpus:
+  // every source keeps at most CAP documents, selected by
+  // deterministic md5 rank (a seeded uniform draw both engines
+  // replay). One shuffle on the domain key; the report carries the
+  // retained char mass per domain. At 100 TB the same shape holds —
+  // the window is keyed on a high-cardinality column (domains), and
+  // for a pathological mega-domain the standard refinement is a
+  // two-phase cap (hash-threshold pre-filter at ~2·cap/n, exact rank
+  // on the survivors), which composes from these same primitives.
+  def domainCap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 10
+    val key = md5(concat(lit("cap|"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(key, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("rk") <= cap, col("n_chars"))), lit(0L))
+          .cast("bigint").as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  val domainCapSql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(SUM(CASE WHEN rk <= 10 THEN n_chars END), 0) AS BIGINT) AS kept_chars
+      |FROM ranked
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // --- pipeline_e2e: the whole training-data pipeline as ONE
   // composed query — quality gate → near-dup drop (MinHash pairs) →
   // per-language stratified sample → fixed-token chunking → sharded
@@ -2106,6 +2145,7 @@ object LlmPipeline {
     "dedup_clusters" -> dedupClusters,
     "graph_rank" -> graphRank,
     "sample_stratified" -> sampleStratified,
+    "domain_cap" -> domainCap,
     "pipeline_e2e" -> pipelineE2e,
     "embed_neardup" -> embedNeardup,
     "ann_topk" -> annTopk,
@@ -2144,6 +2184,7 @@ object LlmPipeline {
     "dedup_clusters" -> dedupClustersSql,
     "graph_rank" -> graphRankSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "domain_cap" -> domainCapSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "embed_neardup" -> embedNeardupSql,
     "ann_topk" -> annTopkSql,
