@@ -478,6 +478,104 @@ object LakeTable {
     }
   }
 
+  /** PREDICATE OVERWRITE (Delta's `replaceWhere` / Iceberg's
+    * overwrite-by-filter — the atomic BACKFILL verb): replace exactly
+    * the rows inside the given stat bounds with `df`, in ONE commit.
+    * The bounds define both the file-selection predicate AND the row
+    * predicate, so the two can never disagree: files whose manifest
+    * stats can't intersect the box are KEPT BY REFERENCE (zero IO,
+    * zero metadata rewrite — the commit inherits the parent's parts
+    * and tombstones only the replaced paths, O(touched + new)
+    * metadata); files that might intersect are rewritten WITHOUT
+    * their in-box rows (their applicable MoR delete masks fold in).
+    * Incoming rows must all fall inside the box (the replaceWhere
+    * contract — a row outside would silently survive alongside its
+    * old version otherwise). Basis-validated like [[rewrite]]: a
+    * concurrent commit landing mid-staging fails this one. At 100 TB,
+    * re-crawling one day of an events table is: stage the day,
+    * `overwriteWhere(ts-day-bounds, newDay)` — cost proportional to
+    * that day's files, atomic, time-travelable.
+    * Bounds use stat units (timestamps as epoch micros, dates as
+    * epoch days — [[prunedRead]]'s convention).
+    */
+  def overwriteWhere(spark: SparkSession, root: String,
+      bounds: Map[String, (Long, Long)],
+      df: DataFrame, cfg: BlockWriter.Config, statCols: Seq[String],
+      strBounds: Map[String, (String, String)] = Map.empty,
+      rangeCluster: Boolean = false): Int = {
+    require(bounds.nonEmpty || strBounds.nonEmpty,
+      "overwriteWhere needs at least one bound (an unbounded overwrite is rewrite())")
+    val reservedO = df.schema.fieldNames.filter(n => n == CoordPath || n == CoordIdx)
+    require(reservedO.isEmpty,
+      s"table columns ${reservedO.mkString(", ")} collide with the reserved " +
+        "row-coordinate names; rename them before committing")
+    val basis = currentSnapshot(root)
+    require(basis > 0, s"overwriteWhere on empty table $root")
+    val m = manifest(root, basis)
+    val stored = Option(m.schemaJson).filter(_.nonEmpty)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    stored.foreach { st =>
+      val live = ColumnMapping.logicalClean(st)
+      require(live.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"overwrite schema mismatch for $root: table has ${live.json}, " +
+          s"frame has ${df.schema.json}")
+    }
+    val physMap = stored.filter(ColumnMapping.hasMapping)
+      .map(ColumnMapping.toPhysical).getOrElse(Map.empty)
+    def phys(c: String) = physMap.getOrElse(c, c)
+    val touched = filesMatching(m.files,
+      bounds.map { case (k, v) => phys(k) -> v },
+      strBounds.map { case (k, v) => phys(k) -> v }, Map.empty)
+    val touchedPaths = touched.map(_.path)
+    def box(d: DataFrame): Column = {
+      val schema = d.schema
+      def rowExpr(c: String): Column = schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast("bigint")
+        case _ => col(c)
+      }
+      (bounds.map { case (c, (lo, hi)) => rowExpr(c) >= lo && rowExpr(c) <= hi } ++
+        strBounds.map { case (c, (lo, hi)) => col(c) >= lo && col(c) <= hi })
+        .reduce(_ && _)
+    }
+    val nOutside = df.filter(!box(df)).count()
+    require(nOutside == 0L,
+      s"$nOutside incoming rows fall outside the overwrite bounds — " +
+        "widen the bounds or filter the frame")
+    // survivors: the touched files' LIVE rows outside the box. Their
+    // applicable delete masks fold in here; the staged files carry
+    // seq = this commit, so older deletes no longer apply to them.
+    val newData =
+      if (touched.isEmpty) df
+      else {
+        val base = readFiles(spark, m, touched)
+        base.filter(!box(base)).unionByName(df)
+      }
+    val ndW =
+      if (physMap.isEmpty) newData
+      else newData.select(newData.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
+    val cfgW =
+      if (physMap.isEmpty) cfg
+      else cfg.copy(partitionCol = phys(cfg.partitionCol), keyCol = phys(cfg.keyCol))
+    val staging = stagingDir(root)
+    BlockWriter.writeFlat(ndW, staging, cfgW, rangeCluster)
+    val entries = scanStats(spark, staging, ndW, statCols.map(phys))
+    casLoop(root, removed = touchedPaths) { parent =>
+      if (parent != basis)
+        throw new java.util.ConcurrentModificationException(
+          s"overwriteWhere of $root based on snapshot $basis but head is " +
+            s"$parent; re-run against the current head")
+      val snap = parent + 1
+      val touchedSet = touchedPaths.toSet
+      val kept = m.files.filterNot(f => touchedSet.contains(f.path))
+      // kept files keep their bucket labels, but the staged files are
+      // writer-distributed — a mixed inventory retires the SPJ spec
+      Manifest(snap, parent, kept ++ entries.map(_.copy(seq = snap)),
+        m.deletes, note = "overwrite-where", schemaJson = m.schemaJson)
+    }
+  }
+
   /** POSITIONAL merge-on-read DELETE (Iceberg v2's second delete
     * mode): `positions` is a ([[CoordPath]], [[CoordIdx]]) frame of
     * row coordinates — obtain it by filtering a [[withRowCoords]]
@@ -1292,7 +1390,8 @@ object LakeTable {
     * reused); [[removeOrphans]] sweeps those.
     */
   private def casLoop(root: String, replace: Boolean = false,
-      partsFrom: Option[(String, Int)] = None)
+      partsFrom: Option[(String, Int)] = None,
+      removed: Seq[String] = Nil)
       (build: Int => Manifest): Int = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
@@ -1318,7 +1417,7 @@ object LakeTable {
       val partPath = meta.resolve(
         s"part-${System.nanoTime()}-${stageCounter.incrementAndGet()}.json")
       try {
-        Files.writeString(partPath, partJson(added, addedDeletes),
+        Files.writeString(partPath, partJson(added, addedDeletes, removed),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         // commit wall-clock, stamped at the CAS attempt — metadata
         // for AS-OF-TIMESTAMP travel, never query output
@@ -1931,7 +2030,8 @@ object LakeTable {
   }
 
   /** One commit's incremental metadata: its added files + deletes. */
-  private def partJson(files: Seq[FileEntry], deletes: Seq[DeleteEntry]): String = {
+  private def partJson(files: Seq[FileEntry], deletes: Seq[DeleteEntry],
+      removed: Seq[String] = Nil): String = {
     val fs = files.map { f =>
       val st = f.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
         // base64 is JSON-safe; bloom rides any kind
@@ -1948,7 +2048,17 @@ object LakeTable {
     val ds = deletes.map { d =>
       s"""{"path":"${esc(d.path)}","key":"${esc(d.keyCol)}","rows":${d.rows},"seq":${d.seq},"kind":"${d.kind}"}"""
     }.mkString(",")
-    s"""{"files":[$fs],"deletes":[$ds]}"""
+    // `removed`: RETIREMENT TOMBSTONES — paths this commit removes
+    // from the live view while the rest of the parent's inventory is
+    // inherited by part reference. This is what keeps a surgical
+    // overwrite's metadata O(touched + new) instead of O(table):
+    // resolution subtracts tombstones from earlier parts in order.
+    // Absent on parts written before the field existed (and on every
+    // pure append), so old metadata parses unchanged.
+    val rm =
+      if (removed.isEmpty) ""
+      else removed.map(p => s""""${esc(p)}"""").mkString(""","removed":[""", ",", "]")
+    s"""{"files":[$fs],"deletes":[$ds]$rm}"""
   }
 
   /** Snapshot metadata + the ordered part-path list — O(commits),
@@ -1967,10 +2077,10 @@ object LakeTable {
     * never modified, so parsed content is cacheable for the JVM
     * lifetime; entries are metadata-sized.
     */
-  private val partCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Seq[FileEntry], Seq[DeleteEntry])]()
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[FileEntry], Seq[DeleteEntry], Seq[String])]()
 
-  private def loadPart(path: String): (Seq[FileEntry], Seq[DeleteEntry]) =
+  private def loadPart(path: String): (Seq[FileEntry], Seq[DeleteEntry], Seq[String]) =
     partCache.computeIfAbsent(path, { p =>
       val node = mapper.readTree(Files.readString(Paths.get(p)))
       val files = asScala(node.get("files").elements()).map { f =>
@@ -1997,7 +2107,11 @@ object LakeTable {
           d.get("rows").asLong(), d.get("seq").asInt(),
           if (d.has("kind")) d.get("kind").asText() else "eq")
       }.toSeq
-      (files, deletes)
+      val removed =
+        if (node.has("removed"))
+          asScala(node.get("removed").elements()).map(_.asText()).toSeq
+        else Nil
+      (files, deletes, removed)
     })
 
   /** A snapshot's raw part-path list (commit-count-sized). */
@@ -2017,8 +2131,16 @@ object LakeTable {
       Files.readString(Paths.get(root, "meta", s"manifest-$snap.json")))
     val parts = asScala(node.get("parts").elements()).map(_.asText()).toSeq
       .map(loadPart)
+    // resolve in part order: a part's retirement tombstones subtract
+    // from the inventory accumulated by EARLIER parts (a surgical
+    // overwrite inherits the parent's parts and tombstones only the
+    // files it replaced)
+    val files = parts.foldLeft(Seq.empty[FileEntry]) { case (acc, (pf, _, rm)) =>
+      val rms = rm.toSet
+      (if (rms.isEmpty) acc else acc.filterNot(f => rms.contains(f.path))) ++ pf
+    }
     Manifest(node.get("snapshot_id").asInt(), node.get("parent_id").asInt(),
-      parts.flatMap(_._1), parts.flatMap(_._2),
+      files, parts.flatMap(_._2),
       if (node.has("note")) node.get("note").asText() else "",
       if (node.has("schema")) node.get("schema").asText() else "",
       if (node.has("ts_ms")) node.get("ts_ms").asLong() else 0L,

@@ -835,6 +835,52 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- lake_overwrite: PREDICATE OVERWRITE (replaceWhere — the
+  // atomic BACKFILL verb): one commit replaces exactly one calendar
+  // day of a ts-range-clustered events table with re-processed rows.
+  // Files whose stats can't intersect the day are kept BY REFERENCE
+  // (the commit inherits the parent's parts and tombstones only the
+  // replaced paths — O(touched + new) metadata); boundary files are
+  // rewritten without their in-day rows. Pre-overwrite snapshot 1
+  // stays readable (time travel). At 100 TB re-crawling one day costs
+  // that day's files, never the table; the oracle replays both views.
+  def lakeOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_ow_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1024)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id", "ts"), rangeCluster = true)
+    // 2024-01-10 in epoch micros (manifest ts stats' unit)
+    val lo = 1704844800000000L
+    val hi = 1704931199999999L
+    val day = ev.filter(unix_micros(col("ts")).between(lo, hi))
+      .withColumn("value", col("value") + lit(1000.0d))
+    LakeTable.overwriteWhere(s, root, Map("ts" -> (lo, hi)), day, cfg,
+      Seq("event_id", "ts"), rangeCluster = true)
+    LakeTable.read(s, root, Some(1)).withColumn("snap", lit(1L))
+      .unionByName(LakeTable.read(s, root, Some(2)).withColumn("snap", lit(2L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeOverwriteSql: String =
+    """WITH day AS (
+      |  SELECT event_type,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |           AND ts < TIMESTAMP '2024-01-11 00:00:00'
+      |         THEN value + 1000 ELSE value END AS value
+      |  FROM events),
+      |snaps AS (
+      |  SELECT CAST(1 AS BIGINT) AS snap, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_type, value FROM day)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   // --- mv_refresh: INCREMENTAL MATERIALIZED-VIEW maintenance — the
   // aggregate table every warehouse pipeline ends in, kept fresh by
   // folding ONLY the base's new rows into the prior state
@@ -1670,6 +1716,7 @@ object Lake {
     "lake_incremental" -> lakeIncremental,
     "lake_cdf" -> lakeCdf,
     "mv_refresh" -> mvRefresh,
+    "lake_overwrite" -> lakeOverwrite,
     "lake_delete_pos" -> lakeDeletePos,
     "lake_delete_bulk" -> lakeDeleteBulk,
     "lake_rewrite" -> lakeRewrite,
@@ -1709,6 +1756,7 @@ object Lake {
     "lake_incremental" -> lakeIncrementalSql,
     "lake_cdf" -> lakeCdfSql,
     "mv_refresh" -> mvRefreshSql,
+    "lake_overwrite" -> lakeOverwriteSql,
     "lake_delete_pos" -> lakeDeletePosSql,
     "lake_delete_bulk" -> lakeDeleteBulkSql,
     "lake_rewrite" -> lakeRewriteSql,

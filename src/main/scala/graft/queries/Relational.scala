@@ -602,6 +602,43 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- q_decorr: CORRELATED scalar subqueries (the TPC-H Q17 shape:
+  // "lineitems below a fraction of their part's average quantity")
+  // written as actual correlated SQL so CATALYST'S DECORRELATION does
+  // the rewrite — both per-part aggregates plan as one shuffled agg
+  // joined back on l_partkey, never a per-row re-execution (a
+  // correlated subquery naively evaluated at 100 TB is a full scan
+  // PER ROW; decorrelated it is one extra agg + join on the
+  // correlation key). The threshold is integer-exact
+  // (2·qty·cnt < sum ⟺ qty < 0.5·avg for integral quantities), so no
+  // cross-engine float-average hazard. Oracle replays the identical
+  // correlated SQL on DuckDB, which decorrelates the same way.
+  def qDecorr(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_dc")
+    Tables.load(s, dir, "part").createOrReplaceTempView("part_dc")
+    s.sql(
+      """SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS small_rev_x100
+        |FROM lineitem_dc JOIN part_dc ON p_partkey = l_partkey
+        |WHERE 2 * CAST(l_quantity AS BIGINT) *
+        |    (SELECT COUNT(*) FROM lineitem_dc l2 WHERE l2.l_partkey = p_partkey)
+        |  < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem_dc l2
+        |     WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val qDecorrSql: String =
+    """SELECT p_brand, COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS small_rev_x100
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE 2 * CAST(l_quantity AS BIGINT) *
+      |    (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |  < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+      |     WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   def qStrings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("n_tokens", regexp_count(col("text"), lit("[a-z]+")))
@@ -694,6 +731,7 @@ object Relational {
     "q_bucket_join" -> qBucketJoin,
     "q_pivot" -> qPivot,
     "q_subquery" -> qSubquery,
+    "q_decorr" -> qDecorr,
     "q_setops" -> qSetops,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
@@ -720,6 +758,7 @@ object Relational {
     "q_bucket_join" -> qBucketJoinSql,
     "q_pivot" -> qPivotSql,
     "q_subquery" -> qSubquerySql,
+    "q_decorr" -> qDecorrSql,
     "q_setops" -> qSetopsSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,

@@ -1096,6 +1096,58 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(staged); graft.util.Scratch.rmNow(ckpt)
   }
 
+  test("predicate overwrite is surgical: untouched files kept by reference, tombstone metadata") {
+    val root = graft.util.Scratch.dir("graft_ow_spec_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    // small files + ts range clustering → tight per-file ts extents
+    val owCfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 128)
+    LakeTable.commit(spark, root, ev, owCfg, Seq("event_id", "ts"), rangeCluster = true)
+    val m1 = LakeTable.manifest(root, 1)
+    assert(m1.files.size >= 6, s"need a multi-file layout, got ${m1.files.size}")
+    val lo = 1704844800000000L // 2024-01-10 in micros
+    val hi = 1704931199999999L
+    val day = ev.filter(unix_micros(col("ts")).between(lo, hi))
+      .withColumn("value", col("value") + lit(1000.0d))
+    // incoming rows outside the box are rejected (the replaceWhere contract)
+    intercept[IllegalArgumentException] {
+      LakeTable.overwriteWhere(spark, root, Map("ts" -> (lo, hi)),
+        ev.limit(50), owCfg, Seq("event_id", "ts"))
+    }
+    LakeTable.overwriteWhere(spark, root, Map("ts" -> (lo, hi)), day, owCfg,
+      Seq("event_id", "ts"), rangeCluster = true)
+    val m2 = LakeTable.manifest(root, 2)
+    val oldPaths = m1.files.map(_.path).toSet
+    val keptPaths = m2.files.map(_.path).toSet.intersect(oldPaths)
+    val retired = oldPaths -- m2.files.map(_.path).toSet
+    assert(retired.nonEmpty && keptPaths.nonEmpty,
+      s"surgical overwrite must retire SOME files and keep the rest " +
+        s"(retired ${retired.size}, kept ${keptPaths.size} of ${oldPaths.size})")
+    assert(retired.size <= m1.files.size / 2,
+      s"a one-day overwrite of a 30-day table should touch a minority of files " +
+        s"(touched ${retired.size} of ${m1.files.size})")
+    // kept files are the SAME entries (seq, stats) — inherited by part
+    // reference, not rewritten
+    val m1ByPath = m1.files.map(f => f.path -> f).toMap
+    keptPaths.foreach { p =>
+      assert(m2.files.find(_.path == p).get === m1ByPath(p)) }
+    // content law: head == events with the day's values bumped
+    val expect = ev.withColumn("value",
+      when(unix_micros(col("ts")).between(lo, hi), col("value") + lit(1000.0d))
+        .otherwise(col("value")))
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === ev.count())
+    assert(got.exceptAll(expect).count() === 0L && expect.exceptAll(got).count() === 0L)
+    // time travel: snapshot 1 still reads the original
+    assert(LakeTable.read(spark, root, Some(1)).exceptAll(ev).count() === 0L)
+    // and the changelog attributes the overwrite via the view diff
+    val cl = LakeTable.changelogRead(spark, root, 1, 2)
+    val nDay = ev.filter(unix_micros(col("ts")).between(lo, hi)).count()
+    assert(cl.filter(col("_change_type") === "insert").count() === nDay)
+    assert(cl.filter(col("_change_type") === "delete").count() === nDay)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("incremental MV folds append-only deltas, falls back to full on deletes") {
     import graft.lake.IncrementalMv
     val base = graft.util.Scratch.dir("graft_mv_spec_b_")
