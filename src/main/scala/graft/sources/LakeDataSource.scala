@@ -1072,11 +1072,85 @@ private[sources] object LakeFormatWrite {
       data: DataFrame): Option[org.apache.spark.sql.Column] =
     zCols.map { case (a, b) => graft.operators.ZOrder.zColumn(data, a, b) }
 
+  /** `option("replaceWhere", "<pred>")` → stat-bounds maps for
+    * [[LakeTable.overwriteWhere]]. Supported grammar (Delta's
+    * replaceWhere shape): a conjunction of range/equality terms over
+    * integral, timestamp, date, or string columns — `c >= v`,
+    * `c <= v`, `c > v`, `c < v` (integral/temporal only; strict
+    * string bounds have no exact inclusive form), `c = v`,
+    * `c BETWEEN a AND b`. Anything else is rejected loudly: the
+    * predicate defines the REPLACED REGION, so a silently-dropped
+    * term would replace the wrong rows.
+    */
+  private[sources] def parseReplaceWhere(spark: SparkSession, text: String)
+      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And => CAnd, EqualTo => CEq, Expression, GreaterThan => CGt,
+      GreaterThanOrEqual => CGte, LessThan => CLt, LessThanOrEqual => CLte,
+      Literal => CLit}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def num(l: CLit): Option[Long] = l.dataType match {
+      case LongType => Some(l.value.asInstanceOf[Long])
+      case IntegerType => Some(l.value.asInstanceOf[Int].toLong)
+      case ShortType => Some(l.value.asInstanceOf[Short].toLong)
+      case ByteType => Some(l.value.asInstanceOf[Byte].toLong)
+      case TimestampType => Some(l.value.asInstanceOf[Long]) // micros
+      case DateType => Some(l.value.asInstanceOf[Int].toLong) // days
+      case _ => None
+    }
+    def str(l: CLit): Option[String] = l.dataType match {
+      case StringType => Some(l.value.toString)
+      case _ => None
+    }
+    var ints = Map.empty[String, (Long, Long)]
+    var strs = Map.empty[String, (String, String)]
+    def boundI(c: String, lo: Option[Long], hi: Option[Long]): Unit = {
+      val (l0, h0) = ints.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      ints += c -> (lo.map(math.max(l0, _)).getOrElse(l0),
+        hi.map(math.min(h0, _)).getOrElse(h0))
+    }
+    def boundS(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = strs.get(c)
+        .getOrElse((lo.orElse(hi).get, hi.orElse(lo).get))
+      strs += c -> (lo.map(Ordering[String].max(l0, _)).getOrElse(l0),
+        hi.map(Ordering[String].min(h0, _)).getOrElse(h0))
+    }
+    def bad(e: Expression): Nothing = throw new IllegalArgumentException(
+      s"unsupported replaceWhere term: ${e.sql}; supported: conjunctions of " +
+        "range/equality bounds over integral, timestamp, date, or string columns")
+    def walk(e: Expression): Unit = e match {
+      case CAnd(l, r) => walk(l); walk(r)
+      case CGte(UnresolvedAttribute(Seq(c)), l: CLit) =>
+        num(l).map(v => boundI(c, Some(v), None))
+          .orElse(str(l).map(v => boundS(c, Some(v), None))).getOrElse(bad(e))
+      case CLte(UnresolvedAttribute(Seq(c)), l: CLit) =>
+        num(l).map(v => boundI(c, None, Some(v)))
+          .orElse(str(l).map(v => boundS(c, None, Some(v)))).getOrElse(bad(e))
+      case CGt(UnresolvedAttribute(Seq(c)), l: CLit) =>
+        // exact inclusive form exists for integral domains only
+        num(l).map(v => boundI(c, Some(v + 1), None)).getOrElse(bad(e))
+      case CLt(UnresolvedAttribute(Seq(c)), l: CLit) =>
+        num(l).map(v => boundI(c, None, Some(v - 1))).getOrElse(bad(e))
+      case CEq(UnresolvedAttribute(Seq(c)), l: CLit) =>
+        num(l).map(v => boundI(c, Some(v), Some(v)))
+          .orElse(str(l).map(v => boundS(c, Some(v), Some(v)))).getOrElse(bad(e))
+      case other => bad(other)
+    }
+    walk(spark.sessionState.sqlParser.parseExpression(text))
+    (ints, strs)
+  }
+
   def write(spark: SparkSession, root: String, data: DataFrame,
       options: CaseInsensitiveStringMap, overwrite: Boolean): Unit = {
     val (cfg, stats, bloom, rc, zc) = config(options, data.schema, root)
     val head = LakeTable.currentSnapshot(root)
-    if (overwrite && head > 0)
+    val replaceWhere = Option(options.get("replacewhere")).map(_.trim)
+      .filter(_.nonEmpty)
+    if (overwrite && head > 0 && replaceWhere.isDefined) {
+      val (ints, strs) = parseReplaceWhere(spark, replaceWhere.get)
+      LakeTable.overwriteWhere(spark, root, ints, data, cfg, stats,
+        strBounds = strs, rangeCluster = rc): Unit
+    } else if (overwrite && head > 0)
       LakeTable.rewrite(spark, root, data, cfg, stats, rangeCluster = rc,
         basis = Some(head), clusterBy = zClusterOf(zc, data)): Unit
     else

@@ -659,4 +659,50 @@ class DsV2Spec extends AnyFunSuite {
     assert(twoD(spark.table(t)).count() === twoD(ev01).count())
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
+    import org.apache.spark.sql.functions._
+    val root = graft.util.Scratch.dir("graft_rw_fmt_")
+    val ev = graft.sources.Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    ev.write.format("graft-lake").mode("append")
+      .option("partitionCol", "user_id").option("keyCol", "ts")
+      .option("maxRecordsPerFile", "128").save(root)
+    // no declared temporal layout here, so gen 1 is hash-distributed:
+    // re-cluster by a rewrite so per-file ts extents become tight
+    graft.lake.LakeTable.rewrite(spark, root,
+      graft.lake.LakeTable.read(spark, root),
+      graft.writer.BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 128),
+      Seq("event_id", "ts"), rangeCluster = true)
+    val m2 = graft.lake.LakeTable.manifest(root, 2)
+    val day = ev.filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-11").cast("timestamp"))
+      .withColumn("value", col("value") + lit(1000.0d))
+    day.write.format("graft-lake").mode("overwrite")
+      .option("replaceWhere",
+        "ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'")
+      .option("partitionCol", "user_id").option("keyCol", "ts")
+      .option("maxRecordsPerFile", "128")
+      .save(root)
+    val m3 = graft.lake.LakeTable.manifest(root, 3)
+    val kept = m3.files.map(_.path).toSet.intersect(m2.files.map(_.path).toSet)
+    assert(kept.nonEmpty && kept.size < m2.files.size,
+      s"replaceWhere must keep out-of-day files by reference " +
+        s"(kept ${kept.size} of ${m2.files.size})")
+    val expect = ev.withColumn("value",
+      when(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-11").cast("timestamp"),
+        col("value") + lit(1000.0d)).otherwise(col("value")))
+    val got = spark.read.format("graft-lake").load(root)
+    assert(got.count() === ev.count())
+    assert(got.exceptAll(expect).count() === 0L)
+    // unsupported predicate shapes fail loudly, not silently
+    val thrown = intercept[Exception] {
+      day.write.format("graft-lake").mode("overwrite")
+        .option("replaceWhere", "event_type LIKE 'c%'").save(root)
+    }
+    assert(thrown.getMessage.contains("replaceWhere") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("replaceWhere")))
+    graft.util.Scratch.rmNow(root)
+  }
 }
