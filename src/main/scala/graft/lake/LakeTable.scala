@@ -1759,8 +1759,12 @@ object LakeTable {
       preds.forall { case (c, (lo, hi)) =>
         f.stats.get(c).forall(st => st.kind != "i" || (st.min <= hi && st.max >= lo))
       } && strPreds.forall { case (c, (lo, hi)) =>
+        // a null side marks an UNBOUNDED one-sided string bound
+        // (range / prefix predicates translate to these — see
+        // LakeFilters.translate); null compares as ±∞, keeping the file
         f.stats.get(c).forall(st =>
-          st.kind != "s" || (st.minS <= hi && st.maxS >= lo))
+          st.kind != "s" ||
+            ((hi == null || st.minS <= hi) && (lo == null || st.maxS >= lo)))
       } && pointPreds.forall { case (c, vs) =>
         // `col IN (vs)` may match this file iff ANY probe value passes
         // the file's bloom; a missing bloom keeps the file (pruning

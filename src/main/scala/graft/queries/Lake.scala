@@ -641,6 +641,42 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- prune_scan_trunc: DDL-declared `PARTITIONED BY
+  // (truncate(4, p_name))` (the Iceberg transform for
+  // high-cardinality string keys). Appends range-cluster on the raw
+  // column, so each file's min/max string extent covers a narrow
+  // slice of the name space and a PREFIX predicate
+  // (`p_name LIKE 'small%'` → StringStartsWith → the [p, p⁺) stat
+  // bound in LakeFilters.translate) plans only the files whose
+  // extents intersect the prefix interval — at 100 TB a prefix probe
+  // reads 1/cardinality of the table, not all of it. The spec pins
+  // the plan shape (files touched ≤ total/4).
+  def pruneScanTrunc(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.trc_${System.nanoTime()}"
+    t(s, dir, "part").createOrReplaceTempView("part_trc")
+    s.sql(s"""CREATE TABLE $tbl (p_partkey BIGINT, p_name STRING, p_brand STRING,
+             |  p_size INT, p_retailprice DOUBLE)
+             |PARTITIONED BY (truncate(4, p_name))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part_trc")
+    s.sql(s"""SELECT p_brand, COUNT(*) AS n,
+             |  MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key,
+             |  CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_x100
+             |FROM $tbl
+             |WHERE p_name LIKE 'small%'
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  val pruneScanTruncSql: String =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key,
+      |  CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_x100
+      |FROM part
+      |WHERE p_name LIKE 'small%'
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // --- q_props_variant: SEMI-STRUCTURED columns as VARIANT (Spark
   // 4's public shape for crawl/event metadata): `parse_json` ONCE at
   // ingest stores the binary variant encoding in the lake table, and
@@ -1732,6 +1768,7 @@ object Lake {
     "q_sql_merge_evolve" -> qSqlMergeEvolve,
     "q_props_variant" -> qPropsVariant,
     "prune_scan_z_ddl" -> pruneScanZDdl,
+    "prune_scan_trunc" -> pruneScanTrunc,
     "prune_scan_days" -> pruneScanDays,
     "q_spj" -> qSpj)
 
@@ -1772,6 +1809,7 @@ object Lake {
     "q_sql_merge_evolve" -> qSqlMergeEvolveSql,
     "q_props_variant" -> qPropsVariantSql,
     "prune_scan_z_ddl" -> pruneScanZDdlSql,
+    "prune_scan_trunc" -> pruneScanTruncSql,
     "prune_scan_days" -> pruneScanDaysSql,
     "q_spj" -> qSpjSql)
 }

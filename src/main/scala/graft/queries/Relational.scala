@@ -714,6 +714,131 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- q_unpivot: wide→long melt (UNPIVOT). The four lineitem
+  // measures become (metric, val) rows — Catalyst's Expand node emits
+  // 4 rows per input INSIDE the scan stage (no shuffle to melt; the
+  // only shuffle is the 8-group aggregate that follows). At 100 TB
+  // the melt is map-side and the agg exchanges 8 rows per partition.
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("val"))).as("total"))
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  val qUnpivotSql: String =
+    """SELECT l_returnflag, metric, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
+      |FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+      |               FROM lineitem)
+      |      ON l_quantity, l_extendedprice, l_discount, l_tax
+      |      INTO NAME metric VALUE val)
+      |GROUP BY l_returnflag, metric
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  // --- q_grouping_sets: explicit GROUPING SETS (the general form
+  // rollup/cube are sugar for) with GROUPING() disambiguating real
+  // NULLs from subtotal rows. One Expand + ONE agg shuffle serves all
+  // four groupings — at scale this is 4 aggregates for the price of
+  // one pass over the data.
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  o_year, o_orderpriority,
+        |  COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, o_orderpriority, o_totalprice
+        |      FROM orders_gs)
+        |GROUP BY GROUPING SETS ((o_year, o_orderpriority), (o_year), (o_orderpriority), ())
+        |ORDER BY g_year, g_prio, o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  o_year, o_orderpriority,
+      |  COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+      |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, o_orderpriority, o_totalprice
+      |      FROM orders)
+      |GROUP BY GROUPING SETS ((o_year, o_orderpriority), (o_year), (o_orderpriority), ())
+      |ORDER BY g_year, g_prio, o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // --- q_lateral: LATERAL correlated subquery in FROM — per-nation
+  // top-2 customers by balance. Catalyst rewrites the correlated
+  // LIMIT into a window rank over ONE shuffled join (DecorrelateInnerQuery),
+  // never a per-outer-row re-execution — the same decorrelation
+  // contract q_decorr pins for scalar subqueries, here for lateral
+  // relations. 100 TB shape: one hash partition on the correlation
+  // key + a bounded per-key sort.
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_lt")
+    t(s, dir, "customer").createOrReplaceTempView("customer_lt")
+    s.sql(
+      """SELECT n_name, c_name,
+        |  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_x100
+        |FROM nation_lt,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer_lt
+        |           WHERE c_nationkey = n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2)
+        |ORDER BY n_name, bal_x100 DESC, c_name""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT n_name, c_name,
+      |  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_x100
+      |FROM nation,
+      |  LATERAL (SELECT c_name, c_acctbal FROM customer
+      |           WHERE c_nationkey = n_nationkey
+      |           ORDER BY c_acctbal DESC, c_name LIMIT 2)
+      |ORDER BY n_name, bal_x100 DESC, c_name""".stripMargin
+
+  // --- q_recursive: WITH RECURSIVE (Spark 4's UnionLoop) generating
+  // the month axis, LEFT-joined to per-month order totals so
+  // zero-order months surface — the gap-filling calendar pattern.
+  // The recursion is AXIS-scale (80 single-row iterations), never
+  // data-scale; the data-side is one groupBy onto ~80 keys, and the
+  // join broadcasts the 80-row axis. Recursion depth is bounded and
+  // independent of corpus size.
+  def qRecursive(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_rc")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01' AS m
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '2001-08-01'
+        |)
+        |SELECT months.m AS month_start,
+        |  COALESCE(o.n, 0) AS n_orders,
+        |  ROUND(COALESCE(o.total, 0.0), 2) AS total
+        |FROM months LEFT JOIN
+        |  (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+        |          COUNT(*) AS n, SUM(o_totalprice) AS total
+        |   FROM orders_rc GROUP BY 1) o
+        |ON months.m = o.m
+        |ORDER BY month_start""".stripMargin)
+  }
+
+  val qRecursiveSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1995-01-01' AS m
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '2001-08-01'
+      |)
+      |SELECT months.m AS month_start,
+      |  COALESCE(o.n, 0) AS n_orders,
+      |  ROUND(COALESCE(o.total, 0.0), 2) AS total
+      |FROM months LEFT JOIN
+      |  (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+      |          COUNT(*) AS n, SUM(o_totalprice) AS total
+      |   FROM orders GROUP BY 1) o
+      |ON months.m = o.m
+      |ORDER BY month_start""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
     "q3_priority" -> q3Priority,
@@ -739,6 +864,10 @@ object Relational {
     "q_strings" -> qStrings,
     "q_sql_api" -> qSqlApi,
     "q_props_extract" -> qPropsExtract,
+    "q_unpivot" -> qUnpivot,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_lateral" -> qLateral,
+    "q_recursive" -> qRecursive,
     "q_approx" -> qApprox)
 
   val oracles: Map[String, String] = Map(
@@ -766,5 +895,9 @@ object Relational {
     "q_strings" -> qStringsSql,
     "q_sql_api" -> qSqlApiSql,
     "q_props_extract" -> qPropsExtractSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_lateral" -> qLateralSql,
+    "q_recursive" -> qRecursiveSql,
     "q_approx" -> qApproxSql)
 }

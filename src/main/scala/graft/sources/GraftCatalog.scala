@@ -320,6 +320,29 @@ class GraftCatalog extends TableCatalog
           dt == org.apache.spark.sql.types.DateType,
           s"${t.name}($c) requires a timestamp/date column, got $dt")
         Some((c, 0, t.name))
+      case Seq(t) if t.name == "truncate" =>
+        // DECLARED truncate(n, col) layout (the Iceberg transform for
+        // high-cardinality string/integral keys): appends range-cluster
+        // on the RAW column, so every file's min/max extent spans few
+        // truncation buckets and a prefix / point / range predicate
+        // prunes by manifest stats alone. Clustering on the raw value
+        // is strictly tighter than clustering on its truncation, so
+        // the declared contract (truncate-bucket locality) holds by
+        // construction; `n` is recorded as the declared width.
+        val n = t.arguments.collectFirst {
+          case l: V2Literal[_] => l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"truncate transform $t carries no width"))
+        require(n > 0, s"truncate width must be positive, got $n")
+        val c = colOf(t)
+        val dt = schema(c).dataType
+        require(dt == org.apache.spark.sql.types.StringType ||
+          dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.ShortType ||
+          dt == org.apache.spark.sql.types.ByteType,
+          s"truncate($n, $c) requires a string/integral column, got $dt")
+        Some((c, n, "truncate"))
       case Seq(t) if t.name == "zorder" =>
         // DECLARED 2-D z-order clustering: every append (and CALL
         // compact) range-clusters on the quantile-bucket interleave
@@ -343,7 +366,7 @@ class GraftCatalog extends TableCatalog
       case other => throw new UnsupportedOperationException(
         "graft-lake supports PARTITIONED BY (bucket(n, col)), " +
           "PARTITIONED BY (col), a temporal transform " +
-          "(days/months/hours/years), or zorder(a, b), " +
+          "(days/months/hours/years), truncate(n, col), or zorder(a, b), " +
           s"got ${other.mkString(", ")}")
     }
   }

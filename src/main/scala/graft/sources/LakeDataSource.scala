@@ -393,6 +393,26 @@ object LakeFilters {
     var intB = Map.empty[String, (Long, Long)]
     var strB = Map.empty[String, (String, String)]
     var points = Map.empty[String, Seq[String]]
+    // ONE-SIDED string bounds (range and prefix predicates) collect
+    // separately and merge into strB at the end; a missing side
+    // becomes null = "unbounded" (filesMatching null-guards). Strict
+    // bounds relax to inclusive — conservative superset, always safe.
+    var strLoB = Map.empty[String, String]
+    var strHiB = Map.empty[String, String]
+    def boundStrLo(c: String, v: String): Unit =
+      strLoB += c -> strLoB.get(c).filter(_ >= v).getOrElse(v)
+    def boundStrHi(c: String, v: String): Unit =
+      strHiB += c -> strHiB.get(c).filter(_ <= v).getOrElse(v)
+    // An inclusive upper bound covering every string with prefix p:
+    // drop trailing U+FFFF chars, then increment the last char — all
+    // p-prefixed strings compare strictly below it (char-wise, in
+    // both UTF-16 and UTF-8 binary order). All-U+FFFF prefixes get
+    // no upper bound (None), never a wrong one.
+    def prefixUpper(p: String): Option[String] = {
+      val t = p.reverse.dropWhile(_ == '\uffff').reverse
+      if (t.isEmpty) None
+      else Some(t.dropRight(1) + (t.last + 1).toChar)
+    }
     def boundInt(c: String, lo: Option[Long], hi: Option[Long]): Unit = {
       val (l0, h0) = intB.getOrElse(c, (Long.MinValue, Long.MaxValue))
       intB += c -> (lo.map(math.max(l0, _)).getOrElse(l0), hi.map(math.min(h0, _)).getOrElse(h0))
@@ -427,6 +447,17 @@ object LakeFilters {
         // rule as the string case: no bloom ⇒ file kept)
         intStr(v).foreach(s =>
           points += a -> (points.getOrElse(a, Nil) :+ s).distinct)
+      // string range / prefix predicates prune on the same min/max
+      // string stats equality uses — `c LIKE 'p%'` bounds the file
+      // set to [p, prefixUpper(p)], which is what makes a DECLARED
+      // truncate(n, col) layout (range-clustered appends) answer
+      // prefix probes from a sliver of the file list
+      case GreaterThan(a, v: String) => boundStrLo(a, v)
+      case GreaterThanOrEqual(a, v: String) => boundStrLo(a, v)
+      case LessThan(a, v: String) => boundStrHi(a, v)
+      case LessThanOrEqual(a, v: String) => boundStrHi(a, v)
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        boundStrLo(a, p); prefixUpper(p).foreach(boundStrHi(a, _))
       case GreaterThan(a, v) => num(v).foreach(n => boundInt(a, Some(n), None))
       case GreaterThanOrEqual(a, v) => num(v).foreach(n => boundInt(a, Some(n), None))
       case LessThan(a, v) => num(v).foreach(n => boundInt(a, None, Some(n)))
@@ -451,6 +482,17 @@ object LakeFilters {
         if (ss.length == vs.length)
           points += a -> (points.getOrElse(a, Nil) ++ ss).distinct
       case _ => () // unsupported shape: no pruning for it, never wrong
+    }
+    // merge one-sided string bounds into the equality bounds map;
+    // null marks an unbounded side (filesMatching treats it as ±∞)
+    (strLoB.keySet ++ strHiB.keySet).foreach { c =>
+      val lo = strLoB.get(c); val hi = strHiB.get(c)
+      strB.get(c) match {
+        case Some((l0, h0)) =>
+          strB += c -> (lo.filter(_ > l0).getOrElse(l0),
+            hi.filter(_ < h0).getOrElse(h0))
+        case None => strB += c -> (lo.orNull, hi.orNull)
+      }
     }
     (intB, strB, points)
   }
@@ -1034,8 +1076,12 @@ private[sources] object LakeFormatWrite {
     // a TEMPORAL layout clusters every append by RANGE on the raw
     // column: per-file time extents come out disjoint and tight, so a
     // period predicate prunes via the manifest's min/max stats — the
-    // declared analog of the zorder_layout recipe
-    val rangeCluster = layout.exists(l => temporal(l._3))
+    // declared analog of the zorder_layout recipe. A declared
+    // truncate(n, col) layout range-clusters the same way (raw-value
+    // clustering is strictly tighter than truncation-bucket
+    // clustering), so prefix/point/range predicates on the column
+    // prune by file stats alone.
+    val rangeCluster = layout.exists(l => temporal(l._3) || l._3 == "truncate")
     // a DECLARED z-order layout: both dims range-cluster via the
     // interleaved quantile buckets (operators/ZOrder) — the caller
     // builds the batch-derived cluster expression from these cols
@@ -1048,7 +1094,7 @@ private[sources] object LakeFormatWrite {
       .orElse(layout.map(_._1))
       .getOrElse(schema.fieldNames.head)
     val keyCol = Option(options.get("keycol"))
-      .orElse(layout.collect { case (c, _, tf) if temporal(tf) => c })
+      .orElse(layout.collect { case (c, _, tf) if temporal(tf) || tf == "truncate" => c })
       .getOrElse(partitionCol)
     val maxRecords = Option(options.get("maxrecordsperfile"))
       .map(_.trim.toInt).getOrElse(4096)

@@ -660,6 +660,45 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("PARTITIONED BY (truncate(4, p_name)): prefix and range predicates prune most files") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val t = s"graft.psd.trc_${System.nanoTime()}"
+    val part01 = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+    part01.createOrReplaceTempView("pst_part")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.sql(s"""CREATE TABLE $t (p_partkey BIGINT, p_name STRING, p_brand STRING,
+                   |  p_size INT, p_retailprice DOUBLE)
+                   |PARTITIONED BY (truncate(4, p_name))""".stripMargin)
+      spark.sql(s"INSERT INTO $t SELECT * FROM pst_part")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // prefix predicate → StringStartsWith → [p, p⁺) string stat bound
+    val pref = spark.table(t).where(col("p_name").startsWith("small"))
+    val scan = graftScanOf(pref)
+    assert(scan.totalFiles >= 8,
+      s"expected a multi-file layout, got ${scan.totalFiles}")
+    assert(scan.survivors.size <= scan.totalFiles / 4,
+      s"declared truncate layout should skip most files for a prefix " +
+        s"probe: ${scan.survivors.size}/${scan.totalFiles}")
+    val exp = part01.where(col("p_name").startsWith("small"))
+    assert(pref.count() === exp.count())
+    assert(sorted(pref) === sorted(exp))
+    // one-sided string range bounds conjoin to the same pruning
+    val rng = spark.table(t).where(col("p_name") >= "red" && col("p_name") < "rf")
+    val scan2 = graftScanOf(rng)
+    assert(scan2.survivors.size <= scan2.totalFiles / 4,
+      s"string range should prune: ${scan2.survivors.size}/${scan2.totalFiles}")
+    assert(rng.count() ===
+      part01.where(col("p_name") >= "red" && col("p_name") < "rf").count())
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")
