@@ -1670,6 +1670,175 @@ object LlmPipeline {
        |WHERE rank <= $ANN_K
        |ORDER BY q_id, rank""".stripMargin
 
+  // --- ann_pq: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "Product
+  // Quantization for Nearest Neighbor Search") — the memory-bound
+  // scale path: the 64-dim corpus compresses to M=2 subspace codes
+  // (3 bits each here; 100 TB of embeddings → a few hundred GB of
+  // codes that FIT IN EXECUTOR MEMORY, which is the whole point).
+  // Per-subspace codebooks reuse the shared integer k-means trainer
+  // (Advanced.kmCentroids — deterministic, oracle-replayable) on the
+  // sliced vectors; queries score candidates by ASYMMETRIC DISTANCE
+  // (ADC): per-query distance TABLES to each subspace centroid
+  // (K·M = 16 rows, broadcast) turn the corpus pass into two
+  // broadcast-hash lookups + one add — map-side, zero shuffles until
+  // the top-C ranking of (10 queries × N) code rows; exact cosine
+  // re-ranks only the C-candidate pool. Recall tunes via C and M.
+  private val PQ_SUBDIM = 32 // 64 dims → 2 subspaces of 32
+  private val PQ_CAND = 64   // ADC candidate pool per query (re-rank cost)
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val vi = graft.util.QueryScratch.cached(
+      e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi")))
+    val sub1 = vi.select(col("vec_id"), slice(col("vi"), 1, PQ_SUBDIM).as("vi"))
+    val sub2 = vi.select(col("vec_id"), slice(col("vi"), PQ_SUBDIM + 1, PQ_SUBDIM).as("vi"))
+    // per-subspace codebooks: first-K seed + one Lloyd update (the
+    // shared deterministic trainer); code assignment = struct-min
+    // argmin, map-side partial agg
+    val c1 = Advanced.kmCentroids(sub1, Advanced.KM_K, 1)
+    val c2 = Advanced.kmCentroids(sub2, Advanced.KM_K, 1)
+    val codes = Advanced.kmAssign(sub1, c1).select(col("vec_id"), col("cid").as("code1"))
+      .join(Advanced.kmAssign(sub2, c2).select(col("vec_id"), col("cid").as("code2")), "vec_id")
+    // ADC distance tables: query-subspace × centroid (10×K rows per
+    // subspace, broadcast) — the corpus never recomputes a distance
+    val dt1 = sub1.filter(col("vec_id") < 10).crossJoin(broadcast(c1))
+      .select(col("vec_id").as("q_id"), col("cid").as("code1"),
+        Advanced.kmD2(col("vi"), col("ci")).as("d1"))
+    val dt2 = sub2.filter(col("vec_id") < 10).crossJoin(broadcast(c2))
+      .select(col("vec_id").as("q_id"), col("cid").as("code2"),
+        Advanced.kmD2(col("vi"), col("ci")).as("d2"))
+    val approx = codes
+      .join(broadcast(dt1), Seq("code1"))
+      .join(broadcast(dt2), Seq("code2", "q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), (col("d1") + col("d2")).as("ad2"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad2").asc, col("n_id"))
+    val cand = approx.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= PQ_CAND).select(col("q_id"), col("n_id"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("nv")).as("cos_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Per-subspace PQ training CTEs for the oracle: slice [lo..hi] of
+    * the scaled-int base `b`, first-K seed, one Lloyd update, final
+    * assignment — the SQL replay of kmCentroids(_, K, 1) + kmAssign
+    * on the slice. Emits s/c0/d1/a1/u/c1f/d2r/a2 CTEs suffixed `tag`.
+    */
+  private def pqSubCtes(tag: String, lo: Int, hi: Int): String = {
+    val dim = hi - lo + 1
+    def d2(v: String, c: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $dim), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+    s"""s$tag AS (SELECT vec_id, vi[$lo:$hi] AS vi FROM bi),
+       |c0$tag AS (SELECT vec_id AS cid, vi AS ci FROM s$tag WHERE vec_id < ${Advanced.KM_K}),
+       |d1$tag AS (SELECT s$tag.vec_id, c0$tag.cid, ${d2(s"s$tag.vi", s"c0$tag.ci")} AS d2 FROM s$tag, c0$tag),
+       |a1$tag AS (SELECT vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1$tag)
+       |  WHERE rn = 1),
+       |u$tag AS (SELECT a1$tag.cid, t.i AS pos,
+       |    CAST(FLOOR(SUM(s$tag.vi[t.i])::DOUBLE / COUNT(*)) AS BIGINT) AS cv
+       |  FROM a1$tag JOIN s$tag USING (vec_id), range(1, ${dim + 1}) t(i)
+       |  GROUP BY a1$tag.cid, t.i),
+       |c1$tag AS (SELECT cid, list(cv ORDER BY pos) AS ci FROM u$tag GROUP BY cid),
+       |d2r$tag AS (SELECT s$tag.vec_id, c1$tag.cid, ${d2(s"s$tag.vi", s"c1$tag.ci")} AS d2 FROM s$tag, c1$tag),
+       |a2$tag AS (SELECT vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2r$tag)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val annPqSql: String =
+    s"""WITH n AS ($embBaseSql),
+       |bi AS (SELECT vec_id, list_transform(v, x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS vi FROM n),
+       |${pqSubCtes("s1", 1, PQ_SUBDIM)},
+       |${pqSubCtes("s2", PQ_SUBDIM + 1, 2 * PQ_SUBDIM)},
+       |adc AS (
+       |  SELECT dq1.vec_id AS q_id, v1.vec_id AS n_id, dq1.d2 + dq2.d2 AS ad2
+       |  FROM a2s1 v1 JOIN a2s2 v2 ON v1.vec_id = v2.vec_id
+       |    JOIN d2rs1 dq1 ON dq1.cid = v1.cid AND dq1.vec_id < 10
+       |    JOIN d2rs2 dq2 ON dq2.cid = v2.cid AND dq2.vec_id = dq1.vec_id
+       |  WHERE v1.vec_id <> dq1.vec_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rn FROM adc)
+       |  WHERE rn <= $PQ_CAND),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CAST(floor(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand JOIN n x ON x.vec_id = cand.q_id JOIN n y ON y.vec_id = cand.n_id)
+       |SELECT q_id, n_id, cos_bp, rank FROM (
+       |  SELECT q_id, n_id, cos_bp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+
+  // --- embed_quant: INT8 embedding quantization (symmetric per-
+  // dimension absmax scaling — the storage/bandwidth lever for
+  // 100 TB embedding corpora: float32 → int8 is 4× smaller and
+  // SIMD-dot-friendly). The per-dimension scale is one shuffle onto
+  // 64 keys (map-side partial MAX); quantize + error accounting are
+  // then pure map-side over the corpus with the 64-entry scale array
+  // broadcast. All error arithmetic is scaled-integer (|vi·127 −
+  // q·absmax| is bigint-exact), so the report hash-matches the
+  // oracle. Output: per-label quantization-quality profile.
+  def embedQuant(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val vi = e.select(col("vec_id"), col("label"), Advanced.kmIntVec(col("v")).as("vi"))
+    val am = vi.select(posexplode(col("vi")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(max(abs(col("x"))).as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e2 => e2.getField("m")).as("am"))
+    vi.crossJoin(broadcast(am))
+      .withColumn("qv", zip_with(col("vi"), col("am"), (v, m) =>
+        when(m === 0L, lit(0L)).otherwise(
+          floor(v.cast("double") * 127.0 / m.cast("double") + 0.5).cast("bigint"))))
+      .withColumn("errnum", expr(
+        "aggregate(transform(sequence(1, 64), i -> abs(element_at(vi, i)*127 - element_at(qv, i)*element_at(am, i))), 0L, (a, x) -> a + x)"))
+      .withColumn("errden", expr(
+        "aggregate(transform(vi, x -> abs(x)*127), 0L, (a, x) -> a + x)"))
+      .withColumn("qnorm2", expr(
+        "aggregate(transform(qv, x -> x*x), 0L, (a, x) -> a + x)"))
+      .withColumn("err_bp", expr("errnum * 10000 DIV errden"))
+      .groupBy(col("label").cast("bigint").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qnorm2")).cast("bigint").as("qnorm2_sum"),
+        max(col("err_bp")).as("err_bp_max"),
+        expr("SUM(err_bp) DIV COUNT(*)").as("err_bp_avg"))
+      .orderBy(col("label"))
+  }
+
+  val embedQuantSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS vi
+       |  FROM embeddings),
+       |am AS (SELECT list(m ORDER BY pos) AS am FROM (
+       |    SELECT t.i AS pos, MAX(ABS(vi[t.i])) AS m FROM b, range(1, 65) t(i) GROUP BY t.i)),
+       |q AS (SELECT vec_id, label, vi, am.am AS am,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN am.am[i] = 0 THEN 0
+       |           ELSE CAST(FLOOR(vi[i]::DOUBLE * 127.0 / am.am[i]::DOUBLE + 0.5) AS BIGINT) END) AS qv
+       |  FROM b, am),
+       |m AS (SELECT label,
+       |    CAST(list_sum(list_transform(generate_series(1, 64), i -> ABS(vi[i]*127 - qv[i]*am[i]))) AS BIGINT) AS errnum,
+       |    CAST(list_sum(list_transform(vi, x -> ABS(x)*127)) AS BIGINT) AS errden,
+       |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qnorm2
+       |  FROM q)
+       |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+       |  CAST(SUM(qnorm2) AS BIGINT) AS qnorm2_sum,
+       |  CAST(MAX(errnum * 10000 // errden) AS BIGINT) AS err_bp_max,
+       |  CAST(SUM(errnum * 10000 // errden) // COUNT(*) AS BIGINT) AS err_bp_avg
+       |FROM m
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   // --- dedup_semantic: SemDedup-style semantic deduplication
   // (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
   // web-scale through semantic deduplication") — the embedding-space
@@ -2151,6 +2320,8 @@ object LlmPipeline {
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_pq" -> annPq,
+    "embed_quant" -> embedQuant,
     "dedup_semantic" -> dedupSemantic,
     "text_ngram_freq" -> textNgramFreq,
     "mm_features" -> mmFeatures,
@@ -2190,6 +2361,8 @@ object LlmPipeline {
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql,
+    "embed_quant" -> embedQuantSql,
     "dedup_semantic" -> dedupSemanticSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "mm_features" -> mmFeaturesSql,

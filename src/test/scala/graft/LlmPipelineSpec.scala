@@ -132,6 +132,40 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), s"query side not broadcast:\n${p.take(2000)}")
   }
 
+  test("ann_pq ADC pass broadcasts the distance tables; recall beats chance") {
+    // the corpus-code side must join the per-query distance tables by
+    // broadcast hash (K·M·10 rows), never a shuffle of the code frame
+    val p = plan("ann_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC distance tables not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"ADC must be keyed lookups, not cross:\n${p.take(2000)}")
+    // recall sanity against the exact baseline (deterministic data):
+    // a 6-bit code + C-candidate re-rank must beat random-candidate
+    // recall (~C/N) by a wide margin
+    val pq = SparkEntry.queries("ann_pq")(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("ann_topk")(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall@10 collapsed: $recall")
+    graft.util.QueryScratch.release(spark)
+  }
+
+  test("embed_quant: int8 reconstruction error is bounded and corpus fully covered") {
+    val rows = SparkEntry.queries("embed_quant")(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val corpus = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(n === corpus, s"quantization must cover every vector: $n/$corpus")
+    // symmetric int8 over ±absmax keeps per-vector L1 error ~1/254
+    // of mass — anything above 2% means the scale math broke
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("err_bp_max")
+      assert(mx < 200, s"label ${r.get(0)}: err_bp_max $mx out of int8 bounds")
+    }
+    graft.util.QueryScratch.release(spark)
+  }
+
   test("exact dedup is a single hash aggregate, no sort-based agg") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), s"expected hash agg:\n${p.take(2000)}")
