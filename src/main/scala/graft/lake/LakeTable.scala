@@ -1893,6 +1893,90 @@ object LakeTable {
     orphans.size
   }
 
+  // ---------------- shallow clone ----------------
+
+  /** ZERO-COPY SHALLOW CLONE (the Delta `SHALLOW CLONE` / Iceberg
+    * snapshot-ref pattern): `dstRoot` becomes an INDEPENDENT table
+    * whose first manifest is a verbatim copy of `srcRoot`'s head —
+    * same file references, same metadata parts, zero data IO at any
+    * table size. Writes to the clone land new files under `dstRoot`;
+    * the source never changes. Snapshot numbering CONTINUES from the
+    * source head (the same reasoning as [[branch]]: inherited
+    * sequence numbers keep MoR delete scoping and incremental ranges
+    * exact across the fork).
+    *
+    * Maintenance safety falls out of the ownership rule every
+    * reclaim path already enforces ([[expire]]/[[expireOlderThan]]/
+    * [[removeOrphans]] delete only under their own root): the clone
+    * can never reclaim source files, and the source never sees the
+    * clone's. The one shared-fate caveat is the industry-standard
+    * one — expiring the REFERENCED snapshots on the source strands
+    * the clone's inherited references (same as Delta shallow clones
+    * under VACUUM); `_clone.json` records the provenance so an
+    * operator can see the dependency.
+    */
+  def cloneTable(srcRoot: String, dstRoot: String): Int = {
+    val head = currentSnapshot(srcRoot)
+    require(head > 0, s"clone of empty table $srcRoot")
+    require(currentSnapshot(dstRoot) == 0, s"clone target $dstRoot already exists")
+    val srcPath = Paths.get(srcRoot).toAbsolutePath.normalize
+    val dstPath = Paths.get(dstRoot).toAbsolutePath.normalize
+    require(!dstPath.startsWith(srcPath) && !srcPath.startsWith(dstPath),
+      s"clone target must not nest with the source ($srcRoot vs $dstRoot)")
+    val dMeta = dstPath.resolve("meta")
+    Files.createDirectories(dMeta)
+    // schema, declared layout and CHECK constraints travel with the
+    // clone (all pure metadata)
+    Seq("_schema.json", "_layout.json", "_checks.json").foreach { f =>
+      val s = Paths.get(srcRoot, "meta", f)
+      if (Files.exists(s)) Files.copy(s, dMeta.resolve(f)): Unit
+    }
+    Files.writeString(dMeta.resolve("_clone.json"),
+      s"""{"source":"${esc(srcPath.toString)}","basis":$head}""")
+    try
+      Files.copy(Paths.get(srcRoot, "meta", s"manifest-$head.json"),
+        dMeta.resolve(s"manifest-$head.json")): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"clone to $dstRoot raced its own creation")
+    }
+    advancePointer(dMeta, head)
+    head
+  }
+
+  // ---------------- CHECK constraints ----------------
+
+  /** Declared CHECK constraints: name → boolean SQL text, stored in
+    * `meta/_checks.json`. Pure table metadata; enforcement happens
+    * in-flight on the write paths (see LakeFormatWrite.applyChecks).
+    */
+  def checksOf(root: String): Map[String, String] = {
+    val p = Paths.get(root, "meta", "_checks.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val node = mapper.readTree(Files.readString(p))
+      asScala(node.fieldNames()).map(n => n -> node.get(n).asText())
+        .toSeq.sortBy(_._1).toMap
+    }
+  }
+
+  def setCheck(root: String, name: String, sql: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid constraint name '$name'")
+    writeChecks(root, checksOf(root) + (name -> sql))
+  }
+
+  def dropCheck(root: String, name: String): Unit =
+    writeChecks(root, checksOf(root) - name)
+
+  private def writeChecks(root: String, checks: Map[String, String]): Unit = {
+    val p = Paths.get(root, "meta", "_checks.json")
+    if (checks.isEmpty) { Files.deleteIfExists(p): Unit; return }
+    val body = checks.toSeq.sortBy(_._1)
+      .map { case (n, s) => s""""${esc(n)}":"${esc(s)}"""" }.mkString(",")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s"{$body}"): Unit
+  }
+
   // ---------------- refs (tags) ----------------
 
   /** TAG a snapshot with a stable name (Iceberg's snapshot refs): one

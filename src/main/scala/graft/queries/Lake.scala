@@ -677,6 +677,94 @@ object Lake {
       |WHERE p_name LIKE 'small%'
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // --- lake_constraint: declared CHECK constraints
+  // (`TBLPROPERTIES('graft.check.<name>' = '<boolean sql>')`,
+  // managed by `ALTER TABLE … SET/UNSET TBLPROPERTIES`). Enforcement
+  // is IN-FLIGHT: the conjunction evaluates inside the write
+  // projection (raise_error on definite FALSE; NULL passes — SQL
+  // CHECK semantics), so a violating batch fails with the NAMED
+  // constraint before any manifest commit and costs no second scan.
+  // The query proves both directions: a valid load lands, a
+  // violating batch is rejected ATOMICALLY (the read-back below
+  // hash-matches the valid subset alone — admitted rows would flip
+  // the oracle).
+  def lakeConstraint(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.chk_${System.nanoTime()}"
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      .createOrReplaceTempView("li_chk")
+    s.sql(s"""CREATE TABLE $tbl (l_orderkey BIGINT, l_quantity DOUBLE,
+             |  l_extendedprice DOUBLE, l_returnflag STRING)
+             |TBLPROPERTIES ('graft.check.qty_bounds' = 'l_quantity > 0 AND l_quantity <= 45')""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT * FROM li_chk WHERE l_quantity <= 45")
+    // the violating batch (every row breaches the bound) must fail
+    // with the NAMED constraint and leave no partial rows behind
+    val attempt = scala.util.Try(s.sql(
+      s"""INSERT INTO $tbl SELECT l_orderkey, l_quantity + 10, l_extendedprice, l_returnflag
+         |FROM li_chk WHERE l_quantity > 40""".stripMargin).collect())
+    val chain = attempt.failed.toOption.toSeq.flatMap(e =>
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).toSeq)
+    require(attempt.isFailure && chain.exists(_.contains("qty_bounds")),
+      s"violating INSERT must fail on constraint qty_bounds, got: $chain")
+    s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+             |  ROUND(SUM(l_quantity), 2) AS qty,
+             |  ROUND(SUM(l_extendedprice), 2) AS price
+             |FROM $tbl GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val lakeConstraintSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  ROUND(SUM(l_quantity), 2) AS qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS price
+      |FROM lineitem
+      |WHERE l_quantity <= 45
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- lake_clone: ZERO-COPY SHALLOW CLONE
+  // (`CALL graft.system.clone(src, dst)` — the Delta SHALLOW CLONE
+  // pattern): the clone's first manifest references the source's
+  // files verbatim (zero data IO at any table size); subsequent
+  // writes land under the clone alone, so the two tables diverge
+  // independently. Maintenance safety is the ownership rule every
+  // reclaim path enforces (a table deletes only under its own root) —
+  // a clone can never vacuum its source. The query pins divergence:
+  // post-clone rows appear ONLY on the clone side.
+  def lakeClone(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val src = s"graft.q.clsrc_$id"; val dst = s"graft.q.cldst_$id"
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+      .createOrReplaceTempView("part_cl")
+    s.sql(s"""CREATE TABLE $src (p_partkey BIGINT, p_name STRING, p_brand STRING,
+             |  p_size INT, p_retailprice DOUBLE)""".stripMargin)
+    s.sql(s"INSERT INTO $src SELECT * FROM part_cl")
+    s.sql(s"CALL graft.system.clone('q.clsrc_$id', 'q.cldst_$id')")
+    s.sql(s"""INSERT INTO $dst SELECT p_partkey + 1000000, p_name, p_brand, p_size, p_retailprice
+             |FROM part_cl WHERE p_size > 40""".stripMargin)
+    s.sql(s"""SELECT side, p_brand, COUNT(*) AS n, MAX(p_partkey) AS max_key FROM (
+             |  SELECT 'clone' AS side, p_brand, p_partkey FROM $dst
+             |  UNION ALL
+             |  SELECT 'src' AS side, p_brand, p_partkey FROM $src)
+             |GROUP BY side, p_brand ORDER BY side, p_brand""".stripMargin)
+  }
+
+  val lakeCloneSql: String =
+    """SELECT side, p_brand, COUNT(*) AS n, MAX(p_partkey) AS max_key FROM (
+      |  SELECT 'clone' AS side, p_brand, p_partkey FROM part
+      |  UNION ALL
+      |  SELECT 'clone' AS side, p_brand, p_partkey + 1000000 AS p_partkey FROM part WHERE p_size > 40
+      |  UNION ALL
+      |  SELECT 'src' AS side, p_brand, p_partkey FROM part)
+      |GROUP BY side, p_brand ORDER BY side, p_brand""".stripMargin
+
   // --- q_props_variant: SEMI-STRUCTURED columns as VARIANT (Spark
   // 4's public shape for crawl/event metadata): `parse_json` ONCE at
   // ingest stores the binary variant encoding in the lake table, and
@@ -1769,6 +1857,8 @@ object Lake {
     "q_props_variant" -> qPropsVariant,
     "prune_scan_z_ddl" -> pruneScanZDdl,
     "prune_scan_trunc" -> pruneScanTrunc,
+    "lake_constraint" -> lakeConstraint,
+    "lake_clone" -> lakeClone,
     "prune_scan_days" -> pruneScanDays,
     "q_spj" -> qSpj)
 
@@ -1810,6 +1900,8 @@ object Lake {
     "q_props_variant" -> qPropsVariantSql,
     "prune_scan_z_ddl" -> pruneScanZDdlSql,
     "prune_scan_trunc" -> pruneScanTruncSql,
+    "lake_constraint" -> lakeConstraintSql,
+    "lake_clone" -> lakeCloneSql,
     "prune_scan_days" -> pruneScanDaysSql,
     "q_spj" -> qSpjSql)
 }

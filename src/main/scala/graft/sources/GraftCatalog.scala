@@ -91,6 +91,18 @@ class GraftCatalog extends TableCatalog
     dir.toString
   }
 
+  /** Like [[tableDir]] but for a table being CREATED (clone targets):
+    * validated name, must NOT already exist.
+    */
+  private[sources] def newTableDir(name: String): String = {
+    val parts = name.split('.')
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"invalid table name '$name': expected dot-separated [A-Za-z0-9_-] segments")
+    val dir = Paths.get(root, parts: _*)
+    require(!isTable(dir), s"table '$name' already exists in catalog $catalogName")
+    dir.toString
+  }
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
@@ -277,7 +289,28 @@ class GraftCatalog extends TableCatalog
       Files.writeString(dir.resolve("meta").resolve("_layout.json"),
         s"""{"partition_col":"$c","n_buckets":$n,"transform":"$tf"}""")
     }
+    // TBLPROPERTIES('graft.check.<name>' = '<boolean sql>') declare
+    // CHECK constraints: validated against the declared schema here,
+    // stored as pure metadata, enforced in-flight on every write
+    // (LakeFormatWrite.applyChecks). Unknown properties (Spark's own
+    // reserved keys etc.) pass through untouched.
+    properties.forEach { (k, v) =>
+      if (k.startsWith("graft.check.")) {
+        validateCheck(schema, v)
+        LakeTable.setCheck(dir.toString, k.stripPrefix("graft.check."), v)
+      }
+    }
     new GraftLakeTable(spark, dir.toString, None, Some(stored))
+  }
+
+  /** A CHECK expression must ANALYZE as a boolean over the table's
+    * columns alone — rejected at DDL time, not at first write.
+    */
+  private def validateCheck(schema: StructType, sql: String): Unit = {
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .where(org.apache.spark.sql.functions.expr(sql))
+    probe.queryExecution.analyzed: Unit
   }
 
   /** Temporal transform names accepted in `PARTITIONED BY` — the
@@ -385,11 +418,35 @@ class GraftCatalog extends TableCatalog
     *    change is one metadata commit ([[LakeTable.widenColumn]]).
     * Narrowing/reshaping still requires a rewrite and is rejected.
     */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+  override def alterTable(ident: Identifier, changes0: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val t = dir.toString
     val committed = LakeTable.currentSnapshot(t) > 0
+    // `ALTER TABLE … SET/UNSET TBLPROPERTIES('graft.check.<name>' …)`
+    // manages CHECK constraints — pure metadata, valid on declared
+    // AND committed tables; handled before the schema-change paths
+    val (propChanges, changes) = changes0.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    propChanges.foreach {
+      case sp: TableChange.SetProperty =>
+        require(sp.property.startsWith("graft.check."),
+          s"graft-lake table property '${sp.property}' is not settable " +
+            "(only graft.check.<name> CHECK constraints are)")
+        validateCheck(loadTable(ident).columns()
+          .foldLeft(new StructType())((s, c) =>
+            s.add(c.name(), c.dataType(), c.nullable())), sp.value)
+        LakeTable.setCheck(t, sp.property.stripPrefix("graft.check."), sp.value)
+      case rp: TableChange.RemoveProperty =>
+        require(rp.property.startsWith("graft.check."),
+          s"graft-lake table property '${rp.property}' is not removable " +
+            "(only graft.check.<name> CHECK constraints are)")
+        LakeTable.dropCheck(t, rp.property.stripPrefix("graft.check."))
+      case _ => ()
+    }
+    if (changes.isEmpty) return load(ident, None)
     def addedField(add: TableChange.AddColumn): StructField = {
       require(add.fieldNames().length == 1,
         "graft-lake ALTER TABLE supports only top-level columns")
@@ -736,7 +793,11 @@ private[sources] object GraftProcedures {
       (c, in) => LakeTable.publishBranch(tbl(c, in), in.getUTF8String(1).toString)),
     Def("drop_branch", "drop an unpublished branch and its staged files",
       Seq("table" -> StringType, "name" -> StringType), "dropped", BooleanType,
-      (c, in) => LakeTable.dropBranch(tbl(c, in), in.getUTF8String(1).toString)))
+      (c, in) => LakeTable.dropBranch(tbl(c, in), in.getUTF8String(1).toString)),
+    Def("clone", "zero-copy shallow clone into a new independent table",
+      Seq("source" -> StringType, "dest" -> StringType), "snapshot", IntegerType,
+      (c, in) => LakeTable.cloneTable(tbl(c, in),
+        c.newTableDir(in.getUTF8String(1).toString))))
 
   def names: Seq[String] = defs.map(_.name)
 

@@ -1186,8 +1186,33 @@ private[sources] object LakeFormatWrite {
     (ints, strs)
   }
 
-  def write(spark: SparkSession, root: String, data: DataFrame,
+  /** Declared CHECK constraints enforced IN-FLIGHT: the conjunction
+    * evaluates inside the projection of the first output column, so a
+    * violating row fails the write job (named constraint + offending
+    * row in the error) before any manifest commit — no second scan of
+    * the batch, no driver-side validation pass, and the staged-commit
+    * protocol guarantees the failed batch leaves table state
+    * untouched. NULL evaluates as PASS (the SQL-standard CHECK
+    * semantics: only definite FALSE violates).
+    */
+  private[sources] def applyChecks(root: String, data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, concat, expr, lit, not, raise_error, struct, to_json, when}
+    val checks = LakeTable.checksOf(root)
+    if (checks.isEmpty) return data
+    val c0 = data.columns.head
+    val msg = checks.foldLeft(lit("")) { case (acc, (name, sql)) =>
+      when(not(coalesce(expr(sql), lit(true))),
+        concat(lit(s"graft-lake CHECK constraint '$name' violated ($sql) by row "),
+          to_json(struct(data.columns.map(col): _*)))).otherwise(acc)
+    }
+    val fails = checks.values.map(sql => not(coalesce(expr(sql), lit(true))))
+      .reduce(_ || _)
+    data.withColumn(c0, when(fails, raise_error(msg)).otherwise(col(c0)))
+  }
+
+  def write(spark: SparkSession, root: String, data0: DataFrame,
       options: CaseInsensitiveStringMap, overwrite: Boolean): Unit = {
+    val data = applyChecks(root, data0)
     val (cfg, stats, bloom, rc, zc) = config(options, data.schema, root)
     val head = LakeTable.currentSnapshot(root)
     val replaceWhere = Option(options.get("replacewhere")).map(_.trim)
@@ -1223,7 +1248,7 @@ final class GraftStreamSink(spark: SparkSession, root: String,
     // Emptiness is decided from the staged write's entries inside the
     // commit (skipIfEmpty) — a pre-commit `batch.isEmpty` would run
     // the whole micro-batch plan a second time.
-    val batch = StreamShim.asBatchFrame(data)
+    val batch = LakeFormatWrite.applyChecks(root, StreamShim.asBatchFrame(data))
     val (cfg, stats, bloom, rc, zc) = LakeFormatWrite.config(options, data.schema, root)
     LakeTable.commit(spark, root, batch, cfg, stats, rangeCluster = rc,
       bloomCols = bloom, note = s"batch-$batchId", skipIfEmpty = true,

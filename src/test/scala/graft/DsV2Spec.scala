@@ -699,6 +699,79 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("shallow clone shares data files by reference; maintenance respects ownership") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    spark.sql(s"CREATE TABLE graft.psd.cs_$id (event_id BIGINT, user_id BIGINT, value DOUBLE)")
+    events.select(col("event_id"), col("user_id"), col("value")).limit(500)
+      .createOrReplaceTempView("cs_src")
+    spark.sql(s"INSERT INTO graft.psd.cs_$id SELECT * FROM cs_src")
+    spark.sql(s"CALL graft.system.clone('psd.cs_$id', 'psd.cd_$id')")
+    val catRoot = graft.util.Scratch.root.resolve("psdcat")
+    def parquetsUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val w = java.nio.file.Files.walk(p)
+      try {
+        val it = w.iterator()
+        val buf = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) { val q = it.next(); if (q.toString.endsWith(".parquet")) buf += q }
+        buf.result()
+      } finally w.close()
+    }
+    // ZERO data copied: the clone dir holds no parquet, yet reads the
+    // full row set through the inherited references
+    assert(parquetsUnder(catRoot.resolve("psd").resolve(s"cd_$id")).isEmpty,
+      "shallow clone must not copy data files")
+    assert(spark.table(s"graft.psd.cd_$id").count() === 500)
+    // divergence: writes to the clone never touch the source
+    spark.sql(s"INSERT INTO graft.psd.cd_$id VALUES (9000001, 1, 1.0)")
+    assert(spark.table(s"graft.psd.cd_$id").count() === 501)
+    assert(spark.table(s"graft.psd.cs_$id").count() === 500)
+    // the clone's own maintenance cannot reclaim source files: expire
+    // everything but the head on the clone, source still reads fully
+    spark.sql(s"CALL graft.system.expire_snapshots('psd.cd_$id', " +
+      s"${graft.lake.LakeTable.currentSnapshot(catRoot.resolve("psd").resolve(s"cd_$id").toString)})")
+    assert(spark.table(s"graft.psd.cs_$id").count() === 500)
+    assert(spark.table(s"graft.psd.cd_$id").count() === 501)
+    spark.sql(s"DROP TABLE graft.psd.cd_$id")
+    // dropping the clone leaves the source intact (ownership rule)
+    assert(spark.table(s"graft.psd.cs_$id").count() === 500)
+    spark.sql(s"DROP TABLE graft.psd.cs_$id")
+  }
+
+  test("CHECK constraints: SET/UNSET TBLPROPERTIES lifecycle, in-flight rejection") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val t = s"graft.psd.ck_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t (event_id BIGINT, value DOUBLE)")
+    // ALTER path: add a constraint post-create, bad SQL rejected at DDL
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.check.v_pos' = 'value >= 0')")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.check.bad' = 'no_such_col > 0')")
+    }
+    // NULL passes in-batch (SQL CHECK semantics: only definite FALSE
+    // violates)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.5), (2, 0.0), (5, CAST(NULL AS DOUBLE))")
+    assert(spark.table(t).count() === 3)
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (3, 2.0), (4, -0.5)")
+    }
+    val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(e => Option(e.getMessage)).mkString("\n")
+    assert(chain.contains("v_pos"), s"error must name the constraint:\n$chain")
+    // atomic: the passing row of the failed batch did NOT land
+    assert(spark.table(t).count() === 3)
+    // UNSET lifts enforcement
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.check.v_pos')")
+    spark.sql(s"INSERT INTO $t VALUES (6, -9.0)")
+    assert(spark.table(t).count() === 4)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")
