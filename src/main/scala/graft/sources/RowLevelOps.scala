@@ -13,6 +13,52 @@ import org.apache.spark.sql.SparkSession
 
 import graft.lake.LakeTable
 
+/** Declared CHECK constraints bound for InternalRow-level write paths
+  * (row-level MERGE/UPDATE deltas, the DSv2 streaming write): the
+  * boolean SQL resolves against the LOGICAL write schema on the
+  * driver, binds by ordinal (column mapping renames only — row layout
+  * is identical), and the serialized bound expression evaluates
+  * interpreted per INSERTED row on executors. Violation = definite
+  * FALSE (NULL passes — SQL CHECK semantics), thrown with the
+  * constraint name before the row reaches a staged file, so the
+  * failed job aborts and the staged-commit protocol discards it.
+  */
+private[sources] object CheckEnforce {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
+
+  def bind(spark: SparkSession, root: String, schema: StructType)
+      : Seq[(String, Expression)] = {
+    val checks = LakeTable.checksOf(root)
+    if (checks.isEmpty) return Nil
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    checks.toSeq.map { case (name, sql) =>
+      val analyzed = probe.where(org.apache.spark.sql.functions.expr(sql))
+        .queryExecution.analyzed
+      val cond = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalStateException(
+        s"CHECK constraint '$name' did not analyze to a filter: $sql"))
+      val bound = cond.transform {
+        case a: AttributeReference =>
+          val ord = schema.fieldNames.indexWhere(_.equalsIgnoreCase(a.name))
+          require(ord >= 0, s"CHECK constraint '$name' references unknown column ${a.name}")
+          BoundReference(ord, a.dataType, a.nullable)
+      }
+      name -> bound
+    }
+  }
+
+  /** Throws on definite FALSE; NULL/TRUE pass. */
+  def validate(checks: Seq[(String, Expression)], row: InternalRow): Unit =
+    checks.foreach { case (name, e) =>
+      val r = e.eval(row)
+      if (r != null && r == false)
+        throw new IllegalStateException(
+          s"graft-lake CHECK constraint '$name' violated by row $row")
+    }
+}
+
 /** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE` on lake
   * tables — the DSv2 POSITION-DELTA row-level operation (Iceberg's
   * merge-on-read write shape, which its `iceberg-core` dependency
@@ -90,7 +136,10 @@ final class GraftDeltaWrite(spark: SparkSession, root: String, basis: Int,
       // staged data files store PHYSICAL column names (column mapping)
       GraftDeltaWriterFactory(staging,
         LakeTable.physicalizeSchema(root, info.schema()),
-        new ConfBox(DsV2Shim.writeConf(spark)))
+        new ConfBox(DsV2Shim.writeConf(spark)),
+        // declared CHECK constraints gate every INSERTED row (MERGE
+        // inserts and UPDATE reinsertions alike; deletes are exempt)
+        CheckEnforce.bind(spark, root, info.schema()))
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.collect { case m: GraftDeltaMessage => m }
@@ -147,7 +196,8 @@ final class GraftStreamingWrite(spark: SparkSession, root: String,
     // staged data files store PHYSICAL column names (column mapping)
     GraftStreamWriterFactory(staging,
       LakeTable.physicalizeSchema(root, info.schema()),
-      new ConfBox(DsV2Shim.writeConf(spark)))
+      new ConfBox(DsV2Shim.writeConf(spark)),
+      CheckEnforce.bind(spark, root, info.schema()))
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -178,7 +228,8 @@ final class GraftStreamingWrite(spark: SparkSession, root: String,
 }
 
 private[sources] final case class GraftStreamWriterFactory(staging: String,
-    rowSchema: StructType, conf: ConfBox)
+    rowSchema: StructType, conf: ConfBox,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
@@ -186,7 +237,10 @@ private[sources] final case class GraftStreamWriterFactory(staging: String,
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       private val out = new Rolled(staging,
         s"ep$epochId-$partitionId-$taskId", rowSchema, conf)
-      override def write(row: InternalRow): Unit = out.write(row)
+      override def write(row: InternalRow): Unit = {
+        if (checks.nonEmpty) CheckEnforce.validate(checks, row)
+        out.write(row)
+      }
       override def commit(): WriterCommitMessage = {
         out.closeCurrent()
         GraftDeltaMessage(out.files.reverse, Nil)
@@ -197,9 +251,11 @@ private[sources] final case class GraftStreamWriterFactory(staging: String,
 }
 
 private[sources] final case class GraftDeltaWriterFactory(staging: String,
-    rowSchema: StructType, conf: ConfBox) extends DeltaWriterFactory {
+    rowSchema: StructType, conf: ConfBox,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+  extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaRowWriter(staging, rowSchema, conf, partitionId, taskId)
+    new GraftDeltaRowWriter(staging, rowSchema, conf, partitionId, taskId, checks)
 }
 
 /** Per-task delta writer: inserted rows stream to data parquet files,
@@ -252,7 +308,8 @@ private[sources] final class Rolled(staging: String, stem: String,
 }
 
 final class GraftDeltaRowWriter(staging: String, rowSchema: StructType,
-    conf: ConfBox, partitionId: Int, taskId: Long)
+    conf: ConfBox, partitionId: Int, taskId: Long,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends DeltaWriter[InternalRow] {
 
   private val delSchema = StructType(Seq(
@@ -264,7 +321,10 @@ final class GraftDeltaRowWriter(staging: String, rowSchema: StructType,
   private val dels = new Rolled(staging, s"delta-x-$partitionId-$taskId",
     delSchema, conf)
 
-  override def insert(row: InternalRow): Unit = data.write(row)
+  override def insert(row: InternalRow): Unit = {
+    if (checks.nonEmpty) CheckEnforce.validate(checks, row)
+    data.write(row)
+  }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = dels.write(id)
 

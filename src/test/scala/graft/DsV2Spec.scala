@@ -710,7 +710,22 @@ class DsV2Spec extends AnyFunSuite {
       .createOrReplaceTempView("cs_src")
     spark.sql(s"INSERT INTO graft.psd.cs_$id SELECT * FROM cs_src")
     spark.sql(s"CALL graft.system.clone('psd.cs_$id', 'psd.cd_$id')")
-    val catRoot = graft.util.Scratch.root.resolve("psdcat")
+    // the catalog instance caches the root it was FIRST created with
+    // (a conf change is deliberately ignored) — discover the live one
+    // by locating the source table we just created
+    val catRoot = {
+      val st = java.nio.file.Files.list(graft.util.Scratch.root)
+      try {
+        val it = st.iterator()
+        var found: Option[java.nio.file.Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val d = it.next()
+          if (java.nio.file.Files.isDirectory(
+              d.resolve("psd").resolve(s"cs_$id").resolve("meta"))) found = Some(d)
+        }
+        found.getOrElse(fail(s"catalog dir for cs_$id not found"))
+      } finally st.close()
+    }
     def parquetsUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
       val w = java.nio.file.Files.walk(p)
       try {
@@ -765,10 +780,28 @@ class DsV2Spec extends AnyFunSuite {
     assert(chain.contains("v_pos"), s"error must name the constraint:\n$chain")
     // atomic: the passing row of the failed batch did NOT land
     assert(spark.table(t).count() === 3)
+    // row-level ops are gated too: an UPDATE that would write a
+    // violating row fails with the named constraint, atomically
+    val uerr = intercept[Exception] {
+      spark.sql(s"UPDATE $t SET value = -1.0 WHERE event_id = 1")
+    }
+    val uchain = Iterator.iterate(uerr: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(e => Option(e.getMessage)).mkString("\n")
+    assert(uchain.contains("v_pos"), s"UPDATE must hit the constraint:\n$uchain")
+    assert(spark.table(t).where(col("value") < 0).count() === 0)
+    // MERGE inserts are gated; a clean MERGE still lands
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $t USING (SELECT 7L AS id, -2.0 AS v) s ON $t.event_id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (event_id, value) VALUES (s.id, s.v)")
+    }
+    assert(spark.table(t).count() === 3)
+    spark.sql(s"MERGE INTO $t USING (SELECT 7L AS id, 2.0 AS v) s ON $t.event_id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (event_id, value) VALUES (s.id, s.v)")
+    assert(spark.table(t).count() === 4)
     // UNSET lifts enforcement
     spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.check.v_pos')")
     spark.sql(s"INSERT INTO $t VALUES (6, -9.0)")
-    assert(spark.table(t).count() === 4)
+    assert(spark.table(t).count() === 5)
     spark.sql(s"DROP TABLE $t")
   }
 
