@@ -52,16 +52,23 @@ object ZOrder {
     when(c.isNull, lit(0L)).otherwise(go(0, cuts.length))
   }
 
-  /** The batch's z-value column for dims (a, b): one approxQuantile
+  /** The batch's z-value column for 2..4 dims: ONE approxQuantile
     * action over the batch derives 255 cut points per dim; the
-    * returned expression is pure map-side arithmetic.
+    * returned expression is pure map-side arithmetic (N-dim morton
+    * interleave of the quantile buckets).
     */
-  def zColumn(batch: DataFrame, a: String, b: String): Column = {
+  def zColumn(batch: DataFrame, cols: Seq[String]): Column = {
+    require(cols.length >= 2, s"zorder needs >= 2 columns, got $cols")
     val probes = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
-    val proj = batch.select(asDouble(batch, a).as("_za"), asDouble(batch, b).as("_zb"))
-    val cuts = proj.stat.approxQuantile(Array("_za", "_zb"), probes, 0.001)
-    graft.queries.Advanced.zInterleave(
-      bucketExpr(asDouble(batch, a), cuts(0)),
-      bucketExpr(asDouble(batch, b), cuts(1)))
+    val names = cols.indices.map(i => s"_z$i")
+    val proj = batch.select(cols.zip(names).map { case (c, n) =>
+      asDouble(batch, c).as(n) }: _*)
+    val cuts = proj.stat.approxQuantile(names.toArray, probes, 0.001)
+    graft.queries.Advanced.zInterleaveN(
+      cols.zipWithIndex.map { case (c, i) =>
+        bucketExpr(asDouble(batch, c), cuts(i)) })
   }
+
+  def zColumn(batch: DataFrame, a: String, b: String): Column =
+    zColumn(batch, Seq(a, b))
 }

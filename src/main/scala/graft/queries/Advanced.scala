@@ -41,11 +41,21 @@ object Advanced {
   /** Bit-interleave two `Z_DIM_BITS`-bit bigint columns: a's bit b →
     * even position 2b, b's bit → odd position 2b+1.
     */
-  def zInterleave(a: Column, b: Column): Column =
-    (0 until Z_DIM_BITS).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+  def zInterleave(a: Column, b: Column): Column = zInterleaveN(Seq(a, b))
+
+  /** N-dimensional bit interleave: bit i of dim d lands at position
+    * D·i + d (for D = 2 this is exactly the classic (a, b) morton
+    * pairing above — dim 0 at even bits, dim 1 at odd). Pure bitwise
+    * map-side arithmetic, codegen-friendly.
+    */
+  def zInterleaveN(dims: Seq[Column]): Column = {
+    val d = dims.length
+    (0 until Z_DIM_BITS).flatMap { i =>
+      dims.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), d * i + j)
+      }
     }.reduce(_ + _).cast("bigint")
+  }
 
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
     val day = expr("(unix_micros(ts) div 86400000000) % 256").cast("bigint")

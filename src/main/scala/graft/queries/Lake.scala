@@ -641,6 +641,50 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- prune_scan_z3: 3-DIMENSIONAL declared z-order —
+  // `PARTITIONED BY (zorder(ts, user_id, value))`. The N-dim morton
+  // interleave of per-dim quantile buckets (operators/ZOrder,
+  // Advanced.zInterleaveN) range-clusters every append, so per-file
+  // extents stay tight in ALL THREE dims and a 3-D predicate prunes
+  // by manifest min/max stats alone — beyond 2-D, the interleave is
+  // what keeps any single dimension from monopolizing the sort (a
+  // lexicographic (ts, user_id, value) sort would leave the third
+  // column's extents full-range in every file).
+  def pruneScanZ3(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.z3_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_z3")
+    s.sql(s"""CREATE TABLE $tbl (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+             |  event_type STRING, value DOUBLE)
+             |PARTITIONED BY (zorder(ts, user_id, value))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT event_id, ts, user_id, event_type, value FROM ev_z3")
+    s.sql(s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM $tbl
+             |WHERE ts >= (SELECT MIN(ts) + INTERVAL 2 DAY FROM ev_z3)
+             |  AND ts < (SELECT MIN(ts) + INTERVAL 4 DAY FROM ev_z3)
+             |  AND user_id >= 10 AND user_id < 40
+             |  AND value < 25.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val pruneScanZ3Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events
+      |WHERE ts >= (SELECT MIN(ts) + INTERVAL 2 DAY FROM events)
+      |  AND ts < (SELECT MIN(ts) + INTERVAL 4 DAY FROM events)
+      |  AND user_id >= 10 AND user_id < 40
+      |  AND value < 25.0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- prune_scan_trunc: DDL-declared `PARTITIONED BY
   // (truncate(4, p_name))` (the Iceberg transform for
   // high-cardinality string keys). Appends range-cluster on the raw
@@ -1857,6 +1901,7 @@ object Lake {
     "q_props_variant" -> qPropsVariant,
     "prune_scan_z_ddl" -> pruneScanZDdl,
     "prune_scan_trunc" -> pruneScanTrunc,
+    "prune_scan_z3" -> pruneScanZ3,
     "lake_constraint" -> lakeConstraint,
     "lake_clone" -> lakeClone,
     "prune_scan_days" -> pruneScanDays,
@@ -1900,6 +1945,7 @@ object Lake {
     "q_props_variant" -> qPropsVariantSql,
     "prune_scan_z_ddl" -> pruneScanZDdlSql,
     "prune_scan_trunc" -> pruneScanTruncSql,
+    "prune_scan_z3" -> pruneScanZ3Sql,
     "lake_constraint" -> lakeConstraintSql,
     "lake_clone" -> lakeCloneSql,
     "prune_scan_days" -> pruneScanDaysSql,

@@ -377,15 +377,16 @@ class GraftCatalog extends TableCatalog
           s"truncate($n, $c) requires a string/integral column, got $dt")
         Some((c, n, "truncate"))
       case Seq(t) if t.name == "zorder" =>
-        // DECLARED 2-D z-order clustering: every append (and CALL
-        // compact) range-clusters on the quantile-bucket interleave
-        // of both columns (operators/ZOrder) — multi-dimension
-        // pruning as DDL metadata
+        // DECLARED N-D z-order clustering (2..4 columns): every append
+        // (and CALL compact) range-clusters on the quantile-bucket
+        // morton interleave of all declared columns (operators/ZOrder)
+        // — multi-dimension pruning as DDL metadata
         val cols = t.arguments.toSeq.collect {
           case r: org.apache.spark.sql.connector.expressions.NamedReference =>
             r.fieldNames.mkString(".")
         }
-        require(cols.length == 2, s"zorder takes exactly two columns, got $cols")
+        require(cols.length >= 2 && cols.length <= 4,
+          s"zorder takes 2 to 4 columns, got $cols")
         cols.foreach { c =>
           require(schema.fieldNames.contains(c),
             s"zorder column $c not in table schema")
@@ -729,7 +730,7 @@ private[sources] object GraftProcedures {
     */
   private def rewriteCfg(dir: String)
       : (graft.writer.BlockWriter.Config, Seq[String], Boolean,
-         Option[(String, String)]) = {
+         Option[Seq[String]]) = {
     val head = LakeTable.currentSnapshot(dir)
     val schema = GraftLakeTable.schemaOf(SparkSession.active, dir, head)
     val (cfg, stats, _, rc, zc) = LakeFormatWrite.config(

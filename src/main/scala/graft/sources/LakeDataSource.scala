@@ -1071,7 +1071,7 @@ private[sources] object LakeFormatWrite {
 
   private[sources] def config(options: CaseInsensitiveStringMap,
       schema: StructType, root: String = "")
-      : (BlockWriter.Config, Seq[String], Seq[String], Boolean, Option[(String, String)]) = {
+      : (BlockWriter.Config, Seq[String], Seq[String], Boolean, Option[Seq[String]]) = {
     val layout = if (root.nonEmpty) declaredLayout(root) else None
     // a TEMPORAL layout clusters every append by RANGE on the raw
     // column: per-file time extents come out disjoint and tight, so a
@@ -1082,15 +1082,14 @@ private[sources] object LakeFormatWrite {
     // clustering), so prefix/point/range predicates on the column
     // prune by file stats alone.
     val rangeCluster = layout.exists(l => temporal(l._3) || l._3 == "truncate")
-    // a DECLARED z-order layout: both dims range-cluster via the
+    // a DECLARED z-order layout: all dims range-cluster via the
     // interleaved quantile buckets (operators/ZOrder) — the caller
     // builds the batch-derived cluster expression from these cols
-    val zCols: Option[(String, String)] = layout.collect {
-      case (c, _, "zorder") =>
-        val Array(a, b) = c.split(',');  (a, b)
+    val zCols: Option[Seq[String]] = layout.collect {
+      case (c, _, "zorder") => c.split(',').toSeq
     }
     val partitionCol = Option(options.get("partitioncol"))
-      .orElse(zCols.map(_._1))
+      .orElse(zCols.map(_.head))
       .orElse(layout.map(_._1))
       .getOrElse(schema.fieldNames.head)
     val keyCol = Option(options.get("keycol"))
@@ -1114,9 +1113,9 @@ private[sources] object LakeFormatWrite {
   /** The declared-z-order cluster expression for this batch (None
     * when the table declares no z layout).
     */
-  private[sources] def zClusterOf(zCols: Option[(String, String)],
+  private[sources] def zClusterOf(zCols: Option[Seq[String]],
       data: DataFrame): Option[org.apache.spark.sql.Column] =
-    zCols.map { case (a, b) => graft.operators.ZOrder.zColumn(data, a, b) }
+    zCols.map(cols => graft.operators.ZOrder.zColumn(data, cols))
 
   /** `option("replaceWhere", "<pred>")` → stat-bounds maps for
     * [[LakeTable.overwriteWhere]]. Supported grammar (Delta's
