@@ -27,7 +27,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private val GroupSize = 16
-  private val RerunCount = 12
+  // covers the whole multi-second band: at 137 queries, in-group
+  // contamination lands mid-table (a 0.3 s hash-agg reading 2.3 s),
+  // so the clean-session re-measure must reach past the top dozen
+  private val RerunCount = 24
 
   /** Untimed warmup: JIT/codegen/scan-machinery init is session cost,
     * not operator cost — without it the first query of each session
