@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(FuseCosine)
+    // persisted SQL views over graft catalogs (Spark 4.1 ships the
+    // ViewCatalog interface with no analyzer wiring — see GraftViews)
+    ext.injectParser((session, delegate) => new GraftViewParser(session, delegate))
+    ext.injectResolutionRule(ResolveGraftViews)
   }
 }
 

@@ -641,6 +641,49 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q_sql_view: persisted SQL VIEWS over lake tables (a genuine
+  // DSv2 ViewCatalog): `CREATE VIEW graft.q.v AS SELECT …` stores the
+  // view TEXT + resolution context as catalog metadata
+  // (`<name>.view.json`), and every read RE-ANALYZES it against the
+  // current table state — the query inserts half the data AFTER
+  // creating the view, so the result hash-matching the full-corpus
+  // oracle proves the view tracks snapshot growth with zero
+  // maintenance. Views are pure metadata: nothing is materialized,
+  // the underlying scan keeps its pruning/pushdown.
+  def qSqlView(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val tbl = s"graft.q.vord_$id"; val vw = s"graft.q.v_rev_$id"
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"), col("o_orderdate"))
+      .createOrReplaceTempView("ord_vw")
+    s.sql(s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE,
+             |  o_orderpriority STRING, o_orderdate TIMESTAMP)""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT * FROM ord_vw WHERE o_orderkey % 2 = 0")
+    s.sql(s"""CREATE VIEW $vw AS
+             |SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_x100
+             |FROM $tbl
+             |GROUP BY o_orderpriority, CAST(YEAR(o_orderdate) AS INT)""".stripMargin)
+    // rows landing AFTER view creation must show through the view
+    s.sql(s"INSERT INTO $tbl SELECT * FROM ord_vw WHERE o_orderkey % 2 = 1")
+    s.sql(s"""SELECT o_orderpriority, o_year, n, rev_x100 FROM $vw
+             |WHERE o_year >= 1996
+             |ORDER BY o_orderpriority, o_year""".stripMargin)
+  }
+
+  val qSqlViewSql: String =
+    """SELECT o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_x100
+      |FROM orders
+      |WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) >= 1996
+      |GROUP BY o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+      |ORDER BY o_orderpriority, o_year""".stripMargin
+
   // --- prune_scan_z3: 3-DIMENSIONAL declared z-order —
   // `PARTITIONED BY (zorder(ts, user_id, value))`. The N-dim morton
   // interleave of per-dim quantile buckets (operators/ZOrder,
@@ -1902,6 +1945,7 @@ object Lake {
     "prune_scan_z_ddl" -> pruneScanZDdl,
     "prune_scan_trunc" -> pruneScanTrunc,
     "prune_scan_z3" -> pruneScanZ3,
+    "q_sql_view" -> qSqlView,
     "lake_constraint" -> lakeConstraint,
     "lake_clone" -> lakeClone,
     "prune_scan_days" -> pruneScanDays,
@@ -1946,6 +1990,7 @@ object Lake {
     "prune_scan_z_ddl" -> pruneScanZDdlSql,
     "prune_scan_trunc" -> pruneScanTruncSql,
     "prune_scan_z3" -> pruneScanZ3Sql,
+    "q_sql_view" -> qSqlViewSql,
     "lake_constraint" -> lakeConstraintSql,
     "lake_clone" -> lakeCloneSql,
     "prune_scan_days" -> pruneScanDaysSql,

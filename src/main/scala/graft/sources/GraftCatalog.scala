@@ -37,7 +37,8 @@ import graft.lake.LakeTable
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -101,6 +102,120 @@ class GraftCatalog extends TableCatalog
     val dir = Paths.get(root, parts: _*)
     require(!isTable(dir), s"table '$name' already exists in catalog $catalogName")
     dir.toString
+  }
+
+  // ---- SQL views (ViewCatalog) ----
+  //
+  // `CREATE VIEW graft.db.v AS SELECT …` persists the view TEXT plus
+  // its resolution context (catalog/namespace, schema, column
+  // aliases) as one JSON file next to the tables —
+  // `root/<ns…>/<name>.view.json`. Views are pure metadata: the
+  // stored SQL re-analyzes against the CURRENT table state on every
+  // read, so a view over an evolving lake table follows schema
+  // evolution and snapshot growth with zero maintenance, and the
+  // catalog stays stateless (a file IS the view, same as a directory
+  // IS a table).
+
+  private val viewMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def viewFile(ident: Identifier): Path =
+    Paths.get(root, ident.namespace() :+ (ident.name() + ".view.json"): _*)
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.isRegularFile(viewFile(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = Paths.get(root, namespace: _*)
+    if (!Files.isDirectory(ns)) Array.empty
+    else {
+      val s = Files.list(ns)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter(p => p.getFileName.toString.endsWith(".view.json"))
+        .map(p => Identifier.of(namespace.toArray,
+          p.getFileName.toString.stripSuffix(".view.json"))).toArray
+      finally s.close()
+    }
+  }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val f = viewFile(ident)
+    if (!Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val node = viewMapper.readTree(Files.readString(f))
+    def strs(field: String): Array[String] =
+      if (!node.has(field)) Array.empty
+      else scala.jdk.CollectionConverters.IteratorHasAsScala(
+        node.get(field).elements()).asScala.map(_.asText()).toArray
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = ident.toString
+      override def query(): String = node.get("sql").asText()
+      override def currentCatalog(): String = node.get("currentCatalog").asText()
+      override def currentNamespace(): Array[String] = strs("currentNamespace")
+      override def schema(): StructType =
+        DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = strs("queryColumnNames")
+      override def columnAliases(): Array[String] = strs("columnAliases")
+      override def columnComments(): Array[String] = strs("columnComments")
+      override def properties(): java.util.Map[String, String] = {
+        val m = new java.util.HashMap[String, String]()
+        if (node.has("properties")) {
+          val p = node.get("properties")
+          scala.jdk.CollectionConverters.IteratorHasAsScala(p.fieldNames())
+            .asScala.foreach(k => m.put(k, p.get(k).asText()))
+        }
+        m
+      }
+    }
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val f = viewFile(ident)
+    if (Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (isTable(Paths.get(root, ident.namespace() :+ ident.name(): _*)))
+      throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(f.getParent)
+    val o = viewMapper.createObjectNode()
+    o.put("sql", info.sql())
+    o.put("currentCatalog", info.currentCatalog())
+    val cns = o.putArray("currentNamespace")
+    info.currentNamespace().foreach(cns.add)
+    o.put("schema", info.schema().json)
+    val qcn = o.putArray("queryColumnNames")
+    info.queryColumnNames().foreach(qcn.add)
+    val ca = o.putArray("columnAliases")
+    info.columnAliases().foreach(ca.add)
+    val cc = o.putArray("columnComments")
+    info.columnComments().foreach(cc.add)
+    val props = o.putObject("properties")
+    info.properties().forEach((k, v) => { props.put(k, v): Unit })
+    Files.writeString(f, viewMapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(o))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "graft-lake views are immutable metadata: DROP and re-CREATE " +
+        "(CREATE OR REPLACE VIEW) instead of ALTER")
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val src = viewFile(from)
+    if (!Files.isRegularFile(src))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    val dst = viewFile(to)
+    if (Files.isRegularFile(dst))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst): Unit
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {

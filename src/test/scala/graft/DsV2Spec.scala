@@ -846,6 +846,47 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("SQL views: create / replace / drop lifecycle, view-over-view, live re-resolution") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val t = s"graft.psd.vt_$id"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0), (2, 20.0), (2, 5.0)")
+    spark.sql(s"CREATE VIEW graft.psd.vv_$id AS SELECT k, SUM(v) AS total FROM $t GROUP BY k")
+    assert(spark.sql(s"SELECT * FROM graft.psd.vv_$id ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((1L, 10.0), (2L, 25.0)))
+    // live re-resolution: later inserts show through the view
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.0)")
+    assert(spark.sql(s"SELECT total FROM graft.psd.vv_$id WHERE k = 1")
+      .collect().head.getDouble(0) === 11.0)
+    // view-over-view composes
+    spark.sql(s"CREATE VIEW graft.psd.vw2_$id AS " +
+      s"SELECT COUNT(*) AS n FROM graft.psd.vv_$id")
+    assert(spark.sql(s"SELECT n FROM graft.psd.vw2_$id").collect().head.getLong(0) === 2L)
+    // duplicate create rejected; OR REPLACE swaps the definition
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW graft.psd.vv_$id AS SELECT 1 AS one")
+    }
+    spark.sql(s"CREATE OR REPLACE VIEW graft.psd.vv_$id AS " +
+      s"SELECT k, COUNT(*) AS total FROM $t GROUP BY k")
+    assert(spark.sql(s"SELECT total FROM graft.psd.vv_$id WHERE k = 2")
+      .collect().head.getLong(0) === 2L)
+    // unresolvable view SQL is rejected at CREATE, not first read
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW graft.psd.bad_$id AS SELECT * FROM no_such_table_xyz")
+    }
+    // drop lifecycle
+    spark.sql(s"DROP VIEW graft.psd.vw2_$id")
+    intercept[Exception] { spark.sql(s"SELECT * FROM graft.psd.vw2_$id").collect() }
+    intercept[Exception] { spark.sql(s"DROP VIEW graft.psd.vw2_$id") }
+    spark.sql(s"DROP VIEW IF EXISTS graft.psd.vw2_$id") // no-op, no error
+    spark.sql(s"DROP VIEW graft.psd.vv_$id")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")
