@@ -1228,6 +1228,83 @@ object LlmPipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- split_leakage: LEAKAGE-AWARE train/val/test split. Splitting
+  // documents by doc-id hash leaks: near-duplicates of eval documents
+  // land in train (the contamination eval-set papers warn about —
+  // memorized near-copies inflate eval scores). The fix is to split
+  // by NEAR-DUP CLUSTER: every member of a connected component gets
+  // the component's hash bucket, so no near-dup pair can straddle
+  // splits — leak_pairs is 0 BY CONSTRUCTION, and the query proves it
+  // against the naive doc-hash split's nonzero leak count on the same
+  // corpus. Scale: cluster labels are the dedup_clusters artifact
+  // (bucket-bounded pair generation + label propagation); the split
+  // itself is one map-side hash; leak accounting joins the PAIR set
+  // (collision-bounded, not corpus²).
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val clusters = dedupClusters(s, dir) // (doc_id, cluster_id), converged components
+    val lab = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("label"))
+    def bucket(c: Column): Column =
+      call_function("graft_hash60", c.cast("string")) % 10
+    val a = graft.util.QueryScratch.cached(lab.select(col("doc_id"),
+      bucket(col("label")).as("cs"), bucket(col("doc_id")).as("ds")))
+    val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    def method(name: String, sc: String): DataFrame = {
+      val leaks = pairs
+        .join(a.select(col("doc_id").as("doc_a"), col(sc).as("sa")), "doc_a")
+        .join(a.select(col("doc_id").as("doc_b"), col(sc).as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("leak_pairs"))
+      a.agg(
+        sum(when(col(sc) <= 7, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col(sc) === 8, 1L).otherwise(0L)).as("n_val"),
+        sum(when(col(sc) === 9, 1L).otherwise(0L)).as("n_test"))
+        .crossJoin(leaks)
+        .select(lit(name).as("method"), col("n_train"), col("n_val"),
+          col("n_test"), col("leak_pairs"))
+    }
+    method("cluster", "cs").unionAll(method("doc", "ds")).orderBy(col("method"))
+  }
+
+  val splitLeakageSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"l$r AS (SELECT adj.node, min(l${r - 1}.label) AS label FROM adj JOIN l${r - 1} ON l${r - 1}.node = adj.nbr GROUP BY adj.node)"
+    }.mkString(",\n")
+    def h(x: String) = s"(('0x'||substr(md5(CAST($x AS VARCHAR)),1,15))::BIGINT % 10)"
+    s"""WITH $minhashPairsSqlBody,
+       |e AS (SELECT doc_a, doc_b FROM pairs),
+       |adj AS (
+       |  SELECT doc_a AS node, doc_b AS nbr FROM e
+       |  UNION SELECT doc_b, doc_a FROM e
+       |  UNION SELECT doc_a, doc_a FROM e
+       |  UNION SELECT doc_b, doc_b FROM e),
+       |l0 AS (SELECT node, min(nbr) AS label FROM adj GROUP BY node),
+       |$rounds,
+       |lab AS (SELECT d.doc_id, COALESCE(l8.label, d.doc_id) AS label
+       |  FROM documents d LEFT JOIN l8 ON l8.node = d.doc_id),
+       |a AS (SELECT doc_id, ${h("label")} AS cs, ${h("doc_id")} AS ds FROM lab),
+       |mc AS (SELECT CAST('cluster' AS VARCHAR) AS method,
+       |    CAST(COUNT(*) FILTER (WHERE cs <= 7) AS BIGINT) AS n_train,
+       |    CAST(COUNT(*) FILTER (WHERE cs = 8) AS BIGINT) AS n_val,
+       |    CAST(COUNT(*) FILTER (WHERE cs = 9) AS BIGINT) AS n_test,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+       |       JOIN a x ON x.doc_id = e.doc_a JOIN a y ON y.doc_id = e.doc_b
+       |     WHERE x.cs <> y.cs) AS leak_pairs
+       |  FROM a),
+       |md AS (SELECT CAST('doc' AS VARCHAR) AS method,
+       |    CAST(COUNT(*) FILTER (WHERE ds <= 7) AS BIGINT) AS n_train,
+       |    CAST(COUNT(*) FILTER (WHERE ds = 8) AS BIGINT) AS n_val,
+       |    CAST(COUNT(*) FILTER (WHERE ds = 9) AS BIGINT) AS n_test,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+       |       JOIN a x ON x.doc_id = e.doc_a JOIN a y ON y.doc_id = e.doc_b
+       |     WHERE x.ds <> y.ds) AS leak_pairs
+       |  FROM a)
+       |SELECT method, n_train, n_val, n_test, leak_pairs FROM (
+       |  SELECT * FROM mc UNION ALL SELECT * FROM md)
+       |ORDER BY method""".stripMargin
+  }
+
   // --- graph_rank: scaled-integer PageRank over the near-dup graph —
   // centrality picks the CANONICAL document of each duplicate cluster
   // (the standard alternative to "keep lowest id" retention). Two
@@ -2312,6 +2389,7 @@ object LlmPipeline {
     "ngram_jaccard" -> ngramJaccard,
     "dedup_retention" -> dedupRetention,
     "dedup_clusters" -> dedupClusters,
+    "split_leakage" -> splitLeakage,
     "graph_rank" -> graphRank,
     "sample_stratified" -> sampleStratified,
     "domain_cap" -> domainCap,
@@ -2353,6 +2431,7 @@ object LlmPipeline {
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_retention" -> dedupRetentionSql,
     "dedup_clusters" -> dedupClustersSql,
+    "split_leakage" -> splitLeakageSql,
     "graph_rank" -> graphRankSql,
     "sample_stratified" -> sampleStratifiedSql,
     "domain_cap" -> domainCapSql,

@@ -152,6 +152,18 @@ class PipelinePlanSpec extends AnyFunSuite {
     graft.util.QueryScratch.release(spark)
   }
 
+  test("split_leakage: cluster split leaks zero near-dup pairs; doc split leaks") {
+    val rows = SparkEntry.queries("split_leakage")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val corpus = graft.sources.Tables.load(spark, sf, "documents").count()
+    rows.values.foreach { case (tr, va, te, _) =>
+      assert(tr + va + te === corpus, "every doc must land in exactly one split")
+    }
+    assert(rows("cluster")._4 === 0L,
+      "cluster-wise split must leak zero near-dup pairs by construction")
+    graft.util.QueryScratch.release(spark)
+  }
+
   test("embed_quant: int8 reconstruction error is bounded and corpus fully covered") {
     val rows = SparkEntry.queries("embed_quant")(spark, sf).collect()
     val n = rows.map(_.getAs[Long]("n")).sum
