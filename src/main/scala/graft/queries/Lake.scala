@@ -764,6 +764,44 @@ object Lake {
       |WHERE p_name LIKE 'small%'
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // --- q_sql_rtas: ATOMIC CTAS / RTAS (a genuine DSv2
+  // StagingTableCatalog): `CREATE [OR REPLACE] TABLE … AS SELECT`
+  // materializes into a hidden sibling dir, re-points staged
+  // metadata (absolute manifest/part paths) at the final location
+  // while invisible, then swap-renames — a failed query can never
+  // leave a half table, and REPLACE never exposes a dropped-table
+  // gap. The query proves all three legs: CTAS lands, RTAS swaps the
+  // definition atomically, and a FAILING replace (raise_error
+  // mid-write) leaves the committed table bit-identical.
+  def qSqlRtas(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.rt_${System.nanoTime()}"
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
+      .createOrReplaceTempView("cust_rt")
+    s.sql(s"CREATE TABLE $tbl AS SELECT c_custkey, c_mktsegment, c_acctbal FROM cust_rt")
+    s.sql(s"""CREATE OR REPLACE TABLE $tbl AS
+             |SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_x100
+             |FROM cust_rt GROUP BY c_mktsegment""".stripMargin)
+    // a failing replace must ABORT: committed state untouched
+    val attempt = scala.util.Try(s.sql(
+      s"""CREATE OR REPLACE TABLE $tbl AS
+         |SELECT CASE WHEN c_acctbal > -1e18 THEN CAST(raise_error('rtas abort probe') AS DOUBLE)
+         |       ELSE c_acctbal END AS v FROM cust_rt""".stripMargin).collect())
+    require(attempt.isFailure, "failing RTAS must raise")
+    s.sql(s"SELECT c_mktsegment, n, bal_x100 FROM $tbl ORDER BY c_mktsegment")
+  }
+
+  val qSqlRtasSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_x100
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // --- lake_constraint: declared CHECK constraints
   // (`TBLPROPERTIES('graft.check.<name>' = '<boolean sql>')`,
   // managed by `ALTER TABLE … SET/UNSET TBLPROPERTIES`). Enforcement
@@ -1946,6 +1984,7 @@ object Lake {
     "prune_scan_trunc" -> pruneScanTrunc,
     "prune_scan_z3" -> pruneScanZ3,
     "q_sql_view" -> qSqlView,
+    "q_sql_rtas" -> qSqlRtas,
     "lake_constraint" -> lakeConstraint,
     "lake_clone" -> lakeClone,
     "prune_scan_days" -> pruneScanDays,
@@ -1991,6 +2030,7 @@ object Lake {
     "prune_scan_trunc" -> pruneScanTruncSql,
     "prune_scan_z3" -> pruneScanZ3Sql,
     "q_sql_view" -> qSqlViewSql,
+    "q_sql_rtas" -> qSqlRtasSql,
     "lake_constraint" -> lakeConstraintSql,
     "lake_clone" -> lakeCloneSql,
     "prune_scan_days" -> pruneScanDaysSql,

@@ -38,7 +38,8 @@ import graft.lake.LakeTable
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -248,8 +249,11 @@ class GraftCatalog extends TableCatalog
     if (!Files.isDirectory(ns)) Array.empty
     else {
       val s = Files.list(ns)
+      // in-flight staged CTAS dirs (`<name>.staging-<n>`) are working
+      // state, not tables — table names reject '.', so filtering on
+      // it hides exactly the staged/trash dirs
       try s.iterator().asInstanceOf[java.util.Iterator[Path]]
-        .asScala.filter(isTable)
+        .asScala.filter(p => isTable(p) && !p.getFileName.toString.contains("."))
         .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
       finally s.close()
     }
@@ -379,6 +383,18 @@ class GraftCatalog extends TableCatalog
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val stored = materializeTableDir(dir, schema, partitions, properties)
+    new GraftLakeTable(spark, dir.toString, None, Some(stored))
+  }
+
+  /** Writes a table directory's declared metadata (schema, layout,
+    * CHECK constraints) — shared by CREATE TABLE and the staged
+    * (atomic CTAS/RTAS) path, which materializes into a hidden
+    * sibling dir and swap-renames on commit.
+    */
+  private def materializeTableDir(dir: Path, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StructType = {
     Files.createDirectories(dir.resolve("meta"))
     // a from-birth DEFAULT column is a WRITE default only: every data
     // file will physically carry the column, so the Iceberg-style
@@ -415,8 +431,53 @@ class GraftCatalog extends TableCatalog
         LakeTable.setCheck(dir.toString, k.stripPrefix("graft.check."), v)
       }
     }
-    new GraftLakeTable(spark, dir.toString, None, Some(stored))
+    stored
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+  //
+  // `CREATE [OR REPLACE] TABLE … AS SELECT` must be ATOMIC: a failed
+  // query may not leave a half-written table, and REPLACE may not
+  // expose the gap between drop and re-create. The staged table
+  // materializes into a HIDDEN SIBLING directory (never visible to
+  // isTable — table names reject '.'), the CTAS write runs against
+  // it, and commit first rewrites the staged metadata's ABSOLUTE
+  // paths (manifests + parts record absolute file paths) to the
+  // final location — while still invisible — then swap-renames the
+  // directory into place. On a single FS the rename is atomic; on an
+  // object-store deployment this final step is the catalog-pointer
+  // CAS. Abort deletes the staging dir; the live table is untouched
+  // either way.
+
+  private def stageInternal(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String],
+      replace: Boolean, orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val finalDir = dirOf(ident)
+    if (!replace && isTable(finalDir)) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !isTable(finalDir)) throw new NoSuchTableException(ident)
+    val stageDir = finalDir.resolveSibling(
+      finalDir.getFileName.toString + s".staging-${System.nanoTime()}")
+    val stored = materializeTableDir(stageDir, schema, partitions, properties)
+    new GraftStagedTable(
+      new GraftLakeTable(spark, stageDir.toString, None, Some(stored)),
+      stageDir, finalDir, replace, ident)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageInternal(ident, schema, partitions, properties, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageInternal(ident, schema, partitions, properties, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageInternal(ident, schema, partitions, properties, replace = true, orCreate = true)
 
   /** A CHECK expression must ANALYZE as a boolean over the table's
     * columns alone — rejected at DDL time, not at first write.
@@ -946,5 +1007,72 @@ private[sources] object GraftProcedures {
         }
       }
     }
+  }
+}
+
+/** A staged CTAS/RTAS table (see GraftCatalog.stageInternal): the
+  * write lands in a hidden sibling directory; commit re-points the
+  * staged metadata's absolute paths at the final location (manifests
+  * and parts record absolute paths) while still invisible, then
+  * swap-renames into place — atomic on one FS, the catalog-pointer
+  * CAS on an object store. Abort deletes the staging dir.
+  */
+private[sources] final class GraftStagedTable(inner: GraftLakeTable,
+    stageDir: Path, finalDir: Path, replace: Boolean,
+    ident: Identifier)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] =
+    inner.columns()
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+  override def properties(): java.util.Map[String, String] = inner.properties()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    val from = stageDir.toAbsolutePath.normalize.toString
+    val to = finalDir.toAbsolutePath.normalize.toString
+    // metadata re-point happens BEFORE the rename, while the staged
+    // dir is invisible — after the swap every recorded path is valid
+    val meta = stageDir.resolve("meta")
+    if (Files.isDirectory(meta)) {
+      val st = Files.list(meta)
+      try st.iterator().asInstanceOf[java.util.Iterator[Path]]
+        .forEachRemaining { p =>
+          if (p.getFileName.toString.endsWith(".json")) {
+            val body = Files.readString(p)
+            if (body.contains(from))
+              Files.writeString(p, body.replace(from, to)): Unit
+          }
+        }
+      finally st.close()
+    }
+    if (replace && Files.exists(finalDir)) {
+      val trash = finalDir.resolveSibling(
+        finalDir.getFileName.toString + s".old-${System.nanoTime()}")
+      Files.move(finalDir, trash)
+      try Files.move(stageDir, finalDir)
+      catch { case e: Throwable => Files.move(trash, finalDir): Unit; throw e }
+      rmTree(trash)
+    } else {
+      if (Files.exists(finalDir))
+        throw new TableAlreadyExistsException(ident)
+      Files.move(stageDir, finalDir): Unit
+    }
+  }
+
+  override def abortStagedChanges(): Unit = rmTree(stageDir)
+
+  private def rmTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder())
+      .forEach(q => { Files.deleteIfExists(q): Unit })
+    finally walk.close()
   }
 }

@@ -846,6 +846,56 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("atomic CTAS/RTAS: staged swap commits; failed replace aborts clean") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val t = s"graft.psd.rt_$id"
+    spark.sql(s"CREATE TABLE $t AS SELECT id, id * 2 AS v FROM RANGE(100)")
+    assert(spark.table(t).count() === 100)
+    // duplicate atomic CTAS rejected
+    intercept[Exception] { spark.sql(s"CREATE TABLE $t AS SELECT 1 AS x") }
+    // RTAS swaps definition + schema atomically
+    spark.sql(s"CREATE OR REPLACE TABLE $t AS SELECT COUNT(*) AS n FROM RANGE(7)")
+    assert(spark.table(t).collect().head.getLong(0) === 7L)
+    // failing replace aborts: content identical, no staged residue
+    intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE $t AS " +
+        "SELECT CASE WHEN id > -1 THEN CAST(raise_error('abort probe') AS BIGINT) " +
+        "ELSE id END AS v FROM RANGE(10)").collect()
+    }
+    assert(spark.table(t).collect().head.getLong(0) === 7L)
+    val parent = {
+      val st = java.nio.file.Files.list(graft.util.Scratch.root)
+      try {
+        val it = st.iterator()
+        var found: Option[java.nio.file.Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val d = it.next()
+          if (java.nio.file.Files.isDirectory(
+              d.resolve("psd").resolve(s"rt_$id").resolve("meta"))) found = Some(d.resolve("psd"))
+        }
+        found.getOrElse(fail(s"table dir for rt_$id not found"))
+      } finally st.close()
+    }
+    val leftovers = {
+      val st = java.nio.file.Files.list(parent)
+      try {
+        val it = st.iterator()
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith(s"rt_$id.")) buf += n
+        }
+        buf.result()
+      } finally st.close()
+    }
+    assert(leftovers.isEmpty, s"staged/trash residue: $leftovers")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("SQL views: create / replace / drop lifecycle, view-over-view, live re-resolution") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
