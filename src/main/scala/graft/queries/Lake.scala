@@ -764,6 +764,39 @@ object Lake {
       |WHERE p_name LIKE 'small%'
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // --- lake_nested: NESTED TYPES through the lake — struct and
+  // array columns commit, round-trip parquet natively, and serve
+  // nested-field reads (`ctx.event_type`) straight off the columnar
+  // scan. Stats/pruning stay on atomic columns (nested fields carry
+  // no manifest stats — pruning is an IO bound, never a capability
+  // bound), and Spark's nested-schema pruning keeps the scan reading
+  // only the referenced subfields. The array column's size is
+  // data-dependent, so the aggregate proves real array round-trip,
+  // not a constant.
+  def lakeNested(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_nested_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"),
+        struct(col("user_id"), col("event_type")).as("ctx"),
+        array_repeat(col("event_type"), (length(col("event_type")) % 3 + 1).cast("int")).as("tags"))
+    val cfg = BlockWriter.Config("event_id", "event_id", maxRecordsPerFile = 8192)
+    LakeTable.commit(s, root, ev, cfg, Seq("event_id"))
+    LakeTable.read(s, root)
+      .groupBy(col("ctx").getField("event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("ctx").getField("user_id")).as("n_users"),
+        sum(size(col("tags"))).cast("bigint").as("tag_total"))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeNestedSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(LEN(event_type) % 3 + 1) AS BIGINT) AS tag_total
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q_sql_rtas: ATOMIC CTAS / RTAS (a genuine DSv2
   // StagingTableCatalog): `CREATE [OR REPLACE] TABLE … AS SELECT`
   // materializes into a hidden sibling dir, re-points staged
@@ -1985,6 +2018,7 @@ object Lake {
     "prune_scan_z3" -> pruneScanZ3,
     "q_sql_view" -> qSqlView,
     "q_sql_rtas" -> qSqlRtas,
+    "lake_nested" -> lakeNested,
     "lake_constraint" -> lakeConstraint,
     "lake_clone" -> lakeClone,
     "prune_scan_days" -> pruneScanDays,
@@ -2031,6 +2065,7 @@ object Lake {
     "prune_scan_z3" -> pruneScanZ3Sql,
     "q_sql_view" -> qSqlViewSql,
     "q_sql_rtas" -> qSqlRtasSql,
+    "lake_nested" -> lakeNestedSql,
     "lake_constraint" -> lakeConstraintSql,
     "lake_clone" -> lakeCloneSql,
     "prune_scan_days" -> pruneScanDaysSql,

@@ -839,6 +839,46 @@ object Relational {
       |ON months.m = o.m
       |ORDER BY month_start""".stripMargin
 
+  // --- q_array_ops: ARRAY analytics with higher-order functions —
+  // per-order quantity vectors built ONCE (one shuffle onto the
+  // order key; arrays bounded by lines-per-order), then
+  // aggregate/filter/zip_with evaluate MAP-SIDE over the arrays (no
+  // re-explode, no second shuffle until the 7-group rollup).
+  // collect_list is order-nondeterministic, so array_sort pins the
+  // layout before any position-sensitive op (the weighted sum) —
+  // the rule that makes array pipelines replayable cross-engine.
+  def qArrayOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_quantity").cast("bigint"))).as("arr"))
+      .select(
+        size(col("arr")).cast("bigint").as("n_items"),
+        expr("aggregate(arr, 0L, (a, x) -> a + x)").as("tot"),
+        expr("CAST(size(filter(arr, x -> x >= 25L)) AS BIGINT)").as("big"),
+        expr("aggregate(zip_with(arr, sequence(1L, CAST(size(arr) AS BIGINT)), (x, i) -> x * i), 0L, (a, x) -> a + x)").as("wsum"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("tot")).cast("bigint").as("qty_total"),
+        sum(col("big")).cast("bigint").as("n_big"),
+        sum(col("wsum")).cast("bigint").as("wsum_total"))
+      .orderBy(col("n_items"))
+
+  val qArrayOpsSql: String =
+    """WITH o AS (
+      |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS arr
+      |  FROM lineitem GROUP BY l_orderkey),
+      |s AS (
+      |  SELECT CAST(len(arr) AS BIGINT) AS n_items,
+      |    CAST(list_sum(arr) AS BIGINT) AS tot,
+      |    CAST(len(list_filter(arr, x -> x >= 25)) AS BIGINT) AS big,
+      |    CAST(list_sum(list_transform(generate_series(1, len(arr)), i -> arr[i] * i)) AS BIGINT) AS wsum
+      |  FROM o)
+      |SELECT n_items, COUNT(*) AS n_orders,
+      |  CAST(SUM(tot) AS BIGINT) AS qty_total,
+      |  CAST(SUM(big) AS BIGINT) AS n_big,
+      |  CAST(SUM(wsum) AS BIGINT) AS wsum_total
+      |FROM s GROUP BY n_items ORDER BY n_items""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
     "q3_priority" -> q3Priority,
@@ -868,6 +908,7 @@ object Relational {
     "q_grouping_sets" -> qGroupingSets,
     "q_lateral" -> qLateral,
     "q_recursive" -> qRecursive,
+    "q_array_ops" -> qArrayOps,
     "q_approx" -> qApprox)
 
   val oracles: Map[String, String] = Map(
@@ -899,5 +940,6 @@ object Relational {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_lateral" -> qLateralSql,
     "q_recursive" -> qRecursiveSql,
+    "q_array_ops" -> qArrayOpsSql,
     "q_approx" -> qApproxSql)
 }

@@ -846,6 +846,15 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("lake_nested: scan reads only the referenced nested columns") {
+    val df = SparkEntry.queries("lake_nested")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val rs = plan.split("ReadSchema:").last.split('\n').head
+    assert(rs.contains("ctx"), s"nested struct must be read: $rs")
+    assert(!rs.contains("ts:"), s"unreferenced top-level column must be pruned: $rs")
+    assert(df.count() > 0)
+  }
+
   test("atomic CTAS/RTAS: staged swap commits; failed replace aborts clean") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
