@@ -409,10 +409,55 @@ object WritePath {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // --- ingest_csv: schema-enforced CSV ingest round trip — the
+  // third wire format next to Avro and JSONL (the reference family's
+  // ingest contract: schema declared UP FRONT, not inferred — an
+  // inference pass over 100 TB of CSV is a full extra scan, and
+  // inferred types drift between shards). Quoting/escaping exercise
+  // real CSV parsing (document text carries commas/spaces); the
+  // aggregate hash-matches the source table, proving lossless
+  // round-trip.
+  def ingestCsv(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_csv_")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").csv(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).cast("bigint").as("text_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val ingestCsvSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(LEN(text)) AS BIGINT) AS text_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_schema" -> ingestSchema,
     "ingest_avro" -> ingestAvro,
     "ingest_jsonl" -> ingestJsonl,
+    "ingest_csv" -> ingestCsv,
     "block_assign" -> blockAssign,
     "partitioned_write" -> partitionedWrite,
     "compaction" -> compaction,
@@ -424,6 +469,7 @@ object WritePath {
     "ingest_schema" -> ingestSchemaSql,
     "ingest_avro" -> ingestAvroSql,
     "ingest_jsonl" -> ingestJsonlSql,
+    "ingest_csv" -> ingestCsvSql,
     "block_assign" -> blockAssignSql,
     "partitioned_write" -> partitionedWriteSql,
     "compaction" -> compactionSql,

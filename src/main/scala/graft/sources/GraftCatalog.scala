@@ -39,7 +39,8 @@ class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.ViewCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -103,6 +104,77 @@ class GraftCatalog extends TableCatalog
     val dir = Paths.get(root, parts: _*)
     require(!isTable(dir), s"table '$name' already exists in catalog $catalogName")
     dir.toString
+  }
+
+  // ---- namespaces (SupportsNamespaces) ----
+  //
+  // A namespace IS a directory that is not a table (the same
+  // statelessness rule as tables and views): `CREATE NAMESPACE` is
+  // mkdir, `SHOW NAMESPACES` lists non-table child dirs, `DROP
+  // NAMESPACE` refuses non-empty unless CASCADE. Metadata-bearing
+  // namespaces (properties) are not stored — alterNamespace rejects.
+
+  private def nsDir(namespace: Array[String]): Path =
+    Paths.get(root, namespace: _*)
+
+  private def isNamespace(p: Path): Boolean =
+    Files.isDirectory(p) && !isTable(p) && !p.getFileName.toString.contains(".")
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespace(nsDir(namespace))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val base = nsDir(namespace)
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    if (!Files.isDirectory(base)) return Array.empty
+    val s = Files.list(base)
+    try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+      .filter(isNamespace)
+      .map(p => namespace :+ p.getFileName.toString).toArray
+    finally s.close()
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"invalid namespace ${namespace.mkString(".")}")
+    val d = nsDir(namespace)
+    if (Files.isDirectory(d))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(d): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-lake namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!isNamespace(d)) return false
+    val nonEmpty = { val s = Files.list(d); try s.iterator().hasNext finally s.close() }
+    if (nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace, "namespace is not empty (use CASCADE)", None)
+    val walk = Files.walk(d)
+    try walk.sorted(Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p): Unit })
+    finally walk.close()
+    true
   }
 
   // ---- SQL views (ViewCatalog) ----

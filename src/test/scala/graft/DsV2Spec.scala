@@ -855,6 +855,28 @@ class DsV2Spec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("namespaces: CREATE / SHOW / DROP lifecycle with CASCADE guard") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val ns = s"nsx_${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    intercept[Exception] { spark.sql(s"CREATE NAMESPACE graft.$ns") }
+    assert(spark.sql(s"SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains(ns))
+    spark.sql(s"CREATE TABLE graft.$ns.t1 (k BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.t1 VALUES (1), (2)")
+    assert(spark.sql(s"SHOW TABLES IN graft.$ns").collect()
+      .map(_.getString(1)).contains("t1"))
+    // non-empty namespace refuses a bare DROP
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE graft.$ns") }
+    assert(spark.table(s"graft.$ns.t1").count() === 2)
+    spark.sql(s"DROP NAMESPACE graft.$ns CASCADE")
+    assert(!spark.sql(s"SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains(ns))
+  }
+
   test("atomic CTAS/RTAS: staged swap commits; failed replace aborts clean") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
