@@ -1039,7 +1039,7 @@ final class GraftWriteBuilder(spark: SparkSession, root: String,
   }
 }
 
-private[sources] object LakeFormatWrite {
+private[graft] object LakeFormatWrite {
 
   private def atomicStatCols(schema: StructType): Seq[String] =
     schema.fields.collect {
@@ -1194,7 +1194,7 @@ private[sources] object LakeFormatWrite {
     * untouched. NULL evaluates as PASS (the SQL-standard CHECK
     * semantics: only definite FALSE violates).
     */
-  private[sources] def applyChecks(root: String, data: DataFrame): DataFrame = {
+  private[graft] def applyChecks(root: String, data: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, concat, expr, lit, not, raise_error, struct, to_json, when}
     val checks = LakeTable.checksOf(root)
     if (checks.isEmpty) return data

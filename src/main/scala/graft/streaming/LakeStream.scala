@@ -49,8 +49,11 @@ object LakeStream {
         val head = LakeTable.currentSnapshot(root)
         val done = head > 0 && LakeTable.manifest(root, head).note == s"batch-$id"
         if (!done && !batch.isEmpty)
-          LakeTable.commit(spark, root, batch.toDF(), cfg, statCols,
-            note = s"batch-$id"): Unit
+          // declared CHECK constraints gate this ingest path too —
+          // same in-flight guard as the DSv2 sinks
+          LakeTable.commit(spark, root,
+            graft.sources.LakeFormatWrite.applyChecks(root, batch.toDF()),
+            cfg, statCols, note = s"batch-$id"): Unit
       }
       .option("checkpointLocation",
         Option(checkpoint).getOrElse(graft.util.Scratch.dir("graft_lake_ck_")))
