@@ -1228,6 +1228,49 @@ object LlmPipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- sample_epoch_mix: DATA-CONSTRAINED repetition planning
+  // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+  // Models": repeating good data up to ~4 epochs is near-fresh;
+  // beyond that returns collapse). Given a token budget of 2× the
+  // corpus, per-domain epoch counts allocate the budget toward
+  // higher-diversity domains (type-token ratio as the integer
+  // quality signal) under the 4-epoch cap, floor 1 — the repetition
+  // schedule a data-constrained run feeds its sampler. All integer
+  // arithmetic (bp ratios, DIV allocation), so the plan is
+  // hash-exact cross-engine. Scale: one shuffle on (source, word)
+  // for types, one on source — corpus-proportional map-side work
+  // only; the allocator is a 20-row broadcast.
+  def sampleEpochMix(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents").select(col("source"),
+      explode(TextFns.words(col("text"))).as("word"))
+    val per = words.groupBy(col("source")).agg(
+      count(lit(1)).as("tokens"),
+      countDistinct(col("word")).as("types"))
+      .select(col("source"), col("tokens"),
+        expr("types * 10000 DIV tokens").as("ttr_bp"))
+    val tot = per.agg(sum(col("tokens")).as("sum_tokens"),
+      sum(col("ttr_bp")).as("sum_ttr"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"), col("ttr_bp"),
+        expr("GREATEST(1L, LEAST(4L, (2 * sum_tokens * ttr_bp DIV sum_ttr) DIV tokens))").as("epochs"))
+      .withColumn("effective_tokens", col("epochs") * col("tokens"))
+      .orderBy(col("source"))
+  }
+
+  val sampleEpochMixSql: String =
+    s"""WITH w AS (SELECT source, unnest($wsSql) AS word FROM documents),
+       |per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS tokens,
+       |    CAST(COUNT(DISTINCT word) * 10000 // COUNT(*) AS BIGINT) AS ttr_bp
+       |  FROM w GROUP BY source),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+       |               CAST(SUM(ttr_bp) AS BIGINT) AS sum_ttr FROM per)
+       |SELECT source, tokens, ttr_bp,
+       |  CAST(GREATEST(1, LEAST(4, ((2 * sum_tokens * ttr_bp) // sum_ttr) // tokens)) AS BIGINT) AS epochs,
+       |  CAST(GREATEST(1, LEAST(4, ((2 * sum_tokens * ttr_bp) // sum_ttr) // tokens)) * tokens AS BIGINT) AS effective_tokens
+       |FROM per, tot
+       |ORDER BY source""".stripMargin
+
   // --- split_leakage: LEAKAGE-AWARE train/val/test split. Splitting
   // documents by doc-id hash leaks: near-duplicates of eval documents
   // land in train (the contamination eval-set papers warn about —
@@ -2392,6 +2435,7 @@ object LlmPipeline {
     "split_leakage" -> splitLeakage,
     "graph_rank" -> graphRank,
     "sample_stratified" -> sampleStratified,
+    "sample_epoch_mix" -> sampleEpochMix,
     "domain_cap" -> domainCap,
     "pipeline_e2e" -> pipelineE2e,
     "embed_neardup" -> embedNeardup,
@@ -2434,6 +2478,7 @@ object LlmPipeline {
     "split_leakage" -> splitLeakageSql,
     "graph_rank" -> graphRankSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_epoch_mix" -> sampleEpochMixSql,
     "domain_cap" -> domainCapSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "embed_neardup" -> embedNeardupSql,
