@@ -104,6 +104,29 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$plan")
   }
+
+  test("q_lateral decorrelates: window-group-limit + keyed join, never a per-row loop") {
+    val plan = SparkEntry.queries("q_lateral")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the correlated ORDER BY … LIMIT 2 must compile to a per-key
+    // group limit (map-side partial top-2 before the shuffle) joined
+    // once on the correlation key — a CartesianProduct or nested-loop
+    // re-execution would be the 100 TB scan-per-row failure mode
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), s"lateral cross-joined:\n${plan.take(2000)}")
+  }
+
+  test("q_unpivot and q_grouping_sets melt/expand in ONE Expand, one agg shuffle") {
+    for (q <- Seq("q_unpivot", "q_grouping_sets")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val expands = "Expand".r.findAllIn(plan).size
+      assert(expands === 1, s"$q: expected exactly one Expand, got $expands")
+      val aggExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(aggExchanges === 1,
+        s"$q: the melt must be map-side — one agg exchange only, got $aggExchanges")
+    }
+  }
 }
 
 class AsOfJoinSpec extends AnyFunSuite {
