@@ -234,6 +234,47 @@ object LakeTable {
         bucketCol = tm.bucketCol, nBuckets = tm.nBuckets)
     }
 
+  /** MANIFEST COMPACTION (Iceberg's `rewrite_manifests`): fold the
+    * head's O(commits) part chain into ONE consolidated part — the
+    * fully resolved live file inventory plus still-applicable deletes,
+    * every entry keeping its ORIGINAL sequence number — committed as a
+    * METADATA-ONLY snapshot. Zero data IO at any table size; after the
+    * call, resolving the head costs one part read instead of one per
+    * historical commit. This is the maintenance counterweight to the
+    * manifest-list commit shape: a continuous streaming writer
+    * (the reference flushes every MaxAge=60s, main.go:75-77) lands a
+    * part per micro-batch — a month of per-minute commits is ~43k
+    * parts walked per planning call until this folds them.
+    *
+    * Exactness across the boundary falls out of seq preservation: the
+    * new snapshot ADDS nothing (no file carries its id), so history
+    * accounting shows a pure maintenance commit, incremental ranges
+    * spanning the call return exactly the pre-call answer, and the
+    * changelog attributes ZERO rows to it (same file set, no new
+    * deletes). Time travel to pre-compaction snapshots still resolves
+    * through their own untouched manifests until expiry. Delete
+    * entries that can no longer mask any live file (every live file's
+    * seq >= the delete's) are dropped — the sequence rule makes them
+    * dead weight readers would still anti-join.
+    *
+    * Idempotent: a head that is already one part with no dead deletes
+    * returns unchanged, so a maintenance cron can fire blindly.
+    */
+  def rewriteManifests(root: String): Int = {
+    val head = currentSnapshot(root)
+    require(head > 0, s"rewrite_manifests on empty table $root")
+    val hm = manifest(root, head)
+    val liveDeletes = hm.deletes.filter(d => hm.files.exists(_.seq < d.seq))
+    if (rawParts(root, head).size == 1 && liveDeletes.size == hm.deletes.size)
+      return head
+    casLoop(root, consolidate = true) { parent =>
+      val pm = manifest(root, parent)
+      pm.copy(snapshotId = parent + 1, parentId = parent,
+        deletes = pm.deletes.filter(d => pm.files.exists(_.seq < d.seq)),
+        note = "rewrite-manifests")
+    }
+  }
+
   // ---------------- branches (write-audit-publish) ----------------
 
   /** FORK the table into a named BRANCH: a child table at
@@ -614,6 +655,104 @@ object LakeTable {
         bucketCol = pm.bucketCol, nBuckets = pm.nBuckets)
     }
   }
+
+  /** DELETION-VECTOR positional delete (the Iceberg v3 / Delta
+    * deletion-vector shape): the same row-coordinate semantics as
+    * [[deletePositions]], but the payload is ONE PER-FILE BITMAP
+    * ([[java.util.BitSet]] bytes, base64 in a JSON sidecar) instead of
+    * a (path, row_idx) row set — O(files × rowsPerFile/8) bytes on
+    * disk and in memory regardless of how many rows are deleted,
+    * where the positional payload and its read-side hash-set join are
+    * row-proportional (a 1%-of-100-TB delete is ~10⁹ coordinate
+    * rows). The read side masks each dirty file with a broadcast
+    * byte-array lookup plus an O(1) bit probe
+    * ([[graft.functions.DvContains]], codegen'd) — no hash set, no
+    * shuffle. Row-targeted like any positional delete: one copy of a
+    * duplicated key survives. Same snapshot-isolation rule as
+    * [[deletePositions]]: fails if a rewrite retired an addressed
+    * file.
+    */
+  def deletePositionsDv(spark: SparkSession, root: String,
+      positions: DataFrame): Int = {
+    import spark.implicits._
+    // one shuffle on the file path; bitmaps built executor-side and
+    // collected at O(files) entries of ≤ rowsPerFile/8 bytes each —
+    // driver memory is file-count-bounded, never row-proportional
+    val perFile: Array[(String, String, Long)] = positions
+      .select(col(CoordPath).cast("string"), col(CoordIdx).cast("bigint"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (p, it) =>
+        val bs = new java.util.BitSet()
+        var n = 0L
+        it.foreach { case (_, i) =>
+          require(i >= 0 && i <= Int.MaxValue,
+            s"row index $i of $p outside deletion-vector range")
+          if (!bs.get(i.toInt)) n += 1
+          bs.set(i.toInt)
+        }
+        (p, java.util.Base64.getEncoder.encodeToString(bs.toByteArray), n)
+      }.collect().sortBy(_._1)
+    require(perFile.nonEmpty, "deletePositionsDv with no positions")
+    val staging = stagingDir(root)
+    Files.createDirectories(Paths.get(staging))
+    val body = perFile.map { case (p, b64, _) => s""""${esc(p)}":"$b64"""" }
+      .mkString("{", ",", "}")
+    val dvFile = Paths.get(staging, "dv.json")
+    Files.writeString(dvFile, body, java.nio.file.StandardOpenOption.CREATE_NEW)
+    val dvPath = metadataPathString(dvFile)
+    val rows = perFile.map(_._3).sum
+    val referenced = perFile.map(_._1).toSet
+    casLoop(root) { parent =>
+      require(parent > 0, s"deletePositionsDv on empty table $root")
+      val pm = manifest(root, parent)
+      val live = pm.files.map(_.path).toSet
+      val dangling = referenced -- live
+      if (dangling.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"deletion vector addresses ${dangling.size} file(s) no longer " +
+            s"in $root's head snapshot (a rewrite landed); re-derive the " +
+            "coordinates against the current head")
+      val snap = parent + 1
+      Manifest(snap, parent, pm.files,
+        pm.deletes :+ DeleteEntry(dvPath, "", rows, snap, kind = "dv"),
+        note = "", schemaJson = pm.schemaJson,
+        bucketCol = pm.bucketCol, nBuckets = pm.nBuckets)
+    }
+  }
+
+  /** Deletion-vector sidecars are immutable (write-once like every
+    * lake file) — parsed once per JVM, entries metadata-sized.
+    */
+  private val dvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Array[Byte]]]()
+
+  private[graft] def loadDv(path: String): Map[String, Array[Byte]] =
+    dvCache.computeIfAbsent(path, { p =>
+      val raw =
+        if (p.contains(":")) Paths.get(new java.net.URI(p).getPath)
+        else Paths.get(p)
+      val node = mapper.readTree(Files.readString(raw))
+      asScala(node.fieldNames()).map { f =>
+        f -> java.util.Base64.getDecoder.decode(node.get(f).asText())
+      }.toMap
+    })
+
+  /** OR-merge the per-file bitmaps of several dv sidecars (a file may
+    * be re-targeted by later deletion vectors).
+    */
+  private[graft] def mergedDv(paths: Seq[String]): Seq[(String, Array[Byte])] =
+    paths.flatMap(p => loadDv(p).toSeq)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (f, bs) =>
+        f -> bs.map(_._2).reduce { (a, b) =>
+          val x = java.util.BitSet.valueOf(a)
+          x.or(java.util.BitSet.valueOf(b))
+          x.toByteArray
+        }
+      }
+
+  private val DvCol = "_graft_dv_bits"
 
   /** POSITION-DELTA commit (the write half of SQL UPDATE / MERGE INTO
     * / arbitrary-predicate DELETE): executors have already staged
@@ -1391,7 +1530,8 @@ object LakeTable {
     */
   private def casLoop(root: String, replace: Boolean = false,
       partsFrom: Option[(String, Int)] = None,
-      removed: Seq[String] = Nil)
+      removed: Seq[String] = Nil,
+      consolidate: Boolean = false)
       (build: Int => Manifest): Int = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
@@ -1406,11 +1546,21 @@ object LakeTable {
       // (a seq collision with the new snapshot id — e.g. branch-seq-2
       // files under a main publish landing as snapshot 2 — must not
       // re-serialize those files into a second part).
+      // consolidate (rewrite_manifests): the ENTIRE resolved inventory
+      // — original seq values preserved — is re-serialized into ONE
+      // part and the manifest references only that part; nothing is
+      // inherited, so resolution cost resets from O(commits) part
+      // reads to one.
       val added =
-        if (partsFrom.isDefined) Nil else m.files.filter(_.seq == m.snapshotId)
+        if (consolidate) m.files
+        else if (partsFrom.isDefined) Nil
+        else m.files.filter(_.seq == m.snapshotId)
       val addedDeletes =
-        if (partsFrom.isDefined) Nil else m.deletes.filter(_.seq == m.snapshotId)
+        if (consolidate) m.deletes
+        else if (partsFrom.isDefined) Nil
+        else m.deletes.filter(_.seq == m.snapshotId)
       val parentParts: Seq[String] = partsFrom match {
+        case _ if consolidate => Nil
         case Some((srcRoot, srcSnap)) => rawParts(srcRoot, srcSnap)
         case None => if (replace || parent == 0) Nil else rawParts(root, parent)
       }
@@ -1597,7 +1747,9 @@ object LakeTable {
             val logicalName: Map[String, String] = stored
               .filter(ColumnMapping.hasMapping)
               .map(ColumnMapping.toLogical).getOrElse(Map.empty)
-            val (posD, eqD) = delsAtS.partition(_.kind == "pos")
+            val posD = delsAtS.filter(_.kind == "pos")
+            val eqD = delsAtS.filter(_.kind == "eq")
+            val dvD = delsAtS.filter(_.kind == "dv")
             val eqFrames = eqD.groupBy(_.keyCol).toSeq.sortBy(_._1).map {
               case (kc, entries) =>
                 val kcOut = logicalName.getOrElse(kc, kc)
@@ -1614,7 +1766,29 @@ object LakeTable {
                   posD.map(_.rows).sum),
                 Seq(CoordPath, CoordIdx), "left_semi")
                 .drop(CoordPath, CoordIdx))
-            (eqFrames ++ posFrames).map(tag(_, "delete", s))
+            // dv pre-images: rows whose bit is SET in the snapshot's
+            // deletion vectors (broadcast bitmap + bit probe, same
+            // O(files) cost model as the read side)
+            val dvFrames =
+              if (dvD.isEmpty) Nil
+              else {
+                val dv = mergedDv(dvD.map(_.path))
+                val dvDf = spark.createDataFrame(
+                  java.util.Arrays.asList(dv.map { case (p, b) =>
+                    org.apache.spark.sql.Row(p, b) }: _*),
+                  StructType(Seq(
+                    org.apache.spark.sql.types.StructField(CoordPath, StringType),
+                    org.apache.spark.sql.types.StructField(DvCol,
+                      org.apache.spark.sql.types.BinaryType))))
+                import org.apache.spark.sql.graftshim.DsV2Shim
+                Seq(readFiles(spark, pm, pm.files, coords = true)
+                  .join(broadcast(dvDf), Seq(CoordPath), "inner")
+                  .filter(DsV2Shim.exprColumn(graft.functions.DvContains(
+                    DsV2Shim.columnExpr(col(DvCol)),
+                    DsV2Shim.columnExpr(col(CoordIdx)))))
+                  .drop(CoordPath, CoordIdx, DvCol))
+              }
+            (eqFrames ++ posFrames ++ dvFrames).map(tag(_, "delete", s))
           }
         ins ++ dels
       }
@@ -1689,7 +1863,8 @@ object LakeTable {
         spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(paths: _*)
           .toDF(ColumnMapping.logicalClean(s).fieldNames.toIndexedSeq: _*)
     }
-    val needCoords = coords || m.deletes.exists(_.kind == "pos")
+    val needCoords = coords ||
+      m.deletes.exists(d => d.kind == "pos" || d.kind == "dv")
     def rdc(paths: Seq[String]): DataFrame =
       if (!needCoords) rd(paths)
       else rd(paths)
@@ -1715,7 +1890,9 @@ object LakeTable {
         .toSeq.sortBy(_._2.head.path)
         .map { case (_, fs) =>
           val dels = m.deletes.filter(_.seq > fs.head.seq)
-          val (posDels, eqDels) = dels.partition(_.kind == "pos")
+          val posDels = dels.filter(_.kind == "pos")
+          val eqDels = dels.filter(_.kind == "eq")
+          val dvDels = dels.filter(_.kind == "dv")
           val afterEq = eqDels.groupBy(_.keyCol).toSeq.sortBy(_._1)
             .foldLeft(rdc(fs.map(_.path))) {
               case (d, (kc, entries)) =>
@@ -1728,12 +1905,35 @@ object LakeTable {
                   Seq(kcOut), "left_anti")
             }
           // positional masks anti-join on the row coordinates
-          strip(if (posDels.isEmpty) afterEq
-          else afterEq.join(
-            hinted(spark.read.parquet(posDels.map(_.path): _*)
-              .select(col(CoordPath), col(CoordIdx)).distinct(),
-              posDels.map(_.rows).sum),
-            Seq(CoordPath, CoordIdx), "left_anti"))
+          val afterPos =
+            if (posDels.isEmpty) afterEq
+            else afterEq.join(
+              hinted(spark.read.parquet(posDels.map(_.path): _*)
+                .select(col(CoordPath), col(CoordIdx)).distinct(),
+                posDels.map(_.rows).sum),
+              Seq(CoordPath, CoordIdx), "left_anti")
+          // deletion-vector masks: O(files)-row broadcast of (path,
+          // bitmap bytes) + an O(1) codegen'd bit probe per row — the
+          // payload and the join side stay file-count-bounded however
+          // many rows the vectors delete
+          strip(if (dvDels.isEmpty) afterPos
+          else {
+            val dv = mergedDv(dvDels.map(_.path))
+            val dvDf = spark.createDataFrame(
+              java.util.Arrays.asList(dv.map { case (p, b) =>
+                org.apache.spark.sql.Row(p, b) }: _*),
+              StructType(Seq(
+                org.apache.spark.sql.types.StructField(CoordPath, StringType),
+                org.apache.spark.sql.types.StructField(DvCol,
+                  org.apache.spark.sql.types.BinaryType))))
+            import org.apache.spark.sql.graftshim.DsV2Shim
+            afterPos.join(broadcast(dvDf), Seq(CoordPath), "left")
+              .filter(col(DvCol).isNull ||
+                !DsV2Shim.exprColumn(graft.functions.DvContains(
+                  DsV2Shim.columnExpr(col(DvCol)),
+                  DsV2Shim.columnExpr(col(CoordIdx)))))
+              .drop(DvCol)
+          })
         }.reduce(_ unionByName _)
     }
   }
@@ -2202,6 +2402,11 @@ object LakeTable {
       (files, deletes, removed)
     })
 
+  /** Number of metadata PARTS a snapshot's manifest references — the
+    * per-planning-call part-read cost [[rewriteManifests]] resets to 1.
+    */
+  def partCount(root: String, snap: Int): Int = rawParts(root, snap).size
+
   /** A snapshot's raw part-path list (commit-count-sized). */
   private def rawParts(root: String, snap: Int): Seq[String] = {
     val node = mapper.readTree(
@@ -2215,10 +2420,41 @@ object LakeTable {
     */
   def manifest(root: String, snap: Int): Manifest = {
     require(snap > 0, s"no snapshot $snap (table has ${currentSnapshot(root)})")
-    val node = mapper.readTree(
-      Files.readString(Paths.get(root, "meta", s"manifest-$snap.json")))
-    val parts = asScala(node.get("parts").elements()).map(_.asText()).toSeq
-      .map(loadPart)
+    val mf = Paths.get(root, "meta", s"manifest-$snap.json")
+    if (!Files.exists(mf)) {
+      // a SHALLOW CLONE starts at its basis snapshot — earlier
+      // manifests were never copied, so time travel below the basis
+      // gets a clear provenance error, not file-not-found
+      val cl = Paths.get(root, "meta", "_clone.json")
+      if (Files.exists(cl)) {
+        val n = mapper.readTree(Files.readString(cl))
+        val basis = n.get("basis").asInt()
+        if (snap < basis)
+          throw new NoSuchElementException(
+            s"snapshot $snap of $root predates the shallow-clone basis " +
+              s"$basis (cloned from ${n.get("source").asText()}); only " +
+              s"snapshots >= $basis exist on the clone")
+      }
+    }
+    val node = mapper.readTree(Files.readString(mf))
+    val partPaths = asScala(node.get("parts").elements()).map(_.asText()).toSeq
+    // Part loading is independent metadata IO: warm the cache for the
+    // uncached tail on a bounded pool instead of serially — a long-
+    // lived streaming table accumulates O(commits) parts between
+    // rewrite_manifests calls, and serial driver reads made first
+    // resolution commit-count-bound. (Cached parts skip the pool.)
+    val uncached = partPaths.filterNot(partCache.containsKey)
+    if (uncached.size > 4) {
+      val pool = new java.util.concurrent.ForkJoinPool(
+        math.min(32, math.max(4, Runtime.getRuntime.availableProcessors())))
+      try {
+        import scala.collection.parallel.CollectionConverters._
+        val pc = uncached.par
+        pc.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        pc.foreach(p => { loadPart(p): Unit })
+      } finally pool.shutdown()
+    }
+    val parts = partPaths.map(loadPart)
     // resolve in part order: a part's retirement tombstones subtract
     // from the inventory accumulated by EARLIER parts (a surgical
     // overwrite inherits the parent's parts and tombstones only the

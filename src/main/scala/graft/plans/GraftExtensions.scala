@@ -43,6 +43,13 @@ object GraftExtensions {
         require(children.size == 2, "graft_d2i(arrayA, arrayB)")
         IntL2(children.head, children(1))
       }),
+    (FunctionIdentifier("graft_dv_contains"),
+      new ExpressionInfo(classOf[graft.functions.DvContains].getName,
+        "graft_dv_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dv_contains(binary, bigint)")
+        graft.functions.DvContains(children.head, children(1))
+      }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

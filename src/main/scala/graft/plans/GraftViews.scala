@@ -54,6 +54,36 @@ object GraftViews {
       case _ => None
     } catch { case _: Exception => None }
   }
+
+  /** Relations in `parsed` that would make the view text CONTEXT-
+    * DEPENDENT: temp views (session-lifetime — gone or DIFFERENT for
+    * the next reader) and names that don't lead with a registered
+    * catalog (they'd resolve against the reader's current catalog /
+    * namespace, not the creator's). Stored view SQL re-resolves in
+    * every reader's session, so anything here validates at CREATE but
+    * silently means something else at read time — reject it loudly.
+    * CTE names defined inside the text itself are self-contained and
+    * skipped.
+    */
+  private[plans] def contextDependentRelations(spark: SparkSession,
+      parsed: LogicalPlan): Seq[String] = {
+    val cteNames = parsed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1)
+    }.flatten.map(_.toLowerCase).toSet
+    val cm = spark.sessionState.catalogManager
+    parsed.collect {
+      case u: UnresolvedRelation =>
+        val parts = u.multipartIdentifier
+        val name = parts.mkString(".")
+        if (parts.length == 1 && cteNames.contains(parts.head.toLowerCase)) None
+        else if (spark.sessionState.catalog.isTempView(parts))
+          Some(s"$name (temporary view)")
+        else if (parts.length < 2 || !cm.isCatalogRegistered(parts.head))
+          Some(s"$name (not catalog-qualified)")
+        else None
+    }.flatten
+  }
 }
 
 /** Parser wrap: rewrite view DDL that targets a graft catalog. All
@@ -106,14 +136,23 @@ final case class GraftCreateViewCommand(catalogName: String, ident: Identifier,
   override def run(spark: SparkSession): Seq[Row] = {
     val cm = spark.sessionState.catalogManager
     val cat = cm.catalog(catalogName).asInstanceOf[ViewCatalog]
-    if (cat.viewExists(ident)) {
-      if (replace) { cat.dropView(ident): Unit }
-      else if (allowExisting) return Nil
+    if (cat.viewExists(ident) && !replace) {
+      if (allowExisting) return Nil
       else throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
     }
-    val analyzed = spark.sessionState.executePlan(
-      spark.sessionState.sqlParser.parsePlan(sql)).analyzed
+    // Validate BEFORE touching any existing definition: a CREATE OR
+    // REPLACE whose new SQL fails analysis must leave the old view
+    // intact (replace is atomic-on-failure), so the drop happens only
+    // after the new text has fully analyzed.
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val ctxDep = GraftViews.contextDependentRelations(spark, parsed)
+    require(ctxDep.isEmpty,
+      "graft view SQL must be self-contained (it re-resolves in every " +
+        "reader's session); context-dependent relations: " +
+        ctxDep.mkString(", "))
+    val analyzed = spark.sessionState.executePlan(parsed).analyzed
+    if (cat.viewExists(ident)) { cat.dropView(ident): Unit }
     val properties = new java.util.HashMap[String, String]()
     props.foreach { case (k, v) => properties.put(k, v): Unit }
     comment.foreach(c => properties.put(ViewCatalog.PROP_COMMENT, c): Unit)

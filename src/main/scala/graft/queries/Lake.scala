@@ -992,6 +992,70 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- lake_delete_dv: DELETION-VECTOR positional delete (the
+  // Iceberg v3 / Delta DV shape): the delete payload is ONE BITMAP
+  // PER TARGETED FILE (BitSet bytes in a JSON sidecar) instead of a
+  // (path, row_idx) row set — O(files × rowsPerFile/8) bytes however
+  // many rows are deleted, where the positional payload and its
+  // read-side hash-set join are row-proportional (a 1%-of-100-TB
+  // delete is ~10⁹ coordinate rows). Readers mask dirty files with a
+  // broadcast byte-array lookup + an O(1) codegen'd bit probe
+  // (functions/DvContains). The query duplicates a key family, then
+  // deletes ONE copy of each duplicate (row-targeted — an equality
+  // delete would drop both) plus a disjoint id family, through BOTH
+  // payloads on twin tables: the 'dv' and 'pos' views must
+  // hash-match, pinning cross-payload equality in the gated result.
+  // LakeSpec pins the O(files)-bytes payload bound + the format read.
+  def lakeDeleteDv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val dup = ev.filter(col("event_id") % 97 === 3)
+    val data = ev.unionByName(dup)
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    val rootDv = tmp("graft_ldv_"); val rootPos = tmp("graft_ldvp_")
+    LakeTable.commit(s, rootDv, data, cfg, Seq("event_id"))
+    LakeTable.commit(s, rootPos, data, cfg, Seq("event_id"))
+    // one coordinate per duplicated key (first by coordinate order)
+    // plus every row of the disjoint %10 family
+    def targets(root: String): DataFrame = {
+      val wc = LakeTable.withRowCoords(s, root)
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+      val oneDup = wc.filter(col("event_id") % 97 === 3)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val tens = wc.filter(col("event_id") % 10 === 0 && col("event_id") % 97 =!= 3)
+      oneDup.unionByName(tens)
+        .select(col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+    }
+    LakeTable.deletePositionsDv(s, rootDv, targets(rootDv))
+    LakeTable.deletePositions(s, rootPos, targets(rootPos))
+    LakeTable.read(s, rootDv).withColumn("v", lit("dv"))
+      .unionByName(LakeTable.read(s, rootPos).withColumn("v", lit("pos")))
+      .unionByName(LakeTable.read(s, rootDv, Some(1)).withColumn("v", lit("pre")))
+      .groupBy(col("v"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("v"), col("event_type"))
+  }
+
+  val lakeDeleteDvSql: String =
+    """WITH views AS (
+      |  SELECT 'dv' AS v, event_type, value FROM events
+      |  WHERE event_id % 10 <> 0 OR event_id % 97 = 3
+      |  UNION ALL
+      |  SELECT 'pos' AS v, event_type, value FROM events
+      |  WHERE event_id % 10 <> 0 OR event_id % 97 = 3
+      |  UNION ALL
+      |  SELECT 'pre' AS v, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT 'pre' AS v, event_type, value FROM events WHERE event_id % 97 = 3)
+      |SELECT v, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM views
+      |GROUP BY v, event_type
+      |ORDER BY v, event_type""".stripMargin
+
   // --- lake_incremental: the lake as a CDC/STREAM SOURCE — an
   // incremental append scan reads only the rows ADDED by snapshots in
   // (from, to], resolved from manifest sequence numbers with no
@@ -1298,6 +1362,64 @@ object Lake {
       |FROM snaps
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
+
+  // --- lake_manifest_compact: MANIFEST COMPACTION (Iceberg's
+  // `rewrite_manifests`): a streaming-cadence table accumulates one
+  // metadata part per commit — the reference flushes every MaxAge=60s
+  // (main.go:75-77), so a month of commits is ~43k parts walked per
+  // planning call. `CALL graft.system.rewrite_manifests` folds the
+  // chain into ONE consolidated part as a METADATA-ONLY snapshot
+  // (zero data IO; original sequence numbers preserved), resetting
+  // resolution to one part read. The query lands 8 commits + a MoR
+  // delete, compacts, and pins the exactness laws: head view
+  // unchanged, the PRE-compaction snapshot still resolves through its
+  // own manifests, an incremental range SPANNING the call returns the
+  // pre-call answer, the compaction snapshot ADDS nothing
+  // (n_added_10 = 0), and the head is one part (n_parts_head = 1).
+  // LakeSpec pins the changelog-zero-rows law + idempotence.
+  def lakeManifestCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_mfc_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    (0 until 8).foreach { k =>
+      LakeTable.commit(s, root, ev.filter(col("event_id") % 8 === k), cfg,
+        Seq("event_id")): Unit
+    }
+    LakeTable.deleteWhere(s, root, "event_id",
+      ev.filter(col("event_id") % 10 === 0).select(col("event_id")))
+    val compacted = LakeTable.rewriteManifests(root) // snapshot 10
+    val nParts = LakeTable.partCount(root, compacted)
+    val nAdded = LakeTable.manifest(root, compacted).files.count(_.seq == compacted)
+    val head = LakeTable.read(s, root).withColumn("v", lit("head"))
+    val pre = LakeTable.read(s, root, Some(compacted - 1)).withColumn("v", lit("pre"))
+    // incremental range spanning the compaction boundary: append-scan
+    // semantics, files with seq in (4, 10] — the metadata-only
+    // snapshot contributes nothing
+    val incr = LakeTable.incrementalRead(s, root, 4, compacted)
+      .withColumn("v", lit("incr"))
+    head.unionByName(pre).unionByName(incr)
+      .groupBy(col("v"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .withColumn("n_parts_head", lit(nParts))
+      .withColumn("n_added_10", lit(nAdded))
+      .orderBy(col("v"), col("event_type"))
+  }
+
+  val lakeManifestCompactSql: String =
+    """WITH views AS (
+      |  SELECT 'head' AS v, event_type, value FROM events WHERE event_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT 'pre' AS v, event_type, value FROM events WHERE event_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT 'incr' AS v, event_type, value FROM events WHERE event_id % 8 >= 4)
+      |SELECT v, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  CAST(1 AS INTEGER) AS n_parts_head,
+      |  CAST(0 AS INTEGER) AS n_added_10
+      |FROM views
+      |GROUP BY v, event_type
+      |ORDER BY v, event_type""".stripMargin
 
   // --- lake_tag: SNAPSHOT TAGS — named refs as retention pins. Tag
   // the first cut ("v1"), append the rest, compact (a rewrite that
@@ -2000,9 +2122,11 @@ object Lake {
     "mv_refresh" -> mvRefresh,
     "lake_overwrite" -> lakeOverwrite,
     "lake_delete_pos" -> lakeDeletePos,
+    "lake_delete_dv" -> lakeDeleteDv,
     "lake_delete_bulk" -> lakeDeleteBulk,
     "lake_rewrite" -> lakeRewrite,
     "lake_rollback" -> lakeRollback,
+    "lake_manifest_compact" -> lakeManifestCompact,
     "lake_tag" -> lakeTag,
     "lake_branch" -> lakeBranch,
     "lake_format_write" -> lakeFormatWrite,
@@ -2047,9 +2171,11 @@ object Lake {
     "mv_refresh" -> mvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,
     "lake_delete_pos" -> lakeDeletePosSql,
+    "lake_delete_dv" -> lakeDeleteDvSql,
     "lake_delete_bulk" -> lakeDeleteBulkSql,
     "lake_rewrite" -> lakeRewriteSql,
     "lake_rollback" -> lakeRollbackSql,
+    "lake_manifest_compact" -> lakeManifestCompactSql,
     "lake_tag" -> lakeTagSql,
     "lake_branch" -> lakeBranchSql,
     "lake_format_write" -> lakeFormatWriteSql,

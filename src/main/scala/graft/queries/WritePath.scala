@@ -434,7 +434,14 @@ object WritePath {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars",
         org.apache.spark.sql.types.LongType)))
-    s.read.schema(schema).option("header", "true").csv(out)
+    // multiLine: the writer quotes every field, so document text with
+    // embedded newlines must parse back as ONE record — without it the
+    // reader splits quoted newlines into garbage rows (the ingest
+    // contract must hold for arbitrary text, not just the current
+    // corpus). Writer and reader share Spark's default quote/escape
+    // (`"` / `\`), so no other option may diverge.
+    s.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").csv(out)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),

@@ -35,6 +35,16 @@ object DsV2Shim {
     */
   def rowIndexCol: String = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
 
+  /** Wrap a raw Catalyst expression as a user-facing Column (and
+    * back) — `classic.ExpressionUtils` is `private[sql]`, and the
+    * deletion-vector probe builds its [[graft.functions.DvContains]]
+    * predicate directly over frame columns.
+    */
+  def exprColumn(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def columnExpr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Catalyst predicate → translatable v1 filters (the public
     * `sources.Filter` shapes manifest pruning understands).
     */

@@ -293,9 +293,15 @@ class GraftCatalog extends TableCatalog
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = Option(options.get("root")).getOrElse(
+    val raw = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.root=<dir>"))
+    // Normalize to an ABSOLUTE path at the single entry point: staged
+    // commits (RTAS) re-point metadata by matching absolute normalized
+    // staging paths against the paths LakeTable recorded from this
+    // root — a relative root would make that match silently miss and
+    // leave a committed table referencing its deleted staging dir.
+    root = Paths.get(raw).toAbsolutePath.normalize.toString
   }
 
   override def name(): String = catalogName
@@ -1010,6 +1016,9 @@ private[sources] object GraftProcedures {
         LakeTable.foldDeletes(s, dir, cfg, stats,
           rangeCluster = rc, clusterBy = LakeFormatWrite.zClusterOf(zc, data))
       }),
+    Def("rewrite_manifests", "fold the head's O(commits) metadata part chain into one part",
+      Seq("table" -> StringType), "snapshot", IntegerType,
+      (c, in) => LakeTable.rewriteManifests(tbl(c, in))),
     Def("expire_snapshots", "expire snapshots below keep_from; reclaim their files",
       Seq("table" -> StringType, "keep_from" -> IntegerType),
       "n_reclaimed", IntegerType,

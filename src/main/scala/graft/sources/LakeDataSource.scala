@@ -512,7 +512,10 @@ private[sources] final case class GroupDeleteSpec(
     augSchema: StructType, baseLen: Int,
     // coordinate-emitting output: augmented-row ordinal per output
     // field, -1 = the partition's (constant) file path
-    outMap: Option[Seq[Int]] = None)
+    outMap: Option[Seq[Int]] = None,
+    // deletion-vector sidecars: per-file bitmaps probed at rowIdxOrd
+    // (O(1) bit test; payload O(files) bytes, never row-proportional)
+    dvFiles: Seq[String] = Nil)
 
 private[sources] final case class TaggedPartition(tag: Int, inner: FilePartition,
     bucket: Int = -1) extends InputPartition
@@ -717,7 +720,9 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
         if (dels.isEmpty && !coordsRequested)
           Group(DsV2Shim.withFiles(template, spark, files), None, paths)
         else {
-          val (posDels, eqDels) = dels.partition(_.kind == "pos")
+          val posDels = dels.filter(_.kind == "pos")
+          val eqDels = dels.filter(_.kind == "eq")
+          val dvDels = dels.filter(_.kind == "dv")
           var aug = base
           val eqs = eqDels.groupBy(_.keyCol).toSeq.sortBy(_._1).map {
             case (kc, entries) =>
@@ -736,7 +741,7 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
               EqDeleteSpec(ord, GraftScan.keyTag(kf.dataType),
                 entries.map(_.path))
           }
-          val needRowIdx = posDels.nonEmpty ||
+          val needRowIdx = posDels.nonEmpty || dvDels.nonEmpty ||
             requested.exists(_.fieldNames.contains(LakeTable.CoordIdx))
           val rowIdxOrd =
             if (!needRowIdx) -1
@@ -751,7 +756,7 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
             else aug.fieldNames.indexOf(phys(f.name))
           }.toSeq)
           val spec = GroupDeleteSpec(eqs, posDels.map(_.path), rowIdxOrd,
-            aug, base.length, outMap)
+            aug, base.length, outMap, dvDels.map(_.path))
           Group(DsV2Shim.withFilesAndSchema(template, spark, files, aug),
             Some(spec), paths)
         }
@@ -775,7 +780,8 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
             fs.map(f => (f.path, GraftScan.bytesOf(f))))
           .planInputPartitions().map(_.asInstanceOf[FilePartition])
         val shaped =
-          if (g.spec.exists(s => s.posFiles.nonEmpty || s.outMap.isDefined))
+          if (g.spec.exists(s => s.posFiles.nonEmpty || s.dvFiles.nonEmpty ||
+              s.outMap.isDefined))
             // one PartitionedFile per partition so each reader knows
             // its rows' file coordinate (splits of one file are still
             // fine: the parquet row index is file-global)
@@ -827,7 +833,7 @@ final class GraftReaderFactory(inner: Array[PartitionReaderFactory],
       case None => r
       case Some(spec) =>
         val filePath =
-          if (spec.posFiles.isEmpty && spec.outMap.isEmpty) ""
+          if (spec.posFiles.isEmpty && spec.dvFiles.isEmpty && spec.outMap.isEmpty) ""
           else t.inner.files.head.filePath.toPath.toString
         new DeleteFilterReader(r, spec, filePath)
     }
@@ -852,6 +858,11 @@ final class DeleteFilterReader(inner: PartitionReader[InternalRow],
     if (spec.posFiles.isEmpty) null
     else DeleteSideCache.positions(spec.posFiles)
       .getOrDefault(filePath, DeleteSideCache.noPositions)
+  // this file's deletion-vector bitmap (merged across sidecars); null
+  // = no vector targets this file — probe is one O(1) bit test
+  private val dvBits: Array[Byte] =
+    if (spec.dvFiles.isEmpty) null
+    else DeleteSideCache.dvBitmaps(spec.dvFiles).getOrDefault(filePath, null)
   private val project = spec.outMap match {
     case Some(m) => DsV2Shim.mappedProjection(spec.augSchema, m, filePath)
     case None => DsV2Shim.prefixProjection(spec.augSchema, spec.baseLen)
@@ -877,7 +888,10 @@ final class DeleteFilterReader(inner: PartitionReader[InternalRow],
         return true
       i += 1
     }
-    posSet != null && posSet.contains(java.lang.Long.valueOf(r.getLong(spec.rowIdxOrd)))
+    (posSet != null &&
+      posSet.contains(java.lang.Long.valueOf(r.getLong(spec.rowIdxOrd)))) ||
+    (dvBits != null &&
+      graft.functions.DvContains.contains(dvBits, r.getLong(spec.rowIdxOrd)))
   }
 
   override def next(): Boolean = {
@@ -915,6 +929,21 @@ object DeleteSideCache {
     cache.computeIfAbsent("pos:" + files.sorted.mkString(";"),
       _ => loadPositions(files))
       .asInstanceOf[java.util.HashMap[String, java.util.HashSet[java.lang.Long]]]
+
+  /** Deletion-vector bitmaps (data-file path → merged BitSet bytes):
+    * the JSON sidecars parse once per executor JVM; memory is
+    * O(files × rowsPerFile/8) bytes — never row-proportional.
+    */
+  def dvBitmaps(files: Seq[String])
+      : java.util.HashMap[String, Array[Byte]] =
+    cache.computeIfAbsent("dv:" + files.sorted.mkString(";"),
+      _ => {
+        val merged = new java.util.HashMap[String, Array[Byte]]()
+        graft.lake.LakeTable.mergedDv(files).foreach { case (p, b) =>
+          merged.put(p, b): Unit
+        }
+        merged
+      }).asInstanceOf[java.util.HashMap[String, Array[Byte]]]
 
   private def open(f: String): ParquetReader[org.apache.parquet.example.data.Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(f))

@@ -1187,4 +1187,123 @@ class LakeDataSourceSpec extends AnyFunSuite {
       fullAfter.exceptAll(gotAfter).count() === 0L)
     graft.util.Scratch.rmNow(base); graft.util.Scratch.rmNow(mv)
   }
+
+  test("rewrite_manifests folds the part chain to one; history/incremental/changelog stay exact") {
+    val root = graft.util.Scratch.dir("graft_mfc_spec_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    (0 until 6).foreach { k =>
+      LakeTable.commit(spark, root, ev.filter(col("event_id") % 6 === k), cfg,
+        Seq("event_id")): Unit
+    }
+    LakeTable.deleteWhere(spark, root, "event_id",
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")))
+    val preSnap = LakeTable.currentSnapshot(root) // 7
+    assert(LakeTable.partCount(root, preSnap) === 7,
+      "one metadata part per commit before compaction")
+    val preView = LakeTable.read(spark, root).collect().toSet
+    val preIncr = LakeTable.incrementalRead(spark, root, 3, preSnap).count()
+    val snap = LakeTable.rewriteManifests(root)
+    assert(snap === preSnap + 1)
+    // the whole point: head resolution is now ONE part read
+    assert(LakeTable.partCount(root, snap) === 1)
+    // metadata-only: same file inventory, original seqs, no additions
+    val pm = LakeTable.manifest(root, preSnap); val m = LakeTable.manifest(root, snap)
+    assert(m.files.map(f => (f.path, f.seq)).toSet ===
+      pm.files.map(f => (f.path, f.seq)).toSet)
+    assert(m.files.count(_.seq == snap) === 0)
+    // view identical; pre-compaction snapshot resolves via its own parts
+    assert(LakeTable.read(spark, root).collect().toSet === preView)
+    assert(LakeTable.read(spark, root, Some(preSnap)).collect().toSet === preView)
+    // incremental range SPANNING the boundary: same answer as pre-call
+    assert(LakeTable.incrementalRead(spark, root, 3, snap).count() === preIncr)
+    // changelog: the compaction snapshot attributes ZERO change rows
+    assert(LakeTable.changelogRead(spark, root, preSnap, snap).count() === 0L)
+    // idempotent: a second call is a no-op returning the same head
+    assert(LakeTable.rewriteManifests(root) === snap)
+    assert(LakeTable.currentSnapshot(root) === snap)
+    // a post-compaction append inherits the single consolidated part
+    LakeTable.commit(spark, root,
+      ev.filter(col("event_id") % 6 === 0).limit(10), cfg, Seq("event_id"))
+    assert(LakeTable.partCount(root, snap + 1) === 2)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("deletion vectors: O(files)-bytes payload, both read paths, fold, changelog") {
+    val root = graft.util.Scratch.dir("graft_dv_spec_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 512)
+    LakeTable.commit(spark, root, ev, cfg, Seq("event_id"))
+    val nFiles = LakeTable.manifest(root, 1).files.size
+    val nRows = ev.count()
+    // delete HALF the table by coordinates — a row-proportional
+    // payload would be ~nRows/2 coordinate rows; the dv payload must
+    // stay file-count-bounded
+    val targets = LakeTable.withRowCoords(spark, root)
+      .filter(col("event_id") % 2 === 0)
+      .select(col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+    val nDeleted = targets.count()
+    LakeTable.deletePositionsDv(spark, root, targets)
+    val m = LakeTable.manifest(root, 2)
+    val dvEntry = m.deletes.find(_.kind == "dv").get
+    assert(dvEntry.rows === nDeleted)
+    val payloadBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(new java.net.URI(dvEntry.path).getPath))
+    // bound: per file ≤ ceil(rowsPerFile/8) bitmap bytes, ×4/3 base64,
+    // + path/JSON overhead ≪ 512 bytes/file. NOT proportional to the
+    // ~nRows/2 deleted rows (≥8 bytes each as coordinates).
+    assert(payloadBytes < nFiles * 1024L,
+      s"dv payload $payloadBytes bytes exceeds O(files) bound (${nFiles} files)")
+    assert(payloadBytes < nDeleted * 8,
+      s"dv payload $payloadBytes not smaller than row-proportional coords")
+    // library read path
+    val expect = ev.filter(col("event_id") % 2 === 1)
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === nRows - nDeleted)
+    assert(got.exceptAll(expect).count() === 0L && expect.exceptAll(got).count() === 0L)
+    // DSv2 format read applies the vectors identically
+    val fmt = spark.read.format("graft-lake").load(root)
+    assert(fmt.count() === nRows - nDeleted)
+    assert(fmt.exceptAll(expect).count() === 0L)
+    // changelog attributes the dv snapshot's pre-images
+    val cl = LakeTable.changelogRead(spark, root, 1, 2)
+    assert(cl.filter(col("_change_type") === "delete").count() === nDeleted)
+    // foldDeletes folds the vectors in; the rewritten head carries none
+    LakeTable.foldDeletes(spark, root, cfg, Seq("event_id"))
+    val m3 = LakeTable.manifest(root, 3)
+    assert(m3.deletes.isEmpty)
+    val folded = LakeTable.read(spark, root)
+    assert(folded.count() === nRows - nDeleted)
+    assert(folded.exceptAll(expect).count() === 0L)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("rewrite_manifests drops dead delete entries the sequence rule already retired") {
+    val root = graft.util.Scratch.dir("graft_mfc_dead_")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(spark, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, root, "event_id",
+      ev.filter(col("event_id") % 4 === 0).select(col("event_id")))
+    // a rewrite folds the mask into the data files, but the manifest
+    // of the rewrite commit is fresh — land another delete AFTER so
+    // the consolidated head has one LIVE delete and the fold's debt
+    val folded = LakeTable.foldDeletes(spark, root, cfg, Seq("event_id"))
+    LakeTable.deleteWhere(spark, root, "event_id",
+      ev.filter(col("event_id") % 10 === 2).select(col("event_id")))
+    val expect = LakeTable.read(spark, root).collect().toSet
+    val snap = LakeTable.rewriteManifests(root)
+    val m = LakeTable.manifest(root, snap)
+    // the live equality delete survives; every data file postdating
+    // the fold means no DEAD entries remain to drop here — but the
+    // delete payload of the pre-fold commit must NOT reappear
+    assert(m.deletes.forall(d => m.files.exists(_.seq < d.seq)),
+      "consolidated manifest may carry only deletes that mask a live file")
+    assert(LakeTable.read(spark, root).collect().toSet === expect)
+    assert(folded > 0)
+    graft.util.Scratch.rmNow(root)
+  }
 }
