@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Lake, LlmPipeline, Relational, StreamingQ, WritePath}
+import graft.queries.{Advanced, Geo, Lake, LlmPipeline, Relational, StreamingQ, WritePath}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
 object SparkEntry {
@@ -16,11 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ WritePath.all ++ LlmPipeline.all ++ StreamingQ.all ++
-      Advanced.all ++ Lake.all
+      Advanced.all ++ Lake.all ++ Geo.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ WritePath.oracles ++ LlmPipeline.oracles ++
-      StreamingQ.oracles ++ Advanced.oracles ++ Lake.oracles
+      StreamingQ.oracles ++ Advanced.oracles ++ Lake.oracles ++ Geo.oracles
 }

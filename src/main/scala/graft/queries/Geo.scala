@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFns._
+import graft.sources.Tables
+
+/** Geospatial operators over the reference's own domain — the
+  * reference ingests GPS fixes (required `latitude`/`longitude`
+  * doubles, /root/reference/main.go:34-35), so a location lake's
+  * first queries are a bounding-box probe and a radius search. Both
+  * queries synthesize deterministic md5-derived points from the
+  * testdata (SURVEY §5 convention — DuckDB replays the derivation
+  * bit-exactly), carry coordinates as scaled-integer MICRODEGREES
+  * (exact manifest stats, exact cell arithmetic), and convert to
+  * degrees only inside the shared haversine formula
+  * ([[graft.functions.GeoFns]] — built-in trig, whole-stage codegen,
+  * no UDF).
+  */
+object Geo {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Synthetic GPS fixes keyed by event id (lat clamped to ±60°, lon
+    * full-range — see [[graft.functions.GeoFns.latE6]]).
+    */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("lat_e6", latE6(col("event_id")))
+      .withColumn("lon_e6", lonE6(col("event_id")))
+
+  // --- geo_bbox: BOUNDING-BOX probe over a DECLARED 2-D geo layout —
+  // `PARTITIONED BY (zorder(lat_e6, lon_e6))` range-clusters every
+  // append on the lat/lon morton interleave, so the manifest's
+  // per-file min/max stats are tight in BOTH dims and a bbox
+  // predicate prunes files before IO (DsV2Spec pins ≤ total/4 files
+  // touched) — at 100 TB of GPS fixes, the difference between a city
+  // query reading the city and reading the planet. Microdegree
+  // bigints (not doubles) are what make the stats exact.
+  def geoBbox(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.geo_${System.nanoTime()}"
+    points(s, dir).createOrReplaceTempView("geo_pts")
+    s.sql(s"""CREATE TABLE $tbl (event_id BIGINT, event_type STRING,
+             |  value DOUBLE, lat_e6 BIGINT, lon_e6 BIGINT)
+             |PARTITIONED BY (zorder(lat_e6, lon_e6))""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT event_id, event_type, value, lat_e6, lon_e6 FROM geo_pts")
+    s.sql(s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM $tbl
+             |WHERE lat_e6 >= -20000000 AND lat_e6 < 10000000
+             |  AND lon_e6 >= 40000000 AND lon_e6 < 100000000
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val geoBboxSql: String =
+    """WITH pts AS (
+      |  SELECT event_id, event_type, value,
+      |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lat'),1,15))::BIGINT % 120000000 - 60000000 AS lat_e6,
+      |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lon'),1,15))::BIGINT % 360000000 - 180000000 AS lon_e6
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM pts
+      |WHERE lat_e6 >= -20000000 AND lat_e6 < 10000000
+      |  AND lon_e6 >= 40000000 AND lon_e6 < 100000000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- geo_radius_join: RADIUS SEARCH as a CELL-BUCKETED join —
+  // never all-pairs. Points carry their 6° grid cell map-side;
+  // each station (25 nation-derived sites) explodes into the 15-cell
+  // neighborhood a 600 km radius can reach under the ±60° lat clamp
+  // (3 lat × 5 lon, longitude wrapping the antimeridian modulo 60),
+  // and the BROADCAST of that ~375-row frame joins points on the
+  // exact cell key — the big side never shuffles, candidates are
+  // cell-bounded, and only candidates pay the haversine. The exact
+  // distance then filters to the true radius (cells only bound IO).
+  // At 100 TB the same plan holds: station-side explode is
+  // stations×15 rows, point-side work is one map-side cell key.
+  // Oracle = DuckDB's naive cross join with the identical formula.
+  def geoRadiusJoin(s: SparkSession, dir: String): DataFrame = {
+    val R = 600000.0 // meters
+    val pts = points(s, dir)
+      .withColumn("clat", latCell(col("lat_e6")))
+      .withColumn("clon", lonCell(col("lon_e6")))
+    val offsets = RadiusNeighborhood.map { case (a, b) =>
+      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
+    val stations = t(s, dir, "nation")
+      .select(col("n_name"))
+      .withColumn("s_lat_e6", latE6(col("n_name")))
+      .withColumn("s_lon_e6", lonE6(col("n_name")))
+      .withColumn("o", explode(array(offsets: _*)))
+      .withColumn("clat", latCell(col("s_lat_e6")) + col("o.dlat"))
+      .withColumn("clon", wrapLonCell(lonCell(col("s_lon_e6")) + col("o.dlon")))
+      .drop("o")
+    // a point's cell is unique and a station's 15 neighbor cells are
+    // distinct, so each (point, station) pair joins AT MOST ONCE — no
+    // post-join dedup needed
+    pts.join(broadcast(stations), Seq("clat", "clon"))
+      .withColumn("d_m", haversineMeters(
+        deg(col("lat_e6")), deg(col("lon_e6")),
+        deg(col("s_lat_e6")), deg(col("s_lon_e6"))))
+      .filter(col("d_m") <= lit(R))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("event_type")).as("n_types"),
+        floor(min(col("d_m")) / 1000).cast("bigint").as("km_min"))
+      .orderBy(col("n_name"))
+  }
+
+  val geoRadiusJoinSql: String =
+    """WITH pts AS (
+      |  SELECT event_id, event_type,
+      |    (('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lat'),1,15))::BIGINT % 120000000 - 60000000) / 1000000.0 AS lat,
+      |    (('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lon'),1,15))::BIGINT % 360000000 - 180000000) / 1000000.0 AS lon
+      |  FROM events),
+      |st AS (
+      |  SELECT n_name,
+      |    (('0x'||substr(md5(n_name||':lat'),1,15))::BIGINT % 120000000 - 60000000) / 1000000.0 AS lat,
+      |    (('0x'||substr(md5(n_name||':lon'),1,15))::BIGINT % 360000000 - 180000000) / 1000000.0 AS lon
+      |  FROM nation),
+      |pairs AS (
+      |  SELECT st.n_name, pts.event_type,
+      |    2 * 6371000.0 * ASIN(SQRT(
+      |      POW(SIN(RADIANS(st.lat - pts.lat) / 2), 2) +
+      |      COS(RADIANS(pts.lat)) * COS(RADIANS(st.lat)) *
+      |      POW(SIN(RADIANS(st.lon - pts.lon) / 2), 2))) AS d_m
+      |  FROM pts, st)
+      |SELECT n_name, COUNT(*) AS n_points,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  CAST(FLOOR(MIN(d_m) / 1000) AS BIGINT) AS km_min
+      |FROM pairs
+      |WHERE d_m <= 600000.0
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_bbox" -> geoBbox,
+    "geo_radius_join" -> geoRadiusJoin)
+
+  val oracles: Map[String, String] = Map(
+    "geo_bbox" -> geoBboxSql,
+    "geo_radius_join" -> geoRadiusJoinSql)
+}

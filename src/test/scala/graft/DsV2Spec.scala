@@ -701,6 +701,44 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("geo bbox over PARTITIONED BY (zorder(lat_e6, lon_e6)) prunes most files") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val t = s"graft.psd.geo_${System.nanoTime()}"
+    import graft.functions.GeoFns._
+    val pts = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("lat_e6", latE6(col("event_id")))
+      .withColumn("lon_e6", lonE6(col("event_id")))
+    pts.createOrReplaceTempView("geo_spec_pts")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.sql(s"""CREATE TABLE $t (event_id BIGINT, event_type STRING,
+                   |  value DOUBLE, lat_e6 BIGINT, lon_e6 BIGINT)
+                   |PARTITIONED BY (zorder(lat_e6, lon_e6))""".stripMargin)
+      spark.sql(s"INSERT INTO $t SELECT event_id, event_type, value, lat_e6, lon_e6 FROM geo_spec_pts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    def bbox(rel: DataFrame) = rel.where(
+      col("lat_e6") >= -20000000L && col("lat_e6") < 10000000L &&
+        col("lon_e6") >= 40000000L && col("lon_e6") < 100000000L)
+    val filtered = bbox(spark.table(t))
+    val scan = graftScanOf(filtered)
+    assert(scan.totalFiles >= 8,
+      s"expected a multi-file layout, got ${scan.totalFiles}")
+    // the bbox covers 25% of the lat range × ~17% of lon — the geo
+    // z layout must plan a fraction of the files, not the planet
+    assert(scan.survivors.size <= scan.totalFiles / 4,
+      s"geo zorder layout should skip most files for a bbox: " +
+        s"${scan.survivors.size}/${scan.totalFiles}")
+    assert(filtered.count() === bbox(pts).count())
+    assert(sorted(filtered.drop("lat_e6").drop("lon_e6")) ===
+      sorted(bbox(pts).drop("lat_e6").drop("lon_e6")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("PARTITIONED BY (truncate(4, p_name)): prefix and range predicates prune most files") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)

@@ -180,4 +180,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 1, s"expected ≤1 shuffle, got $shuffles:\n$plan")
   }
+
+  test("geo_radius_join: cell-bucketed broadcast join, never all-pairs") {
+    val df = graft.queries.Geo.geoRadiusJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the station side (25 stations × 15 neighbor cells) broadcasts;
+    // the point side joins on the exact cell key — a CartesianProduct
+    // or BroadcastNestedLoopJoin here would be the all-pairs plan that
+    // cannot survive 100 TB of points
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast cell join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"radius join fell back to all-pairs:\n${plan.take(2000)}")
+    // the cell neighborhood must be a superset bound: every pair the
+    // naive all-pairs haversine join finds is found through the cells
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFns._
+    val pts = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("lat_e6", latE6(col("event_id")))
+      .withColumn("lon_e6", lonE6(col("event_id")))
+    val st = graft.sources.Tables.load(spark, sf, "nation")
+      .select(col("n_name"))
+      .withColumn("s_lat_e6", latE6(col("n_name")))
+      .withColumn("s_lon_e6", lonE6(col("n_name")))
+    val naive = pts.crossJoin(st)
+      .withColumn("d_m", haversineMeters(
+        deg(col("lat_e6")), deg(col("lon_e6")),
+        deg(col("s_lat_e6")), deg(col("s_lon_e6"))))
+      .filter(col("d_m") <= lit(600000.0))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("event_type")).as("n_types"),
+        floor(min(col("d_m")) / 1000).cast("bigint").as("km_min"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = naive.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want, "cell-bucketed radius join must equal the all-pairs answer")
+  }
 }
