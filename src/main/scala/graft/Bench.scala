@@ -99,6 +99,12 @@ object Bench {
     (dt, failed)
   }
 
+  /** Calibration gate: a session whose fixed microbenchmark ran this
+    * factor slower than the run's best was measured under outside CPU
+    * pressure — its numbers are suspect and its group is re-measured.
+    */
+  private val CalibGate = 1.1
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -112,11 +118,14 @@ object Bench {
 
     val envs = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
 
-    all.grouped(GroupSize).zipWithIndex.foreach { case (group, gi) =>
+    val groupCalib = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    val groups = all.grouped(GroupSize).toSeq
+    groups.zipWithIndex.foreach { case (group, gi) =>
       val spark = GraftSession.local(cpus)
       warmup(spark, sfDir)
       val (load, calib) = envProbe()
       envs += ((s"group-$gi", load, calib))
+      groupCalib(gi) = calib
       group.foreach { case (name, fn) =>
         val (dt, failed) = timeQuery(spark, sfDir, fn, name)
         if (failed) errors += name
@@ -125,6 +134,30 @@ object Bench {
       spark.stop()
       // between groups: let the dead context's cleaner references go
       System.gc()
+    }
+
+    // CALIBRATION-GATED RETRY: any group whose session calibration
+    // drifted past [[CalibGate]] × the run's best was measured under
+    // outside load — re-measure the whole group in a fresh session
+    // and keep per-query minima. One retry per flagged group: a
+    // transient spike heals; a persistently loaded host is identified
+    // by the recorded gate verdicts instead of silently poisoning the
+    // record.
+    if (groupCalib.nonEmpty) {
+      val best = groupCalib.values.min
+      val flagged = groupCalib.filter(_._2 / best > CalibGate).keys.toSeq.sorted
+      flagged.foreach { gi =>
+        val spark = GraftSession.local(cpus)
+        warmup(spark, sfDir)
+        val (load, calib) = envProbe()
+        envs += ((s"retry-$gi", load, calib))
+        groups(gi).foreach { case (name, fn) =>
+          val (dt, failed) = timeQuery(spark, sfDir, fn, name)
+          if (!failed && dt < firstPass(name)) firstPass(name) = dt
+        }
+        spark.stop()
+        System.gc()
+      }
     }
 
     // Clean-session re-measure of the slowest queries: their
@@ -181,8 +214,13 @@ object Bench {
       .mkString("{", ",", "}")
     val rerunJson = reruns.toSeq.map { case (k, v) => s""""$k":${s3(v)}""" }
       .mkString("{", ",", "}")
+    // per-session GATE VERDICT against the run's best calibration:
+    // "clean" sessions measured on a quiet machine; "loaded" sessions
+    // had their groups re-measured (see the gated retry above)
+    val bestCalib = if (envs.isEmpty) 1.0 else envs.map(_._3).min
     val envJson = envs.map { case (tag, load, calib) =>
-      s"""{"session":"$tag","load_1m":${s3(load)},"calib_ms":${s3(calib)}}"""
+      val gate = if (calib / bestCalib > CalibGate) "loaded" else "clean"
+      s"""{"session":"$tag","load_1m":${s3(load)},"calib_ms":${s3(calib)},"gate":"$gate"}"""
     }.mkString("[", ",", "]")
     val fileJson =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec",

@@ -2308,6 +2308,216 @@ object LakeTable {
     removed
   }
 
+  // ---------------- ANALYZE: persisted column-level statistics ----------------
+
+  /** Linear-counting bitmap width for per-file NDV sketches. 1024
+    * buckets = 128 bytes per (file, column): accurate to a few
+    * percent below ~1k distincts per file and a recognized-saturation
+    * signal above — the right granularity for task-sized files, and
+    * small enough that a 100 TB table's sketches stay metadata.
+    */
+  val NdvBuckets = 1024
+
+  /** Per-file, per-column ANALYZE sketch: exact null count, exact
+    * total value length, 256-codepoint-truncated string min/max, and
+    * a [[NdvBuckets]]-bit linear-counting bitmap over md5-derived
+    * value hashes. Bitmaps are MERGEABLE (bitwise OR), so a
+    * table-level — or post-pruning, per-file-subset — distinct-count
+    * estimate folds from any file set without re-reading data, and
+    * re-ANALYZE after appends sketches only the new files (data files
+    * are immutable by path). The hash is the engine's md5-derived
+    * convention, so a SQL oracle replays occupancy exactly.
+    */
+  final case class ColSketch(nulls: Long, sumLen: Long, minS: String,
+      maxS: String, bitsHex: String) {
+    def bits: java.util.BitSet =
+      java.util.BitSet.valueOf(
+        bitsHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+  }
+
+  /** One analyzed file: manifest row count + per-column sketches. */
+  final case class FileSketch(rows: Long, cols: Map[String, ColSketch])
+
+  final case class ColStatsMeta(analyzedSnapshot: Int,
+      files: Map[String, FileSketch])
+
+  private def colStatsPath(root: String) =
+    Paths.get(root, "meta", "_colstats.json")
+
+  /** Canonical sketch key for a data-file path: manifests record some
+    * paths with a `file:` scheme and some plain; sketches key on the
+    * scheme-less filesystem path so both forms resolve.
+    */
+  private def sketchKey(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** Public alias for metadata-table consumers. */
+  def sketchKeyOf(p: String): String = sketchKey(p)
+
+  /** Parsed `_colstats.json`; None when the table was never analyzed.
+    * Cached by file mtime (ANALYZE rewrites atomically).
+    */
+  def colStats(root: String): Option[ColStatsMeta] = {
+    val p = colStatsPath(root)
+    if (!Files.exists(p)) None
+    else {
+      val mtime = Files.getLastModifiedTime(p).toMillis
+      Option(colStatsCache.get(root)).filter(_._1 == mtime).map(_._2)
+        .orElse {
+          val node = mapper.readTree(Files.readString(p))
+          val files = asScala(node.get("files").properties().iterator()).map { e =>
+            val fn = e.getValue
+            val cols = asScala(fn.get("cols").properties().iterator()).map { c =>
+              val cn = c.getValue
+              c.getKey -> ColSketch(cn.get("nulls").asLong(),
+                cn.get("sum_len").asLong(),
+                if (cn.get("min").isNull) null else cn.get("min").asText(),
+                if (cn.get("max").isNull) null else cn.get("max").asText(),
+                cn.get("bits").asText())
+            }.toMap
+            e.getKey -> FileSketch(fn.get("rows").asLong(), cols)
+          }.toMap
+          val meta = ColStatsMeta(node.get("analyzed_snapshot").asInt(), files)
+          colStatsCache.put(root, (mtime, meta))
+          Some(meta)
+        }
+    }
+  }
+
+  private val colStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, ColStatsMeta)]()
+
+  /** Linear-counting estimate from an occupied-bucket count:
+    * `-m·ln(1 − occ/m)`, the standard estimator; a saturated bitmap
+    * falls back to the bucket count (a floor — callers treat it as
+    * "at least this many").
+    */
+  def ndvEstimate(occupied: Int): Long =
+    if (occupied <= 0) 0L
+    else if (occupied >= NdvBuckets) NdvBuckets.toLong
+    else math.round(-NdvBuckets.toDouble *
+      math.log1p(-occupied.toDouble / NdvBuckets))
+
+  /** Merged per-column statistics over a file SUBSET (e.g. the
+    * survivors of manifest pruning): None unless every requested path
+    * is sketched (stale analysis after an un-analyzed append serves
+    * nothing rather than something wrong). Per column:
+    * (occupiedBuckets, nullCount, sumLen, totalRows) — only columns
+    * every file sketches.
+    */
+  def mergedColStats(meta: ColStatsMeta, paths: Seq[String])
+      : Option[Map[String, (Int, Long, Long, Long)]] = {
+    val keys = paths.map(sketchKey)
+    if (keys.isEmpty || !keys.forall(meta.files.contains)) None
+    else {
+      val sketches = keys.map(meta.files)
+      val shared = sketches.map(_.cols.keySet).reduce(_ intersect _)
+      Some(shared.iterator.map { c =>
+        val bits = new java.util.BitSet(NdvBuckets)
+        var nulls = 0L; var sumLen = 0L; var rows = 0L
+        sketches.foreach { fs =>
+          val cs = fs.cols(c)
+          bits.or(cs.bits); nulls += cs.nulls; sumLen += cs.sumLen
+          rows += fs.rows
+        }
+        c -> ((bits.cardinality(), nulls, sumLen, rows))
+      }.toMap)
+    }
+  }
+
+  /** ANALYZE TABLE: compute per-file column sketches for every live
+    * data file the current snapshot resolves to, incrementally — only
+    * files absent from the existing `_colstats.json` are read (ONE
+    * distributed melt job over the new files; a re-run after an
+    * append costs the append, never the table). The result is written
+    * atomically and serves three consumers: the `t.stats` metadata
+    * table, [[graft.sources]] scan-time `columnStats` (merged over
+    * the PRUNED file set — NDV that tightens with pruning), and
+    * Spark's CBO (distinct counts drive join reordering).
+    *
+    * Returns (analyzed snapshot, newly sketched file count).
+    */
+  def analyze(s: SparkSession, root: String): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val head = currentSnapshot(root)
+    require(head > 0, s"ANALYZE on empty table $root")
+    val m = manifest(root, head)
+    val rowsOf: Map[String, Long] =
+      m.files.groupBy(f => sketchKey(f.path)).map { case (p, fs) => p -> fs.head.rows }
+    val prior = colStats(root).map(_.files).getOrElse(Map.empty)
+    val newPaths = m.files.map(_.path).distinct
+      .filterNot(p => prior.contains(sketchKey(p)))
+    val fresh: Map[String, FileSketch] =
+      if (newPaths.isEmpty) Map.empty
+      else {
+        val raw = s.read.option("mergeSchema", "true").parquet(newPaths: _*)
+        import org.apache.spark.sql.types._
+        val cols = raw.schema.fields.collect {
+          case f if (f.dataType match {
+            case StringType | LongType | IntegerType | ShortType | ByteType |
+                 DoubleType | FloatType | BooleanType | DateType |
+                 TimestampType | TimestampNTZType => true
+            case _: DecimalType => true
+            case _ => false
+          }) => f.name
+        }.toSeq
+        require(cols.nonEmpty, s"no sketchable columns in $root")
+        val melted = raw.select(input_file_name().as("__f"),
+          explode(array(cols.map(c =>
+            struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+          .select(col("__f"), col("kv.c").as("c"), col("kv.v").as("v"))
+        // one shuffle keyed (file, column); the bitmap is a ≤1024-int
+        // distinct-position set, exact null/length accounting rides
+        // the same pass; min/max truncate to 256 CODEPOINTS (prefix
+        // truncation commutes with lexicographic min/max, and Spark's
+        // substring counts codepoints like the SQL oracle's substr)
+        val agg = melted.groupBy(col("__f"), col("c")).agg(
+          (count(lit(1)) - count(col("v"))).as("nulls"),
+          coalesce(sum(length(col("v"))), lit(0L)).as("sum_len"),
+          min(substring(col("v"), 1, 256)).as("min_v"),
+          max(substring(col("v"), 1, 256)).as("max_v"),
+          sort_array(collect_set(pmod(
+            graft.functions.TextFns.hash60Composed(col("v")),
+            lit(NdvBuckets.toLong)).cast("int"))).as("pos"))
+        val perFile = agg.collect().groupBy { r =>
+          // input_file_name is a URI; manifest paths are plain
+          new java.net.URI(r.getString(0)).getPath
+        }
+        perFile.map { case (path, rs) =>
+          path -> FileSketch(rowsOf(path), rs.map { r =>
+            val bits = new java.util.BitSet(NdvBuckets)
+            r.getSeq[Int](6).foreach(bits.set)
+            r.getString(1) -> ColSketch(r.getLong(2), r.getLong(3),
+              if (r.isNullAt(4)) null else r.getString(4),
+              if (r.isNullAt(5)) null else r.getString(5),
+              bits.toByteArray.map(b => f"${b & 0xff}%02x").mkString)
+          }.toMap)
+        }
+      }
+    val all = prior ++ fresh
+    // keep only files the CURRENT snapshot references (files retired
+    // by compaction/rewrite drop out of the sidecar)
+    val live = all.view.filterKeys(rowsOf.contains).toMap
+    val body = {
+      val fs = live.toSeq.sortBy(_._1).map { case (p, fsk) =>
+        val cs = fsk.cols.toSeq.sortBy(_._1).map { case (c, sk) =>
+          val mn = if (sk.minS == null) "null" else s""""${esc(sk.minS)}""""
+          val mx = if (sk.maxS == null) "null" else s""""${esc(sk.maxS)}""""
+          s""""${esc(c)}":{"nulls":${sk.nulls},"sum_len":${sk.sumLen},"min":$mn,"max":$mx,"bits":"${sk.bitsHex}"}"""
+        }.mkString(",")
+        s""""${esc(p)}":{"rows":${fsk.rows},"cols":{$cs}}"""
+      }.mkString(",")
+      s"""{"analyzed_snapshot":$head,"buckets":$NdvBuckets,"files":{$fs}}"""
+    }
+    val target = colStatsPath(root)
+    val tmp = target.resolveSibling(s"_colstats.tmp-${System.nanoTime()}")
+    Files.writeString(tmp, body)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    (head, newPaths.size)
+  }
+
   // ---------------- manifest (de)serialization ----------------
 
   private def esc(s: String): String = s.flatMap {

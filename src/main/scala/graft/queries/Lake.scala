@@ -1813,6 +1813,51 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- q_sql_analyze: the ANALYZE verb — `CALL graft.system
+  // .analyze(t)` computes PER-FILE column sketches (exact null/length
+  // accounting, 256-codepoint min/max, a 1024-bucket linear-counting
+  // NDV bitmap over the engine's md5-derived hash) in ONE distributed
+  // melt job over files not yet sketched, persists them as the
+  // `_colstats.json` sidecar, and `t.stats` serves the merged profile
+  // with ZERO data IO. Profiling becomes a CATALOG FACT: re-analyze
+  // after an append costs the append (file sketches are immutable and
+  // mergeable — LakeSpec pins the incremental law), scans serve CBO
+  // column stats merged over the PRUNED file set, and the 100 TB
+  // workflow is analyze-once/probe-many instead of a profile scan per
+  // question. The table lands in TWO commits so the sidecar provably
+  // merges across file generations; `n_occupied` (exact bitmap
+  // occupancy) is the cross-engine-replayable core — DuckDB replays
+  // it as COUNT(DISTINCT md5-hash % 1024).
+  def qSqlAnalyze(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val nm = s"an_${System.nanoTime()}"
+    val tbl = s"graft.q.$nm"
+    t(s, dir, "documents").createOrReplaceTempView("docs_analyze")
+    s.sql(s"""CREATE TABLE $tbl AS
+             |SELECT doc_id, text, lang, source, n_chars
+             |FROM docs_analyze WHERE doc_id % 2 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT doc_id, text, lang, source, n_chars
+             |FROM docs_analyze WHERE doc_id % 2 = 1""".stripMargin)
+    s.sql(s"CALL graft.system.analyze('q.$nm')")
+    s.sql(s"""SELECT col, n_rows, n_null, n_occupied, min_v, max_v, avg_len
+             |FROM $tbl.stats ORDER BY col""".stripMargin)
+  }
+
+  val qSqlAnalyzeSql: String = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    cols.map(c =>
+      s"""SELECT '$c' AS col, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT(v) AS n_null,
+         |  COUNT(DISTINCT ('0x'||substr(md5(v),1,15))::BIGINT % 1024) AS n_occupied,
+         |  substr(MIN(v), 1, 256) AS min_v, substr(MAX(v), 1, 256) AS max_v,
+         |  CAST(SUM(len(v)) // COUNT(v) AS BIGINT) AS avg_len
+         |FROM (SELECT CAST($c AS VARCHAR) AS v FROM documents)""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
+
   // --- q_sql_update: SQL UPDATE on a lake table — the DSv2
   // POSITION-DELTA row-level path (SupportsRowLevelOperations +
   // SupportsDelta): the scan emits each candidate row's
@@ -2132,6 +2177,7 @@ object Lake {
     "lake_format_write" -> lakeFormatWrite,
     "q_sql_lake" -> qSqlLake,
     "q_sql_call" -> qSqlCall,
+    "q_sql_analyze" -> qSqlAnalyze,
     "q_sql_update" -> qSqlUpdate,
     "q_sql_merge" -> qSqlMerge,
     "q_sql_merge_nmbs" -> qSqlMergeNmbs,
@@ -2181,6 +2227,7 @@ object Lake {
     "lake_format_write" -> lakeFormatWriteSql,
     "q_sql_lake" -> qSqlLakeSql,
     "q_sql_call" -> qSqlCallSql,
+    "q_sql_analyze" -> qSqlAnalyzeSql,
     "q_sql_update" -> qSqlUpdateSql,
     "q_sql_merge" -> qSqlMergeSql,
     "q_sql_merge_nmbs" -> qSqlMergeNmbsSql,

@@ -751,7 +751,7 @@ object LlmPipeline {
        |ORDER BY shard, pack_id""".stripMargin
 
   // ===================== deduplication =====================
-  import graft.operators.{Dedup, MinhashIndex}
+  import graft.operators.{ClusterIndex, Dedup, MinhashIndex}
 
   /** DuckDB twin of Dedup.shingleSeq (1-indexed lists). */
   private def shSeqSql(k: Int): String = {
@@ -1144,72 +1144,18 @@ object LlmPipeline {
        |ORDER BY lang""".stripMargin
 
   // --- dedup_clusters: connected components over the near-dup pair
-  // graph (transitive closure — A~B, B~C ⇒ {A,B,C} share a cluster),
-  // by iterative min-label propagation: each round every node takes
-  // the min label in its neighborhood; fixpoint = components. Each
-  // round is one shuffle-join; rounds ≤ graph diameter. This is the
-  // standard distributed CC shape (GraphX/GraphFrames) — no driver
-  // state beyond the convergence counter. The oracle unrolls the
+  // graph (transitive closure — A~B, B~C ⇒ {A,B,C} share a cluster).
+  // The min-label-propagation fixpoint lives in
+  // operators/ClusterIndex: it runs ONCE per corpus (the "offline
+  // clustering job") and commits (doc_id, cluster_id) as a
+  // manifest-tracked lake table that every consumer — this query,
+  // split_leakage, retention/canonical picks — probes without
+  // re-running the iterative shuffle-joins. The oracle unrolls the
   // propagation 8 rounds (component diameters here are ≤ 3; the
-  // Spark side iterates to true fixpoint regardless).
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.util.QueryScratch.cached(
-      minhashPairs(s, dir).select("doc_a", "doc_b"))
-    // adjacency with self-loops, both directions
-    val adj = graft.util.QueryScratch.cached(
-      pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-        .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-        .union(pairs.select(col("doc_a").as("node"), col("doc_a").as("nbr")))
-        .union(pairs.select(col("doc_b").as("node"), col("doc_b").as("nbr")))
-        .distinct())
-    // Convergence check rides on monotonicity: every node's label is
-    // min over a neighborhood that includes itself (self-loops), so
-    // labels never increase and Σlabel strictly decreases until the
-    // fixpoint — one scalar aggregate per check, no per-round diff
-    // join. TWO propagation rounds run per check: fixed per-job
-    // overhead (scheduling, not data) dominates each round at small
-    // scale, so halving the action count halves the dominant cost;
-    // the price is at most one redundant round after the fixpoint.
-    // Decimal sum: overflow-proof at any node count.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-    def propagate(l: DataFrame): DataFrame =
-      adj.join(l.withColumnRenamed("node", "nbr"), "nbr")
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-    // initial labels stay lazy (referenced once by the first check's
-    // chain); the first labelSum seeds the convergence baseline, so no
-    // separate init action runs.
-    var labels = adj.groupBy(col("node")).agg(min(col("nbr")).as("label"))
-    var prevCached: DataFrame = null
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
-    var checks = 0
-    while (!converged && checks < 25) {
-      val propagated = propagate(propagate(labels)).cache()
-      // periodic lineage truncation: each round's plan references the
-      // previous round's, so long chains (big diameters) would make
-      // planning itself the bottleneck. localCheckpoint is EAGER, so
-      // the pre-checkpoint cache can be dropped immediately — holding
-      // only `next` would leak the cached pre-checkpoint frame until
-      // session cache-clear.
-      val next =
-        if (checks % 4 == 3) {
-          val cp = propagated.localCheckpoint()
-          propagated.unpersist()
-          cp
-        } else propagated
-      val s = labelSum(next)
-      if (prevCached != null) prevCached.unpersist()
-      prevCached = next
-      labels = next
-      converged = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
-      checks += 1
-    }
-    graft.util.QueryScratch.register(labels)
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  // trainer iterates to true fixpoint regardless).
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    ClusterIndex.labels(s, dir, minhashPairs(s, dir))
       .orderBy(col("doc_id"))
-  }
 
   val dedupClustersSql: String = {
     val rounds = (1 to 8).map { r =>
@@ -1279,13 +1225,14 @@ object LlmPipeline {
   // the component's hash bucket, so no near-dup pair can straddle
   // splits — leak_pairs is 0 BY CONSTRUCTION, and the query proves it
   // against the naive doc-hash split's nonzero leak count on the same
-  // corpus. Scale: cluster labels are the dedup_clusters artifact
-  // (bucket-bounded pair generation + label propagation); the split
-  // itself is one map-side hash; leak accounting joins the PAIR set
-  // (collision-bounded, not corpus²).
+  // corpus. Scale: cluster labels come from the PERSISTED
+  // ClusterIndex artifact (train-once fixpoint, probe-many); the
+  // split itself is one map-side hash; leak accounting joins the PAIR
+  // set (collision-bounded, not corpus²).
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"))
-    val clusters = dedupClusters(s, dir) // (doc_id, cluster_id), converged components
+    // (doc_id, cluster_id) converged components — parquet probe
+    val clusters = ClusterIndex.labels(s, dir, minhashPairs(s, dir))
     val lab = docs.join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("label"))
     def bucket(c: Column): Column =

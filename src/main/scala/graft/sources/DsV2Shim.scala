@@ -118,6 +118,12 @@ object DsV2Shim {
   def v2BucketingEnabled: Boolean =
     org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
+  /** A top-level column reference for v2 column statistics
+    * (`FieldReference` is `private[sql]`).
+    */
+  def fieldRef(name: String): org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference.column(name)
+
   // ---- executor-side parquet writing (the delta-write data path) ----
 
   /** The hadoop conf a task-side parquet writer needs, prepared

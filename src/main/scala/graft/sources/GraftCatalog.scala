@@ -364,6 +364,8 @@ class GraftCatalog extends TableCatalog
               return new GraftMetadataTable(s"$t#branches", branchesDf(t))
             case "partitions" =>
               return new GraftMetadataTable(s"$t#partitions", partitionsDf(t))
+            case "stats" =>
+              return new GraftMetadataTable(s"$t#stats", statsDf(t))
             case _ => ()
           }
         }
@@ -385,9 +387,17 @@ class GraftCatalog extends TableCatalog
     val m = LakeTable.manifest(table, LakeTable.currentSnapshot(table))
     val s = spark
     import s.implicits._
-    m.files.map(f => (f.path, f.rows, f.bytes, f.seq.toLong,
-        f.stats.size.toLong, f.bucket))
-      .toDF("path", "rows", "bytes", "seq", "n_stat_cols", "bucket")
+    // per-file NDV estimates from the ANALYZE sketches (empty map
+    // until the table is analyzed / for files appended since)
+    val sketches = LakeTable.colStats(table).map(_.files).getOrElse(Map.empty)
+    m.files.map { f =>
+      val ndv: Map[String, Long] = sketches.get(LakeTable.sketchKeyOf(f.path))
+        .map(_.cols.map { case (c, sk) =>
+          c -> LakeTable.ndvEstimate(sk.bits.cardinality())
+        })
+        .getOrElse(Map.empty)
+      (f.path, f.rows, f.bytes, f.seq.toLong, f.stats.size.toLong, f.bucket, ndv)
+    }.toDF("path", "rows", "bytes", "seq", "n_stat_cols", "bucket", "ndv")
   }
 
   /** Named snapshot refs (`t.tags`): retention pins, from metadata. */
@@ -414,6 +424,49 @@ class GraftCatalog extends TableCatalog
         (b, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum)
       }
       .toDF("bucket", "n_files", "n_rows", "n_bytes")
+  }
+
+  /** Persisted ANALYZE output (`t.stats`): one row per analyzed
+    * column, merged across the analysis' per-file sketches — exact
+    * null/length accounting, exact linear-counting bucket occupancy
+    * (`n_occupied`, integer — the cross-engine-replayable core), and
+    * the derived NDV estimate the CBO consumes. Zero data-file IO:
+    * everything folds from the `_colstats.json` sidecar.
+    */
+  private def statsDf(table: String) = {
+    val s = spark
+    import s.implicits._
+    val meta = LakeTable.colStats(table).getOrElse(
+      throw new IllegalStateException(
+        s"table $table has no ANALYZE output; run CALL graft.system.analyze first"))
+    val head = LakeTable.currentSnapshot(table)
+    val schema = GraftLakeTable.schemaOf(spark, table, head)
+    val logicalOf: Map[String, String] =
+      if (graft.lake.ColumnMapping.hasMapping(schema))
+        graft.lake.ColumnMapping.toPhysical(schema).map(_.swap)
+      else Map.empty
+    val merged = LakeTable.mergedColStats(meta, meta.files.keys.toSeq).getOrElse(Map.empty)
+    // min/max fold driver-side from the per-file truncated extremes
+    def fold(c: String, take: (String, String) => String): String =
+      meta.files.values.flatMap(f => Option(f.cols(c)).flatMap(sk =>
+        Option(sk.minS).map(_ => sk)))
+        .foldLeft(null: (String, String)) { case (acc, sk) =>
+          if (acc == null) (sk.minS, sk.maxS)
+          else (if (sk.minS < acc._1) sk.minS else acc._1,
+            if (sk.maxS > acc._2) sk.maxS else acc._2)
+        } match {
+          case null => null
+          case (mn, mx) => take(mn, mx)
+        }
+    merged.toSeq.sortBy(_._1).map { case (c, (occ, nulls, sumLen, rows)) =>
+      val nonNull = rows - nulls
+      (logicalOf.getOrElse(c, c), rows, nulls, occ.toLong,
+        LakeTable.ndvEstimate(occ),
+        fold(c, (mn, _) => mn), fold(c, (_, mx) => mx),
+        if (nonNull > 0) sumLen / nonNull else -1L,
+        meta.analyzedSnapshot.toLong)
+    }.toDF("col", "n_rows", "n_null", "n_occupied", "ndv_est",
+      "min_v", "max_v", "avg_len", "analyzed_snap")
   }
 
   /** Open branches (`t.branches`): fork basis + branch head. */
@@ -1052,6 +1105,9 @@ private[sources] object GraftProcedures {
     Def("drop_branch", "drop an unpublished branch and its staged files",
       Seq("table" -> StringType, "name" -> StringType), "dropped", BooleanType,
       (c, in) => LakeTable.dropBranch(tbl(c, in), in.getUTF8String(1).toString)),
+    Def("analyze", "compute per-file column NDV sketches + profile (serves t.stats and the CBO)",
+      Seq("table" -> StringType), "snapshot", IntegerType,
+      (c, in) => LakeTable.analyze(SparkSession.active, tbl(c, in))._1),
     Def("clone", "zero-copy shallow clone into a new independent table",
       Seq("source" -> StringType, "dest" -> StringType), "snapshot", IntegerType,
       (c, in) => LakeTable.cloneTable(tbl(c, in),

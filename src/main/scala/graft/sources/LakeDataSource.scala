@@ -577,6 +577,9 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
 
   private val coordsRequested: Boolean = requested.isDefined
 
+  /** The lake-table directory this scan serves (spec introspection). */
+  def tableRoot: String = root
+
   // column mapping: filters/output are LOGICAL; file columns and the
   // per-file stat keys are PHYSICAL. Both maps empty = identity.
   private val physOf: Map[String, String] =
@@ -688,11 +691,53 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
       (if (aggPushed) "PushedAggregation: true, " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
-  override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(math.max(1L, survivors.map(GraftScan.bytesOf).sum))
-    override def numRows(): OptionalLong =
-      OptionalLong.of(survivors.map(_.rows).sum)
+  /** Scan statistics: exact size/row counts from the manifest, plus
+    * COLUMN statistics (distinct count, null count, average length)
+    * merged from the persisted ANALYZE sketches over the SURVIVING
+    * files only — per-file NDV bitmaps OR together, so a pruned scan
+    * reports the pruned subset's cardinalities, not the table's.
+    * Spark converts these into attribute stats
+    * (`DataSourceV2Relation.transformV2Stats`), so with CBO enabled
+    * multi-join queries reorder on real distinct counts. Served only
+    * when EVERY surviving file is sketched and the snapshot has no
+    * outstanding deletes (a masked row would skew null/row ratios):
+    * stale analysis after an un-analyzed append serves nothing rather
+    * than something wrong.
+    */
+  override def estimateStatistics(): Statistics = {
+    val colMap: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (m.deletes.isEmpty && survivors.nonEmpty) {
+        graft.lake.LakeTable.colStats(root).foreach { meta =>
+          graft.lake.LakeTable.mergedColStats(meta, survivors.map(_.path))
+            .foreach(_.foreach { case (physCol, (occ, nulls, sumLen, rows)) =>
+              val nonNull = rows - nulls
+              val st = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): OptionalLong =
+                  OptionalLong.of(math.max(1L,
+                    graft.lake.LakeTable.ndvEstimate(occ)))
+                override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+                override def avgLen(): OptionalLong =
+                  if (nonNull > 0) OptionalLong.of(math.max(1L, sumLen / nonNull))
+                  else OptionalLong.empty()
+              }
+              out.put(DsV2Shim.fieldRef(logOf.getOrElse(physCol, physCol)), st)
+            })
+        }
+      }
+      out
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(math.max(1L, survivors.map(GraftScan.bytesOf).sum))
+      override def numRows(): OptionalLong =
+        OptionalLong.of(survivors.map(_.rows).sum)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colMap
+    }
   }
 
   override def toBatch: Batch = this

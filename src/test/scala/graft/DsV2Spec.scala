@@ -262,7 +262,8 @@ class DsV2Spec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.graft.root",
       graft.util.Scratch.root.resolve("sqlcat").toString)
     events.createOrReplaceTempView("ev_src")
-    val M = s"graft.db.m_${System.nanoTime()}"
+    val mName = s"db.m_${System.nanoTime()}"
+    val M = s"graft.$mName"
     spark.sql(s"CREATE TABLE $M AS SELECT event_id, user_id, value FROM ev_src WHERE event_id < 500")
     spark.sql(s"INSERT INTO $M SELECT event_id, user_id, value FROM ev_src WHERE event_id >= 500")
     val hist = spark.sql(s"SELECT snap, n_added_rows FROM $M.history ORDER BY snap")
@@ -276,6 +277,19 @@ class DsV2Spec extends AnyFunSuite {
     val parts = spark.sql(s"SELECT bucket, n_files, n_rows, n_bytes FROM $M.partitions")
     assert(parts.select(sum(col("n_rows"))).head.getLong(0) === events.count())
     assert(parts.select(sum(col("n_files"))).head.getLong(0) === files.count())
+    // before ANALYZE, t.files carries no sketch cardinalities; after,
+    // every file exposes per-column NDV estimates and t.stats serves
+    // the merged profile
+    assert(spark.sql(s"SELECT ndv FROM $M.files")
+      .collect().forall(_.getMap[String, Long](0).isEmpty))
+    spark.sql(s"CALL graft.system.analyze('$mName')")
+    val ndvs = spark.sql(s"SELECT ndv FROM $M.files").collect()
+      .map(_.getMap[String, Long](0))
+    assert(ndvs.forall(m => m.nonEmpty && m.contains("event_id")))
+    val st = spark.sql(
+      s"SELECT col, n_rows, ndv_est FROM $M.stats ORDER BY col").collect()
+    assert(st.map(_.getString(0)).toSeq === Seq("event_id", "user_id", "value"))
+    assert(st.forall(_.getLong(1) === events.count()))
     spark.sql(s"DROP TABLE $M")
   }
 
@@ -1050,5 +1064,75 @@ class DsV2Spec extends AnyFunSuite {
     assert(thrown.getMessage.contains("replaceWhere") ||
       Option(thrown.getCause).exists(_.getMessage.contains("replaceWhere")))
     graft.util.Scratch.rmNow(root)
+  }
+
+  test("ANALYZE feeds the CBO: attribute stats from sketches flip a 3-table join order") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val s = spark
+    import s.implicits._
+    def lake(name: String, df: DataFrame, pk: String): String = {
+      val root = graft.util.Scratch.dir(s"graft_cbo_${name}_")
+      LakeTable.commit(spark, root, df,
+        BlockWriter.Config(pk, pk, maxRecordsPerFile = 1 << 20), Seq(pk))
+      LakeTable.analyze(spark, root)
+      root
+    }
+    // fact F: ka has NDV 2000, kb has NDV 4. Dim A keys ka (2000 rows,
+    // NDV 2000): F⋈A ≈ |F|. Dim B keys kb (2000 rows, NDV 4): F⋈B
+    // explodes to ~|F|·|B|/4. Written B-first — only real distinct
+    // counts tell the optimizer to reorder A below B.
+    val fRoot = lake("f", spark.range(20000).select(
+      (col("id") % 2000).as("ka"), (col("id") % 4).as("kb"),
+      col("id").as("payload")), "payload")
+    val aRoot = lake("a", spark.range(2000).select(
+      col("id").as("ka"), (col("id") * 7).as("attr_a")), "ka")
+    val bRoot = lake("b", spark.range(2000).select(
+      (col("id") % 4).as("kb"), (col("id") * 11).as("attr_b")), "kb")
+    def joined: DataFrame = {
+      val f = spark.read.format("graft-lake").load(fRoot)
+      val a = spark.read.format("graft-lake").load(aRoot)
+      val b = spark.read.format("graft-lake").load(bRoot)
+      f.join(b, "kb").join(a, "ka")
+        .agg(sum(col("payload") + col("attr_a") + col("attr_b")).as("s"))
+    }
+    /** Roots referenced under the DEEPEST join of the optimized plan. */
+    def innermostRoots(df: DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val innermost = joins.last // collect is pre-order; last = deepest
+      innermost.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan match { case g: GraftScan => g.tableRoot; case _ => "" }
+      }.toSet
+    }
+    val cboKeys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    try {
+      // negative control: without CBO the written order stands — the
+      // exploding B join sits innermost
+      cboKeys.foreach(k => spark.conf.set(k, "false"))
+      val naive = innermostRoots(joined)
+      assert(naive.contains(bRoot) && !naive.contains(aRoot),
+        s"control: expected B innermost without CBO, got $naive")
+      // with CBO: the sketches' distinct counts expose the explosion
+      // and the optimizer reorders A innermost
+      cboKeys.foreach(k => spark.conf.set(k, "true"))
+      val df = joined
+      val stats = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.map(_.stats)
+      assert(stats.exists(_.attributeStats.nonEmpty),
+        "scan relations must carry attribute stats from the ANALYZE sketches")
+      val reordered = innermostRoots(df)
+      assert(reordered.contains(aRoot) && !reordered.contains(bRoot),
+        s"CBO should join the non-exploding A first, got $reordered")
+      // distinct counts are the sketch estimates (linear regime: exact)
+      val kbStats = stats.flatMap(st => st.attributeStats.collectFirst {
+        case (attr, cs) if attr.name == "kb" && cs.distinctCount.isDefined =>
+          cs.distinctCount.get.toLong
+      })
+      assert(kbStats.forall(_ === 4L), s"kb NDV should sketch to 4, got $kbStats")
+    } finally {
+      cboKeys.foreach(spark.conf.unset)
+      Seq(fRoot, aRoot, bRoot).foreach(graft.util.Scratch.rmNow)
+    }
   }
 }

@@ -1306,4 +1306,38 @@ class LakeDataSourceSpec extends AnyFunSuite {
     assert(folded > 0)
     graft.util.Scratch.rmNow(root)
   }
+
+  test("ANALYZE is incremental: re-analyze after an append sketches only the new files") {
+    val root = graft.util.Scratch.dir("graft_an_spec_")
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val cfg = BlockWriter.Config("doc_id", "doc_id", maxRecordsPerFile = 64)
+    LakeTable.commit(spark, root, docs.filter(col("doc_id") % 2 === 0), cfg, Seq("doc_id"))
+    val (snap1, n1) = LakeTable.analyze(spark, root)
+    val gen1Files = LakeTable.manifest(root, 1).files.size
+    assert(snap1 === 1 && n1 === gen1Files && n1 > 0)
+    val meta1 = LakeTable.colStats(root).get
+    // append a second generation; re-analyze must sketch ONLY it
+    LakeTable.commit(spark, root, docs.filter(col("doc_id") % 2 === 1), cfg, Seq("doc_id"))
+    val gen2Files = LakeTable.manifest(root, 2).files.size - gen1Files
+    val (snap2, n2) = LakeTable.analyze(spark, root)
+    assert(snap2 === 2 && n2 === gen2Files,
+      s"re-analyze sketched $n2 files, expected only the $gen2Files new ones")
+    val meta2 = LakeTable.colStats(root).get
+    // gen-1 sketches are byte-identical (immutable files, immutable sketches)
+    meta1.files.foreach { case (p, fs) =>
+      assert(meta2.files(p).cols("doc_id").bitsHex === fs.cols("doc_id").bitsHex)
+    }
+    // a third run with nothing new is a no-op
+    assert(LakeTable.analyze(spark, root)._2 === 0)
+    // merged whole-table stats match exact ground truth
+    val merged = LakeTable.mergedColStats(meta2,
+      LakeTable.manifest(root, 2).files.map(_.path)).get
+    val (occ, nulls, _, rows) = merged("lang")
+    assert(rows === docs.count() && nulls === 0L)
+    // 5 distinct langs → exactly 5 occupied buckets (far from saturation)
+    assert(occ === docs.select(col("lang")).distinct().count().toInt)
+    assert(LakeTable.ndvEstimate(occ) === occ.toLong) // linear regime: est ≈ exact
+    graft.util.Scratch.rmNow(root)
+  }
 }

@@ -394,6 +394,41 @@ class MinhashIndexSpec extends AnyFunSuite {
     graft.util.QueryScratch.release(spark)
   }
 
+  test("split_leakage probes the persisted cluster labels: no propagation in the probe path") {
+    // first call trains the fixpoint + commits the label artifact (or
+    // finds it already committed); subsequent consumers must be pure
+    // parquet probes
+    SparkEntry.queries("dedup_clusters")(spark, sf).count()
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("split_leakage")(spark, sf)
+    // the analyzed plan (pre-cache-substitution: parts of the query
+    // sit under QueryScratch caches, which withCachedData would fold
+    // into opaque InMemoryRelation nodes)
+    val rels = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.toString
+        }
+    }
+    // the probe reads the committed label table …
+    assert(rels.exists(_.contains("graft_ccidx_")),
+      s"probe must read the persisted cluster labels, saw:\n${rels.mkString("\n")}")
+    // … which is committed exactly once (a second consumer propagates
+    // nothing — the by-name pair generator is never re-evaluated)
+    val root = graft.operators.ClusterIndex.ensure(spark, sf,
+      sys.error("ensure must not re-evaluate pairs once committed"))
+    assert(graft.lake.LakeTable.currentSnapshot(root) === 1)
+    // the probe plan contains no iterative-propagation joins: the
+    // only aggregates left are the split/leak accounting ones
+    assert(!df.queryExecution.optimizedPlan.toString.contains("nbr"),
+      "probe path must not contain the label-propagation trainer")
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
+
   test("index maintenance: MoR delete retires a doc's bands without a rewrite") {
     // a doc leaves the corpus (takedown, re-crawl): the index drops
     // its bands with ONE metadata-sized delete commit per table — no
