@@ -139,11 +139,89 @@ object Geo {
       |WHERE d_m <= 600000.0
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // --- geo_trips: TRAJECTORY SEGMENTATION — the canonical GPS-lake
+  // rollup: each user's fixes split into TRIPS at >12 h gaps
+  // (event-time sessionization by lag), per-leg haversine distance
+  // summed per trip as integer meters (each leg rounds to a meter
+  // BEFORE summing, so the sums are exact integer arithmetic
+  // cross-engine; only a leg landing within an ulp of a .5 m boundary
+  // could ever flip, and the gap rule itself is exact integer-micros
+  // comparison). One shuffle on user_id; lag/running-sum/leg math all
+  // inside the same window pass, then two partial-agg rollups — at
+  // 100 TB of fixes this is the shape: no self-join, no driver state,
+  // per-user work proportional to the user's fixes.
+  def geoTrips(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 12L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val legs = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("lat_e6", latE6(col("event_id")))
+      .withColumn("lon_e6", lonE6(col("event_id")))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("p_us", lag(col("us"), 1).over(w))
+      .withColumn("p_lat", lag(col("lat_e6"), 1).over(w))
+      .withColumn("p_lon", lag(col("lon_e6"), 1).over(w))
+      .withColumn("new_trip",
+        when(col("p_us").isNull || col("us") - col("p_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("trip", sum(col("new_trip"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("leg_m", when(col("new_trip") === 1, 0L)
+        .otherwise(floor(haversineMeters(
+          deg(col("p_lat")), deg(col("p_lon")),
+          deg(col("lat_e6")), deg(col("lon_e6"))) + lit(0.5)).cast("bigint")))
+    val trips = legs.groupBy(col("user_id"), col("trip"))
+      .agg(count(lit(1)).as("fixes"), sum(col("leg_m")).as("trip_m"))
+    trips.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_trips"),
+        sum(col("fixes")).as("n_fixes"),
+        sum(col("trip_m")).as("m_total"),
+        max(col("trip_m")).as("m_longest"))
+      .orderBy(col("user_id"))
+  }
+
+  val geoTripsSql: String =
+    """WITH pts AS (
+      |  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+      |    (('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lat'),1,15))::BIGINT % 120000000 - 60000000) / 1000000.0 AS lat,
+      |    (('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lon'),1,15))::BIGINT % 360000000 - 180000000) / 1000000.0 AS lon
+      |  FROM events),
+      |legs AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 43200000000::BIGINT
+      |      THEN 1 ELSE 0 END AS new_trip,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 43200000000::BIGINT
+      |      THEN 0
+      |      ELSE CAST(FLOOR(2 * 6371000.0 * ASIN(SQRT(
+      |        POW(SIN(RADIANS(lat - lag(lat) OVER w) / 2), 2) +
+      |        COS(RADIANS(lag(lat) OVER w)) * COS(RADIANS(lat)) *
+      |        POW(SIN(RADIANS(lon - lag(lon) OVER w) / 2), 2))) + 0.5) AS BIGINT)
+      |    END AS leg_m
+      |  FROM pts
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, leg_m,
+      |    SUM(new_trip) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip
+      |  FROM legs),
+      |trips AS (
+      |  SELECT user_id, trip, COUNT(*) AS fixes, SUM(leg_m) AS trip_m
+      |  FROM numbered GROUP BY user_id, trip)
+      |SELECT user_id, COUNT(*) AS n_trips,
+      |  CAST(SUM(fixes) AS BIGINT) AS n_fixes,
+      |  CAST(SUM(trip_m) AS BIGINT) AS m_total,
+      |  CAST(MAX(trip_m) AS BIGINT) AS m_longest
+      |FROM trips
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_bbox" -> geoBbox,
-    "geo_radius_join" -> geoRadiusJoin)
+    "geo_radius_join" -> geoRadiusJoin,
+    "geo_trips" -> geoTrips)
 
   val oracles: Map[String, String] = Map(
     "geo_bbox" -> geoBboxSql,
-    "geo_radius_join" -> geoRadiusJoinSql)
+    "geo_radius_join" -> geoRadiusJoinSql,
+    "geo_trips" -> geoTripsSql)
 }

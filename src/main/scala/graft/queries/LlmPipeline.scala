@@ -1737,6 +1737,74 @@ object LlmPipeline {
        |WHERE rank <= $ANN_K
        |ORDER BY q_id, rank""".stripMargin
 
+  // --- ann_filtered: FILTERED VECTOR SEARCH — k-NN under a metadata
+  // predicate ("nearest neighbors among the license-clean sources"),
+  // the production retrieval shape most ANN systems bolt on late.
+  // PRE-FILTERING at the inverted-list stage: the predicate prunes
+  // the PERSISTED cell table (one semi-join on the metadata column)
+  // BEFORE any distance is scored, so every query still yields
+  // exactly K qualified neighbors and the scored candidate set is
+  // cell∩filter-bounded. The alternative — post-filtering a top-k —
+  // undershoots K whenever the filter is selective and forces
+  // oversampled scoring to compensate. Probe path runs ZERO k-means
+  // jobs (same committed IvfIndex artifact as ann_ivf / dedup
+  // _semantic); at 100 TB the predicate side rides normal
+  // manifest/stats pruning of the metadata table.
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val viBase = e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi"))
+    val ref = graft.operators.IvfIndex.ensure(s, dir, viBase)
+    val cents = graft.operators.IvfIndex.codebook(s, ref)
+    // the predicate: even labels qualify as corpus; queries are exempt
+    val qualified = e.filter(col("label") % 2 === 0).select(col("vec_id"))
+    val cells = graft.operators.IvfIndex.cells(s, ref)
+      .join(qualified, Seq("vec_id"))
+      .select(col("vec_id"), col("cid").as("cell"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val qProbe = viBase.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), Advanced.kmD2(col("vi"), col("ci")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= IVF_NPROBE)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = cells.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("nv")).as("cos_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annFilteredSql: String =
+    s"""WITH n AS ($embBaseSql),
+       |${Advanced.kmCentroidSqlCtes},
+       |dv AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dv),
+       |cells AS (SELECT ranked.vec_id, cid AS cell FROM ranked
+       |  JOIN n ON n.vec_id = ranked.vec_id WHERE rn = 1 AND n.label % 2 = 0),
+       |qprobe AS (SELECT vec_id AS q_id, cid AS cell FROM ranked WHERE rn <= $IVF_NPROBE AND vec_id < 10),
+       |cand AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       |  FROM cells c JOIN qprobe q ON c.cell = q.cell WHERE c.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CAST(floor(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand JOIN n x ON x.vec_id = cand.q_id JOIN n y ON y.vec_id = cand.n_id
+       |)
+       |SELECT q_id, n_id, cos_bp, rank FROM (
+       |  SELECT q_id, n_id, cos_bp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+
   // --- ann_pq: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "Product
   // Quantization for Nearest Neighbor Search") — the memory-bound
   // scale path: the 64-dim corpus compresses to M=2 subspace codes
@@ -2389,6 +2457,7 @@ object LlmPipeline {
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_filtered" -> annFiltered,
     "ann_pq" -> annPq,
     "embed_quant" -> embedQuant,
     "dedup_semantic" -> dedupSemantic,
@@ -2432,6 +2501,7 @@ object LlmPipeline {
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_filtered" -> annFilteredSql,
     "ann_pq" -> annPqSql,
     "embed_quant" -> embedQuantSql,
     "dedup_semantic" -> dedupSemanticSql,
