@@ -1012,7 +1012,10 @@ object Lake {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
     val dup = ev.filter(col("event_id") % 97 === 3)
     val data = ev.unionByName(dup)
-    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    // task-sized files: the DV laws are per-file-BITMAP laws, not
+    // file-count laws — a handful of files exercises them identically
+    // and the twin-table write stops dominating the query
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1 << 16)
     val rootDv = tmp("graft_ldv_"); val rootPos = tmp("graft_ldvp_")
     LakeTable.commit(s, rootDv, data, cfg, Seq("event_id"))
     LakeTable.commit(s, rootPos, data, cfg, Seq("event_id"))
@@ -1381,7 +1384,10 @@ object Lake {
     val root = tmp("graft_mfc_")
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
-    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    // part count (the law under test) is per-COMMIT metadata,
+    // independent of files per commit — task-sized files keep the 8
+    // ingest commits from dominating the metadata-compaction query
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 1 << 17)
     (0 until 8).foreach { k =>
       LakeTable.commit(s, root, ev.filter(col("event_id") % 8 === k), cfg,
         Seq("event_id")): Unit
