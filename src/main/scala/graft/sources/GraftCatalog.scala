@@ -446,23 +446,15 @@ class GraftCatalog extends TableCatalog
         graft.lake.ColumnMapping.toPhysical(schema).map(_.swap)
       else Map.empty
     val merged = LakeTable.mergedColStats(meta, meta.files.keys.toSeq).getOrElse(Map.empty)
-    // min/max fold driver-side from the per-file truncated extremes
-    def fold(c: String, take: (String, String) => String): String =
-      meta.files.values.flatMap(f => Option(f.cols(c)).flatMap(sk =>
-        Option(sk.minS).map(_ => sk)))
-        .foldLeft(null: (String, String)) { case (acc, sk) =>
-          if (acc == null) (sk.minS, sk.maxS)
-          else (if (sk.minS < acc._1) sk.minS else acc._1,
-            if (sk.maxS > acc._2) sk.maxS else acc._2)
-        } match {
-          case null => null
-          case (mn, mx) => take(mn, mx)
-        }
     merged.toSeq.sortBy(_._1).map { case (c, (occ, nulls, sumLen, rows)) =>
       val nonNull = rows - nulls
+      // min/max fold driver-side from the per-file truncated extremes
+      // (all-null files carry no extremes and drop out of the fold)
+      val extremes = meta.files.values.map(_.cols(c)).filter(_.minS != null)
       (logicalOf.getOrElse(c, c), rows, nulls, occ.toLong,
         LakeTable.ndvEstimate(occ),
-        fold(c, (mn, _) => mn), fold(c, (_, mx) => mx),
+        if (extremes.isEmpty) null else extremes.map(_.minS).min,
+        if (extremes.isEmpty) null else extremes.map(_.maxS).max,
         if (nonNull > 0) sumLen / nonNull else -1L,
         meta.analyzedSnapshot.toLong)
     }.toDF("col", "n_rows", "n_null", "n_occupied", "ndv_est",
