@@ -215,13 +215,118 @@ object Geo {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // --- geo_cluster: HOTSPOT DETECTION — grid-density clustering (the
+  // DBSCAN shape made distributed-friendly): fixes clump around 200
+  // md5-derived VENUES (venue center ±0.5° jitter — the synthetic
+  // stand-in for real GPS clumping), cells are the 6° grid, a cell is
+  // DENSE when its count reaches 2× the global mean (exact integer
+  // rule: cnt·600 ≥ total), and dense cells sharing an EDGE
+  // (4-neighborhood, longitude wrapping) merge into clusters via the
+  // same min-label propagation kernel the near-dup graph uses
+  // ([[graft.operators.ClusterIndex.propagate]] — reuse, not
+  // reimplementation). Scale: one count shuffle on the cell key
+  // (map-side partial), a 1-row total broadcast, and propagation over
+  // the DENSE-CELL graph only — grid-bounded metadata, never
+  // point-proportional. The oracle unrolls 12 propagation rounds
+  // (4-neighborhood keeps dense-cell components far below the Moore
+  // percolation regime, so diameters stay single-digit; the Spark
+  // side iterates to true fixpoint regardless).
+  def geoCluster(s: SparkSession, dir: String): DataFrame = {
+    val NVenues = 200L
+    val ev = t(s, dir, "events").select(col("event_id"))
+    val venue = h60(concat(col("event_id").cast("string"), lit(":v"))) % NVenues
+    val pts = ev
+      .withColumn("v", venue)
+      .withColumn("vlat",
+        h60(concat(lit("v"), col("v").cast("string"), lit(":lat"))) % 110000000L - 55000000L)
+      .withColumn("vlon",
+        h60(concat(lit("v"), col("v").cast("string"), lit(":lon"))) % 360000000L - 180000000L)
+      .withColumn("lat_e6", col("vlat") +
+        h60(concat(col("event_id").cast("string"), lit(":jlat"))) % 1000000L - 500000L)
+      .withColumn("lon_e6", pmod(col("vlon") +
+        h60(concat(col("event_id").cast("string"), lit(":jlon"))) % 1000000L - 500000L
+        + lit(180000000L), lit(360000000L)) - lit(180000000L))
+      .withColumn("clat", floor(col("lat_e6").cast("double") / lit(6000000.0)).cast("bigint"))
+      .withColumn("clon", floor(col("lon_e6").cast("double") / lit(6000000.0)).cast("bigint"))
+      .withColumn("key", (col("clat") + 10) * 60 + (col("clon") + 30))
+    val counts = graft.util.QueryScratch.cached(
+      pts.groupBy(col("key"), col("clat"), col("clon"))
+        .agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val dense = graft.util.QueryScratch.cached(
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 600 >= col("total"))
+        .select(col("key"), col("clat"), col("clon"), col("cnt")))
+    // edge-sharing neighbors (4-neighborhood, lon wraps mod 60)
+    val offs = Seq((-1, 0), (1, 0), (0, -1), (0, 1)).map { case (a, b) =>
+      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
+    val nbr = dense
+      .withColumn("o", explode(array(offs: _*)))
+      .withColumn("nkey", (col("clat") + col("o.dlat") + 10) * 60 +
+        (pmod(col("clon") + col("o.dlon") + lit(30L), lit(60L)) - 30 + 30))
+      .select(col("key").as("doc_a"), col("nkey").as("doc_b"))
+    val pairs = nbr.join(dense.select(col("key").as("doc_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.ClusterIndex.propagate(pairs)
+    dense.join(labels.withColumnRenamed("doc_id", "key"), Seq("key"), "left")
+      .select(coalesce(col("cluster_id"), col("key")).as("cluster_id"),
+        col("key"), col("cnt"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).cast("bigint").as("n_points"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val geoClusterSql: String = {
+    val rounds = (1 to 12).map { r =>
+      s"l$r AS (SELECT adj.node, min(l${r - 1}.label) AS label FROM adj JOIN l${r - 1} ON l${r - 1}.node = adj.nbr GROUP BY adj.node)"
+    }.mkString(",\n")
+    def h(x: String) = s"('0x'||substr(md5($x),1,15))::BIGINT"
+    s"""WITH pts AS (
+       |  SELECT
+       |    ${h(s"'v'||CAST(${h("CAST(event_id AS VARCHAR)||':v'")} % 200 AS VARCHAR)||':lat'")} % 110000000 - 55000000
+       |      + ${h("CAST(event_id AS VARCHAR)||':jlat'")} % 1000000 - 500000 AS lat_e6,
+       |    ((${h(s"'v'||CAST(${h("CAST(event_id AS VARCHAR)||':v'")} % 200 AS VARCHAR)||':lon'")} % 360000000 - 180000000
+       |      + ${h("CAST(event_id AS VARCHAR)||':jlon'")} % 1000000 - 500000
+       |      + 180000000) % 360000000 + 360000000) % 360000000 - 180000000 AS lon_e6
+       |  FROM events),
+       |cells AS (
+       |  SELECT CAST(FLOOR(lat_e6 / 6000000.0) AS BIGINT) AS clat,
+       |         CAST(FLOOR(lon_e6 / 6000000.0) AS BIGINT) AS clon, COUNT(*) AS cnt
+       |  FROM pts GROUP BY 1, 2),
+       |keyed AS (
+       |  SELECT (clat + 10) * 60 + (clon + 30) AS key, clat, clon, cnt FROM cells),
+       |tot AS (SELECT SUM(cnt) AS total FROM keyed),
+       |dense AS (SELECT key, clat, clon, cnt FROM keyed, tot WHERE cnt * 600 >= total),
+       |e AS (
+       |  SELECT a.key AS doc_a, b.key AS doc_b
+       |  FROM dense a, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dlat, dlon)
+       |  JOIN dense b
+       |    ON b.key = (a.clat + o.dlat + 10) * 60 +
+       |       (((a.clon + o.dlon + 30) % 60 + 60) % 60 - 30 + 30)),
+       |adj AS (
+       |  SELECT doc_a AS node, doc_b AS nbr FROM e
+       |  UNION SELECT doc_b, doc_a FROM e
+       |  UNION SELECT doc_a, doc_a FROM e
+       |  UNION SELECT doc_b, doc_b FROM e),
+       |l0 AS (SELECT node, min(nbr) AS label FROM adj GROUP BY node),
+       |$rounds
+       |SELECT COALESCE(l12.label, dense.key) AS cluster_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(dense.cnt) AS BIGINT) AS n_points
+       |FROM dense LEFT JOIN l12 ON l12.node = dense.key
+       |GROUP BY 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_bbox" -> geoBbox,
     "geo_radius_join" -> geoRadiusJoin,
-    "geo_trips" -> geoTrips)
+    "geo_trips" -> geoTrips,
+    "geo_cluster" -> geoCluster)
 
   val oracles: Map[String, String] = Map(
     "geo_bbox" -> geoBboxSql,
     "geo_radius_join" -> geoRadiusJoinSql,
-    "geo_trips" -> geoTripsSql)
+    "geo_trips" -> geoTripsSql,
+    "geo_cluster" -> geoClusterSql)
 }

@@ -1805,6 +1805,52 @@ object LlmPipeline {
        |WHERE rank <= $ANN_K
        |ORDER BY q_id, rank""".stripMargin
 
+  // --- ann_recall: INDEX QUALITY GATE — recall@K of the approximate
+  // indexes against the exact brute-force ranking, the number a
+  // production retrieval stack tracks before trusting an index (and
+  // the tuning signal for nprobe / bands×bits). Per query: how many
+  // of the true top-K the IVF and LSH paths each surfaced, as exact
+  // integer hit counts and basis-point recall. Scale: the truth side
+  // is the one exact pass (already the ann_topk shape); the
+  // comparison itself joins two K-row-per-query sets — metadata-sized
+  // at any corpus size. Sharing embBase/IvfIndex with the other ANN
+  // queries, the whole evaluation adds only the join.
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = annTopk(s, dir).select(col("q_id"), col("n_id"))
+    def recallOf(name: String, got: DataFrame): DataFrame =
+      truth.join(got.select(col("q_id"), col("n_id"), lit(1).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+        .select(lit(name).as("method"), col("q_id"), col("n_hits"),
+          (col("n_hits") * 10000 / ANN_K).cast("bigint").as("recall_bp"))
+    recallOf("ivf", annIvf(s, dir))
+      .unionByName(recallOf("lsh", annLsh(s, dir)))
+      .orderBy(col("method"), col("q_id"))
+  }
+
+  /** The three single-statement ANN oracles compose as subqueries —
+    * the recall oracle replays truth, IVF and LSH verbatim and joins.
+    */
+  val annRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, n_id FROM ($annTopkSql) t),
+       |ivf_r AS (SELECT q_id, n_id FROM ($annIvfSql) t),
+       |lsh_r AS (SELECT q_id, n_id FROM ($annLshSql) t),
+       |m AS (
+       |  SELECT 'ivf' AS method, truth.q_id, COUNT(ivf_r.n_id) AS n_hits
+       |  FROM truth LEFT JOIN ivf_r
+       |    ON ivf_r.q_id = truth.q_id AND ivf_r.n_id = truth.n_id
+       |  GROUP BY truth.q_id
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, truth.q_id, COUNT(lsh_r.n_id) AS n_hits
+       |  FROM truth LEFT JOIN lsh_r
+       |    ON lsh_r.q_id = truth.q_id AND lsh_r.n_id = truth.n_id
+       |  GROUP BY truth.q_id)
+       |SELECT method, q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits * 10000 // $ANN_K AS BIGINT) AS recall_bp
+       |FROM m
+       |ORDER BY method, q_id""".stripMargin
+
   // --- ann_pq: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "Product
   // Quantization for Nearest Neighbor Search") — the memory-bound
   // scale path: the 64-dim corpus compresses to M=2 subspace codes
@@ -2458,6 +2504,7 @@ object LlmPipeline {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_filtered" -> annFiltered,
+    "ann_recall" -> annRecall,
     "ann_pq" -> annPq,
     "embed_quant" -> embedQuant,
     "dedup_semantic" -> dedupSemantic,
@@ -2502,6 +2549,7 @@ object LlmPipeline {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_filtered" -> annFilteredSql,
+    "ann_recall" -> annRecallSql,
     "ann_pq" -> annPqSql,
     "embed_quant" -> embedQuantSql,
     "dedup_semantic" -> dedupSemanticSql,
