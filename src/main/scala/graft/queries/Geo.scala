@@ -231,7 +231,17 @@ object Geo {
   // (4-neighborhood keeps dense-cell components far below the Moore
   // percolation regime, so diameters stay single-digit; the Spark
   // side iterates to true fixpoint regardless).
-  def geoCluster(s: SparkSession, dir: String): DataFrame = {
+  def geoCluster(s: SparkSession, dir: String): DataFrame =
+    geoClusterCells(s, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).cast("bigint").as("n_points"))
+      .orderBy(col("cluster_id"))
+
+  /** The per-cell view of [[geoCluster]] — (key, cluster_id, cnt) for
+    * every dense cell (spec introspection: the maximality law checks
+    * edge-adjacent cells share a cluster).
+    */
+  def geoClusterCells(s: SparkSession, dir: String): DataFrame = {
     val NVenues = 200L
     val ev = t(s, dir, "events").select(col("event_id"))
     val venue = h60(concat(col("event_id").cast("string"), lit(":v"))) % NVenues
@@ -269,11 +279,8 @@ object Geo {
       .select(col("doc_a"), col("doc_b"))
     val labels = graft.operators.ClusterIndex.propagate(pairs)
     dense.join(labels.withColumnRenamed("doc_id", "key"), Seq("key"), "left")
-      .select(coalesce(col("cluster_id"), col("key")).as("cluster_id"),
-        col("key"), col("cnt"))
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).cast("bigint").as("n_points"))
-      .orderBy(col("cluster_id"))
+      .select(col("key"),
+        coalesce(col("cluster_id"), col("key")).as("cluster_id"), col("cnt"))
   }
 
   val geoClusterSql: String = {

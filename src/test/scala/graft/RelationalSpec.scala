@@ -216,4 +216,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     val want = naive.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === want, "cell-bucketed radius join must equal the all-pairs answer")
   }
+
+  test("geo_cluster: clusters are maximal — no two distinct clusters share a cell edge") {
+    val out = graft.queries.Geo.geoCluster(spark, sf).collect()
+    assert(out.nonEmpty)
+    // conservation: every dense cell is in exactly one cluster
+    val nCells = out.map(_.getLong(1)).sum
+    assert(out.map(_.getLong(1)).forall(_ >= 1))
+    // rebuild the dense-cell → cluster map (deterministic), then
+    // check MAXIMALITY: edge-adjacent dense cells always carry the
+    // same cluster id — a cross-cluster edge would mean propagation
+    // stopped early
+    val labeled = graft.queries.Geo.geoClusterCells(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (key, cluster, cnt)
+    assert(labeled.length.toLong === nCells)
+    val byKey = labeled.map { case (k, c, _) => k -> c }.toMap
+    def lonWrap(c: Long): Long = ((c % 60) + 60) % 60
+    var crossEdges = 0
+    byKey.keys.foreach { k =>
+      val (clat, clon) = (k / 60 - 10, k % 60 - 30)
+      Seq((-1L, 0L), (1L, 0L), (0L, -1L), (0L, 1L)).foreach { case (a, b) =>
+        val nk = (clat + a + 10) * 60 + lonWrap(clon + b + 30)
+        byKey.get(nk).foreach { nc => if (nc != byKey(k)) crossEdges += 1 }
+      }
+    }
+    assert(crossEdges === 0, s"$crossEdges cross-cluster adjacent cell pairs")
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("ann_recall: structural laws — 10 queries per method, hits bounded by K") {
+    val rows = SparkEntry.queries("ann_recall")(spark, sf).collect()
+    assert(rows.length === 20)
+    val byMethod = rows.groupBy(_.getString(0))
+    assert(byMethod.keySet === Set("ivf", "lsh"))
+    byMethod.values.foreach(g => assert(g.map(_.getLong(1)).toSet.size === 10))
+    rows.foreach { r =>
+      val hits = r.getLong(2); val bp = r.getLong(3)
+      assert(hits >= 0 && hits <= 10)
+      assert(bp === hits * 1000)
+    }
+    graft.util.QueryScratch.release(spark)
+    spark.catalog.clearCache()
+  }
 }
