@@ -259,28 +259,55 @@ object Geo {
       .withColumn("clat", floor(col("lat_e6").cast("double") / lit(6000000.0)).cast("bigint"))
       .withColumn("clon", floor(col("lon_e6").cast("double") / lit(6000000.0)).cast("bigint"))
       .withColumn("key", (col("clat") + 10) * 60 + (col("clon") + 30))
-    val counts = graft.util.QueryScratch.cached(
-      pts.groupBy(col("key"), col("clat"), col("clon"))
-        .agg(count(lit(1)).as("cnt")))
+    val counts = pts.groupBy(col("key"), col("clat"), col("clon"))
+      .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
-    val dense = graft.util.QueryScratch.cached(
-      counts.crossJoin(broadcast(total))
-        .filter(col("cnt") * 600 >= col("total"))
-        .select(col("key"), col("clat"), col("clon"), col("cnt")))
-    // edge-sharing neighbors (4-neighborhood, lon wraps mod 60)
-    val offs = Seq((-1, 0), (1, 0), (0, -1), (0, 1)).map { case (a, b) =>
-      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
-    val nbr = dense
-      .withColumn("o", explode(array(offs: _*)))
-      .withColumn("nkey", (col("clat") + col("o.dlat") + 10) * 60 +
-        (pmod(col("clon") + col("o.dlon") + lit(30L), lit(60L)) - 30 + 30))
-      .select(col("key").as("doc_a"), col("nkey").as("doc_b"))
-    val pairs = nbr.join(dense.select(col("key").as("doc_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-    val labels = graft.operators.ClusterIndex.propagate(pairs)
-    dense.join(labels.withColumnRenamed("doc_id", "key"), Seq("key"), "left")
-      .select(col("key"),
-        coalesce(col("cluster_id"), col("key")).as("cluster_id"), col("cnt"))
+    val dense = counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 600 >= col("total"))
+      .select(col("key"), col("clat"), col("clon"), col("cnt"))
+    // Component labeling runs ON THE DRIVER: the dense-cell set is
+    // GRID-bounded (≤ 20×60 = 1200 cells at ANY corpus size — the one
+    // distributed pass above already reduced points to cells), so
+    // this is metadata-scale work exactly like manifest resolution —
+    // a union-find over ≤1200 nodes beats ~10 fixpoint-iteration
+    // Spark jobs whose per-action overhead dwarfs the data. (The
+    // near-dup document graph takes the opposite choice for the same
+    // reason: its node count is corpus-bounded, so it propagates
+    // distributed — operators/ClusterIndex.)
+    val cells = dense.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val idx = cells.iterator.map(_._1).zipWithIndex.toMap
+    val parent = Array.tabulate(cells.length)(identity)
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    cells.foreach { case (_, clat, clon, _) =>
+      val kIdx = idx((clat + 10) * 60 + (clon + 30))
+      Seq((-1L, 0L), (1L, 0L), (0L, -1L), (0L, 1L)).foreach { case (a, b) =>
+        val nk = (clat + a + 10) * 60 +
+          (((clon + b + 30) % 60 + 60) % 60)
+        idx.get(nk).foreach { nIdx =>
+          val (ra, rb) = (find(kIdx), find(nIdx))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+    }
+    // canonical cluster id = MIN cell key in the component (exactly
+    // the min-label fixpoint the SQL oracle unrolls)
+    val minKey = scala.collection.mutable.Map.empty[Int, Long]
+    cells.iterator.zipWithIndex.foreach { case ((k, _, _, _), i) =>
+      val r = find(i)
+      minKey(r) = math.min(minKey.getOrElse(r, Long.MaxValue), k)
+    }
+    val rows = cells.iterator.zipWithIndex.map { case ((k, _, _, cnt), i) =>
+      (k, minKey(find(i)), cnt)
+    }.toSeq
+    import s.implicits._
+    rows.toDF("key", "cluster_id", "cnt")
   }
 
   val geoClusterSql: String = {

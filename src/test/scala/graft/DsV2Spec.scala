@@ -1070,6 +1070,37 @@ class DsV2Spec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("ANALYZE column stats tighten with pruning: NDV merges over surviving files only") {
+    val root = graft.util.Scratch.dir("graft_ndvprune_")
+    // event_type-clustered layout → files are type-pure, so a type
+    // predicate prunes to that type's files and the merged sketch
+    // sees ONE distinct value instead of the table's five
+    LakeTable.commit(spark, root, events,
+      BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 256),
+      Seq("event_id", "event_type"))
+    LakeTable.analyze(spark, root)
+    def typeNdv(df: DataFrame): Long = {
+      val scan = graftScanOf(df)
+      val cs = scan.estimateStatistics().columnStats()
+      val hit = scala.jdk.CollectionConverters.MapHasAsScala(cs).asScala
+        .collectFirst { case (ref, st) if ref.fieldNames().head == "event_type" =>
+          st.distinctCount().getAsLong }
+      assert(hit.isDefined, s"no event_type column stats served: $cs")
+      hit.get
+    }
+    val all = spark.read.format("graft-lake").load(root)
+    val nAll = typeNdv(all)
+    val one = all.filter(col("event_type") === "click")
+    val nOne = typeNdv(one)
+    assert(nAll >= 4, s"whole-table event_type NDV should be ~5, got $nAll")
+    // survivors = click's contiguous run + at most its two
+    // type-transition boundary files, so the merged sketch sees the
+    // pruned subset's cardinality, not the table's
+    assert(nOne <= 2 && nOne < nAll,
+      s"pruned scan must merge sketches of surviving files only, got NDV $nOne vs $nAll")
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("ANALYZE feeds the CBO: attribute stats from sketches flip a 3-table join order") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val s = spark
