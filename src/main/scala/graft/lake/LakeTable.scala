@@ -897,6 +897,72 @@ object LakeTable {
     }
   }
 
+  /** APPEND with AVRO data files (the reference's storage format —
+    * partitioned snappy Avro container files, main.go:47-54): each
+    * write task streams its partition through one snappy
+    * [[graft.lake.AvroPlane]] container writer and reports per-file
+    * rows/bytes/min-max stats computed IN-STREAM (Avro has no stats
+    * footer to re-read, so the writer's report is the commit stat —
+    * the reference's own block-accounting shape). The commit then
+    * binds the reported entries with the usual CAS, so snapshots,
+    * time travel, incremental reads, manifest-stat pruning and
+    * equality deletes all work unchanged over Avro files; the plane
+    * is strict about schema (exact match, no evolution, no mapping)
+    * and positional/DV deletes are rejected at the read choke point
+    * — the reference's writer is append-only, and row indexes are a
+    * parquet affordance.
+    *
+    * The collected stat rows are O(written files) — metadata-scale,
+    * like every other commit accounting path.
+    */
+  def appendAvro(spark: SparkSession, root: String, df: DataFrame,
+      statCols: Seq[String], note: String = "append-avro"): Int = {
+    AvroPlane.validate(df.schema)
+    storedSchemaOf(root).foreach { s =>
+      require(!ColumnMapping.hasMapping(s),
+        s"avro data plane: column mapping unsupported on $root")
+    }
+    val staging = newStagingDir(root)
+    val schemaJson = df.schema.json
+    val cols = statCols
+    val stats = df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      AvroPlane.writePartition(rows, schemaJson, staging, i, cols)
+    }.collect()
+    val entries = stats.map { fs =>
+      FileEntry(fs.path, fs.rows,
+        fs.cols.filter(_.any).map(c =>
+          c.name -> (if (c.kind == "s") ColStats(0L, 0L, "s", c.minS, c.maxS)
+          else ColStats(c.minL, c.maxL))).toMap,
+        bytes = fs.bytes)
+    }.toSeq
+    casLoop(root) { parent =>
+      var stored = df.schema
+      if (parent > 0) {
+        val expectJson = manifest(root, parent).schemaJson
+        if (expectJson.nonEmpty) {
+          val expect = DataType.fromJson(expectJson).asInstanceOf[StructType]
+          require(expect.fields.map(f => (f.name, f.dataType)).toSeq ==
+              df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+            s"avro append schema mismatch for $root: the avro plane is " +
+              "strict — appends must carry exactly the table schema")
+          // an append never narrows nullability (older files may
+          // hold nulls a non-null batch can't speak for)
+          stored = StructType(df.schema.fields.map { f =>
+            val pf = expect(f.name)
+            f.copy(nullable = pf.nullable || f.nullable, metadata = pf.metadata)
+          })
+        }
+      }
+      val snap = parent + 1
+      val pm = if (parent == 0) None else Some(manifest(root, parent))
+      Manifest(snap, parent,
+        pm.map(_.files).getOrElse(Nil) ++ entries.map(_.copy(seq = snap)),
+        pm.map(_.deletes).getOrElse(Nil), note, stored.json,
+        bucketCol = pm.map(_.bucketCol).getOrElse(""),
+        nBuckets = pm.map(_.nBuckets).getOrElse(0))
+    }
+  }
+
   /** ADDITIVE schema evolution as a METADATA-ONLY commit (SQL
     * `ALTER TABLE … ADD COLUMNS`): the new manifest carries the
     * widened schema over the UNCHANGED file list — zero data IO at
@@ -1856,20 +1922,46 @@ object LakeTable {
     // physical → logical, for presenting equality-delete key columns
     val logicalName: Map[String, String] =
       if (mapped) ColumnMapping.toLogical(stored.get) else Map.empty
-    def rd(paths: Seq[String]): DataFrame = stored match {
+    def rdParquet(paths: Seq[String]): DataFrame = stored match {
       case None => spark.read.parquet(paths: _*)
       case Some(s) if !mapped => spark.read.schema(s).parquet(paths: _*)
       case Some(s) =>
         spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(paths: _*)
           .toDF(ColumnMapping.logicalClean(s).fieldNames.toIndexedSeq: _*)
     }
+    // FORMAT DISPATCH: the avro data plane's container files decode
+    // through their own reader and union with any parquet siblings;
+    // everything downstream (equality-delete masks, schema
+    // presentation) is format-agnostic because it operates on the
+    // decoded frame. Avro tables forbid evolution/mapping at commit
+    // time, so the snapshot schema IS the file schema.
+    def rd(paths: Seq[String]): DataFrame = {
+      val (avro, pq) = paths.partition(_.endsWith(".avro"))
+      if (avro.isEmpty) rdParquet(paths)
+      else {
+        require(!mapped,
+          "avro data plane: column mapping unsupported on avro files")
+        val s = stored.getOrElse(throw new IllegalStateException(
+          "avro data plane: manifest lacks a schema"))
+        val av = AvroPlane.read(spark, avro, s)
+        if (pq.isEmpty) av else rdParquet(pq).unionByName(av)
+      }
+    }
     val needCoords = coords ||
       m.deletes.exists(d => d.kind == "pos" || d.kind == "dv")
     def rdc(paths: Seq[String]): DataFrame =
       if (!needCoords) rd(paths)
-      else rd(paths)
+      else {
+        // row coordinates ride parquet's _metadata.row_index — an avro
+        // container file has no equivalent, so the avro plane is
+        // append-only w.r.t. positional/DV deletes by construction
+        require(!paths.exists(_.endsWith(".avro")),
+          "avro data plane is append-only: positional/deletion-vector " +
+            "deletes need parquet row indexes (use equality deletes)")
+        rd(paths)
         .withColumn(CoordPath, col("_metadata.file_path"))
         .withColumn(CoordIdx, col("_metadata.row_index"))
+      }
     def strip(d: DataFrame): DataFrame =
       if (needCoords && !coords) d.drop(CoordPath, CoordIdx) else d
     if (m.deletes.isEmpty)

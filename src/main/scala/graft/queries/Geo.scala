@@ -352,15 +352,93 @@ object Geo {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  // --- geo_knn: NEAREST FACILITY per point — "which station serves
+  // this fix", the reverse of geo_radius_join's "which fixes does
+  // this station see" and the other half of a location lake's query
+  // pair. Same cell-bucketed broadcast frame (station × 15-cell
+  // 600 km neighborhood) joined on the point's map-side cell key, so
+  // the candidate set per point is CELL-BOUNDED and the big side
+  // never shuffles; the neighborhood covers every cell a 600 km
+  // reach can touch, so "nearest within 600 km" is EXACT — a point's
+  // true nearest station inside the radius is always a candidate.
+  // The argmin is one groupBy(point) of min(struct(d_m, n_name)) —
+  // map-side partial aggregation, no window sort; ties break on
+  // station name (md5-scattered coordinates make real ties
+  // ulp-improbable, the name is belt-and-braces determinism). Points
+  // with no station in range drop out (bounded-radius kNN — the
+  // honest distributed semantics; unbounded argmin would need
+  // expanding-ring re-probes).
+  def geoKnn(s: SparkSession, dir: String): DataFrame = {
+    val R = 600000.0 // meters
+    val pts = points(s, dir)
+      .withColumn("clat", latCell(col("lat_e6")))
+      .withColumn("clon", lonCell(col("lon_e6")))
+    val offsets = RadiusNeighborhood.map { case (a, b) =>
+      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
+    val stations = t(s, dir, "nation")
+      .select(col("n_name"))
+      .withColumn("s_lat_e6", latE6(col("n_name")))
+      .withColumn("s_lon_e6", lonE6(col("n_name")))
+      .withColumn("o", explode(array(offsets: _*)))
+      .withColumn("clat", latCell(col("s_lat_e6")) + col("o.dlat"))
+      .withColumn("clon", wrapLonCell(lonCell(col("s_lon_e6")) + col("o.dlon")))
+      .drop("o")
+    pts.join(broadcast(stations), Seq("clat", "clon"))
+      .withColumn("d_m", haversineMeters(
+        deg(col("lat_e6")), deg(col("lon_e6")),
+        deg(col("s_lat_e6")), deg(col("s_lon_e6"))))
+      .filter(col("d_m") <= lit(R))
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("d_m"), col("n_name"))).as("best"))
+      .select(col("event_id"), col("best.d_m").as("d_m"),
+        col("best.n_name").as("n_name"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(floor(col("d_m") / 1000).cast("bigint")).as("sum_km"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("n_name"))
+  }
+
+  val geoKnnSql: String =
+    """WITH pts AS (
+      |  SELECT event_id,
+      |    (('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lat'),1,15))::BIGINT % 120000000 - 60000000) / 1000000.0 AS lat,
+      |    (('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lon'),1,15))::BIGINT % 360000000 - 180000000) / 1000000.0 AS lon
+      |  FROM events),
+      |st AS (
+      |  SELECT n_name,
+      |    (('0x'||substr(md5(n_name||':lat'),1,15))::BIGINT % 120000000 - 60000000) / 1000000.0 AS lat,
+      |    (('0x'||substr(md5(n_name||':lon'),1,15))::BIGINT % 360000000 - 180000000) / 1000000.0 AS lon
+      |  FROM nation),
+      |pairs AS (
+      |  SELECT pts.event_id, st.n_name,
+      |    2 * 6371000.0 * ASIN(SQRT(
+      |      POW(SIN(RADIANS(st.lat - pts.lat) / 2), 2) +
+      |      COS(RADIANS(pts.lat)) * COS(RADIANS(st.lat)) *
+      |      POW(SIN(RADIANS(st.lon - pts.lon) / 2), 2))) AS d_m
+      |  FROM pts, st),
+      |near AS (
+      |  SELECT event_id, n_name, d_m,
+      |    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d_m, n_name) AS rn
+      |  FROM pairs WHERE d_m <= 600000.0)
+      |SELECT n_name, COUNT(*) AS n_pts,
+      |  CAST(SUM(CAST(FLOOR(d_m / 1000) AS BIGINT)) AS BIGINT) AS sum_km,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM near WHERE rn = 1
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_bbox" -> geoBbox,
     "geo_radius_join" -> geoRadiusJoin,
+    "geo_knn" -> geoKnn,
     "geo_trips" -> geoTrips,
     "geo_cluster" -> geoCluster)
 
   val oracles: Map[String, String] = Map(
     "geo_bbox" -> geoBboxSql,
     "geo_radius_join" -> geoRadiusJoinSql,
+    "geo_knn" -> geoKnnSql,
     "geo_trips" -> geoTripsSql,
     "geo_cluster" -> geoClusterSql)
 }

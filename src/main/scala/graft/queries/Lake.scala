@@ -2150,7 +2150,63 @@ object Lake {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // --- lake_avro: AVRO DATA FILES on the lake's data plane — the
+  // reference's actual storage format (partitioned snappy Avro
+  // container files, main.go:47-54), under the SAME manifest/OCC
+  // machinery as the parquet plane. Three range-clustered appends
+  // (event_id thirds → tight per-file stats), then an EQUALITY delete
+  // (value-mask downstream of the decode — format-agnostic), read
+  // back four ways: the post-delete head, the pre-delete snapshot
+  // (time travel), the first append alone (snapshot isolation), and
+  // a stats-PRUNED range probe (manifest min/max over the in-stream
+  // writer-reported stats bound IO before any decode). The oracle
+  // replays every generation relationally from events.
+  def lakeAvro(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_avro_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    (0 to 2).foreach { i =>
+      LakeTable.appendAvro(s, root,
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .repartitionByRange(4, col("event_id")),
+        statCols = Seq("event_id", "event_type"))
+    }
+    LakeTable.deleteWhere(s, root, "event_type",
+      s.range(1).select(lit("error").as("event_type")))
+    val head = LakeTable.read(s, root).withColumn("gen", lit("head"))
+    val snap3 = LakeTable.read(s, root, Some(3)).withColumn("gen", lit("snap3"))
+    val snap1 = LakeTable.read(s, root, Some(1)).withColumn("gen", lit("snap1"))
+    val (pruned, _, _) =
+      LakeTable.prunedRead(s, root, Map("event_id" -> (1000L, 1999L)))
+    head.unionByName(snap3).unionByName(snap1)
+      .unionByName(pruned.withColumn("gen", lit("pruned")))
+      .groupBy(col("gen"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("gen"), col("event_type"))
+  }
+
+  val lakeAvroSql: String =
+    """WITH u AS (
+      |  SELECT 'head' AS gen, event_id, event_type, value FROM events
+      |    WHERE event_type <> 'error'
+      |  UNION ALL
+      |  SELECT 'pruned' AS gen, event_id, event_type, value FROM events
+      |    WHERE event_type <> 'error' AND event_id BETWEEN 1000 AND 1999
+      |  UNION ALL
+      |  SELECT 'snap1' AS gen, event_id, event_type, value FROM events
+      |    WHERE event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'snap3' AS gen, event_id, event_type, value FROM events)
+      |SELECT gen, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u
+      |GROUP BY gen, event_type
+      |ORDER BY gen, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_avro" -> lakeAvro,
     "stream_lake" -> streamLake,
     "stream_upsert" -> streamUpsert,
     "lake_format_read" -> lakeFormatRead,
@@ -2201,6 +2257,7 @@ object Lake {
     "q_spj" -> qSpj)
 
   val oracles: Map[String, String] = Map(
+    "lake_avro" -> lakeAvroSql,
     "stream_lake" -> streamLakeSql,
     "stream_upsert" -> streamUpsertSql,
     "lake_format_read" -> lakeFormatReadSql,

@@ -217,6 +217,49 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === want, "cell-bucketed radius join must equal the all-pairs answer")
   }
 
+  test("geo_knn: cell-bounded nearest-facility equals the all-pairs argmin") {
+    val df = graft.queries.Geo.geoKnn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // same plan contract as the radius join: broadcast cell join, no
+    // all-pairs fallback; the argmin is a hash aggregate (map-side
+    // partial min(struct)) — a window sort over all candidates would
+    // be the 100 TB-hostile shape
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast cell join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn fell back to all-pairs:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), "argmin must be an aggregate, not a window sort")
+    // exactness law: the cell neighborhood covers the full 600 km
+    // reach, so the cell-bounded nearest-in-radius equals the naive
+    // all-pairs nearest-in-radius
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFns._
+    val pts = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"))
+      .withColumn("lat_e6", latE6(col("event_id")))
+      .withColumn("lon_e6", lonE6(col("event_id")))
+    val st = graft.sources.Tables.load(spark, sf, "nation")
+      .select(col("n_name"))
+      .withColumn("s_lat_e6", latE6(col("n_name")))
+      .withColumn("s_lon_e6", lonE6(col("n_name")))
+    val naive = pts.crossJoin(st)
+      .withColumn("d_m", haversineMeters(
+        deg(col("lat_e6")), deg(col("lon_e6")),
+        deg(col("s_lat_e6")), deg(col("s_lon_e6"))))
+      .filter(col("d_m") <= lit(600000.0))
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("d_m"), col("n_name"))).as("best"))
+      .select(col("event_id"), col("best.d_m").as("d_m"), col("best.n_name").as("n_name"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(floor(col("d_m") / 1000).cast("bigint")).as("sum_km"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = naive.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === want, "cell-bounded knn must equal the all-pairs argmin")
+  }
+
   test("geo_cluster: clusters are maximal — no two distinct clusters share a cell edge") {
     val out = graft.queries.Geo.geoCluster(spark, sf).collect()
     assert(out.nonEmpty)
