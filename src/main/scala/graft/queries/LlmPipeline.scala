@@ -2470,7 +2470,57 @@ object LlmPipeline {
        |FROM scored, cal
        |ORDER BY doc_id""".stripMargin
 
+  // --- sample_shuffle: DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the
+  // last step before training: fix a pseudo-random example order and
+  // cut it into shards so every epoch reads the same well-mixed
+  // sequence. The permutation key is the engine's md5-derived 60-bit
+  // hash of the doc id (seeded by a salt, so re-shuffling = changing
+  // the salt), the shard is `h % nShards`, and within-shard order is
+  // (h, doc_id) — at 100 TB this is ONE hash shuffle to nShards
+  // writer tasks (shard count is the knob: thousands in production,
+  // 8 here), no global sort, no window, no driver state; the shard
+  // head/tail and mixing evidence below all come from map-side
+  // partial aggregation (min/max of (h, doc_id) structs). The output
+  // proves the properties a training stack cares about: shards are
+  // balanced (hash-uniform), every shard mixes all sources (mixing =
+  // the point of shuffling), and the order is reproducible (the
+  // oracle replays the identical permutation).
+  def sampleShuffle(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 8L
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextFns.hash60(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards)))
+    keyed
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"),
+        min(struct(col("h"), col("doc_id"))).getField("doc_id").as("first_doc"),
+        max(struct(col("h"), col("doc_id"))).getField("doc_id").as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  val sampleShuffleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ${hash60Sql("'shuf:'||CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |sh AS (SELECT *, h % 8 AS shard FROM k)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT source) AS n_sources,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(h) AS h_min, MAX(h) AS h_max,
+       |  arg_min(doc_id, printf('%020d', h) || printf('%012d', doc_id)) AS first_doc,
+       |  arg_max(doc_id, printf('%020d', h) || printf('%012d', doc_id)) AS last_doc
+       |FROM sh
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_shuffle" -> sampleShuffle,
     "text_unigram_lm" -> textUnigramLm,
     "text_quality_clf" -> textQualityClf,
     "text_tokens" -> textTokens,
@@ -2519,6 +2569,7 @@ object LlmPipeline {
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
+    "sample_shuffle" -> sampleShuffleSql,
     "text_unigram_lm" -> textUnigramLmSql,
     "text_quality_clf" -> textQualityClfSql,
     "text_gopher" -> textGopherSql,

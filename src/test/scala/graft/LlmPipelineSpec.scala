@@ -17,6 +17,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges === 0, s"corpus side must not shuffle, found $exchanges:\n${plan.take(2000)}")
   }
 
+  test("sample_shuffle: one hash shuffle, no window; deterministic and conserving") {
+    val q = SparkEntry.queries("sample_shuffle")
+    val df = q(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the permutation key and shard are map-side; the only exchange is
+    // the shard aggregation (at scale: the write shuffle to shard
+    // tasks). A Window or global Sort here would be the non-scalable
+    // total-order shape.
+    assert(!plan.contains("Window"), "shuffle must not use a window")
+    // one shard exchange + the (shard, source) exchange COUNT(DISTINCT)
+    // rewrites to — both keyed and partially aggregated map-side; no
+    // global sort, no single-partition stage
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected ≤2 keyed exchanges, got $exchanges:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "no single-partition stage in the shuffle plan")
+    val a = df.collect()
+    val b = q(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "the permutation must be reproducible run-to-run")
+    // conservation: every document lands in exactly one shard
+    val total = a.map(_.getLong(1)).sum
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(total === nDocs)
+    assert(a.map(_.getLong(0)).distinct.length === a.length, "one row per shard")
+  }
+
   test("dedup_incremental broadcasts the batch bands against the corpus index") {
     val plan = SparkEntry.queries("dedup_incremental")(spark, sf)
       .queryExecution.executedPlan.toString
