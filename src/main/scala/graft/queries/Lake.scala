@@ -2205,8 +2205,95 @@ object Lake {
       |GROUP BY gen, event_type
       |ORDER BY gen, event_type""".stripMargin
 
+  // --- stream_avro: the REFERENCE PIPELINE VERBATIM, data plane
+  // included — a file stream drained as partitioned SNAPPY AVRO
+  // container files under the manifest (main.go:62-115 is exactly
+  // this: file stream → BlockManager → snappy Avro blocks on a
+  // MaxAge cadence), one atomic appendAvro commit per micro-batch,
+  // idempotent by batch id. n_commits = 3 pins the per-batch commit
+  // cadence and exactly-once delivery; the oracle replays the fully
+  // drained corpus.
+  def streamAvro(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_sav_")
+    val staged = tmp("graft_sav_in_")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    val n = graft.streaming.LakeStream.runOnceToAvroLake(s, staged, root,
+      Seq("event_id", "user_id"))
+    LakeTable.read(s, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("n_commits", lit(n.toLong))
+      .orderBy(col("event_type"))
+  }
+
+  val streamAvroSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(3 AS BIGINT) AS n_commits
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- lake_avro_migrate: FORMAT MIGRATION as a maintenance rewrite
+  // (Iceberg's "migrate data files" shape): an avro-ingested table is
+  // rewritten to parquet in ONE basis-validated CoW commit — content
+  // provably identical across the boundary, pre-migration snapshots
+  // still read their avro files (time travel is format-stable), and
+  // the migration UNLOCKS the parquet-only row-level machinery: the
+  // positional delete that the avro plane rejects works on the
+  // migrated head. This is the operational answer to the avro plane's
+  // append-only scope — ingest in the reference's format, migrate to
+  // the analytics format when row-level ops are needed.
+  def lakeAvroMigrate(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_avmig_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    LakeTable.appendAvro(s, root, ev.filter(col("event_id") % 2 === 0),
+      Seq("event_id"))
+    LakeTable.appendAvro(s, root, ev.filter(col("event_id") % 2 === 1),
+      Seq("event_id"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    // the migration: one CoW rewrite of the current view to parquet
+    LakeTable.rewrite(s, root, LakeTable.read(s, root), cfg, Seq("event_id"),
+      basis = Some(2), note = "migrate-avro-parquet")
+    // parquet-only capability unlocked: positional delete by predicate
+    val coords = LakeTable.withRowCoords(s, root)
+      .filter(col("event_id") % 10 === 4)
+      .select(col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+    LakeTable.deletePositions(s, root, coords)
+    val avro = LakeTable.read(s, root, Some(2)).withColumn("gen", lit("avro"))
+    val pq = LakeTable.read(s, root, Some(3)).withColumn("gen", lit("parquet"))
+    val head = LakeTable.read(s, root).withColumn("gen", lit("head"))
+    avro.unionByName(pq).unionByName(head)
+      .groupBy(col("gen"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("gen"), col("event_type"))
+  }
+
+  val lakeAvroMigrateSql: String =
+    """WITH u AS (
+      |  SELECT 'avro' AS gen, event_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT 'parquet' AS gen, event_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT 'head' AS gen, event_id, event_type, value FROM events
+      |    WHERE event_id % 10 <> 4)
+      |SELECT gen, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u
+      |GROUP BY gen, event_type
+      |ORDER BY gen, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_avro" -> lakeAvro,
+    "stream_avro" -> streamAvro,
+    "lake_avro_migrate" -> lakeAvroMigrate,
     "stream_lake" -> streamLake,
     "stream_upsert" -> streamUpsert,
     "lake_format_read" -> lakeFormatRead,
@@ -2258,6 +2345,8 @@ object Lake {
 
   val oracles: Map[String, String] = Map(
     "lake_avro" -> lakeAvroSql,
+    "stream_avro" -> streamAvroSql,
+    "lake_avro_migrate" -> lakeAvroMigrateSql,
     "stream_lake" -> streamLakeSql,
     "stream_upsert" -> streamUpsertSql,
     "lake_format_read" -> lakeFormatReadSql,

@@ -63,6 +63,41 @@ object LakeStream {
     LakeTable.currentSnapshot(root)
   }
 
+  /** The reference pipeline VERBATIM on the data plane too: drain the
+    * arriving files into SNAPPY AVRO container files under the
+    * manifest (main.go:62-115 writes exactly this — a file stream
+    * flushed as partitioned snappy Avro blocks on a MaxAge cadence).
+    * One [[LakeTable.appendAvro]] commit per micro-batch, idempotent
+    * by batch id like the parquet path; in-stream writer stats make
+    * the committed files prunable without a stats re-read.
+    */
+  def runOnceToAvroLake(
+      spark: SparkSession,
+      inDir: String,
+      root: String,
+      statCols: Seq[String],
+      maxFilesPerTrigger: Int = 1,
+      checkpoint: String = null): Int = {
+    graft.sources.Tables.ensureParquetConfs(spark)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val head = LakeTable.currentSnapshot(root)
+        val done = head > 0 && LakeTable.manifest(root, head).note == s"avro-batch-$id"
+        if (!done && !batch.isEmpty)
+          LakeTable.appendAvro(spark, root, batch.toDF(), statCols,
+            note = s"avro-batch-$id"): Unit
+      }
+      .option("checkpointLocation",
+        Option(checkpoint).getOrElse(graft.util.Scratch.dir("graft_avro_ck_")))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    LakeTable.currentSnapshot(root)
+  }
+
   /** CDC APPLY: drain a stream of change records (latest-wins upserts
     * keyed on `keyCol`) INTO the lake table as one atomic MoR MERGE
     * per micro-batch — the streaming half of the changelog lifecycle

@@ -65,6 +65,53 @@ class AvroPlaneSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("streaming avro ingest: snappy container files, one commit per batch, exactly-once") {
+    val root = graft.util.Scratch.dir("graft_avrospec_stream_")
+    val staged = graft.util.Scratch.dir("graft_avrospec_stream_in_")
+    val ck = graft.util.Scratch.dir("graft_avrospec_stream_ck_")
+    events.repartition(3).write.mode("overwrite").parquet(staged)
+    val n = graft.streaming.LakeStream.runOnceToAvroLake(spark, staged, root,
+      Seq("event_id"), checkpoint = ck)
+    assert(n === 3, s"3 staged files → 3 commits, got $n")
+    val m = graft.lake.LakeTable.manifest(root, n)
+    assert(m.files.forall(_.path.endsWith(".avro")))
+    m.files.take(2).foreach(f => assert(AvroPlane.codecOf(f.path) === "snappy"))
+    assert(LakeTable.read(spark, root).count() === events.count())
+    // exactly-once: a re-drain against the SAME checkpoint replays
+    // nothing — the snapshot count and row count are unchanged
+    val n2 = graft.streaming.LakeStream.runOnceToAvroLake(spark, staged, root,
+      Seq("event_id"), checkpoint = ck)
+    assert(n2 === n)
+    assert(LakeTable.read(spark, root).count() === events.count())
+    graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(staged)
+  }
+
+  test("avro→parquet migration: one CoW rewrite, format-stable time travel, pos deletes unlocked") {
+    val root = graft.util.Scratch.dir("graft_avrospec_mig_")
+    LakeTable.appendAvro(spark, root, events, Seq("event_id"))
+    val cfg = graft.writer.BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.rewrite(spark, root, LakeTable.read(spark, root), cfg,
+      Seq("event_id"), basis = Some(1), note = "migrate")
+    val m2 = LakeTable.manifest(root, 2)
+    assert(m2.files.forall(_.path.endsWith(".parquet")),
+      "the migrated head must be all-parquet")
+    // pre-migration snapshot still reads its avro files
+    val m1 = LakeTable.manifest(root, 1)
+    assert(m1.files.forall(_.path.endsWith(".avro")))
+    assert(LakeTable.read(spark, root, Some(1)).count() === events.count())
+    // content identical across the boundary
+    val pre = LakeTable.read(spark, root, Some(1))
+    val post = LakeTable.read(spark, root, Some(2))
+    assert(pre.exceptAll(post).count() === 0 && post.exceptAll(pre).count() === 0)
+    // positional deletes now work (the avro plane rejects them)
+    val coords = LakeTable.withRowCoords(spark, root)
+      .filter(col("event_id") % 10 === 4)
+      .select(col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+    LakeTable.deletePositions(spark, root, coords)
+    assert(LakeTable.read(spark, root).filter(col("event_id") % 10 === 4).count() === 0)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("strict schema: a drifted append fails; equality deletes apply; pos deletes reject") {
     val root = graft.util.Scratch.dir("graft_avrospec_strict_")
     LakeTable.appendAvro(spark, root, events, Seq("event_id"))
