@@ -205,6 +205,28 @@ object AvroPlane {
     }(Encoders.row(schema))
   }
 
+  /** The file-attribution column [[readWithPath]] prepends. */
+  val PathCol = "_graft_avro_path"
+
+  /** [[read]] plus per-row file attribution (the avro analog of
+    * `input_file_name()`): each row carries the manifest-form path it
+    * was decoded from, so per-file accounting (ANALYZE sketches)
+    * works over avro files too.
+    */
+  def readWithPath(spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame = {
+    val out = StructType(
+      StructField(PathCol, StringType, nullable = false) +: schema.fields)
+    val schemaJson = schema.json
+    val parts = math.max(1, math.min(paths.size,
+      spark.sessionState.conf.numShufflePartitions))
+    val ds = spark.createDataset(paths)(Encoders.STRING).repartition(parts)
+    ds.mapPartitions { it =>
+      val s = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      it.flatMap(p => readFile(p, s).map(r => Row.fromSeq(p +: r.toSeq)))
+    }(Encoders.row(out))
+  }
+
   private def readFile(path: String, schema: StructType): Iterator[Row] = {
     val reader = DataFileReader.openReader(localFile(path),
       new GenericDatumReader[GenericRecord]())

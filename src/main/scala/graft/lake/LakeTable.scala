@@ -2542,9 +2542,8 @@ object LakeTable {
     val fresh: Map[String, FileSketch] =
       if (newPaths.isEmpty) Map.empty
       else {
-        val raw = s.read.option("mergeSchema", "true").parquet(newPaths: _*)
         import org.apache.spark.sql.types._
-        val cols = raw.schema.fields.collect {
+        def sketchable(schema: StructType): Seq[String] = schema.fields.collect {
           case f if (f.dataType match {
             case StringType | LongType | IntegerType | ShortType | ByteType |
                  DoubleType | FloatType | BooleanType | DateType |
@@ -2553,11 +2552,31 @@ object LakeTable {
             case _ => false
           }) => f.name
         }.toSeq
-        require(cols.nonEmpty, s"no sketchable columns in $root")
-        val melted = raw.select(input_file_name().as("__f"),
-          explode(array(cols.map(c =>
-            struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
-          .select(col("__f"), col("kv.c").as("c"), col("kv.v").as("v"))
+        def melt(raw: org.apache.spark.sql.DataFrame, fCol: Column,
+            cols: Seq[String]): org.apache.spark.sql.DataFrame =
+          raw.select(fCol.as("__f"),
+            explode(array(cols.map(c =>
+              struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+            .select(col("__f"), col("kv.c").as("c"), col("kv.v").as("v"))
+        // the avro plane's files melt through their own decoder with
+        // per-row path attribution (no input_file_name there); both
+        // formats land in the same (file, column) sketch shuffle
+        val (avroPaths, pqPaths) = newPaths.partition(_.endsWith(".avro"))
+        val frames = Seq(
+          if (pqPaths.isEmpty) None else {
+            val raw = s.read.option("mergeSchema", "true").parquet(pqPaths: _*)
+            val cols = sketchable(raw.schema)
+            require(cols.nonEmpty, s"no sketchable columns in $root")
+            Some(melt(raw, input_file_name(), cols))
+          },
+          if (avroPaths.isEmpty) None else {
+            val stored = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+            val raw = AvroPlane.readWithPath(s, avroPaths, stored)
+            val cols = sketchable(stored)
+            require(cols.nonEmpty, s"no sketchable columns in $root")
+            Some(melt(raw, col(AvroPlane.PathCol), cols))
+          }).flatten
+        val melted = frames.reduce(_.unionByName(_))
         // one shuffle keyed (file, column); the bitmap is a ≤1024-int
         // distinct-position set, exact null/length accounting rides
         // the same pass; min/max truncate to 256 CODEPOINTS (prefix

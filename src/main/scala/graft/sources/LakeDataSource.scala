@@ -235,6 +235,13 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     val m =
       if (snap > 0) LakeTable.manifest(root, snap)
       else LakeTable.Manifest(0, 0, Nil, schemaJson = schema().json)
+    // the delegated scan machinery is parquet (vectorized reader,
+    // row-index coordinates) — an avro-plane snapshot must be read
+    // through the library path, which format-dispatches per file
+    require(!m.files.exists(_.path.endsWith(".avro")),
+      s"snapshot $snap of $root contains avro data files; the DSv2 " +
+        "front door is parquet-only — read it via LakeTable.read " +
+        "(or migrate to parquet with a rewrite)")
     val stored =
       if (snap > 0) GraftLakeTable.storedSchemaAt(spark, root, snap)
       else schema()

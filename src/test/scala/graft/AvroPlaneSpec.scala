@@ -112,6 +112,28 @@ class AvroPlaneSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("ANALYZE sketches avro files too, and mixed-format tables agree with ground truth") {
+    val root = graft.util.Scratch.dir("graft_avrospec_an_")
+    val ev = events
+    LakeTable.appendAvro(spark, root, ev.filter(col("event_id") % 2 === 0),
+      Seq("event_id"))
+    val (snap1, n1) = LakeTable.analyze(spark, root)
+    assert(snap1 === 1 && n1 === LakeTable.manifest(root, 1).files.size && n1 > 0)
+    // incremental: a second avro append re-sketches only its files
+    LakeTable.appendAvro(spark, root, ev.filter(col("event_id") % 2 === 1),
+      Seq("event_id"))
+    val added = LakeTable.manifest(root, 2).files.size - n1
+    assert(LakeTable.analyze(spark, root)._2 === added)
+    val meta = LakeTable.colStats(root).get
+    val merged = LakeTable.mergedColStats(meta,
+      LakeTable.manifest(root, 2).files.map(_.path)).get
+    val (occ, nulls, _, rows) = merged("event_type")
+    assert(rows === ev.count() && nulls === 0L)
+    // 5 event types → 5 occupied buckets, identical to the parquet path
+    assert(occ === ev.select(col("event_type")).distinct().count().toInt)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("strict schema: a drifted append fails; equality deletes apply; pos deletes reject") {
     val root = graft.util.Scratch.dir("graft_avrospec_strict_")
     LakeTable.appendAvro(spark, root, events, Seq("event_id"))
@@ -138,6 +160,13 @@ class AvroPlaneSpec extends AnyFunSuite {
       LakeTable.withRowCoords(spark, root)
     }
     assert(e2.getMessage.contains("append-only"))
+    // the DSv2 front door is parquet-only → clear rejection, not a
+    // corrupt read through the vectorized parquet machinery
+    val e3 = intercept[Exception] {
+      spark.read.format("graft-lake").load(root).count()
+    }
+    assert(e3.getMessage.contains("parquet-only"),
+      s"expected the DSv2 avro rejection, got: ${e3.getMessage}")
     graft.util.Scratch.rmNow(root)
   }
 }
