@@ -2470,6 +2470,93 @@ object LlmPipeline {
        |FROM scored, cal
        |ORDER BY doc_id""".stripMargin
 
+  // --- ann_hybrid: HYBRID RETRIEVAL — keyword and vector rankings
+  // fused by RECIPROCAL RANK FUSION (Cormack et al. 2009, the
+  // standard hybrid-search combiner: score = Σ 1/(60+rank), immune
+  // to the two scores' incomparable scales). The production
+  // retrieval stack's default shape: lexical recall catches what
+  // embeddings miss and vice versa. Keyword side = distinct-word
+  // overlap via a posting join against the BROADCAST query terms (the
+  // corpus never shuffles for candidate generation; per-word cost is
+  // df-bounded); vector side = the exact cosine pass (ann_topk's
+  // shape — broadcast queries, one corpus scan). Each side keeps its
+  // top-N per query (N=20, K-row-per-query frames from there on —
+  // metadata-sized at any corpus size); fusion is one integer-exact
+  // groupBy-sum over ≤2N rows per query. All arithmetic is integer
+  // (`div`), so the oracle replays bit-exactly.
+  def annHybrid(s: SparkSession, dir: String): DataFrame = {
+    val N = 20
+    val RRF_K = 60
+    val docsT = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val words = docsT.select(col("doc_id"),
+      explode(array_distinct(TextFns.words(col("text")))).as("w"))
+    val qw = words.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("w"))
+    val kw = words.join(broadcast(qw), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ov"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("ov").desc, col("doc_id"))))
+      .filter(col("r") <= N)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("r"))
+    val e = embBase(s, dir)
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val vr = e.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("v")).as("cos_bp"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_bp").desc, col("n_id"))))
+      .filter(col("r") <= N)
+      .select(col("q_id"), col("n_id"), col("r"))
+    kw.unionByName(vr)
+      .withColumn("contrib", expr(s"1000000 div ($RRF_K + r)"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("contrib")).cast("bigint").as("rrf"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("n_id"))).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annHybridSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(list_distinct($wsSql)) AS w FROM documents),
+       |qw AS (SELECT doc_id AS q_id, w FROM w WHERE doc_id < 5),
+       |ov AS (
+       |  SELECT qw.q_id, w.doc_id, COUNT(*) AS ov
+       |  FROM w JOIN qw USING (w) WHERE w.doc_id <> qw.q_id
+       |  GROUP BY 1, 2),
+       |kw AS (
+       |  SELECT q_id, doc_id AS n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ov DESC, doc_id) AS r
+       |  FROM ov),
+       |n AS ($embBaseSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |vsc AS (
+       |  SELECT q.q_id, n.vec_id AS n_id,
+       |    CAST(floor(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM n JOIN q ON n.vec_id <> q.q_id),
+       |vr AS (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS r
+       |  FROM vsc),
+       |c AS (
+       |  SELECT q_id, n_id, 1000000 // (60 + r) AS contrib FROM kw WHERE r <= 20
+       |  UNION ALL
+       |  SELECT q_id, n_id, 1000000 // (60 + r) AS contrib FROM vr WHERE r <= 20),
+       |f AS (SELECT q_id, n_id, CAST(SUM(contrib) AS BIGINT) AS rrf FROM c GROUP BY 1, 2)
+       |SELECT q_id, n_id, rrf, rank FROM (
+       |  SELECT q_id, n_id, rrf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS BIGINT) AS rank
+       |  FROM f)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+
   // --- sample_shuffle: DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the
   // last step before training: fix a pseudo-random example order and
   // cut it into shards so every epoch reads the same well-mixed
@@ -2520,6 +2607,7 @@ object LlmPipeline {
        |ORDER BY shard""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid" -> annHybrid,
     "sample_shuffle" -> sampleShuffle,
     "text_unigram_lm" -> textUnigramLm,
     "text_quality_clf" -> textQualityClf,
@@ -2569,6 +2657,7 @@ object LlmPipeline {
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
+    "ann_hybrid" -> annHybridSql,
     "sample_shuffle" -> sampleShuffleSql,
     "text_unigram_lm" -> textUnigramLmSql,
     "text_quality_clf" -> textQualityClfSql,

@@ -17,6 +17,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges === 0, s"corpus side must not shuffle, found $exchanges:\n${plan.take(2000)}")
   }
 
+  test("ann_hybrid: fused results come from the union of the two top-N lists, K per query") {
+    val df = SparkEntry.queries("ann_hybrid")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // both candidate generators broadcast the query side — the corpus
+    // never shuffles before candidates exist
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query sides must broadcast:\n${plan.take(1500)}")
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 10, s"query $q returned ${rs.length} of K=10")
+      // ranks are 1..K and rrf non-increasing in rank
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to 10L))
+      val rrfs = sorted.map(_.getLong(2)).toSeq
+      assert(rrfs === rrfs.sorted.reverse, s"rrf must be non-increasing for $q")
+      // an RRF score implies membership in at least one component
+      // top-20: the max single-list contribution is 1000000 div 61
+      assert(rs.forall(_.getLong(2) >= 1000000L / 80L),
+        "every fused candidate must carry at least one top-20 contribution")
+    }
+  }
+
   test("sample_shuffle: one hash shuffle, no window; deterministic and conserving") {
     val q = SparkEntry.queries("sample_shuffle")
     val df = q(spark, sf)
