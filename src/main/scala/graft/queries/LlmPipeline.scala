@@ -2557,6 +2557,58 @@ object LlmPipeline {
        |WHERE rank <= $ANN_K
        |ORDER BY q_id, rank""".stripMargin
 
+  // --- stats_drift: CORPUS DRIFT DETECTION — the monitor a
+  // continuously-refreshed training corpus runs between snapshots:
+  // has the source mixture shifted enough to retune the sampler?
+  // Baseline = the first corpus half, candidate = the second (doc_id
+  // split — in production, two manifest snapshots). Per source the
+  // report carries both counts, each side's share in parts-per-
+  // million (integer `div` against the side total — exact
+  // cross-engine), the absolute ppm shift, and a chi-square-style
+  // contribution `(n_new·T_old − n_old·T_new)² div (T_old·T_new·
+  // (n_old+n_new))` — all-integer (the cross-multiplied form avoids
+  // every division-before-comparison), so the flag threshold is
+  // hash-exact. One groupBy(source) with map-side partials + a
+  // 1-row total broadcast — at 100 TB this is the stats_profile
+  // cost shape: a single scan and a metadata-sized exchange.
+  def statsDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val mid = d.agg((max(col("doc_id")) / 2).cast("bigint")).head.getLong(0)
+    val sided = d.withColumn("is_new", (col("doc_id") > mid).cast("int"))
+    val per = sided.groupBy(col("source")).agg(
+      sum(lit(1) - col("is_new")).cast("bigint").as("n_old"),
+      sum(col("is_new")).cast("bigint").as("n_new"))
+    val tot = per.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_old"), col("n_new"),
+        expr("n_old * 1000000 div t_old").as("ppm_old"),
+        expr("n_new * 1000000 div t_new").as("ppm_new"),
+        abs(expr("n_new * 1000000 div t_new") -
+          expr("n_old * 1000000 div t_old")).as("ppm_shift"),
+        expr("""(n_new * t_old - n_old * t_new) * (n_new * t_old - n_old * t_new)
+               | div (t_old * t_new * (n_old + n_new))""".stripMargin).as("chi2_term"))
+      .orderBy(col("source"))
+  }
+
+  val statsDriftSql: String =
+    """WITH d AS (SELECT doc_id, source FROM documents),
+      |m AS (SELECT CAST(MAX(doc_id) // 2 AS BIGINT) AS mid FROM d),
+      |per AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN doc_id > mid THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+      |    CAST(SUM(CASE WHEN doc_id > mid THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM d, m GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+      |  CAST(SUM(n_new) AS BIGINT) AS t_new FROM per)
+      |SELECT source, n_old, n_new,
+      |  n_old * 1000000 // t_old AS ppm_old,
+      |  n_new * 1000000 // t_new AS ppm_new,
+      |  abs(n_new * 1000000 // t_new - n_old * 1000000 // t_old) AS ppm_shift,
+      |  (n_new * t_old - n_old * t_new) * (n_new * t_old - n_old * t_new)
+      |    // (t_old * t_new * (n_old + n_new)) AS chi2_term
+      |FROM per, tot
+      |ORDER BY source""".stripMargin
+
   // --- sample_shuffle: DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the
   // last step before training: fix a pseudo-random example order and
   // cut it into shards so every epoch reads the same well-mixed
@@ -2608,6 +2660,7 @@ object LlmPipeline {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_hybrid" -> annHybrid,
+    "stats_drift" -> statsDrift,
     "sample_shuffle" -> sampleShuffle,
     "text_unigram_lm" -> textUnigramLm,
     "text_quality_clf" -> textQualityClf,
@@ -2658,6 +2711,7 @@ object LlmPipeline {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "ann_hybrid" -> annHybridSql,
+    "stats_drift" -> statsDriftSql,
     "sample_shuffle" -> sampleShuffleSql,
     "text_unigram_lm" -> textUnigramLmSql,
     "text_quality_clf" -> textQualityClfSql,

@@ -41,6 +41,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_drift: conservation, ppm closure, non-negative chi-square terms") {
+    val rows = SparkEntry.queries("stats_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    // every document is counted on exactly one side
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nDocs)
+    // integer-floor shares close to within one ppm per source
+    val sumOld = rows.map(_.getLong(3)).sum
+    val sumNew = rows.map(_.getLong(4)).sum
+    assert(sumOld > 1000000L - rows.length && sumOld <= 1000000L)
+    assert(sumNew > 1000000L - rows.length && sumNew <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getLong(6) >= 0L, "chi-square terms are non-negative")
+      assert(r.getLong(5) >= 0L)
+    }
+  }
+
   test("sample_shuffle: one hash shuffle, no window; deterministic and conserving") {
     val q = SparkEntry.queries("sample_shuffle")
     val df = q(spark, sf)
