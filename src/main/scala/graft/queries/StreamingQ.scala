@@ -408,7 +408,94 @@ object StreamingQ {
       |GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  // --- stream_geofence: GEOFENCE ALERTING — the reference's
+  // streaming GPS pipeline meeting its query-side geo domain: a
+  // stream of fixes joins the BROADCAST station×15-cell 600 km
+  // neighborhood frame on a map-side cell key (stream-STATIC join —
+  // stateless, no watermark state on the fence side; the stream side
+  // never shuffles before candidates exist), exact haversine applies
+  // the true radius, and arrivals roll up in watermarked 1-hour
+  // tumbling windows per station — the "how many fixes near station X
+  // this hour" alert feed. Cost at 100 TB/day of fixes: per-row cell
+  // key + broadcast lookup + windowed partial agg; the only shuffle
+  // is the (window, station) aggregation.
+  def streamGeofence(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFns._
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val schema = s.read.parquet(staged).schema
+    val in = s.readStream.schema(schema).parquet(staged)
+    val restored =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val offsets = RadiusNeighborhood.map { case (a, b) =>
+      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
+    val stations = Tables.load(s, dir, "nation")
+      .select(col("n_name"))
+      .withColumn("s_lat_e6", latE6(col("n_name")))
+      .withColumn("s_lon_e6", lonE6(col("n_name")))
+      .withColumn("o", explode(array(offsets: _*)))
+      .withColumn("clat", latCell(col("s_lat_e6")) + col("o.dlat"))
+      .withColumn("clon", wrapLonCell(lonCell(col("s_lon_e6")) + col("o.dlon")))
+      .drop("o")
+    val name = s"graft_sgf_${memId.incrementAndGet()}"
+    val q = restored
+      .withColumn("lat_e6", latE6(col("event_id")))
+      .withColumn("lon_e6", lonE6(col("event_id")))
+      .withColumn("clat", latCell(col("lat_e6")))
+      .withColumn("clon", lonCell(col("lon_e6")))
+      .join(broadcast(stations), Seq("clat", "clon"))
+      .withColumn("d_m", haversineMeters(
+        deg(col("lat_e6")), deg(col("lon_e6")),
+        deg(col("s_lat_e6")), deg(col("s_lon_e6"))))
+      .filter(col("d_m") <= lit(600000.0))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n_fixes"),
+        sum(floor(col("d_m") / 1000).cast("bigint")).as("sum_km"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_sgf_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(unix_micros(col("w.start")).as("win_us"), col("n_name"),
+        col("n_fixes"), col("sum_km"))
+      .orderBy(col("win_us"), col("n_name"))
+  }
+
+  val streamGeofenceSql: String =
+    """WITH pts AS (
+      |  SELECT event_id, ts,
+      |    (('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lat'),1,15))::BIGINT % 120000000 - 60000000) / 1000000.0 AS lat,
+      |    (('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lon'),1,15))::BIGINT % 360000000 - 180000000) / 1000000.0 AS lon
+      |  FROM events),
+      |st AS (
+      |  SELECT n_name,
+      |    (('0x'||substr(md5(n_name||':lat'),1,15))::BIGINT % 120000000 - 60000000) / 1000000.0 AS lat,
+      |    (('0x'||substr(md5(n_name||':lon'),1,15))::BIGINT % 360000000 - 180000000) / 1000000.0 AS lon
+      |  FROM nation),
+      |hits AS (
+      |  SELECT pts.ts, st.n_name,
+      |    2 * 6371000.0 * ASIN(SQRT(
+      |      POW(SIN(RADIANS(st.lat - pts.lat) / 2), 2) +
+      |      COS(RADIANS(pts.lat)) * COS(RADIANS(st.lat)) *
+      |      POW(SIN(RADIANS(st.lon - pts.lon) / 2), 2))) AS d_m
+      |  FROM pts, st)
+      |SELECT (EPOCH_US(ts) // 3600000000) * 3600000000 AS win_us, n_name,
+      |  COUNT(*) AS n_fixes,
+      |  CAST(SUM(CAST(FLOOR(d_m / 1000) AS BIGINT)) AS BIGINT) AS sum_km
+      |FROM hits
+      |WHERE d_m <= 600000.0
+      |GROUP BY 1, 2
+      |ORDER BY win_us, n_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_geofence" -> streamGeofence,
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,
@@ -418,6 +505,7 @@ object StreamingQ {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "stream_geofence" -> streamGeofenceSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_enrich" -> streamEnrichSql,

@@ -293,6 +293,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.numRowsTotal <= 2,
       s"join state not bounded: ${last.numRowsTotal} rows")
   }
+  test("stream_geofence: drained stream equals the batch geo rollup, fence side broadcast") {
+    val df = graft.queries.StreamingQ.streamGeofence(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: identical cell join + window bucketing in one pass
+    import graft.functions.GeoFns._
+    val offsets = RadiusNeighborhood.map { case (a, b) =>
+      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
+    val stations = Tables.load(spark, sf, "nation")
+      .select(col("n_name"))
+      .withColumn("s_lat_e6", latE6(col("n_name")))
+      .withColumn("s_lon_e6", lonE6(col("n_name")))
+      .withColumn("o", explode(array(offsets: _*)))
+      .withColumn("clat", latCell(col("s_lat_e6")) + col("o.dlat"))
+      .withColumn("clon", wrapLonCell(lonCell(col("s_lon_e6")) + col("o.dlon")))
+      .drop("o")
+    val want = Tables.load(spark, sf, "events")
+      .withColumn("lat_e6", latE6(col("event_id")))
+      .withColumn("lon_e6", lonE6(col("event_id")))
+      .withColumn("clat", latCell(col("lat_e6")))
+      .withColumn("clon", lonCell(col("lon_e6")))
+      .join(broadcast(stations), Seq("clat", "clon"))
+      .withColumn("d_m", haversineMeters(
+        deg(col("lat_e6")), deg(col("lon_e6")),
+        deg(col("s_lat_e6")), deg(col("s_lon_e6"))))
+      .filter(col("d_m") <= lit(600000.0))
+      .groupBy((floor(unix_micros(col("ts")) / 3600000000L) * 3600000000L).as("win_us"),
+        col("n_name"))
+      .agg(count(lit(1)).as("n_fixes"),
+        sum(floor(col("d_m") / 1000).cast("bigint")).as("sum_km"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want, "stream drain must equal the batch rollup")
+  }
 }
 
 class VectorFnsSpec extends AnyFunSuite {
