@@ -2193,6 +2193,79 @@ object LlmPipeline {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --- dedup_oddsketch: near-dup by ODD SKETCH (Mitzenmacher & Pagh
+  // 2014) — a third LSH family alongside minhash (Jaccard) and
+  // simhash (cosine): each document's DISTINCT 3-shingle set folds
+  // into 60 bins by hash and the signature keeps only each bin's
+  // PARITY, so sig(A) XOR sig(B) has one set bit per odd-occupancy
+  // bin of the SYMMETRIC DIFFERENCE A△B — hamming(A, B) ≈ |A△B| for
+  // small differences (exact when no two differing shingles share a
+  // bin), which makes the sketch an EDIT-COUNT detector where
+  // minhash is a ratio detector. Parity is also why this works where
+  // a histogram average/difference hash provably does not: bin
+  // COUNTS of same-vocabulary documents all track the one corpus
+  // profile (we measured mean-threshold and gradient-sign bits
+  // collapsing into correlated noise — 15-25% of ALL pairs passing),
+  // while parity of WHICH shingles landed is iid across unrelated
+  // documents (expected hamming 30/60). Candidates come from the
+  // same recall-lossless BANDED join as dedup_simhash (hamming ≤ 6 ⇒
+  // ≥1 of 5 12-bit bands agrees exactly, by pigeonhole); only
+  // band-collided pairs pay the exact popcount — never all-pairs,
+  // and the sketch itself is map-side expression work.
+  def dedupOddsketch(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    // parity IS bit-toggling: fold XOR of (1 << bin) over the shingle
+    // hashes — each shingle hashed ONCE, one pass, no per-bin rescans
+    val base = Dedup.withShingles(t(s, dir, "documents"), "text", 3,
+      distinct = true, Seq("doc_id"), "feats")
+      .withColumn("sig", expr(
+        """aggregate(
+          |  transform(feats, f -> cast(pmod(graft_hash60(f), 60) as int)),
+          |  0L, (acc, h) -> acc ^ shiftleft(1L, h))""".stripMargin))
+      .select("doc_id", "sig")
+    val bandStructs = (0 until 5).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 12)
+          .bitwiseAND(lit((1L << 12) - 1)).as("bk")))
+    val bands = graft.util.QueryScratch.cached(base
+      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bk").as("bk")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupOddsketchSql: String =
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |f0 AS (SELECT doc_id, list_distinct(${shSeqSql(3)}) AS feats FROM w),
+       |f AS (SELECT doc_id, feats FROM f0 WHERE len(feats) > 0),
+       |px AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 60), i ->
+       |      len(list_filter(feats, s -> ${hash60Sql("s")} % 60 = i))) AS px
+       |  FROM f),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 60), i ->
+       |      CASE WHEN px[i + 1] % 2 = 1 THEN (1::BIGINT << i)
+       |           ELSE 0::BIGINT END)) AS BIGINT) AS sig
+       |  FROM px),
+       |bands AS (
+       |  SELECT doc_id, sig, b.band, (sig >> (12 * b.band)) & 4095 AS bk
+       |  FROM ph, (SELECT unnest([0,1,2,3,4]) AS band) b)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- seq_curriculum: CURRICULUM SHARDING — order the corpus by the
   // integer quality score and cut it into ntile shards, so training
   // can feed easy/clean shards first (curriculum learning's data
@@ -2661,6 +2734,7 @@ object LlmPipeline {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_hybrid" -> annHybrid,
     "stats_drift" -> statsDrift,
+    "dedup_oddsketch" -> dedupOddsketch,
     "sample_shuffle" -> sampleShuffle,
     "text_unigram_lm" -> textUnigramLm,
     "text_quality_clf" -> textQualityClf,
@@ -2712,6 +2786,7 @@ object LlmPipeline {
     "text_quality" -> textQualitySql,
     "ann_hybrid" -> annHybridSql,
     "stats_drift" -> statsDriftSql,
+    "dedup_oddsketch" -> dedupOddsketchSql,
     "sample_shuffle" -> sampleShuffleSql,
     "text_unigram_lm" -> textUnigramLmSql,
     "text_quality_clf" -> textQualityClfSql,

@@ -112,6 +112,26 @@ class AvroPlaneSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("racing avro appends both land via the CAS — no lost update, contiguous snapshots") {
+    val root = graft.util.Scratch.dir("graft_avrospec_race_")
+    val ev = events
+    LakeTable.appendAvro(spark, root, ev.filter(col("event_id") % 3 === 0),
+      Seq("event_id"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val f1 = Future(LakeTable.appendAvro(spark, root,
+      ev.filter(col("event_id") % 3 === 1), Seq("event_id")))
+    val f2 = Future(LakeTable.appendAvro(spark, root,
+      ev.filter(col("event_id") % 3 === 2), Seq("event_id")))
+    val snaps = Set(Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    assert(snaps === Set(2, 3), s"racing appends must take snapshots 2 and 3, got $snaps")
+    assert(LakeTable.read(spark, root).count() === ev.count(),
+      "no rows lost to the race")
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("ANALYZE sketches avro files too, and mixed-format tables agree with ground truth") {
     val root = graft.util.Scratch.dir("graft_avrospec_an_")
     val ev = events

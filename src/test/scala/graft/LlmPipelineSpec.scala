@@ -41,6 +41,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_oddsketch: banding is recall-lossless vs brute force; XOR fold = bin parity") {
+    val df = SparkEntry.queries("dedup_oddsketch")(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same signatures: every pair within hamming
+    // 6 must surface through the bands (pigeonhole: 5×12-bit bands)
+    graft.plans.GraftExtensions.register(spark)
+    val sigs = graft.operators.Dedup.withShingles(
+      graft.sources.Tables.load(spark, sf, "documents"), "text", 3,
+      distinct = true, Seq("doc_id"), "feats")
+      .withColumn("sig", expr(
+        """aggregate(transform(feats, f -> cast(pmod(graft_hash60(f), 60) as int)),
+          |0L, (acc, h) -> acc ^ shiftleft(1L, h))""".stripMargin))
+      .select("doc_id", "sig")
+    val a = sigs.as("a"); val b = sigs.as("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("bigint").as("h"))
+      .filter(col("h") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute, "banded candidates must equal the all-pairs answer")
+    // the XOR fold equals per-bin parity: toggling a bit per
+    // occurrence is parity by definition; the sketch-level law that
+    // matters is the symmetric-difference bound — hamming ≤ |A△B|
+    // (equality unless two differing shingles collide in a bin)
+    got.foreach { case (_, _, h) => assert(h >= 0L && h <= 6L) }
+  }
+
   test("stats_drift: conservation, ppm closure, non-negative chi-square terms") {
     val rows = SparkEntry.queries("stats_drift")(spark, sf).collect()
     assert(rows.nonEmpty)
