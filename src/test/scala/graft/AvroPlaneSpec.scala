@@ -112,6 +112,26 @@ class AvroPlaneSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("failed avro append leaves only orphans; remove_orphans reclaims, live files survive") {
+    val root = graft.util.Scratch.dir("graft_avrospec_orph_")
+    LakeTable.appendAvro(spark, root, events, Seq("event_id"))
+    val liveFiles = LakeTable.manifest(root, 1).files.map(_.path).toSet
+    // a drifted append stages its files BEFORE the commit-time schema
+    // check rejects it — exactly the crash-window shape remove_orphans
+    // exists for
+    intercept[IllegalArgumentException] {
+      LakeTable.appendAvro(spark, root,
+        events.withColumn("value", col("value").cast("string")), Seq("event_id"))
+    }
+    val removed = LakeTable.removeOrphans(root)
+    assert(removed > 0, "the failed append's staged avro files must be reclaimed")
+    // the live snapshot is untouched and still reads
+    assert(LakeTable.manifest(root, 1).files.map(_.path).toSet === liveFiles)
+    assert(LakeTable.read(spark, root).count() === events.count())
+    assert(LakeTable.removeOrphans(root) === 0, "second sweep is a no-op")
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("racing avro appends both land via the CAS — no lost update, contiguous snapshots") {
     val root = graft.util.Scratch.dir("graft_avrospec_race_")
     val ev = events
