@@ -963,6 +963,55 @@ object LakeTable {
     }
   }
 
+  /** AVRO-PRESERVING COMPACTION: fold the table's many small
+    * container files (the reference's MaxAge cadence writes one
+    * block per minute, main.go:75-77) into `parts` consolidated
+    * snappy containers in ONE basis-validated replace commit —
+    * the same CoW rewrite contract as [[rewrite]], but the data
+    * plane stays Avro (an ingest-side table keeps its format; use
+    * [[rewrite]] itself to migrate to parquet when the analytics
+    * plane takes over). Pre-compaction snapshots keep reading the
+    * original small files; equality-delete debt folds in (the
+    * rewrite reads the delete-applied view) and the new manifest
+    * carries none.
+    */
+  def rewriteAvro(spark: SparkSession, root: String, statCols: Seq[String],
+      parts: Int): Int = {
+    val head = currentSnapshot(root)
+    require(head > 0, s"compactAvro on empty table $root")
+    // the delete-applied read may present the delete-key column first
+    // (anti-join using-column order); the container codec maps fields
+    // BY INDEX, so pin the manifest schema's order before writing
+    val stored = DataType.fromJson(manifest(root, head).schemaJson)
+      .asInstanceOf[StructType]
+    val df = read(spark, root, Some(head))
+      .select(stored.fieldNames.toIndexedSeq.map(col): _*)
+      .repartition(parts)
+    AvroPlane.validate(df.schema)
+    val staging = newStagingDir(root)
+    val schemaJson = df.schema.json
+    val cols = statCols
+    val stats = df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      AvroPlane.writePartition(rows, schemaJson, staging, i, cols)
+    }.collect()
+    val entries = stats.map { fs =>
+      FileEntry(fs.path, fs.rows,
+        fs.cols.filter(_.any).map(c =>
+          c.name -> (if (c.kind == "s") ColStats(0L, 0L, "s", c.minS, c.maxS)
+          else ColStats(c.minL, c.maxL))).toMap,
+        bytes = fs.bytes)
+    }.toSeq
+    casLoop(root, replace = true) { parent =>
+      if (parent != head)
+        throw new java.util.ConcurrentModificationException(
+          s"avro compaction of $root based on snapshot $head but head is " +
+            s"$parent; re-run against the current head")
+      val snap = parent + 1
+      Manifest(snap, parent, entries.map(_.copy(seq = snap)), Nil,
+        note = "compact-avro", schemaJson = manifest(root, parent).schemaJson)
+    }
+  }
+
   /** ADDITIVE schema evolution as a METADATA-ONLY commit (SQL
     * `ALTER TABLE … ADD COLUMNS`): the new manifest carries the
     * widened schema over the UNCHANGED file list — zero data IO at

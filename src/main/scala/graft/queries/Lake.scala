@@ -2290,10 +2290,59 @@ object Lake {
       |GROUP BY gen, event_type
       |ORDER BY gen, event_type""".stripMargin
 
+  // --- lake_avro_compact: AVRO-PRESERVING small-file compaction —
+  // the canonical maintenance verb for the reference's write cadence
+  // (MaxAge=60 s flushes one small block per minute, main.go:75-77;
+  // a day is ~1.4k tiny containers): fold the accumulated files into
+  // a few consolidated snappy containers in ONE basis-validated
+  // replace commit, KEEPING the avro data plane (an ingest-side
+  // table keeps its format; lake_avro_migrate is the verb that
+  // changes it). Delete debt folds in; pre-compaction snapshots keep
+  // reading the original small files. The gated output pins the
+  // post-compaction file count (2) alongside view equality across
+  // the boundary.
+  def lakeAvroCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_avcmp_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    (0 to 2).foreach { i =>
+      LakeTable.appendAvro(s, root,
+        ev.filter(pmod(col("event_id"), lit(3)) === i).repartition(6),
+        statCols = Seq("event_id"))
+    }
+    LakeTable.deleteWhere(s, root, "event_type",
+      s.range(1).select(lit("error").as("event_type")))
+    LakeTable.rewriteAvro(s, root, Seq("event_id"), parts = 2)
+    val nFiles = LakeTable.manifest(root, LakeTable.currentSnapshot(root)).files.size
+    val pre = LakeTable.read(s, root, Some(3)).withColumn("gen", lit("pre"))
+    val head = LakeTable.read(s, root).withColumn("gen", lit("head"))
+    pre.unionByName(head)
+      .groupBy(col("gen"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("n_files_head", lit(nFiles.toLong))
+      .orderBy(col("gen"), col("event_type"))
+  }
+
+  val lakeAvroCompactSql: String =
+    """WITH u AS (
+      |  SELECT 'head' AS gen, event_id, event_type, value FROM events
+      |    WHERE event_type <> 'error'
+      |  UNION ALL
+      |  SELECT 'pre' AS gen, event_id, event_type, value FROM events)
+      |SELECT gen, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+      |  CAST(2 AS BIGINT) AS n_files_head
+      |FROM u
+      |GROUP BY gen, event_type
+      |ORDER BY gen, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_avro" -> lakeAvro,
     "stream_avro" -> streamAvro,
     "lake_avro_migrate" -> lakeAvroMigrate,
+    "lake_avro_compact" -> lakeAvroCompact,
     "stream_lake" -> streamLake,
     "stream_upsert" -> streamUpsert,
     "lake_format_read" -> lakeFormatRead,
@@ -2347,6 +2396,7 @@ object Lake {
     "lake_avro" -> lakeAvroSql,
     "stream_avro" -> streamAvroSql,
     "lake_avro_migrate" -> lakeAvroMigrateSql,
+    "lake_avro_compact" -> lakeAvroCompactSql,
     "stream_lake" -> streamLakeSql,
     "stream_upsert" -> streamUpsertSql,
     "lake_format_read" -> lakeFormatReadSql,

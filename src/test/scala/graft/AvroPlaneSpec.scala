@@ -112,6 +112,38 @@ class AvroPlaneSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("avro compaction: many small containers fold to N, stay avro, debt folds, travel survives") {
+    val root = graft.util.Scratch.dir("graft_avrospec_cmp_")
+    val ev = events
+    (0 to 2).foreach { i =>
+      LakeTable.appendAvro(spark, root,
+        ev.filter(pmod(col("event_id"), lit(3)) === i).repartition(4),
+        Seq("event_id"))
+    }
+    LakeTable.deleteWhere(spark, root, "event_type",
+      spark.range(1).select(lit("error").as("event_type")))
+    val preFiles = LakeTable.manifest(root, 3).files.size
+    assert(preFiles >= 9)
+    val snap = LakeTable.rewriteAvro(spark, root, Seq("event_id"), parts = 2)
+    val m = LakeTable.manifest(root, snap)
+    assert(m.files.size === 2 && m.files.forall(_.path.endsWith(".avro")),
+      "compaction must consolidate and stay on the avro plane")
+    assert(m.deletes.isEmpty, "delete debt folds into the rewrite")
+    m.files.foreach(f => assert(AvroPlane.codecOf(f.path) === "snappy"))
+    // the head view is the delete-applied content
+    val expect = ev.filter(col("event_type") =!= "error")
+    val head = LakeTable.read(spark, root)
+    assert(head.count() === expect.count())
+    assert(head.exceptAll(expect).count() === 0)
+    // pre-compaction snapshots still read the original small files:
+    // snap 3 = pre-delete (all rows), snap 4 = delete-applied
+    assert(LakeTable.read(spark, root, Some(3)).count() === ev.count())
+    assert(LakeTable.read(spark, root, Some(4)).count() === expect.count())
+    assert(LakeTable.read(spark, root, Some(1)).count() ===
+      ev.filter(pmod(col("event_id"), lit(3)) === 0).count())
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("failed avro append leaves only orphans; remove_orphans reclaims, live files survive") {
     val root = graft.util.Scratch.dir("graft_avrospec_orph_")
     LakeTable.appendAvro(spark, root, events, Seq("event_id"))
