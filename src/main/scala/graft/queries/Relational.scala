@@ -879,7 +879,95 @@ object Relational {
       |  CAST(SUM(wsum) AS BIGINT) AS wsum_total
       |FROM s GROUP BY n_items ORDER BY n_items""".stripMargin
 
+  // --- q_funnel: FUNNEL ANALYSIS — the canonical event-stream
+  // conversion question: of the users who ever VIEWED, how many went
+  // on to CLICK after that first view, and then PURCHASE after that
+  // first qualifying click? Each stage anchors on the PREVIOUS
+  // stage's first-event time (a user's pre-view clicks don't count —
+  // the ordering is the analysis), computed as three chained
+  // per-user aggregations that all shuffle on user_id: with the
+  // first stage's exchange reused by AQE/partitioning the funnel is
+  // O(events) + K user-keyed aggregations at any scale — no
+  // self-join explosion, no per-user event sorting. Timestamps
+  // compare as exact integer micros.
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    // each stage feeds the next AND the final rollup — cache the
+    // per-user stage frames so the chain costs one pass per stage
+    val v = graft.util.QueryScratch.cached(
+      ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("tv")))
+    val c = graft.util.QueryScratch.cached(
+      ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_us") >= col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("tc")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") >= col("tc"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("tp"))
+    val staged = v.select(lit("1_view").as("stage"), col("user_id"))
+      .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+      .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    val top = v.agg(count(lit(1)).as("n_top"))
+    staged.crossJoin(broadcast(top))
+      .select(col("stage"), col("n_users"),
+        expr("n_users * 10000 div n_top").as("pct_of_top"))
+      .orderBy(col("stage"))
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, EPOCH_US(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(ts_us) AS tc FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_us >= tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(ts_us) AS tp FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_us >= tc GROUP BY e.user_id),
+      |s AS (
+      |  SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+      |  UNION ALL SELECT '2_click', (SELECT COUNT(*) FROM c)
+      |  UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM p))
+      |SELECT stage, n_users,
+      |  n_users * 10000 // (SELECT COUNT(*) FROM v) AS pct_of_top
+      |FROM s ORDER BY stage""".stripMargin
+
+  // --- q_cohort: COHORT RETENTION — the other canonical event
+  // rollup: users grouped by FIRST-ACTIVITY week, each cohort's
+  // active-user count tracked at week offsets 0..3. Two user-keyed
+  // aggregations (first week, then distinct active weeks) and one
+  // (cohort, offset) rollup — the matrix is weeks × offsets =
+  // metadata-sized however many users flow through; all arithmetic
+  // is integer epoch-week division.
+  def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 7L * 86400L * 1000000L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / WeekUs).cast("bigint").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val active = ev.select(col("user_id"), col("wk")).distinct()
+    active.join(first, "user_id")
+      .withColumn("offset", col("wk") - col("cohort_wk"))
+      .filter(col("offset") <= 3)
+      .groupBy(col("cohort_wk"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_wk"), col("offset"))
+  }
+
+  val qCohortSql: String =
+    """WITH e AS (
+      |  SELECT user_id, EPOCH_US(ts) // 604800000000 AS wk FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT cohort_wk, wk - cohort_wk AS "offset",
+      |  COUNT(DISTINCT user_id) AS n_active
+      |FROM a JOIN f USING (user_id)
+      |WHERE wk - cohort_wk <= 3
+      |GROUP BY cohort_wk, wk - cohort_wk
+      |ORDER BY cohort_wk, "offset"""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> qFunnel,
+    "q_cohort" -> qCohort,
     "q1_pricing" -> q1Pricing,
     "q3_priority" -> q3Priority,
     "q5_region_rev" -> q5RegionRev,
@@ -912,6 +1000,8 @@ object Relational {
     "q_approx" -> qApprox)
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_cohort" -> qCohortSql,
     "q1_pricing" -> q1PricingSql,
     "q3_priority" -> q3PrioritySql,
     "q5_region_rev" -> q5RegionRevSql,

@@ -40,6 +40,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(empties.toSet.subsetOf(Set("q_pushdown")), s"empty results: $empties")
   }
 
+  test("q_funnel stages are monotone; q_cohort offset-0 counts the whole cohort") {
+    val f = SparkEntry.queries("q_funnel")(spark, sf).collect()
+    assert(f.length === 3)
+    val byStage = f.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage("1_view") >= byStage("2_click") &&
+      byStage("2_click") >= byStage("3_purchase"),
+      s"funnel must be monotone: $byStage")
+    assert(f.find(_.getString(0) == "1_view").get.getLong(2) === 10000L)
+    val c = SparkEntry.queries("q_cohort")(spark, sf).collect()
+    assert(c.nonEmpty)
+    // offset 0 = every user of the cohort (first activity defines it)
+    val zero = c.filter(_.getLong(1) == 0L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    import org.apache.spark.sql.functions._
+    val WeekUs = 7L * 86400L * 1000000L
+    val want = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg((min(unix_micros(col("ts"))) / WeekUs).cast("bigint").as("cw"))
+      .groupBy(col("cw")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero === want, "offset-0 retention must equal cohort sizes")
+    // retention never exceeds the cohort
+    c.foreach(r => assert(r.getLong(2) <= zero(r.getLong(0))))
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set.empty[String] // every query is oracle-checked
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
