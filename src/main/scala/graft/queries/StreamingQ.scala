@@ -494,7 +494,75 @@ object StreamingQ {
       |GROUP BY 1, 2
       |ORDER BY win_us, n_name""".stripMargin
 
+  // --- stream_drift: CONTINUOUS mixture-drift monitoring — the
+  // streaming half of stats_drift: each event-time hour's type
+  // mixture is compared to the corpus baseline profile ("did this
+  // hour's traffic composition shift?"), the alert a continuously-
+  // ingesting pipeline watches between full-corpus drift audits. The
+  // STREAM does the data-proportional work (watermarked tumbling
+  // windowed counts — the only shuffle); the drift arithmetic then
+  // runs batch-side on the drained (windows × types) matrix, which
+  // is metadata-sized at any event volume, against a broadcast
+  // baseline profile (in production: yesterday's profile served from
+  // the lake's stats plane). All-integer ppm shares (`div`), so the
+  // alert threshold replays hash-exactly.
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val schema = s.read.parquet(staged).schema
+    val in = s.readStream.schema(schema).parquet(staged)
+    val restored =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else in
+    val name = s"graft_sdr_${memId.incrementAndGet()}"
+    val q = restored
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_sdr_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wins = s.table(name)
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"), col("n"))
+    val winTot = wins.groupBy(col("win_us")).agg(sum(col("n")).as("w_tot"))
+    val base = Tables.load(s, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("b_n"))
+    val baseTot = base.agg(sum(col("b_n")).as("b_tot"))
+    wins.join(winTot, "win_us")
+      .join(broadcast(base.crossJoin(broadcast(baseTot))), "event_type")
+      .select(col("win_us"), col("event_type"), col("n"),
+        expr("n * 1000000 div w_tot").as("ppm_win"),
+        expr("b_n * 1000000 div b_tot").as("ppm_base"),
+        abs(expr("n * 1000000 div w_tot") - expr("b_n * 1000000 div b_tot"))
+          .as("ppm_shift"))
+      .withColumn("alert", (col("ppm_shift") > 100000L).cast("int"))
+      .orderBy(col("win_us"), col("event_type"))
+  }
+
+  val streamDriftSql: String =
+    """WITH w AS (
+      |  SELECT (EPOCH_US(ts) // 3600000000) * 3600000000 AS win_us,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wt AS (SELECT win_us, CAST(SUM(n) AS BIGINT) AS w_tot FROM w GROUP BY win_us),
+      |b AS (SELECT event_type, COUNT(*) AS b_n FROM events GROUP BY event_type),
+      |bt AS (SELECT CAST(SUM(b_n) AS BIGINT) AS b_tot FROM b)
+      |SELECT win_us, event_type, n,
+      |  n * 1000000 // w_tot AS ppm_win,
+      |  b_n * 1000000 // b_tot AS ppm_base,
+      |  abs(n * 1000000 // w_tot - b_n * 1000000 // b_tot) AS ppm_shift,
+      |  CAST(abs(n * 1000000 // w_tot - b_n * 1000000 // b_tot) > 100000 AS INT) AS alert
+      |FROM w JOIN wt USING (win_us) JOIN b USING (event_type), bt
+      |ORDER BY win_us, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_drift" -> streamDrift,
     "stream_geofence" -> streamGeofence,
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup" -> streamDedup,
@@ -505,6 +573,7 @@ object StreamingQ {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "stream_drift" -> streamDriftSql,
     "stream_geofence" -> streamGeofenceSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,

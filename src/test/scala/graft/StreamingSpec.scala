@@ -293,6 +293,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.numRowsTotal <= 2,
       s"join state not bounded: ${last.numRowsTotal} rows")
   }
+  test("stream_drift: per-window ppm shares close; alert iff shift crosses the threshold") {
+    val rows = graft.queries.StreamingQ.streamDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byWin = rows.groupBy(_.getLong(0))
+    byWin.foreach { case (w, rs) =>
+      // integer-floor shares close to within one ppm per present type
+      val sum = rs.map(_.getLong(3)).sum
+      assert(sum > 1000000L - rs.length && sum <= 1000000L,
+        s"window $w shares don't close: $sum")
+      rs.foreach { r =>
+        assert(r.getLong(5) === math.abs(r.getLong(3) - r.getLong(4)))
+        assert((r.getInt(6) == 1) === (r.getLong(5) > 100000L))
+      }
+    }
+  }
+
   test("stream_geofence: drained stream equals the batch geo rollup, fence side broadcast") {
     val df = graft.queries.StreamingQ.streamGeofence(spark, sf)
     val got = df.collect().map(r =>
