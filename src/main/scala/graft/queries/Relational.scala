@@ -965,9 +965,54 @@ object Relational {
       |GROUP BY cohort_wk, wk - cohort_wk
       |ORDER BY cohort_wk, "offset"""".stripMargin
 
+  // --- q_paths: PATH / TRANSITION ANALYSIS — the Markov view of the
+  // event stream ("what do users do next after a view?"): per user,
+  // consecutive event-type bigrams in event-time order (ties broken
+  // by event_id so the sequence is total and replayable), rolled up
+  // to a transition matrix with integer per-source basis points.
+  // One shuffle on user_id (the lag window), one matrix-sized rollup
+  // — 25 cells at any event volume; per-user cost proportional to
+  // the user's events.
+  def qPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("f_tot"))
+    trans.join(fromTot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000 div f_tot").as("bp_of_from"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS ts_us FROM events),
+      |seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+      |  FROM e),
+      |tr AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS f_tot FROM tr GROUP BY from_type)
+      |SELECT from_type, to_type, n,
+      |  n * 10000 // f_tot AS bp_of_from
+      |FROM tr JOIN ft USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
+    "q_paths" -> qPaths,
     "q1_pricing" -> q1Pricing,
     "q3_priority" -> q3Priority,
     "q5_region_rev" -> q5RegionRev,
@@ -1002,6 +1047,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,
+    "q_paths" -> qPathsSql,
     "q1_pricing" -> q1PricingSql,
     "q3_priority" -> q3PrioritySql,
     "q5_region_rev" -> q5RegionRevSql,

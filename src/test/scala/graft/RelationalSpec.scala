@@ -64,6 +64,21 @@ class RelationalSpec extends AnyFunSuite {
     c.foreach(r => assert(r.getLong(2) <= zero(r.getLong(0))))
   }
 
+  test("q_paths: transition counts conserve (events - users) and per-source bps close") {
+    val rows = SparkEntry.queries("q_paths")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user contributes exactly (events - 1) transitions
+    assert(rows.map(_.getLong(2)).sum === nEvents - nUsers)
+    rows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val bps = rs.map(_.getLong(3)).sum
+      assert(bps > 10000L - rs.length && bps <= 10000L,
+        s"$ft basis points don't close: $bps")
+    }
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set.empty[String] // every query is oracle-checked
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
