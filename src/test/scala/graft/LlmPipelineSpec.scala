@@ -41,6 +41,52 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_truncated: re-ranked scores are the exact cosines; K per query, ordered") {
+    // NOTE on recall: MRL prefixes are a TRAINING-time property —
+    // the synthetic embeddings are not nesting-trained, so a recall
+    // gate against the exact ranking would measure the fixture, not
+    // the operator (measured ~4/10 here; ann_recall gates IVF/LSH
+    // instead, which preserve full-dim geometry). What IS the
+    // operator's contract: candidates come from the prefix scan, and
+    // every returned score is the EXACT full-dim cosine.
+    val rows = SparkEntry.queries("ann_truncated")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    // exact re-rank law: a (q, n) pair returned by the truncated path
+    // carries the same cos_bp the exact ranking computes for it
+    val exact = SparkEntry.queries("ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 10)
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to 10L))
+      val bps = sorted.map(_.getLong(2)).toSeq
+      assert(bps === bps.sorted.reverse, s"cos_bp must be non-increasing for $q")
+      rs.foreach { r =>
+        exact.get((q, r.getLong(1))).foreach { e =>
+          assert(e === r.getLong(2),
+            s"re-ranked score for ($q, ${r.getLong(1)}) must equal the exact cosine")
+        }
+      }
+    }
+  }
+
+  test("dedup_paragraph: chunk accounting conserves; dup chunks bounded by totals") {
+    val rows = SparkEntry.queries("dedup_paragraph")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("__ws", graft.functions.TextFns.words(col("text")))
+      .filter(size(col("__ws")) >= 1)
+    val wantChunks = docs
+      .agg(sum(ceil(size(col("__ws")) / 64.0).cast("bigint"))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === wantChunks, "chunk totals must conserve")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))   // dups ≤ chunks
+      assert(r.getLong(4) <= r.getLong(1))   // flagged docs ≤ docs
+    }
+  }
+
   test("dedup_oddsketch: banding is recall-lossless vs brute force; XOR fold = bin parity") {
     val df = SparkEntry.queries("dedup_oddsketch")(spark, sf)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
