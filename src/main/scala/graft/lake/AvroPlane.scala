@@ -44,9 +44,17 @@ object AvroPlane {
 
   /** The Spark types the Avro plane serializes. Timestamps travel as
     * Avro `timestamp-micros` logical longs (what the reference's
-    * schema declares for its `timestamp` field).
+    * schema declares for its `timestamp` field). Column names must
+    * also be Avro identifiers — Spark allows names (spaces, dashes,
+    * quotes) that would blow up as a SchemaParseException deep in the
+    * executor, so the front door rejects them with the reason.
     */
+  private val AvroName = "[A-Za-z_][A-Za-z0-9_]*".r
   def validate(schema: StructType): Unit = schema.fields.foreach { f =>
+    if (!AvroName.matches(f.name))
+      throw new IllegalArgumentException(
+        s"avro data plane: column name '${f.name}' is not a valid Avro " +
+          "identifier ([A-Za-z_][A-Za-z0-9_]*); rename it before the append")
     f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType | BooleanType |
            StringType | TimestampType => ()
@@ -188,21 +196,42 @@ object AvroPlane {
   }
 
   /** Decode the given container files into a DataFrame under the
-    * SNAPSHOT schema (the avro plane forbids evolution, so the file
-    * schema and snapshot schema agree by construction). One
-    * [[DataFileReader]] per file, streamed — never materialized per
-    * file; files distribute across partitions so a many-file table
-    * decodes in parallel.
+    * SNAPSHOT schema (the avro plane forbids evolution — enforced at
+    * both the append AND the evolve verbs — so the file schema and
+    * snapshot schema agree by construction). One [[DataFileReader]]
+    * per file, streamed — never materialized per file; files
+    * distribute across partitions so a many-file table decodes in
+    * parallel. The currently-open reader is tracked per task and
+    * closed by a TASK COMPLETION LISTENER, so an early-terminating
+    * consumer (LIMIT, take, a short-circuit join) cannot leak a file
+    * handle — exhaustion alone never fires for an abandoned iterator.
     */
-  def read(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame = {
+  def read(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame =
+    decode(spark, paths, schema, withPath = false)
+
+  private def decode(spark: SparkSession, paths: Seq[String],
+      schema: StructType, withPath: Boolean): DataFrame = {
+    val out =
+      if (withPath) StructType(
+        StructField(PathCol, StringType, nullable = false) +: schema.fields)
+      else schema
     val schemaJson = schema.json
     val parts = math.max(1, math.min(paths.size,
       spark.sessionState.conf.numShufflePartitions))
     val ds = spark.createDataset(paths)(Encoders.STRING).repartition(parts)
     ds.mapPartitions { it =>
       val s = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      it.flatMap(p => readFile(p, s))
-    }(Encoders.row(schema))
+      val open = new java.util.concurrent.atomic.AtomicReference[java.io.Closeable]()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          Option(open.get()).foreach(r =>
+            try r.close() catch { case _: Exception => () })
+        })
+      it.flatMap { p =>
+        val rows = readFile(p, s, open)
+        if (withPath) rows.map(r => Row.fromSeq(p +: r.toSeq)) else rows
+      }
+    }(Encoders.row(out))
   }
 
   /** The file-attribution column [[readWithPath]] prepends. */
@@ -214,27 +243,19 @@ object AvroPlane {
     * works over avro files too.
     */
   def readWithPath(spark: SparkSession, paths: Seq[String],
-      schema: StructType): DataFrame = {
-    val out = StructType(
-      StructField(PathCol, StringType, nullable = false) +: schema.fields)
-    val schemaJson = schema.json
-    val parts = math.max(1, math.min(paths.size,
-      spark.sessionState.conf.numShufflePartitions))
-    val ds = spark.createDataset(paths)(Encoders.STRING).repartition(parts)
-    ds.mapPartitions { it =>
-      val s = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      it.flatMap(p => readFile(p, s).map(r => Row.fromSeq(p +: r.toSeq)))
-    }(Encoders.row(out))
-  }
+      schema: StructType): DataFrame =
+    decode(spark, paths, schema, withPath = true)
 
-  private def readFile(path: String, schema: StructType): Iterator[Row] = {
-    val reader = DataFileReader.openReader(localFile(path),
+  private def readFile(path: String, schema: StructType,
+      open: java.util.concurrent.atomic.AtomicReference[java.io.Closeable]): Iterator[Row] = {
+    val reader = new DataFileReader(localFile(path),
       new GenericDatumReader[GenericRecord]())
+    open.set(reader)
     var closed = false
     new Iterator[Row] {
       def hasNext: Boolean = {
         val h = !closed && reader.hasNext
-        if (!h && !closed) { reader.close(); closed = true }
+        if (!h && !closed) { reader.close(); closed = true; open.set(null) }
         h
       }
       def next(): Row = {

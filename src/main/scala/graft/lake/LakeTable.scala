@@ -915,26 +915,36 @@ object LakeTable {
     * The collected stat rows are O(written files) — metadata-scale,
     * like every other commit accounting path.
     */
-  def appendAvro(spark: SparkSession, root: String, df: DataFrame,
-      statCols: Seq[String], note: String = "append-avro"): Int = {
+  /** Stage `df` as snappy avro containers under a fresh staging dir
+    * and map the write tasks' in-stream stats to manifest entries —
+    * the shared write half of [[appendAvro]] and [[rewriteAvro]], so
+    * append-time and compaction-time stat encoding can never diverge.
+    */
+  private def avroStage(spark: SparkSession, root: String, df: DataFrame,
+      statCols: Seq[String]): Seq[FileEntry] = {
     AvroPlane.validate(df.schema)
-    storedSchemaOf(root).foreach { s =>
-      require(!ColumnMapping.hasMapping(s),
-        s"avro data plane: column mapping unsupported on $root")
-    }
     val staging = newStagingDir(root)
     val schemaJson = df.schema.json
     val cols = statCols
     val stats = df.rdd.mapPartitionsWithIndex { (i, rows) =>
       AvroPlane.writePartition(rows, schemaJson, staging, i, cols)
     }.collect()
-    val entries = stats.map { fs =>
+    stats.map { fs =>
       FileEntry(fs.path, fs.rows,
         fs.cols.filter(_.any).map(c =>
           c.name -> (if (c.kind == "s") ColStats(0L, 0L, "s", c.minS, c.maxS)
           else ColStats(c.minL, c.maxL))).toMap,
         bytes = fs.bytes)
     }.toSeq
+  }
+
+  def appendAvro(spark: SparkSession, root: String, df: DataFrame,
+      statCols: Seq[String], note: String = "append-avro"): Int = {
+    storedSchemaOf(root).foreach { s =>
+      require(!ColumnMapping.hasMapping(s),
+        s"avro data plane: column mapping unsupported on $root")
+    }
+    val entries = avroStage(spark, root, df, statCols)
     casLoop(root) { parent =>
       var stored = df.schema
       if (parent > 0) {
@@ -987,20 +997,7 @@ object LakeTable {
     val df = read(spark, root, Some(head))
       .select(stored.fieldNames.toIndexedSeq.map(col): _*)
       .repartition(parts)
-    AvroPlane.validate(df.schema)
-    val staging = newStagingDir(root)
-    val schemaJson = df.schema.json
-    val cols = statCols
-    val stats = df.rdd.mapPartitionsWithIndex { (i, rows) =>
-      AvroPlane.writePartition(rows, schemaJson, staging, i, cols)
-    }.collect()
-    val entries = stats.map { fs =>
-      FileEntry(fs.path, fs.rows,
-        fs.cols.filter(_.any).map(c =>
-          c.name -> (if (c.kind == "s") ColStats(0L, 0L, "s", c.minS, c.maxS)
-          else ColStats(c.minL, c.maxL))).toMap,
-        bytes = fs.bytes)
-    }.toSeq
+    val entries = avroStage(spark, root, df, statCols)
     casLoop(root, replace = true) { parent =>
       if (parent != head)
         throw new java.util.ConcurrentModificationException(
@@ -1025,6 +1022,7 @@ object LakeTable {
     casLoop(root) { parent =>
       require(parent > 0, s"schema evolution on empty table $root")
       val pm = manifest(root, parent)
+      requireNoAvro(pm, root, "schema evolution")
       val expect = DataType.fromJson(pm.schemaJson).asInstanceOf[StructType]
       val broken = expect.fields.filterNot(f =>
         newSchema.exists(g => g.name == f.name && g.dataType == f.dataType))
@@ -1072,12 +1070,24 @@ object LakeTable {
     * across the change (parts are untouched — their stats stay keyed
     * by physical name, which rename/drop never alters).
     */
+  /** The avro data plane is STRICT about schema (the container codec
+    * binds fields by index against the file's writer schema, and the
+    * reference's writer never evolves) — every evolution verb must
+    * reject a table whose live snapshot holds avro files, or a
+    * metadata-only evolution would silently mis-bind decoded columns.
+    */
+  private def requireNoAvro(pm: Manifest, root: String, verb: String): Unit =
+    require(!pm.files.exists(_.path.endsWith(".avro")),
+      s"$verb on $root: the avro data plane is schema-strict (container " +
+        "fields bind by index) — migrate to parquet with a rewrite first")
+
   private def alterSchema(root: String,
       f: (Manifest, StructType) => StructType, note: String,
       voidBucketFor: Option[String] = None): Int =
     casLoop(root) { parent =>
       require(parent > 0, s"schema change on empty table $root")
       val pm = manifest(root, parent)
+      requireNoAvro(pm, root, note)
       require(pm.schemaJson.nonEmpty, s"table $root carries no schema")
       val stored = DataType.fromJson(pm.schemaJson).asInstanceOf[StructType]
       val next = f(pm, stored)

@@ -31,6 +31,27 @@ object Geo {
       .withColumn("lat_e6", latE6(col("event_id")))
       .withColumn("lon_e6", lonE6(col("event_id")))
 
+  /** The station × 15-cell 600 km-reach neighborhood frame — the ONE
+    * definition of the cell geometry every geo consumer broadcasts
+    * (`geo_radius_join`, `geo_knn`, `stream_geofence`): each
+    * nation-derived station explodes into every grid cell a 600 km
+    * radius can touch under the ±60° lat clamp, longitude wrapping
+    * the antimeridian. Changing the reach or the clamp here changes
+    * all three consumers together — the exactness laws stay in sync.
+    */
+  private[queries] def stationCells(s: SparkSession, dir: String): DataFrame = {
+    val offsets = RadiusNeighborhood.map { case (a, b) =>
+      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
+    t(s, dir, "nation")
+      .select(col("n_name"))
+      .withColumn("s_lat_e6", latE6(col("n_name")))
+      .withColumn("s_lon_e6", lonE6(col("n_name")))
+      .withColumn("o", explode(array(offsets: _*)))
+      .withColumn("clat", latCell(col("s_lat_e6")) + col("o.dlat"))
+      .withColumn("clon", wrapLonCell(lonCell(col("s_lon_e6")) + col("o.dlon")))
+      .drop("o")
+  }
+
   // --- geo_bbox: BOUNDING-BOX probe over a DECLARED 2-D geo layout —
   // `PARTITIONED BY (zorder(lat_e6, lon_e6))` range-clusters every
   // append on the lat/lon morton interleave, so the manifest's
@@ -89,16 +110,7 @@ object Geo {
     val pts = points(s, dir)
       .withColumn("clat", latCell(col("lat_e6")))
       .withColumn("clon", lonCell(col("lon_e6")))
-    val offsets = RadiusNeighborhood.map { case (a, b) =>
-      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
-    val stations = t(s, dir, "nation")
-      .select(col("n_name"))
-      .withColumn("s_lat_e6", latE6(col("n_name")))
-      .withColumn("s_lon_e6", lonE6(col("n_name")))
-      .withColumn("o", explode(array(offsets: _*)))
-      .withColumn("clat", latCell(col("s_lat_e6")) + col("o.dlat"))
-      .withColumn("clon", wrapLonCell(lonCell(col("s_lon_e6")) + col("o.dlon")))
-      .drop("o")
+    val stations = stationCells(s, dir)
     // a point's cell is unique and a station's 15 neighbor cells are
     // distinct, so each (point, station) pair joins AT MOST ONCE — no
     // post-join dedup needed
@@ -373,16 +385,7 @@ object Geo {
     val pts = points(s, dir)
       .withColumn("clat", latCell(col("lat_e6")))
       .withColumn("clon", lonCell(col("lon_e6")))
-    val offsets = RadiusNeighborhood.map { case (a, b) =>
-      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
-    val stations = t(s, dir, "nation")
-      .select(col("n_name"))
-      .withColumn("s_lat_e6", latE6(col("n_name")))
-      .withColumn("s_lon_e6", lonE6(col("n_name")))
-      .withColumn("o", explode(array(offsets: _*)))
-      .withColumn("clat", latCell(col("s_lat_e6")) + col("o.dlat"))
-      .withColumn("clon", wrapLonCell(lonCell(col("s_lon_e6")) + col("o.dlon")))
-      .drop("o")
+    val stations = stationCells(s, dir)
     pts.join(broadcast(stations), Seq("clat", "clon"))
       .withColumn("d_m", haversineMeters(
         deg(col("lat_e6")), deg(col("lon_e6")),

@@ -2702,7 +2702,11 @@ object LlmPipeline {
   // contribution `(n_new·T_old − n_old·T_new)² div (T_old·T_new·
   // (n_old+n_new))` — all-integer (the cross-multiplied form avoids
   // every division-before-comparison), so the flag threshold is
-  // hash-exact. One groupBy(source) with map-side partials + a
+  // hash-exact. The squared cross product is T⁴-scale, which
+  // overflows int64 already at ~55k rows per side — so it computes
+  // in 38-digit exact integers (Spark decimal(38,0) ↔ DuckDB
+  // HUGEINT, both exact), valid to ~3·10⁹ rows per side; the
+  // divided result is count-scale and returns to bigint. One groupBy(source) with map-side partials + a
   // 1-row total broadcast — at 100 TB this is the stats_profile
   // cost shape: a single scan and a metadata-sized exchange.
   def statsDrift(s: SparkSession, dir: String): DataFrame = {
@@ -2719,8 +2723,10 @@ object LlmPipeline {
         expr("n_new * 1000000 div t_new").as("ppm_new"),
         abs(expr("n_new * 1000000 div t_new") -
           expr("n_old * 1000000 div t_old")).as("ppm_shift"),
-        expr("""(n_new * t_old - n_old * t_new) * (n_new * t_old - n_old * t_new)
-               | div (t_old * t_new * (n_old + n_new))""".stripMargin).as("chi2_term"))
+        expr("""cast((cast(n_new as decimal(38,0)) * t_old - cast(n_old as decimal(38,0)) * t_new) *
+               |     (cast(n_new as decimal(38,0)) * t_old - cast(n_old as decimal(38,0)) * t_new)
+               | div (cast(t_old as decimal(38,0)) * t_new * (n_old + n_new)) as bigint)""".stripMargin)
+          .as("chi2_term"))
       .orderBy(col("source"))
   }
 
@@ -2738,8 +2744,9 @@ object LlmPipeline {
       |  n_old * 1000000 // t_old AS ppm_old,
       |  n_new * 1000000 // t_new AS ppm_new,
       |  abs(n_new * 1000000 // t_new - n_old * 1000000 // t_old) AS ppm_shift,
-      |  (n_new * t_old - n_old * t_new) * (n_new * t_old - n_old * t_new)
-      |    // (t_old * t_new * (n_old + n_new)) AS chi2_term
+      |  CAST((n_new::HUGEINT * t_old - n_old::HUGEINT * t_new) *
+      |       (n_new::HUGEINT * t_old - n_old::HUGEINT * t_new)
+      |    // (t_old::HUGEINT * t_new * (n_old + n_new)) AS BIGINT) AS chi2_term
       |FROM per, tot
       |ORDER BY source""".stripMargin
 

@@ -910,9 +910,16 @@ object Relational {
       .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
     val top = v.agg(count(lit(1)).as("n_top"))
-    staged.crossJoin(broadcast(top))
+    // an EMPTY stage must still report its zero row (the oracle's
+    // static stage list does) — left-join a literal stage frame;
+    // greatest(,1) keeps the rate defined when even stage 1 is empty
+    import s.implicits._
+    Seq("1_view", "2_click", "3_purchase").toDF("stage")
+      .join(staged, Seq("stage"), "left")
+      .na.fill(0L, Seq("n_users"))
+      .crossJoin(broadcast(top))
       .select(col("stage"), col("n_users"),
-        expr("n_users * 10000 div n_top").as("pct_of_top"))
+        expr("n_users * 10000 div greatest(n_top, 1)").as("pct_of_top"))
       .orderBy(col("stage"))
   }
 
@@ -928,7 +935,7 @@ object Relational {
       |  UNION ALL SELECT '2_click', (SELECT COUNT(*) FROM c)
       |  UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM p))
       |SELECT stage, n_users,
-      |  n_users * 10000 // (SELECT COUNT(*) FROM v) AS pct_of_top
+      |  n_users * 10000 // greatest((SELECT COUNT(*) FROM v), 1) AS pct_of_top
       |FROM s ORDER BY stage""".stripMargin
 
   // --- q_cohort: COHORT RETENTION — the other canonical event

@@ -429,16 +429,7 @@ object StreamingQ {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         in.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else in
-    val offsets = RadiusNeighborhood.map { case (a, b) =>
-      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
-    val stations = Tables.load(s, dir, "nation")
-      .select(col("n_name"))
-      .withColumn("s_lat_e6", latE6(col("n_name")))
-      .withColumn("s_lon_e6", lonE6(col("n_name")))
-      .withColumn("o", explode(array(offsets: _*)))
-      .withColumn("clat", latCell(col("s_lat_e6")) + col("o.dlat"))
-      .withColumn("clon", wrapLonCell(lonCell(col("s_lon_e6")) + col("o.dlon")))
-      .drop("o")
+    val stations = Geo.stationCells(s, dir)
     val name = s"graft_sgf_${memId.incrementAndGet()}"
     val q = restored
       .withColumn("lat_e6", latE6(col("event_id")))

@@ -87,8 +87,12 @@ object LakeStream {
         val head = LakeTable.currentSnapshot(root)
         val done = head > 0 && LakeTable.manifest(root, head).note == s"avro-batch-$id"
         if (!done && !batch.isEmpty)
-          LakeTable.appendAvro(spark, root, batch.toDF(), statCols,
-            note = s"avro-batch-$id"): Unit
+          // declared CHECK constraints gate this ingest path exactly
+          // like the parquet twin — the table's integrity contract
+          // must not depend on which storage-format verb ingested it
+          LakeTable.appendAvro(spark, root,
+            graft.sources.LakeFormatWrite.applyChecks(root, batch.toDF()),
+            statCols, note = s"avro-batch-$id"): Unit
       }
       .option("checkpointLocation",
         Option(checkpoint).getOrElse(graft.util.Scratch.dir("graft_avro_ck_")))

@@ -19,7 +19,7 @@ class AvroPlaneSpec extends AnyFunSuite {
 
   test("appendAvro writes snappy .avro container files and round-trips exactly") {
     val root = graft.util.Scratch.dir("graft_avrospec_")
-    val ev = events.limit(0).unionByName(events) // stable plan
+    val ev = events
     LakeTable.appendAvro(spark, root, events.repartitionByRange(4, col("event_id")),
       Seq("event_id", "event_type"))
     val m = LakeTable.manifest(root, 1)
@@ -144,6 +144,41 @@ class AvroPlaneSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("avro stream ingest enforces declared CHECK constraints like the parquet twin") {
+    val root = graft.util.Scratch.dir("graft_avrospec_chk_")
+    val staged = graft.util.Scratch.dir("graft_avrospec_chk_in_")
+    // seed the table + declare the constraint, then stream a batch
+    // that violates it — the drain must fail, not commit bad rows
+    LakeTable.appendAvro(spark, root, events.filter(col("value") >= 0), Seq("event_id"))
+    LakeTable.setCheck(root, "nonneg", "value >= 0")
+    events.withColumn("value", col("value") - lit(100000.0d))
+      .repartition(1).write.mode("overwrite").parquet(staged)
+    val before = LakeTable.read(spark, root).count()
+    val e = intercept[Exception] {
+      graft.streaming.LakeStream.runOnceToAvroLake(spark, staged, root, Seq("event_id"))
+    }
+    assert(e.getMessage.contains("nonneg") ||
+      Option(e.getCause).exists(_.getMessage.contains("nonneg")),
+      s"violation must name the constraint: ${e.getMessage}")
+    assert(LakeTable.read(spark, root).count() === before,
+      "the violating batch must not land")
+    graft.util.Scratch.rmNow(root); graft.util.Scratch.rmNow(staged)
+  }
+
+  test("early-terminating avro reads (LIMIT) complete without leaking readers") {
+    val root = graft.util.Scratch.dir("graft_avrospec_lim_")
+    LakeTable.appendAvro(spark, root, events.repartition(8), Seq("event_id"))
+    // repeated limited reads abandon the per-file iterators mid-file;
+    // the task completion listener must close them — enough rounds
+    // that a leak would show up as fd exhaustion/slowdown, and the
+    // results must stay correct
+    (1 to 20).foreach { _ =>
+      assert(LakeTable.read(spark, root).limit(3).collect().length === 3)
+    }
+    assert(LakeTable.read(spark, root).count() === events.count())
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("failed avro append leaves only orphans; remove_orphans reclaims, live files survive") {
     val root = graft.util.Scratch.dir("graft_avrospec_orph_")
     LakeTable.appendAvro(spark, root, events, Seq("event_id"))
@@ -239,6 +274,27 @@ class AvroPlaneSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("parquet-only"),
       s"expected the DSv2 avro rejection, got: ${e3.getMessage}")
+    // EVERY schema-evolution verb rejects an avro table — the codec
+    // binds fields by index, so a metadata-only evolution would
+    // silently mis-bind decoded columns
+    val e4 = intercept[IllegalArgumentException] {
+      LakeTable.evolveSchema(root, org.apache.spark.sql.types.StructType(
+        LakeTable.read(spark, root).schema.fields :+
+          org.apache.spark.sql.types.StructField("extra",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+    }
+    assert(e4.getMessage.contains("schema-strict"))
+    val e5 = intercept[IllegalArgumentException] {
+      LakeTable.renameColumn(root, "value", "v2")
+    }
+    assert(e5.getMessage.contains("schema-strict"))
+    // avro-invalid column names are rejected at the front door with
+    // the reason, not as a SchemaParseException in an executor
+    val e6 = intercept[IllegalArgumentException] {
+      LakeTable.appendAvro(spark, graft.util.Scratch.dir("graft_avrospec_nm_"),
+        events.withColumnRenamed("value", "bad name"), Seq("event_id"))
+    }
+    assert(e6.getMessage.contains("identifier"))
     graft.util.Scratch.rmNow(root)
   }
 }
