@@ -1016,10 +1016,56 @@ object Relational {
       |FROM tr JOIN ft USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // --- q_rfm: RFM SEGMENTATION — the classic user-value rollup:
+  // per user, Recency (last event time), Frequency (event count),
+  // Monetary (scaled-integer value sum); each dimension buckets into
+  // quartiles OF ITS RANGE against a broadcast 1-row min/max frame —
+  // `(v−min)·4 div (max−min+1)`, all-integer, and crucially NOT a
+  // population ntile: an unpartitioned ntile window plans Exchange
+  // SinglePartition (every user through one task), while the range
+  // rule is one per-user shuffle + a metadata-sized broadcast at any
+  // user count. The 4×4×4 segment matrix is the report.
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("r"),
+        count(lit(1)).as("f"),
+        sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("m"))
+    val bounds = per.agg(
+      min(col("r")).as("r_lo"), max(col("r")).as("r_hi"),
+      min(col("f")).as("f_lo"), max(col("f")).as("f_hi"),
+      min(col("m")).as("m_lo"), max(col("m")).as("m_hi"))
+    per.crossJoin(broadcast(bounds))
+      .select(
+        expr("(r - r_lo) * 4 div (r_hi - r_lo + 1)").as("rb"),
+        expr("(f - f_lo) * 4 div (f_hi - f_lo + 1)").as("fb"),
+        expr("(m - m_lo) * 4 div (m_hi - m_lo + 1)").as("mb"))
+      .groupBy(col("rb"), col("fb"), col("mb"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("rb"), col("fb"), col("mb"))
+  }
+
+  val qRfmSql: String =
+    """WITH per AS (
+      |  SELECT user_id, MAX(EPOCH_US(ts)) AS r, COUNT(*) AS f,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT MIN(r) AS r_lo, MAX(r) AS r_hi, MIN(f) AS f_lo, MAX(f) AS f_hi,
+      |    MIN(m) AS m_lo, MAX(m) AS m_hi FROM per)
+      |SELECT (r - r_lo) * 4 // (r_hi - r_lo + 1) AS rb,
+      |  (f - f_lo) * 4 // (f_hi - f_lo + 1) AS fb,
+      |  (m - m_lo) * 4 // (m_hi - m_lo + 1) AS mb,
+      |  COUNT(*) AS n_users
+      |FROM per, b
+      |GROUP BY 1, 2, 3
+      |ORDER BY rb, fb, mb""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_paths" -> qPaths,
+    "q_rfm" -> qRfm,
     "q1_pricing" -> q1Pricing,
     "q3_priority" -> q3Priority,
     "q5_region_rev" -> q5RegionRev,
@@ -1055,6 +1101,7 @@ object Relational {
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,
     "q_paths" -> qPathsSql,
+    "q_rfm" -> qRfmSql,
     "q1_pricing" -> q1PricingSql,
     "q3_priority" -> q3PrioritySql,
     "q5_region_rev" -> q5RegionRevSql,

@@ -79,6 +79,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rfm: buckets in [0,3], users conserve, no single-partition stage") {
+    val df = SparkEntry.queries("q_rfm")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the range-quartile rule exists to avoid the unpartitioned-ntile
+    // shape; the only single-partition work allowed is the 1-row
+    // bounds aggregate that broadcasts
+    assert(!plan.contains("Window"), "bucketing must not use a window")
+    val rows = df.collect()
+    val nUsers = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum === nUsers, "every user lands in one segment")
+    rows.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2)).foreach(b =>
+        assert(b >= 0L && b <= 3L, s"bucket out of range: $r"))
+    }
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set.empty[String] // every query is oracle-checked
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
