@@ -43,8 +43,11 @@ object AvroPlane {
       cols: Seq[ColStat])
 
   /** The Spark types the Avro plane serializes. Timestamps travel as
-    * Avro `timestamp-micros` logical longs (what the reference's
-    * schema declares for its `timestamp` field). Column names must
+    * Avro longs of epoch micros; the reference's schema declares its
+    * `timestamp` field as a plain `long` with no logicalType
+    * (main.go), so the physical encoding matches — this plane
+    * additionally annotates the long as `timestamp-micros` so
+    * self-describing readers recover the type. Column names must
     * also be Avro identifiers — Spark allows names (spaces, dashes,
     * quotes) that would blow up as a SchemaParseException deep in the
     * executor, so the front door rejects them with the reason.

@@ -264,13 +264,20 @@ object LakeTable {
     val head = currentSnapshot(root)
     require(head > 0, s"rewrite_manifests on empty table $root")
     val hm = manifest(root, head)
-    val liveDeletes = hm.deletes.filter(d => hm.files.exists(_.seq < d.seq))
+    // `files.exists(_.seq < d.seq)` ⟺ `d.seq > min file seq`, so one
+    // precomputed min keeps the liveness filter O(deletes + files)
+    // instead of O(deletes × files) on a 100k-file manifest
+    def live(deletes: Seq[DeleteEntry], files: Seq[FileEntry]) = {
+      val minSeq = if (files.isEmpty) Long.MaxValue else files.map(_.seq).min
+      deletes.filter(_.seq > minSeq)
+    }
+    val liveDeletes = live(hm.deletes, hm.files)
     if (rawParts(root, head).size == 1 && liveDeletes.size == hm.deletes.size)
       return head
     casLoop(root, consolidate = true) { parent =>
       val pm = manifest(root, parent)
       pm.copy(snapshotId = parent + 1, parentId = parent,
-        deletes = pm.deletes.filter(d => pm.files.exists(_.seq < d.seq)),
+        deletes = live(pm.deletes, pm.files),
         note = "rewrite-manifests")
     }
   }
@@ -989,6 +996,13 @@ object LakeTable {
       parts: Int): Int = {
     val head = currentSnapshot(root)
     require(head > 0, s"compactAvro on empty table $root")
+    // same guard as appendAvro: a column-mapped table must never gain
+    // avro files — the replace commit would keep the mapping metadata
+    // and leave the new head unreadable (mapping is parquet-only)
+    storedSchemaOf(root).foreach { s =>
+      require(!ColumnMapping.hasMapping(s),
+        s"avro data plane: column mapping unsupported on $root")
+    }
     // the delete-applied read may present the delete-key column first
     // (anti-join using-column order); the container codec maps fields
     // BY INDEX, so pin the manifest schema's order before writing

@@ -2338,7 +2338,73 @@ object Lake {
       |GROUP BY gen, event_type
       |ORDER BY gen, event_type""".stripMargin
 
+  // --- lake_avro_sql: the avro plane as a FIRST-CLASS SQL CITIZEN —
+  // a table ingested in the reference's own format (partitioned
+  // snappy Avro containers, main.go:47-54) reads through the DSv2
+  // catalog BY NAME: `SELECT … FROM graft.ns.t`, `VERSION AS OF`
+  // time travel, and predicate pushdown all work without migrating
+  // to parquet first. The scan format-dispatches per file (parquet →
+  // vectorized reader, `.avro` → container decoder with reader-schema
+  // projection); the equality-delete mask applies downstream of the
+  // decode exactly as on the library path; manifest min/max stats
+  // (reported in-stream by the avro write tasks) prune the range
+  // probe's file list before any container opens. Three generations
+  // gate it: the post-delete head, the pre-delete snapshot, and the
+  // pruned range probe — all via spark.sql against the catalog name.
+  def lakeAvroSqlQ(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val name = s"av_${System.nanoTime()}"
+    val tbl = s"graft.q.$name"
+    val root = graft.util.Scratch.root.resolve("sqlcat").resolve("q")
+      .resolve(name).toString
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    (0 to 2).foreach { i =>
+      LakeTable.appendAvro(s, root,
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .repartitionByRange(4, col("event_id")),
+        statCols = Seq("event_id", "event_type"))
+    }
+    LakeTable.deleteWhere(s, root, "event_type",
+      s.range(1).select(lit("error").as("event_type")))
+    s.sql(s"""SELECT gen, event_type, n, sum_value_x100, min_id, max_id FROM (
+             |  SELECT 'head' AS gen, event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |    MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |  FROM $tbl GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 'snap3' AS gen, event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |    MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |  FROM $tbl VERSION AS OF 3 GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 'pruned' AS gen, event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+             |    MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |  FROM $tbl WHERE event_id BETWEEN 1000 AND 1999 GROUP BY event_type)
+             |ORDER BY gen, event_type""".stripMargin)
+  }
+
+  val lakeAvroSqlQSql: String =
+    """WITH u AS (
+      |  SELECT 'head' AS gen, event_id, event_type, value FROM events
+      |    WHERE event_type <> 'error'
+      |  UNION ALL
+      |  SELECT 'pruned' AS gen, event_id, event_type, value FROM events
+      |    WHERE event_type <> 'error' AND event_id BETWEEN 1000 AND 1999
+      |  UNION ALL
+      |  SELECT 'snap3' AS gen, event_id, event_type, value FROM events)
+      |SELECT gen, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u
+      |GROUP BY gen, event_type
+      |ORDER BY gen, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_avro_sql" -> lakeAvroSqlQ,
     "lake_avro" -> lakeAvro,
     "stream_avro" -> streamAvro,
     "lake_avro_migrate" -> lakeAvroMigrate,
@@ -2393,6 +2459,7 @@ object Lake {
     "q_spj" -> qSpj)
 
   val oracles: Map[String, String] = Map(
+    "lake_avro_sql" -> lakeAvroSqlQSql,
     "lake_avro" -> lakeAvroSql,
     "stream_avro" -> streamAvroSql,
     "lake_avro_migrate" -> lakeAvroMigrateSql,

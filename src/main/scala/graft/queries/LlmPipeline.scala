@@ -2269,10 +2269,13 @@ object LlmPipeline {
   // collapsing into correlated noise — 15-25% of ALL pairs passing),
   // while parity of WHICH shingles landed is iid across unrelated
   // documents (expected hamming 30/60). Candidates come from the
-  // same recall-lossless BANDED join as dedup_simhash (hamming ≤ 6 ⇒
-  // ≥1 of 5 12-bit bands agrees exactly, by pigeonhole); only
-  // band-collided pairs pay the exact popcount — never all-pairs,
-  // and the sketch itself is map-side expression work.
+  // same BANDED join as dedup_simhash (5 bands of 12 bits): by
+  // pigeonhole the join is recall-LOSSLESS for hamming ≤ 4 (4 flipped
+  // bits cannot touch all 5 bands); pairs at hamming 5-6 are found
+  // only when their flips leave some band clean — the usual LSH
+  // recall/cost trade at the radius edge. Only band-collided pairs
+  // pay the exact popcount — never all-pairs, and the sketch itself
+  // is map-side expression work.
   def dedupOddsketch(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     // parity IS bit-toggling: fold XOR of (1 << bin) over the shingle

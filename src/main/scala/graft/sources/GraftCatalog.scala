@@ -453,8 +453,10 @@ class GraftCatalog extends TableCatalog
       val extremes = meta.files.values.map(_.cols(c)).filter(_.minS != null)
       (logicalOf.getOrElse(c, c), rows, nulls, occ.toLong,
         LakeTable.ndvEstimate(occ),
-        if (extremes.isEmpty) null else extremes.map(_.minS).min,
-        if (extremes.isEmpty) null else extremes.map(_.maxS).max,
+        if (extremes.isEmpty) null
+        else extremes.map(_.minS).reduce(LakeTable.utf8Min),
+        if (extremes.isEmpty) null
+        else extremes.map(_.maxS).reduce(LakeTable.utf8Max),
         if (nonNull > 0) sumLen / nonNull else -1L,
         meta.analyzedSnapshot.toLong)
     }.toDF("col", "n_rows", "n_null", "n_occupied", "ndv_est",

@@ -235,17 +235,23 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     val m =
       if (snap > 0) LakeTable.manifest(root, snap)
       else LakeTable.Manifest(0, 0, Nil, schemaJson = schema().json)
-    // the delegated scan machinery is parquet (vectorized reader,
-    // row-index coordinates) — an avro-plane snapshot must be read
-    // through the library path, which format-dispatches per file
-    require(!m.files.exists(_.path.endsWith(".avro")),
-      s"snapshot $snap of $root contains avro data files; the DSv2 " +
-        "front door is parquet-only — read it via LakeTable.read " +
-        "(or migrate to parquet with a rewrite)")
+    // FORMAT DISPATCH: parquet files ride the delegated vectorized
+    // scan; `.avro` files (the reference's own ingest format,
+    // main.go:47-54) plan as their own partition set under the SAME
+    // scan — container-decoded row-wise with avro reader-schema
+    // projection for column pruning. Row-coordinate machinery
+    // (positional/DV deletes, UPDATE/MERGE delta writes) stays
+    // parquet-only and rejects avro with a pointed error at plan time.
+    val hasAvro = m.files.exists(_.path.endsWith(".avro"))
     val stored =
       if (snap > 0) GraftLakeTable.storedSchemaAt(spark, root, snap)
       else schema()
     val mapped = graft.lake.ColumnMapping.hasMapping(stored)
+    // unreachable by construction (appendAvro/rewriteAvro reject
+    // mapped tables; evolution verbs reject avro tables) — but a
+    // mis-bound decode is silent corruption, so verify anyway
+    require(!hasAvro || !mapped,
+      s"avro data plane: column mapping unsupported on $root")
     // the delegated parquet machinery binds FILE columns → build it on
     // the PHYSICAL schema; the scan presents logical names on top
     val fileSchema =
@@ -259,8 +265,10 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
       // are not exact mins — see ColumnMapping.hasUnsafeAggWidening;
       // integral widens promote exactly and keep the shortcut), and
       // on tables with initial-default columns, where files predating
-      // the column would contribute "absent" instead of the default
-      aggPushdown = m.deletes.isEmpty && !mapped &&
+      // the column would contribute "absent" instead of the default.
+      // Avro files have no parquet footer to answer from — manifest
+      // aggregates (COUNT/MIN/MAX from commit stats) still serve.
+      aggPushdown = m.deletes.isEmpty && !mapped && !hasAvro &&
         !graft.lake.ColumnMapping.hasUnsafeAggWidening(stored) &&
         !graft.lake.ColumnMapping.hasInitialDefaults(stored),
       Set(LakeTable.CoordPath, LakeTable.CoordIdx),
@@ -525,7 +533,12 @@ private[sources] final case class GroupDeleteSpec(
     dvFiles: Seq[String] = Nil)
 
 private[sources] final case class TaggedPartition(tag: Int, inner: FilePartition,
-    bucket: Int = -1) extends InputPartition
+    bucket: Int = -1,
+    // a micro-batch whose file set mixes formats must plan EVERY
+    // partition row-wise (Spark forbids mixing columnar and row
+    // partitions in one scan) — the batch planner sets this on its
+    // parquet partitions when avro files share the batch
+    forceRow: Boolean = false) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
   // consulted only when the scan reports KeyGroupedPartitioning (all
@@ -761,13 +774,25 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
   private case class Group(scan: ParquetScan, spec: Option[GroupDeleteSpec],
       paths: Set[String])
 
+  /** Any `.avro` data file at this snapshot forces the whole scan
+    * row-wise (Spark forbids mixing columnar and row partitions) and
+    * disables parquet-footer machinery; computed over the UNPRUNED
+    * manifest so the reader factory and a runtime-narrowed plan agree.
+    */
+  private[graft] val hasAvroFiles: Boolean =
+    m.files.exists(_.path.endsWith(".avro"))
+
   private lazy val groups: Seq[Group] = {
     val base = template.readDataSchema
     m.files.groupBy(f => m.deletes.filter(_.seq > f.seq).map(_.path))
       .toSeq.sortBy(_._2.head.path)
       .map { case (_, fs) =>
         val dels: Seq[DeleteEntry] = m.deletes.filter(_.seq > fs.head.seq)
-        val files = fs.map(f => (f.path, GraftScan.bytesOf(f)))
+        // the delegated scan is parquet machinery — only its files go
+        // in; `.avro` files plan as [[AvroPartition]]s under the same
+        // group tag (same delete spec, container-decoded row-wise)
+        val files = fs.filterNot(_.path.endsWith(".avro"))
+          .map(f => (f.path, GraftScan.bytesOf(f)))
         val paths = fs.map(_.path).toSet
         if (dels.isEmpty && !coordsRequested)
           Group(DsV2Shim.withFiles(template, spark, files), None, paths)
@@ -828,8 +853,9 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
         else if (spj) keep.groupBy(_.bucket).toSeq.sortBy(_._1)
         else Seq((-1, keep))
       byBucket.flatMap { case (bucket, fs) =>
+        val (avroFs, pqFs) = fs.partition(_.path.endsWith(".avro"))
         val parts = DsV2Shim.withFiles(g.scan, spark,
-            fs.map(f => (f.path, GraftScan.bytesOf(f))))
+            pqFs.map(f => (f.path, GraftScan.bytesOf(f))))
           .planInputPartitions().map(_.asInstanceOf[FilePartition])
         val shaped =
           if (g.spec.exists(s => s.posFiles.nonEmpty || s.dvFiles.nonEmpty ||
@@ -841,7 +867,8 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
               i += 1; FilePartition(i, Array(pf))
             })
           else parts.map { fp => i += 1; FilePartition(i, fp.files) }
-        shaped.map(fp => TaggedPartition(tag, fp, bucket): InputPartition)
+        shaped.map(fp => TaggedPartition(tag, fp, bucket): InputPartition) ++
+          avroFs.map(f => AvroPartition(tag, f.path, bucket): InputPartition)
       }
     }.toArray
   }
@@ -849,47 +876,73 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
       groups.map(_.scan.createReaderFactory()).toArray,
-      groups.map(_.spec).toArray)
+      groups.map(_.spec).toArray,
+      // avro partitions emit the same schema the group's parquet
+      // readers do (augmented for dirty groups), so the delete
+      // filter and output projection apply unchanged
+      groups.map(g => g.spec.map(_.augSchema).getOrElse(template.readDataSchema))
+        .toArray,
+      anyAvro = hasAvroFiles)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(spark, root, template)
 }
 
-/** Delegates each partition to its group's parquet reader factory:
+/** Delegates each partition to its group's parquet reader factory —
   * clean groups keep columnar batches end to end; dirty groups read
-  * row-wise through [[DeleteFilterReader]].
+  * row-wise through [[DeleteFilterReader]] — or, for an
+  * [[AvroPartition]], to the avro container decoder
+  * ([[AvroRowReader]]), which emits the group's same schema so the
+  * delete filter applies unchanged.
   */
 final class GraftReaderFactory(inner: Array[PartitionReaderFactory],
-    specs: Array[Option[GroupDeleteSpec]]) extends PartitionReaderFactory {
+    specs: Array[Option[GroupDeleteSpec]],
+    emitSchemas: Array[StructType] = Array.empty,
+    anyAvro: Boolean = false) extends PartitionReaderFactory {
 
   // Spark requires every partition of one scan to agree on columnar
   // vs row output — so the scan is columnar only when NO group has
   // deletes (any dirty group forces the whole scan row-wise; folding
-  // deletes restores the columnar path).
-  private val allClean = specs.forall(_.isEmpty)
+  // deletes restores the columnar path) and NO data file is avro
+  // (container decode is row-wise; lake_avro_migrate restores the
+  // columnar path).
+  private val allClean = specs.forall(_.isEmpty) && !anyAvro
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = {
-    val t = partition.asInstanceOf[TaggedPartition]
-    allClean && inner(t.tag).supportColumnarReads(t.inner)
-  }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case t: TaggedPartition =>
+        allClean && !t.forceRow && inner(t.tag).supportColumnarReads(t.inner)
+      case _ => false
+    }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val t = partition.asInstanceOf[TaggedPartition]
     inner(t.tag).createColumnarReader(t.inner)
   }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val t = partition.asInstanceOf[TaggedPartition]
-    val r = inner(t.tag).createReader(t.inner)
-    specs(t.tag) match {
+  private def withDeletes(r: PartitionReader[InternalRow], tag: Int,
+      filePath: => String): PartitionReader[InternalRow] =
+    specs(tag) match {
       case None => r
       case Some(spec) =>
-        val filePath =
+        val p =
           if (spec.posFiles.isEmpty && spec.dvFiles.isEmpty && spec.outMap.isEmpty) ""
-          else t.inner.files.head.filePath.toPath.toString
-        new DeleteFilterReader(r, spec, filePath)
+          else filePath
+        new DeleteFilterReader(r, spec, p)
     }
-  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case a: AvroPartition =>
+        // the delete filter / output projection key rows by the
+        // MANIFEST-form path, which is exactly what the partition
+        // carries (no parquet PartitionedFile round-trip to undo)
+        withDeletes(new AvroRowReader(a.path, emitSchemas(a.tag),
+          Set(DsV2Shim.rowIndexCol)), a.tag, a.path)
+      case t: TaggedPartition =>
+        withDeletes(inner(t.tag).createReader(t.inner), t.tag,
+          t.inner.files.head.filePath.toPath.toString)
+    }
 }
 
 /** Row-wise reader applying a group's merge-on-read deletes: equality
@@ -1080,13 +1133,23 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
     else {
       val m = LakeTable.manifest(root, to)
       val added = m.files.filter(f => f.seq > from && f.seq <= to)
-      DsV2Shim.withFiles(template, spark,
-        added.map(f => (f.path, GraftScan.bytesOf(f)))).planInputPartitions()
+      // format dispatch, as in the batch scan: `.avro` appends (the
+      // reference's stream cadence writes them, main.go:75-77) plan
+      // as container-decoder partitions; a mixed batch forces its
+      // parquet partitions row-wise (Spark forbids mixing columnar
+      // and row partitions within one batch)
+      val (avro, pq) = added.partition(_.path.endsWith(".avro"))
+      val parts = DsV2Shim.withFiles(template, spark,
+          pq.map(f => (f.path, GraftScan.bytesOf(f)))).planInputPartitions()
+        .map(p => TaggedPartition(0, p.asInstanceOf[FilePartition],
+          forceRow = avro.nonEmpty): InputPartition)
+      parts ++ avro.map(f => AvroPartition(0, f.path): InputPartition)
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    template.createReaderFactory()
+    new GraftReaderFactory(Array(template.createReaderFactory()),
+      Array(None), Array(template.readDataSchema))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -289,13 +289,12 @@ class AvroPlaneSpec extends AnyFunSuite {
       LakeTable.withRowCoords(spark, root)
     }
     assert(e2.getMessage.contains("append-only"))
-    // the DSv2 front door is parquet-only → clear rejection, not a
-    // corrupt read through the vectorized parquet machinery
-    val e3 = intercept[Exception] {
-      spark.read.format("graft-lake").load(root).count()
-    }
-    assert(e3.getMessage.contains("parquet-only"),
-      s"expected the DSv2 avro rejection, got: ${e3.getMessage}")
+    // the DSv2 front door format-dispatches: the avro snapshot reads
+    // by name with the equality-delete mask applied — same answer as
+    // the library read path
+    val dsv2 = spark.read.format("graft-lake").load(root)
+    assert(dsv2.count() === after.count())
+    assert(dsv2.filter(col("event_type") === "error").count() === 0)
     // EVERY schema-evolution verb rejects an avro table — the codec
     // binds fields by index, so a metadata-only evolution would
     // silently mis-bind decoded columns

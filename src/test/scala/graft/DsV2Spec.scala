@@ -1170,4 +1170,54 @@ class DsV2Spec extends AnyFunSuite {
       Seq(fRoot, aRoot, bRoot).foreach(graft.util.Scratch.rmNow)
     }
   }
+
+  test("avro-plane tables read through the DSv2 front door: dispatch, pruning, delete mask, streaming") {
+    val root = graft.util.Scratch.dir("graft_v2avro_")
+    (0 to 2).foreach { i =>
+      LakeTable.appendAvro(spark, root,
+        events.filter(pmod(col("event_id"), lit(3)) === i)
+          .repartitionByRange(4, col("event_id")),
+        statCols = Seq("event_id", "event_type"))
+    }
+    // the format read IS a GraftScan and matches the library path
+    val byFormat = spark.read.format("graft-lake").load(root)
+    graftScanOf(byFormat): Unit
+    assert(sorted(byFormat) === sorted(LakeTable.read(spark, root)))
+    // manifest stats (reported IN-STREAM by the avro write tasks)
+    // prune the range probe's file list before any container opens
+    val probe = byFormat.filter(col("event_id").between(1000, 1999))
+    assert(probe.count() ===
+      events.filter(col("event_id").between(1000, 1999)).count())
+    val pscan = graftScanOf(probe)
+    assert(pscan.survivors.size < pscan.totalFiles,
+      s"avro range probe should prune: ${pscan.survivors.size}/${pscan.totalFiles}")
+    // column pruning reaches the container decoder via avro reader-
+    // schema projection: the scan's read schema is the 2 columns
+    val narrow = byFormat.select(col("event_id"), col("value"))
+    assert(graftScanOf(narrow).readSchema().fieldNames.toSet ===
+      Set("event_id", "value"))
+    // equality deletes mask by value downstream of the decode — the
+    // SQL-visible head answers exactly like the library read
+    LakeTable.deleteWhere(spark, root, "event_type",
+      spark.range(1).select(lit("error").as("event_type")))
+    val head = spark.read.format("graft-lake").load(root)
+    assert(head.filter(col("event_type") === "error").count() === 0)
+    assert(head.count() === events.filter(col("event_type") =!= "error").count())
+    // time travel by snapshot option still sees the pre-delete rows
+    assert(spark.read.format("graft-lake").option("snapshot", 3).load(root)
+      .count() === events.count())
+    // micro-batch streaming tails avro appends through the same
+    // dispatch — the drained corpus equals the appended corpus
+    val sink = graft.util.Scratch.dir("graft_v2avro_sink_")
+    val ckpt = graft.util.Scratch.dir("graft_v2avro_ck_")
+    val q = spark.readStream.format("graft-lake").load(root)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sink).count() === events.count(),
+      "the append stream tails data files (deletes are masks, not removals)")
+    Seq(root, sink, ckpt).foreach(graft.util.Scratch.rmNow)
+  }
 }
