@@ -69,12 +69,18 @@ import graft.writer.BlockWriter
   *
   * Streaming: `readStream.format("graft-lake")` tails the commit log
   * (offset = snapshot id, one micro-batch per appended file set) via
-  * a DSv2 [[MicroBatchStream]]; `writeStream.format("graft-lake")`
-  * lands one atomic, batch-id-idempotent commit per micro-batch
-  * ([[GraftStreamSink]]) — exactly-once end to end.
+  * a DSv2 [[MicroBatchStream]]; `.option("changeFeed", "true")`
+  * switches to the CHANGE-DATA-FEED source ([[GraftCdfSource]]) whose
+  * micro-batches emit `changelogRead` rows (`_change_type` /
+  * `_change_snap`) instead of appended files — deletes and updates
+  * arrive as a stream, replace-type maintenance commits emit zero
+  * rows; `writeStream.format("graft-lake")` lands one atomic,
+  * batch-id-idempotent commit per micro-batch ([[GraftStreamSink]])
+  * — exactly-once end to end.
   */
 class LakeSourceProvider extends TableProvider
-    with DataSourceRegister with StreamSinkProvider {
+    with DataSourceRegister with StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-lake"
 
@@ -102,7 +108,53 @@ class LakeSourceProvider extends TableProvider
     val options = new CaseInsensitiveStringMap(properties)
     val root = rootOf(options)
     new GraftLakeTable(SparkSession.active, root, asOf(options, root),
-      Option(schema).filter(_.fields.nonEmpty))
+      Option(schema).filter(_.fields.nonEmpty),
+      // `.option("changeFeed", "true")` on readStream: the table drops
+      // MICRO_BATCH_READ so Spark falls back to the v1 source path,
+      // where [[createSource]] serves the changelog stream
+      changeFeed = options.getBoolean("changefeed", false))
+  }
+
+  // ---- the CHANGE-DATA-FEED streaming source (v1 Source path) ----
+  //
+  // The append-tailing MicroBatchStream plans FILES; a change feed
+  // must emit attributed ROWS (`changelogRead`'s per-commit insert/
+  // delete frames — O(changed rows), replace commits empty). The v1
+  // `Source` contract returns exactly that: one DataFrame per offset
+  // range, its distributed plan intact. Offsets are snapshot ids, so
+  // the checkpoint replays any range deterministically (exactly-once
+  // across restarts); every manifest in the uncommitted range must
+  // still be live — expire maintenance and CDF retention interact
+  // exactly as in Delta/Iceberg.
+
+  private def cdfSchema(spark: SparkSession, root: String): StructType = {
+    val snap = LakeTable.currentSnapshot(root)
+    require(snap > 0, s"changeFeed stream on $root: no committed snapshots")
+    GraftLakeTable.schemaOf(spark, root, snap)
+      .add(StructField("_change_type", StringType, nullable = false))
+      .add(StructField("_change_snap", IntegerType, nullable = false))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake source: a path is required"))
+    ("graft-lake-cdf", cdfSchema(sqlContext.sparkSession, root))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake source: a path is required"))
+    require(parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("changefeed") => v.toBoolean
+      }.getOrElse(false),
+      "graft-lake v1 streaming source serves only changeFeed=true " +
+        "(plain append tailing rides the DSv2 micro-batch stream)")
+    new GraftCdfSource(sqlContext.sparkSession, root,
+      cdfSchema(sqlContext.sparkSession, root))
   }
 
   /** v1 streaming sink — the documented DSv2 fallback for a
@@ -178,7 +230,8 @@ object GraftLakeTable {
   * table schema exists yet for Spark to check against).
   */
 class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
-    providedSchema: Option[StructType]) extends Table
+    providedSchema: Option[StructType], changeFeed: Boolean = false)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
 
@@ -209,7 +262,7 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
       // `MERGE INTO … WITH SCHEMA EVOLUTION`: source columns absent
@@ -226,6 +279,10 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
     // declared schema, not silently redefine it.
     if (snap == 0 && providedSchema.isEmpty && declaredSchema.isEmpty)
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    // a changeFeed readStream must NOT advertise MICRO_BATCH_READ —
+    // dropping it routes Spark to the v1 fallback, where the
+    // provider's createSource serves the changelog stream
+    if (!changeFeed) caps.add(TableCapability.MICRO_BATCH_READ)
     caps
   }
 
