@@ -1,9 +1,7 @@
 package graft.lake
 
-import java.io.File
-
 import org.apache.avro.Schema
-import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -108,10 +106,12 @@ object AvroPlane {
     if (!rows.hasNext) return Iterator.empty
     val schema = DataType.fromJson(sparkSchemaJson).asInstanceOf[StructType]
     val avroSchema = new Schema.Parser().parse(avroSchemaJson(schema))
-    val file = new File(dir, f"part-$partIdx%05d.avro")
+    val filePath = new org.apache.hadoop.fs.Path(dir, f"part-$partIdx%05d.avro").toString
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
     writer.setCodec(CodecFactory.snappyCodec())
-    writer.create(avroSchema, file)
+    // Hadoop-FS stream, like the parquet path: the dir may be plain,
+    // file:-schemed, or any registered scheme (object-store ready)
+    writer.create(avroSchema, LakeIO.create(filePath))
     val statIdx = statCols.map(c => c -> schema.fieldIndex(c))
     val kinds = statIdx.map { case (c, i) =>
       c -> (schema.fields(i).dataType match {
@@ -169,20 +169,14 @@ object AvroPlane {
         ColStat(c, "i", minL.getOrElse(c, 0L), maxL.getOrElse(c, 0L), "", "",
           any = minL.contains(c))
     }
-    Iterator.single(FileStat(
-      new org.apache.hadoop.fs.Path(file.toURI).toString, n, file.length(), cols))
-  }
-
-  private def localFile(path: String): File = {
-    val uri = java.net.URI.create(path.replace(" ", "%20"))
-    if (uri.getScheme == null) new File(path) else new File(uri.getPath)
+    Iterator.single(FileStat(filePath, n, LakeIO.sizeOf(filePath), cols))
   }
 
   /** Snappy/deflate/null codec name recorded in a container file's
     * header (spec surface: proves the reference's snappy contract).
     */
   def codecOf(path: String): String = {
-    val r = new DataFileReader(localFile(path),
+    val r = new DataFileStream(LakeIO.open(path),
       new GenericDatumReader[GenericRecord]())
     try Option(r.getMetaString("avro.codec")).getOrElse("null")
     finally r.close()
@@ -251,7 +245,7 @@ object AvroPlane {
 
   private def readFile(path: String, schema: StructType,
       open: java.util.concurrent.atomic.AtomicReference[java.io.Closeable]): Iterator[Row] = {
-    val reader = new DataFileReader(localFile(path),
+    val reader = new DataFileStream(LakeIO.open(path),
       new GenericDatumReader[GenericRecord]())
     open.set(reader)
     var closed = false

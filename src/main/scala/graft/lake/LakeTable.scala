@@ -320,7 +320,7 @@ object LakeTable {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalArgumentException(s"branch '$name' raced its own creation")
     }
-    advancePointer(bMeta, head)
+    coordinator.advanceHead(bMeta, head)
     head
   }
 
@@ -1705,45 +1705,37 @@ object LakeTable {
       }
       val partPath = meta.resolve(
         s"part-${System.nanoTime()}-${stageCounter.incrementAndGet()}.json")
-      try {
-        Files.writeString(partPath, partJson(added, addedDeletes, removed),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        // commit wall-clock, stamped at the CAS attempt — metadata
-        // for AS-OF-TIMESTAMP travel, never query output
-        Files.writeString(meta.resolve(s"manifest-${m.snapshotId}.json"),
+      // the part name is unique by construction (staging, not
+      // arbitration) — a plain write-once object
+      Files.writeString(partPath, partJson(added, addedDeletes, removed))
+      // commit wall-clock, stamped at the CAS attempt — metadata
+      // for AS-OF-TIMESTAMP travel, never query output. The manifest
+      // CLAIM is the commit: exactly one claimant per snapshot id
+      // wins, arbitrated by the pluggable [[CommitCoordinator]].
+      if (coordinator.claim(meta.resolve(s"manifest-${m.snapshotId}.json"),
           manifestJson(m.copy(tsMs = System.currentTimeMillis()),
-            parentParts :+ partPath.toString),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        advancePointer(meta, m.snapshotId)
+            parentParts :+ partPath.toString))) {
+        coordinator.advanceHead(meta, m.snapshotId)
         return m.snapshotId
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempt += 1
-          if (attempt >= MaxCommitRetries)
-            throw new IllegalStateException(
-              s"commit to $root lost the CAS $MaxCommitRetries times; giving up")
+      } else {
+        attempt += 1
+        if (attempt >= MaxCommitRetries)
+          throw new IllegalStateException(
+            s"commit to $root lost the CAS $MaxCommitRetries times; giving up")
       }
     }
     -1 // unreachable
   }
 
-  /** Monotonic pointer advance. The manifest CREATE_NEW is the real
-    * commit; the pointer is a derived head hint, so a laggard loser
-    * must never move it backwards. The JVM lock covers in-process
-    * racers; cross-process, [[currentSnapshot]]'s forward walk makes a
-    * stale pointer harmless (an object-store port does a conditional
-    * put keyed on the old value instead).
+  /** The pluggable commit coordinator — [[LocalFsCoordinator]]
+    * (CREATE_NEW) by default; an object-store deployment swaps in a
+    * conditional-PUT implementation ([[MemoryCasCoordinator]] is the
+    * in-memory model the racing specs exercise). Global: one
+    * arbitration domain per JVM, exactly like the FS default.
     */
-  private val pointerLock = new Object
-  private def advancePointer(meta: Path, snap: Int): Unit = pointerLock.synchronized {
-    val cur = pointerValue(meta)
-    if (snap > cur) {
-      val tmp = meta.resolve(s"_current.tmp$snap")
-      Files.writeString(tmp, snap.toString)
-      Files.move(tmp, meta.resolve("_current"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  @volatile private var coordinator: CommitCoordinator = LocalFsCoordinator
+  def commitCoordinator: CommitCoordinator = coordinator
+  def setCommitCoordinator(c: CommitCoordinator): Unit = coordinator = c
 
   private def pointerValue(meta: Path): Int = {
     val p = meta.resolve("_current")
@@ -2305,7 +2297,7 @@ object LakeTable {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalArgumentException(s"clone to $dstRoot raced its own creation")
     }
-    advancePointer(dMeta, head)
+    coordinator.advanceHead(dMeta, head)
     head
   }
 
@@ -2475,13 +2467,22 @@ object LakeTable {
 
   // ---------------- ANALYZE: persisted column-level statistics ----------------
 
-  /** Linear-counting bitmap width for per-file NDV sketches. 1024
-    * buckets = 128 bytes per (file, column): accurate to a few
-    * percent below ~1k distincts per file and a recognized-saturation
-    * signal above — the right granularity for task-sized files, and
-    * small enough that a 100 TB table's sketches stay metadata.
+  /** Linear-counting bitmap width for per-file NDV sketches. 65536
+    * buckets = 8 KiB per (file, column) at full occupancy (the
+    * `BitSet.toByteArray` encoding is sized to the highest set bit,
+    * so low-cardinality sketches stay tiny): accurate to a few
+    * percent up to several hundred thousand distincts per file —
+    * real task-sized-file headroom, where the old 1024-bucket width
+    * saturated around ~1k and fed the CBO a floor exactly on the
+    * tables big enough to need join reordering. Above the usable
+    * range the estimator returns the bucket count as a RECOGNIZED
+    * saturation floor (`ndvSaturated`), never a fabricated number.
+    * Sidecars record their width (`buckets`), so estimation always
+    * uses the width the sketch was built at; a width change triggers
+    * a full re-sketch on the next ANALYZE (bitmaps of different
+    * widths must not OR together).
     */
-  val NdvBuckets = 1024
+  val NdvBuckets = 65536
 
   /** Per-file, per-column ANALYZE sketch: exact null count, exact
     * total value length, 256-codepoint-truncated string min/max, and
@@ -2504,7 +2505,7 @@ object LakeTable {
   final case class FileSketch(rows: Long, cols: Map[String, ColSketch])
 
   final case class ColStatsMeta(analyzedSnapshot: Int,
-      files: Map[String, FileSketch])
+      files: Map[String, FileSketch], buckets: Int = NdvBuckets)
 
   private def colStatsPath(root: String) =
     Paths.get(root, "meta", "_colstats.json")
@@ -2542,7 +2543,9 @@ object LakeTable {
             }.toMap
             e.getKey -> FileSketch(fn.get("rows").asLong(), cols)
           }.toMap
-          val meta = ColStatsMeta(node.get("analyzed_snapshot").asInt(), files)
+          val meta = ColStatsMeta(node.get("analyzed_snapshot").asInt(), files,
+            // sidecars predating the width field were 1024-bucket
+            Option(node.get("buckets")).map(_.asInt()).getOrElse(1024))
           colStatsCache.put(root, (mtime, meta))
           Some(meta)
         }
@@ -2555,13 +2558,20 @@ object LakeTable {
   /** Linear-counting estimate from an occupied-bucket count:
     * `-m·ln(1 − occ/m)`, the standard estimator; a saturated bitmap
     * falls back to the bucket count (a floor — callers treat it as
-    * "at least this many").
+    * "at least this many"; [[ndvSaturated]] is the verdict).
     */
-  def ndvEstimate(occupied: Int): Long =
+  def ndvEstimate(occupied: Int, m: Int = NdvBuckets): Long =
     if (occupied <= 0) 0L
-    else if (occupied >= NdvBuckets) NdvBuckets.toLong
-    else math.round(-NdvBuckets.toDouble *
-      math.log1p(-occupied.toDouble / NdvBuckets))
+    else if (occupied >= m) m.toLong
+    else math.round(-m.toDouble * math.log1p(-occupied.toDouble / m))
+
+  /** Saturation verdict for a merged occupancy: a fully occupied
+    * bitmap cannot distinguish m distincts from 100·m, so the
+    * estimate is only a floor — consumers (t.stats, CBO) must treat
+    * it as "at least", never as a cardinality.
+    */
+  def ndvSaturated(occupied: Int, m: Int = NdvBuckets): Boolean =
+    occupied >= m
 
   /** Merged per-column statistics over a file SUBSET (e.g. the
     * survivors of manifest pruning): None unless every requested path
@@ -2609,7 +2619,10 @@ object LakeTable {
     val m = manifest(root, head)
     val rowsOf: Map[String, Long] =
       m.files.groupBy(f => sketchKey(f.path)).map { case (p, fs) => p -> fs.head.rows }
-    val prior = colStats(root).map(_.files).getOrElse(Map.empty)
+    // a sketch-width change invalidates the whole sidecar (bitmaps of
+    // different widths must not OR together): re-sketch everything
+    val prior = colStats(root).filter(_.buckets == NdvBuckets)
+      .map(_.files).getOrElse(Map.empty)
     val newPaths = m.files.map(_.path).distinct
       .filterNot(p => prior.contains(sketchKey(p)))
     val fresh: Map[String, FileSketch] =

@@ -1677,6 +1677,64 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- lake_cdf_stream: the change feed AS A STREAM —
+  // `readStream.format("graft-lake").option("changeFeed", "true")`
+  // serves `changelogRead` micro-batches through the v1 Source path
+  // ([[graft.sources.GraftCdfSource]]): each batch is the committed
+  // range's row-level changes tagged `_change_type`/`_change_snap`,
+  // O(changed rows) for metadata-attributed commits. Two drain
+  // cycles: cycle 1 delivers commit 1's inserts; commits 2 (append)
+  // and 3 (MoR positional delete of every click) land between, and
+  // cycle 2 must deliver ONLY their changes — the checkpointed
+  // snapshot offset prevents re-delivery, so the sink aggregate
+  // equals insert=all events, delete=the click pre-images, each
+  // exactly once. At 100 TB the feed never rescans the table: a
+  // delete commit re-reads just the masked rows.
+  def lakeCdfStream(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_cdfs_")
+    val sink = tmp("graft_cdfs_sink_")
+    val ckpt = tmp("graft_cdfs_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(root)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    drain()
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    val clicks = LakeTable.withRowCoords(s, root)
+      .filter(col("event_type") === "click")
+      .select(col(LakeTable.CoordPath), col(LakeTable.CoordIdx))
+    LakeTable.deletePositions(s, root, clicks)
+    drain()
+    s.read.parquet(sink)
+      .withColumnRenamed("_change_type", "change_type")
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"),
+        countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("change_type"))
+  }
+
+  val lakeCdfStreamSql: String =
+    """WITH ch AS (
+      |  SELECT 'insert' AS change_type, event_id, value FROM events
+      |  UNION ALL
+      |  SELECT 'delete' AS change_type, event_id, value FROM events
+      |  WHERE event_type = 'click')
+      |SELECT change_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  COUNT(DISTINCT event_id) AS n_events
+      |FROM ch
+      |GROUP BY change_type
+      |ORDER BY change_type""".stripMargin
+
   // --- lake_format_write: the registered WRITE front door —
   // `df.write.format("graft-lake")` with append and overwrite modes
   // (V1Write bridge onto the staged-commit OCC path: executors write
@@ -1821,7 +1879,7 @@ object Lake {
 
   // --- q_sql_analyze: the ANALYZE verb — `CALL graft.system
   // .analyze(t)` computes PER-FILE column sketches (exact null/length
-  // accounting, 256-codepoint min/max, a 1024-bucket linear-counting
+  // accounting, 256-codepoint min/max, a 65536-bucket linear-counting
   // NDV bitmap over the engine's md5-derived hash) in ONE distributed
   // melt job over files not yet sketched, persists them as the
   // `_colstats.json` sidecar, and `t.stats` serves the merged profile
@@ -1833,7 +1891,10 @@ object Lake {
   // question. The table lands in TWO commits so the sidecar provably
   // merges across file generations; `n_occupied` (exact bitmap
   // occupancy) is the cross-engine-replayable core — DuckDB replays
-  // it as COUNT(DISTINCT md5-hash % 1024).
+  // it as COUNT(DISTINCT md5-hash % 65536). The width (vs the old
+  // 1024) keeps the estimator in its linear regime to several hundred
+  // thousand distincts per file; past that `t.stats` reports
+  // ndv_saturated = true and the estimate is an explicit floor.
   def qSqlAnalyze(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.root",
@@ -1857,7 +1918,7 @@ object Lake {
     cols.map(c =>
       s"""SELECT '$c' AS col, COUNT(*) AS n_rows,
          |  COUNT(*) - COUNT(v) AS n_null,
-         |  COUNT(DISTINCT ('0x'||substr(md5(v),1,15))::BIGINT % 1024) AS n_occupied,
+         |  COUNT(DISTINCT ('0x'||substr(md5(v),1,15))::BIGINT % 65536) AS n_occupied,
          |  substr(MIN(v), 1, 256) AS min_v, substr(MAX(v), 1, 256) AS max_v,
          |  CAST(SUM(len(v)) // COUNT(v) AS BIGINT) AS avg_len
          |FROM (SELECT CAST($c AS VARCHAR) AS v FROM documents)""".stripMargin)
@@ -2413,6 +2474,7 @@ object Lake {
     "stream_upsert" -> streamUpsert,
     "lake_format_read" -> lakeFormatRead,
     "lake_stream_read" -> lakeStreamRead,
+    "lake_cdf_stream" -> lakeCdfStream,
     "snapshot_read" -> snapshotRead,
     "prune_scan" -> pruneScan,
     "lake_compact" -> lakeCompact,
@@ -2468,6 +2530,7 @@ object Lake {
     "stream_upsert" -> streamUpsertSql,
     "lake_format_read" -> lakeFormatReadSql,
     "lake_stream_read" -> lakeStreamReadSql,
+    "lake_cdf_stream" -> lakeCdfStreamSql,
     "snapshot_read" -> snapshotReadSql,
     "prune_scan" -> pruneScanSql,
     "lake_compact" -> lakeCompactSql,

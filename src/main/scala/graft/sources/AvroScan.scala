@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.avro.Schema
-import org.apache.avro.file.DataFileReader
+import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -71,11 +71,6 @@ private[sources] object AvroScanSupport {
     s"""{ "type": "record", "name": "GraftRow", "fields": [ $fields ] }"""
   }
 
-  def localFile(path: String): java.io.File = {
-    val uri = java.net.URI.create(path.replace(" ", "%20"))
-    if (uri.getScheme == null) new java.io.File(path)
-    else new java.io.File(uri.getPath)
-  }
 }
 
 /** Streams one snappy Avro container file as [[InternalRow]]s of
@@ -90,8 +85,11 @@ private[sources] final class AvroRowReader(path: String, emit: StructType,
 
   private val readerSchema = new Schema.Parser().parse(
     AvroScanSupport.readerSchemaJson(emit, synthesized))
-  private val reader = new DataFileReader[GenericRecord](
-    AvroScanSupport.localFile(path),
+  // Hadoop-FS stream, like the parquet readers: plain, file:-schemed,
+  // or any registered scheme resolves to the right store — and the
+  // path string is never URI-round-tripped (reserved chars survive)
+  private val reader = new DataFileStream[GenericRecord](
+    graft.lake.LakeIO.open(path),
     new GenericDatumReader[GenericRecord](null, readerSchema))
 
   // emit-field ordinal → avro reader-field ordinal, or -1 synthesized

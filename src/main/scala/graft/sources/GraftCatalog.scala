@@ -389,11 +389,13 @@ class GraftCatalog extends TableCatalog
     import s.implicits._
     // per-file NDV estimates from the ANALYZE sketches (empty map
     // until the table is analyzed / for files appended since)
-    val sketches = LakeTable.colStats(table).map(_.files).getOrElse(Map.empty)
+    val meta = LakeTable.colStats(table)
+    val sketches = meta.map(_.files).getOrElse(Map.empty)
+    val width = meta.map(_.buckets).getOrElse(LakeTable.NdvBuckets)
     m.files.map { f =>
       val ndv: Map[String, Long] = sketches.get(LakeTable.sketchKeyOf(f.path))
         .map(_.cols.map { case (c, sk) =>
-          c -> LakeTable.ndvEstimate(sk.bits.cardinality())
+          c -> LakeTable.ndvEstimate(sk.bits.cardinality(), width)
         })
         .getOrElse(Map.empty)
       (f.path, f.rows, f.bytes, f.seq.toLong, f.stats.size.toLong, f.bucket, ndv)
@@ -452,7 +454,12 @@ class GraftCatalog extends TableCatalog
       // (all-null files carry no extremes and drop out of the fold)
       val extremes = meta.files.values.map(_.cols(c)).filter(_.minS != null)
       (logicalOf.getOrElse(c, c), rows, nulls, occ.toLong,
-        LakeTable.ndvEstimate(occ),
+        LakeTable.ndvEstimate(occ, meta.buckets),
+        // saturation verdict: a full bitmap makes ndv_est a FLOOR
+        // ("at least"), never a cardinality — surfaced so consumers
+        // can see when the sketch ran out of headroom
+        LakeTable.ndvSaturated(occ, meta.buckets),
+        s"linear_counting_${meta.buckets}",
         if (extremes.isEmpty) null
         else extremes.map(_.minS).reduce(LakeTable.utf8Min),
         if (extremes.isEmpty) null
@@ -460,6 +467,7 @@ class GraftCatalog extends TableCatalog
         if (nonNull > 0) sumLen / nonNull else -1L,
         meta.analyzedSnapshot.toLong)
     }.toDF("col", "n_rows", "n_null", "n_occupied", "ndv_est",
+      "ndv_saturated", "sketch",
       "min_v", "max_v", "avg_len", "analyzed_snap")
   }
 

@@ -794,7 +794,7 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
               val st = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                 override def distinctCount(): OptionalLong =
                   OptionalLong.of(math.max(1L,
-                    graft.lake.LakeTable.ndvEstimate(occ)))
+                    graft.lake.LakeTable.ndvEstimate(occ, meta.buckets)))
                 override def nullCount(): OptionalLong = OptionalLong.of(nulls)
                 override def avgLen(): OptionalLong =
                   if (nonNull > 0) OptionalLong.of(math.max(1L, sumLen / nonNull))
@@ -1175,11 +1175,31 @@ final case class GraftOffset(snap: Int) extends Offset {
 }
 
 final class GraftMicroBatchStream(spark: SparkSession, root: String,
-    template: ParquetScan) extends MicroBatchStream {
+    template: ParquetScan) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow pins the drain target at query start, so
+  // the run terminates even while writers keep committing
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(LakeTable.currentSnapshot(root))
+
+  private def cappedHead: Int = {
+    val head = LakeTable.currentSnapshot(root)
+    availableNowCap.fold(head)(math.min(head, _))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    GraftOffset(cappedHead)
 
   override def initialOffset(): Offset = GraftOffset(0)
-  override def latestOffset(): Offset =
-    GraftOffset(LakeTable.currentSnapshot(root))
+  override def latestOffset(): Offset = GraftOffset(cappedHead)
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toInt)
 

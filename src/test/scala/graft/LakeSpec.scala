@@ -113,6 +113,43 @@ class LakeSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("optimistic concurrency via the conditional-PUT coordinator: same racing law, no CREATE_NEW") {
+    // the object-store model: claims arbitrate through an external
+    // CAS table, the winner writes the manifest with a PLAIN put —
+    // the whole OCC protocol must behave identically
+    val coord = new graft.lake.MemoryCasCoordinator
+    LakeTable.setCommitCoordinator(coord)
+    try {
+      val root = graft.util.Scratch.dir("graft_lakespec_occ_mem_")
+      val ev = graft.sources.Tables.load(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+      LakeTable.commit(spark, root, ev.filter(col("event_id") % 8 === 7), cfg, Seq("event_id"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val futures = (0 until 6).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = LakeTable.commit(spark, root,
+            ev.filter(col("event_id") % 8 === k), cfg, Seq("event_id"))
+        })
+      }
+      val snaps = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(snaps.toSet === (2 to 7).toSet, s"snapshots: $snaps")
+      assert(LakeTable.currentSnapshot(root) === 7)
+      (1 to 7).foreach(i => assert(LakeTable.manifest(root, i).parentId === i - 1))
+      val expect = ev.filter(col("event_id") % 8 =!= 6).count()
+      assert(LakeTable.read(spark, root).count() === expect)
+      // every manifest claim after snapshot 1 went through THIS
+      // coordinator (snapshot 1 predates the swap-in)
+      assert(coord.claimCount >= 6, s"coordinator arbitrated ${coord.claimCount} claims")
+      // and a claim for an id the FS coordinator already committed is
+      // refused — mixed-history tables stay safe
+      assert(!coord.claim(
+        java.nio.file.Paths.get(root, "meta", "manifest-1.json"), "{}"))
+      graft.util.Scratch.rmNow(root)
+    } finally LakeTable.setCommitCoordinator(graft.lake.LocalFsCoordinator)
+  }
+
   test("merge-on-read delete: no data files written; sequence rule respects later appends") {
     val root = graft.util.Scratch.dir("graft_lakespec_mor_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
@@ -1338,6 +1375,56 @@ class LakeDataSourceSpec extends AnyFunSuite {
     // 5 distinct langs → exactly 5 occupied buckets (far from saturation)
     assert(occ === docs.select(col("lang")).distinct().count().toInt)
     assert(LakeTable.ndvEstimate(occ) === occ.toLong) // linear regime: est ≈ exact
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("NDV sketch headroom: bounded error at 150k distincts per file, saturation is a verdict not a guess") {
+    val s = spark
+    import s.implicits._
+    val root = graft.util.Scratch.dir("graft_ndvbig_")
+    val n = 150000L
+    // ONE data file, 150k distinct keys — two orders of magnitude past
+    // the old 1024-bucket saturation point
+    val big = s.range(n).select(
+      (col("id") * 7919L + 13L).as("k"),   // distinct-preserving affine map
+      (col("id") % 10).as("grp"))
+    LakeTable.commit(s, root, big,
+      BlockWriter.Config("grp", "k", maxRecordsPerFile = 400000), Seq("k"))
+    assert(LakeTable.manifest(root, 1).files.size === 1)
+    LakeTable.analyze(s, root)
+    val meta = LakeTable.colStats(root).get
+    assert(meta.buckets === LakeTable.NdvBuckets)
+    val merged = LakeTable.mergedColStats(meta,
+      LakeTable.manifest(root, 1).files.map(_.path)).get
+    val (occ, _, _, _) = merged("k")
+    val est = LakeTable.ndvEstimate(occ, meta.buckets)
+    // linear counting at m=65536, n=150k: std error ~0.6%; gate at 5%
+    assert(!LakeTable.ndvSaturated(occ, meta.buckets),
+      s"150k distincts must not saturate a ${meta.buckets}-bucket sketch (occ=$occ)")
+    assert(math.abs(est - n) <= n / 20,
+      s"NDV estimate $est outside 5% of true $n (occ=$occ/${meta.buckets})")
+    // the low-cardinality column stays cheap AND exact
+    assert(LakeTable.ndvEstimate(merged("grp")._1, meta.buckets) === 10L)
+
+    // saturation: the estimator returns the bucket count as an
+    // explicit floor, and the verdict flags it — never a fabricated
+    // cardinality above the sketch's resolving power
+    assert(LakeTable.ndvEstimate(meta.buckets, meta.buckets) === meta.buckets.toLong)
+    assert(LakeTable.ndvSaturated(meta.buckets, meta.buckets))
+    assert(!LakeTable.ndvSaturated(meta.buckets - 1, meta.buckets))
+
+    // t.stats surfaces the sketch kind and the verdict per column
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", graft.util.Scratch.root.resolve("sqlcat").toString)
+    val cat = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val nm = s"ndvbig_${System.nanoTime()}"
+    s.sql(s"CALL graft.system.register('q.$nm', '$root')")
+    val st = s.sql(s"SELECT col, ndv_est, ndv_saturated, sketch FROM graft.q.$nm.stats")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getString(3))))
+      .toMap
+    assert(st("k")._1 === est && !st("k")._2)
+    assert(st("k")._3 === s"linear_counting_${LakeTable.NdvBuckets}")
     graft.util.Scratch.rmNow(root)
   }
 }
