@@ -87,4 +87,70 @@ object IvfIndex {
   /** The corpus inverted lists (vec_id, cid, d2). */
   def cells(s: SparkSession, ref: Ref): DataFrame =
     LakeTable.read(s, ref.cellsPath)
+
+  // ---------------- incremental maintenance ----------------
+  //
+  // The lifecycle a production vector service actually runs: the
+  // codebook trains ONCE on the standing corpus and then FREEZES;
+  // every arriving batch is assigned against the frozen codebook (one
+  // broadcast cross join + map-side argmin — ZERO k-means jobs) and
+  // appended to the inverted-list table as one atomic commit. Because
+  // per-vector assignment is independent, the post-append index is
+  // EXACTLY the index a from-scratch re-assignment of the full corpus
+  // against the same codebook would build — the law the
+  // ann_ivf_append oracle replays. Re-TRAINING stays an explicit
+  // offline decision (codebook drift policy), never an append tax.
+
+  /** Corpus/batch split for the incremental lifecycle (same
+    * convention as [[MinhashIndex.batchPred]]).
+    */
+  def batchPred: org.apache.spark.sql.Column = col("vec_id") % 10 === 0
+
+  private val incrRefs = new java.util.concurrent.ConcurrentHashMap[String, Ref]()
+
+  private def incrRefFor(dir: String): Ref =
+    incrRefs.computeIfAbsent(dir, _ => Ref(graft.util.Scratch.dir("graft_ivfincr_")))
+
+  /** Train-and-freeze on the CORPUS partition only (`base` is the
+    * full int-vector frame; the batch rows are excluded from
+    * training AND from the initial lists). Seed ids < K+1: the
+    * corpus partition excludes vec_id 0, so the first [[graft.queries.Advanced.KM_K]]
+    * corpus vectors seed the codebook. Idempotent.
+    */
+  def ensureCorpusIvf(s: SparkSession, dir: String, base: => DataFrame): Ref =
+    buildLock.synchronized {
+      val ref = incrRefFor(dir)
+      if (LakeTable.currentSnapshot(ref.codebookPath) < 1) {
+        val corpus = graft.util.QueryScratch.cached(base.filter(!batchPred))
+        LakeTable.commit(s, ref.codebookPath,
+          graft.queries.Advanced.kmCentroids(corpus,
+            graft.queries.Advanced.KM_K + 1, 1),
+          BlockWriter.Config("cid", "cid", maxRecordsPerFile = 1 << 20,
+            parallelism = Some(1)),
+          Seq("cid"))
+        LakeTable.commit(s, ref.cellsPath,
+          graft.queries.Advanced.kmAssign(corpus, codebook(s, ref)),
+          BlockWriter.Config("cid", "vec_id", maxRecordsPerFile = 1 << 20,
+            parallelism = Some(idxParallelism(s, dir))),
+          Seq("vec_id", "cid"))
+      }
+      ref
+    }
+
+  /** Append a batch to the frozen-codebook index: assign against the
+    * PERSISTED codebook, commit the assignments as one append. The
+    * codebook table is never touched (its snapshot stays 1 — the
+    * spec's no-retraining pin). Returns the cells-table head snapshot.
+    */
+  def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Int =
+    buildLock.synchronized {
+      val ref = incrRefFor(dir)
+      require(LakeTable.currentSnapshot(ref.codebookPath) >= 1,
+        s"ivf append: no frozen codebook for $dir — run ensureCorpusIvf first")
+      LakeTable.commit(s, ref.cellsPath,
+        graft.queries.Advanced.kmAssign(batch, codebook(s, ref)),
+        BlockWriter.Config("cid", "vec_id", maxRecordsPerFile = 1 << 20,
+          parallelism = Some(4)),
+        Seq("vec_id", "cid"))
+    }
 }

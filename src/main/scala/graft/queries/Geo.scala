@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GeoFns._
 import graft.sources.Tables
@@ -431,7 +431,110 @@ object Geo {
       |FROM near WHERE rn = 1
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // --- geo_polygon: POINT-IN-POLYGON containment — the third shape a
+  // location lake serves after bbox and radius (geofence polygons:
+  // "which fixes fall inside this delivery zone / county / campus").
+  // Five region-derived octagons (vertices at 8 fixed compass
+  // bearings, md5-derived per-vertex radii ⇒ irregular but SIMPLE —
+  // vertices at strictly increasing angles around an interior point
+  // never self-intersect). Containment is the ray-crossing rule
+  // evaluated in EXACT INT64 microdegree arithmetic: an eastward ray
+  // from the point crosses edge (x1,y1)→(x2,y2) iff the edge
+  // straddles the point's latitude and the sign-adjusted cross
+  // product places the intersection east of the point — no division,
+  // no floats, so DuckDB replays the identical integer comparisons
+  // bit-exactly (max |product| ≈ 3.6e8·9e6 ≈ 3e15, well inside
+  // int64). Plan shape at 100 TB: the 5-polygon frame BROADCASTS
+  // (bbox nested-loop join bounds candidates), the crossing parity
+  // folds map-side via `aggregate` over the 8-edge array inside
+  // whole-stage codegen — the point side never shuffles until the
+  // final 5-group rollup, and a zorder-declared layout prunes files
+  // to the polygons' bboxes before any IO (DsV2Spec pins it).
+  private[graft] def polygonFrame(s: SparkSession, dir: String): DataFrame = {
+    // 8 compass-bearing unit offsets (ulat, ulon), clockwise from N
+    val U = Seq((2L, 0L), (1L, 1L), (0L, 2L), (-1L, 1L),
+      (-2L, 0L), (-1L, -1L), (0L, -2L), (1L, -1L))
+    def rK(k: Int) =
+      h60(concat(col("r_name"), lit(s":r$k"))) % 1500000L + 1500000L
+    def vy(k: Int) = col("clat") + lit(U(k)._1) * rK(k)
+    def vx(k: Int) = col("clon") + lit(U(k)._2) * rK(k)
+    val edges = array((0 until 8).map { k =>
+      val j = (k + 1) % 8
+      struct(vy(k).as("y1"), vx(k).as("x1"), vy(j).as("y2"), vx(j).as("x2"))
+    }: _*)
+    t(s, dir, "region").select(col("r_name"))
+      .withColumn("clat", latE6(col("r_name")))
+      .withColumn("clon", lonE6(col("r_name")))
+      .withColumn("edges", edges)
+      .withColumn("lat_min", least((0 until 8).map(vy): _*))
+      .withColumn("lat_max", greatest((0 until 8).map(vy): _*))
+      .withColumn("lon_min", least((0 until 8).map(vx): _*))
+      .withColumn("lon_max", greatest((0 until 8).map(vx): _*))
+      .drop("clat", "clon")
+  }
+
+  /** Ray-crossing parity of (latE6, lonE6) against an `edges` array
+    * column — exact int64, zero UDFs, codegen-friendly.
+    */
+  private[graft] def crossings(latE6: Column, lonE6: Column): Column =
+    aggregate(col("edges"), lit(0L), (acc: Column, e: Column) => {
+      val y1 = e.getField("y1"); val x1 = e.getField("x1")
+      val y2 = e.getField("y2"); val x2 = e.getField("x2")
+      val straddles = (y1 > latE6) =!= (y2 > latE6)
+      val lhs = (lonE6 - x1) * (y2 - y1)
+      val rhs = (x2 - x1) * (latE6 - y1)
+      val crosses = when(y2 > y1, lhs < rhs).otherwise(lhs > rhs)
+      acc + when(straddles && crosses, lit(1L)).otherwise(lit(0L))
+    })
+
+  def geoPolygon(s: SparkSession, dir: String): DataFrame = {
+    val pts = points(s, dir)
+    pts.join(broadcast(polygonFrame(s, dir)),
+        col("lat_e6") >= col("lat_min") && col("lat_e6") <= col("lat_max") &&
+          col("lon_e6") >= col("lon_min") && col("lon_e6") <= col("lon_max"))
+      .filter(crossings(col("lat_e6"), col("lon_e6")) % 2 === 1)
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_pts"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("r_name"))
+  }
+
+  val geoPolygonSql: String =
+    """WITH pts AS (
+      |  SELECT event_id, event_type,
+      |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lat'),1,15))::BIGINT % 120000000 - 60000000 AS lat_e6,
+      |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)||':lon'),1,15))::BIGINT % 360000000 - 180000000 AS lon_e6
+      |  FROM events),
+      |ks AS (SELECT * FROM (VALUES (0,2,0),(1,1,1),(2,0,2),(3,-1,1),
+      |  (4,-2,0),(5,-1,-1),(6,0,-2),(7,1,-1)) AS t(k, ulat, ulon)),
+      |vtx AS (
+      |  SELECT r_name, k,
+      |    (('0x'||substr(md5(r_name||':lat'),1,15))::BIGINT % 120000000 - 60000000)
+      |      + ulat * (('0x'||substr(md5(r_name||':r'||CAST(k AS VARCHAR)),1,15))::BIGINT % 1500000 + 1500000) AS y,
+      |    (('0x'||substr(md5(r_name||':lon'),1,15))::BIGINT % 360000000 - 180000000)
+      |      + ulon * (('0x'||substr(md5(r_name||':r'||CAST(k AS VARCHAR)),1,15))::BIGINT % 1500000 + 1500000) AS x
+      |  FROM region, ks),
+      |edges AS (
+      |  SELECT a.r_name, a.y AS y1, a.x AS x1, b.y AS y2, b.x AS x2
+      |  FROM vtx a JOIN vtx b ON a.r_name = b.r_name AND b.k = (a.k + 1) % 8),
+      |cr AS (
+      |  SELECT p.event_id, p.event_type, e.r_name,
+      |    SUM(CASE WHEN (e.y1 > p.lat_e6) <> (e.y2 > p.lat_e6) AND
+      |      CASE WHEN e.y2 > e.y1
+      |        THEN (p.lon_e6 - e.x1) * (e.y2 - e.y1) < (e.x2 - e.x1) * (p.lat_e6 - e.y1)
+      |        ELSE (p.lon_e6 - e.x1) * (e.y2 - e.y1) > (e.x2 - e.x1) * (p.lat_e6 - e.y1)
+      |      END THEN 1 ELSE 0 END) AS crossings
+      |  FROM pts p, edges e
+      |  GROUP BY 1, 2, 3)
+      |SELECT r_name, COUNT(*) AS n_pts,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM cr WHERE crossings % 2 = 1
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_polygon" -> geoPolygon,
     "geo_bbox" -> geoBbox,
     "geo_radius_join" -> geoRadiusJoin,
     "geo_knn" -> geoKnn,
@@ -439,6 +542,7 @@ object Geo {
     "geo_cluster" -> geoCluster)
 
   val oracles: Map[String, String] = Map(
+    "geo_polygon" -> geoPolygonSql,
     "geo_bbox" -> geoBboxSql,
     "geo_radius_join" -> geoRadiusJoinSql,
     "geo_knn" -> geoKnnSql,

@@ -903,6 +903,106 @@ object LlmPipeline {
        |WHERE ${jaccSql("x", "y")} >= 5000
        |ORDER BY batch_doc, corpus_doc""".stripMargin
 
+  // --- ann_ivf_append: INCREMENTAL IVF MAINTENANCE — the frozen-
+  // codebook lifecycle (IvfIndex.ensureCorpusIvf / appendBatch): the
+  // codebook trains once on the standing corpus (vec_id % 10 <> 0)
+  // and freezes; the arriving batch assigns against it (broadcast
+  // cross join + map-side argmin — ZERO k-means jobs, spec-pinned by
+  // the codebook snapshot staying 1) and lands as ONE append commit
+  // on the inverted-list table. Because per-vector assignment is
+  // independent, the post-append index EQUALS a from-scratch
+  // re-assignment of the full corpus against the same codebook —
+  // which is exactly what the oracle replays (train on corpus,
+  // assign everything, aggregate per cell). At 100 TB: appending a
+  // 0.1% batch costs 0.1%, and the corpus lists are never rescanned.
+  def annIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val viBase = graft.util.QueryScratch.cached(embBase(s, dir)
+      .select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi")))
+    val ref = graft.operators.IvfIndex.ensureCorpusIvf(s, dir, viBase)
+    graft.operators.IvfIndex.appendBatch(s, dir,
+      viBase.filter(graft.operators.IvfIndex.batchPred))
+    graft.operators.IvfIndex.cells(s, ref)
+      .groupBy(col("cid"))
+      .agg(
+        sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_batch"),
+        sum(col("d2")).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
+  val annIvfAppendSql: String = {
+    val K1 = Advanced.KM_K + 1
+    s"""WITH b AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vi
+       |  FROM embeddings),
+       |bc AS (SELECT * FROM b WHERE vec_id % 10 <> 0),
+       |c0 AS (SELECT vec_id AS cid, vi AS ci FROM bc WHERE vec_id < $K1),
+       |d1 AS (SELECT bc.vec_id, c0.cid, ${Advanced.kmSqlD2("bc.vi", "c0.ci")} AS d2 FROM bc, c0),
+       |a1 AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u AS (SELECT a1.cid, t.i AS pos,
+       |    CAST(FLOOR(SUM(bc.vi[t.i])::DOUBLE / COUNT(*)) AS BIGINT) AS cv
+       |  FROM a1 JOIN bc USING (vec_id), range(1, 65) t(i)
+       |  GROUP BY a1.cid, t.i),
+       |c1 AS (SELECT cid, list(cv ORDER BY pos) AS ci FROM u GROUP BY cid),
+       |dall AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |aall AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dall)
+       |  WHERE rn = 1)
+       |SELECT cid,
+       |  CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+       |  CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+       |  CAST(SUM(d2) AS BIGINT) AS inertia
+       |FROM aall
+       |GROUP BY cid
+       |ORDER BY cid""".stripMargin
+  }
+
+  // --- dedup_clusters_append: INCREMENTAL CLUSTER MAINTENANCE —
+  // probe-then-merge (ClusterIndex.appendBatch): the standing
+  // corpus's component labels are a committed lake table; an arriving
+  // batch probes the persisted band index asymmetrically for its
+  // near-dup pairs (batch↔corpus via the broadcast band probe —
+  // dedup_incremental's plan — plus the batch's internal self-join),
+  // every endpoint CONTRACTS to its current component label, and the
+  // min-label fixpoint runs on that contracted graph only (O(batch +
+  // collisions) nodes — never the corpus; the spec pins the node
+  // count). Label updates land as ONE MoR upsert of only the changed
+  // rows — a batch doc bridging two old clusters relabels exactly
+  // those clusters. The quotient-graph law makes this EXACT: the
+  // oracle replays the full-rebuild propagation over ALL pairs, and
+  // the incrementally-maintained table must equal it row for row.
+  def dedupClustersAppend(s: SparkSession, dir: String): DataFrame = {
+    val corpusPairs = minhashPairs(s, dir)
+      .filter(col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
+    ClusterIndex.ensureCorpusLabels(s, dir, corpusPairs)
+    // the batch's pairs, asymmetrically: corpus bands ⋈ broadcast
+    // batch bands + the batch's own self-join — never corpus×corpus
+    val base = mhBase(s, dir)
+    val bands = mhBands(s, dir)
+    val bb = bands.filter(MinhashIndex.batchPred)
+    val cand = bands.filter(!MinhashIndex.batchPred)
+      .join(broadcast(bb.select(col("doc_id").as("doc_a"), col("band"), col("bk"))),
+        Seq("band", "bk"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .union(Dedup.candidatePairs(bb, "doc_id", Seq("band", "bk")))
+      .distinct()
+    val batchPairs = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("whs").as("sha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("whs").as("shb")), "doc_b")
+      .filter(Dedup.jaccardBp(col("sha"), col("shb")) >= 5000)
+      .select(col("doc_a"), col("doc_b"))
+    val (root, _, _) = ClusterIndex.appendBatch(s, dir, batchPairs)
+    graft.lake.LakeTable.read(s, root).orderBy(col("doc_id"))
+  }
+
+  /** The full-rebuild replay: identical to [[dedupClustersSql]] — the
+    * incremental table must converge to exactly what a from-scratch
+    * fixpoint over (corpus ∪ batch) pairs yields.
+    */
+  def dedupClustersAppendSql: String = dedupClustersSql
+
   // --- corpus_index_build: the index-construction job itself as a
   // first-class operator — build (or verify) both commits of the
   // materialized MinHash index and report per-partition content
@@ -2892,6 +2992,8 @@ object LlmPipeline {
     "corpus_index_build" -> corpusIndexBuild,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
+    "ann_ivf_append" -> annIvfAppend,
+    "dedup_clusters_append" -> dedupClustersAppend,
     "dedup_simhash" -> dedupSimhash,
     "dedup_substring" -> dedupSubstring,
     "ngram_jaccard" -> ngramJaccard,
@@ -2943,6 +3045,8 @@ object LlmPipeline {
     "corpus_index_build" -> corpusIndexBuildSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "ann_ivf_append" -> annIvfAppendSql,
+    "dedup_clusters_append" -> dedupClustersAppendSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_substring" -> dedupSubstringSql,
     "ngram_jaccard" -> ngramJaccardSql,

@@ -757,6 +757,56 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("geo polygon containment over a zorder layout: bbox pre-prune bounds IO, parity decides") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val t = s"graft.psd.poly_${System.nanoTime()}"
+    import graft.functions.GeoFns._
+    val dir = "/root/testdata/sf0.01"
+    val pts = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("lat_e6", latE6(col("event_id")))
+      .withColumn("lon_e6", lonE6(col("event_id")))
+    pts.createOrReplaceTempView("poly_spec_pts")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.sql(s"""CREATE TABLE $t (event_id BIGINT, event_type STRING,
+                   |  lat_e6 BIGINT, lon_e6 BIGINT)
+                   |PARTITIONED BY (zorder(lat_e6, lon_e6))""".stripMargin)
+      spark.sql(s"INSERT INTO $t SELECT * FROM poly_spec_pts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // one polygon's bbox (≤ 6° × 12° of a 120° × 360° domain) must
+    // prune the zorder layout to a sliver before any exact test runs
+    val poly = graft.queries.Geo.polygonFrame(spark, dir)
+      .filter(col("r_name") === "ASIA").collect().head
+    val (latMin, latMax) = (poly.getAs[Long]("lat_min"), poly.getAs[Long]("lat_max"))
+    val (lonMin, lonMax) = (poly.getAs[Long]("lon_min"), poly.getAs[Long]("lon_max"))
+    val boxed = spark.table(t).where(
+      col("lat_e6") >= latMin && col("lat_e6") <= latMax &&
+        col("lon_e6") >= lonMin && col("lon_e6") <= lonMax)
+    val scan = graftScanOf(boxed)
+    assert(scan.totalFiles >= 8, s"expected multi-file layout, got ${scan.totalFiles}")
+    assert(scan.survivors.size <= scan.totalFiles / 2,
+      s"polygon bbox should prune the zorder layout: " +
+        s"${scan.survivors.size}/${scan.totalFiles}")
+    // containment through the pruned lake scan == the relational path
+    def contained(src: org.apache.spark.sql.DataFrame) =
+      src.join(broadcast(graft.queries.Geo.polygonFrame(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("lat_e6") >= col("lat_min") && col("lat_e6") <= col("lat_max") &&
+            col("lon_e6") >= col("lon_min") && col("lon_e6") <= col("lon_max"))
+        .filter(graft.queries.Geo.crossings(col("lat_e6"), col("lon_e6")) % 2 === 1)
+        .select(col("event_id")).orderBy(col("event_id"))
+        .collect().map(_.getLong(0)).toSeq
+    val viaLake = contained(spark.table(t))
+    assert(viaLake === contained(pts))
+    assert(viaLake.nonEmpty, "fixture polygon should contain some points")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("PARTITIONED BY (truncate(4, p_name)): prefix and range predicates prune most files") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)

@@ -599,3 +599,91 @@ class MinhashIndexSpec extends AnyFunSuite {
       .filter(col("doc_id") === gone).count() === before)
   }
 }
+
+/** Incremental maintenance of the persisted index artifacts: the
+  * append path must probe-and-merge — never retrain the codebook,
+  * never re-run the fixpoint over the corpus-scale pair graph — and
+  * still land EXACTLY the rebuilt artifact.
+  */
+class IncrementalIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+  import graft.lake.LakeTable
+  import graft.operators.{ClusterIndex, IvfIndex}
+
+  test("IVF append: frozen codebook (snapshot stays 1), one append commit, equals re-assignment") {
+    val s = spark
+    // drive the operator end-to-end (idempotent if another test ran it)
+    SparkEntry.queries("ann_ivf_append")(s, sf).collect()
+    val viBase = graft.sources.Tables.load(s, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("bigint")).as("vi"))
+    val ref = IvfIndex.ensureCorpusIvf(s, sf, viBase)
+    // NO retraining on append: the codebook table never advanced
+    assert(LakeTable.currentSnapshot(ref.codebookPath) === 1,
+      "append must not commit to the codebook table")
+    // the batch landed as exactly one append commit on the lists
+    assert(LakeTable.currentSnapshot(ref.cellsPath) === 2)
+    val batchN = viBase.filter(IvfIndex.batchPred).count()
+    val incr = LakeTable.incrementalRead(s, ref.cellsPath, 1, 2)
+    assert(incr.count() === batchN, "append commit must hold exactly the batch")
+    assert(incr.filter(!IvfIndex.batchPred).count() === 0L)
+    // rebuilt-index law: post-append lists == full re-assignment
+    // against the same frozen codebook
+    val rebuilt = graft.queries.Advanced.kmAssign(viBase, IvfIndex.codebook(s, ref))
+    val got = IvfIndex.cells(s, ref)
+    assert(got.count() === rebuilt.count())
+    assert(got.exceptAll(rebuilt).count() === 0L)
+    assert(rebuilt.exceptAll(got).count() === 0L)
+  }
+
+  test("cluster append: fixpoint runs on the contraction only; bridge merges are exact MoR upserts") {
+    val s = spark
+    import s.implicits._
+    val key = s"ccincr_spec_${System.nanoTime()}"
+    // standing corpus: components {1,2}, {5,6}, plus 50 untouched
+    // 2-doc clusters (200..299) the append must never look at
+    val filler = (0 until 50).map(i => (200L + 2 * i, 201L + 2 * i))
+    val corpusPairs = (Seq((1L, 2L), (5L, 6L)) ++ filler).toDF("doc_a", "doc_b")
+    ClusterIndex.ensureCorpusLabels(s, key, corpusPairs)
+    // batch: doc 10 BRIDGES clusters 1 and 5; docs 30/40 pair with a
+    // never-before-paired corpus doc and each other
+    val batchPairs = Seq((10L, 2L), (10L, 5L), (30L, 40L)).toDF("doc_a", "doc_b")
+    val (root, nNodes, nUp) = ClusterIndex.appendBatch(s, key, batchPairs)
+    // the contraction: {10, label 1, label 5, 30, 40} — the 50 filler
+    // clusters (100 docs) never enter the propagated graph
+    assert(nNodes === 5L, s"contracted graph had $nNodes nodes, expected 5")
+    // upserts touch only the merged components and the fresh nodes:
+    // relabeled {5, 6} + fresh {10, 30, 40}
+    assert(nUp === 5L, s"upserted $nUp rows, expected 5")
+    val got = LakeTable.read(s, root).as[(Long, Long)].collect().toMap
+    // bridged component takes the global min label
+    assert(got(1L) === 1L && got(2L) === 1L && got(5L) === 1L &&
+      got(6L) === 1L && got(10L) === 1L)
+    assert(got(30L) === 30L && got(40L) === 30L)
+    // untouched clusters keep their labels
+    assert(got(200L) === 200L && got(201L) === 200L && got(299L) === 298L)
+    // full-rebuild equality over the union graph
+    val full = ClusterIndex.propagate(corpusPairs.unionByName(batchPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full, "incremental labels must equal the full-rebuild fixpoint")
+    // a second append with no new pairs is a no-op (no empty commits)
+    val head = LakeTable.currentSnapshot(root)
+    val (_, n2, u2) = ClusterIndex.appendBatch(s, key,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(n2 === 0L && u2 === 0L && LakeTable.currentSnapshot(root) === head)
+  }
+
+  test("dedup_clusters_append on the real corpus equals the full fixpoint") {
+    val s = spark
+    import s.implicits._
+    val got = SparkEntry.queries("dedup_clusters_append")(s, sf)
+      .as[(Long, Long)].collect().toMap
+    val full = ClusterIndex.propagate(
+        graft.queries.LlmPipeline.minhashPairs(s, sf))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+}
