@@ -1,0 +1,154 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+/** AUTO-MAINTENANCE policies — unattended small-file and metadata
+  * hygiene, the guardrail a stream-fed lake needs (the reference's
+  * 60 s flush cadence, main.go:75, makes small-file accumulation the
+  * DEFAULT failure mode; today's alternative is a human remembering
+  * to `CALL graft.system.compact`).
+  *
+  * Declared as TBLPROPERTIES on the catalog table:
+  *  - `graft.autocompact.files = N`   — after a triggering commit, if
+  *    the head references ≥ N live data files, rewrite the head into
+  *    task-sized files (the exact `CALL compact` path: declared
+  *    layouts re-cluster, MoR debt folds, avro planes re-pack);
+  *  - `graft.automanifest.parts = M`  — if the head's manifest part
+  *    chain is ≥ M parts long, consolidate it to one part
+  *    (`rewrite_manifests`).
+  *
+  * Firing rules, in order of importance:
+  *  - POST-COMMIT, BEST-EFFORT: policies run after the triggering
+  *    commit has durably succeeded, and any maintenance failure is
+  *    swallowed — a compaction problem must never fail the append
+  *    that triggered it.
+  *  - CAS-SAFE: the compaction rewrite carries `basis = head`, so an
+  *    append racing it wins and the maintenance attempt simply
+  *    abandons (it will re-fire on the racer's own post-commit);
+  *    manifest consolidation is already CAS-arbitrated internally.
+  *  - NON-REENTRANT: maintenance commits are replace/consolidate
+  *    commits, which never trigger policies, and a per-root in-flight
+  *    guard stops a policy from firing inside its own maintenance.
+  *
+  * The thresholds are per-table METADATA (`meta/_policy.json`, the
+  * CHECK-constraint pattern) — path-API writers and SQL writers get
+  * the same unattended hygiene.
+  */
+object AutoMaintain {
+
+  val AutoCompactKey = "graft.autocompact.files"
+  val AutoManifestKey = "graft.automanifest.parts"
+  /** Optional compaction fan-out (files written per auto-compaction);
+    * defaults to the session's shuffle parallelism. The knob a
+    * deployment turns when task-sized output files matter more than
+    * rewrite speed.
+    */
+  val AutoParallelismKey = "graft.autocompact.parallelism"
+
+  private def policyPath(root: String) = Paths.get(root, "meta", "_policy.json")
+
+  def setPolicy(root: String, key: String, value: Long): Unit = {
+    require(key == AutoCompactKey || key == AutoManifestKey ||
+      key == AutoParallelismKey,
+      s"unknown maintenance policy '$key'")
+    require(value >= 2, s"$key must be ≥ 2 (got $value)")
+    write(root, policies(root) + (key -> value))
+  }
+
+  def dropPolicy(root: String, key: String): Unit =
+    write(root, policies(root) - key)
+
+  def policies(root: String): Map[String, Long] = {
+    val p = policyPath(root)
+    if (!Files.exists(p)) Map.empty
+    else "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(Files.readString(p))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  private def write(root: String, pol: Map[String, Long]): Unit = {
+    val p = policyPath(root)
+    if (pol.isEmpty) { Files.deleteIfExists(p): Unit; return }
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, pol.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")): Unit
+  }
+
+  // per-root in-flight guard: a maintenance rewrite's own commit must
+  // not re-enter the policy engine
+  private val inFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Spec surface: completed (compactions, consolidations) per root. */
+  private val fired = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  def firedCounts(root: String): (Long, Long) = fired.getOrDefault(root, (0L, 0L))
+
+  /** Post-commit hook, called by the append-shaped verbs (commit,
+    * merge, appendAvro). Cheap when no policy is declared: one
+    * Files.exists probe.
+    */
+  private[lake] def afterCommit(spark: SparkSession, root: String): Unit = {
+    val pol =
+      try policies(root)
+      catch { case NonFatal(_) => return }
+    if (pol.isEmpty || !inFlight.add(root)) return
+    try {
+      pol.get(AutoManifestKey).foreach { cap =>
+        try {
+          val head = LakeTable.currentSnapshot(root)
+          if (head > 0 && LakeTable.partCount(root, head) >= cap) {
+            LakeTable.rewriteManifests(root)
+            fired.merge(root, (0L, 1L), (a, b) => (a._1 + b._1, a._2 + b._2))
+          }
+        } catch { case NonFatal(_) => () }
+      }
+      pol.get(AutoCompactKey).foreach { cap =>
+        try {
+          val head = LakeTable.currentSnapshot(root)
+          if (head > 0 && LakeTable.manifest(root, head).files.size >= cap) {
+            compact(spark, root, head)
+            fired.merge(root, (1L, 0L), (a, b) => (a._1 + b._1, a._2 + b._2))
+          }
+        } catch { case NonFatal(_) => () }
+      }
+    } finally inFlight.remove(root): Unit
+  }
+
+  /** The `CALL compact` path with `basis = head`: a racing append
+    * wins the CAS and this attempt abandons (the racer's own
+    * post-commit re-fires the policy).
+    */
+  private def compact(spark: SparkSession, root: String, head: Int): Unit = {
+    val m = LakeTable.manifest(root, head)
+    if (m.files.exists(_.path.endsWith(".avro"))) {
+      // avro plane: container re-pack (delete debt folds; stat columns
+      // carry over from the manifest's tracked set)
+      val statCols = m.files.headOption.map(_.stats.keys.toSeq.sorted).getOrElse(Nil)
+      LakeTable.rewriteAvro(spark, root, statCols,
+        policies(root).get(AutoParallelismKey).map(_.toInt).getOrElse(
+          math.max(1, spark.sessionState.conf.numShufflePartitions / 8))): Unit
+    } else {
+      val data = LakeTable.read(spark, root, Some(head))
+      val (cfg0, stats, _, rc, zc) = graft.sources.LakeFormatWrite.config(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), data.schema, root)
+      val cfg = policies(root).get(AutoParallelismKey) match {
+        case Some(n) =>
+          // the knob pins the OUTPUT FILE COUNT, so records-per-file
+          // must follow the table's size (manifest row counts —
+          // metadata), or the row cap would re-split what the fan-out
+          // just merged
+          val rows = m.files.map(_.rows).sum
+          cfg0.copy(parallelism = Some(n.toInt),
+            maxRecordsPerFile = math.max(cfg0.maxRecordsPerFile,
+              (rows / math.max(1L, n) + 1L).toInt))
+        case None => cfg0
+      }
+      LakeTable.rewrite(spark, root, data, cfg, stats,
+        rangeCluster = rc, basis = Some(head),
+        clusterBy = graft.sources.LakeFormatWrite.zClusterOf(zc, data),
+        note = "autocompact"): Unit
+    }
+  }
+}

@@ -151,10 +151,15 @@ object LakeTable {
       cfg: BlockWriter.Config, statCols: Seq[String],
       rangeCluster: Boolean = false, note: String = "",
       bloomCols: Seq[String] = Nil, skipIfEmpty: Boolean = false,
-      clusterBy: Option[org.apache.spark.sql.Column] = None): Int =
-    writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Int = {
+    val snap = writeSnapshot(spark, root, df, cfg, statCols, rangeCluster,
       replace = false, note = note, bloomCols = bloomCols,
       skipIfEmpty = skipIfEmpty, clusterBy = clusterBy)
+    // post-commit, best-effort: declared TBLPROPERTIES maintenance
+    // policies fire AFTER the append durably landed (AutoMaintain)
+    AutoMaintain.afterCommit(spark, root)
+    snap
+  }
 
   /** Rewrite commit (copy-on-write maintenance): the new snapshot's
     * file list is EXACTLY the files written here — the parent's files
@@ -495,7 +500,7 @@ object LakeTable {
       bucketOf = mergeSpec.map { case (c, n) => (phys(c), n) })
     val (_, delEntries) = stageDeleteFrame(spark, root,
       updates.select(col(keyCol).as(phys(keyCol))).distinct())
-    casLoop(root) { parent =>
+    val mergeSnap = casLoop(root) { parent =>
       require(parent > 0, s"merge into empty table $root")
       val pm = manifest(root, parent)
       val expect = pm.schemaJson
@@ -524,6 +529,8 @@ object LakeTable {
         pm.deletes ++ delEntries.map { case (p, n) => DeleteEntry(p, phys(keyCol), n, snap) },
         note = note, schemaJson = pm.schemaJson, bucketCol = bCol, nBuckets = bN)
     }
+    AutoMaintain.afterCommit(spark, root)
+    mergeSnap
   }
 
   /** PREDICATE OVERWRITE (Delta's `replaceWhere` / Iceberg's
@@ -860,7 +867,7 @@ object LakeTable {
       else StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
     val df = spark.read.schema(readSchema).parquet(files.map(_._1): _*)
     val entries = scanStatsPaths(spark, files.map(_._1), df, statCols.map(phys))
-    casLoop(root) { parent =>
+    val stagedSnap = casLoop(root) { parent =>
       var stored = schema
       if (parent > 0) {
         val expectJson = manifest(root, parent).schemaJson
@@ -902,6 +909,8 @@ object LakeTable {
         bucketCol = pm.map(_.bucketCol).getOrElse(""),
         nBuckets = pm.map(_.nBuckets).getOrElse(0))
     }
+    AutoMaintain.afterCommit(spark, root)
+    stagedSnap
   }
 
   /** APPEND with AVRO data files (the reference's storage format —
@@ -952,7 +961,7 @@ object LakeTable {
         s"avro data plane: column mapping unsupported on $root")
     }
     val entries = avroStage(spark, root, df, statCols)
-    casLoop(root) { parent =>
+    val avroSnap = casLoop(root) { parent =>
       var stored = df.schema
       if (parent > 0) {
         val expectJson = manifest(root, parent).schemaJson
@@ -978,6 +987,8 @@ object LakeTable {
         bucketCol = pm.map(_.bucketCol).getOrElse(""),
         nBuckets = pm.map(_.nBuckets).getOrElse(0))
     }
+    AutoMaintain.afterCommit(spark, root)
+    avroSnap
   }
 
   /** AVRO-PRESERVING COMPACTION: fold the table's many small

@@ -1735,6 +1735,51 @@ object Lake {
       |GROUP BY change_type
       |ORDER BY change_type""".stripMargin
 
+  // --- lake_automaint: AUTO-MAINTENANCE policies — unattended
+  // small-file + metadata hygiene (the guardrail the reference's
+  // 60 s flush cadence needs, main.go:75): TBLPROPERTIES
+  // `graft.autocompact.files` / `graft.automanifest.parts` fire
+  // POST-COMMIT, best-effort, CAS-safe (the compaction rewrite
+  // carries basis = head, so a racing append wins and the attempt
+  // abandons). Eight small appends land with NO manual CALLs; the
+  // policies must keep the live-file count and the manifest part
+  // chain bounded while content stays exactly the union of the
+  // appends — the oracle checks content AND the bounded-ness flags.
+  def lakeAutomaint(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.AutoMaintain
+    val root = tmp("graft_automq_")
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoCompactKey, 6L)
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoManifestKey, 3L)
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoParallelismKey, 2L)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "event_id",
+      maxRecordsPerFile = 1 << 20, parallelism = Some(2))
+    (0 until 8).foreach { i =>
+      LakeTable.commit(s, root, ev.filter(col("event_id") % 8 === i), cfg,
+        Seq("event_id"))
+    }
+    val head = LakeTable.currentSnapshot(root)
+    val files = LakeTable.manifest(root, head).files.size
+    val parts = LakeTable.partCount(root, head)
+    val (nCompact, nManifest) = AutoMaintain.firedCounts(root)
+    LakeTable.read(s, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .withColumn("files_bounded", lit(files <= 8))
+      .withColumn("parts_bounded", lit(parts <= 3))
+      .withColumn("auto_fired", lit(nCompact >= 1 && nManifest >= 1))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeAutomaintSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  true AS files_bounded, true AS parts_bounded, true AS auto_fired
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- lake_format_write: the registered WRITE front door —
   // `df.write.format("graft-lake")` with append and overwrite modes
   // (V1Write bridge onto the staged-commit OCC path: executors write
@@ -2475,6 +2520,7 @@ object Lake {
     "lake_format_read" -> lakeFormatRead,
     "lake_stream_read" -> lakeStreamRead,
     "lake_cdf_stream" -> lakeCdfStream,
+    "lake_automaint" -> lakeAutomaint,
     "snapshot_read" -> snapshotRead,
     "prune_scan" -> pruneScan,
     "lake_compact" -> lakeCompact,
@@ -2531,6 +2577,7 @@ object Lake {
     "lake_format_read" -> lakeFormatReadSql,
     "lake_stream_read" -> lakeStreamReadSql,
     "lake_cdf_stream" -> lakeCdfStreamSql,
+    "lake_automaint" -> lakeAutomaintSql,
     "snapshot_read" -> snapshotReadSql,
     "prune_scan" -> pruneScanSql,
     "lake_compact" -> lakeCompactSql,

@@ -85,7 +85,7 @@ class GraftCatalog extends TableCatalog
     * otherwise escape the catalog root and point maintenance
     * procedures at directories the catalog does not own.
     */
-  private[sources] def tableDir(name: String): String = {
+  private[graft] def tableDir(name: String): String = {
     val parts = name.split('.')
     require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_-]+")),
       s"invalid table name '$name': expected dot-separated [A-Za-z0-9_-] segments")
@@ -562,7 +562,11 @@ class GraftCatalog extends TableCatalog
       if (k.startsWith("graft.check.")) {
         validateCheck(schema, v)
         LakeTable.setCheck(dir.toString, k.stripPrefix("graft.check."), v)
-      }
+      } else if (k == graft.lake.AutoMaintain.AutoCompactKey ||
+          k == graft.lake.AutoMaintain.AutoManifestKey ||
+          k == graft.lake.AutoMaintain.AutoParallelismKey)
+        // auto-maintenance thresholds (fire post-commit, best-effort)
+        graft.lake.AutoMaintain.setPolicy(dir.toString, k, v.trim.toLong)
     }
     stored
   }
@@ -740,11 +744,20 @@ class GraftCatalog extends TableCatalog
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
+    val policyKeys = Set(graft.lake.AutoMaintain.AutoCompactKey,
+      graft.lake.AutoMaintain.AutoManifestKey,
+      graft.lake.AutoMaintain.AutoParallelismKey)
     propChanges.foreach {
+      case sp: TableChange.SetProperty if policyKeys(sp.property) =>
+        graft.lake.AutoMaintain.setPolicy(t, sp.property, sp.value.trim.toLong)
+      case rp: TableChange.RemoveProperty if policyKeys(rp.property) =>
+        graft.lake.AutoMaintain.dropPolicy(t, rp.property)
       case sp: TableChange.SetProperty =>
         require(sp.property.startsWith("graft.check."),
           s"graft-lake table property '${sp.property}' is not settable " +
-            "(only graft.check.<name> CHECK constraints are)")
+            "(graft.check.<name> CHECK constraints and the " +
+            "graft.autocompact.files / graft.automanifest.parts " +
+            "maintenance policies are)")
         validateCheck(loadTable(ident).columns()
           .foldLeft(new StructType())((s, c) =>
             s.add(c.name(), c.dataType(), c.nullable())), sp.value)
@@ -752,7 +765,9 @@ class GraftCatalog extends TableCatalog
       case rp: TableChange.RemoveProperty =>
         require(rp.property.startsWith("graft.check."),
           s"graft-lake table property '${rp.property}' is not removable " +
-            "(only graft.check.<name> CHECK constraints are)")
+            "(graft.check.<name> CHECK constraints and the " +
+            "graft.autocompact.files / graft.automanifest.parts " +
+            "maintenance policies are)")
         LakeTable.dropCheck(t, rp.property.stripPrefix("graft.check."))
       case _ => ()
     }

@@ -1290,7 +1290,7 @@ private[graft] object LakeFormatWrite {
 
   private val temporal = Set("days", "months", "hours", "years", "date")
 
-  private[sources] def config(options: CaseInsensitiveStringMap,
+  private[graft] def config(options: CaseInsensitiveStringMap,
       schema: StructType, root: String = "")
       : (BlockWriter.Config, Seq[String], Seq[String], Boolean, Option[Seq[String]]) = {
     val layout = if (root.nonEmpty) declaredLayout(root) else None
@@ -1334,7 +1334,7 @@ private[graft] object LakeFormatWrite {
   /** The declared-z-order cluster expression for this batch (None
     * when the table declares no z layout).
     */
-  private[sources] def zClusterOf(zCols: Option[Seq[String]],
+  private[graft] def zClusterOf(zCols: Option[Seq[String]],
       data: DataFrame): Option[org.apache.spark.sql.Column] =
     zCols.map(cols => graft.operators.ZOrder.zColumn(data, cols))
 

@@ -1381,15 +1381,25 @@ class LakeDataSourceSpec extends AnyFunSuite {
   test("NDV sketch headroom: bounded error at 150k distincts per file, saturation is a verdict not a guess") {
     val s = spark
     import s.implicits._
-    val root = graft.util.Scratch.dir("graft_ndvbig_")
+    // the table lives INSIDE the catalog root (a table IS its
+    // directory — the stateless-catalog law), so `t.stats` serves it
+    // by name at the end
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val nm = s"ndvbig_${System.nanoTime()}"
+    val root = graftCatRoot.resolve("q").resolve(nm).toString
     val n = 150000L
     // ONE data file, 150k distinct keys — two orders of magnitude past
     // the old 1024-bucket saturation point
     val big = s.range(n).select(
       (col("id") * 7919L + 13L).as("k"),   // distinct-preserving affine map
       (col("id") % 10).as("grp"))
+    // parallelism pinned: concurrent suites flip the session's
+    // shuffle-partitions conf, and the law here needs ONE file
     LakeTable.commit(s, root, big,
-      BlockWriter.Config("grp", "k", maxRecordsPerFile = 400000), Seq("k"))
+      BlockWriter.Config("grp", "k", maxRecordsPerFile = 400000,
+        parallelism = Some(1)), Seq("k"))
     assert(LakeTable.manifest(root, 1).files.size === 1)
     LakeTable.analyze(s, root)
     val meta = LakeTable.colStats(root).get
@@ -1414,17 +1424,95 @@ class LakeDataSourceSpec extends AnyFunSuite {
     assert(!LakeTable.ndvSaturated(meta.buckets - 1, meta.buckets))
 
     // t.stats surfaces the sketch kind and the verdict per column
-    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.root", graft.util.Scratch.root.resolve("sqlcat").toString)
-    val cat = s.sessionState.catalogManager.catalog("graft")
-      .asInstanceOf[graft.sources.GraftCatalog]
-    val nm = s"ndvbig_${System.nanoTime()}"
-    s.sql(s"CALL graft.system.register('q.$nm', '$root')")
     val st = s.sql(s"SELECT col, ndv_est, ndv_saturated, sketch FROM graft.q.$nm.stats")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getString(3))))
       .toMap
     assert(st("k")._1 === est && !st("k")._2)
     assert(st("k")._3 === s"linear_counting_${LakeTable.NdvBuckets}")
     graft.util.Scratch.rmNow(root)
+  }
+}
+
+/** TBLPROPERTIES auto-maintenance: unattended small-file + metadata
+  * hygiene (graft.autocompact.files / graft.automanifest.parts),
+  * firing post-commit, best-effort, CAS-safe.
+  */
+class AutoMaintainSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+  import graft.lake.{AutoMaintain, LakeTable}
+  import graft.writer.BlockWriter
+
+  test("a loop of small appends keeps file and part counts bounded with zero manual CALLs") {
+    val s = spark
+    import s.implicits._
+    val root = graft.util.Scratch.dir("graft_autom_")
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoCompactKey, 10L)
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoManifestKey, 4L)
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 4,
+      parallelism = Some(2))
+    // 14 tiny appends — the stream-cadence failure mode; NO manual
+    // compact/rewrite_manifests calls anywhere in this test
+    (0 until 14).foreach { i =>
+      LakeTable.commit(s, root,
+        (0L until 8L).map(j => (i * 8L + j, j % 2, s"v$i-$j")).toDF("id", "grp", "name"),
+        cfg, Seq("id"))
+    }
+    val head = LakeTable.currentSnapshot(root)
+    val m = LakeTable.manifest(root, head)
+    // bounded: without maintenance this layout accumulates ~28 files
+    // and a 14-part chain; the policies must have held both down
+    assert(m.files.size <= 12,
+      s"autocompact should bound live files, got ${m.files.size}")
+    assert(LakeTable.partCount(root, head) <= 4,
+      s"automanifest should bound the part chain, got ${LakeTable.partCount(root, head)}")
+    val (nCompact, nManifest) = AutoMaintain.firedCounts(root)
+    assert(nCompact >= 1, "autocompact never fired")
+    assert(nManifest >= 1, "automanifest never fired")
+    // content is exactly the union of every append — maintenance
+    // rewrote layout, never data
+    assert(LakeTable.read(s, root).count() === 14L * 8L)
+    assert(LakeTable.read(s, root).agg(sum(col("id"))).first().getLong(0)
+      === (0L until 14L * 8L).sum)
+    // maintenance commits are replace-type: history is preserved and
+    // pre-compaction snapshots still read
+    assert(LakeTable.read(s, root, Some(1)).count() === 8L)
+    graft.util.Scratch.rmNow(root)
+  }
+
+  test("policies declare via TBLPROPERTIES (CREATE + ALTER), unset via UNSET") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val nm = s"autom_${System.nanoTime()}"
+    s.sql(s"""CREATE TABLE graft.q.$nm (id BIGINT, grp BIGINT, name STRING)
+             |TBLPROPERTIES('graft.autocompact.files' = '6')""".stripMargin)
+    val cat = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val dir = cat.tableDir(s"q.$nm")
+    assert(AutoMaintain.policies(dir) ===
+      Map(AutoMaintain.AutoCompactKey -> 6L))
+    s.sql(s"ALTER TABLE graft.q.$nm SET TBLPROPERTIES('graft.automanifest.parts' = '4')")
+    assert(AutoMaintain.policies(dir) === Map(
+      AutoMaintain.AutoCompactKey -> 6L, AutoMaintain.AutoManifestKey -> 4L))
+    // the SQL write path fires the policies too: 9 small INSERTs stay
+    // bounded without any CALL
+    (0 until 9).foreach { i =>
+      s.sql(s"INSERT INTO graft.q.$nm VALUES ($i, ${i % 2}, 'x$i')")
+    }
+    val head = LakeTable.currentSnapshot(dir)
+    assert(LakeTable.partCount(dir, head) <= 4)
+    assert(LakeTable.manifest(dir, head).files.size <= 7)
+    assert(s.table(s"graft.q.$nm").count() === 9L)
+    s.sql(s"ALTER TABLE graft.q.$nm UNSET TBLPROPERTIES('graft.automanifest.parts')")
+    assert(AutoMaintain.policies(dir) === Map(AutoMaintain.AutoCompactKey -> 6L))
+    // non-policy, non-check properties still reject loudly
+    val thrown = intercept[Exception] {
+      s.sql(s"ALTER TABLE graft.q.$nm SET TBLPROPERTIES('graft.bogus' = '1')")
+    }
+    assert(thrown.getMessage.contains("not settable") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("not settable")))
+    s.sql(s"DROP TABLE graft.q.$nm")
   }
 }
