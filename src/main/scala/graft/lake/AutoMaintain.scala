@@ -55,7 +55,10 @@ object AutoMaintain {
     require(key == AutoCompactKey || key == AutoManifestKey ||
       key == AutoParallelismKey,
       s"unknown maintenance policy '$key'")
-    require(value >= 2, s"$key must be ≥ 2 (got $value)")
+    // thresholds below 2 would fire on every commit; a fan-out of 1
+    // (compact into ONE file) is a legitimate target, though
+    val floor = if (key == AutoParallelismKey) 1 else 2
+    require(value >= floor, s"$key must be ≥ $floor (got $value)")
     write(root, policies(root) + (key -> value))
   }
 
@@ -123,9 +126,11 @@ object AutoMaintain {
   private def compact(spark: SparkSession, root: String, head: Int): Unit = {
     val m = LakeTable.manifest(root, head)
     if (m.files.exists(_.path.endsWith(".avro"))) {
-      // avro plane: container re-pack (delete debt folds; stat columns
-      // carry over from the manifest's tracked set)
-      val statCols = m.files.headOption.map(_.stats.keys.toSeq.sorted).getOrElse(Nil)
+      // avro plane: container re-pack (delete debt folds). Stat
+      // columns carry over as the UNION across files — per-append
+      // `stats` options may differ, and dropping any file's tracked
+      // column would silently stop pruning on it
+      val statCols = m.files.flatMap(_.stats.keys).distinct.sorted
       LakeTable.rewriteAvro(spark, root, statCols,
         policies(root).get(AutoParallelismKey).map(_.toInt).getOrElse(
           math.max(1, spark.sessionState.conf.numShufflePartitions / 8))): Unit

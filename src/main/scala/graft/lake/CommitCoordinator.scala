@@ -84,8 +84,18 @@ final class MemoryCasCoordinator extends CommitCoordinator {
     // existing objects predate this coordinator (e.g. a table whose
     // early commits used the FS coordinator) — their keys are taken
     if (Files.exists(path)) return false
-    if (claims.putIfAbsent(path.toString, java.lang.Boolean.TRUE) != null)
+    if (claims.putIfAbsent(path.toString, java.lang.Boolean.TRUE) != null) {
+      // unlike CREATE_NEW — where losing and the winner's manifest
+      // existing are one atomic event — the claim here is decided
+      // BEFORE the winner's object write lands. A loser returning in
+      // that window would re-resolve the OLD head and spin its
+      // retries unproductively, so wait (bounded) for the winner's
+      // publish to become visible before reporting the loss.
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (!Files.exists(path) && System.nanoTime() < deadline)
+        Thread.onSpinWait()
       return false
+    }
     // winner publishes; a torn write here is the object store's
     // durability problem, not an arbitration one
     Files.writeString(path, body)

@@ -140,17 +140,27 @@ object IvfIndex {
   /** Append a batch to the frozen-codebook index: assign against the
     * PERSISTED codebook, commit the assignments as one append. The
     * codebook table is never touched (its snapshot stays 1 — the
-    * spec's no-retraining pin). Returns the cells-table head snapshot.
+    * spec's no-retraining pin). IDEMPOTENT per `batchId` (the commit
+    * note carries it, like the streaming sink's epoch idempotence):
+    * re-invoking with an already-landed id — a bench rerun, a retried
+    * job — is a no-op, not a duplicate append. Returns the
+    * cells-table head snapshot.
     */
-  def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Int =
+  def appendBatch(s: SparkSession, dir: String, batch: DataFrame,
+      batchId: String = "batch"): Int =
     buildLock.synchronized {
       val ref = incrRefFor(dir)
       require(LakeTable.currentSnapshot(ref.codebookPath) >= 1,
         s"ivf append: no frozen codebook for $dir — run ensureCorpusIvf first")
-      LakeTable.commit(s, ref.cellsPath,
+      val note = s"ivf-append-$batchId"
+      val head = LakeTable.currentSnapshot(ref.cellsPath)
+      val landed = (1 to head).exists(i =>
+        LakeTable.manifest(ref.cellsPath, i).note == note)
+      if (landed) head
+      else LakeTable.commit(s, ref.cellsPath,
         graft.queries.Advanced.kmAssign(batch, codebook(s, ref)),
         BlockWriter.Config("cid", "vec_id", maxRecordsPerFile = 1 << 20,
           parallelism = Some(4)),
-        Seq("vec_id", "cid"))
+        Seq("vec_id", "cid"), note = note)
     }
 }

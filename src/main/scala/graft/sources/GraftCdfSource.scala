@@ -16,6 +16,33 @@ final case class GraftCdfOffset(snap: Int) extends V1Offset {
   override def json(): String = snap.toString
 }
 
+/** Shared `Trigger.AvailableNow` pinning for the lake's two streaming
+  * sources (the append-tailing DSv2 micro-batch stream and this v1
+  * CDF source): `prepareForTriggerAvailableNow` captures the head at
+  * query start, and every later latest-offset answer is capped there,
+  * so a drain terminates even while writers keep committing.
+  */
+private[sources] trait AvailableNowCapped
+    extends org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** The lake-table root whose commit log is being tailed. */
+  protected def streamRoot: String
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(LakeTable.currentSnapshot(streamRoot))
+
+  protected def cappedHead: Int = {
+    val head = LakeTable.currentSnapshot(streamRoot)
+    availableNowCap.fold(head)(math.min(head, _))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+}
+
 /** The CHANGE-DATA-FEED streaming source (v1 `Source` path — see
   * [[LakeSourceProvider.createSource]] for why the changelog rides v1:
   * a change feed emits attributed ROWS, and the v1 contract returns
@@ -37,26 +64,13 @@ final case class GraftCdfOffset(snap: Int) extends V1Offset {
   */
 final class GraftCdfSource(spark: SparkSession, root: String,
     override val schema: StructType)
-    extends Source with SupportsTriggerAvailableNow {
+    extends Source with AvailableNowCapped {
+
+  override protected def streamRoot: String = root
 
   // checkpoint-restored offsets arrive as SerializedOffset — parse
   // the JSON form, never pattern-match the class
   private def snapOf(o: V1Offset): Int = o.json().trim.toInt
-
-  // Trigger.AvailableNow pins the drain target at query start: every
-  // admission-control latestOffset answers the PREPARED head, so the
-  // run terminates even while writers keep committing
-  @volatile private var availableNowCap: Option[Int] = None
-
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(LakeTable.currentSnapshot(root))
-
-  private def cappedHead: Int = {
-    val head = LakeTable.currentSnapshot(root)
-    availableNowCap.fold(head)(math.min(head, _))
-  }
-
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val head = cappedHead

@@ -1175,24 +1175,9 @@ final case class GraftOffset(snap: Int) extends Offset {
 }
 
 final class GraftMicroBatchStream(spark: SparkSession, root: String,
-    template: ParquetScan) extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    template: ParquetScan) extends MicroBatchStream with AvailableNowCapped {
 
-  // Trigger.AvailableNow pins the drain target at query start, so
-  // the run terminates even while writers keep committing
-  @volatile private var availableNowCap: Option[Int] = None
-
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(LakeTable.currentSnapshot(root))
-
-  private def cappedHead: Int = {
-    val head = LakeTable.currentSnapshot(root)
-    availableNowCap.fold(head)(math.min(head, _))
-  }
-
-  override def getDefaultReadLimit
-      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override protected def streamRoot: String = root
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =

@@ -636,6 +636,11 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(got.count() === rebuilt.count())
     assert(got.exceptAll(rebuilt).count() === 0L)
     assert(rebuilt.exceptAll(got).count() === 0L)
+    // idempotence: re-running the whole operator (a bench rerun, a
+    // retried job) must NOT duplicate the batch — same head, same rows
+    SparkEntry.queries("ann_ivf_append")(s, sf).collect()
+    assert(LakeTable.currentSnapshot(ref.cellsPath) === 2)
+    assert(IvfIndex.cells(s, ref).count() === rebuilt.count())
   }
 
   test("cluster append: fixpoint runs on the contraction only; bridge merges are exact MoR upserts") {
