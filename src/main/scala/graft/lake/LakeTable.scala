@@ -448,7 +448,7 @@ object LakeTable {
     * the snapshot id.
     */
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
-      keys: DataFrame): Int = {
+      keys: DataFrame, note: String = ""): Int = {
     // delete entries key by PHYSICAL name: parts are immutable and
     // shared across manifests, so a later rename must not have to
     // rewrite them (physical names never change once stamped)
@@ -462,7 +462,7 @@ object LakeTable {
       val snap = parent + 1
       Manifest(snap, parent, pm.get.files,
         pm.get.deletes ++ entries.map { case (p, n) => DeleteEntry(p, physKc, n, snap) },
-        note = "", schemaJson = pm.get.schemaJson,
+        note = note, schemaJson = pm.get.schemaJson,
         bucketCol = pm.get.bucketCol, nBuckets = pm.get.nBuckets)
     }
   }

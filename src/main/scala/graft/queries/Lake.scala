@@ -1735,6 +1735,76 @@ object Lake {
       |GROUP BY change_type
       |ORDER BY change_type""".stripMargin
 
+  // --- stream_cdc_apply: CDC CONSUMPTION — the downstream half of
+  // the change feed: a MIRROR table maintained exclusively from
+  // `readStream.option("changeFeed")`, never by re-reading the
+  // upstream table. Each micro-batch is applied per upstream
+  // snapshot IN ORDER: pure-delete keys (pre-image keys minus the
+  // snapshot's insert keys) become one MoR equality-delete commit,
+  // and the insert rows become one atomic MERGE (adds + eq-delete of
+  // their own keys — the upsert fold of the delete+insert changelog
+  // encoding). Every mirror commit stamps `cdc:<snap>:<verb>` in its
+  // note and the apply loop skips snapshots already stamped, so a
+  // replayed batch (foreachBatch is at-least-once on driver crash)
+  // re-applies nothing — exactly-once end to end, checkpoint offsets
+  // across drains + note markers within a batch. At 100 TB the
+  // mirror's write amplification is O(changed rows) per upstream
+  // commit — the whole point of consuming the feed instead of
+  // diffing snapshots. Upstream lifecycle: append evens, MERGE
+  // (value+1000 on id%10=0), delete clicks; the gate pins mirror ==
+  // upstream EXACTLY (symmetric exceptAll both ways must be empty).
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val up = tmp("graft_cdca_up_")
+    val mir = tmp("graft_cdca_mir_")
+    val ck = tmp("graft_cdca_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(up)
+        .writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => {
+          graft.streaming.CdcApply.applyBatch(s, mir, batch, "event_id",
+            cfg, Seq("event_id")); ()
+        })
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(s, up, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    drain()
+    LakeTable.merge(s, up, "event_id",
+      ev.filter(col("event_id") % 2 === 0 && col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000.0),
+      cfg, Seq("event_id"))
+    LakeTable.deleteWhere(s, up, "event_id",
+      LakeTable.read(s, up).filter(col("event_type") === "click")
+        .select(col("event_id")))
+    drain()
+    val upF = LakeTable.read(s, up)
+    val mirF = LakeTable.read(s, mir).select(upF.columns.map(col).toIndexedSeq: _*)
+    val diff = upF.exceptAll(mirF).count() + mirF.exceptAll(upF).count()
+    mirF.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .withColumn("mirror_exact", lit(diff == 0L))
+      .orderBy(col("event_type"))
+  }
+
+  val streamCdcApplySql: String =
+    """WITH final AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+      |  FROM events
+      |  WHERE event_id % 2 = 0 AND event_type <> 'click')
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  true AS mirror_exact
+      |FROM final
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- lake_automaint: AUTO-MAINTENANCE policies — unattended
   // small-file + metadata hygiene (the guardrail the reference's
   // 60 s flush cadence needs, main.go:75): TBLPROPERTIES
@@ -2520,6 +2590,7 @@ object Lake {
     "lake_format_read" -> lakeFormatRead,
     "lake_stream_read" -> lakeStreamRead,
     "lake_cdf_stream" -> lakeCdfStream,
+    "stream_cdc_apply" -> streamCdcApply,
     "lake_automaint" -> lakeAutomaint,
     "snapshot_read" -> snapshotRead,
     "prune_scan" -> pruneScan,
@@ -2577,6 +2648,7 @@ object Lake {
     "lake_format_read" -> lakeFormatReadSql,
     "lake_stream_read" -> lakeStreamReadSql,
     "lake_cdf_stream" -> lakeCdfStreamSql,
+    "stream_cdc_apply" -> streamCdcApplySql,
     "lake_automaint" -> lakeAutomaintSql,
     "snapshot_read" -> snapshotReadSql,
     "prune_scan" -> pruneScanSql,

@@ -552,7 +552,78 @@ object StreamingQ {
       |FROM w JOIN wt USING (win_us) JOIN b USING (event_type), bt
       |ORDER BY win_us, event_type""".stripMargin
 
+  // --- stream_topk: STATEFUL BOUNDED TOP-K per key — the streaming
+  // leaderboard: mapGroupsWithState keeps, per event_type, only the
+  // current top-5 (value DESC, event_id ASC tiebreak) plus a
+  // seen-counter; each micro-batch folds its rows into the bounded
+  // state and emits the refreshed board. State is O(K) per key — the
+  // reason this is a mapGroupsWithState op and not a windowed agg:
+  // the all-time leaderboard over an unbounded stream would
+  // otherwise hold every row. Selection by a TOTAL order
+  // (value, unique id) makes state order-independent across batch
+  // boundaries and partitions — any arrival order converges to the
+  // same board. The update-mode memory sink appends one board per
+  // (key, batch); the final read keeps each key's last emission (max
+  // seen). The gate reduces the board to scalars (top-1 id, id-sum,
+  // per-element-floored value-sum) — SURVEY §5's no-arrays rule.
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    Tables.ensureParquetConfs(s)
+    val staged = StreamWriter.stageDir(s"$dir/events.parquet")
+    val schema = s.read.parquet(staged).schema
+    val in = s.readStream.schema(schema).parquet(staged)
+    val name = s"graft_stk_${memId.incrementAndGet()}"
+    import s.implicits._
+    val typed = in.select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+    val boards = typed.groupByKey(_._1)
+      .mapGroupsWithState[(Seq[(Double, Long)], Long),
+        (String, Long, Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val (prev, seen0) = state.getOption.getOrElse((Seq.empty[(Double, Long)], 0L))
+          var seen = seen0
+          val buf = scala.collection.mutable.ArrayBuffer[(Double, Long)](prev: _*)
+          rows.foreach { r => seen += 1; buf += ((r._2, r._3)) }
+          val top = buf.sortBy { case (v, id) => (-v, id) }.take(5).toSeq
+          state.update((top, seen))
+          (key, seen, top.head._2,
+            top.map(_._2).sum,
+            top.map { case (v, _) => math.floor(v * 100 + 0.5).toLong }.sum)
+      }
+      .toDF("event_type", "seen", "top1_id", "topk_id_sum", "topk_val_x100")
+    val q = boards.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft_ck_stk_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import org.apache.spark.sql.expressions.Window
+    s.table(name)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("seen").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("event_type"))
+  }
+
+  val streamTopkSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS rn
+      |  FROM events),
+      |tot AS (SELECT event_type, COUNT(*) AS seen FROM events GROUP BY event_type)
+      |SELECT r.event_type, t.seen,
+      |  MAX(CASE WHEN rn = 1 THEN event_id END) AS top1_id,
+      |  CAST(SUM(event_id) AS BIGINT) AS topk_id_sum,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS topk_val_x100
+      |FROM ranked r JOIN tot t USING (event_type)
+      |WHERE rn <= 5
+      |GROUP BY r.event_type, t.seen
+      |ORDER BY r.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk" -> streamTopk,
     "stream_drift" -> streamDrift,
     "stream_geofence" -> streamGeofence,
     "stream_window_agg" -> streamWindowAgg,
@@ -564,6 +635,7 @@ object StreamingQ {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "stream_topk" -> streamTopkSql,
     "stream_drift" -> streamDriftSql,
     "stream_geofence" -> streamGeofenceSql,
     "stream_window_agg" -> streamWindowAggSql,

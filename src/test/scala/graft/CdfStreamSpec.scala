@@ -87,4 +87,38 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(cdf.schema.fieldNames.takeRight(2).toSeq
       === Seq("_change_type", "_change_snap"))
   }
+
+  test("CdcApply: mirror follows append/merge/delete; replayed and prefix batches are no-ops") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.CdcApply
+    val up = graft.util.Scratch.dir("graft_cdcap_up_")
+    val mir = graft.util.Scratch.dir("graft_cdcap_mir_")
+    val base = (1L to 20L).map(i => (i, i % 4, i * 10.0)).toDF("id", "grp", "v")
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 8)
+    LakeTable.commit(s, up, base.filter($"id" <= 10), cfg, Seq("id"))
+    LakeTable.merge(s, up, "id",
+      base.filter($"id" <= 10 && $"id" % 2 === 0).withColumn("v", $"v" + 1000.0),
+      cfg, Seq("id"))
+    LakeTable.deleteWhere(s, up, "id", Seq(3L, 5L).toDF("id"))
+
+    val batch = LakeTable.changelogRead(s, up, 0, 3)
+    val n1 = CdcApply.applyBatch(s, mir, batch, "id", cfg, Seq("id"))
+    assert(n1 === 3, "snap1 commit + snap2 merge + snap3 delete")
+    val head = LakeTable.currentSnapshot(mir)
+
+    // mirror content == upstream content, exactly
+    val a = LakeTable.read(s, up)
+    val m = LakeTable.read(s, mir).select(a.columns.map(col).toIndexedSeq: _*)
+    assert(a.exceptAll(m).count() === 0L)
+    assert(m.exceptAll(a).count() === 0L)
+
+    // a replayed batch re-applies nothing (note markers)
+    assert(CdcApply.applyBatch(s, mir, batch, "id", cfg, Seq("id")) === 0)
+    assert(LakeTable.currentSnapshot(mir) === head)
+    // a replayed PREFIX (crash between snapshots) is also a no-op
+    assert(CdcApply.applyBatch(s, mir,
+      batch.filter($"_change_snap" <= 2), "id", cfg, Seq("id")) === 0)
+    assert(LakeTable.currentSnapshot(mir) === head)
+  }
 }

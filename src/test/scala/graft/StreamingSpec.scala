@@ -343,6 +343,29 @@ class StreamingSpec extends AnyFunSuite {
         (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === want, "stream drain must equal the batch rollup")
   }
+
+  test("stream_topk: drained boards equal the batch top-5; state bounded at K per key") {
+    val got = graft.queries.StreamingQ.streamTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // batch twin of the leaderboard reduction
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val ranked = Tables.load(spark, sf, "events")
+      .withColumn("rn", row_number().over(w))
+    val want = ranked.filter(col("rn") <= 5)
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === 1, col("event_id"))).as("top1_id"),
+        sum(col("event_id")).cast("bigint").as("topk_id_sum"),
+        sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("topk_val_x100"))
+      .join(Tables.load(spark, sf, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("seen")), Seq("event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want, "drained leaderboard must equal batch top-5")
+  }
 }
 
 class VectorFnsSpec extends AnyFunSuite {
