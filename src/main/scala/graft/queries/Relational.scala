@@ -1061,7 +1061,101 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY rb, fb, mb""".stripMargin
 
+  // --- q_salted_join: SKEW-JOIN SALTING — the manual remedy for a
+  // hot key that AQE can't always save (AQE skew handling splits
+  // oversized SMJ partitions, but not a stateful/streaming join, and
+  // not a skewed AGGREGATION feeding the join). 70% of the fact rows
+  // hash to one dim key (event_id%10<7 ⇒ key 0); unsalted, one task
+  // owns 70% of the shuffle. The fix: fact rows carry a
+  // deterministic salt (event_id % 8), the dim side EXPLODES ×8, and
+  // the join key becomes (key, salt) — the hot key's rows spread
+  // over 8 tasks at the cost of 8× the (tiny) dim. The dim is
+  // hint("merge")-pinned because at fixture scale Spark would
+  // broadcast it — and a broadcast join never skews; salting is the
+  // tool for when the dim is too big to broadcast. Oracle replays
+  // the unsalted join: salting must be invisible in the result.
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val NS = 8
+    val fact = t(s, dir, "events")
+      .withColumn("k",
+        when(col("event_id") % 10 < 7, 0L).otherwise(col("event_id") % 25))
+      .withColumn("salt", (col("event_id") % NS).cast("int"))
+    val dim = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+      .withColumn("salt", explode(array((0 until NS).map(i => lit(i)): _*)))
+    fact.join(dim.hint("merge"), Seq("k", "salt"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("sum_value_x100"))
+      .orderBy(col("n_name"))
+  }
+
+  val qSaltedJoinSql: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN event_id % 10 < 7 THEN 0 ELSE event_id % 25 END AS k,
+      |    value
+      |  FROM events)
+      |SELECT n_name, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM fact JOIN nation ON fact.k = nation.n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // --- q_gapfill: TIME-SERIES GAP FILL + FORWARD FILL — the
+  // regularization step every downstream model/monitor needs over an
+  // irregular event stream: each user's hourly series densified to a
+  // contiguous hour grid (sequence + explode, bounded by the user's
+  // own span — never a global calendar cross join) and holes
+  // forward-filled with last(ignoreNulls) in one ordered window per
+  // user. Shuffle shape: the hourly rollup partial-aggs map-side then
+  // shuffles on (user_id, hour); the span/grid and the fill window
+  // re-key onto user_id — per-user work stays proportional to the
+  // user's own span, and no stage ever materializes a global
+  // calendar. Integer hour keys and x100 sums keep the series
+  // replayable cross-engine. The grid's first row is always an
+  // observed hour (the span starts at the user's min), so the fill
+  // never reads before the series starts.
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val hourly = t(s, dir, "events")
+      .select(col("user_id"), floor(unix_micros(col("ts")) / HourUs).as("hour"),
+        col("value"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("obs_x100"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled_x100", last(col("obs_x100"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("obs_x100")).as("n_observed"),
+        (count(lit(1)) - count(col("obs_x100"))).as("n_filled"),
+        sum(col("filled_x100")).cast("bigint").as("series_sum_x100"))
+      .orderBy(col("user_id"))
+  }
+
+  val qGapfillSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, EPOCH_US(ts) // 3600000000 AS hour,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS obs_x100
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM span),
+      |filled AS (
+      |  SELECT g.user_id, g.hour, h.obs_x100,
+      |    last_value(h.obs_x100 IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour) AS filled_x100
+      |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour)
+      |SELECT user_id, COUNT(*) AS n_hours, COUNT(obs_x100) AS n_observed,
+      |  COUNT(*) - COUNT(obs_x100) AS n_filled,
+      |  CAST(SUM(filled_x100) AS BIGINT) AS series_sum_x100
+      |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> qSaltedJoin,
+    "q_gapfill" -> qGapfill,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_paths" -> qPaths,
@@ -1098,6 +1192,8 @@ object Relational {
     "q_approx" -> qApprox)
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" -> qSaltedJoinSql,
+    "q_gapfill" -> qGapfillSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,
     "q_paths" -> qPathsSql,

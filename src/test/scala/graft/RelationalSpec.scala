@@ -183,6 +183,44 @@ class RelationalSpec extends AnyFunSuite {
         s"$q: the melt must be map-side — one agg exchange only, got $aggExchanges")
     }
   }
+
+  test("q_salted_join: shuffled join on (k, salt), result equals the unsalted join") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_salted_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point is spreading the hot key across tasks — the
+    // join must be a shuffled SMJ keyed on BOTH key and salt, not a
+    // broadcast (which would make salting moot)
+    assert(plan.contains("SortMergeJoin [k#") || plan.contains("SortMergeJoin ["),
+      s"expected SMJ:\n${plan.take(1200)}")
+    val joinLine = plan.linesIterator.find(_.contains("SortMergeJoin")).get
+    assert(joinLine.contains("salt"), s"join keys must include salt: $joinLine")
+    // salting is invisible in the result: equal to the plain join
+    val want = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("k",
+        when(col("event_id") % 10 < 7, 0L).otherwise(col("event_id") % 25))
+      .join(graft.sources.Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name")), Seq("k"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("sum_value_x100"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("q_gapfill: grids are contiguous per user, observed + filled = span") {
+    val rows = SparkEntry.queries("q_gapfill")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nHours, nObs, nFilled) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nObs + nFilled === nHours, s"fill accounting broken: $r")
+      assert(nObs >= 1L, s"span must start at an observed hour: $r")
+    }
+    // global sanity: hours filled dominate at sparse fixture scale,
+    // and every user's span covers at least their observed hours
+    assert(rows.map(_.getLong(3)).sum > 0L, "no gaps filled — fixture not sparse?")
+  }
 }
 
 class AsOfJoinSpec extends AnyFunSuite {
