@@ -533,7 +533,83 @@ object Geo {
       |FROM cr WHERE crossings % 2 = 1
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  // --- geo_dwell: STOP/DWELL DETECTION — the other canonical
+  // trajectory rollup next to geo_trips' distance: where did each
+  // user STAY? Fixes carry a per-(user, day) derived location (the
+  // "home of the day" — md5-derived like every §5 fixture, so DuckDB
+  // replays it), cells are the shared 6° integer grid, and a DWELL
+  // is a maximal run of consecutive same-cell fixes spanning ≥ 2 h
+  // (gap/island by lag-compare + running sum — the same one-window
+  // shape as geo_trips, one shuffle on user_id, no self-join).
+  // Cell-run semantics (not point-distance semantics) is what scales:
+  // run detection is a lag compare, not a pairwise radius probe.
+  // Midnight hand-off works unaided: a new day usually moves the
+  // home cell (run breaks); when two days' homes share a cell the
+  // run legitimately spans midnight — the oracle replays exactly
+  // that rule.
+  def geoDwell(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DwellUs = 2L * 3600L * 1000000L
+    val DayUs = 86400000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val fixes = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("day", floor(unix_micros(col("ts")) / DayUs).cast("bigint"))
+      .withColumn("hk",
+        concat(col("user_id").cast("string"), lit(":d"), col("day").cast("string")))
+      .withColumn("clat", latCell(latE6(col("hk"))))
+      .withColumn("clon", lonCell(lonE6(col("hk"))))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_seg",
+        when(lag(col("clat"), 1).over(w).isNull ||
+          col("clat") =!= lag(col("clat"), 1).over(w) ||
+          col("clon") =!= lag(col("clon"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("seg", sum(col("new_seg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    fixes.groupBy(col("user_id"), col("seg"))
+      .agg(min(col("us")).as("s0"), max(col("us")).as("s1"),
+        count(lit(1)).as("n_fixes"))
+      .filter(col("s1") - col("s0") >= DwellUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_dwells"),
+        sum(col("s1") - col("s0")).as("dwell_us_total"),
+        max(col("s1") - col("s0")).as("dwell_us_max"),
+        sum(col("n_fixes")).as("n_fixes_dwelling"))
+      .orderBy(col("user_id"))
+  }
+
+  val geoDwellSql: String =
+    """WITH fixes AS (
+      |  SELECT event_id, user_id, EPOCH_US(ts) AS us,
+      |    CAST(FLOOR((('0x'||substr(md5(CAST(user_id AS VARCHAR)||':d'||CAST(EPOCH_US(ts) // 86400000000 AS VARCHAR)||':lat'),1,15))::BIGINT % 120000000 - 60000000) / 6000000.0) AS BIGINT) AS clat,
+      |    CAST(FLOOR((('0x'||substr(md5(CAST(user_id AS VARCHAR)||':d'||CAST(EPOCH_US(ts) // 86400000000 AS VARCHAR)||':lon'),1,15))::BIGINT % 360000000 - 180000000) / 6000000.0) AS BIGINT) AS clon
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, us, clat, clon,
+      |    CASE WHEN lag(clat) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |      OR clat <> lag(clat) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      OR clon <> lag(clon) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |    THEN 1 ELSE 0 END AS new_seg
+      |  FROM fixes),
+      |runs AS (
+      |  SELECT user_id, us,
+      |    SUM(new_seg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      |  FROM marked),
+      |segs AS (
+      |  SELECT user_id, seg, MIN(us) AS s0, MAX(us) AS s1, COUNT(*) AS n_fixes
+      |  FROM runs GROUP BY user_id, seg)
+      |SELECT user_id, COUNT(*) AS n_dwells,
+      |  CAST(SUM(s1 - s0) AS BIGINT) AS dwell_us_total,
+      |  MAX(s1 - s0) AS dwell_us_max,
+      |  CAST(SUM(n_fixes) AS BIGINT) AS n_fixes_dwelling
+      |FROM segs
+      |WHERE s1 - s0 >= 7200000000
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_dwell" -> geoDwell,
     "geo_polygon" -> geoPolygon,
     "geo_bbox" -> geoBbox,
     "geo_radius_join" -> geoRadiusJoin,
@@ -542,6 +618,7 @@ object Geo {
     "geo_cluster" -> geoCluster)
 
   val oracles: Map[String, String] = Map(
+    "geo_dwell" -> geoDwellSql,
     "geo_polygon" -> geoPolygonSql,
     "geo_bbox" -> geoBboxSql,
     "geo_radius_join" -> geoRadiusJoinSql,

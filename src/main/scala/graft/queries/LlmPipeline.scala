@@ -2968,7 +2968,48 @@ object LlmPipeline {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // --- embed_pca: DISTRIBUTED PCA over the embedding corpus — the
+  // whitening / compression step (PQ codebooks, drift monitors and
+  // Matryoshka-style truncation all start from the principal axes).
+  // Two integer-exact passes ([[graft.operators.Pca]]): per-dim sums
+  // → integer floor-div mean μ, then the CENTERED second-moment
+  // triangle Σ (x−μ)(x−μ)ᵀ via treeAggregate (order-independent
+  // long adds — bit-identical under any partitioning, no overflow
+  // until N ≈ 2·10¹⁰). The eigensolve is driver-side Jacobi on the
+  // 64×64 matrix (metadata-scale, like BPE's merge table); the gate
+  // exposes the INTEGER covariance core — the 8×8 corner plus the
+  // full diagonal — which DuckDB replays exactly; the float
+  // eigen/projection layer is pinned by PcaSpec (orthonormality,
+  // descending eigenpairs, residuals, variance ordering).
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val model = Pca.fit(t(s, dir, "embeddings"), "embedding", 8)
+    val corner = for { i <- 0 until 8; j <- i + 1 until 8 }
+      yield (i + 1L, j + 1L, model.covC(i, j))
+    val diag = (0 until model.d).map(i => (i + 1L, i + 1L, model.covC(i, i)))
+    import s.implicits._
+    (corner ++ diag).toDF("i", "j", "cov_c")
+      .orderBy(col("i"), col("j"))
+  }
+
+  val embedPcaSql: String =
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS v,
+      |    generate_subscripts(embedding, 1) AS ord
+      |  FROM embeddings),
+      |m AS (SELECT ord, SUM(v) AS s, COUNT(*) AS n FROM x GROUP BY ord),
+      |mu AS (SELECT ord, (s - ((s % n) + n) % n) // n AS mu FROM m),
+      |c AS (SELECT x.vec_id, x.ord, x.v - mu.mu AS cv FROM x JOIN mu USING (ord))
+      |SELECT CAST(a.ord AS BIGINT) AS i, CAST(b.ord AS BIGINT) AS j,
+      |  CAST(SUM(a.cv * b.cv) AS BIGINT) AS cov_c
+      |FROM c a JOIN c b ON a.vec_id = b.vec_id
+      |  AND ((a.ord < b.ord AND b.ord <= 8) OR a.ord = b.ord)
+      |GROUP BY 1, 2
+      |ORDER BY i, j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca" -> embedPca,
     "ann_hybrid" -> annHybrid,
     "ann_truncated" -> annTruncated,
     "stats_drift" -> statsDrift,
@@ -3022,6 +3063,7 @@ object LlmPipeline {
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
+    "embed_pca" -> embedPcaSql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,

@@ -692,3 +692,60 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 }
+
+class PcaSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.Pca
+
+  private lazy val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+  private lazy val model = Pca.fit(emb, "embedding", 8)
+
+  test("components are orthonormal; eigenvalues descend and are non-negative") {
+    val k = model.components.length
+    for (i <- 0 until k; j <- i until k) {
+      val dot = model.components(i).zip(model.components(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"v${i}.v${j} = $dot")
+    }
+    model.eigenvalues.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-9, s"eigenvalues not descending: $a < $b")
+    }
+    assert(model.eigenvalues.last >= -1e-6, "covariance eigenvalue negative")
+  }
+
+  test("eigenpairs solve the covariance: ||C v − λ v|| small; Σλ over ALL dims = trace") {
+    val d = model.d
+    val cov = Array.tabulate(d, d)((i, j) => model.covC(i, j).toDouble / model.n)
+    model.components.zip(model.eigenvalues).foreach { case (v, lambda) =>
+      val cv = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val resid = math.sqrt(cv.zip(v).map { case (a, b) => val e = a - lambda * b; e * e }.sum)
+      assert(resid < 1e-6 * math.max(1.0, math.abs(lambda)), s"residual $resid for λ=$lambda")
+    }
+    // trace invariance on the full decomposition
+    val full = Pca.fit(emb, "embedding", d)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val sumEv = full.eigenvalues.sum
+    assert(math.abs(trace - sumEv) < 1e-6 * trace, s"trace $trace vs Σλ $sumEv")
+  }
+
+  test("projection variance follows the eigenvalues and beats every coordinate axis") {
+    val proj = Pca.project(emb, "vec_id", "embedding", model).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val n = proj.length
+    def variance(idx: Int): Double = {
+      val xs = proj.map(_(idx))
+      val mean = xs.sum / n
+      xs.map(x => (x - mean) * (x - mean)).sum / n
+    }
+    val v1 = variance(0); val v2 = variance(1)
+    assert(v1 >= v2 - 1e-12, "pc1 variance must dominate pc2")
+    // eigenvalues are variances in SCALED units (×10⁴ per axis)
+    val s2 = Pca.ScaleF * Pca.ScaleF
+    assert(math.abs(v1 * s2 - model.eigenvalues(0)) < 1e-3 * model.eigenvalues(0),
+      s"pc1 variance ${v1 * s2} vs λ1 ${model.eigenvalues(0)}")
+    val d = model.d
+    val maxAxis = (0 until d).map(i => model.covC(i, i).toDouble / model.n).max
+    assert(model.eigenvalues(0) >= maxAxis - 1e-9,
+      "top eigenvalue must dominate every coordinate-axis variance")
+  }
+}
