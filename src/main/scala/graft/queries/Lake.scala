@@ -2276,6 +2276,54 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- lake_layout_evolve: PARTITION-SPEC EVOLUTION — `CALL
+  // graft.system.set_layout(t, 'days(ts)')` replaces the declared
+  // write layout, METADATA-ONLY and O(1) at any table size. The
+  // design makes evolution nearly free: pruning here is per-file
+  // min/max stats on the RAW column, never partition values baked
+  // into paths — so old files (written identity-clustered on
+  // user_id) keep their extents and their pruning behavior, new
+  // appends range-cluster on days(ts) and prune tightly under
+  // time-range predicates, and ONE scan serves both generations with
+  // no rewrite, no dual-path reader, no migration job. Iceberg's
+  // hidden-partitioning evolution contract; the honest cost (old
+  // files don't time-prune until rewritten) is pinned in DsV2Spec.
+  def lakeLayoutEvolve(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val short = s"q.ple_${System.nanoTime()}"
+    val tbl = s"graft.$short"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_ple")
+    s.sql(s"""CREATE TABLE $tbl PARTITIONED BY (user_id)
+             |AS SELECT * FROM ev_ple WHERE event_id % 2 = 0""".stripMargin)
+    val changed = s.sql(s"CALL graft.system.set_layout('$short', 'days(ts)')")
+      .collect()(0).getBoolean(0)
+    s.sql(s"INSERT INTO $tbl SELECT * FROM ev_ple WHERE event_id % 2 = 1")
+    val b = s.sql("""SELECT min(ts) + INTERVAL 2 DAYS AS lo,
+                    |       min(ts) + INTERVAL 4 DAYS AS hi FROM ev_ple""".stripMargin)
+      .collect()(0)
+    s.table(tbl)
+      .where(col("ts") >= lit(b.getTimestamp(0)) && col("ts") < lit(b.getTimestamp(1)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .withColumn("layout_evolved", lit(changed))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeLayoutEvolveSql: String =
+    """WITH b AS (SELECT MIN(ts) + INTERVAL 2 DAY AS lo,
+      |                  MIN(ts) + INTERVAL 4 DAY AS hi FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  true AS layout_evolved
+      |FROM events, b
+      |WHERE ts >= b.lo AND ts < b.hi
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q_spj: STORAGE-PARTITIONED JOIN — two lake tables co-bucketed
   // on the join key (the manifest records each file's hash bucket and
   // the layout spec at commit time; the scan reports
@@ -2591,6 +2639,7 @@ object Lake {
     "lake_stream_read" -> lakeStreamRead,
     "lake_cdf_stream" -> lakeCdfStream,
     "stream_cdc_apply" -> streamCdcApply,
+    "lake_layout_evolve" -> lakeLayoutEvolve,
     "lake_automaint" -> lakeAutomaint,
     "snapshot_read" -> snapshotRead,
     "prune_scan" -> pruneScan,
@@ -2649,6 +2698,7 @@ object Lake {
     "lake_stream_read" -> lakeStreamReadSql,
     "lake_cdf_stream" -> lakeCdfStreamSql,
     "stream_cdc_apply" -> streamCdcApplySql,
+    "lake_layout_evolve" -> lakeLayoutEvolveSql,
     "lake_automaint" -> lakeAutomaintSql,
     "snapshot_read" -> snapshotReadSql,
     "prune_scan" -> pruneScanSql,

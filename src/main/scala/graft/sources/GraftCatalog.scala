@@ -637,6 +637,107 @@ class GraftCatalog extends TableCatalog
     */
   private val TemporalTransforms = Set("days", "months", "hours", "years", "date")
 
+  /** Partition-spec EVOLUTION (`CALL graft.system.set_layout(t,
+    * 'days(ts)')`): replace the DECLARED write layout. Metadata-only
+    * and O(1) by design — in this lake, pruning is driven by
+    * per-file min/max stats on the RAW column, never by partition
+    * VALUES baked into paths, so evolving the spec rewrites nothing:
+    * files written under the old spec keep their old extents (and
+    * keep pruning exactly as well as they ever did), files written
+    * after the call range-cluster on the new transform and prune
+    * tightly under the new predicate shape. This is Iceberg's
+    * hidden-partitioning evolution contract, landed as one tiny
+    * metadata file. `spec` = `none` clears the layout;
+    * a bare column name means identity. Returns true iff the
+    * declared layout actually changed.
+    */
+  private[sources] def setLayout(dirS: String, spec: String): Boolean = {
+    val dir = Paths.get(dirS)
+    val head = LakeTable.currentSnapshot(dirS)
+    val schema =
+      if (head > 0) GraftLakeTable.schemaOf(SparkSession.active, dirS, head)
+      else DataType.fromJson(Files.readString(
+        dir.resolve("meta").resolve("_schema.json"))).asInstanceOf[StructType]
+    val parsed = parseLayoutSpec(spec, schema)
+    val p = dir.resolve("meta").resolve("_layout.json")
+    val old = if (Files.exists(p)) Some(Files.readString(p)) else None
+    parsed match {
+      case None =>
+        if (Files.exists(p)) { Files.delete(p); true } else false
+      case Some((c, n, tf)) =>
+        val json = s"""{"partition_col":"$c","n_buckets":$n,"transform":"$tf"}"""
+        if (old.contains(json)) false
+        else { Files.writeString(p, json); true }
+    }
+  }
+
+  /** String form of the `PARTITIONED BY` transform family — same
+    * grammar and validation rules as [[layoutOf]], for the CALL
+    * surface (which has no DDL `Transform` objects to hand).
+    */
+  private[sources] def parseLayoutSpec(spec0: String,
+      schema: StructType): Option[(String, Int, String)] = {
+    import org.apache.spark.sql.types._
+    val spec = spec0.trim
+    if (spec.isEmpty || spec.equalsIgnoreCase("none")) return None
+    def col(c: String): String = {
+      require(schema.fieldNames.contains(c),
+        s"partition column $c not in table schema")
+      c
+    }
+    val Fn = """([A-Za-z_]+)\s*\((.*)\)""".r
+    spec match {
+      case Fn(name, args0) =>
+        val args = args0.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        name.toLowerCase match {
+          case "identity" =>
+            require(args.length == 1, s"identity takes one column, got $args")
+            Some((col(args.head), 0, "identity"))
+          case tn if TemporalTransforms(tn) =>
+            require(args.length == 1, s"$tn takes one column, got $args")
+            val c = col(args.head)
+            val dt = schema(c).dataType
+            require(dt == TimestampType || dt == DateType,
+              s"$tn($c) requires a timestamp/date column, got $dt")
+            Some((c, 0, tn))
+          case "bucket" =>
+            require(args.length == 2, s"bucket takes (n, col), got $args")
+            val n = args.head.toInt
+            require(n > 0, s"bucket count must be positive, got $n")
+            Some((col(args(1)), n, "bucket"))
+          case "truncate" =>
+            require(args.length == 2, s"truncate takes (n, col), got $args")
+            val n = args.head.toInt
+            require(n > 0, s"truncate width must be positive, got $n")
+            val c = col(args(1))
+            val dt = schema(c).dataType
+            require(dt == StringType || dt == LongType || dt == IntegerType ||
+              dt == ShortType || dt == ByteType,
+              s"truncate($n, $c) requires a string/integral column, got $dt")
+            Some((c, n, "truncate"))
+          case "zorder" =>
+            val cols = args.map(col)
+            require(cols.length >= 2 && cols.length <= 4,
+              s"zorder takes 2 to 4 columns, got $cols")
+            cols.foreach { c =>
+              val dt = schema(c).dataType
+              require(dt.isInstanceOf[NumericType] || dt == TimestampType ||
+                dt == DateType,
+                s"zorder($c) requires a numeric/timestamp/date column, got $dt")
+            }
+            Some((cols.mkString(","), 0, "zorder"))
+          case other => throw new UnsupportedOperationException(
+            s"unknown layout transform '$other' — supported: identity, " +
+              "bucket(n, col), days/months/hours/years(col), " +
+              "truncate(n, col), zorder(a, b[, ...]), none")
+        }
+      case ident if ident.matches("[A-Za-z0-9_]+") =>
+        Some((col(ident), 0, "identity"))
+      case other => throw new IllegalArgumentException(
+        s"cannot parse layout spec '$other'")
+    }
+  }
+
   private def layoutOf(partitions: Array[Transform],
       schema: StructType): Option[(String, Int, String)] = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
@@ -1125,6 +1226,9 @@ private[sources] object GraftProcedures {
     Def("analyze", "compute per-file column NDV sketches + profile (serves t.stats and the CBO)",
       Seq("table" -> StringType), "snapshot", IntegerType,
       (c, in) => LakeTable.analyze(SparkSession.active, tbl(c, in))._1),
+    Def("set_layout", "evolve the declared write layout (partition-spec evolution; metadata-only)",
+      Seq("table" -> StringType, "spec" -> StringType), "changed", BooleanType,
+      (c, in) => c.setLayout(tbl(c, in), in.getUTF8String(1).toString)),
     Def("clone", "zero-copy shallow clone into a new independent table",
       Seq("source" -> StringType, "dest" -> StringType), "snapshot", IntegerType,
       (c, in) => LakeTable.cloneTable(tbl(c, in),

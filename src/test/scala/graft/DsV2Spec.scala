@@ -623,6 +623,52 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("set_layout evolution: new generation time-prunes, old generation honestly doesn't") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val short = s"psd.ev_${System.nanoTime()}"
+    val t = s"graft.$short"
+    val ev01 = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    ev01.createOrReplaceTempView("ple_events")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      // gen 1: identity(user_id) — ts extents span the whole month
+      spark.sql(s"""CREATE TABLE $t PARTITIONED BY (user_id)
+                   |AS SELECT * FROM ple_events WHERE event_id % 2 = 0""".stripMargin)
+      // evolve the spec, metadata-only; re-evolving to the same spec
+      // reports unchanged
+      assert(spark.sql(s"CALL graft.system.set_layout('$short', 'days(ts)')")
+        .collect()(0).getBoolean(0))
+      assert(!spark.sql(s"CALL graft.system.set_layout('$short', 'days(ts)')")
+        .collect()(0).getBoolean(0))
+      // gen 2: days(ts) — range-clustered on ts
+      spark.sql(s"INSERT INTO $t SELECT * FROM ple_events WHERE event_id % 2 = 1")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    val b = spark.sql("""SELECT min(ts) + INTERVAL 2 DAYS AS lo,
+                        |       min(ts) + INTERVAL 4 DAYS AS hi
+                        |FROM ple_events""".stripMargin).collect()(0)
+    val filtered = spark.table(t)
+      .where(col("ts") >= lit(b.getTimestamp(0)) && col("ts") < lit(b.getTimestamp(1)))
+    val scan = graftScanOf(filtered)
+    val gen1 = scan.survivors.count(_.seq == 1)
+    val gen2 = scan.survivors.count(_.seq == 2)
+    val gen2Total = 16 // INSERT at 16 shuffle partitions → 16 range files
+    assert(gen2 <= gen2Total / 4,
+      s"evolved days(ts) generation should time-prune: $gen2 gen-2 files planned")
+    // honest cost of metadata-only evolution: old identity-clustered
+    // files have month-wide ts extents — none of them prune
+    assert(gen1 >= 8, s"old-generation files unexpectedly pruned: $gen1")
+    // pruning is an IO bound, never the answer
+    val expect = ev01
+      .where(col("ts") >= lit(b.getTimestamp(0)) && col("ts") < lit(b.getTimestamp(1)))
+    assert(sorted(filtered) === sorted(expect))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("PARTITIONED BY (zorder(ts, user_id)): a 2-D predicate prunes most files") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
