@@ -1706,6 +1706,43 @@ object LlmPipeline {
        |WHERE rank <= $ANN_K
        |ORDER BY q_id, rank""".stripMargin
 
+  // --- ann_range: RANGE (threshold) similarity search — the other
+  // retrieval primitive next to top-k: ALL neighbors with cosine ≥ τ
+  // for a broadcast query set, the shape dedup thresholds and
+  // near-duplicate audits ask for ("give me everything closer than
+  // 0.30", not "the 10 closest"). Same plan skeleton as ann_topk —
+  // query side broadcast, one scan of the corpus, fused native
+  // cosine (codegen) — but the reduction is a FILTER on the integer
+  // basis-point score instead of a per-query window rank: no sort,
+  // no rank state, output proportional to matches. At 100 TB the
+  // LSH-banded candidate path (ann_lsh) serves the same predicate
+  // by re-ranking candidates only; this operator is the exact
+  // baseline that validates it. τ rides the integer cos_bp (§5: no
+  // float threshold boundaries cross-engine).
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val Tau = 3000L // 0.30 in basis points
+    val e = embBase(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("v")).as("cos_bp"))
+      .filter(col("cos_bp") >= Tau)
+      .orderBy(col("q_id"), col("n_id"))
+  }
+
+  val annRangeSql: String =
+    s"""WITH n AS ($embBaseSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.q_id, n.vec_id AS n_id,
+       |    CAST(floor(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM n JOIN q ON n.vec_id <> q.q_id
+       |)
+       |SELECT q_id, n_id, cos_bp FROM scored
+       |WHERE cos_bp >= 3000
+       |ORDER BY q_id, n_id""".stripMargin
+
   // --- ann_lsh: the ANN scale path — random-hyperplane sign
   // signatures, banded bucket join to generate candidates, exact
   // re-rank of candidates only. At 100 TB the bucket join replaces
@@ -2934,6 +2971,47 @@ object LlmPipeline {
   // balanced (hash-uniform), every shard mixes all sources (mixing =
   // the point of shuffling), and the order is reproducible (the
   // oracle replays the identical permutation).
+  // --- sample_bottomk: BOTTOM-K HASH SAMPLING — the exact-size
+  // deterministic uniform sample: keep the K rows with the SMALLEST
+  // md5-derived hash (K = N/5 here). Versus rate sampling (keep
+  // h < τ — sample_shuffle's shard shape), bottom-k guarantees the
+  // sample SIZE exactly, is still coordination-free (any executor
+  // can score any row), and composes: the union of two corpora's
+  // bottom-k sets contains the union's bottom-k, so samples merge
+  // without rescanning (the bottom-k sketch property; the k-th
+  // order statistic doubles as a distinct-count estimator). The
+  // plan is the point: ORDER BY hash LIMIT K compiles to
+  // TakeOrderedAndProject — a size-K heap per partition, then a
+  // driver merge of P·K candidates — never a global sort. §5: the
+  // gate rides integer hashes and doc_id tiebreaks.
+  def sampleBottomk(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextFns.hash60(concat(lit("bk:"), col("doc_id").cast("string"))).as("h"))
+    val k = (d.count() / 5L).toInt
+    d.orderBy(col("h"), col("doc_id")).limit(k)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        max(col("h")).as("h_max"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleBottomkSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    ${hash60Sql("'bk:'||CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn,
+       |        COUNT(*) OVER () AS nt
+       |      FROM k)
+       |SELECT lang, COUNT(*) AS n,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MAX(h) AS h_max
+       |FROM r WHERE rn <= nt // 5
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   def sampleShuffle(s: SparkSession, dir: String): DataFrame = {
     val nShards = 8L
     val keyed = t(s, dir, "documents")
@@ -3010,6 +3088,8 @@ object LlmPipeline {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> embedPca,
+    "ann_range" -> annRange,
+    "sample_bottomk" -> sampleBottomk,
     "ann_hybrid" -> annHybrid,
     "ann_truncated" -> annTruncated,
     "stats_drift" -> statsDrift,
@@ -3064,6 +3144,8 @@ object LlmPipeline {
 
   val oracles: Map[String, String] = Map(
     "embed_pca" -> embedPcaSql,
+    "ann_range" -> annRangeSql,
+    "sample_bottomk" -> sampleBottomkSql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,

@@ -17,6 +17,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges === 0, s"corpus side must not shuffle, found $exchanges:\n${plan.take(2000)}")
   }
 
+  test("ann_range: broadcast probe + filter reduction — no window, no sort before the filter") {
+    val df = SparkEntry.queries("ann_range")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      "range search is a filter, not a rank — no window allowed")
+    // subset relation vs top-k: every ann_topk hit above the
+    // threshold must appear in ann_range's result
+    val range = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val topk = SparkEntry.queries("ann_topk")(spark, sf).collect()
+      .filter(r => r.getLong(2) >= 3000L && r.getLong(0) < 20L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topk.subsetOf(range),
+      s"top-k hits above tau missing from range result: ${topk -- range}")
+  }
+
+  test("sample_bottomk: exact K = N/5 sample via TakeOrderedAndProject, no global sort") {
+    val df = SparkEntry.queries("sample_bottomk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k must be a per-partition heap, not a global sort:\n${plan.take(1500)}")
+    val n = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(df.collect().map(_.getLong(1)).sum === n / 5,
+      "sample size must be exactly N/5")
+  }
+
   test("ann_hybrid: fused results come from the union of the two top-N lists, K per query") {
     val df = SparkEntry.queries("ann_hybrid")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
