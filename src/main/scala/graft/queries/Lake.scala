@@ -2324,6 +2324,59 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- lake_meta_tables: FILE + PARTITION INVENTORY AS TABLES —
+  // Iceberg's `files` / `partitions` metadata tables: `SELECT …
+  // FROM t.files` serves one row per live data file straight from
+  // the manifest (path, rows, bytes, seq, bucket, per-file NDV when
+  // analyzed) and `t.partitions` the per-bucket rollup — the
+  // health/skew view an operator checks before trusting a
+  // storage-partitioned plan. Both are MANIFEST-only: zero data-file
+  // IO at any table size, which is the whole point — inspecting a
+  // 100 TB table's layout must not cost a 100 TB scan. The fixture
+  // bucket(8)-partitions two appends; the gate pins per-generation
+  // BUCKET COVERAGE (each commit lands files in all 8 buckets),
+  // per-bucket file-count balance (a flag — raw counts are
+  // task-size-dependent), and row conservation, all replayable
+  // without knowing Spark's hash.
+  def lakeMetaTables(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val tbl = s"graft.q.meta_${System.nanoTime()}"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_meta")
+    s.sql(s"""CREATE TABLE $tbl PARTITIONED BY (bucket(8, user_id))
+             |AS SELECT * FROM ev_meta WHERE event_id % 2 = 0""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT * FROM ev_meta WHERE event_id % 2 = 1")
+    val files = s.sql(s"""SELECT CONCAT('files_seq', seq) AS metric,
+                         |  COUNT(DISTINCT bucket) AS a, CAST(SUM(rows) AS BIGINT) AS b
+                         |FROM $tbl.files GROUP BY seq""".stripMargin)
+    val parts = s.sql(s"""SELECT 'parts_total' AS metric,
+                         |  COUNT(*) AS a, CAST(SUM(n_rows) AS BIGINT) AS b
+                         |FROM $tbl.partitions
+                         |UNION ALL
+                         |SELECT 'parts_balance' AS metric,
+                         |  CAST(MIN(n_files) = MAX(n_files) AS BIGINT) AS a,
+                         |  COUNT(*) AS b
+                         |FROM $tbl.partitions""".stripMargin)
+    files.unionByName(parts).orderBy(col("metric"))
+  }
+
+  val lakeMetaTablesSql: String =
+    """WITH c AS (
+      |  SELECT COUNT(*) FILTER (event_id % 2 = 0) AS even,
+      |         COUNT(*) FILTER (event_id % 2 = 1) AS odd
+      |  FROM events)
+      |SELECT 'files_seq1' AS metric, CAST(8 AS BIGINT) AS a, even AS b FROM c
+      |UNION ALL
+      |SELECT 'files_seq2', CAST(8 AS BIGINT), odd FROM c
+      |UNION ALL
+      |SELECT 'parts_total', CAST(8 AS BIGINT), even + odd FROM c
+      |UNION ALL
+      |SELECT 'parts_balance', CAST(1 AS BIGINT), CAST(8 AS BIGINT) FROM c
+      |ORDER BY metric""".stripMargin
+
   // --- q_spj: STORAGE-PARTITIONED JOIN — two lake tables co-bucketed
   // on the join key (the manifest records each file's hash bucket and
   // the layout spec at commit time; the scan reports
@@ -2640,6 +2693,7 @@ object Lake {
     "lake_cdf_stream" -> lakeCdfStream,
     "stream_cdc_apply" -> streamCdcApply,
     "lake_layout_evolve" -> lakeLayoutEvolve,
+    "lake_meta_tables" -> lakeMetaTables,
     "lake_automaint" -> lakeAutomaint,
     "snapshot_read" -> snapshotRead,
     "prune_scan" -> pruneScan,
@@ -2699,6 +2753,7 @@ object Lake {
     "lake_cdf_stream" -> lakeCdfStreamSql,
     "stream_cdc_apply" -> streamCdcApplySql,
     "lake_layout_evolve" -> lakeLayoutEvolveSql,
+    "lake_meta_tables" -> lakeMetaTablesSql,
     "lake_automaint" -> lakeAutomaintSql,
     "snapshot_read" -> snapshotReadSql,
     "prune_scan" -> pruneScanSql,
