@@ -1854,6 +1854,23 @@ object LakeTable {
     val head = currentSnapshot(root)
     require(fromSnap >= 0 && toSnap <= head && fromSnap <= toSnap,
       s"changelog range ($fromSnap, $toSnap] out of [0, $head]")
+    // RETENTION GUARD: attribution needs every manifest in
+    // [max(1, fromSnap), toSnap] (each commit's pre-image included).
+    // If retention ([[expire]]/[[expireOlderThan]]) removed one, fail
+    // HERE with the snapshot named — not a NoSuchFileException deep in
+    // manifest IO — so a CDF consumer whose checkpoint fell behind
+    // retention gets an actionable signal: re-seed from a full
+    // snapshot read, or widen retention past the checkpoint. (Same
+    // interaction Delta CDF / Iceberg changelogs hit; they fail the
+    // same way — the changelog cannot outlive the manifests.)
+    val expiredInRange = (math.max(1, fromSnap) to toSnap).filterNot(i =>
+      Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
+    if (expiredInRange.nonEmpty)
+      throw new IllegalStateException(
+        s"changelog range ($fromSnap, $toSnap] of $root needs snapshot(s) " +
+          s"${expiredInRange.mkString(", ")} whose manifests were expired by " +
+          s"retention; re-seed the consumer from a snapshot read at $head or " +
+          "keep retention wider than the consumer's checkpoint lag")
     val CT = "_change_type"; val CS = "_change_snap"
     def tag(d: DataFrame, kind: String, s: Int): DataFrame =
       d.withColumn(CT, lit(kind)).withColumn(CS, lit(s))
@@ -2836,7 +2853,20 @@ object LakeTable {
     * `manifest-<snap>.json`, file/delete inventory concatenated from
     * its immutable parts (each parsed once per JVM).
     */
+  /** Test-visible manifest-resolution counter: specs pin metadata-IO
+    * complexity bounds (e.g. CdcApply's replay ledger is O(batch) per
+    * applied micro-batch, not O(commit history)) by diffing this
+    * across a call. THREAD-LOCAL so concurrent suites in one JVM
+    * don't contaminate each other's deltas (all manifest resolution
+    * happens on the calling driver thread); one volatile-free long
+    * bump per resolution — negligible.
+    */
+  private[graft] val manifestResolutions =
+    new ThreadLocal[Array[Long]] { override def initialValue = Array(0L) }
+  private[graft] def manifestReadCount: Long = manifestResolutions.get()(0)
+
   def manifest(root: String, snap: Int): Manifest = {
+    manifestResolutions.get()(0) += 1
     require(snap > 0, s"no snapshot $snap (table has ${currentSnapshot(root)})")
     val mf = Paths.get(root, "meta", s"manifest-$snap.json")
     if (!Files.exists(mf)) {

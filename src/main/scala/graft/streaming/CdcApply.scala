@@ -23,16 +23,63 @@ import graft.writer.BlockWriter
   * so every mirror commit stamps `cdc:<snap>:<verb>` in its manifest
   * note and the loop SKIPS snapshots already stamped — checkpoint
   * offsets dedupe across drains, note markers dedupe within a
-  * replayed batch. Both sides are metadata-sized reads.
+  * replayed batch. The replay ledger is read through an
+  * applied-snapshot WATERMARK (see [[wmFile]]), so per-batch
+  * metadata IO is O(batch snapshots), never O(mirror history).
   */
 object CdcApply {
 
   private val CT = "_change_type"
   private val CS = "_change_snap"
 
-  private def appliedMarks(mirrorRoot: String): Set[String] = {
-    val head = LakeTable.currentSnapshot(mirrorRoot)
-    (1 to head).map(i => LakeTable.manifest(mirrorRoot, i).note).toSet
+  /** APPLIED-SNAPSHOT WATERMARK (mirror meta, advisory): `snap` is
+    * the highest upstream snapshot fully applied, `mirror_head` the
+    * mirror's head when it was written. Invariant (watermark written
+    * AFTER a batch's commits, foreachBatch serial): any cdc mark for
+    * an upstream snapshot > `snap` lives in a mirror manifest >
+    * `mirror_head` — so a batch reads the watermark (one small file)
+    * plus only the manifests SINCE it, making replay-ledger metadata
+    * IO O(commits since last watermark) ≈ O(batch snapshots) per
+    * applied batch instead of O(mirror commit history); a year-old
+    * streaming-cadence mirror (~500k commits) stays O(batch). Losing
+    * the file is safe: the fallback walks the full ledger once and
+    * the note markers still dedupe exactly.
+    */
+  private def wmFile(mirrorRoot: String) =
+    java.nio.file.Paths.get(mirrorRoot, "meta", "_cdc_watermark.json")
+
+  private def readWatermark(mirrorRoot: String): (Int, Int) = {
+    val p = wmFile(mirrorRoot)
+    if (!java.nio.file.Files.exists(p)) (0, 0)
+    else {
+      val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .replaceAll("[^0-9,]", "").split(",")
+      (parts(0).toInt, parts(1).toInt)
+    }
+  }
+
+  private def writeWatermark(mirrorRoot: String, snap: Int, mirrorHead: Int): Unit = {
+    val p = wmFile(mirrorRoot)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"._cdc_watermark.${System.nanoTime()}.tmp")
+    java.nio.file.Files.write(tmp,
+      s"""{"snap":$snap,"mirror_head":$mirrorHead}""".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The cdc marks recorded in mirror manifests (`sinceHead`, head] —
+    * with the watermark invariant above this is the complete set of
+    * marks for any upstream snapshot the batch could still need to
+    * dedupe against.
+    */
+  private def marksSince(mirrorRoot: String, sinceHead: Int,
+      head: Int): scala.collection.mutable.Set[String] = {
+    val s = scala.collection.mutable.Set.empty[String]
+    (math.max(1, sinceHead + 1) to head).foreach(i =>
+      s += LakeTable.manifest(mirrorRoot, i).note)
+    s
   }
 
   /** Apply one change-feed micro-batch (columns: the table's schema
@@ -44,10 +91,16 @@ object CdcApply {
       keyCol: String, cfg: BlockWriter.Config, statCols: Seq[String]): Int = {
     val b = batch.persist()
     try {
-      val snaps = b.select(col(CS)).distinct().collect().map(_.getInt(0)).sorted
+      val allSnaps = b.select(col(CS)).distinct().collect().map(_.getInt(0)).sorted
       var commits = 0
+      // watermark + tail marks, read ONCE per batch; commits made
+      // below are appended to the local set, never re-read from
+      // manifests — O(batch) metadata IO however old the mirror is
+      val (wm, wmHead) = readWatermark(mirrorRoot)
+      val seen = marksSince(mirrorRoot, wmHead,
+        LakeTable.currentSnapshot(mirrorRoot))
+      val snaps = allSnaps.filter(_ > wm)
       snaps.foreach { sn =>
-        val seen = appliedMarks(mirrorRoot)
         val delMark = s"cdc:$sn:delete"; val upsMark = s"cdc:$sn:upsert"
         val cur = b.filter(col(CS) === sn)
         val ins = cur.filter(col(CT) === "insert").drop(CT, CS)
@@ -57,6 +110,7 @@ object CdcApply {
         if (!seen.contains(delMark) && LakeTable.currentSnapshot(mirrorRoot) > 0 &&
             !delOnly.isEmpty) {
           LakeTable.deleteWhere(s, mirrorRoot, keyCol, delOnly, note = delMark)
+          seen += delMark
           commits += 1
         }
         if (!seen.contains(upsMark) && !ins.isEmpty) {
@@ -69,9 +123,16 @@ object CdcApply {
             LakeTable.merge(s, mirrorRoot, keyCol, aligned, cfg, statCols,
               note = upsMark)
           }
+          seen += upsMark
           commits += 1
         }
       }
+      // advance the watermark AFTER the batch's commits (the ordering
+      // the invariant needs); a crash before this line just means the
+      // next batch walks a slightly longer manifest tail
+      val newWm = if (snaps.nonEmpty) snaps.last else wm
+      if (newWm > wm || commits > 0)
+        writeWatermark(mirrorRoot, newWm, LakeTable.currentSnapshot(mirrorRoot))
       commits
     } finally { b.unpersist(); () }
   }

@@ -37,6 +37,28 @@ object DedupStream {
     head > 0 && LakeTable.manifest(root, head).note == s"batch-$id"
   }
 
+  /** ASYMMETRIC INDEX PROBE — which of this batch's docs LSH-collide
+    * with anything already indexed? The corpus-scale side is the
+    * persisted band index, so it must be the STREAMED side of the
+    * join: inner-join it against the broadcast micro-batch bands and
+    * project the batch doc_ids that collided. A left-semi with the
+    * corpus on the right would force Spark to broadcast or shuffle
+    * the whole index per micro-batch (only the RIGHT side of a semi
+    * can broadcast); this shape plans the corpus as scan →
+    * broadcast-hash-join probe, zero Exchange on the index side at
+    * any index size (StreamingSpec pins the plan — the only shuffle
+    * is the batch-sized distinct on the probe output). Same shape as
+    * the oracle-gated batch twin, `dedup_incremental`.
+    */
+  def probeDupIds(spark: SparkSession, bandsRoot: String,
+      bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    LakeTable.read(spark, bandsRoot)
+      .join(broadcast(bands.select("band", "bk", "doc_id")
+        .withColumnRenamed("doc_id", "probe_doc_id")), Seq("band", "bk"))
+      .select(col("probe_doc_id").as("doc_id")).distinct()
+  }
+
   /** Drain `inDir` (arriving document files) through the near-dup
     * gate into `resultsRoot`, maintaining `bandsRoot` as batches
     * land; returns (results commits, index commits).
@@ -69,9 +91,7 @@ object DedupStream {
           val df = batch.toDF()
           val bands = graft.util.QueryScratch.cached(
             MinhashIndex.bandsOf(MinhashIndex.baseOf(df)))
-          val dupIds = bands
-            .join(LakeTable.read(spark, bandsRoot), Seq("band", "bk"), "left_semi")
-            .select("doc_id").distinct()
+          val dupIds = probeDupIds(spark, bandsRoot, bands)
           val keep = graft.util.QueryScratch.cached(
             df.join(dupIds, Seq("doc_id"), "left_anti"))
           if (!keep.isEmpty) {

@@ -121,4 +121,89 @@ class CdfStreamSpec extends AnyFunSuite {
       batch.filter($"_change_snap" <= 2), "id", cfg, Seq("id")) === 0)
     assert(LakeTable.currentSnapshot(mir) === head)
   }
+
+  test("CdcApply replay ledger is O(batch): manifest reads per applied batch don't grow with mirror history") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.CdcApply
+    val up = graft.util.Scratch.dir("graft_cdcwm_up_")
+    val mir = graft.util.Scratch.dir("graft_cdcwm_mir_")
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 16)
+    LakeTable.commit(s, up,
+      (1L to 16L).map(i => (i, i % 4, i * 1.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    CdcApply.applyBatch(s, mir, LakeTable.changelogRead(s, up, 0, 1),
+      "id", cfg, Seq("id"))
+    // grow upstream one merge per batch; measure the manifest-IO of a
+    // single-snapshot batch EARLY (short mirror history) vs LATE
+    // (history ~3x longer): with the applied-snapshot watermark the
+    // replay ledger never re-walks mirror history, so the two deltas
+    // match — before the watermark this scan was O(mirror commits)
+    def oneBatch(i: Int): Long = {
+      LakeTable.merge(s, up,
+        "id", Seq((i * 2L % 16 + 1, (i * 2L % 16 + 1) % 4, i * 100.0))
+          .toDF("id", "grp", "v"), cfg, Seq("id"))
+      val h = LakeTable.currentSnapshot(up)
+      val batch = LakeTable.changelogRead(s, up, h - 1, h)
+      val before = LakeTable.manifestReadCount
+      assert(CdcApply.applyBatch(s, mir, batch, "id", cfg, Seq("id")) === 1)
+      LakeTable.manifestReadCount - before
+    }
+    val early = oneBatch(1)
+    (2 to 8).foreach(i => { oneBatch(i): Unit })
+    val late = oneBatch(9)
+    // allow a tiny constant wobble (casLoop retry) — what MUST NOT
+    // appear is the +8 a history-proportional ledger walk would add
+    assert(late <= early + 2,
+      s"replay-ledger manifest IO grew with mirror history: early=$early late=$late")
+    // replay of an already-applied batch: the watermark filters every
+    // snapshot out before any ledger read — zero manifest resolutions
+    val h = LakeTable.currentSnapshot(up)
+    val replay = LakeTable.changelogRead(s, up, h - 1, h)
+    val before = LakeTable.manifestReadCount
+    assert(CdcApply.applyBatch(s, mir, replay, "id", cfg, Seq("id")) === 0)
+    assert(LakeTable.manifestReadCount - before === 0L,
+      "replayed batch must not re-walk the mirror ledger")
+    // and the mirror still mirrors
+    val a = LakeTable.read(s, up)
+    val m = LakeTable.read(s, mir).select(a.columns.map(col).toIndexedSeq: _*)
+    assert(a.exceptAll(m).count() === 0L && m.exceptAll(a).count() === 0L)
+  }
+
+  test("changeFeed past retention fails pointedly, naming the expired snapshots") {
+    val s = spark
+    import s.implicits._
+    val root = graft.util.Scratch.dir("graft_cdfexp_")
+    val sink = graft.util.Scratch.dir("graft_cdfexp_sink_")
+    val ckpt = graft.util.Scratch.dir("graft_cdfexp_ck_")
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 8)
+    val base = (1L to 30L).map(i => (i, i % 3, s"k$i")).toDF("id", "grp", "name")
+    LakeTable.commit(s, root, base.filter($"id" <= 10), cfg, Seq("id"))
+    drain(root, sink, ckpt) // checkpoint now at snapshot 1
+    LakeTable.commit(s, root, base.filter($"id" > 10 && $"id" <= 20), cfg, Seq("id"))
+    LakeTable.commit(s, root, base.filter($"id" > 20), cfg, Seq("id"))
+    // retention removes manifest 1 — INSIDE the checkpointed range
+    // (1, 3] the next drain will ask for (snapshot 2's attribution
+    // needs its pre-image, snapshot 1)
+    LakeTable.expire(root, 2) // returns reclaimed DATA files (0 here:
+    // snap-1's files are still live downstream); the MANIFEST is gone
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "meta", "manifest-1.json")))
+    val e = intercept[Exception] { drain(root, sink, ckpt) }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("expired by retention"),
+      s"wanted a pointed retention error, got: $msgs")
+    assert(msgs.contains("snapshot(s) 1 "),
+      s"error must name the missing snapshot, got: $msgs")
+    // the direct API fails the same way (not a NoSuchFileException)
+    val e2 = intercept[IllegalStateException] {
+      LakeTable.changelogRead(s, root, 1, 3)
+    }
+    assert(e2.getMessage.contains("snapshot(s) 1 ") &&
+      e2.getMessage.contains("retention"))
+    // a range fully inside retention still serves
+    assert(LakeTable.changelogRead(s, root, 2, 3)
+      .filter($"_change_snap" === 3).count() === 10L)
+  }
 }

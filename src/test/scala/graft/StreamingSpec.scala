@@ -229,6 +229,36 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("near-dup probe is asymmetric: index side plans scan→probe with no Exchange on its band keys") {
+    import graft.lake.LakeTable
+    import graft.operators.MinhashIndex
+    import graft.streaming.DedupStream
+    import graft.writer.BlockWriter
+    val docs = Tables.load(spark, sf, "documents")
+    val bandsRoot = graft.util.Scratch.dir("graft_ddpl_idx_")
+    val cfg = BlockWriter.Config("doc_id", "doc_id", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(spark, bandsRoot,
+      MinhashIndex.corpusBands(spark, sf), cfg, Seq("doc_id"))
+    val batchBands = MinhashIndex.bandsOf(
+      MinhashIndex.baseOf(docs.filter(MinhashIndex.batchPred).limit(50)))
+    val dupIds = DedupStream.probeDupIds(spark, bandsRoot, batchBands)
+    val plan = dupIds.queryExecution.executedPlan.toString
+    // the corpus-scale index must be PROBED, never moved: broadcast
+    // hash join with the micro-batch side built, and no shuffle keyed
+    // on the index's (band, bk) anywhere in the plan — the only
+    // Exchange is the batch-sized distinct on the probe output
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"index side must not sort-merge:\n$plan")
+    assert(!plan.contains("hashpartitioning(band"),
+      s"index side must not shuffle on its band keys:\n$plan")
+    // and the probe result is what the (oracle-equivalent) semi-join
+    // shape would produce
+    val viaSemi = batchBands.join(LakeTable.read(spark, bandsRoot),
+      Seq("band", "bk"), "left_semi").select("doc_id").distinct()
+    assert(dupIds.exceptAll(viaSemi).count() === 0L)
+    assert(viaSemi.exceptAll(dupIds).count() === 0L)
+  }
+
   test("custom-state sessionizer matches native session_window") {
     val ev = Tables.load(spark, sf, "events")
     val typed = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
