@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 
 /** Multimodal column plumbing: media ride as opaque `binary` columns
@@ -9,73 +13,158 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * streaming iterator, no driver involvement, partition-parallel at
   * any scale).
   *
-  * The decode step is a STUB: image/audio codecs are not available in
-  * this environment, so `decodeBatch` computes a deterministic fake
-  * (md5-derived dimensions) from the raw bytes. Swap its body for a
-  * JPEG/ffmpeg call; everything around it — schema, encoders, batch
-  * shape, partitioning — is real and tested.
+  * The image path is REAL: assets are genuine PNG files (encoded with
+  * `javax.imageio` from a deterministic per-document pixel formula),
+  * and every feature downstream is computed from pixels decoded back
+  * through `ImageIO.read` — a full codec round-trip per asset. PNG is
+  * lossless, so the oracle replays the generative formula in closed
+  * form and gates the decoded-pixel-derived integers exactly; a
+  * corrupted decode (wrong dims, wrong samples) flips the gate.
+  * Only VIDEO decode (mm_frames) remains a deterministic stand-in —
+  * the JVM ships no video codec.
+  *
+  * Fixture geometry: seed s (a 60-bit content hash) gives
+  * `w = 1 + s%64`, `h = 1 + (s/64)%48`, and gray pixel
+  * `g(x, y) = (s + y·w + x) mod 256` — chosen so per-image sums have
+  * a CLOSED FORM (consecutive residues mod 256), keeping the DuckDB
+  * oracle O(1) per document while the engine does real codec work.
   */
 object Multimodal {
 
-  /** An asset: opaque payload + typed metadata. */
+  // ImageIO's default on-disk stream cache would touch executor tmp
+  // for every encode/decode; everything here is in-memory byte arrays
+  ImageIO.setUseCache(false)
+
+  /** Generation recipe for one asset (seed = 60-bit content hash). */
+  final case class MmGen(doc_id: Long, source: String, seed: Long)
+
+  /** An asset: opaque payload (real PNG bytes) + typed metadata. */
   final case class MmAsset(doc_id: Long, source: String, payload: Array[Byte])
 
-  /** Extracted features (all deterministic from payload bytes). */
+  /** Features extracted from DECODED pixels (plus the container
+    * byte size; `n_bytes` is codec-dependent and never oracle-gated).
+    */
   final case class MmFeatures(
-      doc_id: Long, source: String, n_bytes: Long,
-      width: Long, height: Long, frames: Long, fp: Long)
+      doc_id: Long, source: String, n_bytes: Long, n_px: Long,
+      width: Long, height: Long, gray_sum: Long, gray_min: Long,
+      gray_max: Long, fp: Long)
 
+  implicit val genEnc: Encoder[MmGen] = Encoders.product[MmGen]
   implicit val assetEnc: Encoder[MmAsset] = Encoders.product[MmAsset]
   implicit val featEnc: Encoder[MmFeatures] = Encoders.product[MmFeatures]
 
-  /** STUB decoder: one MessageDigest per partition (the "codec
-    * init"), then a streaming map over the batch — the exact shape of
-    * a real decode loop.
+  private def dims(seed: Long): (Int, Int) =
+    ((1L + seed % 64L).toInt, (1L + (seed / 64L) % 48L).toInt)
+
+  /** Encode one REAL grayscale PNG from the deterministic formula. */
+  def encodePng(seed: Long): Array[Byte] = {
+    val (w, h) = dims(seed)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((seed + y.toLong * w + x) % 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(w * h / 2 + 128)
+    require(ImageIO.write(img, "png", bos), "no PNG writer on this JVM")
+    bos.toByteArray
+  }
+
+  /** Synthesize the PNG fixture: one batched per-partition encode. */
+  def synthesize(gens: Dataset[MmGen]): Dataset[MmAsset] =
+    gens.mapPartitions(_.map(g =>
+      MmAsset(g.doc_id, g.source, encodePng(g.seed))))(assetEnc)
+
+  /** REAL decode: `ImageIO.read` per asset, features from the decoded
+    * raster — width/height from the codec, gray stats from a full
+    * sample scan. Batched per-partition (streaming iterator, no
+    * driver involvement); swap the PNG reader for JPEG/WebP and
+    * nothing around it changes.
     */
   def decodeBatch(it: Iterator[MmAsset]): Iterator[MmFeatures] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
     it.map { a =>
-      md.reset()
-      val hex = md.digest(a.payload).map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.take(15), 16)
-      val nBytes = a.payload.length.toLong
-      MmFeatures(a.doc_id, a.source, nBytes,
-        width = h % 640L,
-        height = (h / 640L) % 480L,
-        frames = nBytes % 30L,
-        fp = h % 1000000007L)
+      val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+      require(img != null, s"undecodable payload for doc ${a.doc_id}")
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L; var mn = 255L; var mx = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0).toLong
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      MmFeatures(a.doc_id, a.source, a.payload.length.toLong,
+        w.toLong * h, w.toLong, h.toLong, sum, mn, mx,
+        fp = (sum * 1000003L + w.toLong * 1000L + h) % 1000000007L)
     }
   }
 
   def features(assets: Dataset[MmAsset]): Dataset[MmFeatures] =
     assets.mapPartitions(decodeBatch)(featEnc)
 
-  /** Features + aspect-fit resize target. */
+  /** Decoded dims + aspect-fit geometry + REAL 8×8 nearest-neighbor
+    * thumbnail stats (the perceptual average-hash shape).
+    */
   final case class MmResized(
       doc_id: Long, source: String, width: Long, height: Long,
-      out_w: Long, out_h: Long)
+      out_w: Long, out_h: Long, thumb_sum: Long, ahash_pop: Long)
 
   implicit val resizedEnc: Encoder[MmResized] = Encoders.product[MmResized]
 
-  /** Aspect-fit resize into a `boxW`×`boxH` target, ALL-INTEGER
-    * rational arithmetic (w·boxH ≤ h·boxW decides the binding axis;
-    * the free axis floor-scales) — deterministic across engines, no
-    * float rounding. Zero dims clamp to 1 (the stub's h%640 can be 0;
-    * a real decoder never emits it). This is the preprocessing step a
-    * vision pipeline runs between decode and feature extraction; a
-    * real implementation swaps the arithmetic for the actual pixel
-    * resample with identical geometry.
+  /** Aspect-fit into a `boxW`×`boxH` target, ALL-INTEGER rational
+    * arithmetic (w·boxH ≤ h·boxW decides the binding axis; the free
+    * axis floor-scales) — deterministic across engines, no float
+    * rounding.
     */
-  def resizeBatch(it: Iterator[MmFeatures], boxW: Long, boxH: Long): Iterator[MmResized] =
-    it.map { f =>
-      val w = math.max(1L, f.width)
-      val h = math.max(1L, f.height)
-      val (ow, oh) =
-        if (w * boxH <= h * boxW) (w * boxH / h, boxH)
-        else (boxW, h * boxW / w)
-      MmResized(f.doc_id, f.source, w, h, ow, oh)
+  def fitBox(w: Long, h: Long, boxW: Long, boxH: Long): (Long, Long) = {
+    val ww = math.max(1L, w); val hh = math.max(1L, h)
+    if (ww * boxH <= hh * boxW) (ww * boxH / hh, boxH)
+    else (boxW, hh * boxW / ww)
+  }
+
+  /** Decode (real), fit the box, then take a REAL 8×8 nearest-neighbor
+    * thumbnail from the decoded raster — `thumb_sum` is the 64-sample
+    * sum and `ahash_pop` the count of samples strictly above the
+    * floor-mean (the average-hash popcount, an all-integer perceptual
+    * fingerprint). Every output is decoded-pixel-derived.
+    */
+  def resizeBatch(it: Iterator[MmAsset], boxW: Long, boxH: Long): Iterator[MmResized] =
+    it.map { a =>
+      val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+      require(img != null, s"undecodable payload for doc ${a.doc_id}")
+      val w = img.getWidth.toLong; val h = img.getHeight.toLong
+      val raster = img.getRaster
+      val (ow, oh) = fitBox(w, h, boxW, boxH)
+      val samples = new Array[Long](64)
+      var i = 0
+      var ty = 0
+      while (ty < 8) {
+        var tx = 0
+        while (tx < 8) {
+          samples(i) = raster.getSample(
+            (tx * w / 8L).toInt, (ty * h / 8L).toInt, 0).toLong
+          i += 1; tx += 1
+        }
+        ty += 1
+      }
+      val thumbSum = samples.sum
+      val mean = thumbSum / 64L
+      MmResized(a.doc_id, a.source, w, h, ow, oh, thumbSum,
+        samples.count(_ > mean).toLong)
     }
 
   def resized(assets: Dataset[MmAsset], boxW: Long, boxH: Long): Dataset[MmResized] =
-    features(assets).mapPartitions(it => resizeBatch(it, boxW, boxH))(resizedEnc)
+    assets.mapPartitions(it => resizeBatch(it, boxW, boxH))(resizedEnc)
 }

@@ -2252,42 +2252,64 @@ object LlmPipeline {
   // ===================== multimodal =====================
   import graft.multimodal.Multimodal
 
-  // --- mm_features: opaque binary payloads + typed metadata through
-  // the batched per-partition decode stub, reduced to per-source
-  // stats. The decode is a deterministic fake (see Multimodal); the
-  // Spark-side plumbing — binary column, typed Dataset, mapPartitions
-  // batch shape — is the real article.
+  // --- mm_features: REAL image decode — each document seeds a
+  // genuine PNG (encoded executor-side with javax.imageio from a
+  // deterministic pixel formula), and every gated integer below is
+  // computed from pixels decoded back through ImageIO.read: a full
+  // codec round-trip per asset, batched per partition. PNG is
+  // lossless, so the oracle replays the generative formula in closed
+  // form (consecutive residues mod 256 ⇒ O(1) per-image sums) — a
+  // decoder that mangled dims or samples would flip the gate. The
+  // per-source reduce keeps the output matrix-sized at any corpus.
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
-    val assets = t(s, dir, "documents")
+    val gens = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        col("text").cast("binary").as("payload"))
-      .as[MmAsset](assetEnc)
-    Multimodal.features(assets).toDF()
+        TextFns.hash60Composed(col("text")).as("seed"))
+      .as[MmGen](genEnc)
+    Multimodal.features(Multimodal.synthesize(gens)).toDF()
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
-        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("n_px")).as("sum_px"),
         min(col("width")).as("min_w"),
         max(col("width")).as("max_w"),
-        sum(col("frames")).as("sum_frames"),
+        sum(col("gray_sum")).as("sum_gray"),
+        sum(when(col("gray_min") === 0L && col("gray_max") === 255L, 1L)
+          .otherwise(0L)).as("n_full_range"),
         countDistinct(col("fp")).as("n_fp"))
       .orderBy(col("source"))
   }
 
+  // The oracle's closed form: pixels are the consecutive residues
+  // (m, m+1, …, m+n−1) mod 256 with m = seed mod 256, n = w·h, so
+  // with S(t) = (t div 256)·32640 + r(r−1)/2, r = t mod 256 (sum of
+  // the first t residues), gray_sum = S(m+n) − S(m) = S(m+n) −
+  // m(m−1)/2; min/max are m / m+n−1 unless the run wraps past 255.
   val mmFeaturesSql: String =
-    s"""WITH f AS (
+    s"""WITH g AS (
        |  SELECT doc_id, source,
-       |    octet_length(encode(text)) AS n_bytes,
-       |    ${hash60Sql("text")} % 640 AS width,
-       |    (${hash60Sql("text")} // 640) % 480 AS height,
-       |    octet_length(encode(text)) % 30 AS frames,
-       |    ${hash60Sql("text")} % 1000000007 AS fp
-       |  FROM documents
-       |)
-       |SELECT source, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-       |  MIN(width) AS min_w, MAX(width) AS max_w,
-       |  CAST(SUM(frames) AS BIGINT) AS sum_frames, COUNT(DISTINCT fp) AS n_fp
-       |FROM f
+       |    1 + ${hash60Sql("text")} % 64 AS w,
+       |    1 + (${hash60Sql("text")} // 64) % 48 AS h,
+       |    ${hash60Sql("text")} % 256 AS m
+       |  FROM documents),
+       |f AS (
+       |  SELECT source, w, h, w * h AS n_px,
+       |    ((m + w*h) // 256) * 32640
+       |      + ((m + w*h) % 256) * (((m + w*h) % 256) - 1) // 2
+       |      - m * (m - 1) // 2 AS gray_sum,
+       |    CASE WHEN m + w*h <= 256 THEN m ELSE 0 END AS gray_min,
+       |    CASE WHEN m + w*h <= 256 THEN m + w*h - 1 ELSE 255 END AS gray_max
+       |  FROM g),
+       |f2 AS (
+       |  SELECT source, w, h, n_px, gray_sum, gray_min, gray_max,
+       |    (gray_sum * 1000003 + w * 1000 + h) % 1000000007 AS fp
+       |  FROM f)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(n_px) AS BIGINT) AS sum_px,
+       |  MIN(w) AS min_w, MAX(w) AS max_w,
+       |  CAST(SUM(gray_sum) AS BIGINT) AS sum_gray,
+       |  CAST(SUM(CASE WHEN gray_min = 0 AND gray_max = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_range,
+       |  COUNT(DISTINCT fp) AS n_fp
+       |FROM f2
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
@@ -2564,48 +2586,65 @@ object LlmPipeline {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
-  // --- mm_resize: decode → aspect-fit resize → reduce, the standard
-  // vision-pipeline preprocessing chain, through the same batched
-  // mapPartitions plumbing as mm_features. Resize geometry is
-  // all-integer rational arithmetic (binding axis by cross-product
-  // compare, free axis floor-scales), so the oracle replays it
-  // exactly; out dims never exceed the 224-box and preserve aspect.
+  // --- mm_resize: REAL decode → aspect-fit resize → REAL 8×8
+  // nearest-neighbor thumbnail, the standard vision-preprocessing
+  // chain through the same batched mapPartitions plumbing as
+  // mm_features (same PNG fixture, same ImageIO.read round-trip).
+  // Geometry is all-integer rational arithmetic (binding axis by
+  // cross-product compare, free axis floor-scales); the thumbnail's
+  // 64 samples come from the DECODED raster, reduced to the
+  // average-hash popcount — the perceptual-fingerprint shape — so
+  // the gated integers are decoded-pixel-derived end to end.
   private val MM_BOX = 224L
 
   def mmResize(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
-    val assets = t(s, dir, "documents")
+    val gens = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        col("text").cast("binary").as("payload"))
-      .as[MmAsset](assetEnc)
-    Multimodal.resized(assets, MM_BOX, MM_BOX).toDF()
+        TextFns.hash60Composed(col("text")).as("seed"))
+      .as[MmGen](genEnc)
+    Multimodal.resized(Multimodal.synthesize(gens), MM_BOX, MM_BOX).toDF()
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(col("out_w")).as("sum_w"),
         sum(col("out_h")).as("sum_h"),
-        sum(when(col("out_w") === MM_BOX || col("out_h") === MM_BOX, 1L)
-          .otherwise(0L)).as("n_at_box"))
+        sum(col("thumb_sum")).as("sum_thumb"),
+        sum(col("ahash_pop")).as("sum_pop"))
       .orderBy(col("source"))
   }
 
   val mmResizeSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, source,
-       |    greatest(1, ${hash60Sql("text")} % 640) AS w,
-       |    greatest(1, (${hash60Sql("text")} // 640) % 480) AS h
+    s"""WITH g AS (
+       |  SELECT doc_id, source, ${hash60Sql("text")} AS seed,
+       |    1 + ${hash60Sql("text")} % 64 AS w,
+       |    1 + (${hash60Sql("text")} // 64) % 48 AS h
        |  FROM documents),
        |r AS (
-       |  SELECT source,
-       |    CASE WHEN w * $MM_BOX <= h * $MM_BOX THEN (w * $MM_BOX) // h ELSE $MM_BOX END AS out_w,
-       |    CASE WHEN w * $MM_BOX <= h * $MM_BOX THEN $MM_BOX ELSE (h * $MM_BOX) // w END AS out_h
-       |  FROM d)
-       |SELECT source, COUNT(*) AS n,
+       |  SELECT doc_id, source,
+       |    CASE WHEN w <= h THEN (w * $MM_BOX) // h ELSE $MM_BOX END AS out_w,
+       |    CASE WHEN w <= h THEN $MM_BOX ELSE (h * $MM_BOX) // w END AS out_h
+       |  FROM g),
+       |cells AS (
+       |  SELECT doc_id, source,
+       |    (seed + ((ty.v * h) // 8) * w + ((tx.v * w) // 8)) % 256 AS gv
+       |  FROM g, LATERAL unnest(generate_series(0, 7)) tx(v),
+       |       LATERAL unnest(generate_series(0, 7)) ty(v)),
+       |c2 AS (
+       |  SELECT doc_id, source, gv,
+       |    SUM(gv) OVER (PARTITION BY doc_id) AS ts
+       |  FROM cells),
+       |pd AS (
+       |  SELECT doc_id, MAX(ts) AS thumb_sum,
+       |    SUM(CASE WHEN gv > ts // 64 THEN 1 ELSE 0 END) AS pop
+       |  FROM c2 GROUP BY doc_id)
+       |SELECT r.source, COUNT(*) AS n,
        |  CAST(SUM(out_w) AS BIGINT) AS sum_w,
        |  CAST(SUM(out_h) AS BIGINT) AS sum_h,
-       |  CAST(SUM(CASE WHEN out_w = $MM_BOX OR out_h = $MM_BOX THEN 1 ELSE 0 END) AS BIGINT) AS n_at_box
-       |FROM r
-       |GROUP BY source
-       |ORDER BY source""".stripMargin
+       |  CAST(SUM(thumb_sum) AS BIGINT) AS sum_thumb,
+       |  CAST(SUM(pop) AS BIGINT) AS sum_pop
+       |FROM r JOIN pd USING (doc_id)
+       |GROUP BY r.source
+       |ORDER BY r.source""".stripMargin
 
   // --- mm_frames: the video-frame-sampling pattern — each asset
   // expands to a strided frame index set (stub "frames" derived from

@@ -183,19 +183,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("resizeBatch: aspect-fit geometry bounds and ratio (100 seeded trials)") {
+  test("fitBox: aspect-fit geometry bounds and ratio (100 seeded trials)") {
     import graft.multimodal.Multimodal
     val rnd = new scala.util.Random(9000)
-    val feats = Seq.fill(100)(Multimodal.MmFeatures(0L, "s", 0L,
-      width = rnd.nextInt(641).toLong, height = rnd.nextInt(481).toLong, 0L, 0L))
-    val out = Multimodal.resizeBatch(feats.iterator, 224L, 224L).toSeq
-    for (r <- out) {
-      assert(r.out_w <= 224L && r.out_h <= 224L, s"exceeds box: $r")
-      assert(r.out_w == 224L || r.out_h == 224L, s"not fit to box: $r")
-      assert(r.out_w >= 1L && r.out_h >= 1L, s"degenerate: $r")
-      // aspect preserved within floor rounding: out_w/out_h ≈ w/h
-      assert(math.abs(r.out_w * r.height - r.out_h * r.width) <=
-        math.max(r.width, r.height), s"aspect drifted: $r")
+    for (_ <- 0 until 100) {
+      val w = rnd.nextInt(641).toLong; val h = rnd.nextInt(481).toLong
+      val (ow, oh) = Multimodal.fitBox(w, h, 224L, 224L)
+      assert(ow <= 224L && oh <= 224L, s"exceeds box: ($w,$h)->($ow,$oh)")
+      assert(ow == 224L || oh == 224L, s"not fit to box: ($w,$h)->($ow,$oh)")
+      assert(ow >= 1L && oh >= 1L, s"degenerate: ($w,$h)->($ow,$oh)")
+      // aspect preserved within floor rounding: ow/oh ≈ w/h
+      val ww = math.max(1L, w); val hh = math.max(1L, h)
+      assert(math.abs(ow * hh - oh * ww) <= math.max(ww, hh),
+        s"aspect drifted: ($w,$h)->($ow,$oh)")
+    }
+  }
+
+  test("PNG codec round-trip: decoded dims, sums, min/max, thumbnail match the generative formula (200 seeded trials)") {
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(9100)
+    for (trial <- 0 until 200) {
+      val seed = math.abs(rnd.nextLong()) % (1L << 60)
+      val png = Multimodal.encodePng(seed)
+      // a REAL PNG container (magic bytes), decoded with ImageIO
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+        png(3) == 'G', s"trial $trial: not a PNG container")
+      val f = Multimodal.decodeBatch(
+        Iterator(Multimodal.MmAsset(trial.toLong, "s", png))).next()
+      val w = 1L + seed % 64L; val h = 1L + (seed / 64L) % 48L
+      assert(f.width === w && f.height === h, s"trial $trial dims")
+      assert(f.n_px === w * h)
+      // lossless: decoded samples are the consecutive residues mod 256
+      val m = seed % 256L; val n = w * h
+      def S(t: Long): Long = (t / 256L) * 32640L + (t % 256L) * (t % 256L - 1L) / 2L
+      assert(f.gray_sum === S(m + n) - S(m), s"trial $trial gray_sum")
+      assert(f.gray_min === (if (m + n <= 256L) m else 0L), s"trial $trial min")
+      assert(f.gray_max === (if (m + n <= 256L) m + n - 1L else 255L), s"trial $trial max")
+      // thumbnail: 64 nearest-neighbor samples from the decoded raster
+      val r = Multimodal.resizeBatch(
+        Iterator(Multimodal.MmAsset(trial.toLong, "s", png)), 224L, 224L).next()
+      val samples = for (ty <- 0 until 8; tx <- 0 until 8)
+        yield (seed + (ty * h / 8L) * w + (tx * w / 8L)) % 256L
+      assert(r.thumb_sum === samples.sum, s"trial $trial thumb_sum")
+      assert(r.ahash_pop === samples.count(_ > samples.sum / 64L).toLong,
+        s"trial $trial ahash_pop")
     }
   }
 
