@@ -163,4 +163,79 @@ object IvfIndex {
           parallelism = Some(4)),
         Seq("vec_id", "cid"), note = note)
     }
+
+  // ---------------- codebook drift policy ----------------
+
+  /** THE REFRESH TRIGGER the frozen-codebook lifecycle needs: measure
+    * recall@K of the index AS IT STANDS (frozen codebook + every
+    * appended batch's assignments) against the exact ranking on the
+    * post-append corpus, and report `retrain` / `keep`. Run after
+    * appends, it is the drift gate that decides when "re-training is
+    * an explicit offline refresh" actually fires: arriving data the
+    * stale cells no longer separate (mass between old centroids, new
+    * modes) degrades probe recall, and the verdict flips once the
+    * corpus-level recall falls below `retrainBp`.
+    *
+    * Scale shape: truth is ONE exact scan (the ann_topk plan — query
+    * side broadcast, no corpus shuffle); the probe reads `nprobe`
+    * cells' lists; the comparison joins two K-row-per-query sets —
+    * metadata-sized at any corpus. Every score is integer basis
+    * points, so the DuckDB oracle replays the gate exactly.
+    *
+    * @param e  (vec_id, v: array<double>) — the post-append corpus
+    * @param vi (vec_id, vi: array<bigint>) — its integer vectors
+    * @param nQueries queries are `vec_id < nQueries` (the standard
+    *   query convention of the ann_* family)
+    */
+  def recallGate(s: SparkSession, ref: Ref, e: DataFrame, vi: DataFrame,
+      nQueries: Int, nprobe: Int, k: Int, retrainBp: Long): DataFrame = {
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.expressions.Window
+    val cents = codebook(s, ref)
+    val cls = cells(s, ref).select(col("vec_id"), col("cid").as("cell"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val qProbe = vi.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        graft.queries.Advanced.kmD2(col("vi"), col("ci")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = cls.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_bp").desc, col("n_id").asc)
+    val got = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("nv")).as("cos_bp"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val truth = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("v")).as("cos_bp"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"))
+    val perQ = truth
+      .join(got.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hits"))
+      .withColumn("recall_bp", (col("n_hits") * 10000L / k).cast("bigint"))
+    val overall = perQ.agg(
+      (sum(col("n_hits")) * 10000L / (count(lit(1)) * k))
+        .cast("bigint").as("corpus_recall_bp"))
+    perQ.crossJoin(broadcast(overall))
+      .withColumn("verdict",
+        when(col("corpus_recall_bp") < retrainBp, "retrain").otherwise("keep"))
+      .select(col("q_id"), col("n_hits"), col("recall_bp"),
+        col("corpus_recall_bp"), col("verdict"))
+      .orderBy(col("q_id"))
+  }
 }

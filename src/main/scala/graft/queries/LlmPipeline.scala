@@ -1988,6 +1988,99 @@ object LlmPipeline {
        |FROM m
        |ORDER BY method, q_id""".stripMargin
 
+  // --- ann_drift_gate: the CODEBOOK DRIFT POLICY on the incremental
+  // IVF index (IvfIndex.recallGate) — the refresh trigger the
+  // frozen-codebook lifecycle (ann_ivf_append) was missing: after the
+  // batch lands, measure recall@K of the index AS MAINTAINED (frozen
+  // corpus-trained codebook + appended assignments) against the exact
+  // ranking on the post-append corpus, and report `retrain` / `keep`
+  // per the corpus-level recall threshold. This is the number that
+  // decides when "re-training is an explicit offline refresh"
+  // actually fires. Scale: one exact scan for truth (ann_topk's
+  // broadcast-query plan), nprobe cell lists for the probe, K-row-
+  // per-query joins for the comparison — the gate costs one
+  // evaluation pass, never a retrain. All-integer basis points; the
+  // oracle replays index, probe, truth and verdict end to end.
+  private val DRIFT_RETRAIN_BP = 8000L
+
+  def annDriftGate(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val viBase = graft.util.QueryScratch.cached(
+      e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi")))
+    val ref = graft.operators.IvfIndex.ensureCorpusIvf(s, dir, viBase)
+    graft.operators.IvfIndex.appendBatch(s, dir,
+      viBase.filter(graft.operators.IvfIndex.batchPred))
+    graft.operators.IvfIndex.recallGate(s, ref,
+      e.select(col("vec_id"), col("v")), viBase,
+      nQueries = 10, nprobe = IVF_NPROBE, k = ANN_K,
+      retrainBp = DRIFT_RETRAIN_BP)
+  }
+
+  /** Replays the frozen-codebook index (ann_ivf_append's CTEs), the
+    * nprobe probe, the exact truth (ann_topk), and the verdict.
+    */
+  val annDriftGateSql: String = {
+    val K1 = Advanced.KM_K + 1
+    s"""WITH n AS ($embBaseSql),
+       |b AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vi
+       |  FROM embeddings),
+       |bc AS (SELECT * FROM b WHERE vec_id % 10 <> 0),
+       |c0 AS (SELECT vec_id AS cid, vi AS ci FROM bc WHERE vec_id < $K1),
+       |d1 AS (SELECT bc.vec_id, c0.cid, ${Advanced.kmSqlD2("bc.vi", "c0.ci")} AS d2 FROM bc, c0),
+       |a1 AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u AS (SELECT a1.cid, t.i AS pos,
+       |    CAST(FLOOR(SUM(bc.vi[t.i])::DOUBLE / COUNT(*)) AS BIGINT) AS cv
+       |  FROM a1 JOIN bc USING (vec_id), range(1, 65) t(i)
+       |  GROUP BY a1.cid, t.i),
+       |c1 AS (SELECT cid, list(cv ORDER BY pos) AS ci FROM u GROUP BY cid),
+       |dall AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |aall AS (SELECT vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dall)
+       |  WHERE rn = 1),
+       |qp AS (SELECT q_id, cell FROM (
+       |    SELECT vec_id AS q_id, cid AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dall WHERE vec_id < 10)
+       |  WHERE rn <= $IVF_NPROBE),
+       |cand AS (SELECT DISTINCT qp.q_id, a.vec_id AS n_id
+       |  FROM aall a JOIN qp ON a.cid = qp.cell WHERE a.vec_id <> qp.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CAST(floor(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand JOIN n x ON x.vec_id = cand.q_id JOIN n y ON y.vec_id = cand.n_id),
+       |got AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $ANN_K),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+       |tscored AS (
+       |  SELECT q.q_id, n.vec_id AS n_id,
+       |    CAST(floor(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM n JOIN q ON n.vec_id <> q.q_id),
+       |truth AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS rank
+       |    FROM tscored)
+       |  WHERE rank <= $ANN_K),
+       |perq AS (
+       |  SELECT truth.q_id, COUNT(got.n_id) AS n_hits
+       |  FROM truth LEFT JOIN got
+       |    ON got.q_id = truth.q_id AND got.n_id = truth.n_id
+       |  GROUP BY truth.q_id),
+       |ov AS (SELECT CAST(SUM(n_hits) * 10000 // (COUNT(*) * $ANN_K) AS BIGINT) AS corpus_recall_bp
+       |  FROM perq)
+       |SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits * 10000 // $ANN_K AS BIGINT) AS recall_bp,
+       |  corpus_recall_bp,
+       |  CASE WHEN corpus_recall_bp < $DRIFT_RETRAIN_BP THEN 'retrain' ELSE 'keep' END AS verdict
+       |FROM perq, ov
+       |ORDER BY q_id""".stripMargin
+  }
+
   // --- ann_pq: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "Product
   // Quantization for Nearest Neighbor Search") — the memory-bound
   // scale path: the 64-dim corpus compresses to M=2 subspace codes
@@ -3171,6 +3264,7 @@ object LlmPipeline {
     "ann_ivf" -> annIvf,
     "ann_filtered" -> annFiltered,
     "ann_recall" -> annRecall,
+    "ann_drift_gate" -> annDriftGate,
     "ann_pq" -> annPq,
     "embed_quant" -> embedQuant,
     "dedup_semantic" -> dedupSemantic,
@@ -3227,6 +3321,7 @@ object LlmPipeline {
     "ann_ivf" -> annIvfSql,
     "ann_filtered" -> annFilteredSql,
     "ann_recall" -> annRecallSql,
+    "ann_drift_gate" -> annDriftGateSql,
     "ann_pq" -> annPqSql,
     "embed_quant" -> embedQuantSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -670,6 +670,84 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(IvfIndex.cells(s, ref).count() === rebuilt.count())
   }
 
+  test("drift gate: in-distribution batch keeps the frozen codebook; drifted batch flips the verdict to retrain") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    def vec(parts: (Int, Double)*): Array[Double] = {
+      val a = new Array[Double](dim)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    // frozen codebook: three axis cells (scaled-int, the trainer's units)
+    def axis(i: Int): Array[Long] = {
+      val a = new Array[Long](dim); a(i) = 1000000L; a
+    }
+    def gate(tag: String, rows: Seq[(Long, Array[Double])]): org.apache.spark.sql.DataFrame = {
+      val ref = IvfIndex.Ref(graft.util.Scratch.dir(s"graft_drift_${tag}_"))
+      val cbCfg = graft.writer.BlockWriter.Config("cid", "cid",
+        maxRecordsPerFile = 1 << 20, parallelism = Some(1))
+      val cfg = graft.writer.BlockWriter.Config("cid", "vec_id",
+        maxRecordsPerFile = 1 << 20, parallelism = Some(2))
+      LakeTable.commit(s, ref.codebookPath,
+        Seq((1L, axis(0)), (2L, axis(1)), (3L, axis(2))).toDF("cid", "ci"),
+        cbCfg, Seq("cid"))
+      val e = rows.toDF("vec_id", "v")
+      val vi = e.select(col("vec_id"),
+        transform(col("v"), x => floor(x * lit(1000000.0) + lit(0.5))
+          .cast("bigint")).as("vi"))
+      // assignments against the FROZEN codebook — the exact arithmetic
+      // ensureCorpusIvf/appendBatch run (the append==reassign law is
+      // pinned by the IVF append test above)
+      LakeTable.commit(s, ref.cellsPath,
+        graft.queries.Advanced.kmAssign(vi, LakeTable.read(s, ref.codebookPath)),
+        cfg, Seq("vec_id", "cid"))
+      IvfIndex.recallGate(s, ref, e, vi,
+        nQueries = 3, nprobe = 2, k = 8, retrainBp = 8000L)
+    }
+    // shared standing corpus: 7 members per axis cluster
+    val corpus: Seq[(Long, Array[Double])] =
+      (0 until 3).flatMap { c =>
+        (1 to 7).map(i => ((c + 1) * 10 + i).toLong ->
+          vec(c -> 1.0, 4 -> 0.001 * i))
+      }
+    // KEEP: queries at the cluster cores, batch lands at the cores too
+    // — the frozen cells still separate the data, probe recall is
+    // perfect, verdict holds the codebook
+    val keepRows = corpus ++
+      Seq(0L -> vec(0 -> 1.0, 3 -> 0.001), 1L -> vec(1 -> 1.0, 3 -> 0.002),
+        2L -> vec(2 -> 1.0, 3 -> 0.003)) ++
+      Seq(40L -> vec(0 -> 1.0, 4 -> 0.009), 50L -> vec(1 -> 1.0, 4 -> 0.009),
+        60L -> vec(2 -> 1.0, 4 -> 0.009))
+    val keep = gate("keep", keepRows).collect()
+    assert(keep.length === 3)
+    assert(keep.forall(_.getAs[String]("verdict") == "keep"), keep.mkString(";"))
+    assert(keep.forall(_.getAs[Long]("recall_bp") == 10000L), keep.mkString(";"))
+    // RETRAIN: a new mode BETWEEN the stale centroids — nine batch
+    // vectors on the (1,1,1) diagonal, each tilted toward one axis so
+    // the frozen cells split the mode across all three lists; queries
+    // sit on the diagonal and probe only nprobe=2 cells, so a third
+    // of their true neighbors live in the unprobed cell → recall
+    // drops below the threshold and the verdict flips
+    val diag = Seq(0, 1, 2)
+    val drifted = corpus ++
+      (0 until 3).map(q => q.toLong ->
+        vec(0 -> 1.0, 1 -> 1.0, 2 -> 1.0, 3 -> 0.001 * (q + 1))) ++
+      (0 until 9).map { j =>
+        val tilt = diag(j % 3)
+        (40L + 10L * j) ->
+          vec(0 -> 1.0, 1 -> 1.0, 2 -> 1.0, tilt -> 1.05)
+      }
+    val retrain = gate("retrain", drifted).collect()
+    assert(retrain.length === 3)
+    assert(retrain.forall(_.getAs[String]("verdict") == "retrain"),
+      retrain.mkString(";"))
+    assert(retrain.forall(_.getAs[Long]("corpus_recall_bp") < 8000L),
+      retrain.mkString(";"))
+    // the gate measured real loss, not a degenerate zero
+    assert(retrain.forall(_.getAs[Long]("n_hits") >= 1L), retrain.mkString(";"))
+  }
+
   test("cluster append: fixpoint runs on the contraction only; bridge merges are exact MoR upserts") {
     val s = spark
     import s.implicits._
