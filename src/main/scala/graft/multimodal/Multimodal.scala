@@ -56,8 +56,12 @@ object Multimodal {
   private def dims(seed: Long): (Int, Int) =
     ((1L + seed % 64L).toInt, (1L + (seed / 64L) % 48L).toInt)
 
-  /** Encode one REAL grayscale PNG from the deterministic formula. */
-  def encodePng(seed: Long): Array[Byte] = {
+  /** Encode one REAL grayscale PNG from the deterministic formula.
+    * `perturbed` adds +8 (mod 256) to every pixel with (x+y)%5==0 —
+    * the re-compression-artifact stand-in the perceptual near-dup
+    * fixture pairs against its original.
+    */
+  def encodePng(seed: Long, perturbed: Boolean = false): Array[Byte] = {
     val (w, h) = dims(seed)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -65,7 +69,8 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((seed + y.toLong * w + x) % 256L).toInt)
+        val d = if (perturbed && (x + y) % 5 == 0) 8L else 0L
+        raster.setSample(x, y, 0, ((seed + y.toLong * w + x + d) % 256L).toInt)
         x += 1
       }
       y += 1
@@ -76,9 +81,89 @@ object Multimodal {
   }
 
   /** Synthesize the PNG fixture: one batched per-partition encode. */
-  def synthesize(gens: Dataset[MmGen]): Dataset[MmAsset] =
+  def synthesize(gens: Dataset[MmGen], perturbed: Boolean = false): Dataset[MmAsset] =
     gens.mapPartitions(_.map(g =>
-      MmAsset(g.doc_id, g.source, encodePng(g.seed))))(assetEnc)
+      MmAsset(g.doc_id, g.source, encodePng(g.seed, perturbed))))(assetEnc)
+
+  /** Encode a REAL grayscale PNG of iid-NOISE pixels — each pixel is
+    * the first md5 byte of "seed:x:y". The near-dup fixture uses this
+    * family instead of the ramp: ramp images all cross their mean in
+    * the same few patterns, so their aHash signatures collapse into a
+    * handful of values (every image "near-dups" every other — the
+    * same correlated-noise failure histogram hashes have on
+    * shared-vocabulary corpora), while iid pixels give signatures the
+    * bit entropy real photos have. The oracle replays md5 only at the
+    * 64 sampled positions — O(1) per asset.
+    */
+  def encodeNoisePng(seed: Long, perturbed: Boolean = false): Array[Byte] = {
+    val (w, h) = dims(seed)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        md.reset()
+        val b = md.digest(s"$seed:$x:$y".getBytes("UTF-8"))(0) & 0xff
+        val d = if (perturbed && (x + y) % 5 == 0) 8 else 0
+        raster.setSample(x, y, 0, (b + d) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(w * h + 128)
+    require(ImageIO.write(img, "png", bos), "no PNG writer on this JVM")
+    bos.toByteArray
+  }
+
+  def synthesizeNoise(gens: Dataset[MmGen], perturbed: Boolean = false): Dataset[MmAsset] =
+    gens.mapPartitions(_.map(g =>
+      MmAsset(g.doc_id, g.source, encodeNoisePng(g.seed, perturbed))))(assetEnc)
+
+  /** The 64 nearest-neighbor thumbnail samples of a decoded image. */
+  private def thumb64(img: BufferedImage): Array[Long] = {
+    val w = img.getWidth.toLong; val h = img.getHeight.toLong
+    val raster = img.getRaster
+    val samples = new Array[Long](64)
+    var i = 0; var ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 8) {
+        samples(i) = raster.getSample(
+          (tx * w / 8L).toInt, (ty * h / 8L).toInt, 0).toLong
+        i += 1; tx += 1
+      }
+      ty += 1
+    }
+    samples
+  }
+
+  /** Perceptual signature: 64-bit AVERAGE HASH from the REAL decoded
+    * raster — bit i set iff thumbnail sample i exceeds the floor-mean.
+    * The standard aHash; hamming distance between signatures tracks
+    * perceptual difference, which is what near-dup banding keys on.
+    */
+  final case class MmSig(doc_id: Long, source: String, sig: Long)
+
+  implicit val sigEnc: Encoder[MmSig] = Encoders.product[MmSig]
+
+  def ahashBatch(it: Iterator[MmAsset]): Iterator[MmSig] =
+    it.map { a =>
+      val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+      require(img != null, s"undecodable payload for doc ${a.doc_id}")
+      val samples = thumb64(img)
+      val mean = samples.sum / 64L
+      var sig = 0L; var i = 0
+      while (i < 64) {
+        if (samples(i) > mean) sig |= (1L << i)
+        i += 1
+      }
+      MmSig(a.doc_id, a.source, sig)
+    }
+
+  def ahash(assets: Dataset[MmAsset]): Dataset[MmSig] =
+    assets.mapPartitions(ahashBatch)(sigEnc)
 
   /** REAL decode: `ImageIO.read` per asset, features from the decoded
     * raster — width/height from the codec, gray stats from a full
@@ -145,20 +230,8 @@ object Multimodal {
       val img = ImageIO.read(new ByteArrayInputStream(a.payload))
       require(img != null, s"undecodable payload for doc ${a.doc_id}")
       val w = img.getWidth.toLong; val h = img.getHeight.toLong
-      val raster = img.getRaster
       val (ow, oh) = fitBox(w, h, boxW, boxH)
-      val samples = new Array[Long](64)
-      var i = 0
-      var ty = 0
-      while (ty < 8) {
-        var tx = 0
-        while (tx < 8) {
-          samples(i) = raster.getSample(
-            (tx * w / 8L).toInt, (ty * h / 8L).toInt, 0).toLong
-          i += 1; tx += 1
-        }
-        ty += 1
-      }
+      val samples = thumb64(img)
       val thumbSum = samples.sum
       val mean = thumbSum / 64L
       MmResized(a.doc_id, a.source, w, h, ow, oh, thumbSum,

@@ -2739,6 +2739,125 @@ object LlmPipeline {
        |GROUP BY r.source
        |ORDER BY r.source""".stripMargin
 
+  // --- mm_neardup: PERCEPTUAL image near-dup — the gate exact
+  // content-hash dedup (mm_dedup) cannot serve: re-encoded /
+  // lightly-edited copies hash differently but LOOK the same. Each
+  // asset (original noise-family PNGs + perturbed re-encode variants
+  // for docs with doc_id%7==0 — the +8-on-a-fifth-of-pixels artifact
+  // pattern) decodes for REAL (ImageIO), reduces to a 64-bit AVERAGE
+  // HASH of its decoded 8×8 thumbnail, and candidates come from a
+  // 4×16-bit BANDED self-join on the signature (the simhash/LSH
+  // shape: by pigeonhole, recall-lossless for hamming ≤ 3; the usual
+  // recall/cost trade above) — only band-collided pairs pay the
+  // exact popcount, never all-pairs, and payloads never shuffle
+  // (8-byte signatures do). The fixture is the iid-noise image
+  // family (see Multimodal.encodeNoisePng): ramp images' signatures
+  // collapse into a handful of values (22% of ALL pairs band-collide
+  // — measured), which is both a useless fixture and a candidate
+  // explosion; noise pixels give real-photo bit entropy, so
+  // collisions are rare and planted variants dominate the verified
+  // set. Tiny images (n_px < 64) are excluded — their thumbnails
+  // sample too few distinct pixels and alias (exact dedup, mm_dedup,
+  // owns them). Gated per source: candidate pairs, verified
+  // near-dups (hamming ≤ 16), variant-pair hits, hamming mass.
+  private val MM_VAR_OFFSET = 10000000L
+  private val MM_HAM_MAX = 16
+
+  def mmNeardup(s: SparkSession, dir: String): DataFrame = {
+    import Multimodal._
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFns.hash60Composed(col("text")).as("seed"))
+    // w·h from the seed with EXACT integer arithmetic: the seed is
+    // 60-bit, so double-routed division (idiv) loses low bits past
+    // 2^53 — seed/64 is a shift instead
+    val keepPred = (lit(1L) + col("seed") % 64L) *
+      (lit(1L) + shiftrightunsigned(col("seed"), 6) % 48L) >= 64L
+    val orig = base.filter(keepPred).as[MmGen](genEnc)
+    val varGen = base.filter(keepPred && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + MM_VAR_OFFSET).as("doc_id"),
+        col("source"), col("seed")).as[MmGen](genEnc)
+    val sigs = graft.util.QueryScratch.cached(
+      Multimodal.ahash(Multimodal.synthesizeNoise(orig)).toDF()
+        .unionByName(
+          Multimodal.ahash(Multimodal.synthesizeNoise(varGen, perturbed = true)).toDF()))
+    val banded = sigs.select(col("doc_id"), col("source"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * 16)
+              .bitwiseAND(lit(65535L)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("source"), col("sig"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+      col("sig").as("sig_a"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("sig").as("sig_b"), col("band"), col("bv"))
+    val pairs = a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("src_a"),
+        col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    pairs.groupBy(col("src_a").as("source"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("hamming") <= MM_HAM_MAX, 1L).otherwise(0L)).as("n_neardup"),
+        sum(when(col("id_b") - col("id_a") === MM_VAR_OFFSET &&
+          col("hamming") <= MM_HAM_MAX, 1L).otherwise(0L)).as("n_variant_hits"),
+        sum(when(col("hamming") <= MM_HAM_MAX, col("hamming")).otherwise(0L))
+          .cast("bigint").as("sum_hamming"))
+      .orderBy(col("source"))
+  }
+
+  val mmNeardupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${hash60Sql("text")} AS seed,
+       |    1 + ${hash60Sql("text")} % 64 AS w,
+       |    1 + (${hash60Sql("text")} // 64) % 48 AS h
+       |  FROM documents),
+       |assets AS (
+       |  SELECT doc_id, source, seed, w, h, 0 AS pert FROM d WHERE w * h >= 64
+       |  UNION ALL
+       |  SELECT doc_id + $MM_VAR_OFFSET, source, seed, w, h, 1 FROM d
+       |  WHERE w * h >= 64 AND doc_id % 7 = 0),
+       |cells AS (
+       |  SELECT doc_id, source, ty.v * 8 + tx.v AS idx,
+       |    (('0x' || substr(md5(seed || ':' || ((tx.v * w) // 8) || ':' || ((ty.v * h) // 8)), 1, 2))::BIGINT
+       |      + CASE WHEN pert = 1
+       |             AND (((tx.v * w) // 8) + ((ty.v * h) // 8)) % 5 = 0
+       |        THEN 8 ELSE 0 END) % 256 AS gv
+       |  FROM assets, LATERAL unnest(generate_series(0, 7)) tx(v),
+       |       LATERAL unnest(generate_series(0, 7)) ty(v)),
+       |c2 AS (
+       |  SELECT doc_id, source, idx, gv,
+       |    SUM(gv) OVER (PARTITION BY doc_id) AS ts
+       |  FROM cells),
+       |bits AS (
+       |  SELECT doc_id, source, idx,
+       |    CASE WHEN gv > ts // 64 THEN 1 ELSE 0 END AS bit
+       |  FROM c2),
+       |bands AS (
+       |  SELECT doc_id, source, idx // 16 AS band,
+       |    CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS bv
+       |  FROM bits GROUP BY doc_id, source, idx // 16),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS src_a
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |  WHERE a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT c.id_a, c.id_b, c.src_a,
+       |    CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN bits x ON x.doc_id = c.id_a
+       |  JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx
+       |  GROUP BY c.id_a, c.id_b, c.src_a)
+       |SELECT src_a AS source, COUNT(*) AS n_cand,
+       |  CAST(SUM(CASE WHEN hamming <= $MM_HAM_MAX THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+       |  CAST(SUM(CASE WHEN id_b - id_a = $MM_VAR_OFFSET AND hamming <= $MM_HAM_MAX
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_variant_hits,
+       |  CAST(SUM(CASE WHEN hamming <= $MM_HAM_MAX THEN hamming ELSE 0 END) AS BIGINT) AS sum_hamming
+       |FROM ham
+       |GROUP BY src_a
+       |ORDER BY source""".stripMargin
+
   // --- mm_frames: the video-frame-sampling pattern — each asset
   // expands to a strided frame index set (stub "frames" derived from
   // byte length), per-frame features from the deterministic decode,
@@ -3273,7 +3392,8 @@ object LlmPipeline {
     "mm_resize" -> mmResize,
     "mm_dedup" -> mmDedup,
     "seq_curriculum" -> seqCurriculum,
-    "mm_frames" -> mmFrames)
+    "mm_frames" -> mmFrames,
+    "mm_neardup" -> mmNeardup)
 
   val oracles: Map[String, String] = Map(
     "embed_pca" -> embedPcaSql,
@@ -3330,5 +3450,6 @@ object LlmPipeline {
     "mm_resize" -> mmResizeSql,
     "mm_dedup" -> mmDedupSql,
     "seq_curriculum" -> seqCurriculumSql,
-    "mm_frames" -> mmFramesSql)
+    "mm_frames" -> mmFramesSql,
+    "mm_neardup" -> mmNeardupSql)
 }

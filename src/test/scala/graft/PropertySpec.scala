@@ -230,6 +230,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("noise-PNG aHash: round-trip matches md5 formula; variants land near, unrelated land far (60 seeded trials)") {
+    import graft.multimodal.Multimodal
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def formulaSig(seed: Long, perturbed: Boolean): Long = {
+      val w = 1L + seed % 64L; val h = 1L + (seed / 64L) % 48L
+      val samples = for (ty <- 0 until 8; tx <- 0 until 8) yield {
+        val sx = tx * w / 8L; val sy = ty * h / 8L
+        md.reset()
+        val b = (md.digest(s"$seed:$sx:$sy".getBytes("UTF-8"))(0) & 0xff).toLong
+        (b + (if (perturbed && (sx + sy) % 5 == 0) 8L else 0L)) % 256L
+      }
+      val mean = samples.sum / 64L
+      samples.zipWithIndex.foldLeft(0L) { case (sig, (v, i)) =>
+        if (v > mean) sig | (1L << i) else sig
+      }
+    }
+    def sigOf(seed: Long, perturbed: Boolean): Long =
+      Multimodal.ahashBatch(Iterator(Multimodal.MmAsset(0L, "s",
+        Multimodal.encodeNoisePng(seed, perturbed)))).next().sig
+    val rnd = new scala.util.Random(9200)
+    val sigs = (0 until 60).map { trial =>
+      var seed = math.abs(rnd.nextLong()) % (1L << 60)
+      // the fixture excludes tiny images — do the same here
+      while ((1L + seed % 64L) * (1L + (seed / 64L) % 48L) < 64L)
+        seed = math.abs(rnd.nextLong()) % (1L << 60)
+      val orig = sigOf(seed, perturbed = false)
+      assert(orig === formulaSig(seed, perturbed = false), s"trial $trial orig")
+      val vr = sigOf(seed, perturbed = true)
+      assert(vr === formulaSig(seed, perturbed = true), s"trial $trial variant")
+      // the planted variant is perceptually NEAR its original
+      assert(java.lang.Long.bitCount(orig ^ vr) <= 16,
+        s"trial $trial: variant hamming ${java.lang.Long.bitCount(orig ^ vr)}")
+      orig
+    }
+    // unrelated noise images are FAR apart on average — the signature
+    // space has real entropy (ramp images collapse; noise must not)
+    val hams = for (i <- sigs.indices; j <- (i + 1) until sigs.size)
+      yield java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+    assert(hams.sum.toDouble / hams.size > 24.0,
+      s"unrelated mean hamming ${hams.sum.toDouble / hams.size} — sig space collapsed")
+  }
+
   test("jaccardBp == integer model on random string sets (20 seeded trials)") {
     val s = spark
     import s.implicits._
