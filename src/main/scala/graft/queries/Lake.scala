@@ -1337,6 +1337,63 @@ object Lake {
   // replays both views; the sequence rule matters in snap 3: the
   // delete (seq 2) masks only seq-1 files, so appended rows keep
   // their %10 keys.
+  // --- lake_expire: SNAPSHOT RETENTION — the maintenance verb every
+  // production table runs on a schedule (Iceberg expire_snapshots /
+  // Delta VACUUM): drop history below a keep-point, physically
+  // reclaim data files referenced ONLY by expired manifests, and
+  // honor TAGS as retention pins. The fixture drives the whole
+  // lifecycle: two appends (snapshot 2 TAGGED as an audit pin), a MoR
+  // delete, a CoW fold (which strands snapshot 3's delete files —
+  // the reclaim payload), one more append, then expire(keepFrom=4).
+  // Gated: exact content of every SURVIVING snapshot — the tagged
+  // pin (2) still serves its full view through expiry, and snapshots
+  // 4/5 serve theirs; metadata/file-reclaim invariants (manifests
+  // 1/3 gone, 2 pinned, stranded delete files reclaimed, expired
+  // changelog ranges refused pointedly) are spec territory
+  // (LakeSpec), not hash territory — file counts depend on write
+  // fan-out. At 100 TB: expire is METADATA-SIZED (walks manifests,
+  // diffs path sets) plus one delete per reclaimed file — never a
+  // data scan; the ownership rule (a chain deletes only under its
+  // own root, never under branches/) keeps concurrent branch work
+  // safe, and tags make legal-hold retention first-class.
+  def lakeExpire(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_exp_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id"))
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 3 === 1), cfg, Seq("event_id"))
+    LakeTable.tag(root, "audit", 2)
+    LakeTable.deleteWhere(s, root, "event_id", ev.filter(col("event_id") % 12 === 0))
+    LakeTable.foldDeletes(s, root, cfg, Seq("event_id"))
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 3 === 2), cfg, Seq("event_id"))
+    // drop snapshots 1 and 3 (the tag pins 2); 4 (the fold) and the
+    // head 5 are inside retention
+    LakeTable.expire(root, 4)
+    LakeTable.read(s, root, Some(2)).withColumn("snap", lit(2L))
+      .unionByName(LakeTable.read(s, root, Some(4)).withColumn("snap", lit(4L)))
+      .unionByName(LakeTable.read(s, root).withColumn("snap", lit(5L)))
+      .groupBy(col("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("snap"), col("event_type"))
+  }
+
+  val lakeExpireSql: String =
+    """WITH snaps AS (
+      |  SELECT CAST(2 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 3 IN (0, 1)
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE event_id % 3 IN (0, 1) AND event_id % 12 <> 0
+      |  UNION ALL
+      |  SELECT CAST(5 AS BIGINT) AS snap, event_type, value FROM events
+      |  WHERE (event_id % 3 IN (0, 1) AND event_id % 12 <> 0) OR event_id % 3 = 2)
+      |SELECT snap, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM snaps
+      |GROUP BY snap, event_type
+      |ORDER BY snap, event_type""".stripMargin
+
   def lakeRollback(s: SparkSession, dir: String): DataFrame = {
     val root = tmp("graft_rb_")
     val ev = t(s, dir, "events")
@@ -2717,6 +2774,7 @@ object Lake {
     "lake_delete_bulk" -> lakeDeleteBulk,
     "lake_rewrite" -> lakeRewrite,
     "lake_rollback" -> lakeRollback,
+    "lake_expire" -> lakeExpire,
     "lake_manifest_compact" -> lakeManifestCompact,
     "lake_tag" -> lakeTag,
     "lake_branch" -> lakeBranch,
@@ -2777,6 +2835,7 @@ object Lake {
     "lake_delete_bulk" -> lakeDeleteBulkSql,
     "lake_rewrite" -> lakeRewriteSql,
     "lake_rollback" -> lakeRollbackSql,
+    "lake_expire" -> lakeExpireSql,
     "lake_manifest_compact" -> lakeManifestCompactSql,
     "lake_tag" -> lakeTagSql,
     "lake_branch" -> lakeBranchSql,
