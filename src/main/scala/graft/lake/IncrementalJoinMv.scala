@@ -1,0 +1,126 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.writer.BlockWriter
+
+/** INCREMENTAL maintenance of a JOINED aggregate view — the
+  * enrichment MV every warehouse keeps (fact ⋈ dimension → grouped
+  * rollup) maintained by the DELTA-JOIN law instead of recomputation:
+  *
+  *   Δ(F ⋈ D) = ΔF ⋈ D₀  ∪  F₁ ⋈ ΔD
+  *
+  * with every change row SIGNED (+1 insert / −1 delete, the counting
+  * algorithm of classic IVM — Gupta & Mumick's multiset semantics),
+  * signs multiplying across the join. Both deltas come from the
+  * lake's own CHANGE DATA FEED ([[LakeTable.changelogRead]]) and both
+  * "old"/"new" sides are SNAPSHOT READS (time travel) — the algebra's
+  * four frames are exactly what a snapshot lake serves for free.
+  *
+  * Cost shape at 100 TB:
+  *  - fact-only refresh (ΔD empty — the overwhelmingly common case):
+  *    ΔF ⋈ D₀ with the DIMENSION BROADCAST — O(Δ fact), the fact
+  *    table is NEVER scanned (spec-pinned);
+  *  - dimension-changing refresh: adds F₁ ⋈ ΔD — one fact pass
+  *    semi-joined against the (broadcast) changed dimension keys,
+  *    the price every engine pays when a dimension rewires history;
+  *  - the fold touches |MV| + |Δ groups| rows, never the base.
+  *
+  * Only SIGNED-distributive aggregates participate (COUNT via
+  * sum-of-signs, SUM via sign-weighted sum); groups whose count
+  * reaches zero leave the view. The (fact, dim) basis pair rides the
+  * MV's commit note (`jmv-basis-<f>-<d>`), so state and basis are
+  * atomic — the [[IncrementalMv]] convention, extended to two bases.
+  */
+object IncrementalJoinMv {
+
+  /** A signed-distributive aggregate: `delta` evaluates over joined
+    * change rows (may reference `__sign`), `fold` merges partials.
+    */
+  final case class Agg(name: String, delta: Column, fold: Column => Column)
+
+  /** COUNT(*) and SUM(expr) in signed form. */
+  def countAgg(name: String): Agg =
+    Agg(name, sum(col("__sign")).cast("bigint"), c => sum(c).cast("bigint"))
+  def sumAgg(name: String, expr: Column): Agg =
+    Agg(name, sum(col("__sign") * expr).cast("bigint"), c => sum(c).cast("bigint"))
+
+  private val noteRe = "^jmv-basis-(\\d+)-(\\d+)$".r
+
+  /** The (factSnap, dimSnap) basis the MV head reflects. */
+  def basis(mvRoot: String): (Int, Int) = {
+    val head = LakeTable.currentSnapshot(mvRoot)
+    require(head > 0, s"$mvRoot has no MV state")
+    LakeTable.manifest(mvRoot, head).note match {
+      case noteRe(f, d) => (f.toInt, d.toInt)
+      case n => sys.error(s"$mvRoot head commit carries no jmv basis (note '$n')")
+    }
+  }
+
+  private def joined(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key))
+
+  private def state(df: DataFrame, group: Seq[String], aggs: Seq[Agg]): DataFrame =
+    df.groupBy(group.map(col): _*)
+      .agg(aggs.head.delta.as(aggs.head.name),
+        aggs.tail.map(a => a.delta.as(a.name)): _*)
+
+  /** Signed change rows of `root` over (from, head]: the CDF frame
+    * with `__sign` = +1 for inserts, −1 for delete pre-images.
+    */
+  private def signedDelta(s: SparkSession, root: String, from: Int,
+      head: Int): DataFrame =
+    LakeTable.changelogRead(s, root, from, head)
+      .withColumn("__sign",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .drop("_change_type", "_change_snap")
+
+  /** Materialize the view from both heads; returns the MV snapshot. */
+  def create(s: SparkSession, factRoot: String, dimRoot: String,
+      mvRoot: String, key: String, group: Seq[String], aggs: Seq[Agg],
+      cfg: BlockWriter.Config): Int = {
+    val f = LakeTable.currentSnapshot(factRoot)
+    val d = LakeTable.currentSnapshot(dimRoot)
+    val full = joined(LakeTable.read(s, factRoot, Some(f)),
+      LakeTable.read(s, dimRoot, Some(d)), key).withColumn("__sign", lit(1L))
+    LakeTable.commit(s, mvRoot, state(full, group, aggs).filter(col(aggs.head.name) > 0),
+      cfg, group, note = s"jmv-basis-$f-$d")
+  }
+
+  /** Fold both tables' changes since the recorded basis into the MV
+    * as one rewrite commit; returns the new (fact, dim) basis.
+    */
+  def refresh(s: SparkSession, factRoot: String, dimRoot: String,
+      mvRoot: String, key: String, group: Seq[String], aggs: Seq[Agg],
+      cfg: BlockWriter.Config): (Int, Int) = {
+    val (f0, d0) = basis(mvRoot)
+    val f1 = LakeTable.currentSnapshot(factRoot)
+    val d1 = LakeTable.currentSnapshot(dimRoot)
+    if (f0 == f1 && d0 == d1) return (f0, d0)
+    // Δ(F⋈D) = ΔF⋈D₀ ∪ F₁⋈ΔD, signs multiplying. The dim side is
+    // broadcast in BOTH terms; the fact table is only read when the
+    // dimension actually changed.
+    val parts = Seq.newBuilder[DataFrame]
+    if (f1 > f0) {
+      val dF = signedDelta(s, factRoot, f0, f1)
+      parts += joined(dF, LakeTable.read(s, dimRoot, Some(d0)), key)
+    }
+    if (d1 > d0) {
+      val dD = signedDelta(s, dimRoot, d0, d1)
+        .withColumnRenamed("__sign", "__dsign")
+      parts += LakeTable.read(s, factRoot, Some(f1))
+        .join(broadcast(dD), Seq(key))
+        .withColumn("__sign", col("__dsign")).drop("__dsign")
+    }
+    val delta = parts.result().reduce(_ unionByName _)
+    val next = LakeTable.read(s, mvRoot)
+      .unionByName(state(delta, group, aggs))
+      .groupBy(group.map(col): _*)
+      .agg(aggs.head.fold(col(aggs.head.name)).as(aggs.head.name),
+        aggs.tail.map(a => a.fold(col(a.name)).as(a.name)): _*)
+      .filter(col(aggs.head.name) > 0)
+    LakeTable.rewrite(s, mvRoot, next, cfg, group,
+      note = s"jmv-basis-$f1-$d1")
+    (f1, d1)
+  }
+}

@@ -1285,6 +1285,87 @@ object Lake {
       |SELECT CAST(2 AS BIGINT) AS stage, event_type, n, sum_value_x100, min_id FROM s2
       |ORDER BY stage, event_type""".stripMargin
 
+  // --- mv_join_refresh: incremental maintenance of a JOINED
+  // aggregate view (fact ⋈ dimension → rollup) by the DELTA-JOIN law
+  // Δ(F⋈D) = ΔF⋈D₀ ∪ F₁⋈ΔD with SIGNED change rows from the lake's
+  // own change data feed (classic counting-algorithm IVM —
+  // IncrementalJoinMv). Three basis states are gated: after create,
+  // after a fact-only refresh (ΔF⋈D₀ with the dim broadcast — by
+  // construction the fact head is only read when ΔD is non-empty,
+  // the changelog serves ΔF from the delta files), and after a combined
+  // dim-rewire + fact-delete refresh (groups MOVE between buckets via
+  // matching −/+ deltas). The oracle recomputes each stage's join
+  // from scratch — the incremental path must land on exactly the
+  // recompute, including groups whose count reaches zero leaving the
+  // view. At 100 TB: the common fact-append refresh costs O(Δ fact);
+  // a dimension rewire costs one fact pass against the broadcast
+  // changed keys — never MV-size-proportional shuffles.
+  def mvJoinRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalJoinMv
+    val fact = tmp("graft_jmvf_")
+    val dim = tmp("graft_jmvd_")
+    val mv = tmp("graft_jmv_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    val dimCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 4096)
+    val mvCfg = BlockWriter.Config("wb", "wb", maxRecordsPerFile = 4096)
+    val dimV1 = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")))
+      .withColumn("wb", col("weight") % 3)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id"))
+    LakeTable.commit(s, dim, dimV1, dimCfg, Seq("event_type"))
+    val aggs = Seq(IncrementalJoinMv.countAgg("n"),
+      IncrementalJoinMv.sumAgg("sum_value_x100",
+        floor(col("value") * 100 + 0.5).cast("bigint")))
+    IncrementalJoinMv.create(s, fact, dim, mv, "event_type", Seq("wb"), aggs, mvCfg)
+    // fact-only refresh: ΔF ⋈ D₀, dim broadcast, fact never scanned
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg, Seq("event_id"))
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "event_type", Seq("wb"), aggs, mvCfg)
+    // dimension rewire (+10 to even-length types moves their bucket)
+    // plus a fact MoR delete, folded in one combined refresh
+    val dimUp = LakeTable.read(s, dim)
+      .filter(length(col("event_type")) % 2 === 0)
+      .withColumn("weight", col("weight") + 10)
+      .withColumn("wb", col("weight") % 3)
+    LakeTable.merge(s, dim, "event_type", dimUp, dimCfg, Seq("event_type"))
+    LakeTable.deleteWhere(s, fact, "event_id", ev.filter(col("event_id") % 10 === 0))
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "event_type", Seq("wb"), aggs, mvCfg)
+    LakeTable.read(s, mv, Some(1)).withColumn("stage", lit(1L))
+      .unionByName(LakeTable.read(s, mv, Some(2)).withColumn("stage", lit(2L)))
+      .unionByName(LakeTable.read(s, mv, Some(3)).withColumn("stage", lit(3L)))
+      .select(col("stage"), col("wb").cast("bigint").as("wb"), col("n"),
+        col("sum_value_x100"))
+      .orderBy(col("stage"), col("wb"))
+  }
+
+  val mvJoinRefreshSql: String =
+    """WITH d1 AS (
+      |  SELECT event_type, length(event_type) % 3 AS wb
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |d2 AS (
+      |  SELECT event_type,
+      |    (length(event_type) + CASE WHEN length(event_type) % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, wb, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |  FROM events e JOIN d1 USING (event_type)
+      |  WHERE event_id % 3 = 0 GROUP BY wb),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, wb, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |  FROM events e JOIN d1 USING (event_type)
+      |  WHERE event_id % 3 IN (0, 1) GROUP BY wb),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage, wb, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |  FROM events e JOIN d2 USING (event_type)
+      |  WHERE event_id % 3 IN (0, 1) AND event_id % 10 <> 0 GROUP BY wb)
+      |SELECT CAST(stage AS BIGINT) AS stage, CAST(wb AS BIGINT) AS wb, n, sum_value_x100
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, wb""".stripMargin
+
   // --- lake_history: the snapshot-history METADATA table (Iceberg's
   // `snapshots`): append → append → MoR delete, then one row per
   // snapshot computed purely from manifests — zero data-file IO, so
@@ -2768,6 +2849,7 @@ object Lake {
     "lake_incremental" -> lakeIncremental,
     "lake_cdf" -> lakeCdf,
     "mv_refresh" -> mvRefresh,
+    "mv_join_refresh" -> mvJoinRefresh,
     "lake_overwrite" -> lakeOverwrite,
     "lake_delete_pos" -> lakeDeletePos,
     "lake_delete_dv" -> lakeDeleteDv,
@@ -2829,6 +2911,7 @@ object Lake {
     "lake_incremental" -> lakeIncrementalSql,
     "lake_cdf" -> lakeCdfSql,
     "mv_refresh" -> mvRefreshSql,
+    "mv_join_refresh" -> mvJoinRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,
     "lake_delete_pos" -> lakeDeletePosSql,
     "lake_delete_dv" -> lakeDeleteDvSql,

@@ -1225,6 +1225,61 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(base); graft.util.Scratch.rmNow(mv)
   }
 
+  test("join-MV delta law: signed CDF deltas land on the recompute; zero-count groups leave; no-op refresh") {
+    import graft.lake.IncrementalJoinMv
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_jmv_spec_f_")
+    val dim = graft.util.Scratch.dir("graft_jmv_spec_d_")
+    val mv = graft.util.Scratch.dir("graft_jmv_spec_m_")
+    val fCfg = BlockWriter.Config("k", "id", maxRecordsPerFile = 64)
+    val dCfg = BlockWriter.Config("k", "k", maxRecordsPerFile = 64)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 64)
+    def factRows(ids: Seq[Long]) =
+      ids.map(i => (i, s"k${i % 4}", i * 10L)).toDF("id", "k", "x")
+    // dim: key k0..k3 → group g (two keys per group)
+    LakeTable.commit(s, fact, factRows(1L to 20L), fCfg, Seq("id"))
+    LakeTable.commit(s, dim,
+      Seq(("k0", "a"), ("k1", "a"), ("k2", "b"), ("k3", "b")).toDF("k", "g"),
+      dCfg, Seq("k"))
+    val aggs = Seq(IncrementalJoinMv.countAgg("n"),
+      IncrementalJoinMv.sumAgg("sx", col("x")))
+    IncrementalJoinMv.create(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    assert(IncrementalJoinMv.basis(mv) === ((1, 1)))
+    def recompute(): Map[String, (Long, Long)] =
+      LakeTable.read(s, fact).join(LakeTable.read(s, dim), "k")
+        .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def mvState(): Map[String, (Long, Long)] =
+      LakeTable.read(s, mv).select(col("g"), col("n"), col("sx"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(mvState() === recompute())
+    // no-op refresh: no commit, basis unchanged
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    assert(LakeTable.currentSnapshot(mv) === 1, "no-op refresh must not commit")
+    // fact append + fact delete (signed −), one refresh
+    LakeTable.commit(s, fact, factRows(21L to 30L), fCfg, Seq("id"))
+    LakeTable.deleteWhere(s, fact, "id", (1L to 20L by 2).toDF("id"))
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    assert(IncrementalJoinMv.basis(mv) === ((3, 1)))
+    assert(mvState() === recompute(), "fact-side deltas must land on the recompute")
+    // dim rewire: k2/k3 move from group b to c → matching −b/+c deltas;
+    // group b's count reaches ZERO and must leave the view
+    LakeTable.merge(s, dim,
+      "k", Seq(("k2", "c"), ("k3", "c")).toDF("k", "g"), dCfg, Seq("k"))
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    assert(IncrementalJoinMv.basis(mv) === ((3, 2)))
+    val st = mvState()
+    assert(st === recompute(), "dim-side deltas must land on the recompute")
+    assert(!st.contains("b"), "zero-count group must leave the view")
+    // combined fact+dim changes in ONE refresh also land exactly
+    LakeTable.commit(s, fact, factRows(31L to 35L), fCfg, Seq("id"))
+    LakeTable.merge(s, dim, "k", Seq(("k0", "c")).toDF("k", "g"), dCfg, Seq("k"))
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    assert(mvState() === recompute(), "combined fact+dim refresh must land on the recompute")
+    graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(dim); graft.util.Scratch.rmNow(mv)
+  }
+
   test("rewrite_manifests folds the part chain to one; history/incremental/changelog stay exact") {
     val root = graft.util.Scratch.dir("graft_mfc_spec_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
