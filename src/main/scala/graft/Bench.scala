@@ -111,52 +111,68 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
 
+    // SAMPLE COUNT: how many full cold passes the record min-merges.
+    // min-of-N sits lower on the same noise distribution as N grows,
+    // so cross-round ratios are only interpretable when the record
+    // states its N — the canonical committed record runs N ≥ 3
+    // (SPARK_GRAFT_PASSES=3); the driver's per-round run defaults to 1.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt)
+
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.ListBuffer[String]()
     val firstPass = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val passTotals = scala.collection.mutable.ListBuffer[Double]()
 
     val envs = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
 
-    val groupCalib = scala.collection.mutable.LinkedHashMap[Int, Double]()
     val groups = all.grouped(GroupSize).toSeq
-    groups.zipWithIndex.foreach { case (group, gi) =>
-      val spark = GraftSession.local(cpus)
-      warmup(spark, sfDir)
-      val (load, calib) = envProbe()
-      envs += ((s"group-$gi", load, calib))
-      groupCalib(gi) = calib
-      group.foreach { case (name, fn) =>
-        val (dt, failed) = timeQuery(spark, sfDir, fn, name)
-        if (failed) errors += name
-        firstPass(name) = dt
-      }
-      spark.stop()
-      // between groups: let the dead context's cleaner references go
-      System.gc()
-    }
-
-    // CALIBRATION-GATED RETRY: any group whose session calibration
-    // drifted past [[CalibGate]] × the run's best was measured under
-    // outside load — re-measure the whole group in a fresh session
-    // and keep per-query minima. One retry per flagged group: a
-    // transient spike heals; a persistently loaded host is identified
-    // by the recorded gate verdicts instead of silently poisoning the
-    // record.
-    if (groupCalib.nonEmpty) {
-      val best = groupCalib.values.min
-      val flagged = groupCalib.filter(_._2 / best > CalibGate).keys.toSeq.sorted
-      flagged.foreach { gi =>
+    (1 to passes).foreach { pass =>
+      val thisPass = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val groupCalib = scala.collection.mutable.LinkedHashMap[Int, Double]()
+      val tag = if (passes == 1) "" else s"p$pass-"
+      groups.zipWithIndex.foreach { case (group, gi) =>
         val spark = GraftSession.local(cpus)
         warmup(spark, sfDir)
         val (load, calib) = envProbe()
-        envs += ((s"retry-$gi", load, calib))
-        groups(gi).foreach { case (name, fn) =>
+        envs += ((s"${tag}group-$gi", load, calib))
+        groupCalib(gi) = calib
+        group.foreach { case (name, fn) =>
           val (dt, failed) = timeQuery(spark, sfDir, fn, name)
-          if (!failed && dt < firstPass(name)) firstPass(name) = dt
+          if (failed && pass == 1) errors += name
+          thisPass(name) = dt
         }
         spark.stop()
+        // between groups: let the dead context's cleaner references go
         System.gc()
+      }
+
+      // CALIBRATION-GATED RETRY: any group whose session calibration
+      // drifted past [[CalibGate]] × the pass's best was measured under
+      // outside load — re-measure the whole group in a fresh session
+      // and keep per-query minima. One retry per flagged group: a
+      // transient spike heals; a persistently loaded host is identified
+      // by the recorded gate verdicts instead of silently poisoning the
+      // record.
+      if (groupCalib.nonEmpty) {
+        val best = groupCalib.values.min
+        val flagged = groupCalib.filter(_._2 / best > CalibGate).keys.toSeq.sorted
+        flagged.foreach { gi =>
+          val spark = GraftSession.local(cpus)
+          warmup(spark, sfDir)
+          val (load, calib) = envProbe()
+          envs += ((s"${tag}retry-$gi", load, calib))
+          groups(gi).foreach { case (name, fn) =>
+            val (dt, failed) = timeQuery(spark, sfDir, fn, name)
+            if (!failed && dt < thisPass(name)) thisPass(name) = dt
+          }
+          spark.stop()
+          System.gc()
+        }
+      }
+      passTotals += thisPass.values.sum
+      thisPass.foreach { case (name, dt) =>
+        if (!firstPass.contains(name) || dt < firstPass(name)) firstPass(name) = dt
       }
     }
 
@@ -202,7 +218,7 @@ object Bench {
         val calibs = envs.map(_._3)
         s""","env":{"load_max":${s3(envs.map(_._2).max)},"calib_drift":${s3(calibs.max / math.max(1e-9, calibs.min))}}"""
       }
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errJson$envSummary,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","samples":$passes,"queries":$qs,"errors":$errJson$envSummary,"sf":"$sfDir"}"""
 
     // Full record to a file: immune to stdout truncation. A FILTERED
     // run (SPARK_GRAFT_ONLY, the local dev loop) must not clobber the
@@ -222,10 +238,13 @@ object Bench {
       val gate = if (calib / bestCalib > CalibGate) "loaded" else "clean"
       s"""{"session":"$tag","load_1m":${s3(load)},"calib_ms":${s3(calib)},"gate":"$gate"}"""
     }.mkString("[", ",", "]")
+    val passTotalsJson = passTotals.map(s3).mkString("[", ",", "]")
     val fileJson =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec",
+         |"samples":$passes,"rerun_count":$RerunCount,
+         |"pass_totals":$passTotalsJson,
          |"queries":$qs,
-         |"first_pass":$firstJson,
+         |"group_passes_min":$firstJson,
          |"clean_rerun":$rerunJson,
          |"errors":$errJson,
          |"env_sessions":$envJson$envSummary,

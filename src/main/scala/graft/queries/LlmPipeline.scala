@@ -2144,11 +2144,11 @@ object LlmPipeline {
     * assignment — the SQL replay of kmCentroids(_, K, 1) + kmAssign
     * on the slice. Emits s/c0/d1/a1/u/c1f/d2r/a2 CTEs suffixed `tag`.
     */
-  private def pqSubCtes(tag: String, lo: Int, hi: Int): String = {
+  private def pqSubCtes(tag: String, lo: Int, hi: Int, src: String = "bi"): String = {
     val dim = hi - lo + 1
     def d2(v: String, c: String) =
       s"CAST(list_sum(list_transform(generate_series(1, $dim), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
-    s"""s$tag AS (SELECT vec_id, vi[$lo:$hi] AS vi FROM bi),
+    s"""s$tag AS (SELECT vec_id, vi[$lo:$hi] AS vi FROM $src),
        |c0$tag AS (SELECT vec_id AS cid, vi AS ci FROM s$tag WHERE vec_id < ${Advanced.KM_K}),
        |d1$tag AS (SELECT s$tag.vec_id, c0$tag.cid, ${d2(s"s$tag.vi", s"c0$tag.ci")} AS d2 FROM s$tag, c0$tag),
        |a1$tag AS (SELECT vec_id, cid FROM (
@@ -2189,6 +2189,194 @@ object LlmPipeline {
        |  FROM scored)
        |WHERE rank <= $ANN_K
        |ORDER BY q_id, rank""".stripMargin
+
+  // --- stream_ivf_append: STREAMING VECTOR INGEST — the continuous
+  // twin of ann_ivf_append, the shape a production embedding service
+  // actually runs: the codebook trains once on the standing corpus
+  // and freezes; arriving embedding micro-batches (a file stream
+  // drained AvailableNow, one file per trigger) each assign against
+  // the frozen codebook and land as ONE idempotent append commit on
+  // the inverted-list table (note `ivf-append-stream-<epoch>` — a
+  // replayed epoch after a crash or a bench rerun is a no-op, the
+  // streaming sink's exactly-once discipline on the index artifact).
+  // Because per-vector assignment is independent, the final index is
+  // INVARIANT to how the batch was split across micro-batches — so
+  // the oracle is ann_ivf_append's verbatim (train on corpus, assign
+  // everything): the strongest possible gate on the composition.
+  // At 100 TB this is the vector-side DedupStream: per micro-batch
+  // work is O(batch · K) map-side argmin against the broadcast
+  // codebook; the corpus lists are never rescanned.
+  def streamIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val viBase = graft.util.QueryScratch.cached(embBase(s, dir)
+      .select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi")))
+    // a dedicated index instance: the shared ann_ivf_append artifact
+    // must keep its one-batch history for its own oracle
+    val key = s"$dir#stream-ivf"
+    val ref = graft.operators.IvfIndex.ensureCorpusIvf(s, key, viBase)
+    // stage the arriving batch as three files with strictly ordered
+    // mtimes — the file source drains oldest-first, one per trigger
+    val inDir = graft.util.Scratch.dir("graft_sivf_in_")
+    (0 until 3).foreach { i =>
+      val part = viBase.filter(graft.operators.IvfIndex.batchPred &&
+        (col("vec_id") / 10) % 3 === i.toLong)
+      val stage = graft.util.Scratch.dir(s"graft_sivf_t${i}_")
+      part.coalesce(1).write.mode("overwrite").parquet(stage)
+      val src = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"b$i.parquet")
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (3 - i) * 60000L)): Unit
+    }
+    val schema = s.read.parquet(inDir).schema
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.IvfIndex.appendBatch(s, key, b.toDF(),
+          batchId = s"stream-$id"): Unit
+      }
+      .option("checkpointLocation", s"$inDir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.IvfIndex.cells(s, ref)
+      .groupBy(col("cid"))
+      .agg(
+        sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_batch"),
+        sum(col("d2")).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
+  /** Split-invariance makes ann_ivf_append's oracle exact for the
+    * streamed composition too.
+    */
+  def streamIvfAppendSql: String = annIvfAppendSql
+
+  // --- ann_ivf_pq: the COMPOSED production vector index (the FAISS
+  // IVFADC shape, Jégou et al. 2011 §IV): the persisted IVF coarse
+  // quantizer partitions the corpus into inverted lists, and within
+  // the lists every vector stores only its PQ codes of the RESIDUAL
+  // (v − coarse centroid) — residual encoding is what makes the
+  // combination work: residuals are centered near zero, so the same
+  // K subspace centroids quantize them far better than raw vectors.
+  // A query probes nprobe coarse cells; for each probed cell it
+  // builds per-subspace ADC distance tables from ITS OWN residual
+  // against that cell's centroid (q − c_cell), so scoring a
+  // candidate costs two broadcast-hash lookups + one add — the
+  // corpus pass reads codes only (at 100 TB: the lists hold a few
+  // bytes per vector, and only nprobe/K of them are touched; exact
+  // cosine re-ranks the top-C pool). Every stage is the engine's
+  // deterministic integer k-means, so the oracle replays coarse
+  // training, residual PQ training, ADC and re-rank verbatim.
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val viBase = graft.util.QueryScratch.cached(
+      e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi")))
+    val ref = graft.operators.IvfIndex.ensure(s, dir, viBase)
+    val cents = graft.operators.IvfIndex.codebook(s, ref)
+    val asgn = graft.operators.IvfIndex.cells(s, ref).select(col("vec_id"), col("cid"))
+    // residuals against the assigned coarse centroid
+    val resid = graft.util.QueryScratch.cached(viBase.join(asgn, "vec_id")
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("vi"), col("ci"), (a, b) => a - b).as("ri")))
+    val sub1 = resid.select(col("vec_id"), slice(col("ri"), 1, PQ_SUBDIM).as("vi"))
+    val sub2 = resid.select(col("vec_id"), slice(col("ri"), PQ_SUBDIM + 1, PQ_SUBDIM).as("vi"))
+    val cb1 = Advanced.kmCentroids(sub1, Advanced.KM_K, 1)
+    val cb2 = Advanced.kmCentroids(sub2, Advanced.KM_K, 1)
+    val codes = Advanced.kmAssign(sub1, cb1).select(col("vec_id"), col("cid").as("code1"))
+      .join(Advanced.kmAssign(sub2, cb2).select(col("vec_id"), col("cid").as("code2")), "vec_id")
+      .join(asgn, "vec_id")
+    // query probes: nearest NPROBE coarse cells, carrying the cell
+    // centroid to form the PER-CELL query residual
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val qProbe = viBase.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Advanced.kmD2(col("vi"), col("ci")).as("d2"),
+        zip_with(col("vi"), col("ci"), (a, b) => a - b).as("qr"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= IVF_NPROBE)
+      .select(col("vec_id").as("q_id"), col("cid"), col("qr"))
+    // ADC tables per (query, probed cell, subspace): K rows each —
+    // 10·nprobe·K rows per subspace, broadcast
+    val dt1 = qProbe.select(col("q_id"), col("cid"), slice(col("qr"), 1, PQ_SUBDIM).as("vi"))
+      .crossJoin(broadcast(cb1.select(col("cid").as("code1"), col("ci"))))
+      .select(col("q_id"), col("cid"), col("code1"),
+        Advanced.kmD2(col("vi"), col("ci")).as("da"))
+    val dt2 = qProbe.select(col("q_id"), col("cid"), slice(col("qr"), PQ_SUBDIM + 1, PQ_SUBDIM).as("vi"))
+      .crossJoin(broadcast(cb2.select(col("cid").as("code2"), col("ci"))))
+      .select(col("q_id"), col("cid"), col("code2"),
+        Advanced.kmD2(col("vi"), col("ci")).as("db"))
+    val approx = codes
+      .join(broadcast(dt1), Seq("cid", "code1"))
+      .join(broadcast(dt2), Seq("q_id", "cid", "code2"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), (col("da") + col("db")).as("ad2"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad2").asc, col("n_id"))
+    val cand = approx.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= PQ_CAND).select(col("q_id"), col("n_id"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("nv")).as("cos_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annIvfPqSql: String = {
+    def d2s(v: String, c: String, dim: Int) =
+      s"CAST(list_sum(list_transform(generate_series(1, $dim), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+    s"""WITH n AS ($embBaseSql),
+       |${Advanced.kmCentroidSqlCtes},
+       |dv AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dv),
+       |asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, cid FROM ranked WHERE rn <= $IVF_NPROBE AND vec_id < 10),
+       |rr AS (SELECT b.vec_id, a.cid AS cell,
+       |    list_transform(generate_series(1, 64), i -> b.vi[i] - c.ci[i]) AS vi
+       |  FROM b JOIN asgn a USING (vec_id) JOIN c1 c ON c.cid = a.cid),
+       |${pqSubCtes("r1", 1, PQ_SUBDIM, "rr")},
+       |${pqSubCtes("r2", PQ_SUBDIM + 1, 2 * PQ_SUBDIM, "rr")},
+       |qr AS (SELECT qp.q_id, qp.cid,
+       |    list_transform(generate_series(1, 64), i -> b.vi[i] - c.ci[i]) AS vi
+       |  FROM qp JOIN b ON b.vec_id = qp.q_id JOIN c1 c ON c.cid = qp.cid),
+       |qd1 AS (SELECT q_id, qr.cid, cb.cid AS code1,
+       |    ${d2s("(qr.vi[1:" + PQ_SUBDIM + "])", "cb.ci", PQ_SUBDIM)} AS da
+       |  FROM qr, c1r1 cb),
+       |qd2 AS (SELECT q_id, qr.cid, cb.cid AS code2,
+       |    ${d2s("(qr.vi[" + (PQ_SUBDIM + 1) + ":" + (2 * PQ_SUBDIM) + "])", "cb.ci", PQ_SUBDIM)} AS db
+       |  FROM qr, c1r2 cb),
+       |adc AS (
+       |  SELECT qd1.q_id, v.vec_id AS n_id, qd1.da + qd2.db AS ad2
+       |  FROM rr v JOIN a2r1 p1 USING (vec_id) JOIN a2r2 p2 USING (vec_id)
+       |  JOIN qd1 ON qd1.cid = v.cell AND qd1.code1 = p1.cid
+       |  JOIN qd2 ON qd2.q_id = qd1.q_id AND qd2.cid = v.cell AND qd2.code2 = p2.cid
+       |  WHERE v.vec_id <> qd1.q_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rn FROM adc)
+       |  WHERE rn <= $PQ_CAND),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CAST(floor(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand JOIN n x ON x.vec_id = cand.q_id JOIN n y ON y.vec_id = cand.n_id)
+       |SELECT q_id, n_id, cos_bp, rank FROM (
+       |  SELECT q_id, n_id, cos_bp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   // --- embed_quant: INT8 embedding quantization (symmetric per-
   // dimension absmax scaling — the storage/bandwidth lever for
@@ -3384,6 +3572,8 @@ object LlmPipeline {
     "ann_filtered" -> annFiltered,
     "ann_recall" -> annRecall,
     "ann_drift_gate" -> annDriftGate,
+    "ann_ivf_pq" -> annIvfPq,
+    "stream_ivf_append" -> streamIvfAppend,
     "ann_pq" -> annPq,
     "embed_quant" -> embedQuant,
     "dedup_semantic" -> dedupSemantic,
@@ -3442,6 +3632,8 @@ object LlmPipeline {
     "ann_filtered" -> annFilteredSql,
     "ann_recall" -> annRecallSql,
     "ann_drift_gate" -> annDriftGateSql,
+    "ann_ivf_pq" -> annIvfPqSql,
+    "stream_ivf_append" -> streamIvfAppendSql,
     "ann_pq" -> annPqSql,
     "embed_quant" -> embedQuantSql,
     "dedup_semantic" -> dedupSemanticSql,
