@@ -1366,6 +1366,86 @@ object Lake {
       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, wb""".stripMargin
 
+  // --- stream_mv_refresh: the CONTINUOUSLY-MAINTAINED join view —
+  // mv_join_refresh's production deployment shape: the fact table's
+  // own CHANGE DATA FEED stream (readStream changeFeed=true, the v1
+  // CDF source — delete commits included) triggers an
+  // IncrementalJoinMv.refresh per micro-batch. Each refresh folds
+  // exactly the (fact, dim) delta since the basis recorded in the
+  // MV's head note, so the composition is exactly-once BY
+  // CONSTRUCTION: replayed or coalesced micro-batches re-read the
+  // basis and no-op (basis == heads), a crash between commits leaves
+  // a basis that the next trigger completes — no checkpoint-to-state
+  // coordination problem at all, the MV table IS the state. The
+  // final MV must equal a from-scratch recompute of the join on the
+  // final fact/dim heads — which is what the oracle replays. At
+  // 100 TB: each trigger costs O(commits since basis) via the
+  // delta-join law, and a dimension rewire folds in at the next fact
+  // trigger (one fact pass vs the broadcast changed keys).
+  def streamMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalJoinMv
+    import org.apache.spark.sql.streaming.Trigger
+    val fact = tmp("graft_smvf_")
+    val dim = tmp("graft_smvd_")
+    val mv = tmp("graft_smv_")
+    val ckpt = tmp("graft_smv_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    val dimCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 4096)
+    val mvCfg = BlockWriter.Config("wb", "wb", maxRecordsPerFile = 4096)
+    val dimV1 = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")))
+      .withColumn("wb", col("weight") % 3)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id"))
+    LakeTable.commit(s, dim, dimV1, dimCfg, Seq("event_type"))
+    val aggs = Seq(IncrementalJoinMv.countAgg("n"),
+      IncrementalJoinMv.sumAgg("sum_value_x100",
+        floor(col("value") * 100 + 0.5).cast("bigint")))
+    IncrementalJoinMv.create(s, fact, dim, mv, "event_type", Seq("wb"), aggs, mvCfg)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(fact)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          IncrementalJoinMv.refresh(s, fact, dim, mv,
+            "event_type", Seq("wb"), aggs, mvCfg): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // two more fact commits arrive, the stream drains them
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg, Seq("event_id"))
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 2), cfg, Seq("event_id"))
+    drain()
+    // a dimension rewire lands between drains plus a fact MoR delete;
+    // the next drained trigger folds BOTH deltas in one refresh
+    val dimUp = LakeTable.read(s, dim)
+      .filter(length(col("event_type")) % 2 === 0)
+      .withColumn("weight", col("weight") + 10)
+      .withColumn("wb", col("weight") % 3)
+    LakeTable.merge(s, dim, "event_type", dimUp, dimCfg, Seq("event_type"))
+    LakeTable.deleteWhere(s, fact, "event_id", ev.filter(col("event_id") % 10 === 0))
+    drain()
+    LakeTable.read(s, mv)
+      .select(col("wb").cast("bigint").as("wb"), col("n"), col("sum_value_x100"))
+      .orderBy(col("wb"))
+  }
+
+  val streamMvRefreshSql: String =
+    """WITH d2 AS (
+      |  SELECT event_type,
+      |    (length(event_type) + CASE WHEN length(event_type) % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb
+      |  FROM (SELECT DISTINCT event_type FROM events))
+      |SELECT CAST(wb AS BIGINT) AS wb, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM events e JOIN d2 USING (event_type)
+      |WHERE event_id % 10 <> 0
+      |GROUP BY wb
+      |ORDER BY wb""".stripMargin
+
   // --- lake_history: the snapshot-history METADATA table (Iceberg's
   // `snapshots`): append → append → MoR delete, then one row per
   // snapshot computed purely from manifests — zero data-file IO, so
@@ -2850,6 +2930,7 @@ object Lake {
     "lake_cdf" -> lakeCdf,
     "mv_refresh" -> mvRefresh,
     "mv_join_refresh" -> mvJoinRefresh,
+    "stream_mv_refresh" -> streamMvRefresh,
     "lake_overwrite" -> lakeOverwrite,
     "lake_delete_pos" -> lakeDeletePos,
     "lake_delete_dv" -> lakeDeleteDv,
@@ -2912,6 +2993,7 @@ object Lake {
     "lake_cdf" -> lakeCdfSql,
     "mv_refresh" -> mvRefreshSql,
     "mv_join_refresh" -> mvJoinRefreshSql,
+    "stream_mv_refresh" -> streamMvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,
     "lake_delete_pos" -> lakeDeletePosSql,
     "lake_delete_dv" -> lakeDeleteDvSql,

@@ -3427,6 +3427,11 @@ object LlmPipeline {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"),
         TextFns.hash60(concat(lit("bk:"), col("doc_id").cast("string"))).as("h"))
+    // K = 20% of the corpus. The count() here is footer-served on
+    // parquet (metadata cost, no data scan); on a lake table at
+    // 100 TB, K comes from manifest row counts — the clean-snapshot
+    // COUNT(*) the DSv2 scan answers from metadata alone — so
+    // deriving K never pays a pass over the data either way.
     val k = (d.count() / 5L).toInt
     d.orderBy(col("h"), col("doc_id")).limit(k)
       .groupBy(col("lang"))
