@@ -930,9 +930,14 @@ object LlmPipeline {
       .orderBy(col("cid"))
   }
 
-  val annIvfAppendSql: String = {
+  /** CTEs for the CORPUS-FROZEN coarse quantizer: train K+1 centroids
+    * on the corpus partition (vec_id%10<>0), assign EVERYTHING against
+    * the frozen codebook. Emits b/bc/c0/d1/a1/u/c1/dall/aall — `aall`
+    * is the post-append inverted-list state (vec_id, cid, d2).
+    */
+  private def ivfCorpusCtes: String = {
     val K1 = Advanced.KM_K + 1
-    s"""WITH b AS (
+    s"""b AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vi
        |  FROM embeddings),
        |bc AS (SELECT * FROM b WHERE vec_id % 10 <> 0),
@@ -949,7 +954,11 @@ object LlmPipeline {
        |dall AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
        |aall AS (SELECT vec_id, cid, d2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dall)
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val annIvfAppendSql: String = {
+    s"""WITH $ivfCorpusCtes
        |SELECT cid,
        |  CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
        |  CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
@@ -957,6 +966,69 @@ object LlmPipeline {
        |FROM aall
        |GROUP BY cid
        |ORDER BY cid""".stripMargin
+  }
+
+  // --- ann_ivf_pq_append: INCREMENTAL IVF-PQ MAINTENANCE — the
+  // fourth persisted index artifact gains the same frozen-lifecycle
+  // law as the other three (band index, IVF lists, cluster labels):
+  // coarse codebook AND per-subspace residual PQ codebooks train once
+  // on the standing corpus and freeze (PqIndex.ensureCorpusPq); the
+  // arriving batch coarse-assigns, residual-encodes against the
+  // frozen books (broadcast + map-side argmin — zero training jobs)
+  // and lands as ONE idempotent append commit on the codes table.
+  // Per-vector encoding is independent, so the post-append codes
+  // EQUAL a from-scratch re-encode of the full corpus against the
+  // same frozen books — the oracle's replay. At 100 TB: appending a
+  // 0.1% batch re-encodes 0.1%, the corpus codes are never touched,
+  // and recall decay under drift is ann_drift_gate's job.
+  def annIvfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    val viBase = graft.util.QueryScratch.cached(embBase(s, dir)
+      .select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi")))
+    graft.operators.PqIndex.ensureCorpusPq(s, dir, viBase)
+    graft.operators.PqIndex.appendBatch(s, dir,
+      viBase.filter(graft.operators.IvfIndex.batchPred))
+    graft.operators.PqIndex.codes(s, dir)
+      .groupBy(col("cid"))
+      .agg(
+        sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_batch"),
+        sum(col("code1")).cast("bigint").as("sum_code1"),
+        sum(col("code2")).cast("bigint").as("sum_code2"))
+      .orderBy(col("cid"))
+  }
+
+  // lazy: PQ_SUBDIM is declared further down the file — an eager val
+  // here would interpolate 0 at object-init time (slice [1:0])
+  lazy val annIvfPqAppendSql: String = {
+    def d2s(v: String, c: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, ${PQ_SUBDIM}), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+    s"""WITH $ivfCorpusCtes,
+       |rrall AS (SELECT b.vec_id, a.cid AS cell,
+       |    list_transform(generate_series(1, 64), i -> b.vi[i] - c.ci[i]) AS ri
+       |  FROM b JOIN aall a USING (vec_id) JOIN c1 c ON c.cid = a.cid),
+       |rrc AS (SELECT vec_id, ri AS vi FROM rrall WHERE vec_id % 10 <> 0),
+       |${pqSubCtes("p1", 1, PQ_SUBDIM, "rrc")},
+       |${pqSubCtes("p2", PQ_SUBDIM + 1, 2 * PQ_SUBDIM, "rrc")},
+       |e1 AS (SELECT r.vec_id, cb.cid,
+       |    ${d2s("(r.ri[1:" + PQ_SUBDIM + "])", "cb.ci")} AS d2
+       |  FROM rrall r, c1p1 cb),
+       |k1 AS (SELECT vec_id, cid AS code1 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM e1)
+       |  WHERE rn = 1),
+       |e2 AS (SELECT r.vec_id, cb.cid,
+       |    ${d2s("(r.ri[" + (PQ_SUBDIM + 1) + ":" + (2 * PQ_SUBDIM) + "])", "cb.ci")} AS d2
+       |  FROM rrall r, c1p2 cb),
+       |k2 AS (SELECT vec_id, cid AS code2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM e2)
+       |  WHERE rn = 1)
+       |SELECT a.cid,
+       |  CAST(SUM(CASE WHEN a.vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+       |  CAST(SUM(CASE WHEN a.vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+       |  CAST(SUM(code1) AS BIGINT) AS sum_code1,
+       |  CAST(SUM(code2) AS BIGINT) AS sum_code2
+       |FROM aall a JOIN k1 ON k1.vec_id = a.vec_id JOIN k2 ON k2.vec_id = a.vec_id
+       |GROUP BY a.cid
+       |ORDER BY a.cid""".stripMargin
   }
 
   // --- dedup_clusters_append: INCREMENTAL CLUSTER MAINTENANCE —
@@ -3558,6 +3630,7 @@ object LlmPipeline {
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "ann_ivf_append" -> annIvfAppend,
+    "ann_ivf_pq_append" -> annIvfPqAppend,
     "dedup_clusters_append" -> dedupClustersAppend,
     "dedup_simhash" -> dedupSimhash,
     "dedup_substring" -> dedupSubstring,
@@ -3618,6 +3691,7 @@ object LlmPipeline {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "ann_ivf_append" -> annIvfAppendSql,
+    "ann_ivf_pq_append" -> annIvfPqAppendSql,
     "dedup_clusters_append" -> dedupClustersAppendSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_substring" -> dedupSubstringSql,
