@@ -750,6 +750,82 @@ object LlmPipeline {
        |GROUP BY shard, pack_id
        |ORDER BY shard, pack_id""".stripMargin
 
+  // --- shard_balance: TOKEN-BALANCED TRAINER SHARDS — the LPT
+  // (longest-processing-time) scheduling shape for distributed
+  // training: naive doc_id%N sharding leaves shards with unequal
+  // token mass (stragglers pace every step of a synchronous data-
+  // parallel run), so sort documents by token count DESC and deal
+  // them SERPENTINE (boustrophedon) across the N shards — round r
+  // goes left-to-right when even, right-to-left when odd, so each
+  // shard gets one doc per round and alternating rank directions
+  // cancel the within-round bias. The global rank comes from the
+  // engine's DISTRIBUTED rank pattern (range partition + per-
+  // partition offsets — seq_curriculum's machinery, no single-
+  // partition window at any corpus size). Gated per shard: LPT
+  // n_docs/token mass next to the naive baseline's — the spread
+  // collapse is the operator's whole point, and the oracle replays
+  // both assignments exactly.
+  private val SHB_SHARDS = 8
+  private val SHB_PARTS = 16
+
+  def shardBalance(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), size(ws).cast("bigint").as("n_tok"))
+    val ranged = graft.util.QueryScratch.cached(
+      scored.repartitionByRange(SHB_PARTS, col("n_tok").desc, col("doc_id"))
+        .sortWithinPartitions(col("n_tok").desc, col("doc_id")))
+    val counts: Map[Int, Long] = ranged
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = Array.tabulate(SHB_PARTS) { i =>
+      (0 until i).map(j => counts.getOrElse(j, 0L)).sum
+    }
+    val pid = spark_partition_id()
+    val inPart = monotonically_increasing_id() -
+      shiftleft(pid.cast("bigint"), 33)
+    val r0 = element_at(array(offsets.map(lit(_)): _*), pid + 1) + inPart
+    // BRANCH-FREE serpentine with r0 referenced EXACTLY ONCE:
+    // monotonically_increasing_id is a STATEFUL per-row counter, so a
+    // second reference (or one inside a `when` branch) evaluates the
+    // instance only on some rows and desyncs it from the row index —
+    // measured as a non-permutation rank. f(m) = (2N-1 - |2m-(2N-1)|)/2
+    // over m = r0 mod 2N walks 0..N-1 then back, no conditionals.
+    val twoN = 2L * SHB_SHARDS
+    val lpt = ((lit(twoN - 1L) -
+      abs((r0 % twoN) * 2L - lit(twoN - 1L))) / lit(2L)).cast("bigint")
+    val lptAgg = ranged.withColumn("shard", lpt)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+    val naiveAgg = scored.withColumn("shard", col("doc_id") % SHB_SHARDS)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("naive_n_docs"),
+        sum(col("n_tok")).as("naive_sum_tok"))
+    lptAgg.join(naiveAgg, "shard")
+      .select(col("shard").cast("bigint").as("shard"), col("n_docs"),
+        col("sum_tok"), col("naive_n_docs"), col("naive_sum_tok"))
+      .orderBy(col("shard"))
+  }
+
+  val shardBalanceSql: String =
+    s"""WITH w AS (SELECT doc_id, len($wsSql) AS n_tok FROM documents),
+       |r AS (SELECT doc_id, n_tok,
+       |    ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r0
+       |  FROM w),
+       |lpt AS (
+       |  SELECT CASE WHEN (r0 // $SHB_SHARDS) % 2 = 0 THEN r0 % $SHB_SHARDS
+       |              ELSE ${SHB_SHARDS - 1} - r0 % $SHB_SHARDS END AS shard,
+       |    n_tok FROM r),
+       |la AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+       |  FROM lpt GROUP BY shard),
+       |na AS (SELECT doc_id % $SHB_SHARDS AS shard, COUNT(*) AS naive_n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS naive_sum_tok
+       |  FROM w GROUP BY doc_id % $SHB_SHARDS)
+       |SELECT CAST(shard AS BIGINT) AS shard, n_docs, sum_tok,
+       |  naive_n_docs, naive_sum_tok
+       |FROM la JOIN na USING (shard)
+       |ORDER BY shard""".stripMargin
+
   // ===================== deduplication =====================
   import graft.operators.{ClusterIndex, Dedup, MinhashIndex}
 
@@ -2893,17 +2969,27 @@ object LlmPipeline {
       shiftleft(pid.cast("bigint"), 33)
     val rank = element_at(array(offsets.map(lit(_)): _*), pid + 1) +
       inPart + lit(1L)
+    // MATERIALIZE the rank in its own projection: mid() is a STATEFUL
+    // per-row counter, and an expression referencing it more than once
+    // (or inside a `when` branch, which evaluates lazily) desyncs the
+    // instance from the row index. Two projections are safe —
+    // CollapseProject refuses to inline a nondeterministic expression
+    // into multiple references — so `__rank` is computed exactly once
+    // per row, unconditionally, and the ntile arithmetic below reads
+    // the materialized column.
+    val ranked = ranged.withColumn("__rank", rank)
+    val rk = col("__rank")
     // ntile(n) over N rows: the first N%n tiles get N/n+1 rows, the
     // rest N/n — replayed from the driver-known total.
     val base = total / CURRICULUM_SHARDS
     val rem = total % CURRICULUM_SHARDS
     val shard: Column =
-      if (base == 0L) rank
-      else when(rank <= lit((base + 1L) * rem),
-          idiv(rank - 1L, lit(base + 1L)) + 1L)
+      if (base == 0L) rk
+      else when(rk <= lit((base + 1L) * rem),
+          idiv(rk - 1L, lit(base + 1L)) + 1L)
         .otherwise(lit(rem) +
-          idiv(rank - lit(rem * (base + 1L)) - 1L, lit(base)) + 1L)
-    ranged
+          idiv(rk - lit(rem * (base + 1L)) - 1L, lit(base)) + 1L)
+    ranked
       .withColumn("shard", shard.cast("bigint"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
@@ -3625,7 +3711,7 @@ object LlmPipeline {
     "decontaminate" -> decontaminate,
     "text_chunk" -> textChunk,
     "seq_pack" -> seqPack,
-    "dedup_exact" -> dedupExact,
+    "shard_balance" -> shardBalance,
     "corpus_index_build" -> corpusIndexBuild,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
@@ -3686,6 +3772,7 @@ object LlmPipeline {
     "decontaminate" -> decontaminateSql,
     "text_chunk" -> textChunkSql,
     "seq_pack" -> seqPackSql,
+    "shard_balance" -> shardBalanceSql,
     "dedup_exact" -> dedupExactSql,
     "corpus_index_build" -> corpusIndexBuildSql,
     "dedup_minhash" -> dedupMinhashSql,
