@@ -139,8 +139,13 @@ object Bench {
         groupCalib(gi) = calib
         group.foreach { case (name, fn) =>
           val (dt, failed) = timeQuery(spark, sfDir, fn, name)
-          if (failed && pass == 1) errors += name
-          thisPass(name) = dt
+          if (failed && !errors.contains(name)) errors += name
+          // a failed run's time-to-exception must never min-merge into
+          // the record; it stands in only when no successful
+          // measurement exists anywhere (keeps every query present)
+          if (!failed) thisPass(name) = dt
+          else if (!thisPass.contains(name) && !firstPass.contains(name))
+            thisPass(name) = dt
         }
         spark.stop()
         // between groups: let the dead context's cleaner references go
@@ -164,7 +169,8 @@ object Bench {
           envs += ((s"${tag}retry-$gi", load, calib))
           groups(gi).foreach { case (name, fn) =>
             val (dt, failed) = timeQuery(spark, sfDir, fn, name)
-            if (!failed && dt < thisPass(name)) thisPass(name) = dt
+            if (!failed && dt < thisPass.getOrElse(name, Double.MaxValue))
+              thisPass(name) = dt
           }
           spark.stop()
           System.gc()

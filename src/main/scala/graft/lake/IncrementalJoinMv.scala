@@ -36,14 +36,18 @@ object IncrementalJoinMv {
 
   /** A signed-distributive aggregate: `delta` evaluates over joined
     * change rows (may reference `__sign`), `fold` merges partials.
+    * These are EXTRA measures — the signed row count `n` is always
+    * maintained structurally (it is the group-liveness criterion), so
+    * no calling convention can silently drop live groups.
     */
   final case class Agg(name: String, delta: Column, fold: Column => Column)
 
-  /** COUNT(*) and SUM(expr) in signed form. */
-  def countAgg(name: String): Agg =
-    Agg(name, sum(col("__sign")).cast("bigint"), c => sum(c).cast("bigint"))
+  /** SUM(expr) in signed form. */
   def sumAgg(name: String, expr: Column): Agg =
     Agg(name, sum(col("__sign") * expr).cast("bigint"), c => sum(c).cast("bigint"))
+
+  /** The structural signed row count — reserved column name. */
+  val CountCol = "n"
 
   private val noteRe = "^jmv-basis-(\\d+)-(\\d+)$".r
 
@@ -60,10 +64,13 @@ object IncrementalJoinMv {
   private def joined(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
     fact.join(broadcast(dim), Seq(key))
 
-  private def state(df: DataFrame, group: Seq[String], aggs: Seq[Agg]): DataFrame =
+  private def state(df: DataFrame, group: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    require(!aggs.exists(_.name == CountCol),
+      s"'$CountCol' is the structural signed count — name extra aggregates differently")
     df.groupBy(group.map(col): _*)
-      .agg(aggs.head.delta.as(aggs.head.name),
-        aggs.tail.map(a => a.delta.as(a.name)): _*)
+      .agg(sum(col("__sign")).cast("bigint").as(CountCol),
+        aggs.map(a => a.delta.as(a.name)): _*)
+  }
 
   /** Signed change rows of `root` over (from, head]: the CDF frame
     * with `__sign` = +1 for inserts, −1 for delete pre-images.
@@ -83,7 +90,8 @@ object IncrementalJoinMv {
     val d = LakeTable.currentSnapshot(dimRoot)
     val full = joined(LakeTable.read(s, factRoot, Some(f)),
       LakeTable.read(s, dimRoot, Some(d)), key).withColumn("__sign", lit(1L))
-    LakeTable.commit(s, mvRoot, state(full, group, aggs).filter(col(aggs.head.name) > 0),
+    LakeTable.commit(s, mvRoot,
+      state(full, group, aggs).filter(col(CountCol) > 0),
       cfg, group, note = s"jmv-basis-$f-$d")
   }
 
@@ -116,9 +124,9 @@ object IncrementalJoinMv {
     val next = LakeTable.read(s, mvRoot)
       .unionByName(state(delta, group, aggs))
       .groupBy(group.map(col): _*)
-      .agg(aggs.head.fold(col(aggs.head.name)).as(aggs.head.name),
-        aggs.tail.map(a => a.fold(col(a.name)).as(a.name)): _*)
-      .filter(col(aggs.head.name) > 0)
+      .agg(sum(col(CountCol)).cast("bigint").as(CountCol),
+        aggs.map(a => a.fold(col(a.name)).as(a.name)): _*)
+      .filter(col(CountCol) > 0)
     LakeTable.rewrite(s, mvRoot, next, cfg, group,
       note = s"jmv-basis-$f1-$d1")
     (f1, d1)

@@ -2865,6 +2865,37 @@ object LakeTable {
     new ThreadLocal[Array[Long]] { override def initialValue = Array(0L) }
   private[graft] def manifestReadCount: Long = manifestResolutions.get()(0)
 
+  /** All manifest notes of `root`'s live chain — INCREMENTALLY
+    * maintained per JVM: each call walks only the manifests committed
+    * since the previous call (O(delta), amortized O(1) per commit),
+    * so note-keyed idempotence checks (the index appendBatch ledgers)
+    * never become the O(commit-history) scan the CdcApply watermark
+    * was built to avoid. Notes of since-EXPIRED manifests stay in the
+    * set — conservative in the right direction for replay dedupe (a
+    * batch that once landed is never re-applied). A fresh process
+    * pays one full walk per table, then deltas.
+    */
+  private val noteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Set[String])]()
+
+  def manifestNotes(root: String): Set[String] = {
+    val head = currentSnapshot(root)
+    val cur = noteCache.get(root)
+    if (cur != null && cur._1 == head) cur._2
+    else {
+      val from = if (cur == null) 0 else cur._1
+      val base = if (cur == null) Set.empty[String] else cur._2
+      val upd = base ++ ((from + 1) to head).flatMap { i =>
+        // tolerate retention holes below the keep-point
+        if (Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
+          Some(manifest(root, i).note)
+        else None
+      }
+      noteCache.put(root, (head, upd))
+      upd
+    }
+  }
+
   def manifest(root: String, snap: Int): Manifest = {
     manifestResolutions.get()(0) += 1
     require(snap > 0, s"no snapshot $snap (table has ${currentSnapshot(root)})")

@@ -154,8 +154,9 @@ object IvfIndex {
         s"ivf append: no frozen codebook for $dir — run ensureCorpusIvf first")
       val note = s"ivf-append-$batchId"
       val head = LakeTable.currentSnapshot(ref.cellsPath)
-      val landed = (1 to head).exists(i =>
-        LakeTable.manifest(ref.cellsPath, i).note == note)
+      // O(delta) replay ledger: the incrementally-cached note set,
+      // never a per-append walk of the commit history
+      val landed = LakeTable.manifestNotes(ref.cellsPath).contains(note)
       if (landed) head
       else LakeTable.commit(s, ref.cellsPath,
         graft.queries.Advanced.kmAssign(batch, codebook(s, ref)),

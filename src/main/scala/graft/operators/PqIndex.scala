@@ -105,8 +105,8 @@ object PqIndex {
       IvfIndex.appendBatch(s, ref.ivfKey, batch, batchId)
       val note = s"pq-append-$batchId"
       val head = LakeTable.currentSnapshot(ref.codesPath)
-      val landed = (1 to head).exists(i =>
-        LakeTable.manifest(ref.codesPath, i).note == note)
+      // O(delta) replay ledger via the incrementally-cached note set
+      val landed = LakeTable.manifestNotes(ref.codesPath).contains(note)
       if (landed) head
       else {
         val ivf = IvfIndex.ensureCorpusIvf(s, ref.ivfKey, batch /* unused */)

@@ -1315,9 +1315,8 @@ object Lake {
       .withColumn("wb", col("weight") % 3)
     LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id"))
     LakeTable.commit(s, dim, dimV1, dimCfg, Seq("event_type"))
-    val aggs = Seq(IncrementalJoinMv.countAgg("n"),
-      IncrementalJoinMv.sumAgg("sum_value_x100",
-        floor(col("value") * 100 + 0.5).cast("bigint")))
+    val aggs = Seq(IncrementalJoinMv.sumAgg("sum_value_x100",
+      floor(col("value") * 100 + 0.5).cast("bigint")))
     IncrementalJoinMv.create(s, fact, dim, mv, "event_type", Seq("wb"), aggs, mvCfg)
     // fact-only refresh: ΔF ⋈ D₀, dim broadcast, fact never scanned
     LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg, Seq("event_id"))
@@ -1399,9 +1398,8 @@ object Lake {
       .withColumn("wb", col("weight") % 3)
     LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id"))
     LakeTable.commit(s, dim, dimV1, dimCfg, Seq("event_type"))
-    val aggs = Seq(IncrementalJoinMv.countAgg("n"),
-      IncrementalJoinMv.sumAgg("sum_value_x100",
-        floor(col("value") * 100 + 0.5).cast("bigint")))
+    val aggs = Seq(IncrementalJoinMv.sumAgg("sum_value_x100",
+      floor(col("value") * 100 + 0.5).cast("bigint")))
     IncrementalJoinMv.create(s, fact, dim, mv, "event_type", Seq("wb"), aggs, mvCfg)
     def drain(): Unit = {
       val q = s.readStream.format("graft-lake")

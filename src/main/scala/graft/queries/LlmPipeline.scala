@@ -797,7 +797,9 @@ object LlmPipeline {
     val lptAgg = ranged.withColumn("shard", lpt)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
-    val naiveAgg = scored.withColumn("shard", col("doc_id") % SHB_SHARDS)
+    // the baseline reads the CACHED ranked frame — same rows, no
+    // second tokenization pass over the corpus
+    val naiveAgg = ranged.withColumn("shard", col("doc_id") % SHB_SHARDS)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("naive_n_docs"),
         sum(col("n_tok")).as("naive_sum_tok"))
@@ -3712,6 +3714,7 @@ object LlmPipeline {
     "text_chunk" -> textChunk,
     "seq_pack" -> seqPack,
     "shard_balance" -> shardBalance,
+    "dedup_exact" -> dedupExact,
     "corpus_index_build" -> corpusIndexBuild,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
