@@ -395,6 +395,43 @@ object LakeTable {
     bHead
   }
 
+  /** WRITE-AUDIT-PUBLISH DIFF — "what would publishing `name` change
+    * on main": the NET row-level changes the branch accumulated since
+    * its fork, with `_change_type` ('insert' | 'delete') and multiset
+    * multiplicity. Computed from the branch's OWN changelog over
+    * (basis, head] folded by sign — O(branch work), never a
+    * two-head corpus diff: the fork shares main's basis manifest by
+    * construction, so the signed fold IS the main-vs-branch multiset
+    * difference, and churn inside the branch (a row added then
+    * rejected by the audit) cancels to zero rows. Requires main
+    * unchanged since the fork — the same invariant publish itself
+    * CAS-validates; a moved main head gets a pointed error, not a
+    * stale answer.
+    */
+  def branchDiff(spark: SparkSession, root: String, name: String): DataFrame = {
+    val bRoot = branchRoot(root, name)
+    val bHead = currentSnapshot(bRoot)
+    require(bHead > 0, s"no branch '$name' on $root")
+    val basis = forkBasis(bRoot)
+    val mainHead = currentSnapshot(root)
+    require(mainHead == basis,
+      s"main advanced to $mainHead since branch '$name' forked at $basis — " +
+        "the diff would be stale; re-branch from the head and replay")
+    val cl = changelogRead(spark, bRoot, basis, bHead)
+    val dataCols = cl.columns.filterNot(c => c == "_change_type" || c == "_change_snap").toSeq
+    val net = cl
+      .withColumn("__sign",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__net"))
+      .filter(col("__net") =!= 0L)
+    // restore multiset multiplicity (|net| copies) and the verb
+    net.select(dataCols.map(col) :+
+        when(col("__net") > 0, "insert").otherwise("delete").as("_change_type") :+
+        explode(sequence(lit(1L), abs(col("__net")))).as("__i"): _*)
+      .drop("__i")
+  }
+
   /** Drop a branch. Refuses (unless the branch was never published)
     * to remove a directory whose data files the MAIN chain still
     * references — a published branch's files are part of the table.

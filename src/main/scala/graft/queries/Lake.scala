@@ -1725,6 +1725,63 @@ object Lake {
       |GROUP BY snap, event_type
       |ORDER BY snap, event_type""".stripMargin
 
+  // --- lake_branch_diff: the WRITE-AUDIT-PUBLISH DIFF — the audit
+  // step's own question, "what exactly would publishing this branch
+  // change on main?", answered BEFORE the publish from the branch's
+  // own changelog folded by sign (LakeTable.branchDiff): O(branch
+  // work) at any table size (the fork shares main's basis manifest,
+  // so the signed fold IS the main-vs-branch multiset difference),
+  // and in-branch churn cancels — rows the audit itself rejected
+  // (added in one branch commit, deleted in the next) appear NOWHERE
+  // in the report, which the oracle pins by construction (the %5==3
+  // slice is inserted then audit-deleted on the branch and must
+  // vanish). Inherited-row deletes surface as 'delete' rows. The
+  // report is the human gate of the WAP workflow; publish replays the
+  // same commits under CAS afterwards.
+  def lakeBranchDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_brd_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, root, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.branch(root, "audit")
+    val bRoot = LakeTable.branchRoot(root, "audit")
+    LakeTable.commit(s, bRoot, ev.filter(col("event_id") % 2 === 1), cfg, Seq("event_id"))
+    // the audit rejects part of the branch's OWN new generation
+    // (in-branch churn — must cancel out of the diff entirely) …
+    LakeTable.deleteWhere(s, bRoot, "event_id",
+      ev.filter(col("event_id") % 2 === 1 && col("event_id") % 5 === 3))
+    // … and retracts some INHERITED main rows (surfaces as deletes)
+    LakeTable.deleteWhere(s, bRoot, "event_id",
+      ev.filter(col("event_id") % 2 === 0 && col("event_id") % 7 === 0))
+    LakeTable.branchDiff(s, root, "audit")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("n_insert"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).as("n_delete"),
+        sum(when(col("_change_type") === "insert",
+            floor(col("value") * 100 + 0.5).cast("bigint"))
+          .otherwise(-floor(col("value") * 100 + 0.5).cast("bigint")))
+          .cast("bigint").as("net_value_x100"))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeBranchDiffSql: String =
+    """WITH ch AS (
+      |  SELECT event_type, value, 'insert' AS ct FROM events
+      |  WHERE event_id % 2 = 1 AND NOT event_id % 5 = 3
+      |  UNION ALL
+      |  SELECT event_type, value, 'delete' AS ct FROM events
+      |  WHERE event_id % 2 = 0 AND event_id % 7 = 0)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+      |  CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+      |  CAST(SUM(CASE WHEN ct = 'insert' THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+      |       ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS net_value_x100
+      |FROM ch
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- stream_lake: streaming ingest INTO the manifest-tracked
   // table — the reference's whole pipeline (file stream → block
   // writer → iceberg commit; main.go:62-115) in one operator. The
@@ -2939,6 +2996,7 @@ object Lake {
     "lake_manifest_compact" -> lakeManifestCompact,
     "lake_tag" -> lakeTag,
     "lake_branch" -> lakeBranch,
+    "lake_branch_diff" -> lakeBranchDiff,
     "lake_format_write" -> lakeFormatWrite,
     "q_sql_lake" -> qSqlLake,
     "q_sql_call" -> qSqlCall,
@@ -3002,6 +3060,7 @@ object Lake {
     "lake_manifest_compact" -> lakeManifestCompactSql,
     "lake_tag" -> lakeTagSql,
     "lake_branch" -> lakeBranchSql,
+    "lake_branch_diff" -> lakeBranchDiffSql,
     "lake_format_write" -> lakeFormatWriteSql,
     "q_sql_lake" -> qSqlLakeSql,
     "q_sql_call" -> qSqlCallSql,

@@ -1225,6 +1225,41 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(base); graft.util.Scratch.rmNow(mv)
   }
 
+  test("branchDiff: net changes only (churn cancels); re-branch after publish diffs empty; stale main refused") {
+    val s = spark
+    import s.implicits._
+    val root = graft.util.Scratch.dir("graft_brdiff_spec_")
+    val cfg = BlockWriter.Config("k", "id", maxRecordsPerFile = 64)
+    def rows(ids: Seq[Long]) = ids.map(i => (i, s"k${i % 3}", i * 1.0)).toDF("id", "k", "v")
+    LakeTable.commit(s, root, rows(1L to 12L), cfg, Seq("id"))
+    LakeTable.branch(root, "wap")
+    val b = LakeTable.branchRoot(root, "wap")
+    LakeTable.commit(s, b, rows(13L to 20L), cfg, Seq("id"))
+    // churn: 15..16 added above then audit-rejected — must vanish
+    LakeTable.deleteWhere(s, b, "id", Seq(15L, 16L).toDF("id"))
+    // inherited retraction: 3 and 6 from the main generation
+    LakeTable.deleteWhere(s, b, "id", Seq(3L, 6L).toDF("id"))
+    val d = LakeTable.branchDiff(s, root, "wap")
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    val expIns = ((13L to 20L).toSet -- Set(15L, 16L)).map(_ -> "insert")
+    val expDel = Set(3L, 6L).map(_ -> "delete")
+    assert(d === expIns ++ expDel,
+      s"diff must be the NET changes; got $d")
+    // publishing then re-branching yields an empty diff
+    LakeTable.publishBranch(root, "wap")
+    LakeTable.branch(root, "wap2")
+    assert(LakeTable.branchDiff(s, root, "wap2").count() === 0L)
+    // a branch whose main moved after the fork gets a pointed error
+    LakeTable.branch(root, "wap3")
+    LakeTable.commit(s, LakeTable.branchRoot(root, "wap3"), rows(30L to 32L), cfg, Seq("id"))
+    LakeTable.commit(s, root, rows(40L to 42L), cfg, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.branchDiff(s, root, "wap3")
+    }
+    assert(e.getMessage.contains("re-branch"), e.getMessage)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("join-MV delta law: signed CDF deltas land on the recompute; zero-count groups leave; no-op refresh") {
     import graft.lake.IncrementalJoinMv
     val s = spark
