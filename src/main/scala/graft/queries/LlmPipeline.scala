@@ -84,6 +84,66 @@ object LlmPipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- text_langid_eval: CLASSIFIER EVALUATION against ground truth
+  // — the documents table carries a labeled `lang` column, so the
+  // n-gram/stopword language identifier (text_langid) gets the
+  // evaluation every production classifier needs before it gates a
+  // pipeline: the full CONFUSION MATRIX (truth × prediction counts)
+  // plus per-truth-class precision-input columns, all integer. This
+  // is the measurement loop quality classifiers live in (train →
+  // eval on held-out labels → threshold); shape: one map-side scoring
+  // pass (identical to text_langid) + one matrix-sized groupBy —
+  // the eval costs a scan regardless of corpus size, and the output
+  // is (|langs|²)-bounded. The oracle replays scoring + matrix.
+  def textLangidEval(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val scored = t(s, dir, "documents")
+      .withColumn("s_en", TextFns.stopwordHits(ws, "en").cast("bigint"))
+      .withColumn("s_de", TextFns.stopwordHits(ws, "de").cast("bigint"))
+      .withColumn("s_fr", TextFns.stopwordHits(ws, "fr").cast("bigint"))
+      .withColumn("s_es", TextFns.stopwordHits(ws, "es").cast("bigint"))
+      .withColumn("s_zh", TextFns.cjkCount(col("text")).cast("bigint"))
+      .withColumn("pred_lang", TextFns.langPredict(col("s_en"), col("s_de"),
+        col("s_fr"), col("s_es"), col("s_zh")))
+    scored.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_truth",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))))
+      .withColumn("recall_bp", (col("n") * 10000L / col("n_truth")).cast("bigint"))
+      .withColumn("is_hit", when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        col("n_truth").cast("bigint").as("n_truth"), col("recall_bp"), col("is_hit"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val textLangidEvalSql: String = {
+    def hits(lang: String) =
+      s"len(list_filter(ws, w -> list_contains(${stopArr(lang)}, lower(w))))"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+       |    ${hits("fr")} AS s_fr, ${hits("es")} AS s_es,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+       |  FROM (SELECT doc_id, lang, text, $wsSql AS ws FROM documents)),
+       |pred AS (
+       |  SELECT lang,
+       |    CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+       |         WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+       |         WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+       |         WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+       |         WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+       |         ELSE 'es' END AS pred_lang
+       |  FROM scored),
+       |m AS (SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang)
+       |SELECT lang, pred_lang, n,
+       |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_truth,
+       |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS BIGINT) AS is_hit
+       |FROM m
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
   // --- text_quality: length / punctuation / stopword / alpha ratios
   // composed into a bounded quality score — the standard cheap
   // pre-filter before expensive dedup/classification stages.
@@ -2406,6 +2466,65 @@ object LlmPipeline {
     */
   def streamIvfAppendSql: String = annIvfAppendSql
 
+  // --- embed_drift: EMBEDDING-SPACE DRIFT MONITOR — the input-space
+  // early-warning twin of ann_drift_gate (which measures drift where
+  // it HURTS, probe recall; this one measures it where it STARTS, the
+  // distribution): per label, the integer centroid of the standing
+  // corpus vs the arriving batch, reported as the squared L2 distance
+  // between the two centroids. Shape at 100 TB: ONE map-side partial
+  // aggregation over (label, part, dim) — the shuffle carries
+  // 64·|labels|·2 keyed sums, never vectors — then a matrix-sized
+  // join; everything integer (floor-mean of scaled ints), so the
+  // oracle replays it exactly. A drift_d2 trending up across batches
+  // is the signal to schedule the explicit retrain that
+  // ann_ivf_append's frozen codebook deliberately never pays inline.
+  def embedDrift(s: SparkSession, dir: String): DataFrame = {
+    val vi = embBase(s, dir)
+      .select(col("vec_id"), col("label"), Advanced.kmIntVec(col("v")).as("vi"))
+      .withColumn("part",
+        when(graft.operators.IvfIndex.batchPred, "batch").otherwise("corpus"))
+    val sums = vi
+      .select(col("label"), col("part"), posexplode(col("vi")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("part"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("sx").cast("double") / col("n")).cast("bigint"))
+    val cc = sums.filter(col("part") === "corpus")
+      .select(col("label"), col("pos"), col("c").as("ccv"), col("n").as("nc"))
+    val cb = sums.filter(col("part") === "batch")
+      .select(col("label"), col("pos"), col("c").as("cbv"), col("n").as("nb"))
+    cc.join(cb, Seq("label", "pos"))
+      .groupBy(col("label").cast("bigint").as("label"))
+      .agg(max(col("nc")).cast("bigint").as("n_corpus"),
+        max(col("nb")).cast("bigint").as("n_batch"),
+        sum((col("ccv") - col("cbv")) * (col("ccv") - col("cbv")))
+          .cast("bigint").as("drift_d2"))
+      .orderBy(col("label"))
+  }
+
+  val embedDriftSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(FLOOR(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vi
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT label,
+       |    CASE WHEN vec_id % 10 = 0 THEN 'batch' ELSE 'corpus' END AS part,
+       |    t.i AS pos, vi[t.i] AS x
+       |  FROM b, range(1, 65) t(i)),
+       |s AS (
+       |  SELECT label, part, pos,
+       |    CAST(FLOOR(SUM(x)::DOUBLE / COUNT(*)) AS BIGINT) AS c, COUNT(*) AS n
+       |  FROM e GROUP BY label, part, pos),
+       |j AS (
+       |  SELECT cc.label, cc.pos, cc.c AS ccv, cb.c AS cbv, cc.n AS nc, cb.n AS nb
+       |  FROM s cc JOIN s cb ON cc.label = cb.label AND cc.pos = cb.pos
+       |  WHERE cc.part = 'corpus' AND cb.part = 'batch')
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(MAX(nc) AS BIGINT) AS n_corpus, CAST(MAX(nb) AS BIGINT) AS n_batch,
+       |  CAST(SUM((ccv - cbv) * (ccv - cbv)) AS BIGINT) AS drift_d2
+       |FROM j
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   // --- ann_ivf_pq: the COMPOSED production vector index (the FAISS
   // IVFADC shape, Jégou et al. 2011 §IV): the persisted IVF coarse
   // quantizer partitions the corpus into inverted lists, and within
@@ -3692,6 +3811,7 @@ object LlmPipeline {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> embedPca,
+    "embed_drift" -> embedDrift,
     "ann_range" -> annRange,
     "sample_bottomk" -> sampleBottomk,
     "ann_hybrid" -> annHybrid,
@@ -3704,6 +3824,7 @@ object LlmPipeline {
     "text_quality_clf" -> textQualityClf,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
+    "text_langid_eval" -> textLangidEval,
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,
     "bpe_train" -> bpeTrain,
@@ -3754,10 +3875,12 @@ object LlmPipeline {
 
   val oracles: Map[String, String] = Map(
     "embed_pca" -> embedPcaSql,
+    "embed_drift" -> embedDriftSql,
     "ann_range" -> annRangeSql,
     "sample_bottomk" -> sampleBottomkSql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
+    "text_langid_eval" -> textLangidEvalSql,
     "text_quality" -> textQualitySql,
     "ann_hybrid" -> annHybridSql,
     "ann_truncated" -> annTruncatedSql,
