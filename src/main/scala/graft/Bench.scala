@@ -122,6 +122,11 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.ListBuffer[String]()
     val firstPass = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // names whose firstPass value is a time-to-exception PLACEHOLDER
+    // (no successful measurement exists yet): a later SUCCESS replaces
+    // a placeholder unconditionally — never min-merges against it —
+    // so a fast failure can't shadow a genuine (larger) measurement
+    val placeholderNames = scala.collection.mutable.Set[String]()
     val passTotals = scala.collection.mutable.ListBuffer[Double]()
 
     val envs = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
@@ -129,6 +134,7 @@ object Bench {
     val groups = all.grouped(GroupSize).toSeq
     (1 to passes).foreach { pass =>
       val thisPass = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val thisPassPlaceholder = scala.collection.mutable.Set[String]()
       val groupCalib = scala.collection.mutable.LinkedHashMap[Int, Double]()
       val tag = if (passes == 1) "" else s"p$pass-"
       groups.zipWithIndex.foreach { case (group, gi) =>
@@ -143,9 +149,10 @@ object Bench {
           // a failed run's time-to-exception must never min-merge into
           // the record; it stands in only when no successful
           // measurement exists anywhere (keeps every query present)
-          if (!failed) thisPass(name) = dt
-          else if (!thisPass.contains(name) && !firstPass.contains(name))
-            thisPass(name) = dt
+          if (!failed) { thisPass(name) = dt; thisPassPlaceholder -= name }
+          else if (!thisPass.contains(name) && !firstPass.contains(name)) {
+            thisPass(name) = dt; thisPassPlaceholder += name
+          }
         }
         spark.stop()
         // between groups: let the dead context's cleaner references go
@@ -169,16 +176,30 @@ object Bench {
           envs += ((s"${tag}retry-$gi", load, calib))
           groups(gi).foreach { case (name, fn) =>
             val (dt, failed) = timeQuery(spark, sfDir, fn, name)
-            if (!failed && dt < thisPass.getOrElse(name, Double.MaxValue))
-              thisPass(name) = dt
+            if (!failed && (thisPassPlaceholder.contains(name) ||
+                dt < thisPass.getOrElse(name, Double.MaxValue))) {
+              thisPass(name) = dt; thisPassPlaceholder -= name
+            }
           }
           spark.stop()
           System.gc()
         }
       }
       passTotals += thisPass.values.sum
+      // cross-pass merge: successes min-merge with successes; a
+      // success REPLACES a placeholder unconditionally; a placeholder
+      // never displaces a success
       thisPass.foreach { case (name, dt) =>
-        if (!firstPass.contains(name) || dt < firstPass(name)) firstPass(name) = dt
+        val thisIsPh = thisPassPlaceholder.contains(name)
+        val firstIsPh = placeholderNames.contains(name)
+        if (!firstPass.contains(name)) {
+          firstPass(name) = dt
+          if (thisIsPh) placeholderNames += name
+        } else if (firstIsPh && !thisIsPh) {
+          firstPass(name) = dt; placeholderNames -= name
+        } else if (firstIsPh == thisIsPh && dt < firstPass(name)) {
+          firstPass(name) = dt
+        }
       }
     }
 

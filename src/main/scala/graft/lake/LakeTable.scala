@@ -2917,20 +2917,28 @@ object LakeTable {
 
   def manifestNotes(root: String): Set[String] = {
     val head = currentSnapshot(root)
-    val cur = noteCache.get(root)
-    if (cur != null && cur._1 == head) cur._2
-    else {
-      val from = if (cur == null) 0 else cur._1
-      val base = if (cur == null) Set.empty[String] else cur._2
-      val upd = base ++ ((from + 1) to head).flatMap { i =>
-        // tolerate retention holes below the keep-point
-        if (Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
-          Some(manifest(root, i).note)
-        else None
+    // atomic read-extend-publish (compute, not get-then-put): two
+    // concurrent callers can't interleave and publish a (head, notes)
+    // pair whose head was read BEFORE the other thread's commit. A
+    // cached head ABOVE the table's current head means the directory
+    // was removed and recreated at the same path — drop the stale
+    // entry and rebuild, instead of serving "already landed" notes
+    // that would silently skip legitimate appends on the new table.
+    noteCache.compute(root, (_, cached) => {
+      val cur = if (cached != null && cached._1 > head) null else cached
+      if (cur != null && cur._1 == head) cur
+      else {
+        val from = if (cur == null) 0 else cur._1
+        val base = if (cur == null) Set.empty[String] else cur._2
+        val upd = base ++ ((from + 1) to head).flatMap { i =>
+          // tolerate retention holes below the keep-point
+          if (Files.exists(Paths.get(root, "meta", s"manifest-$i.json")))
+            Some(manifest(root, i).note)
+          else None
+        }
+        (head, upd)
       }
-      noteCache.put(root, (head, upd))
-      upd
-    }
+    })._2
   }
 
   def manifest(root: String, snap: Int): Manifest = {

@@ -71,22 +71,31 @@ object PqIndex {
     buildLock.synchronized {
       val ref = refFor(dir)
       val ivf = IvfIndex.ensureCorpusIvf(s, ref.ivfKey, base)
-      if (LakeTable.currentSnapshot(ref.pqBooksPath) < 1) {
+      // each artifact's init is gated on ITS OWN head: a failure (or
+      // retried bench query) between the two commits leaves books
+      // committed but codes absent, and the retry must land the codes
+      // instead of silently serving a codes-less "built" index
+      val needBooks = LakeTable.currentSnapshot(ref.pqBooksPath) < 1
+      val needCodes = LakeTable.currentSnapshot(ref.codesPath) < 1
+      if (needBooks || needCodes) {
         val corpusResid = graft.util.QueryScratch.cached(
           residualsOf(s, ivf, base.filter(!IvfIndex.batchPred)))
-        val books = (1 to 2).map { sub =>
-          val lo = (sub - 1) * SubDim + 1
-          graft.queries.Advanced.kmCentroids(
-            corpusResid.select(col("vec_id"), slice(col("ri"), lo, SubDim).as("vi")),
-            graft.queries.Advanced.KM_K, 1).withColumn("sub", lit(sub))
-        }.reduce(_ unionByName _)
-        LakeTable.commit(s, ref.pqBooksPath, books,
-          BlockWriter.Config("sub", "cid", maxRecordsPerFile = 1 << 20,
-            parallelism = Some(1)), Seq("sub", "cid"))
-        LakeTable.commit(s, ref.codesPath,
-          encode(corpusResid, LakeTable.read(s, ref.pqBooksPath)),
-          BlockWriter.Config("cid", "vec_id", maxRecordsPerFile = 1 << 20,
-            parallelism = Some(4)), Seq("vec_id", "cid"))
+        if (needBooks) {
+          val books = (1 to 2).map { sub =>
+            val lo = (sub - 1) * SubDim + 1
+            graft.queries.Advanced.kmCentroids(
+              corpusResid.select(col("vec_id"), slice(col("ri"), lo, SubDim).as("vi")),
+              graft.queries.Advanced.KM_K, 1).withColumn("sub", lit(sub))
+          }.reduce(_ unionByName _)
+          LakeTable.commit(s, ref.pqBooksPath, books,
+            BlockWriter.Config("sub", "cid", maxRecordsPerFile = 1 << 20,
+              parallelism = Some(1)), Seq("sub", "cid")): Unit
+        }
+        if (needCodes)
+          LakeTable.commit(s, ref.codesPath,
+            encode(corpusResid, LakeTable.read(s, ref.pqBooksPath)),
+            BlockWriter.Config("cid", "vec_id", maxRecordsPerFile = 1 << 20,
+              parallelism = Some(4)), Seq("vec_id", "cid")): Unit
       }
       ref
     }

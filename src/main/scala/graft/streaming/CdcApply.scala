@@ -48,22 +48,33 @@ object CdcApply {
   private def wmFile(mirrorRoot: String) =
     java.nio.file.Paths.get(mirrorRoot, "meta", "_cdc_watermark.json")
 
-  private def readWatermark(mirrorRoot: String): (Int, Int) = {
+  /** (snap, mirror_head, prev_head): `prev_head` is the mirror head
+    * the PREVIOUS watermark recorded — marks of the most recently
+    * applied batch live in (prev_head, mirror_head], which is what
+    * the skip VALIDATION needs to clear a crash-replayed batch in
+    * O(batch) manifest reads. Old two-field files read with
+    * prev_head == mirror_head (validation then falls back to the
+    * cached full note set — correct, one-time cost).
+    */
+  private def readWatermark(mirrorRoot: String): (Int, Int, Int) = {
     val p = wmFile(mirrorRoot)
-    if (!java.nio.file.Files.exists(p)) (0, 0)
+    if (!java.nio.file.Files.exists(p)) (0, 0, 0)
     else {
       val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         .replaceAll("[^0-9,]", "").split(",")
-      (parts(0).toInt, parts(1).toInt)
+      val (s0, h0) = (parts(0).toInt, parts(1).toInt)
+      (s0, h0, if (parts.length > 2) parts(2).toInt else h0)
     }
   }
 
-  private def writeWatermark(mirrorRoot: String, snap: Int, mirrorHead: Int): Unit = {
+  private def writeWatermark(mirrorRoot: String, snap: Int, mirrorHead: Int,
+      prevHead: Int): Unit = {
     val p = wmFile(mirrorRoot)
     java.nio.file.Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(s"._cdc_watermark.${System.nanoTime()}.tmp")
     java.nio.file.Files.write(tmp,
-      s"""{"snap":$snap,"mirror_head":$mirrorHead}""".getBytes("UTF-8"))
+      s"""{"snap":$snap,"mirror_head":$mirrorHead,"prev_head":$prevHead}"""
+        .getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -96,10 +107,39 @@ object CdcApply {
       // watermark + tail marks, read ONCE per batch; commits made
       // below are appended to the local set, never re-read from
       // manifests — O(batch) metadata IO however old the mirror is
-      val (wm, wmHead) = readWatermark(mirrorRoot)
-      val seen = marksSince(mirrorRoot, wmHead,
+      val (wm, wmHead, prevHead) = readWatermark(mirrorRoot)
+      // tail marks cover (prev_head, head]: this batch's dedupe range
+      // PLUS the previous batch's marks, so a crash-replayed batch
+      // (the common at-least-once path) validates without touching
+      // older history — still O(batch) manifest IO per applied batch
+      val seen = marksSince(mirrorRoot, math.min(prevHead, wmHead),
         LakeTable.currentSnapshot(mirrorRoot))
       val snaps = allSnaps.filter(_ > wm)
+      // VALIDATE the monotonic-delivery invariant instead of assuming
+      // it: a snapshot at-or-below the watermark is only skippable if
+      // its cdc mark actually exists in the mirror ledger (tail marks
+      // for recent ones, the cached full note set for older). An
+      // out-of-order or re-seeded consumer replaying a range the
+      // mirror never applied fails POINTEDLY here rather than
+      // silently diverging. (A consistent changelog can't produce a
+      // mark-less applied snapshot: every snapshot with change rows
+      // lands at least one upsert or delete commit — deletes imply
+      // prior inserts, so the mirror is never empty when a
+      // delete-only snapshot applies.)
+      val skipped = allSnaps.filter(_ <= wm)
+      if (skipped.nonEmpty) {
+        lazy val allNotes = LakeTable.manifestNotes(mirrorRoot)
+        val unapplied = skipped.filterNot { sn =>
+          val marks = Seq(s"cdc:$sn:delete", s"cdc:$sn:upsert")
+          marks.exists(seen.contains) || marks.exists(allNotes.contains)
+        }
+        require(unapplied.isEmpty,
+          s"cdc apply: batch carries upstream snapshot(s) " +
+            s"${unapplied.mkString(", ")} at-or-below the applied " +
+            s"watermark $wm of $mirrorRoot, but no cdc mark for them " +
+            "exists in the mirror ledger — out-of-order or re-seeded " +
+            "delivery would silently diverge the mirror")
+      }
       snaps.foreach { sn =>
         val delMark = s"cdc:$sn:delete"; val upsMark = s"cdc:$sn:upsert"
         val cur = b.filter(col(CS) === sn)
@@ -132,7 +172,8 @@ object CdcApply {
       // next batch walks a slightly longer manifest tail
       val newWm = if (snaps.nonEmpty) snaps.last else wm
       if (newWm > wm || commits > 0)
-        writeWatermark(mirrorRoot, newWm, LakeTable.currentSnapshot(mirrorRoot))
+        writeWatermark(mirrorRoot, newWm,
+          LakeTable.currentSnapshot(mirrorRoot), wmHead)
       commits
     } finally { b.unpersist(); () }
   }

@@ -157,17 +157,55 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(late <= early + 2,
       s"replay-ledger manifest IO grew with mirror history: early=$early late=$late")
     // replay of an already-applied batch: the watermark filters every
-    // snapshot out before any ledger read — zero manifest resolutions
+    // snapshot out, and the skip VALIDATION clears each skipped
+    // snapshot from the (prev_head, head] mark tail — O(last batch)
+    // manifest reads (here: the one merge commit), never a ledger walk
     val h = LakeTable.currentSnapshot(up)
     val replay = LakeTable.changelogRead(s, up, h - 1, h)
     val before = LakeTable.manifestReadCount
     assert(CdcApply.applyBatch(s, mir, replay, "id", cfg, Seq("id")) === 0)
-    assert(LakeTable.manifestReadCount - before === 0L,
-      "replayed batch must not re-walk the mirror ledger")
+    assert(LakeTable.manifestReadCount - before <= 2L,
+      "replayed batch must validate from the watermark's mark tail, " +
+        s"not re-walk the mirror ledger (${LakeTable.manifestReadCount - before} reads)")
     // and the mirror still mirrors
     val a = LakeTable.read(s, up)
     val m = LakeTable.read(s, mir).select(a.columns.map(col).toIndexedSeq: _*)
     assert(a.exceptAll(m).count() === 0L && m.exceptAll(a).count() === 0L)
+  }
+
+  test("CdcApply rejects out-of-order delivery: a skipped snapshot with no cdc mark fails pointedly") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.CdcApply
+    val up = graft.util.Scratch.dir("graft_cdcooo_up_")
+    val mir = graft.util.Scratch.dir("graft_cdcooo_mir_")
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 8)
+    LakeTable.commit(s, up,
+      (1L to 8L).map(i => (i, i % 2, i * 1.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    LakeTable.merge(s, up, "id", Seq((2L, 0L, 200.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    LakeTable.merge(s, up, "id", Seq((3L, 1L, 300.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    // consumer applies snapshots {1, 3} but never 2 (a mis-seeded
+    // range), advancing the watermark past 2 without a cdc:2 mark
+    CdcApply.applyBatch(s, mir, LakeTable.changelogRead(s, up, 0, 1),
+      "id", cfg, Seq("id"))
+    CdcApply.applyBatch(s, mir, LakeTable.changelogRead(s, up, 2, 3),
+      "id", cfg, Seq("id"))
+    // snapshot 2 arrives late: the old note-ledger would have applied
+    // it, the bare watermark filter would silently DROP it — the
+    // validated skip fails pointedly instead, naming the snapshot
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.applyBatch(s, mir, LakeTable.changelogRead(s, up, 1, 2),
+        "id", cfg, Seq("id"))
+    }
+    assert(e.getMessage.contains("snapshot(s) 2") &&
+      e.getMessage.contains("watermark"))
+    // a genuinely applied old snapshot redelivered is still a clean
+    // no-op (mark found below the watermark via the cached note set)
+    assert(CdcApply.applyBatch(s, mir, LakeTable.changelogRead(s, up, 0, 1),
+      "id", cfg, Seq("id")) === 0)
   }
 
   test("changeFeed past retention fails pointedly, naming the expired snapshots") {
