@@ -187,10 +187,13 @@ class StreamingSpec extends AnyFunSuite {
     // spec-local index seeded with the CORPUS partition (the shared
     // session artifact stays immutable); batches then append to it
     val bandsRoot = graft.util.Scratch.dir("graft_ddst_idx_")
+    val baseRoot = graft.util.Scratch.dir("graft_ddst_base_")
     val resultsRoot = graft.util.Scratch.dir("graft_ddst_res_")
     val cfg = BlockWriter.Config("doc_id", "doc_id", maxRecordsPerFile = 1 << 20)
     LakeTable.commit(spark, bandsRoot,
       MinhashIndex.corpusBands(spark, sf), cfg, Seq("doc_id"))
+    LakeTable.commit(spark, baseRoot,
+      MinhashIndex.corpusBase(spark, sf), cfg, Seq("doc_id"))
     // three arriving batches (thirds of the incoming-batch docs),
     // staged with distinct mtimes so the file source's oldest-first
     // order is deterministic — the fold oracle replays the same order
@@ -210,7 +213,7 @@ class StreamingSpec extends AnyFunSuite {
       dst.toString
     }
     val (resCommits, idxCommits) = DedupStream.runOnceDedupToLake(
-      spark, inDir, resultsRoot, bandsRoot, cfg)
+      spark, inDir, resultsRoot, bandsRoot, baseRoot, cfg)
     // one commit per surviving batch on BOTH tables (idempotent notes)
     assert(resCommits >= 1 && idxCommits === resCommits + 1)
     (1 to resCommits).foreach { s =>
@@ -218,7 +221,8 @@ class StreamingSpec extends AnyFunSuite {
     }
     // equivalence with the batch-mode fold over the same file order
     val expected = DedupStream.batchFold(spark, files,
-      LakeTable.read(spark, bandsRoot, Some(1)))
+      LakeTable.read(spark, bandsRoot, Some(1)),
+      LakeTable.read(spark, baseRoot, Some(1)))
     val got = LakeTable.read(spark, resultsRoot)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got === expected)
@@ -257,6 +261,67 @@ class StreamingSpec extends AnyFunSuite {
       Seq("band", "bk"), "left_semi").select("doc_id").distinct()
     assert(dupIds.exceptAll(viaSemi).count() === 0L)
     assert(viaSemi.exceptAll(dupIds).count() === 0L)
+  }
+
+  test("streaming dedup exact-verify tier: a false-positive band collision survives, a true dup drops") {
+    val s = spark
+    import s.implicits._
+    import graft.lake.LakeTable
+    import graft.operators.MinhashIndex
+    import graft.streaming.DedupStream
+    import graft.writer.BlockWriter
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "red orange yellow green blue indigo violet ultraviolet"
+    val textC = "one two three four five six seven eight nine"
+    // batch: doc 100 (distinct content), doc 102 (true dup of corpus doc 1)
+    val batchDf = Seq((100L, textA), (102L, textB)).toDF("doc_id", "text")
+    // corpus: doc 1 = textB, doc 2 = textC (shingle-disjoint from 100)
+    val corpusDf = Seq((1L, textB), (2L, textC)).toDF("doc_id", "text")
+    val corpusBase = MinhashIndex.baseOf(corpusDf)
+    val corpusBands = MinhashIndex.bandsOf(corpusBase)
+    // FORCE the LSH false positive: corpus doc 2 is indexed under one
+    // of doc 100's band keys — two genuinely distinct documents
+    // sharing a band, the exact case a collision-drops gate loses
+    val forged = MinhashIndex.bandsOf(
+        MinhashIndex.baseOf(batchDf.filter($"doc_id" === 100)))
+      .limit(1).select(lit(2L).as("doc_id"), $"band", $"bk")
+    val bandsRoot = graft.util.Scratch.dir("graft_ddfp_idx_")
+    val baseRoot = graft.util.Scratch.dir("graft_ddfp_base_")
+    val resultsRoot = graft.util.Scratch.dir("graft_ddfp_res_")
+    val cfg = BlockWriter.Config("doc_id", "doc_id", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(spark, bandsRoot, corpusBands.unionByName(forged),
+      cfg, Seq("doc_id"))
+    LakeTable.commit(spark, baseRoot, corpusBase, cfg, Seq("doc_id"))
+    // the RAW collision gate would drop BOTH batch docs
+    val batchBands = MinhashIndex.bandsOf(MinhashIndex.baseOf(batchDf))
+    val rawDrops = DedupStream.probeDupIds(spark, bandsRoot, batchBands)
+      .collect().map(_.getLong(0)).sorted
+    assert(rawDrops === Array(100L, 102L),
+      "fixture must band-collide both batch docs")
+    // stage the batch and run the verified streaming gate
+    val inDir = graft.util.Scratch.dir("graft_ddfp_in_")
+    val tmp = graft.util.Scratch.dir("graft_ddfp_t_")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    val file = java.nio.file.Paths.get(inDir, "b0.parquet")
+    java.nio.file.Files.copy(src, file)
+    DedupStream.runOnceDedupToLake(spark, inDir, resultsRoot, bandsRoot,
+      baseRoot, cfg)
+    // doc 100's collision is refuted by exact Jaccard (disjoint
+    // shingles) → SURVIVES; doc 102's is confirmed (jacc = 1) → drops
+    val got = LakeTable.read(spark, resultsRoot)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got === Array(100L),
+      s"verified gate must keep the false positive and drop the dup, got ${got.mkString(",")}")
+    // the survivor's shingle set + bands joined the index
+    assert(LakeTable.read(spark, baseRoot).filter($"doc_id" === 100L).count() === 1L)
+    assert(LakeTable.read(spark, bandsRoot).filter($"doc_id" === 100L).count() > 0L)
+    // batch-fold twin agrees on the verified semantics
+    val expected = DedupStream.batchFold(spark, Seq(file.toString),
+      corpusBands.unionByName(forged), corpusBase)
+    assert(expected === Seq(100L))
+    spark.catalog.clearCache()
   }
 
   test("custom-state sessionizer matches native session_window") {
