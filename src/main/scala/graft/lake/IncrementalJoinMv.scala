@@ -96,7 +96,19 @@ object IncrementalJoinMv {
   }
 
   /** Fold both tables' changes since the recorded basis into the MV
-    * as one rewrite commit; returns the new (fact, dim) basis.
+    * as ONE MoR MERGE commit touching only changed groups; returns
+    * the new (fact, dim) basis.
+    *
+    * The fold is O(Δ groups) in WRITE amplification too: changed
+    * groups (keyed by the LEADING group column — the MERGE's
+    * equality-delete key) re-land as new data files, groups whose
+    * count reaches zero retire through the same commit's delete mask,
+    * and data files of untouched groups are never rewritten
+    * (spec-pinned byte-identical). When `group` has more than one
+    * column, every MV row SHARING a changed leading-column value is
+    * folded alongside (the eq-delete masks by that column) — still
+    * bounded by the touched leading partitions, never |MV|. MoR debt
+    * folds back at the next compaction, like every other merge.
     */
   def refresh(s: SparkSession, factRoot: String, dimRoot: String,
       mvRoot: String, key: String, group: Seq[String], aggs: Seq[Agg],
@@ -121,14 +133,27 @@ object IncrementalJoinMv {
         .withColumn("__sign", col("__dsign")).drop("__dsign")
     }
     val delta = parts.result().reduce(_ unionByName _)
-    val next = LakeTable.read(s, mvRoot)
-      .unionByName(state(delta, group, aggs))
-      .groupBy(group.map(col): _*)
-      .agg(sum(col(CountCol)).cast("bigint").as(CountCol),
-        aggs.map(a => a.fold(col(a.name)).as(a.name)): _*)
-      .filter(col(CountCol) > 0)
-    LakeTable.rewrite(s, mvRoot, next, cfg, group,
-      note = s"jmv-basis-$f1-$d1")
+    val deltaState = state(delta, group, aggs)
+    val gk = group.head
+    val changedKeys = deltaState.select(col(gk)).distinct().persist()
+    try {
+      val note = s"jmv-basis-$f1-$d1"
+      val mvCur = LakeTable.read(s, mvRoot)
+      // fold current values of exactly the touched lead-key rows with
+      // the delta; everything else stays on disk untouched
+      val folded = mvCur.join(broadcast(changedKeys), Seq(gk), "left_semi")
+        .unionByName(deltaState)
+        .groupBy(group.map(col): _*)
+        .agg(sum(col(CountCol)).cast("bigint").as(CountCol),
+          aggs.map(a => a.fold(col(a.name)).as(a.name)): _*)
+      val live = folded.filter(col(CountCol) > 0).to(mvCur.schema)
+      if (live.isEmpty)
+        // every touched group died: the commit is pure retirement
+        LakeTable.deleteWhere(s, mvRoot, gk, changedKeys, note = note): Unit
+      else
+        LakeTable.merge(s, mvRoot, gk, live, cfg, group, note = note,
+          extraDeleteKeys = Some(changedKeys)): Unit
+    } finally { changedKeys.unpersist(); () }
     (f1, d1)
   }
 }

@@ -512,9 +512,16 @@ object LakeTable {
     * exactly "old minus updated keys, plus updates", and nothing is
     * rewritten. Compaction ([[rewrite]]) later folds the masks in.
     */
+  /** `extraDeleteKeys`: additional equality-delete key values folded
+    * into the SAME atomic commit's delete file (beyond the updates'
+    * own keys) — the upsert-and-retire shape incremental MV folds
+    * need: changed groups re-land as data files while vanished groups
+    * retire via the delete mask, one commit, nothing rewritten.
+    */
   def merge(spark: SparkSession, root: String, keyCol: String,
       updates: DataFrame, cfg: BlockWriter.Config,
-      statCols: Seq[String], note: String = ""): Int = {
+      statCols: Seq[String], note: String = "",
+      extraDeleteKeys: Option[DataFrame] = None): Int = {
     val reservedM = updates.schema.fieldNames.filter(n => n == CoordPath || n == CoordIdx)
     require(reservedM.isEmpty,
       s"table columns ${reservedM.mkString(", ")} collide with the reserved " +
@@ -535,8 +542,11 @@ object LakeTable {
       .getOrElse(spark.sessionState.conf.numShufflePartitions)))
     val entries = scanStats(spark, dataStaging, updW, statCols.map(phys),
       bucketOf = mergeSpec.map { case (c, n) => (phys(c), n) })
-    val (_, delEntries) = stageDeleteFrame(spark, root,
-      updates.select(col(keyCol).as(phys(keyCol))).distinct())
+    val delPayload0 = updates.select(col(keyCol).as(phys(keyCol)))
+    val delPayload = extraDeleteKeys
+      .map(k => delPayload0.unionByName(k.select(col(keyCol).as(phys(keyCol)))))
+      .getOrElse(delPayload0).distinct()
+    val (_, delEntries) = stageDeleteFrame(spark, root, delPayload)
     val mergeSnap = casLoop(root) { parent =>
       require(parent > 0, s"merge into empty table $root")
       val pm = manifest(root, parent)

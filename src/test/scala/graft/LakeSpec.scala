@@ -1314,6 +1314,67 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(dim); graft.util.Scratch.rmNow(mv)
   }
 
+  test("join-MV fold is O(Δ groups): untouched groups' data files stay byte-identical; dead groups retire via the mask") {
+    import graft.lake.IncrementalJoinMv
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_jmvd_spec_f_")
+    val dim = graft.util.Scratch.dir("graft_jmvd_spec_d_")
+    val mv = graft.util.Scratch.dir("graft_jmvd_spec_m_")
+    val fCfg = BlockWriter.Config("k", "id", maxRecordsPerFile = 64)
+    val dCfg = BlockWriter.Config("k", "k", maxRecordsPerFile = 64)
+    // one MV data file per group (partitioned by g, tiny groups)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 64)
+    def factRows(ids: Seq[Long], k: Long => String) =
+      ids.map(i => (i, k(i), i * 10L)).toDF("id", "k", "x")
+    LakeTable.commit(s, fact, factRows(1L to 16L, i => s"k${i % 4}"), fCfg, Seq("id"))
+    LakeTable.commit(s, dim,
+      Seq(("k0", "a"), ("k1", "a"), ("k2", "b"), ("k3", "c")).toDF("k", "g"),
+      dCfg, Seq("k"))
+    val aggs = Seq(IncrementalJoinMv.sumAgg("sx", col("x")))
+    IncrementalJoinMv.create(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    def bytesOf(p: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.stripPrefix("file:")))
+    val files1 = LakeTable.manifest(mv, 1).files.map(_.path)
+    val bytes1 = files1.map(p => p -> bytesOf(p).toSeq).toMap
+    def recompute(): Map[String, (Long, Long)] =
+      LakeTable.read(s, fact).join(LakeTable.read(s, dim), "k")
+        .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def mvState(): Map[String, (Long, Long)] =
+      LakeTable.read(s, mv).select(col("g"), col("n"), col("sx"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // fact-only append touching ONLY group a (keys k0/k1): the fold
+    // must be a MERGE — untouched groups b and c keep their snapshot-1
+    // data files BY REFERENCE, byte for byte
+    LakeTable.commit(s, fact, factRows(17L to 24L, i => s"k${i % 2}"), fCfg, Seq("id"))
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    val m2 = LakeTable.manifest(mv, 2)
+    assert(files1.toSet.subsetOf(m2.files.map(_.path).toSet),
+      "untouched snapshot-1 data files must survive the refresh by reference")
+    files1.foreach(p => assert(bytesOf(p).toSeq === bytes1(p),
+      s"data file rewritten by a fold that should not touch it: $p"))
+    assert(m2.deletes.exists(_.seq == 2),
+      "the fold commit must carry its equality-delete mask")
+    assert(mvState() === recompute())
+    // group c dies (its only key k3 is deleted from the fact side):
+    // retirement rides the SAME single fold commit; b's file is still
+    // the snapshot-1 original
+    LakeTable.deleteWhere(s, fact, "id",
+      (1L to 24L).filter(_ % 4 == 3).toDF("id"))
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    val st = mvState()
+    assert(st === recompute() && !st.contains("c"),
+      "dead group must leave the view through the fold's delete mask")
+    assert(files1.toSet.subsetOf(
+      LakeTable.manifest(mv, 3).files.map(_.path).toSet),
+      "MoR fold keeps prior files by reference; nothing is rewritten")
+    assert(LakeTable.currentSnapshot(mv) === 3,
+      "each refresh is exactly one commit")
+    graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(dim); graft.util.Scratch.rmNow(mv)
+  }
+
   test("rewrite_manifests folds the part chain to one; history/incremental/changelog stay exact") {
     val root = graft.util.Scratch.dir("graft_mfc_spec_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
