@@ -1,0 +1,113 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.writer.BlockWriter
+
+/** NAMED materialized views — the warehouse-object layer over
+  * [[IncrementalJoinMv]]: the MV's DEFINITION (fact/dim roots, join
+  * key, group columns, signed-SUM measures, original SQL) persists as
+  * `meta/_mv.json` beside the MV table's own manifests, so the SQL
+  * front door can drive the whole lifecycle by NAME:
+  *
+  * {{{
+  * CREATE MATERIALIZED VIEW graft.db.mv AS
+  *   SELECT g, COUNT(*) AS n, SUM(x) AS sx
+  *   FROM graft.db.fact JOIN graft.db.dim USING (k) GROUP BY g
+  * CALL graft.system.refresh_mv(table => 'db.mv')
+  * SELECT * FROM graft.db.mv          -- a plain lake table read
+  * SELECT * FROM graft.db.mv.mv       -- definition + basis metadata
+  * DROP TABLE graft.db.mv             -- MVs are tables; DROP works
+  * }}}
+  *
+  * The definition file is metadata ABOUT the table, not state: the
+  * (fact, dim) BASIS the MV head reflects stays in the head commit's
+  * note (atomic with the data — [[IncrementalJoinMv.basis]]), so a
+  * rollback of the MV table rolls the basis back with it and the
+  * next refresh folds forward from the restored basis.
+  */
+object MaterializedView {
+
+  /** A stored MV definition. `sums` are (measure name, SUM-argument
+    * SQL) pairs — the signed-distributive grammar the delta-join law
+    * maintains; the structural count is always the `n` column.
+    */
+  final case class MvDef(fact: String, dim: String, key: String,
+      group: Seq[String], sums: Seq[(String, String)], sql: String)
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def defPath(mvDir: String) = Paths.get(mvDir, "meta", "_mv.json")
+
+  def isMv(mvDir: String): Boolean = Files.exists(defPath(mvDir))
+
+  private def writeDef(mvDir: String, d: MvDef): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("fact", d.fact); n.put("dim", d.dim); n.put("key", d.key)
+    val g = n.putArray("group"); d.group.foreach(x => { g.add(x): Unit })
+    val a = n.putArray("sums")
+    d.sums.foreach { case (name, e) =>
+      val o = a.addObject(); o.put("name", name); o.put("expr", e): Unit
+    }
+    n.put("sql", d.sql)
+    Files.createDirectories(defPath(mvDir).getParent)
+    Files.write(defPath(mvDir),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(n)): Unit
+  }
+
+  def readDef(mvDir: String): MvDef = {
+    require(isMv(mvDir),
+      s"$mvDir is not a materialized view (no meta/_mv.json definition); " +
+        "only tables created by CREATE MATERIALIZED VIEW can be refreshed")
+    val n = mapper.readTree(Files.readString(defPath(mvDir)))
+    def arr(name: String) = {
+      val it = n.get(name).elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+    }
+    MvDef(n.get("fact").asText(), n.get("dim").asText(), n.get("key").asText(),
+      arr("group").map(_.asText()),
+      arr("sums").map(o => (o.get("name").asText(), o.get("expr").asText())),
+      n.get("sql").asText())
+  }
+
+  private def aggsOf(d: MvDef): Seq[IncrementalJoinMv.Agg] =
+    d.sums.map { case (name, e) => IncrementalJoinMv.sumAgg(name, expr(e)) }
+
+  private def cfgOf(d: MvDef): BlockWriter.Config =
+    BlockWriter.Config(d.group.head, d.group.head, maxRecordsPerFile = 1 << 20)
+
+  /** Materialize + persist the definition; returns the MV snapshot. */
+  def create(s: SparkSession, mvDir: String, d: MvDef): Int = {
+    val snap = IncrementalJoinMv.create(s, d.fact, d.dim, mvDir, d.key,
+      d.group, aggsOf(d), cfgOf(d))
+    writeDef(mvDir, d)
+    snap
+  }
+
+  /** Fold fact/dim changes since the recorded basis — the named-MV
+    * face of [[IncrementalJoinMv.refresh]] (one MoR MERGE commit,
+    * O(Δ groups)); returns the new (fact, dim) basis.
+    */
+  def refresh(s: SparkSession, mvDir: String): (Int, Int) = {
+    val d = readDef(mvDir)
+    IncrementalJoinMv.refresh(s, d.fact, d.dim, mvDir, d.key, d.group,
+      aggsOf(d), cfgOf(d))
+  }
+
+  /** The `t.mv` metadata row: definition + current basis — the
+    * history-style operator view of what the MV head reflects.
+    */
+  def statusDf(s: SparkSession, mvDir: String): DataFrame = {
+    val d = readDef(mvDir)
+    val (bf, bd) = IncrementalJoinMv.basis(mvDir)
+    import s.implicits._
+    Seq((d.fact, d.dim, d.key, d.group.mkString(","),
+      d.sums.map(x => s"${x._1}=sum(${x._2})").mkString("; "),
+      bf, bd, LakeTable.currentSnapshot(mvDir)))
+      .toDF("fact", "dim", "key", "group_cols", "measures",
+        "basis_fact", "basis_dim", "snapshot")
+  }
+}

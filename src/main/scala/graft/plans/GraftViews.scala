@@ -93,6 +93,9 @@ class GraftViewParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
+    // MATERIALIZED VIEW DDL is not in Spark's grammar at all — it
+    // must be intercepted on the raw text BEFORE delegating
+    GraftMatViews.interceptCreate(spark, delegate, sqlText).getOrElse(
     delegate.parsePlan(sqlText) match {
       case cv @ CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _,
           props, originalText, _, allowExisting, replace, _) =>
@@ -112,7 +115,7 @@ class GraftViewParser(spark: SparkSession, delegate: ParserInterface)
           case None => dv
         }
       case other => other
-    }
+    })
 
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)

@@ -684,6 +684,92 @@ object Lake {
       |GROUP BY o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
       |ORDER BY o_orderpriority, o_year""".stripMargin
 
+  // --- q_sql_mv: the MATERIALIZED-VIEW lifecycle through SQL — the
+  // warehouse object a user touches BY NAME: `CREATE MATERIALIZED
+  // VIEW cat.db.mv AS SELECT … FROM fact JOIN dim USING (k) GROUP BY
+  // …` (parser-intercepted DDL — Spark has no matview grammar),
+  // `CALL graft.system.refresh_mv('db.mv')` folding fact/dim changes
+  // since the basis recorded in the MV's head-commit note, and
+  // `SELECT … FROM mv VERSION AS OF n` reading every maintenance
+  // stage back through time travel. Three gated stages: create,
+  // fact-only refresh (delta-join law, fact head never scanned —
+  // spec-pinned), and a refresh after a SQL MERGE rewires the
+  // dimension (groups move buckets via matching −/+ deltas). Each
+  // refresh is ONE MoR MERGE commit touching only changed groups.
+  // The oracle recomputes each stage's join from scratch — the
+  // SQL-driven incremental path must land on exactly the recompute.
+  def qSqlMv(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.mvf_$id"; val dim = s"graft.q.mvd_$id"
+    val mv = s"graft.q.mv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlmv")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, value DOUBLE)")
+    s.sql(s"INSERT INTO $fact SELECT * FROM ev_sqlmv WHERE event_id % 3 = 0")
+    s.sql(s"CREATE TABLE $dim (event_type STRING, weight INT, wb INT)")
+    s.sql(s"""INSERT INTO $dim
+             |SELECT event_type, length(event_type), length(event_type) % 3
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlmv)""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT wb, COUNT(*) AS n,
+             |  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_x100
+             |FROM $fact JOIN $dim USING (event_type)
+             |GROUP BY wb""".stripMargin)
+    // stage 2: fact-only growth → CALL refresh (ΔF ⋈ D₀ only)
+    s.sql(s"INSERT INTO $fact SELECT * FROM ev_sqlmv WHERE event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.mv_$id')")
+    // stage 3: a SQL MERGE rewires the dimension (+10 to even-length
+    // types moves their bucket), then one refresh folds F₁ ⋈ ΔD
+    s.sql(s"""MERGE INTO $dim t USING (
+             |  SELECT event_type, length(event_type) + 10 AS weight,
+             |    (length(event_type) + 10) % 3 AS wb
+             |  FROM (SELECT DISTINCT event_type FROM ev_sqlmv)
+             |  WHERE length(event_type) % 2 = 0) src
+             |ON t.event_type = src.event_type
+             |WHEN MATCHED THEN UPDATE SET t.weight = src.weight, t.wb = src.wb""".stripMargin)
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.mv_$id')")
+    s.sql(s"""SELECT CAST(1 AS BIGINT) AS stage, CAST(wb AS BIGINT) AS wb, n, sum_value_x100
+             |FROM $mv VERSION AS OF 1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), CAST(wb AS BIGINT), n, sum_value_x100
+             |FROM $mv VERSION AS OF 2
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), CAST(wb AS BIGINT), n, sum_value_x100
+             |FROM $mv VERSION AS OF 3
+             |ORDER BY stage, wb""".stripMargin)
+  }
+
+  val qSqlMvSql: String =
+    """WITH d1 AS (
+      |  SELECT event_type, length(event_type) % 3 AS wb
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |d2 AS (
+      |  SELECT event_type,
+      |    (length(event_type) + CASE WHEN length(event_type) % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, wb, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |  FROM events e JOIN d1 USING (event_type)
+      |  WHERE event_id % 3 = 0 GROUP BY wb),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, wb, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |  FROM events e JOIN d1 USING (event_type)
+      |  WHERE event_id % 3 IN (0, 1) GROUP BY wb),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage, wb, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |  FROM events e JOIN d2 USING (event_type)
+      |  WHERE event_id % 3 IN (0, 1) GROUP BY wb)
+      |SELECT CAST(stage AS BIGINT) AS stage, CAST(wb AS BIGINT) AS wb, n, sum_value_x100
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, wb""".stripMargin
+
   // --- prune_scan_z3: 3-DIMENSIONAL declared z-order —
   // `PARTITIONED BY (zorder(ts, user_id, value))`. The N-dim morton
   // interleave of per-dim quantile buckets (operators/ZOrder,
@@ -3010,6 +3096,7 @@ object Lake {
     "prune_scan_trunc" -> pruneScanTrunc,
     "prune_scan_z3" -> pruneScanZ3,
     "q_sql_view" -> qSqlView,
+    "q_sql_mv" -> qSqlMv,
     "q_sql_rtas" -> qSqlRtas,
     "lake_nested" -> lakeNested,
     "lake_constraint" -> lakeConstraint,
@@ -3074,6 +3161,7 @@ object Lake {
     "prune_scan_trunc" -> pruneScanTruncSql,
     "prune_scan_z3" -> pruneScanZ3Sql,
     "q_sql_view" -> qSqlViewSql,
+    "q_sql_mv" -> qSqlMvSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
     "lake_constraint" -> lakeConstraintSql,

@@ -97,7 +97,7 @@ class GraftCatalog extends TableCatalog
   /** Like [[tableDir]] but for a table being CREATED (clone targets):
     * validated name, must NOT already exist.
     */
-  private[sources] def newTableDir(name: String): String = {
+  private[graft] def newTableDir(name: String): String = {
     val parts = name.split('.')
     require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_-]+")),
       s"invalid table name '$name': expected dot-separated [A-Za-z0-9_-] segments")
@@ -366,6 +366,11 @@ class GraftCatalog extends TableCatalog
               return new GraftMetadataTable(s"$t#partitions", partitionsDf(t))
             case "stats" =>
               return new GraftMetadataTable(s"$t#stats", statsDf(t))
+            case "mv" if graft.lake.MaterializedView.isMv(t) =>
+              // the MV's definition + (fact, dim) basis as a
+              // history-style metadata row
+              return new GraftMetadataTable(s"$t#mv",
+                graft.lake.MaterializedView.statusDf(spark, t))
             case _ => ()
           }
         }
@@ -1229,6 +1234,12 @@ private[sources] object GraftProcedures {
     Def("set_layout", "evolve the declared write layout (partition-spec evolution; metadata-only)",
       Seq("table" -> StringType, "spec" -> StringType), "changed", BooleanType,
       (c, in) => c.setLayout(tbl(c, in), in.getUTF8String(1).toString)),
+    Def("refresh_mv", "fold fact/dim changes since the recorded basis into the named materialized view (delta-join IVM, one MoR MERGE commit)",
+      Seq("table" -> StringType), "basis", StringType, (c, in) => {
+        val (f, d) = graft.lake.MaterializedView.refresh(
+          SparkSession.active, tbl(c, in))
+        s"fact=$f,dim=$d"
+      }),
     Def("clone", "zero-copy shallow clone into a new independent table",
       Seq("source" -> StringType, "dest" -> StringType), "snapshot", IntegerType,
       (c, in) => LakeTable.cloneTable(tbl(c, in),

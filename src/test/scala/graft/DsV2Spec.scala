@@ -1120,6 +1120,83 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("SQL materialized views: DDL create, CALL refresh_mv, basis metadata row; fact-only refresh provably never scans the fact head") {
+    import graft.lake.LakeTable
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.mvf_$id"; val dim = s"graft.psd.mvd_$id"
+    val mv = s"graft.psd.mv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, k STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES (1, 'k0', 10), (2, 'k1', 20), (3, 'k2', 30)")
+    spark.sql(s"CREATE TABLE $dim (k STRING, g STRING)")
+    spark.sql(s"INSERT INTO $dim VALUES ('k0', 'a'), ('k1', 'a'), ('k2', 'b')")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, SUM(x) AS sx
+                 |FROM $fact JOIN $dim USING (k) GROUP BY g""".stripMargin)
+    def mvState(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT g, n, sx FROM $mv").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mvState() === Map("a" -> ((2L, 30L)), "b" -> ((1L, 30L))))
+    // basis metadata row (the t.history-style operator view)
+    def basisRow(): (Int, Int, Int) = {
+      val r = spark.sql(
+        s"SELECT basis_fact, basis_dim, snapshot FROM $mv.mv").head()
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
+    assert(basisRow() === ((1, 1, 1)))
+    // ---- fact-only refresh: hide the fact HEAD's data files — the
+    // delta-join law reads only the changelog of the NEW commit, so
+    // the refresh must succeed with the old files unreadable. This is
+    // the strongest possible "no fact-head scan" pin: a plan that
+    // touched them would throw.
+    val factDir = graft.util.Scratch.root.resolve("psdcat")
+      .resolve("psd").resolve(s"mvf_$id").toString
+    val v1Files = LakeTable.manifest(factDir, 1).files.map(_.path)
+    def shift(suffix: String): Unit = v1Files.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      java.nio.file.Files.move(
+        if (suffix.isEmpty) java.nio.file.Paths.get(f.toString + ".hidden") else f,
+        if (suffix.isEmpty) f else java.nio.file.Paths.get(f.toString + suffix)): Unit
+    }
+    spark.sql(s"INSERT INTO $fact VALUES (4, 'k0', 40), (5, 'k2', 50)")
+    shift(".hidden")
+    val basis2 =
+      try spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.mv_$id')")
+        .head().getString(0)
+      finally shift("")
+    assert(basis2 === "fact=2,dim=1")
+    assert(mvState() === Map("a" -> ((3L, 70L)), "b" -> ((2L, 80L))))
+    assert(basisRow() === ((2, 1, 2)))
+    // ---- dim rewire via SQL MERGE, then one refresh folds F₁ ⋈ ΔD;
+    // group b's count reaches zero and leaves the view
+    spark.sql(s"""MERGE INTO $dim t USING (SELECT 'k2' AS k, 'a' AS g) src
+                 |ON t.k = src.k
+                 |WHEN MATCHED THEN UPDATE SET t.g = src.g""".stripMargin)
+    assert(spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.mv_$id')")
+      .head().getString(0) === "fact=2,dim=2")
+    assert(mvState() === Map("a" -> ((5L, 150L))))
+    assert(basisRow() === ((2, 2, 3)))
+    // ---- guardrails: non-signed-distributive grammar rejected at
+    // DDL; refresh of a non-MV table rejected pointedly
+    val eGrammar = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.mvbad_$id AS
+                   |SELECT g, COUNT(*) AS n, AVG(x) AS ax
+                   |FROM $fact JOIN $dim USING (k) GROUP BY g""".stripMargin)
+    }
+    assert(eGrammar.getMessage.contains("signed-distributive"))
+    val eNotMv = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.mvf_$id')").collect()
+    }
+    assert(eNotMv.getMessage.contains("not a materialized view"))
+    // MVs are tables: DROP TABLE tears the object down
+    spark.sql(s"DROP TABLE $mv")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $mv").collect() }
+    spark.sql(s"DROP TABLE $fact"); spark.sql(s"DROP TABLE $dim")
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")
