@@ -248,6 +248,15 @@ object AvroPlane {
     val reader = new DataFileStream(LakeIO.open(path),
       new GenericDatumReader[GenericRecord]())
     open.set(reader)
+    // READER-SCHEMA RESOLUTION, Avro's own evolution rule: bind each
+    // requested column to the container's writer schema BY NAME (one
+    // position lookup per file, not per row); a column the file
+    // predates resolves to null — which is exactly what makes
+    // additive nullable evolution native to the format instead of a
+    // rewrite. Writer field ORDER never matters.
+    val ws = reader.getSchema
+    val pos: Array[Int] = schema.fields.map(f =>
+      Option(ws.getField(f.name)).map(_.pos()).getOrElse(-1))
     var closed = false
     new Iterator[Row] {
       def hasNext: Boolean = {
@@ -257,8 +266,10 @@ object AvroPlane {
       }
       def next(): Row = {
         val rec = reader.next()
-        Row.fromSeq(schema.fields.indices.map(i =>
-          external(rec.get(i), schema.fields(i).dataType)))
+        Row.fromSeq(schema.fields.indices.map { i =>
+          if (pos(i) < 0) null
+          else external(rec.get(pos(i)), schema.fields(i).dataType)
+        })
       }
     }
   }

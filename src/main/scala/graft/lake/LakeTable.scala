@@ -1094,7 +1094,6 @@ object LakeTable {
     casLoop(root) { parent =>
       require(parent > 0, s"schema evolution on empty table $root")
       val pm = manifest(root, parent)
-      requireNoAvro(pm, root, "schema evolution")
       val expect = DataType.fromJson(pm.schemaJson).asInstanceOf[StructType]
       val broken = expect.fields.filterNot(f =>
         newSchema.exists(g => g.name == f.name && g.dataType == f.dataType))
@@ -1112,6 +1111,20 @@ object LakeTable {
             f.metadata.contains(ColumnMapping.ExistsDefaultKey))
             .map(_.name).mkString(", ") +
           "; existing files cannot satisfy them")
+      // The avro plane accepts exactly the evolution Avro's own
+      // reader-schema resolution makes native: ADDITIVE NULLABLE
+      // columns (old containers null-fill by name at decode, the
+      // writer schema advances at the next append). Everything else —
+      // rename/drop/widen, and non-nullable-with-default (no parquet
+      // footer machinery to serve defaults from) — stays rejected at
+      // every evolution verb.
+      if (pm.files.exists(_.path.endsWith(".avro"))) {
+        require(added.forall(_.nullable),
+          s"avro additive evolution of $root: new columns must be " +
+            "nullable (reader-schema null-fill); non-nullable: " +
+            added.filterNot(_.nullable).map(_.name).mkString(", "))
+        AvroPlane.validate(StructType(added))
+      }
       Manifest(parent + 1, parent, pm.files, pm.deletes,
         note = "evolve-schema", schemaJson = newSchema.json,
         bucketCol = pm.bucketCol, nBuckets = pm.nBuckets)

@@ -2841,6 +2841,53 @@ object Lake {
       |GROUP BY gen, event_type
       |ORDER BY gen, event_type""".stripMargin
 
+  // --- lake_avro_evolve: ADDITIVE schema evolution on the avro data
+  // plane — the evolution Avro's own reader-schema resolution makes
+  // native (and the one the reference's versioned Location schema
+  // hits in real deployments, main.go:20-42): `ADD COLUMN <nullable>`
+  // is a METADATA-ONLY commit; containers written BEFORE the column
+  // existed null-fill it BY NAME at decode (never by index — field
+  // order is irrelevant), and the writer schema advances at the next
+  // append so new containers carry the column physically. Everything
+  // non-additive (rename/drop/retype, non-nullable adds) stays
+  // rejected at every evolution verb. The oracle replays the mixed
+  // old/new-container read: COUNT(score) counts exactly the
+  // evolved-append rows, proving old rows serve genuine NULLs.
+  def lakeAvroEvolve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = tmp("graft_avev_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    LakeTable.appendAvro(s, root, ev.filter(col("event_id") % 2 === 0),
+      statCols = Seq("event_id", "event_type"))
+    LakeTable.evolveSchema(root, StructType(
+      LakeTable.storedSchemaOf(root).get.fields :+
+        StructField("score", LongType, nullable = true)))
+    LakeTable.appendAvro(s, root,
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("score", col("event_id") % 97),
+      statCols = Seq("event_id", "event_type"))
+    LakeTable.read(s, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("score")).as("n_scored"),
+        sum(col("score")).cast("bigint").as("score_sum"),
+        sumValX100.as("sum_value_x100"))
+      .orderBy(col("event_type"))
+  }
+
+  val lakeAvroEvolveSql: String =
+    """WITH u AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN event_id % 2 = 1 THEN event_id % 97 END AS score
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n, COUNT(score) AS n_scored,
+      |  CAST(SUM(score) AS BIGINT) AS score_sum,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100
+      |FROM u
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- stream_avro: the REFERENCE PIPELINE VERBATIM, data plane
   // included — a file stream drained as partitioned SNAPPY AVRO
   // container files under the manifest (main.go:62-115 is exactly
@@ -3042,6 +3089,7 @@ object Lake {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_avro_sql" -> lakeAvroSqlQ,
     "lake_avro" -> lakeAvro,
+    "lake_avro_evolve" -> lakeAvroEvolve,
     "stream_avro" -> streamAvro,
     "lake_avro_migrate" -> lakeAvroMigrate,
     "lake_avro_compact" -> lakeAvroCompact,
@@ -3107,6 +3155,7 @@ object Lake {
   val oracles: Map[String, String] = Map(
     "lake_avro_sql" -> lakeAvroSqlQSql,
     "lake_avro" -> lakeAvroSql,
+    "lake_avro_evolve" -> lakeAvroEvolveSql,
     "stream_avro" -> streamAvroSql,
     "lake_avro_migrate" -> lakeAvroMigrateSql,
     "lake_avro_compact" -> lakeAvroCompactSql,

@@ -295,16 +295,39 @@ class AvroPlaneSpec extends AnyFunSuite {
     val dsv2 = spark.read.format("graft-lake").load(root)
     assert(dsv2.count() === after.count())
     assert(dsv2.filter(col("event_type") === "error").count() === 0)
-    // EVERY schema-evolution verb rejects an avro table — the codec
-    // binds fields by index, so a metadata-only evolution would
-    // silently mis-bind decoded columns
+    // ADDITIVE nullable evolution is native to Avro (reader-schema
+    // resolution): the metadata-only commit widens the schema, old
+    // containers null-fill the new column BY NAME at decode, and the
+    // writer schema advances at the next append
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val preEvolveCount = after.count()
+    // evolve from the STORED schema (a delete-masked read's column
+    // order is join-shaped, not the manifest's)
+    LakeTable.evolveSchema(root, StructType(
+      LakeTable.storedSchemaOf(root).get.fields :+
+        StructField("extra", LongType, nullable = true)))
+    val nullFilled = LakeTable.read(spark, root)
+    assert(nullFilled.schema.fieldNames.contains("extra"))
+    assert(nullFilled.count() === preEvolveCount &&
+      nullFilled.filter(col("extra").isNotNull).count() === 0,
+      "old containers must null-fill the evolved column")
+    // evolved append round-trips: new containers carry the advanced
+    // writer schema, old + new rows coexist under one read schema
+    val evolvedBatch = events.filter(col("event_id") % 100 === 7)
+      .withColumn("extra", col("event_id") * 2)
+    LakeTable.appendAvro(spark, root, evolvedBatch, Seq("event_id"))
+    val mixed = LakeTable.read(spark, root)
+    assert(mixed.filter(col("extra").isNotNull).count() === evolvedBatch.count())
+    assert(mixed.filter(col("extra") =!= col("event_id") * 2).count() === 0)
+    assert(mixed.count() === preEvolveCount + evolvedBatch.count())
+    // non-nullable additions stay rejected (no default machinery on
+    // the avro plane), as does every NON-additive verb
     val e4 = intercept[IllegalArgumentException] {
-      LakeTable.evolveSchema(root, org.apache.spark.sql.types.StructType(
-        LakeTable.read(spark, root).schema.fields :+
-          org.apache.spark.sql.types.StructField("extra",
-            org.apache.spark.sql.types.LongType, nullable = true)))
+      LakeTable.evolveSchema(root, StructType(
+        LakeTable.storedSchemaOf(root).get.fields :+
+          StructField("req", LongType, nullable = false)))
     }
-    assert(e4.getMessage.contains("schema-strict"))
+    assert(e4.getMessage.contains("non-nullable"))
     val e5 = intercept[IllegalArgumentException] {
       LakeTable.renameColumn(root, "value", "v2")
     }
