@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.lake.LakeTable
 import graft.writer.BlockWriter
@@ -11,11 +11,17 @@ import graft.writer.BlockWriter
   *
   *  - a dedicated incremental [[IvfIndex]] instance (coarse codebook
   *    frozen on the standing corpus + inverted lists);
-  *  - `<root>/pqbooks` : (sub, cid, ci) — the two per-subspace
-  *    residual codebooks, trained ONCE on corpus residuals, frozen;
-  *  - `<root>/codes`   : (vec_id, cid, code1, code2) — every vector's
-  *    coarse cell and residual PQ codes (the bytes-per-vector payload
-  *    an ADC scan reads).
+  *  - `<root>/pqbooks` : (sub, cid, ci) — the M per-subspace residual
+  *    codebooks, trained ONCE on corpus residuals, frozen;
+  *  - `<root>/codes`   : (vec_id, cid, codes) — every vector's coarse
+  *    cell and its M residual PQ codes as an ARRAY column (the
+  *    bytes-per-vector payload an ADC scan reads).
+  *
+  * GEOMETRY IS A PARAMETER: `m` subspaces of 64/m dims each — the
+  * production recall/memory dial (FAISS runs M=8-16 on real
+  * embeddings; the sf corpus gates M=2 and M=4). Each M value is its
+  * own frozen artifact (codes are meaningless across geometries), so
+  * the session registry keys on (dir, m).
   *
   * Incremental lifecycle, same law as the other three artifacts (band
   * index, IVF lists, cluster labels): every arriving batch assigns
@@ -29,19 +35,26 @@ import graft.writer.BlockWriter
   */
 object PqIndex {
 
-  final case class Ref(ivfKey: String, root: String) {
+  final case class Ref(ivfKey: String, root: String, m: Int) {
     def pqBooksPath: String = s"$root/pqbooks"
     def codesPath: String = s"$root/codes"
+    def subDim: Int = Dim / m
   }
 
-  val SubDim = 32 // 64 dims → 2 subspaces of 32
+  /** Embedding dimensionality (the testdata's). */
+  val Dim = 64
+
+  /** Default geometry: 2 subspaces of 32. */
+  val DefaultM = 2
 
   private val refs = new java.util.concurrent.ConcurrentHashMap[String, Ref]()
   private val buildLock = new Object
 
-  private def refFor(dir: String): Ref =
-    refs.computeIfAbsent(dir,
-      _ => Ref(s"$dir#pq-coarse", graft.util.Scratch.dir("graft_pqidx_")))
+  private def refFor(dir: String, m: Int): Ref = {
+    require(m > 0 && Dim % m == 0, s"PQ geometry: M=$m must divide $Dim")
+    refs.computeIfAbsent(s"$dir#m$m",
+      _ => Ref(s"$dir#pq-coarse-m$m", graft.util.Scratch.dir("graft_pqidx_"), m))
+  }
 
   private def residualsOf(s: SparkSession, ivf: IvfIndex.Ref,
       vi: DataFrame): DataFrame =
@@ -50,41 +63,48 @@ object PqIndex {
       .select(col("vec_id"), col("cid"),
         zip_with(col("vi"), col("ci"), (a, b) => a - b).as("ri"))
 
-  private def encode(resid: DataFrame, books: DataFrame): DataFrame = {
-    val cb1 = books.filter(col("sub") === 1).select(col("cid"), col("ci"))
-    val cb2 = books.filter(col("sub") === 2).select(col("cid"), col("ci"))
-    val s1 = resid.select(col("vec_id"), slice(col("ri"), 1, SubDim).as("vi"))
-    val s2 = resid.select(col("vec_id"), slice(col("ri"), SubDim + 1, SubDim).as("vi"))
-    graft.queries.Advanced.kmAssign(s1, cb1)
-      .select(col("vec_id"), col("cid").as("code1"))
-      .join(graft.queries.Advanced.kmAssign(s2, cb2)
-        .select(col("vec_id"), col("cid").as("code2")), "vec_id")
+  /** Residual-encode against the M frozen sub-books: per subspace a
+    * broadcast argmin ([[graft.queries.Advanced.kmAssign]]), the M
+    * codes collected into ONE array column — at scale the codes table
+    * carries m small ints per vector, nothing else.
+    */
+  private def encode(resid: DataFrame, books: DataFrame, m: Int,
+      subDim: Int): DataFrame = {
+    val subCodes: Seq[DataFrame] = (1 to m).map { sub =>
+      val cb = books.filter(col("sub") === sub).select(col("cid"), col("ci"))
+      val sl = resid.select(col("vec_id"),
+        slice(col("ri"), (sub - 1) * subDim + 1, subDim).as("vi"))
+      graft.queries.Advanced.kmAssign(sl, cb)
+        .select(col("vec_id"), col("cid").as(s"c$sub"))
+    }
+    subCodes.reduce(_.join(_, "vec_id"))
       .join(resid.select(col("vec_id"), col("cid")), "vec_id")
-      .select(col("vec_id"), col("cid"), col("code1"), col("code2"))
+      .select(col("vec_id"), col("cid"),
+        array((1 to m).map(sub => col(s"c$sub")): _*).as("codes"))
   }
 
   /** Train-and-freeze on the CORPUS partition ([[IvfIndex.batchPred]]
     * excluded from coarse AND PQ training and from the initial
-    * artifacts). Idempotent, session-memoized.
+    * artifacts). Idempotent, session-memoized; each artifact's init
+    * is gated on ITS OWN table head, so a failure between the two
+    * commits re-lands exactly the missing one.
     */
-  def ensureCorpusPq(s: SparkSession, dir: String, base: => DataFrame): Ref =
+  def ensureCorpusPq(s: SparkSession, dir: String, base: => DataFrame,
+      m: Int = DefaultM): Ref =
     buildLock.synchronized {
-      val ref = refFor(dir)
+      val ref = refFor(dir, m)
       val ivf = IvfIndex.ensureCorpusIvf(s, ref.ivfKey, base)
-      // each artifact's init is gated on ITS OWN head: a failure (or
-      // retried bench query) between the two commits leaves books
-      // committed but codes absent, and the retry must land the codes
-      // instead of silently serving a codes-less "built" index
       val needBooks = LakeTable.currentSnapshot(ref.pqBooksPath) < 1
       val needCodes = LakeTable.currentSnapshot(ref.codesPath) < 1
       if (needBooks || needCodes) {
         val corpusResid = graft.util.QueryScratch.cached(
           residualsOf(s, ivf, base.filter(!IvfIndex.batchPred)))
         if (needBooks) {
-          val books = (1 to 2).map { sub =>
-            val lo = (sub - 1) * SubDim + 1
+          val books = (1 to m).map { sub =>
+            val lo = (sub - 1) * ref.subDim + 1
             graft.queries.Advanced.kmCentroids(
-              corpusResid.select(col("vec_id"), slice(col("ri"), lo, SubDim).as("vi")),
+              corpusResid.select(col("vec_id"),
+                slice(col("ri"), lo, ref.subDim).as("vi")),
               graft.queries.Advanced.KM_K, 1).withColumn("sub", lit(sub))
           }.reduce(_ unionByName _)
           LakeTable.commit(s, ref.pqBooksPath, books,
@@ -93,7 +113,7 @@ object PqIndex {
         }
         if (needCodes)
           LakeTable.commit(s, ref.codesPath,
-            encode(corpusResid, LakeTable.read(s, ref.pqBooksPath)),
+            encode(corpusResid, LakeTable.read(s, ref.pqBooksPath), m, ref.subDim),
             BlockWriter.Config("cid", "vec_id", maxRecordsPerFile = 1 << 20,
               parallelism = Some(4)), Seq("vec_id", "cid")): Unit
       }
@@ -106,11 +126,11 @@ object PqIndex {
     * append commit. Returns the codes-table head snapshot.
     */
   def appendBatch(s: SparkSession, dir: String, batch: DataFrame,
-      batchId: String = "batch"): Int =
+      batchId: String = "batch", m: Int = DefaultM): Int =
     buildLock.synchronized {
-      val ref = refFor(dir)
+      val ref = refFor(dir, m)
       require(LakeTable.currentSnapshot(ref.pqBooksPath) >= 1,
-        s"pq append: no frozen codebooks for $dir — run ensureCorpusPq first")
+        s"pq append: no frozen codebooks for $dir (M=$m) — run ensureCorpusPq first")
       IvfIndex.appendBatch(s, ref.ivfKey, batch, batchId)
       val note = s"pq-append-$batchId"
       val head = LakeTable.currentSnapshot(ref.codesPath)
@@ -120,12 +140,17 @@ object PqIndex {
       else {
         val ivf = IvfIndex.ensureCorpusIvf(s, ref.ivfKey, batch /* unused */)
         LakeTable.commit(s, ref.codesPath,
-          encode(residualsOf(s, ivf, batch), LakeTable.read(s, ref.pqBooksPath)),
+          encode(residualsOf(s, ivf, batch),
+            LakeTable.read(s, ref.pqBooksPath), m, ref.subDim),
           BlockWriter.Config("cid", "vec_id", maxRecordsPerFile = 1 << 20,
             parallelism = Some(4)), Seq("vec_id", "cid"), note = note)
       }
     }
 
-  def codes(s: SparkSession, dir: String): DataFrame =
-    LakeTable.read(s, refFor(dir).codesPath)
+  /** The persisted codes: (vec_id, cid, codes[1..m]). */
+  def codes(s: SparkSession, dir: String, m: Int = DefaultM): DataFrame =
+    LakeTable.read(s, refFor(dir, m).codesPath)
+
+  /** Code of subspace `sub` (1-based) from the array column. */
+  def codeOf(sub: Int): Column = element_at(col("codes"), sub)
 }

@@ -1130,8 +1130,8 @@ object LlmPipeline {
       .agg(
         sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_corpus"),
         sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_batch"),
-        sum(col("code1")).cast("bigint").as("sum_code1"),
-        sum(col("code2")).cast("bigint").as("sum_code2"))
+        sum(graft.operators.PqIndex.codeOf(1)).cast("bigint").as("sum_code1"),
+        sum(graft.operators.PqIndex.codeOf(2)).cast("bigint").as("sum_code2"))
       .orderBy(col("cid"))
   }
 
@@ -2198,6 +2198,55 @@ object LlmPipeline {
        |FROM m
        |ORDER BY method, q_id""".stripMargin
 
+  // --- ann_pq_recall: the GEOMETRY DIAL measured — recall@K of the
+  // composed IVFADC pipeline at M=2 and M=4 subspaces against the
+  // exact ranking, next to the IVF-flat baseline. This is the number
+  // that justifies (or refutes) spending more code bytes per vector:
+  // finer subspaces quantize residuals better, so the top-C ADC pool
+  // catches more of the true top-K before the exact re-rank. Same
+  // evaluation economics as ann_recall: one exact truth pass, the
+  // rest K-row-per-query joins; the oracle composes the three method
+  // replays verbatim and joins against truth.
+  def annPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = annTopk(s, dir).select(col("q_id"), col("n_id"))
+    def recallOf(name: String, got: DataFrame): DataFrame =
+      truth.join(got.select(col("q_id"), col("n_id"), lit(1).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+        .select(lit(name).as("method"), col("q_id"), col("n_hits"),
+          (col("n_hits") * 10000 / ANN_K).cast("bigint").as("recall_bp"))
+    recallOf("ivf_flat", annIvf(s, dir))
+      .unionByName(recallOf("ivfadc_m2", annIvfPqM(s, dir, 2)))
+      .unionByName(recallOf("ivfadc_m4", annIvfPqM(s, dir, 4)))
+      .orderBy(col("method"), col("q_id"))
+  }
+
+  lazy val annPqRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, n_id FROM ($annTopkSql) t),
+       |flat_r AS (SELECT q_id, n_id FROM ($annIvfSql) t),
+       |m2_r AS (SELECT q_id, n_id FROM (${mkAnnIvfPqSql(2)}) t),
+       |m4_r AS (SELECT q_id, n_id FROM (${mkAnnIvfPqSql(4)}) t),
+       |m AS (
+       |  SELECT 'ivf_flat' AS method, truth.q_id, COUNT(flat_r.n_id) AS n_hits
+       |  FROM truth LEFT JOIN flat_r
+       |    ON flat_r.q_id = truth.q_id AND flat_r.n_id = truth.n_id
+       |  GROUP BY truth.q_id
+       |  UNION ALL
+       |  SELECT 'ivfadc_m2' AS method, truth.q_id, COUNT(m2_r.n_id) AS n_hits
+       |  FROM truth LEFT JOIN m2_r
+       |    ON m2_r.q_id = truth.q_id AND m2_r.n_id = truth.n_id
+       |  GROUP BY truth.q_id
+       |  UNION ALL
+       |  SELECT 'ivfadc_m4' AS method, truth.q_id, COUNT(m4_r.n_id) AS n_hits
+       |  FROM truth LEFT JOIN m4_r
+       |    ON m4_r.q_id = truth.q_id AND m4_r.n_id = truth.n_id
+       |  GROUP BY truth.q_id)
+       |SELECT method, q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits * 10000 // $ANN_K AS BIGINT) AS recall_bp
+       |FROM m
+       |ORDER BY method, q_id""".stripMargin
+
   // --- ann_drift_gate: the CODEBOOK DRIFT POLICY on the incremental
   // IVF index (IvfIndex.recallGate) — the refresh trigger the
   // frozen-codebook lifecycle (ann_ivf_append) was missing: after the
@@ -2541,7 +2590,25 @@ object LlmPipeline {
   // cosine re-ranks the top-C pool). Every stage is the engine's
   // deterministic integer k-means, so the oracle replays coarse
   // training, residual PQ training, ADC and re-rank verbatim.
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = annIvfPqM(s, dir, 2)
+
+  // --- ann_ivf_pq_m4: the SAME composed IVFADC at M=4 (16-dim
+  // subspaces) — PQ geometry as the production recall/memory dial
+  // (FAISS runs M=8-16): more subspaces = finer residual
+  // quantization per byte budget, one extra broadcast ADC table and
+  // one extra hash lookup per subspace in the corpus pass. Gated by
+  // the same replay law as M=2 — the oracle re-derives coarse
+  // index, all four sub-books, codes, ADC and re-rank from scratch.
+  def annIvfPqM4(s: SparkSession, dir: String): DataFrame = annIvfPqM(s, dir, 4)
+
+  /** The composed IVFADC query at geometry `m` (64/m-dim subspaces):
+    * per subspace a deterministic residual codebook, per (query,
+    * probed cell, subspace) a K-row broadcast ADC table, the corpus
+    * pass m hash lookups + an m-term add over code rows only, exact
+    * cosine re-rank of the top-C pool.
+    */
+  private def annIvfPqM(s: SparkSession, dir: String, m: Int): DataFrame = {
+    val subDim = 64 / m
     val e = embBase(s, dir)
     val viBase = graft.util.QueryScratch.cached(
       e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi")))
@@ -2553,13 +2620,15 @@ object LlmPipeline {
       .join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"),
         zip_with(col("vi"), col("ci"), (a, b) => a - b).as("ri")))
-    val sub1 = resid.select(col("vec_id"), slice(col("ri"), 1, PQ_SUBDIM).as("vi"))
-    val sub2 = resid.select(col("vec_id"), slice(col("ri"), PQ_SUBDIM + 1, PQ_SUBDIM).as("vi"))
-    val cb1 = Advanced.kmCentroids(sub1, Advanced.KM_K, 1)
-    val cb2 = Advanced.kmCentroids(sub2, Advanced.KM_K, 1)
-    val codes = Advanced.kmAssign(sub1, cb1).select(col("vec_id"), col("cid").as("code1"))
-      .join(Advanced.kmAssign(sub2, cb2).select(col("vec_id"), col("cid").as("code2")), "vec_id")
-      .join(asgn, "vec_id")
+    // M per-subspace codebooks (deterministic trainer) + codes
+    val cbs = (1 to m).map { sub =>
+      val sl = resid.select(col("vec_id"),
+        slice(col("ri"), (sub - 1) * subDim + 1, subDim).as("vi"))
+      sub -> (sl, Advanced.kmCentroids(sl, Advanced.KM_K, 1))
+    }
+    val codes = cbs.map { case (sub, (sl, cb)) =>
+      Advanced.kmAssign(sl, cb).select(col("vec_id"), col("cid").as(s"code$sub"))
+    }.reduce(_.join(_, "vec_id")).join(asgn, "vec_id")
     // query probes: nearest NPROBE coarse cells, carrying the cell
     // centroid to form the PER-CELL query residual
     val wProbe = org.apache.spark.sql.expressions.Window
@@ -2574,19 +2643,21 @@ object LlmPipeline {
       .select(col("vec_id").as("q_id"), col("cid"), col("qr"))
     // ADC tables per (query, probed cell, subspace): K rows each —
     // 10·nprobe·K rows per subspace, broadcast
-    val dt1 = qProbe.select(col("q_id"), col("cid"), slice(col("qr"), 1, PQ_SUBDIM).as("vi"))
-      .crossJoin(broadcast(cb1.select(col("cid").as("code1"), col("ci"))))
-      .select(col("q_id"), col("cid"), col("code1"),
-        Advanced.kmD2(col("vi"), col("ci")).as("da"))
-    val dt2 = qProbe.select(col("q_id"), col("cid"), slice(col("qr"), PQ_SUBDIM + 1, PQ_SUBDIM).as("vi"))
-      .crossJoin(broadcast(cb2.select(col("cid").as("code2"), col("ci"))))
-      .select(col("q_id"), col("cid"), col("code2"),
-        Advanced.kmD2(col("vi"), col("ci")).as("db"))
-    val approx = codes
-      .join(broadcast(dt1), Seq("cid", "code1"))
-      .join(broadcast(dt2), Seq("q_id", "cid", "code2"))
+    val dts = cbs.map { case (sub, (_, cb)) =>
+      qProbe.select(col("q_id"), col("cid"),
+          slice(col("qr"), (sub - 1) * subDim + 1, subDim).as("vi"))
+        .crossJoin(broadcast(cb.select(col("cid").as(s"code$sub"), col("ci"))))
+        .select(col("q_id"), col("cid"), col(s"code$sub"),
+          Advanced.kmD2(col("vi"), col("ci")).as(s"dd$sub"))
+    }
+    val joined = dts.zipWithIndex.foldLeft(codes) { case (acc, (dt, i)) =>
+      if (i == 0) acc.join(broadcast(dt), Seq("cid", "code1"))
+      else acc.join(broadcast(dt), Seq("q_id", "cid", s"code${i + 1}"))
+    }
+    val approx = joined
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), (col("da") + col("db")).as("ad2"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (1 to m).map(sub => col(s"dd$sub")).reduce(_ + _).as("ad2"))
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("ad2").asc, col("n_id"))
     val cand = approx.withColumn("rn", row_number().over(wA))
@@ -2603,9 +2674,29 @@ object LlmPipeline {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val annIvfPqSql: String = {
+  /** The full IVFADC oracle at geometry `m` — coarse index, the m
+    * per-subspace trainings (pqSubCtes), per-subspace query ADC
+    * tables, the m-way code join and the exact re-rank, all replayed
+    * from the raw embeddings table.
+    */
+  private def mkAnnIvfPqSql(m: Int): String = {
+    val subDim = 64 / m
     def d2s(v: String, c: String, dim: Int) =
       s"CAST(list_sum(list_transform(generate_series(1, $dim), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+    val subTrains = (1 to m).map(sub =>
+      pqSubCtes(s"r$sub", (sub - 1) * subDim + 1, sub * subDim, "rr")).mkString(",\n")
+    val qds = (1 to m).map { sub =>
+      val lo = (sub - 1) * subDim + 1; val hi = sub * subDim
+      s"""qd$sub AS (SELECT q_id, qr.cid, cb.cid AS code$sub,
+         |    ${d2s(s"(qr.vi[$lo:$hi])", "cb.ci", subDim)} AS dd$sub
+         |  FROM qr, c1r$sub cb)""".stripMargin
+    }.mkString(",\n")
+    val pJoins = (1 to m).map(sub => s"JOIN a2r$sub p$sub USING (vec_id)").mkString(" ")
+    val qdJoins = (1 to m).map { sub =>
+      if (sub == 1) "JOIN qd1 ON qd1.cid = v.cell AND qd1.code1 = p1.cid"
+      else s"JOIN qd$sub ON qd$sub.q_id = qd1.q_id AND qd$sub.cid = v.cell AND qd$sub.code$sub = p$sub.cid"
+    }.mkString("\n  ")
+    val adSum = (1 to m).map(sub => s"qd$sub.dd$sub").mkString(" + ")
     s"""WITH n AS ($embBaseSql),
        |${Advanced.kmCentroidSqlCtes},
        |dv AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
@@ -2615,22 +2706,15 @@ object LlmPipeline {
        |rr AS (SELECT b.vec_id, a.cid AS cell,
        |    list_transform(generate_series(1, 64), i -> b.vi[i] - c.ci[i]) AS vi
        |  FROM b JOIN asgn a USING (vec_id) JOIN c1 c ON c.cid = a.cid),
-       |${pqSubCtes("r1", 1, PQ_SUBDIM, "rr")},
-       |${pqSubCtes("r2", PQ_SUBDIM + 1, 2 * PQ_SUBDIM, "rr")},
+       |$subTrains,
        |qr AS (SELECT qp.q_id, qp.cid,
        |    list_transform(generate_series(1, 64), i -> b.vi[i] - c.ci[i]) AS vi
        |  FROM qp JOIN b ON b.vec_id = qp.q_id JOIN c1 c ON c.cid = qp.cid),
-       |qd1 AS (SELECT q_id, qr.cid, cb.cid AS code1,
-       |    ${d2s("(qr.vi[1:" + PQ_SUBDIM + "])", "cb.ci", PQ_SUBDIM)} AS da
-       |  FROM qr, c1r1 cb),
-       |qd2 AS (SELECT q_id, qr.cid, cb.cid AS code2,
-       |    ${d2s("(qr.vi[" + (PQ_SUBDIM + 1) + ":" + (2 * PQ_SUBDIM) + "])", "cb.ci", PQ_SUBDIM)} AS db
-       |  FROM qr, c1r2 cb),
+       |$qds,
        |adc AS (
-       |  SELECT qd1.q_id, v.vec_id AS n_id, qd1.da + qd2.db AS ad2
-       |  FROM rr v JOIN a2r1 p1 USING (vec_id) JOIN a2r2 p2 USING (vec_id)
-       |  JOIN qd1 ON qd1.cid = v.cell AND qd1.code1 = p1.cid
-       |  JOIN qd2 ON qd2.q_id = qd1.q_id AND qd2.cid = v.cell AND qd2.code2 = p2.cid
+       |  SELECT qd1.q_id, v.vec_id AS n_id, $adSum AS ad2
+       |  FROM rr v $pJoins
+       |  $qdJoins
        |  WHERE v.vec_id <> qd1.q_id),
        |cand AS (SELECT q_id, n_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rn FROM adc)
@@ -2646,6 +2730,9 @@ object LlmPipeline {
        |WHERE rank <= $ANN_K
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  lazy val annIvfPqSql: String = mkAnnIvfPqSql(2)
+  lazy val annIvfPqM4Sql: String = mkAnnIvfPqSql(4)
 
   // --- embed_quant: INT8 embedding quantization (symmetric per-
   // dimension absmax scaling — the storage/bandwidth lever for
@@ -3861,6 +3948,8 @@ object LlmPipeline {
     "ann_recall" -> annRecall,
     "ann_drift_gate" -> annDriftGate,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_m4" -> annIvfPqM4,
+    "ann_pq_recall" -> annPqRecall,
     "stream_ivf_append" -> streamIvfAppend,
     "ann_pq" -> annPq,
     "embed_quant" -> embedQuant,
@@ -3925,6 +4014,8 @@ object LlmPipeline {
     "ann_recall" -> annRecallSql,
     "ann_drift_gate" -> annDriftGateSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    "ann_ivf_pq_m4" -> annIvfPqM4Sql,
+    "ann_pq_recall" -> annPqRecallSql,
     "stream_ivf_append" -> streamIvfAppendSql,
     "ann_pq" -> annPqSql,
     "embed_quant" -> embedQuantSql,

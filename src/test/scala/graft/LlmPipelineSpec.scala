@@ -294,6 +294,43 @@ class PipelinePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ geometry is a parameter: per-M frozen artifacts, array codes, idempotent append per geometry") {
+    import graft.operators.{IvfIndex, PqIndex}
+    import graft.queries.Advanced
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Advanced.kmIntVec(col("embedding")).as("vi"))
+    val key = sf + "#pqgeom-spec"
+    val ref4 = PqIndex.ensureCorpusPq(spark, key, e, m = 4)
+    assert(ref4.subDim === 16)
+    // the codes table carries exactly M codes per vector, as ONE
+    // array column — the bytes-per-vector payload shape
+    val sizes4 = PqIndex.codes(spark, key, 4)
+      .select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(sizes4 === Seq(4), s"M=4 codes must be 4-element arrays: $sizes4")
+    // frozen books: M rows-groups, one per subspace
+    val subs = graft.lake.LakeTable.read(spark, ref4.pqBooksPath)
+      .select("sub").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(subs === Seq(1, 2, 3, 4))
+    // append against the frozen books covers the full corpus and is
+    // idempotent by note (the O(delta) replay ledger), per geometry
+    val batch = e.filter(IvfIndex.batchPred)
+    val head = PqIndex.appendBatch(spark, key, batch, m = 4)
+    assert(PqIndex.codes(spark, key, 4).count() === e.count())
+    assert(PqIndex.appendBatch(spark, key, batch, m = 4) === head,
+      "replayed append must be a no-op")
+    // geometries are independent artifacts: the M=2 index at the same
+    // key trains its own books and codes
+    PqIndex.ensureCorpusPq(spark, key, e, m = 2): Unit
+    val sizes2 = PqIndex.codes(spark, key, 2)
+      .select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(sizes2 === Seq(2))
+    // a geometry that does not divide the dimensionality is rejected
+    intercept[IllegalArgumentException] {
+      PqIndex.ensureCorpusPq(spark, key, e, m = 3)
+    }
+    graft.util.QueryScratch.release(spark)
+  }
+
   test("ann_topk broadcasts the query side (scan streams once)") {
     val p = plan("ann_topk")
     assert(p.contains("Broadcast"), s"query side not broadcast:\n${p.take(2000)}")
