@@ -888,6 +888,78 @@ object LlmPipeline {
        |FROM la JOIN na USING (shard)
        |ORDER BY shard""".stripMargin
 
+  // --- pack_sequences: SEQUENCE PACKING for training — the
+  // concatenate-and-chunk layout every GPT-style pretraining run
+  // feeds on: documents in a deterministic order (doc_id), one EOD
+  // separator token each, the concatenated token stream chunked into
+  // fixed context windows of PACK_C tokens. The crux at 100 TB is the
+  // GLOBAL RUNNING TOKEN POSITION — a naive window-function cumsum
+  // plans one partition for the whole corpus. This is the textbook
+  // two-pass DISTRIBUTED PREFIX SUM instead: range-partition by
+  // doc_id, per-partition token totals to the driver (P values),
+  // offsets broadcast back, one in-partition running-sum pass — every
+  // stage O(corpus/P) per task, nothing corpus-sized on one node.
+  // Window ids then derive map-side: a doc occupying stream positions
+  // [cum−n, cum) starts in window (cum−n) div C and ends in
+  // (cum−1) div C; a doc with last>first CROSSES a boundary (its
+  // loss-masking cost is what packing efficiency reports measure).
+  // All integers; the oracle replays the same law with a plain SQL
+  // window cumsum.
+  private val PACK_C = 512L
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), (size(ws).cast("bigint") + 1L).as("n_tok"))
+    // CACHED: the offsets job and the running-sum pass must see the
+    // SAME range bounds (the range partitioner samples — a recompute
+    // can re-draw them and desync the offsets from the partitions)
+    val ranged = graft.util.QueryScratch.cached(
+      toks.repartitionByRange(SHB_PARTS, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
+    val sums: Map[Int, Long] = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = Array.tabulate(SHB_PARTS) { i =>
+      (0 until i).map(j => sums.getOrElse(j, 0L)).sum
+    }
+    import s.implicits._
+    // in-partition running sum: genuine per-partition sequential
+    // state (each row needs its predecessor's total) — the one shape
+    // mapPartitions exists for; order is pinned by the range sort
+    val withCum = ranged.select(col("doc_id"), col("n_tok")).as[(Long, Long)]
+      .mapPartitions { it =>
+        var run = offsets(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, n) => run += n; (id, n, run) }
+      }.toDF("doc_id", "n_tok", "cum")
+    withCum
+      .withColumn("first_win", expr(s"(cum - n_tok) DIV $PACK_C"))
+      .withColumn("last_win", expr(s"(cum - 1) DIV $PACK_C"))
+      .groupBy((col("first_win") % 8).cast("bigint").as("wb"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("tok_sum"),
+        sum(when(col("last_win") > col("first_win"), 1L).otherwise(0L))
+          .as("n_spanning"),
+        max(col("last_win")).cast("bigint").as("max_win"))
+      .orderBy(col("wb"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH w AS (SELECT doc_id, len($wsSql) + 1 AS n_tok FROM documents),
+       |c AS (SELECT doc_id, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM w),
+       |x AS (SELECT doc_id, n_tok,
+       |    (cum - n_tok) // $PACK_C AS first_win,
+       |    (cum - 1) // $PACK_C AS last_win FROM c)
+       |SELECT CAST(first_win % 8 AS BIGINT) AS wb, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+       |  CAST(SUM(CASE WHEN last_win > first_win THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+       |  CAST(MAX(last_win) AS BIGINT) AS max_win
+       |FROM x
+       |GROUP BY first_win % 8
+       |ORDER BY wb""".stripMargin
+
   // ===================== deduplication =====================
   import graft.operators.{ClusterIndex, Dedup, MinhashIndex}
 
@@ -2515,6 +2587,68 @@ object LlmPipeline {
     */
   def streamIvfAppendSql: String = annIvfAppendSql
 
+  // --- stream_pq_append: STREAMING IVF-PQ INGEST — the continuous
+  // twin of ann_ivf_pq_append, closing the frozen-lifecycle square:
+  // all four persisted index artifacts (bands, IVF lists, cluster
+  // labels, PQ codes) now have BOTH a batch append and a streaming
+  // drain. Coarse + PQ books train once on the standing corpus and
+  // freeze; each drained micro-batch coarse-assigns and
+  // residual-encodes against the broadcast frozen books (zero
+  // training jobs) and lands as ONE idempotent codes-append commit
+  // (note `pq-append-stream-<epoch>` — replayed epochs no-op via the
+  // O(delta) note ledger). Per-vector encoding independence makes
+  // the final codes table INVARIANT to the micro-batch split, so the
+  // batch operator's oracle gates the composition verbatim — the
+  // strongest gate, zero new SQL.
+  def streamPqAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val viBase = graft.util.QueryScratch.cached(embBase(s, dir)
+      .select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi")))
+    // a dedicated index instance: the shared ann_ivf_pq_append
+    // artifact must keep its one-batch history for its own oracle
+    val key = s"$dir#stream-pq"
+    graft.operators.PqIndex.ensureCorpusPq(s, key, viBase)
+    val inDir = graft.util.Scratch.dir("graft_spq_in_")
+    (0 until 3).foreach { i =>
+      val part = viBase.filter(graft.operators.IvfIndex.batchPred &&
+        (col("vec_id") / 10) % 3 === i.toLong)
+      val stage = graft.util.Scratch.dir(s"graft_spq_t${i}_")
+      part.coalesce(1).write.mode("overwrite").parquet(stage)
+      val src = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"b$i.parquet")
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (3 - i) * 60000L)): Unit
+    }
+    val schema = s.read.parquet(inDir).schema
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.PqIndex.appendBatch(s, key, b.toDF(),
+          batchId = s"stream-$id"): Unit
+      }
+      .option("checkpointLocation", s"$inDir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.PqIndex.codes(s, key)
+      .groupBy(col("cid"))
+      .agg(
+        sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_batch"),
+        sum(graft.operators.PqIndex.codeOf(1)).cast("bigint").as("sum_code1"),
+        sum(graft.operators.PqIndex.codeOf(2)).cast("bigint").as("sum_code2"))
+      .orderBy(col("cid"))
+  }
+
+  /** Split-invariance: the batch IVF-PQ append oracle gates the
+    * streamed composition verbatim.
+    */
+  def streamPqAppendSql: String = annIvfPqAppendSql
+
   // --- embed_drift: EMBEDDING-SPACE DRIFT MONITOR — the input-space
   // early-warning twin of ann_drift_gate (which measures drift where
   // it HURTS, probe recall; this one measures it where it STARTS, the
@@ -3922,6 +4056,7 @@ object LlmPipeline {
     "text_chunk" -> textChunk,
     "seq_pack" -> seqPack,
     "shard_balance" -> shardBalance,
+    "pack_sequences" -> packSequences,
     "dedup_exact" -> dedupExact,
     "corpus_index_build" -> corpusIndexBuild,
     "dedup_minhash" -> dedupMinhash,
@@ -3951,6 +4086,7 @@ object LlmPipeline {
     "ann_ivf_pq_m4" -> annIvfPqM4,
     "ann_pq_recall" -> annPqRecall,
     "stream_ivf_append" -> streamIvfAppend,
+    "stream_pq_append" -> streamPqAppend,
     "ann_pq" -> annPq,
     "embed_quant" -> embedQuant,
     "dedup_semantic" -> dedupSemantic,
@@ -3988,6 +4124,7 @@ object LlmPipeline {
     "text_chunk" -> textChunkSql,
     "seq_pack" -> seqPackSql,
     "shard_balance" -> shardBalanceSql,
+    "pack_sequences" -> packSequencesSql,
     "dedup_exact" -> dedupExactSql,
     "corpus_index_build" -> corpusIndexBuildSql,
     "dedup_minhash" -> dedupMinhashSql,
@@ -4017,6 +4154,7 @@ object LlmPipeline {
     "ann_ivf_pq_m4" -> annIvfPqM4Sql,
     "ann_pq_recall" -> annPqRecallSql,
     "stream_ivf_append" -> streamIvfAppendSql,
+    "stream_pq_append" -> streamPqAppendSql,
     "ann_pq" -> annPqSql,
     "embed_quant" -> embedQuantSql,
     "dedup_semantic" -> dedupSemanticSql,
