@@ -993,6 +993,62 @@ object LlmPipeline {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --- dedup_spans: EXACT DUPLICATED-SPAN detection — the
+  // suffix-array family of exact-substring dedup (Lee et al. 2021's
+  // second dedup tier, next to the MinHash document tier) at k-token
+  // granularity: every k=8-word window at stride 4 hashes to 60 bits
+  // MAP-SIDE (the strings never shuffle — only (doc_id, hash) pairs,
+  // tokens/stride rows per doc); ONE shuffle groups span hashes; a
+  // hash present in ≥2 distinct documents is corpus-duplicated
+  // boilerplate (licenses, headers, templated paragraphs) that
+  // document-level near-dup can't see when the surrounding text
+  // differs. Output: per affected document, sampled-span and
+  // duplicated-span counts — the contamination profile a filtering
+  // pass consumes. At 100 TB: rows ∝ corpus tokens / stride, uniform
+  // 60-bit keys (no skew), and stride is the cost dial.
+  private val SPAN_K = 8
+  private val SPAN_STRIDE = 4
+
+  def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val spanArr = transform(
+      sequence(lit(0), size(col("__ws")) - SPAN_K, lit(SPAN_STRIDE)),
+      i => TextFns.hash60(concat_ws(" ",
+        (1 to SPAN_K).map(j => element_at(col("__ws"), i + lit(j))): _*)))
+    val base = graft.util.QueryScratch.cached(
+      t(s, dir, "documents")
+        .withColumn("__ws", TextFns.words(col("text")))
+        .filter(size(col("__ws")) >= SPAN_K)
+        .select(col("doc_id"), explode(spanArr).as("h"))
+        .distinct())
+    val dup = base.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    base.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      .join(base.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans")),
+        "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSpansSql: String = {
+    val cat = (0 until SPAN_K).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+      .mkString("||' '||")
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |se AS (SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, list_transform(
+       |      list_filter(generate_series(1, len(ws) - ${SPAN_K - 1}),
+       |        i -> (i - 1) % $SPAN_STRIDE = 0),
+       |      i -> ${hash60Sql(s"($cat)")}) AS sh
+       |    FROM w WHERE len(ws) >= $SPAN_K) t, LATERAL unnest(t.sh) u(h)),
+       |dup AS (SELECT h FROM se GROUP BY h HAVING COUNT(*) >= 2)
+       |SELECT se.doc_id, COUNT(*) AS n_spans,
+       |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM se LEFT JOIN dup ON se.h = dup.h
+       |GROUP BY se.doc_id
+       |HAVING SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |ORDER BY se.doc_id""".stripMargin
+  }
+
   private val MH_HASHES = MinhashIndex.HASHES
   private val MH_BANDS = MinhashIndex.BANDS
   private val MH_ROWS = MinhashIndex.ROWS
@@ -4057,6 +4113,7 @@ object LlmPipeline {
     "seq_pack" -> seqPack,
     "shard_balance" -> shardBalance,
     "pack_sequences" -> packSequences,
+    "dedup_spans" -> dedupSpans,
     "dedup_exact" -> dedupExact,
     "corpus_index_build" -> corpusIndexBuild,
     "dedup_minhash" -> dedupMinhash,
@@ -4125,6 +4182,7 @@ object LlmPipeline {
     "seq_pack" -> seqPackSql,
     "shard_balance" -> shardBalanceSql,
     "pack_sequences" -> packSequencesSql,
+    "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,
     "corpus_index_build" -> corpusIndexBuildSql,
     "dedup_minhash" -> dedupMinhashSql,

@@ -1152,8 +1152,12 @@ class DsV2Spec extends AnyFunSuite {
     // the refresh must succeed with the old files unreadable. This is
     // the strongest possible "no fact-head scan" pin: a plan that
     // touched them would throw.
-    val factDir = graft.util.Scratch.root.resolve("psdcat")
-      .resolve("psd").resolve(s"mvf_$id").toString
+    // resolve through the LIVE catalog instance: the 'graft' plugin
+    // is memoized with whichever root the session initialized first,
+    // so a hand-built path can point at the wrong directory when
+    // suites share the session
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.mvf_$id")
     val v1Files = LakeTable.manifest(factDir, 1).files.map(_.path)
     def shift(suffix: String): Unit = v1Files.foreach { p =>
       val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
