@@ -1049,6 +1049,62 @@ object LlmPipeline {
        |ORDER BY se.doc_id""".stripMargin
   }
 
+  // --- eval_decontam: EVAL-SET DECONTAMINATION — the n-gram overlap
+  // rule frontier training runs apply before touching a benchmark
+  // (GPT-3 appendix C / PaLM: an eval document sharing a k-gram with
+  // train is contaminated): every distinct k=8-word span of every
+  // document hashes to 60 bits map-side; the TRAIN side's distinct
+  // span-hash set is the big artifact, the EVAL side (the held-out
+  // partition) probes it with one hash-keyed semi-join — uniform
+  // 60-bit keys, no skew, and at 100 TB the train set is exactly the
+  // bloom-filter feed the production version of this pass builds.
+  // Verdict per eval doc: ANY train collision ⇒ drop (the
+  // conservative rule the papers use); the report carries the span
+  // counts so a threshold policy can relax it. Distinct from
+  // dedup_spans (symmetric within-corpus boilerplate profile) and
+  // split_leakage (cluster-split integrity): this is the asymmetric
+  // train→eval contamination gate.
+  private val DC_K = 8
+
+  def evalDecontam(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.QueryScratch.cached(
+      t(s, dir, "documents")
+        .withColumn("__ws", TextFns.words(col("text")))
+        .filter(size(col("__ws")) >= DC_K)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            Dedup.shingleSeq(col("__ws"), DC_K),
+            g => TextFns.hash60(g)))).as("h")))
+    val trainH = base.filter(col("doc_id") % 10 =!= 0).select(col("h")).distinct()
+    val ev = base.filter(col("doc_id") % 10 === 0)
+    val contam = ev.join(trainH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        when(coalesce(col("n_contam"), lit(0L)) > 0, "drop")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val evalDecontamSql: String =
+    s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(${shSeqSql(DC_K)}, s -> ${hash60Sql("s")})) AS hs
+       |  FROM w WHERE len(ws) >= $DC_K),
+       |se AS (SELECT doc_id, h FROM sh, LATERAL unnest(hs) t(h)),
+       |tr AS (SELECT DISTINCT h FROM se WHERE doc_id % 10 <> 0),
+       |ev AS (SELECT se.doc_id, COUNT(*) AS n_spans,
+       |    SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS n_contam
+       |  FROM se LEFT JOIN tr ON se.h = tr.h
+       |  WHERE se.doc_id % 10 = 0
+       |  GROUP BY se.doc_id)
+       |SELECT doc_id, n_spans, CAST(n_contam AS BIGINT) AS n_contam,
+       |  CASE WHEN n_contam > 0 THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM ev
+       |ORDER BY doc_id""".stripMargin
+
   private val MH_HASHES = MinhashIndex.HASHES
   private val MH_BANDS = MinhashIndex.BANDS
   private val MH_ROWS = MinhashIndex.ROWS
@@ -4114,6 +4170,7 @@ object LlmPipeline {
     "shard_balance" -> shardBalance,
     "pack_sequences" -> packSequences,
     "dedup_spans" -> dedupSpans,
+    "eval_decontam" -> evalDecontam,
     "dedup_exact" -> dedupExact,
     "corpus_index_build" -> corpusIndexBuild,
     "dedup_minhash" -> dedupMinhash,
@@ -4183,6 +4240,7 @@ object LlmPipeline {
     "shard_balance" -> shardBalanceSql,
     "pack_sequences" -> packSequencesSql,
     "dedup_spans" -> dedupSpansSql,
+    "eval_decontam" -> evalDecontamSql,
     "dedup_exact" -> dedupExactSql,
     "corpus_index_build" -> corpusIndexBuildSql,
     "dedup_minhash" -> dedupMinhashSql,
