@@ -1234,6 +1234,16 @@ private[sources] object GraftProcedures {
     Def("set_layout", "evolve the declared write layout (partition-spec evolution; metadata-only)",
       Seq("table" -> StringType, "spec" -> StringType), "changed", BooleanType,
       (c, in) => c.setLayout(tbl(c, in), in.getUTF8String(1).toString)),
+    Def("branch_diff", "net row-level diff of an audit branch vs its fork basis (write-audit-publish review): insert/delete counts",
+      Seq("table" -> StringType, "name" -> StringType), "summary", StringType,
+      (c, in) => {
+        val diff = LakeTable.branchDiff(SparkSession.active, tbl(c, in),
+          in.getUTF8String(1).toString)
+        val counts = diff.groupBy(org.apache.spark.sql.functions.col("_change_type"))
+          .count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        s"insert=${counts.getOrElse("insert", 0L)},delete=${counts.getOrElse("delete", 0L)}"
+      }),
     Def("refresh_mv", "fold fact/dim changes since the recorded basis into the named materialized view (delta-join IVM, one MoR MERGE commit)",
       Seq("table" -> StringType), "basis", StringType, (c, in) => {
         val (f, d) = graft.lake.MaterializedView.refresh(

@@ -368,6 +368,9 @@ class DsV2Spec extends AnyFunSuite {
     val br = spark.sql(s"SELECT name, fork_basis, head FROM $T.branches").collect()
     assert(br.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq(("wap", 1L, 2L)))
+    // the audit review is SQL-reachable too: net diff vs fork basis
+    assert(spark.sql(s"CALL graft.system.branch_diff('db.$name', 'wap')")
+      .head.getString(0) === s"insert=${events.count() - 500},delete=0")
     // publish, then the main table itself serves the audited cut
     LakeTable.publishBranch(dir, "wap")
     assert(spark.table(T).count() === events.count())
