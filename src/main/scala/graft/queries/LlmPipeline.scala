@@ -904,7 +904,13 @@ object LlmPipeline {
   // (cum−1) div C; a doc with last>first CROSSES a boundary (its
   // loss-masking cost is what packing efficiency reports measure).
   // All integers; the oracle replays the same law with a plain SQL
-  // window cumsum.
+  // window cumsum. `seq_pack` is the other packing discipline —
+  // shard-local GREEDY bins (order within shard, no global
+  // positions); THIS op is the GLOBALLY position-exact layout (every
+  // token has one deterministic stream offset — what reproducible
+  // epoch layouts and resumable dataloaders key on), and the
+  // distributed prefix sum is precisely what makes "global" not mean
+  // "single partition".
   private val PACK_C = 512L
 
   def packSequences(s: SparkSession, dir: String): DataFrame = {
@@ -1004,8 +1010,13 @@ object LlmPipeline {
   // document-level near-dup can't see when the surrounding text
   // differs. Output: per affected document, sampled-span and
   // duplicated-span counts — the contamination profile a filtering
-  // pass consumes. At 100 TB: rows ∝ corpus tokens / stride, uniform
-  // 60-bit keys (no skew), and stride is the cost dial.
+  // pass consumes. Complementary to `dedup_substring`, which
+  // recovers MAXIMAL shared spans per document PAIR (positional
+  // gaps-and-islands, Σdf² pair volume): THIS is the LINEAR-cost
+  // corpus-wide profile — no positions, no pairs, rows ∝ tokens /
+  // stride with uniform 60-bit keys (no skew), stride as the cost
+  // dial — the cheap first pass that decides where the pairwise
+  // machinery is worth pointing.
   private val SPAN_K = 8
   private val SPAN_STRIDE = 4
 
@@ -1060,10 +1071,14 @@ object LlmPipeline {
   // bloom-filter feed the production version of this pass builds.
   // Verdict per eval doc: ANY train collision ⇒ drop (the
   // conservative rule the papers use); the report carries the span
-  // counts so a threshold policy can relax it. Distinct from
-  // dedup_spans (symmetric within-corpus boilerplate profile) and
-  // split_leakage (cluster-split integrity): this is the asymmetric
-  // train→eval contamination gate.
+  // counts so a threshold policy can relax it. Three distinct
+  // contamination tools, three shapes: `decontaminate` flags TRAIN
+  // docs against a TINY benchmark probe (one broadcast array,
+  // map-only — right when the probe is 5 docs); THIS op validates a
+  // corpus-scale HELD-OUT SPLIT (10% of the corpus — far past
+  // broadcast range, so it's a hash-keyed semi-join against the
+  // train span set); `split_leakage` checks cluster-split integrity,
+  // not n-gram overlap.
   private val DC_K = 8
 
   def evalDecontam(s: SparkSession, dir: String): DataFrame = {
