@@ -1451,6 +1451,67 @@ object Lake {
       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, wb""".stripMargin
 
+  // --- mv_minmax_refresh: MIN/MAX materialized views — incremental
+  // maintenance BEYOND the signed-distributive family. COUNT/SUM fold
+  // algebraically under deletes (mv_refresh / mv_join_refresh's
+  // counting algorithm); MIN/MAX cannot: deleting a group's current
+  // minimum needs the group's OTHER rows to answer "what now" — no
+  // signed delta can say. The classic answer, made cheap by the lake:
+  // the change feed names exactly the touched groups (insert rows AND
+  // delete pre-images carry the group key), those groups recompute
+  // from the fact head through the DSv2 scan with an IN filter —
+  // manifest stat pruning keeps the read to the touched groups' files
+  // on a group-clustered fact — and the fold lands as ONE MoR MERGE
+  // (untouched MV files byte-identical, vanished groups retire via
+  // the same commit's mask). Stage 3 is the IVM-impossible case the
+  // oracle pins: a MoR delete removes rows including group minima, so
+  // mins must RISE — which only the targeted recompute gets right.
+  // At 100 TB: O(Δ groups × files-per-group) read, O(Δ groups) write.
+  def mvMinmaxRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.MinMaxMv
+    val fact = tmp("graft_mmvf_")
+    val mv = tmp("graft_mmv_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("vx100"))
+    // fact CLUSTERED BY the group key — what makes the IN-pruned
+    // targeted recompute read only touched groups' files
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 4096)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 4096)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id", "event_type"))
+    MinMaxMv.create(s, fact, mv, "event_type", "vx100", mvCfg)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg, Seq("event_id", "event_type"))
+    MinMaxMv.refresh(s, fact, mv, "event_type", "vx100", mvCfg)
+    // the non-distributive case: a MoR delete takes out rows
+    // including group minima/maxima — the refresh must re-derive them
+    LakeTable.deleteWhere(s, fact, "event_id",
+      ev.filter(col("event_id") % 5 === 0).select(col("event_id")))
+    MinMaxMv.refresh(s, fact, mv, "event_type", "vx100", mvCfg)
+    LakeTable.read(s, mv, Some(1)).withColumn("stage", lit(1L))
+      .unionByName(LakeTable.read(s, mv, Some(2)).withColumn("stage", lit(2L)))
+      .unionByName(LakeTable.read(s, mv, Some(3)).withColumn("stage", lit(3L)))
+      .select(col("stage"), col("event_type"), col("n"),
+        col("min_vx100"), col("max_vx100"))
+      .orderBy(col("stage"), col("event_type"))
+  }
+
+  val mvMinmaxRefreshSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100 FROM events),
+      |s1 AS (SELECT CAST(1 AS BIGINT) AS stage, event_type, COUNT(*) AS n,
+      |    MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100
+      |  FROM e WHERE event_id % 3 = 0 GROUP BY event_type),
+      |s2 AS (SELECT CAST(2 AS BIGINT) AS stage, event_type, COUNT(*) AS n,
+      |    MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100
+      |  FROM e WHERE event_id % 3 IN (0, 1) GROUP BY event_type),
+      |s3 AS (SELECT CAST(3 AS BIGINT) AS stage, event_type, COUNT(*) AS n,
+      |    MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100
+      |  FROM e WHERE event_id % 3 IN (0, 1) AND event_id % 5 <> 0
+      |  GROUP BY event_type)
+      |SELECT stage, event_type, n, min_vx100, max_vx100
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, event_type""".stripMargin
+
   // --- stream_mv_refresh: the CONTINUOUSLY-MAINTAINED join view —
   // mv_join_refresh's production deployment shape: the fact table's
   // own CHANGE DATA FEED stream (readStream changeFeed=true, the v1
@@ -3119,6 +3180,7 @@ object Lake {
     "lake_cdf" -> lakeCdf,
     "mv_refresh" -> mvRefresh,
     "mv_join_refresh" -> mvJoinRefresh,
+    "mv_minmax_refresh" -> mvMinmaxRefresh,
     "stream_mv_refresh" -> streamMvRefresh,
     "lake_overwrite" -> lakeOverwrite,
     "lake_delete_pos" -> lakeDeletePos,
@@ -3185,6 +3247,7 @@ object Lake {
     "lake_cdf" -> lakeCdfSql,
     "mv_refresh" -> mvRefreshSql,
     "mv_join_refresh" -> mvJoinRefreshSql,
+    "mv_minmax_refresh" -> mvMinmaxRefreshSql,
     "stream_mv_refresh" -> streamMvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,
     "lake_delete_pos" -> lakeDeletePosSql,

@@ -1375,6 +1375,70 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(dim); graft.util.Scratch.rmNow(mv)
   }
 
+  test("min/max MV: targeted recompute provably reads only touched groups' fact files; deletes re-derive minima; dead groups retire") {
+    import graft.lake.MinMaxMv
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_mmv_spec_f_")
+    val mv = graft.util.Scratch.dir("graft_mmv_spec_m_")
+    val fCfg = BlockWriter.Config("g", "id", maxRecordsPerFile = 8)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 64)
+    def rows(ids: Seq[Long], g: Long => String) =
+      ids.map(i => (i, g(i), i * 10L)).toDF("id", "g", "x")
+    LakeTable.commit(s, fact, rows(1L to 16L, i => s"k${i % 4}"),
+      fCfg, Seq("id", "g"))
+    MinMaxMv.create(s, fact, mv, "g", "x", mCfg)
+    def bytesOf(p: String): Seq[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.stripPrefix("file:"))).toSeq
+    val mvFiles1 = LakeTable.manifest(mv, 1).files.map(_.path)
+    val mvBytes1 = mvFiles1.map(p => p -> bytesOf(p)).toMap
+    def mvState(): Map[String, (Long, Long, Long)] =
+      LakeTable.read(s, mv).select(col("g"), col("n"), col("min_x"), col("max_x"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(mvState() === Map(
+      "k0" -> ((4L, 40L, 160L)), "k1" -> ((4L, 10L, 130L)),
+      "k2" -> ((4L, 20L, 140L)), "k3" -> ((4L, 30L, 150L))))
+    // ---- append touching ONLY k0, then HIDE every fact file whose
+    // g-extent excludes k0: the IN-pruned targeted recompute must
+    // never open them — a plan scanning untouched groups would throw
+    LakeTable.commit(s, fact, rows(17L to 20L, _ => "k0"), fCfg, Seq("id", "g"))
+    val head = LakeTable.currentSnapshot(fact)
+    val unrelated = LakeTable.manifest(fact, head).files.filter { f =>
+      f.stats.get("g").exists(cs => cs.maxS < "k0" || cs.minS > "k0")
+    }.map(_.path)
+    assert(unrelated.nonEmpty, "fixture needs untouched-group files to hide")
+    def shift(hide: Boolean): Unit = unrelated.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift(hide = true)
+    try MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg): Unit
+    finally shift(hide = false)
+    assert(mvState() === Map(
+      "k0" -> ((8L, 40L, 200L)), "k1" -> ((4L, 10L, 130L)),
+      "k2" -> ((4L, 20L, 140L)), "k3" -> ((4L, 30L, 150L))))
+    // untouched groups' MV files survived by reference, byte for byte
+    assert(mvFiles1.toSet.subsetOf(
+      LakeTable.manifest(mv, 2).files.map(_.path).toSet))
+    mvFiles1.foreach(p => assert(bytesOf(p) === mvBytes1(p)))
+    // ---- the non-distributive case: delete k1's minimum row — a
+    // signed delta cannot answer, the targeted recompute must
+    LakeTable.deleteWhere(s, fact, "id", Seq(1L).toDF("id"))
+    MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg)
+    assert(mvState()("k1") === ((3L, 50L, 130L)),
+      "deleting the group minimum must RAISE min_x")
+    // ---- a group vanishing entirely retires through the mask
+    LakeTable.deleteWhere(s, fact, "id",
+      (1L to 16L).filter(_ % 4 == 3).toDF("id"))
+    MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg)
+    val st = mvState()
+    assert(!st.contains("k3") && st.contains("k2"))
+    graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(mv)
+  }
+
   test("rewrite_manifests folds the part chain to one; history/incremental/changelog stay exact") {
     val root = graft.util.Scratch.dir("graft_mfc_spec_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
