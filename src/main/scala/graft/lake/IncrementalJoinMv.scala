@@ -51,14 +51,28 @@ object IncrementalJoinMv {
 
   private val noteRe = "^jmv-basis-(\\d+)-(\\d+)$".r
 
-  /** The (factSnap, dimSnap) basis the MV head reflects. */
+  /** The (factSnap, dimSnap) basis the MV head reflects. The MoR
+    * fold accrues delete-mask debt whose remedy is compaction — a
+    * content-PRESERVING commit whose note is not a basis — so the
+    * basis is the newest `jmv-basis` note AT OR BELOW the head, not
+    * strictly the head's (maintenance between refreshes is normal;
+    * retention holes below the keep-point are tolerated).
+    */
   def basis(mvRoot: String): (Int, Int) = {
     val head = LakeTable.currentSnapshot(mvRoot)
     require(head > 0, s"$mvRoot has no MV state")
-    LakeTable.manifest(mvRoot, head).note match {
-      case noteRe(f, d) => (f.toInt, d.toInt)
-      case n => sys.error(s"$mvRoot head commit carries no jmv basis (note '$n')")
+    var i = head
+    while (i >= 1) {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(mvRoot, "meta", s"manifest-$i.json")))
+        LakeTable.manifest(mvRoot, i).note match {
+          case noteRe(f, d) => return (f.toInt, d.toInt)
+          case _ => ()
+        }
+      i -= 1
     }
+    sys.error(s"$mvRoot carries no jmv-basis note in its live chain — " +
+      "not a join MV (or its basis commits were expired)")
   }
 
   private def joined(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
@@ -90,9 +104,16 @@ object IncrementalJoinMv {
     val d = LakeTable.currentSnapshot(dimRoot)
     val full = joined(LakeTable.read(s, factRoot, Some(f)),
       LakeTable.read(s, dimRoot, Some(d)), key).withColumn("__sign", lit(1L))
-    LakeTable.commit(s, mvRoot,
-      state(full, group, aggs).filter(col(CountCol) > 0),
-      cfg, group, note = s"jmv-basis-$f-$d")
+    val st = state(full, group, aggs).filter(col(CountCol) > 0).persist()
+    try {
+      // fail at CREATE, not first refresh: the MoR fold can't
+      // maintain a NULL leading group key (see refresh)
+      require(st.filter(col(group.head).isNull).isEmpty,
+        s"join-MV: NULL in leading group column '${group.head}' cannot be " +
+          "incrementally maintained (equality-keyed delete mask) — " +
+          "coalesce it upstream")
+      LakeTable.commit(s, mvRoot, st, cfg, group, note = s"jmv-basis-$f-$d")
+    } finally { st.unpersist(); () }
   }
 
   /** Fold both tables' changes since the recorded basis into the MV
@@ -137,6 +158,14 @@ object IncrementalJoinMv {
     val gk = group.head
     val changedKeys = deltaState.select(col(gk)).distinct().persist()
     try {
+      // the eq-delete mask and the semi-join fold both key on
+      // EQUALITY over gk — a NULL lead-group value can neither be
+      // retired nor re-folded, so it fails HERE, pointedly, instead
+      // of silently duplicating the group
+      require(changedKeys.filter(col(gk).isNull).isEmpty,
+        s"join-MV fold: NULL in leading group column '$gk' cannot ride " +
+          "the equality-delete mask — coalesce the dimension attribute " +
+          "upstream (e.g. to a sentinel) before maintaining it as an MV key")
       val note = s"jmv-basis-$f1-$d1"
       val mvCur = LakeTable.read(s, mvRoot)
       // fold current values of exactly the touched lead-key rows with
@@ -146,13 +175,15 @@ object IncrementalJoinMv {
         .groupBy(group.map(col): _*)
         .agg(sum(col(CountCol)).cast("bigint").as(CountCol),
           aggs.map(a => a.fold(col(a.name)).as(a.name)): _*)
-      val live = folded.filter(col(CountCol) > 0).to(mvCur.schema)
-      if (live.isEmpty)
-        // every touched group died: the commit is pure retirement
-        LakeTable.deleteWhere(s, mvRoot, gk, changedKeys, note = note): Unit
-      else
-        LakeTable.merge(s, mvRoot, gk, live, cfg, group, note = note,
-          extraDeleteKeys = Some(changedKeys)): Unit
+      val live = folded.filter(col(CountCol) > 0).to(mvCur.schema).persist()
+      try {
+        if (live.isEmpty)
+          // every touched group died: the commit is pure retirement
+          LakeTable.deleteWhere(s, mvRoot, gk, changedKeys, note = note): Unit
+        else
+          LakeTable.merge(s, mvRoot, gk, live, cfg, group, note = note,
+            extraDeleteKeys = Some(changedKeys)): Unit
+      } finally { live.unpersist(); () }
     } finally { changedKeys.unpersist(); () }
     (f1, d1)
   }

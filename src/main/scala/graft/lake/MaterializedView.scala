@@ -54,8 +54,13 @@ object MaterializedView {
     }
     n.put("sql", d.sql)
     Files.createDirectories(defPath(mvDir).getParent)
-    Files.write(defPath(mvDir),
-      mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(n)): Unit
+    // atomic publish: a crash mid-write must not leave truncated JSON
+    // that bricks every later refresh_mv / metadata read
+    val tmp = defPath(mvDir).resolveSibling(s"._mv.${System.nanoTime()}.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(n))
+    Files.move(tmp, defPath(mvDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   def readDef(mvDir: String): MvDef = {
@@ -79,12 +84,27 @@ object MaterializedView {
   private def cfgOf(d: MvDef): BlockWriter.Config =
     BlockWriter.Config(d.group.head, d.group.head, maxRecordsPerFile = 1 << 20)
 
-  /** Materialize + persist the definition; returns the MV snapshot. */
+  /** Materialize + persist the definition; returns the MV snapshot.
+    * The definition lands (atomically) BEFORE the materialization
+    * commit: a crash in between leaves a def-only directory that
+    * `DROP TABLE` removes cleanly, whereas the reverse order would
+    * leave a committed table no refresh can ever drive. A FAILED
+    * materialization cleans its def up so the name frees again.
+    */
   def create(s: SparkSession, mvDir: String, d: MvDef): Int = {
-    val snap = IncrementalJoinMv.create(s, d.fact, d.dim, mvDir, d.key,
-      d.group, aggsOf(d), cfgOf(d))
     writeDef(mvDir, d)
-    snap
+    try IncrementalJoinMv.create(s, d.fact, d.dim, mvDir, d.key,
+      d.group, aggsOf(d), cfgOf(d))
+    catch { case e: Throwable =>
+      Files.deleteIfExists(defPath(mvDir))
+      // a bare meta/ dir would still read as "table exists" to the
+      // catalog and block a re-CREATE — sweep it if nothing landed
+      try {
+        Files.deleteIfExists(Paths.get(mvDir, "meta"))
+        Files.deleteIfExists(Paths.get(mvDir)): Unit
+      } catch { case _: java.io.IOException => () }
+      throw e
+    }
   }
 
   /** Fold fact/dim changes since the recorded basis — the named-MV

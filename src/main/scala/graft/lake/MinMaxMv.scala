@@ -37,14 +37,26 @@ object MinMaxMv {
 
   private val noteRe = "^mmv-basis-(\\d+)$".r
 
-  /** The fact snapshot the MV head reflects. */
+  /** The fact snapshot the MV head reflects — the newest `mmv-basis`
+    * note AT OR BELOW the head (compaction and other content-
+    * preserving maintenance stamp their own notes above it; retention
+    * holes below the keep-point are tolerated).
+    */
   def basis(mvRoot: String): Int = {
     val head = LakeTable.currentSnapshot(mvRoot)
     require(head > 0, s"$mvRoot has no MV state")
-    LakeTable.manifest(mvRoot, head).note match {
-      case noteRe(f) => f.toInt
-      case n => sys.error(s"$mvRoot head commit carries no mmv basis (note '$n')")
+    var i = head
+    while (i >= 1) {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(mvRoot, "meta", s"manifest-$i.json")))
+        LakeTable.manifest(mvRoot, i).note match {
+          case noteRe(f) => return f.toInt
+          case _ => ()
+        }
+      i -= 1
     }
+    sys.error(s"$mvRoot carries no mmv-basis note in its live chain — " +
+      "not a min/max MV (or its basis commits were expired)")
   }
 
   private def state(df: DataFrame, group: String, valueCol: String): DataFrame =
@@ -57,14 +69,21 @@ object MinMaxMv {
   def create(s: SparkSession, factRoot: String, mvRoot: String,
       group: String, valueCol: String, cfg: BlockWriter.Config): Int = {
     val f = LakeTable.currentSnapshot(factRoot)
-    LakeTable.commit(s, mvRoot,
-      state(LakeTable.read(s, factRoot, Some(f)), group, valueCol),
-      cfg, Seq(group), note = s"mmv-basis-$f")
+    val st = state(LakeTable.read(s, factRoot, Some(f)), group, valueCol)
+      .persist()
+    try {
+      // fail at CREATE, not first refresh (see refresh's NULL guard)
+      require(st.filter(col(group).isNull).isEmpty,
+        s"min/max MV: NULL in group column '$group' cannot be " +
+          "incrementally maintained — coalesce it upstream")
+      LakeTable.commit(s, mvRoot, st, cfg, Seq(group), note = s"mmv-basis-$f")
+    } finally { st.unpersist(); () }
   }
 
   /** Fold fact changes since the basis: recompute exactly the touched
-    * groups from the fact head (IN-filtered DSv2 scan → manifest
-    * pruning), one MoR MERGE commit. Returns the new basis.
+    * groups from fact snapshot `f1` (IN-filtered DSv2 scan → manifest
+    * pruning), one MoR MERGE commit. Returns the new FACT basis the
+    * MV reflects (f1 after a fold; the old basis on a no-op).
     */
   def refresh(s: SparkSession, factRoot: String, mvRoot: String,
       group: String, valueCol: String, cfg: BlockWriter.Config): Int = {
@@ -79,11 +98,19 @@ object MinMaxMv {
     // rows): nothing to fold — leave the basis where it is, the next
     // real refresh folds across the maintenance commits for free
     if (touched.isEmpty) return f0
-    // targeted recompute THROUGH THE PRUNED SCAN: the IN filter
-    // reaches the manifest, untouched groups' fact files are never
-    // opened (a fact clustered by `group` reads |Δ groups| worth)
+    // the IN filter and the eq-delete mask are equality-keyed: a NULL
+    // group can neither be recomputed nor retired — fail pointedly
+    require(!touched.contains(null),
+      s"min/max MV: NULL in group column '$group' cannot be " +
+        "incrementally maintained (equality-keyed recompute + delete " +
+        "mask) — coalesce it upstream")
+    // targeted recompute THROUGH THE PRUNED SCAN, PINNED at the basis
+    // snapshot f1 the commit note will claim (a concurrent fact
+    // commit mid-refresh must not leak into this basis): the IN
+    // filter reaches the manifest, untouched groups' fact files are
+    // never opened (a fact clustered by `group` reads |Δ groups|)
     val cur = state(
-      s.read.format("graft-lake").load(factRoot)
+      s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
         .filter(col(group).isin(touched: _*)),
       group, valueCol)
     // align to the MANIFEST schema exactly (merge's unmapped-table
@@ -93,13 +120,16 @@ object MinMaxMv {
     import s.implicits._
     val touchedDf = touched.map(String.valueOf)
       .toDF(group).select(col(group).cast(stored(group).dataType))
-    val live = cur.to(stored)
-    if (live.isEmpty)
-      // every touched group vanished: pure retirement commit
-      LakeTable.deleteWhere(s, mvRoot, group, touchedDf,
-        note = s"mmv-basis-$f1")
-    else
-      LakeTable.merge(s, mvRoot, group, live, cfg, Seq(group),
-        note = s"mmv-basis-$f1", extraDeleteKeys = Some(touchedDf))
+    val live = cur.to(stored).persist()
+    try {
+      if (live.isEmpty)
+        // every touched group vanished: pure retirement commit
+        LakeTable.deleteWhere(s, mvRoot, group, touchedDf,
+          note = s"mmv-basis-$f1"): Unit
+      else
+        LakeTable.merge(s, mvRoot, group, live, cfg, Seq(group),
+          note = s"mmv-basis-$f1", extraDeleteKeys = Some(touchedDf)): Unit
+    } finally { live.unpersist(); () }
+    f1
   }
 }

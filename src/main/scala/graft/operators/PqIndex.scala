@@ -52,8 +52,12 @@ object PqIndex {
 
   private def refFor(dir: String, m: Int): Ref = {
     require(m > 0 && Dim % m == 0, s"PQ geometry: M=$m must divide $Dim")
+    // the coarse quantizer is M-INDEPENDENT (M only partitions the
+    // residual), so every geometry shares ONE frozen coarse index —
+    // training it per M would duplicate the corpus-sized artifact
+    // and its per-batch append work for identical results
     refs.computeIfAbsent(s"$dir#m$m",
-      _ => Ref(s"$dir#pq-coarse-m$m", graft.util.Scratch.dir("graft_pqidx_"), m))
+      _ => Ref(s"$dir#pq-coarse", graft.util.Scratch.dir("graft_pqidx_"), m))
   }
 
   private def residualsOf(s: SparkSession, ivf: IvfIndex.Ref,

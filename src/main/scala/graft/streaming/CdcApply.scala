@@ -48,33 +48,48 @@ object CdcApply {
   private def wmFile(mirrorRoot: String) =
     java.nio.file.Paths.get(mirrorRoot, "meta", "_cdc_watermark.json")
 
-  /** (snap, mirror_head, prev_head): `prev_head` is the mirror head
-    * the PREVIOUS watermark recorded — marks of the most recently
-    * applied batch live in (prev_head, mirror_head], which is what
-    * the skip VALIDATION needs to clear a crash-replayed batch in
-    * O(batch) manifest reads. Old two-field files read with
-    * prev_head == mirror_head (validation then falls back to the
-    * cached full note set — correct, one-time cost).
+  /** (snap, mirror_head, prev_head, empty): `prev_head` is the
+    * mirror head the PREVIOUS watermark recorded — marks of the most
+    * recently applied batch live in (prev_head, mirror_head], which
+    * is what the skip VALIDATION needs to clear a crash-replayed
+    * batch in O(batch) manifest reads. `empty` lists applied
+    * snapshots that produced ZERO mirror commits (a delete-only
+    * snapshot landing on an empty mirror — possible when consumption
+    * is seeded mid-stream): they have no cdc mark anywhere, so the
+    * validation must learn them from here or a crash-replay would
+    * brick on a snapshot that WAS correctly applied. The list only
+    * ever gains seed-time entries, so it stays tiny. Old files read
+    * with prev_head == mirror_head and no empties (validation then
+    * falls back to the cached full note set — correct, one-time
+    * cost).
     */
-  private def readWatermark(mirrorRoot: String): (Int, Int, Int) = {
+  private def readWatermark(mirrorRoot: String): (Int, Int, Int, Set[Int]) = {
     val p = wmFile(mirrorRoot)
-    if (!java.nio.file.Files.exists(p)) (0, 0, 0)
+    if (!java.nio.file.Files.exists(p)) (0, 0, 0, Set.empty)
     else {
-      val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        .replaceAll("[^0-9,]", "").split(",")
-      val (s0, h0) = (parts(0).toInt, parts(1).toInt)
-      (s0, h0, if (parts.length > 2) parts(2).toInt else h0)
+      val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      def field(name: String): Option[String] =
+        (java.util.regex.Pattern.quote("\"" + name + "\"") + "\\s*:\\s*(\\d+)")
+          .r.findFirstMatchIn(body).map(_.group(1))
+      val s0 = field("snap").map(_.toInt).getOrElse(0)
+      val h0 = field("mirror_head").map(_.toInt).getOrElse(0)
+      val ph = field("prev_head").map(_.toInt).getOrElse(h0)
+      val empty = """"empty"\s*:\s*\[([0-9, ]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toInt).toSet)
+        .getOrElse(Set.empty[Int])
+      (s0, h0, ph, empty)
     }
   }
 
   private def writeWatermark(mirrorRoot: String, snap: Int, mirrorHead: Int,
-      prevHead: Int): Unit = {
+      prevHead: Int, empty: Set[Int]): Unit = {
     val p = wmFile(mirrorRoot)
     java.nio.file.Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(s"._cdc_watermark.${System.nanoTime()}.tmp")
     java.nio.file.Files.write(tmp,
-      s"""{"snap":$snap,"mirror_head":$mirrorHead,"prev_head":$prevHead}"""
-        .getBytes("UTF-8"))
+      (s"""{"snap":$snap,"mirror_head":$mirrorHead,"prev_head":$prevHead,""" +
+        s""""empty":[${empty.toSeq.sorted.mkString(",")}]}""").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -107,7 +122,7 @@ object CdcApply {
       // watermark + tail marks, read ONCE per batch; commits made
       // below are appended to the local set, never re-read from
       // manifests — O(batch) metadata IO however old the mirror is
-      val (wm, wmHead, prevHead) = readWatermark(mirrorRoot)
+      val (wm, wmHead, prevHead, knownEmpty) = readWatermark(mirrorRoot)
       // tail marks cover (prev_head, head]: this batch's dedupe range
       // PLUS the previous batch's marks, so a crash-replayed batch
       // (the common at-least-once path) validates without touching
@@ -117,21 +132,20 @@ object CdcApply {
       val snaps = allSnaps.filter(_ > wm)
       // VALIDATE the monotonic-delivery invariant instead of assuming
       // it: a snapshot at-or-below the watermark is only skippable if
-      // its cdc mark actually exists in the mirror ledger (tail marks
-      // for recent ones, the cached full note set for older). An
-      // out-of-order or re-seeded consumer replaying a range the
-      // mirror never applied fails POINTEDLY here rather than
-      // silently diverging. (A consistent changelog can't produce a
-      // mark-less applied snapshot: every snapshot with change rows
-      // lands at least one upsert or delete commit — deletes imply
-      // prior inserts, so the mirror is never empty when a
-      // delete-only snapshot applies.)
+      // its cdc mark exists in the mirror ledger (tail marks for
+      // recent ones, the cached full note set for older) OR it is a
+      // recorded zero-commit application (the watermark's `empty`
+      // list — a delete-only snapshot applied to an empty mirror
+      // leaves no mark to find). An out-of-order or re-seeded
+      // consumer replaying a range the mirror never applied fails
+      // POINTEDLY here rather than silently diverging.
       val skipped = allSnaps.filter(_ <= wm)
       if (skipped.nonEmpty) {
         lazy val allNotes = LakeTable.manifestNotes(mirrorRoot)
         val unapplied = skipped.filterNot { sn =>
           val marks = Seq(s"cdc:$sn:delete", s"cdc:$sn:upsert")
-          marks.exists(seen.contains) || marks.exists(allNotes.contains)
+          knownEmpty.contains(sn) ||
+            marks.exists(seen.contains) || marks.exists(allNotes.contains)
         }
         require(unapplied.isEmpty,
           s"cdc apply: batch carries upstream snapshot(s) " +
@@ -140,8 +154,10 @@ object CdcApply {
             "exists in the mirror ledger — out-of-order or re-seeded " +
             "delivery would silently diverge the mirror")
       }
+      val emptyApplied = scala.collection.mutable.Set.empty[Int]
       snaps.foreach { sn =>
         val delMark = s"cdc:$sn:delete"; val upsMark = s"cdc:$sn:upsert"
+        val before = commits
         val cur = b.filter(col(CS) === sn)
         val ins = cur.filter(col(CT) === "insert").drop(CT, CS)
         val delOnly = cur.filter(col(CT) === "delete")
@@ -166,14 +182,22 @@ object CdcApply {
           seen += upsMark
           commits += 1
         }
+        // a snapshot that produced NO commit and has no prior mark
+        // (delete-only onto an empty mirror — mid-stream seeding) must
+        // be remembered in the watermark, or its crash-replay would
+        // fail the skip validation despite being correctly applied
+        if (commits == before && !seen.contains(delMark) &&
+            !seen.contains(upsMark))
+          emptyApplied += sn: Unit
       }
       // advance the watermark AFTER the batch's commits (the ordering
       // the invariant needs); a crash before this line just means the
       // next batch walks a slightly longer manifest tail
       val newWm = if (snaps.nonEmpty) snaps.last else wm
-      if (newWm > wm || commits > 0)
+      if (newWm > wm || commits > 0 || emptyApplied.nonEmpty)
         writeWatermark(mirrorRoot, newWm,
-          LakeTable.currentSnapshot(mirrorRoot), wmHead)
+          LakeTable.currentSnapshot(mirrorRoot), wmHead,
+          knownEmpty ++ emptyApplied)
       commits
     } finally { b.unpersist(); () }
   }

@@ -165,7 +165,7 @@ object DedupStream {
       .option("checkpointLocation",
         Option(checkpoint).getOrElse {
           val key = java.lang.Integer.toHexString(
-            (inDir + " " + resultsRoot + " " + bandsRoot).hashCode)
+            (inDir + "\u0000" + resultsRoot + "\u0000" + bandsRoot).hashCode)
           s"$resultsRoot/_ingest_checkpoint-$key"
         })
       .trigger(Trigger.AvailableNow())

@@ -208,6 +208,33 @@ class CdfStreamSpec extends AnyFunSuite {
       "id", cfg, Seq("id")) === 0)
   }
 
+  test("CdcApply mid-stream seeding: a zero-commit delete-only snapshot replays cleanly via the watermark's empty list") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.CdcApply
+    val up = graft.util.Scratch.dir("graft_cdcmid_up_")
+    val mir = graft.util.Scratch.dir("graft_cdcmid_mir_")
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 8)
+    LakeTable.commit(s, up,
+      (1L to 8L).map(i => (i, i % 2, i * 1.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    LakeTable.deleteWhere(s, up, "id", Seq(2L, 4L).toDF("id"))
+    LakeTable.merge(s, up, "id", Seq((5L, 1L, 500.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    // consumer seeded MID-STREAM at snapshot 1: its first batch is
+    // the delete-only snapshot 2 landing on an EMPTY mirror — applied
+    // correctly as zero commits, no cdc mark anywhere to find
+    val b2 = LakeTable.changelogRead(s, up, 1, 2)
+    assert(CdcApply.applyBatch(s, mir, b2, "id", cfg, Seq("id")) === 0)
+    // crash-replay of that batch must NOT brick: the watermark's
+    // empty list clears the mark-less applied snapshot
+    assert(CdcApply.applyBatch(s, mir, b2, "id", cfg, Seq("id")) === 0)
+    // and the stream continues normally
+    assert(CdcApply.applyBatch(s, mir,
+      LakeTable.changelogRead(s, up, 2, 3), "id", cfg, Seq("id")) === 1)
+    assert(LakeTable.read(s, mir).count() === 1L)
+  }
+
   test("changeFeed past retention fails pointedly, naming the expired snapshots") {
     val s = spark
     import s.implicits._

@@ -1186,6 +1186,16 @@ class DsV2Spec extends AnyFunSuite {
       .head().getString(0) === "fact=2,dim=2")
     assert(mvState() === Map("a" -> ((5L, 150L))))
     assert(basisRow() === ((2, 2, 3)))
+    // ---- maintenance between refreshes must not lose the basis: the
+    // MoR fold's documented debt remedy is compaction, whose commit
+    // note is NOT a basis — the walk-back finds the newest jmv-basis
+    // below it and the lifecycle continues
+    spark.sql(s"CALL graft.system.compact('psd.mv_$id')")
+    assert(basisRow() === ((2, 2, 4)))
+    spark.sql(s"INSERT INTO $fact VALUES (6, 'k1', 60)")
+    assert(spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.mv_$id')")
+      .head().getString(0) === "fact=3,dim=2")
+    assert(mvState() === Map("a" -> ((6L, 210L))))
     // ---- guardrails: non-signed-distributive grammar rejected at
     // DDL; refresh of a non-MV table rejected pointedly
     val eGrammar = intercept[IllegalArgumentException] {
