@@ -1475,9 +1475,10 @@ object Lake {
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("bigint").as("vx100"))
     // fact CLUSTERED BY the group key — what makes the IN-pruned
-    // targeted recompute read only touched groups' files
-    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 4096)
-    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 4096)
+    // targeted recompute read only touched groups' files (task-sized
+    // files; the per-group file-level pruning pin lives in the spec)
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 1 << 20)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 1 << 20)
     LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg, Seq("event_id", "event_type"))
     MinMaxMv.create(s, fact, mv, "event_type", "vx100", mvCfg)
     LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg, Seq("event_id", "event_type"))
@@ -1511,6 +1512,67 @@ object Lake {
       |SELECT stage, event_type, n, min_vx100, max_vx100
       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, event_type""".stripMargin
+
+  // --- stream_mv_minmax: the CONTINUOUSLY-MAINTAINED min/max view —
+  // mv_minmax_refresh's production deployment shape, same
+  // exactly-once-by-construction law as stream_mv_refresh: the fact
+  // table's change-feed stream triggers a MinMaxMv.refresh per
+  // micro-batch; each refresh reads the basis from the MV's own head
+  // note and folds exactly the changes since it, so replayed or
+  // coalesced micro-batches no-op (basis == head) and a crash
+  // between commits just leaves a basis the next trigger completes —
+  // the MV table IS the state. A MoR delete mid-stream takes out
+  // group minima, so the final state must re-derive them (the
+  // targeted-recompute law), which the from-scratch oracle replays.
+  // At 100 TB each trigger costs O(touched groups × files-per-group)
+  // read + O(touched groups) write via the IN-pruned scan.
+  def streamMvMinmax(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.MinMaxMv
+    import org.apache.spark.sql.streaming.Trigger
+    val fact = tmp("graft_smmf_")
+    val mv = tmp("graft_smm_")
+    val ckpt = tmp("graft_smm_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("vx100"))
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 1 << 20)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg,
+      Seq("event_id", "event_type"))
+    MinMaxMv.create(s, fact, mv, "event_type", "vx100", mvCfg)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(fact)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          MinMaxMv.refresh(s, fact, mv, "event_type", "vx100", mvCfg): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg,
+      Seq("event_id", "event_type"))
+    drain()
+    // a MoR delete removes rows including group minima between
+    // drains; the next trigger's targeted recompute re-derives them
+    LakeTable.deleteWhere(s, fact, "event_id",
+      ev.filter(col("event_id") % 5 === 0).select(col("event_id")))
+    drain()
+    LakeTable.read(s, mv)
+      .select(col("event_type"), col("n"), col("min_vx100"), col("max_vx100"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamMvMinmaxSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_vx100,
+      |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_vx100
+      |FROM events
+      |WHERE event_id % 3 IN (0, 1) AND event_id % 5 <> 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   // --- stream_mv_refresh: the CONTINUOUSLY-MAINTAINED join view —
   // mv_join_refresh's production deployment shape: the fact table's
@@ -3181,6 +3243,7 @@ object Lake {
     "mv_refresh" -> mvRefresh,
     "mv_join_refresh" -> mvJoinRefresh,
     "mv_minmax_refresh" -> mvMinmaxRefresh,
+    "stream_mv_minmax" -> streamMvMinmax,
     "stream_mv_refresh" -> streamMvRefresh,
     "lake_overwrite" -> lakeOverwrite,
     "lake_delete_pos" -> lakeDeletePos,
@@ -3248,6 +3311,7 @@ object Lake {
     "mv_refresh" -> mvRefreshSql,
     "mv_join_refresh" -> mvJoinRefreshSql,
     "mv_minmax_refresh" -> mvMinmaxRefreshSql,
+    "stream_mv_minmax" -> streamMvMinmaxSql,
     "stream_mv_refresh" -> streamMvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,
     "lake_delete_pos" -> lakeDeletePosSql,
