@@ -331,6 +331,39 @@ class PipelinePlanSpec extends AnyFunSuite {
     graft.util.QueryScratch.release(spark)
   }
 
+  test("pack_sequences / dedup_spans / eval_decontam: structural laws hold") {
+    // pack_sequences: the chunking law — the last window index is
+    // exactly (total tokens - 1) div C, and boundary-crossing docs
+    // are a strict subset of each bucket's docs
+    val pk = SparkEntry.queries("pack_sequences")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = pk.map(_._2).sum
+    assert(pk.map(_._4).max === (total - 1) / 512,
+      "max window index must equal (total tokens - 1) div C")
+    pk.foreach { case (nDocs, _, nSpanning, _) =>
+      assert(nSpanning <= nDocs)
+    }
+    // dedup_spans: every reported doc has 1 <= n_dup <= n_spans, and
+    // at least one duplicated span exists in the corpus fixture
+    val ds = SparkEntry.queries("dedup_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ds.nonEmpty, "corpus fixture must contain duplicated spans")
+    ds.foreach { case (_, nSpans, nDup) =>
+      assert(nDup >= 1 && nDup <= nSpans)
+    }
+    // eval_decontam: output is exactly the eval partition, the
+    // verdict is the conservative any-collision rule, and the
+    // near-dup-seeded fixture contains both verdicts
+    val dc = SparkEntry.queries("eval_decontam")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(dc.forall(_._1 % 10 == 0), "only eval-partition docs")
+    dc.foreach { case (_, nContam, verdict) =>
+      assert((nContam > 0) == (verdict == "drop"))
+    }
+    assert(dc.exists(_._3 == "drop") && dc.exists(_._3 == "keep"))
+    graft.util.QueryScratch.release(spark)
+  }
+
   test("ann_topk broadcasts the query side (scan streams once)") {
     val p = plan("ann_topk")
     assert(p.contains("Broadcast"), s"query side not broadcast:\n${p.take(2000)}")
