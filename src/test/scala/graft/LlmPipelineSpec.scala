@@ -318,9 +318,13 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(PqIndex.codes(spark, key, 4).count() === e.count())
     assert(PqIndex.appendBatch(spark, key, batch, m = 4) === head,
       "replayed append must be a no-op")
-    // geometries are independent artifacts: the M=2 index at the same
-    // key trains its own books and codes
-    PqIndex.ensureCorpusPq(spark, key, e, m = 2): Unit
+    // geometries are independent CODE artifacts sharing ONE frozen
+    // coarse index (the coarse quantizer is M-independent — per-M
+    // copies would duplicate training, storage and append work)
+    val ref2 = PqIndex.ensureCorpusPq(spark, key, e, m = 2)
+    assert(ref2.ivfKey === ref4.ivfKey,
+      "all geometries must share the M-independent coarse index")
+    assert(ref2.codesPath !== ref4.codesPath)
     val sizes2 = PqIndex.codes(spark, key, 2)
       .select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq
     assert(sizes2 === Seq(2))
