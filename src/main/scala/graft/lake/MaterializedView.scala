@@ -36,7 +36,9 @@ object MaterializedView {
     * maintains; the structural count is always the `n` column.
     */
   final case class MvDef(fact: String, dim: String, key: String,
-      group: Seq[String], sums: Seq[(String, String)], sql: String)
+      group: Seq[String], sums: Seq[(String, String)], sql: String,
+      kind: String = "join", value: String = "",
+      minName: String = "", maxName: String = "")
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -53,6 +55,8 @@ object MaterializedView {
       val o = a.addObject(); o.put("name", name); o.put("expr", e): Unit
     }
     n.put("sql", d.sql)
+    n.put("kind", d.kind); n.put("value", d.value)
+    n.put("min_name", d.minName); n.put("max_name", d.maxName)
     Files.createDirectories(defPath(mvDir).getParent)
     // atomic publish: a crash mid-write must not leave truncated JSON
     // that bricks every later refresh_mv / metadata read
@@ -72,10 +76,13 @@ object MaterializedView {
       val it = n.get(name).elements()
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
     }
+    def opt(name: String) = Option(n.get(name)).map(_.asText()).getOrElse("")
     MvDef(n.get("fact").asText(), n.get("dim").asText(), n.get("key").asText(),
       arr("group").map(_.asText()),
       arr("sums").map(o => (o.get("name").asText(), o.get("expr").asText())),
-      n.get("sql").asText())
+      n.get("sql").asText(),
+      kind = Option(n.get("kind")).map(_.asText()).getOrElse("join"),
+      value = opt("value"), minName = opt("min_name"), maxName = opt("max_name"))
   }
 
   private def aggsOf(d: MvDef): Seq[IncrementalJoinMv.Agg] =
@@ -93,8 +100,13 @@ object MaterializedView {
     */
   def create(s: SparkSession, mvDir: String, d: MvDef): Int = {
     writeDef(mvDir, d)
-    try IncrementalJoinMv.create(s, d.fact, d.dim, mvDir, d.key,
-      d.group, aggsOf(d), cfgOf(d))
+    try {
+      if (d.kind == "minmax")
+        MinMaxMv.create(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
+          d.minName, d.maxName)
+      else IncrementalJoinMv.create(s, d.fact, d.dim, mvDir, d.key,
+        d.group, aggsOf(d), cfgOf(d))
+    }
     catch { case e: Throwable =>
       Files.deleteIfExists(defPath(mvDir))
       // a bare meta/ dir would still read as "table exists" to the
@@ -113,7 +125,10 @@ object MaterializedView {
     */
   def refresh(s: SparkSession, mvDir: String): (Int, Int) = {
     val d = readDef(mvDir)
-    IncrementalJoinMv.refresh(s, d.fact, d.dim, mvDir, d.key, d.group,
+    if (d.kind == "minmax")
+      (MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
+        d.minName, d.maxName), 0)
+    else IncrementalJoinMv.refresh(s, d.fact, d.dim, mvDir, d.key, d.group,
       aggsOf(d), cfgOf(d))
   }
 
@@ -122,10 +137,15 @@ object MaterializedView {
     */
   def statusDf(s: SparkSession, mvDir: String): DataFrame = {
     val d = readDef(mvDir)
-    val (bf, bd) = IncrementalJoinMv.basis(mvDir)
+    val (bf, bd) =
+      if (d.kind == "minmax") (MinMaxMv.basis(mvDir), 0)
+      else IncrementalJoinMv.basis(mvDir)
+    val measures =
+      if (d.kind == "minmax")
+        s"${d.minName}=min(${d.value}); ${d.maxName}=max(${d.value})"
+      else d.sums.map(x => s"${x._1}=sum(${x._2})").mkString("; ")
     import s.implicits._
-    Seq((d.fact, d.dim, d.key, d.group.mkString(","),
-      d.sums.map(x => s"${x._1}=sum(${x._2})").mkString("; "),
+    Seq((d.fact, d.dim, d.key, d.group.mkString(","), measures,
       bf, bd, LakeTable.currentSnapshot(mvDir)))
       .toDF("fact", "dim", "key", "group_cols", "measures",
         "basis_fact", "basis_dim", "snapshot")

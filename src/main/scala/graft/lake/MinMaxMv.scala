@@ -59,17 +59,21 @@ object MinMaxMv {
       "not a min/max MV (or its basis commits were expired)")
   }
 
-  private def state(df: DataFrame, group: String, valueCol: String): DataFrame =
+  private def state(df: DataFrame, group: String, valueCol: String,
+      minName: String, maxName: String): DataFrame =
     df.groupBy(col(group))
       .agg(count(lit(1)).as("n"),
-        min(col(valueCol)).as(s"min_$valueCol"),
-        max(col(valueCol)).as(s"max_$valueCol"))
+        min(col(valueCol)).as(minName),
+        max(col(valueCol)).as(maxName))
 
   /** Materialize from the fact head; returns the MV snapshot. */
   def create(s: SparkSession, factRoot: String, mvRoot: String,
-      group: String, valueCol: String, cfg: BlockWriter.Config): Int = {
+      group: String, valueCol: String, cfg: BlockWriter.Config,
+      minName: String = null, maxName: String = null): Int = {
     val f = LakeTable.currentSnapshot(factRoot)
-    val st = state(LakeTable.read(s, factRoot, Some(f)), group, valueCol)
+    val st = state(LakeTable.read(s, factRoot, Some(f)), group, valueCol,
+      Option(minName).getOrElse(s"min_$valueCol"),
+      Option(maxName).getOrElse(s"max_$valueCol"))
       .persist()
     try {
       // fail at CREATE, not first refresh (see refresh's NULL guard)
@@ -86,7 +90,8 @@ object MinMaxMv {
     * MV reflects (f1 after a fold; the old basis on a no-op).
     */
   def refresh(s: SparkSession, factRoot: String, mvRoot: String,
-      group: String, valueCol: String, cfg: BlockWriter.Config): Int = {
+      group: String, valueCol: String, cfg: BlockWriter.Config,
+      minName: String = null, maxName: String = null): Int = {
     val f0 = basis(mvRoot)
     val f1 = LakeTable.currentSnapshot(factRoot)
     if (f0 == f1) return f0
@@ -112,7 +117,9 @@ object MinMaxMv {
     val cur = state(
       s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
         .filter(col(group).isin(touched: _*)),
-      group, valueCol)
+      group, valueCol,
+      Option(minName).getOrElse(s"min_$valueCol"),
+      Option(maxName).getOrElse(s"max_$valueCol"))
     // align to the MANIFEST schema exactly (merge's unmapped-table
     // gate compares full schema JSON; a mask-applied read's column
     // order is join-shaped)
@@ -120,7 +127,13 @@ object MinMaxMv {
     import s.implicits._
     val touchedDf = touched.map(String.valueOf)
       .toDF(group).select(col(group).cast(stored(group).dataType))
-    val live = cur.to(stored).persist()
+    // createDataFrame re-stamps the frame with the EXACT stored
+    // schema (merge's unmapped gate compares full JSON incl.
+    // nullability; .to() will not relax a non-null column to the
+    // table's nullable one)
+    val live = s.createDataFrame(
+      cur.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd, stored)
+      .persist()
     try {
       if (live.isEmpty)
         // every touched group vanished: pure retirement commit

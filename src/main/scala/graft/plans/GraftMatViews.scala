@@ -40,8 +40,15 @@ object GraftMatViews {
     ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w.`]+)\\s+JOIN\\s+([\\w.`]+)" +
       "\\s+USING\\s*\\(\\s*([\\w`]+)\\s*\\)\\s+GROUP\\s+BY\\s+(.*?)\\s*;?\\s*$").r
 
+  /** Single-table shape → the MIN/MAX (group-targeted-recompute) MV. */
+  private val selectMinMaxRe =
+    ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w.`]+)" +
+      "\\s+GROUP\\s+BY\\s+(.*?)\\s*;?\\s*$").r
+
   private val countRe = "(?is)^COUNT\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val sumRe = "(?is)^SUM\\((.+)\\)\\s+AS\\s+(\\w+)$".r
+  private val minRe = "(?is)^MIN\\(\\s*([\\w`]+)\\s*\\)\\s+AS\\s+(\\w+)$".r
+  private val maxRe = "(?is)^MAX\\(\\s*([\\w`]+)\\s*\\)\\s+AS\\s+(\\w+)$".r
 
   private def unquote(s: String) = s.replace("`", "")
 
@@ -123,6 +130,48 @@ object GraftMatViews {
         .parseMultipartIdentifier(unquote(dimId))
       (MaterializedView.MvDef("", "", unquote(key), groupCols,
         sums.result(), select), factParts, dimParts)
+    case selectMinMaxRe(items, factId, groupBy) =>
+      // single-table MIN/MAX view — maintained by GROUP-TARGETED
+      // RECOMPUTE (graft.lake.MinMaxMv), the law non-distributive
+      // aggregates need under deletes
+      val groupCols = splitTop(groupBy).map(unquote)
+      if (groupCols.size != 1 || !groupCols.head.matches("\\w+"))
+        grammarError("MIN/MAX views group by exactly one plain column")
+      var sawCount = false
+      var minPart: Option[(String, String)] = None // (value, alias)
+      var maxPart: Option[(String, String)] = None
+      val bare = Seq.newBuilder[String]
+      splitTop(items).foreach {
+        case countRe(alias) =>
+          if (unquote(alias).toLowerCase != graft.lake.IncrementalJoinMv.CountCol)
+            grammarError("COUNT(*) must alias to '" +
+              graft.lake.IncrementalJoinMv.CountCol + s"', got '$alias'")
+          sawCount = true
+        case minRe(v, a) =>
+          if (minPart.nonEmpty) grammarError("one MIN measure only")
+          minPart = Some((unquote(v), unquote(a)))
+        case maxRe(v, a) =>
+          if (maxPart.nonEmpty) grammarError("one MAX measure only")
+          maxPart = Some((unquote(v), unquote(a)))
+        case item if unquote(item).matches("\\w+") =>
+          bare += unquote(item)
+        case item => grammarError(s"unsupported select item '$item' " +
+          "(single-table views support COUNT(*) AS n, MIN(col) AS m, MAX(col) AS x)")
+      }
+      if (!sawCount) grammarError("the select list must include COUNT(*) AS n")
+      if (bare.result() != groupCols)
+        grammarError("plain select columns must match GROUP BY")
+      (minPart, maxPart) match {
+        case (Some((vMin, aMin)), Some((vMax, aMax))) =>
+          if (vMin != vMax)
+            grammarError(s"MIN($vMin)/MAX($vMax) must aggregate the same column")
+          val factParts = spark.sessionState.sqlParser
+            .parseMultipartIdentifier(unquote(factId))
+          (MaterializedView.MvDef("", "", "", groupCols, Nil, select,
+            kind = "minmax", value = vMin, minName = aMin, maxName = aMax),
+            factParts, Nil)
+        case _ => grammarError("MIN/MAX views need BOTH a MIN and a MAX measure")
+      }
     case _ =>
       grammarError("defining query does not match the supported shape")
   }
@@ -161,7 +210,8 @@ final case class GraftCreateMatViewCommand(catalogName: String,
     require(outCols.contains(graft.lake.IncrementalJoinMv.CountCol),
       "defining query lost the structural count column")
     val d = d0.copy(fact = GraftMatViews.dirOf(spark, factParts),
-      dim = GraftMatViews.dirOf(spark, dimParts))
+      dim = if (dimParts.isEmpty) ""
+            else GraftMatViews.dirOf(spark, dimParts))
     val mvDir = cat.newTableDir(
       (ident.namespace() :+ ident.name()).mkString("."))
     MaterializedView.create(spark, mvDir, d): Unit

@@ -770,6 +770,56 @@ object Lake {
       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, wb""".stripMargin
 
+  // --- q_sql_mv_minmax: the SECOND MV kind through the same SQL
+  // front door — a single-table MIN/MAX view (`CREATE MATERIALIZED
+  // VIEW … AS SELECT g, COUNT(*) AS n, MIN(v) AS …, MAX(v) AS …
+  // FROM fact GROUP BY g`): the DDL compiler recognizes the shape
+  // and routes maintenance to the GROUP-TARGETED RECOMPUTE law
+  // (MinMaxMv — non-distributive aggregates can't fold signed
+  // deltas under deletes), while `CALL graft.system.refresh_mv`
+  // stays the ONE refresh verb for every MV kind. Stage 3 is the
+  // IVM-impossible case through pure SQL: `DELETE FROM fact` (a
+  // positional MoR commit) removes rows including group minima, and
+  // the refreshed view's mins must RISE.
+  def qSqlMvMinmax(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.mmf_$id"; val mv = s"graft.q.mmv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlmm")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlmm WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT event_type, COUNT(*) AS n,
+             |  MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.mmv_$id')")
+    s.sql(s"DELETE FROM $fact WHERE event_id % 5 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.mmv_$id')")
+    s.sql(s"""SELECT CAST(1 AS BIGINT) AS stage, event_type, n, min_vx100, max_vx100
+             |FROM $mv VERSION AS OF 1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), event_type, n, min_vx100, max_vx100
+             |FROM $mv VERSION AS OF 2
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), event_type, n, min_vx100, max_vx100
+             |FROM $mv VERSION AS OF 3
+             |ORDER BY stage, event_type""".stripMargin)
+  }
+
+  /** Identical staged semantics to the library-API twin — the oracle
+    * is shared verbatim.
+    */
+  def qSqlMvMinmaxSql: String = mvMinmaxRefreshSql
+
   // --- prune_scan_z3: 3-DIMENSIONAL declared z-order —
   // `PARTITIONED BY (zorder(ts, user_id, value))`. The N-dim morton
   // interleave of per-dim quantile buckets (operators/ZOrder,
@@ -3270,6 +3320,7 @@ object Lake {
     "prune_scan_z3" -> pruneScanZ3,
     "q_sql_view" -> qSqlView,
     "q_sql_mv" -> qSqlMv,
+    "q_sql_mv_minmax" -> qSqlMvMinmax,
     "q_sql_rtas" -> qSqlRtas,
     "lake_nested" -> lakeNested,
     "lake_constraint" -> lakeConstraint,
@@ -3338,6 +3389,7 @@ object Lake {
     "prune_scan_z3" -> pruneScanZ3Sql,
     "q_sql_view" -> qSqlViewSql,
     "q_sql_mv" -> qSqlMvSql,
+    "q_sql_mv_minmax" -> qSqlMvMinmaxSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
     "lake_constraint" -> lakeConstraintSql,

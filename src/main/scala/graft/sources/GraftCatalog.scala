@@ -1248,7 +1248,8 @@ private[sources] object GraftProcedures {
       Seq("table" -> StringType), "basis", StringType, (c, in) => {
         val (f, d) = graft.lake.MaterializedView.refresh(
           SparkSession.active, tbl(c, in))
-        s"fact=$f,dim=$d"
+        // single-table (min/max) MVs have no dimension basis
+        if (d == 0) s"fact=$f" else s"fact=$f,dim=$d"
       }),
     Def("clone", "zero-copy shallow clone into a new independent table",
       Seq("source" -> StringType, "dest" -> StringType), "snapshot", IntegerType,

@@ -1208,6 +1208,27 @@ class DsV2Spec extends AnyFunSuite {
       spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.mvf_$id')").collect()
     }
     assert(eNotMv.getMessage.contains("not a materialized view"))
+    // ---- second MV kind through the same front door: single-table
+    // MIN/MAX routes to the targeted-recompute law, one refresh verb
+    val mm = s"graft.psd.mm_$id"
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mm AS
+                 |SELECT k, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+                 |FROM $fact GROUP BY k""".stripMargin)
+    val r0 = spark.sql(s"SELECT lo, hi FROM $mm WHERE k = 'k0'").head()
+    assert((r0.getLong(0), r0.getLong(1)) === ((10L, 40L)))
+    spark.sql(s"INSERT INTO $fact VALUES (7, 'k0', 5)")
+    assert(spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.mm_$id')")
+      .head().getString(0) === "fact=4")
+    assert(spark.sql(s"SELECT lo FROM $mm WHERE k = 'k0'").head().getLong(0) === 5L)
+    val rb = spark.sql(s"SELECT basis_fact, basis_dim FROM $mm.mv").head()
+    assert((rb.getInt(0), rb.getInt(1)) === ((4, 0)))
+    val eMm = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.mmbad_$id AS
+                   |SELECT k, COUNT(*) AS n, MIN(x) AS lo
+                   |FROM $fact GROUP BY k""".stripMargin)
+    }
+    assert(eMm.getMessage.contains("BOTH a MIN and a MAX"))
+    spark.sql(s"DROP TABLE $mm")
     // MVs are tables: DROP TABLE tears the object down
     spark.sql(s"DROP TABLE $mv")
     intercept[Exception] { spark.sql(s"SELECT * FROM $mv").collect() }
