@@ -54,25 +54,22 @@ object IncrementalJoinMv {
   /** The (factSnap, dimSnap) basis the MV head reflects. The MoR
     * fold accrues delete-mask debt whose remedy is compaction — a
     * content-PRESERVING commit whose note is not a basis — so the
-    * basis is the newest `jmv-basis` note AT OR BELOW the head, not
-    * strictly the head's (maintenance between refreshes is normal;
-    * retention holes below the keep-point are tolerated).
+    * basis is the newest `jmv-basis` note the head's CONTENT
+    * reflects, not strictly the head's (maintenance between
+    * refreshes is normal; retention holes below the keep-point are
+    * tolerated). The walk is [[LakeTable.findContentNote]]: a
+    * rollback of the MV table jumps to the RESTORED snapshot, so the
+    * basis rolls back with the data instead of resolving to an
+    * abandoned newer note that would skip the in-between changes.
     */
   def basis(mvRoot: String): (Int, Int) = {
-    val head = LakeTable.currentSnapshot(mvRoot)
-    require(head > 0, s"$mvRoot has no MV state")
-    var i = head
-    while (i >= 1) {
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(mvRoot, "meta", s"manifest-$i.json")))
-        LakeTable.manifest(mvRoot, i).note match {
-          case noteRe(f, d) => return (f.toInt, d.toInt)
-          case _ => ()
-        }
-      i -= 1
-    }
-    sys.error(s"$mvRoot carries no jmv-basis note in its live chain — " +
-      "not a join MV (or its basis commits were expired)")
+    require(LakeTable.currentSnapshot(mvRoot) > 0, s"$mvRoot has no MV state")
+    LakeTable.findContentNote(mvRoot) {
+      case noteRe(f, d) => Some((f.toInt, d.toInt))
+      case _ => None
+    }.getOrElse(sys.error(
+      s"$mvRoot carries no jmv-basis note in its live chain — " +
+        "not a join MV (or its basis commits were expired)"))
   }
 
   private def joined(fact: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -43,13 +43,27 @@ object IncrementalMv {
     note match { case m(n, _) => Some(n.toInt); case _ => None }
   }
 
-  /** The basis snapshot the MV head reflects (fails on a non-MV table). */
+  /** The basis snapshot the MV head reflects (fails on a non-MV
+    * table). Resolved with [[LakeTable.findContentNote]]: content-
+    * preserving maintenance (compaction, rewrite-manifests) may stamp
+    * its own notes above the refresh commit, and a rollback of the MV
+    * table jumps the walk to the RESTORED snapshot so the basis rolls
+    * back with the data.
+    */
   def basis(mvRoot: String): Int = {
-    val head = LakeTable.currentSnapshot(mvRoot)
-    require(head > 0, s"$mvRoot has no MV state")
-    basisOf(LakeTable.manifest(mvRoot, head).note)
-      .getOrElse(sys.error(s"$mvRoot head commit carries no mv-basis note"))
+    require(LakeTable.currentSnapshot(mvRoot) > 0, s"$mvRoot has no MV state")
+    LakeTable.findContentNote(mvRoot)(basisOf).getOrElse(
+      sys.error(s"$mvRoot carries no mv-basis note in its live chain"))
   }
+
+  /** The maintenance MODE of the newest refresh the head reflects
+    * (`incr` / `full`) — surfaced in the `t.mv` metadata row.
+    */
+  def mode(mvRoot: String): String =
+    LakeTable.findContentNote(mvRoot) { note =>
+      val m = "^mv-basis-(\\d+)-(incr|full)$".r
+      note match { case m(_, md) => Some(md); case _ => None }
+    }.getOrElse("?")
 
   private def state(spark: SparkSession, base: DataFrame,
       group: Seq[String], aggs: Seq[Agg]): DataFrame =

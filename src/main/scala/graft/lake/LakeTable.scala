@@ -1155,16 +1155,20 @@ object LakeTable {
     * across the change (parts are untouched — their stats stay keyed
     * by physical name, which rename/drop never alters).
     */
-  /** The avro data plane is STRICT about schema (the container codec
-    * binds fields by index against the file's writer schema, and the
-    * reference's writer never evolves) — every evolution verb must
-    * reject a table whose live snapshot holds avro files, or a
-    * metadata-only evolution would silently mis-bind decoded columns.
+  /** The avro read path resolves columns BY NAME against each file's
+    * writer schema (AvroPlane.readFile — additive evolution rides
+    * that), which is exactly why the NON-additive verbs must reject a
+    * table whose live snapshot holds avro files: after a RENAME the
+    * old containers would silently null-fill the new name (their
+    * writer schemas only know the old one), and drop/widen have no
+    * per-file resolution rule at all — only a parquet rewrite
+    * re-binds the data to the new shape.
     */
   private def requireNoAvro(pm: Manifest, root: String, verb: String): Unit =
     require(!pm.files.exists(_.path.endsWith(".avro")),
-      s"$verb on $root: the avro data plane is schema-strict (container " +
-        "fields bind by index) — migrate to parquet with a rewrite first")
+      s"$verb on $root: avro containers resolve columns by writer-schema " +
+        "name, so rename/drop/widen cannot re-bind existing files — " +
+        "migrate to parquet with a rewrite first")
 
   private def alterSchema(root: String,
       f: (Manifest, StructType) => StructType, note: String,
@@ -2962,6 +2966,38 @@ object LakeTable {
         (head, upd)
       }
     })._2
+  }
+
+  private val rollbackNoteRe = "^rollback-(\\d+)$".r
+
+  /** Walk the manifest notes downward from the head FOLLOWING WHAT
+    * THE HEAD'S CONTENT REFLECTS, and return the first note `extract`
+    * accepts. A `rollback-N` commit re-references snapshot N's files,
+    * so the walk JUMPS to N — the numerically-adjacent manifests
+    * below a rollback belong to the abandoned newer line, and their
+    * notes describe content the head no longer holds (an MV basis
+    * found there would silently skip the rolled-back changes on the
+    * next refresh). A `truncate` ends the walk: nothing below it is
+    * in the view. Plain content-preserving maintenance commits
+    * (compaction, rewrite-manifests) and retention holes are stepped
+    * over numerically, the pre-existing convention.
+    */
+  def findContentNote[T](root: String)(extract: String => Option[T]): Option[T] = {
+    var i = currentSnapshot(root)
+    while (i >= 1) {
+      if (Files.exists(Paths.get(root, "meta", s"manifest-$i.json"))) {
+        val note = manifest(root, i).note
+        extract(note) match {
+          case some @ Some(_) => return some
+          case None => note match {
+            case rollbackNoteRe(n) => i = n.toInt
+            case "truncate" => return None
+            case _ => i -= 1
+          }
+        }
+      } else i -= 1
+    }
+    None
   }
 
   def manifest(root: String, snap: Int): Manifest = {

@@ -38,25 +38,20 @@ object MinMaxMv {
   private val noteRe = "^mmv-basis-(\\d+)$".r
 
   /** The fact snapshot the MV head reflects — the newest `mmv-basis`
-    * note AT OR BELOW the head (compaction and other content-
+    * note the head's CONTENT reflects (compaction and other content-
     * preserving maintenance stamp their own notes above it; retention
-    * holes below the keep-point are tolerated).
+    * holes below the keep-point are tolerated). The walk is
+    * [[LakeTable.findContentNote]]: a rollback of the MV table jumps
+    * to the RESTORED snapshot so the basis rolls back with the data.
     */
   def basis(mvRoot: String): Int = {
-    val head = LakeTable.currentSnapshot(mvRoot)
-    require(head > 0, s"$mvRoot has no MV state")
-    var i = head
-    while (i >= 1) {
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(mvRoot, "meta", s"manifest-$i.json")))
-        LakeTable.manifest(mvRoot, i).note match {
-          case noteRe(f) => return f.toInt
-          case _ => ()
-        }
-      i -= 1
-    }
-    sys.error(s"$mvRoot carries no mmv-basis note in its live chain — " +
-      "not a min/max MV (or its basis commits were expired)")
+    require(LakeTable.currentSnapshot(mvRoot) > 0, s"$mvRoot has no MV state")
+    LakeTable.findContentNote(mvRoot) {
+      case noteRe(f) => Some(f.toInt)
+      case _ => None
+    }.getOrElse(sys.error(
+      s"$mvRoot carries no mmv-basis note in its live chain — " +
+        "not a min/max MV (or its basis commits were expired)"))
   }
 
   private def state(df: DataFrame, group: String, valueCol: String,

@@ -63,9 +63,10 @@ object CdcApply {
     * falls back to the cached full note set — correct, one-time
     * cost).
     */
-  private def readWatermark(mirrorRoot: String): (Int, Int, Int, Set[Int]) = {
+  private def readWatermark(mirrorRoot: String)
+      : (Int, Int, Int, Set[Int], Boolean) = {
     val p = wmFile(mirrorRoot)
-    if (!java.nio.file.Files.exists(p)) (0, 0, 0, Set.empty)
+    if (!java.nio.file.Files.exists(p)) (0, 0, 0, Set.empty, false)
     else {
       val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       def field(name: String): Option[String] =
@@ -78,7 +79,11 @@ object CdcApply {
         .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
           .map(_.toInt).toSet)
         .getOrElse(Set.empty[Int])
-      (s0, h0, ph, empty)
+      // a PRE-`empty`-ERA watermark cannot distinguish a correctly-
+      // applied zero-commit snapshot from out-of-order delivery — the
+      // validation must not hard-fail a crash-replayed legacy batch
+      val legacy = !body.contains("\"empty\"") && !body.contains("\"prev_head\"")
+      (s0, h0, ph, empty, legacy)
     }
   }
 
@@ -122,7 +127,7 @@ object CdcApply {
       // watermark + tail marks, read ONCE per batch; commits made
       // below are appended to the local set, never re-read from
       // manifests — O(batch) metadata IO however old the mirror is
-      val (wm, wmHead, prevHead, knownEmpty) = readWatermark(mirrorRoot)
+      val (wm, wmHead, prevHead, knownEmpty, legacyWm) = readWatermark(mirrorRoot)
       // tail marks cover (prev_head, head]: this batch's dedupe range
       // PLUS the previous batch's marks, so a crash-replayed batch
       // (the common at-least-once path) validates without touching
@@ -139,6 +144,7 @@ object CdcApply {
       // leaves no mark to find). An out-of-order or re-seeded
       // consumer replaying a range the mirror never applied fails
       // POINTEDLY here rather than silently diverging.
+      val emptyApplied = scala.collection.mutable.Set.empty[Int]
       val skipped = allSnaps.filter(_ <= wm)
       if (skipped.nonEmpty) {
         lazy val allNotes = LakeTable.manifestNotes(mirrorRoot)
@@ -147,14 +153,22 @@ object CdcApply {
           knownEmpty.contains(sn) ||
             marks.exists(seen.contains) || marks.exists(allNotes.contains)
         }
-        require(unapplied.isEmpty,
+        // A LEGACY (pre-`empty`-list) watermark cannot vouch for a
+        // zero-commit application: a delete-only snapshot correctly
+        // applied to an empty mirror pre-upgrade left neither a cdc
+        // mark nor an `empty` entry, so hard-failing would brick its
+        // crash-replay. Adopt mark-less skipped snapshots into the
+        // empty ledger instead — a ONE-TIME migration exemption made
+        // durable (the watermark below writes new-format, so every
+        // later batch validates strictly against the adopted list).
+        if (legacyWm) unapplied.foreach(sn => { emptyApplied += sn: Unit })
+        else require(unapplied.isEmpty,
           s"cdc apply: batch carries upstream snapshot(s) " +
             s"${unapplied.mkString(", ")} at-or-below the applied " +
             s"watermark $wm of $mirrorRoot, but no cdc mark for them " +
             "exists in the mirror ledger — out-of-order or re-seeded " +
             "delivery would silently diverge the mirror")
       }
-      val emptyApplied = scala.collection.mutable.Set.empty[Int]
       snaps.foreach { sn =>
         val delMark = s"cdc:$sn:delete"; val upsMark = s"cdc:$sn:upsert"
         val before = commits

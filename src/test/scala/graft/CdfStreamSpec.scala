@@ -235,6 +235,52 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(LakeTable.read(s, mir).count() === 1L)
   }
 
+  test("CdcApply legacy watermark (pre-empty-list format): a crash-replayed pre-upgrade batch is exempt, then validation is strict again") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.CdcApply
+    val up = graft.util.Scratch.dir("graft_cdcleg_up_")
+    val mir = graft.util.Scratch.dir("graft_cdcleg_mir_")
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 8)
+    LakeTable.commit(s, up,
+      (1L to 8L).map(i => (i, i % 2, i * 1.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    LakeTable.deleteWhere(s, up, "id", Seq(2L, 4L).toDF("id"))
+    LakeTable.merge(s, up, "id", Seq((5L, 1L, 500.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    // seed mid-stream: delete-only snapshot 2 onto an EMPTY mirror
+    val b2 = LakeTable.changelogRead(s, up, 1, 2)
+    assert(CdcApply.applyBatch(s, mir, b2, "id", cfg, Seq("id")) === 0)
+    // simulate a PRE-UPGRADE watermark: same snap/head, but neither
+    // the `empty` list nor `prev_head` exist in the legacy format —
+    // the applied zero-commit snapshot left no trace anywhere
+    val wmPath = java.nio.file.Paths.get(mir, "meta", "_cdc_watermark.json")
+    val body = new String(java.nio.file.Files.readAllBytes(wmPath), "UTF-8")
+    val snap = """"snap"\s*:\s*(\d+)""".r.findFirstMatchIn(body).get.group(1)
+    val head = """"mirror_head"\s*:\s*(\d+)""".r.findFirstMatchIn(body).get.group(1)
+    java.nio.file.Files.write(wmPath,
+      s"""{"snap":$snap,"mirror_head":$head}""".getBytes("UTF-8"))
+    // crash-replay of the pre-upgrade batch must NOT brick (no mark,
+    // no empty list — the legacy exemption adopts it) …
+    assert(CdcApply.applyBatch(s, mir, b2, "id", cfg, Seq("id")) === 0)
+    // … and the adoption is DURABLE: the rewritten watermark is
+    // new-format with snapshot 2 in the empty ledger, so a second
+    // replay passes the now-strict validation from the ledger itself
+    assert(new String(java.nio.file.Files.readAllBytes(wmPath), "UTF-8")
+      .contains("\"empty\":[2]"))
+    assert(CdcApply.applyBatch(s, mir, b2, "id", cfg, Seq("id")) === 0)
+    // strict validation resumes for everything not adopted
+    assert(CdcApply.applyBatch(s, mir,
+      LakeTable.changelogRead(s, up, 2, 3), "id", cfg, Seq("id")) === 1)
+    val e = intercept[IllegalArgumentException] {
+      // snapshot 1 was never applied to this mirror (seeded at 1) —
+      // replaying it below the watermark must still be rejected
+      CdcApply.applyBatch(s, mir,
+        LakeTable.changelogRead(s, up, 0, 1), "id", cfg, Seq("id"))
+    }
+    assert(e.getMessage.contains("watermark"), e.getMessage)
+  }
+
   test("changeFeed past retention fails pointedly, naming the expired snapshots") {
     val s = spark
     import s.implicits._

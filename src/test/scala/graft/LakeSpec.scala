@@ -1439,6 +1439,65 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(mv)
   }
 
+  test("MV basis FOLLOWS a rollback of the MV table: the next refresh folds from the restored basis, not an abandoned newer note") {
+    import graft.lake.{IncrementalJoinMv, MinMaxMv}
+    val s = spark
+    import s.implicits._
+    // ---- join MV: create (basis (1,1)) → append+refresh (basis
+    // (2,1)) → rollback the MV to snap 1. The numerically-next
+    // manifest below the rollback still carries jmv-basis-2-1; a
+    // numeric walk would return it and the next refresh would
+    // silently skip fact snap 2's rows forever.
+    val fact = graft.util.Scratch.dir("graft_rbmv_f_")
+    val dim = graft.util.Scratch.dir("graft_rbmv_d_")
+    val mv = graft.util.Scratch.dir("graft_rbmv_m_")
+    val fCfg = BlockWriter.Config("k", "id", maxRecordsPerFile = 64)
+    val dCfg = BlockWriter.Config("k", "k", maxRecordsPerFile = 64)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 64)
+    def factRows(ids: Seq[Long]) =
+      ids.map(i => (i, s"k${i % 4}", i * 10L)).toDF("id", "k", "x")
+    LakeTable.commit(s, fact, factRows(1L to 20L), fCfg, Seq("id"))
+    LakeTable.commit(s, dim,
+      Seq(("k0", "a"), ("k1", "a"), ("k2", "b"), ("k3", "b")).toDF("k", "g"),
+      dCfg, Seq("k"))
+    val aggs = Seq(IncrementalJoinMv.sumAgg("sx", col("x")))
+    IncrementalJoinMv.create(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    LakeTable.commit(s, fact, factRows(21L to 30L), fCfg, Seq("id"))
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    assert(IncrementalJoinMv.basis(mv) === ((2, 1)))
+    LakeTable.rollback(mv, 1)
+    assert(IncrementalJoinMv.basis(mv) === ((1, 1)),
+      "basis must roll back WITH the data (follow the rollback target)")
+    IncrementalJoinMv.refresh(s, fact, dim, mv, "k", Seq("g"), aggs, mCfg)
+    val recompute = LakeTable.read(s, fact).join(LakeTable.read(s, dim), "k")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val folded = LakeTable.read(s, mv).select(col("g"), col("n"), col("sx"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(folded === recompute,
+      "refresh after rollback must re-fold the rolled-back changes")
+    // rollback of the rollback restores the newer basis line
+    LakeTable.rollback(mv, 2)
+    assert(IncrementalJoinMv.basis(mv) === ((2, 1)))
+    // ---- min/max MV: same law, single-basis note
+    val f2 = graft.util.Scratch.dir("graft_rbmm_f_")
+    val m2 = graft.util.Scratch.dir("graft_rbmm_m_")
+    def gRows(ids: Seq[Long]) = ids.map(i => (i, s"k${i % 2}", i * 10L)).toDF("id", "g", "x")
+    LakeTable.commit(s, f2, gRows(1L to 8L), BlockWriter.Config("g", "id"), Seq("id", "g"))
+    MinMaxMv.create(s, f2, m2, "g", "x", mCfg)
+    LakeTable.commit(s, f2, gRows(9L to 12L), BlockWriter.Config("g", "id"), Seq("id", "g"))
+    MinMaxMv.refresh(s, f2, m2, "g", "x", mCfg)
+    assert(MinMaxMv.basis(m2) === 2)
+    LakeTable.rollback(m2, 1)
+    assert(MinMaxMv.basis(m2) === 1, "min/max basis must follow the rollback")
+    MinMaxMv.refresh(s, f2, m2, "g", "x", mCfg)
+    val mm = LakeTable.read(s, m2).select(col("g"), col("max_x"))
+      .as[(String, Long)].collect().toMap
+    assert(mm === Map("k0" -> 120L, "k1" -> 110L),
+      "post-rollback refresh must land on the fact head recompute")
+    Seq(fact, dim, mv, f2, m2).foreach(graft.util.Scratch.rmNow)
+  }
+
   test("rewrite_manifests folds the part chain to one; history/incremental/changelog stay exact") {
     val root = graft.util.Scratch.dir("graft_mfc_spec_")
     val ev = graft.sources.Tables.load(spark, sf, "events")
