@@ -49,15 +49,22 @@ object AutoMaintain {
     */
   val AutoParallelismKey = "graft.autocompact.parallelism"
 
+  /** Touched-group cap for targeted MV refreshes ([[MinMaxMv]]):
+    * past it a refresh recomputes the whole view instead of driver-
+    * collecting the Δ-group IN list.
+    */
+  val MvMaxGroupsKey = "graft.mvrefresh.maxgroups"
+
   private def policyPath(root: String) = Paths.get(root, "meta", "_policy.json")
 
   def setPolicy(root: String, key: String, value: Long): Unit = {
     require(key == AutoCompactKey || key == AutoManifestKey ||
-      key == AutoParallelismKey,
+      key == AutoParallelismKey || key == MvMaxGroupsKey,
       s"unknown maintenance policy '$key'")
     // thresholds below 2 would fire on every commit; a fan-out of 1
-    // (compact into ONE file) is a legitimate target, though
-    val floor = if (key == AutoParallelismKey) 1 else 2
+    // (compact into ONE file) and a 1-group refresh cap are
+    // legitimate targets, though
+    val floor = if (key == AutoParallelismKey || key == MvMaxGroupsKey) 1 else 2
     require(value >= floor, s"$key must be ≥ $floor (got $value)")
     write(root, policies(root) + (key -> value))
   }

@@ -71,12 +71,24 @@ object IncrementalMv {
       .agg(aggs.head.delta.as(aggs.head.name),
         aggs.tail.map(a => a.delta.as(a.name)): _*)
 
+  /** Append DERIVED read-time columns (e.g. AVG = SUM / COUNT) to a
+    * folded state: they are plain projections over the stored
+    * aggregates, carried in the MV's files so `SELECT * FROM mv` is a
+    * flat table read — but NEVER folded (refresh recomputes them from
+    * the re-folded aggregates, so they need no maintenance law).
+    */
+  private def withDerived(df: DataFrame,
+      derived: Seq[(String, Column)]): DataFrame =
+    derived.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
   /** Materialize the MV from the base head; returns the MV snapshot. */
   def create(spark: SparkSession, baseRoot: String, mvRoot: String,
-      group: Seq[String], aggs: Seq[Agg], cfg: BlockWriter.Config): Int = {
+      group: Seq[String], aggs: Seq[Agg], cfg: BlockWriter.Config,
+      derived: Seq[(String, Column)] = Nil): Int = {
     val baseHead = LakeTable.currentSnapshot(baseRoot)
-    LakeTable.commit(spark,
-      mvRoot, state(spark, LakeTable.read(spark, baseRoot, Some(baseHead)), group, aggs),
+    LakeTable.commit(spark, mvRoot,
+      withDerived(state(spark,
+        LakeTable.read(spark, baseRoot, Some(baseHead)), group, aggs), derived),
       cfg, group, note = s"mv-basis-$baseHead-full")
   }
 
@@ -97,7 +109,8 @@ object IncrementalMv {
     * Incremental when the range is append-only, full otherwise.
     */
   def refresh(spark: SparkSession, baseRoot: String, mvRoot: String,
-      group: Seq[String], aggs: Seq[Agg], cfg: BlockWriter.Config): Int = {
+      group: Seq[String], aggs: Seq[Agg], cfg: BlockWriter.Config,
+      derived: Seq[(String, Column)] = Nil): Int = {
     val from = basis(mvRoot)
     val baseHead = LakeTable.currentSnapshot(baseRoot)
     if (baseHead == from) return from
@@ -107,14 +120,18 @@ object IncrementalMv {
       else {
         val delta = state(spark,
           LakeTable.incrementalRead(spark, baseRoot, from, baseHead), group, aggs)
-        LakeTable.read(spark, mvRoot).unionByName(delta)
+        // fold over the STORED aggregates only — derived read-time
+        // columns are projections, recomputed below, never folded
+        LakeTable.read(spark, mvRoot)
+          .select((group ++ aggs.map(_.name)).map(col): _*)
+          .unionByName(delta)
           .groupBy(group.map(col): _*)
           .agg(aggs.head.fold(col(aggs.head.name)).as(aggs.head.name),
             aggs.tail.map(a => a.fold(col(a.name)).as(a.name)): _*)
       }
     // the basis stamp rides the state commit itself — atomic: a
     // reader never sees new state with an old basis or vice versa
-    LakeTable.rewrite(spark, mvRoot, next, cfg, group,
+    LakeTable.rewrite(spark, mvRoot, withDerived(next, derived), cfg, group,
       note = s"mv-basis-$baseHead-${if (incr) "incr" else "full"}")
     baseHead
   }

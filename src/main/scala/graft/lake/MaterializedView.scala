@@ -32,13 +32,23 @@ import graft.writer.BlockWriter
 object MaterializedView {
 
   /** A stored MV definition. `sums` are (measure name, SUM-argument
-    * SQL) pairs — the signed-distributive grammar the delta-join law
-    * maintains; the structural count is always the `n` column.
+    * SQL) pairs and `avgs` (measure name, AVG-argument SQL) pairs;
+    * the structural count is always the `n` column. Three kinds:
+    *  - `join`   — fact ⋈ dim rollup, delta-join law
+    *    ([[IncrementalJoinMv]]); sums fold signed.
+    *  - `single` — single-table COUNT/SUM rollup, append-only
+    *    incremental fold with full-recompute fallback
+    *    ([[IncrementalMv]]); each AVG is a DERIVED read-time column
+    *    over a stored SUM with the same argument (grammar-enforced).
+    *  - `minmax` — single-table MIN/MAX (+ any extra measures),
+    *    group-targeted recompute ([[MinMaxMv]]); sums/avgs recompute
+    *    alongside exactly.
     */
   final case class MvDef(fact: String, dim: String, key: String,
       group: Seq[String], sums: Seq[(String, String)], sql: String,
       kind: String = "join", value: String = "",
-      minName: String = "", maxName: String = "")
+      minName: String = "", maxName: String = "",
+      avgs: Seq[(String, String)] = Nil)
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -57,6 +67,10 @@ object MaterializedView {
     n.put("sql", d.sql)
     n.put("kind", d.kind); n.put("value", d.value)
     n.put("min_name", d.minName); n.put("max_name", d.maxName)
+    val av = n.putArray("avgs")
+    d.avgs.foreach { case (name, e) =>
+      val o = av.addObject(); o.put("name", name); o.put("expr", e): Unit
+    }
     Files.createDirectories(defPath(mvDir).getParent)
     // atomic publish: a crash mid-write must not leave truncated JSON
     // that bricks every later refresh_mv / metadata read
@@ -72,21 +86,53 @@ object MaterializedView {
       s"$mvDir is not a materialized view (no meta/_mv.json definition); " +
         "only tables created by CREATE MATERIALIZED VIEW can be refreshed")
     val n = mapper.readTree(Files.readString(defPath(mvDir)))
-    def arr(name: String) = {
-      val it = n.get(name).elements()
+    def arr(name: String) = Option(n.get(name)).map { node =>
+      val it = node.elements()
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
-    }
+    }.getOrElse(Seq.empty)
     def opt(name: String) = Option(n.get(name)).map(_.asText()).getOrElse("")
     MvDef(n.get("fact").asText(), n.get("dim").asText(), n.get("key").asText(),
       arr("group").map(_.asText()),
       arr("sums").map(o => (o.get("name").asText(), o.get("expr").asText())),
       n.get("sql").asText(),
       kind = Option(n.get("kind")).map(_.asText()).getOrElse("join"),
-      value = opt("value"), minName = opt("min_name"), maxName = opt("max_name"))
+      value = opt("value"), minName = opt("min_name"), maxName = opt("max_name"),
+      avgs = arr("avgs").map(o => (o.get("name").asText(), o.get("expr").asText())))
   }
 
   private def aggsOf(d: MvDef): Seq[IncrementalJoinMv.Agg] =
     d.sums.map { case (name, e) => IncrementalJoinMv.sumAgg(name, expr(e)) }
+
+  /** `single` kind: the structural count + bigint SUM measures as
+    * [[IncrementalMv]] fold specs (sum-of-sums / sum-of-counts).
+    */
+  private def singleAggs(d: MvDef): Seq[IncrementalMv.Agg] =
+    IncrementalMv.Agg(IncrementalJoinMv.CountCol,
+      count(lit(1)).cast("bigint"), c => sum(c).cast("bigint")) +:
+      d.sums.map { case (name, e) =>
+        IncrementalMv.Agg(name, sum(expr(e)).cast("bigint"),
+          c => sum(c).cast("bigint"))
+      }
+
+  /** `single` kind AVG sugar: each AVG is a derived READ-TIME column
+    * over the same-argument stored SUM (grammar guarantees it exists)
+    * — recomputed after every fold, never itself folded.
+    */
+  private def singleDerived(d: MvDef): Seq[(String, org.apache.spark.sql.Column)] =
+    d.avgs.map { case (aName, aExpr) =>
+      val sName = d.sums.find(_._2.trim == aExpr.trim).map(_._1).getOrElse(
+        sys.error(s"AVG($aExpr) without a same-argument stored SUM — " +
+          "the DDL grammar should have rejected this definition"))
+      (aName, col(sName).cast("double") / col(IncrementalJoinMv.CountCol))
+    }
+
+  /** `minmax` kind: extra measures recompute alongside MIN/MAX for
+    * touched groups — SUMs bigint (the grammar's integer-exactness
+    * convention), AVGs exact-by-recompute doubles.
+    */
+  private def minmaxExtras(d: MvDef): Seq[(String, org.apache.spark.sql.Column)] =
+    d.sums.map { case (n0, e) => (n0, sum(expr(e)).cast("bigint")) } ++
+      d.avgs.map { case (n0, e) => (n0, avg(expr(e))) }
 
   private def cfgOf(d: MvDef): BlockWriter.Config =
     BlockWriter.Config(d.group.head, d.group.head, maxRecordsPerFile = 1 << 20)
@@ -103,7 +149,10 @@ object MaterializedView {
     try {
       if (d.kind == "minmax")
         MinMaxMv.create(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
-          d.minName, d.maxName)
+          d.minName, d.maxName, extras = minmaxExtras(d))
+      else if (d.kind == "single")
+        IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
+          cfgOf(d), derived = singleDerived(d))
       else IncrementalJoinMv.create(s, d.fact, d.dim, mvDir, d.key,
         d.group, aggsOf(d), cfgOf(d))
     }
@@ -127,7 +176,10 @@ object MaterializedView {
     val d = readDef(mvDir)
     if (d.kind == "minmax")
       (MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
-        d.minName, d.maxName), 0)
+        d.minName, d.maxName, extras = minmaxExtras(d)), 0)
+    else if (d.kind == "single")
+      (IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
+        cfgOf(d), derived = singleDerived(d)), 0)
     else IncrementalJoinMv.refresh(s, d.fact, d.dim, mvDir, d.key, d.group,
       aggsOf(d), cfgOf(d))
   }
@@ -137,17 +189,31 @@ object MaterializedView {
     */
   def statusDf(s: SparkSession, mvDir: String): DataFrame = {
     val d = readDef(mvDir)
-    val (bf, bd) =
-      if (d.kind == "minmax") (MinMaxMv.basis(mvDir), 0)
-      else IncrementalJoinMv.basis(mvDir)
-    val measures =
-      if (d.kind == "minmax")
-        s"${d.minName}=min(${d.value}); ${d.maxName}=max(${d.value})"
-      else d.sums.map(x => s"${x._1}=sum(${x._2})").mkString("; ")
+    val (bf, bd) = d.kind match {
+      case "minmax" => (MinMaxMv.basis(mvDir), 0)
+      case "single" => (IncrementalMv.basis(mvDir), 0)
+      case _ => IncrementalJoinMv.basis(mvDir)
+    }
+    // the maintenance MODE the head reflects: `incr`/`full` for the
+    // single kind, `targeted`/`full` for minmax, `delta` (always the
+    // delta-join fold) for the join kind
+    val mode = d.kind match {
+      case "minmax" => MinMaxMv.mode(mvDir)
+      case "single" => IncrementalMv.mode(mvDir)
+      case _ => "delta"
+    }
+    val sumS = d.sums.map(x => s"${x._1}=sum(${x._2})")
+    val avgS = d.avgs.map(x => s"${x._1}=avg(${x._2})")
+    val measures = (d.kind match {
+      case "minmax" =>
+        Seq(s"${d.minName}=min(${d.value})", s"${d.maxName}=max(${d.value})") ++
+          sumS ++ avgS
+      case _ => sumS ++ avgS
+    }).mkString("; ")
     import s.implicits._
     Seq((d.fact, d.dim, d.key, d.group.mkString(","), measures,
-      bf, bd, LakeTable.currentSnapshot(mvDir)))
+      bf, bd, LakeTable.currentSnapshot(mvDir), mode))
       .toDF("fact", "dim", "key", "group_cols", "measures",
-        "basis_fact", "basis_dim", "snapshot")
+        "basis_fact", "basis_dim", "snapshot", "mode")
   }
 }

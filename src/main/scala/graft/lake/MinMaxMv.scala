@@ -1,41 +1,62 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.writer.BlockWriter
 
-/** MIN/MAX materialized views — incremental maintenance BEYOND the
-  * signed-distributive family. COUNT/SUM fold algebraically under
-  * deletes ([[IncrementalJoinMv]]'s counting algorithm); MIN/MAX do
-  * NOT: deleting a group's current minimum needs the group's other
-  * rows to answer "what's the new min" — no signed delta can say.
-  * The classic warehouse answer (and this one) is GROUP-TARGETED
-  * RECOMPUTE:
+/** MIN/MAX (and general non-distributive) materialized views —
+  * incremental maintenance BEYOND the signed-distributive family.
+  * COUNT/SUM fold algebraically under deletes ([[IncrementalJoinMv]]'s
+  * counting algorithm); MIN/MAX do NOT: deleting a group's current
+  * minimum needs the group's other rows to answer "what's the new
+  * min" — no signed delta can say. The classic warehouse answer (and
+  * this one) is GROUP-TARGETED RECOMPUTE:
   *
   *  1. the lake's change feed names exactly the groups a refresh
   *     touched (insert rows AND delete pre-images carry the group
   *     key) — |Δ groups| values, collected driver-side like every
-  *     other metadata-scale set;
-  *  2. those groups recompute FROM THE FACT HEAD through the DSv2
-  *     scan with an IN filter — manifest stat pruning keeps the read
-  *     to files whose [min, max] group extents intersect the touched
-  *     set, so a fact table clustered by the group key reads ONLY
-  *     the touched groups' files (spec-pinned by physically hiding
-  *     every untouched-group file during a refresh);
+  *     other metadata-scale set, but only AFTER a cardinality gate:
+  *     past `graft.mvrefresh.maxgroups` (table policy, default
+  *     10 000) the refresh falls back to ONE full-view recompute
+  *     commit instead of an unbounded driver list + giant IN filter
+  *     (a bulk backfill or dimension-scale delete can touch millions
+  *     of groups — at that cardinality the full recompute is also
+  *     the cheaper plan);
+  *  2. under the cap, those groups recompute FROM THE FACT HEAD
+  *     through the DSv2 scan with an IN filter — manifest stat
+  *     pruning keeps the read to files whose [min, max] group
+  *     extents intersect the touched set, so a fact table clustered
+  *     by the group key reads ONLY the touched groups' files
+  *     (spec-pinned by physically hiding every untouched-group file
+  *     during a refresh);
   *  3. the fold lands as ONE MoR MERGE commit — recomputed groups
   *     re-land, groups that vanished retire via the same commit's
   *     equality-delete mask, untouched groups' MV files stay
   *     byte-identical ([[LakeTable.merge]]'s extraDeleteKeys shape).
   *
+  * Because maintenance is RECOMPUTE (not algebra), ANY per-group
+  * aggregate rides along exactly: `extras` carries additional
+  * measures (SUM, AVG, …) recomputed with the min/max for touched
+  * groups — the profile view `g, COUNT(*), SUM(v), MIN(v), MAX(v),
+  * AVG(v)` is ONE view here, no second maintenance law needed.
+  *
   * Cost at 100 TB: O(Δ groups × files-per-group) read, O(Δ groups)
   * write — against the O(|fact|) full recompute a non-distributive
-  * aggregate otherwise forces. The (fact) basis rides the MV head
-  * commit's note (`mmv-basis-<f>`), atomic with the data.
+  * aggregate otherwise forces; past the cap, exactly that recompute,
+  * once, by choice. The (fact) basis rides the MV head commit's note
+  * (`mmv-basis-<f>[-full]`), atomic with the data.
   */
 object MinMaxMv {
 
-  private val noteRe = "^mmv-basis-(\\d+)$".r
+  private val noteRe = "^mmv-basis-(\\d+)(?:-(full|targeted))?$".r
+
+  /** Past this many touched groups a refresh recomputes the whole
+    * view instead of driver-collecting an IN list — overridable per
+    * table via the `graft.mvrefresh.maxgroups` policy.
+    */
+  val DefaultMaxGroups = 10000L
 
   /** The fact snapshot the MV head reflects — the newest `mmv-basis`
     * note the head's CONTENT reflects (compaction and other content-
@@ -47,97 +68,144 @@ object MinMaxMv {
   def basis(mvRoot: String): Int = {
     require(LakeTable.currentSnapshot(mvRoot) > 0, s"$mvRoot has no MV state")
     LakeTable.findContentNote(mvRoot) {
-      case noteRe(f) => Some(f.toInt)
+      case noteRe(f, _) => Some(f.toInt)
       case _ => None
     }.getOrElse(sys.error(
       s"$mvRoot carries no mmv-basis note in its live chain — " +
         "not a min/max MV (or its basis commits were expired)"))
   }
 
+  /** The maintenance mode of the newest refresh the head reflects
+    * (`targeted` — the Δ-group fold — or `full`, the over-cap or
+    * CREATE recompute).
+    */
+  def mode(mvRoot: String): String =
+    LakeTable.findContentNote(mvRoot) {
+      case noteRe(_, m) => Some(Option(m).getOrElse("targeted"))
+      case _ => None
+    }.getOrElse("?")
+
   private def state(df: DataFrame, group: String, valueCol: String,
-      minName: String, maxName: String): DataFrame =
+      minName: String, maxName: String,
+      extras: Seq[(String, Column)]): DataFrame =
     df.groupBy(col(group))
       .agg(count(lit(1)).as("n"),
-        min(col(valueCol)).as(minName),
-        max(col(valueCol)).as(maxName))
+        min(col(valueCol)).as(minName) +:
+          max(col(valueCol)).as(maxName) +:
+          extras.map { case (n, c) => c.as(n) }: _*)
 
   /** Materialize from the fact head; returns the MV snapshot. */
   def create(s: SparkSession, factRoot: String, mvRoot: String,
       group: String, valueCol: String, cfg: BlockWriter.Config,
-      minName: String = null, maxName: String = null): Int = {
+      minName: String = null, maxName: String = null,
+      extras: Seq[(String, Column)] = Nil): Int = {
     val f = LakeTable.currentSnapshot(factRoot)
     val st = state(LakeTable.read(s, factRoot, Some(f)), group, valueCol,
       Option(minName).getOrElse(s"min_$valueCol"),
-      Option(maxName).getOrElse(s"max_$valueCol"))
+      Option(maxName).getOrElse(s"max_$valueCol"), extras)
       .persist()
     try {
       // fail at CREATE, not first refresh (see refresh's NULL guard)
       require(st.filter(col(group).isNull).isEmpty,
         s"min/max MV: NULL in group column '$group' cannot be " +
           "incrementally maintained — coalesce it upstream")
-      LakeTable.commit(s, mvRoot, st, cfg, Seq(group), note = s"mmv-basis-$f")
+      LakeTable.commit(s, mvRoot, st, cfg, Seq(group),
+        note = s"mmv-basis-$f-full")
     } finally { st.unpersist(); () }
   }
 
   /** Fold fact changes since the basis: recompute exactly the touched
     * groups from fact snapshot `f1` (IN-filtered DSv2 scan → manifest
-    * pruning), one MoR MERGE commit. Returns the new FACT basis the
+    * pruning), one MoR MERGE commit — or, past the touched-group cap,
+    * one full-view recompute commit. Returns the new FACT basis the
     * MV reflects (f1 after a fold; the old basis on a no-op).
     */
   def refresh(s: SparkSession, factRoot: String, mvRoot: String,
       group: String, valueCol: String, cfg: BlockWriter.Config,
-      minName: String = null, maxName: String = null): Int = {
+      minName: String = null, maxName: String = null,
+      extras: Seq[(String, Column)] = Nil): Int = {
     val f0 = basis(mvRoot)
     val f1 = LakeTable.currentSnapshot(factRoot)
     if (f0 == f1) return f0
+    val mn = Option(minName).getOrElse(s"min_$valueCol")
+    val mx = Option(maxName).getOrElse(s"max_$valueCol")
     // Δ group keys: every group any change row names — insert or
-    // delete pre-image. |Δ groups|-sized, the metadata-scale collect.
-    val touched = LakeTable.changelogRead(s, factRoot, f0, f1)
-      .select(col(group)).distinct().collect().map(_.get(0)).toSeq
-    // content-preserving commits only (compaction emits zero change
-    // rows): nothing to fold — leave the basis where it is, the next
-    // real refresh folds across the maintenance commits for free
-    if (touched.isEmpty) return f0
-    // the IN filter and the eq-delete mask are equality-keyed: a NULL
-    // group can neither be recomputed nor retired — fail pointedly
-    require(!touched.contains(null),
-      s"min/max MV: NULL in group column '$group' cannot be " +
-        "incrementally maintained (equality-keyed recompute + delete " +
-        "mask) — coalesce it upstream")
-    // targeted recompute THROUGH THE PRUNED SCAN, PINNED at the basis
-    // snapshot f1 the commit note will claim (a concurrent fact
-    // commit mid-refresh must not leak into this basis): the IN
-    // filter reaches the manifest, untouched groups' fact files are
-    // never opened (a fact clustered by `group` reads |Δ groups|)
-    val cur = state(
-      s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
-        .filter(col(group).isin(touched: _*)),
-      group, valueCol,
-      Option(minName).getOrElse(s"min_$valueCol"),
-      Option(maxName).getOrElse(s"max_$valueCol"))
-    // align to the MANIFEST schema exactly (merge's unmapped-table
-    // gate compares full schema JSON; a mask-applied read's column
-    // order is join-shaped)
-    val stored = LakeTable.storedSchemaOf(mvRoot).get
-    import s.implicits._
-    val touchedDf = touched.map(String.valueOf)
-      .toDF(group).select(col(group).cast(stored(group).dataType))
-    // createDataFrame re-stamps the frame with the EXACT stored
-    // schema (merge's unmapped gate compares full JSON incl.
-    // nullability; .to() will not relax a non-null column to the
-    // table's nullable one)
-    val live = s.createDataFrame(
-      cur.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd, stored)
-      .persist()
+    // delete pre-image. Distinct is computed DISTRIBUTED; the driver
+    // first learns only the cardinality, and collects the values
+    // only when they are metadata-scale (under the cap).
+    val touchedRows = LakeTable.changelogRead(s, factRoot, f0, f1)
+      .select(col(group)).distinct().persist()
     try {
-      if (live.isEmpty)
-        // every touched group vanished: pure retirement commit
-        LakeTable.deleteWhere(s, mvRoot, group, touchedDf,
-          note = s"mmv-basis-$f1"): Unit
-      else
-        LakeTable.merge(s, mvRoot, group, live, cfg, Seq(group),
-          note = s"mmv-basis-$f1", extraDeleteKeys = Some(touchedDf)): Unit
-    } finally { live.unpersist(); () }
-    f1
+      val nTouched = touchedRows.count()
+      // content-preserving commits only (compaction emits zero change
+      // rows): nothing to fold — leave the basis where it is, the next
+      // real refresh folds across the maintenance commits for free
+      if (nTouched == 0) return f0
+      val cap = AutoMaintain.policies(mvRoot)
+        .getOrElse(AutoMaintain.MvMaxGroupsKey, DefaultMaxGroups)
+      if (nTouched > cap) {
+        // OVER-CAP FALLBACK: a delta touching this many groups is a
+        // reshape, not a trickle — one full recompute commit beats an
+        // unbounded driver collect + a giant IN expression (and reads
+        // the fact once either way at this cardinality)
+        val full = state(
+          s.read.format("graft-lake").option("snapshot", f1).load(factRoot),
+          group, valueCol, mn, mx, extras).persist()
+        try {
+          require(full.filter(col(group).isNull).isEmpty,
+            s"min/max MV: NULL in group column '$group' cannot be " +
+              "incrementally maintained — coalesce it upstream")
+          LakeTable.rewrite(s, mvRoot, full, cfg, Seq(group),
+            note = s"mmv-basis-$f1-full"): Unit
+        } finally { full.unpersist(); () }
+        return f1
+      }
+      // TYPED collect: the values keep the changelog column's external
+      // type end-to-end (timestamp, decimal, binary group keys stay
+      // exact — no String round-trip), feeding both the IN filter and
+      // the equality-delete frame
+      val touched = touchedRows.collect().map(_.get(0)).toSeq
+      // the IN filter and the eq-delete mask are equality-keyed: a NULL
+      // group can neither be recomputed nor retired — fail pointedly
+      require(!touched.contains(null),
+        s"min/max MV: NULL in group column '$group' cannot be " +
+          "incrementally maintained (equality-keyed recompute + delete " +
+          "mask) — coalesce it upstream")
+      // targeted recompute THROUGH THE PRUNED SCAN, PINNED at the basis
+      // snapshot f1 the commit note will claim (a concurrent fact
+      // commit mid-refresh must not leak into this basis): the IN
+      // filter reaches the manifest, untouched groups' fact files are
+      // never opened (a fact clustered by `group` reads |Δ groups|)
+      val cur = state(
+        s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
+          .filter(col(group).isin(touched: _*)),
+        group, valueCol, mn, mx, extras)
+      // align to the MANIFEST schema exactly (merge's unmapped-table
+      // gate compares full schema JSON; a mask-applied read's column
+      // order is join-shaped)
+      val stored = LakeTable.storedSchemaOf(mvRoot).get
+      // the delete frame is built from the TYPED values under the
+      // stored key field — exact for every group type
+      val touchedDf = s.createDataFrame(
+        java.util.Arrays.asList(touched.map(v => Row(v)): _*),
+        StructType(Seq(stored(group))))
+      // createDataFrame re-stamps the frame with the EXACT stored
+      // schema (merge's unmapped gate compares full JSON incl.
+      // nullability; .to() will not relax a non-null column to the
+      // table's nullable one)
+      val live = s.createDataFrame(
+        cur.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd, stored)
+        .persist()
+      try {
+        if (live.isEmpty)
+          // every touched group vanished: pure retirement commit
+          LakeTable.deleteWhere(s, mvRoot, group, touchedDf,
+            note = s"mmv-basis-$f1-targeted"): Unit
+        else
+          LakeTable.merge(s, mvRoot, group, live, cfg, Seq(group),
+            note = s"mmv-basis-$f1-targeted", extraDeleteKeys = Some(touchedDf)): Unit
+      } finally { live.unpersist(); () }
+      f1
+    } finally { touchedRows.unpersist(); () }
   }
 }

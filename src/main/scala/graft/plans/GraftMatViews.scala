@@ -13,23 +13,34 @@ import graft.lake.MaterializedView
   * parser-wrap route as graft views, one step earlier because the
   * delegate cannot even parse the statement).
   *
-  * Supported defining-query grammar — exactly the SIGNED-DISTRIBUTIVE
-  * shape the delta-join maintenance law ([[graft.lake.IncrementalJoinMv]])
-  * can fold incrementally, rejected loudly otherwise:
+  * Supported defining-query grammar — exactly the shapes with an
+  * incremental maintenance law, rejected loudly otherwise:
   *
   * {{{
+  * -- join kind (delta-join law, IncrementalJoinMv):
   * SELECT <group cols…>, COUNT(*) AS n [, SUM(<expr>) AS <name> …]
   * FROM <cat.ns.fact> JOIN <cat.ns.dim> USING (<key>)
   * GROUP BY <group cols…>
+  *
+  * -- single kind (append-only fold + full fallback, IncrementalMv):
+  * SELECT <group cols…>, COUNT(*) AS n [, SUM(e) AS s …] [, AVG(e) AS a …]
+  * FROM <cat.ns.fact> GROUP BY <group cols…>
+  *
+  * -- minmax kind (group-targeted recompute, MinMaxMv); extra
+  * -- SUM/AVG measures recompute alongside:
+  * SELECT <g>, COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx [, SUM … AVG …]
+  * FROM <cat.ns.fact> GROUP BY <g>
   * }}}
   *
   * `COUNT(*)` must alias to `n` (it IS the structural signed count —
   * the group-liveness criterion); every non-aggregate select item
-  * must appear in GROUP BY; both relations must be catalog-qualified
+  * must appear in GROUP BY; relations must be catalog-qualified
   * graft lake tables (the stored definition re-resolves by path, not
-  * in the creator's session). The defining text is also ANALYZED as
-  * a plain query at DDL time, so unknown tables/columns fail at
-  * CREATE, not first refresh.
+  * in the creator's session). In the `single` kind each AVG argument
+  * must also appear as a SUM — AVG is a derived read-time column
+  * (sum / n), zero new maintenance law. The defining text is also
+  * ANALYZED as a plain query at DDL time, so unknown tables/columns
+  * fail at CREATE, not first refresh.
   */
 object GraftMatViews {
 
@@ -40,13 +51,16 @@ object GraftMatViews {
     ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w.`]+)\\s+JOIN\\s+([\\w.`]+)" +
       "\\s+USING\\s*\\(\\s*([\\w`]+)\\s*\\)\\s+GROUP\\s+BY\\s+(.*?)\\s*;?\\s*$").r
 
-  /** Single-table shape → the MIN/MAX (group-targeted-recompute) MV. */
-  private val selectMinMaxRe =
+  /** Single-table shape → `single` (COUNT/SUM fold) or `minmax`
+    * (group-targeted recompute) depending on the measures present.
+    */
+  private val selectSingleRe =
     ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w.`]+)" +
       "\\s+GROUP\\s+BY\\s+(.*?)\\s*;?\\s*$").r
 
   private val countRe = "(?is)^COUNT\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val sumRe = "(?is)^SUM\\((.+)\\)\\s+AS\\s+(\\w+)$".r
+  private val avgRe = "(?is)^AVG\\((.+)\\)\\s+AS\\s+(\\w+)$".r
   private val minRe = "(?is)^MIN\\(\\s*([\\w`]+)\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val maxRe = "(?is)^MAX\\(\\s*([\\w`]+)\\s*\\)\\s+AS\\s+(\\w+)$".r
 
@@ -70,10 +84,12 @@ object GraftMatViews {
   private def grammarError(what: String): Nothing =
     throw new IllegalArgumentException(
       s"CREATE MATERIALIZED VIEW: $what. Supported defining-query " +
-        "grammar (the incrementally-maintainable signed-distributive " +
-        "shape): SELECT <group cols>, COUNT(*) AS n [, SUM(<expr>) AS " +
-        "<name> ...] FROM <fact> JOIN <dim> USING (<key>) GROUP BY " +
-        "<group cols>")
+        "shapes (each with an incremental maintenance law): " +
+        "[join] SELECT <group cols>, COUNT(*) AS n [, SUM(e) AS s ...] " +
+        "FROM <fact> JOIN <dim> USING (<key>) GROUP BY <group cols>; " +
+        "[single-table] SELECT <group cols>, COUNT(*) AS n " +
+        "[, SUM(e) AS s ...] [, AVG(e) AS a ...] " +
+        "[, MIN(col) AS m, MAX(col) AS x] FROM <fact> GROUP BY <group cols>")
 
   /** Intercept `CREATE MATERIALIZED VIEW` text whose target names a
     * graft catalog; None lets the delegate parser handle the text.
@@ -113,6 +129,10 @@ object GraftMatViews {
           if (nm.toLowerCase == graft.lake.IncrementalJoinMv.CountCol)
             grammarError(s"measure name '$nm' is reserved for COUNT(*)")
           sums += ((nm, e.trim))
+        case avgRe(e, name) =>
+          grammarError(s"AVG($e) AS ${unquote(name)} cannot be maintained " +
+            "by the signed-distributive delta-join law — store " +
+            s"SUM($e) and derive AVG at read (sum / n)")
         case item if unquote(item).matches("\\w+") =>
           bare += unquote(item)
         case item =>
@@ -130,47 +150,87 @@ object GraftMatViews {
         .parseMultipartIdentifier(unquote(dimId))
       (MaterializedView.MvDef("", "", unquote(key), groupCols,
         sums.result(), select), factParts, dimParts)
-    case selectMinMaxRe(items, factId, groupBy) =>
-      // single-table MIN/MAX view — maintained by GROUP-TARGETED
-      // RECOMPUTE (graft.lake.MinMaxMv), the law non-distributive
-      // aggregates need under deletes
+    case selectSingleRe(items, factId, groupBy) =>
+      // single-table view — TWO maintenance laws behind one shape:
+      //  * COUNT/SUM (+ AVG sugar) only → `single` kind, the
+      //    append-only incremental fold with full-recompute fallback
+      //    (graft.lake.IncrementalMv) — the commonest MV in any
+      //    warehouse;
+      //  * any MIN/MAX present → `minmax` kind, GROUP-TARGETED
+      //    RECOMPUTE (graft.lake.MinMaxMv) — the law non-distributive
+      //    aggregates need under deletes; extra SUM/AVG measures
+      //    recompute alongside exactly.
       val groupCols = splitTop(groupBy).map(unquote)
-      if (groupCols.size != 1 || !groupCols.head.matches("\\w+"))
-        grammarError("MIN/MAX views group by exactly one plain column")
+      groupCols.foreach(g => if (!g.matches("\\w+"))
+        grammarError(s"GROUP BY item '$g' must be a plain column"))
+      if (groupCols.isEmpty) grammarError("at least one group column is required")
       var sawCount = false
       var minPart: Option[(String, String)] = None // (value, alias)
       var maxPart: Option[(String, String)] = None
+      val sums = Seq.newBuilder[(String, String)]
+      val avgs = Seq.newBuilder[(String, String)]
       val bare = Seq.newBuilder[String]
+      val reserved = graft.lake.IncrementalJoinMv.CountCol
+      def checkName(nm: String): String = {
+        if (nm.toLowerCase == reserved)
+          grammarError(s"measure name '$nm' is reserved for COUNT(*)")
+        nm
+      }
       splitTop(items).foreach {
         case countRe(alias) =>
-          if (unquote(alias).toLowerCase != graft.lake.IncrementalJoinMv.CountCol)
-            grammarError("COUNT(*) must alias to '" +
-              graft.lake.IncrementalJoinMv.CountCol + s"', got '$alias'")
+          if (unquote(alias).toLowerCase != reserved)
+            grammarError(s"COUNT(*) must alias to '$reserved', got '$alias'")
           sawCount = true
         case minRe(v, a) =>
           if (minPart.nonEmpty) grammarError("one MIN measure only")
-          minPart = Some((unquote(v), unquote(a)))
+          minPart = Some((unquote(v), checkName(unquote(a))))
         case maxRe(v, a) =>
           if (maxPart.nonEmpty) grammarError("one MAX measure only")
-          maxPart = Some((unquote(v), unquote(a)))
+          maxPart = Some((unquote(v), checkName(unquote(a))))
+        case sumRe(e, name) => sums += ((checkName(unquote(name)), e.trim))
+        case avgRe(e, name) => avgs += ((checkName(unquote(name)), e.trim))
         case item if unquote(item).matches("\\w+") =>
           bare += unquote(item)
         case item => grammarError(s"unsupported select item '$item' " +
-          "(single-table views support COUNT(*) AS n, MIN(col) AS m, MAX(col) AS x)")
+          "(single-table views support COUNT(*) AS n, SUM(expr) AS s, " +
+          "AVG(expr) AS a, MIN(col) AS m, MAX(col) AS x)")
       }
       if (!sawCount) grammarError("the select list must include COUNT(*) AS n")
-      if (bare.result() != groupCols)
+      if (bare.result().sorted != groupCols.sorted)
         grammarError("plain select columns must match GROUP BY")
+      val names = Seq.newBuilder[String]
+      names ++= sums.result().map(_._1) ++= avgs.result().map(_._1)
+      minPart.foreach(names += _._2); maxPart.foreach(names += _._2)
+      val dup = names.result().groupBy(_.toLowerCase).collectFirst {
+        case (_, vs) if vs.size > 1 => vs.head }
+      dup.foreach(nm => grammarError(s"duplicate measure name '$nm'"))
+      val factParts = spark.sessionState.sqlParser
+        .parseMultipartIdentifier(unquote(factId))
       (minPart, maxPart) match {
+        case (None, None) =>
+          // `single` kind: AVG is read-time sugar over a stored SUM —
+          // each AVG argument must appear as a SUM too (the fold law
+          // maintains sums and counts; avg = sum / n at every commit)
+          avgs.result().foreach { case (aName, aExpr) =>
+            if (!sums.result().exists(_._2.trim == aExpr.trim))
+              grammarError(s"AVG($aExpr) AS $aName in a COUNT/SUM view " +
+                s"derives from a stored SUM: add SUM($aExpr) AS <name> to " +
+                "the select list (or include MIN/MAX measures to use the " +
+                "group-targeted-recompute kind, which stores AVG directly)")
+          }
+          (MaterializedView.MvDef("", "", "", groupCols, sums.result(),
+            select, kind = "single", avgs = avgs.result()), factParts, Nil)
         case (Some((vMin, aMin)), Some((vMax, aMax))) =>
           if (vMin != vMax)
             grammarError(s"MIN($vMin)/MAX($vMax) must aggregate the same column")
-          val factParts = spark.sessionState.sqlParser
-            .parseMultipartIdentifier(unquote(factId))
-          (MaterializedView.MvDef("", "", "", groupCols, Nil, select,
-            kind = "minmax", value = vMin, minName = aMin, maxName = aMax),
-            factParts, Nil)
-        case _ => grammarError("MIN/MAX views need BOTH a MIN and a MAX measure")
+          if (groupCols.size != 1)
+            grammarError("MIN/MAX views group by exactly one plain column")
+          (MaterializedView.MvDef("", "", "", groupCols, sums.result(),
+            select, kind = "minmax", value = vMin, minName = aMin,
+            maxName = aMax, avgs = avgs.result()), factParts, Nil)
+        case _ => grammarError("MIN/MAX views need BOTH a MIN and a MAX " +
+          "measure (a view with only one bound cannot retire the other " +
+          "on deletes; COUNT/SUM-only views need neither)")
       }
     case _ =>
       grammarError("defining query does not match the supported shape")

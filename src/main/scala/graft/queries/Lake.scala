@@ -820,6 +820,156 @@ object Lake {
     */
   def qSqlMvMinmaxSql: String = mvMinmaxRefreshSql
 
+  // --- q_sql_mv_single: the COMMONEST warehouse MV — a single-table
+  // COUNT/SUM rollup (+ AVG read-time sugar) — through the same
+  // CREATE MATERIALIZED VIEW front door, maintained by the
+  // APPEND-ONLY INCREMENTAL FOLD with full-recompute fallback
+  // (IncrementalMv: Iceberg's MV staleness rule — incremental only
+  // over append-only snapshot ranges). Three gated stages, each
+  // carrying the maintenance MODE the `mv.mv` metadata row reports:
+  // create (full), a pure-append refresh (INCR — the fact head is
+  // never rescanned, only the delta files; spec-pinned by hiding the
+  // pre-basis fact files), and a refresh across a MoR DELETE (FULL —
+  // per-group subtraction is unsound for the general case, so the
+  // law recomputes from the head, exactly once). AVG is a DERIVED
+  // read-time column over the stored SUM and n — zero new
+  // maintenance law, recomputed after every fold.
+  def qSqlMvSingle(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.smf_$id"; val mv = s"graft.q.smv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlsm")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlsm WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT event_type, COUNT(*) AS n, SUM(vx100) AS sum_vx100,
+             |  AVG(vx100) AS avg_vx100
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    def mode(): String =
+      s.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    val mode1 = mode()
+    // stage 2: pure appends → the refresh folds ONLY the delta files
+    ins("event_id % 3 = 1"); ins("event_id % 3 = 2")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.smv_$id')")
+    val mode2 = mode()
+    // stage 3: a MoR DELETE breaks append-only → full recompute, once
+    s.sql(s"DELETE FROM $fact WHERE event_id % 10 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.smv_$id')")
+    val mode3 = mode()
+    // the captured modes ride the gated output as literals: the
+    // oracle hard-codes full/incr/full, so a mis-chosen maintenance
+    // mode fails the hash compare, not just a spec assert
+    def stage(n: Int, m: String) =
+      s"""SELECT CAST($n AS BIGINT) AS stage, '$m' AS mode, event_type, n,
+         |  sum_vx100, CAST(FLOOR(avg_vx100 * 100 + 0.5) AS BIGINT) AS avgx100
+         |FROM $mv VERSION AS OF $n""".stripMargin
+    s.sql(Seq(stage(1, mode1), stage(2, mode2), stage(3, mode3))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY stage, event_type"))
+  }
+
+  val qSqlMvSingleSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'full' AS mode, event_type,
+      |    COUNT(*) AS n, CAST(SUM(vx100) AS BIGINT) AS sum_vx100,
+      |    CAST(FLOOR((CAST(SUM(vx100) AS DOUBLE) / COUNT(*)) * 100 + 0.5) AS BIGINT) AS avgx100
+      |  FROM f WHERE event_id % 3 = 0 GROUP BY event_type),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, 'incr' AS mode, event_type,
+      |    COUNT(*) AS n, CAST(SUM(vx100) AS BIGINT) AS sum_vx100,
+      |    CAST(FLOOR((CAST(SUM(vx100) AS DOUBLE) / COUNT(*)) * 100 + 0.5) AS BIGINT) AS avgx100
+      |  FROM f GROUP BY event_type),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage, 'full' AS mode, event_type,
+      |    COUNT(*) AS n, CAST(SUM(vx100) AS BIGINT) AS sum_vx100,
+      |    CAST(FLOOR((CAST(SUM(vx100) AS DOUBLE) / COUNT(*)) * 100 + 0.5) AS BIGINT) AS avgx100
+      |  FROM f WHERE event_id % 10 <> 0 GROUP BY event_type)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, event_type""".stripMargin
+
+  // --- q_sql_mv_profile: the PROFILE view — `g, COUNT(*), SUM, MIN,
+  // MAX, AVG` as ONE materialized view through the same front door.
+  // MIN/MAX force the GROUP-TARGETED RECOMPUTE kind (no signed delta
+  // answers "what's the new min" after a delete), and because that
+  // law RECOMPUTES touched groups from the fact head, the SUM and
+  // AVG measures ride along exactly — in every other shape here this
+  // view is two objects (a fold view and a recompute view); the
+  // recompute law makes it one. Stage 3 deletes group minima through
+  // SQL: mins must rise, sums/avgs must track, counts must drop — in
+  // the same refresh commit.
+  def qSqlMvProfile(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.pff_$id"; val mv = s"graft.q.pfv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlpf")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlpf WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT event_type, COUNT(*) AS n, SUM(vx100) AS sum_vx100,
+             |  MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100,
+             |  AVG(vx100) AS avg_vx100
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.pfv_$id')")
+    s.sql(s"DELETE FROM $fact WHERE event_id % 5 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.pfv_$id')")
+    def stage(n: Int) =
+      s"""SELECT CAST($n AS BIGINT) AS stage, event_type, n, sum_vx100,
+         |  min_vx100, max_vx100,
+         |  CAST(FLOOR(avg_vx100 * 100 + 0.5) AS BIGINT) AS avgx100
+         |FROM $mv VERSION AS OF $n""".stripMargin
+    s.sql(Seq(stage(1), stage(2), stage(3))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY stage, event_type"))
+  }
+
+  val qSqlMvProfileSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, event_type, COUNT(*) AS n,
+      |    CAST(SUM(vx100) AS BIGINT) AS sum_vx100,
+      |    MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100,
+      |    CAST(FLOOR((CAST(SUM(vx100) AS DOUBLE) / COUNT(*)) * 100 + 0.5) AS BIGINT) AS avgx100
+      |  FROM f WHERE event_id % 3 = 0 GROUP BY event_type),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, event_type, COUNT(*) AS n,
+      |    CAST(SUM(vx100) AS BIGINT) AS sum_vx100,
+      |    MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100,
+      |    CAST(FLOOR((CAST(SUM(vx100) AS DOUBLE) / COUNT(*)) * 100 + 0.5) AS BIGINT) AS avgx100
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY event_type),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage, event_type, COUNT(*) AS n,
+      |    CAST(SUM(vx100) AS BIGINT) AS sum_vx100,
+      |    MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100,
+      |    CAST(FLOOR((CAST(SUM(vx100) AS DOUBLE) / COUNT(*)) * 100 + 0.5) AS BIGINT) AS avgx100
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND event_id % 5 <> 0
+      |  GROUP BY event_type)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, event_type""".stripMargin
+
   // --- prune_scan_z3: 3-DIMENSIONAL declared z-order —
   // `PARTITIONED BY (zorder(ts, user_id, value))`. The N-dim morton
   // interleave of per-dim quantile buckets (operators/ZOrder,
@@ -3321,6 +3471,8 @@ object Lake {
     "q_sql_view" -> qSqlView,
     "q_sql_mv" -> qSqlMv,
     "q_sql_mv_minmax" -> qSqlMvMinmax,
+    "q_sql_mv_single" -> qSqlMvSingle,
+    "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_rtas" -> qSqlRtas,
     "lake_nested" -> lakeNested,
     "lake_constraint" -> lakeConstraint,
@@ -3390,6 +3542,8 @@ object Lake {
     "q_sql_view" -> qSqlViewSql,
     "q_sql_mv" -> qSqlMvSql,
     "q_sql_mv_minmax" -> qSqlMvMinmaxSql,
+    "q_sql_mv_single" -> qSqlMvSingleSql,
+    "q_sql_mv_profile" -> qSqlMvProfileSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
     "lake_constraint" -> lakeConstraintSql,

@@ -852,7 +852,8 @@ class GraftCatalog extends TableCatalog
     }
     val policyKeys = Set(graft.lake.AutoMaintain.AutoCompactKey,
       graft.lake.AutoMaintain.AutoManifestKey,
-      graft.lake.AutoMaintain.AutoParallelismKey)
+      graft.lake.AutoMaintain.AutoParallelismKey,
+      graft.lake.AutoMaintain.MvMaxGroupsKey)
     propChanges.foreach {
       case sp: TableChange.SetProperty if policyKeys(sp.property) =>
         graft.lake.AutoMaintain.setPolicy(t, sp.property, sp.value.trim.toLong)

@@ -1235,6 +1235,72 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fact"); spark.sql(s"DROP TABLE $dim")
   }
 
+  test("SQL single-table COUNT/SUM MV: incr refresh provably reads only the delta files; MoR delete falls back to full; AVG sugar; grammar guards") {
+    import graft.lake.LakeTable
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.sf_$id"; val mv = s"graft.psd.sv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, SUM(x) AS sx, AVG(x) AS ax
+                 |FROM $fact GROUP BY g""".stripMargin)
+    def state(): Map[String, (Long, Long, Double)] =
+      spark.sql(s"SELECT g, n, sx, ax FROM $mv").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    def meta(): (Int, Int, String) = {
+      val r = spark.sql(s"SELECT basis_fact, basis_dim, mode FROM $mv.mv").head()
+      (r.getInt(0), r.getInt(1), r.getString(2))
+    }
+    assert(state() === Map("a" -> ((2L, 30L, 15.0)), "b" -> ((1L, 30L, 30.0))))
+    assert(meta() === ((1, 0, "full")))
+    // ---- pure-append refresh is INCREMENTAL: hide every pre-basis
+    // fact file — the fold reads only the delta files, so a plan
+    // touching the old files would throw (the strongest pin)
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.sf_$id")
+    spark.sql(s"INSERT INTO $fact VALUES (4, 'a', 40), (5, 'c', 50)")
+    val v1Files = LakeTable.manifest(factDir, 1).files.map(_.path)
+    def shift(hide: Boolean): Unit = v1Files.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift(hide = true)
+    val basis2 =
+      try spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.sv_$id')")
+        .head().getString(0)
+      finally shift(hide = false)
+    assert(basis2 === "fact=2")
+    assert(meta() === ((2, 0, "incr")),
+      "a pure-append range must fold incrementally")
+    assert(state() === Map("a" -> ((3L, 70L, 70.0 / 3)), "b" -> ((1L, 30L, 30.0)),
+      "c" -> ((1L, 50L, 50.0))),
+      "derived AVG must be recomputed from the folded SUM and n")
+    // ---- a MoR DELETE breaks append-only: the refresh recomputes
+    // from the head, exactly once, and says so in the metadata row
+    spark.sql(s"DELETE FROM $fact WHERE fid = 2")
+    assert(spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.sv_$id')")
+      .head().getString(0) === "fact=3")
+    assert(meta() === ((3, 0, "full")),
+      "a non-append range must fall back to the full recompute")
+    assert(state() === Map("a" -> ((2L, 50L, 25.0)), "b" -> ((1L, 30L, 30.0)),
+      "c" -> ((1L, 50L, 50.0))))
+    // ---- grammar guards: AVG in a COUNT/SUM view without the
+    // same-argument SUM is rejected AT DDL, pointedly
+    val eAvg = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.svbad_$id AS
+                   |SELECT g, COUNT(*) AS n, AVG(x) AS ax
+                   |FROM $fact GROUP BY g""".stripMargin)
+    }
+    assert(eAvg.getMessage.contains("derives from a stored SUM"), eAvg.getMessage)
+    spark.sql(s"DROP TABLE $mv"); spark.sql(s"DROP TABLE $fact")
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")

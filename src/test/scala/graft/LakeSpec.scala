@@ -1439,6 +1439,65 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(mv)
   }
 
+  test("min/max MV cap: past graft.mvrefresh.maxgroups the refresh is ONE full-recompute commit; typed (timestamp) group keys stay exact") {
+    import graft.lake.{AutoMaintain, MinMaxMv}
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_mmvcap_f_")
+    val mv = graft.util.Scratch.dir("graft_mmvcap_m_")
+    val fCfg = BlockWriter.Config("g", "id", maxRecordsPerFile = 8)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 64)
+    // TIMESTAMP group keys: the delete frame and IN filter must carry
+    // the typed values end-to-end (a String round-trip is lossy for
+    // non-string group types in general)
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, ts((i % 4).toInt), i * 10L)).toDF("id", "g", "x")
+    LakeTable.commit(s, fact, rows(1L to 16L), fCfg, Seq("id", "g"))
+    MinMaxMv.create(s, fact, mv, "g", "x", mCfg)
+    def mvState(): Map[java.sql.Timestamp, (Long, Long, Long)] =
+      LakeTable.read(s, mv).select(col("g"), col("n"), col("min_x"), col("max_x"))
+        .as[(java.sql.Timestamp, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def recompute(): Map[java.sql.Timestamp, (Long, Long, Long)] =
+      LakeTable.read(s, fact).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .as[(java.sql.Timestamp, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(mvState() === recompute())
+    // ---- UNDER the cap: typed targeted path — delete one group's
+    // minimum (min must rise) and vanish another entirely (typed
+    // eq-delete retirement); note stamped -targeted
+    LakeTable.deleteWhere(s, fact, "id", Seq(1L).toDF("id")) // g=ts(1) min row
+    LakeTable.deleteWhere(s, fact, "id",
+      (1L to 16L).filter(_ % 4 == 3).toDF("id")) // g=ts(3) vanishes
+    MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg)
+    assert(MinMaxMv.mode(mv) === "targeted")
+    val st1 = mvState()
+    assert(st1 === recompute(), "typed targeted refresh must land on the recompute")
+    assert(st1(ts(1))._2 === 50L, "deleting the typed group's minimum must raise min_x")
+    assert(!st1.contains(ts(3)), "vanished typed group must retire via the mask")
+    // ---- OVER the cap: policy 2, touch 3 groups → ONE full-recompute
+    // commit (note -full), no driver IN list
+    AutoMaintain.setPolicy(mv, AutoMaintain.MvMaxGroupsKey, 2L)
+    LakeTable.commit(s, fact, rows(17L to 28L).filter($"id" % 4 =!= 3),
+      fCfg, Seq("id", "g"))
+    val mvHead0 = LakeTable.currentSnapshot(mv)
+    MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg)
+    assert(LakeTable.currentSnapshot(mv) === mvHead0 + 1,
+      "over-cap fallback must be ONE commit")
+    assert(LakeTable.manifest(mv, mvHead0 + 1).note.endsWith("-full"),
+      "over-cap refresh must stamp the full-recompute note")
+    assert(MinMaxMv.mode(mv) === "full")
+    assert(mvState() === recompute(), "full fallback must land on the recompute")
+    // and the NEXT small refresh is targeted again
+    LakeTable.deleteWhere(s, fact, "id", Seq(17L).toDF("id"))
+    MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg)
+    assert(MinMaxMv.mode(mv) === "targeted")
+    assert(mvState() === recompute())
+    graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(mv)
+  }
+
   test("MV basis FOLLOWS a rollback of the MV table: the next refresh folds from the restored basis, not an abandoned newer note") {
     import graft.lake.{IncrementalJoinMv, MinMaxMv}
     val s = spark
