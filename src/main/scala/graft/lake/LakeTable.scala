@@ -1001,13 +1001,48 @@ object LakeTable {
     }.toSeq
   }
 
+  /** Honor the table's DECLARED layout (`meta/_layout.json`) for an
+    * avro-plane write: temporal (`days`/`hours`/…) and `truncate`
+    * layouts RANGE-CLUSTER the batch on the raw column, a declared
+    * z-order range-clusters on the interleaved quantile-bucket value
+    * (graft.operators.ZOrder) — so per-file min/max extents come out
+    * tight and manifest-stat pruning works on reference-format ingest
+    * tables exactly as on the parquet plane. bucket/identity layouts
+    * keep the incoming partitioning (hash fan-out is stat-neutral).
+    * `parts` pins the fan-out (compaction); None keeps the session
+    * shuffle parallelism.
+    */
+  private def avroClustered(spark: SparkSession, root: String,
+      df: DataFrame, parts: Option[Int] = None): DataFrame = {
+    val p = Paths.get(root, "meta", "_layout.json")
+    if (!Files.exists(p)) return parts.map(df.repartition).getOrElse(df)
+    val node = mapper.readTree(Files.readString(p))
+    val c = node.get("partition_col").asText()
+    val tf = if (node.has("transform")) node.get("transform").asText()
+      else if (node.get("n_buckets").asInt() > 0) "bucket" else "identity"
+    val ranged = Set("days", "months", "hours", "years", "date", "truncate")
+    def byRange(cl: org.apache.spark.sql.Column): DataFrame = {
+      // EXPLICIT partition count: an un-sized range shuffle is fair
+      // game for AQE coalescing, which on a small batch folds the
+      // clustering into one file and throws the extents away
+      val n = parts.getOrElse(spark.sessionState.conf.numShufflePartitions)
+      df.withColumn("__cluster", cl)
+        .repartitionByRange(n, col("__cluster"))
+        .sortWithinPartitions(col("__cluster")).drop("__cluster")
+    }
+    if (ranged(tf)) byRange(col(c))
+    else if (tf == "zorder")
+      byRange(graft.operators.ZOrder.zColumn(df, c.split(',').toSeq))
+    else parts.map(df.repartition).getOrElse(df)
+  }
+
   def appendAvro(spark: SparkSession, root: String, df: DataFrame,
       statCols: Seq[String], note: String = "append-avro"): Int = {
     storedSchemaOf(root).foreach { s =>
       require(!ColumnMapping.hasMapping(s),
         s"avro data plane: column mapping unsupported on $root")
     }
-    val entries = avroStage(spark, root, df, statCols)
+    val entries = avroStage(spark, root, avroClustered(spark, root, df), statCols)
     val avroSnap = casLoop(root) { parent =>
       var stored = df.schema
       if (parent > 0) {
@@ -1066,9 +1101,13 @@ object LakeTable {
     // BY INDEX, so pin the manifest schema's order before writing
     val stored = DataType.fromJson(manifest(root, head).schemaJson)
       .asInstanceOf[StructType]
-    val df = read(spark, root, Some(head))
-      .select(stored.fieldNames.toIndexedSeq.map(col): _*)
-      .repartition(parts)
+    // compaction preserves the DECLARED layout's clustering too —
+    // consolidating a days-clustered ingest table must not shuffle
+    // its tight per-file time extents away
+    val df = avroClustered(spark, root,
+      read(spark, root, Some(head))
+        .select(stored.fieldNames.toIndexedSeq.map(col): _*),
+      parts = Some(parts))
     val entries = avroStage(spark, root, df, statCols)
     casLoop(root, replace = true) { parent =>
       if (parent != head)
@@ -1945,9 +1984,21 @@ object LakeTable {
     val frames = ((fromSnap + 1) to toSnap).flatMap { s =>
       val m = manifest(root, s)
       val pre: Option[Manifest] = if (s == 1) None else Some(manifest(root, s - 1))
-      val retired = pre.exists(pm =>
-        (pm.files.map(_.path).toSet -- m.files.map(_.path)).nonEmpty)
-      if (retired) {
+      val prePaths = pre.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      val preDels = pre.map(_.deletes.toSet).getOrElse(Set.empty[DeleteEntry])
+      val retired = pre.nonEmpty && (prePaths -- m.files.map(_.path)).nonEmpty
+      // Metadata attribution is only sound when everything NEW in the
+      // commit carries THIS commit's seq. A rollback (partsFrom)
+      // re-references the target's files and delete entries under
+      // their ORIGINAL seqs — a roll FORWARD whose target supersets
+      // the pre-state retires nothing and adds nothing at seq s, yet
+      // changes content; without this check it attributed as a
+      // silent no-op (and an MV folding the feed went stale).
+      val foreignNew = pre.nonEmpty && (
+        m.files.exists(f => f.seq != s && !prePaths.contains(f.path)) ||
+        m.deletes.exists(d => d.seq != s && !preDels.contains(d)) ||
+        (preDels -- m.deletes.toSet).nonEmpty)
+      if (retired || foreignNew) {
         // replace-type commit: no row-level metadata attribution —
         // diff the adjacent views (empty for pure maintenance)
         val pv = readFiles(spark, pre.get, pre.get.files)

@@ -48,7 +48,17 @@ object MaterializedView {
       group: Seq[String], sums: Seq[(String, String)], sql: String,
       kind: String = "join", value: String = "",
       minName: String = "", maxName: String = "",
-      avgs: Seq[(String, String)] = Nil)
+      avgs: Seq[(String, String)] = Nil,
+      dims: Seq[(String, Seq[String])] = Nil) {
+    /** The effective dimension list of a `join` MV: the multi-dim
+      * `dims` field when present, else the legacy single (dim, key)
+      * pair — pre-multi-dim `_mv.json` files keep working.
+      */
+    def joinDims: Seq[IncrementalJoinMv.DimSpec] =
+      if (dims.nonEmpty)
+        dims.map { case (r, ks) => IncrementalJoinMv.DimSpec(r, ks) }
+      else Seq(IncrementalJoinMv.DimSpec(dim, Seq(key)))
+  }
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -70,6 +80,11 @@ object MaterializedView {
     val av = n.putArray("avgs")
     d.avgs.foreach { case (name, e) =>
       val o = av.addObject(); o.put("name", name); o.put("expr", e): Unit
+    }
+    val dm = n.putArray("dims")
+    d.dims.foreach { case (root, keys) =>
+      val o = dm.addObject(); o.put("root", root)
+      val ka = o.putArray("keys"); keys.foreach(k => { ka.add(k): Unit })
     }
     Files.createDirectories(defPath(mvDir).getParent)
     // atomic publish: a crash mid-write must not leave truncated JSON
@@ -97,7 +112,12 @@ object MaterializedView {
       n.get("sql").asText(),
       kind = Option(n.get("kind")).map(_.asText()).getOrElse("join"),
       value = opt("value"), minName = opt("min_name"), maxName = opt("max_name"),
-      avgs = arr("avgs").map(o => (o.get("name").asText(), o.get("expr").asText())))
+      avgs = arr("avgs").map(o => (o.get("name").asText(), o.get("expr").asText())),
+      dims = arr("dims").map { o =>
+        val it = o.get("keys").elements()
+        (o.get("root").asText(),
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq)
+      })
   }
 
   private def aggsOf(d: MvDef): Seq[IncrementalJoinMv.Agg] =
@@ -153,7 +173,7 @@ object MaterializedView {
       else if (d.kind == "single")
         IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
           cfgOf(d), derived = singleDerived(d))
-      else IncrementalJoinMv.create(s, d.fact, d.dim, mvDir, d.key,
+      else IncrementalJoinMv.create(s, d.fact, d.joinDims, mvDir,
         d.group, aggsOf(d), cfgOf(d))
     }
     catch { case e: Throwable =>
@@ -180,8 +200,29 @@ object MaterializedView {
     else if (d.kind == "single")
       (IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
         cfgOf(d), derived = singleDerived(d)), 0)
-    else IncrementalJoinMv.refresh(s, d.fact, d.dim, mvDir, d.key, d.group,
-      aggsOf(d), cfgOf(d))
+    else {
+      val b = IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
+        d.group, aggsOf(d), cfgOf(d))
+      // the scalar pair keeps the CALL-procedure contract; the full
+      // vector is in the mv.mv row (basis_dims)
+      (b.head, b(1))
+    }
+  }
+
+  /** Refresh by name and render the new basis for the CALL-procedure
+    * output — the one place the FULL multi-dimension basis vector is
+    * a scalar-friendly string.
+    */
+  def refreshStatus(s: SparkSession, mvDir: String): String = {
+    val d = readDef(mvDir)
+    if (d.kind == "join" && d.joinDims.size > 1) {
+      val b = IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
+        d.group, aggsOf(d), cfgOf(d))
+      s"fact=${b.head},dims=${b.tail.mkString(",")}"
+    } else {
+      val (f, dd) = refresh(s, mvDir)
+      if (dd == 0) s"fact=$f" else s"fact=$f,dim=$dd"
+    }
   }
 
   /** The `t.mv` metadata row: definition + current basis — the
@@ -189,11 +230,13 @@ object MaterializedView {
     */
   def statusDf(s: SparkSession, mvDir: String): DataFrame = {
     val d = readDef(mvDir)
-    val (bf, bd) = d.kind match {
-      case "minmax" => (MinMaxMv.basis(mvDir), 0)
-      case "single" => (IncrementalMv.basis(mvDir), 0)
-      case _ => IncrementalJoinMv.basis(mvDir)
+    val basisVec: Seq[Int] = d.kind match {
+      case "minmax" => Seq(MinMaxMv.basis(mvDir))
+      case "single" => Seq(IncrementalMv.basis(mvDir))
+      case _ => IncrementalJoinMv.basisAll(mvDir)
     }
+    val bf = basisVec.head
+    val bd = if (basisVec.size > 1) basisVec(1) else 0
     // the maintenance MODE the head reflects: `incr`/`full` for the
     // single kind, `targeted`/`full` for minmax, `delta` (always the
     // delta-join fold) for the join kind
@@ -210,10 +253,16 @@ object MaterializedView {
           sumS ++ avgS
       case _ => sumS ++ avgS
     }).mkString("; ")
+    val (dimStr, keyStr) =
+      if (d.kind == "join" && d.joinDims.size > 1)
+        (d.joinDims.map(_.root).mkString(","),
+          d.joinDims.map(_.keys.mkString("+")).mkString(","))
+      else (d.dim, d.key)
     import s.implicits._
-    Seq((d.fact, d.dim, d.key, d.group.mkString(","), measures,
-      bf, bd, LakeTable.currentSnapshot(mvDir), mode))
+    Seq((d.fact, dimStr, keyStr, d.group.mkString(","), measures,
+      bf, bd, basisVec.tail.mkString(","),
+      LakeTable.currentSnapshot(mvDir), mode))
       .toDF("fact", "dim", "key", "group_cols", "measures",
-        "basis_fact", "basis_dim", "snapshot", "mode")
+        "basis_fact", "basis_dim", "basis_dims", "snapshot", "mode")
   }
 }

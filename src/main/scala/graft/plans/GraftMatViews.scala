@@ -48,8 +48,12 @@ object GraftMatViews {
     "(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+([\\w.`]+)\\s+AS\\s+(SELECT\\b.*)$".r
 
   private val selectRe =
-    ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w.`]+)\\s+JOIN\\s+([\\w.`]+)" +
-      "\\s+USING\\s*\\(\\s*([\\w`]+)\\s*\\)\\s+GROUP\\s+BY\\s+(.*?)\\s*;?\\s*$").r
+    ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w.`]+)" +
+      "((?:\\s+JOIN\\s+[\\w.`]+\\s+USING\\s*\\([^)]*\\))+)" +
+      "\\s+GROUP\\s+BY\\s+(.*?)\\s*;?\\s*$").r
+
+  private val joinPartRe =
+    "(?is)\\s+JOIN\\s+([\\w.`]+)\\s+USING\\s*\\(([^)]*)\\)".r
 
   /** Single-table shape → `single` (COUNT/SUM fold) or `minmax`
     * (group-targeted recompute) depending on the measures present.
@@ -106,11 +110,24 @@ object GraftMatViews {
   }
 
   /** Parse the constrained defining query into its IVM components:
-    * (select items, fact parts, dim parts, key, group cols).
+    * the definition (roots unresolved), the fact identifier parts,
+    * and one identifier-parts list PER JOINED DIMENSION (empty for
+    * single-table shapes).
     */
   private[plans] def parseDefining(spark: SparkSession, select: String)
-      : (MaterializedView.MvDef, Seq[String], Seq[String]) = select match {
-    case selectRe(items, factId, dimId, key, groupBy) =>
+      : (MaterializedView.MvDef, Seq[String], Seq[Seq[String]]) = select match {
+    case selectRe(items, factId, joinChain, groupBy) =>
+      // one or more `JOIN <dim> USING (<k1>[, <k2> …])` steps — a
+      // multi-dimension star with composite keys is the same delta
+      // law with one signed staircase term per relation
+      val joins = joinPartRe.findAllMatchIn(joinChain).map { m =>
+        val keys = m.group(2).split(",").map(k => unquote(k.trim)).toSeq
+        keys.foreach(k => if (!k.matches("\\w+"))
+          grammarError(s"USING column '$k' must be a plain column"))
+        if (keys.isEmpty || keys.forall(_.isEmpty))
+          grammarError(s"JOIN ${m.group(1)} has an empty USING list")
+        (m.group(1), keys)
+      }.toSeq
       val groupCols = splitTop(groupBy).map(unquote)
       groupCols.foreach(g => if (!g.matches("\\w+"))
         grammarError(s"GROUP BY item '$g' must be a plain column"))
@@ -146,10 +163,13 @@ object GraftMatViews {
       if (groupCols.isEmpty) grammarError("at least one group column is required")
       val factParts = spark.sessionState.sqlParser
         .parseMultipartIdentifier(unquote(factId))
-      val dimParts = spark.sessionState.sqlParser
-        .parseMultipartIdentifier(unquote(dimId))
-      (MaterializedView.MvDef("", "", unquote(key), groupCols,
-        sums.result(), select), factParts, dimParts)
+      val dimPartsList = joins.map(j => spark.sessionState.sqlParser
+        .parseMultipartIdentifier(unquote(j._1)))
+      // roots are filled in by the command after catalog resolution;
+      // the legacy (dim, key) pair mirrors the first dimension
+      (MaterializedView.MvDef("", "", joins.head._2.mkString(","), groupCols,
+        sums.result(), select, dims = joins.map(j => ("", j._2))),
+        factParts, dimPartsList)
     case selectSingleRe(items, factId, groupBy) =>
       // single-table view — TWO maintenance laws behind one shape:
       //  * COUNT/SUM (+ AVG sugar) only → `single` kind, the
@@ -265,13 +285,14 @@ final case class GraftCreateMatViewCommand(catalogName: String,
     // tables/columns/types fail at CREATE, not at first refresh
     val analyzed = spark.sessionState
       .executePlan(spark.sessionState.sqlParser.parsePlan(selectSql)).analyzed
-    val (d0, factParts, dimParts) = GraftMatViews.parseDefining(spark, selectSql)
+    val (d0, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
     val outCols = analyzed.output.map(_.name.toLowerCase).toSet
     require(outCols.contains(graft.lake.IncrementalJoinMv.CountCol),
       "defining query lost the structural count column")
+    val dimDirs = dimPartsList.map(GraftMatViews.dirOf(spark, _))
     val d = d0.copy(fact = GraftMatViews.dirOf(spark, factParts),
-      dim = if (dimParts.isEmpty) ""
-            else GraftMatViews.dirOf(spark, dimParts))
+      dim = dimDirs.headOption.getOrElse(""),
+      dims = dimDirs.zip(d0.dims).map { case (dir, (_, keys)) => (dir, keys) })
     val mvDir = cat.newTableDir(
       (ident.namespace() :+ ident.name()).mkString("."))
     MaterializedView.create(spark, mvDir, d): Unit

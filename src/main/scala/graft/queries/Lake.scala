@@ -820,6 +820,157 @@ object Lake {
     */
   def qSqlMvMinmaxSql: String = mvMinmaxRefreshSql
 
+  // --- lake_avro_prune: DECLARED LAYOUTS ON THE AVRO PLANE — a
+  // reference-format ingest table (snappy avro containers) declares
+  // `days(ts)` via `CALL graft.system.set_layout`, and every
+  // subsequent appendAvro (and rewriteAvro compaction) RANGE-CLUSTERS
+  // the batch on the raw ts before staging, so per-file min/max
+  // extents come out tight and a day-window predicate prunes by
+  // manifest stats alone — the same `prune_scan_days` contract the
+  // parquet plane has had, now without migrating the ingest format.
+  // The fixture drives a full ingest life: seed append (pre-layout,
+  // hash-scattered), declare, two clustered appends, one clustered
+  // compaction; the gated read is the day-window aggregate through
+  // the SQL front door. AvroPlaneSpec pins the file-touch bound
+  // (window files ≤ total/4 post-compaction).
+  def lakeAvroPrune(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val name = s"avp_${System.nanoTime()}"
+    val tbl = s"graft.q.$name"
+    val root = graft.util.Scratch.root.resolve("sqlcat").resolve("q")
+      .resolve(name).toString
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    ev.createOrReplaceTempView("ev_avp")
+    val stat = Seq("event_id", "ts", "event_type")
+    LakeTable.appendAvro(s, root, ev.filter(col("event_id") % 3 === 0), stat)
+    s.sql(s"CALL graft.system.set_layout('q.$name', 'days(ts)')")
+    LakeTable.appendAvro(s, root, ev.filter(col("event_id") % 3 === 1), stat)
+    LakeTable.appendAvro(s, root, ev.filter(col("event_id") % 3 === 2), stat)
+    // compaction must KEEP the declared clustering (consolidating an
+    // ingest table must not shuffle its tight time extents away)
+    LakeTable.rewriteAvro(s, root, stat, parts = 8)
+    val b = s.sql("""SELECT min(ts) + INTERVAL 2 DAYS AS lo,
+                    |       min(ts) + INTERVAL 4 DAYS AS hi FROM ev_avp""".stripMargin)
+      .collect()(0)
+    s.table(tbl)
+      .where(col("ts") >= lit(b.getTimestamp(0)) && col("ts") < lit(b.getTimestamp(1)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Identical day-window semantics to the parquet-plane twin — the
+    * oracle is shared verbatim. (def: pruneScanDaysSql is declared
+    * later in this object; an eager val here would interpolate an
+    * uninitialized forward reference.)
+    */
+  def lakeAvroPruneSql: String = pruneScanDaysSql
+
+  // --- q_sql_mv_star: the MULTI-DIMENSION star rollup — `fact JOIN
+  // d1 USING (event_type) JOIN d2 USING (event_type, ub)` (composite
+  // key on the second dimension) through the same CREATE MATERIALIZED
+  // VIEW front door. Maintenance is the Gupta-Mumick STAIRCASE: one
+  // signed delta term per relation, already-refreshed relations at
+  // NEW snapshots, not-yet-refreshed at OLD — ΔF⋈D₁⁰⋈D₂⁰ ∪
+  // F¹⋈ΔD₁⋈D₂⁰ ∪ F¹⋈D₁¹⋈ΔD₂ — every dim broadcast in every term,
+  // the fact read only when a dimension changed. Four gated stages:
+  // create, fact-only refresh, a d1 rewire (SQL MERGE moves groups
+  // between wb buckets), and a d2 rewire (DELETE+INSERT on the
+  // composite-keyed dim flips db for ub=1). The oracle recomputes
+  // each stage's two-dim join from scratch.
+  def qSqlMvStar(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.stf_$id"
+    val d1 = s"graft.q.std1_$id"; val d2 = s"graft.q.std2_$id"
+    val mv = s"graft.q.stv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlstar")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, ub BIGINT, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, event_id % 2,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlstar WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"CREATE TABLE $d1 (event_type STRING, wb BIGINT)")
+    s.sql(s"""INSERT INTO $d1
+             |SELECT event_type, length(event_type) % 3
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlstar)""".stripMargin)
+    s.sql(s"CREATE TABLE $d2 (event_type STRING, ub BIGINT, db BIGINT)")
+    s.sql(s"""INSERT INTO $d2
+             |SELECT event_type, ub, (length(event_type) + ub) % 2
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlstar)
+             |CROSS JOIN (SELECT explode(array(0L, 1L)) AS ub)""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT wb, db, COUNT(*) AS n, SUM(vx100) AS sum_vx100
+             |FROM $fact JOIN $d1 USING (event_type)
+             |JOIN $d2 USING (event_type, ub)
+             |GROUP BY wb, db""".stripMargin)
+    // stage 2: fact-only growth (ΔF ⋈ D₁⁰ ⋈ D₂⁰ only)
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.stv_$id')")
+    // stage 3: d1 rewire — even-length types move wb buckets
+    s.sql(s"""MERGE INTO $d1 t USING (
+             |  SELECT event_type, (length(event_type) + 10) % 3 AS wb
+             |  FROM (SELECT DISTINCT event_type FROM ev_sqlstar)
+             |  WHERE length(event_type) % 2 = 0) src
+             |ON t.event_type = src.event_type
+             |WHEN MATCHED THEN UPDATE SET t.wb = src.wb""".stripMargin)
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.stv_$id')")
+    // stage 4: d2 rewire on the COMPOSITE key — flip db for ub = 1
+    // (DELETE + INSERT: two commits, one staircase fold)
+    s.sql(s"DELETE FROM $d2 WHERE ub = 1")
+    s.sql(s"""INSERT INTO $d2
+             |SELECT event_type, 1L, (length(event_type) + 2) % 2
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlstar)""".stripMargin)
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.stv_$id')")
+    def stage(n: Int) =
+      s"""SELECT CAST($n AS BIGINT) AS stage, wb, db, n, sum_vx100
+         |FROM $mv VERSION AS OF $n""".stripMargin
+    s.sql(Seq(stage(1), stage(2), stage(3), stage(4))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY stage, wb, db"))
+  }
+
+  val qSqlMvStarSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 2 AS ub,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100,
+      |    length(event_type) AS len
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, len % 3 AS wb,
+      |    (len + ub) % 2 AS db, COUNT(*) AS n,
+      |    CAST(SUM(vx100) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 = 0 GROUP BY 2, 3),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, len % 3 AS wb,
+      |    (len + ub) % 2 AS db, COUNT(*) AS n,
+      |    CAST(SUM(vx100) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY 2, 3),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage,
+      |    (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb,
+      |    (len + ub) % 2 AS db, COUNT(*) AS n,
+      |    CAST(SUM(vx100) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY 2, 3),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT) AS stage,
+      |    (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb,
+      |    (len + ub + ub) % 2 AS db, COUNT(*) AS n,
+      |    CAST(SUM(vx100) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY 2, 3)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |ORDER BY stage, wb, db""".stripMargin
+
   // --- q_sql_mv_single: the COMMONEST warehouse MV — a single-table
   // COUNT/SUM rollup (+ AVG read-time sugar) — through the same
   // CREATE MATERIALIZED VIEW front door, maintained by the
@@ -3473,6 +3624,8 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmax,
     "q_sql_mv_single" -> qSqlMvSingle,
     "q_sql_mv_profile" -> qSqlMvProfile,
+    "q_sql_mv_star" -> qSqlMvStar,
+    "lake_avro_prune" -> lakeAvroPrune,
     "q_sql_rtas" -> qSqlRtas,
     "lake_nested" -> lakeNested,
     "lake_constraint" -> lakeConstraint,
@@ -3544,6 +3697,8 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmaxSql,
     "q_sql_mv_single" -> qSqlMvSingleSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,
+    "q_sql_mv_star" -> qSqlMvStarSql,
+    "lake_avro_prune" -> lakeAvroPruneSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
     "lake_constraint" -> lakeConstraintSql,

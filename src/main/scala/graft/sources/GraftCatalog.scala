@@ -1245,13 +1245,12 @@ private[sources] object GraftProcedures {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         s"insert=${counts.getOrElse("insert", 0L)},delete=${counts.getOrElse("delete", 0L)}"
       }),
-    Def("refresh_mv", "fold fact/dim changes since the recorded basis into the named materialized view (delta-join IVM, one MoR MERGE commit)",
-      Seq("table" -> StringType), "basis", StringType, (c, in) => {
-        val (f, d) = graft.lake.MaterializedView.refresh(
-          SparkSession.active, tbl(c, in))
-        // single-table (min/max) MVs have no dimension basis
-        if (d == 0) s"fact=$f" else s"fact=$f,dim=$d"
-      }),
+    Def("refresh_mv", "fold base-table changes since the recorded basis into the named materialized view (delta-join / incremental-fold / targeted-recompute IVM, one commit)",
+      Seq("table" -> StringType), "basis", StringType, (c, in) =>
+        // renders "fact=f" (single-table kinds), "fact=f,dim=d", or
+        // "fact=f,dims=d1,d2,…" for multi-dimension stars
+        graft.lake.MaterializedView.refreshStatus(
+          SparkSession.active, tbl(c, in))),
     Def("clone", "zero-copy shallow clone into a new independent table",
       Seq("source" -> StringType, "dest" -> StringType), "snapshot", IntegerType,
       (c, in) => LakeTable.cloneTable(tbl(c, in),

@@ -144,6 +144,65 @@ class AvroPlaneSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("declared days(ts) layout range-clusters avro appends AND compaction: day window touches ≤ total/4 files") {
+    val root = graft.util.Scratch.dir("graft_avrolay_")
+    val ev = events
+    // seed BEFORE the layout (hash-scattered — the honest evolution
+    // contract: old files keep their old extents)
+    LakeTable.appendAvro(spark, root,
+      ev.filter(col("event_id") % 3 === 0).repartition(4),
+      Seq("event_id", "ts", "event_type"))
+    // declare days(ts) by writing the same _layout.json the catalog
+    // verb produces (library-level twin of CALL set_layout)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "meta", "_layout.json"),
+      """{"partition_col":"ts","n_buckets":0,"transform":"days"}""")
+    LakeTable.appendAvro(spark, root, ev.filter(col("event_id") % 3 === 1),
+      Seq("event_id", "ts", "event_type"))
+    LakeTable.appendAvro(spark, root, ev.filter(col("event_id") % 3 === 2),
+      Seq("event_id", "ts", "event_type"))
+    // post-layout appends must carry tight per-file ts extents: each
+    // clustered file spans far less than the table's full range
+    def extents(snap: Int, seqMin: Int): Seq[(Long, Long)] =
+      LakeTable.manifest(root, snap).files.filter(_.seq >= seqMin)
+        .map(f => (f.stats("ts").min, f.stats("ts").max))
+    val fullSpan = {
+      val all = extents(3, 1)
+      all.map(_._2).max - all.map(_._1).min
+    }
+    val clustered = extents(3, 2)
+    assert(clustered.size > 4, "fixture needs several clustered files")
+    // 4 range partitions per append → ~quarter spans, with sampled
+    // bounds wobble; the sharp ≤ total/4 pin is on the 8-way
+    // compaction below
+    clustered.foreach { case (lo, hi) =>
+      assert(hi - lo <= fullSpan / 2,
+        s"a range-clustered avro file must span a fraction of the table " +
+          s"(got ${hi - lo} of $fullSpan)")
+    }
+    // compaction keeps the clustering — and the file-touch pin holds
+    // on the compacted table: a 2-day window intersects ≤ total/4
+    LakeTable.rewriteAvro(spark, root, Seq("event_id", "ts", "event_type"), 8)
+    val m = LakeTable.manifest(root, LakeTable.currentSnapshot(root))
+    assert(m.files.size === 8)
+    val tsMin = m.files.map(_.stats("ts").min).min
+    val dayUs = 86400L * 1000000L
+    val (lo, hi) = (tsMin + 2 * dayUs, tsMin + 4 * dayUs)
+    val touched = m.files.count(f =>
+      f.stats("ts").min <= hi && f.stats("ts").max >= lo)
+    assert(touched <= m.files.size / 4,
+      s"2-day window must touch ≤ total/4 compacted files (got $touched of ${m.files.size})")
+    // and the pruned read is still exact
+    val got = LakeTable.read(spark, root)
+      .filter(col("ts") >= org.apache.spark.sql.functions.timestamp_micros(lit(lo)) &&
+        col("ts") < org.apache.spark.sql.functions.timestamp_micros(lit(hi)))
+      .count()
+    val want = ev.filter(col("ts") >= timestamp_micros(lit(lo)) &&
+      col("ts") < timestamp_micros(lit(hi))).count()
+    assert(got === want)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("incremental and changelog reads work over the avro plane") {
     val root = graft.util.Scratch.dir("graft_avrospec_cdc_")
     val ev = events
@@ -331,7 +390,7 @@ class AvroPlaneSpec extends AnyFunSuite {
     val e5 = intercept[IllegalArgumentException] {
       LakeTable.renameColumn(root, "value", "v2")
     }
-    assert(e5.getMessage.contains("schema-strict"))
+    assert(e5.getMessage.contains("resolve columns by writer-schema name"))
     // avro-invalid column names are rejected at the front door with
     // the reason, not as a SchemaParseException in an executor
     val e6 = intercept[IllegalArgumentException] {

@@ -1439,6 +1439,116 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(mv)
   }
 
+  test("multi-dimension join MV: the Gupta-Mumick staircase lands on the recompute for fact/d1/d2/combined changes; composite USING keys; untouched lead groups byte-identical") {
+    import graft.lake.IncrementalJoinMv
+    import graft.lake.IncrementalJoinMv.DimSpec
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_star_f_")
+    val dim1 = graft.util.Scratch.dir("graft_star_d1_")
+    val dim2 = graft.util.Scratch.dir("graft_star_d2_")
+    val mv = graft.util.Scratch.dir("graft_star_m_")
+    val fCfg = BlockWriter.Config("k1", "id", maxRecordsPerFile = 64)
+    val dCfg = BlockWriter.Config("k1", "k1", maxRecordsPerFile = 64)
+    val d2Cfg = BlockWriter.Config("k2", "k2", maxRecordsPerFile = 64)
+    // one MV data file per leading group (partitioned by u)
+    val mCfg = BlockWriter.Config("u", "u", maxRecordsPerFile = 64)
+    // k2 tracks k1 (same index) so a d2 rewire of b2 touches ONLY
+    // lead group u1 — the byte-identity pin below depends on it
+    def factRows(ids: Seq[Long]) =
+      ids.map(i => (i, s"a${i % 3}", s"b${i % 3}", i % 2, i * 10L))
+        .toDF("id", "k1", "k2", "t", "x")
+    LakeTable.commit(s, fact, factRows(1L to 24L), fCfg, Seq("id"))
+    LakeTable.commit(s, dim1,
+      Seq(("a0", "u0"), ("a1", "u0"), ("a2", "u1")).toDF("k1", "u"),
+      dCfg, Seq("k1"))
+    // composite key (k2, t): the second dimension buckets on BOTH
+    LakeTable.commit(s, dim2,
+      (for (j <- 0 to 2; t <- 0 to 1)
+        yield (s"b$j", t.toLong, s"v${(j + t) % 2}")).toDF("k2", "t", "v"),
+      d2Cfg, Seq("k2"))
+    val dims = Seq(DimSpec(dim1, Seq("k1")), DimSpec(dim2, Seq("k2", "t")))
+    val aggs = Seq(IncrementalJoinMv.sumAgg("sx", col("x")))
+    IncrementalJoinMv.create(s, fact, dims, mv, Seq("u", "v"), aggs, mCfg)
+    assert(IncrementalJoinMv.basisAll(mv) === Seq(1, 1, 1))
+    def recompute(): Map[(String, String), (Long, Long)] =
+      LakeTable.read(s, fact)
+        .join(LakeTable.read(s, dim1), Seq("k1"))
+        .join(LakeTable.read(s, dim2), Seq("k2", "t"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def mvState(): Map[(String, String), (Long, Long)] =
+      LakeTable.read(s, mv).select(col("u"), col("v"), col("n"), col("sx"))
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(mvState() === recompute())
+    // ---- term 0: fact append + delete against BOTH dims at old snaps
+    LakeTable.commit(s, fact, factRows(25L to 36L), fCfg, Seq("id"))
+    LakeTable.deleteWhere(s, fact, "id", (1L to 24L by 4).toDF("id"))
+    IncrementalJoinMv.refresh(s, fact, dims, mv, Seq("u", "v"), aggs, mCfg)
+    assert(IncrementalJoinMv.basisAll(mv) === Seq(3, 1, 1))
+    assert(mvState() === recompute(), "fact-only staircase term must land on the recompute")
+    // ---- term 1: d1 rewire (a2 moves u1→u0)
+    LakeTable.merge(s, dim1, "k1", Seq(("a2", "u0")).toDF("k1", "u"),
+      dCfg, Seq("k1"))
+    IncrementalJoinMv.refresh(s, fact, dims, mv, Seq("u", "v"), aggs, mCfg)
+    assert(IncrementalJoinMv.basisAll(mv) === Seq(3, 2, 1))
+    val st1 = mvState()
+    assert(st1 === recompute(), "d1 staircase term must land on the recompute")
+    assert(!st1.keys.exists(_._1 == "u1"), "drained lead group must leave the view")
+    // restore a2→u1 so u0/u1 both live again, then pin byte identity
+    LakeTable.merge(s, dim1, "k1", Seq(("a2", "u1")).toDF("k1", "u"),
+      dCfg, Seq("k1"))
+    IncrementalJoinMv.refresh(s, fact, dims, mv, Seq("u", "v"), aggs, mCfg)
+    assert(mvState() === recompute())
+    def bytesOf(p: String): Seq[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.stripPrefix("file:"))).toSeq
+    val head0 = LakeTable.currentSnapshot(mv)
+    val u0Files = LakeTable.manifest(mv, head0).files
+      .filter(_.stats.get("u").exists(cs => cs.maxS == "u0" && cs.minS == "u0"))
+      .map(_.path)
+    assert(u0Files.nonEmpty, "fixture needs u0-only MV files to pin")
+    val u0Bytes = u0Files.map(p => p -> bytesOf(p)).toMap
+    // ---- term 2: d2 rewire of b2 (composite key) touches ONLY lead
+    // group u1 — u0's MV files must survive byte-identically
+    LakeTable.merge(s, dim2, "k2",
+      Seq(("b2", 0L, "v9"), ("b2", 1L, "v9")).toDF("k2", "t", "v"),
+      d2Cfg, Seq("k2"))
+    IncrementalJoinMv.refresh(s, fact, dims, mv, Seq("u", "v"), aggs, mCfg)
+    assert(IncrementalJoinMv.basisAll(mv).tail === Seq(3, 2))
+    val st2 = mvState()
+    assert(st2 === recompute(), "composite-key d2 staircase term must land on the recompute")
+    assert(st2.keys.exists(_._2 == "v9"))
+    val headFiles = LakeTable.manifest(mv, LakeTable.currentSnapshot(mv))
+      .files.map(_.path).toSet
+    assert(u0Files.toSet.subsetOf(headFiles),
+      "untouched lead group's files must survive by reference")
+    u0Files.foreach(p => assert(bytesOf(p) === u0Bytes(p),
+      "untouched lead group's files must stay byte-identical"))
+    // ---- combined: fact + BOTH dims change before ONE refresh — the
+    // cross terms (F¹⋈ΔD₁⋈D₂⁰, F¹⋈D₁¹⋈ΔD₂) must compose exactly
+    LakeTable.commit(s, fact, factRows(37L to 42L), fCfg, Seq("id"))
+    LakeTable.merge(s, dim1, "k1", Seq(("a0", "u1")).toDF("k1", "u"),
+      dCfg, Seq("k1"))
+    LakeTable.merge(s, dim2, "k2",
+      Seq(("b0", 0L, "v9")).toDF("k2", "t", "v"), d2Cfg, Seq("k2"))
+    IncrementalJoinMv.refresh(s, fact, dims, mv, Seq("u", "v"), aggs, mCfg)
+    assert(mvState() === recompute(),
+      "combined fact+d1+d2 staircase must land on the recompute")
+    // ---- BASE-table rollbacks fold correctly: the changelog
+    // attributes each rollback commit as a multiset diff, so a
+    // rollback-and-restore pair nets to zero and the refresh still
+    // lands on the recompute
+    LakeTable.rollback(dim1, 2)
+    LakeTable.rollback(dim1, 4)
+    IncrementalJoinMv.refresh(s, fact, dims, mv, Seq("u", "v"), aggs, mCfg)
+    assert(mvState() === recompute())
+    Seq(fact, dim1, dim2, mv).foreach(graft.util.Scratch.rmNow)
+  }
+
   test("min/max MV cap: past graft.mvrefresh.maxgroups the refresh is ONE full-recompute commit; typed (timestamp) group keys stay exact") {
     import graft.lake.{AutoMaintain, MinMaxMv}
     val s = spark
