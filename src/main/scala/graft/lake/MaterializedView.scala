@@ -169,7 +169,8 @@ object MaterializedView {
     try {
       if (d.kind == "minmax")
         MinMaxMv.create(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
-          d.minName, d.maxName, extras = minmaxExtras(d))
+          d.minName, d.maxName, extras = minmaxExtras(d),
+          subGroups = d.group.tail)
       else if (d.kind == "single")
         IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
           cfgOf(d), derived = singleDerived(d))
@@ -196,7 +197,8 @@ object MaterializedView {
     val d = readDef(mvDir)
     if (d.kind == "minmax")
       (MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
-        d.minName, d.maxName, extras = minmaxExtras(d)), 0)
+        d.minName, d.maxName, extras = minmaxExtras(d),
+        subGroups = d.group.tail), 0)
     else if (d.kind == "single")
       (IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
         cfgOf(d), derived = singleDerived(d)), 0)

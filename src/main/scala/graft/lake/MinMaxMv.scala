@@ -85,10 +85,10 @@ object MinMaxMv {
       case _ => None
     }.getOrElse("?")
 
-  private def state(df: DataFrame, group: String, valueCol: String,
-      minName: String, maxName: String,
+  private def state(df: DataFrame, group: String, subGroups: Seq[String],
+      valueCol: String, minName: String, maxName: String,
       extras: Seq[(String, Column)]): DataFrame =
-    df.groupBy(col(group))
+    df.groupBy((group +: subGroups).map(col): _*)
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as(minName) +:
           max(col(valueCol)).as(maxName) +:
@@ -98,9 +98,10 @@ object MinMaxMv {
   def create(s: SparkSession, factRoot: String, mvRoot: String,
       group: String, valueCol: String, cfg: BlockWriter.Config,
       minName: String = null, maxName: String = null,
-      extras: Seq[(String, Column)] = Nil): Int = {
+      extras: Seq[(String, Column)] = Nil,
+      subGroups: Seq[String] = Nil): Int = {
     val f = LakeTable.currentSnapshot(factRoot)
-    val st = state(LakeTable.read(s, factRoot, Some(f)), group, valueCol,
+    val st = state(LakeTable.read(s, factRoot, Some(f)), group, subGroups, valueCol,
       Option(minName).getOrElse(s"min_$valueCol"),
       Option(maxName).getOrElse(s"max_$valueCol"), extras)
       .persist()
@@ -123,7 +124,8 @@ object MinMaxMv {
   def refresh(s: SparkSession, factRoot: String, mvRoot: String,
       group: String, valueCol: String, cfg: BlockWriter.Config,
       minName: String = null, maxName: String = null,
-      extras: Seq[(String, Column)] = Nil): Int = {
+      extras: Seq[(String, Column)] = Nil,
+      subGroups: Seq[String] = Nil): Int = {
     val f0 = basis(mvRoot)
     val f1 = LakeTable.currentSnapshot(factRoot)
     if (f0 == f1) return f0
@@ -150,7 +152,7 @@ object MinMaxMv {
         // the fact once either way at this cardinality)
         val full = state(
           s.read.format("graft-lake").option("snapshot", f1).load(factRoot),
-          group, valueCol, mn, mx, extras).persist()
+          group, subGroups, valueCol, mn, mx, extras).persist()
         try {
           require(full.filter(col(group).isNull).isEmpty,
             s"min/max MV: NULL in group column '$group' cannot be " +
@@ -179,7 +181,7 @@ object MinMaxMv {
       val cur = state(
         s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
           .filter(col(group).isin(touched: _*)),
-        group, valueCol, mn, mx, extras)
+        group, subGroups, valueCol, mn, mx, extras)
       // align to the MANIFEST schema exactly (merge's unmapped-table
       // gate compares full schema JSON; a mask-applied read's column
       // order is join-shaped)

@@ -243,8 +243,9 @@ object GraftMatViews {
         case (Some((vMin, aMin)), Some((vMax, aMax))) =>
           if (vMin != vMax)
             grammarError(s"MIN($vMin)/MAX($vMax) must aggregate the same column")
-          if (groupCols.size != 1)
-            grammarError("MIN/MAX views group by exactly one plain column")
+          // composite groups: the targeted recompute keys its IN
+          // filter and eq-delete mask on the LEADING group column
+          // (the join kind's convention) — sub-groups ride along
           (MaterializedView.MvDef("", "", "", groupCols, sums.result(),
             select, kind = "minmax", value = vMin, minName = aMin,
             maxName = aMax, avgs = avgs.result()), factParts, Nil)

@@ -1235,6 +1235,39 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fact"); spark.sql(s"DROP TABLE $dim")
   }
 
+  test("composite-group MIN/MAX MV through SQL: sub-group columns ride the targeted recompute; a vanished sub-group retires, its lead siblings survive") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.cgf_$id"; val mv = s"graft.psd.cgv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, h BIGINT, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'a', 0, 10), (2, 'a', 0, 20), (3, 'a', 1, 30),
+                 |(4, 'b', 0, 40), (5, 'b', 1, 50), (6, 'b', 1, 60)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, h, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+                 |FROM $fact GROUP BY g, h""".stripMargin)
+    def state(): Map[(String, Long), (Long, Long, Long)] =
+      spark.sql(s"SELECT g, h, n, lo, hi FROM $mv").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(state() === Map(
+      ("a", 0L) -> ((2L, 10L, 20L)), ("a", 1L) -> ((1L, 30L, 30L)),
+      ("b", 0L) -> ((1L, 40L, 40L)), ("b", 1L) -> ((2L, 50L, 60L))))
+    // delete sub-group (b,1)'s minimum AND vanish (a,1) entirely —
+    // one refresh: (b,1)'s lo must RISE, (a,1) must retire while its
+    // lead sibling (a,0) survives untouched
+    spark.sql(s"DELETE FROM $fact WHERE fid IN (3, 5)")
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.cgv_$id')")
+    val st = state()
+    assert(st === Map(
+      ("a", 0L) -> ((2L, 10L, 20L)),
+      ("b", 0L) -> ((1L, 40L, 40L)), ("b", 1L) -> ((1L, 60L, 60L))))
+    spark.sql(s"DROP TABLE $mv"); spark.sql(s"DROP TABLE $fact")
+  }
+
   test("SQL single-table COUNT/SUM MV: incr refresh provably reads only the delta files; MoR delete falls back to full; AVG sugar; grammar guards") {
     import graft.lake.LakeTable
     spark.conf.set("spark.sql.catalog.graft",
