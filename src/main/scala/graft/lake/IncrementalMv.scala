@@ -93,15 +93,26 @@ object IncrementalMv {
   }
 
   /** `true` iff every commit in (from, to] only ADDED data files —
-    * no deletes landed, no files were retired (pure appends; metadata
-    * commits are fine). Resolved from manifests alone.
+    * no deletes landed, no files were retired, and nothing entered
+    * under a FOREIGN seq (a rollback's partsFrom restore re-references
+    * files and delete entries with their ORIGINAL seqs: such a commit
+    * changes content without adding anything at seq s, so classifying
+    * it append-only would fold an EMPTY delta and stamp a fresh basis
+    * over stale state — the same hole [[LakeTable.changelogRead]]'s
+    * replace detection closes). Resolved from manifests alone.
     */
   private def appendOnly(root: String, from: Int, to: Int): Boolean =
     ((from + 1) to to).forall { s =>
       val m = LakeTable.manifest(root, s)
-      val pre = if (s == 1) Set.empty[String]
-        else LakeTable.manifest(root, s - 1).files.map(_.path).toSet
-      m.deletes.forall(_.seq != s) && (pre -- m.files.map(_.path)).isEmpty
+      val pre = if (s == 1) None else Some(LakeTable.manifest(root, s - 1))
+      val prePaths = pre.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      val preDels = pre.map(_.deletes.toSet)
+        .getOrElse(Set.empty[LakeTable.DeleteEntry])
+      m.deletes.forall(_.seq != s) &&
+        (prePaths -- m.files.map(_.path)).isEmpty &&
+        !m.files.exists(f => f.seq != s && !prePaths.contains(f.path)) &&
+        !m.deletes.exists(d => d.seq != s && !preDels.contains(d)) &&
+        (preDels -- m.deletes.toSet).isEmpty
     }
 
   /** Fold the base's changes since the recorded basis into the MV

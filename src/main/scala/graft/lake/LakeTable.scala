@@ -1012,14 +1012,27 @@ object LakeTable {
     * `parts` pins the fan-out (compaction); None keeps the session
     * shuffle parallelism.
     */
+  /** The table's DDL-declared layout, parsed from `meta/_layout.json`:
+    * (col, nBuckets, transform) — the ONE reader every consumer
+    * (parquet write config, avro clustering) shares, so a new
+    * transform kind cannot drift between planes.
+    */
+  def declaredLayout(root: String): Option[(String, Int, String)] = {
+    val p = Paths.get(root, "meta", "_layout.json")
+    if (!Files.exists(p)) None
+    else {
+      val node = mapper.readTree(Files.readString(p))
+      Some((node.get("partition_col").asText(), node.get("n_buckets").asInt(),
+        if (node.has("transform")) node.get("transform").asText()
+        else if (node.get("n_buckets").asInt() > 0) "bucket" else "identity"))
+    }
+  }
+
   private def avroClustered(spark: SparkSession, root: String,
       df: DataFrame, parts: Option[Int] = None): DataFrame = {
-    val p = Paths.get(root, "meta", "_layout.json")
-    if (!Files.exists(p)) return parts.map(df.repartition).getOrElse(df)
-    val node = mapper.readTree(Files.readString(p))
-    val c = node.get("partition_col").asText()
-    val tf = if (node.has("transform")) node.get("transform").asText()
-      else if (node.get("n_buckets").asInt() > 0) "bucket" else "identity"
+    val layout = declaredLayout(root)
+    if (layout.isEmpty) return parts.map(df.repartition).getOrElse(df)
+    val (c, _, tf) = layout.get
     val ranged = Set("days", "months", "hours", "years", "date", "truncate")
     def byRange(cl: org.apache.spark.sql.Column): DataFrame = {
       // EXPLICIT partition count: an un-sized range shuffle is fair

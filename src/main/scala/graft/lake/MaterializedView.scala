@@ -189,43 +189,44 @@ object MaterializedView {
     }
   }
 
-  /** Fold fact/dim changes since the recorded basis — the named-MV
-    * face of [[IncrementalJoinMv.refresh]] (one MoR MERGE commit,
-    * O(Δ groups)); returns the new (fact, dim) basis.
+  /** Fold base-table changes since the recorded basis by the stored
+    * kind's law; returns the FULL new basis vector — (fact) for the
+    * single-table kinds, (fact, d₁ … dₖ) for join MVs. The one
+    * dispatch every caller goes through.
     */
-  def refresh(s: SparkSession, mvDir: String): (Int, Int) = {
+  def refreshAll(s: SparkSession, mvDir: String): Seq[Int] = {
     val d = readDef(mvDir)
     if (d.kind == "minmax")
-      (MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
+      Seq(MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
         d.minName, d.maxName, extras = minmaxExtras(d),
-        subGroups = d.group.tail), 0)
+        subGroups = d.group.tail))
     else if (d.kind == "single")
-      (IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
-        cfgOf(d), derived = singleDerived(d)), 0)
-    else {
-      val b = IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
-        d.group, aggsOf(d), cfgOf(d))
-      // the scalar pair keeps the CALL-procedure contract; the full
-      // vector is in the mv.mv row (basis_dims)
-      (b.head, b(1))
-    }
+      Seq(IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
+        cfgOf(d), derived = singleDerived(d)))
+    else IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
+      d.group, aggsOf(d), cfgOf(d))
+  }
+
+  /** Scalar-pair convenience for single-table and one-dimension MVs;
+    * refuses to TRUNCATE a multi-dimension basis vector silently.
+    */
+  def refresh(s: SparkSession, mvDir: String): (Int, Int) = {
+    val b = refreshAll(s, mvDir)
+    require(b.size <= 2,
+      s"$mvDir is a ${b.size - 1}-dimension join MV — use refreshAll " +
+        "(the pair form would drop dimension bases)")
+    (b.head, if (b.size > 1) b(1) else 0)
   }
 
   /** Refresh by name and render the new basis for the CALL-procedure
-    * output — the one place the FULL multi-dimension basis vector is
-    * a scalar-friendly string.
+    * output — pure rendering over [[refreshAll]]'s vector.
     */
-  def refreshStatus(s: SparkSession, mvDir: String): String = {
-    val d = readDef(mvDir)
-    if (d.kind == "join" && d.joinDims.size > 1) {
-      val b = IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
-        d.group, aggsOf(d), cfgOf(d))
-      s"fact=${b.head},dims=${b.tail.mkString(",")}"
-    } else {
-      val (f, dd) = refresh(s, mvDir)
-      if (dd == 0) s"fact=$f" else s"fact=$f,dim=$dd"
+  def refreshStatus(s: SparkSession, mvDir: String): String =
+    refreshAll(s, mvDir) match {
+      case Seq(f) => s"fact=$f"
+      case Seq(f, d) => s"fact=$f,dim=$d"
+      case f +: ds => s"fact=$f,dims=${ds.mkString(",")}"
     }
-  }
 
   /** The `t.mv` metadata row: definition + current basis — the
     * history-style operator view of what the MV head reflects.

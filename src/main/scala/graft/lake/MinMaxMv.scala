@@ -77,11 +77,13 @@ object MinMaxMv {
 
   /** The maintenance mode of the newest refresh the head reflects
     * (`targeted` — the Δ-group fold — or `full`, the over-cap or
-    * CREATE recompute).
+    * CREATE recompute). Pre-suffix-era notes (`mmv-basis-N` bare)
+    * were stamped by creates AND targeted refreshes alike, so they
+    * honestly report `?` rather than guessing.
     */
   def mode(mvRoot: String): String =
     LakeTable.findContentNote(mvRoot) {
-      case noteRe(_, m) => Some(Option(m).getOrElse("targeted"))
+      case noteRe(_, m) => Some(Option(m).getOrElse("?"))
       case _ => None
     }.getOrElse("?")
 

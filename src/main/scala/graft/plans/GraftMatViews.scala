@@ -161,6 +161,9 @@ object GraftMatViews {
         grammarError(s"plain select columns (${bareCols.mkString(", ")}) " +
           s"must match GROUP BY (${groupCols.mkString(", ")})")
       if (groupCols.isEmpty) grammarError("at least one group column is required")
+      sums.result().map(_._1).groupBy(_.toLowerCase).collectFirst {
+        case (_, vs) if vs.size > 1 => vs.head
+      }.foreach(nm => grammarError(s"duplicate measure name '$nm'"))
       val factParts = spark.sessionState.sqlParser
         .parseMultipartIdentifier(unquote(factId))
       val dimPartsList = joins.map(j => spark.sessionState.sqlParser

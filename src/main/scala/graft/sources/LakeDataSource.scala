@@ -1259,19 +1259,12 @@ private[graft] object LakeFormatWrite {
   /** The table's DDL-declared layout: (col, nBuckets, transform) —
     * `PARTITIONED BY (bucket(n, c))` → (c, n, "bucket");
     * `PARTITIONED BY (c)` → (c, 0, "identity"); a temporal transform
-    * (`days(ts)` etc.) → (ts, 0, "days").
+    * (`days(ts)` etc.) → (ts, 0, "days"). Delegates to the one
+    * shared reader ([[graft.lake.LakeTable.declaredLayout]]) so the
+    * parquet and avro planes can never drift on layout semantics.
     */
-  private def declaredLayout(root: String): Option[(String, Int, String)] = {
-    val p = java.nio.file.Paths.get(root, "meta", "_layout.json")
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(p))
-      Some((node.get("partition_col").asText(), node.get("n_buckets").asInt(),
-        if (node.has("transform")) node.get("transform").asText()
-        else if (node.get("n_buckets").asInt() > 0) "bucket" else "identity"))
-    }
-  }
+  private def declaredLayout(root: String): Option[(String, Int, String)] =
+    graft.lake.LakeTable.declaredLayout(root)
 
   private val temporal = Set("days", "months", "hours", "years", "date")
 

@@ -81,8 +81,13 @@ object CdcApply {
         .getOrElse(Set.empty[Int])
       // a PRE-`empty`-ERA watermark cannot distinguish a correctly-
       // applied zero-commit snapshot from out-of-order delivery — the
-      // validation must not hard-fail a crash-replayed legacy batch
-      val legacy = !body.contains("\"empty\"") && !body.contains("\"prev_head\"")
+      // validation must not hard-fail a crash-replayed legacy batch.
+      // Keyed on the ABSENCE OF `empty` ALONE: `prev_head` predates
+      // the empty ledger, so an intermediate-era file (prev_head
+      // present, no empty list) is just as blind to zero-commit
+      // applications; new-format writes always emit `empty` (even
+      // `[]`), so this never misfires on a current file.
+      val legacy = !body.contains("\"empty\"")
       (s0, h0, ph, empty, legacy)
     }
   }

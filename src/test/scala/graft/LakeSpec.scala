@@ -1439,6 +1439,44 @@ class LakeDataSourceSpec extends AnyFunSuite {
     graft.util.Scratch.rmNow(fact); graft.util.Scratch.rmNow(mv)
   }
 
+  test("single-kind MV: a BASE-table rollback is NOT append-only — the refresh recomputes instead of folding an empty delta over stale state") {
+    import graft.lake.IncrementalMv
+    val s = spark
+    import s.implicits._
+    val base = graft.util.Scratch.dir("graft_smvrb_b_")
+    val mv = graft.util.Scratch.dir("graft_smvrb_m_")
+    val cfg = BlockWriter.Config("g", "id", maxRecordsPerFile = 64)
+    val mvCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 64)
+    def rows(ids: Seq[Long]) = ids.map(i => (i, s"k${i % 2}", i * 10L)).toDF("id", "g", "x")
+    val aggs = Seq(
+      IncrementalMv.Agg("n", count(lit(1)).cast("bigint"), c => sum(c).cast("bigint")),
+      IncrementalMv.Agg("sx", sum(col("x")).cast("bigint"), c => sum(c).cast("bigint")))
+    LakeTable.commit(s, base, rows(1L to 8L), cfg, Seq("id"))
+    LakeTable.deleteWhere(s, base, "id", Seq(2L, 4L).toDF("id"))
+    IncrementalMv.create(s, base, mv, Seq("g"), aggs, mvCfg)
+    // roll the BASE back across the MoR delete: files identical to
+    // the pre-state, dropped delete entry, nothing at the new seq —
+    // the old appendOnly called this a pure append and folded an
+    // EMPTY delta (fresh basis over stale state, silently)
+    LakeTable.rollback(base, 1)
+    IncrementalMv.refresh(s, base, mv, Seq("g"), aggs, mvCfg)
+    assert(IncrementalMv.mode(mv) === "full",
+      "a rollback commit in the range must force the full recompute")
+    val st = LakeTable.read(s, mv).select(col("g"), col("n"), col("sx"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(st === Map("k0" -> ((4L, 200L)), "k1" -> ((4L, 160L))),
+      "post-rollback refresh must reflect the RESTORED base content")
+    // and a roll FORWARD (re-referencing newer files under old seqs)
+    // is equally non-append
+    LakeTable.rollback(base, 2)
+    IncrementalMv.refresh(s, base, mv, Seq("g"), aggs, mvCfg)
+    assert(IncrementalMv.mode(mv) === "full")
+    val st2 = LakeTable.read(s, mv).select(col("g"), col("n"), col("sx"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(st2 === Map("k0" -> ((2L, 140L)), "k1" -> ((4L, 160L))))
+    graft.util.Scratch.rmNow(base); graft.util.Scratch.rmNow(mv)
+  }
+
   test("multi-dimension join MV: the Gupta-Mumick staircase lands on the recompute for fact/d1/d2/combined changes; composite USING keys; untouched lead groups byte-identical") {
     import graft.lake.IncrementalJoinMv
     import graft.lake.IncrementalJoinMv.DimSpec
