@@ -1925,6 +1925,69 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- stream_mv_single: the CONTINUOUSLY-MAINTAINED single-table
+  // COUNT/SUM view — the third MV kind's production deployment
+  // shape, closing the kind×surface square (all three kinds now run
+  // batch, SQL DDL, and streaming): the fact table's change-feed
+  // stream triggers an IncrementalMv.refresh per micro-batch under
+  // the same exactly-once-by-construction law (basis in the MV head
+  // note; replays/coalesces no-op; the MV table IS the state). The
+  // stream crosses a MoR DELETE mid-flight: the appendOnly gate
+  // flips that trigger's fold to the full-recompute mode — mode
+  // switching under streaming is exactly what the oracle's
+  // from-scratch replay gates. Each append-only trigger costs
+  // O(delta files) + a |MV|-row fold, never a base scan.
+  def streamMvSingle(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalMv
+    import org.apache.spark.sql.streaming.Trigger
+    val fact = tmp("graft_ssvf_")
+    val mv = tmp("graft_ssv_")
+    val ckpt = tmp("graft_ssv_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("vx100"))
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 1 << 20)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 1 << 20)
+    val aggs = Seq(
+      IncrementalMv.Agg("n", count(lit(1)).cast("bigint"), c => sum(c).cast("bigint")),
+      IncrementalMv.Agg("sum_vx100", sum(col("vx100")).cast("bigint"),
+        c => sum(c).cast("bigint")))
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg,
+      Seq("event_id", "event_type"))
+    IncrementalMv.create(s, fact, mv, Seq("event_type"), aggs, mvCfg)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(fact)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          IncrementalMv.refresh(s, fact, mv, Seq("event_type"), aggs, mvCfg): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg,
+      Seq("event_id", "event_type"))
+    drain() // append-only range → incr fold
+    LakeTable.deleteWhere(s, fact, "event_id",
+      ev.filter(col("event_id") % 5 === 0).select(col("event_id")))
+    drain() // MoR delete in range → full-recompute mode
+    LakeTable.read(s, mv)
+      .select(col("event_type"), col("n"), col("sum_vx100"))
+      .withColumn("mode", lit(IncrementalMv.mode(mv)))
+      .orderBy(col("event_type"))
+  }
+
+  val streamMvSingleSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_vx100,
+      |  'full' AS mode
+      |FROM events
+      |WHERE event_id % 3 IN (0, 1) AND event_id % 5 <> 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- stream_mv_refresh: the CONTINUOUSLY-MAINTAINED join view —
   // mv_join_refresh's production deployment shape: the fact table's
   // own CHANGE DATA FEED stream (readStream changeFeed=true, the v1
@@ -3626,6 +3689,7 @@ object Lake {
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_star" -> qSqlMvStar,
     "lake_avro_prune" -> lakeAvroPrune,
+    "stream_mv_single" -> streamMvSingle,
     "q_sql_rtas" -> qSqlRtas,
     "lake_nested" -> lakeNested,
     "lake_constraint" -> lakeConstraint,
@@ -3699,6 +3763,7 @@ object Lake {
     "q_sql_mv_profile" -> qSqlMvProfileSql,
     "q_sql_mv_star" -> qSqlMvStarSql,
     "lake_avro_prune" -> lakeAvroPruneSql,
+    "stream_mv_single" -> streamMvSingleSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
     "lake_constraint" -> lakeConstraintSql,
