@@ -167,15 +167,18 @@ object MaterializedView {
   def create(s: SparkSession, mvDir: String, d: MvDef): Int = {
     writeDef(mvDir, d)
     try {
-      if (d.kind == "minmax")
-        MinMaxMv.create(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
-          d.minName, d.maxName, extras = minmaxExtras(d),
-          subGroups = d.group.tail)
-      else if (d.kind == "single")
-        IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
-          cfgOf(d), derived = singleDerived(d))
-      else IncrementalJoinMv.create(s, d.fact, d.joinDims, mvDir,
-        d.group, aggsOf(d), cfgOf(d))
+      val snap =
+        if (d.kind == "minmax")
+          MinMaxMv.create(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
+            d.minName, d.maxName, extras = minmaxExtras(d),
+            subGroups = d.group.tail)
+        else if (d.kind == "single")
+          IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
+            cfgOf(d), derived = singleDerived(d))
+        else IncrementalJoinMv.create(s, d.fact, d.joinDims, mvDir,
+          d.group, aggsOf(d), cfgOf(d))
+      registerRef(d.fact, mvDir)
+      snap
     }
     catch { case e: Throwable =>
       Files.deleteIfExists(defPath(mvDir))
@@ -188,6 +191,53 @@ object MaterializedView {
       throw e
     }
   }
+
+  // --------------------------------------------------------------
+  // MV-reference registry: `meta/_mv_refs.json` ON THE FACT TABLE
+  // lists the MVs defined over it, so the automatic query-rewrite
+  // rule ([[graft.plans.MvRewrite]]) can find candidates in O(1)
+  // from the scan it already holds — no catalog enumeration on the
+  // query path. ADVISORY metadata only: a missing or lost ref
+  // disables automatic rewrite for that MV, never correctness
+  // (the query then runs against the fact table as written).
+
+  private def refsPath(factDir: String) =
+    Paths.get(factDir, "meta", "_mv_refs.json")
+
+  /** MV directories registered over a fact table; lazily drops
+    * entries whose definition is gone (DROP TABLE on the MV).
+    */
+  def refsOf(factDir: String): Seq[String] = {
+    val p = refsPath(factDir)
+    if (!Files.isRegularFile(p)) Nil
+    else try {
+      val n = mapper.readTree(Files.readString(p))
+      val it = n.get("mvs").elements()
+      Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next().asText()).toSeq.filter(isMv)
+    } catch { case _: Exception => Nil } // advisory: unreadable = none
+  }
+
+  /** Record `mvDir` as an MV over `factDir` (idempotent). Plain
+    * read-modify-write: concurrent CREATEs could drop each other's
+    * ref, which costs a missed rewrite opportunity, not wrong data —
+    * the commit protocol's CAS is reserved for state that matters.
+    */
+  private def registerRef(factDir: String, mvDir: String): Unit = try {
+    val cur = refsOf(factDir)
+    if (!cur.contains(mvDir)) {
+      val n = mapper.createObjectNode()
+      val a = n.putArray("mvs")
+      (cur :+ mvDir).foreach(x => { a.add(x): Unit })
+      Files.createDirectories(refsPath(factDir).getParent)
+      val tmp = refsPath(factDir)
+        .resolveSibling(s"._mv_refs.${System.nanoTime()}.tmp")
+      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(n))
+      Files.move(tmp, refsPath(factDir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+  } catch { case _: java.io.IOException => () } // advisory — see above
 
   /** Fold base-table changes since the recorded basis by the stored
     * kind's law; returns the FULL new basis vector — (fact) for the

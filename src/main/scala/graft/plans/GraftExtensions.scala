@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(FuseCosine)
+    // answer aggregates over a fact table from a FRESH materialized
+    // view built on it (exact-group projection or group-subset
+    // rollup) — the read-side half of the MV contract
+    ext.injectOptimizerRule(MvRewrite)
     // persisted SQL views over graft catalogs (Spark 4.1 ships the
     // ViewCatalog interface with no analyzer wiring — see GraftViews)
     ext.injectParser((session, delegate) => new GraftViewParser(session, delegate))

@@ -1121,6 +1121,108 @@ object Lake {
       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, event_type""".stripMargin
 
+  // --- q_sql_mv_rewrite: AUTOMATIC QUERY REWRITE — the read-side
+  // half of the MV contract (the refresh laws are the write side):
+  // plain aggregates over the FACT table, never mentioning any MV,
+  // are answered from a fresh MV by the injected optimizer rule
+  // (plans/MvRewrite) — exact-group projection, filter-commuting
+  // (WHERE on group columns lands on the MV rows, pushed into its
+  // scan), and group-subset ROLLUP (COUNT(*)→SUM(n), SUM→SUM over a
+  // finer MV, filters on grouped-away dimensions included). At
+  // 100 TB this replaces a full fact scan + shuffle with a scan of a
+  // group-domain-sized table. The gate proves the rewrite BOTH ways:
+  // stages 1-3 run with EVERY fact data file hidden (only a plan
+  // served by the MVs can produce rows at all), stage 4 runs against
+  // STALE MVs and must return the fresh fact values (a misfired
+  // rewrite would return yesterday's numbers and fail the hash), and
+  // stage 5 re-hides the files after a refresh.
+  def qSqlMvRewrite(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.rwf_$id"
+    val mv1 = s"graft.q.rwv_$id"; val mv2 = s"graft.q.rww_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlrw")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, ub BIGINT, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, event_id % 3,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlrw WHERE $pred""".stripMargin)
+    ins("event_id % 2 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv1 AS
+             |SELECT event_type, COUNT(*) AS n, SUM(vx100) AS sum_vx100
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv2 AS
+             |SELECT event_type, ub, COUNT(*) AS n, SUM(vx100) AS sum_vx100
+             |FROM $fact GROUP BY event_type, ub""".stripMargin)
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.rwf_$id")
+    def hidden[T](body: => T): T = {
+      val files = LakeTable
+        .manifest(factDir, LakeTable.currentSnapshot(factDir)).files.map(_.path)
+      def shift(hide: Boolean): Unit = files.foreach { p =>
+        val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+        val h = java.nio.file.Paths.get(f.toString + ".hidden")
+        java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+      }
+      shift(hide = true); try body finally shift(hide = false)
+    }
+    val agg =
+      s"SELECT event_type AS k, COUNT(*) AS cnt, SUM(vx100) AS total FROM $fact"
+    val (r1, r2, r3) = hidden {
+      (s.sql(s"$agg GROUP BY event_type").collect(),
+        s.sql(s"$agg WHERE event_type >= 'm' GROUP BY event_type").collect(),
+        s.sql(
+          s"""SELECT CAST(ub AS STRING) AS k, COUNT(*) AS cnt, SUM(vx100) AS total
+             |FROM $fact WHERE event_type >= 'm' GROUP BY ub""".stripMargin)
+          .collect())
+    }
+    ins("event_id % 2 = 1") // both MVs now stale → fact serves, fresh values
+    val r4 = s.sql(s"$agg GROUP BY event_type").collect()
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.rwv_$id')")
+    val r5 = hidden { s.sql(s"$agg GROUP BY event_type").collect() }
+    import s.implicits._
+    (r1.toSeq.map((1L, _)) ++ r2.toSeq.map((2L, _)) ++ r3.toSeq.map((3L, _)) ++
+      r4.toSeq.map((4L, _)) ++ r5.toSeq.map((5L, _)))
+      .map { case (st, r) => (st, r.getString(0), r.getLong(1), r.getLong(2)) }
+      .toDF("stage", "k", "cnt", "total")
+      .orderBy(col("stage"), col("k"))
+  }
+
+  val qSqlMvRewriteSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 3 AS ub,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, event_type AS k, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f WHERE event_id % 2 = 0 GROUP BY event_type),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, event_type AS k, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f WHERE event_id % 2 = 0 AND event_type >= 'm' GROUP BY event_type),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage, CAST(ub AS VARCHAR) AS k,
+      |    COUNT(*) AS cnt, CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f WHERE event_id % 2 = 0 AND event_type >= 'm' GROUP BY ub),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT) AS stage, event_type AS k, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f GROUP BY event_type),
+      |s5 AS (
+      |  SELECT CAST(5 AS BIGINT) AS stage, event_type AS k, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f GROUP BY event_type)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+      |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+      |ORDER BY stage, k""".stripMargin
+
   // --- prune_scan_z3: 3-DIMENSIONAL declared z-order —
   // `PARTITIONED BY (zorder(ts, user_id, value))`. The N-dim morton
   // interleave of per-dim quantile buckets (operators/ZOrder,
@@ -3687,6 +3789,7 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmax,
     "q_sql_mv_single" -> qSqlMvSingle,
     "q_sql_mv_profile" -> qSqlMvProfile,
+    "q_sql_mv_rewrite" -> qSqlMvRewrite,
     "q_sql_mv_star" -> qSqlMvStar,
     "lake_avro_prune" -> lakeAvroPrune,
     "stream_mv_single" -> streamMvSingle,
@@ -3761,6 +3864,7 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmaxSql,
     "q_sql_mv_single" -> qSqlMvSingleSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,
+    "q_sql_mv_rewrite" -> qSqlMvRewriteSql,
     "q_sql_mv_star" -> qSqlMvStarSql,
     "lake_avro_prune" -> lakeAvroPruneSql,
     "stream_mv_single" -> streamMvSingleSql,

@@ -237,7 +237,12 @@ class GraftLakeTable(spark: SparkSession, val root: String, asOf: Option[Int],
 
   private lazy val snap: Int = asOf.getOrElse(LakeTable.currentSnapshot(root))
 
-  private[sources] def resolvedSnapshot: Int = snap
+  private[graft] def resolvedSnapshot: Int = snap
+
+  /** Change-feed relations read a COMMIT RANGE, not table state —
+    * the MV query-rewrite rule must never match one.
+    */
+  private[graft] def isChangeFeed: Boolean = changeFeed
 
   /** A CREATE TABLE'd-but-never-written table's declared schema
     * (meta/_schema.json), for loads that bypass the catalog (the

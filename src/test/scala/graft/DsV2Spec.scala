@@ -1334,6 +1334,114 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $mv"); spark.sql(s"DROP TABLE $fact")
   }
 
+  test("MV query rewrite: fresh MVs answer aggregates (exact, filtered, rollup); stale/unsafe shapes run as written") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.qrf_$id"
+    val mv = s"graft.psd.qrv_$id"; val mv2 = s"graft.psd.qrw_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, u BIGINT, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'a', 0, 10), (2, 'a', 1, 20),
+                 |(3, 'b', 0, 30), (4, 'b', 1, 40), (5, 'b', 1, 50)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, SUM(x) AS sx FROM $fact GROUP BY g""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv2 AS
+                 |SELECT g, u, COUNT(*) AS n, SUM(x) AS sx
+                 |FROM $fact GROUP BY g, u""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.qrf_$id")
+    val mvDir = cat.tableDir(s"psd.qrv_$id")
+    val mv2Dir = cat.tableDir(s"psd.qrw_$id")
+    def scans(sql: String): Seq[String] =
+      spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2Relation =>
+          r.table.asInstanceOf[graft.sources.GraftLakeTable].root
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.relation.table.asInstanceOf[graft.sources.GraftLakeTable].root
+      }
+    val q = s"SELECT g, COUNT(*) AS c, SUM(x) AS s FROM $fact GROUP BY g"
+    // ---- exact tier: the plan scans the MV, not the fact
+    assert(scans(q) === Seq(mvDir))
+    // ---- strongest value pin: hide EVERY fact data file — only a
+    // plan that reads the MVs alone can produce these answers
+    def hideAll(hide: Boolean): Unit =
+      LakeTable.manifest(factDir, LakeTable.currentSnapshot(factDir))
+        .files.map(_.path).foreach { p =>
+          val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+          val h = java.nio.file.Paths.get(f.toString + ".hidden")
+          java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+        }
+    hideAll(hide = true)
+    try {
+      assert(spark.sql(q).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+        Map("a" -> ((2L, 30L)), "b" -> ((3L, 120L))))
+      // filter on a group column commutes with the grouping
+      assert(spark.sql(s"$q HAVING COUNT(*) > 2").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+        Map("b" -> ((3L, 120L))))
+      assert(spark.sql(
+        s"SELECT g, SUM(x) AS s FROM $fact WHERE g = 'b' GROUP BY g")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("b", 120L)))
+      // rollup tier: {u} ⊂ {g, u} with a filter on the grouped-away
+      // dimension — COUNT(*) → SUM(n), SUM → SUM over the (g, u) MV
+      assert(spark.sql(
+        s"SELECT u, COUNT(*) AS c, SUM(x) AS s FROM $fact WHERE g = 'b' GROUP BY u")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+        Map(0L -> ((1L, 30L)), 1L -> ((2L, 90L))))
+    } finally hideAll(hide = false)
+    // ---- unsafe shapes run as written (against the fact scan)
+    assert(scans(s"SELECT g, COUNT(DISTINCT u) AS c FROM $fact GROUP BY g")
+      === Seq(factDir), "DISTINCT never rewrites")
+    assert(scans(s"SELECT g, SUM(fid) AS s FROM $fact GROUP BY g")
+      === Seq(factDir), "a measure the MV does not store never rewrites")
+    assert(scans(s"SELECT g, COUNT(*) AS c FROM $fact WHERE x > 15 GROUP BY g")
+      === Seq(factDir), "a filter on a non-group column never rewrites")
+    assert(scans(s"SELECT COUNT(*) AS c FROM $fact")
+      === Seq(factDir), "a global aggregate never rewrites (empty-MV NULL)")
+    // ---- staleness: new fact data makes every MV basis old; the
+    // SAME query must fall back to the fact until a refresh
+    spark.sql(s"INSERT INTO $fact VALUES (6, 'c', 0, 60)")
+    assert(scans(q) === Seq(factDir), "a stale MV must never serve")
+    assert(spark.sql(q).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map("a" -> ((2L, 30L)), "b" -> ((3L, 120L)), "c" -> ((1L, 60L))))
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.qrv_$id')")
+    assert(scans(q) === Seq(mvDir), "a refreshed MV serves again")
+    // time travel rewrites ONLY when an MV reflects that exact
+    // version. mv2 was NOT refreshed — its basis IS the pre-insert
+    // snapshot, so an AS OF read of that version is served by the
+    // "stale" MV (staleness is relative to the version being read,
+    // not the head), via the rollup tier ({g} ⊂ {g, u})
+    val preInsert = LakeTable.currentSnapshot(factDir) - 1
+    val tt = s"SELECT g, COUNT(*) AS c FROM $fact VERSION AS OF $preInsert GROUP BY g"
+    assert(scans(tt) === Seq(mv2Dir),
+      "an un-refreshed MV exactly matches the time-travel version")
+    assert(spark.sql(tt).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ===
+      Map("a" -> 2L, "b" -> 3L))
+    // once mv2 is refreshed to the head, NO MV reflects the old
+    // version any more — the AS OF read scans the fact as written
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.qrw_$id')")
+    assert(scans(tt) === Seq(factDir))
+    // kill switch
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(scans(q) === Seq(factDir))
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    // ---- DROP prunes the fact-side registry lazily
+    assert(graft.lake.MaterializedView.refsOf(factDir).toSet === Set(mvDir, mv2Dir))
+    spark.sql(s"DROP TABLE $mv"); spark.sql(s"DROP TABLE $mv2")
+    assert(graft.lake.MaterializedView.refsOf(factDir) === Nil)
+    spark.sql(s"DROP TABLE $fact")
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")
