@@ -50,7 +50,8 @@ import graft.sources.GraftLakeTable
   * catalog walk on the query path. Disable with
   * `spark.graft.mv.rewrite=false`.
   */
-case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get("spark.graft.mv.rewrite", "true").toBoolean) plan
@@ -61,23 +62,31 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Peel column-pruning Projects and deterministic Filters off the
-    * aggregate's child down to a graft lake scan; conjuncts combine.
+  /** Peel column-pruning Projects, deterministic Filters and INNER
+    * equi-join structure off the aggregate's child down to graft
+    * lake scans: every predicate — WHERE conjuncts wherever the
+    * optimizer pushed them AND join conditions — lands in one
+    * conjunct pool, every relation in one list. Anything else
+    * (outer joins, non-graft sources, non-deterministic filters)
+    * vetoes the rewrite.
     */
-  private def destructure(p: LogicalPlan, conds: Seq[Expression])
-      : Option[(Option[Expression], DataSourceV2Relation, GraftLakeTable)] =
-    p match {
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        destructure(c, conds)
-      case Filter(cond, c) if cond.deterministic =>
-        destructure(c, conds :+ cond)
-      case r: DataSourceV2Relation => r.table match {
-        case t: GraftLakeTable if !t.isChangeFeed =>
-          Some((conds.reduceOption(And), r, t))
-        case _ => None
+  private def flatten(p: LogicalPlan)
+      : Option[(Seq[Expression], Seq[DataSourceV2Relation])] = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      flatten(c)
+    case Filter(cond, c) if cond.deterministic =>
+      flatten(c).map { case (cs, rs) =>
+        (cs ++ splitConjunctivePredicates(cond), rs)
       }
+    case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, cond, _) =>
+      for { (lc, lr) <- flatten(l); (rc, rr) <- flatten(r) }
+        yield (lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates), lr ++ rr)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftLakeTable if !t.isChangeFeed => Some((Nil, Seq(r)))
       case _ => None
     }
+    case _ => None
+  }
 
   /** Parse a stored measure-argument text and bind it to the fact
     * scan's attributes (name-insensitive), filling session timezones
@@ -123,30 +132,98 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (cond, rel, table) = destructure(agg.child, Nil).getOrElse(return None)
-    val refs = MaterializedView.refsOf(table.root)
-    if (refs.isEmpty) return None
+    val (conds, rels) = flatten(agg.child).getOrElse(return None)
+    if (rels.isEmpty) return None
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _ => return None
     }
     if (groupAttrs.map(_.exprId).distinct.size != groupAttrs.size) return None
-    // fresh candidates only: basis == the snapshot THIS scan reads
+    val roots = rels.map(_.table.asInstanceOf[GraftLakeTable].root)
+    if (roots.distinct.size != roots.size) return None // self-joins: bail
+    val refs = roots.flatMap(MaterializedView.refsOf).distinct
+    if (refs.isEmpty) return None
     val defs = refs.flatMap { mvDir =>
       Try(MaterializedView.readDef(mvDir)).toOption.map(mvDir -> _)
-    }.filter { case (mvDir, d) =>
-      (d.kind == "single" || d.kind == "minmax") &&
-        Try(d.kind match {
-          case "single" => IncrementalMv.basis(mvDir)
-          case _ => MinMaxMv.basis(mvDir)
-        }).toOption.contains(table.resolvedSnapshot)
     }
-    if (defs.isEmpty) return None
-    defs.view.flatMap { case (mvDir, d) =>
-      rewriteExact(agg, rel, groupAttrs, cond, mvDir, d)
-    }.headOption.orElse(defs.view.flatMap { case (mvDir, d) =>
-      rewriteRollup(agg, rel, groupAttrs, cond, mvDir, d)
+    // candidates whose structure AND freshness match this exact scan
+    // set: (residual group-col predicate, combined binding output)
+    val matched: Seq[(String, MaterializedView.MvDef, Option[Expression], Seq[Attribute])] =
+      if (rels.size == 1) {
+        val table = rels.head.table.asInstanceOf[GraftLakeTable]
+        defs.collect {
+          case (mvDir, d)
+              if (d.kind == "single" || d.kind == "minmax") &&
+                Try(d.kind match {
+                  case "single" => IncrementalMv.basis(mvDir)
+                  case _ => MinMaxMv.basis(mvDir)
+                }).toOption.contains(table.resolvedSnapshot) =>
+            (mvDir, d, conds.reduceOption(And), rels.head.output)
+        }
+      } else defs.filter(_._2.kind == "join").flatMap { case (mvDir, d) =>
+        matchJoin(mvDir, d, conds, rels).map { case (residual, bindOut) =>
+          (mvDir, d, residual, bindOut)
+        }
+      }
+    if (matched.isEmpty) return None
+    matched.view.flatMap { case (mvDir, d, cond, bindOut) =>
+      rewriteExact(agg, bindOut, groupAttrs, cond, mvDir, d)
+    }.headOption.orElse(matched.view.flatMap { case (mvDir, d, cond, bindOut) =>
+      rewriteRollup(agg, bindOut, groupAttrs, cond, mvDir, d)
     }.headOption)
+  }
+
+  /** Match a join-kind MV against the flattened scan set: exactly
+    * one relation is the MV's fact, the rest biject onto its
+    * dimensions by root, and the conjunct pool decomposes into
+    *  (a) the expected key equalities (every (fact.k = dim.k) pair
+    *      of every dimension, either orientation, all present),
+    *  (b) IsNotNull on join-key attributes (implied by the inner
+    *      equi-join — tautological on MV rows), and
+    *  (c) a residual the caller must commute onto group columns.
+    * Freshness: the MV's basis VECTOR equals each relation's
+    * resolved snapshot — fact and every dimension.
+    * Returns (residual predicate, fact-first binding output).
+    */
+  private def matchJoin(mvDir: String, d: MaterializedView.MvDef,
+      conds: Seq[Expression], rels: Seq[DataSourceV2Relation])
+      : Option[(Option[Expression], Seq[Attribute])] = {
+    val byRoot = rels.map(r =>
+      r.table.asInstanceOf[GraftLakeTable].root -> r).toMap
+    val factRel = byRoot.getOrElse(d.fact, return None)
+    val dimSpecs = d.joinDims
+    if (dimSpecs.map(_.root).distinct.size != dimSpecs.size) return None
+    val dimRels = dimSpecs.map(ds => byRoot.getOrElse(ds.root, return None))
+    if (rels.size != 1 + dimSpecs.size) return None
+    // freshness: the full basis vector against the full scan set
+    val basis = Try(IncrementalJoinMv.basisAll(mvDir)).toOption.getOrElse(return None)
+    val snaps = (factRel +: dimRels)
+      .map(_.table.asInstanceOf[GraftLakeTable].resolvedSnapshot)
+    if (basis != snaps) return None
+    // expected key-equality pairs, by exprId
+    def attrOf(rel: DataSourceV2Relation, name: String): Option[Attribute] =
+      rel.output.find(_.name.equalsIgnoreCase(name))
+    val pairs: Seq[(Attribute, Attribute)] = dimSpecs.zip(dimRels).flatMap {
+      case (ds, dr) => ds.keys.map { k =>
+        (attrOf(factRel, k).getOrElse(return None),
+          attrOf(dr, k).getOrElse(return None))
+      }
+    }
+    val pairIds = pairs.map { case (a, b) => Set(a.exprId, b.exprId) }
+    val keyIds = pairIds.flatten.toSet
+    val covered = scala.collection.mutable.Set.empty[Set[ExprId]]
+    val residual = Seq.newBuilder[Expression]
+    conds.foreach {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if pairIds.contains(Set(a.exprId, b.exprId)) =>
+        covered += Set(a.exprId, b.exprId)
+      case IsNotNull(a: AttributeReference) if keyIds.contains(a.exprId) =>
+        () // implied by the inner equi-join
+      case other => residual += other
+    }
+    if (covered.size != pairIds.distinct.size) return None // a key missing
+    Some((residual.result().reduceOption(And),
+      factRel.output ++ dimRels.flatMap(_.output)))
   }
 
   /** A fresh analyzed DSv2 scan of the MV table — the same relation
@@ -159,16 +236,35 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     Try(spark.read.format("graft-lake").load(mvDir)
       .queryExecution.analyzed).toOption
 
-  /** Remap a fact-attribute filter onto MV attributes, iff every
-    * referenced column is an MV group column of identical type.
+  /** Column names that appear on MORE THAN ONE side of the scan set
+    * and are NOT join keys: a name-based remap of such a column could
+    * silently pick the wrong side's values, so any reference to one
+    * vetoes the rewrite. Join keys are exempt — the inner equi-join
+    * equates both sides on every surviving row. Empty for
+    * single-table scans by construction.
+    */
+  private def unsafeNames(bindOut: Seq[Attribute],
+      d: MaterializedView.MvDef): Set[String] = {
+    val keys =
+      if (d.kind == "join") d.joinDims.flatMap(_.keys).map(_.toLowerCase).toSet
+      else Set.empty[String]
+    bindOut.groupBy(_.name.toLowerCase).collect {
+      case (n, vs) if vs.size > 1 => n
+    }.toSet -- keys
+  }
+
+  /** Remap a base-attribute filter onto MV attributes, iff every
+    * referenced column is an MV group column of identical type and
+    * unambiguous in the scan set.
     */
   private def remapCond(cond: Option[Expression], d: MaterializedView.MvDef,
-      mvOut: Seq[Attribute]): Option[Option[Expression]] = {
+      mvOut: Seq[Attribute], unsafe: Set[String]): Option[Option[Expression]] = {
     val groupSet = d.group.map(_.toLowerCase).toSet
     cond match {
       case None => Some(None)
       case Some(c) =>
-        if (!c.references.forall(a => groupSet.contains(a.name.toLowerCase)))
+        if (!c.references.forall(a => groupSet.contains(a.name.toLowerCase) &&
+            !unsafe.contains(a.name.toLowerCase)))
           return None
         var ok = true
         val mapped = c.transformUp {
@@ -221,7 +317,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** EXACT tier: same grouping → project MV rows 1:1. */
-  private def rewriteExact(agg: Aggregate, rel: DataSourceV2Relation,
+  private def rewriteExact(agg: Aggregate, bindOut: Seq[Attribute],
       groupAttrs: Seq[AttributeReference], cond: Option[Expression],
       mvDir: String, d: MaterializedView.MvDef): Option[LogicalPlan] = {
     val qg = groupAttrs.map(_.name.toLowerCase)
@@ -229,17 +325,19 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       qg.size != d.group.size) return None
     val mv = mvScan(mvDir).getOrElse(return None)
     def mvAttr(n: String) = mv.output.find(_.name.equalsIgnoreCase(n))
-    val cond2 = remapCond(cond, d, mv.output).getOrElse(return None)
+    val unsafe = unsafeNames(bindOut, d)
+    val cond2 = remapCond(cond, d, mv.output, unsafe).getOrElse(return None)
     val groupSet = qg.toSet
     val projList = mapOutputs(agg.aggregateExpressions,
       mapAgg = {
         case ae @ AggregateExpression(fn, Complete, false, None, _) =>
-          measureCol(fn, d, rel.output).flatMap(mvAttr)
+          measureCol(fn, d, bindOut).flatMap(mvAttr)
             .filter(_.dataType == ae.dataType)
         case _ => None
       },
       mapAttr = a =>
-        if (groupSet.contains(a.name.toLowerCase))
+        if (groupSet.contains(a.name.toLowerCase) &&
+            !unsafe.contains(a.name.toLowerCase))
           mvAttr(a.name).filter(_.dataType == a.dataType)
         else None).getOrElse(return None)
     Some(Project(projList, cond2.map(Filter(_, mv)).getOrElse(mv)))
@@ -250,7 +348,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * (grouped-away dimensions included — `WHERE ub = 1 GROUP BY
     * event_type` over an (event_type, ub) MV is the classic slice).
     */
-  private def rewriteRollup(agg: Aggregate, rel: DataSourceV2Relation,
+  private def rewriteRollup(agg: Aggregate, bindOut: Seq[Attribute],
       groupAttrs: Seq[AttributeReference], cond: Option[Expression],
       mvDir: String, d: MaterializedView.MvDef): Option[LogicalPlan] = {
     val qg = groupAttrs.map(_.name.toLowerCase)
@@ -260,7 +358,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
     val mv = mvScan(mvDir).getOrElse(return None)
     def mvAttr(n: String) = mv.output.find(_.name.equalsIgnoreCase(n))
-    val cond2 = remapCond(cond, d, mv.output).getOrElse(return None)
+    val unsafe = unsafeNames(bindOut, d)
+    if (qg.exists(unsafe.contains)) return None
+    val cond2 = remapCond(cond, d, mv.output, unsafe).getOrElse(return None)
     val groupMv = groupAttrs.map(a =>
       mvAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
     val groupSet = qg.toSet
@@ -271,11 +371,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case Count(Seq(Literal(v, _))) if v != null =>
               mvAttr(IncrementalJoinMv.CountCol).map(new Sum(_))
             case s: Sum =>
-              measureCol(s, d, rel.output).flatMap(mvAttr).map(new Sum(_))
+              measureCol(s, d, bindOut).flatMap(mvAttr).map(new Sum(_))
             case m: Min =>
-              measureCol(m, d, rel.output).flatMap(mvAttr).map(Min(_))
+              measureCol(m, d, bindOut).flatMap(mvAttr).map(Min(_))
             case m: Max =>
-              measureCol(m, d, rel.output).flatMap(mvAttr).map(Max(_))
+              measureCol(m, d, bindOut).flatMap(mvAttr).map(Max(_))
             case _ => None // AVG does not roll up from stored state
           }
           rolled.filter(_.dataType == ae.dataType)

@@ -1223,6 +1223,122 @@ object Lake {
       |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
       |ORDER BY stage, k""".stripMargin
 
+  // --- q_sql_mv_rewrite_star: automatic rewrite over a JOIN (star)
+  // MV — the flagship warehouse case: `fact ⋈ d1 ⋈ d2(composite key)
+  // GROUP BY wb, db` written as a plain star query is served by the
+  // Gupta-Mumick-maintained MV when its basis VECTOR (fact + every
+  // dimension) matches the scan set exactly. The conjunct pool
+  // decomposition (key equalities / implied IsNotNull / group-col
+  // residual) is what lets the predicate sit anywhere the optimizer
+  // pushed it. Stage 2 is the rollup slice: GROUP BY wb with
+  // WHERE db = 0 — a filter on a GROUPED-AWAY dimension attribute,
+  // re-aggregated from the finer MV. Stage 3 rewires a dimension:
+  // the basis vector is stale on the dim axis, so the SAME query
+  // must recompute the join (fresh values gate a misfire); stage 4
+  // re-hides the fact after a refresh.
+  def qSqlMvRewriteStar(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.rsf_$id"
+    val d1 = s"graft.q.rsd1_$id"; val d2 = s"graft.q.rsd2_$id"
+    val mv = s"graft.q.rsv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlrs")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, ub BIGINT, vx100 BIGINT)")
+    s.sql(s"""INSERT INTO $fact
+             |SELECT event_id, event_type, event_id % 2,
+             |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             |FROM ev_sqlrs""".stripMargin)
+    s.sql(s"CREATE TABLE $d1 (event_type STRING, wb BIGINT)")
+    s.sql(s"""INSERT INTO $d1
+             |SELECT event_type, length(event_type) % 3
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlrs)""".stripMargin)
+    s.sql(s"CREATE TABLE $d2 (event_type STRING, ub BIGINT, db BIGINT)")
+    s.sql(s"""INSERT INTO $d2
+             |SELECT event_type, ub, (length(event_type) + ub) % 2
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlrs)
+             |CROSS JOIN (SELECT explode(array(0L, 1L)) AS ub)""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT wb, db, COUNT(*) AS n, SUM(vx100) AS sum_vx100
+             |FROM $fact JOIN $d1 USING (event_type)
+             |JOIN $d2 USING (event_type, ub)
+             |GROUP BY wb, db""".stripMargin)
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.rsf_$id")
+    def hidden[T](body: => T): T = {
+      val files = LakeTable
+        .manifest(factDir, LakeTable.currentSnapshot(factDir)).files.map(_.path)
+      def shift(hide: Boolean): Unit = files.foreach { p =>
+        val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+        val h = java.nio.file.Paths.get(f.toString + ".hidden")
+        java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+      }
+      shift(hide = true); try body finally shift(hide = false)
+    }
+    val star = s"""FROM $fact JOIN $d1 USING (event_type)
+                  |JOIN $d2 USING (event_type, ub)""".stripMargin
+    val q = s"SELECT wb, db, COUNT(*) AS cnt, SUM(vx100) AS total $star GROUP BY wb, db"
+    val (r1, r2) = hidden {
+      (s.sql(q).collect(),
+        s.sql(s"""SELECT wb, CAST(-1 AS BIGINT) AS db, COUNT(*) AS cnt,
+                 |  SUM(vx100) AS total $star WHERE db = 0 GROUP BY wb""".stripMargin)
+          .collect())
+    }
+    // dim rewire: even-length types move wb buckets → basis vector
+    // stale on the d1 axis, the star query recomputes (fresh values)
+    s.sql(s"""MERGE INTO $d1 t USING (
+             |  SELECT event_type, (length(event_type) + 10) % 3 AS wb
+             |  FROM (SELECT DISTINCT event_type FROM ev_sqlrs)
+             |  WHERE length(event_type) % 2 = 0) src
+             |ON t.event_type = src.event_type
+             |WHEN MATCHED THEN UPDATE SET t.wb = src.wb""".stripMargin)
+    val r3 = s.sql(q).collect()
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.rsv_$id')")
+    val r4 = hidden { s.sql(q).collect() }
+    import s.implicits._
+    (r1.toSeq.map((1L, _)) ++ r2.toSeq.map((2L, _)) ++
+      r3.toSeq.map((3L, _)) ++ r4.toSeq.map((4L, _)))
+      .map { case (st, r) => (st, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) }
+      .toDF("stage", "wb", "db", "cnt", "total")
+      .orderBy(col("stage"), col("wb"), col("db"))
+  }
+
+  val qSqlMvRewriteStarSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 2 AS ub,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100,
+      |    length(event_type) AS len
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, len % 3 AS wb,
+      |    (len + ub) % 2 AS db, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f GROUP BY 2, 3),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, len % 3 AS wb,
+      |    CAST(-1 AS BIGINT) AS db, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f WHERE (len + ub) % 2 = 0 GROUP BY 2),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage,
+      |    (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb,
+      |    (len + ub) % 2 AS db, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f GROUP BY 2, 3),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT) AS stage,
+      |    (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb,
+      |    (len + ub) % 2 AS db, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f GROUP BY 2, 3)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |ORDER BY stage, wb, db""".stripMargin
+
   // --- prune_scan_z3: 3-DIMENSIONAL declared z-order —
   // `PARTITIONED BY (zorder(ts, user_id, value))`. The N-dim morton
   // interleave of per-dim quantile buckets (operators/ZOrder,
@@ -3790,6 +3906,7 @@ object Lake {
     "q_sql_mv_single" -> qSqlMvSingle,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_rewrite" -> qSqlMvRewrite,
+    "q_sql_mv_rewrite_star" -> qSqlMvRewriteStar,
     "q_sql_mv_star" -> qSqlMvStar,
     "lake_avro_prune" -> lakeAvroPrune,
     "stream_mv_single" -> streamMvSingle,
@@ -3865,6 +3982,7 @@ object Lake {
     "q_sql_mv_single" -> qSqlMvSingleSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,
     "q_sql_mv_rewrite" -> qSqlMvRewriteSql,
+    "q_sql_mv_rewrite_star" -> qSqlMvRewriteStarSql,
     "q_sql_mv_star" -> qSqlMvStarSql,
     "lake_avro_prune" -> lakeAvroPruneSql,
     "stream_mv_single" -> streamMvSingleSql,

@@ -1442,6 +1442,78 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fact")
   }
 
+  test("MV query rewrite over JOIN views: the star rollup is served from the MV; any stale relation or key mismatch falls back") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.jrf_$id"; val dim = s"graft.psd.jrd_$id"
+    val mv = s"graft.psd.jrv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, k STRING, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'k0', 10), (2, 'k0', 20), (3, 'k1', 30), (4, 'k2', 40)""".stripMargin)
+    spark.sql(s"CREATE TABLE $dim (k STRING, g STRING)")
+    spark.sql(s"INSERT INTO $dim VALUES ('k0', 'a'), ('k1', 'a'), ('k2', 'b')")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, SUM(x) AS sx
+                 |FROM $fact JOIN $dim USING (k) GROUP BY g""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.jrf_$id")
+    val mvDir = cat.tableDir(s"psd.jrv_$id")
+    def scans(sql: String): Seq[String] =
+      spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2Relation =>
+          r.table.asInstanceOf[graft.sources.GraftLakeTable].root
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.relation.table.asInstanceOf[graft.sources.GraftLakeTable].root
+      }
+    val q = s"SELECT g, COUNT(*) AS c, SUM(x) AS s FROM $fact JOIN $dim USING (k) GROUP BY g"
+    // the star rollup's plan is ONE scan — the MV's
+    assert(scans(q) === Seq(mvDir))
+    // strongest value pin: the fact files are unreadable
+    def hideAll(hide: Boolean): Unit =
+      LakeTable.manifest(factDir, LakeTable.currentSnapshot(factDir))
+        .files.map(_.path).foreach { p =>
+          val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+          val h = java.nio.file.Paths.get(f.toString + ".hidden")
+          java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+        }
+    hideAll(hide = true)
+    try {
+      assert(spark.sql(q).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+        Map("a" -> ((3L, 60L)), "b" -> ((1L, 40L))))
+      // a group-col filter commutes; explicit ON form matches too
+      assert(spark.sql(
+        s"""SELECT g, SUM(x) AS s FROM $fact f JOIN $dim d ON f.k = d.k
+           |WHERE g = 'a' GROUP BY g""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 60L)))
+    } finally hideAll(hide = false)
+    // join on the WRONG column pair never rewrites
+    assert(scans(s"""SELECT g, COUNT(*) AS c FROM $fact f
+                    |JOIN $dim d ON f.k = d.g GROUP BY g""".stripMargin)
+      .toSet === Set(factDir, cat.tableDir(s"psd.jrd_$id")))
+    // a filter on a NON-group joined column never rewrites
+    assert(scans(s"$q HAVING g IS NOT NULL").size === 1) // sanity: HAVING ok
+    assert(scans(s"""SELECT g, COUNT(*) AS c FROM $fact JOIN $dim USING (k)
+                    |WHERE x > 15 GROUP BY g""".stripMargin).size === 2)
+    // dim rewire → the MV basis vector is stale on the DIM axis
+    spark.sql(s"""MERGE INTO $dim t USING (SELECT 'k2' AS k, 'a' AS g) src
+                 |ON t.k = src.k WHEN MATCHED THEN UPDATE SET t.g = src.g""".stripMargin)
+    assert(scans(q).size === 2, "a stale dimension must fall back to the join")
+    assert(spark.sql(q).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map("a" -> ((4L, 100L))))
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.jrv_$id')")
+    assert(scans(q) === Seq(mvDir), "the refreshed basis vector serves again")
+    spark.sql(s"DROP TABLE $mv")
+    spark.sql(s"DROP TABLE $dim"); spark.sql(s"DROP TABLE $fact")
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")
