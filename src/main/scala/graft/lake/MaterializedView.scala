@@ -49,7 +49,14 @@ object MaterializedView {
       kind: String = "join", value: String = "",
       minName: String = "", maxName: String = "",
       avgs: Seq[(String, String)] = Nil,
-      dims: Seq[(String, Seq[String])] = Nil) {
+      dims: Seq[(String, Seq[String])] = Nil,
+      // session timezone at CREATE: timezone-aware measure
+      // expressions were materialized under it, so the query-rewrite
+      // rule must bind the stored text to THIS zone (not the reading
+      // session's) when deciding semantic equality — a tz mismatch
+      // then fails the match instead of serving wrong-zone data.
+      // Empty on pre-tz definitions: tz-aware measures never match.
+      tz: String = "") {
     /** The effective dimension list of a `join` MV: the multi-dim
       * `dims` field when present, else the legacy single (dim, key)
       * pair — pre-multi-dim `_mv.json` files keep working.
@@ -77,6 +84,7 @@ object MaterializedView {
     n.put("sql", d.sql)
     n.put("kind", d.kind); n.put("value", d.value)
     n.put("min_name", d.minName); n.put("max_name", d.maxName)
+    n.put("tz", d.tz)
     val av = n.putArray("avgs")
     d.avgs.foreach { case (name, e) =>
       val o = av.addObject(); o.put("name", name); o.put("expr", e): Unit
@@ -117,7 +125,8 @@ object MaterializedView {
         val it = o.get("keys").elements()
         (o.get("root").asText(),
           Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq)
-      })
+      },
+      tz = opt("tz"))
   }
 
   private def aggsOf(d: MvDef): Seq[IncrementalJoinMv.Agg] =
@@ -164,7 +173,8 @@ object MaterializedView {
     * leave a committed table no refresh can ever drive. A FAILED
     * materialization cleans its def up so the name frees again.
     */
-  def create(s: SparkSession, mvDir: String, d: MvDef): Int = {
+  def create(s: SparkSession, mvDir: String, d0: MvDef): Int = {
+    val d = d0.copy(tz = s.sessionState.conf.sessionLocalTimeZone)
     writeDef(mvDir, d)
     try {
       val snap =
@@ -204,6 +214,12 @@ object MaterializedView {
   private def refsPath(factDir: String) =
     Paths.get(factDir, "meta", "_mv_refs.json")
 
+  // the rewrite rule consults refsOf on every aggregate over a graft
+  // scan, every optimizer iteration — cache the parse by file mtime
+  // (the liveness filter below stays per-call so DROP shows at once)
+  private val refsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.attribute.FileTime, Seq[String])]
+
   /** MV directories registered over a fact table; lazily drops
     * entries whose definition is gone (DROP TABLE on the MV).
     */
@@ -211,10 +227,20 @@ object MaterializedView {
     val p = refsPath(factDir)
     if (!Files.isRegularFile(p)) Nil
     else try {
-      val n = mapper.readTree(Files.readString(p))
-      val it = n.get("mvs").elements()
-      Iterator.continually(it).takeWhile(_.hasNext)
-        .map(_.next().asText()).toSeq.filter(isMv)
+      val mtime = Files.getLastModifiedTime(p)
+      val cached = refsCache.get(factDir)
+      val raw =
+        if (cached != null && cached._1 == mtime) cached._2
+        else {
+          val n = mapper.readTree(Files.readString(p))
+          val it = n.get("mvs").elements()
+          val parsed = Iterator.continually(it).takeWhile(_.hasNext)
+            .map(_.next().asText()).toSeq
+          if (refsCache.size > 256) refsCache.clear()
+          refsCache.put(factDir, (mtime, parsed))
+          parsed
+        }
+      raw.filter(isMv)
     } catch { case _: Exception => Nil } // advisory: unreadable = none
   }
 

@@ -15,26 +15,41 @@ import graft.sources.GraftLakeTable
 
 /** AUTOMATIC QUERY REWRITE over materialized views — the read-side
   * half of the MV contract (the refresh laws are the write side): an
-  * aggregate over a fact table is answered from an MV built on that
-  * fact when the MV provably holds the identical answer, without the
-  * query mentioning the MV at all. At 100 TB this turns a full fact
-  * scan + shuffle into a scan of a table the size of the group-key
-  * domain — the reason warehouses build rollups in the first place.
+  * aggregate over a fact table (or a fact ⋈ dimensions star) is
+  * answered from an MV built on it when the MV provably holds the
+  * identical answer, without the query mentioning the MV at all. At
+  * 100 TB this turns a full fact scan + shuffle into a scan of a
+  * table the size of the group-key domain — the reason warehouses
+  * build rollups in the first place.
   *
   * Soundness gates (ALL must hold, else the query runs as written):
-  *  - the MV's recorded basis equals the EXACT snapshot this scan
-  *    would read ([[GraftLakeTable.resolvedSnapshot]] — so a stale MV
-  *    never serves, and a time-travel read rewrites only when the MV
-  *    reflects precisely that version);
-  *  - the aggregate's shape maps 1:1 onto stored measures
-  *    (COUNT(*) → `n`, SUM/AVG by semantic equality of the argument
-  *    against the stored definition, MIN/MAX against the minmax
-  *    kind's value column), no DISTINCT, no FILTER clauses;
+  *  - the MV's recorded basis VECTOR equals the EXACT snapshots this
+  *    scan set would read ([[GraftLakeTable.resolvedSnapshot]] per
+  *    relation — a stale MV never serves; a time-travel read rewrites
+  *    only when the MV reflects precisely that version; a rewire of
+  *    ANY star dimension falls back until refresh); the MV scan
+  *    itself is PINNED to the snapshot the basis was read at, so a
+  *    concurrent refresh mid-planning cannot smuggle newer data in;
+  *  - the aggregate's shape maps onto stored measures — COUNT(*) →
+  *    `n`, SUM/AVG by semantic equality of the argument against the
+  *    stored definition text (bound under the DEFINITION's session
+  *    timezone, so a tz-sensitive measure read under a different
+  *    session zone fails the match instead of serving wrong-zone
+  *    data), MIN/MAX against the minmax kind's value column; no
+  *    DISTINCT, no FILTER clauses; the single kind's derived AVG
+  *    maps only for non-nullable integral arguments (its stored law
+  *    is SUM/COUNT(*) with a bigint sum — only then equal to AVG);
   *  - result types match the stored column types exactly (the single
-  *    kind stores bigint sums — a double SUM never maps);
-  *  - any WHERE below the aggregate references group columns only
-  *    (such a filter commutes with the grouping, so it applies to
-  *    the MV rows unchanged).
+  *    kind stores bigint sums — a double SUM never maps); output
+  *    nullability is repaired with KnownNotNull where the original
+  *    was non-nullable (COUNT) and the stored column reads nullable;
+  *  - join structure decomposes exactly: the conjunct pool (WHERE
+  *    conjuncts wherever the optimizer pushed them + join conditions)
+  *    must be expected key equalities, implied IsNotNull(key) terms,
+  *    and a residual over group columns only (such predicates commute
+  *    with the grouping, so they apply to MV rows unchanged);
+  *  - a column name appearing on multiple sides of the star without
+  *    being equated by the join vetoes name-based remapping.
   *
   * Two tiers:
   *  - EXACT: query groups = MV groups → a projection of MV rows
@@ -47,8 +62,10 @@ import graft.sources.GraftLakeTable
   *
   * Candidates come from the fact-side `meta/_mv_refs.json` registry
   * ([[MaterializedView.refsOf]]) — O(1) from the scan's own root, no
-  * catalog walk on the query path. Disable with
-  * `spark.graft.mv.rewrite=false`.
+  * catalog walk on the query path; definition/basis reads are cached
+  * by MV head snapshot and the analyzed MV relation by (dir, snap)
+  * so fixed-point optimizer iterations cost a head-pointer read, not
+  * repeated metadata IO. Disable with `spark.graft.mv.rewrite=false`.
   */
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -61,6 +78,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case agg: Aggregate => Try(tryRewrite(agg)).toOption.flatten.getOrElse(agg)
     }
   }
+
+  /** One MV that provably answers this scan set: its definition, the
+    * residual predicate to commute onto MV rows, the combined
+    * fact-first attribute list stored-measure texts bind against,
+    * the names a remap must refuse, and the PINNED MV snapshot.
+    */
+  private case class Candidate(mvDir: String, d: MaterializedView.MvDef,
+      residual: Option[Expression], bindOut: Seq[Attribute],
+      unsafe: Set[String], mvSnap: Int)
 
   /** Peel column-pruning Projects, deterministic Filters and INNER
     * equi-join structure off the aggregate's child down to graft
@@ -88,33 +114,64 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** Parse a stored measure-argument text and bind it to the fact
-    * scan's attributes (name-insensitive), filling session timezones
-    * the way the analyzer would — so `semanticEquals` against the
-    * user's analyzed aggregate argument is apples-to-apples.
+  /** Parse a stored measure-argument text and ANALYZE it against the
+    * scan set's own attributes (a LocalRelation carrying the exact
+    * exprIds, fact-first — matching how the defining query resolved),
+    * so functions, coercions and literals land exactly as the user's
+    * analyzed argument did and `semanticEquals` is apples-to-apples.
+    * Timezone-SENSITIVE nodes are then re-stamped with the
+    * DEFINITION's recorded session zone: a pre-tz definition never
+    * matches a tz-sensitive measure, and a zone mismatch fails the
+    * comparison instead of serving data materialized under a
+    * different clock (tz-neutral casts keep the session stamp so
+    * they still match across zones).
     */
-  private def resolveStored(text: String, out: Seq[Attribute]): Option[Expression] =
+  private def resolveStored(text: String, out: Seq[Attribute],
+      d: MaterializedView.MvDef): Option[Expression] =
     Try {
-      val bound = spark.sessionState.sqlParser.parseExpression(text).transformUp {
-        case u: UnresolvedAttribute if u.nameParts.size == 1 =>
-          out.find(_.name.equalsIgnoreCase(u.nameParts.head)).getOrElse(u)
+      val parsed = spark.sessionState.sqlParser.parseExpression(text)
+      val analyzed = spark.sessionState.analyzer.execute(
+        Project(Seq(Alias(parsed, "_graft_measure")()), LocalRelation(out)))
+      val e = analyzed.asInstanceOf[Project]
+        .projectList.head.asInstanceOf[Alias].child
+      val tzSensitive = e.exists {
+        case c: Cast => c.needsTimeZone
+        case _: TimeZoneAwareExpression => true
+        case _ => false
       }
-      bound.transformUp {
-        case tz: TimeZoneAwareExpression if tz.timeZoneId.isEmpty =>
-          tz.withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
-      }
-    }.toOption.filter(_.resolved)
+      if (!tzSensitive) Some(e)
+      else if (d.tz.isEmpty) None
+      else Some(e.transformUp {
+        case c: Cast if !c.needsTimeZone => c
+        case t: TimeZoneAwareExpression => t.withTimeZone(d.tz)
+      })
+    }.toOption.flatten.filter(_.resolved)
 
   /** The MV column a user aggregate function maps to, or None. */
   private def measureCol(fn: AggregateFunction, d: MaterializedView.MvDef,
-      relOut: Seq[Attribute]): Option[String] = fn match {
+      bindOut: Seq[Attribute]): Option[String] = fn match {
     case Count(Seq(Literal(v, _))) if v != null =>
       Some(IncrementalJoinMv.CountCol) // COUNT(*) analyzes to COUNT(1)
     case s: Sum => d.sums.collectFirst {
-      case (nm, txt) if resolveStored(txt, relOut).exists(_.semanticEquals(s.child)) => nm
+      case (nm, txt)
+          if resolveStored(txt, bindOut, d).exists(_.semanticEquals(s.child)) => nm
     }
     case a: Average => d.avgs.collectFirst {
-      case (nm, txt) if resolveStored(txt, relOut).exists(_.semanticEquals(a.child)) => nm
+      // the 'single' kind derives AVG as stored-SUM / COUNT(*) with a
+      // bigint-cast sum: equal to AVG(x) only when x can't be NULL
+      // (COUNT(x) = COUNT(*)) and is integral (the cast is exact).
+      // The minmax kind recomputes avg(expr) exactly — unrestricted.
+      case (nm, txt) if resolveStored(txt, bindOut, d).exists { se =>
+        val integral = se.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        se.semanticEquals(a.child) &&
+          (d.kind != "single" || (!se.nullable && integral))
+      } => nm
     }
     case m: Min => m.child match {
       case ar: AttributeReference
@@ -131,6 +188,39 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
+  // (mvDir, head snapshot) → (definition, basis vector): immutable
+  // once a head exists, so fixed-point iterations and repeated
+  // queries pay one head-pointer read instead of note walks
+  private val stateCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (MaterializedView.MvDef, Seq[Int])]
+
+  /** The MV's (head, definition, basis vector) read atomically: the
+    * head is re-checked after the derivation, so the returned basis
+    * describes exactly the snapshot [[mvScan]] will pin — a refresh
+    * committing mid-read makes the candidate drop out, never serve
+    * data newer than the fact scan it was validated against.
+    */
+  private def defBasisAt(mvDir: String)
+      : Option[(Int, MaterializedView.MvDef, Seq[Int])] = Try {
+    val head = LakeTable.currentSnapshot(mvDir)
+    val cached = stateCache.get((mvDir, head))
+    val (d, basis) =
+      if (cached != null) cached
+      else {
+        val d0 = MaterializedView.readDef(mvDir)
+        val b = d0.kind match {
+          case "single" => Seq(IncrementalMv.basis(mvDir))
+          case "minmax" => Seq(MinMaxMv.basis(mvDir))
+          case _ => IncrementalJoinMv.basisAll(mvDir)
+        }
+        if (LakeTable.currentSnapshot(mvDir) != head) return None
+        if (stateCache.size > 256) stateCache.clear()
+        stateCache.put((mvDir, head), (d0, b))
+        (d0, b)
+      }
+    (head, d, basis)
+  }.toOption
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (conds, rels) = flatten(agg.child).getOrElse(return None)
     if (rels.isEmpty) return None
@@ -143,34 +233,29 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (roots.distinct.size != roots.size) return None // self-joins: bail
     val refs = roots.flatMap(MaterializedView.refsOf).distinct
     if (refs.isEmpty) return None
-    val defs = refs.flatMap { mvDir =>
-      Try(MaterializedView.readDef(mvDir)).toOption.map(mvDir -> _)
-    }
-    // candidates whose structure AND freshness match this exact scan
-    // set: (residual group-col predicate, combined binding output)
-    val matched: Seq[(String, MaterializedView.MvDef, Option[Expression], Seq[Attribute])] =
+    val matched: Seq[Candidate] =
       if (rels.size == 1) {
         val table = rels.head.table.asInstanceOf[GraftLakeTable]
-        defs.collect {
-          case (mvDir, d)
-              if (d.kind == "single" || d.kind == "minmax") &&
-                Try(d.kind match {
-                  case "single" => IncrementalMv.basis(mvDir)
-                  case _ => MinMaxMv.basis(mvDir)
-                }).toOption.contains(table.resolvedSnapshot) =>
-            (mvDir, d, conds.reduceOption(And), rels.head.output)
+        refs.flatMap { mvDir =>
+          defBasisAt(mvDir).collect {
+            case (head, d, basis)
+                if (d.kind == "single" || d.kind == "minmax") &&
+                  basis == Seq(table.resolvedSnapshot) =>
+              Candidate(mvDir, d, conds.reduceOption(And),
+                rels.head.output, Set.empty, head)
+          }
         }
-      } else defs.filter(_._2.kind == "join").flatMap { case (mvDir, d) =>
-        matchJoin(mvDir, d, conds, rels).map { case (residual, bindOut) =>
-          (mvDir, d, residual, bindOut)
+      } else refs.flatMap { mvDir =>
+        defBasisAt(mvDir).filter(_._2.kind == "join").flatMap {
+          case (head, d, basis) => matchJoin(d, basis, conds, rels).map {
+            case (residual, bindOut, unsafe) =>
+              Candidate(mvDir, d, residual, bindOut, unsafe, head)
+          }
         }
       }
     if (matched.isEmpty) return None
-    matched.view.flatMap { case (mvDir, d, cond, bindOut) =>
-      rewriteExact(agg, bindOut, groupAttrs, cond, mvDir, d)
-    }.headOption.orElse(matched.view.flatMap { case (mvDir, d, cond, bindOut) =>
-      rewriteRollup(agg, bindOut, groupAttrs, cond, mvDir, d)
-    }.headOption)
+    matched.view.flatMap(rewriteExact(agg, groupAttrs, _)).headOption
+      .orElse(matched.view.flatMap(rewriteRollup(agg, groupAttrs, _)).headOption)
   }
 
   /** Match a join-kind MV against the flattened scan set: exactly
@@ -181,13 +266,17 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     *  (b) IsNotNull on join-key attributes (implied by the inner
     *      equi-join — tautological on MV rows), and
     *  (c) a residual the caller must commute onto group columns.
-    * Freshness: the MV's basis VECTOR equals each relation's
-    * resolved snapshot — fact and every dimension.
-    * Returns (residual predicate, fact-first binding output).
+    * The caller has already pinned freshness: `basis` (fact, dims…)
+    * must equal each relation's resolved snapshot. Returns
+    * (residual, fact-first binding output, unsafe names) — a name is
+    * UNSAFE when it appears on more than one side and any holder is
+    * NOT equated to the fact by its own dimension's keys (a dim
+    * column that merely shares a name with another dim's join key is
+    * still vetoed — the exemption is per equated pair, not global).
     */
-  private def matchJoin(mvDir: String, d: MaterializedView.MvDef,
+  private def matchJoin(d: MaterializedView.MvDef, basis: Seq[Int],
       conds: Seq[Expression], rels: Seq[DataSourceV2Relation])
-      : Option[(Option[Expression], Seq[Attribute])] = {
+      : Option[(Option[Expression], Seq[Attribute], Set[String])] = {
     val byRoot = rels.map(r =>
       r.table.asInstanceOf[GraftLakeTable].root -> r).toMap
     val factRel = byRoot.getOrElse(d.fact, return None)
@@ -195,8 +284,6 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (dimSpecs.map(_.root).distinct.size != dimSpecs.size) return None
     val dimRels = dimSpecs.map(ds => byRoot.getOrElse(ds.root, return None))
     if (rels.size != 1 + dimSpecs.size) return None
-    // freshness: the full basis vector against the full scan set
-    val basis = Try(IncrementalJoinMv.basisAll(mvDir)).toOption.getOrElse(return None)
     val snaps = (factRel +: dimRels)
       .map(_.table.asInstanceOf[GraftLakeTable].resolvedSnapshot)
     if (basis != snaps) return None
@@ -222,38 +309,47 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case other => residual += other
     }
     if (covered.size != pairIds.distinct.size) return None // a key missing
+    // per-holder equation audit for name-based remapping
+    val holders: Seq[(String, Boolean)] =
+      factRel.output.map(a => a.name.toLowerCase -> true) ++
+        dimSpecs.zip(dimRels).flatMap { case (ds, dr) =>
+          val ks = ds.keys.map(_.toLowerCase).toSet
+          dr.output.map(a =>
+            a.name.toLowerCase -> ks.contains(a.name.toLowerCase))
+        }
+    val unsafe = holders.groupBy(_._1).collect {
+      case (nm, hs) if hs.size > 1 && !hs.forall(_._2) => nm
+    }.toSet
     Some((residual.result().reduceOption(And),
-      factRel.output ++ dimRels.flatMap(_.output)))
+      factRel.output ++ dimRels.flatMap(_.output), unsafe))
   }
 
-  /** A fresh analyzed DSv2 scan of the MV table — the same relation
-    * a catalog read resolves to (manifest-stats pushdown, reported
-    * statistics for CBO/broadcast decisions). ExprIds are new; the
-    * rewrite's output aliases pin the ORIGINAL ids, so parents —
-    * HAVING, ORDER BY — resolve unchanged.
-    */
-  private def mvScan(mvDir: String): Option[LogicalPlan] =
-    Try(spark.read.format("graft-lake").load(mvDir)
-      .queryExecution.analyzed).toOption
+  // (mvDir, snapshot) → analyzed DSv2 relation; each use gets a
+  // newInstance() so exprIds never collide across (or within) plans
+  private val scanCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), DataSourceV2Relation]
 
-  /** Column names that appear on MORE THAN ONE side of the scan set
-    * and are NOT join keys: a name-based remap of such a column could
-    * silently pick the wrong side's values, so any reference to one
-    * vetoes the rewrite. Join keys are exempt — the inner equi-join
-    * equates both sides on every surviving row. Empty for
-    * single-table scans by construction.
+  /** An analyzed DSv2 scan of the MV PINNED at the basis-validated
+    * snapshot — the same relation a catalog read resolves to
+    * (manifest-stats pushdown, reported statistics for broadcast
+    * decisions). ExprIds are fresh per use; the rewrite's output
+    * aliases pin the ORIGINAL ids, so parents — HAVING, ORDER BY —
+    * resolve unchanged.
     */
-  private def unsafeNames(bindOut: Seq[Attribute],
-      d: MaterializedView.MvDef): Set[String] = {
-    val keys =
-      if (d.kind == "join") d.joinDims.flatMap(_.keys).map(_.toLowerCase).toSet
-      else Set.empty[String]
-    bindOut.groupBy(_.name.toLowerCase).collect {
-      case (n, vs) if vs.size > 1 => n
-    }.toSet -- keys
+  private def mvScan(mvDir: String, snap: Int): Option[LogicalPlan] = {
+    val cached = scanCache.get((mvDir, snap))
+    if (cached != null) Some(cached.newInstance())
+    else Try(spark.read.format("graft-lake").option("snapshot", snap.toString)
+        .load(mvDir).queryExecution.analyzed).toOption.map {
+      case r: DataSourceV2Relation =>
+        if (scanCache.size > 64) scanCache.clear()
+        scanCache.put((mvDir, snap), r)
+        r.newInstance()
+      case other => other // unexpected shape: usable once, uncached
+    }
   }
 
-  /** Remap a base-attribute filter onto MV attributes, iff every
+  /** Remap a base-attribute predicate onto MV attributes, iff every
     * referenced column is an MV group column of identical type and
     * unambiguous in the scan set.
     */
@@ -283,7 +379,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * functions via `mapAgg`, grouping attributes via `mapAttr`,
     * scalar structure (casts, arithmetic, string ops over either)
     * preserved around them. Any leaf neither handler accepts — a
-    * non-group fact column outside an aggregate, a DISTINCT/FILTER
+    * non-group base column outside an aggregate, a DISTINCT/FILTER
     * aggregate, an unstored measure — vetoes the whole rewrite.
     */
   private def mapExpr(e: Expression,
@@ -299,45 +395,53 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
 
   /** The full output list mapped via [[mapExpr]], original exprIds
-    * pinned so parents (HAVING, ORDER BY) resolve unchanged.
+    * pinned so parents (HAVING, ORDER BY) resolve unchanged. Where
+    * the original output was non-nullable (COUNT) but the stored
+    * column reads nullable (parquet), the mapped expression is
+    * wrapped in KnownNotNull — the refresh laws keep those columns
+    * populated, and parents hold attribute copies whose nullability
+    * must stay truthful.
     */
   private def mapOutputs(outs: Seq[NamedExpression],
       mapAgg: AggregateExpression => Option[Expression],
       mapAttr: AttributeReference => Option[Expression])
       : Option[Seq[NamedExpression]] = {
+    def pin(m: Expression, origNullable: Boolean): Expression =
+      if (m.nullable && !origNullable) KnownNotNull(m) else m
     val mapped = outs.map {
       case a: AttributeReference =>
-        mapAttr(a).map(Alias(_, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+        mapAttr(a).map(m => Alias(pin(m, a.nullable), a.name)(
+          exprId = a.exprId, qualifier = a.qualifier))
       case al: Alias =>
         mapExpr(al.child, mapAgg, mapAttr)
-          .map(Alias(_, al.name)(exprId = al.exprId, qualifier = al.qualifier))
+          .map(m => Alias(pin(m, al.child.nullable), al.name)(
+            exprId = al.exprId, qualifier = al.qualifier))
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None else Some(mapped.map(_.get))
   }
 
   /** EXACT tier: same grouping → project MV rows 1:1. */
-  private def rewriteExact(agg: Aggregate, bindOut: Seq[Attribute],
-      groupAttrs: Seq[AttributeReference], cond: Option[Expression],
-      mvDir: String, d: MaterializedView.MvDef): Option[LogicalPlan] = {
+  private def rewriteExact(agg: Aggregate,
+      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
     val qg = groupAttrs.map(_.name.toLowerCase)
-    if (qg.toSet != d.group.map(_.toLowerCase).toSet ||
-      qg.size != d.group.size) return None
-    val mv = mvScan(mvDir).getOrElse(return None)
+    if (qg.toSet != c.d.group.map(_.toLowerCase).toSet ||
+      qg.size != c.d.group.size) return None
+    val mv = mvScan(c.mvDir, c.mvSnap).getOrElse(return None)
     def mvAttr(n: String) = mv.output.find(_.name.equalsIgnoreCase(n))
-    val unsafe = unsafeNames(bindOut, d)
-    val cond2 = remapCond(cond, d, mv.output, unsafe).getOrElse(return None)
+    val cond2 = remapCond(c.residual, c.d, mv.output, c.unsafe)
+      .getOrElse(return None)
     val groupSet = qg.toSet
     val projList = mapOutputs(agg.aggregateExpressions,
       mapAgg = {
         case ae @ AggregateExpression(fn, Complete, false, None, _) =>
-          measureCol(fn, d, bindOut).flatMap(mvAttr)
+          measureCol(fn, c.d, c.bindOut).flatMap(mvAttr)
             .filter(_.dataType == ae.dataType)
         case _ => None
       },
       mapAttr = a =>
         if (groupSet.contains(a.name.toLowerCase) &&
-            !unsafe.contains(a.name.toLowerCase))
+            !c.unsafe.contains(a.name.toLowerCase))
           mvAttr(a.name).filter(_.dataType == a.dataType)
         else None).getOrElse(return None)
     Some(Project(projList, cond2.map(Filter(_, mv)).getOrElse(mv)))
@@ -348,19 +452,18 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * (grouped-away dimensions included — `WHERE ub = 1 GROUP BY
     * event_type` over an (event_type, ub) MV is the classic slice).
     */
-  private def rewriteRollup(agg: Aggregate, bindOut: Seq[Attribute],
-      groupAttrs: Seq[AttributeReference], cond: Option[Expression],
-      mvDir: String, d: MaterializedView.MvDef): Option[LogicalPlan] = {
+  private def rewriteRollup(agg: Aggregate,
+      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
     val qg = groupAttrs.map(_.name.toLowerCase)
-    val mg = d.group.map(_.toLowerCase).toSet
+    val mg = c.d.group.map(_.toLowerCase).toSet
     // strict, non-empty subset: a global aggregate over an EMPTY MV
     // would return NULL where the fact returns a zero-count row
     if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
-    val mv = mvScan(mvDir).getOrElse(return None)
+    if (qg.exists(c.unsafe.contains)) return None
+    val mv = mvScan(c.mvDir, c.mvSnap).getOrElse(return None)
     def mvAttr(n: String) = mv.output.find(_.name.equalsIgnoreCase(n))
-    val unsafe = unsafeNames(bindOut, d)
-    if (qg.exists(unsafe.contains)) return None
-    val cond2 = remapCond(cond, d, mv.output, unsafe).getOrElse(return None)
+    val cond2 = remapCond(c.residual, c.d, mv.output, c.unsafe)
+      .getOrElse(return None)
     val groupMv = groupAttrs.map(a =>
       mvAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
     val groupSet = qg.toSet
@@ -371,11 +474,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             case Count(Seq(Literal(v, _))) if v != null =>
               mvAttr(IncrementalJoinMv.CountCol).map(new Sum(_))
             case s: Sum =>
-              measureCol(s, d, bindOut).flatMap(mvAttr).map(new Sum(_))
+              measureCol(s, c.d, c.bindOut).flatMap(mvAttr).map(new Sum(_))
             case m: Min =>
-              measureCol(m, d, bindOut).flatMap(mvAttr).map(Min(_))
+              measureCol(m, c.d, c.bindOut).flatMap(mvAttr).map(Min(_))
             case m: Max =>
-              measureCol(m, d, bindOut).flatMap(mvAttr).map(Max(_))
+              measureCol(m, c.d, c.bindOut).flatMap(mvAttr).map(Max(_))
             case _ => None // AVG does not roll up from stored state
           }
           rolled.filter(_.dataType == ae.dataType)
@@ -383,7 +486,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         case _ => None
       },
       mapAttr = a =>
-        if (groupSet.contains(a.name.toLowerCase))
+        if (groupSet.contains(a.name.toLowerCase) &&
+            !c.unsafe.contains(a.name.toLowerCase))
           mvAttr(a.name).filter(_.dataType == a.dataType)
         else None).getOrElse(return None)
     Some(Aggregate(groupMv, aggExprs,

@@ -1121,6 +1121,22 @@ object Lake {
       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, event_type""".stripMargin
 
+  /** Rename every data file of `dir`'s head manifest out of the way
+    * for the duration of `body`, restoring after — the strongest
+    * possible "this plan never scanned the table" pin: a plan that
+    * touches the files throws. Shared by the MV-rewrite gates.
+    */
+  private def withHiddenFiles[T](dir: String)(body: => T): T = {
+    val files = LakeTable
+      .manifest(dir, LakeTable.currentSnapshot(dir)).files.map(_.path)
+    def shift(hide: Boolean): Unit = files.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift(hide = true); try body finally shift(hide = false)
+  }
+
   // --- q_sql_mv_rewrite: AUTOMATIC QUERY REWRITE — the read-side
   // half of the MV contract (the refresh laws are the write side):
   // plain aggregates over the FACT table, never mentioning any MV,
@@ -1161,16 +1177,7 @@ object Lake {
              |FROM $fact GROUP BY event_type, ub""".stripMargin)
     val factDir = s.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.rwf_$id")
-    def hidden[T](body: => T): T = {
-      val files = LakeTable
-        .manifest(factDir, LakeTable.currentSnapshot(factDir)).files.map(_.path)
-      def shift(hide: Boolean): Unit = files.foreach { p =>
-        val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
-        val h = java.nio.file.Paths.get(f.toString + ".hidden")
-        java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
-      }
-      shift(hide = true); try body finally shift(hide = false)
-    }
+    def hidden[T](body: => T): T = withHiddenFiles(factDir)(body)
     val agg =
       s"SELECT event_type AS k, COUNT(*) AS cnt, SUM(vx100) AS total FROM $fact"
     val (r1, r2, r3) = hidden {
@@ -1268,16 +1275,7 @@ object Lake {
              |GROUP BY wb, db""".stripMargin)
     val factDir = s.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.rsf_$id")
-    def hidden[T](body: => T): T = {
-      val files = LakeTable
-        .manifest(factDir, LakeTable.currentSnapshot(factDir)).files.map(_.path)
-      def shift(hide: Boolean): Unit = files.foreach { p =>
-        val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
-        val h = java.nio.file.Paths.get(f.toString + ".hidden")
-        java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
-      }
-      shift(hide = true); try body finally shift(hide = false)
-    }
+    def hidden[T](body: => T): T = withHiddenFiles(factDir)(body)
     val star = s"""FROM $fact JOIN $d1 USING (event_type)
                   |JOIN $d2 USING (event_type, ub)""".stripMargin
     val q = s"SELECT wb, db, COUNT(*) AS cnt, SUM(vx100) AS total $star GROUP BY wb, db"

@@ -1334,6 +1334,26 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $mv"); spark.sql(s"DROP TABLE $fact")
   }
 
+  /** Every lake-table root the optimized plan scans. */
+  private def mvScanRoots(sql: String): Seq[String] =
+    spark.sql(sql).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.asInstanceOf[graft.sources.GraftLakeTable].root
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table.asInstanceOf[graft.sources.GraftLakeTable].root
+    }
+
+  /** Rename the head manifest's data files out of the way (hide) or
+    * back (restore) — the "this plan never scanned the table" pin.
+    */
+  private def shiftFiles(dir: String, hide: Boolean): Unit =
+    graft.lake.LakeTable.manifest(dir, graft.lake.LakeTable.currentSnapshot(dir))
+      .files.map(_.path).foreach { p =>
+        val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+        val h = java.nio.file.Paths.get(f.toString + ".hidden")
+        java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+      }
+
   test("MV query rewrite: fresh MVs answer aggregates (exact, filtered, rollup); stale/unsafe shapes run as written") {
     import graft.lake.LakeTable
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -1358,25 +1378,13 @@ class DsV2Spec extends AnyFunSuite {
     val factDir = cat.tableDir(s"psd.qrf_$id")
     val mvDir = cat.tableDir(s"psd.qrv_$id")
     val mv2Dir = cat.tableDir(s"psd.qrw_$id")
-    def scans(sql: String): Seq[String] =
-      spark.sql(sql).queryExecution.optimizedPlan.collect {
-        case r: DataSourceV2Relation =>
-          r.table.asInstanceOf[graft.sources.GraftLakeTable].root
-        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          s.relation.table.asInstanceOf[graft.sources.GraftLakeTable].root
-      }
+    def scans(sql: String): Seq[String] = mvScanRoots(sql)
     val q = s"SELECT g, COUNT(*) AS c, SUM(x) AS s FROM $fact GROUP BY g"
     // ---- exact tier: the plan scans the MV, not the fact
     assert(scans(q) === Seq(mvDir))
     // ---- strongest value pin: hide EVERY fact data file — only a
     // plan that reads the MVs alone can produce these answers
-    def hideAll(hide: Boolean): Unit =
-      LakeTable.manifest(factDir, LakeTable.currentSnapshot(factDir))
-        .files.map(_.path).foreach { p =>
-          val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
-          val h = java.nio.file.Paths.get(f.toString + ".hidden")
-          java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
-        }
+    def hideAll(hide: Boolean): Unit = shiftFiles(factDir, hide)
     hideAll(hide = true)
     try {
       assert(spark.sql(q).collect()
@@ -1464,24 +1472,12 @@ class DsV2Spec extends AnyFunSuite {
       .asInstanceOf[graft.sources.GraftCatalog]
     val factDir = cat.tableDir(s"psd.jrf_$id")
     val mvDir = cat.tableDir(s"psd.jrv_$id")
-    def scans(sql: String): Seq[String] =
-      spark.sql(sql).queryExecution.optimizedPlan.collect {
-        case r: DataSourceV2Relation =>
-          r.table.asInstanceOf[graft.sources.GraftLakeTable].root
-        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          s.relation.table.asInstanceOf[graft.sources.GraftLakeTable].root
-      }
+    def scans(sql: String): Seq[String] = mvScanRoots(sql)
     val q = s"SELECT g, COUNT(*) AS c, SUM(x) AS s FROM $fact JOIN $dim USING (k) GROUP BY g"
     // the star rollup's plan is ONE scan — the MV's
     assert(scans(q) === Seq(mvDir))
     // strongest value pin: the fact files are unreadable
-    def hideAll(hide: Boolean): Unit =
-      LakeTable.manifest(factDir, LakeTable.currentSnapshot(factDir))
-        .files.map(_.path).foreach { p =>
-          val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
-          val h = java.nio.file.Paths.get(f.toString + ".hidden")
-          java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
-        }
+    def hideAll(hide: Boolean): Unit = shiftFiles(factDir, hide)
     hideAll(hide = true)
     try {
       assert(spark.sql(q).collect()
@@ -1512,6 +1508,102 @@ class DsV2Spec extends AnyFunSuite {
     assert(scans(q) === Seq(mvDir), "the refreshed basis vector serves again")
     spark.sql(s"DROP TABLE $mv")
     spark.sql(s"DROP TABLE $dim"); spark.sql(s"DROP TABLE $fact")
+  }
+
+  test("MV query rewrite soundness guards: nullable AVG, timezone-sensitive measures, and cross-dim name collisions never rewrite") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    def scans(sql: String): Seq[String] = mvScanRoots(sql)
+    // ---- guard 1: the single kind's derived AVG is SUM/COUNT(*)
+    // with a bigint sum — NOT AVG(x) when x is nullable (parquet
+    // columns are), so AVG never serves from it while COUNT/SUM do
+    val fact = s"graft.psd.sgf_$id"; val mv = s"graft.psd.sgv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES (1, 'a', 10), (2, 'a', NULL), (3, 'b', 30)")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, SUM(x) AS sx, AVG(x) AS ax
+                 |FROM $fact GROUP BY g""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.sgf_$id")
+    val mvDir = cat.tableDir(s"psd.sgv_$id")
+    assert(scans(s"SELECT g, SUM(x) AS s FROM $fact GROUP BY g") === Seq(mvDir))
+    assert(scans(s"SELECT g, AVG(x) AS a FROM $fact GROUP BY g") === Seq(factDir),
+      "derived AVG over a nullable argument must never serve")
+    // the true AVG divides by COUNT(x)=1 for group a, not COUNT(*)=2
+    assert(spark.sql(s"SELECT g, AVG(x) AS a FROM $fact WHERE g = 'a' GROUP BY g")
+      .head().getDouble(1) === 10.0)
+    // ---- guard 2: a timezone-aware measure matches ONLY under the
+    // definition's recorded session zone
+    val tzf = s"graft.psd.tzf_$id"; val tzv = s"graft.psd.tzv_$id"
+    spark.sql(s"CREATE TABLE $tzf (fid BIGINT, g STRING, ts TIMESTAMP)")
+    spark.sql(s"""INSERT INTO $tzf VALUES
+                 |(1, 'a', TIMESTAMP '2024-01-10 01:30:00'),
+                 |(2, 'a', TIMESTAMP '2024-01-10 23:30:00')""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $tzv AS
+                 |SELECT g, COUNT(*) AS n, SUM(hour(ts)) AS sh
+                 |FROM $tzf GROUP BY g""".stripMargin)
+    val tzfDir = cat.tableDir(s"psd.tzf_$id")
+    val tzvDir = cat.tableDir(s"psd.tzv_$id")
+    val tzq = s"SELECT g, SUM(hour(ts)) AS sh FROM $tzf GROUP BY g"
+    assert(scans(tzq) === Seq(tzvDir), "same zone: the MV serves")
+    val origTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try assert(scans(tzq) === Seq(tzfDir),
+      "a different session zone changes hour(ts) — the MV must not serve")
+    finally spark.conf.set("spark.sql.session.timeZone", origTz)
+    // ---- guard 3: SCHEMA EVOLUTION that makes a column name
+    // ambiguous in the star (d1 gains a column named like d2's join
+    // key — the defining query's own analysis blocks creating such a
+    // collision, so evolution is the only path in). The lifecycle
+    // degrades LOUDLY and reads stay sound: maintenance fails at the
+    // refresh join (ambiguous key binding — better than silently
+    // picking a side), the basis stays stale so the rewrite falls
+    // back, and the star query answers correctly from the join. The
+    // rewrite's per-pair unsafe-name veto is defense-in-depth behind
+    // this: no functioning lifecycle can reach a fresh basis with an
+    // unequated name collision.
+    val sf = s"graft.psd.cnf_$id"; val sd1 = s"graft.psd.cnd1_$id"
+    val sd2 = s"graft.psd.cnd2_$id"; val sv = s"graft.psd.cnv_$id"
+    spark.sql(s"CREATE TABLE $sf (k1 STRING, k2 STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $sf VALUES ('p', 'q', 10), ('p', 'r', 20)")
+    spark.sql(s"CREATE TABLE $sd1 (k1 STRING, w STRING)")
+    spark.sql(s"INSERT INTO $sd1 VALUES ('p', 'w0')")
+    spark.sql(s"CREATE TABLE $sd2 (k2 STRING, v STRING)")
+    spark.sql(s"INSERT INTO $sd2 VALUES ('q', 'v0'), ('r', 'v1')")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $sv AS
+                 |SELECT k2, COUNT(*) AS n, SUM(x) AS sx
+                 |FROM $sf JOIN $sd1 USING (k1) JOIN $sd2 USING (k2)
+                 |GROUP BY k2""".stripMargin)
+    val svDir = cat.tableDir(s"psd.cnv_$id")
+    assert(scans(s"""SELECT k2, COUNT(*) AS c FROM $sf
+                    |JOIN $sd1 USING (k1) JOIN $sd2 USING (k2)
+                    |GROUP BY k2""".stripMargin) === Seq(svDir),
+      "pre-evolution, the star rollup serves")
+    // evolve d1: an UNRELATED column now shadows d2's join key name
+    spark.sql(s"ALTER TABLE $sd1 ADD COLUMNS (k2 STRING)")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.cnv_$id')")
+    }
+    // the ALTER bumped d1's snapshot: stale basis, rewrite falls back
+    val cross = spark.sql(
+      s"""SELECT d1.k2 AS k2, COUNT(*) AS c FROM $sf f
+         |JOIN $sd1 d1 ON f.k1 = d1.k1 JOIN $sd2 d2 ON f.k2 = d2.k2
+         |GROUP BY d1.k2""".stripMargin)
+    assert(cross.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table.asInstanceOf[graft.sources.GraftLakeTable].root
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.asInstanceOf[graft.sources.GraftLakeTable].root
+    }.size === 3, "a stale basis keeps the join")
+    // d1.k2 is all-NULL post-ALTER: values through the join stay right
+    assert(cross.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq((null, 2L)))
+    Seq(mv, fact, tzv, tzf, sv, sd2, sd1, sf)
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
