@@ -101,7 +101,7 @@ object IncrementalMv {
     * over stale state — the same hole [[LakeTable.changelogRead]]'s
     * replace detection closes). Resolved from manifests alone.
     */
-  private def appendOnly(root: String, from: Int, to: Int): Boolean =
+  private[lake] def appendOnly(root: String, from: Int, to: Int): Boolean =
     ((from + 1) to to).forall { s =>
       val m = LakeTable.manifest(root, s)
       val pre = if (s == 1) None else Some(LakeTable.manifest(root, s - 1))

@@ -163,6 +163,16 @@ object MaterializedView {
     d.sums.map { case (n0, e) => (n0, sum(expr(e)).cast("bigint")) } ++
       d.avgs.map { case (n0, e) => (n0, avg(expr(e))) }
 
+  /** Append-only FOLD laws for the minmax kind's extras, parallel to
+    * [[minmaxExtras]]: SUMs fold (sum of partial sums); AVGs do not
+    * (recompute-exact semantics — NULL-aware divisors can't be folded
+    * from stored state), so their presence keeps the targeted path.
+    */
+  private def minmaxExtraFolds(d: MvDef)
+      : Seq[Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]] =
+    d.sums.map(_ => Some((c: org.apache.spark.sql.Column) =>
+      sum(c).cast("bigint"))) ++ d.avgs.map(_ => None)
+
   private def cfgOf(d: MvDef): BlockWriter.Config =
     BlockWriter.Config(d.group.head, d.group.head, maxRecordsPerFile = 1 << 20)
 
@@ -275,7 +285,7 @@ object MaterializedView {
     if (d.kind == "minmax")
       Seq(MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
         d.minName, d.maxName, extras = minmaxExtras(d),
-        subGroups = d.group.tail))
+        subGroups = d.group.tail, extraFolds = minmaxExtraFolds(d)))
     else if (d.kind == "single")
       Seq(IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
         cfgOf(d), derived = singleDerived(d)))
@@ -317,8 +327,9 @@ object MaterializedView {
     val bf = basisVec.head
     val bd = if (basisVec.size > 1) basisVec(1) else 0
     // the maintenance MODE the head reflects: `incr`/`full` for the
-    // single kind, `targeted`/`full` for minmax, `delta` (always the
-    // delta-join fold) for the join kind
+    // single kind, `fold`/`targeted`/`full` for minmax (append-only
+    // distributive fold / Δ-group recompute / over-cap), `delta`
+    // (always the delta-join fold) for the join kind
     val mode = d.kind match {
       case "minmax" => MinMaxMv.mode(mvDir)
       case "single" => IncrementalMv.mode(mvDir)

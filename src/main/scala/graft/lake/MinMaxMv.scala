@@ -50,7 +50,7 @@ import graft.writer.BlockWriter
   */
 object MinMaxMv {
 
-  private val noteRe = "^mmv-basis-(\\d+)(?:-(full|targeted))?$".r
+  private val noteRe = "^mmv-basis-(\\d+)(?:-(full|targeted|fold))?$".r
 
   /** Past this many touched groups a refresh recomputes the whole
     * view instead of driver-collecting an IN list — overridable per
@@ -127,12 +127,57 @@ object MinMaxMv {
       group: String, valueCol: String, cfg: BlockWriter.Config,
       minName: String = null, maxName: String = null,
       extras: Seq[(String, Column)] = Nil,
-      subGroups: Seq[String] = Nil): Int = {
+      subGroups: Seq[String] = Nil,
+      extraFolds: Seq[Option[Column => Column]] = Nil): Int = {
     val f0 = basis(mvRoot)
     val f1 = LakeTable.currentSnapshot(factRoot)
     if (f0 == f1) return f0
     val mn = Option(minName).getOrElse(s"min_$valueCol")
     val mx = Option(maxName).getOrElse(s"max_$valueCol")
+    val stored = LakeTable.storedSchemaOf(mvRoot).get
+    // APPEND-ONLY FOLD: over a pure-append range MIN/MAX *are*
+    // distributive — new min = min(stored, Δ-min) — so the refresh
+    // folds the delta files against the stored rows with NO fact-head
+    // read at all: O(Δ files) + a touched-leads fold, regardless of
+    // how many groups the append touched (no driver collect, no IN
+    // list, the over-cap fallback never applies). Deletes still need
+    // the targeted recompute below (no algebra answers "what's the
+    // new min after the minimum left"). Extras fold only when every
+    // one declares a fold law (`extraFolds`) — AVG doesn't (its
+    // recompute-exact semantics can't be folded), so a profile view
+    // with AVG keeps the targeted path even for appends.
+    val foldable = (extras.isEmpty ||
+      (extraFolds.size == extras.size && extraFolds.forall(_.isDefined))) &&
+      IncrementalMv.appendOnly(factRoot, f0, f1)
+    if (foldable) {
+      val deltaState = state(
+        LakeTable.changelogRead(s, factRoot, f0, f1)
+          .drop("_change_type", "_change_snap"),
+        group, subGroups, valueCol, mn, mx, extras).persist()
+      try {
+        // empty-append commits: nothing to fold, basis stays put
+        if (deltaState.isEmpty) return f0
+        require(deltaState.filter(col(group).isNull).isEmpty,
+          s"min/max MV: NULL in group column '$group' cannot be " +
+            "incrementally maintained — coalesce it upstream")
+        val touchedLead = deltaState.select(col(group)).distinct()
+        val folded = LakeTable.read(s, mvRoot)
+          .join(broadcast(touchedLead), Seq(group), "left_semi")
+          .unionByName(deltaState)
+          .groupBy((group +: subGroups).map(col): _*)
+          .agg(sum(col("n")).cast("bigint").as("n"),
+            min(col(mn)).as(mn) +: max(col(mx)).as(mx) +:
+              extras.zip(extraFolds).map { case ((nm, _), f) =>
+                f.get(col(nm)).as(nm) }: _*)
+        val live = s.createDataFrame(
+          folded.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd,
+          stored).persist()
+        try LakeTable.merge(s, mvRoot, group, live, cfg, Seq(group),
+          note = s"mmv-basis-$f1-fold"): Unit
+        finally { live.unpersist(); () }
+        return f1
+      } finally { deltaState.unpersist(); () }
+    }
     // Δ group keys: every group any change row names — insert or
     // delete pre-image. Distinct is computed DISTRIBUTED; the driver
     // first learns only the cardinality, and collects the values
@@ -187,7 +232,6 @@ object MinMaxMv {
       // align to the MANIFEST schema exactly (merge's unmapped-table
       // gate compares full schema JSON; a mask-applied read's column
       // order is join-shaped)
-      val stored = LakeTable.storedSchemaOf(mvRoot).get
       // the delete frame is built from the TYPED values under the
       // stored key field — exact for every group type
       val touchedDf = s.createDataFrame(

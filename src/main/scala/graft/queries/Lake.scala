@@ -1121,14 +1121,16 @@ object Lake {
       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, event_type""".stripMargin
 
-  /** Rename every data file of `dir`'s head manifest out of the way
-    * for the duration of `body`, restoring after — the strongest
-    * possible "this plan never scanned the table" pin: a plan that
-    * touches the files throws. Shared by the MV-rewrite gates.
+  /** Rename the selected data files of `dir`'s head manifest out of
+    * the way for the duration of `body`, restoring after — the
+    * strongest possible "this plan never scanned them" pin: a plan
+    * that touches the files throws. Shared by the MV-rewrite and
+    * fold gates (default: every file).
     */
-  private def withHiddenFiles[T](dir: String)(body: => T): T = {
+  private def withHiddenFiles[T](dir: String,
+      pred: LakeTable.FileEntry => Boolean = _ => true)(body: => T): T = {
     val files = LakeTable
-      .manifest(dir, LakeTable.currentSnapshot(dir)).files.map(_.path)
+      .manifest(dir, LakeTable.currentSnapshot(dir)).files.filter(pred).map(_.path)
     def shift(hide: Boolean): Unit = files.foreach { p =>
       val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
       val h = java.nio.file.Paths.get(f.toString + ".hidden")
@@ -2078,6 +2080,65 @@ object Lake {
       |  GROUP BY event_type)
       |SELECT stage, event_type, n, min_vx100, max_vx100
       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, event_type""".stripMargin
+
+  // --- mv_minmax_fold: the APPEND-ONLY FOLD mode of the min/max
+  // view — over a pure-append range MIN/MAX *are* distributive
+  // (new min = min(stored, Δ-min)), so the refresh folds the delta
+  // files against the stored MV rows with NO fact-head read at all:
+  // O(Δ files) + a touched-leads fold, regardless of how many groups
+  // the append touched (no driver collect, no IN list, the
+  // over-cap fallback never applies to appends). The gate proves it
+  // physically: every PRE-APPEND fact file is hidden during the
+  // refresh — only a plan reading nothing but the delta files can
+  // commit at all — and the maintenance MODE rides the output as a
+  // literal the oracle hard-codes ('fold', then 'targeted' after a
+  // MoR delete re-derives the minima the fold cannot).
+  def mvMinmaxFold(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.MinMaxMv
+    val fact = tmp("graft_mmfd_f_")
+    val mv = tmp("graft_mmfd_m_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("vx100"))
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 1 << 20)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg,
+      Seq("event_id", "event_type"))
+    MinMaxMv.create(s, fact, mv, "event_type", "vx100", mvCfg)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg,
+      Seq("event_id", "event_type"))
+    val head = LakeTable.currentSnapshot(fact)
+    withHiddenFiles(fact, _.seq < head) {
+      MinMaxMv.refresh(s, fact, mv, "event_type", "vx100", mvCfg): Unit
+    }
+    val mode2 = MinMaxMv.mode(mv)
+    // deletes take out group minima: no algebra answers "what's the
+    // new min" — the refresh must fall back to the targeted recompute
+    LakeTable.deleteWhere(s, fact, "event_id",
+      ev.filter(col("event_id") % 5 === 0).select(col("event_id")))
+    MinMaxMv.refresh(s, fact, mv, "event_type", "vx100", mvCfg)
+    val mode3 = MinMaxMv.mode(mv)
+    def st(n: Int, m: String) = LakeTable.read(s, mv, Some(n))
+      .withColumn("stage", lit(n.toLong)).withColumn("mode", lit(m))
+    st(2, mode2).unionByName(st(3, mode3))
+      .select(col("stage"), col("mode"), col("event_type"), col("n"),
+        col("min_vx100"), col("max_vx100"))
+      .orderBy(col("stage"), col("event_type"))
+  }
+
+  val mvMinmaxFoldSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100 FROM events),
+      |s2 AS (SELECT CAST(2 AS BIGINT) AS stage, 'fold' AS mode, event_type,
+      |    COUNT(*) AS n, MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100
+      |  FROM e WHERE event_id % 3 IN (0, 1) GROUP BY event_type),
+      |s3 AS (SELECT CAST(3 AS BIGINT) AS stage, 'targeted' AS mode, event_type,
+      |    COUNT(*) AS n, MIN(vx100) AS min_vx100, MAX(vx100) AS max_vx100
+      |  FROM e WHERE event_id % 3 IN (0, 1) AND event_id % 5 <> 0
+      |  GROUP BY event_type)
+      |SELECT stage, mode, event_type, n, min_vx100, max_vx100
+      |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, event_type""".stripMargin
 
   // --- stream_mv_minmax: the CONTINUOUSLY-MAINTAINED min/max view —
@@ -3873,6 +3934,7 @@ object Lake {
     "mv_refresh" -> mvRefresh,
     "mv_join_refresh" -> mvJoinRefresh,
     "mv_minmax_refresh" -> mvMinmaxRefresh,
+    "mv_minmax_fold" -> mvMinmaxFold,
     "stream_mv_minmax" -> streamMvMinmax,
     "stream_mv_refresh" -> streamMvRefresh,
     "lake_overwrite" -> lakeOverwrite,
@@ -3949,6 +4011,7 @@ object Lake {
     "mv_refresh" -> mvRefreshSql,
     "mv_join_refresh" -> mvJoinRefreshSql,
     "mv_minmax_refresh" -> mvMinmaxRefreshSql,
+    "mv_minmax_fold" -> mvMinmaxFoldSql,
     "stream_mv_minmax" -> streamMvMinmaxSql,
     "stream_mv_refresh" -> streamMvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,

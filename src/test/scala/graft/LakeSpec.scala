@@ -1400,16 +1400,16 @@ class LakeDataSourceSpec extends AnyFunSuite {
     assert(mvState() === Map(
       "k0" -> ((4L, 40L, 160L)), "k1" -> ((4L, 10L, 130L)),
       "k2" -> ((4L, 20L, 140L)), "k3" -> ((4L, 30L, 150L))))
-    // ---- append touching ONLY k0, then HIDE every fact file whose
-    // g-extent excludes k0: the IN-pruned targeted recompute must
-    // never open them — a plan scanning untouched groups would throw
+    // ---- append touching ONLY k0, then HIDE every PRE-APPEND fact
+    // file: the append-only FOLD reads nothing but the delta files
+    // (min/max are distributive over pure appends) — a plan touching
+    // the fact head would throw. Note stamped -fold.
     LakeTable.commit(s, fact, rows(17L to 20L, _ => "k0"), fCfg, Seq("id", "g"))
     val head = LakeTable.currentSnapshot(fact)
-    val unrelated = LakeTable.manifest(fact, head).files.filter { f =>
-      f.stats.get("g").exists(cs => cs.maxS < "k0" || cs.minS > "k0")
-    }.map(_.path)
-    assert(unrelated.nonEmpty, "fixture needs untouched-group files to hide")
-    def shift(hide: Boolean): Unit = unrelated.foreach { p =>
+    val preAppend = LakeTable.manifest(fact, head).files
+      .filter(_.seq < head).map(_.path)
+    assert(preAppend.nonEmpty, "fixture needs pre-append files to hide")
+    def shift(hide: Boolean): Unit = preAppend.foreach { p =>
       val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
       val h = java.nio.file.Paths.get(f.toString + ".hidden")
       java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
@@ -1417,6 +1417,8 @@ class LakeDataSourceSpec extends AnyFunSuite {
     shift(hide = true)
     try MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg): Unit
     finally shift(hide = false)
+    assert(MinMaxMv.mode(mv) === "fold",
+      "a pure-append range must take the distributive fold")
     assert(mvState() === Map(
       "k0" -> ((8L, 40L, 200L)), "k1" -> ((4L, 10L, 130L)),
       "k2" -> ((4L, 20L, 140L)), "k3" -> ((4L, 30L, 150L))))
@@ -1625,11 +1627,15 @@ class LakeDataSourceSpec extends AnyFunSuite {
     assert(st1 === recompute(), "typed targeted refresh must land on the recompute")
     assert(st1(ts(1))._2 === 50L, "deleting the typed group's minimum must raise min_x")
     assert(!st1.contains(ts(3)), "vanished typed group must retire via the mask")
-    // ---- OVER the cap: policy 2, touch 3 groups → ONE full-recompute
-    // commit (note -full), no driver IN list
+    // ---- OVER the cap: policy 2, a range with DELETES touching 3
+    // groups → ONE full-recompute commit (note -full), no driver IN
+    // list. (A pure append never hits the cap any more — it FOLDS
+    // distributively — so the over-cap path is reached by mixing an
+    // append with deletes: not append-only, 3 touched groups > 2.)
     AutoMaintain.setPolicy(mv, AutoMaintain.MvMaxGroupsKey, 2L)
     LakeTable.commit(s, fact, rows(17L to 28L).filter($"id" % 4 =!= 3),
       fCfg, Seq("id", "g"))
+    LakeTable.deleteWhere(s, fact, "id", Seq(4L, 5L, 6L).toDF("id"))
     val mvHead0 = LakeTable.currentSnapshot(mv)
     MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg)
     assert(LakeTable.currentSnapshot(mv) === mvHead0 + 1,
