@@ -55,16 +55,29 @@ object AutoMaintain {
     */
   val MvMaxGroupsKey = "graft.mvrefresh.maxgroups"
 
+  /** Declared on a FACT table (any value ≥ 1): every append-shaped
+    * commit refreshes the registered MVs over it
+    * ([[MaterializedView.refreshStale]]) before returning — rollups
+    * stay continuously fresh (and the query-rewrite rule keeps
+    * serving them) without an external refresh scheduler. Failures
+    * skip like every other maintenance action: the MV stays VISIBLY
+    * stale in `t.mvs` for the next refresh to catch. Dimension-side
+    * commits don't trigger (the registry hangs off the fact).
+    */
+  val AutoRefreshMvKey = "graft.autorefresh.mvs"
+
   private def policyPath(root: String) = Paths.get(root, "meta", "_policy.json")
 
   def setPolicy(root: String, key: String, value: Long): Unit = {
     require(key == AutoCompactKey || key == AutoManifestKey ||
-      key == AutoParallelismKey || key == MvMaxGroupsKey,
+      key == AutoParallelismKey || key == MvMaxGroupsKey ||
+      key == AutoRefreshMvKey,
       s"unknown maintenance policy '$key'")
     // thresholds below 2 would fire on every commit; a fan-out of 1
-    // (compact into ONE file) and a 1-group refresh cap are
-    // legitimate targets, though
-    val floor = if (key == AutoParallelismKey || key == MvMaxGroupsKey) 1 else 2
+    // (compact into ONE file), a 1-group refresh cap and the
+    // on/off auto-refresh flag are legitimate targets, though
+    val floor = if (key == AutoParallelismKey || key == MvMaxGroupsKey ||
+      key == AutoRefreshMvKey) 1 else 2
     require(value >= floor, s"$key must be ≥ $floor (got $value)")
     write(root, policies(root) + (key -> value))
   }
@@ -122,6 +135,13 @@ object AutoMaintain {
             fired.merge(root, (1L, 0L), (a, b) => (a._1 + b._1, a._2 + b._2))
           }
         } catch { case NonFatal(_) => () }
+      }
+      pol.get(AutoRefreshMvKey).foreach { _ =>
+        // refresh the registered MVs over this fact — their commits
+        // land on the MV roots (not re-entering this root's guard),
+        // and each MV's own afterCommit is a no-op without policies
+        try MaterializedView.refreshStale(spark, root): Unit
+        catch { case NonFatal(_) => () }
       }
     } finally inFlight.remove(root): Unit
   }

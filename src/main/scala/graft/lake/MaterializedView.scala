@@ -314,6 +314,70 @@ object MaterializedView {
       case f +: ds => s"fact=$f,dims=${ds.mkString(",")}"
     }
 
+  private def measuresOf(d: MvDef): String = {
+    val sumS = d.sums.map(x => s"${x._1}=sum(${x._2})")
+    val avgS = d.avgs.map(x => s"${x._1}=avg(${x._2})")
+    (d.kind match {
+      case "minmax" =>
+        Seq(s"${d.minName}=min(${d.value})", s"${d.maxName}=max(${d.value})") ++
+          sumS ++ avgS
+      case _ => sumS ++ avgS
+    }).mkString("; ")
+  }
+
+  /** The basis vector the MV head reflects and the CURRENT heads of
+    * its base tables, in the same order — equal iff the MV is fresh.
+    */
+  private def basisVsHeads(d: MvDef, mvDir: String): (Seq[Int], Seq[Int]) = {
+    val basis = d.kind match {
+      case "minmax" => Seq(MinMaxMv.basis(mvDir))
+      case "single" => Seq(IncrementalMv.basis(mvDir))
+      case _ => IncrementalJoinMv.basisAll(mvDir)
+    }
+    val heads = d.kind match {
+      case "join" => LakeTable.currentSnapshot(d.fact) +:
+        d.joinDims.map(x => LakeTable.currentSnapshot(x.root))
+      case _ => Seq(LakeTable.currentSnapshot(d.fact))
+    }
+    (basis, heads)
+  }
+
+  /** The FACT-side `t.mvs` metadata table: one row per MV registered
+    * over `factDir` (kind, grouping, measures, basis, FRESHNESS —
+    * whether the basis vector equals every base table's head). The
+    * operator's answer to "which rollups cover this table, and can a
+    * query trust them right now"; the same registry the automatic
+    * query-rewrite rule consults, surfaced. Metadata-only: no data IO
+    * at any table size.
+    */
+  def mvsDf(s: SparkSession, factDir: String): DataFrame = {
+    val rows = refsOf(factDir).flatMap { mvDir =>
+      scala.util.Try {
+        val d = readDef(mvDir)
+        val (basis, heads) = basisVsHeads(d, mvDir)
+        (d.kind, d.group.mkString(","), measuresOf(d),
+          basis.head, basis == heads, LakeTable.currentSnapshot(mvDir))
+      }.toOption
+    }
+    import s.implicits._
+    rows.toDF("kind", "group_cols", "measures", "basis_fact", "fresh", "snapshot")
+  }
+
+  /** Refresh every REGISTERED MV over `factDir` whose basis is
+    * behind; returns the refreshed MV dirs. The post-commit
+    * auto-refresh hook ([[AutoMaintain]]) and `CALL refresh_mvs`
+    * share this. Failures skip (maintenance is advisory — a skipped
+    * MV stays visibly stale in `t.mvs` until the next refresh).
+    */
+  def refreshStale(s: SparkSession, factDir: String): Seq[String] =
+    refsOf(factDir).filter { mvDir =>
+      scala.util.Try {
+        val d = readDef(mvDir)
+        val (basis, heads) = basisVsHeads(d, mvDir)
+        if (basis == heads) false else { refreshAll(s, mvDir); true }
+      }.getOrElse(false)
+    }
+
   /** The `t.mv` metadata row: definition + current basis — the
     * history-style operator view of what the MV head reflects.
     */
@@ -335,14 +399,7 @@ object MaterializedView {
       case "single" => IncrementalMv.mode(mvDir)
       case _ => "delta"
     }
-    val sumS = d.sums.map(x => s"${x._1}=sum(${x._2})")
-    val avgS = d.avgs.map(x => s"${x._1}=avg(${x._2})")
-    val measures = (d.kind match {
-      case "minmax" =>
-        Seq(s"${d.minName}=min(${d.value})", s"${d.maxName}=max(${d.value})") ++
-          sumS ++ avgS
-      case _ => sumS ++ avgS
-    }).mkString("; ")
+    val measures = measuresOf(d)
     val (dimStr, keyStr) =
       if (d.kind == "join" && d.joinDims.size > 1)
         (d.joinDims.map(_.root).mkString(","),

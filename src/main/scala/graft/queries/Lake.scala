@@ -2141,6 +2141,109 @@ object Lake {
       |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, event_type""".stripMargin
 
+  // --- mv_automaint: MVs as a MAINTENANCE POLICY — declare
+  // `graft.autorefresh.mvs` on the FACT table and every append-shaped
+  // commit refreshes the registered MVs before returning: rollups
+  // stay continuously fresh (and the automatic query-rewrite rule
+  // keeps serving them) with NO external refresh scheduler and NO
+  // refresh calls anywhere in the write path. The gate is the
+  // absence: after two policy-era appends the MV must equal the
+  // from-scratch recompute although the fixture never calls refresh.
+  // Failures skip like every other maintenance action — the MV stays
+  // visibly stale in `t.mvs` for the next commit to catch.
+  def mvAutomaint(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{AutoMaintain, IncrementalMv, MaterializedView}
+    val fact = tmp("graft_amv_f_")
+    val mv = tmp("graft_amv_m_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("vx100"))
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg,
+      Seq("event_id", "event_type"))
+    MaterializedView.create(s, mv, MaterializedView.MvDef(fact, "", "",
+      Seq("event_type"), Seq(("sum_vx100", "vx100")),
+      "SELECT event_type, COUNT(*) AS n, SUM(vx100) AS sum_vx100 " +
+        "FROM fact GROUP BY event_type", kind = "single"))
+    AutoMaintain.setPolicy(fact, AutoMaintain.AutoRefreshMvKey, 1L)
+    // two policy-era appends — each commit auto-refreshes; the fixture
+    // never calls refresh itself
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg,
+      Seq("event_id", "event_type"))
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 2), cfg,
+      Seq("event_id", "event_type"))
+    val fresh = IncrementalMv.basis(mv) == LakeTable.currentSnapshot(fact)
+    LakeTable.read(s, mv)
+      .select(col("event_type"), col("n"), col("sum_vx100"))
+      .withColumn("fresh", lit(fresh))
+      .orderBy(col("event_type"))
+  }
+
+  val mvAutomaintSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_vx100,
+      |  TRUE AS fresh
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q_sql_mv_meta: the FACT-side `t.mvs` metadata table — the
+  // operator's answer to "which rollups cover this table, and can a
+  // query trust them right now": one row per registered MV with
+  // kind/grouping/measures/FRESHNESS (basis vector vs every base
+  // head), metadata-only at any table size. Three gated stages:
+  // both MVs fresh at create, both stale after an append, exactly
+  // the refreshed one fresh again — the same freshness predicate the
+  // automatic query-rewrite rule applies, surfaced as SQL.
+  def qSqlMvMeta(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.mmf_$id"
+    val mv1 = s"graft.q.mmv1_$id"; val mv2 = s"graft.q.mmv2_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlmm")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlmm WHERE $pred""".stripMargin)
+    ins("event_id % 2 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv1 AS
+             |SELECT event_type, COUNT(*) AS n, SUM(vx100) AS sum_vx100
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv2 AS
+             |SELECT event_type, COUNT(*) AS n, MIN(vx100) AS lo, MAX(vx100) AS hi
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    def stage(n: Int) = s.sql(
+      s"""SELECT CAST($n AS BIGINT) AS stage, kind, group_cols, measures, fresh
+         |FROM $fact.mvs""".stripMargin)
+    val s1 = stage(1)
+    ins("event_id % 2 = 1") // both MVs stale
+    val s2 = stage(2)
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.mmv1_$id')")
+    val s3 = stage(3) // exactly the refreshed one fresh again
+    s1.unionByName(s2).unionByName(s3)
+      .orderBy(col("stage"), col("kind"))
+  }
+
+  val qSqlMvMetaSql: String =
+    """WITH m AS (
+      |  SELECT 'single' AS kind, 'event_type' AS group_cols,
+      |    'sum_vx100=sum(vx100)' AS measures, 0 AS ord
+      |  UNION ALL
+      |  SELECT 'minmax', 'event_type', 'lo=min(vx100); hi=max(vx100)', 1)
+      |SELECT stage, kind, group_cols, measures, fresh FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, kind, group_cols, measures,
+      |    TRUE AS fresh, ord FROM m
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), kind, group_cols, measures, FALSE, ord FROM m
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), kind, group_cols, measures,
+      |    kind = 'single', ord FROM m)
+      |ORDER BY stage, kind""".stripMargin
+
   // --- stream_mv_minmax: the CONTINUOUSLY-MAINTAINED min/max view —
   // mv_minmax_refresh's production deployment shape, same
   // exactly-once-by-construction law as stream_mv_refresh: the fact
@@ -3935,6 +4038,8 @@ object Lake {
     "mv_join_refresh" -> mvJoinRefresh,
     "mv_minmax_refresh" -> mvMinmaxRefresh,
     "mv_minmax_fold" -> mvMinmaxFold,
+    "mv_automaint" -> mvAutomaint,
+    "q_sql_mv_meta" -> qSqlMvMeta,
     "stream_mv_minmax" -> streamMvMinmax,
     "stream_mv_refresh" -> streamMvRefresh,
     "lake_overwrite" -> lakeOverwrite,
@@ -4012,6 +4117,8 @@ object Lake {
     "mv_join_refresh" -> mvJoinRefreshSql,
     "mv_minmax_refresh" -> mvMinmaxRefreshSql,
     "mv_minmax_fold" -> mvMinmaxFoldSql,
+    "mv_automaint" -> mvAutomaintSql,
+    "q_sql_mv_meta" -> qSqlMvMetaSql,
     "stream_mv_minmax" -> streamMvMinmaxSql,
     "stream_mv_refresh" -> streamMvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,

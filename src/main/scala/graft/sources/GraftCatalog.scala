@@ -371,6 +371,12 @@ class GraftCatalog extends TableCatalog
               // history-style metadata row
               return new GraftMetadataTable(s"$t#mv",
                 graft.lake.MaterializedView.statusDf(spark, t))
+            case "mvs" =>
+              // the FACT side: every registered MV over this table
+              // with kind/grouping/measures/FRESHNESS — which rollups
+              // cover it, and can a query trust them right now
+              return new GraftMetadataTable(s"$t#mvs",
+                graft.lake.MaterializedView.mvsDf(spark, t))
             case _ => ()
           }
         }
