@@ -103,6 +103,12 @@ object AutoMaintain {
   // per-root in-flight guard: a maintenance rewrite's own commit must
   // not re-enter the policy engine
   private val inFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // roots whose hook was SKIPPED because another thread held the
+  // guard: the holder re-runs once after releasing, so a commit that
+  // raced an in-progress refresh still gets its freshness pass (the
+  // actions re-read the head — idempotent; retries are bounded by
+  // actual skipped commits, not unbounded recursion)
+  private val skipped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Spec surface: completed (compactions, consolidations) per root. */
   private val fired = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
@@ -116,7 +122,8 @@ object AutoMaintain {
     val pol =
       try policies(root)
       catch { case NonFatal(_) => return }
-    if (pol.isEmpty || !inFlight.add(root)) return
+    if (pol.isEmpty) return
+    if (!inFlight.add(root)) { skipped.add(root): Unit; return }
     try {
       pol.get(AutoManifestKey).foreach { cap =>
         try {
@@ -144,6 +151,9 @@ object AutoMaintain {
         catch { case NonFatal(_) => () }
       }
     } finally inFlight.remove(root): Unit
+    // a commit that raced this hook was skipped above — run its pass
+    // now so a burst-then-idle writer doesn't strand stale MVs
+    if (skipped.remove(root)) afterCommit(spark, root)
   }
 
   /** The `CALL compact` path with `basis = head`: a racing append

@@ -164,14 +164,29 @@ object MaterializedView {
       d.avgs.map { case (n0, e) => (n0, avg(expr(e))) }
 
   /** Append-only FOLD laws for the minmax kind's extras, parallel to
-    * [[minmaxExtras]]: SUMs fold (sum of partial sums); AVGs do not
-    * (recompute-exact semantics — NULL-aware divisors can't be folded
-    * from stored state), so their presence keeps the targeted path.
+    * [[minmaxExtras]]: a SUM folds (sum of partial sums) only when
+    * its argument is INTEGRAL — the stored extra is
+    * `sum(expr).cast(bigint)`, so a fractional argument truncates
+    * per-PARTIAL under a fold but per-TOTAL under the recompute
+    * paths, and the same fact content would diverge by maintenance
+    * path. AVGs never fold (recompute-exact semantics — NULL-aware
+    * divisors can't be folded from stored state). Any None keeps the
+    * targeted path.
     */
-  private def minmaxExtraFolds(d: MvDef)
-      : Seq[Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]] =
-    d.sums.map(_ => Some((c: org.apache.spark.sql.Column) =>
-      sum(c).cast("bigint"))) ++ d.avgs.map(_ => None)
+  private def minmaxExtraFolds(s: SparkSession, d: MvDef)
+      : Seq[Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]] = {
+    import org.apache.spark.sql.types._
+    val argTypes =
+      try {
+        val probe = LakeTable.read(s, d.fact) // plan-only: schema, no IO
+        d.sums.map(x => probe.selectExpr(x._2).schema.head.dataType)
+      } catch { case _: Exception => d.sums.map(_ => DoubleType) } // → no fold
+    d.sums.zip(argTypes).map {
+      case (_, ByteType | ShortType | IntegerType | LongType) =>
+        Some((c: org.apache.spark.sql.Column) => sum(c).cast("bigint"))
+      case _ => None
+    } ++ d.avgs.map(_ => None)
+  }
 
   private def cfgOf(d: MvDef): BlockWriter.Config =
     BlockWriter.Config(d.group.head, d.group.head, maxRecordsPerFile = 1 << 20)
@@ -285,7 +300,7 @@ object MaterializedView {
     if (d.kind == "minmax")
       Seq(MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
         d.minName, d.maxName, extras = minmaxExtras(d),
-        subGroups = d.group.tail, extraFolds = minmaxExtraFolds(d)))
+        subGroups = d.group.tail, extraFolds = minmaxExtraFolds(s, d)))
     else if (d.kind == "single")
       Seq(IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
         cfgOf(d), derived = singleDerived(d)))
@@ -383,11 +398,7 @@ object MaterializedView {
     */
   def statusDf(s: SparkSession, mvDir: String): DataFrame = {
     val d = readDef(mvDir)
-    val basisVec: Seq[Int] = d.kind match {
-      case "minmax" => Seq(MinMaxMv.basis(mvDir))
-      case "single" => Seq(IncrementalMv.basis(mvDir))
-      case _ => IncrementalJoinMv.basisAll(mvDir)
-    }
+    val basisVec: Seq[Int] = basisVsHeads(d, mvDir)._1
     val bf = basisVec.head
     val bd = if (basisVec.size > 1) basisVec(1) else 0
     // the maintenance MODE the head reflects: `incr`/`full` for the

@@ -146,13 +146,19 @@ object MinMaxMv {
     // one declares a fold law (`extraFolds`) — AVG doesn't (its
     // recompute-exact semantics can't be folded), so a profile view
     // with AVG keeps the targeted path even for appends.
+    // appendOnly walks every manifest in (f0, f1]; if retention
+    // expired one, fall through to the targeted path, whose
+    // changelogRead names the expired snapshot and the remedy (the
+    // ACTIONABLE error) instead of a raw manifest-IO failure here
     val foldable = (extras.isEmpty ||
       (extraFolds.size == extras.size && extraFolds.forall(_.isDefined))) &&
-      IncrementalMv.appendOnly(factRoot, f0, f1)
+      scala.util.Try(IncrementalMv.appendOnly(factRoot, f0, f1)).getOrElse(false)
     if (foldable) {
+      // the range is pure appends: read the ADDED FILES in one
+      // filtered scan (incrementalRead), not one changelog frame per
+      // commit — a 100-commit refresh range is one plan, not a union
       val deltaState = state(
-        LakeTable.changelogRead(s, factRoot, f0, f1)
-          .drop("_change_type", "_change_snap"),
+        LakeTable.incrementalRead(s, factRoot, f0, f1),
         group, subGroups, valueCol, mn, mx, extras).persist()
       try {
         // empty-append commits: nothing to fold, basis stays put

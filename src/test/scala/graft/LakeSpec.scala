@@ -1427,9 +1427,25 @@ class LakeDataSourceSpec extends AnyFunSuite {
       LakeTable.manifest(mv, 2).files.map(_.path).toSet))
     mvFiles1.foreach(p => assert(bytesOf(p) === mvBytes1(p)))
     // ---- the non-distributive case: delete k1's minimum row — a
-    // signed delta cannot answer, the targeted recompute must
+    // signed delta cannot answer, the targeted recompute must. PIN:
+    // hide every data file whose g-extent excludes k1 — the IN-pruned
+    // recompute (and the delete commit's changelog attribution) must
+    // never open an untouched group's file
     LakeTable.deleteWhere(s, fact, "id", Seq(1L).toDF("id"))
-    MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg)
+    val head2 = LakeTable.currentSnapshot(fact)
+    val nonK1 = LakeTable.manifest(fact, head2).files.filter { f =>
+      f.stats.get("g").exists(cs => cs.maxS < "k1" || cs.minS > "k1")
+    }.map(_.path)
+    assert(nonK1.nonEmpty, "fixture needs untouched-group files to hide")
+    def shift2(hide: Boolean): Unit = nonK1.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift2(hide = true)
+    try MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg): Unit
+    finally shift2(hide = false)
+    assert(MinMaxMv.mode(mv) === "targeted")
     assert(mvState()("k1") === ((3L, 50L, 130L)),
       "deleting the group minimum must RAISE min_x")
     // ---- a group vanishing entirely retires through the mask
