@@ -1427,24 +1427,29 @@ class LakeDataSourceSpec extends AnyFunSuite {
       LakeTable.manifest(mv, 2).files.map(_.path).toSet))
     mvFiles1.foreach(p => assert(bytesOf(p) === mvBytes1(p)))
     // ---- the non-distributive case: delete k1's minimum row — a
-    // signed delta cannot answer, the targeted recompute must. PIN:
-    // hide every data file whose g-extent excludes k1 — the IN-pruned
-    // recompute (and the delete commit's changelog attribution) must
-    // never open an untouched group's file
+    // signed delta cannot answer, the targeted recompute must. PIN
+    // the recompute's pruning at the PLAN level: the exact IN-pruned
+    // scan shape refresh uses must plan ONLY touched-extent files.
+    // (Physically hiding untouched files cannot pin this stage: the
+    // delete commit's changelog attribution legitimately diffs the
+    // full pre-state — only the RECOMPUTE scan is group-pruned.)
     LakeTable.deleteWhere(s, fact, "id", Seq(1L).toDF("id"))
     val head2 = LakeTable.currentSnapshot(fact)
     val nonK1 = LakeTable.manifest(fact, head2).files.filter { f =>
       f.stats.get("g").exists(cs => cs.maxS < "k1" || cs.minS > "k1")
-    }.map(_.path)
-    assert(nonK1.nonEmpty, "fixture needs untouched-group files to hide")
-    def shift2(hide: Boolean): Unit = nonK1.foreach { p =>
-      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
-      val h = java.nio.file.Paths.get(f.toString + ".hidden")
-      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
-    }
-    shift2(hide = true)
-    try MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg): Unit
-    finally shift2(hide = false)
+    }.map(_.path.stripPrefix("file:")).toSet
+    assert(nonK1.nonEmpty, "fixture needs untouched-group files")
+    val pruneDf = s.read.format("graft-lake").option("snapshot", head2)
+      .load(fact).filter(col("g").isin("k1"))
+    pruneDf.collect(): Unit // plan + execute so the scan records
+    val planned = pruneDf.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case g: graft.sources.GraftScan => g }
+      .flatMap(_.plannedFiles.map(_.path.stripPrefix("file:"))).toSet
+    assert(planned.nonEmpty && planned.intersect(nonK1).isEmpty,
+      "the IN-pruned recompute scan must plan only touched-extent files")
+    MinMaxMv.refresh(s, fact, mv, "g", "x", mCfg)
     assert(MinMaxMv.mode(mv) === "targeted")
     assert(mvState()("k1") === ((3L, 50L, 130L)),
       "deleting the group minimum must RAISE min_x")
