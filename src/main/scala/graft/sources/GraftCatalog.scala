@@ -1257,6 +1257,10 @@ private[sources] object GraftProcedures {
         // "fact=f,dims=d1,d2,…" for multi-dimension stars
         graft.lake.MaterializedView.refreshStatus(
           SparkSession.active, tbl(c, in))),
+    Def("refresh_mvs", "refresh every REGISTERED materialized view over the named FACT table whose basis is behind (the same sweep the graft.autorefresh.mvs policy runs post-commit); returns how many refreshed",
+      Seq("table" -> StringType), "refreshed", IntegerType, (c, in) =>
+        graft.lake.MaterializedView.refreshStale(
+          SparkSession.active, tbl(c, in)).size),
     Def("clone", "zero-copy shallow clone into a new independent table",
       Seq("source" -> StringType, "dest" -> StringType), "snapshot", IntegerType,
       (c, in) => LakeTable.cloneTable(tbl(c, in),

@@ -1606,6 +1606,35 @@ class DsV2Spec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("CALL refresh_mvs sweeps every stale registered MV over a fact in one verb; idempotent when fresh") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.rmf_$id"
+    val mv1 = s"graft.psd.rmv1_$id"; val mv2 = s"graft.psd.rmv2_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv1 AS
+                 |SELECT g, COUNT(*) AS n, SUM(x) AS sx FROM $fact GROUP BY g""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv2 AS
+                 |SELECT g, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+                 |FROM $fact GROUP BY g""".stripMargin)
+    spark.sql(s"INSERT INTO $fact VALUES (3, 'a', 30)") // both stale
+    assert(spark.sql(s"SELECT fresh FROM $fact.mvs").collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false, false))
+    assert(spark.sql(s"CALL graft.system.refresh_mvs(table => 'psd.rmf_$id')")
+      .head().getInt(0) === 2, "one verb refreshes every stale MV")
+    assert(spark.sql(s"SELECT fresh FROM $fact.mvs").collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true, true))
+    assert(spark.sql(s"CALL graft.system.refresh_mvs(table => 'psd.rmf_$id')")
+      .head().getInt(0) === 0, "a fresh sweep is a no-op")
+    val ra = spark.sql(s"SELECT n, sx FROM $mv1 WHERE g = 'a'").head()
+    assert((ra.getLong(0), ra.getLong(1)) === ((2L, 40L)))
+    Seq(mv1, mv2, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")
