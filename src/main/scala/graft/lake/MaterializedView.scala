@@ -56,7 +56,12 @@ object MaterializedView {
       // session's) when deciding semantic equality — a tz mismatch
       // then fails the match instead of serving wrong-zone data.
       // Empty on pre-tz definitions: tz-aware measures never match.
-      tz: String = "") {
+      tz: String = "",
+      // spark.sql.ansi.enabled at CREATE ("true"/"false"): SUM/AVG
+      // overflow and error semantics differ by regime, so the rewrite
+      // serves stored measures only to sessions in the SAME regime.
+      // Empty on pre-ansi definitions: SUM/AVG measures never match.
+      ansi: String = "") {
     /** The effective dimension list of a `join` MV: the multi-dim
       * `dims` field when present, else the legacy single (dim, key)
       * pair — pre-multi-dim `_mv.json` files keep working.
@@ -84,7 +89,7 @@ object MaterializedView {
     n.put("sql", d.sql)
     n.put("kind", d.kind); n.put("value", d.value)
     n.put("min_name", d.minName); n.put("max_name", d.maxName)
-    n.put("tz", d.tz)
+    n.put("tz", d.tz); n.put("ansi", d.ansi)
     val av = n.putArray("avgs")
     d.avgs.foreach { case (name, e) =>
       val o = av.addObject(); o.put("name", name); o.put("expr", e): Unit
@@ -126,8 +131,16 @@ object MaterializedView {
         (o.get("root").asText(),
           Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq)
       },
-      tz = opt("tz"))
+      tz = opt("tz"), ansi = opt("ansi"))
   }
+
+  /** Modification time of the definition file — the incarnation
+    * fingerprint the rewrite rule's caches key on (a DROP + re-CREATE
+    * at the same path must never serve the old definition or scan).
+    */
+  def defMtime(mvDir: String): Long =
+    try Files.getLastModifiedTime(defPath(mvDir)).toMillis
+    catch { case _: java.io.IOException => -1L }
 
   private def aggsOf(d: MvDef): Seq[IncrementalJoinMv.Agg] =
     d.sums.map { case (name, e) => IncrementalJoinMv.sumAgg(name, expr(e)) }
@@ -199,7 +212,8 @@ object MaterializedView {
     * materialization cleans its def up so the name frees again.
     */
   def create(s: SparkSession, mvDir: String, d0: MvDef): Int = {
-    val d = d0.copy(tz = s.sessionState.conf.sessionLocalTimeZone)
+    val d = d0.copy(tz = s.sessionState.conf.sessionLocalTimeZone,
+      ansi = s.sessionState.conf.ansiEnabled.toString)
     writeDef(mvDir, d)
     try {
       val snap =

@@ -35,10 +35,15 @@ import graft.sources.GraftLakeTable
   *    stored definition text (bound under the DEFINITION's session
   *    timezone, so a tz-sensitive measure read under a different
   *    session zone fails the match instead of serving wrong-zone
-  *    data), MIN/MAX against the minmax kind's value column; no
-  *    DISTINCT, no FILTER clauses; the single kind's derived AVG
-  *    maps only for non-nullable integral arguments (its stored law
-  *    is SUM/COUNT(*) with a bigint sum — only then equal to AVG);
+  *    data, and under the DEFINITION's recorded ANSI regime — a
+  *    mode mismatch or a try_sum/try_avg never serves stored sums),
+  *    MIN/MAX against the minmax kind's value column; no DISTINCT,
+  *    no FILTER clauses; the single kind's derived AVG never maps
+  *    (its stored SUM/COUNT(*) law is not bit-identical to Average's
+  *    double accumulation) — only the minmax kind's recomputed AVG
+  *    does; a join-kind SUM maps only for non-nullable arguments
+  *    (the signed fold drives an all-NULL-backed group to 0 where
+  *    the defining query yields NULL);
   *  - result types match the stored column types exactly (the single
   *    kind stores bigint sums — a double SUM never maps); output
   *    nullability is repaired with KnownNotNull where the original
@@ -86,7 +91,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private case class Candidate(mvDir: String, d: MaterializedView.MvDef,
       residual: Option[Expression], bindOut: Seq[Attribute],
-      unsafe: Set[String], mvSnap: Int)
+      unsafe: Set[String], mvSnap: Int, mvMtime: Long)
 
   /** Peel column-pruning Projects, deterministic Filters and INNER
     * equi-join structure off the aggregate's child down to graft
@@ -147,63 +152,132 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       })
     }.toOption.flatten.filter(_.resolved)
 
-  /** The MV column a user aggregate function maps to, or None. */
+  // the expression simplifications the operator-optimization batch
+  // applies inside aggregate arguments — the user's expression may
+  // reach the rule in SIMPLIFIED form (coalesce over a non-nullable
+  // column elided, literal casts folded), so the stored text must be
+  // comparable at the same fixed point
+  private val exprSimplifyRules: Seq[Rule[LogicalPlan]] = Seq(
+    org.apache.spark.sql.catalyst.optimizer.NullPropagation,
+    org.apache.spark.sql.catalyst.optimizer.ConstantFolding,
+    org.apache.spark.sql.catalyst.optimizer.SimplifyConditionals,
+    org.apache.spark.sql.catalyst.optimizer.SimplifyCasts,
+    org.apache.spark.sql.catalyst.optimizer.BooleanSimplification,
+    org.apache.spark.sql.catalyst.optimizer.ReorderAssociativeOperator)
+
+  /** The expression-simplification fixed point of `e` over the scan
+    * attributes — what the optimizer would have rewritten the user's
+    * copy of the same expression into.
+    */
+  private def simplified(e: Expression, out: Seq[Attribute]): Expression = {
+    var p: LogicalPlan = Project(Seq(Alias(e, "_graft_simplified")()),
+      LocalRelation(out))
+    var changed = true
+    var i = 0
+    while (changed && i < 5) {
+      val n = exprSimplifyRules.foldLeft(p)((acc, r) =>
+        Try(r(acc)).getOrElse(acc))
+      changed = !(n fastEquals p); p = n; i += 1
+    }
+    p match {
+      case Project(Seq(a: Alias), _) => a.child
+      case _ => e
+    }
+  }
+
+  /** Stored-vs-user measure-argument equality: the analyzed stored
+    * form OR its simplification fixed point must match (the rule
+    * runs inside the fixed-point batch, so the user's copy may be
+    * seen in either state).
+    */
+  private def storedMatches(txt: String, userChild: Expression,
+      bindOut: Seq[Attribute], d: MaterializedView.MvDef)
+      (extraGate: Expression => Boolean = _ => true): Boolean =
+    resolveStored(txt, bindOut, d).exists { se =>
+      extraGate(se) && (se.semanticEquals(userChild) ||
+        simplified(se, bindOut).semanticEquals(userChild))
+    }
+
+  /** Session-aware name equality (spark.sql.caseSensitive): a
+    * case-insensitive match under a case-sensitive session could
+    * silently rebind a predicate or group to a DIFFERENT column.
+    */
+  private def sameName(a: String, b: String): Boolean =
+    spark.sessionState.conf.resolver(a, b)
+
+  /** The session-aware canonical form for name-keyed sets. */
+  private def canon(n: String): String =
+    if (spark.sessionState.conf.caseSensitiveAnalysis) n else n.toLowerCase
+
+  /** Whether the reading session's SUM/AVG regime matches the one the
+    * MV was materialized under — overflow/error semantics differ by
+    * ANSI mode, so a regime mismatch (or a pre-ansi definition) never
+    * serves stored sums/averages.
+    */
+  private def ansiMatches(d: MaterializedView.MvDef): Boolean =
+    d.ansi == spark.sessionState.conf.ansiEnabled.toString
+
+  /** The MV column a user aggregate function maps to, or None.
+    * Only the DEFAULT `sum` function maps (try_sum carries different
+    * overflow semantics than the stored fold); the single kind's
+    * derived AVG never maps (stored exact-bigint-sum / n is not
+    * bit-identical to Average's double accumulation at precision
+    * edges) — only the minmax kind's avg(expr)-recomputed column is.
+    */
   private def measureCol(fn: AggregateFunction, d: MaterializedView.MvDef,
       bindOut: Seq[Attribute]): Option[String] = fn match {
     case Count(Seq(Literal(v, _))) if v != null =>
       Some(IncrementalJoinMv.CountCol) // COUNT(*) analyzes to COUNT(1)
-    case s: Sum => d.sums.collectFirst {
-      case (nm, txt)
-          if resolveStored(txt, bindOut, d).exists(_.semanticEquals(s.child)) => nm
-    }
-    case a: Average => d.avgs.collectFirst {
-      // the 'single' kind derives AVG as stored-SUM / COUNT(*) with a
-      // bigint-cast sum: equal to AVG(x) only when x can't be NULL
-      // (COUNT(x) = COUNT(*)) and is integral (the cast is exact).
-      // The minmax kind recomputes avg(expr) exactly — unrestricted.
-      case (nm, txt) if resolveStored(txt, bindOut, d).exists { se =>
-        val integral = se.dataType match {
-          case org.apache.spark.sql.types.ByteType |
-            org.apache.spark.sql.types.ShortType |
-            org.apache.spark.sql.types.IntegerType |
-            org.apache.spark.sql.types.LongType => true
-          case _ => false
-        }
-        se.semanticEquals(a.child) &&
-          (d.kind != "single" || (!se.nullable && integral))
-      } => nm
-    }
+    case s: Sum if s.prettyName == "sum" && ansiMatches(d) =>
+      d.sums.collectFirst {
+        // the JOIN kind's signed fold drives a group's sum to 0
+        // where the defining query yields NULL (all remaining values
+        // NULL) — provably identical only for non-nullable arguments
+        // there (SUM(COALESCE(x, 0)) is the sound nullable shape)
+        case (nm, txt) if storedMatches(txt, s.child, bindOut, d)(se =>
+          d.kind != "join" || !se.nullable) => nm
+      }
+    case a: Average if a.prettyName == "avg" && d.kind == "minmax" &&
+        ansiMatches(d) =>
+      d.avgs.collectFirst {
+        case (nm, txt) if storedMatches(txt, a.child, bindOut, d)() => nm
+      }
     case m: Min => m.child match {
       case ar: AttributeReference
-          if d.kind == "minmax" && ar.name.equalsIgnoreCase(d.value) =>
+          if d.kind == "minmax" && sameName(ar.name, d.value) =>
         Some(d.minName)
       case _ => None
     }
     case m: Max => m.child match {
       case ar: AttributeReference
-          if d.kind == "minmax" && ar.name.equalsIgnoreCase(d.value) =>
+          if d.kind == "minmax" && sameName(ar.name, d.value) =>
         Some(d.maxName)
       case _ => None
     }
     case _ => None
   }
 
-  // (mvDir, head snapshot) → (definition, basis vector): immutable
-  // once a head exists, so fixed-point iterations and repeated
-  // queries pay one head-pointer read instead of note walks
+  // (mvDir, head snapshot, definition-file mtime) → (definition,
+  // basis vector): immutable once a head exists FOR ONE INCARNATION
+  // of the MV — the mtime fingerprint keeps a DROP + re-CREATE at
+  // the same path (same small snapshot ids!) from serving the old
+  // definition. Fixed-point iterations and repeated queries pay one
+  // head-pointer read + one stat instead of note walks.
   private val stateCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), (MaterializedView.MvDef, Seq[Int])]
+    (String, Int, Long), (MaterializedView.MvDef, Seq[Int])]
 
-  /** The MV's (head, definition, basis vector) read atomically: the
-    * head is re-checked after the derivation, so the returned basis
-    * describes exactly the snapshot [[mvScan]] will pin — a refresh
-    * committing mid-read makes the candidate drop out, never serve
-    * data newer than the fact scan it was validated against.
+  /** The MV's (head, incarnation, definition, basis vector) read
+    * atomically: the head is re-checked after the derivation, so the
+    * returned basis describes exactly the snapshot [[mvScan]] will
+    * pin — a refresh committing mid-read makes the candidate drop
+    * out, never serve data newer than the fact scan it was validated
+    * against.
     */
   private def defBasisAt(mvDir: String)
-      : Option[(Int, MaterializedView.MvDef, Seq[Int])] = Try {
+      : Option[(Int, Long, MaterializedView.MvDef, Seq[Int])] = Try {
     val head = LakeTable.currentSnapshot(mvDir)
-    val cached = stateCache.get((mvDir, head))
+    val mtime = MaterializedView.defMtime(mvDir)
+    val cached = stateCache.get((mvDir, head, mtime))
     val (d, basis) =
       if (cached != null) cached
       else {
@@ -213,12 +287,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           case "minmax" => Seq(MinMaxMv.basis(mvDir))
           case _ => IncrementalJoinMv.basisAll(mvDir)
         }
-        if (LakeTable.currentSnapshot(mvDir) != head) return None
+        if (LakeTable.currentSnapshot(mvDir) != head ||
+          MaterializedView.defMtime(mvDir) != mtime) return None
         if (stateCache.size > 256) stateCache.clear()
-        stateCache.put((mvDir, head), (d0, b))
+        stateCache.put((mvDir, head, mtime), (d0, b))
         (d0, b)
       }
-    (head, d, basis)
+    (head, mtime, d, basis)
   }.toOption
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
@@ -233,23 +308,35 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (roots.distinct.size != roots.size) return None // self-joins: bail
     val refs = roots.flatMap(MaterializedView.refsOf).distinct
     if (refs.isEmpty) return None
+    // outer-reference guard: every attribute the aggregate's outputs,
+    // grouping and predicates mention must belong to the flattened
+    // scan set — a correlated/outer attribute that merely SHARES A
+    // NAME with an MV column must never be rebound to it
+    val availIds = rels.flatMap(_.output).map(_.exprId).toSet
+    val referenced = (agg.aggregateExpressions.flatMap(_.references) ++
+      groupAttrs ++ conds.flatMap(_.references)).map(_.exprId)
+    if (!referenced.forall(availIds.contains)) return None
     val matched: Seq[Candidate] =
       if (rels.size == 1) {
         val table = rels.head.table.asInstanceOf[GraftLakeTable]
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).collect {
-            case (head, d, basis)
+            case (head, mtime, d, basis)
                 if (d.kind == "single" || d.kind == "minmax") &&
+                  // the registry is advisory: verify the DEFINITION
+                  // really names this fact (a re-created MV at the
+                  // same path may cover a different table)
+                  d.fact == table.root &&
                   basis == Seq(table.resolvedSnapshot) =>
               Candidate(mvDir, d, conds.reduceOption(And),
-                rels.head.output, Set.empty, head)
+                rels.head.output, Set.empty, head, mtime)
           }
         }
       } else refs.flatMap { mvDir =>
-        defBasisAt(mvDir).filter(_._2.kind == "join").flatMap {
-          case (head, d, basis) => matchJoin(d, basis, conds, rels).map {
+        defBasisAt(mvDir).filter(_._3.kind == "join").flatMap {
+          case (head, mtime, d, basis) => matchJoin(d, basis, conds, rels).map {
             case (residual, bindOut, unsafe) =>
-              Candidate(mvDir, d, residual, bindOut, unsafe, head)
+              Candidate(mvDir, d, residual, bindOut, unsafe, head, mtime)
           }
         }
       }
@@ -289,7 +376,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (basis != snaps) return None
     // expected key-equality pairs, by exprId
     def attrOf(rel: DataSourceV2Relation, name: String): Option[Attribute] =
-      rel.output.find(_.name.equalsIgnoreCase(name))
+      rel.output.find(a => sameName(a.name, name))
     val pairs: Seq[(Attribute, Attribute)] = dimSpecs.zip(dimRels).flatMap {
       case (ds, dr) => ds.keys.map { k =>
         (attrOf(factRel, k).getOrElse(return None),
@@ -311,11 +398,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (covered.size != pairIds.distinct.size) return None // a key missing
     // per-holder equation audit for name-based remapping
     val holders: Seq[(String, Boolean)] =
-      factRel.output.map(a => a.name.toLowerCase -> true) ++
+      factRel.output.map(a => canon(a.name) -> true) ++
         dimSpecs.zip(dimRels).flatMap { case (ds, dr) =>
-          val ks = ds.keys.map(_.toLowerCase).toSet
-          dr.output.map(a =>
-            a.name.toLowerCase -> ks.contains(a.name.toLowerCase))
+          val ks = ds.keys.map(canon).toSet
+          dr.output.map(a => canon(a.name) -> ks.contains(canon(a.name)))
         }
     val unsafe = holders.groupBy(_._1).collect {
       case (nm, hs) if hs.size > 1 && !hs.forall(_._2) => nm
@@ -324,10 +410,12 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       factRel.output ++ dimRels.flatMap(_.output), unsafe))
   }
 
-  // (mvDir, snapshot) → analyzed DSv2 relation; each use gets a
-  // newInstance() so exprIds never collide across (or within) plans
+  // (mvDir, snapshot, definition-file mtime) → analyzed DSv2
+  // relation (the mtime guards against a re-created MV at the same
+  // path); each use gets a newInstance() so exprIds never collide
+  // across (or within) plans
   private val scanCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), DataSourceV2Relation]
+    (String, Int, Long), DataSourceV2Relation]
 
   /** An analyzed DSv2 scan of the MV PINNED at the basis-validated
     * snapshot — the same relation a catalog read resolves to
@@ -336,14 +424,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * aliases pin the ORIGINAL ids, so parents — HAVING, ORDER BY —
     * resolve unchanged.
     */
-  private def mvScan(mvDir: String, snap: Int): Option[LogicalPlan] = {
-    val cached = scanCache.get((mvDir, snap))
+  private def mvScan(mvDir: String, snap: Int, mtime: Long): Option[LogicalPlan] = {
+    val cached = scanCache.get((mvDir, snap, mtime))
     if (cached != null) Some(cached.newInstance())
     else Try(spark.read.format("graft-lake").option("snapshot", snap.toString)
         .load(mvDir).queryExecution.analyzed).toOption.map {
       case r: DataSourceV2Relation =>
         if (scanCache.size > 64) scanCache.clear()
-        scanCache.put((mvDir, snap), r)
+        scanCache.put((mvDir, snap, mtime), r)
         r.newInstance()
       case other => other // unexpected shape: usable once, uncached
     }
@@ -355,17 +443,17 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def remapCond(cond: Option[Expression], d: MaterializedView.MvDef,
       mvOut: Seq[Attribute], unsafe: Set[String]): Option[Option[Expression]] = {
-    val groupSet = d.group.map(_.toLowerCase).toSet
+    val groupSet = d.group.map(canon).toSet
     cond match {
       case None => Some(None)
       case Some(c) =>
-        if (!c.references.forall(a => groupSet.contains(a.name.toLowerCase) &&
-            !unsafe.contains(a.name.toLowerCase)))
+        if (!c.references.forall(a => groupSet.contains(canon(a.name)) &&
+            !unsafe.contains(canon(a.name))))
           return None
         var ok = true
         val mapped = c.transformUp {
           case a: AttributeReference =>
-            mvOut.find(m => m.name.equalsIgnoreCase(a.name) &&
+            mvOut.find(m => sameName(m.name, a.name) &&
               m.dataType == a.dataType) match {
               case Some(m) => m
               case None => ok = false; a
@@ -424,11 +512,12 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   /** EXACT tier: same grouping → project MV rows 1:1. */
   private def rewriteExact(agg: Aggregate,
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
-    val qg = groupAttrs.map(_.name.toLowerCase)
-    if (qg.toSet != c.d.group.map(_.toLowerCase).toSet ||
+    val qg = groupAttrs.map(a => canon(a.name))
+    if (qg.toSet != c.d.group.map(canon).toSet ||
       qg.size != c.d.group.size) return None
-    val mv = mvScan(c.mvDir, c.mvSnap).getOrElse(return None)
-    def mvAttr(n: String) = mv.output.find(_.name.equalsIgnoreCase(n))
+    if (qg.exists(c.unsafe.contains)) return None
+    val mv = mvScan(c.mvDir, c.mvSnap, c.mvMtime).getOrElse(return None)
+    def mvAttr(n: String) = mv.output.find(m => sameName(m.name, n))
     val cond2 = remapCond(c.residual, c.d, mv.output, c.unsafe)
       .getOrElse(return None)
     val groupSet = qg.toSet
@@ -440,8 +529,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         case _ => None
       },
       mapAttr = a =>
-        if (groupSet.contains(a.name.toLowerCase) &&
-            !c.unsafe.contains(a.name.toLowerCase))
+        if (groupSet.contains(canon(a.name)) &&
+            !c.unsafe.contains(canon(a.name)))
           mvAttr(a.name).filter(_.dataType == a.dataType)
         else None).getOrElse(return None)
     Some(Project(projList, cond2.map(Filter(_, mv)).getOrElse(mv)))
@@ -454,14 +543,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def rewriteRollup(agg: Aggregate,
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
-    val qg = groupAttrs.map(_.name.toLowerCase)
-    val mg = c.d.group.map(_.toLowerCase).toSet
+    val qg = groupAttrs.map(a => canon(a.name))
+    val mg = c.d.group.map(canon).toSet
     // strict, non-empty subset: a global aggregate over an EMPTY MV
     // would return NULL where the fact returns a zero-count row
     if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
     if (qg.exists(c.unsafe.contains)) return None
-    val mv = mvScan(c.mvDir, c.mvSnap).getOrElse(return None)
-    def mvAttr(n: String) = mv.output.find(_.name.equalsIgnoreCase(n))
+    val mv = mvScan(c.mvDir, c.mvSnap, c.mvMtime).getOrElse(return None)
+    def mvAttr(n: String) = mv.output.find(m => sameName(m.name, n))
     val cond2 = remapCond(c.residual, c.d, mv.output, c.unsafe)
       .getOrElse(return None)
     val groupMv = groupAttrs.map(a =>
@@ -486,8 +575,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         case _ => None
       },
       mapAttr = a =>
-        if (groupSet.contains(a.name.toLowerCase) &&
-            !c.unsafe.contains(a.name.toLowerCase))
+        if (groupSet.contains(canon(a.name)) &&
+            !c.unsafe.contains(canon(a.name)))
           mvAttr(a.name).filter(_.dataType == a.dataType)
         else None).getOrElse(return None)
     Some(Aggregate(groupMv, aggExprs,

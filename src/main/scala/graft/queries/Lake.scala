@@ -1270,8 +1270,13 @@ object Lake {
              |SELECT event_type, ub, (length(event_type) + ub) % 2
              |FROM (SELECT DISTINCT event_type FROM ev_sqlrs)
              |CROSS JOIN (SELECT explode(array(0L, 1L)) AS ub)""".stripMargin)
+    // COALESCE makes the SUM argument provably non-nullable — the
+    // rewrite's join-kind soundness gate (the signed fold drives an
+    // all-NULL-backed group to 0 where SUM(x) yields NULL) admits
+    // exactly this shape, and the fold is EXACT for it
     s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
-             |SELECT wb, db, COUNT(*) AS n, SUM(vx100) AS sum_vx100
+             |SELECT wb, db, COUNT(*) AS n,
+             |  SUM(COALESCE(vx100, 0)) AS sum_vx100
              |FROM $fact JOIN $d1 USING (event_type)
              |JOIN $d2 USING (event_type, ub)
              |GROUP BY wb, db""".stripMargin)
@@ -1280,11 +1285,11 @@ object Lake {
     def hidden[T](body: => T): T = withHiddenFiles(factDir)(body)
     val star = s"""FROM $fact JOIN $d1 USING (event_type)
                   |JOIN $d2 USING (event_type, ub)""".stripMargin
-    val q = s"SELECT wb, db, COUNT(*) AS cnt, SUM(vx100) AS total $star GROUP BY wb, db"
+    val q = s"SELECT wb, db, COUNT(*) AS cnt, SUM(COALESCE(vx100, 0)) AS total $star GROUP BY wb, db"
     val (r1, r2) = hidden {
       (s.sql(q).collect(),
         s.sql(s"""SELECT wb, CAST(-1 AS BIGINT) AS db, COUNT(*) AS cnt,
-                 |  SUM(vx100) AS total $star WHERE db = 0 GROUP BY wb""".stripMargin)
+                 |  SUM(COALESCE(vx100, 0)) AS total $star WHERE db = 0 GROUP BY wb""".stripMargin)
           .collect())
     }
     // dim rewire: even-length types move wb buckets → basis vector
