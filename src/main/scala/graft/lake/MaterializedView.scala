@@ -283,6 +283,19 @@ object MaterializedView {
     } catch { case _: Exception => Nil } // advisory: unreadable = none
   }
 
+  private def writeRefs(factDir: String, mvDirs: Seq[String]): Unit = {
+    val n = mapper.createObjectNode()
+    val a = n.putArray("mvs")
+    mvDirs.foreach(x => { a.add(x): Unit })
+    Files.createDirectories(refsPath(factDir).getParent)
+    val tmp = refsPath(factDir)
+      .resolveSibling(s"._mv_refs.${System.nanoTime()}.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(n))
+    Files.move(tmp, refsPath(factDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   /** Record `mvDir` as an MV over `factDir` (idempotent). Plain
     * read-modify-write: concurrent CREATEs could drop each other's
     * ref, which costs a missed rewrite opportunity, not wrong data —
@@ -290,18 +303,18 @@ object MaterializedView {
     */
   private def registerRef(factDir: String, mvDir: String): Unit = try {
     val cur = refsOf(factDir)
-    if (!cur.contains(mvDir)) {
-      val n = mapper.createObjectNode()
-      val a = n.putArray("mvs")
-      (cur :+ mvDir).foreach(x => { a.add(x): Unit })
-      Files.createDirectories(refsPath(factDir).getParent)
-      val tmp = refsPath(factDir)
-        .resolveSibling(s"._mv_refs.${System.nanoTime()}.tmp")
-      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(n))
-      Files.move(tmp, refsPath(factDir),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-    }
+    if (!cur.contains(mvDir)) writeRefs(factDir, cur :+ mvDir)
+  } catch { case _: java.io.IOException => () } // advisory — see above
+
+  /** Remove `mvDir` from `factDir`'s registry — DROP MATERIALIZED
+    * VIEW's eager half (the lazy half, [[refsOf]]'s liveness filter,
+    * already hides a dropped MV; eager removal keeps the registry
+    * file from accreting dead entries and the `t.mvs` row gone even
+    * if a plain table is later created at the same path).
+    */
+  def deregisterRef(factDir: String, mvDir: String): Unit = try {
+    val cur = refsOf(factDir)
+    if (cur.contains(mvDir)) writeRefs(factDir, cur.filterNot(_ == mvDir))
   } catch { case _: java.io.IOException => () } // advisory — see above
 
   /** Fold base-table changes since the recorded basis by the stored

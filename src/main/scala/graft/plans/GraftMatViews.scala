@@ -47,6 +47,12 @@ object GraftMatViews {
   private val createRe =
     "(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+([\\w.`]+)\\s+AS\\s+(SELECT\\b.*)$".r
 
+  private val dropRe =
+    "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.`]+)\\s*;?\\s*$".r
+
+  private val refreshRe =
+    "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([\\w.`]+)\\s*;?\\s*$".r
+
   private val selectRe =
     ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w.`]+)" +
       "((?:\\s+JOIN\\s+[\\w.`]+\\s+USING\\s*\\([^)]*\\))+)" +
@@ -95,16 +101,27 @@ object GraftMatViews {
         "[, SUM(e) AS s ...] [, AVG(e) AS a ...] " +
         "[, MIN(col) AS m, MAX(col) AS x] FROM <fact> GROUP BY <group cols>")
 
-  /** Intercept `CREATE MATERIALIZED VIEW` text whose target names a
-    * graft catalog; None lets the delegate parser handle the text.
+  /** Intercept MATERIALIZED VIEW statements (CREATE / DROP / REFRESH
+    * — none of them in Spark's grammar) whose target names a graft
+    * catalog; None lets the delegate parser handle the text.
     */
-  def interceptCreate(spark: SparkSession,
+  def intercept(spark: SparkSession,
       delegate: org.apache.spark.sql.catalyst.parser.ParserInterface,
       sqlText: String): Option[LogicalPlan] = sqlText match {
     case createRe(identText, select) =>
       val parts = delegate.parseMultipartIdentifier(identText)
       GraftViews.target(spark, parts).map { case (_, ident) =>
         GraftCreateMatViewCommand(parts.head, ident, select.trim)
+      }
+    case dropRe(ifExists, identText) =>
+      val parts = delegate.parseMultipartIdentifier(identText)
+      GraftViews.target(spark, parts).map { case (_, ident) =>
+        GraftDropMatViewCommand(parts.head, ident, ifExists != null)
+      }
+    case refreshRe(identText) =>
+      val parts = delegate.parseMultipartIdentifier(identText)
+      GraftViews.target(spark, parts).map { case (_, ident) =>
+        GraftRefreshMatViewCommand(parts.head, ident)
       }
     case _ => None
   }
@@ -301,5 +318,58 @@ final case class GraftCreateMatViewCommand(catalogName: String,
       (ident.namespace() :+ ident.name()).mkString("."))
     MaterializedView.create(spark, mvDir, d): Unit
     Nil
+  }
+}
+
+/** Executes `DROP MATERIALIZED VIEW [IF EXISTS]`: verifies the target
+  * really is an MV (a plain table gets a pointed redirect to DROP
+  * TABLE — the statements must not be interchangeable by accident),
+  * EAGERLY removes the fact-side `_mv_refs.json` entry so the
+  * rewrite registry and `t.mvs` forget it at once, then drops the
+  * table. MVs are tables, so DROP TABLE also works — this statement
+  * is the symmetric lifecycle verb plus the eager deregistration.
+  */
+final case class GraftDropMatViewCommand(catalogName: String,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val name = (ident.namespace() :+ ident.name()).mkString(".")
+    if (!cat.tableExists(ident)) {
+      if (ifExists) return Nil
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    }
+    val mvDir = cat.tableDir(name)
+    require(MaterializedView.isMv(mvDir),
+      s"$name is a table, not a materialized view — use DROP TABLE")
+    // read the definition BEFORE the delete: the fact root it names
+    // is where the eager deregistration must land
+    val factDir = scala.util.Try(MaterializedView.readDef(mvDir).fact).toOption
+    factDir.foreach(MaterializedView.deregisterRef(_, mvDir))
+    cat.dropTable(ident): Unit
+    Nil
+  }
+}
+
+/** Executes `REFRESH MATERIALIZED VIEW` — statement sugar over the
+  * same dispatch as `CALL graft.system.refresh_mv` (one verb, every
+  * kind); returns the new basis vector as the CALL form does.
+  */
+final case class GraftRefreshMatViewCommand(catalogName: String,
+    ident: org.apache.spark.sql.connector.catalog.Identifier)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "basis", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val mvDir = cat.tableDir((ident.namespace() :+ ident.name()).mkString("."))
+    Seq(Row(MaterializedView.refreshStatus(spark, mvDir)))
   }
 }

@@ -93,9 +93,9 @@ class GraftViewParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    // MATERIALIZED VIEW DDL is not in Spark's grammar at all — it
-    // must be intercepted on the raw text BEFORE delegating
-    GraftMatViews.interceptCreate(spark, delegate, sqlText).getOrElse(
+    // MATERIALIZED VIEW DDL (CREATE / DROP / REFRESH) is not in
+    // Spark's grammar at all — intercept raw text BEFORE delegating
+    GraftMatViews.intercept(spark, delegate, sqlText).getOrElse(
     delegate.parsePlan(sqlText) match {
       case cv @ CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _,
           props, originalText, _, allowExisting, replace, _) =>

@@ -2249,6 +2249,85 @@ object Lake {
       |    kind = 'single', ord FROM m)
       |ORDER BY stage, kind""".stripMargin
 
+  // --- q_sql_mv_drop: the DDL lifecycle's other half — DROP
+  // MATERIALIZED VIEW (with EAGER fact-side deregistration: the
+  // `t.mvs` row and the rewrite candidacy disappear with the
+  // statement, not at the next lazy registry sweep) and REFRESH
+  // MATERIALIZED VIEW (statement sugar over the one refresh verb,
+  // `CALL graft.system.refresh_mv`). Guard rails gated alongside:
+  // IF EXISTS swallows a missing name, a bare DROP on a missing name
+  // throws, and DROP MATERIALIZED VIEW on a PLAIN TABLE throws (the
+  // two drop statements must not be interchangeable by accident).
+  // The final stage hides every fact data file after the REFRESH
+  // statement ran: fresh post-append totals can then only come from
+  // the refreshed MV — proving the statement really folded and the
+  // automatic rewrite still serves the surviving view.
+  def qSqlMvDrop(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.dpf_$id"
+    val mva = s"graft.q.dpa_$id"; val mvb = s"graft.q.dpb_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqldp")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, ub BIGINT, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, event_id % 3,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqldp WHERE $pred""".stripMargin)
+    ins("event_id % 2 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mva AS
+             |SELECT event_type, COUNT(*) AS n, SUM(vx100) AS sum_vx100
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mvb AS
+             |SELECT event_type, ub, COUNT(*) AS n
+             |FROM $fact GROUP BY event_type, ub""".stripMargin)
+    def mvsCount = s.sql(s"SELECT count(*) FROM $fact.mvs").collect()(0).getLong(0)
+    def fails(sql: String): Long =
+      if (scala.util.Try(s.sql(sql).collect()).isFailure) 1L else 0L
+    val flags = Seq.newBuilder[(Long, String, Long)]
+    flags += ((1L, "mvs_before", mvsCount))
+    s.sql(s"DROP MATERIALIZED VIEW $mvb")
+    flags += ((2L, "mvs_after", mvsCount))
+    flags += ((2L, "read_fails", fails(s"SELECT * FROM $mvb")))
+    s.sql(s"DROP MATERIALIZED VIEW IF EXISTS graft.q.nosuch_$id")
+    flags += ((3L, "if_exists_ok", 1L))
+    flags += ((3L, "missing_throws",
+      fails(s"DROP MATERIALIZED VIEW graft.q.nosuch_$id")))
+    flags += ((3L, "plain_table_throws", fails(s"DROP MATERIALIZED VIEW $fact")))
+    ins("event_id % 2 = 1") // mva now stale
+    val refreshed = s.sql(s"REFRESH MATERIALIZED VIEW $mva").collect()
+    flags += ((4L, "refresh_rows", refreshed.length.toLong))
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.dpf_$id")
+    val served = withHiddenFiles(factDir) {
+      s.sql(s"SELECT event_type, SUM(vx100) AS v FROM $fact GROUP BY event_type")
+        .collect()
+    }
+    import s.implicits._
+    (flags.result() ++ served.toSeq.map(r => (5L, r.getString(0), r.getLong(1))))
+      .toDF("stage", "k", "v")
+      .orderBy(col("stage"), col("k"))
+  }
+
+  val qSqlMvDropSql: String =
+    """WITH f AS (
+      |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |flags(stage, k, v) AS (VALUES
+      |  (1, 'mvs_before', 2), (2, 'mvs_after', 1), (2, 'read_fails', 1),
+      |  (3, 'if_exists_ok', 1), (3, 'missing_throws', 1),
+      |  (3, 'plain_table_throws', 1), (4, 'refresh_rows', 1)),
+      |s5 AS (
+      |  SELECT 5 AS stage, event_type AS k, SUM(vx100) AS v
+      |  FROM f GROUP BY event_type)
+      |SELECT CAST(stage AS BIGINT) AS stage, k, CAST(v AS BIGINT) AS v
+      |FROM (SELECT * FROM flags UNION ALL SELECT * FROM s5)
+      |ORDER BY stage, k""".stripMargin
+
   // --- stream_mv_minmax: the CONTINUOUSLY-MAINTAINED min/max view —
   // mv_minmax_refresh's production deployment shape, same
   // exactly-once-by-construction law as stream_mv_refresh: the fact
@@ -4045,6 +4124,7 @@ object Lake {
     "mv_minmax_fold" -> mvMinmaxFold,
     "mv_automaint" -> mvAutomaint,
     "q_sql_mv_meta" -> qSqlMvMeta,
+    "q_sql_mv_drop" -> qSqlMvDrop,
     "stream_mv_minmax" -> streamMvMinmax,
     "stream_mv_refresh" -> streamMvRefresh,
     "lake_overwrite" -> lakeOverwrite,
@@ -4124,6 +4204,7 @@ object Lake {
     "mv_minmax_fold" -> mvMinmaxFoldSql,
     "mv_automaint" -> mvAutomaintSql,
     "q_sql_mv_meta" -> qSqlMvMetaSql,
+    "q_sql_mv_drop" -> qSqlMvDropSql,
     "stream_mv_minmax" -> streamMvMinmaxSql,
     "stream_mv_refresh" -> streamMvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,

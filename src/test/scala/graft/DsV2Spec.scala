@@ -1635,6 +1635,51 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv1, mv2, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("DROP MATERIALIZED VIEW deregisters eagerly and frees the name; REFRESH MATERIALIZED VIEW is the statement form of the refresh verb") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.dmf_$id"; val mv = s"graft.psd.dmv_$id"
+    spark.sql(s"CREATE TABLE $fact (k STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT k, COUNT(*) AS n, SUM(x) AS sx
+                 |FROM $fact GROUP BY k""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.dmf_$id")
+    val mvDir = cat.tableDir(s"psd.dmv_$id")
+    assert(graft.lake.MaterializedView.refsOf(factDir) === Seq(mvDir))
+    // REFRESH statement: returns the basis, folds the delta
+    spark.sql(s"INSERT INTO $fact VALUES ('a', 10)")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW $mv")
+      .head().getString(0) === "fact=2")
+    assert(spark.sql(s"SELECT sx FROM $mv WHERE k = 'a'")
+      .head().getLong(0) === 11L)
+    // DROP MATERIALIZED VIEW on a plain table: a pointed redirect
+    val e1 = intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW $fact"))
+    assert(e1.getMessage.contains("use DROP TABLE"))
+    // missing name: bare throws, IF EXISTS is silent
+    intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW graft.psd.none_$id"))
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS graft.psd.none_$id")
+    // the drop: table gone, registry FILE eagerly rewritten (not just
+    // the lazy liveness filter hiding a dead entry)
+    spark.sql(s"DROP MATERIALIZED VIEW $mv")
+    assert(graft.lake.MaterializedView.refsOf(factDir).isEmpty)
+    val refsJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(factDir, "meta", "_mv_refs.json"))
+    assert(!refsJson.contains(mvDir))
+    intercept[Exception](spark.sql(s"SELECT * FROM $mv"))
+    // name freed: a re-CREATE at the same identifier works and serves
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT k, COUNT(*) AS n FROM $fact GROUP BY k""".stripMargin)
+    assert(spark.sql(s"SELECT n FROM $mv WHERE k = 'a'")
+      .head().getLong(0) === 2L)
+    Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("replaceWhere overwrite through the format keeps out-of-box files by reference") {
     import org.apache.spark.sql.functions._
     val root = graft.util.Scratch.dir("graft_rw_fmt_")
