@@ -115,6 +115,15 @@ object IncrementalMv {
         (preDels -- m.deletes.toSet).isEmpty
     }
 
+  /** Public face of [[appendOnly]] for the query-rewrite rule's
+    * READ-TIME compensation tier ([[graft.plans.MvRewrite]]): a stale
+    * MV plus the appended tail answers exactly when the range between
+    * the MV's basis and the scanned snapshot is append-only — the
+    * same precondition the incremental refresh itself requires.
+    */
+  def appendOnlyRange(root: String, from: Int, to: Int): Boolean =
+    appendOnly(root, from, to)
+
   /** Fold the base's changes since the recorded basis into the MV
     * state as one rewrite commit; returns the new basis snapshot.
     * Incremental when the range is append-only, full otherwise.

@@ -88,10 +88,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * residual predicate to commute onto MV rows, the combined
     * fact-first attribute list stored-measure texts bind against,
     * the names a remap must refuse, and the PINNED MV snapshot.
+    * `deltaFrom`/`deltaTo` describe a STALE candidate's append-only
+    * compensation range ((basis, scanned snapshot]); (-1, -1) marks a
+    * fresh candidate (exact/rollup tiers).
     */
   private case class Candidate(mvDir: String, d: MaterializedView.MvDef,
       residual: Option[Expression], bindOut: Seq[Attribute],
-      unsafe: Set[String], mvSnap: Int, mvMtime: Long)
+      unsafe: Set[String], mvSnap: Int, mvMtime: Long,
+      deltaFrom: Int = -1, deltaTo: Int = -1)
 
   /** Peel column-pruning Projects, deterministic Filters and INNER
     * equi-join structure off the aggregate's child down to graft
@@ -319,17 +323,30 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val matched: Seq[Candidate] =
       if (rels.size == 1) {
         val table = rels.head.table.asInstanceOf[GraftLakeTable]
+        val snap = table.resolvedSnapshot
+        val staleOk =
+          spark.conf.get("spark.graft.mv.rewrite.stale", "true").toBoolean
         refs.flatMap { mvDir =>
-          defBasisAt(mvDir).collect {
+          defBasisAt(mvDir).flatMap {
             case (head, mtime, d, basis)
                 if (d.kind == "single" || d.kind == "minmax") &&
                   // the registry is advisory: verify the DEFINITION
                   // really names this fact (a re-created MV at the
                   // same path may cover a different table)
-                  d.fact == table.root &&
-                  basis == Seq(table.resolvedSnapshot) =>
-              Candidate(mvDir, d, conds.reduceOption(And),
-                rels.head.output, Set.empty, head, mtime)
+                  d.fact == table.root =>
+              if (basis == Seq(snap))
+                Some(Candidate(mvDir, d, conds.reduceOption(And),
+                  rels.head.output, Set.empty, head, mtime))
+              else if (staleOk && basis.head < snap &&
+                  appendOnlyCached(d.fact, basis.head, snap))
+                // STALE but compensable: the gap is pure appends, so
+                // MV rows ⊎ the tail's per-row contributions fold to
+                // exactly the head answer (the refresh law, at read)
+                Some(Candidate(mvDir, d, conds.reduceOption(And),
+                  rels.head.output, Set.empty, head, mtime,
+                  deltaFrom = basis.head, deltaTo = snap))
+              else None
+            case _ => None
           }
         }
       } else refs.flatMap { mvDir =>
@@ -341,8 +358,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         }
       }
     if (matched.isEmpty) return None
-    matched.view.flatMap(rewriteExact(agg, groupAttrs, _)).headOption
-      .orElse(matched.view.flatMap(rewriteRollup(agg, groupAttrs, _)).headOption)
+    val (stale, fresh) = matched.partition(_.deltaFrom >= 0)
+    fresh.view.flatMap(rewriteExact(agg, groupAttrs, _)).headOption
+      .orElse(fresh.view.flatMap(rewriteRollup(agg, groupAttrs, _)).headOption)
+      .orElse(stale.view.flatMap(rewriteCompensated(agg, groupAttrs, _)).headOption)
   }
 
   /** Match a join-kind MV against the flattened scan set: exactly
@@ -581,5 +600,149 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         else None).getOrElse(return None)
     Some(Aggregate(groupMv, aggExprs,
       cond2.map(Filter(_, mv)).getOrElse(mv), None))
+  }
+
+  // (root, from, to) → append-only verdict; manifests are immutable,
+  // so the verdict never changes and the O(Δ commits) metadata walk
+  // runs once per range instead of once per optimizer iteration
+  private val appendOnlyCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), java.lang.Boolean]
+  private def appendOnlyCached(root: String, from: Int, to: Int): Boolean = {
+    val k = (root, from, to)
+    val cached = appendOnlyCache.get(k)
+    if (cached != null) cached.booleanValue()
+    else {
+      val v = Try(IncrementalMv.appendOnlyRange(root, from, to)).getOrElse(false)
+      if (appendOnlyCache.size > 256) appendOnlyCache.clear()
+      appendOnlyCache.put(k, v)
+      v
+    }
+  }
+
+  /** An analyzed scan of EXACTLY the fact files appended in (from,
+    * to] — [[LakeTable.incrementalRead]]'s plan. Built fresh per
+    * rewrite (a successful compensation happens once per query; the
+    * manifest resolution is metadata-cheap) so its exprIds never
+    * collide across rewritten aggregates in one plan.
+    */
+  private def deltaScan(fact: String, from: Int, to: Int): Option[LogicalPlan] =
+    Try(LakeTable.incrementalRead(spark, fact, from, to)
+      .queryExecution.analyzed).toOption
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** COMPENSATED tier — a STALE single-table MV still answers when
+    * the gap between its basis and the scanned fact snapshot is
+    * append-only: the refresh fold applied AT READ TIME. The plan
+    * becomes
+    *
+    * {{{
+    * Aggregate(query groups,
+    *   Union(
+    *     Project(groups ++ stored measures, Filter(residual, MV@basis)),
+    *     Project(groups ++ per-row partials, Filter(residual, Δ files))))
+    * }}}
+    *
+    * where the Δ side reads ONLY the files appended in (basis, snap]
+    * (manifest-resolved — never the fact head) and contributes 1 per
+    * row to `n`, the stored measure argument per row to each SUM
+    * (admitted only for INTEGRAL arguments whose stored column is
+    * bigint — the fold law's exactness condition; a fractional SUM
+    * casts per-total in the stored state but would cast per-row
+    * here), and the raw value column to the minmax kind's MIN/MAX
+    * (distributive under pure appends). Because SUM/MIN/MAX/COUNT
+    * are associative, grouping the union directly by the QUERY's
+    * groups folds and rolls up in one aggregate — exact grouping and
+    * strict-subset rollup both land here. The residual (group-column
+    * predicates only, same commuting argument as the fresh tiers)
+    * applies to both sides. At 100 TB this means a rollup query
+    * right after an ingest batch costs |MV| + |new files| — no
+    * refresh, no fact scan. Derived/stored AVG never compensates
+    * (non-distributive from stored state); a global (no-group)
+    * aggregate is excluded for the same empty-state reason as the
+    * rollup tier. Disable with `spark.graft.mv.rewrite.stale=false`.
+    */
+  private def rewriteCompensated(agg: Aggregate,
+      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.types.LongType
+    val d = c.d
+    val qg = groupAttrs.map(a => canon(a.name))
+    val mg = d.group.map(canon).toSet
+    if (qg.isEmpty || !qg.forall(mg.contains)) return None
+    if (qg.distinct.size != qg.size) return None
+    val mv = mvScan(c.mvDir, c.mvSnap, c.mvMtime).getOrElse(return None)
+    def mvAttr(n: String) = mv.output.find(m => sameName(m.name, n))
+    val delta = deltaScan(d.fact, c.deltaFrom, c.deltaTo).getOrElse(return None)
+    def dAttr(n: String) = delta.output.find(m => sameName(m.name, n))
+    // group columns on both sides, by name + identical type
+    val mvG = groupAttrs.map(a =>
+      mvAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    val dG = groupAttrs.map(a =>
+      dAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    // residual commutes onto both sides (group-column refs only)
+    val mvCond = remapCond(c.residual, d, mv.output, c.unsafe).getOrElse(return None)
+    val dCond = remapCond(c.residual, d, delta.output, c.unsafe).getOrElse(return None)
+    // measure columns, positionally aligned: stored on the MV side,
+    // per-row contributions on the delta side
+    val nMv = mvAttr(IncrementalJoinMv.CountCol)
+      .filter(_.dataType == LongType).getOrElse(return None)
+    val minmax: Seq[(Attribute, Expression, String)] =
+      if (d.kind != "minmax") Nil
+      else {
+        val vD = dAttr(d.value).getOrElse(return None)
+        val mn = mvAttr(d.minName).filter(_.dataType == vD.dataType)
+          .getOrElse(return None)
+        val mx = mvAttr(d.maxName).filter(_.dataType == vD.dataType)
+          .getOrElse(return None)
+        Seq((mn, vD, d.minName), (mx, vD, d.maxName))
+      }
+    val sums: Seq[(Attribute, Expression, String)] = d.sums.map {
+      case (nm, txt) =>
+        val mcol = mvAttr(nm).filter(_.dataType == LongType).getOrElse(return None)
+        val se = resolveStored(txt, delta.output, d).getOrElse(return None)
+        if (!integral(se.dataType) || !ansiMatches(d)) return None
+        (mcol, Cast(se, LongType): Expression, nm)
+    }
+    val measures = (nMv, Literal(1L): Expression,
+      IncrementalJoinMv.CountCol) +: (minmax ++ sums)
+    val mvSide = Project((mvG ++ measures.map(_._1)).map(a => a: NamedExpression),
+      mvCond.map(Filter(_, mv)).getOrElse(mv))
+    val dSide = Project(
+      dG.map(a => a: NamedExpression) ++
+        measures.map { case (_, e, nm) => Alias(e, nm)() },
+      dCond.map(Filter(_, delta)).getOrElse(delta))
+    val union = Union(Seq(mvSide, dSide))
+    val uOut = union.output
+    val uG = uOut.take(groupAttrs.size)
+    val uM: Map[String, Attribute] =
+      measures.map(_._3).map(canon).zip(uOut.drop(groupAttrs.size)).toMap
+    val gMap = groupAttrs.map(_.exprId).zip(uG).toMap
+    val aggExprs = mapOutputs(agg.aggregateExpressions,
+      mapAgg = {
+        case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+          val folded: Option[AggregateFunction] = fn match {
+            case Count(Seq(Literal(v, _))) if v != null =>
+              uM.get(canon(IncrementalJoinMv.CountCol)).map(new Sum(_))
+            case s: Sum =>
+              measureCol(s, d, c.bindOut).map(canon).flatMap(uM.get).map(new Sum(_))
+            case m: Min =>
+              measureCol(m, d, c.bindOut).map(canon).flatMap(uM.get).map(Min(_))
+            case m: Max =>
+              measureCol(m, d, c.bindOut).map(canon).flatMap(uM.get).map(Max(_))
+            case _ => None // AVG is non-distributive from stored state
+          }
+          folded.filter(_.dataType == ae.dataType)
+            .map(f => ae.copy(aggregateFunction = f))
+        case _ => None
+      },
+      mapAttr = a => gMap.get(a.exprId)).getOrElse(return None)
+    Some(Aggregate(uG.map(a => a: Expression), aggExprs, union, None))
   }
 }

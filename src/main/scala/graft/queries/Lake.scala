@@ -1232,6 +1232,95 @@ object Lake {
       |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
       |ORDER BY stage, k""".stripMargin
 
+  // --- q_sql_mv_rewrite_stale: the COMPENSATED rewrite tier — a
+  // STALE MV whose gap to the scanned snapshot is append-only is
+  // still served, as MV rows ⊎ the appended files' per-row
+  // contributions folded in ONE aggregate (the refresh law applied
+  // at read time; SUM/COUNT for the single kind, MIN/MAX for the
+  // minmax kind — all distributive under pure appends). At 100 TB
+  // this is the "query right after the ingest batch" shape: correct
+  // fresh answers for |MV| + |new files| cost, no refresh commit, no
+  // fact scan. The gate hides every PRE-APPEND fact data file during
+  // stages 1-3: the fresh totals (which include the appended rows)
+  // can then only come from a plan that reads the MV plus exactly
+  // the delta files — a bare-MV answer returns stale numbers and
+  // fails the hash, a fact scan throws. Stage 4 lands a MoR DELETE
+  // (append-only broken): compensation must NOT fire and the plain
+  // fact scan returns the post-delete values.
+  def qSqlMvRewriteStale(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.rtf_$id"
+    val mv1 = s"graft.q.rtv_$id"; val mv2 = s"graft.q.rtm_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlrt")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, ub BIGINT, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, event_id % 2,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlrt WHERE $pred""".stripMargin)
+    ins("event_id % 2 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv1 AS
+             |SELECT event_type, ub, COUNT(*) AS n, SUM(vx100) AS sum_vx100
+             |FROM $fact GROUP BY event_type, ub""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv2 AS
+             |SELECT event_type, COUNT(*) AS n, MIN(vx100) AS mn, MAX(vx100) AS mx
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.rtf_$id")
+    val basisSnap = LakeTable.currentSnapshot(factDir)
+    ins("event_id % 2 = 1") // both MVs now stale by an append-only gap
+    val (r1, r2, r3) = withHiddenFiles(factDir, _.seq <= basisSnap) {
+      (s.sql(s"""SELECT event_type || '#' || CAST(ub AS STRING) AS k, COUNT(*) AS cnt,
+                |  SUM(vx100) AS v FROM $fact GROUP BY event_type, ub""".stripMargin)
+        .collect(),
+        s.sql(s"""SELECT event_type AS k, COUNT(*) AS cnt, SUM(vx100) AS v
+                 |FROM $fact WHERE ub = 1 GROUP BY event_type""".stripMargin)
+          .collect(),
+        s.sql(s"""SELECT event_type AS k, MIN(vx100) AS cnt, MAX(vx100) AS v
+                 |FROM $fact GROUP BY event_type""".stripMargin).collect())
+    }
+    // append-only broken: values must now come from the fact scan
+    s.sql(s"DELETE FROM $fact WHERE event_id % 10 = 1")
+    val r4 = s.sql(s"""SELECT event_type AS k, COUNT(*) AS cnt, SUM(vx100) AS v
+                      |FROM $fact GROUP BY event_type""".stripMargin).collect()
+    import s.implicits._
+    (r1.toSeq.map((1L, _)) ++ r2.toSeq.map((2L, _)) ++
+      r3.toSeq.map((3L, _)) ++ r4.toSeq.map((4L, _)))
+      .map { case (st, r) => (st, r.getString(0), r.getLong(1), r.getLong(2)) }
+      .toDF("stage", "k", "cnt", "v")
+      .orderBy(col("stage"), col("k"))
+  }
+
+  val qSqlMvRewriteStaleSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 2 AS ub,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, event_type || '#' || CAST(ub AS VARCHAR) AS k,
+      |    COUNT(*) AS cnt, CAST(SUM(vx100) AS BIGINT) AS v
+      |  FROM f GROUP BY event_type, ub),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+      |    CAST(SUM(vx100) AS BIGINT)
+      |  FROM f WHERE ub = 1 GROUP BY event_type),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT), event_type, MIN(vx100), MAX(vx100)
+      |  FROM f GROUP BY event_type),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT), event_type, COUNT(*),
+      |    CAST(SUM(vx100) AS BIGINT)
+      |  FROM f WHERE event_id % 10 <> 1 GROUP BY event_type)
+      |SELECT stage, k, CAST(cnt AS BIGINT) AS cnt, CAST(v AS BIGINT) AS v
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |ORDER BY stage, k""".stripMargin
+
   // --- q_sql_mv_rewrite_star: automatic rewrite over a JOIN (star)
   // MV — the flagship warehouse case: `fact ⋈ d1 ⋈ d2(composite key)
   // GROUP BY wb, db` written as a plain star query is served by the
@@ -4156,6 +4245,7 @@ object Lake {
     "q_sql_mv_single" -> qSqlMvSingle,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_rewrite" -> qSqlMvRewrite,
+    "q_sql_mv_rewrite_stale" -> qSqlMvRewriteStale,
     "q_sql_mv_rewrite_star" -> qSqlMvRewriteStar,
     "q_sql_mv_star" -> qSqlMvStar,
     "lake_avro_prune" -> lakeAvroPrune,
@@ -4236,6 +4326,7 @@ object Lake {
     "q_sql_mv_single" -> qSqlMvSingleSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,
     "q_sql_mv_rewrite" -> qSqlMvRewriteSql,
+    "q_sql_mv_rewrite_stale" -> qSqlMvRewriteStaleSql,
     "q_sql_mv_rewrite_star" -> qSqlMvRewriteStarSql,
     "q_sql_mv_star" -> qSqlMvStarSql,
     "lake_avro_prune" -> lakeAvroPruneSql,

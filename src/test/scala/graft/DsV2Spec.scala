@@ -1415,12 +1415,26 @@ class DsV2Spec extends AnyFunSuite {
     assert(scans(s"SELECT COUNT(*) AS c FROM $fact")
       === Seq(factDir), "a global aggregate never rewrites (empty-MV NULL)")
     // ---- staleness: new fact data makes every MV basis old; the
-    // SAME query must fall back to the fact until a refresh
+    // SAME query must return FRESH values — for an append-only gap
+    // that is the COMPENSATED tier (MV rows ⊎ delta files, fact head
+    // untouched: the plan's only full-table graft scan is an MV),
+    // never yesterday's bare-MV numbers
     spark.sql(s"INSERT INTO $fact VALUES (6, 'c', 0, 60)")
-    assert(scans(q) === Seq(factDir), "a stale MV must never serve")
+    assert(!scans(q).contains(factDir) && scans(q).exists(Set(mvDir, mv2Dir)),
+      "an append-stale MV serves compensated, not via a fact scan")
     assert(spark.sql(q).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
       Map("a" -> ((2L, 30L)), "b" -> ((3L, 120L)), "c" -> ((1L, 60L))))
+    // with compensation off, an append-stale MV must fall back to
+    // the fact scan (the pre-compensation contract, still the law
+    // for every non-append gap)
+    spark.conf.set("spark.graft.mv.rewrite.stale", "false")
+    try {
+      assert(scans(q) === Seq(factDir), "a stale MV must never serve bare")
+      assert(spark.sql(q).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+        Map("a" -> ((2L, 30L)), "b" -> ((3L, 120L)), "c" -> ((1L, 60L))))
+    } finally spark.conf.set("spark.graft.mv.rewrite.stale", "true")
     spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.qrv_$id')")
     assert(scans(q) === Seq(mvDir), "a refreshed MV serves again")
     // time travel rewrites ONLY when an MV reflects that exact
@@ -1604,6 +1618,78 @@ class DsV2Spec extends AnyFunSuite {
       Seq((null, 2L)))
     Seq(mv, fact, tzv, tzf, sv, sd2, sd1, sf)
       .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("MV rewrite COMPENSATES a stale MV over an append-only gap: MV rows plus delta files answer without a refresh; deletes and the kill switch fall back") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.cpf_$id"
+    val mv = s"graft.psd.cpv_$id"; val mvm = s"graft.psd.cpm_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, u BIGINT, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES (1,'a',0,10),(2,'a',1,20),(3,'b',0,30)")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, u, COUNT(*) AS n, SUM(x) AS sx
+                 |FROM $fact GROUP BY g, u""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mvm AS
+                 |SELECT g, COUNT(*) AS n, MIN(x) AS mn, MAX(x) AS mx
+                 |FROM $fact GROUP BY g""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.cpf_$id")
+    // the append-only gap: bases stay at 1, head moves to 2, NO refresh
+    spark.sql(s"INSERT INTO $fact VALUES (4,'a',0,5),(5,'c',1,100)")
+    // hide ONLY the snapshot-1 files: fresh totals (new min for 'a',
+    // brand-new group 'c') can then only come from MV rows ⊎ the
+    // delta files — a fact scan throws, a bare-MV answer is stale
+    val oldFiles = graft.lake.LakeTable.manifest(factDir, 1).files.map(_.path)
+    def shiftOld(hide: Boolean): Unit = oldFiles.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shiftOld(hide = true)
+    try {
+      // exact grouping over the (g, u) single-kind MV
+      assert(spark.sql(
+        s"SELECT g, u, COUNT(*) AS c, SUM(x) AS s FROM $fact GROUP BY g, u")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap ===
+        Map(("a", 0L) -> ((2L, 15L)), ("a", 1L) -> ((1L, 20L)),
+          ("b", 0L) -> ((1L, 30L)), ("c", 1L) -> ((1L, 100L))))
+      // rollup subset + residual on a grouped-away group column
+      assert(spark.sql(
+        s"SELECT g, SUM(x) AS s FROM $fact WHERE u = 0 GROUP BY g")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("a" -> 15L, "b" -> 30L))
+      // minmax kind: the appended 5 must LOWER a's min; 'c' appears
+      assert(spark.sql(
+        s"SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS c FROM $fact GROUP BY g")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap ===
+        Map("a" -> ((5L, 20L, 3L)), "b" -> ((30L, 30L, 1L)),
+          "c" -> ((100L, 100L, 1L))))
+      // AVG is non-distributive from stored state: no compensation,
+      // the fallback fact scan hits the hidden files and throws
+      intercept[Exception](
+        spark.sql(s"SELECT g, AVG(x) AS a FROM $fact GROUP BY g").collect())
+      // kill switch
+      spark.conf.set("spark.graft.mv.rewrite.stale", "false")
+      try intercept[Exception](spark.sql(
+        s"SELECT g, u, SUM(x) AS s FROM $fact GROUP BY g, u").collect())
+      finally spark.conf.set("spark.graft.mv.rewrite.stale", "true")
+    } finally shiftOld(hide = false)
+    // a MoR DELETE breaks append-only: compensation must NOT fire —
+    // the optimized plan scans the fact, and values reflect the delete
+    spark.sql(s"DELETE FROM $fact WHERE fid = 2")
+    assert(mvScanRoots(
+      s"SELECT g, u, COUNT(*) AS c FROM $fact GROUP BY g, u") === Seq(factDir))
+    val ra = spark.sql(
+      s"SELECT COUNT(*) AS c, SUM(x) AS s FROM $fact WHERE g = 'a'").head()
+    assert((ra.getLong(0), ra.getLong(1)) === ((2L, 15L)))
+    Seq(mvm, mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
   test("CALL refresh_mvs sweeps every stale registered MV over a fact in one verb; idempotent when fresh") {
