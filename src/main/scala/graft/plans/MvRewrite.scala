@@ -95,7 +95,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   private case class Candidate(mvDir: String, d: MaterializedView.MvDef,
       residual: Option[Expression], bindOut: Seq[Attribute],
       unsafe: Set[String], mvSnap: Int, mvMtime: Long,
-      deltaFrom: Int = -1, deltaTo: Int = -1)
+      deltaFrom: Int = -1, deltaTo: Int = -1,
+      // the join kind's fact relation INSTANCE inside the aggregate's
+      // child — the node the compensated tier substitutes with the
+      // delta scan (reference identity; self-joins are bailed out)
+      factRel: Option[DataSourceV2Relation] = None)
 
   /** Peel column-pruning Projects, deterministic Filters and INNER
     * equi-join structure off the aggregate's child down to graft
@@ -349,11 +353,28 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             case _ => None
           }
         }
-      } else refs.flatMap { mvDir =>
-        defBasisAt(mvDir).filter(_._3.kind == "join").flatMap {
-          case (head, mtime, d, basis) => matchJoin(d, basis, conds, rels).map {
-            case (residual, bindOut, unsafe) =>
-              Candidate(mvDir, d, residual, bindOut, unsafe, head, mtime)
+      } else {
+        val staleOk =
+          spark.conf.get("spark.graft.mv.rewrite.stale", "true").toBoolean
+        refs.flatMap { mvDir =>
+          defBasisAt(mvDir).filter(_._3.kind == "join").flatMap {
+            case (head, mtime, d, basis) =>
+              matchJoin(d, conds, rels).flatMap {
+                case (residual, bindOut, unsafe, factRel, snaps) =>
+                  if (basis == snaps)
+                    Some(Candidate(mvDir, d, residual, bindOut, unsafe,
+                      head, mtime))
+                  else if (staleOk && basis.tail == snaps.tail &&
+                      basis.head < snaps.head &&
+                      appendOnlyCached(d.fact, basis.head, snaps.head))
+                    // fact-append-only star staleness with every
+                    // dimension at its basis snapshot: MV rows ⊎
+                    // (Δfact ⋈ dims) folds to the head answer
+                    Some(Candidate(mvDir, d, residual, bindOut, unsafe,
+                      head, mtime, deltaFrom = basis.head,
+                      deltaTo = snaps.head, factRel = Some(factRel)))
+                  else None
+              }
           }
         }
       }
@@ -361,7 +382,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val (stale, fresh) = matched.partition(_.deltaFrom >= 0)
     fresh.view.flatMap(rewriteExact(agg, groupAttrs, _)).headOption
       .orElse(fresh.view.flatMap(rewriteRollup(agg, groupAttrs, _)).headOption)
-      .orElse(stale.view.flatMap(rewriteCompensated(agg, groupAttrs, _)).headOption)
+      .orElse(stale.view.flatMap { c =>
+        if (c.d.kind == "join") rewriteCompensatedJoin(agg, groupAttrs, c)
+        else rewriteCompensated(agg, groupAttrs, c)
+      }.headOption)
   }
 
   /** Match a join-kind MV against the flattened scan set: exactly
@@ -372,17 +396,19 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     *  (b) IsNotNull on join-key attributes (implied by the inner
     *      equi-join — tautological on MV rows), and
     *  (c) a residual the caller must commute onto group columns.
-    * The caller has already pinned freshness: `basis` (fact, dims…)
-    * must equal each relation's resolved snapshot. Returns
-    * (residual, fact-first binding output, unsafe names) — a name is
-    * UNSAFE when it appears on more than one side and any holder is
+    * Returns (residual, fact-first binding output, unsafe names,
+    * fact relation, resolved snapshot vector fact-first) — the
+    * CALLER pins freshness against the snapshot vector (equal to the
+    * basis → fresh; fact-behind with every dim equal over an
+    * append-only gap → compensable). A name is UNSAFE when it appears on more than one side and any holder is
     * NOT equated to the fact by its own dimension's keys (a dim
     * column that merely shares a name with another dim's join key is
     * still vetoed — the exemption is per equated pair, not global).
     */
-  private def matchJoin(d: MaterializedView.MvDef, basis: Seq[Int],
+  private def matchJoin(d: MaterializedView.MvDef,
       conds: Seq[Expression], rels: Seq[DataSourceV2Relation])
-      : Option[(Option[Expression], Seq[Attribute], Set[String])] = {
+      : Option[(Option[Expression], Seq[Attribute], Set[String],
+        DataSourceV2Relation, Seq[Int])] = {
     val byRoot = rels.map(r =>
       r.table.asInstanceOf[GraftLakeTable].root -> r).toMap
     val factRel = byRoot.getOrElse(d.fact, return None)
@@ -392,7 +418,6 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (rels.size != 1 + dimSpecs.size) return None
     val snaps = (factRel +: dimRels)
       .map(_.table.asInstanceOf[GraftLakeTable].resolvedSnapshot)
-    if (basis != snaps) return None
     // expected key-equality pairs, by exprId
     def attrOf(rel: DataSourceV2Relation, name: String): Option[Attribute] =
       rel.output.find(a => sameName(a.name, name))
@@ -426,7 +451,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case (nm, hs) if hs.size > 1 && !hs.forall(_._2) => nm
     }.toSet
     Some((residual.result().reduceOption(And),
-      factRel.output ++ dimRels.flatMap(_.output), unsafe))
+      factRel.output ++ dimRels.flatMap(_.output), unsafe, factRel, snaps))
   }
 
   // (mvDir, snapshot, definition-file mtime) → analyzed DSv2
@@ -718,11 +743,25 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       dG.map(a => a: NamedExpression) ++
         measures.map { case (_, e, nm) => Alias(e, nm)() },
       dCond.map(Filter(_, delta)).getOrElse(delta))
+    foldedAggregate(agg, groupAttrs, c, mvSide, dSide, measures.map(_._3))
+  }
+
+  /** The shared tail of both compensated tiers: Union the MV side
+    * and the delta side (positionally aligned: group columns first,
+    * then measure columns in `measureNames` order), then re-aggregate
+    * by the QUERY's groups with the distributive fold laws
+    * (COUNT(*) → SUM(n), SUM → SUM, MIN → MIN, MAX → MAX), original
+    * output exprIds pinned so parents resolve unchanged.
+    */
+  private def foldedAggregate(agg: Aggregate,
+      groupAttrs: Seq[AttributeReference], c: Candidate,
+      mvSide: LogicalPlan, dSide: LogicalPlan,
+      measureNames: Seq[String]): Option[LogicalPlan] = {
     val union = Union(Seq(mvSide, dSide))
     val uOut = union.output
     val uG = uOut.take(groupAttrs.size)
     val uM: Map[String, Attribute] =
-      measures.map(_._3).map(canon).zip(uOut.drop(groupAttrs.size)).toMap
+      measureNames.map(canon).zip(uOut.drop(groupAttrs.size)).toMap
     val gMap = groupAttrs.map(_.exprId).zip(uG).toMap
     val aggExprs = mapOutputs(agg.aggregateExpressions,
       mapAgg = {
@@ -731,11 +770,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             case Count(Seq(Literal(v, _))) if v != null =>
               uM.get(canon(IncrementalJoinMv.CountCol)).map(new Sum(_))
             case s: Sum =>
-              measureCol(s, d, c.bindOut).map(canon).flatMap(uM.get).map(new Sum(_))
+              measureCol(s, c.d, c.bindOut).map(canon).flatMap(uM.get).map(new Sum(_))
             case m: Min =>
-              measureCol(m, d, c.bindOut).map(canon).flatMap(uM.get).map(Min(_))
+              measureCol(m, c.d, c.bindOut).map(canon).flatMap(uM.get).map(Min(_))
             case m: Max =>
-              measureCol(m, d, c.bindOut).map(canon).flatMap(uM.get).map(Max(_))
+              measureCol(m, c.d, c.bindOut).map(canon).flatMap(uM.get).map(Max(_))
             case _ => None // AVG is non-distributive from stored state
           }
           folded.filter(_.dataType == ae.dataType)
@@ -744,5 +783,85 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       },
       mapAttr = a => gMap.get(a.exprId)).getOrElse(return None)
     Some(Aggregate(uG.map(a => a: Expression), aggExprs, union, None))
+  }
+
+  /** COMPENSATED tier for the JOIN kind — a star MV stale ONLY on
+    * the fact axis over an append-only gap (every dimension at its
+    * basis snapshot) still answers: the user's own join subtree is
+    * kept verbatim (join conditions, pushed filters and all), with
+    * the fact scan SUBSTITUTED by the appended files' scan rebound to
+    * the fact relation's exprIds — so the copied subtree resolves
+    * unchanged and yields exactly ΔF ⋈ D₀, the delta-join law's fact
+    * term evaluated at read time. Each joined delta row contributes 1
+    * to `n` and the stored measure argument to each SUM; MV rows ⊎
+    * the joined tail then fold in ONE aggregate. Only measures the
+    * query actually uses ride the union (the pruned subtree may not
+    * expose unused measure columns); SUM admission mirrors the fresh
+    * join tier (non-nullable integral argument, bigint stored column,
+    * matching ANSI regime). At 100 TB: the star rollup right after a
+    * fact ingest costs |MV| + (new files ⋈ dims) — no refresh commit,
+    * no fact scan.
+    */
+  private def rewriteCompensatedJoin(agg: Aggregate,
+      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.types.LongType
+    val d = c.d
+    val factRel = c.factRel.getOrElse(return None)
+    val qg = groupAttrs.map(a => canon(a.name))
+    val mg = d.group.map(canon).toSet
+    if (qg.isEmpty || !qg.forall(mg.contains)) return None
+    if (qg.distinct.size != qg.size) return None
+    if (qg.exists(c.unsafe.contains)) return None
+    val mv = mvScan(c.mvDir, c.mvSnap, c.mvMtime).getOrElse(return None)
+    def mvAttr(n: String) = mv.output.find(m => sameName(m.name, n))
+    val mvG = groupAttrs.map(a =>
+      mvAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    val mvCond = remapCond(c.residual, d, mv.output, c.unsafe).getOrElse(return None)
+    val nMv = mvAttr(IncrementalJoinMv.CountCol)
+      .filter(_.dataType == LongType).getOrElse(return None)
+    // only the measures the aggregate actually maps onto, and as the
+    // USER'S OWN argument expression (semantically equal to the
+    // stored text by measureCol's match, and — unlike a re-resolved
+    // stored text — guaranteed to reference only attributes the
+    // pruned subtree still exposes). measureCol has already applied
+    // the join kind's non-nullable gate; integral argument + bigint
+    // stored column are this tier's per-row-cast exactness gates.
+    val userSums: Seq[(String, Expression)] =
+      agg.aggregateExpressions.flatMap(_.collect {
+        case AggregateExpression(fn: Sum, Complete, false, None, _) =>
+          measureCol(fn, d, c.bindOut).map(nm => (canon(nm), fn.child))
+      }.flatten).distinctBy(_._1)
+    val sums: Seq[(Attribute, Expression, String)] =
+      d.sums.flatMap { case (nm, _) =>
+        userSums.find(_._1 == canon(nm)).map { case (_, ue) =>
+          val mcol = mvAttr(nm).filter(_.dataType == LongType)
+            .getOrElse(return None)
+          if (!integral(ue.dataType)) return None
+          (mcol, Cast(ue, LongType): Expression, nm)
+        }
+      }
+    val measures = (nMv, Literal(1L): Expression,
+      IncrementalJoinMv.CountCol) +: sums
+    // substitute the fact scan with the delta files, rebound to the
+    // SAME exprIds — join conditions, pushed filters and group
+    // attributes in the copied subtree resolve against it unchanged
+    val delta = deltaScan(d.fact, c.deltaFrom, c.deltaTo).getOrElse(return None)
+    def dAttr(n: String) = delta.output.find(m => sameName(m.name, n))
+    val rebound = Project(factRel.output.map { a =>
+      val src = dAttr(a.name).filter(_.dataType == a.dataType)
+        .getOrElse(return None)
+      Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        : NamedExpression
+    }, delta)
+    val newChild = agg.child.transformUp {
+      case r: DataSourceV2Relation if r eq factRel => rebound
+    }
+    val mvSide = Project((mvG ++ measures.map(_._1)).map(a => a: NamedExpression),
+      mvCond.map(Filter(_, mv)).getOrElse(mv))
+    val dSide = Project(
+      groupAttrs.map(a => a: NamedExpression) ++
+        measures.map { case (_, e, nm) => Alias(e, nm)() },
+      newChild)
+    foldedAggregate(agg, groupAttrs, c, mvSide, dSide, measures.map(_._3))
   }
 }

@@ -1321,6 +1321,94 @@ object Lake {
       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, k""".stripMargin
 
+  // --- q_sql_mv_rewrite_stale_star: the compensated tier over a
+  // JOIN (star) MV — a star stale ONLY on the fact axis over an
+  // append-only gap (every dimension at its basis snapshot) is
+  // served as MV rows ⊎ (Δfact ⋈ dims): the user's own join subtree
+  // re-runs with the fact scan substituted by exactly the appended
+  // files, i.e. the delta-join law's ΔF ⋈ D₀ term evaluated at read
+  // time with no refresh commit. Stages 1-2 run with every
+  // PRE-APPEND fact file hidden (fresh star totals are only
+  // reachable via the MV plus the delta files; stage 2 is the
+  // COUNT-only shape, pinning that the delta side doesn't reference
+  // measure columns the pruned subtree no longer exposes). Stage 3
+  // moves a DIMENSION: the compensation precondition breaks and the
+  // star must run as written, returning the rewired values.
+  def qSqlMvRewriteStaleStar(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.ssf_$id"; val d1 = s"graft.q.ssd_$id"
+    val mv = s"graft.q.ssv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlss")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlss WHERE $pred""".stripMargin)
+    ins("event_id % 2 = 0")
+    s.sql(s"CREATE TABLE $d1 (event_type STRING, wb BIGINT)")
+    s.sql(s"""INSERT INTO $d1
+             |SELECT event_type, length(event_type) % 3
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlss)""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT wb, COUNT(*) AS n, SUM(COALESCE(vx100, 0)) AS sum_vx100
+             |FROM $fact JOIN $d1 USING (event_type)
+             |GROUP BY wb""".stripMargin)
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.ssf_$id")
+    val basisSnap = LakeTable.currentSnapshot(factDir)
+    ins("event_id % 2 = 1") // fact-append staleness, dims untouched
+    val star = s"FROM $fact JOIN $d1 USING (event_type)"
+    val q = s"SELECT wb, COUNT(*) AS cnt, SUM(COALESCE(vx100, 0)) AS total $star GROUP BY wb"
+    val (r1, r2) = withHiddenFiles(factDir, _.seq <= basisSnap) {
+      (s.sql(q).collect(),
+        s.sql(s"SELECT wb, COUNT(*) AS cnt $star WHERE wb >= 1 GROUP BY wb")
+          .collect())
+    }
+    // dim rewire: compensation precondition broken → star as written
+    s.sql(s"""MERGE INTO $d1 t USING (
+             |  SELECT event_type, (length(event_type) + 10) % 3 AS wb
+             |  FROM (SELECT DISTINCT event_type FROM ev_sqlss)
+             |  WHERE length(event_type) % 2 = 0) src
+             |ON t.event_type = src.event_type
+             |WHEN MATCHED THEN UPDATE SET t.wb = src.wb""".stripMargin)
+    val r3 = s.sql(q).collect()
+    import s.implicits._
+    (r1.toSeq.map(r => (1L, r.getLong(0), r.getLong(1), r.getLong(2))) ++
+      r2.toSeq.map(r => (2L, r.getLong(0), r.getLong(1), -1L)) ++
+      r3.toSeq.map(r => (3L, r.getLong(0), r.getLong(1), r.getLong(2))))
+      .toDF("stage", "wb", "cnt", "total")
+      .orderBy(col("stage"), col("wb"))
+  }
+
+  val qSqlMvRewriteStaleStarSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100,
+      |    length(event_type) AS len
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, len % 3 AS wb, COUNT(*) AS cnt,
+      |    CAST(SUM(vx100) AS BIGINT) AS total
+      |  FROM f GROUP BY 2),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), len % 3 AS wb, COUNT(*),
+      |    CAST(-1 AS BIGINT)
+      |  FROM f WHERE len % 3 >= 1 GROUP BY 2),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT),
+      |    (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb,
+      |    COUNT(*), CAST(SUM(vx100) AS BIGINT)
+      |  FROM f GROUP BY 2)
+      |SELECT stage, CAST(wb AS BIGINT) AS wb, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(total AS BIGINT) AS total
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, wb""".stripMargin
+
   // --- q_sql_mv_rewrite_star: automatic rewrite over a JOIN (star)
   // MV — the flagship warehouse case: `fact ⋈ d1 ⋈ d2(composite key)
   // GROUP BY wb, db` written as a plain star query is served by the
@@ -4246,6 +4334,7 @@ object Lake {
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_rewrite" -> qSqlMvRewrite,
     "q_sql_mv_rewrite_stale" -> qSqlMvRewriteStale,
+    "q_sql_mv_rewrite_stale_star" -> qSqlMvRewriteStaleStar,
     "q_sql_mv_rewrite_star" -> qSqlMvRewriteStar,
     "q_sql_mv_star" -> qSqlMvStar,
     "lake_avro_prune" -> lakeAvroPrune,
@@ -4327,6 +4416,7 @@ object Lake {
     "q_sql_mv_profile" -> qSqlMvProfileSql,
     "q_sql_mv_rewrite" -> qSqlMvRewriteSql,
     "q_sql_mv_rewrite_stale" -> qSqlMvRewriteStaleSql,
+    "q_sql_mv_rewrite_stale_star" -> qSqlMvRewriteStaleStarSql,
     "q_sql_mv_rewrite_star" -> qSqlMvRewriteStarSql,
     "q_sql_mv_star" -> qSqlMvStarSql,
     "lake_avro_prune" -> lakeAvroPruneSql,

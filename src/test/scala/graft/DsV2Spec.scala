@@ -1692,6 +1692,62 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mvm, mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("MV rewrite compensates a fact-append-stale STAR MV: the join subtree re-runs over only the delta files; a dim change falls back") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.cjf_$id"
+    val dim = s"graft.psd.cjd_$id"; val mv = s"graft.psd.cjv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, k STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES (1,'k0',10),(2,'k1',20),(3,'k2',30)")
+    spark.sql(s"CREATE TABLE $dim (k STRING, g STRING)")
+    spark.sql(s"INSERT INTO $dim VALUES ('k0','a'),('k1','a'),('k2','b')")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, SUM(COALESCE(x, 0)) AS sx
+                 |FROM $fact JOIN $dim USING (k) GROUP BY g""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.cjf_$id")
+    // fact-only append: MV stale on the fact axis, dims untouched
+    spark.sql(s"INSERT INTO $fact VALUES (4,'k0',40),(5,'k2',50)")
+    val oldFiles = graft.lake.LakeTable.manifest(factDir, 1).files.map(_.path)
+    def shiftOld(hide: Boolean): Unit = oldFiles.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    val q = s"""SELECT g, COUNT(*) AS c, SUM(COALESCE(x, 0)) AS s
+               |FROM $fact JOIN $dim USING (k) GROUP BY g""".stripMargin
+    shiftOld(hide = true)
+    try {
+      // fresh joined totals can only come from MV rows ⊎ (Δ ⋈ dim)
+      assert(spark.sql(q).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+        Map("a" -> ((3L, 70L)), "b" -> ((2L, 80L))))
+      // residual on the group column commutes onto both sides
+      assert(spark.sql(s"$q HAVING g = 'b'").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq(("b", 2L, 80L)))
+      // COUNT-only star (column pruning drops x from the subtree —
+      // the delta side must not reference unused stored measures)
+      assert(spark.sql(
+        s"SELECT g, COUNT(*) AS c FROM $fact JOIN $dim USING (k) GROUP BY g")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+        Map("a" -> 3L, "b" -> 2L))
+    } finally shiftOld(hide = false)
+    // ANY dim movement (here an append) breaks the compensation
+    // precondition: the star runs as written, values fresh
+    spark.sql(s"INSERT INTO $dim VALUES ('k3','c')")
+    assert(mvScanRoots(q).contains(factDir),
+      "a dim-stale star must fall back to the join as written")
+    assert(spark.sql(q).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map("a" -> ((3L, 70L)), "b" -> ((2L, 80L))))
+    Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("CALL refresh_mvs sweeps every stale registered MV over a fact in one verb; idempotent when fresh") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
