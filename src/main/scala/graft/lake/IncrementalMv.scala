@@ -81,14 +81,20 @@ object IncrementalMv {
       derived: Seq[(String, Column)]): DataFrame =
     derived.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 
-  /** Materialize the MV from the base head; returns the MV snapshot. */
+  /** Materialize the MV from the base head; returns the MV snapshot.
+    * `prep` runs over every base read BEFORE grouping — the hook
+    * expression-group (time-bucket) definitions derive their group
+    * columns through; identity for plain-column groups.
+    */
   def create(spark: SparkSession, baseRoot: String, mvRoot: String,
       group: Seq[String], aggs: Seq[Agg], cfg: BlockWriter.Config,
-      derived: Seq[(String, Column)] = Nil): Int = {
+      derived: Seq[(String, Column)] = Nil,
+      prep: DataFrame => DataFrame = identity): Int = {
     val baseHead = LakeTable.currentSnapshot(baseRoot)
     LakeTable.commit(spark, mvRoot,
       withDerived(state(spark,
-        LakeTable.read(spark, baseRoot, Some(baseHead)), group, aggs), derived),
+        prep(LakeTable.read(spark, baseRoot, Some(baseHead))), group, aggs),
+        derived),
       cfg, group, note = s"mv-basis-$baseHead-full")
   }
 
@@ -130,16 +136,19 @@ object IncrementalMv {
     */
   def refresh(spark: SparkSession, baseRoot: String, mvRoot: String,
       group: Seq[String], aggs: Seq[Agg], cfg: BlockWriter.Config,
-      derived: Seq[(String, Column)] = Nil): Int = {
+      derived: Seq[(String, Column)] = Nil,
+      prep: DataFrame => DataFrame = identity): Int = {
     val from = basis(mvRoot)
     val baseHead = LakeTable.currentSnapshot(baseRoot)
     if (baseHead == from) return from
     val incr = appendOnly(baseRoot, from, baseHead)
     val next =
-      if (!incr) state(spark, LakeTable.read(spark, baseRoot, Some(baseHead)), group, aggs)
+      if (!incr) state(spark,
+        prep(LakeTable.read(spark, baseRoot, Some(baseHead))), group, aggs)
       else {
         val delta = state(spark,
-          LakeTable.incrementalRead(spark, baseRoot, from, baseHead), group, aggs)
+          prep(LakeTable.incrementalRead(spark, baseRoot, from, baseHead)),
+          group, aggs)
         // fold over the STORED aggregates only — derived read-time
         // columns are projections, recomputed below, never folded
         LakeTable.read(spark, mvRoot)

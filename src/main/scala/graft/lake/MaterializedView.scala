@@ -61,7 +61,15 @@ object MaterializedView {
       // overflow and error semantics differ by regime, so the rewrite
       // serves stored measures only to sessions in the SAME regime.
       // Empty on pre-ansi definitions: SUM/AVG measures never match.
-      ansi: String = "") {
+      ansi: String = "",
+      // EXPRESSION group items of the `single` kind (alias → SQL
+      // text): time buckets and other derived grouping columns —
+      // `SELECT date_trunc('DAY', ts) AS d, … GROUP BY
+      // date_trunc('DAY', ts)`. Each refresh re-derives the column
+      // over the base rows before grouping; `group` carries the
+      // ALIAS. Such MVs are never auto-rewrite candidates (an alias
+      // is not a fact column — name-based matching would be unsound).
+      groupExprs: Seq[(String, String)] = Nil) {
     /** The effective dimension list of a `join` MV: the multi-dim
       * `dims` field when present, else the legacy single (dim, key)
       * pair — pre-multi-dim `_mv.json` files keep working.
@@ -99,6 +107,10 @@ object MaterializedView {
       val o = dm.addObject(); o.put("root", root)
       val ka = o.putArray("keys"); keys.foreach(k => { ka.add(k): Unit })
     }
+    val ge = n.putArray("group_exprs")
+    d.groupExprs.foreach { case (alias, txt) =>
+      val o = ge.addObject(); o.put("name", alias); o.put("expr", txt): Unit
+    }
     Files.createDirectories(defPath(mvDir).getParent)
     // atomic publish: a crash mid-write must not leave truncated JSON
     // that bricks every later refresh_mv / metadata read
@@ -131,7 +143,9 @@ object MaterializedView {
         (o.get("root").asText(),
           Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq)
       },
-      tz = opt("tz"), ansi = opt("ansi"))
+      tz = opt("tz"), ansi = opt("ansi"),
+      groupExprs = arr("group_exprs")
+        .map(o => (o.get("name").asText(), o.get("expr").asText())))
   }
 
   /** Modification time of the definition file — the incarnation
@@ -201,6 +215,45 @@ object MaterializedView {
     } ++ d.avgs.map(_ => None)
   }
 
+  /** The base-row PREP of an expression-group definition: derive each
+    * expression group column (alias := expr over the base row) before
+    * grouping — applied by the maintenance law to EVERY base read
+    * (full, delta). Timezone-SENSITIVE bucket expressions (date_trunc
+    * et al. bind the session zone) are guarded: a refresh session in
+    * a different zone would silently shift every bucket, so it fails
+    * pointedly instead.
+    */
+  private def prepFor(s: SparkSession, d: MvDef): DataFrame => DataFrame =
+    if (d.groupExprs.isEmpty) identity
+    else { df =>
+      val out = d.groupExprs.foldLeft(df) { case (acc, (alias, txt)) =>
+        acc.withColumn(alias, expr(txt))
+      }
+      val added = d.groupExprs.map(_._1).toSet
+      val tzSensitive = out.queryExecution.analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.exists {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias
+                if added.contains(a.name) => a.exists {
+              case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+                c.needsTimeZone
+              case _: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression => true
+              case _ => false
+            }
+            case _ => false
+          }
+        case _ => true // unexpected shape: guard conservatively
+      }
+      if (tzSensitive)
+        require(s.sessionState.conf.sessionLocalTimeZone == d.tz,
+          s"materialized view group expression binds the session " +
+            s"timezone: it was defined under '${d.tz}' but this session " +
+            s"runs '${s.sessionState.conf.sessionLocalTimeZone}' — a " +
+            "refresh here would shift every bucket; SET " +
+            s"spark.sql.session.timeZone=${d.tz} to refresh")
+      out
+    }
+
   private def cfgOf(d: MvDef): BlockWriter.Config =
     BlockWriter.Config(d.group.head, d.group.head, maxRecordsPerFile = 1 << 20)
 
@@ -223,7 +276,7 @@ object MaterializedView {
             subGroups = d.group.tail)
         else if (d.kind == "single")
           IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
-            cfgOf(d), derived = singleDerived(d))
+            cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d))
         else IncrementalJoinMv.create(s, d.fact, d.joinDims, mvDir,
           d.group, aggsOf(d), cfgOf(d))
       registerRef(d.fact, mvDir)
@@ -330,7 +383,7 @@ object MaterializedView {
         subGroups = d.group.tail, extraFolds = minmaxExtraFolds(s, d)))
     else if (d.kind == "single")
       Seq(IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
-        cfgOf(d), derived = singleDerived(d)))
+        cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d)))
     else IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
       d.group, aggsOf(d), cfgOf(d))
   }

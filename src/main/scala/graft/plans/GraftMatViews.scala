@@ -45,7 +45,8 @@ import graft.lake.MaterializedView
 object GraftMatViews {
 
   private val createRe =
-    "(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+([\\w.`]+)\\s+AS\\s+(SELECT\\b.*)$".r
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s+AS\\s+(SELECT\\b.*)$").r
 
   private val dropRe =
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.`]+)\\s*;?\\s*$".r
@@ -73,6 +74,9 @@ object GraftMatViews {
   private val avgRe = "(?is)^AVG\\((.+)\\)\\s+AS\\s+(\\w+)$".r
   private val minRe = "(?is)^MIN\\(\\s*([\\w`]+)\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val maxRe = "(?is)^MAX\\(\\s*([\\w`]+)\\s*\\)\\s+AS\\s+(\\w+)$".r
+  // an EXPRESSION select item (`date_trunc('DAY', ts) AS d`) — tried
+  // only after every aggregate shape above has failed to match
+  private val exprAsRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
 
   private def unquote(s: String) = s.replace("`", "")
 
@@ -108,10 +112,13 @@ object GraftMatViews {
   def intercept(spark: SparkSession,
       delegate: org.apache.spark.sql.catalyst.parser.ParserInterface,
       sqlText: String): Option[LogicalPlan] = sqlText match {
-    case createRe(identText, select) =>
+    case createRe(orReplace, ifNotExists, identText, select) =>
+      if (orReplace != null && ifNotExists != null)
+        grammarError("OR REPLACE and IF NOT EXISTS cannot be combined")
       val parts = delegate.parseMultipartIdentifier(identText)
       GraftViews.target(spark, parts).map { case (_, ident) =>
-        GraftCreateMatViewCommand(parts.head, ident, select.trim)
+        GraftCreateMatViewCommand(parts.head, ident, select.trim,
+          replace = orReplace != null, ifNotExists = ifNotExists != null)
       }
     case dropRe(ifExists, identText) =>
       val parts = delegate.parseMultipartIdentifier(identText)
@@ -200,16 +207,16 @@ object GraftMatViews {
       //    RECOMPUTE (graft.lake.MinMaxMv) — the law non-distributive
       //    aggregates need under deletes; extra SUM/AVG measures
       //    recompute alongside exactly.
-      val groupCols = splitTop(groupBy).map(unquote)
-      groupCols.foreach(g => if (!g.matches("\\w+"))
-        grammarError(s"GROUP BY item '$g' must be a plain column"))
-      if (groupCols.isEmpty) grammarError("at least one group column is required")
+      val groupItems = splitTop(groupBy)
+      if (groupItems.isEmpty || groupItems.forall(_.isEmpty))
+        grammarError("at least one group column is required")
       var sawCount = false
       var minPart: Option[(String, String)] = None // (value, alias)
       var maxPart: Option[(String, String)] = None
       val sums = Seq.newBuilder[(String, String)]
       val avgs = Seq.newBuilder[(String, String)]
       val bare = Seq.newBuilder[String]
+      val exprGroups = Seq.newBuilder[(String, String)] // (alias, text)
       val reserved = graft.lake.IncrementalJoinMv.CountCol
       def checkName(nm: String): String = {
         if (nm.toLowerCase == reserved)
@@ -231,13 +238,33 @@ object GraftMatViews {
         case avgRe(e, name) => avgs += ((checkName(unquote(name)), e.trim))
         case item if unquote(item).matches("\\w+") =>
           bare += unquote(item)
+        case exprAsRe(e, name) =>
+          // an EXPRESSION GROUP column (time bucket et al.) — the
+          // alias is the MV's stored column; refresh re-derives it
+          // over the base rows before grouping
+          exprGroups += ((checkName(unquote(name)), e.trim))
         case item => grammarError(s"unsupported select item '$item' " +
           "(single-table views support COUNT(*) AS n, SUM(expr) AS s, " +
-          "AVG(expr) AS a, MIN(col) AS m, MAX(col) AS x)")
+          "AVG(expr) AS a, MIN(col) AS m, MAX(col) AS x, and " +
+          "<expr> AS <alias> group columns)")
       }
       if (!sawCount) grammarError("the select list must include COUNT(*) AS n")
-      if (bare.result().sorted != groupCols.sorted)
-        grammarError("plain select columns must match GROUP BY")
+      // resolve each GROUP BY item to its OUTPUT column: a plain
+      // select column by name, or an expression item by its ALIAS or
+      // its (whitespace-normalized) TEXT
+      def normTxt(x: String) = unquote(x).replaceAll("\\s+", " ").trim.toLowerCase
+      val exprList = exprGroups.result()
+      val bareList = bare.result()
+      val groupCols = groupItems.map { gi =>
+        val n0 = normTxt(gi)
+        bareList.find(_.toLowerCase == n0).getOrElse(
+          exprList.find(x => x._1.toLowerCase == n0 || normTxt(x._2) == n0)
+            .map(_._1).getOrElse(grammarError(s"GROUP BY item '$gi' matches " +
+              "neither a plain select column nor an expression select item")))
+      }
+      if ((bareList ++ exprList.map(_._1)).sorted != groupCols.sorted)
+        grammarError("select group columns must match GROUP BY exactly " +
+          "(every plain column and every <expr> AS <alias> item grouped once)")
       val names = Seq.newBuilder[String]
       names ++= sums.result().map(_._1) ++= avgs.result().map(_._1)
       minPart.foreach(names += _._2); maxPart.foreach(names += _._2)
@@ -259,10 +286,17 @@ object GraftMatViews {
                 "group-targeted-recompute kind, which stores AVG directly)")
           }
           (MaterializedView.MvDef("", "", "", groupCols, sums.result(),
-            select, kind = "single", avgs = avgs.result()), factParts, Nil)
+            select, kind = "single", avgs = avgs.result(),
+            groupExprs = exprList), factParts, Nil)
         case (Some((vMin, aMin)), Some((vMax, aMax))) =>
           if (vMin != vMax)
             grammarError(s"MIN($vMin)/MAX($vMax) must aggregate the same column")
+          if (exprList.nonEmpty)
+            grammarError("expression group columns are supported for " +
+              "COUNT/SUM (single-kind) views only — the MIN/MAX kind's " +
+              "group-targeted recompute keys its pruning and retirement " +
+              "on stored fact columns; materialize the bucket as a " +
+              "table column instead")
           // composite groups: the targeted recompute keys its IN
           // filter and eq-delete mask on the LEADING group column
           // (the join kind's convention) — sub-groups ride along
@@ -297,15 +331,45 @@ object GraftMatViews {
   */
 final case class GraftCreateMatViewCommand(catalogName: String,
     ident: org.apache.spark.sql.connector.catalog.Identifier,
-    selectSql: String) extends LeafRunnableCommand {
+    selectSql: String, replace: Boolean = false,
+    ifNotExists: Boolean = false) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[graft.sources.GraftCatalog]
+    if (cat.tableExists(ident)) {
+      if (ifNotExists) return Nil
+      val name = (ident.namespace() :+ ident.name()).mkString(".")
+      if (!replace)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            (ident.namespace() :+ ident.name()).toSeq)
+      // OR REPLACE only replaces a MATERIALIZED VIEW — never silently
+      // swallows a plain table that happens to hold the name
+      require(MaterializedView.isMv(cat.tableDir(name)),
+        s"$name is a table, not a materialized view — " +
+          "CREATE OR REPLACE MATERIALIZED VIEW will not replace it")
+      // NOTE: validation of the NEW definition happens below, AFTER
+      // the drop — unlike CREATE OR REPLACE VIEW, the old MV's DATA
+      // cannot be kept on failure anyway (same path, new grouping),
+      // so the simpler drop-then-create is honest about atomicity
+      val mvDir = cat.tableDir(name)
+      scala.util.Try(MaterializedView.readDef(mvDir).fact)
+        .foreach(MaterializedView.deregisterRef(_, mvDir))
+      cat.dropTable(ident): Unit
+    }
     // the defining query must analyze as a plain query NOW — unknown
     // tables/columns/types fail at CREATE, not at first refresh
     val analyzed = spark.sessionState
       .executePlan(spark.sessionState.sqlParser.parsePlan(selectSql)).analyzed
+    // whole-plan determinism: the analyzer PULLS OUT non-deterministic
+    // grouping expressions into a Project below the Aggregate, so the
+    // grouping list alone would look clean — any non-deterministic
+    // expression anywhere in the defining query breaks refresh
+    // re-derivation
+    require(!analyzed.exists(p => p.expressions.exists(!_.deterministic)),
+      "CREATE MATERIALIZED VIEW: non-deterministic expressions cannot " +
+        "be re-derived by refresh")
     val (d0, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
     val outCols = analyzed.output.map(_.name.toLowerCase).toSet
     require(outCols.contains(graft.lake.IncrementalJoinMv.CountCol),

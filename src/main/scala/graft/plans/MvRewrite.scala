@@ -337,7 +337,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
                   // the registry is advisory: verify the DEFINITION
                   // really names this fact (a re-created MV at the
                   // same path may cover a different table)
-                  d.fact == table.root =>
+                  d.fact == table.root &&
+                  // expression-group MVs never serve: their group
+                  // aliases are not fact columns, and a fact column
+                  // that merely shares an alias's name must not bind
+                  d.groupExprs.isEmpty =>
               if (basis == Seq(snap))
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
                   rels.head.output, Set.empty, head, mtime))

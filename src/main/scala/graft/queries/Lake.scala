@@ -2426,6 +2426,65 @@ object Lake {
       |    kind = 'single', ord FROM m)
       |ORDER BY stage, kind""".stripMargin
 
+  // --- q_sql_mv_expr: TIME-BUCKETED materialized views — the single
+  // most common rollup in any warehouse (`GROUP BY date_trunc('DAY',
+  // ts)`) through the SQL front door: the DDL grammar accepts
+  // `<expr> AS <alias>` group items for the COUNT/SUM kind, stores
+  // the expression text in the definition, and every refresh
+  // RE-DERIVES the bucket column over exactly the base rows it reads
+  // (the full scan at CREATE, only the delta files on an incremental
+  // refresh) before grouping — so a daily rollup over a 100 TB fact
+  // refreshes at O(new files), and the bucket function lives in ONE
+  // place (the definition) instead of being copy-pasted into every
+  // writer. Timezone-sensitive buckets are guarded: the definition
+  // records its session zone and a refresh under a different zone
+  // fails pointedly instead of silently shifting every bucket.
+  // Stage 1 reads the creation state (time travel), stage 2 the
+  // state after an append + REFRESH MATERIALIZED VIEW — the oracle
+  // recomputes both from scratch with DuckDB's own date_trunc.
+  def qSqlMvExpr(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.exf_$id"; val mv = s"graft.q.exv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("ev_sqlex")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, ts TIMESTAMP, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlex WHERE $pred""".stripMargin)
+    ins("event_id % 2 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+             |  SUM(vx100) AS sum_vx100
+             |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+    ins("event_id % 2 = 1")
+    s.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+    s.sql(s"""SELECT CAST(1 AS BIGINT) AS stage, d, n, sum_vx100
+             |FROM $mv VERSION AS OF 1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), d, n, sum_vx100 FROM $mv
+             |ORDER BY stage, d""".stripMargin)
+  }
+
+  val qSqlMvExprSql: String =
+    """WITH f AS (
+      |  SELECT event_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, date_trunc('day', ts) AS d,
+      |    COUNT(*) AS n, CAST(SUM(vx100) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 2 = 0 GROUP BY 2),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), date_trunc('day', ts), COUNT(*),
+      |    CAST(SUM(vx100) AS BIGINT)
+      |  FROM f GROUP BY 2)
+      |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |ORDER BY stage, d""".stripMargin
+
   // --- q_sql_mv_drop: the DDL lifecycle's other half — DROP
   // MATERIALIZED VIEW (with EAGER fact-side deregistration: the
   // `t.mvs` row and the rewrite candidacy disappear with the
@@ -4302,6 +4361,7 @@ object Lake {
     "mv_automaint" -> mvAutomaint,
     "q_sql_mv_meta" -> qSqlMvMeta,
     "q_sql_mv_drop" -> qSqlMvDrop,
+    "q_sql_mv_expr" -> qSqlMvExpr,
     "stream_mv_minmax" -> streamMvMinmax,
     "stream_mv_refresh" -> streamMvRefresh,
     "lake_overwrite" -> lakeOverwrite,
@@ -4384,6 +4444,7 @@ object Lake {
     "mv_automaint" -> mvAutomaintSql,
     "q_sql_mv_meta" -> qSqlMvMetaSql,
     "q_sql_mv_drop" -> qSqlMvDropSql,
+    "q_sql_mv_expr" -> qSqlMvExprSql,
     "stream_mv_minmax" -> streamMvMinmaxSql,
     "stream_mv_refresh" -> streamMvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,

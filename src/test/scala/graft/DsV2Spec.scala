@@ -1748,6 +1748,66 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("time-bucketed MVs: a date_trunc expression group re-derives on every refresh; OR REPLACE / IF NOT EXISTS sugar; guards") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.tbf_$id"; val mv = s"graft.psd.tbv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, ts TIMESTAMP, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, TIMESTAMP '2024-01-01 10:00:00', 10),
+                 |(2, TIMESTAMP '2024-01-01 23:59:00', 20),
+                 |(3, TIMESTAMP '2024-01-02 00:01:00', 30)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n, SUM(x) AS sx
+                 |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+    def state(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT CAST(d AS STRING) AS d, n, sx FROM $mv").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state() === Map("2024-01-01 00:00:00" -> ((2L, 30L)),
+      "2024-01-02 00:00:00" -> ((1L, 30L))))
+    // append lands in an existing bucket AND a new one; the incr
+    // refresh must re-derive the bucket over just the delta files
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(4, TIMESTAMP '2024-01-02 12:00:00', 40),
+                 |(5, TIMESTAMP '2024-01-03 08:00:00', 50)""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv")
+    assert(state() === Map("2024-01-01 00:00:00" -> ((2L, 30L)),
+      "2024-01-02 00:00:00" -> ((2L, 70L)),
+      "2024-01-03 00:00:00" -> ((1L, 50L))))
+    assert(spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0) === "incr")
+    // GROUP BY the alias is the same definition
+    spark.sql(s"""CREATE OR REPLACE MATERIALIZED VIEW $mv AS
+                 |SELECT date_trunc('MONTH', ts) AS mo, COUNT(*) AS n
+                 |FROM $fact GROUP BY mo""".stripMargin)
+    assert(spark.sql(s"SELECT CAST(mo AS STRING), n FROM $mv").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ===
+      Map("2024-01-01 00:00:00" -> 5L))
+    // IF NOT EXISTS on an existing name: silent no-op, old definition
+    spark.sql(s"""CREATE MATERIALIZED VIEW IF NOT EXISTS $mv AS
+                 |SELECT fid, COUNT(*) AS n FROM $fact GROUP BY fid""".stripMargin)
+    assert(spark.sql(s"SELECT group_cols FROM $mv.mv").head().getString(0) === "mo")
+    // guards: minmax kind rejects expression groups; non-deterministic
+    // groups rejected; OR REPLACE refuses a plain table
+    val e1 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.psd.tbx_$id AS
+         |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+         |  MIN(x) AS mn, MAX(x) AS mx
+         |FROM $fact GROUP BY d""".stripMargin))
+    assert(e1.getMessage.contains("single-kind"))
+    intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.psd.tby_$id AS
+         |SELECT CAST(rand() * 10 AS BIGINT) AS b, COUNT(*) AS n
+         |FROM $fact GROUP BY b""".stripMargin))
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE OR REPLACE MATERIALIZED VIEW $fact AS " +
+        s"SELECT fid, COUNT(*) AS n FROM $fact GROUP BY fid"))
+    assert(e3.getMessage.contains("will not replace"))
+    Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("CALL refresh_mvs sweeps every stale registered MV over a fact in one verb; idempotent when fresh") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
