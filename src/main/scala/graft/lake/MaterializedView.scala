@@ -458,6 +458,15 @@ object MaterializedView {
     rows.toDF("kind", "group_cols", "measures", "basis_fact", "fresh", "snapshot")
   }
 
+  /** (kind, fact root, fresh?) of the MV at `mvDir` — the namespace
+    * inventory row `SHOW MATERIALIZED VIEWS` renders. Metadata-only.
+    */
+  def summary(mvDir: String): (String, String, Boolean) = {
+    val d = readDef(mvDir)
+    val (basis, heads) = basisVsHeads(d, mvDir)
+    (d.kind, d.fact, basis == heads)
+  }
+
   /** Refresh every REGISTERED MV over `factDir` whose basis is
     * behind; returns the refreshed MV dirs. The post-commit
     * auto-refresh hook ([[AutoMaintain]]) and `CALL refresh_mvs`

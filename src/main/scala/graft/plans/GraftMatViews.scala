@@ -54,6 +54,9 @@ object GraftMatViews {
   private val refreshRe =
     "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([\\w.`]+)\\s*;?\\s*$".r
 
+  private val showRe =
+    "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s+(?:IN|FROM)\\s+([\\w.`]+)\\s*;?\\s*$".r
+
   private val selectRe =
     ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w.`]+)" +
       "((?:\\s+JOIN\\s+[\\w.`]+\\s+USING\\s*\\([^)]*\\))+)" +
@@ -130,6 +133,13 @@ object GraftMatViews {
       GraftViews.target(spark, parts).map { case (_, ident) =>
         GraftRefreshMatViewCommand(parts.head, ident)
       }
+    case showRe(nsText) =>
+      val parts = delegate.parseMultipartIdentifier(nsText)
+      val isGraft = try spark.sessionState.catalogManager.catalog(parts.head)
+          .isInstanceOf[graft.sources.GraftCatalog]
+        catch { case _: Exception => false }
+      if (isGraft) Some(GraftShowMatViewsCommand(parts.head, parts.tail))
+      else None
     case _ => None
   }
 
@@ -435,5 +445,38 @@ final case class GraftRefreshMatViewCommand(catalogName: String,
       .asInstanceOf[graft.sources.GraftCatalog]
     val mvDir = cat.tableDir((ident.namespace() :+ ident.name()).mkString("."))
     Seq(Row(MaterializedView.refreshStatus(spark, mvDir)))
+  }
+}
+
+/** Executes `SHOW MATERIALIZED VIEWS IN <catalog>.<namespace>`: the
+  * namespace-wide MV inventory — one row per MV table (name, fact
+  * root, kind, FRESHNESS of its basis vector against every base
+  * head). The per-fact view of the same information is the `t.mvs`
+  * metadata table; this is the operator's catalog sweep. Metadata
+  * IO only — no data files open at any table size.
+  */
+final case class GraftShowMatViewsCommand(catalogName: String,
+    namespace: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    Seq(AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("fact", StringType, nullable = false)(),
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("fresh", BooleanType, nullable = false)())
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[graft.sources.GraftCatalog]
+    cat.listTables(namespace.toArray).toSeq.flatMap { ident =>
+      val dir = cat.tableDir((ident.namespace() :+ ident.name()).mkString("."))
+      if (!MaterializedView.isMv(dir)) None
+      else scala.util.Try {
+        val (kind, fact, fresh) = MaterializedView.summary(dir)
+        Row(ident.name(), fact, kind, fresh)
+      }.toOption // a mid-DROP race renders no row, never fails the SHOW
+    }.sortBy(_.getString(0))
   }
 }

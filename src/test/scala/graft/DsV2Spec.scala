@@ -1808,6 +1808,33 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("SHOW MATERIALIZED VIEWS inventories a namespace with per-MV freshness") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val ns = s"sh$id" // dedicated namespace: the sweep lists ALL MVs in it
+    val fact = s"graft.$ns.f"; val mva = s"graft.$ns.a"; val mvb = s"graft.$ns.b"
+    spark.sql(s"CREATE TABLE $fact (k STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $mva AS " +
+      s"SELECT k, COUNT(*) AS n FROM $fact GROUP BY k")
+    spark.sql(s"CREATE MATERIALIZED VIEW $mvb AS " +
+      s"SELECT k, COUNT(*) AS n, MIN(x) AS mn, MAX(x) AS mx FROM $fact GROUP BY k")
+    def show(): Map[String, (String, Boolean)] =
+      spark.sql(s"SHOW MATERIALIZED VIEWS IN graft.$ns").collect()
+        .map(r => r.getString(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(show() === Map("a" -> (("single", true)), "b" -> (("minmax", true))))
+    spark.sql(s"INSERT INTO $fact VALUES ('c', 3)") // both stale now
+    assert(show() === Map("a" -> (("single", false)), "b" -> (("minmax", false))))
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mva")
+    assert(show() === Map("a" -> (("single", true)), "b" -> (("minmax", false))))
+    spark.sql(s"DROP MATERIALIZED VIEW $mvb")
+    assert(show() === Map("a" -> (("single", true))))
+    Seq(mva, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("CALL refresh_mvs sweeps every stale registered MV over a fact in one verb; idempotent when fresh") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
