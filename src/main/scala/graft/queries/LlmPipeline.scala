@@ -3757,6 +3757,84 @@ object LlmPipeline {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- text_bm25: RANKED RETRIEVAL over the corpus — the BM25 family
+  // (k1 = 1.2 tf saturation, b = 0.75 length normalization) in the
+  // engine's integer-exact convention: every factor is a fixed-point
+  // RATIONAL — the tf-normalization is BM25's own formula multiplied
+  // through to integers (tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) ≡
+  // 22·tf·Σdl·1000 // (10·Σdl·tf + 3·Σdl + 9·dl·N)), and the idf is
+  // the monotone rational surrogate ((N − df)·10000) // (df + 1) —
+  // rank-shaped like ln((N−df+0.5)/(df+0.5)+1) without the
+  // cross-engine float-log hazard text_unigram_lm documents.
+  // Distribution: tokenize+explode is filtered to the QUERY TERMS
+  // FIRST (the per-term frame is |query matches|, never |corpus
+  // tokens|), tf is one map-combined shuffle at (doc, term) grain,
+  // df and the corpus length stats are broadcast-sized aggregates,
+  // and the final top-k is ORDER BY + LIMIT (TakeOrderedAndProject —
+  // per-partition heaps, no global sort materialization). At 100 TB:
+  // one narrow shuffle over the matching postings, everything else
+  // broadcast.
+  private val Bm25Terms = Seq("spark", "merge", "window")
+  private val Bm25TopK = 20
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = graft.util.QueryScratch.cached(docs
+      .select(col("doc_id"), explode(TextFns.words(col("text"))).as("term")))
+    val dl = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("dl"))
+    val corpus = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).cast("bigint").as("sumdl")))
+    val tf = toks.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("bigint").as("df"))
+    val idfX = idiv((col("n_docs") - col("df")) * lit(10000L), col("df") + lit(1L))
+    val tfnX = idiv(col("tf") * lit(22L) * col("sumdl") * lit(1000L),
+      lit(10L) * col("sumdl") * col("tf") + lit(3L) * col("sumdl") +
+        lit(9L) * col("dl") * col("n_docs"))
+    val scored = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc_id"))
+      .agg(sum(idfX * tfnX).cast("bigint").as("score"),
+        count(lit(1)).cast("bigint").as("n_terms"))
+    scored.orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("rank"))
+  }
+
+  val textBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($wsSql) AS term FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (
+       |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |         (SELECT COUNT(*) FROM toks) AS sumdl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(SUM((((n_docs - df) * 10000) // (df + 1)) *
+       |      ((tf * 22 * sumdl * 1000) //
+       |       (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs))) AS BIGINT)
+       |      AS score,
+       |    COUNT(*) AS n_terms
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+       |  GROUP BY doc_id)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS rank, doc_id, score, n_terms
+       |FROM scored
+       |ORDER BY score DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   // --- text_quality_clf: a CALIBRATED quality classifier — a linear
   // model over engineered features (alpha/punct/stopword ratios,
   // length) whose decision threshold is LEARNED from the corpus (the
@@ -4169,6 +4247,7 @@ object LlmPipeline {
     "dedup_paragraph" -> dedupParagraph,
     "sample_shuffle" -> sampleShuffle,
     "text_unigram_lm" -> textUnigramLm,
+    "text_bm25" -> textBm25,
     "text_quality_clf" -> textQualityClf,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
@@ -4243,6 +4322,7 @@ object LlmPipeline {
     "dedup_paragraph" -> dedupParagraphSql,
     "sample_shuffle" -> sampleShuffleSql,
     "text_unigram_lm" -> textUnigramLmSql,
+    "text_bm25" -> textBm25Sql,
     "text_quality_clf" -> textQualityClfSql,
     "text_gopher" -> textGopherSql,
     "bpe_train" -> bpeTrainSql,
