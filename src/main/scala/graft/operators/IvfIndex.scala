@@ -59,9 +59,13 @@ object IvfIndex {
     * Idempotent, session-memoized; `base` is only evaluated on the
     * first call per corpus.
     */
-  def ensure(s: SparkSession, dir: String, base: => DataFrame): Ref =
+  def ensure(s: SparkSession, dir: String, base: => DataFrame,
+      cacheKey: String = null): Ref =
     buildLock.synchronized {
-      val ref = refFor(dir)
+      // a non-null cacheKey gives the caller a PRIVATE artifact (e.g.
+      // the delete-lifecycle fixture must not mask rows out of the
+      // shared corpus index other probes read)
+      val ref = refFor(Option(cacheKey).getOrElse(dir))
       if (LakeTable.currentSnapshot(ref.codebookPath) < 1) {
         val b = base
         LakeTable.commit(s, ref.codebookPath,
@@ -81,6 +85,17 @@ object IvfIndex {
     }
 
   /** The K-row trained codebook (cid, ci) — broadcast-sized. */
+  /** RETIRE vectors from the inverted lists — the day-2 lifecycle
+    * event (revoked licenses, takedowns) every production vector
+    * store must handle: ONE MoR equality-delete commit on the cells
+    * table, O(|retired|) write, untouched list files stay
+    * byte-identical; every later probe reads the masked table — no
+    * index rebuild, no tombstone filter bolted onto the query path.
+    */
+  def retire(s: SparkSession, ref: Ref, keys: DataFrame): Unit =
+    LakeTable.deleteWhere(s, ref.cellsPath, "vec_id", keys,
+      note = "ivf-retire"): Unit
+
   def codebook(s: SparkSession, ref: Ref): DataFrame =
     LakeTable.read(s, ref.codebookPath)
 

@@ -2262,6 +2262,76 @@ object LlmPipeline {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // --- ann_ivf_delete: DELETE-AWARE INDEX MAINTENANCE — the frozen
+  // IVF artifact under SOURCE DELETES (license revocations, takedown
+  // requests: the day-2 lifecycle event every production vector
+  // store must handle). Retired vectors leave the inverted lists by
+  // ONE MoR equality-delete commit on the cells lake table
+  // (IvfIndex.retire — O(|retired|) write; untouched list files stay
+  // byte-identical by the MoR law), and every probe thereafter reads
+  // the MASKED table: no index rebuild, no tombstone filter bolted
+  // onto the query path, the lake's own delete mask IS the liveness
+  // filter. Probe shape = ann_ivf (frozen codebook, nprobe cells,
+  // exact cosine re-rank); every result row must be a live vector —
+  // the oracle only admits live candidates, so a probe that leaked a
+  // retired id fails the hash. The artifact is PRIVATE to this
+  // lifecycle (cacheKey) so the shared corpus index other probes
+  // read is never masked.
+  def annIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = embBase(s, dir)
+    val viBase = e.select(col("vec_id"), Advanced.kmIntVec(col("v")).as("vi"))
+    val ref = graft.operators.IvfIndex.ensure(s, dir, viBase,
+      cacheKey = dir + "#retire")
+    graft.operators.IvfIndex.retire(s, ref,
+      viBase.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    val cents = graft.operators.IvfIndex.codebook(s, ref)
+    val cells = graft.operators.IvfIndex.cells(s, ref)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val qProbe = viBase.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), Advanced.kmD2(col("vi"), col("ci")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= IVF_NPROBE)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = cells.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineBpNative(col("qv"), col("nv")).as("cos_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= ANN_K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annIvfDeleteSql: String =
+    s"""WITH n AS ($embBaseSql),
+       |${Advanced.kmCentroidSqlCtes},
+       |dv AS (SELECT b.vec_id, c1.cid, ${Advanced.kmSqlD2("b.vi", "c1.ci")} AS d2 FROM b, c1),
+       |ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dv),
+       |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1 AND vec_id % 7 <> 3),
+       |qprobe AS (SELECT vec_id AS q_id, cid AS cell FROM ranked
+       |  WHERE rn <= $IVF_NPROBE AND vec_id < 10 AND vec_id % 7 <> 3),
+       |cand AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       |  FROM cells c JOIN qprobe q ON c.cell = q.cell WHERE c.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CAST(floor(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_bp
+       |  FROM cand JOIN n x ON x.vec_id = cand.q_id JOIN n y ON y.vec_id = cand.n_id
+       |)
+       |SELECT q_id, n_id, cos_bp, rank FROM (
+       |  SELECT q_id, n_id, cos_bp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ANN_K
+       |ORDER BY q_id, rank""".stripMargin
+
   val annIvfSql: String =
     s"""WITH n AS ($embBaseSql),
        |${Advanced.kmCentroidSqlCtes},
@@ -4248,6 +4318,7 @@ object LlmPipeline {
     "sample_shuffle" -> sampleShuffle,
     "text_unigram_lm" -> textUnigramLm,
     "text_bm25" -> textBm25,
+    "ann_ivf_delete" -> annIvfDelete,
     "text_quality_clf" -> textQualityClf,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
@@ -4323,6 +4394,7 @@ object LlmPipeline {
     "sample_shuffle" -> sampleShuffleSql,
     "text_unigram_lm" -> textUnigramLmSql,
     "text_bm25" -> textBm25Sql,
+    "ann_ivf_delete" -> annIvfDeleteSql,
     "text_quality_clf" -> textQualityClfSql,
     "text_gopher" -> textGopherSql,
     "bpe_train" -> bpeTrainSql,
