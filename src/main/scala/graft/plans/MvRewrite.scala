@@ -105,23 +105,38 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * equi-join structure off the aggregate's child down to graft
     * lake scans: every predicate — WHERE conjuncts wherever the
     * optimizer pushed them AND join conditions — lands in one
-    * conjunct pool, every relation in one list. Anything else
-    * (outer joins, non-graft sources, non-deterministic filters)
-    * vetoes the rewrite.
+    * conjunct pool, every relation in one list. Projects may also
+    * carry deterministic ALIASED expressions (PullOutGroupingExpressions
+    * rewrites `GROUP BY date_trunc(ts)` into a `_groupingexpression`
+    * alias below the Aggregate) — those land in the SUBSTITUTION map
+    * (alias exprId → its fully-inlined defining expression) so the
+    * caller can compare grouping/predicates in base-attribute terms.
+    * Anything else (outer joins, non-graft sources, non-deterministic
+    * projections/filters) vetoes the rewrite.
     */
-  private def flatten(p: LogicalPlan)
-      : Option[(Seq[Expression], Seq[DataSourceV2Relation])] = p match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      flatten(c)
+  private def flatten(p: LogicalPlan): Option[(Seq[Expression],
+      Seq[DataSourceV2Relation], Map[ExprId, Expression])] = p match {
+    case Project(pl, c) if pl.forall(e => e.isInstanceOf[AttributeReference] ||
+        (e.isInstanceOf[Alias] && e.deterministic)) =>
+      flatten(c).map { case (cs, rs, sub) =>
+        val sub2 = pl.collect { case al: Alias =>
+          al.exprId -> al.child.transformUp {
+            case a: AttributeReference if sub.contains(a.exprId) => sub(a.exprId)
+          }
+        }.toMap
+        (cs, rs, sub ++ sub2)
+      }
     case Filter(cond, c) if cond.deterministic =>
-      flatten(c).map { case (cs, rs) =>
-        (cs ++ splitConjunctivePredicates(cond), rs)
+      flatten(c).map { case (cs, rs, sub) =>
+        (cs ++ splitConjunctivePredicates(cond), rs, sub)
       }
     case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, cond, _) =>
-      for { (lc, lr) <- flatten(l); (rc, rr) <- flatten(r) }
-        yield (lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates), lr ++ rr)
+      for { (lc, lr, ls) <- flatten(l); (rc, rr, rs2) <- flatten(r) }
+        yield (lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates),
+          lr ++ rr, ls ++ rs2)
     case r: DataSourceV2Relation => r.table match {
-      case t: GraftLakeTable if !t.isChangeFeed => Some((Nil, Seq(r)))
+      case t: GraftLakeTable if !t.isChangeFeed =>
+        Some((Nil, Seq(r), Map.empty))
       case _ => None
     }
     case _ => None
@@ -304,14 +319,48 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     (head, mtime, d, basis)
   }.toOption
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (conds, rels) = flatten(agg.child).getOrElse(return None)
-    if (rels.isEmpty) return None
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
+  /** The NamedExpression with pulled-out aliases inlined, top-level
+    * name/exprId preserved (output pinning must survive the inline).
+    */
+  private def substituteNamed(subst: Map[ExprId, Expression],
+      ne: NamedExpression): NamedExpression =
+    if (subst.isEmpty) ne
+    else ne match {
+      case a: AttributeReference if subst.contains(a.exprId) =>
+        Alias(subst(a.exprId), a.name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      case al: Alias =>
+        val c2 = al.child.transformUp {
+          case a: AttributeReference if subst.contains(a.exprId) =>
+            subst(a.exprId)
+        }
+        Alias(c2, al.name)(exprId = al.exprId, qualifier = al.qualifier,
+          explicitMetadata = al.explicitMetadata,
+          nonInheritableMetadataKeys = al.nonInheritableMetadataKeys)
+      case other => other
     }
-    if (groupAttrs.map(_.exprId).distinct.size != groupAttrs.size) return None
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (conds0, rels, subst) = flatten(agg.child).getOrElse(return None)
+    if (rels.isEmpty) return None
+    if (agg.groupingExpressions.exists(!_.deterministic)) return None
+    // inline pulled-out aliases so grouping/predicates compare in
+    // base-attribute terms (identity when the subtree had none)
+    def substitute(e: Expression): Expression =
+      if (subst.isEmpty) e
+      else e.transformUp {
+        case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+      }
+    val conds = conds0.map(substitute)
+    val groupSub = agg.groupingExpressions.map(substitute)
+    // plain-attribute grouping feeds the column-mapped tiers; an
+    // EXPRESSION grouping (GROUP BY date_trunc(ts)) can still be
+    // served by an expression-group MV below
+    val groupAttrsOpt: Option[Seq[AttributeReference]] = {
+      val as = groupSub.collect { case a: AttributeReference => a }
+      if (as.size == groupSub.size &&
+        as.map(_.exprId).distinct.size == as.size) Some(as) else None
+    }
     val roots = rels.map(_.table.asInstanceOf[GraftLakeTable].root)
     if (roots.distinct.size != roots.size) return None // self-joins: bail
     val refs = roots.flatMap(MaterializedView.refsOf).distinct
@@ -321,9 +370,32 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // scan set — a correlated/outer attribute that merely SHARES A
     // NAME with an MV column must never be rebound to it
     val availIds = rels.flatMap(_.output).map(_.exprId).toSet
-    val referenced = (agg.aggregateExpressions.flatMap(_.references) ++
-      groupAttrs ++ conds.flatMap(_.references)).map(_.exprId)
+    val referenced = (agg.aggregateExpressions.map(substituteNamed(subst, _))
+      .flatMap(_.references) ++ groupSub.flatMap(_.references) ++
+      conds.flatMap(_.references)).map(_.exprId)
     if (!referenced.forall(availIds.contains)) return None
+    // EXPRESSION-GROUP candidates (single-kind MVs whose group
+    // includes derived bucket columns) — FRESH basis only
+    val exprCands: Seq[Candidate] =
+      if (rels.size != 1) Nil
+      else {
+        val table = rels.head.table.asInstanceOf[GraftLakeTable]
+        val snap = table.resolvedSnapshot
+        refs.flatMap { mvDir =>
+          defBasisAt(mvDir).flatMap {
+            case (head, mtime, d, basis)
+                if d.kind == "single" && d.groupExprs.nonEmpty &&
+                  d.fact == table.root && basis == Seq(snap) =>
+              Some(Candidate(mvDir, d, conds.reduceOption(And),
+                rels.head.output, Set.empty, head, mtime))
+            case _ => None
+          }
+        }
+      }
+    def exprServed: Option[LogicalPlan] =
+      exprCands.view.flatMap(
+        rewriteExprGroup(agg, _, rels.head, groupSub, subst)).headOption
+    val groupAttrs = groupAttrsOpt.getOrElse(return exprServed)
     val matched: Seq[Candidate] =
       if (rels.size == 1) {
         val table = rels.head.table.asInstanceOf[GraftLakeTable]
@@ -382,10 +454,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           }
         }
       }
-    if (matched.isEmpty) return None
+    if (matched.isEmpty && exprCands.isEmpty) return None
     val (stale, fresh) = matched.partition(_.deltaFrom >= 0)
     fresh.view.flatMap(rewriteExact(agg, groupAttrs, _)).headOption
       .orElse(fresh.view.flatMap(rewriteRollup(agg, groupAttrs, _)).headOption)
+      // a plain-column subset of an expression-group MV's grouping
+      // still rolls up from it (GROUP BY site over the (day, site) MV)
+      .orElse(exprServed)
       .orElse(stale.view.flatMap { c =>
         if (c.d.kind == "join") rewriteCompensatedJoin(agg, groupAttrs, c)
         else rewriteCompensated(agg, groupAttrs, c)
@@ -520,15 +595,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def mapExpr(e: Expression,
       mapAgg: AggregateExpression => Option[Expression],
-      mapAttr: AttributeReference => Option[Expression]): Option[Expression] =
-    e match {
+      mapAttr: AttributeReference => Option[Expression],
+      mapNode: Expression => Option[Expression] = _ => None): Option[Expression] =
+    mapNode(e).map(Some(_)).getOrElse(e match {
       case ae: AggregateExpression => mapAgg(ae)
       case a: AttributeReference => mapAttr(a)
       case other =>
-        val kids = other.children.map(mapExpr(_, mapAgg, mapAttr))
+        val kids = other.children.map(mapExpr(_, mapAgg, mapAttr, mapNode))
         if (kids.exists(_.isEmpty)) None
         else Some(other.withNewChildren(kids.map(_.get)))
-    }
+    })
 
   /** The full output list mapped via [[mapExpr]], original exprIds
     * pinned so parents (HAVING, ORDER BY) resolve unchanged. Where
@@ -540,7 +616,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def mapOutputs(outs: Seq[NamedExpression],
       mapAgg: AggregateExpression => Option[Expression],
-      mapAttr: AttributeReference => Option[Expression])
+      mapAttr: AttributeReference => Option[Expression],
+      mapNode: Expression => Option[Expression] = _ => None)
       : Option[Seq[NamedExpression]] = {
     def pin(m: Expression, origNullable: Boolean): Expression =
       if (m.nullable && !origNullable) KnownNotNull(m) else m
@@ -549,7 +626,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         mapAttr(a).map(m => Alias(pin(m, a.nullable), a.name)(
           exprId = a.exprId, qualifier = a.qualifier))
       case al: Alias =>
-        mapExpr(al.child, mapAgg, mapAttr)
+        mapExpr(al.child, mapAgg, mapAttr, mapNode)
           .map(m => Alias(pin(m, al.child.nullable), al.name)(
             exprId = al.exprId, qualifier = al.qualifier))
       case _ => None
@@ -748,6 +825,110 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         measures.map { case (_, e, nm) => Alias(e, nm)() },
       dCond.map(Filter(_, delta)).getOrElse(delta))
     foldedAggregate(agg, groupAttrs, c, mvSide, dSide, measures.map(_._3))
+  }
+
+  /** EXPRESSION-GROUP tier — serve a FRESH single-kind MV whose
+    * grouping includes DERIVED bucket columns (`date_trunc('DAY', ts)
+    * AS d`): a query grouping by the SAME expression (semantic
+    * equality against the stored text, tz-stamped under the
+    * definition's zone, matched at the optimizer's simplification
+    * fixed point too) maps that whole expression onto the MV's
+    * stored alias column; plain group columns map by name as usual;
+    * an alias NAME is never bound from a fact attribute (the
+    * collision an alias invites — only expression matching reaches
+    * it). Exact grouping projects MV rows, a strict subset
+    * re-aggregates by the distributive laws (a plain-column slice of
+    * the (day, site) MV included). Residual predicates must
+    * reference plain group columns only; derived AVG never maps.
+    */
+  private def rewriteExprGroup(agg: Aggregate, c: Candidate,
+      rel: DataSourceV2Relation, groupSub: Seq[Expression],
+      subst: Map[ExprId, Expression]): Option[LogicalPlan] = {
+    val d = c.d
+    val aliasSet = d.groupExprs.map(x => canon(x._1)).toSet
+    val plainG = d.group.map(canon).filterNot(aliasSet.contains).toSet
+    val storedG: Seq[(String, Expression)] = d.groupExprs.map {
+      case (alias, txt) =>
+        (canon(alias), resolveStored(txt, rel.output, d).getOrElse(return None))
+    }
+    def groupColOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference =>
+        if (plainG.contains(canon(a.name))) Some(canon(a.name)) else None
+      case other =>
+        storedG.collectFirst {
+          case (alias, se) if se.semanticEquals(other) ||
+            simplified(se, rel.output).semanticEquals(other) => alias
+        }
+    }
+    val qg: Seq[String] = groupSub
+      .map(e => groupColOf(e).getOrElse(return None))
+    if (qg.isEmpty || qg.distinct.size != qg.size) return None
+    val mg = d.group.map(canon)
+    if (!qg.forall(mg.contains)) return None
+    val mv = mvScan(c.mvDir, c.mvSnap, c.mvMtime).getOrElse(return None)
+    def mvAttr(n: String) = mv.output.find(m => sameName(m.name, n))
+    // residual commutes only over PLAIN group columns (an expression
+    // residual would need the same whole-node matching — not yet)
+    val cond2: Option[Expression] = c.residual match {
+      case None => None
+      case Some(cnd) =>
+        if (!cnd.references.forall(a => plainG.contains(canon(a.name))))
+          return None
+        var ok = true
+        val mapped = cnd.transformUp {
+          case a: AttributeReference =>
+            mvAttr(a.name).filter(_.dataType == a.dataType) match {
+              case Some(m) => m
+              case None => ok = false; a
+            }
+        }
+        if (!ok) return None
+        Some(mapped)
+    }
+    // whole-node mapping: a matched group expression or plain group
+    // attribute → its MV column, type-checked
+    def nodeMap(e: Expression): Option[Expression] =
+      groupColOf(e).filter(qg.contains)
+        .flatMap(mvAttr).filter(_.dataType == e.dataType)
+    val mapNode: Expression => Option[Expression] = {
+      case _: AttributeReference => None // the mapAttr path pins those
+      case e => nodeMap(e)
+    }
+    val outs = agg.aggregateExpressions.map(substituteNamed(subst, _))
+    if (qg.toSet == mg.toSet && qg.size == mg.size) {
+      val projList = mapOutputs(outs,
+        mapAgg = {
+          case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+            measureCol(fn, d, c.bindOut).flatMap(mvAttr)
+              .filter(_.dataType == ae.dataType)
+          case _ => None
+        },
+        mapAttr = a => nodeMap(a),
+        mapNode = mapNode).getOrElse(return None)
+      Some(Project(projList, cond2.map(Filter(_, mv)).getOrElse(mv)))
+    } else {
+      val groupMv = groupSub.zip(qg).map { case (e, nm) =>
+        mvAttr(nm).filter(_.dataType == e.dataType).getOrElse(return None)
+      }
+      val aggExprs = mapOutputs(outs,
+        mapAgg = {
+          case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+            val rolled: Option[AggregateFunction] = fn match {
+              case Count(Seq(Literal(v, _))) if v != null =>
+                mvAttr(IncrementalJoinMv.CountCol).map(new Sum(_))
+              case su: Sum =>
+                measureCol(su, d, c.bindOut).flatMap(mvAttr).map(new Sum(_))
+              case _ => None // AVG does not roll up from stored state
+            }
+            rolled.filter(_.dataType == ae.dataType)
+              .map(f => ae.copy(aggregateFunction = f))
+          case _ => None
+        },
+        mapAttr = a => nodeMap(a),
+        mapNode = mapNode).getOrElse(return None)
+      Some(Aggregate(groupMv.map(a => a: Expression), aggExprs,
+        cond2.map(Filter(_, mv)).getOrElse(mv), None))
+    }
   }
 
   /** The shared tail of both compensated tiers: Union the MV side

@@ -2463,11 +2463,28 @@ object Lake {
              |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
     ins("event_id % 2 = 1")
     s.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+    // stage 3: the READ side — a plain fact query grouping by the
+    // SAME bucket expression is served by the MV via the
+    // expression-group rewrite tier; every fact data file is hidden,
+    // so only an MV-served plan can produce these rows at all
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.exf_$id")
+    val served = withHiddenFiles(factDir) {
+      s.sql(s"""SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+               |  SUM(vx100) AS sum_vx100
+               |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+        .collect()
+    }
+    import s.implicits._
+    val s3 = served.toSeq
+      .map(r => (3L, r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .toDF("stage", "d", "n", "sum_vx100")
     s.sql(s"""SELECT CAST(1 AS BIGINT) AS stage, d, n, sum_vx100
              |FROM $mv VERSION AS OF 1
              |UNION ALL
-             |SELECT CAST(2 AS BIGINT), d, n, sum_vx100 FROM $mv
-             |ORDER BY stage, d""".stripMargin)
+             |SELECT CAST(2 AS BIGINT), d, n, sum_vx100 FROM $mv""".stripMargin)
+      .unionByName(s3)
+      .orderBy(col("stage"), col("d"))
   }
 
   val qSqlMvExprSql: String =
@@ -2481,8 +2498,13 @@ object Lake {
       |s2 AS (
       |  SELECT CAST(2 AS BIGINT), date_trunc('day', ts), COUNT(*),
       |    CAST(SUM(vx100) AS BIGINT)
+      |  FROM f GROUP BY 2),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT), date_trunc('day', ts), COUNT(*),
+      |    CAST(SUM(vx100) AS BIGINT)
       |  FROM f GROUP BY 2)
-      |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |               UNION ALL SELECT * FROM s3)
       |ORDER BY stage, d""".stripMargin
 
   // --- q_sql_mv_drop: the DDL lifecycle's other half — DROP

@@ -1808,6 +1808,69 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("MV rewrite serves expression-group MVs: GROUP BY the same date_trunc maps onto the stored bucket; alias names never bind from fact columns") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.egf_$id"; val mv = s"graft.psd.egv_$id"
+    // the fact DELIBERATELY carries a column named like the MV's
+    // bucket alias ('d') — the collision the alias guard must refuse
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, ts TIMESTAMP, site STRING, x BIGINT, d BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, TIMESTAMP '2024-01-01 10:00:00', 'a', 10, 7),
+                 |(2, TIMESTAMP '2024-01-01 23:00:00', 'b', 20, 7),
+                 |(3, TIMESTAMP '2024-01-02 01:00:00', 'a', 30, 8)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT date_trunc('DAY', ts) AS d, site, COUNT(*) AS n, SUM(x) AS sx
+                 |FROM $fact GROUP BY date_trunc('DAY', ts), site""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.egf_$id")
+    shiftFiles(factDir, hide = true)
+    try {
+      // exact: the SAME bucket expression maps onto the stored column
+      assert(spark.sql(
+        s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day, site,
+           |  COUNT(*) AS c, SUM(x) AS s
+           |FROM $fact GROUP BY date_trunc('DAY', ts), site""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap ===
+        Map(("2024-01-01 00:00:00", "a") -> ((1L, 10L)),
+          ("2024-01-01 00:00:00", "b") -> ((1L, 20L)),
+          ("2024-01-02 00:00:00", "a") -> ((1L, 30L))))
+      // rollup: bucket-only grouping re-aggregates the finer MV
+      assert(spark.sql(
+        s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day, COUNT(*) AS c
+           |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("2024-01-01 00:00:00" -> 2L, "2024-01-02 00:00:00" -> 1L))
+      // plain-column slice with a plain-column residual
+      assert(spark.sql(
+        s"SELECT site, SUM(x) AS s FROM $fact WHERE site = 'a' GROUP BY site")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("a", 40L)))
+      // a DIFFERENT bucket never serves (falls back → hidden files throw)
+      intercept[Exception](spark.sql(
+        s"""SELECT date_trunc('MONTH', ts) AS mo, COUNT(*) AS c
+           |FROM $fact GROUP BY date_trunc('MONTH', ts)""".stripMargin).collect())
+      // the fact's REAL column 'd' must not bind to the MV alias
+      intercept[Exception](spark.sql(
+        s"SELECT d, COUNT(*) AS c FROM $fact GROUP BY d").collect())
+    } finally shiftFiles(factDir, hide = false)
+    // staleness: expression-group MVs have no compensated tier — the
+    // query must recompute from the fact (fresh values)
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(4, TIMESTAMP '2024-01-02 12:00:00', 'b', 40, 8)""".stripMargin)
+    assert(spark.sql(
+      s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day, COUNT(*) AS c
+         |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("2024-01-01 00:00:00" -> 2L, "2024-01-02 00:00:00" -> 2L))
+    Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("SHOW MATERIALIZED VIEWS inventories a namespace with per-MV freshness") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
