@@ -867,23 +867,26 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (!qg.forall(mg.contains)) return None
     val mv = mvScan(c.mvDir, c.mvSnap, c.mvMtime).getOrElse(return None)
     def mvAttr(n: String) = mv.output.find(m => sameName(m.name, n))
-    // residual commutes only over PLAIN group columns (an expression
-    // residual would need the same whole-node matching — not yet)
+    // residual remap: a predicate commutes with the grouping when
+    // every leaf resolves to a group column — a PLAIN group attribute
+    // by name, or a whole SUBTREE matching a stored bucket expression
+    // (`WHERE date_trunc('DAY', ts) = X` slices the daily MV on its
+    // alias column); any grouped-away MV group column qualifies (the
+    // rollup-slice shape). An unmapped base attribute vetoes.
+    def remapResidual(e: Expression): Option[Expression] =
+      groupColOf(e) match {
+        case Some(nm) => mvAttr(nm).filter(_.dataType == e.dataType)
+        case None => e match {
+          case _: AttributeReference => None
+          case other =>
+            val kids = other.children.map(remapResidual)
+            if (kids.exists(_.isEmpty)) None
+            else Some(other.withNewChildren(kids.map(_.get)))
+        }
+      }
     val cond2: Option[Expression] = c.residual match {
       case None => None
-      case Some(cnd) =>
-        if (!cnd.references.forall(a => plainG.contains(canon(a.name))))
-          return None
-        var ok = true
-        val mapped = cnd.transformUp {
-          case a: AttributeReference =>
-            mvAttr(a.name).filter(_.dataType == a.dataType) match {
-              case Some(m) => m
-              case None => ok = false; a
-            }
-        }
-        if (!ok) return None
-        Some(mapped)
+      case Some(cnd) => Some(remapResidual(cnd).getOrElse(return None))
     }
     // whole-node mapping: a matched group expression or plain group
     // attribute → its MV column, type-checked

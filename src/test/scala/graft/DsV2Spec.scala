@@ -1851,6 +1851,15 @@ class DsV2Spec extends AnyFunSuite {
         s"SELECT site, SUM(x) AS s FROM $fact WHERE site = 'a' GROUP BY site")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
         Seq(("a", 40L)))
+      // an EXPRESSION residual: slicing one bucket commutes onto the
+      // MV's alias column (rollup-slice shape — site grouping, bucket
+      // filtered away)
+      assert(spark.sql(
+        s"""SELECT site, SUM(x) AS s FROM $fact
+           |WHERE date_trunc('DAY', ts) = TIMESTAMP '2024-01-01 00:00:00'
+           |GROUP BY site""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+        Map("a" -> 10L, "b" -> 20L))
       // a DIFFERENT bucket never serves (falls back → hidden files throw)
       intercept[Exception](spark.sql(
         s"""SELECT date_trunc('MONTH', ts) AS mo, COUNT(*) AS c
