@@ -381,13 +381,24 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       else {
         val table = rels.head.table.asInstanceOf[GraftLakeTable]
         val snap = table.resolvedSnapshot
+        val staleOk =
+          spark.conf.get("spark.graft.mv.rewrite.stale", "true").toBoolean
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).flatMap {
             case (head, mtime, d, basis)
                 if d.kind == "single" && d.groupExprs.nonEmpty &&
-                  d.fact == table.root && basis == Seq(snap) =>
-              Some(Candidate(mvDir, d, conds.reduceOption(And),
-                rels.head.output, Set.empty, head, mtime))
+                  d.fact == table.root =>
+              if (basis == Seq(snap))
+                Some(Candidate(mvDir, d, conds.reduceOption(And),
+                  rels.head.output, Set.empty, head, mtime))
+              else if (staleOk && basis.head < snap &&
+                  appendOnlyCached(d.fact, basis.head, snap))
+                // the daily rollup right after an ingest batch: the
+                // bucket re-derives over the delta rows at read time
+                Some(Candidate(mvDir, d, conds.reduceOption(And),
+                  rels.head.output, Set.empty, head, mtime,
+                  deltaFrom = basis.head, deltaTo = snap))
+              else None
             case _ => None
           }
         }
@@ -898,6 +909,90 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case e => nodeMap(e)
     }
     val outs = agg.aggregateExpressions.map(substituteNamed(subst, _))
+    if (c.deltaFrom >= 0) {
+      // STALE + append-only: MV rows ⊎ the delta rows with the bucket
+      // RE-DERIVED per row (the stored expression text over the delta
+      // scan — exactly what a refresh would compute), folded by one
+      // aggregate at the query's grain. Admission mirrors
+      // rewriteCompensated: integral SUM arguments, bigint stored
+      // columns, matching ANSI regime (measureCol's gates).
+      import org.apache.spark.sql.types.LongType
+      val delta = deltaScan(d.fact, c.deltaFrom, c.deltaTo).getOrElse(return None)
+      def dAttr(n: String) = delta.output.find(m => sameName(m.name, n))
+      val mvG2 = qg.map(nm => mvAttr(nm).getOrElse(return None))
+      val dG: Seq[NamedExpression] = qg.zip(mvG2).map { case (nm, mcol) =>
+        if (plainG.contains(nm))
+          dAttr(nm).filter(_.dataType == mcol.dataType)
+            .getOrElse(return None): NamedExpression
+        else {
+          val txt = d.groupExprs.find(x => canon(x._1) == nm)
+            .map(_._2).getOrElse(return None)
+          val se = resolveStored(txt, delta.output, d).getOrElse(return None)
+          if (se.dataType != mcol.dataType) return None
+          Alias(se, nm)()
+        }
+      }
+      val dCond: Option[Expression] = c.residual match {
+        case None => None
+        case Some(cnd) =>
+          var ok = true
+          val m = cnd.transformUp {
+            case a: AttributeReference =>
+              dAttr(a.name).filter(_.dataType == a.dataType) match {
+                case Some(x) => x
+                case None => ok = false; a
+              }
+          }
+          if (!ok) return None
+          Some(m)
+      }
+      val nMv = mvAttr(IncrementalJoinMv.CountCol)
+        .filter(_.dataType == LongType).getOrElse(return None)
+      val sums: Seq[(Attribute, Expression, String)] = d.sums.map {
+        case (nm, txt) =>
+          val mcol = mvAttr(nm).filter(_.dataType == LongType)
+            .getOrElse(return None)
+          val se = resolveStored(txt, delta.output, d).getOrElse(return None)
+          if (!integral(se.dataType) || !ansiMatches(d)) return None
+          (mcol, Cast(se, LongType): Expression, nm)
+      }
+      val measures = (nMv, Literal(1L): Expression,
+        IncrementalJoinMv.CountCol) +: sums
+      val mvSide = Project(
+        (mvG2 ++ measures.map(_._1)).map(a => a: NamedExpression),
+        cond2.map(Filter(_, mv)).getOrElse(mv))
+      val dSide = Project(
+        dG ++ measures.map { case (_, e, nm) => Alias(e, nm)() },
+        dCond.map(Filter(_, delta)).getOrElse(delta))
+      val union = Union(Seq(mvSide, dSide))
+      val uOut = union.output
+      val uG = uOut.take(qg.size)
+      val uM: Map[String, Attribute] =
+        measures.map(_._3).map(canon).zip(uOut.drop(qg.size)).toMap
+      val posOf: Map[String, Attribute] = qg.zip(uG).toMap
+      def uNodeMap(e: Expression): Option[Expression] =
+        groupColOf(e).filter(qg.contains).flatMap(posOf.get)
+          .filter(_.dataType == e.dataType)
+      val aggExprs = mapOutputs(outs,
+        mapAgg = {
+          case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+            val folded: Option[AggregateFunction] = fn match {
+              case Count(Seq(Literal(v, _))) if v != null =>
+                uM.get(canon(IncrementalJoinMv.CountCol)).map(new Sum(_))
+              case su: Sum =>
+                measureCol(su, d, c.bindOut).map(canon)
+                  .flatMap(uM.get).map(new Sum(_))
+              case _ => None
+            }
+            folded.filter(_.dataType == ae.dataType)
+              .map(f => ae.copy(aggregateFunction = f))
+          case _ => None
+        },
+        mapAttr = a => uNodeMap(a),
+        mapNode = { case _: AttributeReference => None; case e => uNodeMap(e) })
+        .getOrElse(return None)
+      return Some(Aggregate(uG.map(a => a: Expression), aggExprs, union, None))
+    }
     if (qg.toSet == mg.toSet && qg.size == mg.size) {
       val projList = mapOutputs(outs,
         mapAgg = {

@@ -1868,15 +1868,36 @@ class DsV2Spec extends AnyFunSuite {
       intercept[Exception](spark.sql(
         s"SELECT d, COUNT(*) AS c FROM $fact GROUP BY d").collect())
     } finally shiftFiles(factDir, hide = false)
-    // staleness: expression-group MVs have no compensated tier — the
-    // query must recompute from the fact (fresh values)
+    // staleness over an append-only gap: the COMPENSATED tier serves
+    // MV rows ⊎ the delta rows with the bucket RE-DERIVED per row —
+    // pinned by hiding the pre-append files (fresh values, including
+    // the appended 01-02 row, are only reachable via MV ⊎ delta)
+    val basisSnap = graft.lake.LakeTable.currentSnapshot(factDir)
     spark.sql(s"""INSERT INTO $fact VALUES
                  |(4, TIMESTAMP '2024-01-02 12:00:00', 'b', 40, 8)""".stripMargin)
-    assert(spark.sql(
-      s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day, COUNT(*) AS c
-         |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
-      Map("2024-01-01 00:00:00" -> 2L, "2024-01-02 00:00:00" -> 2L))
+    val preFiles = graft.lake.LakeTable.manifest(factDir, basisSnap).files.map(_.path)
+    def shiftPre(hide: Boolean): Unit = preFiles.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shiftPre(hide = true)
+    try {
+      assert(spark.sql(
+        s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day, COUNT(*) AS c,
+           |  SUM(x) AS s
+           |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+        Map("2024-01-01 00:00:00" -> ((2L, 30L)),
+          "2024-01-02 00:00:00" -> ((2L, 70L))))
+      // bucket-filtered slice through the compensated union
+      assert(spark.sql(
+        s"""SELECT site, COUNT(*) AS c FROM $fact
+           |WHERE date_trunc('DAY', ts) = TIMESTAMP '2024-01-02 00:00:00'
+           |GROUP BY site""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+        Map("a" -> 1L, "b" -> 1L))
+    } finally shiftPre(hide = false)
     Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
