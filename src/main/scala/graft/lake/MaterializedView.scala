@@ -230,20 +230,25 @@ object MaterializedView {
         acc.withColumn(alias, expr(txt))
       }
       val added = d.groupExprs.map(_._1).toSet
-      val tzSensitive = out.queryExecution.analyzed match {
+      // scan EVERY Project level: chained withColumn nests one per
+      // derived column in the ANALYZED plan (CollapseProject is an
+      // optimizer rule), so only the LAST alias sits at the top
+      val aliases = out.queryExecution.analyzed.collect {
         case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-          p.projectList.exists {
+          p.projectList.collect {
             case a: org.apache.spark.sql.catalyst.expressions.Alias
-                if added.contains(a.name) => a.exists {
-              case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-                c.needsTimeZone
-              case _: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression => true
-              case _ => false
-            }
-            case _ => false
+                if added.contains(a.name) => a
           }
-        case _ => true // unexpected shape: guard conservatively
-      }
+      }.flatten
+      // fewer aliases than derived columns = unexpected plan shape —
+      // guard conservatively
+      val tzSensitive = aliases.size < d.groupExprs.size ||
+        aliases.exists(_.exists {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+            c.needsTimeZone
+          case _: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression => true
+          case _ => false
+        })
       if (tzSensitive)
         require(s.sessionState.conf.sessionLocalTimeZone == d.tz,
           s"materialized view group expression binds the session " +

@@ -84,7 +84,6 @@ object IvfIndex {
       ref
     }
 
-  /** The K-row trained codebook (cid, ci) — broadcast-sized. */
   /** RETIRE vectors from the inverted lists — the day-2 lifecycle
     * event (revoked licenses, takedowns) every production vector
     * store must handle: ONE MoR equality-delete commit on the cells
@@ -96,6 +95,7 @@ object IvfIndex {
     LakeTable.deleteWhere(s, ref.cellsPath, "vec_id", keys,
       note = "ivf-retire"): Unit
 
+  /** The K-row trained codebook (cid, ci) — broadcast-sized. */
   def codebook(s: SparkSession, ref: Ref): DataFrame =
     LakeTable.read(s, ref.codebookPath)
 

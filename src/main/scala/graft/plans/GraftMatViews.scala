@@ -195,9 +195,9 @@ object GraftMatViews {
         grammarError(s"plain select columns (${bareCols.mkString(", ")}) " +
           s"must match GROUP BY (${groupCols.mkString(", ")})")
       if (groupCols.isEmpty) grammarError("at least one group column is required")
-      sums.result().map(_._1).groupBy(_.toLowerCase).collectFirst {
-        case (_, vs) if vs.size > 1 => vs.head
-      }.foreach(nm => grammarError(s"duplicate measure name '$nm'"))
+      (sums.result().map(_._1) ++ bareCols).groupBy(_.toLowerCase)
+        .collectFirst { case (_, vs) if vs.size > 1 => vs.head }
+        .foreach(nm => grammarError(s"duplicate column name '$nm'"))
       val factParts = spark.sessionState.sqlParser
         .parseMultipartIdentifier(unquote(factId))
       val dimPartsList = joins.map(j => spark.sessionState.sqlParser
@@ -277,6 +277,7 @@ object GraftMatViews {
           "(every plain column and every <expr> AS <alias> item grouped once)")
       val names = Seq.newBuilder[String]
       names ++= sums.result().map(_._1) ++= avgs.result().map(_._1)
+      names ++= bareList ++= exprList.map(_._1) // group columns collide too
       minPart.foreach(names += _._2); maxPart.foreach(names += _._2)
       val dup = names.result().groupBy(_.toLowerCase).collectFirst {
         case (_, vs) if vs.size > 1 => vs.head }
@@ -347,6 +348,29 @@ final case class GraftCreateMatViewCommand(catalogName: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[graft.sources.GraftCatalog]
+    // VALIDATE FIRST — the defining query must analyze as a plain
+    // query NOW (unknown tables/columns/types fail at CREATE, not at
+    // first refresh), and every validation must pass BEFORE an OR
+    // REPLACE touches the existing view: a typo'd redefinition must
+    // cost an error message, never the old MV and its data
+    val analyzed = spark.sessionState
+      .executePlan(spark.sessionState.sqlParser.parsePlan(selectSql)).analyzed
+    // whole-plan re-derivability: the analyzer PULLS OUT
+    // non-deterministic grouping expressions into a Project below the
+    // Aggregate (so the grouping list alone would look clean), and
+    // Catalyst marks current_date()/current_timestamp() DETERMINISTIC
+    // (evaluated once per query) although each refresh would bind a
+    // NEW clock — both families break refresh re-derivation
+    require(!analyzed.exists(p => p.expressions.exists(e =>
+      !e.deterministic || e.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike => true
+        case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+        case _ => false
+      })),
+      "CREATE MATERIALIZED VIEW: non-deterministic or current-time " +
+        "expressions cannot be re-derived by refresh")
+    val (d0, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
     if (cat.tableExists(ident)) {
       if (ifNotExists) return Nil
       val name = (ident.namespace() :+ ident.name()).mkString(".")
@@ -359,28 +383,11 @@ final case class GraftCreateMatViewCommand(catalogName: String,
       require(MaterializedView.isMv(cat.tableDir(name)),
         s"$name is a table, not a materialized view — " +
           "CREATE OR REPLACE MATERIALIZED VIEW will not replace it")
-      // NOTE: validation of the NEW definition happens below, AFTER
-      // the drop — unlike CREATE OR REPLACE VIEW, the old MV's DATA
-      // cannot be kept on failure anyway (same path, new grouping),
-      // so the simpler drop-then-create is honest about atomicity
       val mvDir = cat.tableDir(name)
       scala.util.Try(MaterializedView.readDef(mvDir).fact)
         .foreach(MaterializedView.deregisterRef(_, mvDir))
       cat.dropTable(ident): Unit
     }
-    // the defining query must analyze as a plain query NOW — unknown
-    // tables/columns/types fail at CREATE, not at first refresh
-    val analyzed = spark.sessionState
-      .executePlan(spark.sessionState.sqlParser.parsePlan(selectSql)).analyzed
-    // whole-plan determinism: the analyzer PULLS OUT non-deterministic
-    // grouping expressions into a Project below the Aggregate, so the
-    // grouping list alone would look clean — any non-deterministic
-    // expression anywhere in the defining query breaks refresh
-    // re-derivation
-    require(!analyzed.exists(p => p.expressions.exists(!_.deterministic)),
-      "CREATE MATERIALIZED VIEW: non-deterministic expressions cannot " +
-        "be re-derived by refresh")
-    val (d0, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
     val outCols = analyzed.output.map(_.name.toLowerCase).toSet
     require(outCols.contains(graft.lake.IncrementalJoinMv.CountCol),
       "defining query lost the structural count column")
@@ -443,7 +450,14 @@ final case class GraftRefreshMatViewCommand(catalogName: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[graft.sources.GraftCatalog]
-    val mvDir = cat.tableDir((ident.namespace() :+ ident.name()).mkString("."))
+    val name = (ident.namespace() :+ ident.name()).mkString(".")
+    if (!cat.tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val mvDir = cat.tableDir(name)
+    require(MaterializedView.isMv(mvDir),
+      s"$name is a table, not a materialized view — only CREATE " +
+        "MATERIALIZED VIEW targets can be refreshed")
     Seq(Row(MaterializedView.refreshStatus(spark, mvDir)))
   }
 }

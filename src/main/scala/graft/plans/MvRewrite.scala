@@ -374,15 +374,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       .flatMap(_.references) ++ groupSub.flatMap(_.references) ++
       conds.flatMap(_.references)).map(_.exprId)
     if (!referenced.forall(availIds.contains)) return None
+    val staleOk =
+      spark.conf.get("spark.graft.mv.rewrite.stale", "true").toBoolean
     // EXPRESSION-GROUP candidates (single-kind MVs whose group
-    // includes derived bucket columns) — FRESH basis only
+    // includes derived bucket columns) — fresh, or append-only stale
     val exprCands: Seq[Candidate] =
       if (rels.size != 1) Nil
       else {
         val table = rels.head.table.asInstanceOf[GraftLakeTable]
         val snap = table.resolvedSnapshot
-        val staleOk =
-          spark.conf.get("spark.graft.mv.rewrite.stale", "true").toBoolean
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).flatMap {
             case (head, mtime, d, basis)
@@ -406,13 +406,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     def exprServed: Option[LogicalPlan] =
       exprCands.view.flatMap(
         rewriteExprGroup(agg, _, rels.head, groupSub, subst)).headOption
+    // every tier maps the SUBSTITUTED outputs: a renamed subquery
+    // output (Alias over a different base column) must bind to the MV
+    // column of its MEANING, never of its surface name — the top-level
+    // alias keeps the original name/exprId so parents resolve
+    val outs = agg.aggregateExpressions.map(substituteNamed(subst, _))
     val groupAttrs = groupAttrsOpt.getOrElse(return exprServed)
     val matched: Seq[Candidate] =
       if (rels.size == 1) {
         val table = rels.head.table.asInstanceOf[GraftLakeTable]
         val snap = table.resolvedSnapshot
-        val staleOk =
-          spark.conf.get("spark.graft.mv.rewrite.stale", "true").toBoolean
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).flatMap {
             case (head, mtime, d, basis)
@@ -441,8 +444,6 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           }
         }
       } else {
-        val staleOk =
-          spark.conf.get("spark.graft.mv.rewrite.stale", "true").toBoolean
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).filter(_._3.kind == "join").flatMap {
             case (head, mtime, d, basis) =>
@@ -467,14 +468,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
     if (matched.isEmpty && exprCands.isEmpty) return None
     val (stale, fresh) = matched.partition(_.deltaFrom >= 0)
-    fresh.view.flatMap(rewriteExact(agg, groupAttrs, _)).headOption
-      .orElse(fresh.view.flatMap(rewriteRollup(agg, groupAttrs, _)).headOption)
+    fresh.view.flatMap(rewriteExact(outs, groupAttrs, _)).headOption
+      .orElse(fresh.view.flatMap(rewriteRollup(outs, groupAttrs, _)).headOption)
       // a plain-column subset of an expression-group MV's grouping
       // still rolls up from it (GROUP BY site over the (day, site) MV)
       .orElse(exprServed)
       .orElse(stale.view.flatMap { c =>
-        if (c.d.kind == "join") rewriteCompensatedJoin(agg, groupAttrs, c)
-        else rewriteCompensated(agg, groupAttrs, c)
+        if (c.d.kind == "join")
+          rewriteCompensatedJoin(agg, outs, groupAttrs, c)
+        else rewriteCompensated(outs, groupAttrs, c)
       }.headOption)
   }
 
@@ -646,7 +648,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** EXACT tier: same grouping → project MV rows 1:1. */
-  private def rewriteExact(agg: Aggregate,
+  private def rewriteExact(outs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
     val qg = groupAttrs.map(a => canon(a.name))
     if (qg.toSet != c.d.group.map(canon).toSet ||
@@ -657,7 +659,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val cond2 = remapCond(c.residual, c.d, mv.output, c.unsafe)
       .getOrElse(return None)
     val groupSet = qg.toSet
-    val projList = mapOutputs(agg.aggregateExpressions,
+    val projList = mapOutputs(outs,
       mapAgg = {
         case ae @ AggregateExpression(fn, Complete, false, None, _) =>
           measureCol(fn, c.d, c.bindOut).flatMap(mvAttr)
@@ -677,7 +679,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * (grouped-away dimensions included — `WHERE ub = 1 GROUP BY
     * event_type` over an (event_type, ub) MV is the classic slice).
     */
-  private def rewriteRollup(agg: Aggregate,
+  private def rewriteRollup(outs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
     val qg = groupAttrs.map(a => canon(a.name))
     val mg = c.d.group.map(canon).toSet
@@ -692,7 +694,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val groupMv = groupAttrs.map(a =>
       mvAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
     val groupSet = qg.toSet
-    val aggExprs = mapOutputs(agg.aggregateExpressions,
+    val aggExprs = mapOutputs(outs,
       mapAgg = {
         case ae @ AggregateExpression(fn, Complete, false, None, _) =>
           val rolled: Option[AggregateFunction] = fn match {
@@ -728,11 +730,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val k = (root, from, to)
     val cached = appendOnlyCache.get(k)
     if (cached != null) cached.booleanValue()
-    else {
-      val v = Try(IncrementalMv.appendOnlyRange(root, from, to)).getOrElse(false)
-      if (appendOnlyCache.size > 256) appendOnlyCache.clear()
-      appendOnlyCache.put(k, v)
-      v
+    else Try(IncrementalMv.appendOnlyRange(root, from, to)).toOption match {
+      case Some(v) =>
+        // cache only a COMPLETED walk — manifests are immutable so a
+        // real verdict never changes, but a transient IO failure must
+        // not pin `false` for the session lifetime
+        if (appendOnlyCache.size > 256) appendOnlyCache.clear()
+        appendOnlyCache.put(k, v)
+        v
+      case None => false
     }
   }
 
@@ -786,7 +792,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * aggregate is excluded for the same empty-state reason as the
     * rollup tier. Disable with `spark.graft.mv.rewrite.stale=false`.
     */
-  private def rewriteCompensated(agg: Aggregate,
+  private def rewriteCompensated(outs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
     import org.apache.spark.sql.types.LongType
     val d = c.d
@@ -835,7 +841,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       dG.map(a => a: NamedExpression) ++
         measures.map { case (_, e, nm) => Alias(e, nm)() },
       dCond.map(Filter(_, delta)).getOrElse(delta))
-    foldedAggregate(agg, groupAttrs, c, mvSide, dSide, measures.map(_._3))
+    foldedAggregate(outs, groupAttrs, c, mvSide, dSide, measures.map(_._3))
   }
 
   /** EXPRESSION-GROUP tier — serve a FRESH single-kind MV whose
@@ -1036,7 +1042,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * (COUNT(*) → SUM(n), SUM → SUM, MIN → MIN, MAX → MAX), original
     * output exprIds pinned so parents resolve unchanged.
     */
-  private def foldedAggregate(agg: Aggregate,
+  private def foldedAggregate(outs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference], c: Candidate,
       mvSide: LogicalPlan, dSide: LogicalPlan,
       measureNames: Seq[String]): Option[LogicalPlan] = {
@@ -1046,7 +1052,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val uM: Map[String, Attribute] =
       measureNames.map(canon).zip(uOut.drop(groupAttrs.size)).toMap
     val gMap = groupAttrs.map(_.exprId).zip(uG).toMap
-    val aggExprs = mapOutputs(agg.aggregateExpressions,
+    val aggExprs = mapOutputs(outs,
       mapAgg = {
         case ae @ AggregateExpression(fn, Complete, false, None, _) =>
           val folded: Option[AggregateFunction] = fn match {
@@ -1086,7 +1092,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * no fact scan.
     */
   private def rewriteCompensatedJoin(agg: Aggregate,
-      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
+      outs: Seq[NamedExpression], groupAttrs: Seq[AttributeReference],
+      c: Candidate): Option[LogicalPlan] = {
     import org.apache.spark.sql.types.LongType
     val d = c.d
     val factRel = c.factRel.getOrElse(return None)
@@ -1110,7 +1117,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // the join kind's non-nullable gate; integral argument + bigint
     // stored column are this tier's per-row-cast exactness gates.
     val userSums: Seq[(String, Expression)] =
-      agg.aggregateExpressions.flatMap(_.collect {
+      outs.flatMap(_.collect {
         case AggregateExpression(fn: Sum, Complete, false, None, _) =>
           measureCol(fn, d, c.bindOut).map(nm => (canon(nm), fn.child))
       }.flatten).distinctBy(_._1)
@@ -1136,6 +1143,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
         : NamedExpression
     }, delta)
+    // the copied subtree only exposes ITS OWN output: substituted
+    // grouping attrs / measure references hidden behind a renaming
+    // Project in the user's query are unreachable — fall back (the
+    // pre-widening behavior for aliasing subtrees)
+    val childOut = agg.child.outputSet
+    if (!groupAttrs.forall(childOut.contains) ||
+      !sums.flatMap(_._2.references).forall(childOut.contains))
+      return None
     val newChild = agg.child.transformUp {
       case r: DataSourceV2Relation if r eq factRel => rebound
     }
@@ -1145,6 +1160,6 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       groupAttrs.map(a => a: NamedExpression) ++
         measures.map { case (_, e, nm) => Alias(e, nm)() },
       newChild)
-    foldedAggregate(agg, groupAttrs, c, mvSide, dSide, measures.map(_._3))
+    foldedAggregate(outs, groupAttrs, c, mvSide, dSide, measures.map(_._3))
   }
 }

@@ -1901,6 +1901,45 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("MV rewrite binds renamed subquery outputs by MEANING, not surface name; current-time group expressions rejected at CREATE") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.rnf_$id"; val mv = s"graft.psd.rnv_$id"
+    spark.sql(s"CREATE TABLE $fact (g STRING, h STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES ('a','z',1),('a','z',2),('b','y',3)")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, h, COUNT(*) AS n FROM $fact GROUP BY g, h""".stripMargin)
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.rnf_$id")
+    shiftFiles(factDir, hide = true)
+    try {
+      // the subquery SWAPS the names: output "g" MEANS base column h.
+      // A name-bound rewrite would return ('a','z') tuples; the
+      // meaning-bound one must return the swapped values.
+      assert(spark.sql(
+        s"""SELECT g, h, COUNT(*) AS c
+           |FROM (SELECT h AS g, g AS h, x FROM $fact) GROUP BY g, h""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ===
+        Map(("z", "a") -> 2L, ("y", "b") -> 1L))
+    } finally shiftFiles(factDir, hide = false)
+    // finding-5 guard: current_date()/current_timestamp() are
+    // Catalyst-deterministic but bind a NEW clock per refresh
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.psd.rnc_$id AS
+         |SELECT current_date() AS d, COUNT(*) AS n
+         |FROM $fact GROUP BY current_date()""".stripMargin))
+    assert(e.getMessage.contains("current-time"))
+    // OR REPLACE with an invalid definition must keep the old MV
+    intercept[Exception](spark.sql(
+      s"""CREATE OR REPLACE MATERIALIZED VIEW $mv AS
+         |SELECT no_such_col, COUNT(*) AS n FROM $fact GROUP BY no_such_col""".stripMargin))
+    assert(spark.sql(s"SELECT SUM(n) AS t FROM $mv").head().getLong(0) === 3L)
+    Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("SHOW MATERIALIZED VIEWS inventories a namespace with per-MV freshness") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
