@@ -2710,6 +2710,73 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- stream_mv_expr: the CONTINUOUSLY-MAINTAINED time-bucket
+  // rollup — q_sql_mv_expr's deployment shape, closing the
+  // kind×surface square for expression-group MVs (batch + SQL DDL +
+  // streaming): the fact table's CDF stream triggers
+  // MaterializedView.refresh per micro-batch THROUGH THE STORED
+  // DEFINITION, so each refresh re-derives the bucket column over
+  // exactly the delta files it folds (the prep hook) under the same
+  // exactly-once-by-construction law as every MV stream (the basis
+  // rides the MV head note; replayed/coalesced batches no-op). A MoR
+  // DELETE mid-stream drops the incr fold to the full-recompute
+  // fallback — the final state must equal a from-scratch recompute,
+  // which the oracle replays with DuckDB's own date_trunc.
+  def streamMvExpr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.smef_$id"; val mv = s"graft.q.smev_$id"
+    val ckpt = tmp("graft_sme_ck_")
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("ev_sqlsme")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, ts TIMESTAMP, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlsme WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+             |  SUM(vx100) AS sum_vx100
+             |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+    val cat = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"q.smef_$id")
+    val mvDir = cat.tableDir(s"q.smev_$id")
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(factDir)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.lake.MaterializedView.refresh(s, mvDir): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ins("event_id % 3 = 1")
+    drain() // append-only → incr fold, bucket re-derived per delta row
+    s.sql(s"DELETE FROM $fact WHERE event_id % 10 = 3")
+    drain() // MoR delete in range → full-recompute fallback
+    s.sql(s"SELECT d, n, sum_vx100 FROM $mv")
+      .withColumn("mode", lit(graft.lake.IncrementalMv.mode(mvDir)))
+      .orderBy(col("d"))
+  }
+
+  val streamMvExprSql: String =
+    """SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_vx100,
+      |  'full' AS mode
+      |FROM events
+      |WHERE event_id % 3 IN (0, 1) AND event_id % 10 <> 3
+      |GROUP BY 1
+      |ORDER BY d""".stripMargin
+
   // --- stream_mv_refresh: the CONTINUOUSLY-MAINTAINED join view —
   // mv_join_refresh's production deployment shape: the fact table's
   // own CHANGE DATA FEED stream (readStream changeFeed=true, the v1
@@ -4384,6 +4451,7 @@ object Lake {
     "q_sql_mv_meta" -> qSqlMvMeta,
     "q_sql_mv_drop" -> qSqlMvDrop,
     "q_sql_mv_expr" -> qSqlMvExpr,
+    "stream_mv_expr" -> streamMvExpr,
     "stream_mv_minmax" -> streamMvMinmax,
     "stream_mv_refresh" -> streamMvRefresh,
     "lake_overwrite" -> lakeOverwrite,
@@ -4467,6 +4535,7 @@ object Lake {
     "q_sql_mv_meta" -> qSqlMvMetaSql,
     "q_sql_mv_drop" -> qSqlMvDropSql,
     "q_sql_mv_expr" -> qSqlMvExprSql,
+    "stream_mv_expr" -> streamMvExprSql,
     "stream_mv_minmax" -> streamMvMinmaxSql,
     "stream_mv_refresh" -> streamMvRefreshSql,
     "lake_overwrite" -> lakeOverwriteSql,
