@@ -195,7 +195,8 @@ object GraftMatViews {
         grammarError(s"plain select columns (${bareCols.mkString(", ")}) " +
           s"must match GROUP BY (${groupCols.mkString(", ")})")
       if (groupCols.isEmpty) grammarError("at least one group column is required")
-      (sums.result().map(_._1) ++ bareCols).groupBy(_.toLowerCase)
+      (graft.lake.IncrementalJoinMv.CountCol +: (sums.result().map(_._1) ++
+        bareCols)).groupBy(_.toLowerCase)
         .collectFirst { case (_, vs) if vs.size > 1 => vs.head }
         .foreach(nm => grammarError(s"duplicate column name '$nm'"))
       val factParts = spark.sessionState.sqlParser
@@ -276,12 +277,13 @@ object GraftMatViews {
         grammarError("select group columns must match GROUP BY exactly " +
           "(every plain column and every <expr> AS <alias> item grouped once)")
       val names = Seq.newBuilder[String]
+      names += reserved // a bare/alias column named 'n' collides too
       names ++= sums.result().map(_._1) ++= avgs.result().map(_._1)
       names ++= bareList ++= exprList.map(_._1) // group columns collide too
       minPart.foreach(names += _._2); maxPart.foreach(names += _._2)
       val dup = names.result().groupBy(_.toLowerCase).collectFirst {
         case (_, vs) if vs.size > 1 => vs.head }
-      dup.foreach(nm => grammarError(s"duplicate measure name '$nm'"))
+      dup.foreach(nm => grammarError(s"duplicate column name '$nm'"))
       val factParts = spark.sessionState.sqlParser
         .parseMultipartIdentifier(unquote(factId))
       (minPart, maxPart) match {
@@ -348,9 +350,14 @@ final case class GraftCreateMatViewCommand(catalogName: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[graft.sources.GraftCatalog]
+    // IF NOT EXISTS on an existing name is a NO-OP by contract —
+    // before any validation, so an idempotent deploy script keeps
+    // working even if the (ignored) definition no longer analyzes
+    if (ifNotExists && cat.tableExists(ident)) return Nil
     // VALIDATE FIRST — the defining query must analyze as a plain
     // query NOW (unknown tables/columns/types fail at CREATE, not at
-    // first refresh), and every validation must pass BEFORE an OR
+    // first refresh), and EVERY validation — analysis, grammar,
+    // catalog resolution of fact and dims — must pass BEFORE an OR
     // REPLACE touches the existing view: a typo'd redefinition must
     // cost an error message, never the old MV and its data
     val analyzed = spark.sessionState
@@ -371,8 +378,17 @@ final case class GraftCreateMatViewCommand(catalogName: String,
       "CREATE MATERIALIZED VIEW: non-deterministic or current-time " +
         "expressions cannot be re-derived by refresh")
     val (d0, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
+    val outCols = analyzed.output.map(_.name.toLowerCase).toSet
+    require(outCols.contains(graft.lake.IncrementalJoinMv.CountCol),
+      "defining query lost the structural count column")
+    // resolve the fact/dim roots BEFORE any drop: a FROM that is not
+    // a catalog-qualified graft lake table must error while the old
+    // MV still exists
+    val dimDirs = dimPartsList.map(GraftMatViews.dirOf(spark, _))
+    val d = d0.copy(fact = GraftMatViews.dirOf(spark, factParts),
+      dim = dimDirs.headOption.getOrElse(""),
+      dims = dimDirs.zip(d0.dims).map { case (dir, (_, keys)) => (dir, keys) })
     if (cat.tableExists(ident)) {
-      if (ifNotExists) return Nil
       val name = (ident.namespace() :+ ident.name()).mkString(".")
       if (!replace)
         throw new org.apache.spark.sql.catalyst.analysis
@@ -388,13 +404,6 @@ final case class GraftCreateMatViewCommand(catalogName: String,
         .foreach(MaterializedView.deregisterRef(_, mvDir))
       cat.dropTable(ident): Unit
     }
-    val outCols = analyzed.output.map(_.name.toLowerCase).toSet
-    require(outCols.contains(graft.lake.IncrementalJoinMv.CountCol),
-      "defining query lost the structural count column")
-    val dimDirs = dimPartsList.map(GraftMatViews.dirOf(spark, _))
-    val d = d0.copy(fact = GraftMatViews.dirOf(spark, factParts),
-      dim = dimDirs.headOption.getOrElse(""),
-      dims = dimDirs.zip(d0.dims).map { case (dir, (_, keys)) => (dir, keys) })
     val mvDir = cat.newTableDir(
       (ident.namespace() :+ ident.name()).mkString("."))
     MaterializedView.create(spark, mvDir, d): Unit

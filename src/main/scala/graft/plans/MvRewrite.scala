@@ -370,8 +370,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // scan set — a correlated/outer attribute that merely SHARES A
     // NAME with an MV column must never be rebound to it
     val availIds = rels.flatMap(_.output).map(_.exprId).toSet
-    val referenced = (agg.aggregateExpressions.map(substituteNamed(subst, _))
-      .flatMap(_.references) ++ groupSub.flatMap(_.references) ++
+    // the substituted output list is shared by the reference guard
+    // and every tier — build it ONCE per rule invocation
+    val outs = agg.aggregateExpressions.map(substituteNamed(subst, _))
+    val referenced = (outs.flatMap(_.references) ++
+      groupSub.flatMap(_.references) ++
       conds.flatMap(_.references)).map(_.exprId)
     if (!referenced.forall(availIds.contains)) return None
     val staleOk =
@@ -403,14 +406,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           }
         }
       }
-    def exprServed: Option[LogicalPlan] =
-      exprCands.view.flatMap(
-        rewriteExprGroup(agg, _, rels.head, groupSub, subst)).headOption
     // every tier maps the SUBSTITUTED outputs: a renamed subquery
     // output (Alias over a different base column) must bind to the MV
     // column of its MEANING, never of its surface name — the top-level
     // alias keeps the original name/exprId so parents resolve
-    val outs = agg.aggregateExpressions.map(substituteNamed(subst, _))
+    def exprServed: Option[LogicalPlan] =
+      exprCands.view.flatMap(
+        rewriteExprGroup(agg, _, rels.head, groupSub, outs)).headOption
     val groupAttrs = groupAttrsOpt.getOrElse(return exprServed)
     val matched: Seq[Candidate] =
       if (rels.size == 1) {
@@ -860,7 +862,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def rewriteExprGroup(agg: Aggregate, c: Candidate,
       rel: DataSourceV2Relation, groupSub: Seq[Expression],
-      subst: Map[ExprId, Expression]): Option[LogicalPlan] = {
+      outs: Seq[NamedExpression]): Option[LogicalPlan] = {
     val d = c.d
     val aliasSet = d.groupExprs.map(x => canon(x._1)).toSet
     val plainG = d.group.map(canon).filterNot(aliasSet.contains).toSet
@@ -914,7 +916,6 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _: AttributeReference => None // the mapAttr path pins those
       case e => nodeMap(e)
     }
-    val outs = agg.aggregateExpressions.map(substituteNamed(subst, _))
     if (c.deltaFrom >= 0) {
       // STALE + append-only: MV rows ⊎ the delta rows with the bucket
       // RE-DERIVED per row (the stored expression text over the delta
@@ -1132,6 +1133,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
     val measures = (nMv, Literal(1L): Expression,
       IncrementalJoinMv.CountCol) +: sums
+    // the copied subtree only exposes ITS OWN output: substituted
+    // grouping attrs / measure references hidden behind a renaming
+    // Project in the user's query are unreachable — fall back (the
+    // pre-widening behavior for aliasing subtrees) BEFORE paying the
+    // delta scan's manifest resolution
+    val childOut = agg.child.outputSet
+    if (!groupAttrs.forall(childOut.contains) ||
+      !sums.flatMap(_._2.references).forall(childOut.contains))
+      return None
     // substitute the fact scan with the delta files, rebound to the
     // SAME exprIds — join conditions, pushed filters and group
     // attributes in the copied subtree resolve against it unchanged
@@ -1143,14 +1153,6 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
         : NamedExpression
     }, delta)
-    // the copied subtree only exposes ITS OWN output: substituted
-    // grouping attrs / measure references hidden behind a renaming
-    // Project in the user's query are unreachable — fall back (the
-    // pre-widening behavior for aliasing subtrees)
-    val childOut = agg.child.outputSet
-    if (!groupAttrs.forall(childOut.contains) ||
-      !sums.flatMap(_._2.references).forall(childOut.contains))
-      return None
     val newChild = agg.child.transformUp {
       case r: DataSourceV2Relation if r eq factRel => rebound
     }
