@@ -1628,6 +1628,52 @@ object LlmPipeline {
        |WHERE (len(list_intersect(x.grams, y.grams)) * 10000) // len(list_distinct(x.grams || y.grams)) >= 3000
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- source_overlap: the SOURCE-LEVEL contamination matrix —
+  // which corpus sources share content (mirror sites, cross-posted
+  // feeds, scraped-twice domains): each source's DISTINCT 3-gram
+  // shingle set, then pairwise Jaccard over every source pair — the
+  // corpus-curation view that decides which sources to keep before
+  // any per-document dedup runs. At 100 TB nothing materializes
+  // per-source sets anywhere: the (source, gram) frame is one
+  // distinct at shingle grain, set sizes are a |sources|-row
+  // aggregate, and intersections come from the shingle-grain
+  // self-join whose per-gram fan-out is bounded by |sources|² (the
+  // matrix itself is |sources|² rows, broadcast-joined to sizes).
+  // Jaccard in integer basis points — exact, no float drift.
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ss = graft.util.QueryScratch.cached(
+      Dedup.withShingles(docs, "text", 3, distinct = true, Seq("source"), "grams")
+        .select(col("source"), explode(col("grams")).as("gram"))
+        .distinct())
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("sz"))
+    val inter = ss.as("a").join(ss.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("bigint").as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sza"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        idiv(col("inter") * lit(10000L),
+          col("sza") + col("szb") - col("inter")).as("jacc_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH w AS (SELECT source, $wsSql AS ws FROM documents),
+       |g AS (SELECT DISTINCT source, unnest(${shSeqSql(3)}) AS gram
+       |  FROM w WHERE len(ws) >= 3),
+       |sz AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY source),
+       |i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       |  CAST((inter * 10000) // (x.sz + y.sz - inter) AS BIGINT) AS jacc_bp
+       |FROM i JOIN sz x ON x.source = src_a JOIN sz y ON y.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
+
   // --- dedup_retention: the greedy keep-policy applied after
   // near-dup pair detection — drop the higher doc_id of every pair,
   // report per-language corpus shrinkage. One anti-join on the
@@ -4346,6 +4392,7 @@ object LlmPipeline {
     "dedup_simhash" -> dedupSimhash,
     "dedup_substring" -> dedupSubstring,
     "ngram_jaccard" -> ngramJaccard,
+    "source_overlap" -> sourceOverlap,
     "dedup_retention" -> dedupRetention,
     "dedup_clusters" -> dedupClusters,
     "split_leakage" -> splitLeakage,
@@ -4418,6 +4465,7 @@ object LlmPipeline {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_substring" -> dedupSubstringSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "source_overlap" -> sourceOverlapSql,
     "dedup_retention" -> dedupRetentionSql,
     "dedup_clusters" -> dedupClustersSql,
     "split_leakage" -> splitLeakageSql,
