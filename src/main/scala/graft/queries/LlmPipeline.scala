@@ -1631,26 +1631,67 @@ object LlmPipeline {
   // --- source_overlap: the SOURCE-LEVEL contamination matrix —
   // which corpus sources share content (mirror sites, cross-posted
   // feeds, scraped-twice domains): each source's DISTINCT 3-gram
-  // shingle set, then pairwise Jaccard over every source pair — the
-  // corpus-curation view that decides which sources to keep before
-  // any per-document dedup runs. At 100 TB nothing materializes
-  // per-source sets anywhere: the (source, gram) frame is one
-  // distinct at shingle grain, set sizes are a |sources|-row
-  // aggregate, and intersections come from the shingle-grain
-  // self-join whose per-gram fan-out is bounded by |sources|² (the
-  // matrix itself is |sources|² rows, broadcast-joined to sizes).
-  // Jaccard in integer basis points — exact, no float drift.
+  // shingle set, pairwise Jaccard over every source pair in integer
+  // basis points — the corpus-curation view that decides which
+  // sources to keep BEFORE any per-document dedup runs. The scale
+  // shape is a SOURCE BITMASK per gram: sources get dense indices
+  // (a |sources|-row driver list — metadata-scale), each gram
+  // aggregates the bit-OR of its holders' bits in ONE shuffle at
+  // gram grain (bit_or is idempotent, so no pre-distinct pass
+  // either), and the gram-mask HISTOGRAM — at most min(|grams|,
+  // 2^|sources|) rows, tiny in practice — answers every pairwise
+  // intersection and every set size by bit tests against a
+  // broadcast pair table. No shingle-grain self-join anywhere: the
+  // naive formulation pays |grams| × |sources-per-gram|² join rows
+  // (measured 16 s at sf0.1); this pays one gram-grain shuffle.
+  // Falls back to the pair-join formulation past 62 sources (the
+  // bigint mask width).
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val ss = graft.util.QueryScratch.cached(
-      Dedup.withShingles(docs, "text", 3, distinct = true, Seq("source"), "grams")
-        .select(col("source"), explode(col("grams")).as("gram"))
-        .distinct())
-    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("sz"))
-    val inter = ss.as("a").join(ss.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).cast("bigint").as("inter"))
+    // materialization boundary (§6 rule, same as every shingle
+    // sibling): without it the Generate inlines the shingle
+    // expression and re-derives the WHOLE gram array per output row
+    // (measured 16 s → ~2 s at sf0.1)
+    val grams = graft.util.QueryScratch.cached(
+      Dedup.withShingles(docs, "text", 3, distinct = true,
+        Seq("source"), "grams"))
+      .select(col("source"), explode(col("grams")).as("gram"))
+    val srcs = docs.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    import s.implicits._
+    if (srcs.size > 62) {
+      // mask width exceeded: the pair-join formulation (bounded by
+      // |sources-per-gram|² fan-out per gram)
+      val ss = graft.util.QueryScratch.cached(grams.distinct())
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("sz"))
+      return ss.as("a").join(ss.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).cast("bigint").as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sza"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          idiv(col("inter") * lit(10000L),
+            col("sza") + col("szb") - col("inter")).as("jacc_bp"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
+    val idxDf = srcs.zipWithIndex.toDF("source", "sidx")
+    // ONE shuffle: gram → bit-OR of holder bits (idempotent over
+    // duplicate (source, gram) rows — no distinct pass needed)
+    val hist = grams.join(broadcast(idxDf), "source")
+      .groupBy(col("gram"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), sidx))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).cast("bigint").as("cnt"))
+    val pairDf = (for { a <- srcs; b <- srcs if a < b }
+      yield (a, b, srcs.indexOf(a), srcs.indexOf(b)))
+      .toDF("src_a", "src_b", "ia", "ib")
+    val inter = hist.crossJoin(broadcast(pairDf))
+      .filter(expr("((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("cnt")).cast("bigint").as("inter"))
+    val sizes = hist.crossJoin(broadcast(idxDf))
+      .filter(expr("((mask >> sidx) & 1) = 1"))
+      .groupBy(col("source")).agg(sum(col("cnt")).cast("bigint").as("sz"))
     inter
       .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sza"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))), "src_b")
