@@ -256,6 +256,32 @@ object MaterializedView {
             s"runs '${s.sessionState.conf.sessionLocalTimeZone}' — a " +
             "refresh here would shift every bucket; SET " +
             s"spark.sql.session.timeZone=${d.tz} to refresh")
+      // ANSI-REGIME guard, the tz require's sibling: expr(txt)
+      // re-parses the stored bucket text under the CURRENT session,
+      // so an arithmetic/cast bucket (`x div 100`, `CAST(… AS int)`)
+      // re-derived under a flipped spark.sql.ansi.enabled can bind
+      // different overflow/coercion semantics and silently derive
+      // DIFFERENT bucket values than the CREATE-time rows already
+      // stored — splitting groups. Stored measures record and compare
+      // d.ansi on the rewrite path; derived group expressions must
+      // hold refresh to the same regime.
+      val ansiSensitive = aliases.size < d.groupExprs.size ||
+        aliases.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.Cast => true
+          case _: org.apache.spark.sql.catalyst.expressions.BinaryArithmetic => true
+          case _: org.apache.spark.sql.catalyst.expressions.UnaryMinus => true
+          case _: org.apache.spark.sql.catalyst.expressions.Abs => true
+          case _ => false
+        })
+      if (ansiSensitive)
+        require(d.ansi.nonEmpty &&
+            s.sessionState.conf.ansiEnabled.toString == d.ansi,
+          s"materialized view group expression binds the ANSI regime: " +
+            s"it was defined under spark.sql.ansi.enabled=" +
+            s"${if (d.ansi.isEmpty) "<unrecorded>" else d.ansi} but this " +
+            s"session runs ${s.sessionState.conf.ansiEnabled} — a refresh " +
+            "here could derive different bucket values for the same base " +
+            s"rows; SET spark.sql.ansi.enabled=${d.ansi} to refresh")
       out
     }
 
@@ -382,6 +408,12 @@ object MaterializedView {
     */
   def refreshAll(s: SparkSession, mvDir: String): Seq[Int] = {
     val d = readDef(mvDir)
+    // SELF-HEAL the advisory rewrite registry: _mv_refs.json is a
+    // plain read-modify-write, so a CREATE racing a DROP over the
+    // same fact can lose this MV's entry (cost: missed rewrites,
+    // never wrong data). Idempotent re-register on every refresh
+    // bounds the loss to one refresh cycle.
+    registerRef(d.fact, mvDir)
     if (d.kind == "minmax")
       Seq(MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
         d.minName, d.maxName, extras = minmaxExtras(d),

@@ -80,6 +80,19 @@ object GraftMatViews {
   // an EXPRESSION select item (`date_trunc('DAY', ts) AS d`) — tried
   // only after every aggregate shape above has failed to match
   private val exprAsRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
+  // aggregate-function text inside an expression item: shapes the
+  // dedicated regexes above DON'T match (COUNT(DISTINCT x) AS c,
+  // SUM(x)+1 AS s) would otherwise fall through to exprAsRe and get
+  // classified as expression GROUP columns — surfacing later as a
+  // confusing 'GROUP BY mismatch' instead of the unsupported-item
+  // message
+  private val aggTextRe =
+    ("(?is)\\b(count|sum|avg|mean|min|max|first|last|any_value|" +
+      "stddev(?:_samp|_pop)?|var(?:iance|_samp|_pop)?|" +
+      "percentile(?:_approx|_cont|_disc)?|median|mode|" +
+      "collect_(?:list|set)|approx_count_distinct|listagg|string_agg|" +
+      "bit_(?:and|or|xor)|bool_(?:and|or)|every|some|corr|" +
+      "covar_(?:samp|pop)|kurtosis|skewness|grouping(?:_id)?)\\s*\\(").r
 
   private def unquote(s: String) = s.replace("`", "")
 
@@ -252,7 +265,17 @@ object GraftMatViews {
         case exprAsRe(e, name) =>
           // an EXPRESSION GROUP column (time bucket et al.) — the
           // alias is the MV's stored column; refresh re-derives it
-          // over the base rows before grouping
+          // over the base rows before grouping. Aggregate-ish text
+          // (COUNT(DISTINCT x), SUM(x)+1) is NOT a group column —
+          // reject it HERE with the unsupported-item message rather
+          // than letting it surface as a GROUP BY mismatch below
+          if (aggTextRe.findFirstIn(e).isDefined)
+            grammarError(s"unsupported select item '${e.trim} AS " +
+              s"${unquote(name)}': aggregate expressions are limited to " +
+              "COUNT(*) AS n, SUM(expr) AS s, AVG(expr) AS a, " +
+              "MIN(col) AS m, MAX(col) AS x — DISTINCT, FILTER, and " +
+              "arithmetic over aggregates have no incremental " +
+              "maintenance law here")
           exprGroups += ((checkName(unquote(name)), e.trim))
         case item => grammarError(s"unsupported select item '$item' " +
           "(single-table views support COUNT(*) AS n, SUM(expr) AS s, " +
@@ -264,12 +287,30 @@ object GraftMatViews {
       // select column by name, or an expression item by its ALIAS or
       // its (whitespace-normalized) TEXT
       def normTxt(x: String) = unquote(x).replaceAll("\\s+", " ").trim.toLowerCase
+      // SEMANTIC expression matching: `GROUP BY a+1` must find
+      // `a + 1 AS b` in the select list. Whitespace-normalized text
+      // is the fast path; the real comparison parses both sides and
+      // compares the trees with attribute/function names case-folded
+      // (parse failures fall back to text-only matching)
+      def parsedKey(txt: String): Option[String] = scala.util.Try {
+        import org.apache.spark.sql.catalyst.analysis.{
+          UnresolvedAttribute, UnresolvedFunction}
+        spark.sessionState.sqlParser.parseExpression(unquote(txt))
+          .transformUp {
+            case a: UnresolvedAttribute =>
+              UnresolvedAttribute(a.nameParts.map(_.toLowerCase))
+            case f: UnresolvedFunction =>
+              f.copy(nameParts = f.nameParts.map(_.toLowerCase))
+          }.toString
+      }.toOption
       val exprList = exprGroups.result()
       val bareList = bare.result()
       val groupCols = groupItems.map { gi =>
         val n0 = normTxt(gi)
+        lazy val giKey = parsedKey(gi)
         bareList.find(_.toLowerCase == n0).getOrElse(
-          exprList.find(x => x._1.toLowerCase == n0 || normTxt(x._2) == n0)
+          exprList.find(x => x._1.toLowerCase == n0 || normTxt(x._2) == n0 ||
+              (giKey.isDefined && parsedKey(x._2) == giKey))
             .map(_._1).getOrElse(grammarError(s"GROUP BY item '$gi' matches " +
               "neither a plain select column nor an expression select item")))
       }
@@ -396,13 +437,43 @@ final case class GraftCreateMatViewCommand(catalogName: String,
             (ident.namespace() :+ ident.name()).toSeq)
       // OR REPLACE only replaces a MATERIALIZED VIEW — never silently
       // swallows a plain table that happens to hold the name
-      require(MaterializedView.isMv(cat.tableDir(name)),
+      val mvDir = cat.tableDir(name)
+      require(MaterializedView.isMv(mvDir),
         s"$name is a table, not a materialized view — " +
           "CREATE OR REPLACE MATERIALIZED VIEW will not replace it")
-      val mvDir = cat.tableDir(name)
-      scala.util.Try(MaterializedView.readDef(mvDir).fact)
+      val oldFact =
+        scala.util.Try(MaterializedView.readDef(mvDir).fact).toOption
+      // DATA-DEPENDENT failures (ANSI overflow, an unreadable base
+      // file, executor loss) surface while MATERIALIZING the
+      // replacement — after every static validation above. The old
+      // view must survive those too: move it ASIDE (a rename leaves
+      // its absolute-path'd manifests valid-for-restore), build the
+      // replacement at the ORIGINAL path (so the new manifests record
+      // the right absolute paths), and discard the old incarnation
+      // only on success. On any create failure the old directory
+      // moves back verbatim — name, data, refresh basis all intact.
+      import java.nio.file.{Files, Paths, Path}
+      val target = Paths.get(mvDir)
+      val backup = target.resolveSibling(
+        s".${target.getFileName}.orreplace.${System.nanoTime()}")
+      Files.move(target, backup)
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => { Files.deleteIfExists(x): Unit })
+        finally w.close()
+      }
+      try MaterializedView.create(spark, mvDir, d): Unit
+      catch {
+        case e: Throwable =>
+          rmTree(target); Files.move(backup, target); throw e
+      }
+      rmTree(backup)
+      // create registered (new fact → mvDir); a prior ref under a
+      // DIFFERENT fact would accrete dead — deregister it eagerly
+      oldFact.filterNot(_ == d.fact)
         .foreach(MaterializedView.deregisterRef(_, mvDir))
-      cat.dropTable(ident): Unit
+      return Nil
     }
     val mvDir = cat.newTableDir(
       (ident.namespace() :+ ident.name()).mkString("."))

@@ -2440,8 +2440,11 @@ object Lake {
   // records its session zone and a refresh under a different zone
   // fails pointedly instead of silently shifting every bucket.
   // Stage 1 reads the creation state (time travel), stage 2 the
-  // state after an append + REFRESH MATERIALIZED VIEW — the oracle
-  // recomputes both from scratch with DuckDB's own date_trunc.
+  // state after an append + REFRESH MATERIALIZED VIEW, stage 3 the
+  // rewrite-served read (all fact files hidden), stage 4 the
+  // COMPENSATED read over a stale MV (pre-append files hidden) — the
+  // oracle recomputes every stage from scratch with DuckDB's own
+  // date_trunc.
   def qSqlMvExpr(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.root",
@@ -2479,11 +2482,31 @@ object Lake {
     val s3 = served.toSeq
       .map(r => (3L, r.getTimestamp(0), r.getLong(1), r.getLong(2)))
       .toDF("stage", "d", "n", "sum_vx100")
+    // stage 4: the COMPENSATED tier — a THIRD batch lands and the MV
+    // is NOT refreshed (stale at its stage-2 basis, gap append-only);
+    // every PRE-APPEND fact file is hidden, so fresh bucketed totals
+    // (including the new batch) are only reachable as MV ⊎ delta with
+    // the bucket RE-DERIVED per delta row at read time — a bare-MV
+    // answer misses the batch and fails the hash, a fact scan throws
+    // on the hidden files
+    val basisPaths = LakeTable
+      .manifest(factDir, LakeTable.currentSnapshot(factDir))
+      .files.map(_.path).toSet
+    ins("event_id % 10 = 3")
+    val served4 = withHiddenFiles(factDir, f => basisPaths.contains(f.path)) {
+      s.sql(s"""SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+               |  SUM(vx100) AS sum_vx100
+               |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+        .collect()
+    }
+    val s4 = served4.toSeq
+      .map(r => (4L, r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .toDF("stage", "d", "n", "sum_vx100")
     s.sql(s"""SELECT CAST(1 AS BIGINT) AS stage, d, n, sum_vx100
              |FROM $mv VERSION AS OF 1
              |UNION ALL
              |SELECT CAST(2 AS BIGINT), d, n, sum_vx100 FROM $mv""".stripMargin)
-      .unionByName(s3)
+      .unionByName(s3).unionByName(s4)
       .orderBy(col("stage"), col("d"))
   }
 
@@ -2502,9 +2525,15 @@ object Lake {
       |s3 AS (
       |  SELECT CAST(3 AS BIGINT), date_trunc('day', ts), COUNT(*),
       |    CAST(SUM(vx100) AS BIGINT)
-      |  FROM f GROUP BY 2)
+      |  FROM f GROUP BY 2),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT), date_trunc('day', ts), COUNT(*),
+      |    CAST(SUM(vx100) AS BIGINT)
+      |  FROM (SELECT * FROM f UNION ALL
+      |        SELECT * FROM f WHERE event_id % 10 = 3) u
+      |  GROUP BY 2)
       |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-      |               UNION ALL SELECT * FROM s3)
+      |               UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, d""".stripMargin
 
   // --- q_sql_mv_drop: the DDL lifecycle's other half — DROP

@@ -1940,6 +1940,73 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("OR REPLACE survives DATA-dependent create failures; expr-group refresh holds the ANSI regime; aggregate-ish items rejected pointedly") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.arf_$id"; val mv = s"graft.psd.arv_$id"
+    spark.sql(s"CREATE TABLE $fact (k STRING, s STRING, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES ('a','1',1),('a','oops',2),('b','3',3)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $mv AS " +
+      s"SELECT k, COUNT(*) AS n FROM $fact GROUP BY k")
+    // the replacement ANALYZES fine but its MATERIALIZATION throws at
+    // runtime (ANSI cast of 'oops') — every static validation passed,
+    // so only the move-aside build protects the old MV: it must
+    // survive with data AND refresh basis intact
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    intercept[Exception](spark.sql(
+      s"""CREATE OR REPLACE MATERIALIZED VIEW $mv AS
+         |SELECT CAST(s AS BIGINT) AS b, COUNT(*) AS n
+         |FROM $fact GROUP BY CAST(s AS BIGINT)""".stripMargin))
+    assert(spark.sql(s"SELECT k, n FROM $mv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 2L, "b" -> 1L))
+    spark.sql(s"INSERT INTO $fact VALUES ('b','7',4)")
+    // the surviving basis still drives an incremental refresh
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+    assert(spark.sql(s"SELECT k, n FROM $mv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 2L, "b" -> 2L))
+    // ANSI-REGIME guard: an arithmetic bucket defined under ansi=true
+    // refuses to refresh under ansi=false (different overflow/
+    // coercion semantics could split groups), and refreshes again
+    // under the defining regime
+    val mv2 = s"graft.psd.arw_$id"
+    spark.sql(s"CREATE MATERIALIZED VIEW $mv2 AS " +
+      s"SELECT x div 2 AS b, COUNT(*) AS n FROM $fact GROUP BY x div 2")
+    spark.sql(s"INSERT INTO $fact VALUES ('c','9',9)")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val e = intercept[Exception](
+        spark.sql(s"REFRESH MATERIALIZED VIEW $mv2").collect())
+      assert(e.getMessage.contains("ANSI regime"), e.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv2").collect()
+    assert(spark.sql(s"SELECT SUM(n) AS t FROM $mv2").head().getLong(0) === 5L)
+    // aggregate-ish select items the dedicated regexes don't match
+    // get the unsupported-item message, never a confusing GROUP BY
+    // mismatch
+    val e2 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.psd.arx_$id AS
+         |SELECT k, COUNT(DISTINCT x) AS c, COUNT(*) AS n
+         |FROM $fact GROUP BY k""".stripMargin))
+    assert(e2.getMessage.contains("unsupported select item"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.psd.ary_$id AS
+         |SELECT k, SUM(x)+1 AS s, COUNT(*) AS n
+         |FROM $fact GROUP BY k""".stripMargin))
+    assert(e3.getMessage.contains("unsupported select item"), e3.getMessage)
+    // SEMANTIC GROUP BY matching: 'x+1 AS b' matches 'GROUP BY X + 1'
+    // (spacing and case differences) via the parsed-tree comparison
+    val mv3 = s"graft.psd.arz_$id"
+    spark.sql(s"CREATE MATERIALIZED VIEW $mv3 AS " +
+      s"SELECT x+1 AS b, COUNT(*) AS n FROM $fact GROUP BY X + 1")
+    assert(spark.sql(s"SELECT SUM(n) AS t FROM $mv3").head().getLong(0) === 5L)
+    Seq(mv, mv2, mv3, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("SHOW MATERIALIZED VIEWS inventories a namespace with per-MV freshness") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
