@@ -3453,20 +3453,25 @@ object Lake {
   // the change feed: a MIRROR table maintained exclusively from
   // `readStream.option("changeFeed")`, never by re-reading the
   // upstream table. Each micro-batch is applied per upstream
-  // snapshot IN ORDER: pure-delete keys (pre-image keys minus the
-  // snapshot's insert keys) become one MoR equality-delete commit,
-  // and the insert rows become one atomic MERGE (adds + eq-delete of
-  // their own keys — the upsert fold of the delete+insert changelog
-  // encoding). Every mirror commit stamps `cdc:<snap>:<verb>` in its
-  // note and the apply loop skips snapshots already stamped, so a
-  // replayed batch (foreachBatch is at-least-once on driver crash)
-  // re-applies nothing — exactly-once end to end, checkpoint offsets
-  // across drains + note markers within a batch. At 100 TB the
-  // mirror's write amplification is O(changed rows) per upstream
-  // commit — the whole point of consuming the feed instead of
-  // diffing snapshots. Upstream lifecycle: append evens, MERGE
-  // (value+1000 on id%10=0), delete clicks; the gate pins mirror ==
-  // upstream EXACTLY (symmetric exceptAll both ways must be empty).
+  // snapshot IN ORDER as ONE mirror commit: insert rows become one
+  // atomic MERGE carrying the snapshot's pure-delete keys (pre-image
+  // keys minus its insert keys) as EXTRA equality-delete keys — the
+  // upsert fold of the delete+insert changelog encoding, with commit
+  // cadence matching the upstream 1:1 (a delete-only snapshot is the
+  // one standalone eq-delete commit). Every mirror commit stamps
+  // `cdc:<snap>:<verb>` in its note and the apply loop skips
+  // snapshots already stamped, so a replayed batch (foreachBatch is
+  // at-least-once on driver crash) re-applies nothing — exactly-once
+  // end to end, checkpoint offsets across drains + note markers
+  // within a batch. At 100 TB the mirror's write amplification is
+  // O(changed rows) per upstream commit and its commit count equals
+  // the upstream's — the whole point of consuming the feed instead
+  // of diffing snapshots. Upstream lifecycle: append evens, MERGE
+  // (value+1000 on id%10=0), delete clicks, then an ATOMIC
+  // merge-with-deletes (upsert odds ending in 1 + delete views); the
+  // gate pins mirror == upstream EXACTLY (symmetric exceptAll both
+  // ways empty) AND the 1:1 cadence (n_commits == 4 upstream
+  // snapshots, oracle-hard-coded).
   def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
     val up = tmp("graft_cdca_up_")
     val mir = tmp("graft_cdca_mir_")
@@ -3497,24 +3502,42 @@ object Lake {
       LakeTable.read(s, up).filter(col("event_type") === "click")
         .select(col("event_id")))
     drain()
+    // upstream snapshot 4: an ATOMIC merge-with-deletes — upsert the
+    // odd ids ending in 1 (value+2000) AND delete every surviving
+    // 'view' row in the SAME commit (the extraDeleteKeys shape the MV
+    // fold writes). The mirror must apply it as ONE commit too:
+    // `n_commits` below pins the 1:1 cadence — the legacy apply flow
+    // spent TWO mirror commits (eq-delete, then merge) on this shape.
+    LakeTable.merge(s, up, "event_id",
+      ev.filter(col("event_id") % 2 === 1 && col("event_id") % 10 === 1)
+        .withColumn("value", col("value") + 2000.0),
+      cfg, Seq("event_id"),
+      extraDeleteKeys = Some(LakeTable.read(s, up)
+        .filter(col("event_type") === "view").select(col("event_id"))))
+    drain()
     val upF = LakeTable.read(s, up)
     val mirF = LakeTable.read(s, mir).select(upF.columns.map(col).toIndexedSeq: _*)
     val diff = upF.exceptAll(mirF).count() + mirF.exceptAll(upF).count()
     mirF.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
       .withColumn("mirror_exact", lit(diff == 0L))
+      .withColumn("n_commits", lit(LakeTable.currentSnapshot(mir).toLong))
       .orderBy(col("event_type"))
   }
 
   val streamCdcApplySql: String =
-    """WITH final AS (
+    """WITH base AS (
       |  SELECT event_type,
       |    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
       |  FROM events
-      |  WHERE event_id % 2 = 0 AND event_type <> 'click')
+      |  WHERE event_id % 2 = 0 AND event_type NOT IN ('click', 'view')),
+      |ups AS (
+      |  SELECT event_type, value + 2000 AS value FROM events
+      |  WHERE event_id % 2 = 1 AND event_id % 10 = 1),
+      |final AS (SELECT * FROM base UNION ALL SELECT * FROM ups)
       |SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
-      |  true AS mirror_exact
+      |  true AS mirror_exact, CAST(4 AS BIGINT) AS n_commits
       |FROM final
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -12,12 +12,17 @@ import graft.writer.BlockWriter
   * re-reading the upstream table, with write amplification
   * O(changed rows) per upstream commit.
   *
-  * Apply rule, per upstream snapshot IN ORDER within the batch:
-  *  1. pure-delete keys (delete pre-image keys MINUS the snapshot's
-  *     insert keys) → one MoR equality-delete commit;
-  *  2. insert rows → one atomic MERGE (adds + eq-delete of their own
-  *     keys) — the upsert fold of the delete+insert changelog
-  *     encoding, so an upstream MERGE becomes a mirror MERGE.
+  * Apply rule, per upstream snapshot IN ORDER within the batch —
+  * ONE mirror commit per upstream snapshot:
+  *  - insert rows present → one atomic MERGE carrying the snapshot's
+  *    pure-delete keys (delete pre-image keys MINUS its insert keys)
+  *    as EXTRA equality-delete keys: adds + eq-delete of the insert
+  *    keys + eq-delete of the pure deletes, all scoped to files
+  *    below the merge snap — the upsert fold of the delete+insert
+  *    changelog encoding, and an upstream atomic merge-with-deletes
+  *    becomes an equally atomic mirror commit (commit cadence
+  *    matches the upstream 1:1, never 2:1);
+  *  - delete-only snapshot → one MoR equality-delete commit.
   *
   * Exactly-once: foreachBatch is at-least-once under driver crash,
   * so every mirror commit stamps `cdc:<snap>:<verb>` in its manifest
@@ -182,23 +187,41 @@ object CdcApply {
         val delOnly = cur.filter(col(CT) === "delete")
           .select(col(keyCol))
           .exceptAll(ins.select(col(keyCol))).distinct()
-        if (!seen.contains(delMark) && LakeTable.currentSnapshot(mirrorRoot) > 0 &&
-            !delOnly.isEmpty) {
-          LakeTable.deleteWhere(s, mirrorRoot, keyCol, delOnly, note = delMark)
-          seen += delMark
-          commits += 1
-        }
+        val mirrorLive = LakeTable.currentSnapshot(mirrorRoot) > 0
+        // the delete half still pending? (delMark only ever appears
+        // in ledgers written by the LEGACY two-commit flow — current
+        // folded commits carry upsMark alone)
+        val needDel = !seen.contains(delMark) && mirrorLive && !delOnly.isEmpty
         if (!seen.contains(upsMark) && !ins.isEmpty) {
-          if (LakeTable.currentSnapshot(mirrorRoot) == 0)
+          if (!mirrorLive)
             LakeTable.commit(s, mirrorRoot, ins, cfg, statCols, note = upsMark)
           else {
+            // ONE atomic commit per upstream snapshot: the pure-delete
+            // keys ride the MERGE as extra equality-delete keys (both
+            // delete families scope to files with seq < the merge
+            // snap — the exact mirror state the legacy
+            // delete-then-merge pair produced, at HALF the commit
+            // cadence for mixed snapshots). A crash-replay of the
+            // legacy format (delMark already in the ledger) carries
+            // nothing twice: the delete half rides only while its own
+            // mark is absent.
             // merge's schema gate is strict on nullability — align
             // the changelog frame to the mirror's read schema
             val aligned = ins.to(LakeTable.read(s, mirrorRoot).schema)
             LakeTable.merge(s, mirrorRoot, keyCol, aligned, cfg, statCols,
-              note = upsMark)
+              note = upsMark,
+              extraDeleteKeys = if (needDel) Some(delOnly) else None)
           }
           seen += upsMark
+          commits += 1
+        } else if (!seen.contains(upsMark) && needDel) {
+          // delete-only snapshot: the eq-delete commit stands alone
+          // under its own mark. NEVER reached when upsMark is present
+          // — a folded commit already applied the delete half, and
+          // re-deleting here after a later snapshot re-inserted the
+          // key would diverge the mirror on crash-replay.
+          LakeTable.deleteWhere(s, mirrorRoot, keyCol, delOnly, note = delMark)
+          seen += delMark
           commits += 1
         }
         // a snapshot that produced NO commit and has no prior mark

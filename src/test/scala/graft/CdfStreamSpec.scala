@@ -122,6 +122,56 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(LakeTable.currentSnapshot(mir) === head)
   }
 
+  test("CdcApply folds a mixed snapshot into ONE mirror commit; crash-replay after the fold never re-deletes; legacy half-applied state completes") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.CdcApply
+    val up = graft.util.Scratch.dir("graft_cdcfold_up_")
+    val mir = graft.util.Scratch.dir("graft_cdcfold_mir_")
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 8)
+    val base = (1L to 8L).map(i => (i, i % 2, i * 1.0)).toDF("id", "grp", "v")
+    LakeTable.commit(s, up, base, cfg, Seq("id"))
+    // snap2: ATOMIC merge-with-deletes (upsert 2, delete 5 and 6 in
+    // the same upstream commit — the extraDeleteKeys shape)
+    LakeTable.merge(s, up, "id", Seq((2L, 0L, 200.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"), extraDeleteKeys = Some(Seq(5L, 6L).toDF("id")))
+    // snap3: RE-INSERT key 5 (arms the crash-replay divergence hazard)
+    LakeTable.merge(s, up, "id", Seq((5L, 1L, 555.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    val batch = LakeTable.changelogRead(s, up, 0, 3)
+    val n = CdcApply.applyBatch(s, mir, batch, "id", cfg, Seq("id"))
+    assert(n === 3, "ONE commit per upstream snapshot — the mixed " +
+      s"snapshot must not split into delete+merge (got $n)")
+    assert(LakeTable.currentSnapshot(mir) === 3)
+    def mirrors(m0: String): Unit = {
+      val a = LakeTable.read(s, up)
+      val m = LakeTable.read(s, m0).select(a.columns.map(col).toIndexedSeq: _*)
+      assert(a.exceptAll(m).count() === 0L && m.exceptAll(a).count() === 0L)
+    }
+    mirrors(mir)
+    // full-batch crash-replay: a naive replayer would see no
+    // cdc:2:delete mark, re-issue the eq-delete of key 5 at head, and
+    // kill the row snap3 re-inserted. The folded format treats the
+    // upsert mark as covering BOTH halves: replay is a pure no-op.
+    assert(CdcApply.applyBatch(s, mir, batch, "id", cfg, Seq("id")) === 0)
+    assert(LakeTable.currentSnapshot(mir) === 3)
+    mirrors(mir)
+    // LEGACY interop: a mirror that crashed between the old flow's
+    // delete commit and merge commit (delete mark present, upsert
+    // absent) completes with the INSERT half only — the delete half
+    // never rides twice
+    val mir2 = graft.util.Scratch.dir("graft_cdcfold_mir2_")
+    CdcApply.applyBatch(s, mir2, LakeTable.changelogRead(s, up, 0, 1),
+      "id", cfg, Seq("id")): Unit
+    LakeTable.deleteWhere(s, mir2, "id", Seq(5L, 6L).toDF("id"),
+      note = "cdc:2:delete") // the legacy first half, hand-stamped
+    assert(CdcApply.applyBatch(s, mir2, LakeTable.changelogRead(s, up, 1, 2),
+      "id", cfg, Seq("id")) === 1)
+    assert(CdcApply.applyBatch(s, mir2, LakeTable.changelogRead(s, up, 2, 3),
+      "id", cfg, Seq("id")) === 1)
+    mirrors(mir2)
+  }
+
   test("CdcApply replay ledger is O(batch): manifest reads per applied batch don't grow with mirror history") {
     val s = spark
     import s.implicits._
