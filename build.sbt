@@ -37,3 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (146-155 s) with no stall episodes.
   "-XX:+UseParallelGC",
 )
+// ad-hoc flags for A/B probes (e.g. -Dspark.graft.mv.rewrite=false)
+// without editing this file per experiment
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty).toSeq)

@@ -3466,17 +3466,22 @@ object Lake {
   // within a batch. At 100 TB the mirror's write amplification is
   // O(changed rows) per upstream commit and its commit count equals
   // the upstream's — the whole point of consuming the feed instead
-  // of diffing snapshots. Upstream lifecycle: append evens, MERGE
-  // (value+1000 on id%10=0), delete clicks, then an ATOMIC
-  // merge-with-deletes (upsert odds ending in 1 + delete views); the
-  // gate pins mirror == upstream EXACTLY (symmetric exceptAll both
-  // ways empty) AND the 1:1 cadence (n_commits == 4 upstream
-  // snapshots, oracle-hard-coded).
+  // of diffing snapshots. Upstream lifecycle: append evens, then TWO
+  // atomic merge-with-deletes (value+1000 on ids ending in 0 +
+  // delete clicks; insert odds ending in 1 + delete views); the gate
+  // pins mirror == upstream EXACTLY (symmetric exceptAll both ways
+  // empty) AND the 1:1 cadence (n_commits == 3 upstream snapshots,
+  // oracle-hard-coded — the legacy two-commit flow spent 5).
   def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
     val up = tmp("graft_cdca_up_")
     val mir = tmp("graft_cdca_mir_")
     val ck = tmp("graft_cdca_ck_")
+    // even-user subset: the gate exercises commit MACHINERY (4
+    // upstream snapshots × changelog × apply × exact mirror compare),
+    // whose cost is per-commit fixed work — row volume only pads the
+    // bench without strengthening the gate
     val ev = t(s, dir, "events")
+      .filter(col("user_id") % 2 === 0)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
     val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
     def drain(): Unit = {
@@ -3494,20 +3499,21 @@ object Lake {
     }
     LakeTable.commit(s, up, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
     drain()
+    // upstream snapshots 2 and 3: ATOMIC merge-with-deletes — the
+    // extraDeleteKeys shape the MV fold writes. Snap 2 bumps the ids
+    // ending in 0 (+1000) AND deletes every click (a click ending in
+    // 0 is upserted and deleted in the SAME commit — the new row
+    // wins, the MoR delete masks only older files); snap 3 inserts
+    // the odd ids ending in 1 (+2000) AND deletes every view. The
+    // mirror must apply EACH as one commit: `n_commits` below pins
+    // the 1:1 cadence — the legacy apply flow spent TWO mirror
+    // commits (eq-delete, then merge) per mixed snapshot, 5 total.
     LakeTable.merge(s, up, "event_id",
       ev.filter(col("event_id") % 2 === 0 && col("event_id") % 10 === 0)
         .withColumn("value", col("value") + 1000.0),
-      cfg, Seq("event_id"))
-    LakeTable.deleteWhere(s, up, "event_id",
-      LakeTable.read(s, up).filter(col("event_type") === "click")
-        .select(col("event_id")))
-    drain()
-    // upstream snapshot 4: an ATOMIC merge-with-deletes — upsert the
-    // odd ids ending in 1 (value+2000) AND delete every surviving
-    // 'view' row in the SAME commit (the extraDeleteKeys shape the MV
-    // fold writes). The mirror must apply it as ONE commit too:
-    // `n_commits` below pins the 1:1 cadence — the legacy apply flow
-    // spent TWO mirror commits (eq-delete, then merge) on this shape.
+      cfg, Seq("event_id"),
+      extraDeleteKeys = Some(LakeTable.read(s, up)
+        .filter(col("event_type") === "click").select(col("event_id"))))
     LakeTable.merge(s, up, "event_id",
       ev.filter(col("event_id") % 2 === 1 && col("event_id") % 10 === 1)
         .withColumn("value", col("value") + 2000.0),
@@ -3516,28 +3522,43 @@ object Lake {
         .filter(col("event_type") === "view").select(col("event_id"))))
     drain()
     val upF = LakeTable.read(s, up)
-    val mirF = LakeTable.read(s, mir).select(upF.columns.map(col).toIndexedSeq: _*)
-    val diff = upF.exceptAll(mirF).count() + mirF.exceptAll(upF).count()
-    mirF.groupBy(col("event_type"))
+    // ONE pass over each MoR-resolved side: cache the mirror read
+    // (it feeds the symmetric diff twice and the output aggregate)
+    // and fold both exceptAll directions into a single job
+    val mirF = LakeTable.read(s, mir)
+      .select(upF.columns.map(col).toIndexedSeq: _*).persist()
+    val diff = upF.exceptAll(mirF).unionAll(mirF.exceptAll(upF)).count()
+    val out = mirF.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
       .withColumn("mirror_exact", lit(diff == 0L))
       .withColumn("n_commits", lit(LakeTable.currentSnapshot(mir).toLong))
       .orderBy(col("event_type"))
+      .collect()
+    mirF.unpersist()
+    import s.implicits._
+    out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+      .toDF("event_type", "n", "sum_value_x100", "mirror_exact", "n_commits")
+      .orderBy(col("event_type"))
   }
 
   val streamCdcApplySql: String =
-    """WITH base AS (
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value FROM events WHERE user_id % 2 = 0),
+      |base AS (
       |  SELECT event_type,
       |    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
-      |  FROM events
-      |  WHERE event_id % 2 = 0 AND event_type NOT IN ('click', 'view')),
+      |  FROM ev
+      |  WHERE event_id % 2 = 0
+      |    AND (event_type <> 'click' OR event_id % 10 = 0)
+      |    AND event_type <> 'view'),
       |ups AS (
-      |  SELECT event_type, value + 2000 AS value FROM events
+      |  SELECT event_type, value + 2000 AS value FROM ev
       |  WHERE event_id % 2 = 1 AND event_id % 10 = 1),
       |final AS (SELECT * FROM base UNION ALL SELECT * FROM ups)
       |SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
-      |  true AS mirror_exact, CAST(4 AS BIGINT) AS n_commits
+      |  true AS mirror_exact, CAST(3 AS BIGINT) AS n_commits
       |FROM final
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -131,8 +131,27 @@ object CdcApply {
   def applyBatch(s: SparkSession, mirrorRoot: String, batch: DataFrame,
       keyCol: String, cfg: BlockWriter.Config, statCols: Seq[String]): Int = {
     val b = batch.persist()
+    // ONE pass over the batch computes, per snapshot, the insert-row
+    // count and the PURE-DELETE key count (delete pre-image keys
+    // minus that snapshot's insert keys). The per-snapshot
+    // filter/exceptAll/isEmpty probes this replaces cost one shuffle
+    // job EACH — O(batch snapshots) jobs over the persisted batch —
+    // while these two jobs are O(1) per applied batch however many
+    // snapshots it carries. `perKey` stays cached so each snapshot's
+    // pure-delete key frame is a cheap cached filter, not a rescan.
+    val perKey = b.groupBy(col(CS), col(keyCol))
+      .agg(
+        sum(when(col(CT) === "insert", 1L).otherwise(0L)).as("_ins"),
+        sum(when(col(CT) === "delete", 1L).otherwise(0L)).as("_del"))
+      .persist()
     try {
-      val allSnaps = b.select(col(CS)).distinct().collect().map(_.getInt(0)).sorted
+      val stats = perKey.groupBy(col(CS))
+        .agg(sum(col("_ins")).as("i"),
+          sum(when(col("_del") > 0 && col("_ins") === 0, 1L)
+            .otherwise(0L)).as("pd"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val allSnaps = stats.keys.toArray.sorted
       var commits = 0
       // watermark + tail marks, read ONCE per batch; commits made
       // below are appended to the local set, never re-read from
@@ -182,17 +201,20 @@ object CdcApply {
       snaps.foreach { sn =>
         val delMark = s"cdc:$sn:delete"; val upsMark = s"cdc:$sn:upsert"
         val before = commits
-        val cur = b.filter(col(CS) === sn)
-        val ins = cur.filter(col(CT) === "insert").drop(CT, CS)
-        val delOnly = cur.filter(col(CT) === "delete")
+        val (insRows, pureDelKeys) = stats(sn)
+        def ins = b.filter(col(CS) === sn && col(CT) === "insert")
+          .drop(CT, CS)
+        // the snapshot's pure-delete keys, off the cached per-key
+        // aggregate (already distinct by construction)
+        def delOnly = perKey
+          .filter(col(CS) === sn && col("_del") > 0 && col("_ins") === 0)
           .select(col(keyCol))
-          .exceptAll(ins.select(col(keyCol))).distinct()
         val mirrorLive = LakeTable.currentSnapshot(mirrorRoot) > 0
         // the delete half still pending? (delMark only ever appears
         // in ledgers written by the LEGACY two-commit flow — current
         // folded commits carry upsMark alone)
-        val needDel = !seen.contains(delMark) && mirrorLive && !delOnly.isEmpty
-        if (!seen.contains(upsMark) && !ins.isEmpty) {
+        val needDel = !seen.contains(delMark) && mirrorLive && pureDelKeys > 0
+        if (!seen.contains(upsMark) && insRows > 0) {
           if (!mirrorLive)
             LakeTable.commit(s, mirrorRoot, ins, cfg, statCols, note = upsMark)
           else {
@@ -241,6 +263,6 @@ object CdcApply {
           LakeTable.currentSnapshot(mirrorRoot), wmHead,
           knownEmpty ++ emptyApplied)
       commits
-    } finally { b.unpersist(); () }
+    } finally { perKey.unpersist(); b.unpersist(); () }
   }
 }
