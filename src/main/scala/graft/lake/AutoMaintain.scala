@@ -66,18 +66,34 @@ object AutoMaintain {
     */
   val AutoRefreshMvKey = "graft.autorefresh.mvs"
 
+  /** RETENTION as a policy — `graft.autoexpire.keep = N`: after a
+    * triggering commit, expire every snapshot older than the newest N
+    * ([[LakeTable.expire]] — TAG-PINNED snapshots and their files
+    * always survive regardless of age, published-branch guards
+    * apply, the head always survives). This was the one hygiene verb
+    * a production table still needed a human or external cron for;
+    * now it rides the same post-commit/best-effort/non-reentrant
+    * rules as every policy (expiry never commits, so it cannot
+    * re-enter the engine). Operational note: keep N at least as wide
+    * as any change-feed consumer's checkpoint lag — the changelog
+    * cannot outlive the manifests (an expired range fails pointedly
+    * on read, naming the snapshots and the remedy).
+    */
+  val AutoExpireKey = "graft.autoexpire.keep"
+
   private def policyPath(root: String) = Paths.get(root, "meta", "_policy.json")
 
   def setPolicy(root: String, key: String, value: Long): Unit = {
     require(key == AutoCompactKey || key == AutoManifestKey ||
       key == AutoParallelismKey || key == MvMaxGroupsKey ||
-      key == AutoRefreshMvKey,
+      key == AutoRefreshMvKey || key == AutoExpireKey,
       s"unknown maintenance policy '$key'")
     // thresholds below 2 would fire on every commit; a fan-out of 1
-    // (compact into ONE file), a 1-group refresh cap and the
-    // on/off auto-refresh flag are legitimate targets, though
+    // (compact into ONE file), a 1-group refresh cap, the on/off
+    // auto-refresh flag and keep-only-the-head retention are
+    // legitimate targets, though
     val floor = if (key == AutoParallelismKey || key == MvMaxGroupsKey ||
-      key == AutoRefreshMvKey) 1 else 2
+      key == AutoRefreshMvKey || key == AutoExpireKey) 1 else 2
     require(value >= floor, s"$key must be ≥ $floor (got $value)")
     write(root, policies(root) + (key -> value))
   }
@@ -149,6 +165,22 @@ object AutoMaintain {
         // and each MV's own afterCommit is a no-op without policies
         try MaterializedView.refreshStale(spark, root): Unit
         catch { case NonFatal(_) => () }
+      }
+      pol.get(AutoExpireKey).foreach { keepN =>
+        try {
+          // LAST, after any auto-compaction added its head: retention
+          // then reclaims the rewritten-away files in the same pass.
+          val head = LakeTable.currentSnapshot(root)
+          val keepFrom = head - keepN.toInt + 1
+          // cheap trigger probe: the NEWEST expiry candidate's
+          // manifest still on disk means there is history to reclaim
+          // (a TAG-pinned manifest just below keepFrom re-triggers
+          // the walk — expire itself skips pinned snapshots, so the
+          // re-run is bounded metadata work, never data loss)
+          if (keepFrom > 1 && Files.exists(
+              Paths.get(root, "meta", s"manifest-${keepFrom - 1}.json")))
+            LakeTable.expire(root, keepFrom): Unit
+        } catch { case NonFatal(_) => () }
       }
     } finally inFlight.remove(root): Unit
     // a commit that raced this hook was skipped above — run its pass

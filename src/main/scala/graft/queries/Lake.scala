@@ -3566,44 +3566,70 @@ object Lake {
   // --- lake_automaint: AUTO-MAINTENANCE policies — unattended
   // small-file + metadata hygiene (the guardrail the reference's
   // 60 s flush cadence needs, main.go:75): TBLPROPERTIES
-  // `graft.autocompact.files` / `graft.automanifest.parts` fire
-  // POST-COMMIT, best-effort, CAS-safe (the compaction rewrite
-  // carries basis = head, so a racing append wins and the attempt
-  // abandons). Eight small appends land with NO manual CALLs; the
-  // policies must keep the live-file count and the manifest part
-  // chain bounded while content stays exactly the union of the
-  // appends — the oracle checks content AND the bounded-ness flags.
+  // `graft.autocompact.files` / `graft.automanifest.parts` /
+  // `graft.autoexpire.keep` fire POST-COMMIT, best-effort, CAS-safe
+  // (the compaction rewrite carries basis = head, so a racing append
+  // wins and the attempt abandons; retention never commits). Eight
+  // small appends land with NO manual CALLs; the policies must keep
+  // the live-file count, the manifest part chain AND the snapshot
+  // history bounded while content stays exactly the union of the
+  // appends; a TAG-pinned early snapshot must survive retention
+  // (readable, manifest on disk) while its untagged peers are
+  // reclaimed — the oracle checks content AND every bounded-ness /
+  // retention flag.
   def lakeAutomaint(s: SparkSession, dir: String): DataFrame = {
     import graft.lake.AutoMaintain
     val root = tmp("graft_automq_")
     AutoMaintain.setPolicy(root, AutoMaintain.AutoCompactKey, 6L)
     AutoMaintain.setPolicy(root, AutoMaintain.AutoManifestKey, 3L)
     AutoMaintain.setPolicy(root, AutoMaintain.AutoParallelismKey, 2L)
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoExpireKey, 4L)
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val cfg = BlockWriter.Config("user_id", "event_id",
       maxRecordsPerFile = 1 << 20, parallelism = Some(2))
+    var tagSnap = 0
     (0 until 8).foreach { i =>
       LakeTable.commit(s, root, ev.filter(col("event_id") % 8 === i), cfg,
         Seq("event_id"))
+      // pin the state after the SECOND append: retention must carry
+      // this snapshot (and its files) forever while expiring its
+      // untagged contemporaries
+      if (i == 1) {
+        tagSnap = LakeTable.currentSnapshot(root)
+        LakeTable.tag(root, "pin", tagSnap)
+      }
     }
     val head = LakeTable.currentSnapshot(root)
     val files = LakeTable.manifest(root, head).files.size
     val parts = LakeTable.partCount(root, head)
     val (nCompact, nManifest) = AutoMaintain.firedCounts(root)
+    def manifestOnDisk(i: Int) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "meta", s"manifest-$i.json"))
+    // retention flags: history bounded to keep + the pin, snapshot 1
+    // (untagged, pre-pin) reclaimed, the pinned snapshot readable
+    // with exactly its commit-time content
+    val survivors = (1 to head).count(manifestOnDisk)
+    val tagCnt = LakeTable.read(s, root, Some(tagSnap)).count()
+    val expectTag = ev.filter(col("event_id") % 8 <= 1).count()
     LakeTable.read(s, root)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
       .withColumn("files_bounded", lit(files <= 8))
       .withColumn("parts_bounded", lit(parts <= 3))
       .withColumn("auto_fired", lit(nCompact >= 1 && nManifest >= 1))
+      .withColumn("history_bounded", lit(survivors <= 5))
+      .withColumn("expired_gone", lit(!manifestOnDisk(1)))
+      .withColumn("tag_survives",
+        lit(manifestOnDisk(tagSnap) && tagCnt == expectTag))
       .orderBy(col("event_type"))
   }
 
   val lakeAutomaintSql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
-      |  true AS files_bounded, true AS parts_bounded, true AS auto_fired
+      |  true AS files_bounded, true AS parts_bounded, true AS auto_fired,
+      |  true AS history_bounded, true AS expired_gone, true AS tag_survives
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -1987,6 +1987,44 @@ class AutoMaintainSpec extends org.scalatest.funsuite.AnyFunSuite {
     graft.util.Scratch.rmNow(root)
   }
 
+  test("graft.autoexpire.keep bounds snapshot history post-commit; tag-pinned snapshots and their files survive") {
+    val s = spark
+    import s.implicits._
+    val root = graft.util.Scratch.dir("graft_autoexp_")
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoExpireKey, 3L)
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 64,
+      parallelism = Some(1))
+    def manifestOnDisk(i: Int) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "meta", s"manifest-$i.json"))
+    (0 until 10).foreach { i =>
+      LakeTable.commit(s, root,
+        (0L until 4L).map(j => (i * 4L + j, j % 2, s"v$i-$j")).toDF("id", "grp", "name"),
+        cfg, Seq("id"))
+      // pin snapshot 2 right after it lands
+      if (i == 1) LakeTable.tag(root, "pin", 2)
+    }
+    val head = LakeTable.currentSnapshot(root)
+    assert(head === 10)
+    // bounded history: the last 3 plus the pin survive, nothing else
+    val survivors = (1 to head).filter(manifestOnDisk)
+    assert(survivors === Seq(2, 8, 9, 10),
+      s"retention should keep the pin + last 3, got $survivors")
+    // the pinned snapshot still READS with its commit-time content
+    // (its data files were retention-pinned along with the manifest)
+    assert(LakeTable.read(s, root, Some(2)).count() === 8L)
+    // untagged expired snapshots are unreadable by design
+    intercept[Exception](LakeTable.read(s, root, Some(3)).count())
+    // the live view is never touched by retention
+    assert(LakeTable.read(s, root).count() === 40L)
+    // dropping the tag releases the pin on the NEXT commit's pass
+    LakeTable.dropTag(root, "pin")
+    LakeTable.commit(s, root,
+      Seq((1000L, 0L, "z")).toDF("id", "grp", "name"), cfg, Seq("id"))
+    assert(!manifestOnDisk(2), "released pin should be reclaimed")
+    assert(LakeTable.read(s, root).count() === 41L)
+    graft.util.Scratch.rmNow(root)
+  }
+
   test("policies declare via TBLPROPERTIES (CREATE + ALTER), unset via UNSET") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
