@@ -1644,10 +1644,17 @@ object LlmPipeline {
   // broadcast pair table. No shingle-grain self-join anywhere: the
   // naive formulation pays |grams| × |sources-per-gram|² join rows
   // (measured 16 s at sf0.1); this pays one gram-grain shuffle.
-  // Falls back to the pair-join formulation past 62 sources (the
-  // bigint mask width).
-  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  // mask is MULTI-WORD (62 bits per bigint word, W = ⌈|sources|/62⌉
+  // words aggregated as W parallel bit_or buffers in the SAME
+  // shuffle), so real crawls with hundreds of domain-grained sources
+  // stay on the one-shuffle path; only past 496 sources (8 words —
+  // where the broadcast pair table grows |sources|² and mask
+  // diversity erodes the histogram's compression) does it fall back
+  // to the documented pair-join formulation.
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(s, t(s, dir, "documents"))
+
+  private def sourceOverlapOn(s: SparkSession, docs: DataFrame): DataFrame = {
     // materialization boundary (§6 rule, same as every shingle
     // sibling): without it the Generate inlines the shingle
     // expression and re-derives the WHOLE gram array per output row
@@ -1659,50 +1666,97 @@ object LlmPipeline {
     val srcs = docs.select(col("source")).distinct()
       .orderBy(col("source")).collect().map(_.getString(0)).toSeq
     import s.implicits._
-    if (srcs.size > 62) {
-      // mask width exceeded: the pair-join formulation (bounded by
-      // |sources-per-gram|² fan-out per gram)
-      val ss = graft.util.QueryScratch.cached(grams.distinct())
-      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("sz"))
-      return ss.as("a").join(ss.as("b"),
-          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(count(lit(1)).cast("bigint").as("inter"))
-        .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sza"))), "src_a")
-        .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))), "src_b")
-        .select(col("src_a"), col("src_b"), col("inter"),
-          idiv(col("inter") * lit(10000L),
-            col("sza") + col("szb") - col("inter")).as("jacc_bp"))
-        .orderBy(col("src_a"), col("src_b"))
-    }
-    val idxDf = srcs.zipWithIndex.toDF("source", "sidx")
-    // ONE shuffle: gram → bit-OR of holder bits (idempotent over
-    // duplicate (source, gram) rows — no distinct pass needed)
-    val hist = grams.join(broadcast(idxDf), "source")
-      .groupBy(col("gram"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), sidx))").as("mask"))
-      .groupBy(col("mask")).agg(count(lit(1)).cast("bigint").as("cnt"))
-    val pairDf = (for { a <- srcs; b <- srcs if a < b }
-      yield (a, b, srcs.indexOf(a), srcs.indexOf(b)))
-      .toDF("src_a", "src_b", "ia", "ib")
-    val inter = hist.crossJoin(broadcast(pairDf))
-      .filter(expr("((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1"))
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(sum(col("cnt")).cast("bigint").as("inter"))
-    val sizes = hist.crossJoin(broadcast(idxDf))
-      .filter(expr("((mask >> sidx) & 1) = 1"))
-      .groupBy(col("source")).agg(sum(col("cnt")).cast("bigint").as("sz"))
-    inter
+    val sizesJoin = (m: DataFrame, sizes: DataFrame) => m
       .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sza"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("inter"),
         idiv(col("inter") * lit(10000L),
           col("sza") + col("szb") - col("inter")).as("jacc_bp"))
       .orderBy(col("src_a"), col("src_b"))
+    if (srcs.size > 62 * 8) {
+      // very-wide fallback: the pair-join formulation (bounded by
+      // |sources-per-gram|² fan-out per gram)
+      val ss = graft.util.QueryScratch.cached(grams.distinct())
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("sz"))
+      val inter = ss.as("a").join(ss.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).cast("bigint").as("inter"))
+      return sizesJoin(inter, sizes)
+    }
+    val nW = (srcs.size + 61) / 62 // 62 source bits per bigint word
+    val idxDf = srcs.zipWithIndex
+      .map { case (a, i) => (a, i / 62, i % 62) }
+      .toDF("source", "w", "b")
+    // ONE gram-grain shuffle: gram → W parallel bit-ORs of holder
+    // bits (bit_or is idempotent over duplicate (source, gram) rows —
+    // no pre-distinct pass), then the tiny mask histogram
+    val maskCols = (0 until nW).map(w => expr(
+      s"bit_or(CASE WHEN w = $w THEN shiftleft(CAST(1 AS BIGINT), b) " +
+        "ELSE CAST(0 AS BIGINT) END)").as(s"m_$w"))
+    // materialization boundary: the histogram feeds BOTH the pair
+    // intersection and the per-source sizes — without it each
+    // consumer re-runs the gram-grain aggregation (2-3 gram shuffles
+    // instead of one; pinned by PlanShapeSpec)
+    val hist = graft.util.QueryScratch.cached(
+      grams.join(broadcast(idxDf), "source")
+        .groupBy(col("gram"))
+        .agg(maskCols.head, maskCols.tail: _*)
+        .groupBy((0 until nW).map(w => col(s"m_$w")): _*)
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .select(array((0 until nW).map(w => col(s"m_$w")): _*).as("masks"),
+          col("cnt")))
+    val pairDf = (for { (a, ia) <- srcs.zipWithIndex
+                        (b, ib) <- srcs.zipWithIndex if a < b }
+      yield (a, b, ia / 62, ia % 62, ib / 62, ib % 62))
+      .toDF("src_a", "src_b", "wa", "ba", "wb", "bb")
+    val inter = hist.crossJoin(broadcast(pairDf))
+      .filter(expr("((element_at(masks, wa + 1) >> ba) & 1) = 1 AND " +
+        "((element_at(masks, wb + 1) >> bb) & 1) = 1"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("cnt")).cast("bigint").as("inter"))
+    val sizes = hist.crossJoin(broadcast(idxDf))
+      .filter(expr("((element_at(masks, w + 1) >> b) & 1) = 1"))
+      .groupBy(col("source")).agg(sum(col("cnt")).cast("bigint").as("sz"))
+    sizesJoin(inter, sizes)
   }
+
+  // --- source_overlap_wide: the SAME contamination matrix past the
+  // single-word mask width — 80 sources (the documents' sources
+  // subdivided 4-way by doc id), exercising the MULTI-WORD mask: two
+  // bigint words aggregated as two parallel bit_or buffers in the one
+  // gram-grain shuffle, the histogram law unchanged. Real crawls have
+  // hundreds of domain-grained sources; this is the shape that keeps
+  // them off the quadratic pair-join. The oracle replays the
+  // pair-join formulation in DuckDB — hash-exact across all
+  // C(80,2) = 3160 pairs.
+  def sourceOverlapWide(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(s, t(s, dir, "documents")
+      // (doc_id div 20) decorrelates the split from the source
+      // assignment (which is doc_id-mod-derived in the testdata)
+      .withColumn("source", concat(col("source"), lit("_"),
+        expr("(doc_id div 20) % 4").cast("string"))))
 
   val sourceOverlapSql: String =
     s"""WITH w AS (SELECT source, $wsSql AS ws FROM documents),
+       |g AS (SELECT DISTINCT source, unnest(${shSeqSql(3)}) AS gram
+       |  FROM w WHERE len(ws) >= 3),
+       |sz AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY source),
+       |i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       |  CAST((inter * 10000) // (x.sz + y.sz - inter) AS BIGINT) AS jacc_bp
+       |FROM i JOIN sz x ON x.source = src_a JOIN sz y ON y.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
+  /** The wide gate's oracle IS the quadratic pair-join formulation —
+    * exactly what the multi-word histogram path must hash-match.
+    */
+  val sourceOverlapWideSql: String =
+    s"""WITH d AS (SELECT source || '_' || CAST((doc_id // 20) % 4 AS VARCHAR) AS source,
+       |  text FROM documents),
+       |w AS (SELECT source, $wsSql AS ws FROM d),
        |g AS (SELECT DISTINCT source, unnest(${shSeqSql(3)}) AS gram
        |  FROM w WHERE len(ws) >= 3),
        |sz AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY source),
@@ -4434,6 +4488,7 @@ object LlmPipeline {
     "dedup_substring" -> dedupSubstring,
     "ngram_jaccard" -> ngramJaccard,
     "source_overlap" -> sourceOverlap,
+    "source_overlap_wide" -> sourceOverlapWide,
     "dedup_retention" -> dedupRetention,
     "dedup_clusters" -> dedupClusters,
     "split_leakage" -> splitLeakage,
@@ -4507,6 +4562,7 @@ object LlmPipeline {
     "dedup_substring" -> dedupSubstringSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "source_overlap" -> sourceOverlapSql,
+    "source_overlap_wide" -> sourceOverlapWideSql,
     "dedup_retention" -> dedupRetentionSql,
     "dedup_clusters" -> dedupClustersSql,
     "split_leakage" -> splitLeakageSql,

@@ -17,6 +17,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges === 0, s"corpus side must not shuffle, found $exchanges:\n${plan.take(2000)}")
   }
 
+  test("source_overlap_wide: the multi-word mask keeps ONE gram-grain shuffle and no gram self-join past 62 sources") {
+    val df = SparkEntry.queries("source_overlap_wide")(spark, sf)
+    // plan-string counting lies here (AQE renders initial+final, and
+    // every InMemoryRelation reference re-renders its cached plan) —
+    // assert at the OPTIMIZED LOGICAL level instead
+    val opt = df.queryExecution.optimizedPlan
+    // the quadratic shape joins the posting list against itself ON
+    // gram — the histogram path must have no gram-keyed join anywhere
+    val gramJoins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "gram")) => j
+    }
+    assert(gramJoins.isEmpty, s"gram-grain self-join found:\n$opt")
+    // every gram-grain aggregation sits behind ONE shared cache (the
+    // mask histogram): both downstream consumers reference the same
+    // cached relation, so the gram shuffle executes exactly once
+    val gramRels = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if r.cachedPlan.toString.contains("hashpartitioning(gram") => r
+    }
+    assert(gramRels.nonEmpty, s"gram aggregation not behind the cache:\n$opt")
+    assert(gramRels.map(_.cacheBuilder).distinct.size === 1,
+      "gram-grain aggregation must be ONE shared cached relation, " +
+        s"found ${gramRels.map(_.cacheBuilder).distinct.size}")
+    // and no gram-grain aggregate outside that cache
+    val looseAggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "gram")) => a
+    }
+    assert(looseAggs.isEmpty,
+      s"gram-grain aggregate outside the cache boundary:\n$opt")
+    // >62 sources really flowed through the multi-word path
+    val n = df.select(col("src_a")).unionAll(df.select(col("src_b")))
+      .distinct().count()
+    assert(n > 62, s"wide fixture must exceed the single-word width, got $n")
+  }
+
   test("ann_range: broadcast probe + filter reduction — no window, no sort before the filter") {
     val df = SparkEntry.queries("ann_range")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
