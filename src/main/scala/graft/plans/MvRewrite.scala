@@ -99,7 +99,18 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // the join kind's fact relation INSTANCE inside the aggregate's
       // child — the node the compensated tier substitutes with the
       // delta scan (reference identity; self-joins are bailed out)
-      factRel: Option[DataSourceV2Relation] = None)
+      factRel: Option[DataSourceV2Relation] = None,
+      // the join kind's full axis vector (fact first, dims in
+      // definition order) for the delta-join STAIRCASE: one union
+      // term per axis whose (basis, snap] gap is append-only
+      axes: Seq[JoinAxis] = Nil)
+
+  /** One relation of a star scan set: its in-plan instance, lake
+    * root, the MV's recorded basis snapshot and the snapshot the
+    * query would scan.
+    */
+  private case class JoinAxis(rel: DataSourceV2Relation, root: String,
+      basis: Int, snap: Int)
 
   /** Peel column-pruning Projects, deterministic Filters and INNER
     * equi-join structure off the aggregate's child down to graft
@@ -450,26 +461,34 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           defBasisAt(mvDir).filter(_._3.kind == "join").flatMap {
             case (head, mtime, d, basis) =>
               matchJoin(d, conds, rels).flatMap {
-                case (residual, bindOut, unsafe, factRel, snaps) =>
+                case (residual, bindOut, unsafe, factRel, dimRels, snaps) =>
+                  lazy val roots = d.fact +: d.joinDims.map(_.root)
                   if (basis == snaps)
                     Some(Candidate(mvDir, d, residual, bindOut, unsafe,
                       head, mtime))
-                  else if (staleOk && basis.tail == snaps.tail &&
-                      basis.head < snaps.head &&
-                      appendOnlyCached(d.fact, basis.head, snaps.head))
-                    // fact-append-only star staleness with every
-                    // dimension at its basis snapshot: MV rows ⊎
-                    // (Δfact ⋈ dims) folds to the head answer
+                  else if (staleOk && basis.size == snaps.size &&
+                      basis.zip(snaps).forall { case (b, sn) =>
+                        b >= 1 && b <= sn } &&
+                      roots.zip(basis.zip(snaps)).forall {
+                        case (r, (b, sn)) =>
+                          b == sn || appendOnlyCached(r, b, sn) })
+                    // append-only star staleness on ANY axis set
+                    // (fact ingest, late-arriving dimension rows, or
+                    // both): the delta-join STAIRCASE folds MV rows
+                    // with one term per moved axis at read time
                     Some(Candidate(mvDir, d, residual, bindOut, unsafe,
-                      head, mtime, deltaFrom = basis.head,
-                      deltaTo = snaps.head, factRel = Some(factRel)))
+                      head, mtime, factRel = Some(factRel),
+                      axes = (factRel +: dimRels).zip(roots)
+                        .zip(basis.zip(snaps)).map {
+                          case ((rel, r), (b, sn)) => JoinAxis(rel, r, b, sn)
+                        }))
                   else None
               }
           }
         }
       }
     if (matched.isEmpty && exprCands.isEmpty) return None
-    val (stale, fresh) = matched.partition(_.deltaFrom >= 0)
+    val (stale, fresh) = matched.partition(c => c.deltaFrom >= 0 || c.axes.nonEmpty)
     fresh.view.flatMap(rewriteExact(outs, groupAttrs, _)).headOption
       .orElse(fresh.view.flatMap(rewriteRollup(outs, groupAttrs, _)).headOption)
       // a plain-column subset of an expression-group MV's grouping
@@ -502,7 +521,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   private def matchJoin(d: MaterializedView.MvDef,
       conds: Seq[Expression], rels: Seq[DataSourceV2Relation])
       : Option[(Option[Expression], Seq[Attribute], Set[String],
-        DataSourceV2Relation, Seq[Int])] = {
+        DataSourceV2Relation, Seq[DataSourceV2Relation], Seq[Int])] = {
     val byRoot = rels.map(r =>
       r.table.asInstanceOf[GraftLakeTable].root -> r).toMap
     val factRel = byRoot.getOrElse(d.fact, return None)
@@ -545,7 +564,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case (nm, hs) if hs.size > 1 && !hs.forall(_._2) => nm
     }.toSet
     Some((residual.result().reduceOption(And),
-      factRel.output ++ dimRels.flatMap(_.output), unsafe, factRel, snaps))
+      factRel.output ++ dimRels.flatMap(_.output), unsafe, factRel,
+      dimRels, snaps))
   }
 
   // (mvDir, snapshot, definition-file mtime) → analyzed DSv2
@@ -843,7 +863,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       dG.map(a => a: NamedExpression) ++
         measures.map { case (_, e, nm) => Alias(e, nm)() },
       dCond.map(Filter(_, delta)).getOrElse(delta))
-    foldedAggregate(outs, groupAttrs, c, mvSide, dSide, measures.map(_._3))
+    foldedAggregate(outs, groupAttrs, c, mvSide, Seq(dSide), measures.map(_._3))
   }
 
   /** EXPRESSION-GROUP tier — serve a FRESH single-kind MV whose
@@ -1045,9 +1065,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def foldedAggregate(outs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference], c: Candidate,
-      mvSide: LogicalPlan, dSide: LogicalPlan,
+      mvSide: LogicalPlan, dSides: Seq[LogicalPlan],
       measureNames: Seq[String]): Option[LogicalPlan] = {
-    val union = Union(Seq(mvSide, dSide))
+    val union = Union(mvSide +: dSides)
     val uOut = union.output
     val uG = uOut.take(groupAttrs.size)
     val uM: Map[String, Attribute] =
@@ -1075,29 +1095,47 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     Some(Aggregate(uG.map(a => a: Expression), aggExprs, union, None))
   }
 
-  /** COMPENSATED tier for the JOIN kind — a star MV stale ONLY on
-    * the fact axis over an append-only gap (every dimension at its
-    * basis snapshot) still answers: the user's own join subtree is
-    * kept verbatim (join conditions, pushed filters and all), with
-    * the fact scan SUBSTITUTED by the appended files' scan rebound to
-    * the fact relation's exprIds — so the copied subtree resolves
-    * unchanged and yields exactly ΔF ⋈ D₀, the delta-join law's fact
-    * term evaluated at read time. Each joined delta row contributes 1
-    * to `n` and the stored measure argument to each SUM; MV rows ⊎
-    * the joined tail then fold in ONE aggregate. Only measures the
-    * query actually uses ride the union (the pruned subtree may not
-    * expose unused measure columns); SUM admission mirrors the fresh
-    * join tier (non-nullable integral argument, bigint stored column,
-    * matching ANSI regime). At 100 TB: the star rollup right after a
-    * fact ingest costs |MV| + (new files ⋈ dims) — no refresh commit,
-    * no fact scan.
+  /** COMPENSATED tier for the JOIN kind — a star MV stale over an
+    * APPEND-ONLY gap on any subset of its axes (a fact ingest,
+    * late-arriving dimension rows, or both) still answers via the
+    * delta-join STAIRCASE evaluated at read time:
+    *
+    * {{{
+    * F₁ ⋈ D₁ ⋈ E₁ = F₀⋈D₀⋈E₀            (the MV rows)
+    *              ⊎ ΔF ⋈ D₁ ⋈ E₁          (one term per MOVED axis:
+    *              ⊎ F₀ ⋈ ΔD ⋈ E₁           earlier axes at BASIS,
+    *              ⊎ F₀ ⋈ D₀ ⋈ ΔE           later axes as scanned)
+    * }}}
+    *
+    * Each term re-runs the user's own join subtree (join conditions,
+    * pushed filters and all) with the term's axis substituted by its
+    * delta files' scan and every EARLIER moved axis substituted by a
+    * basis-pinned scan — all rebound to the original relations'
+    * exprIds, so the copied subtree resolves unchanged. Each joined
+    * row contributes 1 to `n` and the user's own aggregate argument
+    * to each SUM; MV rows ⊎ all terms fold in ONE aggregate.
+    *
+    * Scale shape: the delta of the term's axis is small by
+    * construction, and the OTHER axes' scans are pruned at plan time
+    * by a range predicate synthesized from the delta's MANIFEST
+    * STATS on the join keys (metadata-only): a late-arriving
+    * dimension batch whose keys are new re-reads ZERO fact files —
+    * the fact-side scan prunes every file whose key range misses the
+    * delta's. Only measures the query actually uses ride the union;
+    * SUM admission mirrors the fresh join tier (non-nullable
+    * integral argument, bigint stored column, matching ANSI regime).
+    * At 100 TB: the star rollup right after a fact ingest costs
+    * |MV| + (new files ⋈ dims); right after a dim append it costs
+    * |MV| + (stats-pruned fact slice ⋈ new dim rows).
     */
   private def rewriteCompensatedJoin(agg: Aggregate,
       outs: Seq[NamedExpression], groupAttrs: Seq[AttributeReference],
       c: Candidate): Option[LogicalPlan] = {
     import org.apache.spark.sql.types.LongType
     val d = c.d
-    val factRel = c.factRel.getOrElse(return None)
+    if (c.axes.isEmpty) return None
+    val moved = c.axes.filter(ax => ax.basis < ax.snap)
+    if (moved.isEmpty) return None
     val qg = groupAttrs.map(a => canon(a.name))
     val mg = d.group.map(canon).toSet
     if (qg.isEmpty || !qg.forall(mg.contains)) return None
@@ -1137,31 +1175,141 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // grouping attrs / measure references hidden behind a renaming
     // Project in the user's query are unreachable — fall back (the
     // pre-widening behavior for aliasing subtrees) BEFORE paying the
-    // delta scan's manifest resolution
+    // delta scans' manifest resolution
     val childOut = agg.child.outputSet
     if (!groupAttrs.forall(childOut.contains) ||
       !sums.flatMap(_._2.references).forall(childOut.contains))
       return None
-    // substitute the fact scan with the delta files, rebound to the
-    // SAME exprIds — join conditions, pushed filters and group
-    // attributes in the copied subtree resolve against it unchanged
-    val delta = deltaScan(d.fact, c.deltaFrom, c.deltaTo).getOrElse(return None)
-    def dAttr(n: String) = delta.output.find(m => sameName(m.name, n))
-    val rebound = Project(factRel.output.map { a =>
-      val src = dAttr(a.name).filter(_.dataType == a.dataType)
-        .getOrElse(return None)
-      Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-        : NamedExpression
-    }, delta)
-    val newChild = agg.child.transformUp {
-      case r: DataSourceV2Relation if r eq factRel => rebound
+    // join keys per axis: the fact (axis 0) joins each dim i on
+    // joinDims(i).keys — the columns a delta's manifest-stats range
+    // constrains on the OPPOSITE side of that join
+    val dimKeys: Seq[Seq[String]] = d.joinDims.map(_.keys)
+    def keyRangeCond(rel: DataSourceV2Relation, keys: Seq[String],
+        deltaRoot: String, from: Int, to: Int): Option[Expression] = {
+      val conds = keys.flatMap { k =>
+        rel.output.find(a => sameName(a.name, k)).flatMap { attr =>
+          deltaRange(deltaRoot, from, to, k, attr.dataType).map {
+            case (lo, hi) =>
+              And(GreaterThanOrEqual(attr, lo), LessThanOrEqual(attr, hi))
+          }
+        }
+      }
+      conds.reduceOption(And)
+    }
+    // one union term per moved axis, in axis order
+    val dSides: Seq[LogicalPlan] = moved.map { ax =>
+      val k = c.axes.indexWhere(_.rel eq ax.rel)
+      val delta = deltaScan(ax.root, ax.basis, ax.snap).getOrElse(return None)
+      // substitutions for this term, keyed by reference identity:
+      //  - the term's axis → its delta scan;
+      //  - every EARLIER moved axis → a scan PINNED at its basis
+      //    snapshot (unmoved axes already scan their basis);
+      //  - later axes and unmoved axes stay as the user scanned them.
+      // Every non-delta axis that joins the term's axis additionally
+      // gets the delta's manifest-stats key-range pushed as a filter
+      // (metadata-derived, implied by the equi-join — pure pruning).
+      val subs: Seq[(DataSourceV2Relation, LogicalPlan)] =
+        c.axes.zipWithIndex.flatMap { case (other, j) =>
+          val joinsTerm =
+            if (k == 0) j != 0 // fact term: every dim joins it
+            else j == 0 // dim term: only the fact joins it directly
+          val keys = if (k == 0) dimKeys.lift(j - 1).getOrElse(Nil)
+            else dimKeys.lift(k - 1).getOrElse(Nil)
+          val prune: LogicalPlan => LogicalPlan =
+            if (!joinsTerm || keys.isEmpty) identity
+            else p => keyRangeCond(other.rel, keys, ax.root, ax.basis, ax.snap)
+              .map(Filter(_, p)).getOrElse(p)
+          if (other.rel eq ax.rel)
+            Some(other.rel -> reboundTo(other.rel, delta).getOrElse(return None))
+          else if (j < k && other.basis < other.snap)
+            Some(other.rel -> prune(reboundTo(other.rel,
+              snapScan(other.root, other.basis).getOrElse(return None))
+              .getOrElse(return None)))
+          else if (joinsTerm && keys.nonEmpty)
+            Some(other.rel -> prune(other.rel))
+          else None
+        }
+      val newChild = agg.child.transformUp {
+        case r: DataSourceV2Relation if subs.exists(_._1 eq r) =>
+          subs.find(_._1 eq r).get._2
+      }
+      Project(
+        groupAttrs.map(a => a: NamedExpression) ++
+          measures.map { case (_, e, nm) => Alias(e, nm)() },
+        newChild)
     }
     val mvSide = Project((mvG ++ measures.map(_._1)).map(a => a: NamedExpression),
       mvCond.map(Filter(_, mv)).getOrElse(mv))
-    val dSide = Project(
-      groupAttrs.map(a => a: NamedExpression) ++
-        measures.map { case (_, e, nm) => Alias(e, nm)() },
-      newChild)
-    foldedAggregate(outs, groupAttrs, c, mvSide, dSide, measures.map(_._3))
+    foldedAggregate(outs, groupAttrs, c, mvSide, dSides, measures.map(_._3))
+  }
+
+  /** An analyzed scan of a lake table PINNED at `snap` — the
+    * staircase's basis term for an earlier moved axis.
+    */
+  private def snapScan(root: String, snap: Int): Option[LogicalPlan] =
+    Try(spark.read.format("graft-lake").option("snapshot", snap.toString)
+      .load(root).queryExecution.analyzed).toOption
+
+  /** Rebind `src`'s same-named, same-typed outputs to `rel`'s
+    * exprIds — join conditions, pushed filters and group attributes
+    * in a copied subtree then resolve against the substitute
+    * unchanged.
+    */
+  private def reboundTo(rel: DataSourceV2Relation,
+      src: LogicalPlan): Option[LogicalPlan] = {
+    val out = rel.output.map { a =>
+      src.output.find(m => sameName(m.name, a.name) &&
+          m.dataType == a.dataType) match {
+        case Some(s0) =>
+          Alias(s0, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+            : NamedExpression
+        case None => return None
+      }
+    }
+    Some(Project(out, src))
+  }
+
+  /** Combined manifest-stats range of `colName` over the files
+    * appended in (from, to] as literals of `dt` — plan-time metadata
+    * only, zero data IO. None when any appended file lacks usable
+    * stats for the column or the type has no stats encoding (the
+    * caller then skips the prune — still correct, just less
+    * prunable). String stats are EXACT min/max under UTF-8 binary
+    * order (the collation Spark's string comparisons use), so the
+    * derived range is implied by the equi-join.
+    */
+  private def deltaRange(root: String, from: Int, to: Int, colName: String,
+      dt: org.apache.spark.sql.types.DataType): Option[(Literal, Literal)] = {
+    import org.apache.spark.sql.types._
+    val files =
+      try LakeTable.manifest(root, to).files
+        .filter(f => f.seq > from && f.seq <= to)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (files.isEmpty) return None // empty delta: nothing to prune by
+    val sts = files.map(_.stats.get(colName))
+    if (sts.exists(_.isEmpty)) return None
+    val ss = sts.flatten
+    def intLit(v: Long): Option[Literal] = dt match {
+      case LongType => Some(Literal(v))
+      case IntegerType if v.isValidInt => Some(Literal(v.toInt))
+      case ShortType if v >= Short.MinValue && v <= Short.MaxValue =>
+        Some(Literal(v.toShort))
+      case ByteType if v >= Byte.MinValue && v <= Byte.MaxValue =>
+        Some(Literal(v.toByte))
+      case _ => None
+    }
+    dt match {
+      case StringType if ss.forall(s => s.kind == "s") =>
+        val lo = ss.map(_.minS).reduce(LakeTable.utf8Min)
+        val hi = ss.map(_.maxS).reduce(LakeTable.utf8Max)
+        Some((Literal(org.apache.spark.unsafe.types.UTF8String.fromString(lo), StringType),
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(hi), StringType)))
+      case _ if ss.forall(_.kind == "i") =>
+        for {
+          lo <- intLit(ss.map(_.min).min)
+          hi <- intLit(ss.map(_.max).max)
+        } yield (lo, hi)
+      case _ => None
+    }
   }
 }

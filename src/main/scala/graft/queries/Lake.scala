@@ -1332,8 +1332,14 @@ object Lake {
   // reachable via the MV plus the delta files; stage 2 is the
   // COUNT-only shape, pinning that the delta side doesn't reference
   // measure columns the pruned subtree no longer exposes). Stage 3
-  // moves a DIMENSION: the compensation precondition breaks and the
-  // star must run as written, returning the rewired values.
+  // is the LATE-ARRIVING DIMENSION case: after a refresh, BOTH axes
+  // move append-only (new 'zz_' dim keys + fact rows referencing
+  // them) and every pre-append fact AND dim file is hidden — fresh
+  // totals are only reachable via the delta-join STAIRCASE
+  // (MV ⊎ ΔF⋈D₁ ⊎ F₀⋈ΔD), whose terms prune the opposite side's old
+  // files by the deltas' manifest-stats key ranges. Stage 4 REWIRES
+  // a dimension (MERGE): the precondition breaks and the star runs
+  // as written, returning the rewired values.
   def qSqlMvRewriteStaleStar(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.root",
@@ -1369,18 +1375,52 @@ object Lake {
         s.sql(s"SELECT wb, COUNT(*) AS cnt $star WHERE wb >= 1 GROUP BY wb")
           .collect())
     }
-    // dim rewire: compensation precondition broken → star as written
+    // stage 3: BOTH axes move append-only — a LATE-ARRIVING dim key
+    // ('zz_'-prefixed types) plus fact rows referencing it land after
+    // a refresh; every PRE-APPEND fact AND dim file is hidden, so
+    // fresh star totals are only reachable via the delta-join
+    // STAIRCASE (MV ⊎ ΔF⋈D₁ ⊎ F₀⋈ΔD), whose terms prune the other
+    // side's old files by the deltas' manifest-stats key ranges
+    // ('zz_…' sorts above every pre-append event_type)
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.ssv_$id')").collect()
+    val dimDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.ssd_$id")
+    val fb2 = LakeTable.currentSnapshot(factDir)
+    val db2 = LakeTable.currentSnapshot(dimDir)
+    s.sql(s"""INSERT INTO $d1
+             |SELECT 'zz_' || event_type, (length(event_type) + 2) % 3
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlss)""".stripMargin)
+    s.sql(s"""INSERT INTO $fact
+             |SELECT event_id + 1000000, 'zz_' || event_type,
+             |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             |FROM ev_sqlss WHERE event_id % 4 = 2""".stripMargin)
+    val fbPaths = LakeTable.manifest(factDir, fb2).files.map(_.path).toSet
+    val dbPaths = LakeTable.manifest(dimDir, db2).files.map(_.path).toSet
+    def shiftDim(hide: Boolean): Unit = dbPaths.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shiftDim(hide = true)
+    val r3 =
+      try withHiddenFiles(factDir, f => fbPaths.contains(f.path)) {
+        s.sql(q).collect()
+      } finally shiftDim(hide = false)
+    // stage 4: dim REWIRE — compensation precondition broken → star
+    // as written (the zz rows from stage 3 ride along, unmatched by
+    // the MERGE source)
     s.sql(s"""MERGE INTO $d1 t USING (
              |  SELECT event_type, (length(event_type) + 10) % 3 AS wb
              |  FROM (SELECT DISTINCT event_type FROM ev_sqlss)
              |  WHERE length(event_type) % 2 = 0) src
              |ON t.event_type = src.event_type
              |WHEN MATCHED THEN UPDATE SET t.wb = src.wb""".stripMargin)
-    val r3 = s.sql(q).collect()
+    val r4 = s.sql(q).collect()
     import s.implicits._
     (r1.toSeq.map(r => (1L, r.getLong(0), r.getLong(1), r.getLong(2))) ++
       r2.toSeq.map(r => (2L, r.getLong(0), r.getLong(1), -1L)) ++
-      r3.toSeq.map(r => (3L, r.getLong(0), r.getLong(1), r.getLong(2))))
+      r3.toSeq.map(r => (3L, r.getLong(0), r.getLong(1), r.getLong(2))) ++
+      r4.toSeq.map(r => (4L, r.getLong(0), r.getLong(1), r.getLong(2))))
       .toDF("stage", "wb", "cnt", "total")
       .orderBy(col("stage"), col("wb"))
   }
@@ -1400,13 +1440,24 @@ object Lake {
       |    CAST(-1 AS BIGINT)
       |  FROM f WHERE len % 3 >= 1 GROUP BY 2),
       |s3 AS (
-      |  SELECT CAST(3 AS BIGINT),
-      |    (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb,
-      |    COUNT(*), CAST(SUM(vx100) AS BIGINT)
-      |  FROM f GROUP BY 2)
+      |  SELECT CAST(3 AS BIGINT), wb, COUNT(*), CAST(SUM(vx100) AS BIGINT)
+      |  FROM (
+      |    SELECT len % 3 AS wb, vx100 FROM f
+      |    UNION ALL
+      |    SELECT (len + 2) % 3 AS wb, vx100 FROM f WHERE event_id % 4 = 2
+      |  ) u3 GROUP BY 2),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT), wb, COUNT(*), CAST(SUM(vx100) AS BIGINT)
+      |  FROM (
+      |    SELECT (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb,
+      |      vx100 FROM f
+      |    UNION ALL
+      |    SELECT (len + 2) % 3 AS wb, vx100 FROM f WHERE event_id % 4 = 2
+      |  ) u4 GROUP BY 2)
       |SELECT stage, CAST(wb AS BIGINT) AS wb, CAST(cnt AS BIGINT) AS cnt,
       |  CAST(total AS BIGINT) AS total
-      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, wb""".stripMargin
 
   // --- q_sql_mv_rewrite_star: automatic rewrite over a JOIN (star)

@@ -1692,7 +1692,7 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mvm, mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
-  test("MV rewrite compensates a fact-append-stale STAR MV: the join subtree re-runs over only the delta files; a dim change falls back") {
+  test("MV rewrite compensates append-stale STAR MVs on EITHER axis: fact delta, dim delta (the staircase, stats-pruned); a dim rewire falls back") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.root",
@@ -1737,14 +1737,43 @@ class DsV2Spec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
         Map("a" -> 3L, "b" -> 2L))
     } finally shiftOld(hide = false)
-    // ANY dim movement (here an append) breaks the compensation
-    // precondition: the star runs as written, values fresh
+    // a DIM APPEND is compensable too (the ΔD staircase term): after
+    // a refresh, a new dim key + new fact rows referencing it serve
+    // through the MV with every PRE-APPEND fact AND dim file hidden —
+    // each delta term prunes the other side's old files via the
+    // delta's manifest-stats key range ('k3' > every old file's max)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv")
+    val dimDir = cat.tableDir(s"psd.cjd_$id")
+    val mvDir = cat.tableDir(s"psd.cjv_$id")
+    val factBasis = graft.lake.LakeTable.currentSnapshot(factDir)
+    val dimBasis = graft.lake.LakeTable.currentSnapshot(dimDir)
+    def shiftBasis(dir: String, snap: Int, hide: Boolean): Unit =
+      graft.lake.LakeTable.manifest(dir, snap).files.map(_.path).foreach { p =>
+        val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+        val h = java.nio.file.Paths.get(f.toString + ".hidden")
+        java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+      }
     spark.sql(s"INSERT INTO $dim VALUES ('k3','c')")
-    assert(mvScanRoots(q).contains(factDir),
-      "a dim-stale star must fall back to the join as written")
+    spark.sql(s"INSERT INTO $fact VALUES (6,'k3',60)")
+    assert(mvScanRoots(q).contains(mvDir),
+      "an append-only dim gap must stay MV-served (the staircase)")
+    shiftBasis(factDir, factBasis, hide = true)
+    shiftBasis(dimDir, dimBasis, hide = true)
+    try assert(spark.sql(q).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map("a" -> ((3L, 70L)), "b" -> ((2L, 80L)), "c" -> ((1L, 60L))))
+    finally {
+      shiftBasis(factDir, factBasis, hide = false)
+      shiftBasis(dimDir, dimBasis, hide = false)
+    }
+    // a dim REWIRE (UPDATE) breaks append-only: the star runs as
+    // written, values fresh
+    spark.sql(s"UPDATE $dim SET g = 'bb' WHERE k = 'k2'")
+    assert(!mvScanRoots(q).contains(mvDir),
+      "a rewired dim must fall back to the join as written")
     assert(spark.sql(q).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
-      Map("a" -> ((3L, 70L)), "b" -> ((2L, 80L))))
+      Map("a" -> ((3L, 70L)), "bb" -> ((2L, 80L)), "c" -> ((1L, 60L))))
     Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
