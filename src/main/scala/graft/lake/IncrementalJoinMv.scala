@@ -116,10 +116,16 @@ object IncrementalJoinMv {
         when(col("_change_type") === "insert", 1L).otherwise(-1L))
       .drop("_change_type", "_change_snap")
 
-  /** Materialize the view from all heads; returns the MV snapshot. */
+  /** Materialize the view from all heads; returns the MV snapshot.
+    * `prep` derives expression group columns (time buckets et al.)
+    * over the JOINED rows before grouping — the same hook
+    * [[IncrementalMv]] exposes, applied here to every staircase term
+    * so the bucket function lives in one place (the definition).
+    */
   def create(s: SparkSession, factRoot: String, dims: Seq[DimSpec],
       mvRoot: String, group: Seq[String], aggs: Seq[Agg],
-      cfg: BlockWriter.Config): Int = {
+      cfg: BlockWriter.Config,
+      prep: DataFrame => DataFrame = identity): Int = {
     require(dims.nonEmpty, "join MV needs at least one dimension")
     val f = LakeTable.currentSnapshot(factRoot)
     val ds = dims.map(d => LakeTable.currentSnapshot(d.root))
@@ -127,7 +133,7 @@ object IncrementalJoinMv {
       case (acc, (d, snap)) =>
         acc.join(broadcast(LakeTable.read(s, d.root, Some(snap))), d.keys)
     }.withColumn("__sign", lit(1L))
-    val st = state(full, group, aggs).filter(col(CountCol) > 0).persist()
+    val st = state(prep(full), group, aggs).filter(col(CountCol) > 0).persist()
     try {
       // fail at CREATE, not first refresh: the MoR fold can't
       // maintain a NULL leading group key (see refresh)
@@ -163,7 +169,8 @@ object IncrementalJoinMv {
     */
   def refresh(s: SparkSession, factRoot: String, dims: Seq[DimSpec],
       mvRoot: String, group: Seq[String], aggs: Seq[Agg],
-      cfg: BlockWriter.Config): Seq[Int] = {
+      cfg: BlockWriter.Config,
+      prep: DataFrame => DataFrame = identity): Seq[Int] = {
     require(dims.nonEmpty, "join MV needs at least one dimension")
     val bases = basisAll(mvRoot)
     require(bases.size == dims.size + 1,
@@ -208,8 +215,19 @@ object IncrementalJoinMv {
       }
     }
     val delta = parts.result().reduce(_ unionByName _)
-    val deltaState = state(delta, group, aggs)
-    val gk = group.head
+    // prep BEFORE grouping: each signed change row derives its
+    // expression group columns from the joined values it carries —
+    // insert and delete pre-images of the same row derive the same
+    // bucket, so signs cancel exactly
+    val deltaState = state(prep(delta), group, aggs)
+    // fold key = the MERGE's equality-delete key: prefer a group
+    // column whose type the DSv2 read path applies eq-deletes on (a
+    // timestamp BUCKET may lead the GROUP BY — the mask then keys on
+    // another group column; the fold stays bounded by that column's
+    // touched values, a superset of the touched groups)
+    val gk = group.find(g => deltaState.schema(g).dataType !=
+        org.apache.spark.sql.types.TimestampType)
+      .getOrElse(group.head)
     val changedKeys = deltaState.select(col(gk)).distinct().persist()
     try {
       // the eq-delete mask and the semi-join fold both key on
@@ -229,7 +247,16 @@ object IncrementalJoinMv {
         .groupBy(group.map(col): _*)
         .agg(sum(col(CountCol)).cast("bigint").as(CountCol),
           aggs.map(a => a.fold(col(a.name)).as(a.name)): _*)
-      val live = folded.filter(col(CountCol) > 0).to(mvCur.schema).persist()
+      // align to the TABLE's stored column ORDER (merge's schema gate
+      // compares full JSON): once the MV carries eq-delete debt, the
+      // MoR read hoists the mask key to the front, so mvCur's order
+      // is join-shaped — only its per-field nullability is the read
+      // path's truth
+      val tableOrder = LakeTable.storedSchemaOf(mvRoot)
+        .map(_.fieldNames.toSeq).getOrElse(mvCur.schema.fieldNames.toSeq)
+      val aligned = org.apache.spark.sql.types.StructType(
+        tableOrder.map(n => mvCur.schema(n)))
+      val live = folded.filter(col(CountCol) > 0).to(aligned).persist()
       try {
         if (live.isEmpty)
           // every touched group died: the commit is pure retirement

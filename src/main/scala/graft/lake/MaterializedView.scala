@@ -62,13 +62,15 @@ object MaterializedView {
       // serves stored measures only to sessions in the SAME regime.
       // Empty on pre-ansi definitions: SUM/AVG measures never match.
       ansi: String = "",
-      // EXPRESSION group items of the `single` kind (alias → SQL
-      // text): time buckets and other derived grouping columns —
-      // `SELECT date_trunc('DAY', ts) AS d, … GROUP BY
+      // EXPRESSION group items of the `single` and `join` kinds
+      // (alias → SQL text): time buckets and other derived grouping
+      // columns — `SELECT date_trunc('DAY', ts) AS d, … GROUP BY
       // date_trunc('DAY', ts)`. Each refresh re-derives the column
-      // over the base rows before grouping; `group` carries the
-      // ALIAS. Such MVs are never auto-rewrite candidates (an alias
-      // is not a fact column — name-based matching would be unsound).
+      // over exactly the base/joined rows it folds (the prep hook);
+      // `group` carries the ALIAS. Single-kind expr MVs serve the
+      // dedicated expression rewrite tier; join-kind expr MVs are
+      // never auto-rewrite candidates (an alias is not a base
+      // column — name-based matching would be unsound).
       groupExprs: Seq[(String, String)] = Nil) {
     /** The effective dimension list of a `join` MV: the multi-dim
       * `dims` field when present, else the legacy single (dim, key)
@@ -309,7 +311,7 @@ object MaterializedView {
           IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
             cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d))
         else IncrementalJoinMv.create(s, d.fact, d.joinDims, mvDir,
-          d.group, aggsOf(d), cfgOf(d))
+          d.group, aggsOf(d), cfgOf(d), prep = prepFor(s, d))
       registerRef(d.fact, mvDir)
       snap
     }
@@ -422,7 +424,7 @@ object MaterializedView {
       Seq(IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
         cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d)))
     else IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
-      d.group, aggsOf(d), cfgOf(d))
+      d.group, aggsOf(d), cfgOf(d), prep = prepFor(s, d))
   }
 
   /** Scalar-pair convenience for single-table and one-dimension MVs;

@@ -96,6 +96,43 @@ object GraftMatViews {
 
   private def unquote(s: String) = s.replace("`", "")
 
+  private def normTxt(x: String) =
+    unquote(x).replaceAll("\\s+", " ").trim.toLowerCase
+
+  /** Canonical parsed-tree key of an expression text (attribute and
+    * function names case-folded) — the SEMANTIC comparison behind
+    * GROUP BY item resolution; None when the text does not parse.
+    */
+  private def parsedKey(spark: SparkSession, txt: String): Option[String] =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.analysis.{
+        UnresolvedAttribute, UnresolvedFunction}
+      spark.sessionState.sqlParser.parseExpression(unquote(txt))
+        .transformUp {
+          case a: UnresolvedAttribute =>
+            UnresolvedAttribute(a.nameParts.map(_.toLowerCase))
+          case f: UnresolvedFunction =>
+            f.copy(nameParts = f.nameParts.map(_.toLowerCase))
+        }.toString
+    }.toOption
+
+  /** Resolve each GROUP BY item to its OUTPUT column: a plain select
+    * column by name, or an expression select item by its ALIAS, its
+    * whitespace-normalized TEXT, or its parsed tree — shared by the
+    * single-table and join branches.
+    */
+  private def resolveGroups(spark: SparkSession, groupItems: Seq[String],
+      bareList: Seq[String], exprList: Seq[(String, String)]): Seq[String] =
+    groupItems.map { gi =>
+      val n0 = normTxt(gi)
+      lazy val giKey = parsedKey(spark, gi)
+      bareList.find(_.toLowerCase == n0).getOrElse(
+        exprList.find(x => x._1.toLowerCase == n0 || normTxt(x._2) == n0 ||
+            (giKey.isDefined && parsedKey(spark, x._2) == giKey))
+          .map(_._1).getOrElse(grammarError(s"GROUP BY item '$gi' matches " +
+            "neither a plain select column nor an expression select item")))
+    }
+
   /** Split at top-level commas (never inside parentheses). */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -175,11 +212,12 @@ object GraftMatViews {
           grammarError(s"JOIN ${m.group(1)} has an empty USING list")
         (m.group(1), keys)
       }.toSeq
-      val groupCols = splitTop(groupBy).map(unquote)
-      groupCols.foreach(g => if (!g.matches("\\w+"))
-        grammarError(s"GROUP BY item '$g' must be a plain column"))
+      val groupItems = splitTop(groupBy)
+      if (groupItems.isEmpty || groupItems.forall(_.isEmpty))
+        grammarError("at least one group column is required")
       val bare = Seq.newBuilder[String]
       val sums = Seq.newBuilder[(String, String)]
+      val exprGroups = Seq.newBuilder[(String, String)] // (alias, text)
       var sawCount = false
       splitTop(items).foreach {
         case countRe(alias) =>
@@ -199,17 +237,33 @@ object GraftMatViews {
             s"SUM($e) and derive AVG at read (sum / n)")
         case item if unquote(item).matches("\\w+") =>
           bare += unquote(item)
+        case exprAsRe(e, name) =>
+          // an EXPRESSION GROUP column for the star too (the
+          // time-bucketed dimensional rollup — GROUP BY
+          // date_trunc(ts), dim.attr): the staircase terms re-derive
+          // the bucket over exactly the joined change rows they fold
+          if (aggTextRe.findFirstIn(e).isDefined)
+            grammarError(s"unsupported select item '${e.trim} AS " +
+              s"${unquote(name)}': join-view aggregates are limited to " +
+              "COUNT(*) AS n and SUM(expr) AS s — DISTINCT, FILTER, " +
+              "arithmetic over aggregates and MIN/MAX have no " +
+              "signed-distributive law")
+          val nm = unquote(name)
+          if (nm.toLowerCase == graft.lake.IncrementalJoinMv.CountCol)
+            grammarError(s"group alias '$nm' is reserved for COUNT(*)")
+          exprGroups += ((nm, e.trim))
         case item =>
           grammarError(s"unsupported select item '$item'")
       }
       if (!sawCount) grammarError("the select list must include COUNT(*) AS n")
       val bareCols = bare.result()
-      if (bareCols.sorted != groupCols.sorted)
-        grammarError(s"plain select columns (${bareCols.mkString(", ")}) " +
-          s"must match GROUP BY (${groupCols.mkString(", ")})")
-      if (groupCols.isEmpty) grammarError("at least one group column is required")
+      val exprList = exprGroups.result()
+      val groupCols = resolveGroups(spark, groupItems, bareCols, exprList)
+      if ((bareCols ++ exprList.map(_._1)).sorted != groupCols.sorted)
+        grammarError("select group columns must match GROUP BY exactly " +
+          "(every plain column and every <expr> AS <alias> item grouped once)")
       (graft.lake.IncrementalJoinMv.CountCol +: (sums.result().map(_._1) ++
-        bareCols)).groupBy(_.toLowerCase)
+        bareCols ++ exprList.map(_._1))).groupBy(_.toLowerCase)
         .collectFirst { case (_, vs) if vs.size > 1 => vs.head }
         .foreach(nm => grammarError(s"duplicate column name '$nm'"))
       val factParts = spark.sessionState.sqlParser
@@ -219,7 +273,8 @@ object GraftMatViews {
       // roots are filled in by the command after catalog resolution;
       // the legacy (dim, key) pair mirrors the first dimension
       (MaterializedView.MvDef("", "", joins.head._2.mkString(","), groupCols,
-        sums.result(), select, dims = joins.map(j => ("", j._2))),
+        sums.result(), select, dims = joins.map(j => ("", j._2)),
+        groupExprs = exprList),
         factParts, dimPartsList)
     case selectSingleRe(items, factId, groupBy) =>
       // single-table view — TWO maintenance laws behind one shape:
@@ -283,37 +338,11 @@ object GraftMatViews {
           "<expr> AS <alias> group columns)")
       }
       if (!sawCount) grammarError("the select list must include COUNT(*) AS n")
-      // resolve each GROUP BY item to its OUTPUT column: a plain
-      // select column by name, or an expression item by its ALIAS or
-      // its (whitespace-normalized) TEXT
-      def normTxt(x: String) = unquote(x).replaceAll("\\s+", " ").trim.toLowerCase
-      // SEMANTIC expression matching: `GROUP BY a+1` must find
-      // `a + 1 AS b` in the select list. Whitespace-normalized text
-      // is the fast path; the real comparison parses both sides and
-      // compares the trees with attribute/function names case-folded
-      // (parse failures fall back to text-only matching)
-      def parsedKey(txt: String): Option[String] = scala.util.Try {
-        import org.apache.spark.sql.catalyst.analysis.{
-          UnresolvedAttribute, UnresolvedFunction}
-        spark.sessionState.sqlParser.parseExpression(unquote(txt))
-          .transformUp {
-            case a: UnresolvedAttribute =>
-              UnresolvedAttribute(a.nameParts.map(_.toLowerCase))
-            case f: UnresolvedFunction =>
-              f.copy(nameParts = f.nameParts.map(_.toLowerCase))
-          }.toString
-      }.toOption
+      // resolve each GROUP BY item to its OUTPUT column — by plain
+      // name, expression alias, normalized text, or parsed tree
       val exprList = exprGroups.result()
       val bareList = bare.result()
-      val groupCols = groupItems.map { gi =>
-        val n0 = normTxt(gi)
-        lazy val giKey = parsedKey(gi)
-        bareList.find(_.toLowerCase == n0).getOrElse(
-          exprList.find(x => x._1.toLowerCase == n0 || normTxt(x._2) == n0 ||
-              (giKey.isDefined && parsedKey(x._2) == giKey))
-            .map(_._1).getOrElse(grammarError(s"GROUP BY item '$gi' matches " +
-              "neither a plain select column nor an expression select item")))
-      }
+      val groupCols = resolveGroups(spark, groupItems, bareList, exprList)
       if ((bareList ++ exprList.map(_._1)).sorted != groupCols.sorted)
         grammarError("select group columns must match GROUP BY exactly " +
           "(every plain column and every <expr> AS <alias> item grouped once)")
@@ -419,6 +448,19 @@ final case class GraftCreateMatViewCommand(catalogName: String,
       "CREATE MATERIALIZED VIEW: non-deterministic or current-time " +
         "expressions cannot be re-derived by refresh")
     val (d0, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
+    // join kind: the refresh fold's equality-delete mask needs at
+    // least one group column of a type the DSv2 read path applies
+    // eq-deletes on — a star grouped ONLY by timestamp bucket(s)
+    // would brick its own reads after the first dim-moving refresh
+    if (d0.kind == "join") {
+      val outTypes = analyzed.output.map(a => a.name.toLowerCase -> a.dataType).toMap
+      val ok = d0.group.exists(g => outTypes.get(g.toLowerCase)
+        .exists(_ != org.apache.spark.sql.types.TimestampType))
+      require(ok, "CREATE MATERIALIZED VIEW: a join view grouped only " +
+        "by timestamp-typed columns cannot maintain its equality-delete " +
+        "fold mask — add a non-timestamp group column (a dimension " +
+        "attribute) or materialize the bucket as a table column")
+    }
     val outCols = analyzed.output.map(_.name.toLowerCase).toSet
     require(outCols.contains(graft.lake.IncrementalJoinMv.CountCol),
       "defining query lost the structural count column")

@@ -458,7 +458,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         }
       } else {
         refs.flatMap { mvDir =>
-          defBasisAt(mvDir).filter(_._3.kind == "join").flatMap {
+          // expression-group join MVs never serve the column-mapped
+          // tiers: their group aliases are not base columns, and a
+          // base column merely sharing an alias's name must not bind
+          defBasisAt(mvDir).filter(x =>
+            x._3.kind == "join" && x._3.groupExprs.isEmpty).flatMap {
             case (head, mtime, d, basis) =>
               matchJoin(d, conds, rels).flatMap {
                 case (residual, bindOut, unsafe, factRel, dimRels, snaps) =>

@@ -2587,6 +2587,100 @@ object Lake {
       |               UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, d""".stripMargin
 
+  // --- q_sql_mv_star_expr: TIME-BUCKETED STAR MVs — the warehouse
+  // workload (time × dimension rollup: `GROUP BY date_trunc('DAY',
+  // ts), wb` over fact ⋈ dim) through the SQL front door: the join
+  // kind now accepts `<expr> AS <alias>` group items, storing the
+  // expression text, and EVERY Gupta-Mumick staircase term re-derives
+  // the bucket over exactly the joined change rows it folds (the same
+  // prep hook as the single kind — insert and delete pre-images of a
+  // row derive the same bucket, so signed folds cancel exactly). At
+  // 100 TB a fact-only refresh of the daily × dimension rollup stays
+  // O(Δ fact ⋈ broadcast dims) with the bucket function living in ONE
+  // place. Stage 1 reads the creation state (time travel), stage 2
+  // after a fact append + CALL refresh (ΔF term, bucket re-derived
+  // over the delta), stage 3 after a dim MERGE + refresh (the F¹ ⋈ ΔD
+  // term — signed dim pre-images move rows BETWEEN wb groups within
+  // each day bucket). The oracle recomputes all three stages from
+  // scratch with DuckDB's own date_trunc.
+  def qSqlMvStarExpr(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.sef_$id"; val dim = s"graft.q.sed_$id"
+    val mv = s"graft.q.sev_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlse")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, ts TIMESTAMP, event_type STRING, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, ts, event_type,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlse WHERE $pred""".stripMargin)
+    ins("event_id % 2 = 0")
+    s.sql(s"CREATE TABLE $dim (event_type STRING, wb BIGINT)")
+    s.sql(s"""INSERT INTO $dim
+             |SELECT event_type, length(event_type) % 3
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlse)""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT date_trunc('DAY', ts) AS d, wb, COUNT(*) AS n,
+             |  SUM(vx100) AS sum_vx100
+             |FROM $fact JOIN $dim USING (event_type)
+             |GROUP BY date_trunc('DAY', ts), wb""".stripMargin)
+    ins("event_id % 2 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.sev_$id')").collect()
+    s.sql(s"""MERGE INTO $dim t USING (
+             |  SELECT event_type, (length(event_type) + 10) % 3 AS wb
+             |  FROM (SELECT DISTINCT event_type FROM ev_sqlse)
+             |  WHERE length(event_type) % 2 = 0) src
+             |ON t.event_type = src.event_type
+             |WHEN MATCHED THEN UPDATE SET t.wb = src.wb""".stripMargin)
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.sev_$id')").collect()
+    s.sql(s"""SELECT CAST(1 AS BIGINT) AS stage, d, CAST(wb AS BIGINT) AS wb,
+             |  n, sum_vx100
+             |FROM $mv VERSION AS OF 1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), d, CAST(wb AS BIGINT), n, sum_vx100
+             |FROM $mv VERSION AS OF 2
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), d, CAST(wb AS BIGINT), n, sum_vx100
+             |FROM $mv VERSION AS OF 3
+             |ORDER BY stage, d, wb""".stripMargin)
+  }
+
+  val qSqlMvStarExprSql: String =
+    """WITH f AS (
+      |  SELECT event_id, ts, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100,
+      |    length(event_type) AS len
+      |  FROM events),
+      |d1 AS (
+      |  SELECT event_type, len % 3 AS wb
+      |  FROM (SELECT DISTINCT event_type, length(event_type) AS len FROM events)),
+      |d2 AS (
+      |  SELECT event_type,
+      |    (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb
+      |  FROM (SELECT DISTINCT event_type, length(event_type) AS len FROM events)),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, date_trunc('day', ts) AS d,
+      |    CAST(wb AS BIGINT) AS wb, COUNT(*) AS n,
+      |    CAST(SUM(vx100) AS BIGINT) AS sum_vx100
+      |  FROM f JOIN d1 USING (event_type)
+      |  WHERE event_id % 2 = 0 GROUP BY 2, 3),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), date_trunc('day', ts),
+      |    CAST(wb AS BIGINT), COUNT(*), CAST(SUM(vx100) AS BIGINT)
+      |  FROM f JOIN d1 USING (event_type) GROUP BY 2, 3),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT), date_trunc('day', ts),
+      |    CAST(wb AS BIGINT), COUNT(*), CAST(SUM(vx100) AS BIGINT)
+      |  FROM f JOIN d2 USING (event_type) GROUP BY 2, 3)
+      |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |               UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, d, wb""".stripMargin
+
   // --- q_sql_mv_drop: the DDL lifecycle's other half — DROP
   // MATERIALIZED VIEW (with EAGER fact-side deregistration: the
   // `t.mvs` row and the rewrite candidacy disappear with the
@@ -4637,6 +4731,7 @@ object Lake {
     "q_sql_mv_rewrite_stale_star" -> qSqlMvRewriteStaleStar,
     "q_sql_mv_rewrite_star" -> qSqlMvRewriteStar,
     "q_sql_mv_star" -> qSqlMvStar,
+    "q_sql_mv_star_expr" -> qSqlMvStarExpr,
     "lake_avro_prune" -> lakeAvroPrune,
     "stream_mv_single" -> streamMvSingle,
     "q_sql_rtas" -> qSqlRtas,
@@ -4721,6 +4816,7 @@ object Lake {
     "q_sql_mv_rewrite_stale_star" -> qSqlMvRewriteStaleStarSql,
     "q_sql_mv_rewrite_star" -> qSqlMvRewriteStarSql,
     "q_sql_mv_star" -> qSqlMvStarSql,
+    "q_sql_mv_star_expr" -> qSqlMvStarExprSql,
     "lake_avro_prune" -> lakeAvroPruneSql,
     "stream_mv_single" -> streamMvSingleSql,
     "q_sql_rtas" -> qSqlRtasSql,

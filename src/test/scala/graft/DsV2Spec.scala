@@ -1837,6 +1837,80 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("time-bucketed STAR MVs: expression groups on the join kind re-derive per staircase term; guards and rewrite exclusion") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.sxf_$id"; val dim = s"graft.psd.sxd_$id"
+    val mv = s"graft.psd.sxv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, ts TIMESTAMP, k STRING, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, TIMESTAMP '2024-01-01 10:00:00', 'k0', 10),
+                 |(2, TIMESTAMP '2024-01-01 23:00:00', 'k1', 20),
+                 |(3, TIMESTAMP '2024-01-02 01:00:00', 'k0', 30)""".stripMargin)
+    spark.sql(s"CREATE TABLE $dim (k STRING, g STRING)")
+    spark.sql(s"INSERT INTO $dim VALUES ('k0','a'),('k1','b')")
+    // GROUP BY by alias on the join kind, bucket column leading
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT date_trunc('DAY', ts) AS d, g, COUNT(*) AS n,
+                 |  SUM(x) AS sx
+                 |FROM $fact JOIN $dim USING (k) GROUP BY d, g""".stripMargin)
+    def state(): Map[(String, String), (Long, Long)] =
+      spark.sql(s"SELECT CAST(d AS STRING) AS d, g, n, sx FROM $mv").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    assert(state() === Map(
+      ("2024-01-01 00:00:00", "a") -> ((1L, 10L)),
+      ("2024-01-01 00:00:00", "b") -> ((1L, 20L)),
+      ("2024-01-02 00:00:00", "a") -> ((1L, 30L))))
+    // ΔF term: the bucket re-derives over the fact delta
+    spark.sql(s"INSERT INTO $fact VALUES " +
+      s"(4, TIMESTAMP '2024-01-02 12:00:00', 'k1', 40)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv")
+    assert(state()(("2024-01-02 00:00:00", "b")) === ((1L, 40L)))
+    // F¹ ⋈ ΔD term: a dim rewire moves rows BETWEEN g groups inside
+    // each day bucket — signed pre-images re-derive the same bucket,
+    // so the old (d, g) groups retire exactly
+    spark.sql(s"UPDATE $dim SET g = 'a' WHERE k = 'k1'")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv")
+    assert(state() === Map(
+      ("2024-01-01 00:00:00", "a") -> ((2L, 30L)),
+      ("2024-01-02 00:00:00", "a") -> ((2L, 70L))))
+    // rewrite EXCLUSION: a fact query grouping by the same bucket
+    // must NOT bind the join MV's alias (no expr tier for stars) —
+    // with fact files hidden the star query must throw, not serve
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.sxf_$id")
+    shiftFiles(factDir, hide = true)
+    try intercept[Exception](spark.sql(
+      s"""SELECT date_trunc('DAY', ts) AS d, g, COUNT(*) AS c
+         |FROM $fact JOIN $dim USING (k)
+         |GROUP BY date_trunc('DAY', ts), g""".stripMargin).collect())
+    finally shiftFiles(factDir, hide = false)
+    // an all-timestamp group list cannot maintain the eq-delete mask
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.psd.sxw_$id AS
+         |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n
+         |FROM $fact JOIN $dim USING (k) GROUP BY d""".stripMargin))
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // tz guard carries over: a refresh under a different session zone
+    // fails pointedly
+    spark.sql(s"INSERT INTO $fact VALUES " +
+      s"(5, TIMESTAMP '2024-01-03 03:00:00', 'k0', 50)")
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e2 = intercept[Exception](
+        spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect())
+      assert(e2.getMessage.contains("timezone"), e2.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+    assert(state()(("2024-01-03 00:00:00", "a")) === ((1L, 50L)))
+    Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("MV rewrite serves expression-group MVs: GROUP BY the same date_trunc maps onto the stored bucket; alias names never bind from fact columns") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
