@@ -2951,6 +2951,100 @@ object Lake {
       |GROUP BY 1
       |ORDER BY d""".stripMargin
 
+  // --- stream_mv_star_expr: the CONTINUOUSLY-MAINTAINED time ×
+  // dimension rollup — q_sql_mv_star_expr's deployment shape,
+  // closing the kind×surface square for expression groups on the
+  // JOIN kind too (batch law + SQL DDL + streaming): the fact CDF
+  // stream triggers MaterializedView.refresh per micro-batch through
+  // the stored definition, so every Gupta-Mumick staircase term
+  // re-derives the bucket over exactly the joined change rows it
+  // folds, under the same exactly-once-by-construction law as every
+  // MV stream (basis rides the MV head note; replayed batches
+  // no-op). A dim MERGE lands mid-stream: the F¹ ⋈ ΔD term folds at
+  // the NEXT fact trigger, moving rows between wb groups inside each
+  // day bucket. The final state must equal a from-scratch recompute,
+  // which the oracle replays with DuckDB's own date_trunc; the
+  // freshness literal (basis vector == current heads) is
+  // oracle-hard-coded true.
+  def streamMvStarExpr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.ssef_$id"; val dim = s"graft.q.ssed_$id"
+    val mv = s"graft.q.ssev_$id"
+    val ckpt = tmp("graft_sse_ck_")
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlsse")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, ts TIMESTAMP, event_type STRING, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, ts, event_type,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlsse WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"CREATE TABLE $dim (event_type STRING, wb BIGINT)")
+    s.sql(s"""INSERT INTO $dim
+             |SELECT event_type, length(event_type) % 3
+             |FROM (SELECT DISTINCT event_type FROM ev_sqlsse)""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT date_trunc('DAY', ts) AS d, wb, COUNT(*) AS n,
+             |  SUM(vx100) AS sum_vx100
+             |FROM $fact JOIN $dim USING (event_type)
+             |GROUP BY date_trunc('DAY', ts), wb""".stripMargin)
+    val cat = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"q.ssef_$id")
+    val dimDir = cat.tableDir(s"q.ssed_$id")
+    val mvDir = cat.tableDir(s"q.ssev_$id")
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(factDir)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.lake.MaterializedView.refreshAll(s, mvDir): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ins("event_id % 3 = 1")
+    drain() // ΔF term: bucket re-derived over the joined fact delta
+    // dim rewire mid-stream + a fact trigger: the F¹ ⋈ ΔD term folds
+    s.sql(s"""MERGE INTO $dim t USING (
+             |  SELECT event_type, (length(event_type) + 10) % 3 AS wb
+             |  FROM (SELECT DISTINCT event_type FROM ev_sqlsse)
+             |  WHERE length(event_type) % 2 = 0) src
+             |ON t.event_type = src.event_type
+             |WHEN MATCHED THEN UPDATE SET t.wb = src.wb""".stripMargin)
+    ins("event_id % 3 = 2 AND event_id % 7 = 0")
+    drain()
+    val fresh = graft.lake.IncrementalJoinMv.basisAll(mvDir) ==
+      Seq(LakeTable.currentSnapshot(factDir), LakeTable.currentSnapshot(dimDir))
+    s.sql(s"SELECT d, CAST(wb AS BIGINT) AS wb, n, sum_vx100 FROM $mv")
+      .withColumn("fresh", lit(fresh))
+      .orderBy(col("d"), col("wb"))
+  }
+
+  val streamMvStarExprSql: String =
+    """WITH f AS (
+      |  SELECT event_id, ts, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events
+      |  WHERE event_id % 3 IN (0, 1) OR (event_id % 3 = 2 AND event_id % 7 = 0)),
+      |d2 AS (
+      |  SELECT event_type,
+      |    (len + CASE WHEN len % 2 = 0 THEN 10 ELSE 0 END) % 3 AS wb
+      |  FROM (SELECT DISTINCT event_type, length(event_type) AS len FROM events))
+      |SELECT date_trunc('day', ts) AS d, CAST(wb AS BIGINT) AS wb,
+      |  COUNT(*) AS n, CAST(SUM(vx100) AS BIGINT) AS sum_vx100, true AS fresh
+      |FROM f JOIN d2 USING (event_type)
+      |GROUP BY 1, 2
+      |ORDER BY d, wb""".stripMargin
+
   // --- stream_mv_refresh: the CONTINUOUSLY-MAINTAINED join view —
   // mv_join_refresh's production deployment shape: the fact table's
   // own CHANGE DATA FEED stream (readStream changeFeed=true, the v1
@@ -4732,6 +4826,7 @@ object Lake {
     "q_sql_mv_rewrite_star" -> qSqlMvRewriteStar,
     "q_sql_mv_star" -> qSqlMvStar,
     "q_sql_mv_star_expr" -> qSqlMvStarExpr,
+    "stream_mv_star_expr" -> streamMvStarExpr,
     "lake_avro_prune" -> lakeAvroPrune,
     "stream_mv_single" -> streamMvSingle,
     "q_sql_rtas" -> qSqlRtas,
@@ -4817,6 +4912,7 @@ object Lake {
     "q_sql_mv_rewrite_star" -> qSqlMvRewriteStarSql,
     "q_sql_mv_star" -> qSqlMvStarSql,
     "q_sql_mv_star_expr" -> qSqlMvStarExprSql,
+    "stream_mv_star_expr" -> streamMvStarExprSql,
     "lake_avro_prune" -> lakeAvroPruneSql,
     "stream_mv_single" -> streamMvSingleSql,
     "q_sql_rtas" -> qSqlRtasSql,
