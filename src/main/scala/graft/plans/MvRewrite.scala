@@ -417,13 +417,32 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           }
         }
       }
+    // expression-group JOIN MVs (time-bucketed stars): FRESH-basis
+    // candidates for the dedicated expression tier — the stored
+    // bucket text matches the query's grouping expression whole-node
+    // over the flattened star output; never the column-mapped tiers
+    val exprJoinCands: Seq[Candidate] =
+      if (rels.size == 1) Nil
+      else refs.flatMap { mvDir =>
+        defBasisAt(mvDir).filter(x =>
+          x._3.kind == "join" && x._3.groupExprs.nonEmpty).flatMap {
+          case (head, mtime, d, basis) =>
+            matchJoin(d, conds, rels).flatMap {
+              case (residual, bindOut, unsafe, _, _, snaps) =>
+                if (basis == snaps)
+                  Some(Candidate(mvDir, d, residual, bindOut, unsafe,
+                    head, mtime))
+                else None
+            }
+        }
+      }
     // every tier maps the SUBSTITUTED outputs: a renamed subquery
     // output (Alias over a different base column) must bind to the MV
     // column of its MEANING, never of its surface name — the top-level
     // alias keeps the original name/exprId so parents resolve
     def exprServed: Option[LogicalPlan] =
-      exprCands.view.flatMap(
-        rewriteExprGroup(agg, _, rels.head, groupSub, outs)).headOption
+      (exprCands ++ exprJoinCands).view.flatMap(
+        rewriteExprGroup(agg, _, groupSub, outs)).headOption
     val groupAttrs = groupAttrsOpt.getOrElse(return exprServed)
     val matched: Seq[Candidate] =
       if (rels.size == 1) {
@@ -458,9 +477,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         }
       } else {
         refs.flatMap { mvDir =>
-          // expression-group join MVs never serve the column-mapped
-          // tiers: their group aliases are not base columns, and a
-          // base column merely sharing an alias's name must not bind
+          // expression-group join MVs never serve the COLUMN-MAPPED
+          // tiers (their group aliases are not base columns, and a
+          // base column merely sharing an alias's name must not
+          // bind) — they serve the dedicated expression tier above
           defBasisAt(mvDir).filter(x =>
             x._3.kind == "join" && x._3.groupExprs.isEmpty).flatMap {
             case (head, mtime, d, basis) =>
@@ -491,7 +511,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           }
         }
       }
-    if (matched.isEmpty && exprCands.isEmpty) return None
+    if (matched.isEmpty && exprCands.isEmpty && exprJoinCands.isEmpty)
+      return None
     val (stale, fresh) = matched.partition(c => c.deltaFrom >= 0 || c.axes.nonEmpty)
     fresh.view.flatMap(rewriteExact(outs, groupAttrs, _)).headOption
       .orElse(fresh.view.flatMap(rewriteRollup(outs, groupAttrs, _)).headOption)
@@ -885,22 +906,29 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * reference plain group columns only; derived AVG never maps.
     */
   private def rewriteExprGroup(agg: Aggregate, c: Candidate,
-      rel: DataSourceV2Relation, groupSub: Seq[Expression],
+      groupSub: Seq[Expression],
       outs: Seq[NamedExpression]): Option[LogicalPlan] = {
     val d = c.d
     val aliasSet = d.groupExprs.map(x => canon(x._1)).toSet
     val plainG = d.group.map(canon).filterNot(aliasSet.contains).toSet
+    // c.bindOut: the scan output for the single kind, the flattened
+    // fact-first star output for the join kind (stored texts resolve
+    // over it by the analyzer — ambiguous names fail resolution and
+    // bail, same as stored measures)
     val storedG: Seq[(String, Expression)] = d.groupExprs.map {
       case (alias, txt) =>
-        (canon(alias), resolveStored(txt, rel.output, d).getOrElse(return None))
+        (canon(alias), resolveStored(txt, c.bindOut, d).getOrElse(return None))
     }
     def groupColOf(e: Expression): Option[String] = e match {
       case a: AttributeReference =>
-        if (plainG.contains(canon(a.name))) Some(canon(a.name)) else None
+        // unsafe names (multi-side star columns not equated by the
+        // join) must never bind by name
+        if (plainG.contains(canon(a.name)) &&
+          !c.unsafe.contains(canon(a.name))) Some(canon(a.name)) else None
       case other =>
         storedG.collectFirst {
           case (alias, se) if se.semanticEquals(other) ||
-            simplified(se, rel.output).semanticEquals(other) => alias
+            simplified(se, c.bindOut).semanticEquals(other) => alias
         }
     }
     val qg: Seq[String] = groupSub

@@ -2624,9 +2624,11 @@ object Lake {
     s.sql(s"""INSERT INTO $dim
              |SELECT event_type, length(event_type) % 3
              |FROM (SELECT DISTINCT event_type FROM ev_sqlse)""".stripMargin)
+    // COALESCE: the join kind's non-nullable SUM soundness gate on
+    // the READ side (stage 4) admits exactly this shape
     s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
              |SELECT date_trunc('DAY', ts) AS d, wb, COUNT(*) AS n,
-             |  SUM(vx100) AS sum_vx100
+             |  SUM(COALESCE(vx100, 0)) AS sum_vx100
              |FROM $fact JOIN $dim USING (event_type)
              |GROUP BY date_trunc('DAY', ts), wb""".stripMargin)
     ins("event_id % 2 = 1")
@@ -2638,6 +2640,22 @@ object Lake {
              |ON t.event_type = src.event_type
              |WHEN MATCHED THEN UPDATE SET t.wb = src.wb""".stripMargin)
     s.sql(s"CALL graft.system.refresh_mv(table => 'q.sev_$id')").collect()
+    // stage 4: the READ side — the plain star query grouping by the
+    // SAME bucket expression is served by the fresh MV via the
+    // expression tier; every fact data file hidden, so only an
+    // MV-served plan can produce these rows at all
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.sef_$id")
+    val served = withHiddenFiles(factDir) {
+      s.sql(s"""SELECT date_trunc('DAY', ts) AS d, wb, COUNT(*) AS n,
+               |  SUM(COALESCE(vx100, 0)) AS sum_vx100
+               |FROM $fact JOIN $dim USING (event_type)
+               |GROUP BY date_trunc('DAY', ts), wb""".stripMargin).collect()
+    }
+    import s.implicits._
+    val s4 = served.toSeq
+      .map(r => (4L, r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("stage", "d", "wb", "n", "sum_vx100")
     s.sql(s"""SELECT CAST(1 AS BIGINT) AS stage, d, CAST(wb AS BIGINT) AS wb,
              |  n, sum_vx100
              |FROM $mv VERSION AS OF 1
@@ -2648,6 +2666,8 @@ object Lake {
              |SELECT CAST(3 AS BIGINT), d, CAST(wb AS BIGINT), n, sum_vx100
              |FROM $mv VERSION AS OF 3
              |ORDER BY stage, d, wb""".stripMargin)
+      .unionByName(s4)
+      .orderBy(col("stage"), col("d"), col("wb"))
   }
 
   val qSqlMvStarExprSql: String =
@@ -2676,9 +2696,13 @@ object Lake {
       |s3 AS (
       |  SELECT CAST(3 AS BIGINT), date_trunc('day', ts),
       |    CAST(wb AS BIGINT), COUNT(*), CAST(SUM(vx100) AS BIGINT)
+      |  FROM f JOIN d2 USING (event_type) GROUP BY 2, 3),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT), date_trunc('day', ts),
+      |    CAST(wb AS BIGINT), COUNT(*), CAST(SUM(vx100) AS BIGINT)
       |  FROM f JOIN d2 USING (event_type) GROUP BY 2, 3)
       |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-      |               UNION ALL SELECT * FROM s3)
+      |               UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, d, wb""".stripMargin
 
   // --- q_sql_mv_drop: the DDL lifecycle's other half — DROP

@@ -1837,7 +1837,7 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
-  test("time-bucketed STAR MVs: expression groups on the join kind re-derive per staircase term; guards and rewrite exclusion") {
+  test("time-bucketed STAR MVs: expression groups on the join kind re-derive per staircase term; the expression tier serves the star; guards") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.root",
@@ -1853,9 +1853,12 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE $dim (k STRING, g STRING)")
     spark.sql(s"INSERT INTO $dim VALUES ('k0','a'),('k1','b')")
     // GROUP BY by alias on the join kind, bucket column leading
+    // COALESCE: the join kind's non-nullable SUM soundness gate (the
+    // signed fold drives an all-NULL-backed group to 0) — the same
+    // shape every join-rewrite sibling uses
     spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
                  |SELECT date_trunc('DAY', ts) AS d, g, COUNT(*) AS n,
-                 |  SUM(x) AS sx
+                 |  SUM(COALESCE(x, 0)) AS sx
                  |FROM $fact JOIN $dim USING (k) GROUP BY d, g""".stripMargin)
     def state(): Map[(String, String), (Long, Long)] =
       spark.sql(s"SELECT CAST(d AS STRING) AS d, g, n, sx FROM $mv").collect()
@@ -1878,17 +1881,33 @@ class DsV2Spec extends AnyFunSuite {
     assert(state() === Map(
       ("2024-01-01 00:00:00", "a") -> ((2L, 30L)),
       ("2024-01-02 00:00:00", "a") -> ((2L, 70L))))
-    // rewrite EXCLUSION: a fact query grouping by the same bucket
-    // must NOT bind the join MV's alias (no expr tier for stars) —
-    // with fact files hidden the star query must throw, not serve
+    // the READ side: a plain star query grouping by the SAME bucket
+    // expression is served by the fresh MV via the expression tier —
+    // every fact data file hidden, so only an MV-served plan answers
     val factDir = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.sxf_$id")
     shiftFiles(factDir, hide = true)
-    try intercept[Exception](spark.sql(
-      s"""SELECT date_trunc('DAY', ts) AS d, g, COUNT(*) AS c
-         |FROM $fact JOIN $dim USING (k)
-         |GROUP BY date_trunc('DAY', ts), g""".stripMargin).collect())
-    finally shiftFiles(factDir, hide = false)
+    try {
+      assert(spark.sql(
+        s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day, g,
+           |  COUNT(*) AS c, SUM(COALESCE(x, 0)) AS sx
+           |FROM $fact JOIN $dim USING (k)
+           |GROUP BY date_trunc('DAY', ts), g""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap ===
+        Map(("2024-01-01 00:00:00", "a") -> ((2L, 30L)),
+          ("2024-01-02 00:00:00", "a") -> ((2L, 70L))))
+      // rollup slice: the bucket grouped away, re-aggregated finer MV
+      assert(spark.sql(
+        s"""SELECT g, COUNT(*) AS c FROM $fact JOIN $dim USING (k)
+           |GROUP BY g""".stripMargin).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 4L))
+      // a DIFFERENT bucket never serves (falls back → hidden files throw)
+      intercept[Exception](spark.sql(
+        s"""SELECT date_trunc('MONTH', ts) AS mo, g, COUNT(*) AS c
+           |FROM $fact JOIN $dim USING (k)
+           |GROUP BY date_trunc('MONTH', ts), g""".stripMargin).collect())
+    } finally shiftFiles(factDir, hide = false)
     // an all-timestamp group list cannot maintain the eq-delete mask
     val e = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW graft.psd.sxw_$id AS
