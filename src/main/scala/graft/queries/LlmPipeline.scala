@@ -1698,14 +1698,20 @@ object LlmPipeline {
     // intersection and the per-source sizes — without it each
     // consumer re-runs the gram-grain aggregation (2-3 gram shuffles
     // instead of one; pinned by PlanShapeSpec)
-    val hist = graft.util.QueryScratch.cached(
-      grams.join(broadcast(idxDf), "source")
-        .groupBy(col("gram"))
-        .agg(maskCols.head, maskCols.tail: _*)
-        .groupBy((0 until nW).map(w => col(s"m_$w")): _*)
-        .agg(count(lit(1)).cast("bigint").as("cnt"))
-        .select(array((0 until nW).map(w => col(s"m_$w")): _*).as("masks"),
-          col("cnt")))
+    val hist0 = grams.join(broadcast(idxDf), "source")
+      .groupBy(col("gram"))
+      .agg(maskCols.head, maskCols.tail: _*)
+      .groupBy((0 until nW).map(w => col(s"m_$w")): _*)
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(array((0 until nW).map(w => col(s"m_$w")): _*).as("masks"),
+        col("cnt"))
+    // materialization boundary ONLY for the multi-word path: with
+    // many sources the W-buffer gram aggregation is worth computing
+    // once for its two consumers (measured: wide 2.8 → 2.3 s), while
+    // at a handful of sources the cache barrier costs more than the
+    // cheap recompute it saves (measured: 1.75 → 2.8 s) — pinned by
+    // PlanShapeSpec on the wide key
+    val hist = if (nW > 1) graft.util.QueryScratch.cached(hist0) else hist0
     val pairDf = (for { (a, ia) <- srcs.zipWithIndex
                         (b, ib) <- srcs.zipWithIndex if a < b }
       yield (a, b, ia / 62, ia % 62, ib / 62, ib % 62))
