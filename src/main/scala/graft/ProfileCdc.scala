@@ -68,7 +68,10 @@ object ProfileCdc {
         timed("applyBatch")(graft.streaming.CdcApply.applyBatch(
           s, mir, batch, "event_id", cfg, Seq("event_id")))
       else {
-        // replica of the applyBatch loop with per-stage timers
+        // replica of the LEGACY (pre-r16) applyBatch loop with
+        // per-stage timers: per-snapshot exceptAll/isEmpty probes —
+        // kept as the attribution baseline the O(1)-jobs rewrite was
+        // measured against
         val b = timed("persist")(batch.persist())
         val snaps = timed("snaps collect")(
           b.select(col("_change_snap")).distinct()
