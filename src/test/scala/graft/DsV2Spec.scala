@@ -1837,6 +1837,68 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("staircase over a TWO-dim star: fact + one dim move append-only, the middle dim stays frozen; pre-append files of BOTH moved axes hidden") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.t2f_$id"
+    val d1 = s"graft.psd.t2a_$id"; val d2 = s"graft.psd.t2b_$id"
+    val mv = s"graft.psd.t2v_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, ka STRING, kb STRING, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1,'a1','b1',10),(2,'a2','b2',20),(3,'a1','b2',30)""".stripMargin)
+    spark.sql(s"CREATE TABLE $d1 (ka STRING, g1 STRING)")
+    spark.sql(s"INSERT INTO $d1 VALUES ('a1','p'),('a2','q')")
+    spark.sql(s"CREATE TABLE $d2 (kb STRING, g2 STRING)")
+    spark.sql(s"INSERT INTO $d2 VALUES ('b1','u'),('b2','v')")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g1, g2, COUNT(*) AS n, SUM(COALESCE(x, 0)) AS sx
+                 |FROM $fact JOIN $d1 USING (ka) JOIN $d2 USING (kb)
+                 |GROUP BY g1, g2""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.t2f_$id")
+    val d2Dir = cat.tableDir(s"psd.t2b_$id")
+    val mvDir = cat.tableDir(s"psd.t2v_$id")
+    val factBasis = graft.lake.LakeTable.currentSnapshot(factDir)
+    val d2Basis = graft.lake.LakeTable.currentSnapshot(d2Dir)
+    // a LATE-ARRIVING d2 key ('zz…' sorts above every old kb) plus
+    // fact rows referencing it through an EXISTING d1 key — the fact
+    // and d2 axes move, d1 stays frozen at its basis
+    spark.sql(s"INSERT INTO $d2 VALUES ('zzb3','w')")
+    spark.sql(s"INSERT INTO $fact VALUES (4,'a1','zzb3',40),(5,'a2','zzb3',50)")
+    val q = s"""SELECT g1, g2, COUNT(*) AS c, SUM(COALESCE(x, 0)) AS s
+               |FROM $fact JOIN $d1 USING (ka) JOIN $d2 USING (kb)
+               |GROUP BY g1, g2""".stripMargin
+    assert(mvScanRoots(q).contains(mvDir),
+      "two moved append-only axes must stay MV-served (the staircase)")
+    def shiftBasis2(dir: String, snap: Int, hide: Boolean): Unit =
+      graft.lake.LakeTable.manifest(dir, snap).files.map(_.path).foreach { p =>
+        val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+        val h = java.nio.file.Paths.get(f.toString + ".hidden")
+        java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+      }
+    shiftBasis2(factDir, factBasis, hide = true)
+    shiftBasis2(d2Dir, d2Basis, hide = true)
+    // the ΔF term prunes d2's old files by ΔF's kb range ('zzb3') and
+    // the ΔD2 term prunes every basis fact file by ΔD2's range — the
+    // hidden files of both moved axes stay untouched; the frozen d1
+    // reads as scanned
+    try assert(spark.sql(q).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap ===
+      Map(("p", "u") -> ((1L, 10L)), ("q", "v") -> ((1L, 20L)),
+        ("p", "v") -> ((1L, 30L)), ("p", "w") -> ((1L, 40L)),
+        ("q", "w") -> ((1L, 50L))))
+    finally {
+      shiftBasis2(factDir, factBasis, hide = false)
+      shiftBasis2(d2Dir, d2Basis, hide = false)
+    }
+    Seq(mv, d2, d1, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("time-bucketed STAR MVs: expression groups on the join kind re-derive per staircase term; the expression tier serves the star; guards") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
