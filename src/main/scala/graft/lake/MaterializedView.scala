@@ -71,7 +71,12 @@ object MaterializedView {
       // dedicated expression rewrite tier; join-kind expr MVs are
       // never auto-rewrite candidates (an alias is not a base
       // column — name-based matching would be unsound).
-      groupExprs: Seq[(String, String)] = Nil) {
+      groupExprs: Seq[(String, String)] = Nil,
+      // the `distinct` kind's COUNT(DISTINCT <col>) AS <name>
+      // measure: the argument column (a plain fact column — the
+      // hidden (group, key) state's key) and the stored output
+      // column. Empty on every other kind.
+      distinctCol: String = "", distinctName: String = "") {
     /** The effective dimension list of a `join` MV: the multi-dim
       * `dims` field when present, else the legacy single (dim, key)
       * pair — pre-multi-dim `_mv.json` files keep working.
@@ -100,6 +105,7 @@ object MaterializedView {
     n.put("kind", d.kind); n.put("value", d.value)
     n.put("min_name", d.minName); n.put("max_name", d.maxName)
     n.put("tz", d.tz); n.put("ansi", d.ansi)
+    n.put("distinct_col", d.distinctCol); n.put("distinct_name", d.distinctName)
     val av = n.putArray("avgs")
     d.avgs.foreach { case (name, e) =>
       val o = av.addObject(); o.put("name", name); o.put("expr", e): Unit
@@ -147,7 +153,8 @@ object MaterializedView {
       },
       tz = opt("tz"), ansi = opt("ansi"),
       groupExprs = arr("group_exprs")
-        .map(o => (o.get("name").asText(), o.get("expr").asText())))
+        .map(o => (o.get("name").asText(), o.get("expr").asText())),
+      distinctCol = opt("distinct_col"), distinctName = opt("distinct_name"))
   }
 
   /** Modification time of the definition file — the incarnation
@@ -310,6 +317,10 @@ object MaterializedView {
         else if (d.kind == "single")
           IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
             cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d))
+        else if (d.kind == "distinct")
+          DistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
+            d.distinctName, cfgOf(d), sums = d.sums,
+            derived = singleDerived(d))
         else IncrementalJoinMv.create(s, d.fact, d.joinDims, mvDir,
           d.group, aggsOf(d), cfgOf(d), prep = prepFor(s, d))
       registerRef(d.fact, mvDir)
@@ -423,6 +434,10 @@ object MaterializedView {
     else if (d.kind == "single")
       Seq(IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
         cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d)))
+    else if (d.kind == "distinct")
+      Seq(DistinctMv.refresh(s, d.fact, mvDir, d.group, d.distinctCol,
+        d.distinctName, cfgOf(d), sums = d.sums,
+        derived = singleDerived(d)))
     else IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
       d.group, aggsOf(d), cfgOf(d), prep = prepFor(s, d))
   }
@@ -455,6 +470,9 @@ object MaterializedView {
       case "minmax" =>
         Seq(s"${d.minName}=min(${d.value})", s"${d.maxName}=max(${d.value})") ++
           sumS ++ avgS
+      case "distinct" =>
+        Seq(s"${d.distinctName}=count(distinct ${d.distinctCol})") ++
+          sumS ++ avgS
       case _ => sumS ++ avgS
     }).mkString("; ")
   }
@@ -466,6 +484,7 @@ object MaterializedView {
     val basis = d.kind match {
       case "minmax" => Seq(MinMaxMv.basis(mvDir))
       case "single" => Seq(IncrementalMv.basis(mvDir))
+      case "distinct" => Seq(DistinctMv.basis(mvDir))
       case _ => IncrementalJoinMv.basisAll(mvDir)
     }
     val heads = d.kind match {
@@ -536,6 +555,7 @@ object MaterializedView {
     val mode = d.kind match {
       case "minmax" => MinMaxMv.mode(mvDir)
       case "single" => IncrementalMv.mode(mvDir)
+      case "distinct" => DistinctMv.mode(mvDir)
       case _ => "delta"
     }
     val measures = measuresOf(d)

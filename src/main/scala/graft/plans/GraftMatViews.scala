@@ -73,6 +73,11 @@ object GraftMatViews {
       "\\s+GROUP\\s+BY\\s+(.*?)\\s*;?\\s*$").r
 
   private val countRe = "(?is)^COUNT\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)$".r
+  // the `distinct` kind's measure — COUNT(DISTINCT <plain col>) AS
+  // <name>; maintained exactly via the hidden (group, key) signed
+  // state ([[graft.lake.DistinctMv]])
+  private val countDistinctRe =
+    "(?is)^COUNT\\(\\s*DISTINCT\\s+([\\w`]+)\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val sumRe = "(?is)^SUM\\((.+)\\)\\s+AS\\s+(\\w+)$".r
   private val avgRe = "(?is)^AVG\\((.+)\\)\\s+AS\\s+(\\w+)$".r
   private val minRe = "(?is)^MIN\\(\\s*([\\w`]+)\\s*\\)\\s+AS\\s+(\\w+)$".r
@@ -302,11 +307,18 @@ object GraftMatViews {
           grammarError(s"measure name '$nm' is reserved for COUNT(*)")
         nm
       }
+      var distinctPart: Option[(String, String)] = None // (col, alias)
       splitTop(items).foreach {
         case countRe(alias) =>
           if (unquote(alias).toLowerCase != reserved)
             grammarError(s"COUNT(*) must alias to '$reserved', got '$alias'")
           sawCount = true
+        case countDistinctRe(v, a) =>
+          if (distinctPart.nonEmpty)
+            grammarError("one COUNT(DISTINCT) measure only — a second " +
+              "distinct key needs its own (group, key) state table; " +
+              "create a second materialized view")
+          distinctPart = Some((unquote(v), checkName(unquote(a))))
         case minRe(v, a) =>
           if (minPart.nonEmpty) grammarError("one MIN measure only")
           minPart = Some((unquote(v), checkName(unquote(a))))
@@ -327,10 +339,10 @@ object GraftMatViews {
           if (aggTextRe.findFirstIn(e).isDefined)
             grammarError(s"unsupported select item '${e.trim} AS " +
               s"${unquote(name)}': aggregate expressions are limited to " +
-              "COUNT(*) AS n, SUM(expr) AS s, AVG(expr) AS a, " +
-              "MIN(col) AS m, MAX(col) AS x — DISTINCT, FILTER, and " +
-              "arithmetic over aggregates have no incremental " +
-              "maintenance law here")
+              "COUNT(*) AS n, COUNT(DISTINCT col) AS d, SUM(expr) AS s, " +
+              "AVG(expr) AS a, MIN(col) AS m, MAX(col) AS x — FILTER " +
+              "clauses and arithmetic over aggregates have no " +
+              "incremental maintenance law here")
           exprGroups += ((checkName(unquote(name)), e.trim))
         case item => grammarError(s"unsupported select item '$item' " +
           "(single-table views support COUNT(*) AS n, SUM(expr) AS s, " +
@@ -351,11 +363,37 @@ object GraftMatViews {
       names ++= sums.result().map(_._1) ++= avgs.result().map(_._1)
       names ++= bareList ++= exprList.map(_._1) // group columns collide too
       minPart.foreach(names += _._2); maxPart.foreach(names += _._2)
+      distinctPart.foreach(names += _._2)
       val dup = names.result().groupBy(_.toLowerCase).collectFirst {
         case (_, vs) if vs.size > 1 => vs.head }
       dup.foreach(nm => grammarError(s"duplicate column name '$nm'"))
       val factParts = spark.sessionState.sqlParser
         .parseMultipartIdentifier(unquote(factId))
+      distinctPart.foreach { case (dCol, dName) =>
+        // `distinct` kind: exact COUNT(DISTINCT) via the hidden
+        // (group, key) signed state — MIN/MAX have no retirement law
+        // over that state, and a derived bucket cannot key it (v1)
+        if (minPart.nonEmpty || maxPart.nonEmpty)
+          grammarError("MIN/MAX measures cannot share a view with " +
+            "COUNT(DISTINCT) — the distinct kind's signed (group, key) " +
+            "state has no min/max retirement law; create a second view")
+        if (exprList.nonEmpty)
+          grammarError("expression group columns are not supported on " +
+            "COUNT(DISTINCT) views — materialize the bucket as a table " +
+            "column instead")
+        if (bareList.exists(_.toLowerCase == dCol.toLowerCase))
+          grammarError(s"COUNT(DISTINCT $dCol) over its own group " +
+            "column is constant 1 per group — drop the measure or the " +
+            "group column")
+        avgs.result().foreach { case (aName, aExpr) =>
+          if (!sums.result().exists(_._2.trim == aExpr.trim))
+            grammarError(s"AVG($aExpr) AS $aName derives from a stored " +
+              s"SUM: add SUM($aExpr) AS <name> to the select list")
+        }
+        return (MaterializedView.MvDef("", "", "", groupCols, sums.result(),
+          select, kind = "distinct", avgs = avgs.result(),
+          distinctCol = dCol, distinctName = dName), factParts, Nil)
+      }
       (minPart, maxPart) match {
         case (None, None) =>
           // `single` kind: AVG is read-time sugar over a stored SUM —

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.lake.{IncrementalJoinMv, IncrementalMv, LakeTable, MaterializedView, MinMaxMv}
+import graft.lake.{DistinctMv, IncrementalJoinMv, IncrementalMv, LakeTable, MaterializedView, MinMaxMv}
 import graft.sources.GraftLakeTable
 
 /** AUTOMATIC QUERY REWRITE over materialized views — the read-side
@@ -264,12 +264,12 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       Some(IncrementalJoinMv.CountCol) // COUNT(*) analyzes to COUNT(1)
     case s: Sum if s.prettyName == "sum" && ansiMatches(d) =>
       d.sums.collectFirst {
-        // the JOIN kind's signed fold drives a group's sum to 0
-        // where the defining query yields NULL (all remaining values
-        // NULL) — provably identical only for non-nullable arguments
-        // there (SUM(COALESCE(x, 0)) is the sound nullable shape)
+        // the JOIN and DISTINCT kinds' signed folds drive a group's
+        // sum to 0 where the defining query yields NULL (all remaining
+        // values NULL) — provably identical only for non-nullable
+        // arguments there (SUM(COALESCE(x, 0)) is the sound shape)
         case (nm, txt) if storedMatches(txt, s.child, bindOut, d)(se =>
-          d.kind != "join" || !se.nullable) => nm
+          (d.kind != "join" && d.kind != "distinct") || !se.nullable) => nm
       }
     case a: Average if a.prettyName == "avg" && d.kind == "minmax" &&
         ansiMatches(d) =>
@@ -319,6 +319,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val b = d0.kind match {
           case "single" => Seq(IncrementalMv.basis(mvDir))
           case "minmax" => Seq(MinMaxMv.basis(mvDir))
+          case "distinct" => Seq(DistinctMv.basis(mvDir))
           case _ => IncrementalJoinMv.basisAll(mvDir)
         }
         if (LakeTable.currentSnapshot(mvDir) != head ||
@@ -451,7 +452,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).flatMap {
             case (head, mtime, d, basis)
-                if (d.kind == "single" || d.kind == "minmax") &&
+                if (d.kind == "single" || d.kind == "minmax" ||
+                  d.kind == "distinct") &&
                   // the registry is advisory: verify the DEFINITION
                   // really names this fact (a re-created MV at the
                   // same path may cover a different table)
@@ -463,11 +465,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
               if (basis == Seq(snap))
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
                   rels.head.output, Set.empty, head, mtime))
-              else if (staleOk && basis.head < snap &&
+              else if (staleOk && d.kind != "distinct" &&
+                  basis.head < snap &&
                   appendOnlyCached(d.fact, basis.head, snap))
                 // STALE but compensable: the gap is pure appends, so
                 // MV rows ⊎ the tail's per-row contributions fold to
-                // exactly the head answer (the refresh law, at read)
+                // exactly the head answer (the refresh law, at read).
+                // The distinct kind never compensates: COUNT(DISTINCT)
+                // cannot fold from stored per-group counts plus delta
+                // rows (a delta key may already be counted).
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
                   rels.head.output, Set.empty, head, mtime,
                   deltaFrom = basis.head, deltaTo = snap))
@@ -708,6 +714,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val groupSet = qg.toSet
     val projList = mapOutputs(outs,
       mapAgg = {
+        // the DISTINCT kind's headline measure: COUNT(DISTINCT x)
+        // over the fact maps to the stored live-key count exactly
+        // when x IS the definition's distinct column — the one
+        // aggregate shape every other tier must veto
+        case ae @ AggregateExpression(
+            Count(Seq(ar: AttributeReference)), Complete, true, None, _)
+            if c.d.kind == "distinct" &&
+              sameName(ar.name, c.d.distinctCol) =>
+          mvAttr(c.d.distinctName).filter(_.dataType == ae.dataType)
         case ae @ AggregateExpression(fn, Complete, false, None, _) =>
           measureCol(fn, c.d, c.bindOut).flatMap(mvAttr)
             .filter(_.dataType == ae.dataType)

@@ -1050,6 +1050,114 @@ object Lake {
       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
       |ORDER BY stage, event_type""".stripMargin
 
+  // --- q_sql_mv_distinct: the DISTINCT-COUNT materialized view —
+  // `COUNT(DISTINCT x)` GROUP BY g through the same CREATE
+  // MATERIALIZED VIEW front door: arguably THE most common warehouse
+  // rollup ("daily unique users per dimension") and the one aggregate
+  // every other kind must reject. Maintained EXACTLY by the hidden
+  // (group, key)-grain signed state (lake/DistinctMv): the change
+  // feed folds ±1 multiplicities per (g, x) — a key retires at 0 —
+  // and the visible view derives COUNT(DISTINCT) as the group's live
+  // non-null key count, COUNT(*) as summed multiplicities, SUMs as
+  // summed signed partials. Unlike the single kind, the law stays
+  // INCREMENTAL ACROSS MoR DELETES AND MERGES (mode `signed` — the
+  // captured mode literals gate it): refresh cost is O(changed rows)
+  // + state-sized shuffles, never a fact scan. Stage 3 deletes every
+  // row of uids ≡ 0 (mod 10) — those keys must RETIRE (uniq drops)
+  // while surviving keys' duplicates keep counting. Stage 4 runs the
+  // plain COUNT(DISTINCT) fact query with EVERY fact data file
+  // hidden: only the rewrite-rule-served plan (plans/MvRewrite's
+  // distinct tier) can produce rows at all.
+  def qSqlMvDistinct(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.dcf_$id"; val mv = s"graft.q.dcv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqldc")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, uid BIGINT, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, event_id % 997,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqldc WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+             |  SUM(COALESCE(vx100, 0)) AS sum_vx100
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    def mode(): String =
+      s.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    val mode1 = mode()
+    // stage 2: appends — new uids appear, old uids duplicate
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dcv_$id')")
+    val mode2 = mode()
+    // stage 3: a MoR DELETE takes out EVERY row of uids ≡ 0 (mod 10)
+    // — the single kind would fall to a full recompute here; the
+    // distinct kind folds the delete pre-images signed and RETIRES
+    // the vanished keys (mode stays `signed`)
+    s.sql(s"DELETE FROM $fact WHERE uid % 10 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dcv_$id')")
+    val mode3 = mode()
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.dcf_$id")
+    // stage 4: the fact query, served — every fact data file hidden
+    val served = withHiddenFiles(factDir) {
+      s.sql(s"""SELECT event_type, COUNT(*) AS n,
+               |  COUNT(DISTINCT uid) AS uniq,
+               |  SUM(COALESCE(vx100, 0)) AS sum_vx100
+               |FROM $fact GROUP BY event_type""".stripMargin).collect()
+    }
+    def stage(k: Int, m: String) =
+      s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, event_type, n,
+         |  uniq, sum_vx100
+         |FROM $mv VERSION AS OF $k""".stripMargin
+    import s.implicits._
+    val s4 = served.toSeq
+      .map(r => (4L, "served", r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toDF("stage", "mode", "event_type", "n", "uniq", "sum_vx100")
+    s.sql(Seq(stage(1, mode1), stage(2, mode2), stage(3, mode3))
+      .mkString("", "\nUNION ALL\n", ""))
+      .unionByName(s4)
+      .orderBy(col("stage"), col("event_type"))
+  }
+
+  val qSqlMvDistinctSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 997 AS uid,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'full' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 = 0 GROUP BY event_type),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, 'signed' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY event_type),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage, 'signed' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 10 <> 0
+      |  GROUP BY event_type),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT) AS stage, 'served' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 10 <> 0
+      |  GROUP BY event_type)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |ORDER BY stage, event_type""".stripMargin
+
   // --- q_sql_mv_profile: the PROFILE view — `g, COUNT(*), SUM, MIN,
   // MAX, AVG` as ONE materialized view through the same front door.
   // MIN/MAX force the GROUP-TARGETED RECOMPUTE kind (no signed delta
@@ -4843,6 +4951,7 @@ object Lake {
     "q_sql_mv" -> qSqlMv,
     "q_sql_mv_minmax" -> qSqlMvMinmax,
     "q_sql_mv_single" -> qSqlMvSingle,
+    "q_sql_mv_distinct" -> qSqlMvDistinct,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_rewrite" -> qSqlMvRewrite,
     "q_sql_mv_rewrite_stale" -> qSqlMvRewriteStale,
@@ -4929,6 +5038,7 @@ object Lake {
     "q_sql_mv" -> qSqlMvSql,
     "q_sql_mv_minmax" -> qSqlMvMinmaxSql,
     "q_sql_mv_single" -> qSqlMvSingleSql,
+    "q_sql_mv_distinct" -> qSqlMvDistinctSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,
     "q_sql_mv_rewrite" -> qSqlMvRewriteSql,
     "q_sql_mv_rewrite_stale" -> qSqlMvRewriteStaleSql,

@@ -1334,6 +1334,115 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $mv"); spark.sql(s"DROP TABLE $fact")
   }
 
+  test("SQL distinct-count MV: signed (group,key) state folds appends AND MoR deletes incrementally; keys retire at 0; rewrite serves COUNT(DISTINCT)") {
+    import graft.lake.LakeTable
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.df_$id"; val mv = s"graft.psd.dv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, h BIGINT, u BIGINT, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'a', 0, 100, 10), (2, 'a', 0, 100, 20),
+                 |(3, 'a', 1, 200, 30), (4, 'b', 0, 300, 40)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, h, COUNT(*) AS n, COUNT(DISTINCT u) AS du,
+                 |  SUM(COALESCE(x, 0)) AS sx
+                 |FROM $fact GROUP BY g, h""".stripMargin)
+    def state(): Map[(String, Long), (Long, Long, Long)] =
+      spark.sql(s"SELECT g, h, n, du, sx FROM $mv").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def mode(): String =
+      spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    assert(state() === Map(("a", 0L) -> ((2L, 1L, 30L)),
+      ("a", 1L) -> ((1L, 1L, 30L)), ("b", 0L) -> ((1L, 1L, 40L))),
+      "duplicate keys must count once")
+    assert(mode() === "full")
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.df_$id")
+    val mvDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.dv_$id")
+    // ---- append refresh folds ONLY the changelog of the new commit:
+    // hide every pre-basis fact file — a plan touching them throws
+    spark.sql(s"INSERT INTO $fact VALUES (5, 'a', 0, 400, 50), (6, 'b', 0, 300, 60)")
+    val v1Files = LakeTable.manifest(factDir, 1).files.map(_.path)
+    def shift(hide: Boolean): Unit = v1Files.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift(hide = true)
+    try spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.dv_$id')"): Unit
+    finally shift(hide = false)
+    assert(mode() === "signed", "an append folds through the signed state")
+    assert(state() === Map(("a", 0L) -> ((3L, 2L, 80L)),
+      ("a", 1L) -> ((1L, 1L, 30L)), ("b", 0L) -> ((2L, 1L, 100L))),
+      "a re-inserted key (300) must not inflate the distinct count")
+    // ---- a MoR DELETE stays INCREMENTAL (the single kind's full-
+    // recompute case): one copy of the duplicated key 100 dies (du
+    // keeps it), key 200 fully retires and empties its group
+    spark.sql(s"DELETE FROM $fact WHERE fid IN (1, 3)")
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.dv_$id')")
+    assert(mode() === "signed",
+      "deletes fold signed — never a full recompute")
+    assert(state() === Map(("a", 0L) -> ((2L, 2L, 70L)),
+      ("b", 0L) -> ((2L, 1L, 100L))),
+      "a key retires at multiplicity 0; an emptied group leaves the view")
+    // ---- rewrite: the COUNT(DISTINCT) fact query is served from the
+    // MV — plan-level scan check plus every fact data file hidden
+    val q = s"""SELECT g, h, COUNT(*) AS cnt, COUNT(DISTINCT u) AS du,
+               |SUM(COALESCE(x, 0)) AS sx FROM $fact GROUP BY g, h""".stripMargin
+    assert(mvScanRoots(q) === Seq(mvDir), "exact tier must scan the MV only")
+    shiftFiles(factDir, hide = true)
+    val served =
+      try spark.sql(q).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      finally shiftFiles(factDir, hide = false)
+    assert(served === Set(("a", 0L, 2L, 2L, 70L), ("b", 0L, 2L, 1L, 100L)))
+    // a DIFFERENT distinct argument never binds to the stored column
+    assert(mvScanRoots(
+      s"SELECT g, h, COUNT(DISTINCT x) AS dx FROM $fact GROUP BY g, h")
+      === Seq(factDir), "COUNT(DISTINCT <other col>) must run as written")
+    // COUNT(DISTINCT) does NOT roll up from per-group counts
+    assert(mvScanRoots(
+      s"SELECT g, COUNT(DISTINCT u) AS du FROM $fact GROUP BY g")
+      === Seq(factDir), "a group-subset COUNT(DISTINCT) must run as written")
+    // ---- stale: an unrefreshed append is NEVER compensated for the
+    // distinct kind (a delta key may already be counted)
+    spark.sql(s"INSERT INTO $fact VALUES (7, 'a', 0, 100, 70)")
+    assert(mvScanRoots(q) === Seq(factDir),
+      "a stale distinct MV must not serve or compensate")
+    assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet ===
+      Set(("a", 0L, 3L, 2L), ("b", 0L, 2L, 1L)))
+    // ---- grammar guards
+    val eTwo = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.dbad_$id AS
+                   |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS du,
+                   |  COUNT(DISTINCT x) AS dx
+                   |FROM $fact GROUP BY g""".stripMargin)
+    }
+    assert(eTwo.getMessage.contains("one COUNT(DISTINCT) measure only"),
+      eTwo.getMessage)
+    val eMin = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.dbad_$id AS
+                   |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS du,
+                   |  MIN(x) AS mn, MAX(x) AS mx
+                   |FROM $fact GROUP BY g""".stripMargin)
+    }
+    assert(eMin.getMessage.contains("MIN/MAX measures cannot share a view"),
+      eMin.getMessage)
+    val eSelf = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.dbad_$id AS
+                   |SELECT g, COUNT(*) AS n, COUNT(DISTINCT g) AS dg
+                   |FROM $fact GROUP BY g""".stripMargin)
+    }
+    assert(eSelf.getMessage.contains("constant 1 per group"), eSelf.getMessage)
+    spark.sql(s"DROP MATERIALIZED VIEW $mv"); spark.sql(s"DROP TABLE $fact")
+  }
+
   /** Every lake-table root the optimized plan scans. */
   private def mvScanRoots(sql: String): Seq[String] =
     spark.sql(sql).queryExecution.optimizedPlan.collect {
