@@ -429,10 +429,26 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           x._3.kind == "join" && x._3.groupExprs.nonEmpty).flatMap {
           case (head, mtime, d, basis) =>
             matchJoin(d, conds, rels).flatMap {
-              case (residual, bindOut, unsafe, _, _, snaps) =>
+              case (residual, bindOut, unsafe, factRel, dimRels, snaps) =>
+                lazy val roots = d.fact +: d.joinDims.map(_.root)
                 if (basis == snaps)
                   Some(Candidate(mvDir, d, residual, bindOut, unsafe,
                     head, mtime))
+                else if (staleOk && basis.size == snaps.size &&
+                    basis.zip(snaps).forall { case (b, sn) =>
+                      b >= 1 && b <= sn } &&
+                    roots.zip(basis.zip(snaps)).forall {
+                      case (r, (b, sn)) =>
+                        b == sn || appendOnlyCached(r, b, sn) })
+                  // the time-bucketed star right after an ingest batch
+                  // (on ANY axis subset): the staircase terms re-derive
+                  // the bucket over the joined delta rows at read time
+                  Some(Candidate(mvDir, d, residual, bindOut, unsafe,
+                    head, mtime, factRel = Some(factRel),
+                    axes = (factRel +: dimRels).zip(roots)
+                      .zip(basis.zip(snaps)).map {
+                        case ((rel, r), (b, sn)) => JoinAxis(rel, r, b, sn)
+                      }))
                 else None
             }
         }
@@ -442,8 +458,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // column of its MEANING, never of its surface name — the top-level
     // alias keeps the original name/exprId so parents resolve
     def exprServed: Option[LogicalPlan] =
-      (exprCands ++ exprJoinCands).view.flatMap(
-        rewriteExprGroup(agg, _, groupSub, outs)).headOption
+      (exprCands ++ exprJoinCands)
+        .sortBy(c => if (c.deltaFrom >= 0 || c.axes.nonEmpty) 1 else 0)
+        .view.flatMap(rewriteExprGroup(agg, _, groupSub, outs)).headOption
     val groupAttrs = groupAttrsOpt.getOrElse(return exprServed)
     val matched: Seq[Candidate] =
       if (rels.size == 1) {
@@ -983,6 +1000,90 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _: AttributeReference => None // the mapAttr path pins those
       case e => nodeMap(e)
     }
+    if (c.axes.exists(ax => ax.basis < ax.snap)) {
+      // STALE expression-group STAR (join kind) over an append-only
+      // gap on any axis subset: the delta-join STAIRCASE evaluated at
+      // read time, with the bucket RE-DERIVED per term — each term
+      // re-runs the user's own join subtree (the term's axis
+      // substituted by its delta scan, earlier moved axes basis-
+      // pinned, non-delta axes manifest-stats-pruned on the join
+      // keys) and projects the user's OWN grouping expressions, so
+      // the bucket derives over exactly the joined change rows the
+      // term folds. SUM admission mirrors the plain join staircase
+      // (measureCol's non-nullable + ANSI gates, integral argument,
+      // bigint stored column).
+      import org.apache.spark.sql.types.LongType
+      val mvG2 = qg.map(nm => mvAttr(nm).getOrElse(return None))
+      groupSub.zip(mvG2).foreach { case (e, m) =>
+        if (e.dataType != m.dataType) return None }
+      val nMv = mvAttr(IncrementalJoinMv.CountCol)
+        .filter(_.dataType == LongType).getOrElse(return None)
+      val userSums: Seq[(String, Expression)] =
+        outs.flatMap(_.collect {
+          case AggregateExpression(fn: Sum, Complete, false, None, _) =>
+            measureCol(fn, d, c.bindOut).map(nm => (canon(nm), fn.child))
+        }.flatten).distinctBy(_._1)
+      val sums: Seq[(Attribute, Expression, String)] =
+        d.sums.flatMap { case (nm, _) =>
+          userSums.find(_._1 == canon(nm)).map { case (_, ue) =>
+            val mcol = mvAttr(nm).filter(_.dataType == LongType)
+              .getOrElse(return None)
+            if (!integral(ue.dataType)) return None
+            (mcol, Cast(ue, LongType): Expression, nm)
+          }
+        }
+      val measures = (nMv, Literal(1L): Expression,
+        IncrementalJoinMv.CountCol) +: sums
+      // the copied subtrees expose only their own output: grouping
+      // expressions / measure references hidden behind a renaming
+      // Project are unreachable — fall back before paying the delta
+      // scans' manifest resolution
+      val childOut = agg.child.outputSet
+      if (!agg.groupingExpressions.flatMap(_.references)
+          .forall(childOut.contains) ||
+        !sums.flatMap(_._2.references).forall(childOut.contains))
+        return None
+      val dSides: Seq[LogicalPlan] = staircaseChildren(agg, c)
+        .getOrElse(return None)
+        .map { newChild =>
+          Project(
+            agg.groupingExpressions.zip(qg).map { case (e, nm) =>
+              Alias(e, nm)(): NamedExpression
+            } ++ measures.map { case (_, e, nm) => Alias(e, nm)() },
+            newChild)
+        }
+      val mvSide = Project(
+        (mvG2 ++ measures.map(_._1)).map(a => a: NamedExpression),
+        cond2.map(Filter(_, mv)).getOrElse(mv))
+      val union = Union(mvSide +: dSides)
+      val uOut = union.output
+      val uG = uOut.take(qg.size)
+      val uM: Map[String, Attribute] =
+        measures.map(_._3).map(canon).zip(uOut.drop(qg.size)).toMap
+      val posOf: Map[String, Attribute] = qg.zip(uG).toMap
+      def uNodeMap(e: Expression): Option[Expression] =
+        groupColOf(e).filter(qg.contains).flatMap(posOf.get)
+          .filter(_.dataType == e.dataType)
+      val aggExprs = mapOutputs(outs,
+        mapAgg = {
+          case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+            val folded: Option[AggregateFunction] = fn match {
+              case Count(Seq(Literal(v, _))) if v != null =>
+                uM.get(canon(IncrementalJoinMv.CountCol)).map(new Sum(_))
+              case su: Sum =>
+                measureCol(su, d, c.bindOut).map(canon)
+                  .flatMap(uM.get).map(new Sum(_))
+              case _ => None
+            }
+            folded.filter(_.dataType == ae.dataType)
+              .map(f => ae.copy(aggregateFunction = f))
+          case _ => None
+        },
+        mapAttr = a => uNodeMap(a),
+        mapNode = { case _: AttributeReference => None; case e => uNodeMap(e) })
+        .getOrElse(return None)
+      return Some(Aggregate(uG.map(a => a: Expression), aggExprs, union, None))
+    }
     if (c.deltaFrom >= 0) {
       // STALE + append-only: MV rows ⊎ the delta rows with the bucket
       // RE-DERIVED per row (the stored expression text over the delta
@@ -1227,10 +1328,43 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (!groupAttrs.forall(childOut.contains) ||
       !sums.flatMap(_._2.references).forall(childOut.contains))
       return None
+    val dSides: Seq[LogicalPlan] = staircaseChildren(agg, c)
+      .getOrElse(return None)
+      .map { newChild =>
+        Project(
+          groupAttrs.map(a => a: NamedExpression) ++
+            measures.map { case (_, e, nm) => Alias(e, nm)() },
+          newChild)
+      }
+    val mvSide = Project((mvG ++ measures.map(_._1)).map(a => a: NamedExpression),
+      mvCond.map(Filter(_, mv)).getOrElse(mv))
+    foldedAggregate(outs, groupAttrs, c, mvSide, dSides, measures.map(_._3))
+  }
+
+  /** One substituted copy of `agg.child` per MOVED axis — the
+    * delta-join staircase's union terms, minus their projections
+    * (callers project plain group attributes or re-derived group
+    * expressions over each). Per term k:
+    *  - the term's axis → its delta files' scan;
+    *  - every EARLIER moved axis → a scan PINNED at its basis
+    *    snapshot (unmoved axes already scan their basis);
+    *  - later axes and unmoved axes stay as the user scanned them.
+    * Every non-delta axis that joins the term's axis additionally
+    * gets the delta's manifest-stats key-range pushed as a filter
+    * (metadata-derived, implied by the equi-join — pure pruning: a
+    * late-arriving dimension batch with new keys re-reads ZERO fact
+    * files). All substitutes are rebound to the original relations'
+    * exprIds, so join conditions, pushed filters and group
+    * expressions in the copied subtree resolve unchanged.
+    */
+  private def staircaseChildren(agg: Aggregate,
+      c: Candidate): Option[Seq[LogicalPlan]] = {
+    val moved = c.axes.filter(ax => ax.basis < ax.snap)
+    if (moved.isEmpty) return None
     // join keys per axis: the fact (axis 0) joins each dim i on
     // joinDims(i).keys — the columns a delta's manifest-stats range
     // constrains on the OPPOSITE side of that join
-    val dimKeys: Seq[Seq[String]] = d.joinDims.map(_.keys)
+    val dimKeys: Seq[Seq[String]] = c.d.joinDims.map(_.keys)
     def keyRangeCond(rel: DataSourceV2Relation, keys: Seq[String],
         deltaRoot: String, from: Int, to: Int): Option[Expression] = {
       val conds = keys.flatMap { k =>
@@ -1243,18 +1377,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
       conds.reduceOption(And)
     }
-    // one union term per moved axis, in axis order
-    val dSides: Seq[LogicalPlan] = moved.map { ax =>
+    Some(moved.map { ax =>
       val k = c.axes.indexWhere(_.rel eq ax.rel)
       val delta = deltaScan(ax.root, ax.basis, ax.snap).getOrElse(return None)
-      // substitutions for this term, keyed by reference identity:
-      //  - the term's axis → its delta scan;
-      //  - every EARLIER moved axis → a scan PINNED at its basis
-      //    snapshot (unmoved axes already scan their basis);
-      //  - later axes and unmoved axes stay as the user scanned them.
-      // Every non-delta axis that joins the term's axis additionally
-      // gets the delta's manifest-stats key-range pushed as a filter
-      // (metadata-derived, implied by the equi-join — pure pruning).
       val subs: Seq[(DataSourceV2Relation, LogicalPlan)] =
         c.axes.zipWithIndex.flatMap { case (other, j) =>
           val joinsTerm =
@@ -1276,18 +1401,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             Some(other.rel -> prune(other.rel))
           else None
         }
-      val newChild = agg.child.transformUp {
+      agg.child.transformUp {
         case r: DataSourceV2Relation if subs.exists(_._1 eq r) =>
           subs.find(_._1 eq r).get._2
       }
-      Project(
-        groupAttrs.map(a => a: NamedExpression) ++
-          measures.map { case (_, e, nm) => Alias(e, nm)() },
-        newChild)
-    }
-    val mvSide = Project((mvG ++ measures.map(_._1)).map(a => a: NamedExpression),
-      mvCond.map(Filter(_, mv)).getOrElse(mv))
-    foldedAggregate(outs, groupAttrs, c, mvSide, dSides, measures.map(_._3))
+    })
   }
 
   /** An analyzed scan of a lake table PINNED at `snap` — the

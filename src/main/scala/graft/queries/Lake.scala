@@ -2764,6 +2764,24 @@ object Lake {
     val s4 = served.toSeq
       .map(r => (4L, r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toDF("stage", "d", "wb", "n", "sum_vx100")
+    // stage 5: the COMPENSATED tier — a THIRD fact batch lands
+    // UNREFRESHED, and every PRE-APPEND fact file is hidden: the
+    // fresh bucketed star totals are then only reachable via
+    // MV ⊎ (ΔF ⋈ dim) — the delta-join staircase evaluated at read
+    // time, with the bucket RE-DERIVED per joined delta row (a bare
+    // MV answer returns stale numbers and fails the hash; a fact
+    // scan throws)
+    val preSnap = graft.lake.LakeTable.currentSnapshot(factDir)
+    ins("event_id % 10 = 3")
+    val served5 = withHiddenFiles(factDir, _.seq <= preSnap) {
+      s.sql(s"""SELECT date_trunc('DAY', ts) AS d, wb, COUNT(*) AS n,
+               |  SUM(COALESCE(vx100, 0)) AS sum_vx100
+               |FROM $fact JOIN $dim USING (event_type)
+               |GROUP BY date_trunc('DAY', ts), wb""".stripMargin).collect()
+    }
+    val s5 = served5.toSeq
+      .map(r => (5L, r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("stage", "d", "wb", "n", "sum_vx100")
     s.sql(s"""SELECT CAST(1 AS BIGINT) AS stage, d, CAST(wb AS BIGINT) AS wb,
              |  n, sum_vx100
              |FROM $mv VERSION AS OF 1
@@ -2775,6 +2793,7 @@ object Lake {
              |FROM $mv VERSION AS OF 3
              |ORDER BY stage, d, wb""".stripMargin)
       .unionByName(s4)
+      .unionByName(s5)
       .orderBy(col("stage"), col("d"), col("wb"))
   }
 
@@ -2808,9 +2827,16 @@ object Lake {
       |s4 AS (
       |  SELECT CAST(4 AS BIGINT), date_trunc('day', ts),
       |    CAST(wb AS BIGINT), COUNT(*), CAST(SUM(vx100) AS BIGINT)
-      |  FROM f JOIN d2 USING (event_type) GROUP BY 2, 3)
+      |  FROM f JOIN d2 USING (event_type) GROUP BY 2, 3),
+      |s5 AS (
+      |  SELECT CAST(5 AS BIGINT), date_trunc('day', ts),
+      |    CAST(wb AS BIGINT), COUNT(*), CAST(SUM(vx100) AS BIGINT)
+      |  FROM (SELECT * FROM f UNION ALL
+      |        SELECT * FROM f WHERE event_id % 10 = 3) u
+      |  JOIN d2 USING (event_type) GROUP BY 2, 3)
       |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-      |               UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |               UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      |               UNION ALL SELECT * FROM s5)
       |ORDER BY stage, d, wb""".stripMargin
 
   // --- q_sql_mv_drop: the DDL lifecycle's other half — DROP

@@ -2101,6 +2101,86 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("compensated staircase serves STALE expression-group STAR MVs: bucket re-derived per term on fact AND dim append axes; a dim rewire falls back") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.cxf_$id"; val dim = s"graft.psd.cxd_$id"
+    val mv = s"graft.psd.cxv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, ts TIMESTAMP, k STRING, x BIGINT)")
+    // fid 4 carries a key the dimension does NOT hold yet — the MV's
+    // inner join excludes it until the late-arriving dim row lands
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, TIMESTAMP '2024-01-01 10:00:00', 'k0', 10),
+                 |(2, TIMESTAMP '2024-01-01 23:00:00', 'k1', 20),
+                 |(3, TIMESTAMP '2024-01-02 01:00:00', 'k0', 30),
+                 |(4, TIMESTAMP '2024-01-02 05:00:00', 'k2', 25)""".stripMargin)
+    spark.sql(s"CREATE TABLE $dim (k STRING, g STRING)")
+    spark.sql(s"INSERT INTO $dim VALUES ('k0','a'),('k1','b')")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT date_trunc('DAY', ts) AS d, g, COUNT(*) AS n,
+                 |  SUM(COALESCE(x, 0)) AS sx
+                 |FROM $fact JOIN $dim USING (k) GROUP BY d, g""".stripMargin)
+    val q =
+      s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day, g,
+         |  COUNT(*) AS c, SUM(COALESCE(x, 0)) AS sx
+         |FROM $fact JOIN $dim USING (k)
+         |GROUP BY date_trunc('DAY', ts), g""".stripMargin
+    def run(): Map[(String, String), (Long, Long)] =
+      spark.sql(q).collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.cxf_$id")
+    val mvDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.cxv_$id")
+    // ---- FACT axis: an unrefreshed fact append — hide every
+    // PRE-APPEND fact file, so the fresh totals are only reachable
+    // via MV ⊎ (ΔF ⋈ dim) with the bucket re-derived per delta row
+    spark.sql(s"INSERT INTO $fact VALUES " +
+      s"(5, TIMESTAMP '2024-01-03 03:00:00', 'k1', 40)")
+    val v1Files = graft.lake.LakeTable.manifest(factDir, 1).files.map(_.path)
+    def shift(hide: Boolean): Unit = v1Files.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift(hide = true)
+    try assert(run() === Map(
+      ("2024-01-01 00:00:00", "a") -> ((1L, 10L)),
+      ("2024-01-01 00:00:00", "b") -> ((1L, 20L)),
+      ("2024-01-02 00:00:00", "a") -> ((1L, 30L)),
+      ("2024-01-03 00:00:00", "b") -> ((1L, 40L))),
+      "the fact-axis staircase must fold the delta with fresh buckets")
+    finally shift(hide = false)
+    // ---- BOTH axes: a late-arriving dimension row lands too — the
+    // F₀ ⋈ ΔD term must surface the pre-existing k2 fact row under
+    // its re-derived day bucket (plan must still read the MV)
+    spark.sql(s"INSERT INTO $dim VALUES ('k2','b')")
+    assert(mvScanRoots(q).contains(mvDir),
+      "the two-axis staircase must serve from the MV scan")
+    assert(run() === Map(
+      ("2024-01-01 00:00:00", "a") -> ((1L, 10L)),
+      ("2024-01-01 00:00:00", "b") -> ((1L, 20L)),
+      ("2024-01-02 00:00:00", "a") -> ((1L, 30L)),
+      ("2024-01-02 00:00:00", "b") -> ((1L, 25L)),
+      ("2024-01-03 00:00:00", "b") -> ((1L, 40L))))
+    // ---- a dim REWIRE breaks the append-only precondition: the
+    // star runs as written (fact scan), values fresh
+    spark.sql(s"UPDATE $dim SET g = 'a' WHERE k = 'k1'")
+    assert(mvScanRoots(q) === Seq(factDir,
+      spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.cxd_$id")),
+      "a rewired dimension must fall back to the plain star")
+    assert(run() === Map(
+      ("2024-01-01 00:00:00", "a") -> ((2L, 30L)),
+      ("2024-01-02 00:00:00", "a") -> ((1L, 30L)),
+      ("2024-01-02 00:00:00", "b") -> ((1L, 25L)),
+      ("2024-01-03 00:00:00", "a") -> ((1L, 40L))))
+    Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("MV rewrite serves expression-group MVs: GROUP BY the same date_trunc maps onto the stored bucket; alias names never bind from fact columns") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
