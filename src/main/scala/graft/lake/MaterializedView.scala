@@ -214,7 +214,14 @@ object MaterializedView {
     import org.apache.spark.sql.types._
     val argTypes =
       try {
-        val probe = LakeTable.read(s, d.fact) // plan-only: schema, no IO
+        // schema-only probe with ZERO file IO: an empty frame under
+        // the manifest schema (a scan-based probe can stat data files
+        // eagerly — a refresh running with hidden/moved files would
+        // then silently lose its fold law and scan the fact head)
+        val schema = LakeTable.storedSchemaOf(d.fact).getOrElse(
+          LakeTable.read(s, d.fact).schema)
+        val probe = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         d.sums.map(x => probe.selectExpr(x._2).schema.head.dataType)
       } catch { case _: Exception => d.sums.map(_ => DoubleType) } // → no fold
     d.sums.zip(argTypes).map {
@@ -294,6 +301,30 @@ object MaterializedView {
       out
     }
 
+  /** The minmax kind's recompute/mask KEY: the first STORED
+    * NON-TIMESTAMP fact group column (never a derived bucket alias —
+    * the changelog must name it, the IN filter must reach the
+    * manifest, and the fold's equality-delete mask must
+    * equality-apply, which timestamps cannot). Plain-column views
+    * keep the legacy lead-column key; the DDL guards guarantee a
+    * usable key exists for expression-group views.
+    */
+  private def minmaxKey(s: SparkSession, d: MvDef): String = {
+    if (d.groupExprs.isEmpty) return d.group.head
+    val exprNames = d.groupExprs.map(_._1.toLowerCase).toSet
+    val bare = d.group.filterNot(g => exprNames.contains(g.toLowerCase))
+    val types = scala.util.Try {
+      // manifest schema only — zero file IO (see minmaxExtraFolds)
+      val schema = LakeTable.storedSchemaOf(d.fact).get
+      bare.flatMap(g => schema.fields.find(_.name.equalsIgnoreCase(g))
+        .map(g -> _.dataType)).toMap
+    }.getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+    bare.find(g => types.get(g)
+        .forall(_ != org.apache.spark.sql.types.TimestampType))
+      .getOrElse(sys.error("min/max MV has no plain non-timestamp group " +
+        "column to key its recompute on — CREATE should have rejected this"))
+  }
+
   private def cfgOf(d: MvDef): BlockWriter.Config =
     BlockWriter.Config(d.group.head, d.group.head, maxRecordsPerFile = 1 << 20)
 
@@ -313,7 +344,8 @@ object MaterializedView {
         if (d.kind == "minmax")
           MinMaxMv.create(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
             d.minName, d.maxName, extras = minmaxExtras(d),
-            subGroups = d.group.tail)
+            subGroups = d.group.tail, prep = prepFor(s, d),
+            keyCol = minmaxKey(s, d))
         else if (d.kind == "single")
           IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
             cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d))
@@ -430,7 +462,8 @@ object MaterializedView {
     if (d.kind == "minmax")
       Seq(MinMaxMv.refresh(s, d.fact, mvDir, d.group.head, d.value, cfgOf(d),
         d.minName, d.maxName, extras = minmaxExtras(d),
-        subGroups = d.group.tail, extraFolds = minmaxExtraFolds(s, d)))
+        subGroups = d.group.tail, extraFolds = minmaxExtraFolds(s, d),
+        prep = prepFor(s, d), keyCol = minmaxKey(s, d)))
     else if (d.kind == "single")
       Seq(IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
         cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d)))

@@ -96,21 +96,32 @@ object MinMaxMv {
           max(col(valueCol)).as(maxName) +:
           extras.map { case (n, c) => c.as(n) }: _*)
 
-  /** Materialize from the fact head; returns the MV snapshot. */
+  /** Materialize from the fact head; returns the MV snapshot.
+    * `prep` derives expression group columns (time buckets) over
+    * every fact read BEFORE grouping; `keyCol` is the column the
+    * targeted recompute's IN filter and the fold's equality-delete
+    * mask key on — a STORED FACT column (never a derived bucket:
+    * the changelog must name it and the mask must equality-apply),
+    * defaulting to the lead group column.
+    */
   def create(s: SparkSession, factRoot: String, mvRoot: String,
       group: String, valueCol: String, cfg: BlockWriter.Config,
       minName: String = null, maxName: String = null,
       extras: Seq[(String, Column)] = Nil,
-      subGroups: Seq[String] = Nil): Int = {
+      subGroups: Seq[String] = Nil,
+      prep: DataFrame => DataFrame = identity,
+      keyCol: String = null): Int = {
+    val key = Option(keyCol).getOrElse(group)
     val f = LakeTable.currentSnapshot(factRoot)
-    val st = state(LakeTable.read(s, factRoot, Some(f)), group, subGroups, valueCol,
+    val st = state(prep(LakeTable.read(s, factRoot, Some(f))), group,
+      subGroups, valueCol,
       Option(minName).getOrElse(s"min_$valueCol"),
       Option(maxName).getOrElse(s"max_$valueCol"), extras)
       .persist()
     try {
       // fail at CREATE, not first refresh (see refresh's NULL guard)
-      require(st.filter(col(group).isNull).isEmpty,
-        s"min/max MV: NULL in group column '$group' cannot be " +
+      require(st.filter(col(key).isNull).isEmpty,
+        s"min/max MV: NULL in key column '$key' cannot be " +
           "incrementally maintained — coalesce it upstream")
       LakeTable.commit(s, mvRoot, st, cfg, Seq(group),
         note = s"mmv-basis-$f-full")
@@ -128,7 +139,10 @@ object MinMaxMv {
       minName: String = null, maxName: String = null,
       extras: Seq[(String, Column)] = Nil,
       subGroups: Seq[String] = Nil,
-      extraFolds: Seq[Option[Column => Column]] = Nil): Int = {
+      extraFolds: Seq[Option[Column => Column]] = Nil,
+      prep: DataFrame => DataFrame = identity,
+      keyCol: String = null): Int = {
+    val key = Option(keyCol).getOrElse(group)
     val f0 = basis(mvRoot)
     val f1 = LakeTable.currentSnapshot(factRoot)
     if (f0 == f1) return f0
@@ -158,17 +172,17 @@ object MinMaxMv {
       // filtered scan (incrementalRead), not one changelog frame per
       // commit — a 100-commit refresh range is one plan, not a union
       val deltaState = state(
-        LakeTable.incrementalRead(s, factRoot, f0, f1),
+        prep(LakeTable.incrementalRead(s, factRoot, f0, f1)),
         group, subGroups, valueCol, mn, mx, extras).persist()
       try {
         // empty-append commits: nothing to fold, basis stays put
         if (deltaState.isEmpty) return f0
-        require(deltaState.filter(col(group).isNull).isEmpty,
-          s"min/max MV: NULL in group column '$group' cannot be " +
+        require(deltaState.filter(col(key).isNull).isEmpty,
+          s"min/max MV: NULL in key column '$key' cannot be " +
             "incrementally maintained — coalesce it upstream")
-        val touchedLead = deltaState.select(col(group)).distinct()
+        val touchedLead = deltaState.select(col(key)).distinct()
         val folded = LakeTable.read(s, mvRoot)
-          .join(broadcast(touchedLead), Seq(group), "left_semi")
+          .join(broadcast(touchedLead), Seq(key), "left_semi")
           .unionByName(deltaState)
           .groupBy((group +: subGroups).map(col): _*)
           .agg(sum(col("n")).cast("bigint").as("n"),
@@ -178,7 +192,7 @@ object MinMaxMv {
         val live = s.createDataFrame(
           folded.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd,
           stored).persist()
-        try LakeTable.merge(s, mvRoot, group, live, cfg, Seq(group),
+        try LakeTable.merge(s, mvRoot, key, live, cfg, Seq(group),
           note = s"mmv-basis-$f1-fold"): Unit
         finally { live.unpersist(); () }
         return f1
@@ -189,7 +203,7 @@ object MinMaxMv {
     // first learns only the cardinality, and collects the values
     // only when they are metadata-scale (under the cap).
     val touchedRows = LakeTable.changelogRead(s, factRoot, f0, f1)
-      .select(col(group)).distinct().persist()
+      .select(col(key)).distinct().persist()
     try {
       val nTouched = touchedRows.count()
       // content-preserving commits only (compaction emits zero change
@@ -204,11 +218,11 @@ object MinMaxMv {
         // unbounded driver collect + a giant IN expression (and reads
         // the fact once either way at this cardinality)
         val full = state(
-          s.read.format("graft-lake").option("snapshot", f1).load(factRoot),
+          prep(s.read.format("graft-lake").option("snapshot", f1).load(factRoot)),
           group, subGroups, valueCol, mn, mx, extras).persist()
         try {
-          require(full.filter(col(group).isNull).isEmpty,
-            s"min/max MV: NULL in group column '$group' cannot be " +
+          require(full.filter(col(key).isNull).isEmpty,
+            s"min/max MV: NULL in key column '$key' cannot be " +
               "incrementally maintained — coalesce it upstream")
           LakeTable.rewrite(s, mvRoot, full, cfg, Seq(group),
             note = s"mmv-basis-$f1-full"): Unit
@@ -223,7 +237,7 @@ object MinMaxMv {
       // the IN filter and the eq-delete mask are equality-keyed: a NULL
       // group can neither be recomputed nor retired — fail pointedly
       require(!touched.contains(null),
-        s"min/max MV: NULL in group column '$group' cannot be " +
+        s"min/max MV: NULL in key column '$key' cannot be " +
           "incrementally maintained (equality-keyed recompute + delete " +
           "mask) — coalesce it upstream")
       // targeted recompute THROUGH THE PRUNED SCAN, PINNED at the basis
@@ -232,8 +246,8 @@ object MinMaxMv {
       // filter reaches the manifest, untouched groups' fact files are
       // never opened (a fact clustered by `group` reads |Δ groups|)
       val cur = state(
-        s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
-          .filter(col(group).isin(touched: _*)),
+        prep(s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
+          .filter(col(key).isin(touched: _*))),
         group, subGroups, valueCol, mn, mx, extras)
       // align to the MANIFEST schema exactly (merge's unmapped-table
       // gate compares full schema JSON; a mask-applied read's column
@@ -242,7 +256,7 @@ object MinMaxMv {
       // stored key field — exact for every group type
       val touchedDf = s.createDataFrame(
         java.util.Arrays.asList(touched.map(v => Row(v)): _*),
-        StructType(Seq(stored(group))))
+        StructType(Seq(stored(key))))
       // createDataFrame re-stamps the frame with the EXACT stored
       // schema (merge's unmapped gate compares full JSON incl.
       // nullability; .to() will not relax a non-null column to the
@@ -253,10 +267,10 @@ object MinMaxMv {
       try {
         if (live.isEmpty)
           // every touched group vanished: pure retirement commit
-          LakeTable.deleteWhere(s, mvRoot, group, touchedDf,
+          LakeTable.deleteWhere(s, mvRoot, key, touchedDf,
             note = s"mmv-basis-$f1-targeted"): Unit
         else
-          LakeTable.merge(s, mvRoot, group, live, cfg, Seq(group),
+          LakeTable.merge(s, mvRoot, key, live, cfg, Seq(group),
             note = s"mmv-basis-$f1-targeted", extraDeleteKeys = Some(touchedDf)): Unit
       } finally { live.unpersist(); () }
       f1

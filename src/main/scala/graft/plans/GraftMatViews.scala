@@ -412,18 +412,24 @@ object GraftMatViews {
         case (Some((vMin, aMin)), Some((vMax, aMax))) =>
           if (vMin != vMax)
             grammarError(s"MIN($vMin)/MAX($vMax) must aggregate the same column")
-          if (exprList.nonEmpty)
-            grammarError("expression group columns are supported for " +
-              "COUNT/SUM (single-kind) views only — the MIN/MAX kind's " +
-              "group-targeted recompute keys its pruning and retirement " +
-              "on stored fact columns; materialize the bucket as a " +
-              "table column instead")
+          // expression groups (time buckets) are accepted — each
+          // recompute re-derives them over the fact rows it reads —
+          // but the targeted recompute's IN filter and the fold's
+          // equality-delete mask must key on a STORED FACT column
+          // (the changelog names it; the mask equality-applies), so
+          // at least one plain group column is required
+          if (exprList.nonEmpty && bareList.isEmpty)
+            grammarError("a MIN/MAX view grouped ONLY by expression " +
+              "columns cannot key its group-targeted recompute — add a " +
+              "plain group column (the recompute's IN filter and delete " +
+              "mask key on it) or materialize the bucket as a table column")
           // composite groups: the targeted recompute keys its IN
           // filter and eq-delete mask on the LEADING group column
           // (the join kind's convention) — sub-groups ride along
           (MaterializedView.MvDef("", "", "", groupCols, sums.result(),
             select, kind = "minmax", value = vMin, minName = aMin,
-            maxName = aMax, avgs = avgs.result()), factParts, Nil)
+            maxName = aMax, avgs = avgs.result(),
+            groupExprs = exprList), factParts, Nil)
         case _ => grammarError("MIN/MAX views need BOTH a MIN and a MAX " +
           "measure (a view with only one bound cannot retire the other " +
           "on deletes; COUNT/SUM-only views need neither)")
@@ -498,6 +504,22 @@ final case class GraftCreateMatViewCommand(catalogName: String,
         "by timestamp-typed columns cannot maintain its equality-delete " +
         "fold mask — add a non-timestamp group column (a dimension " +
         "attribute) or materialize the bucket as a table column")
+    }
+    // minmax kind with expression groups: the targeted recompute's IN
+    // filter and the fold's equality-delete mask key on a plain fact
+    // group column, and timestamps cannot equality-apply — require one
+    // usable key column at DDL, not at first refresh
+    if (d0.kind == "minmax" && d0.groupExprs.nonEmpty) {
+      val exprNames = d0.groupExprs.map(_._1.toLowerCase).toSet
+      val outTypes = analyzed.output.map(a => a.name.toLowerCase -> a.dataType).toMap
+      val ok = d0.group.exists(g => !exprNames.contains(g.toLowerCase) &&
+        outTypes.get(g.toLowerCase)
+          .exists(_ != org.apache.spark.sql.types.TimestampType))
+      require(ok, "CREATE MATERIALIZED VIEW: a MIN/MAX view with " +
+        "expression group columns needs a plain NON-TIMESTAMP group " +
+        "column to key its group-targeted recompute (IN filter + " +
+        "equality-delete mask) — add one or materialize the bucket " +
+        "as a table column")
     }
     val outCols = analyzed.output.map(_.name.toLowerCase).toSet
     require(outCols.contains(graft.lake.IncrementalJoinMv.CountCol),

@@ -401,8 +401,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).flatMap {
             case (head, mtime, d, basis)
-                if d.kind == "single" && d.groupExprs.nonEmpty &&
-                  d.fact == table.root =>
+                if (d.kind == "single" || d.kind == "minmax") &&
+                  d.groupExprs.nonEmpty && d.fact == table.root =>
               if (basis == Seq(snap))
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
                   rels.head.output, Set.empty, head, mtime))

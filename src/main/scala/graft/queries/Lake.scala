@@ -2839,6 +2839,90 @@ object Lake {
       |               UNION ALL SELECT * FROM s5)
       |ORDER BY stage, d, wb""".stripMargin
 
+  // --- q_sql_mv_profile_expr: TIME-BUCKETED PROFILE views — the
+  // minmax kind accepts `<expr> AS <alias>` group items ("daily
+  // min/max latency per endpoint": GROUP BY date_trunc('DAY', ts),
+  // event_type with MIN/MAX/SUM measures). Every maintenance read —
+  // CREATE, the append-only fold's delta, the targeted recompute —
+  // re-derives the bucket over exactly the fact rows it reads (the
+  // same prep hook as the other kinds; tz + ANSI guards carry over),
+  // while the IN filter and equality-delete mask key on the first
+  // STORED NON-TIMESTAMP group column (event_type — the changelog
+  // names it, the manifest prunes on it, the mask equality-applies).
+  // Stage 2 appends (mode `fold`: integral-SUM extras fold, no fact
+  // head read); stage 3 deletes every low value — day-bucket minima
+  // must RISE in the refreshed view and value-empty (bucket, type)
+  // groups must retire (mode `targeted`). The oracle recomputes all
+  // three stages from scratch with DuckDB's own date_trunc; mode
+  // literals ride the output.
+  def qSqlMvProfileExpr(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.pxf_$id"; val mv = s"graft.q.pxv_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlpx")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, ts TIMESTAMP, event_type STRING, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, ts, event_type,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlpx WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT date_trunc('DAY', ts) AS d, event_type, COUNT(*) AS n,
+             |  MIN(vx100) AS mn, MAX(vx100) AS mx, SUM(vx100) AS sx
+             |FROM $fact GROUP BY date_trunc('DAY', ts), event_type""".stripMargin)
+    def mode(): String =
+      s.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    val mode1 = mode()
+    // stage 2: pure appends → the distributive fold (extras are
+    // integral SUMs), no fact-head read
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.pxv_$id')")
+    val mode2 = mode()
+    // stage 3: delete every LOW value — day-bucket minima rise, and
+    // (bucket, type) groups whose rows all died retire — in one
+    // group-targeted recompute keyed on event_type
+    s.sql(s"DELETE FROM $fact WHERE vx100 < 2000")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.pxv_$id')")
+    val mode3 = mode()
+    def stage(k: Int, m: String) =
+      s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, d, event_type,
+         |  n, mn, mx, sx
+         |FROM $mv VERSION AS OF $k""".stripMargin
+    s.sql(Seq(stage(1, mode1), stage(2, mode2), stage(3, mode3))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY stage, d, event_type"))
+  }
+
+  val qSqlMvProfileExprSql: String =
+    """WITH f AS (
+      |  SELECT event_id, ts, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'full' AS mode,
+      |    date_trunc('day', ts) AS d, event_type, COUNT(*) AS n,
+      |    MIN(vx100) AS mn, MAX(vx100) AS mx,
+      |    CAST(SUM(vx100) AS BIGINT) AS sx
+      |  FROM f WHERE event_id % 3 = 0 GROUP BY 3, 4),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), 'fold', date_trunc('day', ts),
+      |    event_type, COUNT(*), MIN(vx100), MAX(vx100),
+      |    CAST(SUM(vx100) AS BIGINT)
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY 3, 4),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT), 'targeted', date_trunc('day', ts),
+      |    event_type, COUNT(*), MIN(vx100), MAX(vx100),
+      |    CAST(SUM(vx100) AS BIGINT)
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND vx100 >= 2000
+      |  GROUP BY 3, 4)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, d, event_type""".stripMargin
+
   // --- q_sql_mv_drop: the DDL lifecycle's other half — DROP
   // MATERIALIZED VIEW (with EAGER fact-side deregistration: the
   // `t.mvs` row and the rewrite candidacy disappear with the
@@ -4979,6 +5063,7 @@ object Lake {
     "q_sql_mv_single" -> qSqlMvSingle,
     "q_sql_mv_distinct" -> qSqlMvDistinct,
     "q_sql_mv_profile" -> qSqlMvProfile,
+    "q_sql_mv_profile_expr" -> qSqlMvProfileExpr,
     "q_sql_mv_rewrite" -> qSqlMvRewrite,
     "q_sql_mv_rewrite_stale" -> qSqlMvRewriteStale,
     "q_sql_mv_rewrite_stale_star" -> qSqlMvRewriteStaleStar,
@@ -5065,6 +5150,7 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmaxSql,
     "q_sql_mv_single" -> qSqlMvSingleSql,
     "q_sql_mv_distinct" -> qSqlMvDistinctSql,
+    "q_sql_mv_profile_expr" -> qSqlMvProfileExprSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,
     "q_sql_mv_rewrite" -> qSqlMvRewriteSql,
     "q_sql_mv_rewrite_stale" -> qSqlMvRewriteStaleSql,

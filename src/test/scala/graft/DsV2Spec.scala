@@ -2101,6 +2101,96 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("expression groups on the MIN/MAX kind: bucket re-derives on fold and targeted recompute keyed on the non-timestamp column; rewrite serves; guards") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.mxf_$id"; val mv = s"graft.psd.mxv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, ts TIMESTAMP, k STRING, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, TIMESTAMP '2024-01-01 10:00:00', 'k0', 10),
+                 |(2, TIMESTAMP '2024-01-01 23:00:00', 'k0', 50),
+                 |(3, TIMESTAMP '2024-01-02 01:00:00', 'k1', 30)""".stripMargin)
+    // bucket LEADS the group list; the recompute/mask key is the
+    // first stored non-timestamp column (k)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT date_trunc('DAY', ts) AS d, k, COUNT(*) AS n,
+                 |  MIN(x) AS mn, MAX(x) AS mx, SUM(x) AS sx
+                 |FROM $fact GROUP BY d, k""".stripMargin)
+    def state(): Map[(String, String), (Long, Long, Long, Long)] =
+      spark.sql(s"SELECT CAST(d AS STRING) AS d, k, n, mn, mx, sx FROM $mv")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def mode(): String =
+      spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    assert(state() === Map(
+      ("2024-01-01 00:00:00", "k0") -> ((2L, 10L, 50L, 60L)),
+      ("2024-01-02 00:00:00", "k1") -> ((1L, 30L, 30L, 30L))))
+    assert(mode() === "full")
+    // ---- append: the distributive FOLD (integral-SUM extras fold),
+    // bucket re-derived over the delta — pre-basis fact files hidden,
+    // so a fact-head read would throw
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.mxf_$id")
+    spark.sql(s"INSERT INTO $fact VALUES " +
+      s"(4, TIMESTAMP '2024-01-01 12:00:00', 'k0', 5), " +
+      s"(5, TIMESTAMP '2024-01-03 02:00:00', 'k1', 70)")
+    val v1Files = graft.lake.LakeTable.manifest(factDir, 1).files.map(_.path)
+    def shift(hide: Boolean): Unit = v1Files.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift(hide = true)
+    try spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect(): Unit
+    finally shift(hide = false)
+    assert(mode() === "fold", "a pure append must fold distributively")
+    assert(state() === Map(
+      ("2024-01-01 00:00:00", "k0") -> ((3L, 5L, 50L, 65L)),
+      ("2024-01-02 00:00:00", "k1") -> ((1L, 30L, 30L, 30L)),
+      ("2024-01-03 00:00:00", "k1") -> ((1L, 70L, 70L, 70L))))
+    // ---- delete the 01-01 bucket's minima (fid 1, 4): the TARGETED
+    // recompute (keyed on k) re-derives the bucket and the min RISES;
+    // the whole 01-02 k1 group dies and retires
+    spark.sql(s"DELETE FROM $fact WHERE x <= 10 OR fid = 3")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+    assert(mode() === "targeted",
+      "a delete must take the group-targeted recompute, not full")
+    assert(state() === Map(
+      ("2024-01-01 00:00:00", "k0") -> ((1L, 50L, 50L, 50L)),
+      ("2024-01-03 00:00:00", "k1") -> ((1L, 70L, 70L, 70L))),
+      "the bucket minimum must rise; an emptied (bucket, key) group retires")
+    // ---- the expression tier serves the daily profile query (MIN/
+    // MAX map through measureCol) — every fact data file hidden
+    shiftFiles(factDir, hide = true)
+    try assert(spark.sql(
+      s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day, k,
+         |  MIN(x) AS mn, MAX(x) AS mx
+         |FROM $fact GROUP BY date_trunc('DAY', ts), k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap ===
+      Map(("2024-01-01 00:00:00", "k0") -> ((50L, 50L)),
+        ("2024-01-03 00:00:00", "k1") -> ((70L, 70L))))
+    finally shiftFiles(factDir, hide = false)
+    // ---- guards: all-expression groups cannot key the recompute;
+    // a timestamp-only plain column cannot either
+    val eAll = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.psd.mxw_$id AS
+         |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+         |  MIN(x) AS mn, MAX(x) AS mx
+         |FROM $fact GROUP BY d""".stripMargin))
+    assert(eAll.getMessage.contains("plain group column"), eAll.getMessage)
+    val eTs = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.psd.mxw_$id AS
+         |SELECT date_trunc('DAY', ts) AS d, ts, COUNT(*) AS n,
+         |  MIN(x) AS mn, MAX(x) AS mx
+         |FROM $fact GROUP BY d, ts""".stripMargin))
+    assert(eTs.getMessage.contains("NON-TIMESTAMP"), eTs.getMessage)
+    spark.sql(s"DROP MATERIALIZED VIEW $mv"); spark.sql(s"DROP TABLE $fact")
+  }
+
   test("compensated staircase serves STALE expression-group STAR MVs: bucket re-derived per term on fact AND dim append axes; a dim rewire falls back") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
