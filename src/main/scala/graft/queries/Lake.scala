@@ -1793,6 +1793,81 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- lake_map: MAP-typed columns through the lake — the
+  // events/properties schema shape (MAP<STRING,BIGINT> metrics +
+  // MAP<STRING,STRING> attributes) exercised end to end: SQL CREATE/
+  // INSERT commit maps through the DSv2 write path, snapshot reads
+  // extract with element_at / map_contains_key, a positional MoR
+  // DELETE keyed on a MAP-VALUE predicate masks exactly the right
+  // rows, and time travel serves the pre-delete map content back.
+  // The oracle replays every number from the RAW events table (the
+  // map values are derived formulas), so any corruption in the map
+  // encode → parquet → decode → delete-mask pipeline fails the hash.
+  // At 100 TB maps ride the columnar format natively (parquet
+  // key_value groups); stats/bloom pruning keys on scalar columns —
+  // map predicates are row-level filters by design.
+  def lakeMap(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.mpf_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_lm")
+    s.sql(s"""CREATE TABLE $fact (event_id BIGINT, event_type STRING,
+             |  props MAP<STRING, BIGINT>, attrs MAP<STRING, STRING>)""".stripMargin)
+    s.sql(s"""INSERT INTO $fact
+             |SELECT event_id, event_type,
+             |  map('clicks', event_id % 7,
+             |      'score', CAST(FLOOR(value * 100 + 0.5) AS BIGINT)),
+             |  map('src', substring(event_type, 1, 1))
+             |FROM ev_lm WHERE event_id % 2 = 0""".stripMargin)
+    val agg =
+      s"""SELECT element_at(attrs, 'src') AS src, COUNT(*) AS n,
+         |  SUM(element_at(props, 'clicks')) AS sum_clicks,
+         |  SUM(element_at(props, 'score')) AS sum_score,
+         |  SUM(CASE WHEN map_contains_key(props, 'score') THEN 1 ELSE 0 END) AS with_score
+         |FROM $fact GROUP BY element_at(attrs, 'src')""".stripMargin
+    val s1 = s.sql(agg).collect()
+    // a positional MoR DELETE keyed on a MAP-VALUE predicate
+    s.sql(s"DELETE FROM $fact WHERE element_at(props, 'clicks') = 0")
+    val s2 = s.sql(agg).collect()
+    // time travel: the pre-delete map content serves back exactly
+    val s3 = s.sql(agg.replace(s"FROM $fact GROUP",
+      s"FROM $fact VERSION AS OF 1 GROUP")).collect()
+    import s.implicits._
+    Seq((1L, s1), (2L, s2), (3L, s3)).flatMap { case (st, rows) =>
+      rows.toSeq.map(r => (st, r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    }.toDF("stage", "src", "n", "sum_clicks", "sum_score", "with_score")
+      .orderBy(col("stage"), col("src"))
+  }
+
+  val lakeMapSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 7 AS clicks,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS score,
+      |    substring(event_type, 1, 1) AS src
+      |  FROM events WHERE event_id % 2 = 0),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, src, COUNT(*) AS n,
+      |    CAST(SUM(clicks) AS BIGINT) AS sum_clicks,
+      |    CAST(SUM(score) AS BIGINT) AS sum_score,
+      |    COUNT(*) AS with_score
+      |  FROM f GROUP BY src),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), src, COUNT(*),
+      |    CAST(SUM(clicks) AS BIGINT), CAST(SUM(score) AS BIGINT), COUNT(*)
+      |  FROM f WHERE clicks <> 0 GROUP BY src),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT), src, COUNT(*),
+      |    CAST(SUM(clicks) AS BIGINT), CAST(SUM(score) AS BIGINT), COUNT(*)
+      |  FROM f GROUP BY src)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, src""".stripMargin
+
   // --- q_sql_rtas: ATOMIC CTAS / RTAS (a genuine DSv2
   // StagingTableCatalog): `CREATE [OR REPLACE] TABLE … AS SELECT`
   // materializes into a hidden sibling dir, re-points staged
@@ -5075,6 +5150,7 @@ object Lake {
     "stream_mv_single" -> streamMvSingle,
     "q_sql_rtas" -> qSqlRtas,
     "lake_nested" -> lakeNested,
+    "lake_map" -> lakeMap,
     "lake_constraint" -> lakeConstraint,
     "lake_clone" -> lakeClone,
     "prune_scan_days" -> pruneScanDays,
@@ -5163,6 +5239,7 @@ object Lake {
     "stream_mv_single" -> streamMvSingleSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
+    "lake_map" -> lakeMapSql,
     "lake_constraint" -> lakeConstraintSql,
     "lake_clone" -> lakeCloneSql,
     "prune_scan_days" -> pruneScanDaysSql,

@@ -1010,6 +1010,44 @@ class DsV2Spec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("lake_map: map columns commit/round-trip; scalar projections prune the map; MERGE and eq-deletes carry map payloads") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val tbl = s"graft.psd.mp_$id"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, props MAP<STRING, BIGINT>)")
+    spark.sql(s"INSERT INTO $tbl VALUES " +
+      "(1, map('a', 10L, 'b', 1L)), (2, map('a', 20L)), (3, map('c', 5L))")
+    // element_at misses return NULL, keys extract exactly
+    assert(spark.sql(s"SELECT SUM(element_at(props, 'a')) FROM $tbl")
+      .head().getLong(0) === 30L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $tbl WHERE map_contains_key(props, 'b')")
+      .head().getLong(0) === 1L)
+    // a scalar-only projection must NOT read the map column
+    val rs = spark.sql(s"SELECT SUM(k) FROM $tbl").queryExecution
+      .executedPlan.toString.split("ReadSchema:").last.split('\n').head
+    assert(!rs.contains("props"), s"map column must be pruned: $rs")
+    // MERGE carries map payloads through the MoR write path
+    spark.sql(s"""MERGE INTO $tbl t USING (
+                 |  SELECT 2 AS k, map('a', 200L, 'z', 9L) AS props
+                 |  UNION ALL SELECT 4, map('d', 7L)) src
+                 |ON t.k = src.k
+                 |WHEN MATCHED THEN UPDATE SET t.props = src.props
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT SUM(element_at(props, 'a')) FROM $tbl")
+      .head().getLong(0) === 210L)
+    assert(spark.sql(s"SELECT element_at(props, 'd') FROM $tbl WHERE k = 4")
+      .head().getLong(0) === 7L)
+    // time travel serves the pre-merge map content back
+    assert(spark.sql(
+      s"SELECT element_at(props, 'a') FROM $tbl VERSION AS OF 1 WHERE k = 2")
+      .head().getLong(0) === 20L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("namespaces: CREATE / SHOW / DROP lifecycle with CASCADE guard") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
