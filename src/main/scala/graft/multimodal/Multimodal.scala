@@ -240,4 +240,103 @@ object Multimodal {
 
   def resized(assets: Dataset[MmAsset], boxW: Long, boxH: Long): Dataset[MmResized] =
     assets.mapPartitions(it => resizeBatch(it, boxW, boxH))(resizedEnc)
+
+  // ----------------------------------------------------------------
+  // AUDIO modality — the same real-codec discipline as the image
+  // path: assets are genuine RIFF/WAVE containers (PCM unsigned
+  // 8-bit mono, encoded with `javax.sound.sampled` from a
+  // deterministic per-document sample formula), and every feature is
+  // computed from samples decoded back through
+  // `AudioSystem.getAudioInputStream` — a full codec round-trip per
+  // asset, batched per partition. PCM is lossless, so the oracle
+  // replays the generative formula in closed form (consecutive
+  // residues mod 256 — the image fixture's S(t) sums plus a
+  // threshold-count C(t) for the silence ratio).
+  //
+  // Fixture: seed s gives `n = 1 + s%2048` samples at
+  // `rate = 8000·(1 + (s/2048)%3)` Hz, sample
+  // `a(i) = (s + i) mod 256` (unsigned amplitude). Swap the WAV
+  // codec for MP3/FLAC decode and nothing around it changes.
+
+  /** Audio features from DECODED samples: format fields from the
+    * codec (sample rate, channel count), amplitude stats and the
+    * silence count (samples below 16 of 255) from a full sample
+    * scan; `n_bytes` is container-dependent, never oracle-gated.
+    */
+  final case class MmAudio(
+      doc_id: Long, source: String, n_bytes: Long, sample_rate: Long,
+      channels: Long, n_samples: Long, duration_ms: Long, amp_sum: Long,
+      amp_min: Long, amp_max: Long, n_silent: Long)
+
+  implicit val audioEnc: Encoder[MmAudio] = Encoders.product[MmAudio]
+
+  private def audioParams(seed: Long): (Int, Float) =
+    ((1L + seed % 2048L).toInt, (8000L * (1L + (seed / 2048L) % 3L)).toFloat)
+
+  /** Encode one REAL WAV (RIFF container via javax.sound) from the
+    * deterministic formula.
+    */
+  def encodeWav(seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val (n, rate) = audioParams(seed)
+    val samples = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((seed + i) % 256L).toByte // unsigned PCM: 0..255
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      rate, 8, 1, 1, rate, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream(n + 64)
+    require(AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) > 0,
+      "no WAV writer on this JVM")
+    bos.toByteArray
+  }
+
+  /** Synthesize the WAV fixture: one batched per-partition encode. */
+  def synthesizeWav(gens: Dataset[MmGen]): Dataset[MmAsset] =
+    gens.mapPartitions(_.map(g =>
+      MmAsset(g.doc_id, g.source, encodeWav(g.seed))))(assetEnc)
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` per asset —
+    * format fields from the parsed RIFF header, amplitude stats from
+    * the decoded sample stream. Batched per partition (one codec
+    * path per partition, streaming iterator, no driver involvement).
+    */
+  def audioBatch(it: Iterator[MmAsset]): Iterator[MmAudio] =
+    it.map { a =>
+      import javax.sound.sampled.AudioSystem
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(a.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+        s"unexpected WAV shape for doc ${a.doc_id}")
+      val n = ais.getFrameLength.toInt
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = ais.read(buf, off, n - off)
+        require(r > 0, s"truncated WAV payload for doc ${a.doc_id}")
+        off += r
+      }
+      var sum = 0L; var mn = 255L; var mx = 0L; var silent = 0L
+      var i = 0
+      while (i < n) {
+        val v = (buf(i) & 0xff).toLong
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        if (v < 16L) silent += 1
+        i += 1
+      }
+      val rate = fmt.getSampleRate.toLong
+      MmAudio(a.doc_id, a.source, a.payload.length.toLong, rate,
+        fmt.getChannels.toLong, n.toLong, n.toLong * 1000L / rate,
+        sum, mn, mx, silent)
+    }
+
+  def audioFeatures(assets: Dataset[MmAsset]): Dataset[MmAudio] =
+    assets.mapPartitions(audioBatch)(audioEnc)
 }

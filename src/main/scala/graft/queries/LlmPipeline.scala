@@ -3428,6 +3428,74 @@ object LlmPipeline {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // --- mm_audio: REAL audio decode — the third modality, same
+  // real-codec discipline as mm_features: each document seeds a
+  // genuine RIFF/WAVE container (PCM unsigned 8-bit mono, encoded
+  // executor-side with javax.sound.sampled from a deterministic
+  // sample formula), and every gated integer is computed from samples
+  // decoded back through AudioSystem.getAudioInputStream — format
+  // fields (sample rate) from the parsed header, amplitude stats and
+  // the silence count (the audio-curation gate: samples below 16 of
+  // 255) from a full decoded-sample scan, batched per partition. PCM
+  // is lossless, so the oracle replays the generative formula in
+  // closed form (the image fixture's residue-run sums plus a
+  // threshold-count for silence) — a decoder that mangled the header
+  // or the sample stream flips the gate. Per-source reduce keeps the
+  // output matrix-sized at any corpus.
+  def mmAudio(s: SparkSession, dir: String): DataFrame = {
+    import Multimodal._
+    val gens = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFns.hash60Composed(col("text")).as("seed"))
+      .as[MmGen](genEnc)
+    Multimodal.audioFeatures(Multimodal.synthesizeWav(gens)).toDF()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_samples")).as("sum_samples"),
+        min(col("sample_rate")).as("min_rate"),
+        max(col("sample_rate")).as("max_rate"),
+        sum(col("duration_ms")).as("sum_ms"),
+        sum(col("amp_sum")).as("sum_amp"),
+        sum(col("n_silent")).as("sum_silent"),
+        sum(when(col("amp_min") === 0L && col("amp_max") === 255L, 1L)
+          .otherwise(0L)).as("n_full_range"))
+      .orderBy(col("source"))
+  }
+
+  // Closed form: samples are the consecutive residues (m … m+n−1)
+  // mod 256 with m = seed mod 256, n = 1 + seed mod 2048, so
+  // amp_sum = S(m+n) − S(m) with S(t) = (t div 256)·32640 + r(r−1)/2
+  // (r = t mod 256), and the silence count (< 16) is C(m+n) − C(m)
+  // with C(t) = (t div 256)·16 + min(t mod 256, 16).
+  val mmAudioSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, source,
+       |    1 + ${hash60Sql("text")} % 2048 AS n,
+       |    8000 * (1 + (${hash60Sql("text")} // 2048) % 3) AS rate,
+       |    ${hash60Sql("text")} % 256 AS m
+       |  FROM documents),
+       |f AS (
+       |  SELECT source, n, rate, n * 1000 // rate AS ms,
+       |    ((m + n) // 256) * 32640
+       |      + ((m + n) % 256) * (((m + n) % 256) - 1) // 2
+       |      - m * (m - 1) // 2 AS amp_sum,
+       |    ((m + n) // 256) * 16 + LEAST((m + n) % 256, 16)
+       |      - LEAST(m, 16) AS n_silent,
+       |    CASE WHEN m + n <= 256 THEN m ELSE 0 END AS amp_min,
+       |    CASE WHEN m + n <= 256 THEN m + n - 1 ELSE 255 END AS amp_max
+       |  FROM g)
+       |SELECT source, COUNT(*) AS n,
+       |  CAST(SUM(n) AS BIGINT) AS sum_samples,
+       |  CAST(MIN(rate) AS BIGINT) AS min_rate,
+       |  CAST(MAX(rate) AS BIGINT) AS max_rate,
+       |  CAST(SUM(ms) AS BIGINT) AS sum_ms,
+       |  CAST(SUM(amp_sum) AS BIGINT) AS sum_amp,
+       |  CAST(SUM(n_silent) AS BIGINT) AS sum_silent,
+       |  CAST(SUM(CASE WHEN amp_min = 0 AND amp_max = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_range
+       |FROM f
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // --- mm_dedup: EXACT multimodal dedup — the first gate of any
   // image/video pipeline: content-hash the opaque binary payload
   // (md5 — no decode needed), group by hash, keep ONE canonical copy
@@ -4520,6 +4588,7 @@ object LlmPipeline {
     "dedup_semantic" -> dedupSemantic,
     "text_ngram_freq" -> textNgramFreq,
     "mm_features" -> mmFeatures,
+    "mm_audio" -> mmAudio,
     "mm_resize" -> mmResize,
     "mm_dedup" -> mmDedup,
     "seq_curriculum" -> seqCurriculum,
@@ -4594,6 +4663,7 @@ object LlmPipeline {
     "dedup_semantic" -> dedupSemanticSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "mm_features" -> mmFeaturesSql,
+    "mm_audio" -> mmAudioSql,
     "mm_resize" -> mmResizeSql,
     "mm_dedup" -> mmDedupSql,
     "seq_curriculum" -> seqCurriculumSql,

@@ -230,6 +230,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WAV codec round-trip: RIFF container, parsed rate, decoded amplitude stats and silence count match the generative formula (200 seeded trials)") {
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(9300)
+    for (trial <- 0 until 200) {
+      val seed = math.abs(rnd.nextLong()) % (1L << 60)
+      val wav = Multimodal.encodeWav(seed)
+      // a REAL RIFF/WAVE container, decoded with javax.sound
+      assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' &&
+        wav(3) == 'F' && wav(8) == 'W' && wav(9) == 'A',
+        s"trial $trial: not a RIFF/WAVE container")
+      val f = Multimodal.audioBatch(
+        Iterator(Multimodal.MmAsset(trial.toLong, "s", wav))).next()
+      val n = 1L + seed % 2048L
+      val rate = 8000L * (1L + (seed / 2048L) % 3L)
+      assert(f.sample_rate === rate, s"trial $trial rate")
+      assert(f.channels === 1L && f.n_samples === n, s"trial $trial frames")
+      assert(f.duration_ms === n * 1000L / rate, s"trial $trial duration")
+      // lossless PCM: decoded samples are the consecutive residues
+      val m = seed % 256L
+      def S(t: Long): Long = (t / 256L) * 32640L + (t % 256L) * (t % 256L - 1L) / 2L
+      def C(t: Long): Long = (t / 256L) * 16L + math.min(t % 256L, 16L)
+      assert(f.amp_sum === S(m + n) - S(m), s"trial $trial amp_sum")
+      assert(f.amp_min === (if (m + n <= 256L) m else 0L), s"trial $trial min")
+      assert(f.amp_max === (if (m + n <= 256L) m + n - 1L else 255L), s"trial $trial max")
+      assert(f.n_silent === C(m + n) - C(m), s"trial $trial silence")
+    }
+  }
+
   test("noise-PNG aHash: round-trip matches md5 formula; variants land near, unrelated land far (60 seeded trials)") {
     import graft.multimodal.Multimodal
     val md = java.security.MessageDigest.getInstance("MD5")
