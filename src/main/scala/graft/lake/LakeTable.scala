@@ -2650,8 +2650,33 @@ object LakeTable {
     * are immutable by path). The hash is the engine's md5-derived
     * convention, so a SQL oracle replays occupancy exactly.
     */
+  /** Equi-height histogram geometry: [[HistBins]] value-range
+    * segments per numeric column, boundaries derived ONCE (the first
+    * ANALYZE of a sidecar takes equi-height quantiles of the
+    * then-current data and records them as `hist_bounds`), per-file
+    * counts over those FIXED boundaries thereafter — fixed-boundary
+    * counts are the mergeable form: they sum across any file subset
+    * and incremental re-ANALYZE sketches only new files. Per-bin NDV
+    * rides a small [[HistNdvBuckets]]-bit linear-counting bitmap
+    * (heavy skewed values show as high-count, ndv≈1 bins — exactly
+    * what uniform-NDV selectivity cannot see).
+    */
+  val HistBins = 64
+  val HistNdvBuckets = 128
+
+  /** One histogram segment of a per-file sketch: fixed-boundary bin
+    * index, row count, the ACTUAL value range that landed in it, and
+    * the per-bin NDV bitmap (hex).
+    */
+  final case class HistBin(bin: Int, rows: Long, lo: Double, hi: Double,
+      bitsHex: String) {
+    def bits: java.util.BitSet =
+      java.util.BitSet.valueOf(
+        bitsHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+  }
+
   final case class ColSketch(nulls: Long, sumLen: Long, minS: String,
-      maxS: String, bitsHex: String) {
+      maxS: String, bitsHex: String, hist: Seq[HistBin] = Nil) {
     def bits: java.util.BitSet =
       java.util.BitSet.valueOf(
         bitsHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
@@ -2661,7 +2686,10 @@ object LakeTable {
   final case class FileSketch(rows: Long, cols: Map[String, ColSketch])
 
   final case class ColStatsMeta(analyzedSnapshot: Int,
-      files: Map[String, FileSketch], buckets: Int = NdvBuckets)
+      files: Map[String, FileSketch], buckets: Int = NdvBuckets,
+      // numeric-column histogram boundaries (interior quantile edges,
+      // distinct + sorted) the per-file bin counts were keyed on
+      bounds: Map[String, Seq[Double]] = Map.empty)
 
   private def colStatsPath(root: String) =
     Paths.get(root, "meta", "_colstats.json")
@@ -2691,17 +2719,32 @@ object LakeTable {
             val fn = e.getValue
             val cols = asScala(fn.get("cols").properties().iterator()).map { c =>
               val cn = c.getValue
+              val hist = Option(cn.get("hist")).map { hn =>
+                val it = hn.elements()
+                Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+                  .map(b => HistBin(b.get(0).asInt(), b.get(1).asLong(),
+                    b.get(2).asDouble(), b.get(3).asDouble(),
+                    b.get(4).asText())).toSeq
+              }.getOrElse(Nil)
               c.getKey -> ColSketch(cn.get("nulls").asLong(),
                 cn.get("sum_len").asLong(),
                 if (cn.get("min").isNull) null else cn.get("min").asText(),
                 if (cn.get("max").isNull) null else cn.get("max").asText(),
-                cn.get("bits").asText())
+                cn.get("bits").asText(), hist)
             }.toMap
             e.getKey -> FileSketch(fn.get("rows").asLong(), cols)
           }.toMap
+          val bounds = Option(node.get("hist_bounds")).map { bn =>
+            asScala(bn.properties().iterator()).map { e =>
+              val it = e.getValue.elements()
+              e.getKey -> Iterator.continually(it).takeWhile(_.hasNext)
+                .map(_.next().asDouble()).toSeq
+            }.toMap
+          }.getOrElse(Map.empty[String, Seq[Double]])
           val meta = ColStatsMeta(node.get("analyzed_snapshot").asInt(), files,
             // sidecars predating the width field were 1024-bucket
-            Option(node.get("buckets")).map(_.asInt()).getOrElse(1024))
+            Option(node.get("buckets")).map(_.asInt()).getOrElse(1024),
+            bounds)
           colStatsCache.put(root, (mtime, meta))
           Some(meta)
         }
@@ -2756,6 +2799,32 @@ object LakeTable {
     }
   }
 
+  /** Merged equi-height histogram of `colName` over a file subset:
+    * per fixed-boundary bin, (rows, actual lo, actual hi, NDV
+    * estimate) — counts sum, ranges union, per-bin NDV bitmaps OR
+    * (linear counting at [[HistNdvBuckets]]). None unless the sidecar
+    * carries boundaries for the column and every requested file
+    * sketches it (an empty per-file hist = a file with no non-null
+    * numeric rows — a zero contribution, still covered).
+    */
+  def mergedHist(meta: ColStatsMeta, paths: Seq[String], colName: String)
+      : Option[Seq[(Long, Double, Double, Long)]] = {
+    if (!meta.bounds.contains(colName)) return None
+    val keys = paths.map(sketchKey)
+    if (keys.isEmpty || !keys.forall(meta.files.contains)) return None
+    val sketches = keys.map(meta.files)
+    if (!sketches.forall(_.cols.contains(colName))) return None
+    val byBin = sketches.flatMap(_.cols(colName).hist)
+      .groupBy(_.bin).toSeq.sortBy(_._1)
+    if (byBin.isEmpty) return None
+    Some(byBin.map { case (_, bs) =>
+      val bits = new java.util.BitSet(HistNdvBuckets)
+      bs.foreach(b => bits.or(b.bits))
+      (bs.map(_.rows).sum, bs.map(_.lo).min, bs.map(_.hi).max,
+        math.max(1L, ndvEstimate(bits.cardinality(), HistNdvBuckets)))
+    })
+  }
+
   /** ANALYZE TABLE: compute per-file column sketches for every live
     * data file the current snapshot resolves to, incrementally — only
     * files absent from the existing `_colstats.json` are read (ONE
@@ -2777,10 +2846,16 @@ object LakeTable {
       m.files.groupBy(f => sketchKey(f.path)).map { case (p, fs) => p -> fs.head.rows }
     // a sketch-width change invalidates the whole sidecar (bitmaps of
     // different widths must not OR together): re-sketch everything
-    val prior = colStats(root).filter(_.buckets == NdvBuckets)
-      .map(_.files).getOrElse(Map.empty)
+    val priorMeta = colStats(root).filter(_.buckets == NdvBuckets)
+    val prior = priorMeta.map(_.files).getOrElse(Map.empty)
     val newPaths = m.files.map(_.path).distinct
       .filterNot(p => prior.contains(sketchKey(p)))
+    // histogram boundaries: reused from the sidecar when present —
+    // fixed boundaries are what makes per-file bin counts mergeable
+    // and incremental; a FRESH sidecar derives them below from
+    // equi-height quantiles of the current data
+    var histBounds: Map[String, Seq[Double]] =
+      priorMeta.map(_.bounds).getOrElse(Map.empty)
     val fresh: Map[String, FileSketch] =
       if (newPaths.isEmpty) Map.empty
       else {
@@ -2836,7 +2911,7 @@ object LakeTable {
           // input_file_name is a URI; manifest paths are plain
           new java.net.URI(r.getString(0)).getPath
         }
-        perFile.map { case (path, rs) =>
+        val baseSketches: Map[String, FileSketch] = perFile.map { case (path, rs) =>
           path -> FileSketch(rowsOf(path), rs.map { r =>
             val bits = new java.util.BitSet(NdvBuckets)
             r.getSeq[Int](6).foreach(bits.set)
@@ -2845,6 +2920,84 @@ object LakeTable {
               if (r.isNullAt(5)) null else r.getString(5),
               bits.toByteArray.map(b => f"${b & 0xff}%02x").mkString)
           }.toMap)
+        }
+        // ---- equi-height HISTOGRAM sketches over numeric columns:
+        // fixed-boundary per-file bin counts (+ per-bin NDV bitmaps,
+        // actual per-bin value ranges). A fresh sidecar derives the
+        // boundaries from equi-height quantiles of the NEW files
+        // (= the whole table on first ANALYZE); later runs reuse the
+        // stored boundaries so counts stay mergeable across files.
+        def numericCols(schema: StructType): Seq[String] =
+          schema.fields.collect {
+            case f if (f.dataType match {
+              case ByteType | ShortType | IntegerType | LongType |
+                   FloatType | DoubleType => true
+              case _ => false
+            }) => f.name
+          }.toSeq
+        val numCols: Seq[String] = (
+          (if (pqPaths.isEmpty) Nil
+           else numericCols(
+             s.read.option("mergeSchema", "true").parquet(pqPaths: _*).schema)) ++
+          (if (avroPaths.isEmpty) Nil
+           else numericCols(
+             DataType.fromJson(m.schemaJson).asInstanceOf[StructType]))
+        ).distinct
+        if (prior.isEmpty && numCols.nonEmpty) {
+          val probs = (1 until HistBins).map(i => i.toDouble / HistBins)
+          val nm = melted.filter(col("c").isin(numCols: _*))
+            .select(col("c"), col("v").cast("double").as("vd"))
+            .filter(col("vd").isNotNull)
+          histBounds = nm.groupBy(col("c"))
+            .agg(expr(s"percentile_approx(vd, array(${probs.mkString(",")}), 10000)")
+              .as("qs"))
+            .collect().map { r =>
+              r.getString(0) -> r.getSeq[Double](1).distinct.sorted
+            }.toMap
+        }
+        val histCols = numCols.filter(histBounds.contains)
+        if (histCols.isEmpty) baseSketches
+        else {
+          import s.implicits._
+          val edgesDf = broadcast(
+            histCols.map(c => (c, histBounds(c))).toDF("c", "edges"))
+          val binned = melted.filter(col("c").isin(histCols: _*))
+            .withColumn("vd", col("v").cast("double"))
+            .filter(col("vd").isNotNull)
+            .join(edgesDf, "c")
+            // bin = count of interior edges strictly below the value:
+            // ties collapse onto one bin, the serve-time rebalance
+            // re-expands heavy bins into equal-height duplicates
+            .withColumn("bin", size(filter(col("edges"),
+              e => e < col("vd"))))
+            .groupBy(col("__f"), col("c"), col("bin"))
+            .agg(count(lit(1)).as("rows"),
+              min(col("vd")).as("lo"), max(col("vd")).as("hi"),
+              sort_array(collect_set(pmod(
+                graft.functions.TextFns.hash60Composed(col("v")),
+                lit(HistNdvBuckets.toLong)).cast("int"))).as("pos"))
+          val histPerFile: Map[String, Map[String, Seq[HistBin]]] =
+            binned.collect().groupBy(r => new java.net.URI(r.getString(0)).getPath)
+              .map { case (path, rs) =>
+                path -> rs.groupBy(_.getString(1)).map { case (c, brs) =>
+                  c -> brs.map { r =>
+                    val bits = new java.util.BitSet(HistNdvBuckets)
+                    r.getSeq[Int](6).foreach(bits.set)
+                    HistBin(r.getInt(2), r.getLong(3), r.getDouble(4),
+                      r.getDouble(5),
+                      bits.toByteArray.map(b => f"${b & 0xff}%02x").mkString)
+                  }.sortBy(_.bin).toSeq
+                }
+              }
+          baseSketches.map { case (path, fsk) =>
+            val hs = histPerFile.getOrElse(path, Map.empty)
+            path -> fsk.copy(cols = fsk.cols.map { case (c, sk) =>
+              c -> (hs.get(c) match {
+                case Some(h) => sk.copy(hist = h)
+                case None => sk
+              })
+            })
+          }
         }
       }
     val all = prior ++ fresh
@@ -2856,11 +3009,21 @@ object LakeTable {
         val cs = fsk.cols.toSeq.sortBy(_._1).map { case (c, sk) =>
           val mn = if (sk.minS == null) "null" else s""""${esc(sk.minS)}""""
           val mx = if (sk.maxS == null) "null" else s""""${esc(sk.maxS)}""""
-          s""""${esc(c)}":{"nulls":${sk.nulls},"sum_len":${sk.sumLen},"min":$mn,"max":$mx,"bits":"${sk.bitsHex}"}"""
+          val hist =
+            if (sk.hist.isEmpty) ""
+            else sk.hist.map(b =>
+              s"""[${b.bin},${b.rows},${b.lo},${b.hi},"${b.bitsHex}"]""")
+              .mkString(""","hist":[""", ",", "]")
+          s""""${esc(c)}":{"nulls":${sk.nulls},"sum_len":${sk.sumLen},"min":$mn,"max":$mx,"bits":"${sk.bitsHex}"$hist}"""
         }.mkString(",")
         s""""${esc(p)}":{"rows":${fsk.rows},"cols":{$cs}}"""
       }.mkString(",")
-      s"""{"analyzed_snapshot":$head,"buckets":$NdvBuckets,"files":{$fs}}"""
+      val hb =
+        if (histBounds.isEmpty) ""
+        else histBounds.toSeq.sortBy(_._1).map { case (c, es) =>
+          s""""${esc(c)}":[${es.mkString(",")}]"""
+        }.mkString(""","hist_bounds":{""", ",", "}")
+      s"""{"analyzed_snapshot":$head,"buckets":$NdvBuckets$hb,"files":{$fs}}"""
     }
     val target = colStatsPath(root)
     val tmp = target.resolveSibling(s"_colstats.tmp-${System.nanoTime()}")

@@ -464,6 +464,10 @@ class GraftCatalog extends TableCatalog
       // min/max fold driver-side from the per-file truncated extremes
       // (all-null files carry no extremes and drop out of the fold)
       val extremes = meta.files.values.map(_.cols(c)).filter(_.minS != null)
+      // merged equi-height histogram (numeric columns with ANALYZE
+      // boundaries): populated bin count + the heaviest bin's share
+      // of rows — the operator-visible skew verdict
+      val hist = LakeTable.mergedHist(meta, meta.files.keys.toSeq, c)
       (logicalOf.getOrElse(c, c), rows, nulls, occ.toLong,
         LakeTable.ndvEstimate(occ, meta.buckets),
         // saturation verdict: a full bitmap makes ndv_est a FLOOR
@@ -476,10 +480,15 @@ class GraftCatalog extends TableCatalog
         if (extremes.isEmpty) null
         else extremes.map(_.maxS).reduce(LakeTable.utf8Max),
         if (nonNull > 0) sumLen / nonNull else -1L,
+        hist.map(_.size.toLong).getOrElse(0L),
+        hist.filter(_ => nonNull > 0)
+          .map(bs => bs.map(_._1).max * 1000L / math.max(1L, nonNull))
+          .getOrElse(-1L),
         meta.analyzedSnapshot.toLong)
     }.toDF("col", "n_rows", "n_null", "n_occupied", "ndv_est",
       "ndv_saturated", "sketch",
-      "min_v", "max_v", "avg_len", "analyzed_snap")
+      "min_v", "max_v", "avg_len", "hist_bins", "top_bin_permille",
+      "analyzed_snap")
   }
 
   /** Open branches (`t.branches`): fork basis + branch head. */

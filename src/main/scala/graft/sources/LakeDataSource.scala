@@ -796,6 +796,57 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
           graft.lake.LakeTable.mergedColStats(meta, survivors.map(_.path))
             .foreach(_.foreach { case (physCol, (occ, nulls, sumLen, rows)) =>
               val nonNull = rows - nulls
+              // EQUI-HEIGHT HISTOGRAM over the surviving files: the
+              // sidecar stores mergeable fixed-boundary bin counts +
+              // per-bin NDV bitmaps; serve-time rebalancing re-expands
+              // heavy bins into round(rows/height) equal-height
+              // duplicates (a skewed value spans many bins with its
+              // own ndv — exactly Spark's equi-height shape, so
+              // FilterEstimation sees the skew a uniform NDV hides)
+              val mergedBins = graft.lake.LakeTable.mergedHist(
+                meta, survivors.map(_.path), physCol)
+              // numeric value range from the merged bins: without
+              // min/max, FilterEstimation's value interval degrades
+              // to NullValueInterval and every predicate estimates 0
+              // (Double survives: EstimationUtils.toDouble stringifies)
+              val (minV, maxV): (java.util.Optional[Object], java.util.Optional[Object]) =
+                mergedBins.filter(_.nonEmpty) match {
+                  case Some(bins) =>
+                    (java.util.Optional.of(
+                       java.lang.Double.valueOf(bins.map(_._2).min): Object),
+                     java.util.Optional.of(
+                       java.lang.Double.valueOf(bins.map(_._3).max): Object))
+                  case None =>
+                    (java.util.Optional.empty(), java.util.Optional.empty())
+                }
+              val histo: java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                mergedBins match {
+                  case Some(bins) if bins.map(_._1).sum > 0 =>
+                    val total = bins.map(_._1).sum.toDouble
+                    val height0 =
+                      math.max(1.0, total / graft.lake.LakeTable.HistBins)
+                    val expanded = bins.flatMap { case (r, lo, hi, nd) =>
+                      val k = math.max(1, math.round(r / height0).toInt)
+                      Seq.fill(k)((lo, hi,
+                        math.max(1L, math.round(nd.toDouble / k))))
+                    }
+                    val h = total / expanded.size
+                    java.util.Optional.of(
+                      new org.apache.spark.sql.connector.read.colstats.Histogram {
+                        override def height(): Double = h
+                        override def bins(): Array[
+                            org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                          expanded.map { case (l, u, nd) =>
+                            new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                              override def lo(): Double = l
+                              override def hi(): Double = u
+                              override def ndv(): Long = nd
+                            }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                          }.toArray
+                      })
+                  case _ => java.util.Optional.empty()
+                }
               val st = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                 override def distinctCount(): OptionalLong =
                   OptionalLong.of(math.max(1L,
@@ -804,6 +855,10 @@ final class GraftScan(spark: SparkSession, root: String, m: Manifest,
                 override def avgLen(): OptionalLong =
                   if (nonNull > 0) OptionalLong.of(math.max(1L, sumLen / nonNull))
                   else OptionalLong.empty()
+                override def min(): java.util.Optional[Object] = minV
+                override def max(): java.util.Optional[Object] = maxV
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats.Histogram] = histo
               }
               out.put(DsV2Shim.fieldRef(logOf.getOrElse(physCol, physCol)), st)
             })

@@ -2756,6 +2756,62 @@ class DsV2Spec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE equi-height histograms: skewed-value selectivity tracks the histogram where uniform NDV misestimates 10x; incremental re-ANALYZE reuses boundaries") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val root = graft.util.Scratch.dir("graft_hist_")
+    // the q_salted_join shape: one key holds HALF the table, ten
+    // thousand rare keys hold the rest — uniform-NDV selectivity
+    // estimates rows/ndv ≈ 2 where the truth is 10 000
+    val skewed = spark.range(20000).select(
+      org.apache.spark.sql.functions.when(col("id") < 10000, 7L)
+        .otherwise(col("id") + 10000).as("k"),
+      col("id").as("payload"))
+    LakeTable.commit(spark, root, skewed,
+      BlockWriter.Config("payload", "payload", maxRecordsPerFile = 4096),
+      Seq("payload"))
+    LakeTable.analyze(spark, root)
+    def estimatedRows(): BigInt = {
+      val df = spark.read.format("graft-lake").load(root).filter(col("k") === 7L)
+      val filters = df.queryExecution.optimizedPlan.collect {
+        case f: LFilter => f }
+      filters.head.stats.rowCount.getOrElse(BigInt(-1))
+    }
+    val cboKeys = Seq("spark.sql.cbo.enabled")
+    try {
+      cboKeys.foreach(k => spark.conf.set(k, "true"))
+      val est = estimatedRows()
+      // NDV-only estimate would be ≈ 20000/10001 ≈ 2; the histogram
+      // sees ~half the equal-height bins pinned at the heavy value
+      assert(est >= BigInt(5000) && est <= BigInt(20000),
+        s"histogram selectivity should track the skew, got $est")
+      // the t.stats surface reports the skew verdict
+      val meta = LakeTable.colStats(root).get
+      val merged = LakeTable.mergedHist(meta, meta.files.keys.toSeq, "k").get
+      assert(merged.map(_._1).sum === 20000L)
+      assert(merged.map(_._1).max >= 9000L,
+        "the heavy value's fixed-boundary bin must hold its mass")
+      // ---- incremental re-ANALYZE: new files sketch against the
+      // STORED boundaries (counts stay mergeable), estimate follows
+      val more = spark.range(4000).select(lit(7L).as("k"),
+        (col("id") + 50000).as("payload"))
+      LakeTable.commit(spark, root, more,
+        BlockWriter.Config("payload", "payload", maxRecordsPerFile = 4096),
+        Seq("payload"))
+      val (snap2, newFiles) = LakeTable.analyze(spark, root)
+      assert(newFiles > 0, "re-ANALYZE must sketch only the new files")
+      val meta2 = LakeTable.colStats(root).get
+      assert(meta2.bounds("k") === meta.bounds("k"),
+        "incremental ANALYZE must reuse the stored boundaries")
+      val est2 = estimatedRows()
+      assert(est2 >= BigInt(7000) && est2 <= BigInt(24000),
+        s"post-append histogram estimate should track, got $est2")
+      assert(snap2 === 2)
+    } finally {
+      cboKeys.foreach(spark.conf.unset)
+      graft.util.Scratch.rmNow(root)
+    }
+  }
+
   test("avro-plane tables read through the DSv2 front door: dispatch, pruning, delete mask, streaming") {
     val root = graft.util.Scratch.dir("graft_v2avro_")
     (0 to 2).foreach { i =>
