@@ -128,8 +128,22 @@ object CdcApply {
     * `mirrorRoot`. Idempotent: re-applying a batch (or any prefix of
     * one) is a no-op. Returns the number of mirror commits made.
     */
+  /** Range note of a coalesced apply: covers upstream (from, to]. */
+  private val rangeMarkRe = "^cdc:(\\d+)-(\\d+):range$".r
+
+  /** Whether `sn` is covered by any mark in `notes` — an individual
+    * `cdc:<sn>:<verb>` mark or a coalesced `cdc:<a>-<b>:range` note.
+    */
+  private def covered(sn: Int, notes: Iterable[String]): Boolean =
+    notes.exists {
+      case n if n == s"cdc:$sn:delete" || n == s"cdc:$sn:upsert" => true
+      case rangeMarkRe(a, b) => a.toInt <= sn && sn <= b.toInt
+      case _ => false
+    }
+
   def applyBatch(s: SparkSession, mirrorRoot: String, batch: DataFrame,
-      keyCol: String, cfg: BlockWriter.Config, statCols: Seq[String]): Int = {
+      keyCol: String, cfg: BlockWriter.Config, statCols: Seq[String],
+      coalesce: Boolean = false): Int = {
     val b = batch.persist()
     // ONE pass over the batch computes, per snapshot, the insert-row
     // count and the PURE-DELETE key count (delete pre-image keys
@@ -178,9 +192,8 @@ object CdcApply {
       if (skipped.nonEmpty) {
         lazy val allNotes = LakeTable.manifestNotes(mirrorRoot)
         val unapplied = skipped.filterNot { sn =>
-          val marks = Seq(s"cdc:$sn:delete", s"cdc:$sn:upsert")
           knownEmpty.contains(sn) ||
-            marks.exists(seen.contains) || marks.exists(allNotes.contains)
+            covered(sn, seen) || covered(sn, allNotes)
         }
         // A LEGACY (pre-`empty`-list) watermark cannot vouch for a
         // zero-commit application: a delete-only snapshot correctly
@@ -198,6 +211,60 @@ object CdcApply {
             "exists in the mirror ledger — out-of-order or re-seeded " +
             "delivery would silently diverge the mirror")
       }
+      // ---- OPT-IN CADENCE COALESCING: apply the batch's N upstream
+      // snapshots as ONE folded mirror commit under a range note —
+      // latest-wins per key across the range (the same algebra the
+      // in-batch per-snapshot window already applies, widened to the
+      // batch): a key's final state is its LAST touching snapshot's
+      // state — insert there → upsert that row, delete-only there →
+      // pure delete. Exactly-once rides the same ledger (a replayed
+      // batch sees its range note and no-ops; the skip validation
+      // above accepts range coverage). Trade-off is by design:
+      // 1 commit per BATCH instead of per upstream snapshot — the
+      // mirror's history no longer mirrors upstream cadence 1:1, so
+      // it stays opt-in. Falls back to the 1:1 path when any of the
+      // range's snapshots already carries an individual mark (a mode
+      // flip over a partially-applied history must not re-fold).
+      val rangeMark =
+        if (snaps.length > 1) s"cdc:${snaps.head}-${snaps.last}:range" else ""
+      val coalesced = coalesce && snaps.length > 1 &&
+        !snaps.exists(sn => covered(sn, seen))
+      if (coalesced && !seen.contains(rangeMark)) {
+        // final state per key: the per-key aggregate row of the key's
+        // LAST touching snapshot decides upsert-vs-delete
+        val lastTouch = perKey.groupBy(col(keyCol).as("_k"))
+          .agg(max(col(CS)).as("_sn"))
+        val finals = perKey.join(lastTouch,
+          perKey(keyCol) === col("_k") && perKey(CS) === col("_sn"))
+        val winners = b.filter(col(CT) === "insert")
+          .join(finals.filter(col("_ins") > 0)
+            .select(col("_k"), col("_sn")),
+            b(keyCol) === col("_k") && b(CS) === col("_sn"), "left_semi")
+          .drop(CT, CS)
+        val delKeys = finals.filter(col("_ins") === 0 && col("_del") > 0)
+          .select(col("_k").as(keyCol))
+        val mirrorLive = LakeTable.currentSnapshot(mirrorRoot) > 0
+        val hasIns = finals.filter(col("_ins") > 0).limit(1).count() > 0
+        val hasDel = mirrorLive &&
+          finals.filter(col("_ins") === 0 && col("_del") > 0)
+            .limit(1).count() > 0
+        if (hasIns && !mirrorLive)
+          LakeTable.commit(s, mirrorRoot, winners, cfg, statCols,
+            note = rangeMark)
+        else if (hasIns) {
+          val aligned = winners.to(LakeTable.read(s, mirrorRoot).schema)
+          LakeTable.merge(s, mirrorRoot, keyCol, aligned, cfg, statCols,
+            note = rangeMark,
+            extraDeleteKeys = if (hasDel) Some(delKeys) else None)
+        } else if (hasDel)
+          LakeTable.deleteWhere(s, mirrorRoot, keyCol, delKeys,
+            note = rangeMark)
+        if (hasIns || hasDel) { seen += rangeMark; commits += 1 }
+        else snaps.foreach(sn => { emptyApplied += sn: Unit })
+      }
+      // a coalesced range — freshly applied or replay-skipped via its
+      // range note — never also walks the per-snapshot path
+      if (!coalesced)
       snaps.foreach { sn =>
         val delMark = s"cdc:$sn:delete"; val upsMark = s"cdc:$sn:upsert"
         val before = commits

@@ -172,6 +172,84 @@ class CdfStreamSpec extends AnyFunSuite {
     mirrors(mir2)
   }
 
+  test("CdcApply coalesce: a batch's N snapshots fold into ONE range-note commit, latest-wins; replay no-ops; mixed 1:1 history falls back") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.CdcApply
+    val up = graft.util.Scratch.dir("graft_cdcco_up_")
+    val mir = graft.util.Scratch.dir("graft_cdcco_mir_")
+    val cfg = BlockWriter.Config("grp", "id", maxRecordsPerFile = 8)
+    val base = (1L to 8L).map(i => (i, i % 2, i * 1.0)).toDF("id", "grp", "v")
+    // snap1 append; snap2 upsert 2 + delete 5,6; snap3 re-insert 5,
+    // delete 7 — latest-wins final state: 5 lives (snap3's row),
+    // 6 and 7 are gone, 2 carries snap2's value
+    LakeTable.commit(s, up, base, cfg, Seq("id"))
+    LakeTable.merge(s, up, "id", Seq((2L, 0L, 200.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"), extraDeleteKeys = Some(Seq(5L, 6L).toDF("id")))
+    LakeTable.merge(s, up, "id", Seq((5L, 1L, 555.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"), extraDeleteKeys = Some(Seq(7L).toDF("id")))
+    val batch = LakeTable.changelogRead(s, up, 0, 3)
+    val n = CdcApply.applyBatch(s, mir, batch, "id", cfg, Seq("id"),
+      coalesce = true)
+    assert(n === 1, s"three upstream snapshots must fold into ONE commit, got $n")
+    assert(LakeTable.currentSnapshot(mir) === 1)
+    assert(LakeTable.manifest(mir, 1).note === "cdc:1-3:range")
+    def mirrors(m0: String): Unit = {
+      val a = LakeTable.read(s, up)
+      val m = LakeTable.read(s, m0).select(a.columns.map(col).toIndexedSeq: _*)
+      assert(a.exceptAll(m).count() === 0L && m.exceptAll(a).count() === 0L)
+    }
+    mirrors(mir)
+    // crash-replay of the folded batch: the range note no-ops it
+    assert(CdcApply.applyBatch(s, mir, batch, "id", cfg, Seq("id"),
+      coalesce = true) === 0)
+    assert(LakeTable.currentSnapshot(mir) === 1)
+    mirrors(mir)
+    // a LATER batch keeps folding; mirror stays exact
+    LakeTable.merge(s, up, "id", Seq((1L, 1L, 111.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"), extraDeleteKeys = Some(Seq(8L).toDF("id")))
+    LakeTable.merge(s, up, "id", Seq((8L, 0L, 888.0)).toDF("id", "grp", "v"),
+      cfg, Seq("id"))
+    assert(CdcApply.applyBatch(s, mir, LakeTable.changelogRead(s, up, 3, 5),
+      "id", cfg, Seq("id"), coalesce = true) === 1)
+    mirrors(mir)
+    // skip validation accepts range coverage: a replayed PREFIX of a
+    // folded range is a clean no-op, never an out-of-order error
+    assert(CdcApply.applyBatch(s, mir,
+      batch.filter($"_change_snap" <= 2), "id", cfg, Seq("id"),
+      coalesce = true) === 0)
+    // snapshots BELOW the watermark never enter a fold: a 1:1 history
+    // followed by a coalesced apply folds only the un-applied tail
+    val mir2 = graft.util.Scratch.dir("graft_cdcco_mir2_")
+    assert(CdcApply.applyBatch(s, mir2, LakeTable.changelogRead(s, up, 0, 1),
+      "id", cfg, Seq("id")) === 1) // 1:1 mark for snap 1
+    assert(CdcApply.applyBatch(s, mir2, LakeTable.changelogRead(s, up, 0, 3),
+      "id", cfg, Seq("id"), coalesce = true) === 1,
+      "the coalesced apply folds exactly the tail above the watermark")
+    assert(LakeTable.manifest(mir2, LakeTable.currentSnapshot(mir2)).note
+      === "cdc:2-3:range")
+    val m2 = LakeTable.read(s, mir2)
+      .select(Seq("id", "grp", "v").map(col): _*)
+    val upAt3 = LakeTable.read(s, up, Some(3))
+      .select(Seq("id", "grp", "v").map(col): _*)
+    assert(upAt3.exceptAll(m2).count() === 0L && m2.exceptAll(upAt3).count() === 0L)
+    // MODE-FLIP GUARD: an individual mark ABOVE the watermark (a 1:1
+    // apply that crashed before its watermark write) must not re-fold
+    // — the coalesced apply falls back to the per-snapshot path and
+    // completes only what's missing
+    val mir3 = graft.util.Scratch.dir("graft_cdcco_mir3_")
+    assert(CdcApply.applyBatch(s, mir3, LakeTable.changelogRead(s, up, 0, 1),
+      "id", cfg, Seq("id")) === 1)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(mir3, "meta", "_cdc_watermark.json"))
+    assert(CdcApply.applyBatch(s, mir3, LakeTable.changelogRead(s, up, 0, 3),
+      "id", cfg, Seq("id"), coalesce = true) === 2,
+      "a marked snapshot inside the range forces the per-snapshot path")
+    val m3 = LakeTable.read(s, mir3)
+      .select(Seq("id", "grp", "v").map(col): _*)
+    assert(upAt3.exceptAll(m3).count() === 0L && m3.exceptAll(upAt3).count() === 0L)
+  }
+
   test("CdcApply replay ledger is O(batch): manifest reads per applied batch don't grow with mirror history") {
     val s = spark
     import s.implicits._
