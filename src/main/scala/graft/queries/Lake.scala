@@ -3201,6 +3201,72 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- stream_mv_distinct: the CONTINUOUSLY-MAINTAINED distinct-count
+  // view — q_sql_mv_distinct's deployment shape, closing the
+  // kind×surface square for the distinct kind (batch law + SQL DDL +
+  // streaming, like every other MV kind): the fact table's CDF stream
+  // triggers a DistinctMv.refresh per micro-batch under the same
+  // exactly-once-by-construction law (the basis rides the MV head
+  // note; replayed/coalesced batches no-op; the hidden (group, key)
+  // state and the visible view both re-derive idempotently from
+  // durable state). A MoR DELETE mid-stream retires keys whose
+  // multiplicity reaches 0 — and the mode stays SIGNED (the captured
+  // literal gates it): the distinct kind never pays a full recompute
+  // for deletes, streaming or batch.
+  def streamMvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.DistinctMv
+    import org.apache.spark.sql.streaming.Trigger
+    val fact = tmp("graft_sdvf_")
+    val mv = tmp("graft_sdv_")
+    val ckpt = tmp("graft_sdv_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("event_id") % 997).as("uid"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("vx100"))
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 1 << 20)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg,
+      Seq("event_id", "event_type", "uid"))
+    DistinctMv.create(s, fact, mv, Seq("event_type"), "uid", "uniq", mvCfg,
+      sums = Seq(("sum_vx100", "COALESCE(vx100, 0)")))
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(fact)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          DistinctMv.refresh(s, fact, mv, Seq("event_type"), "uid", "uniq",
+            mvCfg, sums = Seq(("sum_vx100", "COALESCE(vx100, 0)"))): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg,
+      Seq("event_id", "event_type", "uid"))
+    drain() // appends: new uids appear, old uids duplicate
+    // MoR delete mid-stream: every row of uids ≡ 0 (mod 10) dies —
+    // those keys RETIRE from the hidden state; mode stays signed
+    LakeTable.deleteWhere(s, fact, "event_id",
+      ev.filter((col("event_id") % 3).isin(0, 1) && col("uid") % 10 === 0)
+        .select(col("event_id")))
+    drain()
+    LakeTable.read(s, mv)
+      .select(col("event_type"), col("n"), col("uniq"), col("sum_vx100"))
+      .withColumn("mode", lit(DistinctMv.mode(mv)))
+      .orderBy(col("event_type"))
+  }
+
+  val streamMvDistinctSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT event_id % 997) AS uniq,
+      |  CAST(SUM(COALESCE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0)) AS BIGINT) AS sum_vx100,
+      |  'signed' AS mode
+      |FROM events
+      |WHERE event_id % 3 IN (0, 1) AND (event_id % 997) % 10 <> 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- stream_mv_expr: the CONTINUOUSLY-MAINTAINED time-bucket
   // rollup — q_sql_mv_expr's deployment shape, closing the
   // kind×surface square for expression-group MVs (batch + SQL DDL +
@@ -5146,6 +5212,7 @@ object Lake {
     "q_sql_mv_star" -> qSqlMvStar,
     "q_sql_mv_star_expr" -> qSqlMvStarExpr,
     "stream_mv_star_expr" -> streamMvStarExpr,
+    "stream_mv_distinct" -> streamMvDistinct,
     "lake_avro_prune" -> lakeAvroPrune,
     "stream_mv_single" -> streamMvSingle,
     "q_sql_rtas" -> qSqlRtas,
@@ -5237,6 +5304,7 @@ object Lake {
     "stream_mv_star_expr" -> streamMvStarExprSql,
     "lake_avro_prune" -> lakeAvroPruneSql,
     "stream_mv_single" -> streamMvSingleSql,
+    "stream_mv_distinct" -> streamMvDistinctSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
     "lake_map" -> lakeMapSql,
