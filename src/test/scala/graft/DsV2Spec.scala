@@ -1965,14 +1965,16 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"""CREATE MATERIALIZED VIEW IF NOT EXISTS $mv AS
                  |SELECT fid, COUNT(*) AS n FROM $fact GROUP BY fid""".stripMargin)
     assert(spark.sql(s"SELECT group_cols FROM $mv.mv").head().getString(0) === "mo")
-    // guards: minmax kind rejects expression groups; non-deterministic
-    // groups rejected; OR REPLACE refuses a plain table
+    // guards: a minmax view grouped ONLY by expression columns has
+    // nothing to key its recompute on (the kind otherwise accepts
+    // expression groups since r17); non-deterministic groups
+    // rejected; OR REPLACE refuses a plain table
     val e1 = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW graft.psd.tbx_$id AS
          |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
          |  MIN(x) AS mn, MAX(x) AS mx
          |FROM $fact GROUP BY d""".stripMargin))
-    assert(e1.getMessage.contains("single-kind"))
+    assert(e1.getMessage.contains("plain group column"))
     intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW graft.psd.tby_$id AS
          |SELECT CAST(rand() * 10 AS BIGINT) AS b, COUNT(*) AS n
@@ -2489,9 +2491,11 @@ class DsV2Spec extends AnyFunSuite {
     // aggregate-ish select items the dedicated regexes don't match
     // get the unsupported-item message, never a confusing GROUP BY
     // mismatch
+    // (a plain COUNT(DISTINCT col) is the distinct KIND since r17 —
+    // an expression argument still has no maintenance law)
     val e2 = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW graft.psd.arx_$id AS
-         |SELECT k, COUNT(DISTINCT x) AS c, COUNT(*) AS n
+         |SELECT k, COUNT(DISTINCT x + 1) AS c, COUNT(*) AS n
          |FROM $fact GROUP BY k""".stripMargin))
     assert(e2.getMessage.contains("unsupported select item"), e2.getMessage)
     val e3 = intercept[Exception](spark.sql(
