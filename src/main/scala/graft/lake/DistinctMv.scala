@@ -130,9 +130,10 @@ object DistinctMv {
   def create(s: SparkSession, factRoot: String, mvRoot: String,
       group: Seq[String], keyCol: String, distinctName: String,
       cfg: BlockWriter.Config, sums: Seq[(String, String)] = Nil,
-      derived: Seq[(String, Column)] = Nil): Int = {
+      derived: Seq[(String, Column)] = Nil,
+      prep: DataFrame => DataFrame = identity): Int = {
     val f = LakeTable.currentSnapshot(factRoot)
-    val st = stateOf(LakeTable.read(s, factRoot, Some(f)), group, keyCol,
+    val st = stateOf(prep(LakeTable.read(s, factRoot, Some(f))), group, keyCol,
       sums, signed = false)
     LakeTable.commit(s, stateRoot(mvRoot), st, stateCfg(group), group,
       note = s"dmvs-basis-$f-full")
@@ -153,7 +154,8 @@ object DistinctMv {
   def refresh(s: SparkSession, factRoot: String, mvRoot: String,
       group: Seq[String], keyCol: String, distinctName: String,
       cfg: BlockWriter.Config, sums: Seq[(String, String)] = Nil,
-      derived: Seq[(String, Column)] = Nil): Int = {
+      derived: Seq[(String, Column)] = Nil,
+      prep: DataFrame => DataFrame = identity): Int = {
     val f0 = basis(mvRoot)
     val f1 = LakeTable.currentSnapshot(factRoot)
     val stRoot = stateRoot(mvRoot)
@@ -168,7 +170,10 @@ object DistinctMv {
       try {
         val next = try {
           val changes = LakeTable.changelogRead(s, factRoot, sb, f1)
-          val delta = stateOf(changes, group, keyCol, sums, signed = true)
+          // prep derives expression group columns (time buckets) over
+          // the change rows — insert and delete pre-images of a row
+          // derive the same bucket, so signed folds cancel exactly
+          val delta = stateOf(prep(changes), group, keyCol, sums, signed = true)
             .persist()
           cached = Some(delta)
           // a pure-maintenance range (compaction, rewrite_manifests)
@@ -193,7 +198,7 @@ object DistinctMv {
             // retention expired part of the changelog range: recompute
             // the state from the fact head, once (the `full` mode)
             mode = "full"
-            stateOf(LakeTable.read(s, factRoot, Some(f1)), group, keyCol,
+            stateOf(prep(LakeTable.read(s, factRoot, Some(f1))), group, keyCol,
               sums, signed = false)
         }
         LakeTable.rewrite(s, stRoot, next, stateCfg(group), group,

@@ -352,7 +352,7 @@ object MaterializedView {
         else if (d.kind == "distinct")
           DistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
             d.distinctName, cfgOf(d), sums = d.sums,
-            derived = singleDerived(d))
+            derived = singleDerived(d), prep = prepFor(s, d))
         else IncrementalJoinMv.create(s, d.fact, d.joinDims, mvDir,
           d.group, aggsOf(d), cfgOf(d), prep = prepFor(s, d))
       registerRef(d.fact, mvDir)
@@ -470,7 +470,7 @@ object MaterializedView {
     else if (d.kind == "distinct")
       Seq(DistinctMv.refresh(s, d.fact, mvDir, d.group, d.distinctCol,
         d.distinctName, cfgOf(d), sums = d.sums,
-        derived = singleDerived(d)))
+        derived = singleDerived(d), prep = prepFor(s, d)))
     else IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
       d.group, aggsOf(d), cfgOf(d), prep = prepFor(s, d))
   }

@@ -377,10 +377,6 @@ object GraftMatViews {
           grammarError("MIN/MAX measures cannot share a view with " +
             "COUNT(DISTINCT) — the distinct kind's signed (group, key) " +
             "state has no min/max retirement law; create a second view")
-        if (exprList.nonEmpty)
-          grammarError("expression group columns are not supported on " +
-            "COUNT(DISTINCT) views — materialize the bucket as a table " +
-            "column instead")
         if (bareList.exists(_.toLowerCase == dCol.toLowerCase))
           grammarError(s"COUNT(DISTINCT $dCol) over its own group " +
             "column is constant 1 per group — drop the measure or the " +
@@ -390,9 +386,13 @@ object GraftMatViews {
             grammarError(s"AVG($aExpr) AS $aName derives from a stored " +
               s"SUM: add SUM($aExpr) AS <name> to the select list")
         }
+        if (exprList.exists(_._1.equalsIgnoreCase(dCol)))
+          grammarError(s"COUNT(DISTINCT $dCol) names an expression group " +
+            "alias — the distinct key must be a stored fact column")
         return (MaterializedView.MvDef("", "", "", groupCols, sums.result(),
           select, kind = "distinct", avgs = avgs.result(),
-          distinctCol = dCol, distinctName = dName), factParts, Nil)
+          distinctCol = dCol, distinctName = dName,
+          groupExprs = exprList), factParts, Nil)
       }
       (minPart, maxPart) match {
         case (None, None) =>

@@ -401,12 +401,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).flatMap {
             case (head, mtime, d, basis)
-                if (d.kind == "single" || d.kind == "minmax") &&
+                if (d.kind == "single" || d.kind == "minmax" ||
+                  d.kind == "distinct") &&
                   d.groupExprs.nonEmpty && d.fact == table.root =>
               if (basis == Seq(snap))
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
                   rels.head.output, Set.empty, head, mtime))
-              else if (staleOk && basis.head < snap &&
+              else if (staleOk && d.kind != "distinct" &&
+                  basis.head < snap &&
                   appendOnlyCached(d.fact, basis.head, snap))
                 // the daily rollup right after an ingest batch: the
                 // bucket re-derives over the delta rows at read time
@@ -1171,6 +1173,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (qg.toSet == mg.toSet && qg.size == mg.size) {
       val projList = mapOutputs(outs,
         mapAgg = {
+          // the distinct kind's measure over a bucketed grouping —
+          // "daily unique users" (same mapping as the plain exact
+          // tier: exact group match only)
+          case ae @ AggregateExpression(
+              Count(Seq(ar: AttributeReference)), Complete, true, None, _)
+              if d.kind == "distinct" && sameName(ar.name, d.distinctCol) =>
+            mvAttr(d.distinctName).filter(_.dataType == ae.dataType)
           case ae @ AggregateExpression(fn, Complete, false, None, _) =>
             measureCol(fn, d, c.bindOut).flatMap(mvAttr)
               .filter(_.dataType == ae.dataType)

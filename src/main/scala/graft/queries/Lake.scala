@@ -1158,6 +1158,109 @@ object Lake {
       |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, event_type""".stripMargin
 
+  // --- q_sql_mv_distinct_expr: DAILY UNIQUE USERS — the warehouse's
+  // canonical distinct rollup (`COUNT(DISTINCT uid) GROUP BY
+  // date_trunc('DAY', ts)`), combining the distinct kind's signed
+  // (group, key) state with expression group columns: every state
+  // derivation — CREATE, the change-feed fold's delta (insert AND
+  // delete pre-images derive the same bucket, so signed folds cancel
+  // exactly), the expired-range full recompute — re-derives the
+  // bucket via the shared prep hook (tz + ANSI guards carry over).
+  // The distinct kind needs NO non-timestamp group column: its state
+  // and view maintenance are whole-table rewrites, never eq-delete
+  // masks, so a pure time-bucket grouping is legal — exactly the
+  // "daily uniques" shape. Deletes stay incremental (mode `signed`)
+  // and uid retirement is per (day, uid) cell. Stage 4 serves the
+  // plain daily-uniques fact query from the fresh MV via the
+  // expression tier with EVERY fact file hidden.
+  def qSqlMvDistinctExpr(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.def_$id"; val mv = s"graft.q.dev_$id"
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("ev_sqlde")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, ts TIMESTAMP, uid BIGINT, vx100 BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, ts, event_id % 499,
+               |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               |FROM ev_sqlde WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+             |  COUNT(DISTINCT uid) AS uniq,
+             |  SUM(COALESCE(vx100, 0)) AS sum_vx100
+             |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+    def mode(): String =
+      s.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    val mode1 = mode()
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dev_$id')")
+    val mode2 = mode()
+    // a MoR DELETE wipes every row of uids ≡ 0 (mod 7): per-day
+    // retirement, mode stays signed
+    s.sql(s"DELETE FROM $fact WHERE uid % 7 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dev_$id')")
+    val mode3 = mode()
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.def_$id")
+    // stage 4: the daily-uniques fact query, served via the
+    // expression tier — every fact data file hidden
+    val served = withHiddenFiles(factDir) {
+      s.sql(s"""SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+               |  COUNT(DISTINCT uid) AS uniq,
+               |  SUM(COALESCE(vx100, 0)) AS sum_vx100
+               |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin).collect()
+    }
+    def stage(k: Int, m: String) =
+      s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, d, n, uniq,
+         |  sum_vx100
+         |FROM $mv VERSION AS OF $k""".stripMargin
+    import s.implicits._
+    val s4 = served.toSeq
+      .map(r => (4L, "served", r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toDF("stage", "mode", "d", "n", "uniq", "sum_vx100")
+    s.sql(Seq(stage(1, mode1), stage(2, mode2), stage(3, mode3))
+      .mkString("", "\nUNION ALL\n", ""))
+      .unionByName(s4)
+      .orderBy(col("stage"), col("d"))
+  }
+
+  val qSqlMvDistinctExprSql: String =
+    """WITH f AS (
+      |  SELECT event_id, ts, event_id % 499 AS uid,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'full' AS mode,
+      |    date_trunc('day', ts) AS d, COUNT(*) AS n,
+      |    COUNT(DISTINCT uid) AS uniq,
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE event_id % 3 = 0 GROUP BY 3),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), 'signed', date_trunc('day', ts),
+      |    COUNT(*), COUNT(DISTINCT uid),
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT)
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY 3),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT), 'signed', date_trunc('day', ts),
+      |    COUNT(*), COUNT(DISTINCT uid),
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT)
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 7 <> 0 GROUP BY 3),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT), 'served', date_trunc('day', ts),
+      |    COUNT(*), COUNT(DISTINCT uid),
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT)
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 7 <> 0 GROUP BY 3)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |ORDER BY stage, d""".stripMargin
+
   // --- q_sql_mv_profile: the PROFILE view — `g, COUNT(*), SUM, MIN,
   // MAX, AVG` as ONE materialized view through the same front door.
   // MIN/MAX force the GROUP-TARGETED RECOMPUTE kind (no signed delta
@@ -5203,6 +5306,7 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmax,
     "q_sql_mv_single" -> qSqlMvSingle,
     "q_sql_mv_distinct" -> qSqlMvDistinct,
+    "q_sql_mv_distinct_expr" -> qSqlMvDistinctExpr,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExpr,
     "q_sql_mv_rewrite" -> qSqlMvRewrite,
@@ -5293,6 +5397,7 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmaxSql,
     "q_sql_mv_single" -> qSqlMvSingleSql,
     "q_sql_mv_distinct" -> qSqlMvDistinctSql,
+    "q_sql_mv_distinct_expr" -> qSqlMvDistinctExprSql,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExprSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,
     "q_sql_mv_rewrite" -> qSqlMvRewriteSql,

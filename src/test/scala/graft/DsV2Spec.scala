@@ -2141,6 +2141,63 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("daily-uniques distinct MV: bucket-grouped COUNT(DISTINCT) serves at the expression tier; stale and other-column shapes fall back") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.duf_$id"; val mv = s"graft.psd.duv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, ts TIMESTAMP, u BIGINT, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, TIMESTAMP '2024-01-01 10:00:00', 100, 10),
+                 |(2, TIMESTAMP '2024-01-01 23:00:00', 100, 20),
+                 |(3, TIMESTAMP '2024-01-01 05:00:00', 200, 30),
+                 |(4, TIMESTAMP '2024-01-02 01:00:00', 100, 40)""".stripMargin)
+    // a PURE time-bucket grouping is legal for the distinct kind
+    // (state/view maintenance are rewrites, never eq-delete masks)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+                 |  COUNT(DISTINCT u) AS uniq
+                 |FROM $fact GROUP BY d""".stripMargin)
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.duf_$id")
+    val mvDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.duv_$id")
+    val q =
+      s"""SELECT CAST(date_trunc('DAY', ts) AS STRING) AS day,
+         |  COUNT(*) AS c, COUNT(DISTINCT u) AS du
+         |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin
+    assert(mvScanRoots(q) === Seq(mvDir),
+      "the expression tier must serve the daily-uniques query")
+    shiftFiles(factDir, hide = true)
+    try assert(spark.sql(q).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map("2024-01-01 00:00:00" -> ((3L, 2L)),
+        "2024-01-02 00:00:00" -> ((1L, 1L))))
+    finally shiftFiles(factDir, hide = false)
+    // per-(day, key) retirement: u=100 dies on 01-01 only after BOTH
+    // its rows there are gone; its 01-02 cell is untouched
+    spark.sql(s"DELETE FROM $fact WHERE fid IN (1, 2)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+    assert(spark.sql(s"SELECT CAST(d AS STRING), n, uniq FROM $mv").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map("2024-01-01 00:00:00" -> ((1L, 1L)),
+        "2024-01-02 00:00:00" -> ((1L, 1L))))
+    assert(spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+      === "signed")
+    // a DIFFERENT distinct argument and a STALE basis both fall back
+    assert(mvScanRoots(
+      s"""SELECT date_trunc('DAY', ts) AS d2, COUNT(DISTINCT x) AS dx
+         |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+      === Seq(factDir))
+    spark.sql(s"INSERT INTO $fact VALUES " +
+      s"(5, TIMESTAMP '2024-01-03 09:00:00', 300, 50)")
+    assert(mvScanRoots(q) === Seq(factDir),
+      "a stale distinct MV is never served or append-compensated")
+    spark.sql(s"DROP MATERIALIZED VIEW $mv"); spark.sql(s"DROP TABLE $fact")
+  }
+
   test("expression groups on the MIN/MAX kind: bucket re-derives on fold and targeted recompute keyed on the non-timestamp column; rewrite serves; guards") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
