@@ -89,6 +89,14 @@ object DistinctMv {
       case _ => None
     }.getOrElse(sys.error(s"$stRoot carries no dmvs-basis note"))
 
+  /** The fact snapshot the HIDDEN state table reflects — the rewrite
+    * rule's state-rollup tier serves from the state only when this
+    * equals the scanned snapshot exactly (a crash between the two
+    * refresh commits leaves the state AHEAD of the visible view;
+    * serving it then would leak newer data into a pinned read).
+    */
+  def stateBasisOf(mvRoot: String): Int = stateBasis(stateRoot(mvRoot))._1
+
   /** The (group, key) state of a base read: multiplicity + one
     * signed SUM partial per extra measure. A partial is NULL exactly
     * when every contributing value is NULL — matching SUM's

@@ -541,6 +541,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val (stale, fresh) = matched.partition(c => c.deltaFrom >= 0 || c.axes.nonEmpty)
     fresh.view.flatMap(rewriteExact(outs, groupAttrs, _)).headOption
       .orElse(fresh.view.flatMap(rewriteRollup(outs, groupAttrs, _)).headOption)
+      // a group-SUBSET COUNT(DISTINCT) cannot roll up from per-group
+      // counts — but it CAN re-aggregate the distinct kind's hidden
+      // (group, key) STATE table (state-sized, not fact-sized)
+      .orElse(fresh.view.flatMap(
+        rewriteDistinctStateRollup(outs, groupAttrs, _)).headOption)
       // a plain-column subset of an expression-group MV's grouping
       // still rolls up from it (GROUP BY site over the (day, site) MV)
       .orElse(exprServed)
@@ -800,6 +805,73 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         else None).getOrElse(return None)
     Some(Aggregate(groupMv, aggExprs,
       cond2.map(Filter(_, mv)).getOrElse(mv), None))
+  }
+
+  /** STATE-ROLLUP tier for the DISTINCT kind: a strict group-subset
+    * query with COUNT(DISTINCT x) cannot roll up from the visible
+    * per-group counts (a key may live under several grouped-away
+    * values) — but it re-aggregates EXACTLY from the hidden
+    * (group, key) state table: state rows are distinct (groups, x)
+    * tuples, so `COUNT(DISTINCT x) GROUP BY g₁` = Count(DISTINCT x)
+    * over state rows, `COUNT(*)` = SUM(multiplicity), `SUM(e)` =
+    * SUM(partial). At 100 TB the state is (group × key)-domain-sized
+    * — the aggregate runs over the dedup'd key space, never the
+    * fact. Soundness gates: the candidate is FRESH (visible basis ==
+    * scanned snapshot) AND the state's own basis equals it too — a
+    * crash between the two refresh commits leaves the state AHEAD,
+    * and serving it then would leak newer data into a pinned read.
+    */
+  private def rewriteDistinctStateRollup(outs: Seq[NamedExpression],
+      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.types.LongType
+    val d = c.d
+    if (d.kind != "distinct") return None
+    val qg = groupAttrs.map(a => canon(a.name))
+    val mg = d.group.map(canon).toSet
+    if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
+    if (qg.exists(c.unsafe.contains)) return None
+    // the state must reflect exactly the snapshot the candidate
+    // validated (fresh ⇒ visible basis == scanned snapshot)
+    val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir)
+    val aligned = Try(graft.lake.DistinctMv.stateBasisOf(c.mvDir) ==
+      graft.lake.DistinctMv.basis(c.mvDir)).getOrElse(false)
+    if (!aligned) return None
+    val stSnap = Try(LakeTable.currentSnapshot(stRoot)).getOrElse(return None)
+    val st = mvScan(stRoot, stSnap, c.mvMtime).getOrElse(return None)
+    def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
+    val cond2 = remapCond(c.residual, d, st.output, c.unsafe)
+      .getOrElse(return None)
+    val groupSt = groupAttrs.map(a =>
+      stAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    val groupSet = qg.toSet
+    val cnt = stAttr(graft.lake.DistinctMv.CntCol)
+      .filter(_.dataType == LongType).getOrElse(return None)
+    val aggExprs = mapOutputs(outs,
+      mapAgg = {
+        case ae @ AggregateExpression(fn, Complete, isDistinct, None, _) =>
+          val rolled: Option[AggregateFunction] = fn match {
+            // COUNT(DISTINCT x) over the fact = COUNT(DISTINCT x)
+            // over state rows (distinct tuples by construction)
+            case Count(Seq(ar: AttributeReference))
+                if isDistinct && sameName(ar.name, d.distinctCol) =>
+              stAttr(d.distinctCol).map(sa => Count(Seq(sa)))
+            case Count(Seq(Literal(v, _))) if !isDistinct && v != null =>
+              Some(new Sum(cnt))
+            case s: Sum if !isDistinct =>
+              measureCol(s, d, c.bindOut).flatMap(stAttr).map(new Sum(_))
+            case _ => None
+          }
+          rolled.filter(_.dataType == ae.dataType)
+            .map(f => ae.copy(aggregateFunction = f))
+        case _ => None
+      },
+      mapAttr = a =>
+        if (groupSet.contains(canon(a.name)) &&
+            !c.unsafe.contains(canon(a.name)))
+          stAttr(a.name).filter(_.dataType == a.dataType)
+        else None).getOrElse(return None)
+    Some(Aggregate(groupSt.map(a => a: Expression), aggExprs,
+      cond2.map(Filter(_, st)).getOrElse(st), None))
   }
 
   // (root, from, to) → append-only verdict; manifests are immutable,

@@ -1443,10 +1443,23 @@ class DsV2Spec extends AnyFunSuite {
     assert(mvScanRoots(
       s"SELECT g, h, COUNT(DISTINCT x) AS dx FROM $fact GROUP BY g, h")
       === Seq(factDir), "COUNT(DISTINCT <other col>) must run as written")
-    // COUNT(DISTINCT) does NOT roll up from per-group counts
+    // COUNT(DISTINCT) does NOT roll up from per-group counts — it
+    // re-aggregates the hidden (group, key) STATE table instead
+    // (state-sized, never fact-sized), fact files still hidden
+    val stRoot = graft.lake.DistinctMv.stateRoot(mvDir)
     assert(mvScanRoots(
       s"SELECT g, COUNT(DISTINCT u) AS du FROM $fact GROUP BY g")
-      === Seq(factDir), "a group-subset COUNT(DISTINCT) must run as written")
+      === Seq(stRoot),
+      "a group-subset COUNT(DISTINCT) must serve from the state table")
+    shiftFiles(factDir, hide = true)
+    try assert(spark.sql(
+      s"""SELECT g, COUNT(*) AS c, COUNT(DISTINCT u) AS du,
+         |SUM(COALESCE(x, 0)) AS sx FROM $fact GROUP BY g""".stripMargin)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ===
+      Set(("a", 2L, 2L, 70L), ("b", 2L, 1L, 100L)),
+      "the state rollup must fold multiplicities/partials exactly")
+    finally shiftFiles(factDir, hide = false)
     // ---- stale: an unrefreshed append is NEVER compensated for the
     // distinct kind (a delta key may already be counted)
     spark.sql(s"INSERT INTO $fact VALUES (7, 'a', 0, 100, 70)")
