@@ -2154,6 +2154,47 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("distinct MV lifecycle: OR REPLACE rebuilds the nested state; a failed replace restores it; DROP removes it") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.dlf_$id"; val mv = s"graft.psd.dlv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, u BIGINT, x BIGINT)")
+    spark.sql(s"INSERT INTO $fact VALUES (1,'a',100,10), (2,'a',100,20), (3,'b',200,30)")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS du
+                 |FROM $fact GROUP BY g""".stripMargin)
+    val mvDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.dlv_$id")
+    val stDir = java.nio.file.Paths.get(graft.lake.DistinctMv.stateRoot(mvDir))
+    assert(java.nio.file.Files.isDirectory(stDir), "state nests in the MV dir")
+    // a FAILED replace (bad column) restores the old MV verbatim,
+    // nested state included — refresh keeps working
+    intercept[Exception](spark.sql(
+      s"""CREATE OR REPLACE MATERIALIZED VIEW $mv AS
+         |SELECT g, COUNT(*) AS n, COUNT(DISTINCT no_such) AS du
+         |FROM $fact GROUP BY g""".stripMargin))
+    spark.sql(s"INSERT INTO $fact VALUES (4,'b',300,40)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+    assert(spark.sql(s"SELECT du FROM $mv WHERE g = 'b'").head().getLong(0) === 2L)
+    // a SUCCESSFUL replace rebuilds state under the new definition
+    spark.sql(s"""CREATE OR REPLACE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, COUNT(DISTINCT x) AS dx
+                 |FROM $fact GROUP BY g""".stripMargin)
+    assert(spark.sql(s"SELECT dx FROM $mv WHERE g = 'a'").head().getLong(0) === 2L)
+    spark.sql(s"INSERT INTO $fact VALUES (5,'a',100,10)") // dup x=10
+    spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+    assert(spark.sql(s"SELECT n, dx FROM $mv WHERE g = 'a'").head() match {
+      case r => r.getLong(0) === 3L && r.getLong(1) === 2L
+    })
+    // DROP removes the MV and its nested state wholesale
+    spark.sql(s"DROP MATERIALIZED VIEW $mv")
+    assert(!java.nio.file.Files.exists(stDir))
+    spark.sql(s"DROP TABLE $fact")
+  }
+
   test("daily-uniques distinct MV: bucket-grouped COUNT(DISTINCT) serves at the expression tier; stale and other-column shapes fall back") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
