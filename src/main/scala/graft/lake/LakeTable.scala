@@ -2689,7 +2689,12 @@ object LakeTable {
       files: Map[String, FileSketch], buckets: Int = NdvBuckets,
       // numeric-column histogram boundaries (interior quantile edges,
       // distinct + sorted) the per-file bin counts were keyed on
-      bounds: Map[String, Seq[Double]] = Map.empty)
+      bounds: Map[String, Seq[Double]] = Map.empty,
+      // whether the sidecar was written by a histogram-era ANALYZE
+      // (the `hist_bounds` key present, even empty) — a pre-era
+      // sidecar on a numeric table must invalidate once so its files
+      // re-sketch WITH bins, instead of silently never gaining them
+      histEra: Boolean = false)
 
   private def colStatsPath(root: String) =
     Paths.get(root, "meta", "_colstats.json")
@@ -2734,7 +2739,8 @@ object LakeTable {
             }.toMap
             e.getKey -> FileSketch(fn.get("rows").asLong(), cols)
           }.toMap
-          val bounds = Option(node.get("hist_bounds")).map { bn =>
+          val boundsNode = Option(node.get("hist_bounds"))
+          val bounds = boundsNode.map { bn =>
             asScala(bn.properties().iterator()).map { e =>
               val it = e.getValue.elements()
               e.getKey -> Iterator.continually(it).takeWhile(_.hasNext)
@@ -2744,7 +2750,7 @@ object LakeTable {
           val meta = ColStatsMeta(node.get("analyzed_snapshot").asInt(), files,
             // sidecars predating the width field were 1024-bucket
             Option(node.get("buckets")).map(_.asInt()).getOrElse(1024),
-            bounds)
+            bounds, histEra = boundsNode.isDefined)
           colStatsCache.put(root, (mtime, meta))
           Some(meta)
         }
@@ -2845,8 +2851,26 @@ object LakeTable {
     val rowsOf: Map[String, Long] =
       m.files.groupBy(f => sketchKey(f.path)).map { case (p, fs) => p -> fs.head.rows }
     // a sketch-width change invalidates the whole sidecar (bitmaps of
-    // different widths must not OR together): re-sketch everything
+    // different widths must not OR together): re-sketch everything.
+    // So does a PRE-HISTOGRAM-ERA sidecar (no `hist_bounds` key at
+    // all) on a table with numeric columns: its files would otherwise
+    // count as "already sketched" forever and bins would silently
+    // never appear — invalidating once re-reads them WITH boundary
+    // derivation. (A histogram-era sidecar whose bounds are merely
+    // empty — all-null numeric data — stays valid: re-reading it
+    // could not derive bounds either.)
+    val tableHasNumeric = storedSchemaOf(root).exists(_.fields.exists(f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => true
+        case _ => false
+      }))
     val priorMeta = colStats(root).filter(_.buckets == NdvBuckets)
+      .filterNot(pm => !pm.histEra && tableHasNumeric)
     val prior = priorMeta.map(_.files).getOrElse(Map.empty)
     val newPaths = m.files.map(_.path).distinct
       .filterNot(p => prior.contains(sketchKey(p)))
@@ -2943,11 +2967,19 @@ object LakeTable {
            else numericCols(
              DataType.fromJson(m.schemaJson).asInstanceOf[StructType]))
         ).distinct
+        // NaN/±Infinity never enter bounds or bins: the sidecar
+        // serializes doubles as bare JSON literals, and a NaN token
+        // would make it unparseable on the next read (non-finite rows
+        // still count in the base sketch's nulls/min/max pass)
+        def finite(c: Column): Column =
+          c.isNotNull && !isnan(c) &&
+            c =!= lit(Double.PositiveInfinity) &&
+            c =!= lit(Double.NegativeInfinity)
         if (prior.isEmpty && numCols.nonEmpty) {
           val probs = (1 until HistBins).map(i => i.toDouble / HistBins)
           val nm = melted.filter(col("c").isin(numCols: _*))
             .select(col("c"), col("v").cast("double").as("vd"))
-            .filter(col("vd").isNotNull)
+            .filter(finite(col("vd")))
           histBounds = nm.groupBy(col("c"))
             .agg(expr(s"percentile_approx(vd, array(${probs.mkString(",")}), 10000)")
               .as("qs"))
@@ -2963,7 +2995,7 @@ object LakeTable {
             histCols.map(c => (c, histBounds(c))).toDF("c", "edges"))
           val binned = melted.filter(col("c").isin(histCols: _*))
             .withColumn("vd", col("v").cast("double"))
-            .filter(col("vd").isNotNull)
+            .filter(finite(col("vd")))
             .join(edgesDf, "c")
             // bin = count of interior edges strictly below the value:
             // ties collapse onto one bin, the serve-time rebalance
@@ -3018,10 +3050,13 @@ object LakeTable {
         }.mkString(",")
         s""""${esc(p)}":{"rows":${fsk.rows},"cols":{$cs}}"""
       }.mkString(",")
-      val hb =
-        if (histBounds.isEmpty) ""
-        else histBounds.toSeq.sortBy(_._1).map { case (c, es) =>
-          s""""${esc(c)}":[${es.mkString(",")}]"""
+      // the key is ALWAYS emitted (empty when no boundaries derived):
+      // its presence is the histogram-era marker that keeps the
+      // pre-era invalidation above from re-firing; bounds are
+      // finite-filtered defensively (a NaN/Infinity literal is not
+      // valid JSON)
+      val hb = histBounds.toSeq.sortBy(_._1).map { case (c, es) =>
+          s""""${esc(c)}":[${es.filter(java.lang.Double.isFinite).mkString(",")}]"""
         }.mkString(""","hist_bounds":{""", ",", "}")
       s"""{"analyzed_snapshot":$head,"buckets":$NdvBuckets$hb,"files":{$fs}}"""
     }

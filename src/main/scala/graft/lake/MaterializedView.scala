@@ -313,14 +313,20 @@ object MaterializedView {
     if (d.groupExprs.isEmpty) return d.group.head
     val exprNames = d.groupExprs.map(_._1.toLowerCase).toSet
     val bare = d.group.filterNot(g => exprNames.contains(g.toLowerCase))
-    val types = scala.util.Try {
-      // manifest schema only — zero file IO (see minmaxExtraFolds)
-      val schema = LakeTable.storedSchemaOf(d.fact).get
-      bare.flatMap(g => schema.fields.find(_.name.equalsIgnoreCase(g))
-        .map(g -> _.dataType)).toMap
-    }.getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+    // manifest schema only — zero file IO (see minmaxExtraFolds).
+    // An UNAVAILABLE schema must fail here, not guess: a vacuous
+    // "unknown type ⇒ not timestamp" pick could key the refresh's
+    // eq-delete mask on a TIMESTAMP column — reintroducing at refresh
+    // time exactly the failure the CREATE-time DDL guard rejects.
+    val schema = scala.util.Try(LakeTable.storedSchemaOf(d.fact).get)
+      .getOrElse(sys.error(
+        s"min/max MV refresh: stored schema of fact ${d.fact} is " +
+          "unavailable — cannot verify a non-timestamp recompute key; " +
+          "re-commit the fact with schema metadata before refreshing"))
+    val types = bare.flatMap(g =>
+      schema.fields.find(_.name.equalsIgnoreCase(g)).map(g -> _.dataType)).toMap
     bare.find(g => types.get(g)
-        .forall(_ != org.apache.spark.sql.types.TimestampType))
+        .exists(_ != org.apache.spark.sql.types.TimestampType))
       .getOrElse(sys.error("min/max MV has no plain non-timestamp group " +
         "column to key its recompute on — CREATE should have rejected this"))
   }

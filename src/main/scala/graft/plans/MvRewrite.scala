@@ -103,7 +103,18 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // the join kind's full axis vector (fact first, dims in
       // definition order) for the delta-join STAIRCASE: one union
       // term per axis whose (basis, snap] gap is append-only
-      axes: Seq[JoinAxis] = Nil)
+      axes: Seq[JoinAxis] = Nil,
+      // the DISTINCT kind's hidden-state pin, captured at VALIDATION
+      // time: (state snapshot, fact basis that snapshot reflects).
+      // State-serving tiers require the basis to equal the
+      // candidate's validated fact snapshot and scan the state AT
+      // this snapshot — re-reading live heads at serve time is a
+      // TOCTOU window (see DistinctMv.stateBasisPinned)
+      stateInfo: Option[(Int, Int)] = None,
+      // the VALIDATED visible basis (single-table kinds: basis.head
+      // at candidate creation; == the scanned fact snapshot for a
+      // fresh candidate) — what the state pin must match
+      factBasis: Int = -1)
 
   /** One relation of a star scan set: its in-plan instance, lake
     * root, the MV's recorded basis snapshot and the snapshot the
@@ -298,21 +309,27 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   // definition. Fixed-point iterations and repeated queries pay one
   // head-pointer read + one stat instead of note walks.
   private val stateCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Long), (MaterializedView.MvDef, Seq[Int])]
+    (String, Int, Long),
+    (MaterializedView.MvDef, Seq[Int], Option[(Int, Int)])]
 
-  /** The MV's (head, incarnation, definition, basis vector) read
-    * atomically: the head is re-checked after the derivation, so the
-    * returned basis describes exactly the snapshot [[mvScan]] will
-    * pin — a refresh committing mid-read makes the candidate drop
-    * out, never serve data newer than the fact scan it was validated
-    * against.
+  /** The MV's (head, incarnation, definition, basis vector, distinct
+    * state pin) read atomically: the head is re-checked after the
+    * derivation, so the returned basis describes exactly the snapshot
+    * [[mvScan]] will pin — a refresh committing mid-read makes the
+    * candidate drop out, never serve data newer than the fact scan it
+    * was validated against. The distinct kind's state pin is its own
+    * consistent (state snapshot → fact basis) pair; caching it is
+    * sound because manifests are immutable — the pinned state
+    * snapshot's CONTENT reflects that basis forever, regardless of
+    * later state commits.
     */
   private def defBasisAt(mvDir: String)
-      : Option[(Int, Long, MaterializedView.MvDef, Seq[Int])] = Try {
+      : Option[(Int, Long, MaterializedView.MvDef, Seq[Int],
+        Option[(Int, Int)])] = Try {
     val head = LakeTable.currentSnapshot(mvDir)
     val mtime = MaterializedView.defMtime(mvDir)
     val cached = stateCache.get((mvDir, head, mtime))
-    val (d, basis) =
+    val (d, basis, stInfo) =
       if (cached != null) cached
       else {
         val d0 = MaterializedView.readDef(mvDir)
@@ -322,13 +339,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           case "distinct" => Seq(DistinctMv.basis(mvDir))
           case _ => IncrementalJoinMv.basisAll(mvDir)
         }
+        val si =
+          if (d0.kind == "distinct") DistinctMv.stateBasisPinned(mvDir)
+          else None
         if (LakeTable.currentSnapshot(mvDir) != head ||
           MaterializedView.defMtime(mvDir) != mtime) return None
         if (stateCache.size > 256) stateCache.clear()
-        stateCache.put((mvDir, head, mtime), (d0, b))
-        (d0, b)
+        stateCache.put((mvDir, head, mtime), (d0, b, si))
+        (d0, b, si)
       }
-    (head, mtime, d, basis)
+    (head, mtime, d, basis, stInfo)
   }.toOption
 
   /** The NamedExpression with pulled-out aliases inlined, top-level
@@ -400,13 +420,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val snap = table.resolvedSnapshot
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).flatMap {
-            case (head, mtime, d, basis)
+            case (head, mtime, d, basis, si)
                 if (d.kind == "single" || d.kind == "minmax" ||
                   d.kind == "distinct") &&
                   d.groupExprs.nonEmpty && d.fact == table.root =>
               if (basis == Seq(snap))
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
-                  rels.head.output, Set.empty, head, mtime))
+                  rels.head.output, Set.empty, head, mtime,
+                  stateInfo = si, factBasis = basis.head))
               else if (staleOk && d.kind != "distinct" &&
                   basis.head < snap &&
                   appendOnlyCached(d.fact, basis.head, snap))
@@ -429,7 +450,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       else refs.flatMap { mvDir =>
         defBasisAt(mvDir).filter(x =>
           x._3.kind == "join" && x._3.groupExprs.nonEmpty).flatMap {
-          case (head, mtime, d, basis) =>
+          case (head, mtime, d, basis, _) =>
             matchJoin(d, conds, rels).flatMap {
               case (residual, bindOut, unsafe, factRel, dimRels, snaps) =>
                 lazy val roots = d.fact +: d.joinDims.map(_.root)
@@ -470,7 +491,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val snap = table.resolvedSnapshot
         refs.flatMap { mvDir =>
           defBasisAt(mvDir).flatMap {
-            case (head, mtime, d, basis)
+            case (head, mtime, d, basis, si)
                 if (d.kind == "single" || d.kind == "minmax" ||
                   d.kind == "distinct") &&
                   // the registry is advisory: verify the DEFINITION
@@ -483,19 +504,27 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
                   d.groupExprs.isEmpty =>
               if (basis == Seq(snap))
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
-                  rels.head.output, Set.empty, head, mtime))
-              else if (staleOk && d.kind != "distinct" &&
+                  rels.head.output, Set.empty, head, mtime,
+                  stateInfo = si, factBasis = basis.head))
+              else if (staleOk &&
+                  (d.kind != "distinct" || si.exists(_._2 == basis.head)) &&
                   basis.head < snap &&
                   appendOnlyCached(d.fact, basis.head, snap))
                 // STALE but compensable: the gap is pure appends, so
                 // MV rows ⊎ the tail's per-row contributions fold to
                 // exactly the head answer (the refresh law, at read).
-                // The distinct kind never compensates: COUNT(DISTINCT)
-                // cannot fold from stored per-group counts plus delta
-                // rows (a delta key may already be counted).
+                // The distinct kind cannot fold from its VISIBLE
+                // per-group counts (a delta key may already be
+                // counted) — but it compensates EXACTLY from the
+                // hidden (group, key) state: distinct keys of
+                // state@basis ∪ Δ-file keys per group. Admitted only
+                // when the state pin reflects the basis exactly (a
+                // crash between the two refresh commits leaves it
+                // ahead — serving it would leak).
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
                   rels.head.output, Set.empty, head, mtime,
-                  deltaFrom = basis.head, deltaTo = snap))
+                  deltaFrom = basis.head, deltaTo = snap,
+                  stateInfo = si, factBasis = basis.head))
               else None
             case _ => None
           }
@@ -508,7 +537,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           // bind) — they serve the dedicated expression tier above
           defBasisAt(mvDir).filter(x =>
             x._3.kind == "join" && x._3.groupExprs.isEmpty).flatMap {
-            case (head, mtime, d, basis) =>
+            case (head, mtime, d, basis, _) =>
               matchJoin(d, conds, rels).flatMap {
                 case (residual, bindOut, unsafe, factRel, dimRels, snaps) =>
                   lazy val roots = d.fact +: d.joinDims.map(_.root)
@@ -552,6 +581,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       .orElse(stale.view.flatMap { c =>
         if (c.d.kind == "join")
           rewriteCompensatedJoin(agg, outs, groupAttrs, c)
+        else if (c.d.kind == "distinct")
+          rewriteDistinctCompensated(outs, groupAttrs, c)
         else rewriteCompensated(outs, groupAttrs, c)
       }.headOption)
   }
@@ -817,9 +848,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * SUM(partial). At 100 TB the state is (group × key)-domain-sized
     * — the aggregate runs over the dedup'd key space, never the
     * fact. Soundness gates: the candidate is FRESH (visible basis ==
-    * scanned snapshot) AND the state's own basis equals it too — a
-    * crash between the two refresh commits leaves the state AHEAD,
-    * and serving it then would leak newer data into a pinned read.
+    * scanned snapshot) AND its VALIDATION-TIME state pin reflects
+    * exactly that basis, with the state scan pinned at the pin's
+    * snapshot — comparing LIVE heads here instead would be a TOCTOU
+    * (a refresh committing between candidate validation and this
+    * tier advances both bases together; the live comparison passes
+    * and newer state rows leak into a read pinned at the older fact
+    * snapshot).
     */
   private def rewriteDistinctStateRollup(outs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
@@ -830,13 +865,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val mg = d.group.map(canon).toSet
     if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
     if (qg.exists(c.unsafe.contains)) return None
-    // the state must reflect exactly the snapshot the candidate
-    // validated (fresh ⇒ visible basis == scanned snapshot)
     val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir)
-    val aligned = Try(graft.lake.DistinctMv.stateBasisOf(c.mvDir) ==
-      graft.lake.DistinctMv.basis(c.mvDir)).getOrElse(false)
-    if (!aligned) return None
-    val stSnap = Try(LakeTable.currentSnapshot(stRoot)).getOrElse(return None)
+    val (stSnap, stBasis) = c.stateInfo.getOrElse(return None)
+    if (c.factBasis < 0 || stBasis != c.factBasis) return None
     val st = mvScan(stRoot, stSnap, c.mvMtime).getOrElse(return None)
     def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
     val cond2 = remapCond(c.residual, d, st.output, c.unsafe)
@@ -872,6 +903,117 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         else None).getOrElse(return None)
     Some(Aggregate(groupSt.map(a => a: Expression), aggExprs,
       cond2.map(Filter(_, st)).getOrElse(st), None))
+  }
+
+  /** COMPENSATED tier for the DISTINCT kind — a STALE distinct MV
+    * over an append-only gap answers EXACTLY from its hidden state:
+    *
+    * `COUNT(DISTINCT x)`@snap per group = |keys(state@basis) ∪
+    * keys(Δ files)| — a union of key SETS, exact even when a delta
+    * key was already counted at the basis (the algebra the VISIBLE
+    * per-group counts cannot express, which is why the plain
+    * compensated tier must veto this kind). `COUNT(*)` =
+    * SUM(multiplicities) + |Δ rows|; stored SUMs fold per-row under
+    * the same exactness gates as [[rewriteCompensated]] (integral
+    * argument, bigint stored column, matching ANSI regime —
+    * measureCol adds the distinct kind's non-nullable gate). Shape:
+    *
+    * {{{
+    * Aggregate(query groups — COUNT(DISTINCT ux), SUM(n), SUM(p…),
+    *   Union(
+    *     Project(g…, x, _cnt, partials — Filter(residual, state@pin)),
+    *     Project(g…, x, 1L,   per-row  — Filter(residual, Δ files))))
+    * }}}
+    *
+    * Cost: state-sized + delta-sized, never a fact scan — the
+    * query-right-after-ingest shape the other kinds already serve.
+    * Exact grain and group-subset rollup both land here (the final
+    * aggregate groups by the QUERY's groups). Soundness: the
+    * candidate carries its VALIDATION-TIME state pin; the pin's
+    * basis must equal the stale basis (deltaFrom) and the state scan
+    * pins to the pin's snapshot — live-head re-validation would be
+    * the TOCTOU the state-rollup tier documents.
+    */
+  private def rewriteDistinctCompensated(outs: Seq[NamedExpression],
+      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.types.LongType
+    val d = c.d
+    if (d.kind != "distinct") return None
+    val (stSnap, stBasis) = c.stateInfo.getOrElse(return None)
+    if (c.deltaFrom < 0 || stBasis != c.deltaFrom) return None
+    val qg = groupAttrs.map(a => canon(a.name))
+    val mg = d.group.map(canon).toSet
+    if (qg.isEmpty || !qg.forall(mg.contains)) return None
+    if (qg.distinct.size != qg.size) return None
+    if (qg.exists(c.unsafe.contains)) return None
+    val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir)
+    val st = mvScan(stRoot, stSnap, c.mvMtime).getOrElse(return None)
+    def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
+    val delta = deltaScan(d.fact, c.deltaFrom, c.deltaTo).getOrElse(return None)
+    def dAttr(n: String) = delta.output.find(m => sameName(m.name, n))
+    val stG = groupAttrs.map(a =>
+      stAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    val dG = groupAttrs.map(a =>
+      dAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    val stCond = remapCond(c.residual, d, st.output, c.unsafe)
+      .getOrElse(return None)
+    val dCond = remapCond(c.residual, d, delta.output, c.unsafe)
+      .getOrElse(return None)
+    // the distinct key column on both sides, identical type
+    val xSt = stAttr(d.distinctCol).getOrElse(return None)
+    val xD = dAttr(d.distinctCol).filter(_.dataType == xSt.dataType)
+      .getOrElse(return None)
+    val cnt = stAttr(graft.lake.DistinctMv.CntCol)
+      .filter(_.dataType == LongType).getOrElse(return None)
+    // stored SUM partials on the state side, per-row contributions on
+    // the delta side
+    val sums: Seq[(Attribute, Expression, String)] = d.sums.map {
+      case (nm, txt) =>
+        val scol = stAttr(nm).filter(_.dataType == LongType)
+          .getOrElse(return None)
+        val se = resolveStored(txt, delta.output, d).getOrElse(return None)
+        if (!integral(se.dataType) || !ansiMatches(d)) return None
+        (scol, Cast(se, LongType): Expression, nm)
+    }
+    val stSide = Project(
+      (stG ++ Seq(xSt, cnt) ++ sums.map(_._1)).map(a => a: NamedExpression),
+      stCond.map(Filter(_, st)).getOrElse(st))
+    val dSide = Project(
+      dG.map(a => a: NamedExpression) ++
+        (Alias(xD, d.distinctCol)() +:
+          Alias(Literal(1L), graft.lake.DistinctMv.CntCol)() +:
+          sums.map { case (_, e, nm) => Alias(e, nm)() }),
+      dCond.map(Filter(_, delta)).getOrElse(delta))
+    val union = Union(Seq(stSide, dSide))
+    val uOut = union.output
+    val uG = uOut.take(groupAttrs.size)
+    val uX = uOut(groupAttrs.size)
+    val uN = uOut(groupAttrs.size + 1)
+    val uM: Map[String, Attribute] =
+      sums.map(x => canon(x._3)).zip(uOut.drop(groupAttrs.size + 2)).toMap
+    val gMap = groupAttrs.map(_.exprId).zip(uG).toMap
+    val aggExprs = mapOutputs(outs,
+      mapAgg = {
+        case ae @ AggregateExpression(
+            Count(Seq(ar: AttributeReference)), Complete, true, None, _)
+            if sameName(ar.name, d.distinctCol) =>
+          Some(ae.copy(aggregateFunction = Count(Seq(uX: Expression))))
+            .filter(_.dataType == ae.dataType)
+        case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+          val folded: Option[AggregateFunction] = fn match {
+            case Count(Seq(Literal(v, _))) if v != null =>
+              Some(new Sum(uN))
+            case s: Sum =>
+              measureCol(s, d, c.bindOut).map(canon).flatMap(uM.get)
+                .map(new Sum(_))
+            case _ => None
+          }
+          folded.filter(_.dataType == ae.dataType)
+            .map(f => ae.copy(aggregateFunction = f))
+        case _ => None
+      },
+      mapAttr = a => gMap.get(a.exprId)).getOrElse(return None)
+    Some(Aggregate(uG.map(a => a: Expression), aggExprs, union, None))
   }
 
   // (root, from, to) → append-only verdict; manifests are immutable,

@@ -1111,6 +1111,23 @@ object Lake {
                |  SUM(COALESCE(vx100, 0)) AS sum_vx100
                |FROM $fact GROUP BY event_type""".stripMargin).collect()
     }
+    // stage 5: STALE over an append-only gap — the distinct kind
+    // COMPENSATES FROM ITS STATE (plans/MvRewrite's distinct
+    // compensated tier): COUNT(DISTINCT uid)@head = distinct keys of
+    // state@basis ∪ Δ-file keys per group (exact even when a delta
+    // uid was already counted), COUNT(*) = SUM(multiplicity) + Δ
+    // rows, SUMs fold per-row. EVERY pre-append fact file hidden —
+    // the fresh uniq is only reachable via state ⊎ delta; note the
+    // re-inserted uid ≡ 0 (mod 10) rows are NEW rows (sequence rule:
+    // the stage-3 delete masks only older files).
+    ins("event_id % 3 = 2")
+    val head5 = LakeTable.currentSnapshot(factDir)
+    val compensated = withHiddenFiles(factDir, _.seq < head5) {
+      s.sql(s"""SELECT event_type, COUNT(*) AS n,
+               |  COUNT(DISTINCT uid) AS uniq,
+               |  SUM(COALESCE(vx100, 0)) AS sum_vx100
+               |FROM $fact GROUP BY event_type""".stripMargin).collect()
+    }
     def stage(k: Int, m: String) =
       s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, event_type, n,
          |  uniq, sum_vx100
@@ -1120,9 +1137,14 @@ object Lake {
       .map(r => (4L, "served", r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
       .toDF("stage", "mode", "event_type", "n", "uniq", "sum_vx100")
+    val s5 = compensated.toSeq
+      .map(r => (5L, "compensated", r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .toDF("stage", "mode", "event_type", "n", "uniq", "sum_vx100")
     s.sql(Seq(stage(1, mode1), stage(2, mode2), stage(3, mode3))
       .mkString("", "\nUNION ALL\n", ""))
       .unionByName(s4)
+      .unionByName(s5)
       .orderBy(col("stage"), col("event_type"))
   }
 
@@ -1152,10 +1174,18 @@ object Lake {
       |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
       |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sum_vx100
       |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 10 <> 0
+      |  GROUP BY event_type),
+      |s5 AS (
+      |  SELECT CAST(5 AS BIGINT) AS stage, 'compensated' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sum_vx100
+      |  FROM f WHERE (event_id % 3 IN (0, 1) AND uid % 10 <> 0)
+      |    OR event_id % 3 = 2
       |  GROUP BY event_type)
       |SELECT * FROM (
       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
-      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      |  UNION ALL SELECT * FROM s5)
       |ORDER BY stage, event_type""".stripMargin
 
   // --- q_sql_mv_distinct_expr: DAILY UNIQUE USERS — the warehouse's

@@ -227,8 +227,16 @@ object CdcApply {
       // flip over a partially-applied history must not re-fold).
       val rangeMark =
         if (snaps.length > 1) s"cdc:${snaps.head}-${snaps.last}:range" else ""
-      val coalesced = coalesce && snaps.length > 1 &&
-        !snaps.exists(sn => covered(sn, seen))
+      // the MODE-FLIP fallback keys on INDIVIDUAL marks only: a range
+      // note in the ledger must keep the batch on the coalesced path
+      // (where the rangeMark guard below makes its replay a no-op) —
+      // testing `covered` here would see the batch's OWN range note on
+      // a crash-replay (range committed, watermark write lost), force
+      // coalesced=false, and the per-snapshot loop would re-apply
+      // every snapshot individually, regressing keys mid-loop
+      def indivMark(sn: Int): Boolean =
+        seen.contains(s"cdc:$sn:delete") || seen.contains(s"cdc:$sn:upsert")
+      val coalesced = coalesce && snaps.length > 1 && !snaps.exists(indivMark)
       if (coalesced && !seen.contains(rangeMark)) {
         // final state per key: the per-key aggregate row of the key's
         // LAST touching snapshot decides upsert-vs-delete
@@ -267,6 +275,15 @@ object CdcApply {
       if (!coalesced)
       snaps.foreach { sn =>
         val delMark = s"cdc:$sn:delete"; val upsMark = s"cdc:$sn:upsert"
+        // a snapshot covered by a RANGE note was applied by a
+        // coalesced batch (both halves folded into the range commit):
+        // the 1:1 path must skip it entirely — a coalesce→1:1 mode
+        // flip over a partially-watermarked history re-applying it
+        // would regress keys to earlier-snapshot values
+        val rangeCovered = seen.exists {
+          case rangeMarkRe(a, b2) => a.toInt <= sn && sn <= b2.toInt
+          case _ => false
+        }
         val before = commits
         val (insRows, pureDelKeys) = stats(sn)
         def ins = b.filter(col(CS) === sn && col(CT) === "insert")
@@ -280,8 +297,9 @@ object CdcApply {
         // the delete half still pending? (delMark only ever appears
         // in ledgers written by the LEGACY two-commit flow — current
         // folded commits carry upsMark alone)
-        val needDel = !seen.contains(delMark) && mirrorLive && pureDelKeys > 0
-        if (!seen.contains(upsMark) && insRows > 0) {
+        val needDel = !rangeCovered && !seen.contains(delMark) &&
+          mirrorLive && pureDelKeys > 0
+        if (!rangeCovered && !seen.contains(upsMark) && insRows > 0) {
           if (!mirrorLive)
             LakeTable.commit(s, mirrorRoot, ins, cfg, statCols, note = upsMark)
           else {
@@ -303,7 +321,7 @@ object CdcApply {
           }
           seen += upsMark
           commits += 1
-        } else if (!seen.contains(upsMark) && needDel) {
+        } else if (!rangeCovered && !seen.contains(upsMark) && needDel) {
           // delete-only snapshot: the eq-delete commit stands alone
           // under its own mark. NEVER reached when upsMark is present
           // — a folded commit already applied the delete half, and
@@ -317,8 +335,8 @@ object CdcApply {
         // (delete-only onto an empty mirror — mid-stream seeding) must
         // be remembered in the watermark, or its crash-replay would
         // fail the skip validation despite being correctly applied
-        if (commits == before && !seen.contains(delMark) &&
-            !seen.contains(upsMark))
+        if (commits == before && !rangeCovered &&
+            !seen.contains(delMark) && !seen.contains(upsMark))
           emptyApplied += sn: Unit
       }
       // advance the watermark AFTER the batch's commits (the ordering

@@ -248,6 +248,31 @@ class CdfStreamSpec extends AnyFunSuite {
     val m3 = LakeTable.read(s, mir3)
       .select(Seq("id", "grp", "v").map(col): _*)
     assert(upAt3.exceptAll(m3).count() === 0L && m3.exceptAll(upAt3).count() === 0L)
+    // CRASH WINDOW between the range commit and the watermark write:
+    // the replay's `seen` tail carries the batch's OWN range note, and
+    // the mode-flip fallback (individual marks only) must keep the
+    // batch coalesced so the rangeMark guard no-ops it — NOT drop to
+    // the per-snapshot path and re-apply each snapshot (transiently
+    // regressing keys to earlier-snapshot values)
+    val mir4 = graft.util.Scratch.dir("graft_cdcco_mir4_")
+    assert(CdcApply.applyBatch(s, mir4, batch, "id", cfg, Seq("id"),
+      coalesce = true) === 1)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(mir4, "meta", "_cdc_watermark.json"))
+    assert(CdcApply.applyBatch(s, mir4, batch, "id", cfg, Seq("id"),
+      coalesce = true) === 0,
+      "a replay after losing the watermark must no-op on its range note")
+    assert(LakeTable.currentSnapshot(mir4) === 1)
+    val m4 = LakeTable.read(s, mir4)
+      .select(Seq("id", "grp", "v").map(col): _*)
+    assert(upAt3.exceptAll(m4).count() === 0L && m4.exceptAll(upAt3).count() === 0L)
+    // same window, replayed with coalesce OFF (a mode flip mid-crash):
+    // the 1:1 path must skip every range-covered snapshot too
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(mir4, "meta", "_cdc_watermark.json")): Unit
+    assert(CdcApply.applyBatch(s, mir4, batch, "id", cfg, Seq("id")) === 0,
+      "the 1:1 path must treat range coverage as applied")
+    assert(LakeTable.currentSnapshot(mir4) === 1)
   }
 
   test("CdcApply replay ledger is O(batch): manifest reads per applied batch don't grow with mirror history") {

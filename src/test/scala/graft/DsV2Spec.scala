@@ -1460,14 +1460,38 @@ class DsV2Spec extends AnyFunSuite {
       Set(("a", 2L, 2L, 70L), ("b", 2L, 1L, 100L)),
       "the state rollup must fold multiplicities/partials exactly")
     finally shiftFiles(factDir, hide = false)
-    // ---- stale: an unrefreshed append is NEVER compensated for the
-    // distinct kind (a delta key may already be counted)
+    // ---- stale over an append-only gap: the distinct kind
+    // COMPENSATES FROM ITS STATE — COUNT(DISTINCT u) = distinct keys
+    // of state@basis ∪ Δ-file keys per group (exact even though the
+    // delta re-inserts an already-counted key), COUNT(*) =
+    // SUM(multiplicity) + Δ rows, SUMs fold per-row. The plan scans
+    // the state and the delta files, never the visible MV rows and
+    // never the fact head: every PRE-APPEND fact file hidden.
     spark.sql(s"INSERT INTO $fact VALUES (7, 'a', 0, 100, 70)")
-    assert(mvScanRoots(q) === Seq(factDir),
-      "a stale distinct MV must not serve or compensate")
-    assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1),
-      r.getLong(2), r.getLong(3))).toSet ===
-      Set(("a", 0L, 3L, 2L), ("b", 0L, 2L, 1L)))
+    // the only LAKE scan is the state (the delta side reads the
+    // appended files directly — manifest-resolved, never the head)
+    assert(mvScanRoots(q) === Seq(stRoot),
+      "a stale distinct MV must serve state ∪ delta — not MV rows or fact head")
+    val preApp = LakeTable.manifest(factDir,
+      LakeTable.currentSnapshot(factDir)).files
+      .filter(_.seq < LakeTable.currentSnapshot(factDir)).map(_.path)
+    assert(preApp.nonEmpty)
+    def shiftPre(hide: Boolean): Unit = preApp.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shiftPre(hide = true)
+    try assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet ===
+      Set(("a", 0L, 3L, 2L, 140L), ("b", 0L, 2L, 1L, 100L)),
+      "state ∪ delta must fold exactly (re-seen key not double-counted)")
+    finally shiftPre(hide = false)
+    // the group-SUBSET stale shape folds through the same union
+    assert(spark.sql(
+      s"SELECT g, COUNT(DISTINCT u) AS du FROM $fact GROUP BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("a", 2L), ("b", 1L)))
     // ---- grammar guards
     val eTwo = intercept[IllegalArgumentException] {
       spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.dbad_$id AS
@@ -1492,6 +1516,109 @@ class DsV2Spec extends AnyFunSuite {
     }
     assert(eSelf.getMessage.contains("constant 1 per group"), eSelf.getMessage)
     spark.sql(s"DROP MATERIALIZED VIEW $mv"); spark.sql(s"DROP TABLE $fact")
+  }
+
+  test("distinct-MV fold is O(Δ): state AND view land as MoR merges — untouched files byte-identical; the refresh reads only delta + touched-lead files") {
+    import graft.lake.{DistinctMv, LakeTable}
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_dmor_fact_")
+    val mv = graft.util.Scratch.dir("graft_dmor_mv_")
+    val fCfg = BlockWriter.Config("g", "id", maxRecordsPerFile = 4)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 4)
+    def rows(ids: Seq[Long], g: Long => String, u: Long => Long) =
+      ids.map(i => (i, g(i), u(i), i * 10L)).toDF("id", "g", "u", "x")
+    // four lead groups, four rows each; u repeats inside a group
+    LakeTable.commit(s, fact,
+      rows(1L to 16L, i => s"k${(i - 1) / 4}", i => 100L + (i / 2)),
+      fCfg, Seq("id", "g"))
+    DistinctMv.create(s, fact, mv, Seq("g"), "u", "du", mCfg,
+      sums = Seq(("sx", "x")))
+    val stRoot = DistinctMv.stateRoot(mv)
+    def bytesOf(p: String): Seq[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.stripPrefix("file:"))).toSeq
+    def filesAway(dir: String, lead: String): Seq[String] =
+      LakeTable.manifest(dir, LakeTable.currentSnapshot(dir)).files
+        .filter(_.stats.get("g").exists(cs =>
+          cs.maxS < lead || cs.minS > lead)).map(_.path)
+    def shift(paths: Seq[String], hide: Boolean): Unit = paths.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    def viewState(): Map[String, (Long, Long, Long)] =
+      LakeTable.read(s, mv).collect().map(r =>
+        r.getAs[String]("g") -> ((r.getAs[Long]("n"), r.getAs[Long]("du"),
+          r.getAs[Long]("sx")))).toMap
+    assert(viewState() === Map(
+      "k0" -> ((4L, 3L, 100L)), "k1" -> ((4L, 3L, 260L)),
+      "k2" -> ((4L, 3L, 420L)), "k3" -> ((4L, 3L, 580L))))
+    val stAway1 = filesAway(stRoot, "k0")
+    val mvAway1 = filesAway(mv, "k0")
+    assert(stAway1.nonEmpty && mvAway1.nonEmpty, "fixture needs per-lead files")
+    val stBytes1 = stAway1.map(p => p -> bytesOf(p)).toMap
+    val mvBytes1 = mvAway1.map(p => p -> bytesOf(p)).toMap
+    // ---- append touching ONLY k0 (one new user, one already-seen):
+    // hide every pre-append FACT file AND every k0-free STATE and
+    // VIEW file — the refresh must plan none of them
+    LakeTable.commit(s, fact,
+      Seq((17L, "k0", 999L, 170L), (18L, "k0", 100L, 180L))
+        .toDF("id", "g", "u", "x"), fCfg, Seq("id", "g"))
+    val head = LakeTable.currentSnapshot(fact)
+    val preAppend = LakeTable.manifest(fact, head).files
+      .filter(_.seq < head).map(_.path)
+    val hiddenAll = preAppend ++ stAway1 ++ mvAway1
+    shift(hiddenAll, hide = true)
+    try DistinctMv.refresh(s, fact, mv, Seq("g"), "u", "du", mCfg,
+      sums = Seq(("sx", "x"))): Unit
+    finally shift(hiddenAll, hide = false)
+    assert(DistinctMv.mode(mv) === "signed")
+    assert(viewState() === Map(
+      "k0" -> ((6L, 4L, 450L)), "k1" -> ((4L, 3L, 260L)),
+      "k2" -> ((4L, 3L, 420L)), "k3" -> ((4L, 3L, 580L))),
+      "one new user joins k0; the re-seen user must not inflate du")
+    // untouched lead groups' STATE and VIEW files survived the merge
+    // BY REFERENCE, byte for byte
+    val stHead = LakeTable.manifest(stRoot,
+      LakeTable.currentSnapshot(stRoot)).files.map(_.path).toSet
+    val mvHead = LakeTable.manifest(mv,
+      LakeTable.currentSnapshot(mv)).files.map(_.path).toSet
+    assert(stAway1.toSet.subsetOf(stHead),
+      "state fold must be a MERGE — untouched cells kept by reference")
+    assert(mvAway1.toSet.subsetOf(mvHead),
+      "view fold must be a MERGE — untouched leads kept by reference")
+    stAway1.foreach(p => assert(bytesOf(p) === stBytes1(p),
+      "untouched state files must stay byte-identical"))
+    mvAway1.foreach(p => assert(bytesOf(p) === mvBytes1(p),
+      "untouched view files must stay byte-identical"))
+    // ---- MoR DELETE retiring ALL of k3: the fold's retire branches
+    // (state cells at multiplicity 0, the lead's visible row) land as
+    // pure mask commits; k3-free state/view files stay byte-identical
+    // (the delete commit's changelog legitimately reads the fact —
+    // only state/view reads are pinned here)
+    val stAway3 = filesAway(stRoot, "k3")
+    val mvAway3 = filesAway(mv, "k3")
+    val stBytes3 = stAway3.map(p => p -> bytesOf(p)).toMap
+    val mvBytes3 = mvAway3.map(p => p -> bytesOf(p)).toMap
+    LakeTable.deleteWhere(s, fact, "id", (13L to 16L).toDF("id"))
+    val hidden3 = stAway3 ++ mvAway3
+    shift(hidden3, hide = true)
+    try DistinctMv.refresh(s, fact, mv, Seq("g"), "u", "du", mCfg,
+      sums = Seq(("sx", "x"))): Unit
+    finally shift(hidden3, hide = false)
+    assert(viewState() === Map(
+      "k0" -> ((6L, 4L, 450L)), "k1" -> ((4L, 3L, 260L)),
+      "k2" -> ((4L, 3L, 420L))),
+      "an emptied lead group must leave the view via the mask")
+    stAway3.foreach(p => assert(bytesOf(p) === stBytes3(p)))
+    mvAway3.foreach(p => assert(bytesOf(p) === mvBytes3(p)))
+    // state grain holds across the merges: one live row per (g, u)
+    val st = LakeTable.read(s, stRoot)
+    assert(st.groupBy(col("g"), col("u")).count()
+      .filter(col("count") > 1).isEmpty,
+      "the merge mask must retire superseded cells exactly")
+    assert(st.filter(col("g") === "k3").isEmpty)
   }
 
   /** Every lake-table root the optimized plan scans. */
