@@ -81,19 +81,38 @@ object AutoMaintain {
     */
   val AutoExpireKey = "graft.autoexpire.keep"
 
+  /** STATS freshness as a policy — `graft.autoanalyze.files = N`:
+    * after a triggering commit, if the head references ≥ N data files
+    * ABSENT from the `_colstats.json` sidecar, run the incremental
+    * ANALYZE (only the un-sketched files are read — the append, never
+    * the table). With it, CBO distinct counts, scan-time column stats
+    * and histogram bins stay fresh under unattended appends with zero
+    * manual ANALYZE calls. Optional companion
+    * `graft.autoanalyze.drift = P` (permille): after each auto pass,
+    * if any column's merged-histogram HEAVIEST bin holds > P‰ of its
+    * rows (equi-height degraded toward equi-width — boundary drift),
+    * the sidecar is rebuilt from scratch so fresh quantile boundaries
+    * re-derive over the CURRENT data. The rebuild is the expensive
+    * path by design and fires only past the declared bound.
+    */
+  val AutoAnalyzeKey = "graft.autoanalyze.files"
+  val AutoAnalyzeDriftKey = "graft.autoanalyze.drift"
+
   private def policyPath(root: String) = Paths.get(root, "meta", "_policy.json")
 
   def setPolicy(root: String, key: String, value: Long): Unit = {
     require(key == AutoCompactKey || key == AutoManifestKey ||
       key == AutoParallelismKey || key == MvMaxGroupsKey ||
-      key == AutoRefreshMvKey || key == AutoExpireKey,
+      key == AutoRefreshMvKey || key == AutoExpireKey ||
+      key == AutoAnalyzeKey || key == AutoAnalyzeDriftKey,
       s"unknown maintenance policy '$key'")
     // thresholds below 2 would fire on every commit; a fan-out of 1
     // (compact into ONE file), a 1-group refresh cap, the on/off
     // auto-refresh flag and keep-only-the-head retention are
     // legitimate targets, though
     val floor = if (key == AutoParallelismKey || key == MvMaxGroupsKey ||
-      key == AutoRefreshMvKey || key == AutoExpireKey) 1 else 2
+      key == AutoRefreshMvKey || key == AutoExpireKey ||
+      key == AutoAnalyzeKey || key == AutoAnalyzeDriftKey) 1 else 2
     require(value >= floor, s"$key must be ≥ $floor (got $value)")
     write(root, policies(root) + (key -> value))
   }
@@ -130,6 +149,10 @@ object AutoMaintain {
   private val fired = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   def firedCounts(root: String): (Long, Long) = fired.getOrDefault(root, (0L, 0L))
 
+  /** Spec surface: completed auto-ANALYZE passes per root. */
+  private val analyzed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def analyzedCount(root: String): Long = analyzed.getOrDefault(root, 0L)
+
   /** Post-commit hook, called by the append-shaped verbs (commit,
     * merge, appendAvro). Cheap when no policy is declared: one
     * Files.exists probe.
@@ -165,6 +188,25 @@ object AutoMaintain {
         // and each MV's own afterCommit is a no-op without policies
         try MaterializedView.refreshStale(spark, root): Unit
         catch { case NonFatal(_) => () }
+      }
+      pol.get(AutoAnalyzeKey).foreach { cap =>
+        try {
+          val head = LakeTable.currentSnapshot(root)
+          if (head > 0 && LakeTable.unsketchedCount(root, head) >= cap) {
+            LakeTable.analyze(spark, root): Unit
+            // boundary-drift check AFTER the incremental pass: a
+            // heaviest merged bin past the bound means the fixed
+            // boundaries no longer equi-height the data — rebuild the
+            // sidecar so quantiles re-derive over the current table
+            pol.get(AutoAnalyzeDriftKey).foreach { permille =>
+              if (LakeTable.histTopBinPermille(root).exists(_ > permille)) {
+                LakeTable.dropColStats(root)
+                LakeTable.analyze(spark, root): Unit
+              }
+            }
+            analyzed.merge(root, 1L, _ + _): Unit
+          }
+        } catch { case NonFatal(_) => () }
       }
       pol.get(AutoExpireKey).foreach { keepN =>
         try {

@@ -64,7 +64,10 @@ import graft.writer.BlockWriter
   */
 object DistinctMv {
 
-  private val noteRe = "^dmv-basis-(\\d+)-(signed|full)$".r
+  // `signed`/`full` are this kind's modes; `fold`/`targeted` are the
+  // BITMAP kind's ([[BitmapDistinctMv]]) — it shares the visible note
+  // name so basis/mode plumbing and rewrite freshness serve both
+  private val noteRe = "^dmv-basis-(\\d+)-(signed|full|fold|targeted)$".r
   private val stateNoteRe = "^dmvs-basis-(\\d+)-(signed|full)$".r
 
   /** Multiplicity column of the hidden state table. */
@@ -87,7 +90,7 @@ object DistinctMv {
     * column and unambiguous under the separator ⇒ injective for the
     * tuple.
     */
-  private def skeyExpr(schema: StructType, cols: Seq[String]): Column = {
+  private[lake] def cellKey(schema: StructType, cols: Seq[String]): Column = {
     def enc(c: Column, dt: DataType): Column = dt match {
       case StringType => base64(encode(c, "UTF-8"))
       case BinaryType => base64(c)
@@ -103,8 +106,17 @@ object DistinctMv {
   }
 
   /** The hidden state table's root, nested inside the MV dir. */
-  def stateRoot(mvRoot: String): String =
-    java.nio.file.Paths.get(mvRoot, "_dstate").toString
+  def stateRoot(mvRoot: String): String = stateRoot(mvRoot, 0)
+
+  /** State root of the i-th COUNT(DISTINCT) measure: the first keeps
+    * the legacy `_dstate` name, extras nest as `_dstate<i>` — one
+    * hidden signed (group, key) state per distinct column, all
+    * maintained by the same fold (each also carries the view's SUM
+    * partials, so ANY state can serve the state tiers alone).
+    */
+  def stateRoot(mvRoot: String, i: Int): String =
+    java.nio.file.Paths.get(mvRoot,
+      if (i == 0) "_dstate" else s"_dstate$i").toString
 
   /** The fact snapshot the VISIBLE MV head reflects. */
   def basis(mvRoot: String): Int = {
@@ -151,8 +163,10 @@ object DistinctMv {
     * live-alignment check, and leak newer state rows into a read
     * pinned at the older fact snapshot).
     */
-  def stateBasisPinned(mvRoot: String): Option[(Int, Int)] = {
-    val stRoot = stateRoot(mvRoot)
+  def stateBasisPinned(mvRoot: String): Option[(Int, Int)] =
+    stateBasisPinnedAt(stateRoot(mvRoot))
+
+  private def stateBasisPinnedAt(stRoot: String): Option[(Int, Int)] = {
     var attempts = 0
     while (attempts < 3) {
       val snap = scala.util.Try(LakeTable.currentSnapshot(stRoot))
@@ -163,6 +177,15 @@ object DistinctMv {
       attempts += 1
     }
     None
+  }
+
+  /** One consistent (state snapshot, fact basis) pin PER distinct
+    * state, first-first; None if any state is unreadable.
+    */
+  def stateBasisPinnedAll(mvRoot: String, n: Int): Option[Seq[(Int, Int)]] = {
+    val pins = (0 until math.max(1, n))
+      .map(i => stateBasisPinnedAt(stateRoot(mvRoot, i)))
+    if (pins.exists(_.isEmpty)) None else Some(pins.map(_.get))
   }
 
   /** The (group, key) state of a base read: multiplicity + one
@@ -179,7 +202,7 @@ object DistinctMv {
       .agg(sum(sign).cast("bigint").as(CntCol),
         sums.map { case (nm, e) =>
           sum(sign * expr(e)).cast("bigint").as(nm) }: _*)
-    st.withColumn(SKeyCol, skeyExpr(st.schema, group :+ keyCol))
+    st.withColumn(SKeyCol, cellKey(st.schema, group :+ keyCol))
   }
 
   /** Derive the VISIBLE MV rows from a state frame: n = summed
@@ -199,192 +222,243 @@ object DistinctMv {
   private def stateCfg(group: Seq[String]): BlockWriter.Config =
     BlockWriter.Config(group.head, group.head, maxRecordsPerFile = 1 << 20)
 
-  /** Materialize state + view from the fact head; returns the MV
-    * snapshot. `keyCol` is the COUNT(DISTINCT) argument (a plain fact
-    * column), `sums` the extra signed-foldable measures, `derived`
-    * the read-time AVG sugar over stored SUMs.
+  /** Materialize states + view from the fact head; returns the MV
+    * snapshot. `keyCol` is the first COUNT(DISTINCT) argument (a
+    * plain fact column), `extra` any ADDITIONAL (column, name)
+    * distinct measures — one hidden state each; every state stores
+    * the SUM partials too, so any one state can serve the rewrite
+    * rule's state tiers alone. `sums` are the extra signed-foldable
+    * measures, `derived` the read-time AVG sugar over stored SUMs.
     */
   def create(s: SparkSession, factRoot: String, mvRoot: String,
       group: Seq[String], keyCol: String, distinctName: String,
       cfg: BlockWriter.Config, sums: Seq[(String, String)] = Nil,
       derived: Seq[(String, Column)] = Nil,
-      prep: DataFrame => DataFrame = identity): Int = {
+      prep: DataFrame => DataFrame = identity,
+      extra: Seq[(String, String)] = Nil): Int = {
+    val distincts = (keyCol, distinctName) +: extra
     val f = LakeTable.currentSnapshot(factRoot)
-    val st = stateOf(prep(LakeTable.read(s, factRoot, Some(f))), group, keyCol,
-      sums, signed = false)
-    LakeTable.commit(s, stateRoot(mvRoot), st, stateCfg(group), group,
-      note = s"dmvs-basis-$f-full")
+    distincts.zipWithIndex.foreach { case ((kc, _), i) =>
+      val st = stateOf(prep(LakeTable.read(s, factRoot, Some(f))), group, kc,
+        sums, signed = false)
+      LakeTable.commit(s, stateRoot(mvRoot, i), st, stateCfg(group), group,
+        note = s"dmvs-basis-$f-full"): Unit
+    }
     LakeTable.commit(s, mvRoot,
-      derive(LakeTable.read(s, stateRoot(mvRoot)), group, keyCol,
-        distinctName, sums, derived),
+      deriveAll(s, mvRoot, group, distincts, sums, derived,
+        r => LakeTable.read(s, r)),
       cfg, group, note = s"dmv-basis-$f-full")
   }
 
-  /** Fold fact changes since the basis through the (g, x) state and
+  /** Visible rows from ALL states: n / SUMs / the first distinct
+    * measure from state 0 ([[derive]]), each extra distinct measure
+    * joined in null-safe on the group columns (every live group
+    * exists in every state by construction — the states group the
+    * same fact rows). `readSt` lets the refresh prune each state
+    * read to the touched lead groups.
+    */
+  private def deriveAll(s: SparkSession, mvRoot: String, group: Seq[String],
+      distincts: Seq[(String, String)], sums: Seq[(String, String)],
+      derived: Seq[(String, Column)],
+      readSt: String => DataFrame): DataFrame = {
+    val base = derive(readSt(stateRoot(mvRoot, 0)), group, distincts.head._1,
+      distincts.head._2, sums, derived)
+    distincts.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, ((kc, nm), i)) =>
+        val u = readSt(stateRoot(mvRoot, i))
+          .groupBy(group.map(col): _*)
+          .agg(count(col(kc)).cast("bigint").as(nm))
+        val uR = u.select(group.map(c => u(c).as(s"_g_$c")) :+ u(nm)
+          .as(nm): _*)
+        val cond = group.map(c => acc(c) <=> uR(s"_g_$c")).reduce(_ && _)
+        acc.join(uR, cond, "inner").drop(group.map("_g_" + _): _*)
+    }
+  }
+
+  /** Fold fact changes since the basis through every (g, x) state and
     * re-derive the visible rows; returns the new fact basis. SIGNED
     * mode folds the change feed (appends, MoR deletes and merges all
     * included — content-preserving maintenance emits zero change
-    * rows) as ONE MoR MERGE over the touched cells — O(Δ) writes,
-    * untouched state files byte-identical; an expired changelog range
-    * falls back to one full state recompute (rewrite). Both commits
-    * re-derive from durable state, so a crash between them completes
-    * on the next call.
+    * rows) as ONE MoR MERGE PER STATE over its touched cells — O(Δ)
+    * writes, untouched state files byte-identical; the VISIBLE rows
+    * land as a lead-group-targeted merge under the same discipline
+    * when the lead key can equality-mask and every state folded from
+    * the visible basis itself (a crash-interrupted refresh falls back
+    * to the group-domain-sized rewrite — leads from a partial range
+    * could miss changed groups). An expired changelog range falls
+    * back to one full state recompute (rewrite). All commits
+    * re-derive from durable state, so a crash anywhere completes on
+    * the next call.
     */
   def refresh(s: SparkSession, factRoot: String, mvRoot: String,
       group: Seq[String], keyCol: String, distinctName: String,
       cfg: BlockWriter.Config, sums: Seq[(String, String)] = Nil,
       derived: Seq[(String, Column)] = Nil,
-      prep: DataFrame => DataFrame = identity): Int = {
+      prep: DataFrame => DataFrame = identity,
+      extra: Seq[(String, String)] = Nil): Int = {
+    val distincts = (keyCol, distinctName) +: extra
     val f0 = basis(mvRoot)
     val f1 = LakeTable.currentSnapshot(factRoot)
-    val stRoot = stateRoot(mvRoot)
-    val (sb, sbMode) = stateBasis(stRoot)
-    if (f0 == f1 && sb == f0) return f0
-    // fold the state forward when it is behind the fact head (sb may
-    // already be at f1 if a prior refresh crashed after the state
-    // commit — then only the visible derivation below is owed)
-    var mode = sbMode
-    var visibleDone = false
-    if (sb < f1) {
-      var cached: Option[DataFrame] = None
-      try {
-        val signedDelta: Option[DataFrame] = try {
-          val changes = LakeTable.changelogRead(s, factRoot, sb, f1)
-          // prep derives expression group columns (time buckets) over
-          // the change rows — insert and delete pre-images of a row
-          // derive the same bucket, so signed folds cancel exactly
-          val delta = stateOf(prep(changes), group, keyCol, sums, signed = true)
-            .persist()
-          cached = Some(delta)
-          // a pure-maintenance range (compaction, rewrite_manifests)
-          // emits zero change rows: skip both commits, leave the
-          // basis put — the next content refresh folds across it for
-          // free (only when the VISIBLE view is already at the state
-          // basis; a crash-interrupted refresh still owes the
-          // derivation below, served from the state head as-is)
-          if (delta.isEmpty && sb == f0) return f0
-          if (delta.isEmpty) None else Some(delta)
-        } catch {
-          case _: IllegalStateException => // expired changelog range
-            cached.foreach(_.unpersist()); cached = None
-            mode = "full"
-            val full = stateOf(prep(LakeTable.read(s, factRoot, Some(f1))),
-              group, keyCol, sums, signed = false)
-            LakeTable.rewrite(s, stRoot, full, stateCfg(group), group,
-              note = s"dmvs-basis-$f1-full"): Unit
-            None
-        }
-        // SIGNED fold as ONE MoR MERGE — O(Δ) writes, never a state
-        // rewrite: the change feed names exactly the touched (g, x)
-        // cells; fold the delta against ONLY those state rows and land
-        // the result as a merge keyed on the stored cell key. Touched
-        // cells re-land as new files, cells whose multiplicity reached
-        // 0 retire via the same commit's equality-delete mask, and
-        // every untouched state file survives BYTE-IDENTICAL (the
-        // MinMaxMv upsert-and-retire shape). The state READ is pruned
-        // to the delta's lead-group extents when they are
-        // metadata-scale (IN filter → manifest stat pruning; a
-        // clustered state reads only touched partitions); past the
-        // cap it scans the state once — the WRITE stays O(Δ) either
-        // way.
-        signedDelta.foreach { delta =>
-          mode = "signed"
-          val stored = LakeTable.storedSchemaOf(stRoot).getOrElse(sys.error(
-            s"$stRoot carries no stored schema — not a distinct-MV state"))
-          val names = stored.fieldNames.toIndexedSeq
-          val cap = AutoMaintain.policies(mvRoot)
-            .getOrElse(AutoMaintain.MvMaxGroupsKey, MinMaxMv.DefaultMaxGroups)
-          val leadRows = delta.select(col(group.head)).distinct().persist()
-          // touched LEAD-group values, collected only when
-          // metadata-scale (the MinMaxMv cap discipline) — they drive
-          // both the pruned state read here and the targeted visible
-          // fold below
-          val leadsOpt: Option[Seq[Any]] =
-            try {
-              if (leadRows.count() <= cap)
-                Some(leadRows.collect().map(_.get(0)).toSeq)
-              else None
-            } finally { leadRows.unpersist(); () }
-          def prunedState(): DataFrame = leadsOpt match {
-            case Some(leads) =>
-              val nn = leads.filterNot(_ == null)
-              val pred =
-                if (nn.isEmpty) col(group.head).isNull
-                else if (nn.size < leads.size)
-                  col(group.head).isin(nn: _*) || col(group.head).isNull
-                else col(group.head).isin(nn: _*)
-              s.read.format("graft-lake").load(stRoot).filter(pred)
-            case None => LakeTable.read(s, stRoot)
+    val sbs = distincts.indices.map(i => stateBasis(stateRoot(mvRoot, i)))
+    if (f0 == f1 && sbs.forall(_._1 == f0)) return f0
+    val allAligned = sbs.forall(_._1 == f0)
+    val cap = AutoMaintain.policies(mvRoot)
+      .getOrElse(AutoMaintain.MvMaxGroupsKey, MinMaxMv.DefaultMaxGroups)
+    var anyFold = false
+    var anyFull = false
+    // touched LEAD-group values across the states' deltas (the change
+    // rows are the same frame for every state, so any state's delta
+    // names the same leads) — None once unknown/over-cap
+    var leadsAcc: Option[Seq[Any]] = Some(Nil)
+    distincts.zipWithIndex.foreach { case ((kc, _), i) =>
+      val stRoot = stateRoot(mvRoot, i)
+      val sb = sbs(i)._1
+      if (sb < f1) {
+        var cached: Option[DataFrame] = None
+        try {
+          val signedDelta: Option[DataFrame] = try {
+            val changes = LakeTable.changelogRead(s, factRoot, sb, f1)
+            // prep derives expression group columns (time buckets)
+            // over the change rows — insert and delete pre-images of
+            // a row derive the same bucket, so signed folds cancel
+            val delta = stateOf(prep(changes), group, kc, sums,
+              signed = true).persist()
+            cached = Some(delta)
+            if (delta.isEmpty) None else Some(delta)
+          } catch {
+            case _: IllegalStateException => // expired changelog range
+              cached.foreach(_.unpersist()); cached = None
+              anyFull = true; leadsAcc = None
+              val full = stateOf(prep(LakeTable.read(s, factRoot, Some(f1))),
+                group, kc, sums, signed = false)
+              LakeTable.rewrite(s, stRoot, full, stateCfg(group), group,
+                note = s"dmvs-basis-$f1-full"): Unit
+              None
           }
-          val stateRead = prunedState()
-          val touchedKeys = delta.select(col(SKeyCol)).distinct()
-          val folded = stateRead.select(names.map(col): _*)
-            .join(touchedKeys, Seq(SKeyCol), "left_semi")
-            .unionByName(delta.select(names.map(col): _*))
-            .groupBy((group :+ keyCol :+ SKeyCol).map(col): _*)
-            .agg(sum(col(CntCol)).cast("bigint").as(CntCol),
-              sums.map { case (nm, _) =>
-                sum(col(nm)).cast("bigint").as(nm) }: _*)
-            .filter(col(CntCol) =!= 0L)
-          // re-stamp with the EXACT stored schema (merge's schema gate
-          // compares full JSON incl. nullability)
-          val live = s.createDataFrame(
-            folded.select(names.map(col): _*).rdd, stored).persist()
-          try {
-            if (live.isEmpty)
-              // every touched cell retired: pure mask commit
-              LakeTable.deleteWhere(s, stRoot, SKeyCol, touchedKeys,
-                note = s"dmvs-basis-$f1-signed"): Unit
-            else
-              LakeTable.merge(s, stRoot, SKeyCol, live, stateCfg(group),
-                group, note = s"dmvs-basis-$f1-signed",
-                extraDeleteKeys = Some(touchedKeys)): Unit
-          } finally { live.unpersist(); () }
-          // VISIBLE fold, same discipline: only the touched lead
-          // groups' visible rows change, so re-derive THEM from the
-          // pruned post-merge state and land one merge keyed on the
-          // lead column — vanished leads retire via the mask,
-          // untouched visible files stay byte-identical, and the
-          // whole refresh (state + view) reads nothing but the delta
-          // and the touched lead groups' files. Requires an
-          // equality-maskable lead (non-timestamp, no NULL touched
-          // lead, under the cap) — otherwise the group-domain-sized
-          // rewrite below stands in.
-          val visStored = LakeTable.storedSchemaOf(mvRoot)
-          val leadMaskable = leadsOpt.exists(ls =>
-            !ls.contains(null) && visStored.exists(
-              _.fields.find(_.name == group.head)
-                .exists(_.dataType != TimestampType)))
-          if (leadMaskable) {
-            val vs = visStored.get
-            val vis = derive(prunedState(), group, keyCol, distinctName,
-              sums, derived)
-            val liveV = s.createDataFrame(
-              vis.select(vs.fieldNames.toIndexedSeq.map(col): _*).rdd, vs)
-              .persist()
-            val leadsDf = s.createDataFrame(
-              java.util.Arrays.asList(leadsOpt.get.map(v =>
-                org.apache.spark.sql.Row(v)): _*),
-              StructType(Seq(vs(group.head))))
+          // SIGNED fold as ONE MoR MERGE — O(Δ) writes, never a state
+          // rewrite: the change feed names exactly the touched (g, x)
+          // cells; fold the delta against ONLY those state rows and
+          // land the result as a merge keyed on the stored cell key.
+          // Touched cells re-land as new files, cells whose
+          // multiplicity reached 0 retire via the same commit's
+          // equality-delete mask, and every untouched state file
+          // survives BYTE-IDENTICAL (the MinMaxMv upsert-and-retire
+          // shape). The state READ is pruned to the delta's
+          // lead-group extents when they are metadata-scale (IN
+          // filter → manifest stat pruning); past the cap it scans
+          // the state once — the WRITE stays O(Δ) either way.
+          signedDelta.foreach { delta =>
+            anyFold = true
+            val stored = LakeTable.storedSchemaOf(stRoot).getOrElse(sys.error(
+              s"$stRoot carries no stored schema — not a distinct-MV state"))
+            val names = stored.fieldNames.toIndexedSeq
+            // ONE job: collect at most cap+1 distinct leads — a
+            // (cap+1)-th value means over-cap (no separate count pass)
+            val capN = math.min(cap, Int.MaxValue - 1L).toInt
+            val ls0 = delta.select(col(group.head)).distinct()
+              .limit(capN + 1).collect().map(_.get(0)).toSeq
+            val leadsOpt: Option[Seq[Any]] =
+              if (ls0.size <= capN) Some(ls0) else None
+            leadsAcc = (leadsAcc, leadsOpt) match {
+              case (Some(acc), Some(ls)) => Some((acc ++ ls).distinct)
+              case _ => None
+            }
+            val stateRead = leadsOpt match {
+              case Some(leads) => prunedStateRead(s, stRoot, group.head, leads)
+              case None => LakeTable.read(s, stRoot)
+            }
+            val touchedKeys = delta.select(col(SKeyCol)).distinct()
+            val folded = stateRead.select(names.map(col): _*)
+              .join(touchedKeys, Seq(SKeyCol), "left_semi")
+              .unionByName(delta.select(names.map(col): _*))
+              .groupBy((group :+ kc :+ SKeyCol).map(col): _*)
+              .agg(sum(col(CntCol)).cast("bigint").as(CntCol),
+                sums.map { case (nm, _) =>
+                  sum(col(nm)).cast("bigint").as(nm) }: _*)
+              .filter(col(CntCol) =!= 0L)
+            // re-stamp with the EXACT stored schema (merge's schema
+            // gate compares full JSON incl. nullability)
+            val live = s.createDataFrame(
+              folded.select(names.map(col): _*).rdd, stored).persist()
             try {
-              if (liveV.isEmpty)
-                LakeTable.deleteWhere(s, mvRoot, group.head, leadsDf,
-                  note = s"dmv-basis-$f1-signed"): Unit
+              if (live.isEmpty)
+                // every touched cell retired: pure mask commit
+                LakeTable.deleteWhere(s, stRoot, SKeyCol, touchedKeys,
+                  note = s"dmvs-basis-$f1-signed"): Unit
               else
-                LakeTable.merge(s, mvRoot, group.head, liveV, cfg, group,
-                  note = s"dmv-basis-$f1-signed",
-                  extraDeleteKeys = Some(leadsDf)): Unit
-            } finally { liveV.unpersist(); () }
-            visibleDone = true
+                LakeTable.merge(s, stRoot, SKeyCol, live, stateCfg(group),
+                  group, note = s"dmvs-basis-$f1-signed",
+                  extraDeleteKeys = Some(touchedKeys)): Unit
+            } finally { live.unpersist(); () }
           }
-        }
-      } finally { cached.foreach(_.unpersist()); () }
+        } finally { cached.foreach(_.unpersist()); () }
+      }
+    }
+    // a pure-maintenance range (compaction, rewrite_manifests) emits
+    // zero change rows: skip the visible commit too, leave the basis
+    // put — the next content refresh folds across it for free
+    if (!anyFold && !anyFull && allAligned) return f0
+    val mode =
+      if (anyFull) "full" else if (anyFold) "signed" else sbs.head._2
+    var visibleDone = false
+    // VISIBLE fold, same discipline: only the touched lead groups'
+    // visible rows change, so re-derive THEM from the pruned
+    // post-merge states and land one merge keyed on the lead column —
+    // vanished leads retire via the mask, untouched visible files
+    // stay byte-identical, and the whole refresh (states + view)
+    // reads nothing but the delta and the touched lead groups' files.
+    // Requires an equality-maskable lead (non-timestamp, no NULL
+    // touched lead, under the cap) and a fully-aligned fold —
+    // otherwise the group-domain-sized rewrite below stands in.
+    if (allAligned && anyFold && !anyFull) {
+      val visStored = LakeTable.storedSchemaOf(mvRoot)
+      val leadsOk = leadsAcc.filter(ls => !ls.contains(null))
+      val leadMaskable = leadsOk.isDefined && visStored.exists(
+        _.fields.find(_.name == group.head)
+          .exists(_.dataType != TimestampType))
+      if (leadMaskable) {
+        val vs = visStored.get
+        val leads = leadsOk.get
+        val vis = deriveAll(s, mvRoot, group, distincts, sums, derived,
+          r => prunedStateRead(s, r, group.head, leads))
+        val liveV = s.createDataFrame(
+          vis.select(vs.fieldNames.toIndexedSeq.map(col): _*).rdd, vs)
+          .persist()
+        val leadsDf = s.createDataFrame(
+          java.util.Arrays.asList(leads.map(v =>
+            org.apache.spark.sql.Row(v)): _*),
+          StructType(Seq(vs(group.head))))
+        try {
+          if (liveV.isEmpty)
+            LakeTable.deleteWhere(s, mvRoot, group.head, leadsDf,
+              note = s"dmv-basis-$f1-signed"): Unit
+          else
+            LakeTable.merge(s, mvRoot, group.head, liveV, cfg, group,
+              note = s"dmv-basis-$f1-signed",
+              extraDeleteKeys = Some(leadsDf)): Unit
+        } finally { liveV.unpersist(); () }
+        visibleDone = true
+      }
     }
     if (!visibleDone)
       LakeTable.rewrite(s, mvRoot,
-        derive(LakeTable.read(s, stRoot), group, keyCol, distinctName,
-          sums, derived),
+        deriveAll(s, mvRoot, group, distincts, sums, derived,
+          r => LakeTable.read(s, r)),
         cfg, group, note = s"dmv-basis-$f1-$mode"): Unit
     f1
+  }
+
+  /** A DSv2 read of a state table pruned to the given lead-group
+    * values (manifest stat pruning on the lead column; NULL leads
+    * ride an explicit isNull disjunct).
+    */
+  private[lake] def prunedStateRead(s: SparkSession, stRoot: String,
+      lead: String, leads: Seq[Any]): DataFrame = {
+    val nn = leads.filterNot(_ == null)
+    val pred =
+      if (nn.isEmpty) col(lead).isNull
+      else if (nn.size < leads.size) col(lead).isin(nn: _*) || col(lead).isNull
+      else col(lead).isin(nn: _*)
+    s.read.format("graft-lake").load(stRoot).filter(pred)
   }
 }

@@ -2831,6 +2831,45 @@ object LakeTable {
     })
   }
 
+  /** Count of live head data files ABSENT from the stats sidecar —
+    * the auto-ANALYZE policy's trigger probe (metadata-only).
+    */
+  def unsketchedCount(root: String, head: Int): Int = {
+    val m = manifest(root, head)
+    val prior = colStats(root).filter(_.buckets == NdvBuckets)
+      .map(_.files).getOrElse(Map.empty)
+    m.files.map(_.path).distinct.count(p => !prior.contains(sketchKey(p)))
+  }
+
+  /** The heaviest merged-histogram bin's share (permille of its
+    * column's histogrammed rows) across all bounded columns at the
+    * current head — the equi-height DRIFT probe: fixed boundaries
+    * serving a shifted distribution collapse rows into few bins, and
+    * a share past the policy bound triggers a boundary rebuild. None
+    * when no column carries histograms.
+    */
+  def histTopBinPermille(root: String): Option[Long] =
+    colStats(root).flatMap { meta =>
+      val head = currentSnapshot(root)
+      if (head <= 0) return None
+      val paths = manifest(root, head).files.map(_.path).distinct
+      meta.bounds.keys.flatMap { c =>
+        mergedHist(meta, paths, c).flatMap { bins =>
+          val total = bins.map(_._1).sum
+          if (total <= 0L) None else Some(bins.map(_._1).max * 1000L / total)
+        }
+      }.maxOption
+    }
+
+  /** Drop the stats sidecar — the boundary-rebuild path: the next
+    * ANALYZE re-sketches every file and derives FRESH equi-height
+    * boundaries over the current data.
+    */
+  def dropColStats(root: String): Unit = {
+    Files.deleteIfExists(colStatsPath(root))
+    colStatsCache.remove(root): Unit
+  }
+
   /** ANALYZE TABLE: compute per-file column sketches for every live
     * data file the current snapshot resolves to, incrementally — only
     * files absent from the existing `_colstats.json` are read (ONE

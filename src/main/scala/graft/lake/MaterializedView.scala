@@ -76,7 +76,23 @@ object MaterializedView {
       // measure: the argument column (a plain fact column — the
       // hidden (group, key) state's key) and the stored output
       // column. Empty on every other kind.
-      distinctCol: String = "", distinctName: String = "") {
+      distinctCol: String = "", distinctName: String = "",
+      // ADDITIONAL COUNT(DISTINCT) measures beyond the first — each
+      // gets its own hidden (group, key) state table (`_dstate<i>`),
+      // maintained by the same signed fold; `uniq_users,
+      // uniq_sessions` in one view is one MV, N hidden states.
+      extraDistincts: Seq[(String, String)] = Nil,
+      // the distinct kind's STATE REPRESENTATION: "" / "exact" = the
+      // signed (group, key) state ([[DistinctMv]]); "bitmap" = the
+      // word-sharded bitset state for bounded integral keys
+      // ([[BitmapDistinctMv]]), with `distinctDomain` the exclusive
+      // key upper bound
+      distinctKind: String = "", distinctDomain: Long = 0L) {
+    /** All COUNT(DISTINCT) measures, first-first: (column, name). */
+    def distincts: Seq[(String, String)] =
+      if (distinctCol.isEmpty) Nil
+      else (distinctCol, distinctName) +: extraDistincts
+
     /** The effective dimension list of a `join` MV: the multi-dim
       * `dims` field when present, else the legacy single (dim, key)
       * pair — pre-multi-dim `_mv.json` files keep working.
@@ -106,6 +122,12 @@ object MaterializedView {
     n.put("min_name", d.minName); n.put("max_name", d.maxName)
     n.put("tz", d.tz); n.put("ansi", d.ansi)
     n.put("distinct_col", d.distinctCol); n.put("distinct_name", d.distinctName)
+    n.put("distinct_kind", d.distinctKind)
+    n.put("distinct_domain", d.distinctDomain)
+    val xd = n.putArray("extra_distincts")
+    d.extraDistincts.foreach { case (c, nm) =>
+      val o = xd.addObject(); o.put("col", c); o.put("name", nm): Unit
+    }
     val av = n.putArray("avgs")
     d.avgs.foreach { case (name, e) =>
       val o = av.addObject(); o.put("name", name); o.put("expr", e): Unit
@@ -154,7 +176,12 @@ object MaterializedView {
       tz = opt("tz"), ansi = opt("ansi"),
       groupExprs = arr("group_exprs")
         .map(o => (o.get("name").asText(), o.get("expr").asText())),
-      distinctCol = opt("distinct_col"), distinctName = opt("distinct_name"))
+      distinctCol = opt("distinct_col"), distinctName = opt("distinct_name"),
+      extraDistincts = arr("extra_distincts")
+        .map(o => (o.get("col").asText(), o.get("name").asText())),
+      distinctKind = opt("distinct_kind"),
+      distinctDomain = Option(n.get("distinct_domain"))
+        .map(_.asLong()).getOrElse(0L))
   }
 
   /** Modification time of the definition file — the incarnation
@@ -355,10 +382,14 @@ object MaterializedView {
         else if (d.kind == "single")
           IncrementalMv.create(s, d.fact, mvDir, d.group, singleAggs(d),
             cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d))
+        else if (d.kind == "distinct" && d.distinctKind == "bitmap")
+          BitmapDistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
+            d.distinctName, d.distinctDomain, cfgOf(d), prep = prepFor(s, d))
         else if (d.kind == "distinct")
           DistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
             d.distinctName, cfgOf(d), sums = d.sums,
-            derived = singleDerived(d), prep = prepFor(s, d))
+            derived = singleDerived(d), prep = prepFor(s, d),
+            extra = d.extraDistincts)
         else IncrementalJoinMv.create(s, d.fact, d.joinDims, mvDir,
           d.group, aggsOf(d), cfgOf(d), prep = prepFor(s, d))
       registerRef(d.fact, mvDir)
@@ -474,9 +505,15 @@ object MaterializedView {
       Seq(IncrementalMv.refresh(s, d.fact, mvDir, d.group, singleAggs(d),
         cfgOf(d), derived = singleDerived(d), prep = prepFor(s, d)))
     else if (d.kind == "distinct")
-      Seq(DistinctMv.refresh(s, d.fact, mvDir, d.group, d.distinctCol,
-        d.distinctName, cfgOf(d), sums = d.sums,
-        derived = singleDerived(d), prep = prepFor(s, d)))
+      (if (d.distinctKind == "bitmap")
+        Seq(BitmapDistinctMv.refresh(s, d.fact, mvDir, d.group,
+          d.distinctCol, d.distinctName, d.distinctDomain, cfgOf(d),
+          prep = prepFor(s, d)))
+      else
+        Seq(DistinctMv.refresh(s, d.fact, mvDir, d.group, d.distinctCol,
+          d.distinctName, cfgOf(d), sums = d.sums,
+          derived = singleDerived(d), prep = prepFor(s, d),
+          extra = d.extraDistincts)))
     else IncrementalJoinMv.refresh(s, d.fact, d.joinDims, mvDir,
       d.group, aggsOf(d), cfgOf(d), prep = prepFor(s, d))
   }
@@ -510,7 +547,7 @@ object MaterializedView {
         Seq(s"${d.minName}=min(${d.value})", s"${d.maxName}=max(${d.value})") ++
           sumS ++ avgS
       case "distinct" =>
-        Seq(s"${d.distinctName}=count(distinct ${d.distinctCol})") ++
+        d.distincts.map { case (c, nm) => s"$nm=count(distinct $c)" } ++
           sumS ++ avgS
       case _ => sumS ++ avgS
     }).mkString("; ")

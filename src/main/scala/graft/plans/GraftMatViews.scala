@@ -46,7 +46,23 @@ object GraftMatViews {
 
   private val createRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+" +
-      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s+AS\\s+(SELECT\\b.*)$").r
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)" +
+      "(?:\\s+WITH\\s*\\(([^)]*)\\))?\\s+AS\\s+(SELECT\\b.*)$").r
+
+  /** `WITH (k = 'v', …)` view properties on CREATE — currently the
+    * distinct kind's state representation:
+    * `distinct_kind = 'bitmap', distinct_domain = <N>`.
+    */
+  private def parseProps(txt: String): Map[String, String] =
+    if (txt == null || txt.trim.isEmpty) Map.empty
+    else splitTop(txt).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'")
+        case _ => grammarError(s"malformed WITH property '$kv' " +
+          "(expected key = value)")
+      }
+    }.toMap
 
   private val dropRe =
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.`]+)\\s*;?\\s*$".r
@@ -170,13 +186,14 @@ object GraftMatViews {
   def intercept(spark: SparkSession,
       delegate: org.apache.spark.sql.catalyst.parser.ParserInterface,
       sqlText: String): Option[LogicalPlan] = sqlText match {
-    case createRe(orReplace, ifNotExists, identText, select) =>
+    case createRe(orReplace, ifNotExists, identText, propsText, select) =>
       if (orReplace != null && ifNotExists != null)
         grammarError("OR REPLACE and IF NOT EXISTS cannot be combined")
       val parts = delegate.parseMultipartIdentifier(identText)
       GraftViews.target(spark, parts).map { case (_, ident) =>
         GraftCreateMatViewCommand(parts.head, ident, select.trim,
-          replace = orReplace != null, ifNotExists = ifNotExists != null)
+          replace = orReplace != null, ifNotExists = ifNotExists != null,
+          props = parseProps(propsText))
       }
     case dropRe(ifExists, identText) =>
       val parts = delegate.parseMultipartIdentifier(identText)
@@ -307,18 +324,17 @@ object GraftMatViews {
           grammarError(s"measure name '$nm' is reserved for COUNT(*)")
         nm
       }
-      var distinctPart: Option[(String, String)] = None // (col, alias)
+      val distinctParts = Seq.newBuilder[(String, String)] // (col, alias)
       splitTop(items).foreach {
         case countRe(alias) =>
           if (unquote(alias).toLowerCase != reserved)
             grammarError(s"COUNT(*) must alias to '$reserved', got '$alias'")
           sawCount = true
         case countDistinctRe(v, a) =>
-          if (distinctPart.nonEmpty)
-            grammarError("one COUNT(DISTINCT) measure only — a second " +
-              "distinct key needs its own (group, key) state table; " +
-              "create a second materialized view")
-          distinctPart = Some((unquote(v), checkName(unquote(a))))
+          // any number of COUNT(DISTINCT) measures: each gets its own
+          // hidden (group, key) state table, all folded by the same
+          // signed law (`uniq_users, uniq_sessions` is ONE view)
+          distinctParts += ((unquote(v), checkName(unquote(a))))
         case minRe(v, a) =>
           if (minPart.nonEmpty) grammarError("one MIN measure only")
           minPart = Some((unquote(v), checkName(unquote(a))))
@@ -363,35 +379,44 @@ object GraftMatViews {
       names ++= sums.result().map(_._1) ++= avgs.result().map(_._1)
       names ++= bareList ++= exprList.map(_._1) // group columns collide too
       minPart.foreach(names += _._2); maxPart.foreach(names += _._2)
-      distinctPart.foreach(names += _._2)
+      distinctParts.result().foreach(names += _._2)
       val dup = names.result().groupBy(_.toLowerCase).collectFirst {
         case (_, vs) if vs.size > 1 => vs.head }
       dup.foreach(nm => grammarError(s"duplicate column name '$nm'"))
       val factParts = spark.sessionState.sqlParser
         .parseMultipartIdentifier(unquote(factId))
-      distinctPart.foreach { case (dCol, dName) =>
-        // `distinct` kind: exact COUNT(DISTINCT) via the hidden
-        // (group, key) signed state — MIN/MAX have no retirement law
-        // over that state, and a derived bucket cannot key it (v1)
+      val dParts = distinctParts.result()
+      if (dParts.nonEmpty) {
+        // `distinct` kind: exact COUNT(DISTINCT) via one hidden
+        // (group, key) signed state PER measure — MIN/MAX have no
+        // retirement law over that state, and a derived bucket
+        // cannot key it (v1)
         if (minPart.nonEmpty || maxPart.nonEmpty)
           grammarError("MIN/MAX measures cannot share a view with " +
             "COUNT(DISTINCT) — the distinct kind's signed (group, key) " +
             "state has no min/max retirement law; create a second view")
-        if (bareList.exists(_.toLowerCase == dCol.toLowerCase))
-          grammarError(s"COUNT(DISTINCT $dCol) over its own group " +
-            "column is constant 1 per group — drop the measure or the " +
-            "group column")
         avgs.result().foreach { case (aName, aExpr) =>
           if (!sums.result().exists(_._2.trim == aExpr.trim))
             grammarError(s"AVG($aExpr) AS $aName derives from a stored " +
               s"SUM: add SUM($aExpr) AS <name> to the select list")
         }
-        if (exprList.exists(_._1.equalsIgnoreCase(dCol)))
-          grammarError(s"COUNT(DISTINCT $dCol) names an expression group " +
-            "alias — the distinct key must be a stored fact column")
+        dParts.foreach { case (dCol, _) =>
+          if (bareList.exists(_.toLowerCase == dCol.toLowerCase))
+            grammarError(s"COUNT(DISTINCT $dCol) over its own group " +
+              "column is constant 1 per group — drop the measure or the " +
+              "group column")
+          if (exprList.exists(_._1.equalsIgnoreCase(dCol)))
+            grammarError(s"COUNT(DISTINCT $dCol) names an expression group " +
+              "alias — the distinct key must be a stored fact column")
+        }
+        dParts.groupBy(_._1.toLowerCase).collectFirst {
+          case (_, vs) if vs.size > 1 => vs.head._1
+        }.foreach(c => grammarError(
+          s"duplicate COUNT(DISTINCT $c) — one measure per column"))
         return (MaterializedView.MvDef("", "", "", groupCols, sums.result(),
           select, kind = "distinct", avgs = avgs.result(),
-          distinctCol = dCol, distinctName = dName,
+          distinctCol = dParts.head._1, distinctName = dParts.head._2,
+          extraDistincts = dParts.tail,
           groupExprs = exprList), factParts, Nil)
       }
       (minPart, maxPart) match {
@@ -459,7 +484,8 @@ object GraftMatViews {
 final case class GraftCreateMatViewCommand(catalogName: String,
     ident: org.apache.spark.sql.connector.catalog.Identifier,
     selectSql: String, replace: Boolean = false,
-    ifNotExists: Boolean = false) extends LeafRunnableCommand {
+    ifNotExists: Boolean = false,
+    props: Map[String, String] = Map.empty) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = spark.sessionState.catalogManager.catalog(catalogName)
@@ -491,7 +517,46 @@ final case class GraftCreateMatViewCommand(catalogName: String,
       })),
       "CREATE MATERIALIZED VIEW: non-deterministic or current-time " +
         "expressions cannot be re-derived by refresh")
-    val (d0, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
+    val (d00, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
+    // ---- WITH properties: the distinct kind's state representation
+    val unknownProps = props.keySet -- Set("distinct_kind", "distinct_domain")
+    require(unknownProps.isEmpty,
+      s"CREATE MATERIALIZED VIEW: unknown WITH propert" +
+        s"${if (unknownProps.size > 1) "ies" else "y"} " +
+        unknownProps.mkString(", ") +
+        " (supported: distinct_kind, distinct_domain)")
+    val d0 = props.getOrElse("distinct_kind", "") match {
+      case "" | "exact" =>
+        require(!props.contains("distinct_domain") ||
+          props.get("distinct_kind").contains("bitmap"),
+          "CREATE MATERIALIZED VIEW: distinct_domain only applies with " +
+            "distinct_kind = 'bitmap'")
+        d00
+      case "bitmap" =>
+        require(d00.kind == "distinct",
+          "CREATE MATERIALIZED VIEW: distinct_kind = 'bitmap' needs a " +
+            "COUNT(DISTINCT col) measure in the select list")
+        require(d00.extraDistincts.isEmpty,
+          "CREATE MATERIALIZED VIEW: the bitmap distinct kind supports " +
+            "ONE COUNT(DISTINCT) measure per view")
+        require(d00.sums.isEmpty && d00.avgs.isEmpty,
+          "CREATE MATERIALIZED VIEW: the bitmap distinct kind stores " +
+            "bit words, not signed partials — SUM/AVG measures need the " +
+            "exact distinct kind")
+        require(d00.groupExprs.isEmpty,
+          "CREATE MATERIALIZED VIEW: the bitmap distinct kind does not " +
+            "take expression group columns (v1)")
+        val dom = props.get("distinct_domain")
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .getOrElse(sys.error("CREATE MATERIALIZED VIEW: distinct_kind " +
+            "= 'bitmap' needs distinct_domain = <positive key bound>"))
+        require(dom > 0, "CREATE MATERIALIZED VIEW: distinct_domain " +
+          "must be positive (keys live in [0, domain))")
+        d00.copy(distinctKind = "bitmap", distinctDomain = dom)
+      case other =>
+        sys.error(s"CREATE MATERIALIZED VIEW: unknown distinct_kind " +
+          s"'$other' (supported: exact, bitmap)")
+    }
     // join kind: the refresh fold's equality-delete mask needs at
     // least one group column of a type the DSv2 read path applies
     // eq-deletes on — a star grouped ONLY by timestamp bucket(s)
@@ -531,6 +596,22 @@ final case class GraftCreateMatViewCommand(catalogName: String,
     val d = d0.copy(fact = GraftMatViews.dirOf(spark, factParts),
       dim = dimDirs.headOption.getOrElse(""),
       dims = dimDirs.zip(d0.dims).map { case (dir, (_, keys)) => (dir, keys) })
+    // bitmap distinct kind: the key must be INTEGRAL (a bit index
+    // needs one) — checked at DDL against the fact's stored schema,
+    // value bounds checked distributedly at create (checkDomain)
+    if (d.distinctKind == "bitmap") {
+      import org.apache.spark.sql.types._
+      val ft = graft.lake.LakeTable.storedSchemaOf(d.fact).flatMap(
+        _.fields.find(_.name.equalsIgnoreCase(d.distinctCol))
+          .map(_.dataType))
+      require(ft.exists {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }, s"CREATE MATERIALIZED VIEW: COUNT(DISTINCT ${d.distinctCol}) " +
+        s"with distinct_kind = 'bitmap' needs an integral key column " +
+        s"(got ${ft.map(_.simpleString).getOrElse("<no stored schema>")}) " +
+        "— use the exact distinct kind")
+    }
     if (cat.tableExists(ident)) {
       val name = (ident.namespace() :+ ident.name()).mkString(".")
       if (!replace)

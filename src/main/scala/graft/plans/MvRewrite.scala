@@ -104,13 +104,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // definition order) for the delta-join STAIRCASE: one union
       // term per axis whose (basis, snap] gap is append-only
       axes: Seq[JoinAxis] = Nil,
-      // the DISTINCT kind's hidden-state pin, captured at VALIDATION
-      // time: (state snapshot, fact basis that snapshot reflects).
-      // State-serving tiers require the basis to equal the
-      // candidate's validated fact snapshot and scan the state AT
-      // this snapshot — re-reading live heads at serve time is a
-      // TOCTOU window (see DistinctMv.stateBasisPinned)
-      stateInfo: Option[(Int, Int)] = None,
+      // the DISTINCT kind's hidden-state pins, captured at
+      // VALIDATION time — one (state snapshot, fact basis that
+      // snapshot reflects) pair PER distinct measure, aligned with
+      // d.distincts; empty when unavailable. State-serving tiers
+      // require the used state's basis to equal the candidate's
+      // validated fact snapshot and scan it AT the pinned snapshot —
+      // re-reading live heads at serve time is a TOCTOU window (see
+      // DistinctMv.stateBasisPinned)
+      stateInfo: Seq[(Int, Int)] = Nil,
       // the VALIDATED visible basis (single-table kinds: basis.head
       // at candidate creation; == the scanned fact snapshot for a
       // fresh candidate) — what the state pin must match
@@ -310,7 +312,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   // head-pointer read + one stat instead of note walks.
   private val stateCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Long),
-    (MaterializedView.MvDef, Seq[Int], Option[(Int, Int)])]
+    (MaterializedView.MvDef, Seq[Int], Seq[(Int, Int)])]
 
   /** The MV's (head, incarnation, definition, basis vector, distinct
     * state pin) read atomically: the head is re-checked after the
@@ -325,7 +327,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def defBasisAt(mvDir: String)
       : Option[(Int, Long, MaterializedView.MvDef, Seq[Int],
-        Option[(Int, Int)])] = Try {
+        Seq[(Int, Int)])] = Try {
     val head = LakeTable.currentSnapshot(mvDir)
     val mtime = MaterializedView.defMtime(mvDir)
     val cached = stateCache.get((mvDir, head, mtime))
@@ -340,8 +342,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           case _ => IncrementalJoinMv.basisAll(mvDir)
         }
         val si =
-          if (d0.kind == "distinct") DistinctMv.stateBasisPinned(mvDir)
-          else None
+          if (d0.kind == "distinct")
+            DistinctMv.stateBasisPinnedAll(mvDir, d0.distincts.size)
+              .getOrElse(Nil)
+          else Nil
         if (LakeTable.currentSnapshot(mvDir) != head ||
           MaterializedView.defMtime(mvDir) != mtime) return None
         if (stateCache.size > 256) stateCache.clear()
@@ -507,7 +511,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
                   rels.head.output, Set.empty, head, mtime,
                   stateInfo = si, factBasis = basis.head))
               else if (staleOk &&
-                  (d.kind != "distinct" || si.exists(_._2 == basis.head)) &&
+                  (d.kind != "distinct" ||
+                    (si.nonEmpty && si.forall(_._2 == basis.head))) &&
                   basis.head < snap &&
                   appendOnlyCached(d.fact, basis.head, snap))
                 // STALE but compensable: the gap is pure appends, so
@@ -776,8 +781,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         case ae @ AggregateExpression(
             Count(Seq(ar: AttributeReference)), Complete, true, None, _)
             if c.d.kind == "distinct" &&
-              sameName(ar.name, c.d.distinctCol) =>
-          mvAttr(c.d.distinctName).filter(_.dataType == ae.dataType)
+              c.d.distincts.exists(x => sameName(ar.name, x._1)) =>
+          c.d.distincts.collectFirst {
+            case (col0, nm) if sameName(ar.name, col0) => nm
+          }.flatMap(mvAttr).filter(_.dataType == ae.dataType)
         case ae @ AggregateExpression(fn, Complete, false, None, _) =>
           measureCol(fn, c.d, c.bindOut).flatMap(mvAttr)
             .filter(_.dataType == ae.dataType)
@@ -865,9 +872,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val mg = d.group.map(canon).toSet
     if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
     if (qg.exists(c.unsafe.contains)) return None
-    val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir)
-    val (stSnap, stBasis) = c.stateInfo.getOrElse(return None)
+    // the state to serve from: the ONE distinct measure the query
+    // uses (n/SUM-only subsets are the plain rollup tier's job; two
+    // different distinct columns would need two states in one plan)
+    val dIdx = usedDistinctIndex(outs, d).getOrElse(return None)
+    val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir, dIdx)
+    val (stSnap, stBasis) = c.stateInfo.lift(dIdx).getOrElse(return None)
     if (c.factBasis < 0 || stBasis != c.factBasis) return None
+    val dCol = d.distincts(dIdx)._1
     val st = mvScan(stRoot, stSnap, c.mvMtime).getOrElse(return None)
     def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
     val cond2 = remapCond(c.residual, d, st.output, c.unsafe)
@@ -884,8 +896,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             // COUNT(DISTINCT x) over the fact = COUNT(DISTINCT x)
             // over state rows (distinct tuples by construction)
             case Count(Seq(ar: AttributeReference))
-                if isDistinct && sameName(ar.name, d.distinctCol) =>
-              stAttr(d.distinctCol).map(sa => Count(Seq(sa)))
+                if isDistinct && sameName(ar.name, dCol) =>
+              stAttr(dCol).map(sa => Count(Seq(sa)))
             case Count(Seq(Literal(v, _))) if !isDistinct && v != null =>
               Some(new Sum(cnt))
             case s: Sum if !isDistinct =>
@@ -939,14 +951,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     import org.apache.spark.sql.types.LongType
     val d = c.d
     if (d.kind != "distinct") return None
-    val (stSnap, stBasis) = c.stateInfo.getOrElse(return None)
+    val dIdx = usedDistinctIndex(outs, d).getOrElse(return None)
+    val (stSnap, stBasis) = c.stateInfo.lift(dIdx).getOrElse(return None)
     if (c.deltaFrom < 0 || stBasis != c.deltaFrom) return None
+    val dCol = d.distincts(dIdx)._1
     val qg = groupAttrs.map(a => canon(a.name))
     val mg = d.group.map(canon).toSet
     if (qg.isEmpty || !qg.forall(mg.contains)) return None
     if (qg.distinct.size != qg.size) return None
     if (qg.exists(c.unsafe.contains)) return None
-    val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir)
+    val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir, dIdx)
     val st = mvScan(stRoot, stSnap, c.mvMtime).getOrElse(return None)
     def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
     val delta = deltaScan(d.fact, c.deltaFrom, c.deltaTo).getOrElse(return None)
@@ -960,8 +974,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val dCond = remapCond(c.residual, d, delta.output, c.unsafe)
       .getOrElse(return None)
     // the distinct key column on both sides, identical type
-    val xSt = stAttr(d.distinctCol).getOrElse(return None)
-    val xD = dAttr(d.distinctCol).filter(_.dataType == xSt.dataType)
+    val xSt = stAttr(dCol).getOrElse(return None)
+    val xD = dAttr(dCol).filter(_.dataType == xSt.dataType)
       .getOrElse(return None)
     val cnt = stAttr(graft.lake.DistinctMv.CntCol)
       .filter(_.dataType == LongType).getOrElse(return None)
@@ -980,7 +994,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       stCond.map(Filter(_, st)).getOrElse(st))
     val dSide = Project(
       dG.map(a => a: NamedExpression) ++
-        (Alias(xD, d.distinctCol)() +:
+        (Alias(xD, dCol)() +:
           Alias(Literal(1L), graft.lake.DistinctMv.CntCol)() +:
           sums.map { case (_, e, nm) => Alias(e, nm)() }),
       dCond.map(Filter(_, delta)).getOrElse(delta))
@@ -996,7 +1010,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       mapAgg = {
         case ae @ AggregateExpression(
             Count(Seq(ar: AttributeReference)), Complete, true, None, _)
-            if sameName(ar.name, d.distinctCol) =>
+            if sameName(ar.name, dCol) =>
           Some(ae.copy(aggregateFunction = Count(Seq(uX: Expression))))
             .filter(_.dataType == ae.dataType)
         case ae @ AggregateExpression(fn, Complete, false, None, _) =>
@@ -1014,6 +1028,23 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       },
       mapAttr = a => gMap.get(a.exprId)).getOrElse(return None)
     Some(Aggregate(uG.map(a => a: Expression), aggExprs, union, None))
+  }
+
+  /** The index (into d.distincts) of the ONE distinct column the
+    * output list aggregates COUNT(DISTINCT) over — None when zero or
+    * more than one distinct column is used (a state-serving plan
+    * reads exactly one state table).
+    */
+  private def usedDistinctIndex(outs: Seq[NamedExpression],
+      d: MaterializedView.MvDef): Option[Int] = {
+    val used = outs.flatMap(_.collect {
+      case AggregateExpression(
+          Count(Seq(ar: AttributeReference)), Complete, true, None, _) =>
+        d.distincts.zipWithIndex.collectFirst {
+          case ((c0, _), i) if sameName(ar.name, c0) => i
+        }
+    }.flatten).distinct
+    if (used.size == 1) Some(used.head) else None
   }
 
   // (root, from, to) → append-only verdict; manifests are immutable,
@@ -1392,8 +1423,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           // tier: exact group match only)
           case ae @ AggregateExpression(
               Count(Seq(ar: AttributeReference)), Complete, true, None, _)
-              if d.kind == "distinct" && sameName(ar.name, d.distinctCol) =>
-            mvAttr(d.distinctName).filter(_.dataType == ae.dataType)
+              if d.kind == "distinct" &&
+                d.distincts.exists(x => sameName(ar.name, x._1)) =>
+            d.distincts.collectFirst {
+              case (col0, nm) if sameName(ar.name, col0) => nm
+            }.flatMap(mvAttr).filter(_.dataType == ae.dataType)
           case ae @ AggregateExpression(fn, Complete, false, None, _) =>
             measureCol(fn, d, c.bindOut).flatMap(mvAttr)
               .filter(_.dataType == ae.dataType)

@@ -1188,6 +1188,210 @@ object Lake {
       |  UNION ALL SELECT * FROM s5)
       |ORDER BY stage, event_type""".stripMargin
 
+  // --- q_sql_mv_distinct2: MULTIPLE COUNT(DISTINCT) measures in ONE
+  // materialized view — `uniq_users, uniq_sessions` per dimension,
+  // the warehouse shape the one-distinct grammar used to reject. One
+  // hidden signed (group, key) state PER measure (`_dstate`,
+  // `_dstate1`), each folded by the same change-feed law and each
+  // retiring its keys INDEPENDENTLY under MoR deletes: stage 3
+  // deletes every row of uids ≡ 0 (mod 7) — a uid key retires where
+  // its multiplicity reaches 0 while a sid key survives wherever any
+  // remaining row still carries it. Stage 4 serves BOTH measures
+  // from the visible view with every fact file hidden (the exact
+  // tier maps each COUNT(DISTINCT) to its own stored column); stage
+  // 5 serves a group-SUBSET query using ONLY the second measure —
+  // the state-rollup tier must pick the SECOND state table
+  // (plans/MvRewrite.usedDistinctIndex), fact files still hidden.
+  def qSqlMvDistinct2(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.d2f_$id"; val mv = s"graft.q.d2v_$id"
+    t(s, dir, "events").select(col("event_id"), col("event_type"))
+      .createOrReplaceTempView("ev_sqld2")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, " +
+      "eb BIGINT, uid BIGINT, sid BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, event_id % 4,
+               |  event_id % 997, event_id % 101
+               |FROM ev_sqld2 WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT event_type, eb, COUNT(*) AS n,
+             |  COUNT(DISTINCT uid) AS uniq_u, COUNT(DISTINCT sid) AS uniq_s
+             |FROM $fact GROUP BY event_type, eb""".stripMargin)
+    def mode(): String = s.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    val mode1 = mode()
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.d2v_$id')")
+    val mode2 = mode()
+    s.sql(s"DELETE FROM $fact WHERE uid % 7 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.d2v_$id')")
+    val mode3 = mode()
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.d2f_$id")
+    val served = withHiddenFiles(factDir) {
+      s.sql(s"""SELECT event_type, eb, COUNT(*) AS n,
+               |  COUNT(DISTINCT uid) AS uniq_u, COUNT(DISTINCT sid) AS uniq_s
+               |FROM $fact GROUP BY event_type, eb""".stripMargin).collect()
+    }
+    val rolled = withHiddenFiles(factDir) {
+      s.sql(s"""SELECT event_type, COUNT(*) AS n,
+               |  COUNT(DISTINCT sid) AS uniq_s
+               |FROM $fact GROUP BY event_type""".stripMargin).collect()
+    }
+    def stage(k: Int, m: String) =
+      s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, event_type, eb,
+         |  n, uniq_u, uniq_s
+         |FROM $mv VERSION AS OF $k""".stripMargin
+    import s.implicits._
+    val s4 = served.toSeq
+      .map(r => (4L, "served", r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toDF("stage", "mode", "event_type", "eb", "n", "uniq_u", "uniq_s")
+    val s5 = rolled.toSeq
+      .map(r => (5L, "rollup", r.getString(0), -1L, r.getLong(1), -1L,
+        r.getLong(2)))
+      .toDF("stage", "mode", "event_type", "eb", "n", "uniq_u", "uniq_s")
+    s.sql(Seq(stage(1, mode1), stage(2, mode2), stage(3, mode3))
+      .mkString("", "\nUNION ALL\n", ""))
+      .unionByName(s4)
+      .unionByName(s5)
+      .orderBy(col("stage"), col("event_type"), col("eb"))
+  }
+
+  val qSqlMvDistinct2Sql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 4 AS eb,
+      |    event_id % 997 AS uid, event_id % 101 AS sid
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'full' AS mode, event_type, eb,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq_u,
+      |    COUNT(DISTINCT sid) AS uniq_s
+      |  FROM f WHERE event_id % 3 = 0 GROUP BY event_type, eb),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, 'signed' AS mode, event_type, eb,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq_u,
+      |    COUNT(DISTINCT sid) AS uniq_s
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY event_type, eb),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage, 'signed' AS mode, event_type, eb,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq_u,
+      |    COUNT(DISTINCT sid) AS uniq_s
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 7 <> 0
+      |  GROUP BY event_type, eb),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT) AS stage, 'served' AS mode, event_type, eb,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq_u,
+      |    COUNT(DISTINCT sid) AS uniq_s
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 7 <> 0
+      |  GROUP BY event_type, eb),
+      |s5 AS (
+      |  SELECT CAST(5 AS BIGINT) AS stage, 'rollup' AS mode, event_type,
+      |    CAST(-1 AS BIGINT) AS eb, COUNT(*) AS n,
+      |    CAST(-1 AS BIGINT) AS uniq_u, COUNT(DISTINCT sid) AS uniq_s
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 7 <> 0
+      |  GROUP BY event_type)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      |  UNION ALL SELECT * FROM s5)
+      |ORDER BY stage, event_type, eb""".stripMargin
+
+  // --- q_sql_mv_distinct_bm: the BITMAP distinct kind
+  // (lake/BitmapDistinctMv) — exact COUNT(DISTINCT uid) for a BOUNDED
+  // INTEGRAL key domain at O(groups × domain/8) BYTES of state (one
+  // 64-key word per occupied word index + a row-count sentinel)
+  // instead of the exact kind's O(groups × live keys) state ROWS: the
+  // documented scale path when key traffic is fact-sized but the key
+  // domain is bitmap-able. DDL opt-in via WITH (distinct_kind =
+  // 'bitmap', distinct_domain = N). Maintenance is the MinMax lattice
+  // applied to distinct, and the captured mode literals gate all
+  // three laws: CREATE recomputes (`full`); a pure-append range
+  // folds OR-distributively — delta files only, never the fact, one
+  // MoR merge on the touched word cells (`fold`); a MoR DELETE
+  // breaks OR-distributivity, so the touched GROUPS recompute from
+  // the IN-pruned fact head and retire their prior cells via the
+  // merge mask (`targeted`). Stage 4 serves the fact query with
+  // every fact file hidden — only the rewrite rule's exact tier over
+  // the visible view can answer.
+  def qSqlMvDistinctBm(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.dbf_$id"; val mv = s"graft.q.dbv_$id"
+    t(s, dir, "events").select(col("event_id"), col("event_type"))
+      .createOrReplaceTempView("ev_sqldb")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, uid BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, event_id % 997
+               |FROM ev_sqldb WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv
+             |WITH (distinct_kind = 'bitmap', distinct_domain = 1024) AS
+             |SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    def mode(): String = s.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    val mode1 = mode()
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dbv_$id')")
+    val mode2 = mode()
+    s.sql(s"DELETE FROM $fact WHERE uid % 10 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dbv_$id')")
+    val mode3 = mode()
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.dbf_$id")
+    val served = withHiddenFiles(factDir) {
+      s.sql(s"""SELECT event_type, COUNT(*) AS n,
+               |  COUNT(DISTINCT uid) AS uniq
+               |FROM $fact GROUP BY event_type""".stripMargin).collect()
+    }
+    def stage(k: Int, m: String) =
+      s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, event_type, n,
+         |  uniq
+         |FROM $mv VERSION AS OF $k""".stripMargin
+    import s.implicits._
+    val s4 = served.toSeq
+      .map(r => (4L, "served", r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("stage", "mode", "event_type", "n", "uniq")
+    s.sql(Seq(stage(1, mode1), stage(2, mode2), stage(3, mode3))
+      .mkString("", "\nUNION ALL\n", ""))
+      .unionByName(s4)
+      .orderBy(col("stage"), col("event_type"))
+  }
+
+  val qSqlMvDistinctBmSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 997 AS uid
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'full' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+      |  FROM f WHERE event_id % 3 = 0 GROUP BY event_type),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS stage, 'fold' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY event_type),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT) AS stage, 'targeted' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 10 <> 0
+      |  GROUP BY event_type),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT) AS stage, 'served' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 10 <> 0
+      |  GROUP BY event_type)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |ORDER BY stage, event_type""".stripMargin
+
   // --- q_sql_mv_distinct_expr: DAILY UNIQUE USERS — the warehouse's
   // canonical distinct rollup (`COUNT(DISTINCT uid) GROUP BY
   // date_trunc('DAY', ts)`), combining the distinct kind's signed
@@ -5336,6 +5540,8 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmax,
     "q_sql_mv_single" -> qSqlMvSingle,
     "q_sql_mv_distinct" -> qSqlMvDistinct,
+    "q_sql_mv_distinct2" -> qSqlMvDistinct2,
+    "q_sql_mv_distinct_bm" -> qSqlMvDistinctBm,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExpr,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExpr,
@@ -5427,6 +5633,8 @@ object Lake {
     "q_sql_mv_minmax" -> qSqlMvMinmaxSql,
     "q_sql_mv_single" -> qSqlMvSingleSql,
     "q_sql_mv_distinct" -> qSqlMvDistinctSql,
+    "q_sql_mv_distinct2" -> qSqlMvDistinct2Sql,
+    "q_sql_mv_distinct_bm" -> qSqlMvDistinctBmSql,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExprSql,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExprSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,

@@ -1496,10 +1496,10 @@ class DsV2Spec extends AnyFunSuite {
     val eTwo = intercept[IllegalArgumentException] {
       spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.dbad_$id AS
                    |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS du,
-                   |  COUNT(DISTINCT x) AS dx
+                   |  COUNT(DISTINCT u) AS du2
                    |FROM $fact GROUP BY g""".stripMargin)
     }
-    assert(eTwo.getMessage.contains("one COUNT(DISTINCT) measure only"),
+    assert(eTwo.getMessage.contains("duplicate COUNT(DISTINCT"),
       eTwo.getMessage)
     val eMin = intercept[IllegalArgumentException] {
       spark.sql(s"""CREATE MATERIALIZED VIEW graft.psd.dbad_$id AS
@@ -2279,6 +2279,154 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
     assert(state()(("2024-01-03 00:00:00", "a")) === ((1L, 50L)))
     Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("bitmap distinct MV: state is words not keys (O(domain/8) per group); appends fold from delta files only; deletes recompute targeted") {
+    import graft.lake.{BitmapDistinctMv, DistinctMv, LakeTable}
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_bdm_fact_")
+    val mvE = graft.util.Scratch.dir("graft_bdm_exact_")
+    val mvB = graft.util.Scratch.dir("graft_bdm_bm_")
+    val fCfg = BlockWriter.Config("g", "id", maxRecordsPerFile = 512)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 512)
+    // two groups, 400 distinct keys each in [0, 1024)
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, s"k${i % 2}", (i / 2) % 1024)).toDF("id", "g", "uid")
+    LakeTable.commit(s, fact, rows(0L until 800L), fCfg, Seq("id", "g"))
+    DistinctMv.create(s, fact, mvE, Seq("g"), "uid", "uniq", mCfg)
+    BitmapDistinctMv.create(s, fact, mvB, Seq("g"), "uid", "uniq", 1024, mCfg)
+    def vis(mv: String): Map[String, (Long, Long)] =
+      LakeTable.read(s, mv).collect().map(r =>
+        r.getAs[String]("g") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("uniq")))).toMap
+    val expect1 = Map("k0" -> ((400L, 400L)), "k1" -> ((400L, 400L)))
+    assert(vis(mvE) === expect1 && vis(mvB) === expect1)
+    // THE size pin: exact state = one row per live (g, key) = 800;
+    // bitmap state ≤ groups × (domain/64 + 1 sentinel) = 2 × 17 rows
+    val exactRows = LakeTable.read(s, DistinctMv.stateRoot(mvE)).count()
+    val bmRows = LakeTable.read(s, BitmapDistinctMv.stateRoot(mvB)).count()
+    assert(exactRows === 800L)
+    assert(bmRows <= 2L * (1024L / 64L + 1L),
+      s"bitmap state must be word-sharded, got $bmRows rows")
+    assert(BitmapDistinctMv.mode(mvB) === "full")
+    // ---- append touching ONLY k0 (new keys 400..409 land as ids
+    // 800..819): OR-distributive fold — hide every PRE-APPEND fact
+    // file AND every k1 state file; the fold must plan none of them
+    LakeTable.commit(s, fact,
+      (800L until 820L).map(i => (i, "k0", (i / 2) % 1024))
+        .toDF("id", "g", "uid"), fCfg, Seq("id", "g"))
+    val head = LakeTable.currentSnapshot(fact)
+    val preAppend = LakeTable.manifest(fact, head).files
+      .filter(_.seq < head).map(_.path)
+    val stB = BitmapDistinctMv.stateRoot(mvB)
+    def filesAway(dir: String, lead: String): Seq[String] =
+      LakeTable.manifest(dir, LakeTable.currentSnapshot(dir)).files
+        .filter(_.stats.get("g").exists(cs =>
+          cs.maxS < lead || cs.minS > lead)).map(_.path)
+    val stAway = filesAway(stB, "k0")
+    assert(stAway.nonEmpty)
+    def bytesOf(p: String): Seq[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.stripPrefix("file:"))).toSeq
+    val stBytes = stAway.map(p => p -> bytesOf(p)).toMap
+    def shift(paths: Seq[String], hide: Boolean): Unit = paths.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    val hidden = preAppend ++ stAway
+    shift(hidden, hide = true)
+    try BitmapDistinctMv.refresh(s, fact, mvB, Seq("g"), "uid", "uniq",
+      1024, mCfg): Unit
+    finally shift(hidden, hide = false)
+    assert(BitmapDistinctMv.mode(mvB) === "fold",
+      "a pure-append range must take the OR-distributive fold")
+    assert(vis(mvB) === Map("k0" -> ((420L, 410L)), "k1" -> ((400L, 400L))))
+    // untouched group's state files byte-identical across the fold
+    stAway.foreach(p => assert(bytesOf(p) === stBytes(p)))
+    // ---- MoR DELETE of ids 0 and 2 (both k0; sole carriers of uids
+    // 0 and 1): no bit can retire without the group's other rows —
+    // targeted recompute of the touched group only
+    LakeTable.deleteWhere(s, fact, "id", Seq(0L, 2L).toDF("id"))
+    BitmapDistinctMv.refresh(s, fact, mvB, Seq("g"), "uid", "uniq",
+      1024, mCfg): Unit
+    assert(BitmapDistinctMv.mode(mvB) === "targeted")
+    assert(vis(mvB) === Map("k0" -> ((418L, 408L)), "k1" -> ((400L, 400L))),
+      "uids 0 and 1 must retire from k0 (sole carriers deleted)")
+    // domain guard: out-of-range keys fail pointedly
+    LakeTable.commit(s, fact,
+      Seq((900L, "k0", 5000L)).toDF("id", "g", "uid"), fCfg, Seq("id", "g"))
+    val e = intercept[IllegalArgumentException] {
+      BitmapDistinctMv.refresh(s, fact, mvB, Seq("g"), "uid", "uniq",
+        1024, mCfg)
+    }
+    assert(e.getMessage.contains("outside"), e.getMessage)
+  }
+
+  test("multi-distinct MV: two COUNT(DISTINCT) measures, one state each; keys retire independently; the subset tier picks the right state") {
+    import graft.lake.LakeTable
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.m2f_$id"; val mv = s"graft.psd.m2v_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, u BIGINT, v BIGINT)")
+    // u keys span groups; v keys repeat inside groups
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'a', 100, 7), (2, 'a', 101, 7), (3, 'a', 101, 8),
+                 |(4, 'b', 100, 7), (5, 'b', 102, 9)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS du,
+                 |  COUNT(DISTINCT v) AS dv
+                 |FROM $fact GROUP BY g""".stripMargin)
+    def state(): Map[String, (Long, Long, Long)] =
+      spark.sql(s"SELECT g, n, du, dv FROM $mv").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(state() === Map("a" -> ((3L, 2L, 2L)), "b" -> ((2L, 2L, 2L))))
+    val mvDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.m2v_$id")
+    // both hidden states exist, one per measure
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      graft.lake.DistinctMv.stateRoot(mvDir, 0))))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      graft.lake.DistinctMv.stateRoot(mvDir, 1))))
+    // MoR delete of fid 2,3: u=101 retires from a (both rows gone),
+    // v=7 survives in a (fid 1 still carries it), v=8 retires — the
+    // two states retire INDEPENDENTLY, one signed fold each
+    spark.sql(s"DELETE FROM $fact WHERE fid IN (2, 3)")
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.m2v_$id')")
+    assert(spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+      === "signed")
+    assert(state() === Map("a" -> ((1L, 1L, 1L)), "b" -> ((2L, 2L, 2L))))
+    // both measures serve EXACT from the visible view, fact hidden
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.m2f_$id")
+    val q = s"SELECT g, COUNT(DISTINCT u) AS du, COUNT(DISTINCT v) AS dv " +
+      s"FROM $fact GROUP BY g"
+    assert(mvScanRoots(q) === Seq(mvDir))
+    // a group-SUBSET rollup using ONLY the second measure must pick
+    // the SECOND state table — re-create at (g, fid) grain so a
+    // GROUP BY g query is a strict subset
+    spark.sql(s"DROP MATERIALIZED VIEW $mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, fid, COUNT(*) AS n, COUNT(DISTINCT u) AS du,
+                 |  COUNT(DISTINCT v) AS dv
+                 |FROM $fact GROUP BY g, fid""".stripMargin)
+    val q3 = s"SELECT g, COUNT(*) AS n, COUNT(DISTINCT v) AS dv " +
+      s"FROM $fact GROUP BY g"
+    assert(mvScanRoots(q3) === Seq(graft.lake.DistinctMv.stateRoot(
+      spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.m2v_$id"), 1)),
+      "a subset query over the SECOND distinct measure must scan _dstate1")
+    shiftFiles(factDir, hide = true)
+    try assert(spark.sql(q3).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set(("a", 1L, 1L), ("b", 2L, 2L)))
+    finally shiftFiles(factDir, hide = false)
+    spark.sql(s"DROP MATERIALIZED VIEW $mv"); spark.sql(s"DROP TABLE $fact")
   }
 
   test("distinct MV lifecycle: OR REPLACE rebuilds the nested state; a failed replace restores it; DROP removes it") {
