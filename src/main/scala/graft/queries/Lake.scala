@@ -4522,6 +4522,95 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- stream_cdc_coalesce: OPT-IN CDC CADENCE COALESCING — the
+  // escape hatch for cadence-bound mirrors: a batch carrying N
+  // upstream snapshots applies as ONE folded mirror commit under a
+  // `cdc:a-b:range` note, latest-wins per key across the range (a
+  // key's final state is its last touching snapshot's state — insert
+  // there → upsert that row, delete-only there → pure delete).
+  // Exactly-once rides the same note ledger, INCLUDING the crash
+  // window the 1:1 flow never sees: the gate deletes the applied-
+  // snapshot watermark after the folded commit (simulating a crash
+  // between the range commit and the watermark write) and replays
+  // the whole batch — the replay must see its own range note and
+  // NO-OP in the coalesced path (the mode-flip fallback keys on
+  // individual marks only; re-applying per snapshot would regress
+  // keys mid-loop). Oracle-hard-coded: n_commits = 1 (three upstream
+  // snapshots, one mirror commit), first_apply = 1, replay_applies =
+  // 0, mirror == upstream exactly.
+  def streamCdcCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val up = tmp("graft_cdcco_up_")
+    val mir = tmp("graft_cdcco_mir_")
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cfg = BlockWriter.Config("user_id", "ts", maxRecordsPerFile = 4096)
+    // same upstream lifecycle as stream_cdc_apply: append evens, two
+    // atomic merge-with-deletes
+    LakeTable.commit(s, up, ev.filter(col("event_id") % 2 === 0), cfg, Seq("event_id"))
+    LakeTable.merge(s, up, "event_id",
+      ev.filter(col("event_id") % 2 === 0 && col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000.0),
+      cfg, Seq("event_id"),
+      extraDeleteKeys = Some(LakeTable.read(s, up)
+        .filter(col("event_type") === "click").select(col("event_id"))))
+    LakeTable.merge(s, up, "event_id",
+      ev.filter(col("event_id") % 2 === 1 && col("event_id") % 10 === 1)
+        .withColumn("value", col("value") + 2000.0),
+      cfg, Seq("event_id"),
+      extraDeleteKeys = Some(LakeTable.read(s, up)
+        .filter(col("event_type") === "view").select(col("event_id"))))
+    val batch = LakeTable.changelogRead(s, up, 0, 3)
+    val first = graft.streaming.CdcApply.applyBatch(s, mir, batch,
+      "event_id", cfg, Seq("event_id"), coalesce = true)
+    // the crash window: range commit durable, watermark write lost
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(mir, "meta", "_cdc_watermark.json")): Unit
+    val replay = graft.streaming.CdcApply.applyBatch(s, mir, batch,
+      "event_id", cfg, Seq("event_id"), coalesce = true)
+    val upF = LakeTable.read(s, up)
+    val mirF = LakeTable.read(s, mir)
+      .select(upF.columns.map(col).toIndexedSeq: _*).persist()
+    val diff = upF.exceptAll(mirF).unionAll(mirF.exceptAll(upF)).count()
+    val out = mirF.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
+      .withColumn("mirror_exact", lit(diff == 0L))
+      .withColumn("n_commits", lit(LakeTable.currentSnapshot(mir).toLong))
+      .withColumn("first_apply", lit(first.toLong))
+      .withColumn("replay_applies", lit(replay.toLong))
+      .orderBy(col("event_type"))
+      .collect()
+    mirF.unpersist()
+    import s.implicits._
+    out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toDF("event_type", "n", "sum_value_x100", "mirror_exact",
+        "n_commits", "first_apply", "replay_applies")
+      .orderBy(col("event_type"))
+  }
+
+  val streamCdcCoalesceSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value FROM events WHERE user_id % 2 = 0),
+      |base AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+      |  FROM ev
+      |  WHERE event_id % 2 = 0
+      |    AND (event_type <> 'click' OR event_id % 10 = 0)
+      |    AND event_type <> 'view'),
+      |ups AS (
+      |  SELECT event_type, value + 2000 AS value FROM ev
+      |  WHERE event_id % 2 = 1 AND event_id % 10 = 1),
+      |final AS (SELECT * FROM base UNION ALL SELECT * FROM ups)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+      |  true AS mirror_exact, CAST(1 AS BIGINT) AS n_commits,
+      |  CAST(1 AS BIGINT) AS first_apply, CAST(0 AS BIGINT) AS replay_applies
+      |FROM final
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- lake_automaint: AUTO-MAINTENANCE policies — unattended
   // small-file + metadata hygiene (the guardrail the reference's
   // 60 s flush cadence needs, main.go:75): TBLPROPERTIES
@@ -5483,6 +5572,7 @@ object Lake {
     "lake_stream_read" -> lakeStreamRead,
     "lake_cdf_stream" -> lakeCdfStream,
     "stream_cdc_apply" -> streamCdcApply,
+    "stream_cdc_coalesce" -> streamCdcCoalesce,
     "lake_layout_evolve" -> lakeLayoutEvolve,
     "lake_meta_tables" -> lakeMetaTables,
     "lake_automaint" -> lakeAutomaint,
@@ -5576,6 +5666,7 @@ object Lake {
     "lake_stream_read" -> lakeStreamReadSql,
     "lake_cdf_stream" -> lakeCdfStreamSql,
     "stream_cdc_apply" -> streamCdcApplySql,
+    "stream_cdc_coalesce" -> streamCdcCoalesceSql,
     "lake_layout_evolve" -> lakeLayoutEvolveSql,
     "lake_meta_tables" -> lakeMetaTablesSql,
     "lake_automaint" -> lakeAutomaintSql,

@@ -2281,6 +2281,53 @@ class DsV2Spec extends AnyFunSuite {
     Seq(mv, dim, fact).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("auto-ANALYZE policy: unattended appends keep sketches + CBO stats fresh; boundary drift rebuilds the histograms") {
+    import graft.lake.AutoMaintain
+    val s = spark
+    import s.implicits._
+    val root = graft.util.Scratch.dir("graft_aan_")
+    val aCfg = BlockWriter.Config("g", "id", maxRecordsPerFile = 256)
+    def rows(ids: Seq[Long], v: Long => Long) =
+      ids.map(i => (i, s"g${i % 2}", v(i))).toDF("id", "g", "v")
+    LakeTable.commit(s, root, rows(0L until 200L, identity), aCfg,
+      Seq("id", "g", "v"))
+    // no sidecar yet — nothing has analyzed
+    assert(LakeTable.colStats(root).isEmpty)
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoAnalyzeKey, 1)
+    // an unattended append: the post-commit hook must sketch EVERY
+    // file (the pre-policy ones included — they are unsketched too)
+    // with ZERO manual ANALYZE calls
+    LakeTable.commit(s, root, rows(200L until 400L, identity), aCfg,
+      Seq("id", "g", "v"))
+    assert(AutoMaintain.analyzedCount(root) >= 1L)
+    assert(LakeTable.unsketchedCount(root,
+      LakeTable.currentSnapshot(root)) === 0,
+      "every live file must be sketched with no manual ANALYZE")
+    val meta1 = LakeTable.colStats(root).get
+    assert(meta1.bounds.contains("v"),
+      "the first auto pass derives histogram boundaries")
+    val bounds1 = meta1.bounds("v")
+    // CBO stays honest: the scan reports a distinct count for v
+    val scan = graftScanOf(
+      s.read.format("graft-lake").load(root).select(col("v")).filter(col("v") >= 0L))
+    val est = scan.estimateStatistics()
+    assert(est.numRows.isPresent)
+    // ---- boundary drift: a heavily-skewed append collapses the
+    // merged histogram into one heavy bin; with the drift policy the
+    // NEXT auto pass rebuilds the boundaries over the current data
+    AutoMaintain.setPolicy(root, AutoMaintain.AutoAnalyzeDriftKey, 400)
+    LakeTable.commit(s, root,
+      rows(400L until 1000L, _ => 100L), aCfg, Seq("id", "g", "v"))
+    assert(LakeTable.unsketchedCount(root,
+      LakeTable.currentSnapshot(root)) === 0)
+    val meta2 = LakeTable.colStats(root).get
+    assert(meta2.bounds.contains("v"))
+    assert(meta2.bounds("v") !== bounds1,
+      "drift past the bound must re-derive the boundaries")
+    AutoMaintain.dropPolicy(root, AutoMaintain.AutoAnalyzeKey)
+    AutoMaintain.dropPolicy(root, AutoMaintain.AutoAnalyzeDriftKey)
+  }
+
   test("bitmap distinct MV: state is words not keys (O(domain/8) per group); appends fold from delta files only; deletes recompute targeted") {
     import graft.lake.{BitmapDistinctMv, DistinctMv, LakeTable}
     val s = spark
