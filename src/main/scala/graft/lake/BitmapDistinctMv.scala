@@ -147,6 +147,10 @@ object BitmapDistinctMv {
     val f = LakeTable.currentSnapshot(factRoot)
     val base = prep(LakeTable.read(s, factRoot, Some(f)))
     checkDomain(base, keyCol, domain)
+    // the hidden state owns its own mask hygiene (see
+    // DistinctMv.StateCompactFiles)
+    AutoMaintain.setPolicy(stateRoot(mvRoot),
+      AutoMaintain.AutoCompactKey, DistinctMv.StateCompactFiles)
     LakeTable.commit(s, stateRoot(mvRoot), stateOf(base, group, keyCol),
       stateCfg(group), group, note = s"bmvs-basis-$f-full")
     LakeTable.commit(s, mvRoot,

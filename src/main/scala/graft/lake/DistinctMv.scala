@@ -222,6 +222,19 @@ object DistinctMv {
   private def stateCfg(group: Seq[String]): BlockWriter.Config =
     BlockWriter.Config(group.head, group.head, maxRecordsPerFile = 1 << 20)
 
+  /** Auto-compaction threshold stamped on every hidden state table at
+    * CREATE: the MoR-merge fold accrues one small data file and one
+    * equality-delete file per refresh, and every state read anti-joins
+    * the masks — at stream-mv cadence that debt grows without bound,
+    * and the state is INTERNAL (no user will ever declare hygiene on
+    * a table they cannot see), so the engine owns it. The policy
+    * rides [[AutoMaintain]]'s post-commit/best-effort/CAS-safe rules:
+    * past the threshold the state rewrites into task-sized files with
+    * its masks folded, and the next refresh's untouched-file
+    * byte-identity baseline simply resets to the compacted files.
+    */
+  val StateCompactFiles = 48L
+
   /** Materialize states + view from the fact head; returns the MV
     * snapshot. `keyCol` is the first COUNT(DISTINCT) argument (a
     * plain fact column), `extra` any ADDITIONAL (column, name)
@@ -241,6 +254,8 @@ object DistinctMv {
     distincts.zipWithIndex.foreach { case ((kc, _), i) =>
       val st = stateOf(prep(LakeTable.read(s, factRoot, Some(f))), group, kc,
         sums, signed = false)
+      AutoMaintain.setPolicy(stateRoot(mvRoot, i),
+        AutoMaintain.AutoCompactKey, StateCompactFiles)
       LakeTable.commit(s, stateRoot(mvRoot, i), st, stateCfg(group), group,
         note = s"dmvs-basis-$f-full"): Unit
     }
@@ -310,13 +325,25 @@ object DistinctMv {
     // rows are the same frame for every state, so any state's delta
     // names the same leads) — None once unknown/over-cap
     var leadsAcc: Option[Seq[Any]] = Some(Nil)
+    // per-state FOLDED SLICE of the touched leads, cached: stored
+    // cells of those leads pass through identity, touched cells
+    // fold, new cells appear — ONE computation per state serves BOTH
+    // the state merge (its touched-cell subset) and the visible
+    // derive (the whole lead slice), so no state is scanned twice
+    // per refresh
+    val foldedByState = scala.collection.mutable.Map[String, DataFrame]()
+    try {
     distincts.zipWithIndex.foreach { case ((kc, _), i) =>
       val stRoot = stateRoot(mvRoot, i)
       val sb = sbs(i)._1
       if (sb < f1) {
         var cached: Option[DataFrame] = None
         try {
-          val signedDelta: Option[DataFrame] = try {
+          // the delta AND its touched leads in ONE materializing job:
+          // zero collected leads ⇔ empty delta (every delta row has a
+          // lead slot, null included), so no separate isEmpty pass
+          val capN = math.min(cap, Int.MaxValue - 1L).toInt
+          val signedDelta: Option[(DataFrame, Option[Seq[Any]])] = try {
             val changes = LakeTable.changelogRead(s, factRoot, sb, f1)
             // prep derives expression group columns (time buckets)
             // over the change rows — insert and delete pre-images of
@@ -324,7 +351,10 @@ object DistinctMv {
             val delta = stateOf(prep(changes), group, kc, sums,
               signed = true).persist()
             cached = Some(delta)
-            if (delta.isEmpty) None else Some(delta)
+            val ls0 = delta.select(col(group.head)).distinct()
+              .limit(capN + 1).collect().map(_.get(0)).toSeq
+            if (ls0.isEmpty) None
+            else Some((delta, if (ls0.size <= capN) Some(ls0) else None))
           } catch {
             case _: IllegalStateException => // expired changelog range
               cached.foreach(_.unpersist()); cached = None
@@ -347,18 +377,11 @@ object DistinctMv {
           // lead-group extents when they are metadata-scale (IN
           // filter → manifest stat pruning); past the cap it scans
           // the state once — the WRITE stays O(Δ) either way.
-          signedDelta.foreach { delta =>
+          signedDelta.foreach { case (delta, leadsOpt) =>
             anyFold = true
             val stored = LakeTable.storedSchemaOf(stRoot).getOrElse(sys.error(
               s"$stRoot carries no stored schema — not a distinct-MV state"))
             val names = stored.fieldNames.toIndexedSeq
-            // ONE job: collect at most cap+1 distinct leads — a
-            // (cap+1)-th value means over-cap (no separate count pass)
-            val capN = math.min(cap, Int.MaxValue - 1L).toInt
-            val ls0 = delta.select(col(group.head)).distinct()
-              .limit(capN + 1).collect().map(_.get(0)).toSeq
-            val leadsOpt: Option[Seq[Any]] =
-              if (ls0.size <= capN) Some(ls0) else None
             leadsAcc = (leadsAcc, leadsOpt) match {
               case (Some(acc), Some(ls)) => Some((acc ++ ls).distinct)
               case _ => None
@@ -368,18 +391,25 @@ object DistinctMv {
               case None => LakeTable.read(s, stRoot)
             }
             val touchedKeys = delta.select(col(SKeyCol)).distinct()
-            val folded = stateRead.select(names.map(col): _*)
-              .join(touchedKeys, Seq(SKeyCol), "left_semi")
+            val foldedLeads = stateRead.select(names.map(col): _*)
               .unionByName(delta.select(names.map(col): _*))
               .groupBy((group :+ kc :+ SKeyCol).map(col): _*)
               .agg(sum(col(CntCol)).cast("bigint").as(CntCol),
                 sums.map { case (nm, _) =>
                   sum(col(nm)).cast("bigint").as(nm) }: _*)
               .filter(col(CntCol) =!= 0L)
+              .persist()
+            foldedByState(stRoot) = foldedLeads
             // re-stamp with the EXACT stored schema (merge's schema
-            // gate compares full JSON incl. nullability)
-            val live = s.createDataFrame(
-              folded.select(names.map(col): _*).rdd, stored).persist()
+            // gate compares full JSON incl. nullability; .to() keeps
+            // the plan whole-stage — all-nullable parquet schemas only
+            // ever RELAX nullability, which upcasting permits); only
+            // the TOUCHED cells re-land — untouched cells of the
+            // touched leads stay visible from their old files past
+            // the mask
+            val live = foldedLeads
+              .join(touchedKeys, Seq(SKeyCol), "left_semi")
+              .select(names.map(col): _*).to(stored).persist()
             try {
               if (live.isEmpty)
                 // every touched cell retired: pure mask commit
@@ -416,14 +446,15 @@ object DistinctMv {
       val leadMaskable = leadsOk.isDefined && visStored.exists(
         _.fields.find(_.name == group.head)
           .exists(_.dataType != TimestampType))
-      if (leadMaskable) {
+      if (leadMaskable && foldedByState.size == distincts.size) {
         val vs = visStored.get
         val leads = leadsOk.get
+        // the visible rows for the touched leads derive from the
+        // CACHED folded slices — no state re-scan
         val vis = deriveAll(s, mvRoot, group, distincts, sums, derived,
-          r => prunedStateRead(s, r, group.head, leads))
-        val liveV = s.createDataFrame(
-          vis.select(vs.fieldNames.toIndexedSeq.map(col): _*).rdd, vs)
-          .persist()
+          r => foldedByState(r))
+        val liveV = vis.select(vs.fieldNames.toIndexedSeq.map(col): _*)
+          .to(vs).persist()
         val leadsDf = s.createDataFrame(
           java.util.Arrays.asList(leads.map(v =>
             org.apache.spark.sql.Row(v)): _*),
@@ -446,6 +477,7 @@ object DistinctMv {
           r => LakeTable.read(s, r)),
         cfg, group, note = s"dmv-basis-$f1-$mode"): Unit
     f1
+    } finally { foldedByState.values.foreach(_.unpersist()); () }
   }
 
   /** A DSv2 read of a state table pruned to the given lead-group

@@ -2411,6 +2411,44 @@ class DsV2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("outside"), e.getMessage)
   }
 
+  test("distinct-MV state self-compacts: the create-time policy folds accumulated merge masks") {
+    import graft.lake.{AutoMaintain, DistinctMv, LakeTable}
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_dsc_fact_")
+    val mv = graft.util.Scratch.dir("graft_dsc_mv_")
+    val fCfg = BlockWriter.Config("g", "id", maxRecordsPerFile = 64)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 64)
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, s"k${i % 2}", 100L + i % 7)).toDF("id", "g", "u")
+    LakeTable.commit(s, fact, rows(0L until 20L), fCfg, Seq("id", "g"))
+    DistinctMv.create(s, fact, mv, Seq("g"), "u", "du", mCfg)
+    val stRoot = DistinctMv.stateRoot(mv)
+    // CREATE stamps the hidden state's own hygiene policy — the MoR
+    // fold accrues a data file + a mask per refresh, and no user can
+    // declare policies on a table they cannot see
+    assert(AutoMaintain.policies(stRoot)
+      .get(AutoMaintain.AutoCompactKey).contains(DistinctMv.StateCompactFiles))
+    // tighten it so a handful of refreshes crosses the threshold
+    AutoMaintain.setPolicy(stRoot, AutoMaintain.AutoCompactKey, 3L)
+    (1 to 4).foreach { k =>
+      LakeTable.commit(s, fact,
+        rows((20L * k) until (20L * k + 20L)), fCfg, Seq("id", "g"))
+      DistinctMv.refresh(s, fact, mv, Seq("g"), "u", "du", mCfg): Unit
+    }
+    assert(AutoMaintain.firedCounts(stRoot)._1 >= 1L,
+      "the state must self-compact past the declared file threshold")
+    // compaction folded the masks: the head carries little or no
+    // MoR debt, and the values stay exact
+    val headM = LakeTable.manifest(stRoot, LakeTable.currentSnapshot(stRoot))
+    assert(headM.files.size <= 6,
+      s"state file count must stay bounded, got ${headM.files.size}")
+    val vis = LakeTable.read(s, mv).collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("du")))).toMap
+    assert(vis === Map("k0" -> ((50L, 7L)), "k1" -> ((50L, 7L))))
+  }
+
   test("multi-distinct MV: two COUNT(DISTINCT) measures, one state each; keys retire independently; the subset tier picks the right state") {
     import graft.lake.LakeTable
     spark.conf.set("spark.sql.catalog.graft",
