@@ -432,14 +432,19 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
                   rels.head.output, Set.empty, head, mtime,
                   stateInfo = si, factBasis = basis.head))
-              else if (staleOk && d.kind != "distinct" &&
+              else if (staleOk &&
+                  (d.kind != "distinct" ||
+                    (si.nonEmpty && si.forall(_._2 == basis.head))) &&
                   basis.head < snap &&
                   appendOnlyCached(d.fact, basis.head, snap))
                 // the daily rollup right after an ingest batch: the
                 // bucket re-derives over the delta rows at read time
+                // (the distinct kind additionally needs its state
+                // pins aligned — it compensates from the state)
                 Some(Candidate(mvDir, d, conds.reduceOption(And),
                   rels.head.output, Set.empty, head, mtime,
-                  deltaFrom = basis.head, deltaTo = snap))
+                  deltaFrom = basis.head, deltaTo = snap,
+                  stateInfo = si, factBasis = basis.head))
               else None
             case _ => None
           }
@@ -1330,6 +1335,152 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         mapNode = { case _: AttributeReference => None; case e => uNodeMap(e) })
         .getOrElse(return None)
       return Some(Aggregate(uG.map(a => a: Expression), aggExprs, union, None))
+    }
+    if (c.deltaFrom >= 0 && d.kind == "distinct") {
+      // STALE DISTINCT + append-only, bucketed grouping — the
+      // daily-uniques query right after an ingest batch: the VISIBLE
+      // counts cannot fold (a delta key may already be counted), so
+      // serve from the hidden state ∪ the delta rows with the bucket
+      // RE-DERIVED per delta row (the stored expression text — the
+      // state side needs no derivation: it STORES the bucket alias
+      // as a group column). COUNT(DISTINCT x) = distinct keys of the
+      // union per group, COUNT(*) = SUM(multiplicity) + Δ rows,
+      // SUMs fold per-row under rewriteCompensated's gates. The
+      // state scan pins to the candidate's VALIDATION-TIME pin whose
+      // basis must equal the stale basis (the TOCTOU discipline). A
+      // query referencing NO distinct measure falls through to the
+      // visible-side fold below (n/SUM compensate from MV rows like
+      // the single kind); two different distinct columns veto.
+      import org.apache.spark.sql.types.LongType
+      val usedD = outs.flatMap(_.collect {
+        case AggregateExpression(
+            Count(Seq(ar: AttributeReference)), Complete, true, None, _) =>
+          d.distincts.zipWithIndex.collectFirst {
+            case ((c0, _), i) if sameName(ar.name, c0) => i
+          }
+      }.flatten).distinct
+      val anyDistinctAgg = outs.exists(_.exists {
+        case AggregateExpression(_, _, true, _, _) => true
+        case _ => false
+      })
+      if (usedD.size == 1) {
+        val dIdx = usedD.head
+        val (stSnap, stBasis) = c.stateInfo.lift(dIdx).getOrElse(return None)
+        if (stBasis != c.deltaFrom) return None
+        val dCol = d.distincts(dIdx)._1
+        val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir, dIdx)
+        val st = mvScan(stRoot, stSnap, c.mvMtime).getOrElse(return None)
+        def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
+        val delta = deltaScan(d.fact, c.deltaFrom, c.deltaTo)
+          .getOrElse(return None)
+        def dAttr(n: String) = delta.output.find(m => sameName(m.name, n))
+        val stG: Seq[Attribute] =
+          qg.map(nm => stAttr(nm).getOrElse(return None))
+        val dG: Seq[NamedExpression] = qg.zip(stG).map { case (nm, scol) =>
+          if (plainG.contains(nm))
+            dAttr(nm).filter(_.dataType == scol.dataType)
+              .getOrElse(return None): NamedExpression
+          else {
+            val txt = d.groupExprs.find(x => canon(x._1) == nm)
+              .map(_._2).getOrElse(return None)
+            val se = resolveStored(txt, delta.output, d).getOrElse(return None)
+            if (se.dataType != scol.dataType) return None
+            Alias(se, nm)()
+          }
+        }
+        // residual per side: whole-subtree group mapping onto the
+        // state's stored columns; raw re-evaluation over delta rows
+        def remapResidualSt(e: Expression): Option[Expression] =
+          groupColOf(e) match {
+            case Some(nm) => stAttr(nm).filter(_.dataType == e.dataType)
+            case None => e match {
+              case _: AttributeReference => None
+              case other =>
+                val kids = other.children.map(remapResidualSt)
+                if (kids.exists(_.isEmpty)) None
+                else Some(other.withNewChildren(kids.map(_.get)))
+            }
+          }
+        val stCond: Option[Expression] = c.residual match {
+          case None => None
+          case Some(cnd) => Some(remapResidualSt(cnd).getOrElse(return None))
+        }
+        val dCond: Option[Expression] = c.residual match {
+          case None => None
+          case Some(cnd) =>
+            var ok = true
+            val m = cnd.transformUp {
+              case a: AttributeReference =>
+                dAttr(a.name).filter(_.dataType == a.dataType) match {
+                  case Some(x) => x
+                  case None => ok = false; a
+                }
+            }
+            if (!ok) return None
+            Some(m)
+        }
+        val xSt = stAttr(dCol).getOrElse(return None)
+        val xD = dAttr(dCol).filter(_.dataType == xSt.dataType)
+          .getOrElse(return None)
+        val cnt = stAttr(graft.lake.DistinctMv.CntCol)
+          .filter(_.dataType == LongType).getOrElse(return None)
+        val sums: Seq[(Attribute, Expression, String)] = d.sums.map {
+          case (nm, txt) =>
+            val scol = stAttr(nm).filter(_.dataType == LongType)
+              .getOrElse(return None)
+            val se = resolveStored(txt, delta.output, d).getOrElse(return None)
+            if (!integral(se.dataType) || !ansiMatches(d)) return None
+            (scol, Cast(se, LongType): Expression, nm)
+        }
+        val stSide = Project(
+          (stG ++ Seq(xSt, cnt) ++ sums.map(_._1))
+            .map(a => a: NamedExpression),
+          stCond.map(Filter(_, st)).getOrElse(st))
+        val dSide = Project(
+          dG ++ (Alias(xD, dCol)() +:
+            Alias(Literal(1L), graft.lake.DistinctMv.CntCol)() +:
+            sums.map { case (_, e, nm) => Alias(e, nm)() }),
+          dCond.map(Filter(_, delta)).getOrElse(delta))
+        val union = Union(Seq(stSide, dSide))
+        val uOut = union.output
+        val uG = uOut.take(qg.size)
+        val uX = uOut(qg.size)
+        val uN = uOut(qg.size + 1)
+        val uM: Map[String, Attribute] =
+          sums.map(x => canon(x._3)).zip(uOut.drop(qg.size + 2)).toMap
+        val posOf: Map[String, Attribute] = qg.zip(uG).toMap
+        def uNodeMap(e: Expression): Option[Expression] =
+          groupColOf(e).filter(qg.contains).flatMap(posOf.get)
+            .filter(_.dataType == e.dataType)
+        val aggExprs = mapOutputs(outs,
+          mapAgg = {
+            case ae @ AggregateExpression(
+                Count(Seq(ar: AttributeReference)), Complete, true, None, _)
+                if sameName(ar.name, dCol) =>
+              Some(ae.copy(aggregateFunction = Count(Seq(uX: Expression))))
+                .filter(_.dataType == ae.dataType)
+            case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+              val folded: Option[AggregateFunction] = fn match {
+                case Count(Seq(Literal(v, _))) if v != null =>
+                  Some(new Sum(uN))
+                case su: Sum =>
+                  measureCol(su, d, c.bindOut).map(canon).flatMap(uM.get)
+                    .map(new Sum(_))
+                case _ => None
+              }
+              folded.filter(_.dataType == ae.dataType)
+                .map(f => ae.copy(aggregateFunction = f))
+            case _ => None
+          },
+          mapAttr = a => uNodeMap(a),
+          mapNode = { case _: AttributeReference => None; case e => uNodeMap(e) })
+          .getOrElse(return None)
+        return Some(Aggregate(uG.map(a => a: Expression), aggExprs, union,
+          None))
+      }
+      if (anyDistinctAgg) return None
+      // zero distinct measures referenced: the visible fold below is
+      // sound for COUNT(*)/SUM (the same algebra as the single kind)
     }
     if (c.deltaFrom >= 0) {
       // STALE + append-only: MV rows ⊎ the delta rows with the bucket

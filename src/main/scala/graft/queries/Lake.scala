@@ -1449,6 +1449,20 @@ object Lake {
                |  SUM(COALESCE(vx100, 0)) AS sum_vx100
                |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin).collect()
     }
+    // stage 5: STALE over an unrefreshed append — the daily-uniques
+    // query COMPENSATES FROM THE STATE (plans/MvRewrite's bucketed
+    // distinct branch): state keys ∪ delta keys per day, the bucket
+    // re-derived per delta row, so a uid re-seen on a day it already
+    // counted on cannot inflate that day. EVERY pre-append fact file
+    // hidden — only state ⊎ delta can answer.
+    ins("event_id % 3 = 2")
+    val head5 = LakeTable.currentSnapshot(factDir)
+    val compensated = withHiddenFiles(factDir, _.seq < head5) {
+      s.sql(s"""SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+               |  COUNT(DISTINCT uid) AS uniq,
+               |  SUM(COALESCE(vx100, 0)) AS sum_vx100
+               |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin).collect()
+    }
     def stage(k: Int, m: String) =
       s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, d, n, uniq,
          |  sum_vx100
@@ -1458,9 +1472,14 @@ object Lake {
       .map(r => (4L, "served", r.getTimestamp(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
       .toDF("stage", "mode", "d", "n", "uniq", "sum_vx100")
+    val s5 = compensated.toSeq
+      .map(r => (5L, "compensated", r.getTimestamp(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .toDF("stage", "mode", "d", "n", "uniq", "sum_vx100")
     s.sql(Seq(stage(1, mode1), stage(2, mode2), stage(3, mode3))
       .mkString("", "\nUNION ALL\n", ""))
       .unionByName(s4)
+      .unionByName(s5)
       .orderBy(col("stage"), col("d"))
   }
 
@@ -1489,10 +1508,18 @@ object Lake {
       |  SELECT CAST(4 AS BIGINT), 'served', date_trunc('day', ts),
       |    COUNT(*), COUNT(DISTINCT uid),
       |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT)
-      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 7 <> 0 GROUP BY 3)
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND uid % 7 <> 0 GROUP BY 3),
+      |s5 AS (
+      |  SELECT CAST(5 AS BIGINT), 'compensated', date_trunc('day', ts),
+      |    COUNT(*), COUNT(DISTINCT uid),
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT)
+      |  FROM f WHERE (event_id % 3 IN (0, 1) AND uid % 7 <> 0)
+      |    OR event_id % 3 = 2
+      |  GROUP BY 3)
       |SELECT * FROM (
       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
-      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      |  UNION ALL SELECT * FROM s5)
       |ORDER BY stage, d""".stripMargin
 
   // --- q_sql_mv_profile: the PROFILE view — `g, COUNT(*), SUM, MIN,

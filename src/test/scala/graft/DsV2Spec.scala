@@ -2605,10 +2605,32 @@ class DsV2Spec extends AnyFunSuite {
       s"""SELECT date_trunc('DAY', ts) AS d2, COUNT(DISTINCT x) AS dx
          |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
       === Seq(factDir))
+    // ---- STALE over an append-only gap: the bucketed COUNT(DISTINCT)
+    // COMPENSATES FROM THE STATE — state keys ∪ delta keys with the
+    // bucket RE-DERIVED per delta row (a re-seen uid lands on a new
+    // day: counted there, not double-counted on its old day). Every
+    // pre-append fact file hidden; the only lake scan is the state.
     spark.sql(s"INSERT INTO $fact VALUES " +
-      s"(5, TIMESTAMP '2024-01-03 09:00:00', 300, 50)")
-    assert(mvScanRoots(q) === Seq(factDir),
-      "a stale distinct MV is never served or append-compensated")
+      s"(5, TIMESTAMP '2024-01-03 09:00:00', 300, 50), " +
+      s"(6, TIMESTAMP '2024-01-02 12:00:00', 100, 60)")
+    assert(mvScanRoots(q) === Seq(graft.lake.DistinctMv.stateRoot(mvDir)),
+      "a stale bucketed distinct query must serve state ∪ delta")
+    val head5 = LakeTable.currentSnapshot(factDir)
+    val preApp5 = LakeTable.manifest(factDir, head5).files
+      .filter(_.seq < head5).map(_.path)
+    def shiftPre(hide: Boolean): Unit = preApp5.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shiftPre(hide = true)
+    try assert(spark.sql(q).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map("2024-01-01 00:00:00" -> ((1L, 1L)),
+        "2024-01-02 00:00:00" -> ((2L, 1L)),
+        "2024-01-03 00:00:00" -> ((1L, 1L))),
+      "the re-seen uid must not inflate its day's uniques")
+    finally shiftPre(hide = false)
     spark.sql(s"DROP MATERIALIZED VIEW $mv"); spark.sql(s"DROP TABLE $fact")
   }
 
