@@ -58,9 +58,11 @@ import graft.writer.BlockWriter
   * the touched lead groups' state files (IN-pruned scan under the
   * `graft.mvrefresh.maxgroups` cap; whole-state scan past it) and
   * writes only the touched cells. (When the key domain itself is too
-  * large for (g, x) state, the BITMAP kind — [[BitmapDistinctMv]],
-  * per-group word-sharded bitsets over bounded integral keys,
-  * OR-distributive under appends — is the built scale path.)
+  * large for (g, x) state, the built scale paths are the BITMAP kind
+  * — [[BitmapDistinctMv]], per-group word-sharded bitsets over
+  * bounded integral keys, OR-distributive under appends — and, for
+  * unbounded domains where an estimate suffices, the HLL kind —
+  * [[HllDistinctMv]], bounded-register sketches.)
   */
 object DistinctMv {
 

@@ -86,8 +86,11 @@ object MaterializedView {
       // signed (group, key) state ([[DistinctMv]]); "bitmap" = the
       // word-sharded bitset state for bounded integral keys
       // ([[BitmapDistinctMv]]), with `distinctDomain` the exclusive
-      // key upper bound
-      distinctKind: String = "", distinctDomain: Long = 0L) {
+      // key upper bound; "hll" = the bounded-register SKETCH state
+      // for unbounded domains ([[HllDistinctMv]]), with
+      // `distinctPrecision` the register-index bit width p
+      distinctKind: String = "", distinctDomain: Long = 0L,
+      distinctPrecision: Int = 0) {
     /** All COUNT(DISTINCT) measures, first-first: (column, name). */
     def distincts: Seq[(String, String)] =
       if (distinctCol.isEmpty) Nil
@@ -124,6 +127,7 @@ object MaterializedView {
     n.put("distinct_col", d.distinctCol); n.put("distinct_name", d.distinctName)
     n.put("distinct_kind", d.distinctKind)
     n.put("distinct_domain", d.distinctDomain)
+    n.put("distinct_precision", d.distinctPrecision)
     val xd = n.putArray("extra_distincts")
     d.extraDistincts.foreach { case (c, nm) =>
       val o = xd.addObject(); o.put("col", c); o.put("name", nm): Unit
@@ -181,7 +185,9 @@ object MaterializedView {
         .map(o => (o.get("col").asText(), o.get("name").asText())),
       distinctKind = opt("distinct_kind"),
       distinctDomain = Option(n.get("distinct_domain"))
-        .map(_.asLong()).getOrElse(0L))
+        .map(_.asLong()).getOrElse(0L),
+      distinctPrecision = Option(n.get("distinct_precision"))
+        .map(_.asInt()).getOrElse(0))
   }
 
   /** Modification time of the definition file — the incarnation
@@ -385,6 +391,9 @@ object MaterializedView {
         else if (d.kind == "distinct" && d.distinctKind == "bitmap")
           BitmapDistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
             d.distinctName, d.distinctDomain, cfgOf(d), prep = prepFor(s, d))
+        else if (d.kind == "distinct" && d.distinctKind == "hll")
+          HllDistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
+            d.distinctName, d.distinctPrecision, cfgOf(d), prep = prepFor(s, d))
         else if (d.kind == "distinct")
           DistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
             d.distinctName, cfgOf(d), sums = d.sums,
@@ -508,6 +517,10 @@ object MaterializedView {
       (if (d.distinctKind == "bitmap")
         Seq(BitmapDistinctMv.refresh(s, d.fact, mvDir, d.group,
           d.distinctCol, d.distinctName, d.distinctDomain, cfgOf(d),
+          prep = prepFor(s, d)))
+      else if (d.distinctKind == "hll")
+        Seq(HllDistinctMv.refresh(s, d.fact, mvDir, d.group,
+          d.distinctCol, d.distinctName, d.distinctPrecision, cfgOf(d),
           prep = prepFor(s, d)))
       else
         Seq(DistinctMv.refresh(s, d.fact, mvDir, d.group, d.distinctCol,

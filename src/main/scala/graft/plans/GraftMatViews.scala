@@ -519,18 +519,22 @@ final case class GraftCreateMatViewCommand(catalogName: String,
         "expressions cannot be re-derived by refresh")
     val (d00, factParts, dimPartsList) = GraftMatViews.parseDefining(spark, selectSql)
     // ---- WITH properties: the distinct kind's state representation
-    val unknownProps = props.keySet -- Set("distinct_kind", "distinct_domain")
+    val unknownProps = props.keySet --
+      Set("distinct_kind", "distinct_domain", "distinct_precision")
     require(unknownProps.isEmpty,
       s"CREATE MATERIALIZED VIEW: unknown WITH propert" +
         s"${if (unknownProps.size > 1) "ies" else "y"} " +
         unknownProps.mkString(", ") +
-        " (supported: distinct_kind, distinct_domain)")
+        " (supported: distinct_kind, distinct_domain, distinct_precision)")
     val d0 = props.getOrElse("distinct_kind", "") match {
       case "" | "exact" =>
         require(!props.contains("distinct_domain") ||
           props.get("distinct_kind").contains("bitmap"),
           "CREATE MATERIALIZED VIEW: distinct_domain only applies with " +
             "distinct_kind = 'bitmap'")
+        require(!props.contains("distinct_precision"),
+          "CREATE MATERIALIZED VIEW: distinct_precision only applies with " +
+            "distinct_kind = 'hll'")
         d00
       case "bitmap" =>
         require(d00.kind == "distinct",
@@ -552,10 +556,40 @@ final case class GraftCreateMatViewCommand(catalogName: String,
             "= 'bitmap' needs distinct_domain = <positive key bound>"))
         require(dom > 0, "CREATE MATERIALIZED VIEW: distinct_domain " +
           "must be positive (keys live in [0, domain))")
+        require(!props.contains("distinct_precision"),
+          "CREATE MATERIALIZED VIEW: distinct_precision only applies " +
+            "with distinct_kind = 'hll'")
         d00.copy(distinctKind = "bitmap", distinctDomain = dom)
+      case "hll" =>
+        require(d00.kind == "distinct",
+          "CREATE MATERIALIZED VIEW: distinct_kind = 'hll' needs a " +
+            "COUNT(DISTINCT col) measure in the select list")
+        require(d00.extraDistincts.isEmpty,
+          "CREATE MATERIALIZED VIEW: the hll distinct kind supports " +
+            "ONE COUNT(DISTINCT) measure per view")
+        require(d00.sums.isEmpty && d00.avgs.isEmpty,
+          "CREATE MATERIALIZED VIEW: the hll distinct kind stores " +
+            "sketch registers, not signed partials — SUM/AVG measures " +
+            "need the exact distinct kind")
+        require(d00.groupExprs.isEmpty,
+          "CREATE MATERIALIZED VIEW: the hll distinct kind does not " +
+            "take expression group columns (v1)")
+        require(!props.contains("distinct_domain"),
+          "CREATE MATERIALIZED VIEW: distinct_domain only applies with " +
+            "distinct_kind = 'bitmap'")
+        val p = props.get("distinct_precision")
+          .map(v => scala.util.Try(v.toInt).getOrElse(sys.error(
+            "CREATE MATERIALIZED VIEW: distinct_precision must be an " +
+              "integer register-index bit width")))
+          .getOrElse(12)
+        require(p >= 8 && p <= 16,
+          "CREATE MATERIALIZED VIEW: distinct_precision must sit in " +
+            "[8, 16] (2^p sketch registers per group; relative error " +
+            "~1.04/sqrt(2^p))")
+        d00.copy(distinctKind = "hll", distinctPrecision = p)
       case other =>
         sys.error(s"CREATE MATERIALIZED VIEW: unknown distinct_kind " +
-          s"'$other' (supported: exact, bitmap)")
+          s"'$other' (supported: exact, bitmap, hll)")
     }
     // join kind: the refresh fold's equality-delete mask needs at
     // least one group column of a type the DSv2 read path applies

@@ -335,6 +335,12 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       if (cached != null) cached
       else {
         val d0 = MaterializedView.readDef(mvDir)
+        // HLL distinct MVs are NEVER rewrite candidates: their
+        // distinct column is an ESTIMATE, and every tier here
+        // substitutes for an exact aggregate — the sketch view
+        // answers only when queried by name (the warehouse
+        // sketch-table contract)
+        if (d0.kind == "distinct" && d0.distinctKind == "hll") return None
         val b = d0.kind match {
           case "single" => Seq(IncrementalMv.basis(mvDir))
           case "minmax" => Seq(MinMaxMv.basis(mvDir))

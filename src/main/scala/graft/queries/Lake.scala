@@ -1392,6 +1392,138 @@ object Lake {
       |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, event_type""".stripMargin
 
+  // --- q_sql_mv_distinct_hll: the HLL distinct kind
+  // (lake/HllDistinctMv) — APPROXIMATE COUNT(DISTINCT uid) for
+  // UNBOUNDED key domains (string uids here), the third point of the
+  // distinct lattice: state is O(groups × 2^p) max-rank REGISTERS
+  // regardless of key type or cardinality, where the exact kind
+  // stores every live (group, key) and the bitmap kind needs a
+  // bounded integral domain. DDL opt-in via WITH (distinct_kind =
+  // 'hll', distinct_precision = 12). Maintenance is the MinMax
+  // lattice applied to sketches, gated by the captured mode
+  // literals: CREATE recomputes (`full`); a pure-append range folds
+  // MAX-distributively — delta files only, one MoR merge on the
+  // touched register cells (`fold`); a MoR DELETE breaks
+  // max-distributivity (no register can lower without rehashing the
+  // group's survivors), so the touched groups recompute from the
+  // IN-pruned fact head (`targeted`). The SKETCH CONTENT is gated
+  // EXACTLY: the register index/rank math is integer/string ops over
+  // the engine's md5-derived 60-bit hash, so DuckDB replays per-group
+  // occupancy and rank sums verbatim; only the float estimator is
+  // tolerance-gated (est_ok, |est − exact| ≤ 5% — the oracle
+  // hard-codes TRUE). `n` stays EXACT (the sentinel row). Stage 4
+  // queries the view BY NAME with every fact file hidden — the
+  // rewrite rule VETOES hll MVs (an estimate never substitutes an
+  // exact aggregate, DsV2Spec-pinned), so by-name is the only door,
+  // and it must answer from MV data alone.
+  def qSqlMvDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.dhf_$id"; val mv = s"graft.q.dhv_$id"
+    t(s, dir, "events").select(col("event_id"), col("event_type"))
+      .createOrReplaceTempView("ev_sqldh")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, uid STRING)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type,
+               |  concat('u', CAST(event_id % 1499 AS STRING))
+               |FROM ev_sqldh WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv
+             |WITH (distinct_kind = 'hll', distinct_precision = 12) AS
+             |SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    val cat = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"q.dhf_$id")
+    val stRoot = graft.lake.HllDistinctMv.stateRoot(cat.tableDir(s"q.dhv_$id"))
+    def mode(): String = s.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    // one row per (stage, group): exact n, EXACT register occupancy +
+    // rank sum from the hidden state, tolerance boolean on the
+    // estimate vs the passed-in exact distinct counts
+    def snap(stage: Long, m: String, exact: Map[String, Long]) = {
+      val st = LakeTable.read(s, stRoot)
+        .filter(col(graft.lake.HllDistinctMv.RidxCol) >= 0L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("occ"),
+          sum(col(graft.lake.HllDistinctMv.RvalCol)).cast("long").as("rsum"))
+        .collect().map(r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      s.sql(s"SELECT event_type, n, uniq FROM $mv").collect().toSeq.map { r =>
+        val et = r.getString(0); val (occ, rsum) = st(et)
+        (stage, m, et, r.getLong(1), occ, rsum,
+          math.abs(r.getLong(2) - exact(et)) * 20L <= exact(et))
+      }
+    }
+    def exactNow(): Map[String, Long] =
+      s.sql(s"""SELECT event_type, COUNT(DISTINCT uid) AS u
+               |FROM $fact GROUP BY event_type""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = snap(1, mode(), exactNow())
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dhv_$id')")
+    val s2 = snap(2, mode(), exactNow())
+    s.sql(s"DELETE FROM $fact WHERE event_id % 10 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dhv_$id')")
+    val exact3 = exactNow()
+    val s3 = snap(3, mode(), exact3)
+    // stage 4: by-name serve under hidden fact files (exact captured
+    // pre-hide — the fact is unreadable inside)
+    val s4 = withHiddenFiles(factDir) { snap(4, "served", exact3) }
+    import s.implicits._
+    (s1 ++ s2 ++ s3 ++ s4)
+      .toDF("stage", "mode", "event_type", "n", "occ", "rsum", "est_ok")
+      .orderBy(col("stage"), col("event_type"))
+  }
+
+  // the oracle rebuilds the SKETCH ITSELF: same md5-derived 60-bit
+  // hash, top 12 bits the register, rank = 49 − bit length of the
+  // 48-bit suffix — integer/string ops on both engines, so occupancy
+  // and rank sums compare EXACTLY; the float estimator is the one
+  // thing tolerance-gated (est_ok hard-coded TRUE)
+  val qSqlMvDistinctHllSql: String = {
+    val b2 = 1L << 48
+    def stage(k: Int, m: String, pred: String) =
+      s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, n.event_type,
+         |  n.n, r.occ, r.rsum, TRUE AS est_ok
+         |FROM (
+         |  SELECT event_type, COUNT(*) AS n
+         |  FROM f WHERE $pred GROUP BY event_type) n
+         |JOIN (
+         |  SELECT event_type, COUNT(*) AS occ,
+         |    CAST(SUM(mr) AS BIGINT) AS rsum
+         |  FROM (
+         |    SELECT event_type, ridx,
+         |      MAX(CASE WHEN w = 0 THEN 49
+         |               ELSE 49 - length(bin(w)) END) AS mr
+         |    FROM (
+         |      SELECT event_type, h // $b2 AS ridx, h % $b2 AS w
+         |      FROM (
+         |        SELECT event_type,
+         |          ('0x'||substr(md5(uid),1,15))::BIGINT AS h
+         |        FROM f WHERE $pred))
+         |    GROUP BY event_type, ridx)
+         |  GROUP BY event_type) r
+         |ON n.event_type = r.event_type""".stripMargin
+    """WITH f AS (
+      |  SELECT event_id, event_type,
+      |    'u' || CAST(event_id % 1499 AS VARCHAR) AS uid
+      |  FROM events)
+      |SELECT * FROM (
+      |""".stripMargin +
+      Seq(
+        stage(1, "full", "event_id % 3 = 0"),
+        stage(2, "fold", "event_id % 3 IN (0, 1)"),
+        stage(3, "targeted",
+          "event_id % 3 IN (0, 1) AND event_id % 10 <> 0"),
+        stage(4, "served",
+          "event_id % 3 IN (0, 1) AND event_id % 10 <> 0"))
+        .mkString("", "\nUNION ALL\n", "") +
+      "\n) ORDER BY stage, event_type"
+  }
+
   // --- q_sql_mv_distinct_expr: DAILY UNIQUE USERS — the warehouse's
   // canonical distinct rollup (`COUNT(DISTINCT uid) GROUP BY
   // date_trunc('DAY', ts)`), combining the distinct kind's signed
@@ -5659,6 +5791,7 @@ object Lake {
     "q_sql_mv_distinct" -> qSqlMvDistinct,
     "q_sql_mv_distinct2" -> qSqlMvDistinct2,
     "q_sql_mv_distinct_bm" -> qSqlMvDistinctBm,
+    "q_sql_mv_distinct_hll" -> qSqlMvDistinctHll,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExpr,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExpr,
@@ -5753,6 +5886,7 @@ object Lake {
     "q_sql_mv_distinct" -> qSqlMvDistinctSql,
     "q_sql_mv_distinct2" -> qSqlMvDistinct2Sql,
     "q_sql_mv_distinct_bm" -> qSqlMvDistinctBmSql,
+    "q_sql_mv_distinct_hll" -> qSqlMvDistinctHllSql,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExprSql,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExprSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,

@@ -2411,6 +2411,148 @@ class DsV2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("outside"), e.getMessage)
   }
 
+  test("hll distinct MV: bounded-register state for unbounded domains; appends fold max-distributively from delta files only; deletes recompute targeted") {
+    import graft.lake.{DistinctMv, HllDistinctMv, LakeTable}
+    val s = spark
+    import s.implicits._
+    val fact = graft.util.Scratch.dir("graft_hdm_fact_")
+    val mvE = graft.util.Scratch.dir("graft_hdm_exact_")
+    val mvH = graft.util.Scratch.dir("graft_hdm_hll_")
+    val fCfg = BlockWriter.Config("g", "id", maxRecordsPerFile = 512)
+    val mCfg = BlockWriter.Config("g", "g", maxRecordsPerFile = 512)
+    val p = 10 // 1024 registers per group
+    // two groups, 1500 distinct STRING keys each, once per group —
+    // the domain the bitmap kind cannot take
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, s"k${i % 2}", s"u${i / 2}")).toDF("id", "g", "uid")
+    LakeTable.commit(s, fact, rows(0L until 3000L), fCfg, Seq("id", "g"))
+    DistinctMv.create(s, fact, mvE, Seq("g"), "uid", "uniq", mCfg)
+    HllDistinctMv.create(s, fact, mvH, Seq("g"), "uid", "uniq", p, mCfg)
+    def vis(mv: String): Map[String, (Long, Long)] =
+      LakeTable.read(s, mv).collect().map(r =>
+        r.getAs[String]("g") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("uniq")))).toMap
+    def estOk(got: (Long, Long), n: Long, exact: Long): Unit = {
+      assert(got._1 === n, "n is EXACT (the sentinel row)")
+      assert(math.abs(got._2 - exact) <= exact / 20,
+        s"estimate ${got._2} must sit within 5% of $exact")
+    }
+    estOk(vis(mvH)("k0"), 1500L, 1500L)
+    estOk(vis(mvH)("k1"), 1500L, 1500L)
+    // THE size pin: exact state = one row per live (g, key) = 3000;
+    // hll state ≤ groups × (2^p registers + 1 sentinel) — BOUNDED,
+    // key-cardinality-independent
+    assert(LakeTable.read(s, DistinctMv.stateRoot(mvE)).count() === 3000L)
+    val hlRows = LakeTable.read(s, HllDistinctMv.stateRoot(mvH)).count()
+    assert(hlRows <= 2L * ((1L << p) + 1L),
+      s"hll state must be register-bounded, got $hlRows rows")
+    assert(HllDistinctMv.mode(mvH) === "full")
+    // ---- append touching ONLY k0 (30 new keys): max-distributive
+    // fold — hide every PRE-APPEND fact file AND every k1 state file;
+    // the fold must plan none of them
+    LakeTable.commit(s, fact,
+      (3000L until 3060L by 2L).map(i => (i, "k0", s"u${i / 2}"))
+        .toDF("id", "g", "uid"), fCfg, Seq("id", "g"))
+    val head = LakeTable.currentSnapshot(fact)
+    val preAppend = LakeTable.manifest(fact, head).files
+      .filter(_.seq < head).map(_.path)
+    val stH = HllDistinctMv.stateRoot(mvH)
+    val stAway = LakeTable.manifest(stH, LakeTable.currentSnapshot(stH)).files
+      .filter(_.stats.get("g").exists(cs =>
+        cs.maxS < "k0" || cs.minS > "k0")).map(_.path)
+    assert(stAway.nonEmpty)
+    def bytesOf(pth: String): Seq[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(pth.stripPrefix("file:"))).toSeq
+    val stBytes = stAway.map(pth => pth -> bytesOf(pth)).toMap
+    def shift(paths: Seq[String], hide: Boolean): Unit = paths.foreach { pth =>
+      val f = java.nio.file.Paths.get(pth.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    val hidden = preAppend ++ stAway
+    shift(hidden, hide = true)
+    try HllDistinctMv.refresh(s, fact, mvH, Seq("g"), "uid", "uniq",
+      p, mCfg): Unit
+    finally shift(hidden, hide = false)
+    assert(HllDistinctMv.mode(mvH) === "fold",
+      "a pure-append range must take the max-distributive fold")
+    estOk(vis(mvH)("k0"), 1530L, 1530L)
+    estOk(vis(mvH)("k1"), 1500L, 1500L)
+    // untouched group's state files byte-identical across the fold
+    stAway.foreach(pth => assert(bytesOf(pth) === stBytes(pth)))
+    // ---- MoR DELETE of k0 keys u0..u99 (sole carriers): a register
+    // cannot lower without rehashing the group's survivors — targeted
+    // recompute of the touched group only, prior cells retired
+    LakeTable.deleteWhere(s, fact,
+      "id", (0L until 200L by 2L).toDF("id"))
+    HllDistinctMv.refresh(s, fact, mvH, Seq("g"), "uid", "uniq",
+      p, mCfg): Unit
+    assert(HllDistinctMv.mode(mvH) === "targeted")
+    estOk(vis(mvH)("k0"), 1430L, 1430L)
+    estOk(vis(mvH)("k1"), 1500L, 1500L)
+    // the recompute must not leave stale register cells behind: the
+    // k0 slice re-derives from exactly the surviving rows, so a fresh
+    // CREATE over the same fact produces the SAME k0 estimate
+    val mvF = graft.util.Scratch.dir("graft_hdm_fresh_")
+    HllDistinctMv.create(s, fact, mvF, Seq("g"), "uid", "uniq", p, mCfg)
+    assert(vis(mvF)("k0") === vis(mvH)("k0"),
+      "targeted recompute must equal a from-scratch sketch")
+  }
+
+  test("hll distinct MV DDL: WITH-opt-in, precision guards, and the rewrite veto (an estimate never substitutes an exact aggregate)") {
+    import graft.lake.LakeTable
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.hqf_$id"; val mv = s"graft.psd.hqv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, u STRING)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'a', 'x'), (2, 'a', 'y'), (3, 'b', 'x'),
+                 |(4, 'b', 'x'), (5, 'b', 'z')""".stripMargin)
+    // precision bounds + property mixing fail at DDL
+    def createFails(withClause: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"""CREATE MATERIALIZED VIEW $mv WITH ($withClause) AS
+                     |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS uniq
+                     |FROM $fact GROUP BY g""".stripMargin)
+      }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    createFails("distinct_kind = 'hll', distinct_precision = 4", "[8, 16]")
+    createFails("distinct_kind = 'hll', distinct_domain = 64",
+      "distinct_domain only applies")
+    createFails("distinct_precision = 12",
+      "distinct_precision only applies")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv
+                 |WITH (distinct_kind = 'hll', distinct_precision = 12) AS
+                 |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS uniq
+                 |FROM $fact GROUP BY g""".stripMargin)
+    // tiny-n LC regime: the estimate is exact here; n always exact
+    assert(spark.sql(s"SELECT g, n, uniq FROM $mv ORDER BY g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 2L, 2L), ("b", 3L, 2L)))
+    assert(spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0) === "full")
+    // THE veto: the exact COUNT(DISTINCT) fact query must run as
+    // written (fact scan) even though this FRESH MV's defining query
+    // matches it exactly — its uniq column is an estimate
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.hqf_$id")
+    assert(mvScanRoots(
+      s"SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS uniq FROM $fact GROUP BY g")
+      === Seq(factDir),
+      "an hll MV must never serve an exact aggregate")
+    // refresh front door drives the hll fold
+    spark.sql(s"INSERT INTO $fact VALUES (6, 'a', 'z')")
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.hqv_$id')")
+    assert(spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0) === "fold")
+    assert(spark.sql(s"SELECT n, uniq FROM $mv WHERE g = 'a'").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 3L)))
+  }
+
   test("distinct-MV state self-compacts: the create-time policy folds accumulated merge masks") {
     import graft.lake.{AutoMaintain, DistinctMv, LakeTable}
     val s = spark
