@@ -41,9 +41,14 @@ import graft.writer.BlockWriter
   * The visible basis note shares [[DistinctMv]]'s `dmv-basis-` name
   * (modes `fold`/`targeted`/`full`), so the SQL front door's
   * basis/mode/metadata plumbing and the rewrite rule's freshness
-  * validation serve both distinct kinds unchanged; the hidden-state
-  * serving tiers decline bitmap MVs automatically (no `_dstate`
-  * pins).
+  * validation serve both distinct kinds unchanged. The rewrite
+  * rule's BITMAP tiers (r18) serve from this state directly —
+  * bit_or is associative across grouped-away dimensions and across
+  * state ∪ delta, so a group-SUBSET COUNT(DISTINCT) re-aggregates
+  * the words and an append-only-STALE view compensates exactly at
+  * read time ([[graft.plans.MvRewrite]], pinned to the
+  * validation-time state basis via [[stateBasisPinned]]); the exact
+  * kind's `_dstate` tiers veto this kind explicitly.
   *
   * At 100 TB: a 10^7-key domain is ~1.2 MB of state per group —
   * exact COUNT(DISTINCT) over fact-scale key traffic with append
@@ -84,6 +89,28 @@ object BitmapDistinctMv {
       case stateNoteRe(f, _) => Some(f.toInt)
       case _ => None
     }.getOrElse(sys.error(s"$stRoot carries no bmvs-basis note"))
+
+  /** (state snapshot, fact basis it reflects) read CONSISTENTLY —
+    * the head is re-checked after the note walk so the pair
+    * describes one state incarnation even if a refresh commits
+    * mid-read (the same discipline as
+    * [[DistinctMv.stateBasisPinned]]). The rewrite rule's bitmap
+    * tiers carry this pair on the candidate and pin their state
+    * scans to it.
+    */
+  def stateBasisPinned(mvRoot: String): Option[(Int, Int)] = {
+    val stRoot = stateRoot(mvRoot)
+    var attempts = 0
+    while (attempts < 3) {
+      val snap = scala.util.Try(LakeTable.currentSnapshot(stRoot))
+        .getOrElse(return None)
+      if (snap <= 0) return None
+      val b = scala.util.Try(stateBasis(stRoot)).getOrElse(return None)
+      if (LakeTable.currentSnapshot(stRoot) == snap) return Some((snap, b))
+      attempts += 1
+    }
+    None
+  }
 
   private def stateCfg(group: Seq[String]): BlockWriter.Config =
     BlockWriter.Config(group.head, group.head, maxRecordsPerFile = 1 << 20)

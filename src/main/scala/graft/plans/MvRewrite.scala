@@ -348,7 +348,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           case _ => IncrementalJoinMv.basisAll(mvDir)
         }
         val si =
-          if (d0.kind == "distinct")
+          if (d0.kind == "distinct" && d0.distinctKind == "bitmap")
+            graft.lake.BitmapDistinctMv.stateBasisPinned(mvDir).toSeq
+          else if (d0.kind == "distinct")
             DistinctMv.stateBasisPinnedAll(mvDir, d0.distincts.size)
               .getOrElse(Nil)
           else Nil
@@ -591,12 +593,17 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // (group, key) STATE table (state-sized, not fact-sized)
       .orElse(fresh.view.flatMap(
         rewriteDistinctStateRollup(outs, groupAttrs, _)).headOption)
+      // … and the BITMAP kind's words OR across grouped-away values
+      .orElse(fresh.view.flatMap(
+        rewriteBitmapStateRollup(outs, groupAttrs, _)).headOption)
       // a plain-column subset of an expression-group MV's grouping
       // still rolls up from it (GROUP BY site over the (day, site) MV)
       .orElse(exprServed)
       .orElse(stale.view.flatMap { c =>
         if (c.d.kind == "join")
           rewriteCompensatedJoin(agg, outs, groupAttrs, c)
+        else if (c.d.kind == "distinct" && c.d.distinctKind == "bitmap")
+          rewriteBitmapCompensated(outs, groupAttrs, c)
         else if (c.d.kind == "distinct")
           rewriteDistinctCompensated(outs, groupAttrs, c)
         else rewriteCompensated(outs, groupAttrs, c)
@@ -878,7 +885,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
     import org.apache.spark.sql.types.LongType
     val d = c.d
-    if (d.kind != "distinct") return None
+    if (d.kind != "distinct" || d.distinctKind == "bitmap") return None
     val qg = groupAttrs.map(a => canon(a.name))
     val mg = d.group.map(canon).toSet
     if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
@@ -928,6 +935,191 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       cond2.map(Filter(_, st)).getOrElse(st), None))
   }
 
+  /** The shared tail of the BITMAP tiers: a two-level aggregate over
+    * (group…, widx, word) rows. Inner, per (query groups, widx):
+    * sentinel counts SUM, bit words OR — bit_or is ASSOCIATIVE ACROSS
+    * GROUPED-AWAY DIMENSIONS and across state ∪ delta sides, which is
+    * what makes both subset rollup and append compensation EXACT for
+    * this kind. Outer, per query group: `COUNT(DISTINCT x)` =
+    * Σ bit_count(or-word) over word rows, `COUNT(*)` = Σ sentinel.
+    * At 100 TB both aggregates run over O(groups × domain/64) word
+    * rows (+ the delta), never the fact.
+    */
+  private def bitmapTwoLevel(outs: Seq[NamedExpression],
+      groupAttrs: Seq[AttributeReference], c: Candidate,
+      groupIn: Seq[Attribute], widx: Attribute, word: Attribute,
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val d = c.d
+    val groupSet = groupAttrs.map(a => canon(a.name)).toSet
+    // split BEFORE aggregating so the SUM never touches a bitset word
+    // (a high bit summed twice would overflow long under ANSI) and
+    // the OR never touches a sentinel — the fold's own discipline
+    val sentinelOnly = CaseWhen(Seq((EqualTo(widx, Literal(-1L)),
+      word: Expression)), Some(Literal(0L)))
+    val wordOnly = CaseWhen(Seq((GreaterThanOrEqual(widx, Literal(0L)),
+      word: Expression)), Some(Literal(0L)))
+    val innerS = Alias(AggregateExpression(
+      new Sum(sentinelOnly), Complete, isDistinct = false), "_s")()
+    val innerO = Alias(AggregateExpression(
+      BitOrAgg(wordOnly), Complete, isDistinct = false), "_o")()
+    val inner = Aggregate((groupIn :+ widx).map(a => a: Expression),
+      (groupIn :+ widx).map(a => a: NamedExpression) ++ Seq(innerS, innerO),
+      child, None)
+    val sA = innerS.toAttribute
+    val oA = innerO.toAttribute
+    val aggExprs = mapOutputs(outs,
+      mapAgg = {
+        case ae @ AggregateExpression(
+            Count(Seq(ar: AttributeReference)), Complete, true, None, _)
+            if sameName(ar.name, d.distinctCol) =>
+          val uniq = CaseWhen(Seq((GreaterThanOrEqual(widx, Literal(0L)),
+            BitwiseCount(oA): Expression)), Some(Literal(0)))
+          // the query's DISTINCT became the per-cell OR — the outer
+          // Sum itself is plain (ae.copy would carry isDistinct over)
+          Some(ae.copy(aggregateFunction = new Sum(uniq),
+            isDistinct = false)).filter(_.dataType == ae.dataType)
+        case ae @ AggregateExpression(
+            Count(Seq(Literal(v, _))), Complete, false, None, _) if v != null =>
+          val nC = CaseWhen(Seq((EqualTo(widx, Literal(-1L)),
+            sA: Expression)), Some(Literal(0L)))
+          Some(ae.copy(aggregateFunction = new Sum(nC)))
+            .filter(_.dataType == ae.dataType)
+        case _ => None
+      },
+      mapAttr = a =>
+        if (groupSet.contains(canon(a.name)) &&
+            !c.unsafe.contains(canon(a.name)))
+          groupIn.find(g => sameName(g.name, a.name))
+            .filter(_.dataType == a.dataType)
+        else None).getOrElse(return None)
+    Some(Aggregate(groupIn.map(a => a: Expression), aggExprs, inner, None))
+  }
+
+  /** STATE-ROLLUP tier for the BITMAP distinct kind: a strict
+    * group-subset `COUNT(DISTINCT x)` cannot roll up from the visible
+    * per-group counts (a key may live under several grouped-away
+    * values) — but bitset words OR exactly across those values, so it
+    * re-aggregates from the hidden (group, widx, word) state. Same
+    * soundness gates as the exact kind's state-rollup: fresh
+    * candidate, VALIDATION-TIME state pin equal to the scanned basis,
+    * state scan pinned at the pin's snapshot (live-head re-validation
+    * would be the TOCTOU documented there).
+    */
+  private def rewriteBitmapStateRollup(outs: Seq[NamedExpression],
+      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.types.LongType
+    val d = c.d
+    if (d.kind != "distinct" || d.distinctKind != "bitmap") return None
+    val qg = groupAttrs.map(a => canon(a.name))
+    val mg = d.group.map(canon).toSet
+    if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
+    if (qg.distinct.size != qg.size) return None
+    if (qg.exists(c.unsafe.contains)) return None
+    val (stSnap, stBasis) = c.stateInfo.headOption.getOrElse(return None)
+    if (c.factBasis < 0 || stBasis != c.factBasis) return None
+    val st = mvScan(graft.lake.BitmapDistinctMv.stateRoot(c.mvDir), stSnap,
+      c.mvMtime).getOrElse(return None)
+    def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
+    val cond2 = remapCond(c.residual, d, st.output, c.unsafe)
+      .getOrElse(return None)
+    val groupSt = groupAttrs.map(a =>
+      stAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    val widx = stAttr(graft.lake.BitmapDistinctMv.WidxCol)
+      .filter(_.dataType == LongType).getOrElse(return None)
+    val word = stAttr(graft.lake.BitmapDistinctMv.WordCol)
+      .filter(_.dataType == LongType).getOrElse(return None)
+    bitmapTwoLevel(outs, groupAttrs, c, groupSt, widx, word,
+      cond2.map(Filter(_, st)).getOrElse(st))
+  }
+
+  /** COMPENSATED tier for the BITMAP distinct kind — a STALE bitmap
+    * MV over an append-only gap answers EXACTLY without refreshing:
+    * the delta rows' bits OR into the state's words (bit_or is the
+    * fold law appends already take), so `COUNT(DISTINCT x)`@snap =
+    * Σ bit_count(state words | Δ bits) and `COUNT(*)` = sentinel + |Δ
+    * rows|. Shape: a three-way union — state rows at the pin, Δ rows
+    * as (group, x div 64, 1 << (x mod 64)) word rows, Δ rows again as
+    * (-1, 1) sentinel rows — into [[bitmapTwoLevel]]. Exact grain and
+    * group-subset both land here. Soundness: the validation-time
+    * state pin must equal the stale basis; and the word mapping is
+    * injective only for NONNEGATIVE keys (an out-of-domain POSITIVE
+    * key still counts exactly — distinct keys ↔ distinct bits at any
+    * magnitude — but a negative one would alias another cell or the
+    * sentinel), so the delta files' manifest stats must prove
+    * min ≥ 0 — metadata-sized, missing stats veto conservatively.
+    */
+  private def rewriteBitmapCompensated(outs: Seq[NamedExpression],
+      groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val d = c.d
+    if (d.kind != "distinct" || d.distinctKind != "bitmap") return None
+    val (stSnap, stBasis) = c.stateInfo.headOption.getOrElse(return None)
+    if (c.deltaFrom < 0 || stBasis != c.deltaFrom) return None
+    val qg = groupAttrs.map(a => canon(a.name))
+    val mg = d.group.map(canon).toSet
+    if (qg.isEmpty || !qg.forall(mg.contains)) return None
+    if (qg.distinct.size != qg.size) return None
+    if (qg.exists(c.unsafe.contains)) return None
+    if (!deltaKeyStatsNonNegative(d.fact, d.distinctCol, c.deltaFrom,
+      c.deltaTo)) return None
+    val st = mvScan(graft.lake.BitmapDistinctMv.stateRoot(c.mvDir), stSnap,
+      c.mvMtime).getOrElse(return None)
+    def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
+    val delta = deltaScan(d.fact, c.deltaFrom, c.deltaTo).getOrElse(return None)
+    def dAttr(n: String) = delta.output.find(m => sameName(m.name, n))
+    val stG = groupAttrs.map(a =>
+      stAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    val dG = groupAttrs.map(a =>
+      dAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
+    val stCond = remapCond(c.residual, d, st.output, c.unsafe)
+      .getOrElse(return None)
+    val dCond = remapCond(c.residual, d, delta.output, c.unsafe)
+      .getOrElse(return None)
+    val widx = stAttr(graft.lake.BitmapDistinctMv.WidxCol)
+      .filter(_.dataType == LongType).getOrElse(return None)
+    val word = stAttr(graft.lake.BitmapDistinctMv.WordCol)
+      .filter(_.dataType == LongType).getOrElse(return None)
+    val xD = dAttr(d.distinctCol).filter(a => integral(a.dataType))
+      .getOrElse(return None)
+    // Δ word rows: the fold's own bit math, per row
+    val xL = Cast(xD, LongType)
+    val dWord = Project(
+      dG.map(a => a: NamedExpression) ++ Seq(
+        Alias(IntegralDivide(xL, Literal(64L)),
+          graft.lake.BitmapDistinctMv.WidxCol)(),
+        Alias(ShiftLeft(Literal(1L),
+          Cast(Remainder(xL, Literal(64L)), IntegerType)),
+          graft.lake.BitmapDistinctMv.WordCol)()),
+      Filter(dCond.map(And(_, IsNotNull(xD))).getOrElse(IsNotNull(xD)),
+        delta))
+    // Δ sentinel rows: 1 per row (null keys included — COUNT(*))
+    val dSent = Project(
+      dG.map(a => a: NamedExpression) ++ Seq(
+        Alias(Literal(-1L), graft.lake.BitmapDistinctMv.WidxCol)(),
+        Alias(Literal(1L), graft.lake.BitmapDistinctMv.WordCol)()),
+      dCond.map(Filter(_, delta)).getOrElse(delta))
+    val stSide = Project((stG :+ widx :+ word).map(a => a: NamedExpression),
+      stCond.map(Filter(_, st)).getOrElse(st))
+    val union = Union(Seq(stSide, dWord, dSent))
+    val uOut = union.output
+    bitmapTwoLevel(outs, groupAttrs, c, uOut.take(groupAttrs.size),
+      uOut(groupAttrs.size), uOut(groupAttrs.size + 1), union)
+  }
+
+  /** Append-range key-stats guard for [[rewriteBitmapCompensated]]:
+    * every delta file's manifest stats must prove the distinct key
+    * nonnegative (integral-kind stats, min ≥ 0). Metadata-sized; any
+    * file without usable stats for the key column vetoes. (The
+    * refresh itself will later fail such rows pointedly via
+    * checkDomain — this guard keeps the read-side exact in the gap.)
+    */
+  private def deltaKeyStatsNonNegative(fact: String, keyCol: String,
+      from: Int, to: Int): Boolean =
+    Try {
+      LakeTable.manifest(fact, to).files.filter(_.seq > from).forall(
+        _.stats.get(keyCol).exists(cs => cs.kind == "i" && cs.min >= 0L))
+    }.getOrElse(false)
+
   /** COMPENSATED tier for the DISTINCT kind — a STALE distinct MV
     * over an append-only gap answers EXACTLY from its hidden state:
     *
@@ -961,7 +1153,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
     import org.apache.spark.sql.types.LongType
     val d = c.d
-    if (d.kind != "distinct") return None
+    if (d.kind != "distinct" || d.distinctKind == "bitmap") return None
     val dIdx = usedDistinctIndex(outs, d).getOrElse(return None)
     val (stSnap, stBasis) = c.stateInfo.lift(dIdx).getOrElse(return None)
     if (c.deltaFrom < 0 || stBasis != c.deltaFrom) return None

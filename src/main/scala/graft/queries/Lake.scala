@@ -1392,6 +1392,97 @@ object Lake {
       |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, event_type""".stripMargin
 
+  // --- q_sql_mv_distinct_bm2: the BITMAP kind's READ-SIDE tiers
+  // (plans/MvRewrite r18) — what the word representation buys beyond
+  // O(domain/8) state: bit_or is ASSOCIATIVE ACROSS GROUPED-AWAY
+  // DIMENSIONS and across state ∪ delta, so (1) a group-SUBSET
+  // COUNT(DISTINCT) — which can NEVER roll up from visible per-group
+  // counts (a key lives under several grouped-away values; here uid
+  // spans both ub buckets, so the visible sum overcounts) —
+  // re-aggregates EXACTLY from the hidden (group, widx, word) state:
+  // OR the words per (subset, widx), then Σ bit_count (stage 1; a
+  // filter on the grouped-away column commutes, stage 2); and (2) a
+  // STALE bitmap MV over an append-only gap COMPENSATES EXACTLY
+  // without refreshing: delta rows' bits OR into the state's words —
+  // the append fold law applied at read time — with a re-seen uid
+  // unable to inflate its group (stage 3; soundness rides the
+  // validation-time state pin + a manifest-stats guard proving the
+  // delta keys nonnegative, since the word mapping is injective only
+  // there). EVERY stage runs with the answering fact files hidden:
+  // stages 1-2 hide the whole fact, stage 3 hides everything before
+  // the unrefreshed append — only state (∪ delta) can produce these
+  // values. At 100 TB each serve is O(groups × domain/64) word rows
+  // (+ the delta), never a fact scan.
+  def qSqlMvDistinctBm2(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.dbf2_$id"; val mv = s"graft.q.dbv2_$id"
+    t(s, dir, "events").select(col("event_id"), col("event_type"))
+      .createOrReplaceTempView("ev_sqldb2")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, ub BIGINT, uid BIGINT)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, event_type, event_id % 2, event_id % 997
+               |FROM ev_sqldb2 WHERE $pred""".stripMargin)
+    ins("event_id % 3 IN (0, 1)")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv
+             |WITH (distinct_kind = 'bitmap', distinct_domain = 1024) AS
+             |SELECT event_type, ub, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+             |FROM $fact GROUP BY event_type, ub""".stripMargin)
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.dbf2_$id")
+    val subset = s"""SELECT event_type, COUNT(*) AS n,
+                    |  COUNT(DISTINCT uid) AS uniq
+                    |FROM $fact GROUP BY event_type""".stripMargin
+    // stages 1-2: the whole fact hidden — only the word state answers
+    val (r1, r2) = withHiddenFiles(factDir) {
+      (s.sql(subset).collect().toSeq,
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+                 |  COUNT(DISTINCT uid) AS uniq
+                 |FROM $fact WHERE ub = 1 GROUP BY event_type""".stripMargin)
+          .collect().toSeq)
+    }
+    // stage 3: an unrefreshed append (uids re-seen AND new), every
+    // pre-append file hidden — only state | delta can answer
+    ins("event_id % 3 = 2")
+    val head3 = LakeTable.currentSnapshot(factDir)
+    val r3 = withHiddenFiles(factDir, _.seq < head3) {
+      s.sql(subset).collect().toSeq
+    }
+    import s.implicits._
+    def rows(stage: Long, m: String, rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (stage, m, r.getString(0), r.getLong(1), r.getLong(2)))
+    (rows(1, "rollup", r1) ++ rows(2, "rollup_filtered", r2) ++
+      rows(3, "compensated", r3))
+      .toDF("stage", "mode", "event_type", "n", "uniq")
+      .orderBy(col("stage"), col("event_type"))
+  }
+
+  val qSqlMvDistinctBm2Sql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 2 AS ub,
+      |    event_id % 997 AS uid
+      |  FROM events),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'rollup' AS mode, event_type,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+      |  FROM f WHERE event_id % 3 IN (0, 1) GROUP BY event_type),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), 'rollup_filtered', event_type,
+      |    COUNT(*), COUNT(DISTINCT uid)
+      |  FROM f WHERE event_id % 3 IN (0, 1) AND ub = 1
+      |  GROUP BY event_type),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT), 'compensated', event_type,
+      |    COUNT(*), COUNT(DISTINCT uid)
+      |  FROM f GROUP BY event_type)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3)
+      |ORDER BY stage, event_type""".stripMargin
+
   // --- q_sql_mv_distinct_hll: the HLL distinct kind
   // (lake/HllDistinctMv) — APPROXIMATE COUNT(DISTINCT uid) for
   // UNBOUNDED key domains (string uids here), the third point of the
@@ -5791,6 +5882,7 @@ object Lake {
     "q_sql_mv_distinct" -> qSqlMvDistinct,
     "q_sql_mv_distinct2" -> qSqlMvDistinct2,
     "q_sql_mv_distinct_bm" -> qSqlMvDistinctBm,
+    "q_sql_mv_distinct_bm2" -> qSqlMvDistinctBm2,
     "q_sql_mv_distinct_hll" -> qSqlMvDistinctHll,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExpr,
     "q_sql_mv_profile" -> qSqlMvProfile,
@@ -5886,6 +5978,7 @@ object Lake {
     "q_sql_mv_distinct" -> qSqlMvDistinctSql,
     "q_sql_mv_distinct2" -> qSqlMvDistinct2Sql,
     "q_sql_mv_distinct_bm" -> qSqlMvDistinctBmSql,
+    "q_sql_mv_distinct_bm2" -> qSqlMvDistinctBm2Sql,
     "q_sql_mv_distinct_hll" -> qSqlMvDistinctHllSql,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExprSql,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExprSql,

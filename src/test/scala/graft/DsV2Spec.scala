@@ -2411,6 +2411,79 @@ class DsV2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("outside"), e.getMessage)
   }
 
+  test("bitmap distinct MV rewrite: group-subset COUNT(DISTINCT) re-aggregates the word state; an append-stale bitmap MV compensates state | delta bits") {
+    import graft.lake.{BitmapDistinctMv, LakeTable}
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.bqf_$id"; val mv = s"graft.psd.bqv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, ub BIGINT, uid BIGINT)")
+    // uid 5 lives under BOTH ub values of both g's: the visible
+    // per-(g, ub) counts cannot roll up to GROUP BY g (4 ≠ 3)
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'a', 0, 5), (2, 'a', 0, 6), (3, 'a', 1, 5),
+                 |(4, 'a', 1, 7), (5, 'b', 0, 5), (6, 'b', 1, 5),
+                 |(7, 'b', 1, 9)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv
+                 |WITH (distinct_kind = 'bitmap', distinct_domain = 1024) AS
+                 |SELECT g, ub, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq
+                 |FROM $fact GROUP BY g, ub""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.bqf_$id")
+    val mvDir = cat.tableDir(s"psd.bqv_$id")
+    val q = s"SELECT g, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq " +
+      s"FROM $fact GROUP BY g"
+    def run(sql: String): Map[String, (Long, Long)] =
+      spark.sql(sql).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // ---- fresh subset: served by OR-ing the hidden word state
+    assert(mvScanRoots(q) === Seq(BitmapDistinctMv.stateRoot(mvDir)),
+      "a group-subset COUNT(DISTINCT) must re-aggregate the word state")
+    shiftFiles(factDir, hide = true)
+    try {
+      assert(run(q) === Map("a" -> ((4L, 3L)), "b" -> ((3L, 2L))))
+      // a filter on a grouped-away group column commutes
+      assert(run(s"SELECT g, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq " +
+        s"FROM $fact WHERE ub = 1 GROUP BY g") ===
+        Map("a" -> ((2L, 2L)), "b" -> ((2L, 2L))))
+    } finally shiftFiles(factDir, hide = false)
+    // ---- stale append-only, NO refresh: uid 5 re-seen on a (must
+    // not inflate), uid 200 new, group c entirely delta-side
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(8, 'a', 0, 5), (9, 'a', 0, 200), (10, 'c', 0, 3)""".stripMargin)
+    val head = LakeTable.currentSnapshot(factDir)
+    val preAppend = LakeTable.manifest(factDir, head).files
+      .filter(_.seq < head).map(_.path)
+    def shift(paths: Seq[String], hide: Boolean): Unit = paths.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift(preAppend, hide = true)
+    try {
+      assert(run(q) ===
+        Map("a" -> ((6L, 4L)), "b" -> ((3L, 2L)), "c" -> ((1L, 1L))),
+        "a stale bitmap subset query must serve state | delta bits")
+      // exact-grain compensation lands in the same tier
+      assert(spark.sql(s"SELECT g, ub, COUNT(*) AS n, " +
+        s"COUNT(DISTINCT uid) AS uniq FROM $fact GROUP BY g, ub").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet === Set(("a", 0L, 4L, 3L), ("a", 1L, 2L, 2L),
+          ("b", 0L, 1L, 1L), ("b", 1L, 2L, 2L), ("c", 0L, 1L, 1L)))
+    } finally shift(preAppend, hide = false)
+    // ---- a NEGATIVE delta key would alias a word cell (or the
+    // sentinel): the manifest-stats guard must veto — the query runs
+    // as written, against the fact
+    spark.sql(s"INSERT INTO $fact VALUES (11, 'a', 0, -1)")
+    assert(mvScanRoots(q).contains(factDir),
+      "a negative delta key must veto the compensated bitmap tier")
+    assert(run(q) ===
+      Map("a" -> ((7L, 5L)), "b" -> ((3L, 2L)), "c" -> ((1L, 1L))))
+  }
+
   test("hll distinct MV: bounded-register state for unbounded domains; appends fold max-distributively from delta files only; deletes recompute targeted") {
     import graft.lake.{DistinctMv, HllDistinctMv, LakeTable}
     val s = spark
