@@ -3854,6 +3854,74 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- stream_mv_bitmap: the CONTINUOUSLY-MAINTAINED bitmap
+  // distinct view — q_sql_mv_distinct_bm's deployment shape, closing
+  // the kind×surface square for the bitmap kind (batch law + SQL DDL
+  // + read tiers + streaming): the fact table's CDF stream triggers a
+  // BitmapDistinctMv.refresh per micro-batch under the same
+  // exactly-once-by-construction law (the basis rides the MV head
+  // note; replayed/coalesced batches no-op; word state and visible
+  // view re-derive idempotently from durable state). Per-trigger cost
+  // is the kind's selling point AT STREAM CADENCE: an append trigger
+  // folds OR-distributively from the trigger's delta files alone —
+  // never the fact head, never a changelog — and writes one MoR merge
+  // on the touched word cells. A MoR DELETE mid-stream breaks
+  // OR-distributivity, so the final drain pays the group-targeted
+  // recompute — the captured `targeted` literal gates that the stream
+  // path lands the same lattice as batch.
+  def streamMvBitmap(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.BitmapDistinctMv
+    import org.apache.spark.sql.streaming.Trigger
+    val fact = tmp("graft_sbvf_")
+    val mv = tmp("graft_sbv_")
+    val ckpt = tmp("graft_sbv_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("event_id") % 997).as("uid"))
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 1 << 20)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg,
+      Seq("event_id", "event_type", "uid"))
+    BitmapDistinctMv.create(s, fact, mv, Seq("event_type"), "uid", "uniq",
+      1024L, mvCfg)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(fact)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          BitmapDistinctMv.refresh(s, fact, mv, Seq("event_type"), "uid",
+            "uniq", 1024L, mvCfg): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg,
+      Seq("event_id", "event_type", "uid"))
+    drain() // append trigger: OR-fold from the trigger's delta only
+    // MoR delete mid-stream: every row of uids ≡ 0 (mod 10) dies —
+    // no bit can retire without the group's other rows, so the drain
+    // pays the targeted recompute of the touched groups
+    LakeTable.deleteWhere(s, fact, "event_id",
+      ev.filter((col("event_id") % 3).isin(0, 1) && col("uid") % 10 === 0)
+        .select(col("event_id")))
+    drain()
+    LakeTable.read(s, mv)
+      .select(col("event_type"), col("n"), col("uniq"))
+      .withColumn("mode", lit(BitmapDistinctMv.mode(mv)))
+      .orderBy(col("event_type"))
+  }
+
+  val streamMvBitmapSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT event_id % 997) AS uniq,
+      |  'targeted' AS mode
+      |FROM events
+      |WHERE event_id % 3 IN (0, 1) AND (event_id % 997) % 10 <> 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- stream_mv_expr: the CONTINUOUSLY-MAINTAINED time-bucket
   // rollup — q_sql_mv_expr's deployment shape, closing the
   // kind×surface square for expression-group MVs (batch + SQL DDL +
@@ -5895,6 +5963,7 @@ object Lake {
     "q_sql_mv_star_expr" -> qSqlMvStarExpr,
     "stream_mv_star_expr" -> streamMvStarExpr,
     "stream_mv_distinct" -> streamMvDistinct,
+    "stream_mv_bitmap" -> streamMvBitmap,
     "lake_avro_prune" -> lakeAvroPrune,
     "stream_mv_single" -> streamMvSingle,
     "q_sql_rtas" -> qSqlRtas,
@@ -5993,6 +6062,7 @@ object Lake {
     "lake_avro_prune" -> lakeAvroPruneSql,
     "stream_mv_single" -> streamMvSingleSql,
     "stream_mv_distinct" -> streamMvDistinctSql,
+    "stream_mv_bitmap" -> streamMvBitmapSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
     "lake_map" -> lakeMapSql,
