@@ -3922,6 +3922,109 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- stream_mv_hll: the CONTINUOUSLY-MAINTAINED approximate
+  // distinct view — q_sql_mv_distinct_hll's deployment shape, closing
+  // the kind×surface square for the HLL kind (batch law + SQL DDL +
+  // rewrite veto + streaming): the fact CDF stream triggers an
+  // HllDistinctMv.refresh per micro-batch; an append trigger folds
+  // MAX-distributively (register max = sketch union) from the
+  // trigger's delta files alone — at stream cadence over an UNBOUNDED
+  // key domain this is the whole point: per-trigger writes bounded by
+  // O(touched groups × 2^p) registers no matter how many distinct
+  // keys the day has seen. A MoR DELETE mid-stream drops the drain to
+  // the group-targeted recompute (sketches cannot subtract) — the
+  // captured `targeted` literal gates the lattice, the final
+  // register state replays EXACTLY in the oracle (same md5/rank
+  // math), and the estimate is tolerance-gated (est_ok).
+  def streamMvHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.HllDistinctMv
+    import org.apache.spark.sql.streaming.Trigger
+    val fact = tmp("graft_shvf_")
+    val mv = tmp("graft_shv_")
+    val ckpt = tmp("graft_shv_ck_")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        concat(lit("u"), (col("event_id") % 1499).cast("string")).as("uid"))
+    val cfg = BlockWriter.Config("event_type", "event_id", maxRecordsPerFile = 1 << 20)
+    val mvCfg = BlockWriter.Config("event_type", "event_type", maxRecordsPerFile = 1 << 20)
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 0), cfg,
+      Seq("event_id", "event_type", "uid"))
+    HllDistinctMv.create(s, fact, mv, Seq("event_type"), "uid", "uniq",
+      12, mvCfg)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("changeFeed", "true").load(fact)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          HllDistinctMv.refresh(s, fact, mv, Seq("event_type"), "uid",
+            "uniq", 12, mvCfg): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    LakeTable.commit(s, fact, ev.filter(col("event_id") % 3 === 1), cfg,
+      Seq("event_id", "event_type", "uid"))
+    drain() // append trigger: register-max fold from the delta only
+    // MoR delete mid-stream: every row whose numeric id part ≡ 0
+    // (mod 10) dies — registers cannot lower without rehashing the
+    // survivors, so the drain pays the targeted recompute
+    LakeTable.deleteWhere(s, fact, "event_id",
+      ev.filter((col("event_id") % 3).isin(0, 1) &&
+          (col("event_id") % 1499) % 10 === 0)
+        .select(col("event_id")))
+    drain()
+    val exact = LakeTable.read(s, fact)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("uid")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = LakeTable.read(s, HllDistinctMv.stateRoot(mv))
+      .filter(col(HllDistinctMv.RidxCol) >= 0L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("occ"),
+        sum(col(HllDistinctMv.RvalCol)).cast("long").as("rsum"))
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    import s.implicits._
+    LakeTable.read(s, mv).collect().toSeq.map { r =>
+      val et = r.getAs[String]("event_type"); val (occ, rsum) = st(et)
+      (et, r.getAs[Long]("n"), occ, rsum,
+        math.abs(r.getAs[Long]("uniq") - exact(et)) * 20L <= exact(et),
+        HllDistinctMv.mode(mv))
+    }.toDF("event_type", "n", "occ", "rsum", "est_ok", "mode")
+      .orderBy(col("event_type"))
+  }
+
+  val streamMvHllSql: String = {
+    val b2 = 1L << 48
+    s"""WITH f AS (
+       |  SELECT event_type, 'u' || CAST(event_id % 1499 AS VARCHAR) AS uid
+       |  FROM events
+       |  WHERE event_id % 3 IN (0, 1) AND (event_id % 1499) % 10 <> 0)
+       |SELECT n.event_type, n.n, r.occ, r.rsum, TRUE AS est_ok,
+       |  'targeted' AS mode
+       |FROM (
+       |  SELECT event_type, COUNT(*) AS n FROM f GROUP BY event_type) n
+       |JOIN (
+       |  SELECT event_type, COUNT(*) AS occ,
+       |    CAST(SUM(mr) AS BIGINT) AS rsum
+       |  FROM (
+       |    SELECT event_type, ridx,
+       |      MAX(CASE WHEN w = 0 THEN 49
+       |               ELSE 49 - length(bin(w)) END) AS mr
+       |    FROM (
+       |      SELECT event_type, h // $b2 AS ridx, h % $b2 AS w
+       |      FROM (
+       |        SELECT event_type,
+       |          ('0x'||substr(md5(uid),1,15))::BIGINT AS h
+       |        FROM f))
+       |    GROUP BY event_type, ridx)
+       |  GROUP BY event_type) r
+       |ON n.event_type = r.event_type
+       |ORDER BY n.event_type""".stripMargin
+  }
+
   // --- stream_mv_expr: the CONTINUOUSLY-MAINTAINED time-bucket
   // rollup — q_sql_mv_expr's deployment shape, closing the
   // kind×surface square for expression-group MVs (batch + SQL DDL +
@@ -5964,6 +6067,7 @@ object Lake {
     "stream_mv_star_expr" -> streamMvStarExpr,
     "stream_mv_distinct" -> streamMvDistinct,
     "stream_mv_bitmap" -> streamMvBitmap,
+    "stream_mv_hll" -> streamMvHll,
     "lake_avro_prune" -> lakeAvroPrune,
     "stream_mv_single" -> streamMvSingle,
     "q_sql_rtas" -> qSqlRtas,
@@ -6063,6 +6167,7 @@ object Lake {
     "stream_mv_single" -> streamMvSingleSql,
     "stream_mv_distinct" -> streamMvDistinctSql,
     "stream_mv_bitmap" -> streamMvBitmapSql,
+    "stream_mv_hll" -> streamMvHllSql,
     "q_sql_rtas" -> qSqlRtasSql,
     "lake_nested" -> lakeNestedSql,
     "lake_map" -> lakeMapSql,
