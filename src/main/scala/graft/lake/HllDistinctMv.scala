@@ -184,12 +184,18 @@ object HllDistinctMv {
   /** Fold fact changes since the basis; returns the new fact basis.
     * Pure-append ranges take the max-distributive `fold`; ranges with
     * deletes take the group-`targeted` recompute; over-cap or
-    * expired ranges take one `full` recompute.
+    * expired ranges take one `full` recompute. `targetedOk = false`
+    * (expression-group views — the lead "column" is a derived bucket
+    * the changelog cannot name and the IN-pruned fact scan cannot
+    * key) sends every delete-bearing range straight to `full`:
+    * appends — the stream-cadence path — keep the O(Δ) fold either
+    * way.
     */
   def refresh(s: SparkSession, factRoot: String, mvRoot: String,
       group: Seq[String], keyCol: String, distinctName: String,
       p: Int, cfg: BlockWriter.Config,
-      prep: DataFrame => DataFrame = identity): Int = {
+      prep: DataFrame => DataFrame = identity,
+      targetedOk: Boolean = true): Int = {
     val f0 = basis(mvRoot)
     val f1 = LakeTable.currentSnapshot(factRoot)
     val stRoot = stateRoot(mvRoot)
@@ -218,9 +224,11 @@ object HllDistinctMv {
       } else {
         // deletes in the range: group-targeted recompute (a register
         // cannot lower without rehashing the group's surviving rows)
-        val touchedRows = scala.util.Try(
-          LakeTable.changelogRead(s, factRoot, sb, f1)
-            .select(col(group.head)).distinct()).toOption
+        val touchedRows =
+          if (!targetedOk) None
+          else scala.util.Try(
+            LakeTable.changelogRead(s, factRoot, sb, f1)
+              .select(col(group.head)).distinct()).toOption
         val cap = AutoMaintain.policies(mvRoot)
           .getOrElse(AutoMaintain.MvMaxGroupsKey, MinMaxMv.DefaultMaxGroups)
         val touched: Option[Seq[Any]] = touchedRows.flatMap { tr =>

@@ -393,7 +393,8 @@ object MaterializedView {
             d.distinctName, d.distinctDomain, cfgOf(d), prep = prepFor(s, d))
         else if (d.kind == "distinct" && d.distinctKind == "hll")
           HllDistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
-            d.distinctName, d.distinctPrecision, cfgOf(d), prep = prepFor(s, d))
+            d.distinctName, d.distinctPrecision, cfgOf(d),
+            prep = prepFor(s, d))
         else if (d.kind == "distinct")
           DistinctMv.create(s, d.fact, mvDir, d.group, d.distinctCol,
             d.distinctName, cfgOf(d), sums = d.sums,
@@ -521,7 +522,9 @@ object MaterializedView {
       else if (d.distinctKind == "hll")
         Seq(HllDistinctMv.refresh(s, d.fact, mvDir, d.group,
           d.distinctCol, d.distinctName, d.distinctPrecision, cfgOf(d),
-          prep = prepFor(s, d)))
+          prep = prepFor(s, d),
+          // a derived bucket cannot key the IN-pruned targeted scan
+          targetedOk = d.groupExprs.isEmpty))
       else
         Seq(DistinctMv.refresh(s, d.fact, mvDir, d.group, d.distinctCol,
           d.distinctName, cfgOf(d), sums = d.sums,

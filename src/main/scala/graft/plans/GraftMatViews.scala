@@ -571,9 +571,12 @@ final case class GraftCreateMatViewCommand(catalogName: String,
           "CREATE MATERIALIZED VIEW: the hll distinct kind stores " +
             "sketch registers, not signed partials — SUM/AVG measures " +
             "need the exact distinct kind")
-        require(d00.groupExprs.isEmpty,
-          "CREATE MATERIALIZED VIEW: the hll distinct kind does not " +
-            "take expression group columns (v1)")
+        // expression group columns (time buckets) are accepted — the
+        // canonical "approximate daily uniques" shape: every state
+        // derivation re-derives the bucket via the shared prep hook;
+        // appends keep the register-max fold, deletes fall back to
+        // one full sketch recompute (a derived bucket cannot key the
+        // group-targeted IN-pruned scan)
         require(!props.contains("distinct_domain"),
           "CREATE MATERIALIZED VIEW: distinct_domain only applies with " +
             "distinct_kind = 'bitmap'")

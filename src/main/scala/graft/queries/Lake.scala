@@ -1615,6 +1615,115 @@ object Lake {
       "\n) ORDER BY stage, event_type"
   }
 
+  // --- q_sql_mv_hll_expr: APPROXIMATE DAILY UNIQUE USERS — the
+  // canonical log-analytics sketch rollup (`COUNT(DISTINCT uid)
+  // GROUP BY date_trunc('DAY', ts)` over an unbounded uid domain),
+  // combining the HLL kind's bounded-register state with expression
+  // group columns: every state derivation (CREATE, the append fold's
+  // delta, the full recompute) re-derives the bucket via the shared
+  // prep hook. The lattice under a derived bucket: APPENDS keep the
+  // O(Δ) register-max fold (the stream-cadence path — per-refresh
+  // writes bounded by O(days touched × 2^p) whatever the uid
+  // cardinality, mode `fold`); DELETES fall back to ONE full sketch
+  // recompute (mode `full` — a derived bucket cannot key the
+  // group-targeted IN-pruned scan; the exact kind pays (day, uid)
+  // state rows for its incremental deletes, this kind pays a
+  // recompute instead — the documented trade). Register state
+  // replays EXACTLY in DuckDB (same md5/rank math + its own
+  // date_trunc); the estimate is tolerance-gated per day.
+  def qSqlMvHllExpr(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.hef_$id"; val mv = s"graft.q.hev_$id"
+    t(s, dir, "events").select(col("event_id"), col("ts"))
+      .createOrReplaceTempView("ev_sqlhe")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, ts TIMESTAMP, uid STRING)")
+    def ins(pred: String) =
+      s.sql(s"""INSERT INTO $fact
+               |SELECT event_id, ts,
+               |  concat('u', CAST(event_id % 1499 AS STRING))
+               |FROM ev_sqlhe WHERE $pred""".stripMargin)
+    ins("event_id % 3 = 0")
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv
+             |WITH (distinct_kind = 'hll', distinct_precision = 12) AS
+             |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+             |  COUNT(DISTINCT uid) AS uniq
+             |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+    val stRoot = graft.lake.HllDistinctMv.stateRoot(
+      s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.hev_$id"))
+    def mode(): String = s.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+    def snap(stage: Long, m: String) = {
+      val exact = s.sql(s"""SELECT date_trunc('DAY', ts) AS d,
+                           |  COUNT(DISTINCT uid) AS u
+                           |FROM $fact GROUP BY 1""".stripMargin)
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val st = LakeTable.read(s, stRoot)
+        .filter(col(graft.lake.HllDistinctMv.RidxCol) >= 0L)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).cast("long").as("occ"),
+          sum(col(graft.lake.HllDistinctMv.RvalCol)).cast("long").as("rsum"))
+        .collect().map(r =>
+          r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      s.sql(s"SELECT d, n, uniq FROM $mv").collect().toSeq.map { r =>
+        val d = r.getTimestamp(0); val (occ, rsum) = st(d)
+        (stage, m, d, r.getLong(1), occ, rsum,
+          math.abs(r.getLong(2) - exact(d)) * 20L <= exact(d))
+      }
+    }
+    val s1 = snap(1, mode())
+    ins("event_id % 3 = 1")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.hev_$id')")
+    val s2 = snap(2, mode())
+    s.sql(s"DELETE FROM $fact WHERE event_id % 10 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.hev_$id')")
+    val s3 = snap(3, mode())
+    import s.implicits._
+    (s1 ++ s2 ++ s3)
+      .toDF("stage", "mode", "d", "n", "occ", "rsum", "est_ok")
+      .orderBy(col("stage"), col("d"))
+  }
+
+  val qSqlMvHllExprSql: String = {
+    val b2 = 1L << 48
+    def stage(k: Int, m: String, pred: String) =
+      s"""SELECT CAST($k AS BIGINT) AS stage, '$m' AS mode, n.d, n.n,
+         |  r.occ, r.rsum, TRUE AS est_ok
+         |FROM (
+         |  SELECT date_trunc('day', ts) AS d, COUNT(*) AS n
+         |  FROM f WHERE $pred GROUP BY 1) n
+         |JOIN (
+         |  SELECT d, COUNT(*) AS occ, CAST(SUM(mr) AS BIGINT) AS rsum
+         |  FROM (
+         |    SELECT d, ridx,
+         |      MAX(CASE WHEN w = 0 THEN 49
+         |               ELSE 49 - length(bin(w)) END) AS mr
+         |    FROM (
+         |      SELECT d, h // $b2 AS ridx, h % $b2 AS w
+         |      FROM (
+         |        SELECT date_trunc('day', ts) AS d,
+         |          ('0x'||substr(md5(uid),1,15))::BIGINT AS h
+         |        FROM f WHERE $pred))
+         |    GROUP BY d, ridx)
+         |  GROUP BY d) r
+         |ON n.d = r.d""".stripMargin
+    """WITH f AS (
+      |  SELECT event_id, ts,
+      |    'u' || CAST(event_id % 1499 AS VARCHAR) AS uid
+      |  FROM events)
+      |SELECT * FROM (
+      |""".stripMargin +
+      Seq(
+        stage(1, "full", "event_id % 3 = 0"),
+        stage(2, "fold", "event_id % 3 IN (0, 1)"),
+        stage(3, "full",
+          "event_id % 3 IN (0, 1) AND event_id % 10 <> 0"))
+        .mkString("", "\nUNION ALL\n", "") +
+      "\n) ORDER BY stage, d"
+  }
+
   // --- q_sql_mv_distinct_expr: DAILY UNIQUE USERS — the warehouse's
   // canonical distinct rollup (`COUNT(DISTINCT uid) GROUP BY
   // date_trunc('DAY', ts)`), combining the distinct kind's signed
@@ -6055,6 +6164,7 @@ object Lake {
     "q_sql_mv_distinct_bm" -> qSqlMvDistinctBm,
     "q_sql_mv_distinct_bm2" -> qSqlMvDistinctBm2,
     "q_sql_mv_distinct_hll" -> qSqlMvDistinctHll,
+    "q_sql_mv_hll_expr" -> qSqlMvHllExpr,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExpr,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExpr,
@@ -6153,6 +6263,7 @@ object Lake {
     "q_sql_mv_distinct_bm" -> qSqlMvDistinctBmSql,
     "q_sql_mv_distinct_bm2" -> qSqlMvDistinctBm2Sql,
     "q_sql_mv_distinct_hll" -> qSqlMvDistinctHllSql,
+    "q_sql_mv_hll_expr" -> qSqlMvHllExprSql,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExprSql,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExprSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,

@@ -2626,6 +2626,64 @@ class DsV2Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 3L)))
   }
 
+  test("hll expr-group MV (approx daily uniques): append folds read delta only; deletes fall back to one full recompute") {
+    import graft.lake.LakeTable
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.hef_$id"; val mv = s"graft.psd.hev_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, ts TIMESTAMP, u STRING)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, TIMESTAMP '2024-01-01 03:00:00', 'a'),
+                 |(2, TIMESTAMP '2024-01-01 17:00:00', 'a'),
+                 |(3, TIMESTAMP '2024-01-01 21:00:00', 'b'),
+                 |(4, TIMESTAMP '2024-01-02 09:00:00', 'a')""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv
+                 |WITH (distinct_kind = 'hll', distinct_precision = 12) AS
+                 |SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n,
+                 |  COUNT(DISTINCT u) AS uniq
+                 |FROM $fact GROUP BY date_trunc('DAY', ts)""".stripMargin)
+    def state(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT CAST(d AS STRING) AS d, n, uniq FROM $mv").collect()
+        .map(r => r.getString(0).take(10) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state() === Map("2024-01-01" -> ((3L, 2L)),
+      "2024-01-02" -> ((1L, 1L))))
+    // ---- append touching day 1 only: the fold must re-derive the
+    // bucket over the DELTA ALONE — every pre-append file hidden
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(5, TIMESTAMP '2024-01-01 23:00:00', 'c'),
+                 |(6, TIMESTAMP '2024-01-01 23:30:00', 'a')""".stripMargin)
+    val factDir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"psd.hef_$id")
+    val head = LakeTable.currentSnapshot(factDir)
+    val preAppend = LakeTable.manifest(factDir, head).files
+      .filter(_.seq < head).map(_.path)
+    def shift(paths: Seq[String], hide: Boolean): Unit = paths.foreach { p =>
+      val f = java.nio.file.Paths.get(p.stripPrefix("file:"))
+      val h = java.nio.file.Paths.get(f.toString + ".hidden")
+      java.nio.file.Files.move(if (hide) f else h, if (hide) h else f): Unit
+    }
+    shift(preAppend, hide = true)
+    try spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.hev_$id')")
+    finally shift(preAppend, hide = false)
+    assert(spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+      === "fold", "an append over a derived bucket keeps the O(Δ) fold")
+    assert(state() === Map("2024-01-01" -> ((5L, 3L)),
+      "2024-01-02" -> ((1L, 1L))))
+    // ---- a MoR DELETE cannot key the targeted scan on a derived
+    // bucket: one full sketch recompute (the documented fallback),
+    // exact values restored
+    spark.sql(s"DELETE FROM $fact WHERE fid IN (3, 5)")
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.hev_$id')")
+    assert(spark.sql(s"SELECT mode FROM $mv.mv").head().getString(0)
+      === "full", "deletes under a derived bucket take the full fallback")
+    assert(state() === Map("2024-01-01" -> ((3L, 1L)),
+      "2024-01-02" -> ((1L, 1L))))
+  }
+
   test("distinct-MV state self-compacts: the create-time policy folds accumulated merge masks") {
     import graft.lake.{AutoMaintain, DistinctMv, LakeTable}
     val s = spark
