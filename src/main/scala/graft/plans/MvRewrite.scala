@@ -709,8 +709,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * unambiguous in the scan set.
     */
   private def remapCond(cond: Option[Expression], d: MaterializedView.MvDef,
-      mvOut: Seq[Attribute], unsafe: Set[String]): Option[Option[Expression]] = {
-    val groupSet = d.group.map(canon).toSet
+      mvOut: Seq[Attribute], unsafe: Set[String],
+      extraGroups: Set[String] = Set.empty): Option[Option[Expression]] = {
+    val groupSet = d.group.map(canon).toSet ++ extraGroups
     cond match {
       case None => Some(None)
       case Some(c) =>
@@ -863,23 +864,35 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       cond2.map(Filter(_, mv)).getOrElse(mv), None))
   }
 
-  /** STATE-ROLLUP tier for the DISTINCT kind: a strict group-subset
-    * query with COUNT(DISTINCT x) cannot roll up from the visible
-    * per-group counts (a key may live under several grouped-away
-    * values) — but it re-aggregates EXACTLY from the hidden
-    * (group, key) state table: state rows are distinct (groups, x)
-    * tuples, so `COUNT(DISTINCT x) GROUP BY g₁` = Count(DISTINCT x)
-    * over state rows, `COUNT(*)` = SUM(multiplicity), `SUM(e)` =
-    * SUM(partial). At 100 TB the state is (group × key)-domain-sized
-    * — the aggregate runs over the dedup'd key space, never the
-    * fact. Soundness gates: the candidate is FRESH (visible basis ==
-    * scanned snapshot) AND its VALIDATION-TIME state pin reflects
-    * exactly that basis, with the state scan pinned at the pin's
-    * snapshot — comparing LIVE heads here instead would be a TOCTOU
-    * (a refresh committing between candidate validation and this
-    * tier advances both bases together; the live comparison passes
-    * and newer state rows leak into a read pinned at the older fact
-    * snapshot).
+  /** STATE-ROLLUP tier for the DISTINCT kind — the hidden
+    * (group, key) state served as a relation in its own right, two
+    * query shapes:
+    *
+    *  - GROUP SUBSET: a strict group-subset query with
+    *    COUNT(DISTINCT x) cannot roll up from the visible per-group
+    *    counts (a key may live under several grouped-away values) —
+    *    but it re-aggregates EXACTLY from the state: state rows are
+    *    distinct (groups, x) tuples, so `COUNT(DISTINCT x) GROUP BY
+    *    g₁` = Count(DISTINCT x) over state rows, `COUNT(*)` =
+    *    SUM(multiplicity), `SUM(e)` = SUM(partial).
+    *  - STATE GRAIN (r18): a query grouping BY the distinct key
+    *    itself (`GROUP BY g…, x` with the non-key groups ⊆ MV
+    *    groups — per-user event counts/sums being the canonical
+    *    shape) is answered by the state DIRECTLY: the state IS the
+    *    (groups, key) rollup the view's maintenance already pays
+    *    for. COUNT(*) = SUM(multiplicity), SUM(e) = SUM(partial),
+    *    and a COUNT(DISTINCT x) output degenerates to the grouped
+    *    key's own 1/0.
+    *
+    * At 100 TB both run over the (group × key)-domain-sized state —
+    * the dedup'd key space — never the fact. Soundness gates: the
+    * candidate is FRESH (visible basis == scanned snapshot) AND its
+    * VALIDATION-TIME state pin reflects exactly that basis, with the
+    * state scan pinned at the pin's snapshot — comparing LIVE heads
+    * here instead would be a TOCTOU (a refresh committing between
+    * candidate validation and this tier advances both bases
+    * together; the live comparison passes and newer state rows leak
+    * into a read pinned at the older fact snapshot).
     */
   private def rewriteDistinctStateRollup(outs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
@@ -888,20 +901,40 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (d.kind != "distinct" || d.distinctKind == "bitmap") return None
     val qg = groupAttrs.map(a => canon(a.name))
     val mg = d.group.map(canon).toSet
-    if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
+    if (qg.isEmpty || qg.distinct.size != qg.size) return None
     if (qg.exists(c.unsafe.contains)) return None
-    // the state to serve from: the ONE distinct measure the query
+    // the state to serve from: a distinct KEY named in the grouping
+    // OR the residual picks its state (the state-grain shape — the
+    // key is a state grouping column, so grouping and filtering by
+    // it both commute); otherwise the ONE distinct measure the query
     // uses (n/SUM-only subsets are the plain rollup tier's job; two
     // different distinct columns would need two states in one plan)
-    val dIdx = usedDistinctIndex(outs, d).getOrElse(return None)
+    val resRefs: Set[String] = c.residual
+      .map(_.references.map(a => canon(a.name)).toSet).getOrElse(Set.empty)
+    val keyIdxs = d.distincts.zipWithIndex.collect {
+      case ((c0, _), i)
+          if qg.contains(canon(c0)) || resRefs.contains(canon(c0)) => i
+    }
+    val dIdx = keyIdxs match {
+      case Seq(i) =>
+        if (!qg.filterNot(_ == canon(d.distincts(i)._1))
+          .forall(mg.contains)) return None
+        i
+      case Seq() =>
+        if (!qg.forall(mg.contains) || qg.toSet == mg) return None
+        usedDistinctIndex(outs, d).getOrElse(return None)
+      case _ => return None
+    }
     val stRoot = graft.lake.DistinctMv.stateRoot(c.mvDir, dIdx)
     val (stSnap, stBasis) = c.stateInfo.lift(dIdx).getOrElse(return None)
     if (c.factBasis < 0 || stBasis != c.factBasis) return None
     val dCol = d.distincts(dIdx)._1
     val st = mvScan(stRoot, stSnap, c.mvMtime).getOrElse(return None)
     def stAttr(n: String) = st.output.find(m => sameName(m.name, n))
-    val cond2 = remapCond(c.residual, d, st.output, c.unsafe)
-      .getOrElse(return None)
+    // the key is a state GROUPING column: filters on it commute
+    // through the (groups, key)-grain aggregation like group filters
+    val cond2 = remapCond(c.residual, d, st.output, c.unsafe,
+      extraGroups = Set(canon(dCol))).getOrElse(return None)
     val groupSt = groupAttrs.map(a =>
       stAttr(a.name).filter(_.dataType == a.dataType).getOrElse(return None))
     val groupSet = qg.toSet

@@ -1615,6 +1615,97 @@ object Lake {
       "\n) ORDER BY stage, event_type"
   }
 
+  // --- q_sql_mv_distinct_grain: the hidden (group, key) state
+  // served AS A RELATION IN ITS OWN RIGHT (plans/MvRewrite r18 —
+  // the state-grain shape of the state-rollup tier): a query
+  // grouping BY the distinct key itself (`GROUP BY event_type, uid`
+  // — per-user event counts/sums, the canonical engagement query) is
+  // answered by the state DIRECTLY, because the state IS the
+  // (groups, key) rollup the distinct view's maintenance already
+  // pays for: COUNT(*) = SUM(multiplicity), SUM(e) = SUM(partial),
+  // COUNT(DISTINCT uid) degenerates to the grouped key's own 1.
+  // Key-only grouping re-aggregates keys ACROSS the MV groups
+  // (stage 2), and a FILTER on the key commutes like a group filter
+  // — it is a state grouping column — serving the key-sliced rollup
+  // (stage 3). After a MoR delete + signed refresh the grain tracks
+  // the folded state (stage 4). EVERY stage runs with every fact
+  // file hidden — only the state can answer. At 100 TB: per-user
+  // aggregates over the DEDUP'D (group × key) space, never a fact
+  // scan — the state's write cost amortizes across a whole family
+  // of reads the visible view cannot serve.
+  def qSqlMvDistinctGrain(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.dgf_$id"; val mv = s"graft.q.dgv_$id"
+    t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqldg")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, uid BIGINT, vx100 BIGINT)")
+    s.sql(s"""INSERT INTO $fact
+             |SELECT event_id, event_type, event_id % 199,
+             |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             |FROM ev_sqldg WHERE event_id % 3 = 0""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+             |  SUM(COALESCE(vx100, 0)) AS sv
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.dgf_$id")
+    val grain = s"""SELECT event_type, uid, COUNT(*) AS n,
+                   |  COUNT(DISTINCT uid) AS uniq,
+                   |  SUM(COALESCE(vx100, 0)) AS sv
+                   |FROM $fact GROUP BY event_type, uid""".stripMargin
+    def collect3(stage: Long, sql: String) = withHiddenFiles(factDir) {
+      s.sql(sql).collect().toSeq.map(r => (stage, r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val s1 = collect3(1, grain)
+    val s2 = collect3(2,
+      s"""SELECT '*' AS event_type, uid, COUNT(*) AS n,
+         |  COUNT(DISTINCT uid) AS uniq, SUM(COALESCE(vx100, 0)) AS sv
+         |FROM $fact GROUP BY uid""".stripMargin)
+    val s3 = collect3(3,
+      s"""SELECT event_type, CAST(-1 AS BIGINT) AS uid, COUNT(*) AS n,
+         |  COUNT(DISTINCT uid) AS uniq, SUM(COALESCE(vx100, 0)) AS sv
+         |FROM $fact WHERE uid % 10 = 0 GROUP BY event_type""".stripMargin)
+    s.sql(s"DELETE FROM $fact WHERE uid % 7 = 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.dgv_$id')")
+    val s4 = collect3(4, grain)
+    import s.implicits._
+    (s1 ++ s2 ++ s3 ++ s4)
+      .toDF("stage", "event_type", "uid", "n", "uniq", "sv")
+      .orderBy(col("stage"), col("event_type"), col("uid"))
+  }
+
+  val qSqlMvDistinctGrainSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 199 AS uid,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events WHERE event_id % 3 = 0),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, event_type, uid,
+      |    COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sv
+      |  FROM f GROUP BY 2, 3),
+      |s2 AS (
+      |  SELECT CAST(2 AS BIGINT), '*', uid, COUNT(*),
+      |    COUNT(DISTINCT uid), CAST(SUM(COALESCE(vx100, 0)) AS BIGINT)
+      |  FROM f GROUP BY 3),
+      |s3 AS (
+      |  SELECT CAST(3 AS BIGINT), event_type, CAST(-1 AS BIGINT),
+      |    COUNT(*), COUNT(DISTINCT uid),
+      |    CAST(SUM(COALESCE(vx100, 0)) AS BIGINT)
+      |  FROM f WHERE uid % 10 = 0 GROUP BY 2),
+      |s4 AS (
+      |  SELECT CAST(4 AS BIGINT), event_type, uid, COUNT(*),
+      |    COUNT(DISTINCT uid), CAST(SUM(COALESCE(vx100, 0)) AS BIGINT)
+      |  FROM f WHERE uid % 7 <> 0 GROUP BY 2, 3)
+      |SELECT * FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |ORDER BY stage, event_type, uid""".stripMargin
+
   // --- q_sql_mv_hll_expr: APPROXIMATE DAILY UNIQUE USERS — the
   // canonical log-analytics sketch rollup (`COUNT(DISTINCT uid)
   // GROUP BY date_trunc('DAY', ts)` over an unbounded uid domain),
@@ -6165,6 +6256,7 @@ object Lake {
     "q_sql_mv_distinct_bm2" -> qSqlMvDistinctBm2,
     "q_sql_mv_distinct_hll" -> qSqlMvDistinctHll,
     "q_sql_mv_hll_expr" -> qSqlMvHllExpr,
+    "q_sql_mv_distinct_grain" -> qSqlMvDistinctGrain,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExpr,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExpr,
@@ -6264,6 +6356,7 @@ object Lake {
     "q_sql_mv_distinct_bm2" -> qSqlMvDistinctBm2Sql,
     "q_sql_mv_distinct_hll" -> qSqlMvDistinctHllSql,
     "q_sql_mv_hll_expr" -> qSqlMvHllExprSql,
+    "q_sql_mv_distinct_grain" -> qSqlMvDistinctGrainSql,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExprSql,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExprSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,

@@ -2626,6 +2626,52 @@ class DsV2Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 3L)))
   }
 
+  test("distinct-MV state grain: GROUP BY (groups, key) serves from the hidden state — per-user counts without a fact scan") {
+    import graft.lake.{DistinctMv, LakeTable}
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.sgf_$id"; val mv = s"graft.psd.sgv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, u BIGINT, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'a', 100, 7), (2, 'a', 101, 3), (3, 'a', 100, 5),
+                 |(4, 'b', 100, 2)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS du,
+                 |  SUM(x) AS sx
+                 |FROM $fact GROUP BY g""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.sgf_$id")
+    val stRoot = DistinctMv.stateRoot(cat.tableDir(s"psd.sgv_$id"), 0)
+    val q = s"SELECT g, u, COUNT(*) AS n, SUM(x) AS sx FROM $fact GROUP BY g, u"
+    assert(mvScanRoots(q) === Seq(stRoot),
+      "a (groups, key)-grain query must serve from the hidden state")
+    def rows(sql: String): Set[String] =
+      spark.sql(sql).collect().map(_.toString).toSet
+    shiftFiles(factDir, hide = true)
+    try {
+      assert(rows(q) === Set("[a,100,2,12]", "[a,101,1,3]", "[b,100,1,2]"))
+      // key-only grouping: keys re-aggregate ACROSS MV groups
+      assert(rows(s"SELECT u, COUNT(*) AS n, SUM(x) AS sx " +
+        s"FROM $fact GROUP BY u") === Set("[100,3,14]", "[101,1,3]"))
+      // a filter on the KEY commutes (it is a state grouping column)
+      assert(rows(s"SELECT g, COUNT(*) AS n FROM $fact WHERE u = 100 " +
+        s"GROUP BY g") === Set("[a,2]", "[b,1]"))
+    } finally shiftFiles(factDir, hide = false)
+    // a filter on a NON-group column never serves
+    assert(mvScanRoots(s"SELECT g, u, COUNT(*) AS n FROM $fact " +
+      s"WHERE x > 4 GROUP BY g, u") === Seq(factDir))
+    // the fold keeps the grain serviceable: a MoR delete retires
+    // (a, 101) and lowers (a, 100) — state-grain answers track it
+    spark.sql(s"DELETE FROM $fact WHERE fid IN (2, 3)")
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.sgv_$id')")
+    assert(mvScanRoots(q) === Seq(stRoot))
+    assert(rows(q) === Set("[a,100,1,7]", "[b,100,1,2]"))
+  }
+
   test("hll expr-group MV (approx daily uniques): append folds read delta only; deletes fall back to one full recompute") {
     import graft.lake.LakeTable
     spark.conf.set("spark.sql.catalog.graft",
