@@ -61,9 +61,11 @@ import graft.sources.GraftLakeTable
   *    (the aggregate disappears entirely);
   *  - ROLLUP: query groups ⊂ MV groups → re-aggregate the MV
   *    (COUNT(*) → SUM(n), SUM → SUM, MIN → MIN, MAX → MAX — the
-  *    distributive laws; AVG does not roll up from stored state and
-  *    a global (no-group) aggregate is excluded because an EMPTY MV
-  *    would yield NULL where the fact yields a 0-count row).
+  *    distributive laws; AVG does not roll up from stored state).
+  *    The GLOBAL (no-group) aggregate serves too: SUM/MIN/MAX are
+  *    NULL over zero rows on BOTH sides, and COUNT(*)'s zero-row 0
+  *    vs SUM(n)'s empty-NULL closes with a Coalesce — the same rule
+  *    the fresh state tiers apply.
   *
   * Candidates come from the fact-side `meta/_mv_refs.json` registry
   * ([[MaterializedView.refsOf]]) — O(1) from the scan's own root, no
@@ -817,18 +819,20 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     Some(Project(projList, cond2.map(Filter(_, mv)).getOrElse(mv)))
   }
 
-  /** ROLLUP tier: strict group subset → re-aggregate the MV by the
+  /** ROLLUP tier: group subset → re-aggregate the MV by the
     * distributive laws. The filter may reference ANY MV group column
     * (grouped-away dimensions included — `WHERE ub = 1 GROUP BY
     * event_type` over an (event_type, ub) MV is the classic slice).
+    * The GLOBAL (no-group) aggregate serves too (r18): SUM/MIN/MAX
+    * over zero rows are NULL on the fact and NULL over an empty MV —
+    * the semantics already match — and the one mismatch, COUNT(*)'s
+    * zero-row 0 vs SUM(n)'s NULL, closes with a Coalesce.
     */
   private def rewriteRollup(outs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference], c: Candidate): Option[LogicalPlan] = {
     val qg = groupAttrs.map(a => canon(a.name))
     val mg = c.d.group.map(canon).toSet
-    // strict, non-empty subset: a global aggregate over an EMPTY MV
-    // would return NULL where the fact returns a zero-count row
-    if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
+    if (!qg.forall(mg.contains) || qg.toSet == mg) return None
     if (qg.exists(c.unsafe.contains)) return None
     val mv = mvScan(c.mvDir, c.mvSnap, c.mvMtime).getOrElse(return None)
     def mvAttr(n: String) = mv.output.find(m => sameName(m.name, n))
@@ -853,6 +857,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           }
           rolled.filter(_.dataType == ae.dataType)
             .map(f => ae.copy(aggregateFunction = f))
+            .map { agg =>
+              fn match {
+                // global COUNT(*) over zero rows is 0, never NULL
+                case Count(_) if qg.isEmpty =>
+                  Coalesce(Seq(agg, Literal(0L)))
+                case _ => agg
+              }
+            }
         case _ => None
       },
       mapAttr = a =>
@@ -901,7 +913,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (d.kind != "distinct" || d.distinctKind == "bitmap") return None
     val qg = groupAttrs.map(a => canon(a.name))
     val mg = d.group.map(canon).toSet
-    if (qg.isEmpty || qg.distinct.size != qg.size) return None
+    if (qg.distinct.size != qg.size) return None
     if (qg.exists(c.unsafe.contains)) return None
     // the state to serve from: a distinct KEY named in the grouping
     // OR the residual picks its state (the state-grain shape — the
@@ -957,6 +969,18 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           }
           rolled.filter(_.dataType == ae.dataType)
             .map(f => ae.copy(aggregateFunction = f))
+            .map { agg =>
+              fn match {
+                // the GLOBAL COUNT(*) is 0 over zero rows, but
+                // Sum(cnt) over an empty state is NULL — Coalesce
+                // closes the one mismatch (COUNT(DISTINCT) maps to a
+                // real Count, which is already 0 on empty; SUM's
+                // empty-NULL matches the fact's)
+                case Count(Seq(Literal(_, _))) if qg.isEmpty =>
+                  Coalesce(Seq(agg, Literal(0L)))
+                case _ => agg
+              }
+            }
         case _ => None
       },
       mapAttr = a =>
@@ -984,6 +1008,12 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       child: LogicalPlan): Option[LogicalPlan] = {
     val d = c.d
     val groupSet = groupAttrs.map(a => canon(a.name)).toSet
+    // GLOBAL (no-group) shape: both counts are 0 over zero rows on
+    // the fact, but the outer Sum over an empty inner is NULL —
+    // Coalesce closes the one mismatch (grouped shapes never see an
+    // empty group)
+    def zeroOnEmpty(e: Expression): Expression =
+      if (groupAttrs.isEmpty) Coalesce(Seq(e, Literal(0L))) else e
     // split BEFORE aggregating so the SUM never touches a bitset word
     // (a high bit summed twice would overflow long under ANSI) and
     // the OR never touches a sentinel — the fold's own discipline
@@ -1011,12 +1041,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           // Sum itself is plain (ae.copy would carry isDistinct over)
           Some(ae.copy(aggregateFunction = new Sum(uniq),
             isDistinct = false)).filter(_.dataType == ae.dataType)
+            .map(zeroOnEmpty)
         case ae @ AggregateExpression(
             Count(Seq(Literal(v, _))), Complete, false, None, _) if v != null =>
           val nC = CaseWhen(Seq((EqualTo(widx, Literal(-1L)),
             sA: Expression)), Some(Literal(0L)))
           Some(ae.copy(aggregateFunction = new Sum(nC)))
             .filter(_.dataType == ae.dataType)
+            .map(zeroOnEmpty)
         case _ => None
       },
       mapAttr = a =>
@@ -1045,7 +1077,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (d.kind != "distinct" || d.distinctKind != "bitmap") return None
     val qg = groupAttrs.map(a => canon(a.name))
     val mg = d.group.map(canon).toSet
-    if (qg.isEmpty || !qg.forall(mg.contains) || qg.toSet == mg) return None
+    // subset OR global — the two-level builder zero-coalesces the
+    // empty-relation edge of the no-group shape
+    if (!qg.forall(mg.contains) || qg.toSet == mg) return None
     if (qg.distinct.size != qg.size) return None
     if (qg.exists(c.unsafe.contains)) return None
     val (stSnap, stBasis) = c.stateInfo.headOption.getOrElse(return None)

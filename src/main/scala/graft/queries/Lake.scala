@@ -1706,6 +1706,78 @@ object Lake {
       |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
       |ORDER BY stage, event_type, uid""".stripMargin
 
+  // --- q_sql_mv_global: GLOBAL (no-group) aggregates served from
+  // MVs and their hidden states (plans/MvRewrite r18 — the lifted
+  // veto): `SELECT COUNT(*), SUM(e), COUNT(DISTINCT x) FROM fact` —
+  // the textbook dashboard totals — map to one state scan
+  // (COUNT(*) → coalesce(SUM(multiplicity), 0), SUM → SUM(partial),
+  // COUNT(DISTINCT) → COUNT over the dedup'd keys); a key-filtered
+  // global rides the grain shape (the filter commutes — the key is a
+  // state grouping column). The Coalesce is the whole fix: SUM/MIN/
+  // MAX are NULL over zero rows on BOTH sides already, and COUNT's
+  // zero-row 0 vs the empty-state SUM's NULL was the one mismatch
+  // the old veto guarded. Stage 3 PROVES the edge: every row
+  // retired, the global still serves from the (empty) state and
+  // reads COUNT(*) = 0, SUM = NULL, COUNT(DISTINCT) = 0 — exactly
+  // the fact's zero-row answers. Every stage runs with every fact
+  // file hidden. At 100 TB: dashboard totals at metadata-to-state
+  // cost, never a fact scan.
+  def qSqlMvGlobal(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("sqlcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.q.glf_$id"; val mv = s"graft.q.glv_$id"
+    t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_sqlgl")
+    s.sql(s"CREATE TABLE $fact (event_id BIGINT, event_type STRING, uid BIGINT, vx100 BIGINT)")
+    s.sql(s"""INSERT INTO $fact
+             |SELECT event_id, event_type, event_id % 199,
+             |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             |FROM ev_sqlgl WHERE event_id % 3 = 0""".stripMargin)
+    s.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+             |SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT uid) AS uniq,
+             |  SUM(COALESCE(vx100, 0)) AS sv
+             |FROM $fact GROUP BY event_type""".stripMargin)
+    val factDir = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog].tableDir(s"q.glf_$id")
+    val globalQ = s"""SELECT COUNT(*) AS c,
+                     |  SUM(COALESCE(vx100, 0)) AS sv,
+                     |  COUNT(DISTINCT uid) AS du
+                     |FROM $fact""".stripMargin
+    def one(stage: Long, sql: String) = withHiddenFiles(factDir) {
+      val r = s.sql(sql).head()
+      (stage, r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))
+    }
+    val s1 = one(1, globalQ)
+    val s2 = one(2, s"$globalQ WHERE uid % 10 = 0")
+    s.sql(s"DELETE FROM $fact WHERE event_id >= 0")
+    s.sql(s"CALL graft.system.refresh_mv(table => 'q.glv_$id')")
+    val s3 = one(3, globalQ)
+    import s.implicits._
+    Seq(s1, s2, s3).toDF("stage", "c", "sv", "du").orderBy(col("stage"))
+  }
+
+  val qSqlMvGlobalSql: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, event_id % 199 AS uid,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vx100
+      |  FROM events WHERE event_id % 3 = 0)
+      |SELECT CAST(1 AS BIGINT) AS stage, COUNT(*) AS c,
+      |  CAST(SUM(COALESCE(vx100, 0)) AS BIGINT) AS sv,
+      |  COUNT(DISTINCT uid) AS du
+      |FROM f
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), COUNT(*),
+      |  CAST(SUM(COALESCE(vx100, 0)) AS BIGINT), COUNT(DISTINCT uid)
+      |FROM f WHERE uid % 10 = 0
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), COUNT(*),
+      |  CAST(SUM(COALESCE(vx100, 0)) AS BIGINT), COUNT(DISTINCT uid)
+      |FROM f WHERE FALSE
+      |ORDER BY stage""".stripMargin
+
   // --- q_sql_mv_hll_expr: APPROXIMATE DAILY UNIQUE USERS — the
   // canonical log-analytics sketch rollup (`COUNT(DISTINCT uid)
   // GROUP BY date_trunc('DAY', ts)` over an unbounded uid domain),
@@ -6257,6 +6329,7 @@ object Lake {
     "q_sql_mv_distinct_hll" -> qSqlMvDistinctHll,
     "q_sql_mv_hll_expr" -> qSqlMvHllExpr,
     "q_sql_mv_distinct_grain" -> qSqlMvDistinctGrain,
+    "q_sql_mv_global" -> qSqlMvGlobal,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExpr,
     "q_sql_mv_profile" -> qSqlMvProfile,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExpr,
@@ -6357,6 +6430,7 @@ object Lake {
     "q_sql_mv_distinct_hll" -> qSqlMvDistinctHllSql,
     "q_sql_mv_hll_expr" -> qSqlMvHllExprSql,
     "q_sql_mv_distinct_grain" -> qSqlMvDistinctGrainSql,
+    "q_sql_mv_global" -> qSqlMvGlobalSql,
     "q_sql_mv_distinct_expr" -> qSqlMvDistinctExprSql,
     "q_sql_mv_profile_expr" -> qSqlMvProfileExprSql,
     "q_sql_mv_profile" -> qSqlMvProfileSql,

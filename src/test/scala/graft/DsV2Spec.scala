@@ -1699,8 +1699,14 @@ class DsV2Spec extends AnyFunSuite {
       === Seq(factDir), "a measure the MV does not store never rewrites")
     assert(scans(s"SELECT g, COUNT(*) AS c FROM $fact WHERE x > 15 GROUP BY g")
       === Seq(factDir), "a filter on a non-group column never rewrites")
-    assert(scans(s"SELECT COUNT(*) AS c FROM $fact")
-      === Seq(factDir), "a global aggregate never rewrites (empty-MV NULL)")
+    // the GLOBAL aggregate rolls up too (COUNT(*) → coalesce(SUM(n), 0)
+    // — the zero-row edge the old veto guarded is closed by the
+    // Coalesce; SUM's empty-NULL already matches the fact's)
+    assert(!scans(s"SELECT COUNT(*) AS c FROM $fact").contains(factDir),
+      "a fresh global aggregate must serve from an MV")
+    assert(spark.sql(s"SELECT COUNT(*) AS c, SUM(x) AS s FROM $fact")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((5L, 150L)))
     // ---- staleness: new fact data makes every MV basis old; the
     // SAME query must return FRESH values — for an append-only gap
     // that is the COMPENSATED tier (MV rows ⊎ delta files, fact head
@@ -2670,6 +2676,52 @@ class DsV2Spec extends AnyFunSuite {
     spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.sgv_$id')")
     assert(mvScanRoots(q) === Seq(stRoot))
     assert(rows(q) === Set("[a,100,1,7]", "[b,100,1,2]"))
+  }
+
+  test("global aggregates serve from MVs and states: COUNT(*) coalesces the empty edge; global COUNT(DISTINCT) reads the key state") {
+    import graft.lake.DistinctMv
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root",
+      graft.util.Scratch.root.resolve("psdcat").toString)
+    val id = System.nanoTime()
+    val fact = s"graft.psd.glf_$id"; val mv = s"graft.psd.glv_$id"
+    spark.sql(s"CREATE TABLE $fact (fid BIGINT, g STRING, u BIGINT, x BIGINT)")
+    spark.sql(s"""INSERT INTO $fact VALUES
+                 |(1, 'a', 100, 7), (2, 'a', 101, 3), (3, 'b', 100, 5)""".stripMargin)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $mv AS
+                 |SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS du,
+                 |  SUM(x) AS sx
+                 |FROM $fact GROUP BY g""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val factDir = cat.tableDir(s"psd.glf_$id")
+    val mvDir = cat.tableDir(s"psd.glv_$id")
+    val stRoot = DistinctMv.stateRoot(mvDir, 0)
+    val qStar = s"SELECT COUNT(*) AS c, SUM(x) AS s FROM $fact"
+    val qDu = s"SELECT COUNT(DISTINCT u) AS du FROM $fact"
+    assert(mvScanRoots(qStar) === Seq(mvDir),
+      "the global COUNT/SUM rolls up from the visible view")
+    assert(mvScanRoots(qDu) === Seq(stRoot),
+      "the global COUNT(DISTINCT) re-aggregates the key state")
+    shiftFiles(factDir, hide = true)
+    try {
+      assert(spark.sql(qStar).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 15L)))
+      assert(spark.sql(qDu).head().getLong(0) === 2L)
+      // key-filtered global — the grain shape with no groups
+      assert(spark.sql(s"SELECT COUNT(*) AS c FROM $fact WHERE u = 100")
+        .head().getLong(0) === 2L)
+    } finally shiftFiles(factDir, hide = false)
+    // ---- the EMPTY edge the old veto guarded: retire every row —
+    // COUNT(*) must read 0 (the Coalesce), SUM NULL, COUNT(DISTINCT) 0
+    spark.sql(s"DELETE FROM $fact WHERE fid >= 0")
+    spark.sql(s"CALL graft.system.refresh_mv(table => 'psd.glv_$id')")
+    assert(!mvScanRoots(qStar).contains(factDir))
+    val r = spark.sql(qStar).head()
+    assert(r.getLong(0) === 0L && r.isNullAt(1),
+      "empty fact: COUNT(*) = 0, SUM = NULL — exactly the fact's answer")
+    assert(spark.sql(qDu).head().getLong(0) === 0L)
   }
 
   test("hll expr-group MV (approx daily uniques): append folds read delta only; deletes fall back to one full recompute") {
