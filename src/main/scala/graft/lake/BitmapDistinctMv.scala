@@ -211,11 +211,17 @@ object BitmapDistinctMv {
         val delta0 = prep(LakeTable.incrementalRead(s, factRoot, sb, f1))
           .persist()
         try {
-          if (delta0.isEmpty && sb == f0) return f0
-          if (!delta0.isEmpty) {
+          // ONE materializing action decides emptiness AND the touched
+          // leads: every delta row has a lead slot (null included), so
+          // zero collected leads ⇔ empty delta — the two isEmpty
+          // probes this replaced cost a scheduled job each
+          val deltaState = stateOf(delta0, group, keyCol)
+          val ls = collectLeads(s, deltaState, group, mvRoot)
+          val empty = ls.contains(Nil)
+          if (empty && sb == f0) return f0
+          if (!empty) {
             checkDomain(delta0, keyCol, domain)
-            val deltaState = stateOf(delta0, group, keyCol)
-            leads = collectLeads(s, deltaState, group, mvRoot)
+            leads = ls
             foldMerge(s, stRoot, deltaState, group, leads,
               note = s"bmvs-basis-$f1-fold")
           }
@@ -249,19 +255,19 @@ object BitmapDistinctMv {
               .select(col(DistinctMv.SKeyCol))
             val allKeys = oldKeys
               .unionByName(next.select(col(DistinctMv.SKeyCol))).distinct()
-            val live = s.createDataFrame(
-              next.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd,
-              stored).persist()
-            try {
-              if (live.isEmpty)
-                LakeTable.deleteWhere(s, stRoot, DistinctMv.SKeyCol, allKeys,
-                  note = s"bmvs-basis-$f1-targeted"): Unit
-              else
-                LakeTable.merge(s, stRoot, DistinctMv.SKeyCol, live,
-                  stateCfg(group), group,
-                  note = s"bmvs-basis-$f1-targeted",
-                  extraDeleteKeys = Some(allKeys)): Unit
-            } finally { live.unpersist(); () }
+            // stored column order only — merge's name+type gate needs
+            // no nullability re-stamp, so the rdd round-trip that
+            // broke whole-stage codegen here is gone; allKeys covers
+            // live's keys by construction, so the covered-keys merge
+            // needs no pre-commit isEmpty probe (an all-retired group
+            // commits as a pure-mask delete)
+            val live = next.select(
+              stored.fieldNames.toIndexedSeq.map(col): _*)
+            LakeTable.merge(s, stRoot, DistinctMv.SKeyCol, live,
+              stateCfg(group), group,
+              note = s"bmvs-basis-$f1-targeted",
+              extraDeleteKeys = Some(allKeys),
+              deleteKeysCoverUpdates = true): Unit
           case Some(ts) if ts.isEmpty =>
             // content-preserving commits only: nothing to fold
             if (sb == f0) return f0
@@ -288,20 +294,17 @@ object BitmapDistinctMv {
       val vis = derive(
         DistinctMv.prunedStateRead(s, stRoot, group.head, ls), group,
         distinctName)
-      val liveV = s.createDataFrame(
-        vis.select(vs.fieldNames.toIndexedSeq.map(col): _*).rdd, vs)
-        .persist()
+      // liveV's lead values ⊆ the touched leads (it derives from the
+      // lead-pruned state read), so the covered-keys merge retires
+      // vanished leads via the mask with no isEmpty probe; stored
+      // column order only (name+type gate)
+      val liveV = vis.select(vs.fieldNames.toIndexedSeq.map(col): _*)
       val leadsDf = s.createDataFrame(
         java.util.Arrays.asList(ls.map(v => Row(v)): _*),
         StructType(Seq(vs(group.head))))
-      try {
-        if (liveV.isEmpty)
-          LakeTable.deleteWhere(s, mvRoot, group.head, leadsDf,
-            note = s"dmv-basis-$f1-$mode"): Unit
-        else
-          LakeTable.merge(s, mvRoot, group.head, liveV, cfg, group,
-            note = s"dmv-basis-$f1-$mode", extraDeleteKeys = Some(leadsDf)): Unit
-      } finally { liveV.unpersist(); () }
+      LakeTable.merge(s, mvRoot, group.head, liveV, cfg, group,
+        note = s"dmv-basis-$f1-$mode", extraDeleteKeys = Some(leadsDf),
+        deleteKeysCoverUpdates = true): Unit
     } else
       LakeTable.rewrite(s, mvRoot,
         derive(LakeTable.read(s, stRoot), group, distinctName),
@@ -351,11 +354,13 @@ object BitmapDistinctMv {
       .withColumn(WordCol,
         when(col(WidxCol) === -1L, col("_s")).otherwise(col("_o")))
       .drop("_s", "_o")
-    val live = s.createDataFrame(
-      folded.select(names.map(col): _*).rdd, stored).persist()
-    try LakeTable.merge(s, stRoot, DistinctMv.SKeyCol, live,
+    // folded keys ⊆ touchedKeys (semi-join ∪ delta cells), so the
+    // covered-keys merge stages live once — no persist, no rdd
+    // round-trip, no isEmpty probe (name+type gate)
+    val live = folded.select(names.map(col): _*)
+    LakeTable.merge(s, stRoot, DistinctMv.SKeyCol, live,
       stateCfg(group), group, note = note,
-      extraDeleteKeys = Some(touchedKeys)): Unit
-    finally { live.unpersist(); () }
+      extraDeleteKeys = Some(touchedKeys),
+      deleteKeysCoverUpdates = true): Unit
   }
 }

@@ -253,14 +253,19 @@ object DistinctMv {
       extra: Seq[(String, String)] = Nil): Int = {
     val distincts = (keyCol, distinctName) +: extra
     val f = LakeTable.currentSnapshot(factRoot)
-    distincts.zipWithIndex.foreach { case ((kc, _), i) =>
-      val st = stateOf(prep(LakeTable.read(s, factRoot, Some(f))), group, kc,
-        sums, signed = false)
-      AutoMaintain.setPolicy(stateRoot(mvRoot, i),
-        AutoMaintain.AutoCompactKey, StateCompactFiles)
-      LakeTable.commit(s, stateRoot(mvRoot, i), st, stateCfg(group), group,
-        note = s"dmvs-basis-$f-full"): Unit
-    }
+    // one fact read feeds every state's aggregation (persisted only
+    // when a second distinct measure would otherwise re-scan it)
+    val base = prep(LakeTable.read(s, factRoot, Some(f)))
+    val baseShared = if (distincts.size > 1) base.persist() else base
+    try {
+      distincts.zipWithIndex.foreach { case ((kc, _), i) =>
+        val st = stateOf(baseShared, group, kc, sums, signed = false)
+        AutoMaintain.setPolicy(stateRoot(mvRoot, i),
+          AutoMaintain.AutoCompactKey, StateCompactFiles)
+        LakeTable.commit(s, stateRoot(mvRoot, i), st, stateCfg(group), group,
+          note = s"dmvs-basis-$f-full"): Unit
+      }
+    } finally { if (distincts.size > 1) { baseShared.unpersist(); () } }
     LakeTable.commit(s, mvRoot,
       deriveAll(s, mvRoot, group, distincts, sums, derived,
         r => LakeTable.read(s, r)),
@@ -334,6 +339,11 @@ object DistinctMv {
     // derive (the whole lead slice), so no state is scanned twice
     // per refresh
     val foldedByState = scala.collection.mutable.Map[String, DataFrame]()
+    // the raw change feed is the SAME frame for every state folding
+    // the same (basis, head] range — read it once per range, persist,
+    // and let each state's (group, key) aggregation consume the cached
+    // rows instead of re-scanning the delta files per distinct measure
+    val changesByRange = scala.collection.mutable.Map[(Int, Int), DataFrame]()
     try {
     distincts.zipWithIndex.foreach { case ((kc, _), i) =>
       val stRoot = stateRoot(mvRoot, i)
@@ -346,7 +356,9 @@ object DistinctMv {
           // lead slot, null included), so no separate isEmpty pass
           val capN = math.min(cap, Int.MaxValue - 1L).toInt
           val signedDelta: Option[(DataFrame, Option[Seq[Any]])] = try {
-            val changes = LakeTable.changelogRead(s, factRoot, sb, f1)
+            val changes = changesByRange.getOrElseUpdate((sb, f1),
+              if (distincts.size == 1) LakeTable.changelogRead(s, factRoot, sb, f1)
+              else LakeTable.changelogRead(s, factRoot, sb, f1).persist())
             // prep derives expression group columns (time buckets)
             // over the change rows — insert and delete pre-images of
             // a row derive the same bucket, so signed folds cancel
@@ -408,20 +420,18 @@ object DistinctMv {
             // ever RELAX nullability, which upcasting permits); only
             // the TOUCHED cells re-land — untouched cells of the
             // touched leads stay visible from their old files past
-            // the mask
+            // the mask. The touched-cell mask covers live's keys by
+            // construction (live ⊆ touched via the semi-join), so the
+            // covered-keys merge stages live exactly once and commits
+            // a pure-mask delete when every touched cell retired — no
+            // pre-commit isEmpty probe, no persist
             val live = foldedLeads
               .join(touchedKeys, Seq(SKeyCol), "left_semi")
-              .select(names.map(col): _*).to(stored).persist()
-            try {
-              if (live.isEmpty)
-                // every touched cell retired: pure mask commit
-                LakeTable.deleteWhere(s, stRoot, SKeyCol, touchedKeys,
-                  note = s"dmvs-basis-$f1-signed"): Unit
-              else
-                LakeTable.merge(s, stRoot, SKeyCol, live, stateCfg(group),
-                  group, note = s"dmvs-basis-$f1-signed",
-                  extraDeleteKeys = Some(touchedKeys)): Unit
-            } finally { live.unpersist(); () }
+              .select(names.map(col): _*).to(stored)
+            LakeTable.merge(s, stRoot, SKeyCol, live, stateCfg(group),
+              group, note = s"dmvs-basis-$f1-signed",
+              extraDeleteKeys = Some(touchedKeys),
+              deleteKeysCoverUpdates = true): Unit
           }
         } finally { cached.foreach(_.unpersist()); () }
       }
@@ -456,20 +466,18 @@ object DistinctMv {
         val vis = deriveAll(s, mvRoot, group, distincts, sums, derived,
           r => foldedByState(r))
         val liveV = vis.select(vs.fieldNames.toIndexedSeq.map(col): _*)
-          .to(vs).persist()
+          .to(vs)
         val leadsDf = s.createDataFrame(
           java.util.Arrays.asList(leads.map(v =>
             org.apache.spark.sql.Row(v)): _*),
           StructType(Seq(vs(group.head))))
-        try {
-          if (liveV.isEmpty)
-            LakeTable.deleteWhere(s, mvRoot, group.head, leadsDf,
-              note = s"dmv-basis-$f1-signed"): Unit
-          else
-            LakeTable.merge(s, mvRoot, group.head, liveV, cfg, group,
-              note = s"dmv-basis-$f1-signed",
-              extraDeleteKeys = Some(leadsDf)): Unit
-        } finally { liveV.unpersist(); () }
+        // liveV's lead values ⊆ the collected touched leads, so the
+        // covered-keys merge retires vanished leads via the mask and
+        // needs no pre-commit isEmpty probe
+        LakeTable.merge(s, mvRoot, group.head, liveV, cfg, group,
+          note = s"dmv-basis-$f1-signed",
+          extraDeleteKeys = Some(leadsDf),
+          deleteKeysCoverUpdates = true): Unit
         visibleDone = true
       }
     }
@@ -479,7 +487,11 @@ object DistinctMv {
           r => LakeTable.read(s, r)),
         cfg, group, note = s"dmv-basis-$f1-$mode"): Unit
     f1
-    } finally { foldedByState.values.foreach(_.unpersist()); () }
+    } finally {
+      foldedByState.values.foreach(_.unpersist())
+      if (distincts.size > 1) changesByRange.values.foreach(_.unpersist())
+      ()
+    }
   }
 
   /** A DSv2 read of a state table pruned to the given lead-group

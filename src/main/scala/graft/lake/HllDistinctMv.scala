@@ -213,10 +213,15 @@ object HllDistinctMv {
         val delta0 = prep(LakeTable.incrementalRead(s, factRoot, sb, f1))
           .persist()
         try {
-          if (delta0.isEmpty && sb == f0) return f0
-          if (!delta0.isEmpty) {
-            val deltaState = stateOf(delta0, group, keyCol, p)
-            leads = collectLeads(s, deltaState, group, mvRoot)
+          // ONE materializing action decides emptiness AND the touched
+          // leads (zero collected leads ⇔ empty delta) — replaces the
+          // two isEmpty probes, each a scheduled job
+          val deltaState = stateOf(delta0, group, keyCol, p)
+          val ls = collectLeads(s, deltaState, group, mvRoot)
+          val empty = ls.contains(Nil)
+          if (empty && sb == f0) return f0
+          if (!empty) {
+            leads = ls
             foldMerge(s, stRoot, deltaState, group, leads,
               note = s"hmvs-basis-$f1-fold")
           }
@@ -251,19 +256,17 @@ object HllDistinctMv {
               .select(col(DistinctMv.SKeyCol))
             val allKeys = oldKeys
               .unionByName(next.select(col(DistinctMv.SKeyCol))).distinct()
-            val live = s.createDataFrame(
-              next.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd,
-              stored).persist()
-            try {
-              if (live.isEmpty)
-                LakeTable.deleteWhere(s, stRoot, DistinctMv.SKeyCol, allKeys,
-                  note = s"hmvs-basis-$f1-targeted"): Unit
-              else
-                LakeTable.merge(s, stRoot, DistinctMv.SKeyCol, live,
-                  stateCfg(group), group,
-                  note = s"hmvs-basis-$f1-targeted",
-                  extraDeleteKeys = Some(allKeys)): Unit
-            } finally { live.unpersist(); () }
+            // stored column order only (merge's name+type gate needs
+            // no nullability re-stamp); allKeys covers live's keys,
+            // so the covered-keys merge needs no isEmpty probe
+            // (all-retired commits as a pure mask)
+            val live = next.select(
+              stored.fieldNames.toIndexedSeq.map(col): _*)
+            LakeTable.merge(s, stRoot, DistinctMv.SKeyCol, live,
+              stateCfg(group), group,
+              note = s"hmvs-basis-$f1-targeted",
+              extraDeleteKeys = Some(allKeys),
+              deleteKeysCoverUpdates = true): Unit
           case Some(ts) if ts.isEmpty =>
             // content-preserving commits only: nothing to fold
             if (sb == f0) return f0
@@ -289,20 +292,15 @@ object HllDistinctMv {
       val vis = derive(
         DistinctMv.prunedStateRead(s, stRoot, group.head, ls), group,
         distinctName, p)
-      val liveV = s.createDataFrame(
-        vis.select(vs.fieldNames.toIndexedSeq.map(col): _*).rdd, vs)
-        .persist()
+      // liveV's lead values ⊆ the touched leads (derived from the
+      // lead-pruned state read): covered-keys merge, no isEmpty probe
+      val liveV = vis.select(vs.fieldNames.toIndexedSeq.map(col): _*)
       val leadsDf = s.createDataFrame(
         java.util.Arrays.asList(ls.map(v => Row(v)): _*),
         StructType(Seq(vs(group.head))))
-      try {
-        if (liveV.isEmpty)
-          LakeTable.deleteWhere(s, mvRoot, group.head, leadsDf,
-            note = s"dmv-basis-$f1-$mode"): Unit
-        else
-          LakeTable.merge(s, mvRoot, group.head, liveV, cfg, group,
-            note = s"dmv-basis-$f1-$mode", extraDeleteKeys = Some(leadsDf)): Unit
-      } finally { liveV.unpersist(); () }
+      LakeTable.merge(s, mvRoot, group.head, liveV, cfg, group,
+        note = s"dmv-basis-$f1-$mode", extraDeleteKeys = Some(leadsDf),
+        deleteKeysCoverUpdates = true): Unit
     } else
       LakeTable.rewrite(s, mvRoot,
         derive(LakeTable.read(s, stRoot), group, distinctName, p),
@@ -351,11 +349,12 @@ object HllDistinctMv {
       .withColumn(RvalCol,
         when(col(RidxCol) === -1L, col("_s")).otherwise(col("_m")))
       .drop("_s", "_m")
-    val live = s.createDataFrame(
-      folded.select(names.map(col): _*).rdd, stored).persist()
-    try LakeTable.merge(s, stRoot, DistinctMv.SKeyCol, live,
+    // folded keys ⊆ touchedKeys: covered-keys merge, staged once,
+    // no persist / rdd round-trip / isEmpty probe (name+type gate)
+    val live = folded.select(names.map(col): _*)
+    LakeTable.merge(s, stRoot, DistinctMv.SKeyCol, live,
       stateCfg(group), group, note = note,
-      extraDeleteKeys = Some(touchedKeys)): Unit
-    finally { live.unpersist(); () }
+      extraDeleteKeys = Some(touchedKeys),
+      deleteKeysCoverUpdates = true): Unit
   }
 }

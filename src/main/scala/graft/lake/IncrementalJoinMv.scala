@@ -256,15 +256,14 @@ object IncrementalJoinMv {
         .map(_.fieldNames.toSeq).getOrElse(mvCur.schema.fieldNames.toSeq)
       val aligned = org.apache.spark.sql.types.StructType(
         tableOrder.map(n => mvCur.schema(n)))
-      val live = folded.filter(col(CountCol) > 0).to(aligned).persist()
-      try {
-        if (live.isEmpty)
-          // every touched group died: the commit is pure retirement
-          LakeTable.deleteWhere(s, mvRoot, gk, changedKeys, note = note): Unit
-        else
-          LakeTable.merge(s, mvRoot, gk, live, cfg, group, note = note,
-            extraDeleteKeys = Some(changedKeys)): Unit
-      } finally { live.unpersist(); () }
+      // live's keys ⊆ changedKeys (the fold is keyed on them), so the
+      // covered-keys merge stages live exactly once and commits a pure
+      // retirement mask when every touched group died — no pre-commit
+      // isEmpty probe, no persist
+      val live = folded.filter(col(CountCol) > 0).to(aligned)
+      LakeTable.merge(s, mvRoot, gk, live, cfg, group, note = note,
+        extraDeleteKeys = Some(changedKeys),
+        deleteKeysCoverUpdates = true): Unit
     } finally { changedKeys.unpersist(); () }
     f1 +: d1s
   }

@@ -492,7 +492,7 @@ object LakeTable {
     val physKc = storedSchemaOf(root).filter(ColumnMapping.hasMapping)
       .flatMap(s => ColumnMapping.toPhysical(s).get(keyCol)).getOrElse(keyCol)
     val (_, entries) = stageDeleteFrame(spark, root,
-      keys.select(col(keyCol).as(physKc)).distinct())
+      keys.select(col(keyCol).as(physKc)).distinct(), shuffled = true)
     casLoop(root) { parent =>
       val pm = if (parent > 0) Some(manifest(root, parent)) else None
       require(pm.nonEmpty, s"deleteWhere on empty table $root")
@@ -517,11 +517,23 @@ object LakeTable {
     * own keys) — the upsert-and-retire shape incremental MV folds
     * need: changed groups re-land as data files while vanished groups
     * retire via the delete mask, one commit, nothing rewritten.
+    *
+    * `deleteKeysCoverUpdates = true` is the caller's guarantee that
+    * `extraDeleteKeys` already contains every key in `updates` (true
+    * for every MV fold: the touched-cell mask is a superset of the
+    * surviving cells by construction). The mask then stages from the
+    * extra keys ALONE — `updates` is consumed exactly once, by the
+    * data write — and an `updates` frame that stages EMPTY commits as
+    * a pure-mask delete (every touched key retired), which lets the
+    * folds drop their pre-commit `isEmpty` probe (one fewer action
+    * per refresh; the emptiness verdict falls out of the staged
+    * files' own footer row counts).
     */
   def merge(spark: SparkSession, root: String, keyCol: String,
       updates: DataFrame, cfg: BlockWriter.Config,
       statCols: Seq[String], note: String = "",
-      extraDeleteKeys: Option[DataFrame] = None): Int = {
+      extraDeleteKeys: Option[DataFrame] = None,
+      deleteKeysCoverUpdates: Boolean = false): Int = {
     val reservedM = updates.schema.fieldNames.filter(n => n == CoordPath || n == CoordIdx)
     require(reservedM.isEmpty,
       s"table columns ${reservedM.mkString(", ")} collide with the reserved " +
@@ -540,13 +552,23 @@ object LakeTable {
     BlockWriter.writeFlat(updW, dataStaging, cfgW)
     val mergeSpec = Some((cfg.partitionCol, cfg.parallelism
       .getOrElse(spark.sessionState.conf.numShufflePartitions)))
+    // zero-row staged files carry no rows and no usable stats — keep
+    // them out of the manifest (an all-empty staging = pure-mask
+    // commit: only the delete entries land)
     val entries = scanStats(spark, dataStaging, updW, statCols.map(phys),
       bucketOf = mergeSpec.map { case (c, n) => (phys(c), n) })
-    val delPayload0 = updates.select(col(keyCol).as(phys(keyCol)))
-    val delPayload = extraDeleteKeys
-      .map(k => delPayload0.unionByName(k.select(col(keyCol).as(phys(keyCol)))))
-      .getOrElse(delPayload0).distinct()
-    val (_, delEntries) = stageDeleteFrame(spark, root, delPayload)
+      .filter(_.rows > 0L)
+    val delPayload =
+      if (deleteKeysCoverUpdates)
+        extraDeleteKeys.get.select(col(keyCol).as(phys(keyCol))).distinct()
+      else {
+        val delPayload0 = updates.select(col(keyCol).as(phys(keyCol)))
+        extraDeleteKeys
+          .map(k => delPayload0.unionByName(k.select(col(keyCol).as(phys(keyCol)))))
+          .getOrElse(delPayload0).distinct()
+      }
+    val (_, delEntries) = stageDeleteFrame(spark, root, delPayload,
+      shuffled = true)
     val mergeSnap = casLoop(root) { parent =>
       require(parent > 0, s"merge into empty table $root")
       val pm = manifest(root, parent)
@@ -564,8 +586,19 @@ object LakeTable {
             updates.schema.fields.map(f => (f.name, f.dataType)).toSeq,
             s"merge schema mismatch for $root: table has ${live.json}, " +
               s"updates have ${updates.schema.json}")
-        } else require(expect == updates.schema.json,
-          s"merge schema mismatch for $root: table has $expect, updates have ${updates.schema.json}")
+        } else {
+          // name + type only, like the mapped branch above: the
+          // manifest keeps the PARENT's schema (nullability included)
+          // regardless, so a fold frame whose aggregates are nullable
+          // where the table's column is not needs no re-stamp — the
+          // rdd round-trips / .to() reconciles the callers paid just
+          // to match nullability were pure overhead
+          val expectS = DataType.fromJson(expect).asInstanceOf[StructType]
+          require(expectS.fields.map(f => (f.name, f.dataType)).toSeq ==
+            updates.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+            s"merge schema mismatch for $root: table has $expect, " +
+              s"updates have ${updates.schema.json}")
+        }
       }
       val snap = parent + 1
       val (bCol, bN) =
@@ -1345,15 +1378,31 @@ object LakeTable {
     spark.conf.getOption(key).map(_.trim.toLong).getOrElse(dflt)
 
   /** Stage a delete-payload frame (equality keys or positional
-    * coordinates) and report its per-file row counts. The write fans
-    * out to ⌈rows / deleteFileRows⌉ tasks (capped at the session's
-    * shuffle parallelism); the payload is persisted across the
-    * count + write pair so the dedup shuffle runs once.
+    * coordinates) and report its per-file row counts.
+    *
+    * `shuffled = true` (the equality-key callers, whose payloads come
+    * off a `.distinct()` exchange): ONE pass — AQE has already
+    * coalesced the shuffle output to advisory-sized partitions, and
+    * `maxRecordsPerFile` bounds rows per file, so the sizing
+    * count + coalesce pair (and the persist bridging them) collapses
+    * into the write itself. At scale this also stops capping the
+    * write's parallelism at the session's shuffle-partition count.
+    *
+    * `shuffled = false` (positional payloads, arbitrary upstream
+    * partitioning): the legacy two-pass shape — count to size the
+    * fan-out (⌈rows / deleteFileRows⌉ tasks capped at the session's
+    * shuffle parallelism), persist bridging count + write.
     */
   private def stageDeleteFrame(spark: SparkSession, root: String,
-      payload: DataFrame): (String, Seq[(String, Long)]) = {
+      payload: DataFrame, shuffled: Boolean = false)
+      : (String, Seq[(String, Long)]) = {
     val staging = stagingDir(root)
     val fileRows = confLong(spark, DeleteFileRowsKey, DefaultDeleteFileRows)
+    if (shuffled) {
+      payload.write.mode("errorifexists")
+        .option("maxRecordsPerFile", fileRows)
+        .parquet(staging)
+    } else {
     val p = payload.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = p.count()
@@ -1362,6 +1411,7 @@ object LakeTable {
         (n + fileRows - 1) / fileRows)).toInt
       p.coalesce(parts).write.mode("errorifexists").parquet(staging)
     } finally p.unpersist()
+    }
     // per-file row counts straight from the parquet footers — no
     // read-back job over the payload just to count what was written
     val entries = listParquet(Paths.get(staging)).map { fp =>

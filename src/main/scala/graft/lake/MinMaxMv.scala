@@ -175,9 +175,14 @@ object MinMaxMv {
         prep(LakeTable.incrementalRead(s, factRoot, f0, f1)),
         group, subGroups, valueCol, mn, mx, extras).persist()
       try {
-        // empty-append commits: nothing to fold, basis stays put
-        if (deltaState.isEmpty) return f0
-        require(deltaState.filter(col(key).isNull).isEmpty,
+        // ONE probe over the persisted delta decides BOTH the
+        // empty-append return and the NULL-key guard (two separate
+        // actions before — each a scheduled job per refresh)
+        val probe = deltaState.agg(
+          count(lit(1)).as("_n"),
+          count(when(col(key).isNull, lit(1))).as("_nulls")).head()
+        if (probe.getLong(0) == 0L) return f0
+        require(probe.getLong(1) == 0L,
           s"min/max MV: NULL in key column '$key' cannot be " +
             "incrementally maintained — coalesce it upstream")
         val touchedLead = deltaState.select(col(key)).distinct()
@@ -189,12 +194,16 @@ object MinMaxMv {
             min(col(mn)).as(mn) +: max(col(mx)).as(mx) +:
               extras.zip(extraFolds).map { case ((nm, _), f) =>
                 f.get(col(nm)).as(nm) }: _*)
-        val live = s.createDataFrame(
-          folded.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd,
-          stored).persist()
-        try LakeTable.merge(s, mvRoot, key, live, cfg, Seq(group),
-          note = s"mmv-basis-$f1-fold"): Unit
-        finally { live.unpersist(); () }
+        // every folded group IS a touched lead (appends never remove
+        // rows), so the covered-keys merge stages the fold exactly
+        // once — no persist, no rdd round-trip (merge's schema gate
+        // compares name + type, so no nullability re-stamp needed)
+        val live = folded.select(
+          stored.fieldNames.toIndexedSeq.map(col): _*)
+        LakeTable.merge(s, mvRoot, key, live, cfg, Seq(group),
+          note = s"mmv-basis-$f1-fold",
+          extraDeleteKeys = Some(touchedLead),
+          deleteKeysCoverUpdates = true): Unit
         return f1
       } finally { deltaState.unpersist(); () }
     }
@@ -203,16 +212,20 @@ object MinMaxMv {
     // first learns only the cardinality, and collects the values
     // only when they are metadata-scale (under the cap).
     val touchedRows = LakeTable.changelogRead(s, factRoot, f0, f1)
-      .select(col(key)).distinct().persist()
-    try {
-      val nTouched = touchedRows.count()
-      // content-preserving commits only (compaction emits zero change
-      // rows): nothing to fold — leave the basis where it is, the next
-      // real refresh folds across the maintenance commits for free
-      if (nTouched == 0) return f0
-      val cap = AutoMaintain.policies(mvRoot)
-        .getOrElse(AutoMaintain.MvMaxGroupsKey, DefaultMaxGroups)
-      if (nTouched > cap) {
+      .select(col(key)).distinct()
+    val cap = AutoMaintain.policies(mvRoot)
+      .getOrElse(AutoMaintain.MvMaxGroupsKey, DefaultMaxGroups)
+    val capN = math.min(cap, Int.MaxValue - 1L).toInt
+    // ONE capped collect decides emptiness, over-cap AND the values
+    // (the count + collect pair it replaces was two scheduled jobs —
+    // the collect stays bounded at cap + 1 rows either way)
+    val touched0: Seq[Any] =
+      touchedRows.limit(capN + 1).collect().map(_.get(0)).toSeq
+    // content-preserving commits only (compaction emits zero change
+    // rows): nothing to fold — leave the basis where it is, the next
+    // real refresh folds across the maintenance commits for free
+    if (touched0.isEmpty) return f0
+    if (touched0.size > capN) {
         // OVER-CAP FALLBACK: a delta touching this many groups is a
         // reshape, not a trickle — one full recompute commit beats an
         // unbounded driver collect + a giant IN expression (and reads
@@ -226,54 +239,48 @@ object MinMaxMv {
               "incrementally maintained — coalesce it upstream")
           LakeTable.rewrite(s, mvRoot, full, cfg, Seq(group),
             note = s"mmv-basis-$f1-full"): Unit
-        } finally { full.unpersist(); () }
-        return f1
-      }
-      // TYPED collect: the values keep the changelog column's external
-      // type end-to-end (timestamp, decimal, binary group keys stay
-      // exact — no String round-trip), feeding both the IN filter and
-      // the equality-delete frame
-      val touched = touchedRows.collect().map(_.get(0)).toSeq
-      // the IN filter and the eq-delete mask are equality-keyed: a NULL
-      // group can neither be recomputed nor retired — fail pointedly
-      require(!touched.contains(null),
-        s"min/max MV: NULL in key column '$key' cannot be " +
-          "incrementally maintained (equality-keyed recompute + delete " +
-          "mask) — coalesce it upstream")
-      // targeted recompute THROUGH THE PRUNED SCAN, PINNED at the basis
-      // snapshot f1 the commit note will claim (a concurrent fact
-      // commit mid-refresh must not leak into this basis): the IN
-      // filter reaches the manifest, untouched groups' fact files are
-      // never opened (a fact clustered by `group` reads |Δ groups|)
-      val cur = state(
-        prep(s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
-          .filter(col(key).isin(touched: _*))),
-        group, subGroups, valueCol, mn, mx, extras)
-      // align to the MANIFEST schema exactly (merge's unmapped-table
-      // gate compares full schema JSON; a mask-applied read's column
-      // order is join-shaped)
-      // the delete frame is built from the TYPED values under the
-      // stored key field — exact for every group type
-      val touchedDf = s.createDataFrame(
-        java.util.Arrays.asList(touched.map(v => Row(v)): _*),
-        StructType(Seq(stored(key))))
-      // createDataFrame re-stamps the frame with the EXACT stored
-      // schema (merge's unmapped gate compares full JSON incl.
-      // nullability; .to() will not relax a non-null column to the
-      // table's nullable one)
-      val live = s.createDataFrame(
-        cur.select(stored.fieldNames.toIndexedSeq.map(col): _*).rdd, stored)
-        .persist()
-      try {
-        if (live.isEmpty)
-          // every touched group vanished: pure retirement commit
-          LakeTable.deleteWhere(s, mvRoot, key, touchedDf,
-            note = s"mmv-basis-$f1-targeted"): Unit
-        else
-          LakeTable.merge(s, mvRoot, key, live, cfg, Seq(group),
-            note = s"mmv-basis-$f1-targeted", extraDeleteKeys = Some(touchedDf)): Unit
-      } finally { live.unpersist(); () }
-      f1
-    } finally { touchedRows.unpersist(); () }
+      } finally { full.unpersist(); () }
+      return f1
+    }
+    // TYPED values: they keep the changelog column's external type
+    // end-to-end (timestamp, decimal, binary group keys stay exact
+    // — no String round-trip), feeding both the IN filter and the
+    // equality-delete frame
+    val touched = touched0
+    // the IN filter and the eq-delete mask are equality-keyed: a NULL
+    // group can neither be recomputed nor retired — fail pointedly
+    require(!touched.contains(null),
+      s"min/max MV: NULL in key column '$key' cannot be " +
+        "incrementally maintained (equality-keyed recompute + delete " +
+        "mask) — coalesce it upstream")
+    // targeted recompute THROUGH THE PRUNED SCAN, PINNED at the basis
+    // snapshot f1 the commit note will claim (a concurrent fact
+    // commit mid-refresh must not leak into this basis): the IN
+    // filter reaches the manifest, untouched groups' fact files are
+    // never opened (a fact clustered by `group` reads |Δ groups|)
+    val cur = state(
+      prep(s.read.format("graft-lake").option("snapshot", f1).load(factRoot)
+        .filter(col(key).isin(touched: _*))),
+      group, subGroups, valueCol, mn, mx, extras)
+    // align to the MANIFEST schema exactly (merge's unmapped-table
+    // gate compares full schema JSON; a mask-applied read's column
+    // order is join-shaped)
+    // the delete frame is built from the TYPED values under the
+    // stored key field — exact for every group type
+    val touchedDf = s.createDataFrame(
+      java.util.Arrays.asList(touched.map(v => Row(v)): _*),
+      StructType(Seq(stored(key))))
+    // stored column ORDER, types checked by merge's name+type gate
+    // (no nullability re-stamp — the manifest keeps the parent's
+    // schema regardless); touchedDf covers live's keys (recomputed
+    // groups ⊆ touched), so the covered-keys merge needs no isEmpty
+    // probe — every touched group vanishing commits as a pure
+    // retirement mask
+    val live = cur.select(
+      stored.fieldNames.toIndexedSeq.map(col): _*)
+    LakeTable.merge(s, mvRoot, key, live, cfg, Seq(group),
+      note = s"mmv-basis-$f1-targeted", extraDeleteKeys = Some(touchedDf),
+      deleteKeysCoverUpdates = true): Unit
+    f1
   }
 }

@@ -28,10 +28,23 @@ object ProfileQuery {
     case class Job(id: Int, start: Long, var end: Long, desc: String,
         var stages: Int)
     val jobs = mutable.LinkedHashMap[Int, Job]()
+    // SQL-execution callsites (execId -> "count at Foo.scala:12") so
+    // jobs attribute to the ACTION that ran them, not "?"
+    val execDesc = mutable.HashMap[Long, String]()
+    val sqlListener = new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execDesc.synchronized { execDesc(s.executionId) = s.description }
+          case _ =>
+        }
+    }
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val d = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => execDesc.synchronized {
+            execDesc.get(id.toLong) })
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("?")
@@ -41,6 +54,7 @@ object ProfileQuery {
         jobs.get(e.jobId).foreach(_.end = e.time)
       }
     }
+    spark.sparkContext.addSparkListener(sqlListener)
 
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
