@@ -137,7 +137,9 @@ object IncrementalJoinMv {
     try {
       // fail at CREATE, not first refresh: the MoR fold can't
       // maintain a NULL leading group key (see refresh)
-      require(st.filter(col(group.head).isNull).isEmpty,
+      // one aggregate job, not an escalating filter+take probe
+      require(st.agg(count(when(col(group.head).isNull, lit(1))))
+          .head.getLong(0) == 0L,
         s"join-MV: NULL in leading group column '${group.head}' cannot be " +
           "incrementally maintained (equality-keyed delete mask) — " +
           "coalesce it upstream")
@@ -234,7 +236,11 @@ object IncrementalJoinMv {
       // EQUALITY over gk — a NULL lead-group value can neither be
       // retired nor re-folded, so it fails HERE, pointedly, instead
       // of silently duplicating the group
-      require(changedKeys.filter(col(gk).isNull).isEmpty,
+      // one aggregate job over the persisted keys (also materializes
+      // the cache the broadcast below reuses), not an escalating
+      // filter+take probe that scans partitions in several jobs
+      require(changedKeys.agg(count(when(col(gk).isNull, lit(1))))
+          .head.getLong(0) == 0L,
         s"join-MV fold: NULL in leading group column '$gk' cannot ride " +
           "the equality-delete mask — coalesce the dimension attribute " +
           "upstream (e.g. to a sentinel) before maintaining it as an MV key")

@@ -119,8 +119,10 @@ object MinMaxMv {
       Option(maxName).getOrElse(s"max_$valueCol"), extras)
       .persist()
     try {
-      // fail at CREATE, not first refresh (see refresh's NULL guard)
-      require(st.filter(col(key).isNull).isEmpty,
+      // fail at CREATE, not first refresh (see refresh's NULL guard).
+      // ONE aggregate job — filter+isEmpty is an escalating take that
+      // scans the partitions in several jobs when no row matches
+      require(st.agg(count(when(col(key).isNull, lit(1)))).head.getLong(0) == 0L,
         s"min/max MV: NULL in key column '$key' cannot be " +
           "incrementally maintained — coalesce it upstream")
       LakeTable.commit(s, mvRoot, st, cfg, Seq(group),
@@ -234,7 +236,8 @@ object MinMaxMv {
           prep(s.read.format("graft-lake").option("snapshot", f1).load(factRoot)),
           group, subGroups, valueCol, mn, mx, extras).persist()
         try {
-          require(full.filter(col(key).isNull).isEmpty,
+          require(full.agg(count(when(col(key).isNull, lit(1))))
+              .head.getLong(0) == 0L,
             s"min/max MV: NULL in key column '$key' cannot be " +
               "incrementally maintained — coalesce it upstream")
           LakeTable.rewrite(s, mvRoot, full, cfg, Seq(group),

@@ -52,10 +52,27 @@ object ZOrder {
     when(c.isNull, lit(0L)).otherwise(go(0, cuts.length))
   }
 
+  /** Morton bit-spread of an 8-bit bucket value at stride `d`
+    * (bit i → bit d·i), precomputed driver-side as a 256-entry
+    * table. `element_at(table, bucket + 1)` references each dim's
+    * bucket expression EXACTLY ONCE — the generic interleave
+    * ([[graft.queries.Advanced.zInterleaveN]]) references each dim
+    * [[Bits]] times, which with the 511-node quantile `when`-tree per
+    * dim built a ~12k-node z expression whose analysis + codegen
+    * (and per-row evaluation through the range-partitioner's sampling
+    * AND the write's sort) dominated every declared-z-order append.
+    */
+  private def spreadTable(d: Int): Array[Long] =
+    Array.tabulate(1 << Bits) { v =>
+      (0 until Bits).map(i => ((v.toLong >> i) & 1L) << (d * i)).sum
+    }
+
   /** The batch's z-value column for 2..4 dims: ONE approxQuantile
     * action over the batch derives 255 cut points per dim; the
-    * returned expression is pure map-side arithmetic (N-dim morton
-    * interleave of the quantile buckets).
+    * returned expression is pure map-side arithmetic (each dim's
+    * quantile bucket evaluated once, spread through the lookup
+    * table, OR-combined — same z value as the bitwise interleave,
+    * linear-sized expression tree).
     */
   def zColumn(batch: DataFrame, cols: Seq[String]): Column = {
     require(cols.length >= 2, s"zorder needs >= 2 columns, got $cols")
@@ -64,9 +81,11 @@ object ZOrder {
     val proj = batch.select(cols.zip(names).map { case (c, n) =>
       asDouble(batch, c).as(n) }: _*)
     val cuts = proj.stat.approxQuantile(names.toArray, probes, 0.001)
-    graft.queries.Advanced.zInterleaveN(
-      cols.zipWithIndex.map { case (c, i) =>
-        bucketExpr(asDouble(batch, c), cuts(i)) })
+    val table = lit(spreadTable(cols.length))
+    cols.zipWithIndex.map { case (c, j) =>
+      shiftleft(element_at(table,
+        (bucketExpr(asDouble(batch, c), cuts(j)) + lit(1L)).cast("int")), j)
+    }.reduce(_.bitwiseOR(_)).cast("bigint")
   }
 
   def zColumn(batch: DataFrame, a: String, b: String): Column =

@@ -5174,12 +5174,19 @@ object Lake {
         .filter(col("event_type") === "view").select(col("event_id"))))
     drain()
     val upF = LakeTable.read(s, up)
-    // ONE pass over each MoR-resolved side: cache the mirror read
-    // (it feeds the symmetric diff twice and the output aggregate)
-    // and fold both exceptAll directions into a single job
+    // exact multiset equality in ONE shuffle: sign the sides ±1,
+    // group by the full row, any non-zero signed count is a diff.
+    // The double exceptAll this replaces planned each MoR-resolved
+    // side into two replicate-and-subtract subtrees (4 reads, 2 wide
+    // shuffles); diff == 0 ⇔ the multisets match, which is the only
+    // thing the gate publishes (`mirror_exact`)
     val mirF = LakeTable.read(s, mir)
       .select(upF.columns.map(col).toIndexedSeq: _*).persist()
-    val diff = upF.exceptAll(mirF).unionAll(mirF.exceptAll(upF)).count()
+    val rowCols = upF.columns.toIndexedSeq.map(col)
+    val diff = upF.withColumn("_s", lit(1L))
+      .unionByName(mirF.withColumn("_s", lit(-1L)))
+      .groupBy(rowCols: _*).agg(sum(col("_s")).as("_d"))
+      .filter(col("_d") =!= 0L).count()
     val out = mirF.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
       .withColumn("mirror_exact", lit(diff == 0L))
@@ -5264,7 +5271,12 @@ object Lake {
     val upF = LakeTable.read(s, up)
     val mirF = LakeTable.read(s, mir)
       .select(upF.columns.map(col).toIndexedSeq: _*).persist()
-    val diff = upF.exceptAll(mirF).unionAll(mirF.exceptAll(upF)).count()
+    // one-shuffle signed multiset compare (see stream_cdc_apply)
+    val rowCols = upF.columns.toIndexedSeq.map(col)
+    val diff = upF.withColumn("_s", lit(1L))
+      .unionByName(mirF.withColumn("_s", lit(-1L)))
+      .groupBy(rowCols: _*).agg(sum(col("_s")).as("_d"))
+      .filter(col("_d") =!= 0L).count()
     val out = mirF.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sumValX100.as("sum_value_x100"))
       .withColumn("mirror_exact", lit(diff == 0L))

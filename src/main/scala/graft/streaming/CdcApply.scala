@@ -244,6 +244,7 @@ object CdcApply {
           .agg(max(col(CS)).as("_sn"))
         val finals = perKey.join(lastTouch,
           perKey(keyCol) === col("_k") && perKey(CS) === col("_sn"))
+          .persist()
         val winners = b.filter(col(CT) === "insert")
           .join(finals.filter(col("_ins") > 0)
             .select(col("_k"), col("_sn")),
@@ -252,21 +253,28 @@ object CdcApply {
         val delKeys = finals.filter(col("_ins") === 0 && col("_del") > 0)
           .select(col("_k").as(keyCol))
         val mirrorLive = LakeTable.currentSnapshot(mirrorRoot) > 0
-        val hasIns = finals.filter(col("_ins") > 0).limit(1).count() > 0
-        val hasDel = mirrorLive &&
-          finals.filter(col("_ins") === 0 && col("_del") > 0)
-            .limit(1).count() > 0
-        if (hasIns && !mirrorLive)
-          LakeTable.commit(s, mirrorRoot, winners, cfg, statCols,
-            note = rangeMark)
-        else if (hasIns) {
-          val aligned = winners.to(LakeTable.read(s, mirrorRoot).schema)
-          LakeTable.merge(s, mirrorRoot, keyCol, aligned, cfg, statCols,
-            note = rangeMark,
-            extraDeleteKeys = if (hasDel) Some(delKeys) else None)
-        } else if (hasDel)
-          LakeTable.deleteWhere(s, mirrorRoot, keyCol, delKeys,
-            note = rangeMark)
+        // ONE aggregate job answers both mode questions (was two
+        // limit(1) probes, each re-deriving the finals join); the
+        // persist above keeps the join cached for winners/delKeys
+        val probe = finals.agg(
+          count(when(col("_ins") > 0, lit(1))).as("_i"),
+          count(when(col("_ins") === 0 && col("_del") > 0, lit(1))).as("_d"))
+          .head()
+        val hasIns = probe.getLong(0) > 0
+        val hasDel = mirrorLive && probe.getLong(1) > 0
+        try {
+          if (hasIns && !mirrorLive)
+            LakeTable.commit(s, mirrorRoot, winners, cfg, statCols,
+              note = rangeMark)
+          else if (hasIns) {
+            val aligned = winners.to(LakeTable.read(s, mirrorRoot).schema)
+            LakeTable.merge(s, mirrorRoot, keyCol, aligned, cfg, statCols,
+              note = rangeMark,
+              extraDeleteKeys = if (hasDel) Some(delKeys) else None)
+          } else if (hasDel)
+            LakeTable.deleteWhere(s, mirrorRoot, keyCol, delKeys,
+              note = rangeMark)
+        } finally { finals.unpersist(); () }
         if (hasIns || hasDel) { seen += rangeMark; commits += 1 }
         else snaps.foreach(sn => { emptyApplied += sn: Unit })
       }
