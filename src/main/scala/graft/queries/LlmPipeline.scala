@@ -381,11 +381,20 @@ object LlmPipeline {
     // round shuffles the (pair, count) frame, which is
     // vocab-proportional — corpus-level reduce parallelism (and the
     // AQE coalesce round-trips that fix it up) is pure per-round
-    // scheduler latency × merges. Restored on exit.
+    // scheduler latency × merges. AQE itself is OFF inside the loop:
+    // with the parallelism already statically sized, adaptive
+    // re-planning only adds one extra job round-trip per round's
+    // top-pair action (measured ~2 jobs/round → 1). Both restored on
+    // exit.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try bpeTrainRounds(s, staged, cur, parts, merges)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   private def bpeTrainRounds(s: SparkSession, staged: DataFrame,
